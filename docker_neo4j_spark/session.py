@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the graph engine.
+
+The reference packages a single-process JVM database whose startup assembles a
+declarative configuration before exec'ing the engine
+(/root/reference/docker-image-src/calver/coredb/docker-entrypoint.sh:660-681).
+Our analog is a SparkSession builder that applies the engine's defaults the
+same way the entrypoint applies docker defaults: only when the user has not
+already set them (docker-entrypoint.sh:254-265, add_docker_default_to_conf).
+
+Scale posture (100 TB target, tested on local[32]):
+- AQE on: runtime coalescing, skew-join splitting, dynamic broadcast.
+- shuffle.partitions default kept modest locally; on a real cluster this is
+  overridden per deployment (the conf layering in config.py mirrors the
+  reference's env->conf precedence).
+- Arrow enabled so the pandas_udf paths (embeddings, text ops) batch-transfer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Docker-default analog: applied only if the caller/user has not set them,
+# mirroring add_docker_default_to_conf (docker-entrypoint.sh:254-265).
+ENGINE_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
+
+def get_spark(
+    app_name: str = "docker-neo4j-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session with layered defaults.
+
+    Precedence (lowest to highest): ENGINE_DEFAULT_CONF < extra_conf —
+    the same default-no-overwrite vs explicit-overwrite split the reference
+    entrypoint implements for neo4j.conf.
+    """
+    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    conf = dict(ENGINE_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docker_neo4j_spark.sources.tpch import build_graph, load_tables
+
+
+def test_load_tables(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    assert t["region"].count() == 5
+    assert t["nation"].count() == 25
+
+
+def test_graph_projection_counts(spark, sf_dir):
+    g = build_graph(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    n_expected = sum(t[x].count() for x in ("region", "nation", "customer", "supplier", "part", "orders"))
+    assert g.nodes.count() == n_expected
+    assert g.nodes_by_label("Nation").count() == 25
+    assert g.rels_by_type("IN_REGION").count() == 25
+    assert g.rels_by_type("PLACED").count() == t["orders"].count()
+    # node ids unique across labels
+    assert g.nodes.select("id").distinct().count() == n_expected
+
+
+def test_expand_one_hop(spark, sf_dir):
+    g = build_graph(spark, sf_dir)
+    # (c:Customer)-[:PLACED]->(o:Order) row count == orders with a valid customer
+    hop = g.expand("Customer", "PLACED", "Order", "c", "r", "o")
+    t = load_tables(spark, sf_dir)
+    assert hop.count() == t["orders"].count()
+    # properties survive the expand with alias prefixes
+    row = hop.select("c_c_name", "o_o_totalprice").first()
+    assert row["c_c_name"].startswith("Customer#")
+
+
+def test_degrees(spark, sf_dir):
+    g = build_graph(spark, sf_dir)
+    d = g.degrees("out")
+    assert d.where(F.col("degree") <= 0).count() == 0
