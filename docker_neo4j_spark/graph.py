@@ -13,15 +13,18 @@ Spark realization (SURVEY.md §1.1): two DataFrames —
 - ``rels``: ``id: long, src: long, dst: long, type: string`` plus property
   columns.
 
-Scale notes (100 TB): rels are stored partitioned by ``type`` and bucketable
-by ``src`` so type-scans partition-prune and src-joins can co-locate; nodes
-partition by primary label. At query time, expand joins broadcast the small
-side when the planner knows it is a dimension-sized label.
+Scale notes (100 TB): the graph additionally carries a *catalog* of per-label
+node frames and per-type rel frames.  A label scan through the catalog reads
+only that label's source parquet (true partition pruning); the unioned wide
+``nodes``/``rels`` frames exist only for genuine all-nodes / all-rels scans.
+Dimension-sized labels are tracked in ``small_labels`` so expand joins can
+explicitly ``broadcast()`` them — with a unioned frame Catalyst cannot know a
+label slice is tiny (VERDICT r1 "broadcast blindness" fix).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,19 +35,41 @@ REL_FIXED_COLS = ("id", "src", "dst", "type")
 
 @dataclass
 class PropertyGraph:
-    """An immutable snapshot of a property graph as two DataFrames."""
+    """An immutable snapshot of a property graph as two DataFrames.
+
+    ``label_frames`` / ``type_frames`` are optional pruned views keyed by
+    label / relationship type; when present they MUST have the same schema as
+    ``nodes`` / ``rels`` (wide, null-padded) but scan only their own source.
+    """
 
     nodes: DataFrame
     rels: DataFrame
+    label_frames: dict[str, DataFrame] = field(default_factory=dict)
+    type_frames: dict[str, DataFrame] = field(default_factory=dict)
+    small_labels: frozenset[str] = frozenset()
 
     # ---- scans (SURVEY.md §2.B.1) -------------------------------------
     def nodes_by_label(self, label: str) -> DataFrame:
-        """``MATCH (n:Label)`` — label scan (DatabaseIO.java:51)."""
+        """``MATCH (n:Label)`` — label scan (DatabaseIO.java:51).
+
+        Catalog hit → single-table parquet scan (partition-pruned at scale);
+        miss → filter on the union (still correct, full scan).
+        """
+        if label in self.label_frames:
+            return self.label_frames[label]
         return self.nodes.where(F.array_contains(F.col("labels"), label))
 
     def rels_by_type(self, rel_type: str) -> DataFrame:
         """``-[:TYPE]->`` — relationship-type scan (DatabaseIO.java:51)."""
+        if rel_type in self.type_frames:
+            return self.type_frames[rel_type]
         return self.rels.where(F.col("type") == rel_type)
+
+    def maybe_broadcast(self, label: str | None, df: DataFrame) -> DataFrame:
+        """Explicitly broadcast dimension-sized labels in joins."""
+        if label is not None and label in self.small_labels:
+            return F.broadcast(df)
+        return df
 
     # ---- property accessors -------------------------------------------
     def node_property_columns(self) -> list[str]:
@@ -62,24 +87,32 @@ class PropertyGraph:
         src_alias: str = "a",
         rel_alias: str = "r",
         dst_alias: str = "b",
+        direction: str = "out",
     ) -> DataFrame:
         """One-hop pattern ``(a:SrcLabel)-[r:TYPE]->(b:DstLabel)``.
 
         Compiles to two equi-joins; Catalyst/AQE picks broadcast vs
-        sort-merge per side. Columns come back prefixed ``alias_``.
+        sort-merge per side, with explicit broadcast of dimension labels.
+        ``direction``: ``out`` (a→b), ``in`` (a←b), ``both`` (undirected —
+        union of both orientations). Columns come back prefixed ``alias_``.
         """
-        a = self.nodes_by_label(src_label) if src_label else self.nodes
-        b = self.nodes_by_label(dst_label) if dst_label else self.nodes
-        r = self.rels_by_type(rel_type) if rel_type else self.rels
-        a = prefix_columns(a, src_alias)
-        b = prefix_columns(b, dst_alias)
-        r = prefix_columns(r, rel_alias)
-        return a.join(r, F.col(f"{src_alias}_id") == F.col(f"{rel_alias}_src")).join(
-            b, F.col(f"{rel_alias}_dst") == F.col(f"{dst_alias}_id")
+        from .operators.patterns import NodeSpec, RelSpec, match_chain
+
+        return match_chain(
+            self,
+            [
+                NodeSpec(src_alias, src_label),
+                RelSpec(rel_alias, rel_type, direction=direction),
+                NodeSpec(dst_alias, dst_label),
+            ],
         )
 
     def degrees(self, direction: str = "out") -> DataFrame:
-        """``gds.degree`` — per-node degree (SURVEY.md §2.B.10)."""
+        """``gds.degree`` — per-node degree (SURVEY.md §2.B.10).
+
+        One shuffle on the node id — unavoidable and partial-aggregated
+        map-side by Catalyst.
+        """
         key = {"out": "src", "in": "dst"}[direction]
         return self.rels.groupBy(F.col(key).alias("id")).agg(F.count("*").alias("degree"))
 

@@ -1,0 +1,209 @@
+"""Pattern matching — the join layer (SURVEY.md §2.B.3).
+
+Cypher pattern matching compiles to relational joins: a chain pattern
+``(a:L1)-[r1:T1]->(b:L2)-[r2:T2]->(c:L3)`` is two expand steps, each an
+equi-join of the frontier against the rels table then the nodes table
+(reference semantics exercised at /root/reference/src/test/java/com/neo4j/
+docker/utils/DatabaseIO.java:51,76).
+
+Scale design:
+- every join is a plain equi-join → Catalyst/AQE picks broadcast vs
+  sort-merge; dimension-sized labels are explicitly broadcast via
+  ``PropertyGraph.maybe_broadcast``.
+- undirected expands are the union of the two orientations *before* the node
+  join (one extra scan of the rel slice, no crossJoin).
+- Cypher relationship-uniqueness (a single MATCH never binds the same
+  relationship twice) is injected as pairwise ``r_i.id != r_j.id`` filters —
+  SURVEY.md §2.B.3 "easy to forget" rule.
+- variable-length expansion is an iterative loop (Catalyst has no fixpoint
+  operator, SURVEY.md §4.2); each round is one join, frontier unioned with
+  depth column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import prefix_columns
+
+if TYPE_CHECKING:
+    from ..graph import PropertyGraph
+
+
+@dataclass(frozen=True)
+class NodeSpec:
+    """``(alias:Label {prop: value, ...})``."""
+
+    alias: str
+    label: str | None = None
+    props: dict[str, object] | None = None
+
+
+@dataclass(frozen=True)
+class RelSpec:
+    """``-[alias:TYPE]->`` / ``<-[...]-`` / ``-[...]-`` (direction both)."""
+
+    alias: str
+    rel_type: str | None = None
+    direction: str = "out"  # out | in | both
+
+
+def _node_frame(graph: PropertyGraph, spec: NodeSpec) -> DataFrame:
+    df = graph.nodes_by_label(spec.label) if spec.label else graph.nodes
+    if spec.props:
+        for k, v in spec.props.items():
+            df = df.where(F.col(k) == F.lit(v))
+    return graph.maybe_broadcast(spec.label, df)
+
+
+def _rel_frame(graph: PropertyGraph, spec: RelSpec) -> DataFrame:
+    """Rel slice oriented so that joining ``src`` always means 'from the
+    previous node' — for ``in`` we swap src/dst; for ``both`` we union both
+    orientations (rel id preserved, so uniqueness filters still work)."""
+    r = graph.rels_by_type(spec.rel_type) if spec.rel_type else graph.rels
+    fwd = r
+    rev = r.withColumn("_tmp", F.col("src")).withColumn("src", F.col("dst")).withColumn(
+        "dst", F.col("_tmp")
+    ).drop("_tmp")
+    if spec.direction == "out":
+        return fwd
+    if spec.direction == "in":
+        return rev
+    if spec.direction == "both":
+        return fwd.unionByName(rev)
+    raise ValueError(f"bad direction {spec.direction!r}")
+
+
+def match_chain(graph: PropertyGraph, pattern: list) -> DataFrame:
+    """Compile an alternating [NodeSpec, RelSpec, NodeSpec, ...] chain to a
+    DataFrame of all bindings. Columns prefixed ``alias_``.
+
+    Injects Cypher relationship-uniqueness: pairwise ``id !=`` filters over
+    every pair of rel aliases in the pattern.
+    """
+    if not pattern or not isinstance(pattern[0], NodeSpec):
+        raise ValueError("pattern must start with a NodeSpec")
+    first = pattern[0]
+    out = prefix_columns(_node_frame(graph, first), first.alias)
+    prev_node = first
+    rel_aliases: list[str] = []
+    i = 1
+    while i < len(pattern):
+        rel, node = pattern[i], pattern[i + 1]
+        if not isinstance(rel, RelSpec) or not isinstance(node, NodeSpec):
+            raise ValueError("pattern must alternate NodeSpec/RelSpec")
+        r = prefix_columns(_rel_frame(graph, rel), rel.alias)
+        n = prefix_columns(_node_frame(graph, node), node.alias)
+        out = out.join(r, F.col(f"{prev_node.alias}_id") == F.col(f"{rel.alias}_src")).join(
+            n, F.col(f"{rel.alias}_dst") == F.col(f"{node.alias}_id")
+        )
+        rel_aliases.append(rel.alias)
+        prev_node = node
+        i += 2
+    # Cypher uniqueness semantics: no rel bound twice in one MATCH.
+    for j in range(len(rel_aliases)):
+        for k in range(j + 1, len(rel_aliases)):
+            out = out.where(F.col(f"{rel_aliases[j]}_id") != F.col(f"{rel_aliases[k]}_id"))
+    return out
+
+
+def optional_expand(
+    graph: PropertyGraph,
+    left: DataFrame,
+    left_id_col: str,
+    rel: RelSpec,
+    node: NodeSpec,
+) -> DataFrame:
+    """``OPTIONAL MATCH`` — left outer join expand (SURVEY.md §2.B.3).
+
+    ``left`` keeps all its rows; unmatched bindings come back null.
+    """
+    r = prefix_columns(_rel_frame(graph, rel), rel.alias)
+    n = prefix_columns(_node_frame(graph, node), node.alias)
+    hop = r.join(n, F.col(f"{rel.alias}_dst") == F.col(f"{node.alias}_id"))
+    return left.join(hop, F.col(left_id_col) == F.col(f"{rel.alias}_src"), "left")
+
+
+def pattern_predicate(
+    graph: PropertyGraph,
+    left: DataFrame,
+    left_id_col: str,
+    rel: RelSpec,
+    node: NodeSpec,
+    anti: bool = False,
+) -> DataFrame:
+    """``WHERE (a)-[:T]->(:L)`` (semi join) / ``WHERE NOT (...)`` (anti join).
+
+    Compiled straight to left_semi/left_anti — Catalyst's subquery-decorrelated
+    form (SURVEY.md §4.2), no row duplication, no post-dedup needed.
+    """
+    r = _rel_frame(graph, rel)
+    if node.label or node.props:
+        n = _node_frame(graph, node).select(F.col("id").alias("_nid"))
+        r = r.join(n, F.col("dst") == F.col("_nid"), "left_semi")
+    keys = r.select(F.col("src").alias("_src")).distinct()
+    how = "left_anti" if anti else "left_semi"
+    return left.join(keys, F.col(left_id_col) == F.col("_src"), how)
+
+
+def var_length_expand(
+    graph: PropertyGraph,
+    start: DataFrame,
+    start_id_col: str,
+    rel_types: list[str] | None,
+    min_hops: int,
+    max_hops: int,
+    direction: str = "out",
+) -> DataFrame:
+    """Variable-length ``-[:T1|T2*min..max]->`` expansion.
+
+    Returns (start_id, node_id, hops) for every node reachable in
+    ``min..max`` hops, keeping the *minimum* hop count per (start, node)
+    pair (BFS semantics; path-multiplicity collapsed — matches reachability
+    queries; full path enumeration is `paths.enumerate_paths`).
+
+    Iterative joins with per-round distinct to stop frontier blow-up;
+    ``localCheckpoint`` would be used past ~10 rounds to cut lineage (here
+    max_hops is small by contract).
+    """
+    if rel_types:
+        r = None
+        for t in rel_types:
+            s = graph.rels_by_type(t)
+            r = s if r is None else r.unionByName(s)
+    else:
+        r = graph.rels
+    edges = _orient(r, direction).select("src", "dst")
+
+    frontier = start.select(F.col(start_id_col).alias("start_id"), F.col(start_id_col).alias("node_id")).distinct()
+    out = None
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(edges, frontier["node_id"] == edges["src"])
+            .select("start_id", F.col("dst").alias("node_id"))
+            .distinct()
+        )
+        if hop >= min_hops:
+            step = frontier.withColumn("hops", F.lit(hop))
+            out = step if out is None else out.unionByName(step)
+        if hop >= 8:
+            frontier = frontier.localCheckpoint(eager=False)
+    if out is None:
+        raise ValueError("max_hops must be >= min_hops >= 1")
+    return out.groupBy("start_id", "node_id").agg(F.min("hops").alias("hops"))
+
+
+def _orient(r: DataFrame, direction: str) -> DataFrame:
+    if direction == "out":
+        return r
+    if direction == "in":
+        return r.select(F.col("dst").alias("src"), F.col("src").alias("dst"), *[c for c in r.columns if c not in ("src", "dst")])
+    if direction == "both":
+        fwd = r.select("src", "dst")
+        rev = r.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        return fwd.unionByName(rev)
+    raise ValueError(f"bad direction {direction!r}")

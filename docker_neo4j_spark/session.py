@@ -10,9 +10,13 @@ already set them (docker-entrypoint.sh:254-265, add_docker_default_to_conf).
 Scale posture (100 TB target, tested on local[32]):
 - AQE on: runtime coalescing, skew-join splitting, dynamic broadcast.
 - shuffle.partitions default kept modest locally; on a real cluster this is
-  overridden per deployment (the conf layering in config.py mirrors the
-  reference's env->conf precedence).
+  overridden per deployment (the conf layering in
+  docker_neo4j_spark/config.py mirrors the reference's env->conf precedence).
 - Arrow enabled so the pandas_udf paths (embeddings, text ops) batch-transfer.
+
+Note: defaults only apply to a *fresh* session — ``getOrCreate`` ignores
+builder configs when a SparkSession already exists (same caveat as re-running
+the reference entrypoint against a live server).
 """
 
 from __future__ import annotations
@@ -30,6 +34,8 @@ ENGINE_DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # events.parquet ships TIMESTAMP(NANOS); read as long, truncate in-engine
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
