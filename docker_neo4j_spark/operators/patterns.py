@@ -117,13 +117,24 @@ def optional_expand(
     left_id_col: str,
     rel: RelSpec,
     node: NodeSpec,
+    rel_filter: F.Column | None = None,
+    node_filter: F.Column | None = None,
 ) -> DataFrame:
     """``OPTIONAL MATCH`` — left outer join expand (SURVEY.md §2.B.3).
 
     ``left`` keeps all its rows; unmatched bindings come back null.
+    ``rel_filter`` / ``node_filter`` are predicates over the *raw* rel/node
+    columns, applied inside the optional side (Cypher WHERE attached to the
+    OPTIONAL MATCH, not a post-filter).
     """
-    r = prefix_columns(_rel_frame(graph, rel), rel.alias)
-    n = prefix_columns(_node_frame(graph, node), node.alias)
+    r = _rel_frame(graph, rel)
+    if rel_filter is not None:
+        r = r.where(rel_filter)
+    n = _node_frame(graph, node)
+    if node_filter is not None:
+        n = n.where(node_filter)
+    r = prefix_columns(r, rel.alias)
+    n = prefix_columns(n, node.alias)
     hop = r.join(n, F.col(f"{rel.alias}_dst") == F.col(f"{node.alias}_id"))
     return left.join(hop, F.col(left_id_col) == F.col(f"{rel.alias}_src"), "left")
 
@@ -135,6 +146,8 @@ def pattern_predicate(
     rel: RelSpec,
     node: NodeSpec,
     anti: bool = False,
+    rel_filter: F.Column | None = None,
+    node_filter: F.Column | None = None,
 ) -> DataFrame:
     """``WHERE (a)-[:T]->(:L)`` (semi join) / ``WHERE NOT (...)`` (anti join).
 
@@ -142,9 +155,13 @@ def pattern_predicate(
     form (SURVEY.md §4.2), no row duplication, no post-dedup needed.
     """
     r = _rel_frame(graph, rel)
-    if node.label or node.props:
-        n = _node_frame(graph, node).select(F.col("id").alias("_nid"))
-        r = r.join(n, F.col("dst") == F.col("_nid"), "left_semi")
+    if rel_filter is not None:
+        r = r.where(rel_filter)
+    if node.label or node.props or node_filter is not None:
+        n = _node_frame(graph, node)
+        if node_filter is not None:
+            n = n.where(node_filter)
+        r = r.join(n.select(F.col("id").alias("_nid")), F.col("dst") == F.col("_nid"), "left_semi")
     keys = r.select(F.col("src").alias("_src")).distinct()
     how = "left_anti" if anti else "left_semi"
     return left.join(keys, F.col(left_id_col) == F.col("_src"), how)
