@@ -1,0 +1,86 @@
+"""Benchmark harness — the driver's per-round perf gate (BENCH_r{N}.json).
+
+Runs the headline query set at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE
+JSON line::
+
+    {"metric": "headline_total", "value": <sum-sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is materialized through the ``noop`` sink — full computation, no
+driver-side collect, so the timing is executor work, not result transfer
+(SURVEY.md §6: the reference publishes no numbers; this run IS the baseline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    # relational / graph core — one per operator family (catalog names)
+    "agg_q1_pricing_summary",
+    "expand_two_hop",
+    "expand_three_hop",
+    "pattern_semi_join",
+    "optional_match_count",
+    "topk_per_group",
+    "var_length_reach",
+    "unwind_words_topk",
+    # scalar-function surface
+    "fn_string_suite",
+    "fn_temporal_accessors",
+    # gds
+    "gds_pagerank_top20",
+    "gds_wcc_sizes",
+    "gds_shortest_path_hops",
+    # llm-pipeline ops
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_stats",
+    # streaming (batch-equivalent windowed aggregate)
+    "stream_tumbling_window_agg",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as e
+    from docker_neo4j_spark import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(max(int(cpus), 8))},
+    )
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
