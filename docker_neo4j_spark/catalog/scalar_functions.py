@@ -1,1 +1,341 @@
-"""Placeholder — filled in this round."""
+"""Scalar-function surface, oracle-checked per category (SURVEY.md §2.B.7).
+
+Each suite query routes through ``docker_neo4j_spark.functions.cypher`` (the
+engine's Cypher→Spark mapping layer) and carries a DuckDB oracle twin.
+
+Cross-engine exactness notes:
+- transcendentals (exp/log/sin/...) are 1-ulp engine-dependent → exercised in
+  pytest self-consistency tests, not oracle rows; sqrt/abs/round are IEEE-exact;
+- all counts/sizes cast to BIGINT on the SQL side (Spark size() is INT, the
+  canon step compares stringified ints so INT vs BIGINT is fine, but SUMs over
+  lists differ in width — DuckDB list sums go HUGEINT);
+- Cypher substring() is 0-based, SQL substr 1-based — the functions layer owns
+  the shift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import cypher as cy
+from ..sources.tpch import build_graph, load_tables
+from . import register
+
+
+@register(
+    "fn_string_suite",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS u,
+           lower(p_brand) AS lo,
+           substr(p_name, 1, 5) AS sub5,
+           replace(p_name, ' ', '_') AS repl,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+           left(p_type, 3) AS l3,
+           right(p_type, 2) AS r2,
+           reverse(p_brand) AS rev,
+           CAST(length(p_name) AS BIGINT) AS n_chars,
+           p_brand || ':' || p_type AS tag
+    FROM part
+    """,
+)
+def fn_string_suite(spark, sf_dir):
+    """toUpper/toLower/substring/replace/split/left/right/reverse/size/concat."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        cy.toUpper("p_name").alias("u"),
+        cy.toLower("p_brand").alias("lo"),
+        cy.substring("p_name", 0, 5).alias("sub5"),
+        cy.replace("p_name", " ", "_").alias("repl"),
+        cy.size_list(cy.split("p_name", " ")).cast("long").alias("n_tokens"),
+        cy.left("p_type", 3).alias("l3"),
+        cy.right("p_type", 2).alias("r2"),
+        cy.reverse("p_brand").alias("rev"),
+        cy.size("p_name").cast("long").alias("n_chars"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("tag"),
+    )
+
+
+@register(
+    "fn_math_suite",
+    """
+    SELECT o_orderkey,
+           abs(o_totalprice - 100000) AS a,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+           CAST(floor(o_totalprice) AS BIGINT) AS fl,
+           round(o_totalprice, 1) AS r1,
+           CAST(sign(o_totalprice - 30000) AS BIGINT) AS sg,
+           sqrt(o_totalprice) AS sq
+    FROM orders
+    """,
+)
+def fn_math_suite(spark, sf_dir):
+    """abs/ceil/floor/round/sign/sqrt — the IEEE-exact math core."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        cy.abs_(F.col("o_totalprice") - 100000).alias("a"),
+        cy.ceil("o_totalprice").alias("ce"),
+        cy.floor("o_totalprice").alias("fl"),
+        cy.round_("o_totalprice", 1).alias("r1"),
+        cy.sign(F.col("o_totalprice") - 30000).cast("long").alias("sg"),
+        cy.sqrt("o_totalprice").alias("sq"),
+    )
+
+
+@register(
+    "fn_casts_tostring",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+           CAST('3.5' AS DOUBLE) + o_totalprice * 0 AS f,
+           strftime(o_orderdate, '%Y-%m-%d') AS d_str
+    FROM orders
+    """,
+)
+def fn_casts_tostring(spark, sf_dir):
+    """toString/toInteger/toFloat + date formatting."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        cy.toString("o_orderkey").alias("key_str"),
+        cy.toInteger(cy.toString("o_orderkey")).alias("key_back"),
+        (cy.toFloat(F.lit("3.5")) + F.col("o_totalprice") * 0).alias("f"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d_str"),
+    )
+
+
+@register(
+    "fn_list_suite",
+    """
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS head_tok,
+           string_split(text, ' ')[-1] AS last_tok,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(len(string_split(text, ' ')) - 1 AS BIGINT) AS n_tail,
+           CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+           CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS BIGINT) AS n_long
+    FROM documents
+    """,
+)
+def fn_list_suite(spark, sf_dir):
+    """head/last/size/tail/reduce/[x IN l WHERE p] over split tokens."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = cy.split("text", " ")
+    return d.select(
+        "doc_id",
+        cy.head(toks).alias("head_tok"),
+        cy.last(toks).alias("last_tok"),
+        cy.size_list(toks).cast("long").alias("n_tok"),
+        cy.size_list(cy.tail(toks)).cast("long").alias("n_tail"),
+        cy.reduce_(
+            cy.list_comprehension(toks, extract=lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        cy.size_list(cy.list_comprehension(toks, predicate=lambda x: F.length(x) > 4))
+        .cast("long")
+        .alias("n_long"),
+    )
+
+
+@register(
+    "fn_range_reduce",
+    """
+    SELECT p_partkey,
+           CAST(list_aggregate(generate_series(1, p_size), 'sum') AS BIGINT) AS tri,
+           CAST(len(generate_series(1, p_size, 2)) AS BIGINT) AS n_odd
+    FROM part
+    """,
+)
+def fn_range_reduce(spark, sf_dir):
+    """range(a,b[,step]) + reduce — sequence arithmetic."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        cy.reduce_(
+            cy.range_(1, F.col("p_size")), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("tri"),
+        cy.size_list(cy.range_(1, F.col("p_size"), 2)).cast("long").alias("n_odd"),
+    )
+
+
+@register(
+    "fn_map_json_suite",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           array_to_string(json_keys(props), ',') AS keys_csv,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS m_k
+    FROM events
+    """,
+)
+def fn_map_json_suite(spark, sf_dir):
+    """JSON path extract + fromJsonMap + map keys()/m[key] accessors."""
+    ev = load_tables(spark, sf_dir)["events"]
+    m = cy.from_json_map("props")
+    return ev.select(
+        "event_id",
+        cy.json_extract("props", "$.k").cast("long").alias("k_val"),
+        F.concat_ws(",", F.array_sort(cy.keys(m))).alias("keys_csv"),
+        cy.map_get(m, "k").cast("long").alias("m_k"),
+    )
+
+
+@register(
+    "fn_temporal_accessors",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(isodow(o_orderdate) AS INT) AS dow
+    FROM orders
+    """,
+)
+def fn_temporal_accessors(spark, sf_dir):
+    """d.year/d.month/d.day/d.dayOfWeek (ISO: 1=Monday)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        cy.year("o_orderdate").alias("y"),
+        cy.month("o_orderdate").alias("mo"),
+        cy.day("o_orderdate").alias("d"),
+        cy.dayOfWeek("o_orderdate").alias("dow"),
+    )
+
+
+@register(
+    "fn_event_time_accessors",
+    """
+    SELECT event_id,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(minute(ts) AS INT) AS mi,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_str
+    FROM events
+    """,
+)
+def fn_event_time_accessors(spark, sf_dir):
+    """hour/minute + truncate on the nanosecond events timeline."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.select(
+        "event_id",
+        cy.hour("ts").alias("h"),
+        cy.minute("ts").alias("mi"),
+        F.date_format(cy.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_str"),
+    )
+
+
+@register(
+    "fn_temporal_arith",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 3 DAY, '%Y-%m-%d') AS plus3,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+    FROM orders
+    """,
+)
+def fn_temporal_arith(spark, sf_dir):
+    """datetime.truncate / + duration({days}) / duration.between().days."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.date_format(cy.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(cy.plus_days("o_orderdate", 3), "yyyy-MM-dd").alias("plus3"),
+        cy.duration_between_days(F.lit("1995-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_since"
+        ),
+    )
+
+
+@register(
+    "fn_case_coalesce",
+    """
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+                ELSE 'other' END AS status_word,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'WAS_URGENT') AS prio
+    FROM orders
+    """,
+)
+def fn_case_coalesce(spark, sf_dir):
+    """CASE WHEN + coalesce + null plumbing (nullif)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        cy.case_when(
+            [
+                (F.col("o_orderstatus") == "F", F.lit("finished")),
+                (F.col("o_orderstatus") == "O", F.lit("open")),
+            ],
+            otherwise=F.lit("other"),
+        ).alias("status_word"),
+        cy.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("WAS_URGENT")).alias(
+            "prio"
+        ),
+    )
+
+
+@register(
+    "fn_labels_type_id",
+    """
+    SELECT * FROM (
+      SELECT 'IN_REGION' AS type, CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n,
+             CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_ids
+      UNION ALL SELECT 'IN_NATION',
+             CAST((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier) AS BIGINT)
+      UNION ALL SELECT 'PLACED', CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      UNION ALL SELECT 'CONTAINS', CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+      UNION ALL SELECT 'SUPPLIED_BY', CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    ) t
+    """,
+)
+def fn_labels_type_id(spark, sf_dir):
+    """type(r) accessor + id(r) uniqueness — distinct ids must equal rows."""
+    g = build_graph(spark, sf_dir)
+    return g.rels.groupBy(cy.type_().alias("type")).agg(
+        F.count("*").alias("n"), F.countDistinct("id").alias("n_ids")
+    )
+
+
+@register(
+    "fn_properties_map",
+    """
+    SELECT c_custkey,
+           'c_custkey=' || CAST(c_custkey AS VARCHAR)
+             || ';c_mktsegment=' || c_mktsegment
+             || ';c_name=' || c_name AS props_str
+    FROM customer
+    """,
+)
+def fn_properties_map(spark, sf_dir):
+    """properties(n) → map, surfaced as sorted k=v string."""
+    c = load_tables(spark, sf_dir)["customer"]
+    m = cy.properties("c_custkey", "c_mktsegment", "c_name")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.array_sort(F.map_entries(m)),
+                lambda e: F.concat(e.key, F.lit("="), e.value),
+            ),
+        ).alias("props_str"),
+    )
+
+
+@register("fn_approx_count_distinct")  # rows-only: HLL estimates are engine-specific
+def fn_approx_count_distinct(spark, sf_dir):
+    """approx_count_distinct — estimate alongside the exact count."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.agg(
+        cy.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )

@@ -1,0 +1,283 @@
+"""Cypher scalar-function surface → pyspark.sql.functions (SURVEY.md §2.B.7).
+
+Every Cypher built-in the reference's packaged engine exposes maps to a
+JVM-side Spark expression — zero Python UDFs, so the whole surface stays
+inside whole-stage codegen. Names follow Cypher (camelCase) so a planner can
+resolve them 1:1; each returns a ``Column``.
+
+Reference anchor: the scalar surface is the openCypher function library the
+packaged engine serves (the repo itself only invokes ``apoc.version()`` at
+/root/reference/src/test/java/com/neo4j/docker/coredb/configurations/
+TestConfSettings.java:411 and procedure YIELDs); categories enumerated in
+SURVEY.md §2.B.7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+# ---------------------------------------------------------------- string ----
+
+def toUpper(x) -> Column:
+    return F.upper(_c(x))
+
+
+def toLower(x) -> Column:
+    return F.lower(_c(x))
+
+
+def trim(x) -> Column:
+    return F.trim(_c(x))
+
+
+def lTrim(x) -> Column:
+    return F.ltrim(_c(x))
+
+
+def rTrim(x) -> Column:
+    return F.rtrim(_c(x))
+
+
+def substring(x, start, length=None) -> Column:
+    # Cypher substring(s, start[, length]) is 0-based; Spark is 1-based.
+    if length is None:
+        length = 2**31 - 1
+    return F.substring(_c(x), start + 1, length)
+
+
+def replace(x, search: str, repl: str) -> Column:
+    # Cypher replace is literal (not regex) — translate to regexp-quoted form.
+    return F.replace(_c(x), F.lit(search), F.lit(repl))
+
+
+def split(x, delim: str) -> Column:
+    # Cypher split is literal; Spark split takes a regex → quote it.
+    import re
+
+    return F.split(_c(x), re.escape(delim))
+
+
+def left(x, n: int) -> Column:
+    return F.substring(_c(x), 1, n)
+
+
+def right(x, n: int) -> Column:
+    return F.substring(_c(x), -n, n)
+
+
+def reverse(x) -> Column:
+    return F.reverse(_c(x))
+
+
+def size(x) -> Column:
+    """size(string) → character count (use :func:`size_list` for lists)."""
+    return F.length(_c(x))
+
+
+def size_list(x) -> Column:
+    return F.size(_c(x))
+
+
+def toString(x) -> Column:
+    return _c(x).cast("string")
+
+
+# ------------------------------------------------------------------ math ----
+
+def abs_(x) -> Column:
+    return F.abs(_c(x))
+
+
+def ceil(x) -> Column:
+    return F.ceil(_c(x))
+
+
+def floor(x) -> Column:
+    return F.floor(_c(x))
+
+
+def round_(x, scale: int = 0) -> Column:
+    return F.round(_c(x), scale)
+
+
+def sign(x) -> Column:
+    return F.signum(_c(x))
+
+
+def sqrt(x) -> Column:
+    return F.sqrt(_c(x))
+
+
+def exp(x) -> Column:
+    return F.exp(_c(x))
+
+
+def log(x) -> Column:
+    return F.log(_c(x))
+
+
+def log10(x) -> Column:
+    return F.log10(_c(x))
+
+
+def sin(x) -> Column:
+    return F.sin(_c(x))
+
+
+def cos(x) -> Column:
+    return F.cos(_c(x))
+
+
+def atan2(y, x) -> Column:
+    return F.atan2(_c(y), _c(x))
+
+
+def pi() -> Column:
+    return F.lit(3.141592653589793)
+
+
+def toInteger(x) -> Column:
+    return _c(x).cast("long")
+
+
+def toFloat(x) -> Column:
+    return _c(x).cast("double")
+
+
+# ------------------------------------------------------------------ list ----
+
+def range_(start, stop, step: int = 1) -> Column:
+    """Cypher range(a, b[, step]) — inclusive both ends."""
+    return F.sequence(F.lit(start) if isinstance(start, int) else _c(start),
+                      F.lit(stop) if isinstance(stop, int) else _c(stop),
+                      F.lit(step))
+
+
+def head(x) -> Column:
+    return F.element_at(_c(x), 1)
+
+
+def last(x) -> Column:
+    return F.element_at(_c(x), -1)
+
+
+def tail(x) -> Column:
+    c = _c(x)
+    return F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0)))
+
+
+def reduce_(x, zero, merge) -> Column:
+    """Cypher reduce(acc = zero, v IN list | merge) → F.aggregate."""
+    return F.aggregate(_c(x), zero, merge)
+
+
+def list_comprehension(x, predicate=None, extract=None) -> Column:
+    """[v IN list WHERE p | f(v)] → filter + transform."""
+    c = _c(x)
+    if predicate is not None:
+        c = F.filter(c, predicate)
+    if extract is not None:
+        c = F.transform(c, extract)
+    return c
+
+
+# ------------------------------------------------------------------- map ----
+
+def keys(m) -> Column:
+    return F.map_keys(_c(m))
+
+
+def map_get(m, key: str) -> Column:
+    return F.element_at(_c(m), key)
+
+
+# -------------------------------------------------------------- temporal ----
+
+def date_trunc(unit: str, x) -> Column:
+    return F.date_trunc(unit, _c(x))
+
+
+def plus_days(x, n) -> Column:
+    """datetime + duration({days: n})."""
+    return F.timestamp_add("DAY", F.lit(n) if isinstance(n, int) else _c(n), _c(x))
+
+
+def duration_between_days(a, b) -> Column:
+    """duration.inDays(a, b).days."""
+    return F.datediff(_c(b), _c(a)).cast("long")
+
+
+def year(x) -> Column:
+    return F.year(_c(x))
+
+
+def month(x) -> Column:
+    return F.month(_c(x))
+
+
+def day(x) -> Column:
+    return F.dayofmonth(_c(x))
+
+
+def hour(x) -> Column:
+    return F.hour(_c(x))
+
+
+def minute(x) -> Column:
+    return F.minute(_c(x))
+
+
+def dayOfWeek(x) -> Column:
+    """ISO day-of-week 1=Monday..7=Sunday (Cypher date.dayOfWeek)."""
+    return F.weekday(_c(x)) + 1
+
+
+# ------------------------------------------------------------------ JSON ----
+
+def json_extract(x, path: str) -> Column:
+    """apoc.json.path(s, '$.k') → get_json_object."""
+    return F.get_json_object(_c(x), path)
+
+
+def from_json_map(x, value_type: str = "string") -> Column:
+    """apoc.convert.fromJsonMap → from_json to map<string, T>."""
+    return F.from_json(_c(x), f"map<string,{value_type}>")
+
+
+# ------------------------------------------------- null / CASE / identity ----
+
+def coalesce(*cols) -> Column:
+    return F.coalesce(*[_c(c) for c in cols])
+
+
+def case_when(pairs, otherwise=None) -> Column:
+    out = None
+    for cond, val in pairs:
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(otherwise) if otherwise is not None else out
+
+
+def labels(node_labels_col="labels") -> Column:
+    return _c(node_labels_col)
+
+
+def type_(rel_type_col="type") -> Column:
+    return _c(rel_type_col)
+
+
+def properties(*prop_cols: str) -> Column:
+    """properties(n) → map of the node's property columns."""
+    pairs = []
+    for p in prop_cols:
+        pairs += [F.lit(p), F.col(p).cast("string")]
+    return F.create_map(*pairs)
+
+
+def approx_count_distinct(x, rsd: float = 0.05) -> Column:
+    return F.approx_count_distinct(_c(x), rsd)
