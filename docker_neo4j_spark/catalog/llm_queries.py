@@ -1,1 +1,236 @@
-"""Placeholder — filled in this round."""
+"""LLM training-data-pipeline queries over documents/embeddings (brief §LLM).
+
+Oracle-checked where the op is deterministic and SQL-expressible (text
+stats, quality score, language-ID, fingerprints, exact dedup, block-join
+Jaccard, brute-force cosine top-k); rows-only for the approximate/LSH ops
+(MinHash near-dup, SimHash, ANN, mapInPandas features) — those get recall
+and determinism pytest coverage instead.
+
+Float-exactness note: every double expression here is a closed-form
+sequential fold (left-fold dot products, same operation order both
+engines), so even the DOUBLE columns hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..sources.tpch import load_tables
+from . import register
+
+# DuckDB twin of operators.text.tokens
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_PUNCT = """regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')"""
+
+
+@register(
+    "llm_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_unique_tokens,
+           CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS BIGINT) AS sum_token_len,
+           CAST(len({_PUNCT}) AS BIGINT) AS n_punct
+    FROM documents
+    """,
+)
+def llm_text_stats(spark, sf_dir):
+    """Token counting + char/word stats (map-only, codegen)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return tx.text_stats(d)
+
+
+@register(
+    "llm_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter({_TOKS},
+                  x -> list_contains(['the','and','of','to','in','is','that','for','it','with'], x)))
+                  AS DOUBLE) AS n_sw,
+             CAST(len({_PUNCT}) AS DOUBLE) AS n_punct,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_uniq
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           n_sw / greatest(n_tok, 1.0) AS stop_ratio,
+           n_uniq / greatest(n_tok, 1.0) AS diversity,
+           n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+           least(n_tok / 100.0, 1.0) * 0.4
+             + (n_sw / greatest(n_tok, 1.0)) * 0.3
+             + (n_uniq / greatest(n_tok, 1.0)) * 0.2
+             + (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 10, 1.0)) * 0.1 AS quality
+    FROM t
+    """,
+)
+def llm_quality_score(spark, sf_dir):
+    """Pre-training quality filters: length, stopword ratio, diversity."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return tx.quality_score(d)
+
+
+def _sw_sql(words: list[str]) -> str:
+    arr = ",".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({_TOKS}, x -> list_contains([{arr}], x))) AS BIGINT)"
+
+
+@register(
+    "llm_language_id",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_sw_sql(tx.STOPWORDS["en"])} AS sw_en,
+             {_sw_sql(tx.STOPWORDS["de"])} AS sw_de,
+             {_sw_sql(tx.STOPWORDS["es"])} AS sw_es,
+             {_sw_sql(tx.STOPWORDS["fr"])} AS sw_fr,
+             CAST(len(regexp_extract_all(text, '[\\x{{4E00}}-\\x{{9FFF}}]')) AS BIGINT) AS n_cjk
+      FROM documents)
+    SELECT doc_id, sw_en, sw_de, sw_es, sw_fr, n_cjk,
+           CASE WHEN n_cjk > 0 THEN 'zh'
+                WHEN sw_en >= sw_de AND sw_en >= sw_es AND sw_en >= sw_fr THEN 'en'
+                WHEN sw_de >= sw_es AND sw_de >= sw_fr THEN 'de'
+                WHEN sw_es >= sw_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM t
+    """,
+)
+def llm_language_id(spark, sf_dir):
+    """Stopword/CJK-profile language identification."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return tx.language_id(d)
+
+
+@register(
+    "llm_fingerprint",
+    f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(0, list_transform({_TOKS}, t -> length(t) * 131 + ord(t[1]))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT) AS fingerprint,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint + exact MD5 identity."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return tx.fingerprint(d)
+
+
+@register(
+    "llm_exact_dedup",
+    """
+    SELECT md5(text) AS digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def llm_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content digest, keep lowest id."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return dd.exact_dedup(d)
+
+
+@register(
+    "llm_ngram_jaccard_block",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(0, greatest(len({_TOKS}) - 3, 0) + 1),
+               i -> array_to_string(({_TOKS})[i+1:i+3], ' '))) AS sh
+      FROM documents)
+    SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / greatest(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 1.0) AS jaccard
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def llm_ngram_jaccard_block(spark, sf_dir):
+    """n-gram Jaccard over a deterministic (lang, source) block join.
+
+    The block key bounds bucket size, so the pair count stays linear-ish in
+    corpus size — the scalable alternative to an all-pairs cross join.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    blocks = d.select("doc_id", "lang", "source")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["lang", "source"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("key_a"), F.col("b.doc_id").alias("key_b"))
+    )
+    return dd.jaccard_pairs(d, cand)
+
+
+@register(
+    "llm_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0,
+               list_transform(range(1, len(q.embedding) + 1),
+                 i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)),
+               (acc, x) -> acc + x)
+             / greatest(
+                 sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, len(q.embedding) + 1),
+                     i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)),
+                   (acc, x) -> acc + x))
+               * sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, len(c.embedding) + 1),
+                     i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)),
+                   (acc, x) -> acc + x)),
+               1e-12) AS sim
+      FROM q JOIN embeddings c ON q.vec_id != c.vec_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def llm_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 vectors (exact baseline)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return sim.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@register("llm_minhash_neardup")  # rows-only: LSH candidate set is approximate
+def llm_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, Jaccard-verified at 0.5 (banded, bucketed)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return dd.near_dup_dedup(d, threshold=0.5)
+
+
+@register("llm_simhash")  # rows-only: depends on Spark's xxhash64 family
+def llm_simhash(spark, sf_dir):
+    """64-bit SimHash signature per document (map-only)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return dd.simhash(d)
+
+
+@register("llm_ann_topk")  # rows-only: ANN is approximate by design
+def llm_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (the scale path; recall vs brute
+    force is pytest-checked)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return sim.ann_topk(e, e.where(F.col("vec_id") < 10), k=5, dim=64)
+
+
+@register("llm_multimodal_features")  # rows-only: mapInPandas feature extraction
+def llm_multimodal_features(spark, sf_dir):
+    """Binary media column → Arrow-batched feature extraction (stubbed codec)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return mm.extract_features(mm.attach_media(d)).select(
+        "media_id", "format", "n_bytes", F.size("feature").cast("long").alias("feat_dim")
+    )

@@ -1,0 +1,188 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB contract):
+- **Exact** dedup is a hash-groupBy on a digest — one shuffle on a
+  uniformly-distributed key, no skew, map-side partial agg.
+- **Near-dup** is MinHash + banded LSH: shingle → minhash signature →
+  band hashes → *bucket join* (self-join on band hash). Candidate pairs
+  only ever form inside a bucket; there is no all-pairs crossJoin anywhere.
+  Bucket sizes are bounded by the band width / corpus similarity structure,
+  and a ``max_bucket`` guard drops pathological buckets (mirrors the
+  standard "skip giant clusters" production practice).
+- **SimHash** is a map-only 64-bit signature; near-dup candidates come from
+  banding the signature into 4×16-bit chunks (same bucket-join shape).
+- **Verification** (exact Jaccard on shingle sets) runs only on candidate
+  pairs — set-intersection via ``array_intersect`` on already-shuffled rows.
+
+Everything is built-in column expressions over arrays (xxhash64, transform,
+aggregate, explode) — no Python UDFs, full codegen.
+
+Reference anchor: the brief's training-data-pipeline dedup surface; shapes
+follow Broder's MinHash/LSH construction and Charikar's SimHash (public
+algorithms), expressed as Spark DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: keep the lowest key per digest.
+
+    Returns (digest, n_copies, keep_id). One shuffle on md5 — uniform key,
+    no skew at any scale.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(key))
+        .groupBy("digest")
+        .agg(F.count("*").cast("long").alias("n_copies"), F.min(key).alias("keep_id"))
+    )
+
+
+def shingles(text, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) as an array of strings."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed i, min over xxhash64(shingle, i).
+
+    xxhash64 is Spark's JVM-side 64-bit hash; seeding via the second
+    argument gives the independent hash family.
+    """
+    def _one(i: int) -> Column:
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[_one(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: (key_a, key_b, band hits) with key_a < key_b.
+
+    rows→(doc, band_id, band_hash)→groupBy bucket→pairs inside bucket.
+    The only shuffles are the explode-groupBy on (band_id, band_hash) and
+    the final pair dedup — never an all-pairs join.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(key).alias("_k"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_k", "band.band_id", "band.band_hash")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("_k").alias("ks"))
+        .where((F.size("ks") > 1) & (F.size("ks") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode("ks").alias("a"), F.col("ks"))
+        .select("a", F.explode("ks").alias("b"))
+        .where(F.col("a") < F.col("b"))
+    )
+    return pairs.groupBy(F.col("a").alias("key_a"), F.col("b").alias("key_b")).agg(
+        F.count("*").cast("long").alias("band_hits")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify stage).
+
+    Joins the (small) candidate set against per-doc shingle arrays twice —
+    at scale, candidates ≪ corpus so both joins broadcast the candidate side.
+    """
+    sh = df.select(F.col(key).alias("_k"), shingles(text_col, shingle_n).alias("_sh"))
+    out = (
+        candidates.join(sh.withColumnRenamed("_k", "key_a").withColumnRenamed("_sh", "_sha"), "key_a")
+        .join(sh.withColumnRenamed("_k", "key_b").withColumnRenamed("_sh", "_shb"), "key_b")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return out.select(
+        "key_a",
+        "key_b",
+        (inter / F.greatest(union, F.lit(1.0))).alias("jaccard"),
+    )
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify → keep set.
+
+    Returns (key_a, key_b, jaccard) for verified near-duplicate pairs.
+    """
+    cand = minhash_lsh_candidates(df, text_col, key, num_hashes, bands)
+    return jaccard_pairs(df, cand, text_col, key).where(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Charikar 64-bit SimHash over token hashes, map-only.
+
+    Bit i of the signature is the majority vote of bit i across token
+    hashes: set iff 2·|{tokens with bit i set}| > |tokens| (ties → 0,
+    matching sign(Σ±1) ≤ 0). Token multiplicity weights the vote. 64
+    static-index array filters — no explode, no shuffle, full codegen.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+
+    def _bit(i: int) -> Column:
+        cnt = F.size(
+            F.filter(t, lambda x: F.shiftright(F.xxhash64(x), i).bitwiseAND(F.lit(1)) == F.lit(1))
+        )
+        return F.when(cnt * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    sig = _bit(0)
+    for i in range(1, 64):
+        sig = sig.bitwiseOR(_bit(i))
+    return df.select(key, sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the training-data-pipeline brief:
+
+- **Brute-force cosine top-k** — the exact baseline. Query set × corpus
+  join with a JVM-side dot product (``zip_with`` + ``aggregate``), then a
+  per-query window top-k. At scale the *query side* is the small side:
+  broadcast it, stream the corpus partition-parallel, and the only shuffle
+  is the final top-k (bounded at k rows per query by a partial
+  ``min_by``-style pre-aggregation inside each partition via the window).
+- **LSH-bucketed ANN** — random-hyperplane (sign-bit) bucketing. Each
+  vector maps to a ``2^n_planes``-way bucket id (map-only); queries probe
+  their own bucket (plus optional Hamming-1 neighbors), so the join is an
+  equi-join on bucket id — never all-pairs. Recall is tested against the
+  brute-force baseline in pytest.
+
+Hyperplanes are generated deterministically from a seed via xxhash64 —
+no RNG state, reproducible across runs/engines.
+
+No Python UDFs anywhere; the dot product stays in codegen. An
+Arrow-batched ``pandas_udf`` embedding *encoder* stub lives in
+``multimodal.py`` (the real model is out-of-container by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank).
+
+    ``queries`` is broadcast (the small side); ties break on neighbor id so
+    the result is total-ordered and oracle-comparable.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> Column:
+    """Deterministic pseudo-random hyperplane: component j is a signed
+    value derived from xxhash64(seed, plane, j) — uniform in [-1, 1)."""
+    return F.array(
+        *[
+            (
+                (F.xxhash64(F.lit(seed), F.lit(plane), F.lit(j)) % 10_000_000).cast("double")
+                / 10_000_000.0
+            )
+            for j in range(dim)
+        ]
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed to a long."""
+    bits = [
+        F.when(dot(vec, _hyperplane(dim, p, seed)) >= 0, F.shiftleft(F.lit(1).cast("long"), p))
+        .otherwise(F.lit(0).cast("long"))
+        for p in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via multi-table LSH bucket equi-join (the 100 TB path).
+
+    ``n_tables`` independent hyperplane sets; each vector lands in one
+    bucket per table (corpus side = map-only ``n_tables``-way explode),
+    each query probes its own bucket plus all Hamming-1 neighbors per
+    table. Candidates are the union across tables — the standard
+    recall-vs-cost dial. The join shuffles on bucket id only; there is no
+    all-pairs path anywhere.
+    """
+
+    def bucket(vec: Column, table: int) -> Column:
+        # Global bucket id = table << n_planes | sign-bit code.
+        b = lsh_bucket(vec, dim, n_planes, seed + 7919 * table)
+        return b + F.lit(table << n_planes).cast("long")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.explode(
+            F.array(*[bucket(F.col(vec_col), t) for t in range(n_tables)])
+        ).alias("bucket"),
+    )
+    probes = []
+    for t in range(n_tables):
+        b = bucket(F.col(vec_col), t)
+        probes.append(b)
+        probes += [b.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+All pure JVM-side column expressions (no Python UDFs): tokenization,
+token/char stats, quality scoring, n-gram language-ID heuristic, and a
+polynomial rolling-hash document fingerprint. Each is deterministic and
+has an exact DuckDB-SQL twin in ``catalog/llm_queries.py``, so the whole
+layer is oracle-checkable.
+
+At 100 TB these are embarrassingly parallel map-only transforms — no
+shuffle, full whole-stage codegen, pushdown-friendly (only ``text`` and
+the key column are read).
+
+Reference anchor: the packaged engine's text functions (split, toLower,
+size — SURVEY.md §2.B.7) plus the brief's training-data-pipeline ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word tokens: runs of letters/digits (ASCII-lowered upstream). Mirrors a
+# BPE-ish pre-tokenizer split; punctuation surfaces separately.
+TOKEN_RE = "[a-z0-9]+"
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Deliberately small and overlapping-free enough to separate the
+# corpus languages (en/de/es/fr + CJK detection for zh).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "it", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "es": ["el", "los", "las", "que", "y", "en", "un", "una", "es", "por"],
+    "fr": ["le", "les", "des", "et", "est", "dans", "une", "du", "au", "pas"],
+}
+
+
+def tokens(text) -> Column:
+    """Lowercased word tokens via regexp extraction (JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Token/char counts, word-length and punctuation stats per document.
+
+    Map-only; at scale reads exactly two columns off parquet.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("long")
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PUNCT_RE), 0)).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    return df.select(
+        key,
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_unique_tokens"),
+        sum_len.alias("sum_token_len"),
+        n_punct.alias("n_punct"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Heuristic quality score: length, punctuation density, stopword ratio,
+    lexical diversity — the standard pre-training filters, all JVM-side.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_sw = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double")
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PUNCT_RE), 0)).cast("double")
+    diversity = F.size(F.array_distinct(t)).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    stop_ratio = n_sw / F.greatest(n_tok, F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    # Deterministic linear score — same closed form on the oracle side.
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + diversity * 0.2
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.1
+    )
+    return df.select(
+        key,
+        n_tok.cast("long").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        diversity.alias("diversity"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Stopword/CJK-profile language identification (en/de/es/fr/zh).
+
+    CJK codepoints → zh; otherwise argmax of per-language stopword hits with
+    a fixed tie-break order (en > de > es > fr). Deterministic, map-only.
+    """
+    t = tokens(text_col)
+
+    def _hits(words: list[str]) -> Column:
+        arr = F.array([F.lit(w) for w in words])
+        return F.size(F.filter(t, lambda x: F.array_contains(arr, x))).cast("long")
+
+    hits = {lang: _hits(words) for lang, words in STOPWORDS.items()}
+    cjk = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[一-鿿]"), 0)).cast("long")
+    best = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), F.lit("de"))
+        .when(hits["es"] >= hits["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        key,
+        hits["en"].alias("sw_en"),
+        hits["de"].alias("sw_de"),
+        hits["es"].alias("sw_es"),
+        hits["fr"].alias("sw_fr"),
+        cjk.alias("n_cjk"),
+        best.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Polynomial rolling-hash fingerprint over tokens.
+
+    fp = Σ-fold of ``acc*31 + (len(tok)*131 + ascii(first char))  (mod 2^31-1)``
+    — deterministic, engine-portable (the mod keeps every intermediate in
+    exact integer range for both Spark and DuckDB), and order-sensitive the
+    way a rolling content hash must be. ``content_md5`` is the exact-identity
+    companion (both engines ship bit-identical MD5).
+    """
+    t = tokens(text_col)
+    m = 2**31 - 1
+    fp = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.length(x).cast("long") * 131 + F.ascii(x)) % m,
+    )
+    return df.select(
+        key,
+        fp.alias("fingerprint"),
+        F.md5(F.col(text_col)).alias("content_md5"),
+    )

@@ -1,0 +1,142 @@
+"""Property tests for the approximate LLM-pipeline ops (the surfaces the
+DuckDB oracle cannot grade): LSH recall vs brute force, SimHash locality,
+language-ID accuracy against the corpus's own lang labels, multimodal
+feature determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_neo4j_spark.operators import dedup as dd
+from docker_neo4j_spark.operators import multimodal as mm
+from docker_neo4j_spark.operators import similarity as sim
+from docker_neo4j_spark.operators import text as tx
+from docker_neo4j_spark.sources.tpch import load_tables
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_tables(spark, sf_dir)["documents"].cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_tables(spark, sf_dir)["embeddings"].cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    # Plant exact copies: every digest group must collapse to one keeper.
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = dd.exact_dedup(doubled).cache()
+    assert out.count() == docs.count()
+    assert out.agg(F.min("n_copies")).first()[0] == 2
+    # keeper is always the original (lower) id
+    assert out.where(F.col("keep_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_lsh_recall_vs_brute_force(spark, docs):
+    """LSH candidates must recover ≥90% of true Jaccard≥0.8 pairs."""
+    # Plant near-duplicates: copy docs with the first token dropped.
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 2, 100000)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(mutated)
+
+    # truth: all-pairs Jaccard on this small corpus (test-only crossJoin)
+    sh = corpus.select(F.col("doc_id").alias("_k"), dd.shingles("text").alias("_sh"))
+    a = sh.select(F.col("_k").alias("key_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_k").alias("key_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    truth = (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", (inter / F.greatest(union, F.lit(1.0))).alias("j"))
+        .where(F.col("j") >= 0.8)
+    )
+    n_truth = truth.count()
+    assert n_truth >= docs.count() * 0.9  # the planted pairs are near-dups
+
+    cand = dd.minhash_lsh_candidates(corpus, num_hashes=32, bands=16)
+    hit = truth.join(cand, ["key_a", "key_b"], "left_semi").count()
+    assert hit / n_truth >= 0.9
+
+
+def test_simhash_locality(spark, docs):
+    """Planted near-dups sit within small Hamming distance; the signature
+    is deterministic across runs."""
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.select(
+        F.col("doc_id").alias("m_id"),
+        F.concat_ws(" ", F.slice(toks, 2, 100000)).alias("text"),
+    )
+    sig_o = dd.simhash(docs).withColumnRenamed("simhash", "s1")
+    sig_m = dd.simhash(mutated, key="m_id").withColumnRenamed("simhash", "s2")
+    joined = sig_o.join(sig_m, F.col("doc_id") == F.col("m_id")).select(
+        dd.hamming64(F.col("s1"), F.col("s2")).alias("d")
+    )
+    med = joined.agg(F.percentile_approx("d", 0.5)).first()[0]
+    assert med <= 8
+    # determinism
+    again = dd.simhash(docs).withColumnRenamed("simhash", "s3")
+    diff = sig_o.join(again, "doc_id").where(F.col("s1") != F.col("s3")).count()
+    assert diff == 0
+
+
+def test_language_id_accuracy(spark):
+    """Heuristic language-ID classifies real multilingual sentences.
+
+    (The synthetic corpus's ``lang`` column is a random label over
+    English-token word salad, so it carries no signal to recover — the
+    heuristic is exercised on genuine text here and oracle-checked for
+    determinism over the corpus in ``llm_language_id``.)"""
+    samples = [
+        (1, "the cat is on the roof and it is happy with that", "en"),
+        (2, "der Hund ist nicht mit der Katze und das ist gut", "de"),
+        (3, "el perro es un animal que vive en la casa por siempre", "es"),
+        (4, "le chien est dans les bois et une riviere au nord pas loin", "fr"),
+        (5, "这是一个中文句子 spark 也可以处理", "zh"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples], ["doc_id", "text"])
+    pred = {r["doc_id"]: r["lang_pred"] for r in tx.language_id(df).collect()}
+    for i, _, want in samples:
+        assert pred[i] == want, f"doc {i}: {pred[i]} != {want}"
+
+
+def test_ann_recall_vs_brute_force(spark, emb):
+    """LSH-bucketed ANN top-5 recovers ≥60% of the exact top-5."""
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = sim.ann_topk(emb, queries, k=5, dim=64).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    assert n_exact == 20 * 5
+    assert hit / n_exact >= 0.6
+
+
+def test_multimodal_feature_contract(spark, docs):
+    media = mm.attach_media(docs)
+    feats = mm.extract_features(media, dim=8).cache()
+    assert feats.count() == docs.count()
+    row = feats.where(F.size("feature") != 8).count()
+    assert row == 0
+    # L1-normalized histogram: components sum to ~1
+    s = feats.select(
+        F.aggregate("feature", F.lit(0.0), lambda a, x: a + x).alias("s")
+    ).agg(F.min("s"), F.max("s")).first()
+    assert abs(s[0] - 1.0) < 1e-5 and abs(s[1] - 1.0) < 1e-5
+    # decode stub is explicit, not silent
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+
+
+def test_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(df).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]
