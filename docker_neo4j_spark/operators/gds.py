@@ -1,0 +1,275 @@
+"""Graph algorithms (the reference surface's gds.* — SURVEY.md §2.B.10).
+
+BSP-on-DataFrames design: every iterative algorithm is a driver-side loop
+over a small state DataFrame (id → value) with ``localCheckpoint(eager)``
+each round to truncate lineage (without it, plan depth grows linearly and
+the optimizer re-walks the whole history every iteration). Convergence
+checks are aggregated scalars (``isEmpty``/``count``) — never a collect of
+data rows.
+
+Scale notes (100 TB):
+- state frames are (id, value) — tiny next to the edge set; the edge frame
+  is re-joined each round and Catalyst/AQE picks the join strategy, with
+  the state side broadcast while it fits;
+- each BSP round is one shuffle on the node id (groupBy min/sum) — the
+  textbook Pregel cost model;
+- triangle counting / node similarity are bounded block joins (co-group by
+  shared neighbor), never all-pairs.
+
+Algorithms are the public textbook constructions (Pregel/BSP BFS,
+Bellman-Ford SSSP, min-label WCC, power-iteration PageRank, LPA,
+neighbor-set Jaccard similarity) expressed as DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage (the BSP superstep barrier)."""
+    return df.localCheckpoint(eager=True)
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """(src,dst) ∪ (dst,src) — view a directed edge set as undirected."""
+    e = edges.select("src", "dst")
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 20,
+    undirected: bool = False,
+) -> DataFrame:
+    """Unweighted BFS distances: (id, dist) for every reachable node.
+
+    Frontier-style BSP: each superstep expands the frontier one hop and
+    anti-joins out already-visited nodes, so a node is emitted exactly at
+    its minimum depth.
+
+    ``sources``: DataFrame with an ``id`` column (dist 0 seeds).
+    """
+    e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
+    dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
+    frontier = dist.select("id")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+        )
+        nxt = _ckpt(nxt)
+        if nxt.isEmpty():
+            break
+        dist = _ckpt(
+            dist.unionByName(nxt.select("id", F.lit(depth).cast("long").alias("dist")))
+        )
+        frontier = nxt
+    return dist
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford BSP): (id, dist).
+
+    ``edges``: (src, dst, <weight_col>); negative weights allowed, negative
+    cycles bounded by ``max_iter``. Integer weights stay exact end-to-end.
+    """
+    e = edges.select("src", "dst", F.col(weight_col).alias("_w")).cache()
+    dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
+    for _ in range(max_iter):
+        relaxed = (
+            dist.join(e, dist["id"] == e["src"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new_dist = _ckpt(new_dist)
+        # converged when no node improved
+        improved = new_dist.join(
+            dist.withColumnRenamed("dist", "_old"), "id", "left"
+        ).where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+        if improved.isEmpty():
+            return new_dist
+        dist = new_dist
+    return dist
+
+
+def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Weakly-connected components: (id, comp) with comp = min node id in
+    the component (deterministic canonical labeling).
+
+    Min-label propagation over the undirected edge set; each superstep is
+    one groupBy-min shuffle. Converges in O(diameter) rounds.
+    """
+    e = undirect(edges).distinct().cache()
+    comp = _ckpt(nodes.select("id", F.col("id").alias("comp")))
+    for _ in range(max_iter):
+        prop = (
+            comp.join(e, comp["id"] == e["src"])
+            .select(F.col("dst").alias("id"), "comp")
+        )
+        new_comp = (
+            comp.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        new_comp = _ckpt(new_comp)
+        changed = new_comp.join(
+            comp.withColumnRenamed("comp", "_old"), "id"
+        ).where(F.col("comp") != F.col("_old"))
+        if changed.isEmpty():
+            return new_comp
+        comp = new_comp
+    return comp
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 15,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank with dangling-mass redistribution: (id, pr).
+
+    Fixed iteration count (the reference's gds.pageRank default shape);
+    Σpr = N is preserved each round. Per round: one join + one groupBy-sum
+    shuffle + one scalar aggregate for the dangling mass.
+    """
+    e = edges.select("src", "dst").cache()
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did").cache()
+    n = nodes.select("id").cache()
+    n_total = n.count()
+    pr = _ckpt(n.select("id", F.lit(1.0).alias("pr")))
+    for _ in range(iterations):
+        with_deg = pr.join(deg, pr["id"] == deg["_did"], "left").drop("_did")
+        dangling = with_deg.where(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0))
+        ).first()[0]
+        contribs = (
+            with_deg.where(F.col("_deg").isNotNull())
+            .join(e, with_deg["id"] == e["src"])
+            .select(F.col("dst").alias("id"), (F.col("pr") / F.col("_deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) + damping * dangling / n_total
+        pr = _ckpt(
+            n.join(contribs, "id", "left").select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
+            )
+        )
+    return pr
+
+
+def label_propagation(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Community detection by label propagation: (id, community).
+
+    Synchronous LPA, labels start as node ids; each round every node takes
+    the most frequent neighbor label (ties → smallest label, deterministic).
+    Capped iterations — LPA has no convergence guarantee on bipartite
+    structures (documented reference behavior as well).
+    """
+    e = undirect(edges).cache()
+    lab = _ckpt(nodes.select("id", F.col("id").alias("community")))
+    for _ in range(max_iter):
+        votes = (
+            lab.join(e, lab["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"), "community")
+            .agg(F.count("*").alias("_n"))
+        )
+        # max over (n, -community): most frequent label, ties → smallest label
+        best = votes.groupBy("id").agg(
+            F.max_by(
+                "community",
+                F.struct(F.col("_n").alias("n"), (-F.col("community")).alias("t")),
+            ).alias("_cand")
+        )
+        new_lab = lab.join(best, "id", "left").select(
+            "id", F.coalesce(F.col("_cand"), F.col("community")).alias("community")
+        )
+        new_lab = _ckpt(new_lab)
+        changed = new_lab.join(
+            lab.withColumnRenamed("community", "_old"), "id"
+        ).where(F.col("community") != F.col("_old"))
+        if changed.isEmpty():
+            return new_lab
+        lab = new_lab
+    return lab
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected simple graph.
+
+    ``edges`` is canonicalized to a < b; triangles found by the standard
+    two-join wedge closure (a<b<c), each triangle counted exactly once.
+    The joins are equi-joins on node ids — degree-bounded, not all-pairs.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    return tri.agg(F.count("*").cast("long").alias("triangles"))
+
+
+def node_similarity(
+    edges: DataFrame,
+    top_k: int | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """gds.nodeSimilarity: Jaccard over *out*-neighbor sets.
+
+    Candidate pairs come only from co-grouping on shared neighbors (the
+    bucket-join shape — cost is Σ_neighbor deg², never |V|²). Returns
+    (node_a, node_b, jaccard) with node_a < node_b.
+    """
+    ne = edges.select("src", "dst").distinct().cache()
+    sizes = ne.groupBy("src").agg(F.count("*").alias("_sz"))
+    a = ne.select(F.col("src").alias("node_a"), F.col("dst").alias("_n"))
+    b = ne.select(F.col("src").alias("node_b"), F.col("dst").alias("_n"))
+    inter = (
+        a.join(b, "_n")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").cast("double").alias("_i"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("src", "node_a").withColumnRenamed("_sz", "_sa"), "node_a")
+        .join(sizes.withColumnRenamed("src", "node_b").withColumnRenamed("_sz", "_sb"), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            (F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+    if top_k is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("node_a").orderBy(F.desc("jaccard"), F.asc("node_b"))
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= top_k)
+            .drop("_rk")
+        )
+    return out

@@ -44,6 +44,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.map(lambda v: None if v is None else str(v))
         elif str(s.dtype).startswith("datetime"):
             df[c] = s.astype("datetime64[us]").map(lambda v: None if pd.isna(v) else v.isoformat())
+    if len(df) == 0:
+        return df.reset_index(drop=True)
     key = df.astype(str).agg("|".join, axis=1)
     return df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
 

@@ -1,0 +1,95 @@
+"""GDS algorithms on hand-built graphs with known answers — covers the
+iterative/float surfaces the DuckDB oracle can't grade (PageRank, LPA)
+plus closed-form sanity for the BSP kernel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_neo4j_spark.operators import gds
+
+
+def _edges(spark, pairs, weights=None):
+    if weights is None:
+        return spark.createDataFrame(pairs, ["src", "dst"])
+    return spark.createDataFrame(
+        [(s, d, w) for (s, d), w in zip(pairs, weights)], ["src", "dst", "weight"]
+    )
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], ["id"])
+
+
+def test_bfs_path_graph(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    seed = _nodes(spark, [1])
+    out = {r["id"]: r["dist"] for r in gds.bfs(e, seed).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_undirected_and_min_depth(spark):
+    # diamond: 1→2→4, 1→3→4 — dist(4) must be 2, not 3
+    e = _edges(spark, [(1, 2), (2, 4), (1, 3), (3, 4), (4, 5)])
+    out = {r["id"]: r["dist"] for r in gds.bfs(e, _nodes(spark, [1])).collect()}
+    assert out[4] == 2 and out[5] == 3
+    # undirected: seed at the sink reaches everything
+    back = {r["id"]: r["dist"] for r in gds.bfs(e, _nodes(spark, [5]), undirected=True).collect()}
+    assert back[1] == 3
+
+
+def test_sssp_prefers_light_path(spark):
+    # 1→3 direct weight 10; 1→2→3 weight 2+3=5
+    e = _edges(spark, [(1, 3), (1, 2), (2, 3)], weights=[10, 2, 3])
+    out = {r["id"]: r["dist"] for r in gds.sssp(e, _nodes(spark, [1])).collect()}
+    assert out == {1: 0, 2: 2, 3: 5}
+
+
+def test_wcc_two_components(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    n = _nodes(spark, [1, 2, 3, 10, 11, 99])
+    out = {r["id"]: r["comp"] for r in gds.wcc(e, n).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_pagerank_cycle_uniform_and_mass(spark):
+    # 3-cycle: perfectly symmetric → pr = 1.0 each; total mass preserved
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    n = _nodes(spark, [1, 2, 3])
+    out = {r["id"]: r["pr"] for r in gds.pagerank(e, n, iterations=20).collect()}
+    for v in out.values():
+        assert abs(v - 1.0) < 1e-9
+    # star: center accumulates, leaves equal; dangling center redistributes
+    e2 = _edges(spark, [(1, 9), (2, 9), (3, 9)])
+    n2 = _nodes(spark, [1, 2, 3, 9])
+    pr2 = {r["id"]: r["pr"] for r in gds.pagerank(e2, n2, iterations=30).collect()}
+    assert pr2[9] > pr2[1]
+    assert abs(pr2[1] - pr2[2]) < 1e-12 and abs(pr2[2] - pr2[3]) < 1e-12
+    assert abs(sum(pr2.values()) - 4.0) < 1e-6
+
+
+def test_triangle_count_known(spark):
+    # two triangles sharing edge (2,3): {1,2,3} and {2,3,4}, plus a tail
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 5)])
+    assert gds.triangle_count(e).first()["triangles"] == 2
+    # direction/duplicate insensitivity
+    e2 = _edges(spark, [(2, 1), (3, 2), (1, 3), (1, 2), (1, 2)])
+    assert gds.triangle_count(e2).first()["triangles"] == 1
+
+
+def test_label_propagation_two_cliques(spark):
+    clique1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    clique2 = [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a < b]
+    e = _edges(spark, clique1 + clique2 + [(3, 7)])
+    n = _nodes(spark, [1, 2, 3, 7, 8, 9])
+    out = {r["id"]: r["community"] for r in gds.label_propagation(e, n, max_iter=10).collect()}
+    assert len({out[1], out[2], out[3]}) == 1
+    assert len({out[7], out[8], out[9]}) == 1
+
+
+def test_node_similarity_known(spark):
+    # a and b share 1 of 3 total neighbors; a and c share nothing
+    e = _edges(spark, [(1, 100), (1, 101), (2, 101), (2, 102), (3, 200)])
+    out = {(r["node_a"], r["node_b"]): r["jaccard"] for r in gds.node_similarity(e).collect()}
+    assert out == {(1, 2): pytest.approx(1 / 3)}
