@@ -1,1 +1,106 @@
-"""Placeholder — filled in this round."""
+"""Write-path / storage / admin queries for the driver contract.
+
+Write-path rows exercise CREATE → MATCH → read-your-writes, the dump/load
+parquet snapshot lifecycle (TestDumpLoad.java:90-133 semantics), and
+LOAD CSV (/import contract, docker-entrypoint.sh:502-505) end-to-end
+inside a single driver-checkable query. Oracles are plain SQL over the
+same inputs (VALUES literals for the in-memory golden graph; the source
+tables for roundtrip counts).
+
+Procedure/config queries (CALL…YIELD, dbms.listConfig, SHOW PROCEDURES)
+are registered by the procedures layer below in this module.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_tables
+from . import register
+
+
+@register(
+    "write_create_match_return",
+    """
+    SELECT name FROM (VALUES ('Arne'), ('Armstrong')) AS t(name) ORDER BY name
+    """,
+)
+def write_create_match_return(spark, sf_dir):
+    """The reference smoke flow (DatabaseIO.java:42-86) as a query:
+    CREATE dogs + SNIFFS rels, MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name."""
+    from ..storage.store import GraphStore
+
+    store = GraphStore(spark)
+    arne, bosse = store.create_nodes("dog", [{"name": "Arne"}, {"name": "Bosse"}])
+    (armstrong,) = store.create_nodes("dog", [{"name": "Armstrong"}])
+    store.create_rels("SNIFFS", [(arne, bosse), (armstrong, arne)])
+    return (
+        store.expand("dog", "SNIFFS", "dog")
+        .select(F.col("a_name").alias("name"))
+        .orderBy("name")
+    )
+
+
+@register(
+    "write_dump_load_counts",
+    """
+    SELECT 'Nation' AS label, CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n
+    UNION ALL
+    SELECT 'Region', CAST((SELECT COUNT(*) FROM region) AS BIGINT)
+    """,
+)
+def write_dump_load_counts(spark, sf_dir):
+    """dump → load roundtrip (parquet snapshot): the reloaded store must
+    count exactly what was dumped."""
+    from ..graph import PropertyGraph
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    g = build_graph(spark, sf_dir)
+    small = PropertyGraph(
+        nodes=g.label_frames["Nation"].unionByName(g.label_frames["Region"]),
+        rels=g.type_frames["IN_REGION"],
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        GraphStore(spark, small).dump(f"{tmp}/snap")
+        again = GraphStore.load(spark, f"{tmp}/snap")
+        out = (
+            again.graph.nodes.select(F.explode("labels").alias("label"))
+            .groupBy("label")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        out = out.localCheckpoint(eager=True)  # materialize before tmp vanishes
+    return out
+
+
+@register(
+    "load_csv_nation_agg",
+    """
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def load_csv_nation_agg(spark, sf_dir):
+    """LOAD CSV end-to-end: export nation to CSV, re-ingest with the CSV
+    source (header + schema inference), aggregate — proving the /import
+    path yields the same data as the parquet original."""
+    from ..storage.store import load_csv
+
+    nation = load_tables(spark, sf_dir)["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        nation.coalesce(1).write.mode("overwrite").option("header", True).csv(f"{tmp}/nation")
+        out = (
+            load_csv(spark, f"{tmp}/nation")
+            .groupBy("n_regionkey")
+            .agg(
+                F.count("*").cast("long").alias("n_nations"),
+                F.min("n_name").alias("first_name"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    return out

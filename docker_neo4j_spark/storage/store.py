@@ -1,0 +1,209 @@
+"""Mutable graph store: the write path + snapshot lifecycle.
+
+Reference anchors:
+- CREATE / MATCH-CREATE / read-your-writes smoke flow:
+  /root/reference/src/test/java/com/neo4j/docker/utils/DatabaseIO.java:42-86
+  (``CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog ...)`` then
+  MATCH returns ["Arne"], then Armstrong, then sorted "Armstrong,Arne").
+- dump/load snapshot roundtrip:
+  /root/reference/src/test/java/com/neo4j/docker/neo4jadmin/TestDumpLoad.java:90-133
+  (``neo4j-admin database dump`` → file → ``load`` → same data).
+- LOAD CSV via the ``/import`` mount:
+  /root/reference/docker-image-src/calver/coredb/docker-entrypoint.sh:502-505.
+
+Spark realization: the store holds *immutable* nodes/rels DataFrames and
+every write swaps in a new frame (union / anti-join / conditional
+update). Read-your-writes falls out of the swap; there is no in-place
+mutation anywhere, so concurrent readers of an old frame stay consistent
+(snapshot isolation, the same model the reference's store gives a single
+transaction).
+
+Scale notes: writes are unions of small createDataFrame batches onto the
+big frame — at 100 TB you'd checkpoint the union chain periodically
+(``compact()``) and dump/load is a plain parquet write/read, which is
+exactly how a snapshot should move at that size (no driver collect).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph import NODE_FIXED_COLS, REL_FIXED_COLS, PropertyGraph
+
+# User-created entities get ids from a dedicated space far above the
+# loader's LABEL_BASE/REL_BASE ranges.
+WRITE_NODE_BASE = 900_000_000_000_000
+WRITE_REL_BASE = 910_000_000_000_000
+
+
+class GraphStore:
+    """A mutable property graph with CREATE / MERGE / SET / DELETE /
+    dump / load, backed by immutable DataFrame snapshots."""
+
+    def __init__(self, spark: SparkSession, graph: PropertyGraph | None = None):
+        self.spark = spark
+        if graph is None:
+            empty_nodes = spark.createDataFrame([], "id long, labels array<string>")
+            empty_rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+            graph = PropertyGraph(nodes=empty_nodes, rels=empty_rels)
+        self.graph = graph
+        self._node_ids = itertools.count(WRITE_NODE_BASE)
+        self._rel_ids = itertools.count(WRITE_REL_BASE)
+
+    # ---- helpers -------------------------------------------------------
+    def _union_missing(self, base: DataFrame, extra: DataFrame) -> DataFrame:
+        """Schema-evolving union: new property columns null-pad old rows."""
+        return base.unionByName(extra, allowMissingColumns=True)
+
+    def _swap(self, nodes: DataFrame | None = None, rels: DataFrame | None = None) -> None:
+        self.graph = PropertyGraph(
+            nodes=self.graph.nodes if nodes is None else nodes,
+            rels=self.graph.rels if rels is None else rels,
+        )
+
+    # ---- CREATE (SURVEY.md §2.B.13) -----------------------------------
+    def create_nodes(self, label: str, rows: list[dict]) -> list[int]:
+        """``CREATE (n:Label {props})`` for a batch; returns the new ids."""
+        ids = [next(self._node_ids) for _ in rows]
+        prop_cols = sorted({k for r in rows for k in r})
+        data = [
+            {"id": i, "labels": [label], **{c: r.get(c) for c in prop_cols}}
+            for i, r in zip(ids, rows)
+        ]
+        new = self.spark.createDataFrame(data)
+        cols = ["id", "labels", *prop_cols]
+        self._swap(nodes=self._union_missing(self.graph.nodes, new.select(cols)))
+        return ids
+
+    def create_rels(self, rel_type: str, pairs: list[tuple[int, int]], props: list[dict] | None = None) -> list[int]:
+        """``CREATE (a)-[:TYPE {props}]->(b)`` for known endpoint ids."""
+        props = props or [{} for _ in pairs]
+        ids = [next(self._rel_ids) for _ in pairs]
+        prop_cols = sorted({k for p in props for k in p})
+        data = [
+            {"id": i, "src": s, "dst": d, "type": rel_type, **{c: p.get(c) for c in prop_cols}}
+            for i, (s, d), p in zip(ids, pairs, props)
+        ]
+        new = self.spark.createDataFrame(data)
+        cols = ["id", "src", "dst", "type", *prop_cols]
+        self._swap(rels=self._union_missing(self.graph.rels, new.select(cols)))
+        return ids
+
+    # ---- MATCH on the live store --------------------------------------
+    def match_nodes(self, label: str | None = None, **props) -> DataFrame:
+        df = self.graph.nodes
+        if label is not None:
+            df = df.where(F.array_contains(F.col("labels"), label))
+        for k, v in props.items():
+            # a property column that no write has introduced matches nothing
+            df = df.where(F.col(k) == v) if k in df.columns else df.where(F.lit(False))
+        return df
+
+    def expand(self, src_label: str, rel_type: str, dst_label: str) -> DataFrame:
+        """``MATCH (a:L1)-[:T]->(b:L2)`` with alias-prefixed columns."""
+        from ..graph import prefix_columns
+
+        a = prefix_columns(self.match_nodes(src_label), "a")
+        r = prefix_columns(self.graph.rels.where(F.col("type") == rel_type), "r")
+        b = prefix_columns(self.match_nodes(dst_label), "b")
+        return a.join(r, F.col("a_id") == F.col("r_src")).join(
+            b, F.col("r_dst") == F.col("b_id")
+        )
+
+    # ---- MERGE / SET / DELETE -----------------------------------------
+    def merge_node(self, label: str, key_props: dict, extra_props: dict | None = None) -> int:
+        """``MERGE (n:Label {key props})`` — create iff no match; returns id."""
+        existing = self.match_nodes(label, **key_props).select("id").take(1)
+        if existing:
+            return existing[0]["id"]
+        return self.create_nodes(label, [{**key_props, **(extra_props or {})}])[0]
+
+    def set_props(self, label: str, match_props: dict, new_props: dict) -> None:
+        """``MATCH (n:Label {match}) SET n.k = v`` — conditional columnwise
+        update; untouched rows pass through unchanged."""
+        nodes = self.graph.nodes
+        cond = F.array_contains(F.col("labels"), label)
+        for k, v in match_props.items():
+            cond = cond & (F.col(k) == v if k in nodes.columns else F.lit(False))
+        for k, v in new_props.items():
+            old = F.col(k) if k in nodes.columns else F.lit(None)
+            nodes = nodes.withColumn(k, F.when(cond, F.lit(v)).otherwise(old))
+        self._swap(nodes=nodes)
+
+    def delete_nodes(self, label: str, detach: bool = True, **props) -> None:
+        """``MATCH (n:Label {props}) [DETACH] DELETE n``."""
+        doomed = self.match_nodes(label, **props).select("id")
+        nodes = self.graph.nodes.join(doomed, "id", "left_anti")
+        rels = self.graph.rels
+        if detach:
+            rels = rels.join(
+                doomed.withColumnRenamed("id", "src"), "src", "left_anti"
+            ).join(doomed.withColumnRenamed("id", "dst"), "dst", "left_anti").select(
+                rels.columns
+            )
+        self._swap(nodes=nodes, rels=rels)
+
+    def compact(self) -> None:
+        """Checkpoint the union chain (bounded lineage for long write streams)."""
+        self._swap(
+            nodes=self.graph.nodes.localCheckpoint(eager=True),
+            rels=self.graph.rels.localCheckpoint(eager=True),
+        )
+
+    # ---- dump / load (TestDumpLoad.java:90-133) -----------------------
+    def dump(self, path: str) -> None:
+        """Snapshot the store to ``<path>/nodes`` + ``<path>/rels`` parquet."""
+        self.graph.nodes.write.mode("overwrite").parquet(f"{path}/nodes")
+        self.graph.rels.write.mode("overwrite").parquet(f"{path}/rels")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GraphStore":
+        """Rehydrate a dumped snapshot; id counters resume above the max."""
+        nodes = spark.read.parquet(f"{path}/nodes")
+        rels = spark.read.parquet(f"{path}/rels")
+        store = cls(spark, PropertyGraph(nodes=nodes, rels=rels))
+        hi_n = nodes.agg(F.max("id")).first()[0]
+        hi_r = rels.agg(F.max("id")).first()[0]
+        store._node_ids = itertools.count(max(WRITE_NODE_BASE, (hi_n or 0) + 1))
+        store._rel_ids = itertools.count(max(WRITE_REL_BASE, (hi_r or 0) + 1))
+        return store
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """``LOAD CSV [WITH HEADERS] FROM path`` — the ``/import`` contract
+    (docker-entrypoint.sh:502-505) as a plain distributed CSV scan."""
+    return (
+        spark.read.option("header", header)
+        .option("inferSchema", infer_schema)
+        .csv(path)
+    )
+
+
+def import_nodes_from_csv(
+    store: GraphStore, path: str, label: str, **csv_opts
+) -> int:
+    """LOAD CSV → CREATE nodes, fully distributed (no driver collect):
+    rows get ids from a monotonic base + row hash-free sequence via
+    zipWithIndex-style window on a stable ordering of all columns."""
+    from pyspark.sql.window import Window
+
+    df = load_csv(store.spark, path, **csv_opts)
+    base = next(store._node_ids)
+    # reserve a contiguous block
+    n = df.count()
+    for _ in range(n - 1):
+        next(store._node_ids)
+    w = Window.orderBy(*df.columns)
+    new = df.withColumn("id", F.row_number().over(w) + F.lit(base - 1)).withColumn(
+        "labels", F.array(F.lit(label))
+    )
+    store._swap(nodes=store._union_missing(store.graph.nodes, new))
+    return n

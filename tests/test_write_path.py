@@ -1,0 +1,106 @@
+"""Write-path goldens replicating the reference's own smoke flow
+(DatabaseIO.java:42-86) and the dump/load roundtrip
+(TestDumpLoad.java:90-133), plus LOAD CSV (/import contract)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from docker_neo4j_spark.storage.store import GraphStore, import_nodes_from_csv, load_csv
+
+
+def _dog_names(store: GraphStore) -> str:
+    # MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name — sorted, comma-joined,
+    # exactly DatabaseIO.verifyMoreDataIntoContainer's assertion shape.
+    rows = store.expand("dog", "SNIFFS", "dog").select("a_name").collect()
+    return ",".join(sorted(r["a_name"] for r in rows))
+
+
+def test_reference_smoke_flow(spark):
+    store = GraphStore(spark)
+
+    # putInitialDataIntoContainer: CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'})
+    arne, bosse = store.create_nodes("dog", [{"name": "Arne"}, {"name": "Bosse"}])
+    store.create_rels("SNIFFS", [(arne, bosse)])
+    got = store.match_nodes("dog", name="Arne").select("name").first()["name"]
+    assert got == "Arne"
+
+    # verifyInitialDataInContainer
+    assert _dog_names(store) == "Arne"
+
+    # putMoreDataIntoContainer: MATCH Arne, CREATE Armstrong-[:SNIFFS]->Arne
+    arne_id = store.match_nodes("dog", name="Arne").first()["id"]
+    assert arne_id == arne  # read-your-writes
+    (armstrong,) = store.create_nodes("dog", [{"name": "Armstrong"}])
+    store.create_rels("SNIFFS", [(armstrong, arne_id)])
+
+    # verifyMoreDataIntoContainer(extraDataShouldBeThere=True)
+    assert _dog_names(store) == "Armstrong,Arne"
+
+
+def test_dump_load_roundtrip(spark):
+    store = GraphStore(spark)
+    a, b = store.create_nodes("dog", [{"name": "Arne"}, {"name": "Bosse"}])
+    store.create_rels("SNIFFS", [(a, b)])
+    with tempfile.TemporaryDirectory() as tmp:
+        store.dump(f"{tmp}/snap")
+        again = GraphStore.load(spark, f"{tmp}/snap")
+        assert _dog_names(again) == "Arne"
+        # writes continue after load with non-colliding ids
+        (c,) = again.create_nodes("dog", [{"name": "Caesar"}])
+        assert c > max(a, b)
+        again.create_rels("SNIFFS", [(c, a)])
+        assert _dog_names(again) == "Arne,Caesar"
+
+
+def test_merge_set_delete(spark):
+    store = GraphStore(spark)
+    i1 = store.merge_node("dog", {"name": "Arne"})
+    i2 = store.merge_node("dog", {"name": "Arne"})  # idempotent
+    assert i1 == i2
+    assert store.match_nodes("dog").count() == 1
+
+    store.set_props("dog", {"name": "Arne"}, {"age": 7})
+    assert store.match_nodes("dog", name="Arne").first()["age"] == 7
+
+    # SET only touches matching rows
+    store.create_nodes("dog", [{"name": "Bosse"}])
+    store.set_props("dog", {"name": "Bosse"}, {"age": 3})
+    ages = {r["name"]: r["age"] for r in store.match_nodes("dog").collect()}
+    assert ages == {"Arne": 7, "Bosse": 3}
+
+    # DETACH DELETE removes the node and its rels
+    a = store.match_nodes("dog", name="Arne").first()["id"]
+    b = store.match_nodes("dog", name="Bosse").first()["id"]
+    store.create_rels("SNIFFS", [(a, b), (b, a)])
+    store.delete_nodes("dog", name="Arne")
+    assert store.match_nodes("dog").count() == 1
+    assert store.graph.rels.count() == 0
+
+
+def test_schema_evolution_on_write(spark):
+    store = GraphStore(spark)
+    store.create_nodes("dog", [{"name": "Arne"}])
+    store.create_nodes("cat", [{"name": "Mjau", "lives": 9}])  # new property column
+    assert store.match_nodes("dog").first()["lives"] is None
+    assert store.match_nodes("cat").first()["lives"] == 9
+
+
+def test_load_csv_import(spark, tmp_path):
+    p = tmp_path / "dogs.csv"
+    p.write_text("name,age\nArne,7\nBosse,3\nArmstrong,5\n")
+    df = load_csv(spark, str(p))
+    assert df.count() == 3 and set(df.columns) == {"name", "age"}
+
+    store = GraphStore(spark)
+    n = import_nodes_from_csv(store, str(p), "dog")
+    assert n == 3
+    assert store.match_nodes("dog").count() == 3
+    oldest = store.match_nodes("dog").orderBy(F.desc("age")).first()
+    assert oldest["name"] == "Arne"
+    # imported rows are real nodes: write a rel between two of them
+    ids = [r["id"] for r in store.match_nodes("dog").orderBy("name").collect()]
+    store.create_rels("SNIFFS", [(ids[0], ids[1])])
+    assert store.expand("dog", "SNIFFS", "dog").count() == 1
