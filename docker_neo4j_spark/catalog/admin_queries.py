@@ -76,6 +76,61 @@ def write_dump_load_counts(spark, sf_dir):
 
 
 @register(
+    "proc_call_default_values",
+    """
+    SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,
+           CAST(3.14 AS DOUBLE) AS aFloat, true AS aBoolean
+    UNION ALL
+    SELECT 'hello', CAST(7 AS BIGINT), CAST(3.14 AS DOUBLE), false
+    """,
+)
+def proc_call_default_values(spark, sf_dir):
+    """CALL example.defaultValues() — once with defaults, once with
+    overrides (ExampleNeo4jPlugin.java:52-59 parity)."""
+    from ..procedures.registry import call
+
+    a = call(spark, "example.defaultValues")
+    b = call(spark, "example.defaultValues", args={"string": "hello", "integer": 7, "aBoolean": False})
+    return a.unionByName(b)
+
+
+@register(
+    "proc_list_config_yield_where",
+    """
+    SELECT 'true' AS value
+    """,
+)
+def proc_list_config_yield_where(spark, sf_dir):
+    """CALL dbms.listConfig() YIELD name, value WHERE name=… RETURN value
+    (DatabaseIO.java:92 shape) against an engine-default setting."""
+    from pyspark.sql import functions as F
+
+    from ..procedures.registry import call
+
+    return call(
+        spark,
+        "dbms.listConfig",
+        yield_cols=["name", "value"],
+        where=F.col("name") == "spark.sql.adaptive.enabled",
+    ).select("value")
+
+
+@register(
+    "proc_show_procedures",
+    """
+    SELECT 'db.labels' AS name
+    UNION ALL SELECT 'dbms.listConfig'
+    UNION ALL SELECT 'example.defaultValues'
+    """,
+)
+def proc_show_procedures(spark, sf_dir):
+    """SHOW PROCEDURES (StubPluginHelper.java:113 assertion shape)."""
+    from ..procedures.registry import show_procedures
+
+    return show_procedures(spark).select("name")
+
+
+@register(
     "load_csv_nation_agg",
     """
     SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,

@@ -1,0 +1,53 @@
+"""Procedure-registry behavior: CALL…YIELD…WHERE composition, default
+arguments, SHOW PROCEDURES, unknown-procedure error parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_neo4j_spark.procedures.registry import call, show_procedures
+
+
+def test_call_defaults_and_overrides(spark):
+    row = call(spark, "example.defaultValues").first()
+    assert (row["string"], row["integer"], row["aFloat"], row["aBoolean"]) == (
+        "a string", 42, 3.14, True,
+    )
+    row2 = call(spark, "example.defaultValues", args={"integer": 99}).first()
+    assert row2["integer"] == 99 and row2["string"] == "a string"
+
+
+def test_call_yield_where(spark):
+    out = call(
+        spark,
+        "dbms.listConfig",
+        yield_cols=["name", "value"],
+        where=F.col("name") == "spark.sql.adaptive.enabled",
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["value"] == "true"
+    # YIELD projects columns: only the yielded ones survive
+    assert out.columns == ["name", "value"]
+
+
+def test_show_procedures_lists_registered(spark):
+    names = [r["name"] for r in show_procedures(spark).collect()]
+    assert "dbms.listConfig" in names
+    assert "example.defaultValues" in names
+    assert names == sorted(names)
+
+
+def test_unknown_procedure_raises(spark):
+    with pytest.raises(KeyError, match="no procedure with the name"):
+        call(spark, "does.not.exist")
+
+
+def test_db_labels_on_graph(spark):
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    store = GraphStore(spark)
+    store.create_nodes("dog", [{"name": "Arne"}])
+    store.create_nodes("cat", [{"name": "Mjau"}])
+    labels = [r["label"] for r in call(spark, "db.labels", args={"graph": store.graph}).collect()]
+    assert labels == ["cat", "dog"]
