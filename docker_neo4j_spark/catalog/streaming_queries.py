@@ -1,1 +1,52 @@
-"""Placeholder — filled in this round."""
+"""Streaming-surface queries (SURVEY.md §2.B.8).
+
+The windowed aggregate is graded through its *batch twin*: the same
+``windowed_counts`` transformation runs on the static events table and is
+hash-matched against DuckDB's tumbling-window SQL. Structured Streaming
+guarantees the streaming execution of the identical plan produces the
+same rows (verified end-to-end in tests/test_streaming.py with a real
+micro-batch run); money-style sums go through exact DECIMAL to dodge
+double-summation order nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_tables
+from ..streaming.events import dedup_within_watermark, windowed_counts
+from . import register
+
+
+@register(
+    "stream_windowed_counts_batch",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts_batch(spark, sf_dir):
+    """Tumbling 1-hour window per event type — batch twin of the
+    streaming aggregate (same code path, exact decimal sums)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return windowed_counts(ev, window="1 hour", exact_sums=True)
+
+
+@register(
+    "stream_dedup_batch",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_after_dedup
+    FROM (SELECT DISTINCT ON (event_id) * FROM
+            (SELECT * FROM events UNION ALL SELECT * FROM events))
+    """,
+)
+def stream_dedup_batch(spark, sf_dir):
+    """Dedup-on-key batch twin: doubled input collapses to distinct ids."""
+    ev = load_tables(spark, sf_dir)["events"]
+    doubled = ev.unionByName(ev)
+    return dedup_within_watermark(doubled).agg(
+        F.count("*").cast("long").alias("n_after_dedup")
+    )
