@@ -114,6 +114,55 @@ def _example_default_values(
     )
 
 
+# ---- scalar plugin functions (RETURN apoc.version() — SURVEY §2.B.9) ----
+
+_FUNCTIONS: dict[str, Callable[..., "F.Column"]] = {}
+
+
+def scalar_function(name: str):
+    """Register a scalar function callable in RETURN position
+    (TestConfSettings.java:411 — ``RETURN apoc.version()``)."""
+
+    def deco(fn):
+        _FUNCTIONS[name] = fn
+        return fn
+
+    return deco
+
+
+def fn(name: str, *args):
+    """Resolve a registered scalar function to a Column expression."""
+    if name not in _FUNCTIONS:
+        raise KeyError(f"Unknown function '{name}'")
+    return _FUNCTIONS[name](*args)
+
+
+@scalar_function("apoc.version")
+def _apoc_version():
+    from .. import __version__
+
+    return F.lit(__version__)
+
+
+# ---- security allowlist (dbms.security.procedures.unrestricted) ---------
+
+
+def allowed_procedures(conf_value: str | None) -> "Callable[[str], bool]":
+    """Allowlist predicate from the comma-separated glob config the plugin
+    manifests set (calver/coredb/neo4j-plugins.json:5,12,…): ``apoc.*``
+    style patterns; None/empty allows built-ins only (dbms./db. names)."""
+    import fnmatch
+
+    globs = [g.strip() for g in (conf_value or "").split(",") if g.strip()]
+
+    def allowed(name: str) -> bool:
+        if name.startswith(("dbms.", "db.")):
+            return True
+        return any(fnmatch.fnmatch(name, g) for g in globs)
+
+    return allowed
+
+
 @procedure(
     "db.labels",
     signature="db.labels() :: (label :: STRING)",

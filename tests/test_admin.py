@@ -1,0 +1,107 @@
+"""Admin-surface parity: NEO4J_AUTH parsing, license gate, password ops,
+database lifecycle with query refusal, backup/restore ordering."""
+
+from __future__ import annotations
+
+import pytest
+
+from docker_neo4j_spark.admin import AdminError, Dbms, license_gate, parse_auth
+
+
+def test_parse_auth_none_disables():
+    assert parse_auth("none").enabled is False
+    assert parse_auth(None).enabled is True  # auth on, password unset
+
+
+def test_parse_auth_validations():
+    spec = parse_auth("neo4j/mysecretpw")
+    assert (spec.user, spec.password, spec.require_password_change) == ("neo4j", "mysecretpw", False)
+    assert parse_auth("neo4j/mysecretpw/true").require_password_change is True
+
+    with pytest.raises(AdminError, match="cannot be 'neo4j'"):
+        parse_auth("neo4j/neo4j")
+    with pytest.raises(AdminError, match="must be neo4j"):
+        parse_auth("admin/mysecretpw")
+    with pytest.raises(AdminError, match="minimum password length is 8"):
+        parse_auth("neo4j/short")
+    # conf overrides the minimum, exactly like the entrypoint reads it back
+    assert parse_auth("neo4j/short", {"dbms.security.auth_minimum_password_length": "4"}).password == "short"
+    with pytest.raises(AdminError, match="Invalid value for NEO4J_AUTH"):
+        parse_auth("a/b/c/d")
+
+
+def test_license_gate():
+    license_gate("community", {})
+    license_gate("enterprise", {"NEO4J_ACCEPT_LICENSE_AGREEMENT": "yes"})
+    license_gate("enterprise", {"NEO4J_ACCEPT_LICENSE_AGREEMENT": "eval"})
+    with pytest.raises(AdminError, match="accept the license agreement"):
+        license_gate("enterprise", {})
+    with pytest.raises(AdminError, match="accept the license agreement"):
+        license_gate("enterprise", {"NEO4J_ACCEPT_LICENSE_AGREEMENT": "no"})
+
+
+def test_auth_flow_and_password_change():
+    dbms = Dbms.bootstrap("neo4j/firstsecret")
+    dbms.authenticate("neo4j", "firstsecret")
+    with pytest.raises(AdminError, match="authentication failure"):
+        dbms.authenticate("neo4j", "wrong")
+
+    # ALTER CURRENT USER SET PASSWORD FROM ... TO ...
+    with pytest.raises(AdminError, match="Invalid principal"):
+        dbms.alter_current_user_password("neo4j", "wrong", "nextsecret")
+    with pytest.raises(AdminError, match="cannot be the same"):
+        dbms.alter_current_user_password("neo4j", "firstsecret", "firstsecret")
+    dbms.alter_current_user_password("neo4j", "firstsecret", "nextsecret")
+    dbms.authenticate("neo4j", "nextsecret")
+    with pytest.raises(AdminError):
+        dbms.authenticate("neo4j", "firstsecret")
+
+    # initial password is one-shot (neo4j-admin dbms set-initial-password)
+    with pytest.raises(AdminError, match="already been set"):
+        dbms.set_initial_password("another1")
+
+
+def test_require_password_change_blocks_until_changed():
+    dbms = Dbms.bootstrap("neo4j/firstsecret/true")
+    with pytest.raises(AdminError, match="must be changed"):
+        dbms.authenticate("neo4j", "firstsecret")
+    dbms.change_password("neo4j", "firstsecret", "nextsecret")
+    dbms.authenticate("neo4j", "nextsecret")
+
+
+def test_auth_none_accepts_anything():
+    dbms = Dbms.bootstrap("none")
+    dbms.authenticate("whoever", "whatever")
+
+
+def test_database_lifecycle_refuses_queries_when_stopped():
+    dbms = Dbms.bootstrap("none")
+    dbms.check_queryable("neo4j")
+    dbms.stop_database("neo4j")
+    with pytest.raises(AdminError, match="unavailable"):
+        dbms.check_queryable("neo4j")
+    assert ("neo4j", "offline") in dbms.show_databases()
+    dbms.start_database("neo4j")
+    dbms.check_queryable("neo4j")
+    with pytest.raises(AdminError, match="does not exist"):
+        dbms.stop_database("nope")
+
+
+def test_backup_restore_ordering():
+    dbms = Dbms.bootstrap("none")
+    dbms.backup("neo4j", graph={"snapshot": 1})
+    # restore refused while online (reference stops the db first)
+    with pytest.raises(AdminError, match="must be stopped"):
+        dbms.restore("neo4j")
+    dbms.stop_database("neo4j")
+    assert dbms.restore("neo4j") == {"snapshot": 1}
+    with pytest.raises(AdminError, match="No backup"):
+        dbms.stop_database("system") or dbms.restore("system")
+
+
+def test_server_report(spark):
+    dbms = Dbms.bootstrap("neo4j/firstsecret")
+    rep = dbms.server_report(spark)
+    assert rep["databases"]["neo4j"] == "online"
+    assert rep["users"] == ["neo4j"]
+    assert "spark_version" in rep and "conf" in rep

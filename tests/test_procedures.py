@@ -43,6 +43,29 @@ def test_unknown_procedure_raises(spark):
         call(spark, "does.not.exist")
 
 
+def test_scalar_function_registry(spark):
+    from docker_neo4j_spark import __version__
+    from docker_neo4j_spark.procedures.registry import fn
+
+    # RETURN apoc.version() (TestConfSettings.java:411)
+    got = spark.range(1).select(fn("apoc.version").alias("v")).first()["v"]
+    assert got == __version__
+    with pytest.raises(KeyError, match="Unknown function"):
+        fn("apoc.nope")
+
+
+def test_procedure_allowlist():
+    from docker_neo4j_spark.procedures.registry import allowed_procedures
+
+    allowed = allowed_procedures("apoc.*,gds.util.*")
+    assert allowed("apoc.version")
+    assert allowed("gds.util.asNode")
+    assert not allowed("gds.pageRank")
+    assert allowed("dbms.listConfig")  # built-ins always callable
+    none_allowed = allowed_procedures(None)
+    assert none_allowed("db.labels") and not none_allowed("apoc.version")
+
+
 def test_db_labels_on_graph(spark):
     from docker_neo4j_spark.storage.store import GraphStore
 
