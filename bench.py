@@ -34,16 +34,16 @@ HEADLINE = [
     "fn_string_suite",
     "fn_temporal_accessors",
     # gds
-    "gds_pagerank_top20",
-    "gds_wcc_sizes",
-    "gds_shortest_path_hops",
+    "gds_pagerank",
+    "gds_wcc_supply_zones",
+    "gds_bfs_from_customer",
     # llm-pipeline ops
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "text_quality_stats",
+    "llm_exact_dedup",
+    "llm_minhash_neardup",
+    "llm_ann_topk",
+    "llm_quality_score",
     # streaming (batch-equivalent windowed aggregate)
-    "stream_tumbling_window_agg",
+    "stream_windowed_counts_batch",
 ]
 
 

@@ -81,10 +81,18 @@ def minhash_lsh_candidates(
     the final pair dedup — never an all-pairs join.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(key).alias("_k"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
-    )
+    # Materialize shingles as a real column first: the signature references
+    # it num_hashes times, and Catalyst does not CSE across lambda
+    # boundaries — inlining would re-tokenize+re-shingle 32× per row
+    # (measured 10×+ slowdown). Also spread a few-file input across cores:
+    # the map work is embarrassingly parallel.
+    src = df.select(F.col(key).alias("_k"), F.col(text_col).alias("_t"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    sig = src.select(
+        "_k", shingles("_t", shingle_n).alias("_sh")
+    ).select("_k", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
     banded = sig.select(
         "_k",
         F.explode(
@@ -129,6 +137,9 @@ def jaccard_pairs(
     at scale, candidates ≪ corpus so both joins broadcast the candidate side.
     """
     sh = df.select(F.col(key).alias("_k"), shingles(text_col, shingle_n).alias("_sh"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if sh.rdd.getNumPartitions() < par:
+        sh = sh.repartition(par)
     out = (
         candidates.join(sh.withColumnRenamed("_k", "key_a").withColumnRenamed("_sh", "_sha"), "key_a")
         .join(sh.withColumnRenamed("_k", "key_b").withColumnRenamed("_sh", "_shb"), "key_b")
@@ -166,12 +177,16 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataF
     matching sign(Σ±1) ≤ 0). Token multiplicity weights the vote. 64
     static-index array filters — no explode, no shuffle, full codegen.
     """
-    t = tokens(text_col)
-    n = F.size(t)
+    # Materialize token hashes once (64 bit-filters reference them; no CSE
+    # across lambdas), then vote on the precomputed hash array.
+    src = df.select(
+        key, F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias("_h")
+    )
+    n = F.size("_h")
 
     def _bit(i: int) -> Column:
         cnt = F.size(
-            F.filter(t, lambda x: F.shiftright(F.xxhash64(x), i).bitwiseAND(F.lit(1)) == F.lit(1))
+            F.filter("_h", lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == F.lit(1))
         )
         return F.when(cnt * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
@@ -180,7 +195,7 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataF
     sig = _bit(0)
     for i in range(1, 64):
         sig = sig.bitwiseOR(_bit(i))
-    return df.select(key, sig.alias("simhash"))
+    return src.select(key, sig.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -52,7 +52,7 @@ def bfs(
 
     ``sources``: DataFrame with an ``id`` column (dist 0 seeds).
     """
-    e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
+    e = (undirect(edges) if undirected else edges.select("src", "dst")).repartition("src").cache()
     dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
     frontier = dist.select("id")
     for depth in range(1, max_depth + 1):
@@ -83,7 +83,7 @@ def sssp(
     ``edges``: (src, dst, <weight_col>); negative weights allowed, negative
     cycles bounded by ``max_iter``. Integer weights stay exact end-to-end.
     """
-    e = edges.select("src", "dst", F.col(weight_col).alias("_w")).cache()
+    e = edges.select("src", "dst", F.col(weight_col).alias("_w")).repartition("src").cache()
     dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
     for _ in range(max_iter):
         relaxed = (
@@ -113,7 +113,7 @@ def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
     Min-label propagation over the undirected edge set; each superstep is
     one groupBy-min shuffle. Converges in O(diameter) rounds.
     """
-    e = undirect(edges).distinct().cache()
+    e = undirect(edges).distinct().repartition("src").cache()
     comp = _ckpt(nodes.select("id", F.col("id").alias("comp")))
     for _ in range(max_iter):
         prop = (
@@ -145,7 +145,7 @@ def pagerank(
     Σpr = N is preserved each round. Per round: one join + one groupBy-sum
     shuffle + one scalar aggregate for the dangling mass.
     """
-    e = edges.select("src", "dst").cache()
+    e = edges.select("src", "dst").repartition("src").cache()
     deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did").cache()
     n = nodes.select("id").cache()
     n_total = n.count()
@@ -182,7 +182,7 @@ def label_propagation(
     Capped iterations — LPA has no convergence guarantee on bipartite
     structures (documented reference behavior as well).
     """
-    e = undirect(edges).cache()
+    e = undirect(edges).repartition("src").cache()
     lab = _ckpt(nodes.select("id", F.col("id").alias("community")))
     for _ in range(max_iter):
         votes = (

@@ -78,15 +78,33 @@ def _rel_frame(graph: PropertyGraph, spec: RelSpec) -> DataFrame:
     raise ValueError(f"bad direction {spec.direction!r}")
 
 
-def match_chain(graph: PropertyGraph, pattern: list) -> DataFrame:
+def match_chain(graph: PropertyGraph, pattern: list, with_rel_ids: bool | None = None) -> DataFrame:
     """Compile an alternating [NodeSpec, RelSpec, NodeSpec, ...] chain to a
     DataFrame of all bindings. Columns prefixed ``alias_``.
 
     Injects Cypher relationship-uniqueness: pairwise ``id !=`` filters over
     every pair of rel aliases in the pattern.
+
+    Rel ``id`` columns are pruned for single-rel patterns (``with_rel_ids``
+    defaults to "only when uniqueness filters need them"): the lineitem-
+    derived rel ids carry a window over the source table, and keeping the
+    column would drag that shuffle into every 1-hop expand that never looks
+    at the id.
     """
     if not pattern or not isinstance(pattern[0], NodeSpec):
         raise ValueError("pattern must start with a NodeSpec")
+    # Uniqueness filters are only needed between rel pairs that could bind
+    # the same relationship — same declared type, or untyped. Statically
+    # distinct types can never collide, so their ids (and the shuffle the
+    # lineitem rel-id window carries) are prunable.
+    rel_specs = [p for p in pattern if isinstance(p, RelSpec)]
+    unique_pairs = {
+        (a.alias, b.alias)
+        for x, a in enumerate(rel_specs)
+        for b in rel_specs[x + 1 :]
+        if a.rel_type is None or b.rel_type is None or a.rel_type == b.rel_type
+    }
+    keep_ids = with_rel_ids if with_rel_ids is not None else bool(unique_pairs)
     first = pattern[0]
     out = prefix_columns(_node_frame(graph, first), first.alias)
     prev_node = first
@@ -96,7 +114,10 @@ def match_chain(graph: PropertyGraph, pattern: list) -> DataFrame:
         rel, node = pattern[i], pattern[i + 1]
         if not isinstance(rel, RelSpec) or not isinstance(node, NodeSpec):
             raise ValueError("pattern must alternate NodeSpec/RelSpec")
-        r = prefix_columns(_rel_frame(graph, rel), rel.alias)
+        rf = _rel_frame(graph, rel)
+        if not keep_ids:
+            rf = rf.drop("id")
+        r = prefix_columns(rf, rel.alias)
         n = prefix_columns(_node_frame(graph, node), node.alias)
         out = out.join(r, F.col(f"{prev_node.alias}_id") == F.col(f"{rel.alias}_src")).join(
             n, F.col(f"{rel.alias}_dst") == F.col(f"{node.alias}_id")
@@ -105,9 +126,13 @@ def match_chain(graph: PropertyGraph, pattern: list) -> DataFrame:
         prev_node = node
         i += 2
     # Cypher uniqueness semantics: no rel bound twice in one MATCH.
-    for j in range(len(rel_aliases)):
-        for k in range(j + 1, len(rel_aliases)):
-            out = out.where(F.col(f"{rel_aliases[j]}_id") != F.col(f"{rel_aliases[k]}_id"))
+    if keep_ids:
+        for j in range(len(rel_aliases)):
+            for k in range(j + 1, len(rel_aliases)):
+                if (rel_aliases[j], rel_aliases[k]) in unique_pairs:
+                    out = out.where(
+                        F.col(f"{rel_aliases[j]}_id") != F.col(f"{rel_aliases[k]}_id")
+                    )
     return out
 
 

@@ -58,14 +58,27 @@ def brute_force_topk(
     ``queries`` is broadcast (the small side); ties break on neighbor id so
     the result is total-ordered and oracle-comparable.
     """
+    # Norms are per-row, not per-pair: compute once on each side before the
+    # join (identical IEEE result, |Q|+|C| folds instead of 2·|Q|·|C|).
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+        (
+            dot(F.col("_qv"), F.col("_cv"))
+            / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -76,17 +89,17 @@ def brute_force_topk(
 
 
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> Column:
-    """Deterministic pseudo-random hyperplane: component j is a signed
-    value derived from xxhash64(seed, plane, j) — uniform in [-1, 1)."""
-    return F.array(
-        *[
-            (
-                (F.xxhash64(F.lit(seed), F.lit(plane), F.lit(j)) % 10_000_000).cast("double")
-                / 10_000_000.0
-            )
-            for j in range(dim)
-        ]
-    )
+    """Deterministic pseudo-random hyperplane as plain literal doubles
+    (splitmix64-style mix in Python — keeps the Spark expression a flat
+    literal array instead of a per-component hash chain)."""
+
+    def mix(x: int) -> float:
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        return (x % 10_000_001) / 5_000_000.0 - 1.0
+
+    return F.array(*[F.lit(mix((seed << 32) ^ (plane << 16) ^ j)) for j in range(dim)])
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
@@ -128,32 +141,43 @@ def ann_topk(
         b = lsh_bucket(vec, dim, n_planes, seed + 7919 * table)
         return b + F.lit(table << n_planes).cast("long")
 
+    # Materialize per-table bucket ids ONCE (a probe fan-out referencing the
+    # bucket expression directly would recompute every hyperplane dot
+    # product n_planes+1 times — no CSE across the explode).
+    bcols = [f"_b{t}" for t in range(n_tables)]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        F.explode(
-            F.array(*[bucket(F.col(vec_col), t) for t in range(n_tables)])
-        ).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        *[bucket(F.col(vec_col), t).alias(bc) for t, bc in enumerate(bcols)],
+    ).select(
+        "neighbor_id", "_cv", "_cn", F.explode(F.array(*bcols)).alias("bucket")
     )
-    probes = []
-    for t in range(n_tables):
-        b = bucket(F.col(vec_col), t)
-        probes.append(b)
-        probes += [b.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)]
-    q = queries.select(
+    qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(F.array(*probes)).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+        *[bucket(F.col(vec_col), t).alias(bc) for t, bc in enumerate(bcols)],
+    )
+    probes = []
+    for bc in bcols:
+        probes.append(F.col(bc))
+        probes += [F.col(bc).bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)]
+    q = qb.select(
+        "query_id", "_qv", "_qn", F.explode(F.array(*probes)).alias("bucket")
     )
     scored = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
