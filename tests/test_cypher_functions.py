@@ -1,0 +1,82 @@
+"""Semantic-delta tests for functions/cypher: the places where Cypher and
+Spark SQL disagree and the mapping layer must own the shift."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from docker_neo4j_spark.functions import cypher as cy
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_substring_is_zero_based(spark):
+    s = F.lit("hello world")
+    assert _one(spark, cy.substring(s, 0, 5)) == "hello"
+    assert _one(spark, cy.substring(s, 6)) == "world"
+
+
+def test_split_and_replace_are_literal_not_regex(spark):
+    s = F.lit("a.b.c")
+    assert _one(spark, cy.split(s, ".")) == ["a", "b", "c"]
+    assert _one(spark, cy.replace(s, ".", "-")) == "a-b-c"
+    # a regex-meta delimiter must not explode into per-char splits
+    s2 = F.lit("x|y|z")
+    assert _one(spark, cy.split(s2, "|")) == ["x", "y", "z"]
+
+
+def test_range_is_inclusive_with_step(spark):
+    assert _one(spark, cy.range_(1, 5)) == [1, 2, 3, 4, 5]
+    assert _one(spark, cy.range_(1, 5, 2)) == [1, 3, 5]
+
+
+def test_list_accessors(spark):
+    lst = F.array(F.lit(10), F.lit(20), F.lit(30))
+    assert _one(spark, cy.head(lst)) == 10
+    assert _one(spark, cy.last(lst)) == 30
+    assert _one(spark, cy.tail(lst)) == [20, 30]
+    assert _one(spark, cy.tail(F.array(F.lit(1)))) == []
+    assert _one(spark, cy.size_list(lst)) == 3
+    assert _one(spark, cy.size(F.lit("abcd"))) == 4
+
+
+def test_reduce_and_comprehension(spark):
+    lst = F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4))
+    total = cy.reduce_(lst, F.lit(0), lambda acc, x: acc + x)
+    assert _one(spark, total) == 10
+    evens_doubled = cy.list_comprehension(
+        lst, predicate=lambda x: x % 2 == 0, extract=lambda x: x * 10
+    )
+    assert _one(spark, evens_doubled) == [20, 40]
+
+
+def test_day_of_week_is_iso(spark):
+    # 2024-01-01 was a Monday → 1; 2024-01-07 Sunday → 7
+    assert _one(spark, cy.dayOfWeek(F.lit(datetime.date(2024, 1, 1)))) == 1
+    assert _one(spark, cy.dayOfWeek(F.lit(datetime.date(2024, 1, 7)))) == 7
+
+
+def test_left_right_reverse(spark):
+    s = F.lit("spark")
+    assert _one(spark, cy.left(s, 2)) == "sp"
+    assert _one(spark, cy.right(s, 3)) == "ark"
+    assert _one(spark, cy.reverse(s)) == "kraps"
+
+
+def test_case_and_coalesce(spark):
+    v = cy.case_when([(F.lit(False), F.lit("a")), (F.lit(True), F.lit("b"))], otherwise=F.lit("c"))
+    assert _one(spark, v) == "b"
+    assert _one(spark, cy.coalesce(F.lit(None), F.lit(None), F.lit(5))) == 5
+
+
+def test_properties_map_and_json(spark):
+    df = spark.createDataFrame([(1, "x", '{"k": 7}')], ["a", "b", "js"])
+    m = df.select(cy.properties("a", "b").alias("m")).first()["m"]
+    assert m == {"a": "1", "b": "x"}
+    assert df.select(cy.json_extract("js", "$.k").alias("v")).first()["v"] == "7"
+    got = df.select(cy.map_get(cy.from_json_map("js", "long"), "k").alias("v")).first()["v"]
+    assert got == 7
