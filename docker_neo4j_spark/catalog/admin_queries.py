@@ -76,6 +76,30 @@ def write_dump_load_counts(spark, sf_dir):
 
 
 @register(
+    "cypher_session_smoke",
+    """
+    SELECT name FROM (VALUES ('Armstrong'), ('Arne')) AS t(name) ORDER BY name
+    """,
+)
+def cypher_session_smoke(spark, sf_dir):
+    """The serving façade executing the reference's literal Bolt query
+    corpus (DatabaseIO.java:42-86) as strings, end-to-end."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run(
+        "CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'}) RETURN arne.name"
+    )
+    s.run(
+        "MATCH (a:dog {name:'Arne'}) CREATE (armstrong:dog {name:'Armstrong'})-[:SNIFFS]->(a) "
+        "return a.name, armstrong.name"
+    )
+    return s.run("MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name ORDER BY a.name").select(
+        F.col("`a.name`").alias("name")
+    )
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

@@ -1,0 +1,328 @@
+"""Cypher string façade — the serving surface (SURVEY.md §2.B.1 "Bolt/HTTP").
+
+``Session.run(cypher)`` executes the Cypher subset the reference's own
+test suite sends over Bolt, against the engine's store / procedure /
+admin layers. The exact query corpus this must (and does) execute:
+
+- ``CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'})
+  RETURN arne.name``                              (DatabaseIO.java:42)
+- ``MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name``        (…:51)
+- ``MATCH (a:dog {name:'Arne'}) CREATE (armstrong:dog {name:'Armstrong'})
+  -[:SNIFFS]->(a) return a.name, armstrong.name``           (…:63)
+- ``CALL dbms.listConfig() YIELD name, value WHERE name='…' RETURN value``
+                                                            (…:92)
+- ``MATCH (n) RETURN count(n)``; ``RETURN 1``   (liveness probes)
+- ``RETURN apoc.version()``                  (TestConfSettings.java:411)
+- ``SHOW PROCEDURES``                         (StubPluginHelper.java:113)
+- ``ALTER CURRENT USER SET PASSWORD FROM 'old' TO 'new'`` /
+  ``CALL dbms.changePassword('new')``        (DatabaseIO.java:114,117)
+
+Result columns are named with the literal RETURN text (``arne.name``),
+matching what a Bolt record exposes. This is a serving façade for
+interactive smoke queries — analytical work goes through the DataFrame
+API; only CREATE-anchored-on-MATCH collects the (tiny) anchor binding
+set to the driver.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..storage.store import GraphStore
+
+_NODE_RE = re.compile(
+    r"\(\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*(?::(?P<label>[A-Za-z_][A-Za-z0-9_]*))?"
+    r"\s*(?:\{(?P<props>[^}]*)\})?\s*\)"
+)
+_REL_RE = re.compile(
+    r"(?P<larrow><)?-\s*\[\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
+    r"(?::(?P<type>[A-Za-z_][A-Za-z0-9_]*))?\s*\]\s*-(?P<rarrow>>)?"
+)
+
+
+@dataclass
+class _Node:
+    var: str | None
+    label: str | None
+    props: dict
+
+
+@dataclass
+class _Rel:
+    var: str | None
+    rel_type: str | None
+    reversed: bool
+
+
+def _parse_props(src: str | None) -> dict:
+    if not src:
+        return {}
+    out = {}
+    for part in src.split(","):
+        k, v = part.split(":", 1)
+        out[k.strip()] = _parse_value(v.strip())
+    return out
+
+
+def _parse_value(v: str):
+    if v.startswith(("'", '"')):
+        return v[1:-1]
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return float(v) if "." in v else int(v)
+
+
+def _parse_pattern(src: str) -> tuple[list, str]:
+    """Parse ``(a:L {..})-[:T]->(b)...``; returns (elements, rest)."""
+    elems: list = []
+    pos = 0
+    m = _NODE_RE.match(src, pos)
+    if not m:
+        raise ValueError(f"expected node pattern at: {src[pos:pos+40]!r}")
+    elems.append(_Node(m.group("var"), m.group("label"), _parse_props(m.group("props"))))
+    pos = m.end()
+    while True:
+        r = _REL_RE.match(src, pos)
+        if not r:
+            break
+        n = _NODE_RE.match(src, r.end())
+        if not n:
+            raise ValueError(f"expected node after relationship at: {src[r.end():][:40]!r}")
+        elems.append(_Rel(r.group("var"), r.group("type"), bool(r.group("larrow"))))
+        elems.append(_Node(n.group("var"), n.group("label"), _parse_props(n.group("props"))))
+        pos = n.end()
+    return elems, src[pos:].strip()
+
+
+@dataclass
+class Session:
+    """One client session: a graph store + optional control plane."""
+
+    spark: SparkSession
+    store: GraphStore = None  # type: ignore[assignment]
+    dbms: object | None = None
+    user: str | None = None
+    password: str | None = None
+    _anon: int = field(default=0)
+
+    def __post_init__(self):
+        if self.store is None:
+            self.store = GraphStore(self.spark)
+        if self.dbms is not None:
+            self.dbms.authenticate(self.user or "neo4j", self.password or "")
+        self._current_password = self.password
+
+    # ---- public API ---------------------------------------------------
+    def run(self, cypher: str) -> DataFrame:
+        q = cypher.strip().rstrip(";").strip()
+        head = q.split(None, 1)[0].upper() if q else ""
+        if self.dbms is not None:
+            self.dbms.check_queryable()
+        if head == "SHOW" and q.upper().startswith("SHOW PROCEDURES"):
+            from ..procedures.registry import show_procedures
+
+            return show_procedures(self.spark)
+        if head == "ALTER":
+            return self._alter_password(q)
+        if head == "CALL":
+            return self._call(q)
+        if head == "RETURN":
+            return self._bare_return(q)
+        if head == "CREATE":
+            return self._create(q[len("CREATE"):].strip(), anchors={})
+        if head == "MATCH":
+            return self._match(q)
+        raise ValueError(f"Unsupported Cypher statement: {cypher!r}")
+
+    # ---- CALL ---------------------------------------------------------
+    def _call(self, q: str) -> DataFrame:
+        from ..procedures.registry import call
+
+        m = re.match(
+            r"CALL\s+(?P<name>[A-Za-z_][\w.]*)\s*(?:\((?P<args>[^)]*)\))?"
+            r"(?:\s+YIELD\s+(?P<yield>[\w\s,]+?))?"
+            r"(?:\s+WHERE\s+(?P<wkey>[\w.]+)\s*=\s*(?P<wval>'[^']*'|\S+))?"
+            r"(?:\s+RETURN\s+(?P<ret>.+))?$",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"Unsupported CALL syntax: {q!r}")
+        name = m.group("name")
+        if name == "dbms.changePassword":
+            new = _parse_value(m.group("args").strip())
+            self.dbms.change_password(self.user or "neo4j", self._current_password, new)
+            self._current_password = new
+            return self.spark.createDataFrame([], "ok string")
+        args = {}
+        raw_args = (m.group("args") or "").strip()
+        if raw_args:
+            for i, part in enumerate(raw_args.split(",")):
+                args[f"arg{i}"] = _parse_value(part.strip())
+        yield_cols = None
+        if m.group("yield"):
+            yield_cols = [c.strip() for c in m.group("yield").split(",")]
+        where = None
+        if m.group("wkey"):
+            where = F.col(m.group("wkey")) == _parse_value(m.group("wval"))
+        out = call(self.spark, name, args=args or None, yield_cols=yield_cols, where=where)
+        if m.group("ret"):
+            out = out.select([c.strip() for c in m.group("ret").split(",")])
+        return out
+
+    # ---- RETURN <expr> ------------------------------------------------
+    def _bare_return(self, q: str) -> DataFrame:
+        expr = q[len("RETURN"):].strip()
+        fn_m = re.match(r"([A-Za-z_][\w.]*)\(\s*\)$", expr)
+        if fn_m:
+            from ..procedures.registry import fn
+
+            return self.spark.range(1).select(fn(fn_m.group(1)).alias(expr))
+        return self.spark.range(1).select(F.lit(_parse_value(expr)).alias(expr))
+
+    # ---- ALTER CURRENT USER -------------------------------------------
+    _current_password: str | None = None
+
+    def _alter_password(self, q: str) -> DataFrame:
+        m = re.match(
+            r"ALTER\s+CURRENT\s+USER\s+SET\s+PASSWORD\s+FROM\s+'(?P<old>[^']*)'\s+TO\s+'(?P<new>[^']*)'$",
+            q,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"Unsupported ALTER syntax: {q!r}")
+        self.dbms.alter_current_user_password(self.user or "neo4j", m.group("old"), m.group("new"))
+        self._current_password = m.group("new")
+        return self.spark.createDataFrame([], "ok string")
+
+    # ---- CREATE -------------------------------------------------------
+    def _create(self, pattern_src: str, anchors: dict[str, int]) -> DataFrame:
+        ret = None
+        up = pattern_src.upper()
+        if " RETURN " in f" {up} ":
+            idx = up.index("RETURN")
+            ret = pattern_src[idx + len("RETURN"):].strip()
+            pattern_src = pattern_src[:idx].strip()
+        elems, rest = _parse_pattern(pattern_src)
+        if rest:
+            raise ValueError(f"trailing content after CREATE pattern: {rest!r}")
+        created: dict[str, tuple[int, dict]] = {}
+        ids: dict[str, int] = dict(anchors)
+        # create the new nodes (anchored vars are reused, not recreated)
+        for el in elems:
+            if isinstance(el, _Node):
+                var = el.var or f"_anon{self._anon}"
+                self._anon += 1
+                if var in ids:
+                    continue
+                (nid,) = self.store.create_nodes(el.label or "_", [el.props])
+                ids[var] = nid
+                created[var] = (nid, el.props)
+        for i in range(1, len(elems), 2):
+            rel, left, right = elems[i], elems[i - 1], elems[i + 1]
+            s = ids[left.var or ""]
+            d = ids[right.var or ""]
+            if rel.reversed:
+                s, d = d, s
+            self.store.create_rels(rel.rel_type or "_", [(s, d)], [{}])
+        if ret is None:
+            return self.spark.createDataFrame([], "ok string")
+        return self._project_bound(ret, ids)
+
+    def _project_bound(self, ret: str, ids: dict[str, int]) -> DataFrame:
+        """RETURN var.prop[, ...] over a set of bound node ids."""
+        items = [i.strip() for i in ret.split(",")]
+        nodes = self.store.graph.nodes
+        row: dict[str, object] = {}
+        for item in items:
+            var, prop = item.split(".", 1)
+            val = (
+                nodes.where(F.col("id") == ids[var]).select(prop).first()
+            )
+            row[item] = None if val is None else val[0]
+        return self.spark.createDataFrame([tuple(row[i] for i in items)], list(row))
+
+    # ---- MATCH --------------------------------------------------------
+    def _match(self, q: str) -> DataFrame:
+        body = q[len("MATCH"):].strip()
+        m_create = re.search(r"\bCREATE\b", body, re.IGNORECASE)
+        m_return = re.search(r"\bRETURN\b", body, re.IGNORECASE)
+        if m_create:
+            pattern_src = body[: m_create.start()].strip()
+            tail = body[m_create.end():].strip()
+        elif m_return:
+            pattern_src = body[: m_return.start()].strip()
+            tail = None
+            ret = body[m_return.end():].strip()
+        else:
+            raise ValueError("MATCH without RETURN or CREATE")
+        elems, rest = _parse_pattern(pattern_src)
+        bound = self._bind(elems)
+
+        if m_create:
+            # anchor on the (small) binding set; reference flow binds one row
+            anchor_vars = [el.var for el in elems if isinstance(el, _Node) and el.var]
+            rows = bound.select([F.col(f"{v}_id").alias(v) for v in anchor_vars]).collect()
+            out = None
+            for r in rows:
+                anchors = {v: r[v] for v in anchor_vars}
+                out = self._create(tail, anchors)
+            return out if out is not None else self.spark.createDataFrame([], "ok string")
+
+        return self._project_match(bound, ret, elems)
+
+    def _bind(self, elems: list) -> DataFrame:
+        from ..operators.patterns import NodeSpec, RelSpec, match_chain
+
+        pattern = []
+        for j, el in enumerate(elems):
+            if isinstance(el, _Node):
+                var = el.var or f"_anon{self._anon}"
+                self._anon += 1
+                pattern.append(NodeSpec(var, el.label, el.props or None))
+            else:
+                direction = "in" if el.reversed else "out"
+                pattern.append(RelSpec(el.var or f"_r{j}", el.rel_type, direction))
+        return match_chain(self.store.graph, pattern)
+
+    def _project_match(self, bound: DataFrame, ret: str, elems: list) -> DataFrame:
+        # ORDER BY / LIMIT suffixes
+        order_by = limit = None
+        m_ob = re.search(r"\bORDER\s+BY\b", ret, re.IGNORECASE)
+        m_li = re.search(r"\bLIMIT\s+(\d+)\s*$", ret, re.IGNORECASE)
+        if m_li:
+            limit = int(m_li.group(1))
+            ret = ret[: m_li.start()].strip()
+        if m_ob:
+            order_by = ret[m_ob.end():].strip()
+            ret = ret[: m_ob.start()].strip()
+        def _resolve(name: str) -> F.Column:
+            if "." in name:
+                var, prop = name.split(".", 1)
+                return F.col(f"{var}_{prop}")
+            return F.col(f"{name}_id")
+
+        cols = []
+        for item in [i.strip() for i in ret.split(",")]:
+            cnt = re.match(r"count\(\s*(\*|[A-Za-z_]\w*)\s*\)$", item, re.IGNORECASE)
+            if cnt:
+                return bound.agg(F.count("*").cast("long").alias(item))
+            cols.append(_resolve(item).alias(item))
+        # sort on the full binding (ORDER BY may reference unprojected props)
+        if order_by:
+            keys = []
+            for k in order_by.split(","):
+                k = k.strip()
+                desc = k.upper().endswith(" DESC")
+                k = re.sub(r"\s+(A|DE)SC$", "", k, flags=re.IGNORECASE)
+                col = _resolve(k)
+                keys.append(col.desc() if desc else col.asc())
+            bound = bound.orderBy(*keys)
+        out = bound.select(cols)
+        if limit is not None:
+            out = out.limit(limit)
+        return out

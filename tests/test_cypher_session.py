@@ -1,0 +1,90 @@
+"""The serving façade runs the reference test-suite's literal Cypher
+strings (DatabaseIO.java / TestConfSettings.java / StubPluginHelper.java)
+end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from docker_neo4j_spark.admin import AdminError, Dbms
+from docker_neo4j_spark.cypher.session import Session
+
+
+@pytest.fixture
+def session(spark):
+    return Session(spark)
+
+
+def test_reference_smoke_corpus_verbatim(session):
+    # DatabaseIO.putInitialDataIntoContainer (line 42)
+    r = session.run(
+        "CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'}) RETURN arne.name"
+    ).collect()
+    assert r[0]["arne.name"] == "Arne"
+
+    # DatabaseIO.verifyInitialDataInContainer (line 51)
+    r = session.run("MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name").collect()
+    assert [row["a.name"] for row in r] == ["Arne"]
+
+    # DatabaseIO.putMoreDataIntoContainer (line 63) — lowercase 'return'
+    r = session.run(
+        "MATCH (a:dog {name:'Arne'}) CREATE (armstrong:dog {name:'Armstrong'})-[:SNIFFS]->(a) "
+        "return a.name, armstrong.name"
+    ).collect()
+    assert r[0]["a.name"] == "Arne" and r[0]["armstrong.name"] == "Armstrong"
+
+    # DatabaseIO.verifyMoreDataIntoContainer (line 74-86): sorted join
+    r = session.run("MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name").collect()
+    assert ",".join(sorted(row["a.name"] for row in r)) == "Armstrong,Arne"
+
+
+def test_call_listconfig_yield_where(session):
+    # DatabaseIO.getConfigurationSettingAsString (line 92)
+    r = session.run(
+        "CALL dbms.listConfig() YIELD name, value WHERE name='spark.sql.adaptive.enabled' RETURN value"
+    ).collect()
+    assert len(r) == 1 and r[0]["value"] == "true"
+
+
+def test_show_procedures_and_scalar_fn(session):
+    names = [r["name"] for r in session.run("SHOW PROCEDURES").collect()]
+    assert "example.defaultValues" in names
+    # TestConfSettings.java:411 — RETURN apoc.version()
+    from docker_neo4j_spark import __version__
+
+    r = session.run("RETURN apoc.version()").collect()
+    assert r[0]["apoc.version()"] == __version__
+
+
+def test_match_count_and_order_limit(session):
+    session.run("CREATE (a:cat {name:'Zoe', age:3})")
+    session.run("CREATE (a:cat {name:'Ada', age:5})")
+    session.run("CREATE (a:cat {name:'Mio', age:1})")
+    n = session.run("MATCH (n:cat) RETURN count(n)").first()["count(n)"]
+    assert n == 3
+    rows = session.run("MATCH (n:cat) RETURN n.name ORDER BY n.age DESC LIMIT 2").collect()
+    assert [r["n.name"] for r in rows] == ["Ada", "Zoe"]
+
+
+def test_password_flow_through_session(spark):
+    dbms = Dbms.bootstrap("neo4j/firstsecret")
+    s = Session(spark, dbms=dbms, user="neo4j", password="firstsecret")
+    s.run("ALTER CURRENT USER SET PASSWORD FROM 'firstsecret' TO 'secondsecret'")
+    # old password no longer authenticates
+    with pytest.raises(AdminError):
+        Session(spark, dbms=dbms, user="neo4j", password="firstsecret")
+    s2 = Session(spark, dbms=dbms, user="neo4j", password="secondsecret")
+    # legacy CALL dbms.changePassword (DatabaseIO.java:117)
+    s2.run("CALL dbms.changePassword('thirdsecret')")
+    Session(spark, dbms=dbms, user="neo4j", password="thirdsecret")
+
+
+def test_queries_refused_while_stopped(spark):
+    dbms = Dbms.bootstrap("none")
+    s = Session(spark, dbms=dbms)
+    s.run("RETURN 1")
+    dbms.stop_database("neo4j")
+    with pytest.raises(AdminError, match="unavailable"):
+        s.run("MATCH (n) RETURN count(n)")
+    dbms.start_database("neo4j")
+    assert s.run("MATCH (n) RETURN count(n)").first()[0] == 0
