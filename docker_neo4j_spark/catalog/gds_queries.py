@@ -244,6 +244,46 @@ def gds_knn_embeddings(spark, sf_dir):
     return sim.brute_force_topk(e, e.where(F.col("vec_id") < 100), k=3)
 
 
+@register(
+    "gds_all_shortest_paths_to_regions",
+    f"""
+    WITH RECURSIVE e AS ({_EDGES}),
+    seed AS (SELECT CAST(3000000000000 + MIN(c_custkey) AS BIGINT) AS id FROM customer),
+    walk AS (
+      SELECT id AS start_id, id AS end_id, [id] AS path, CAST(0 AS BIGINT) AS hops
+      FROM seed
+      UNION ALL
+      SELECT walk.start_id, e.dst, list_append(walk.path, e.dst), walk.hops + 1
+      FROM walk JOIN e ON e.src = walk.end_id
+      WHERE walk.hops < 5 AND NOT list_contains(walk.path, e.dst)
+    ),
+    to_regions AS (
+      SELECT DISTINCT start_id, end_id, hops, array_to_string(path, '->') AS path_str
+      FROM walk
+      WHERE end_id BETWEEN 1000000000000 AND 1999999999999
+    ),
+    mins AS (SELECT start_id, end_id, MIN(hops) AS hops FROM to_regions GROUP BY 1, 2)
+    SELECT t.start_id, t.end_id, t.hops, t.path_str
+    FROM to_regions t JOIN mins USING (start_id, end_id, hops)
+    """,
+)
+def gds_all_shortest_paths_to_regions(spark, sf_dir):
+    """allShortestPaths: every minimum-length simple path from the lowest
+    customer to each reachable Region, as node-id arrays."""
+    from ..operators import paths as P
+
+    g = build_graph(spark, sf_dir)
+    lo, hi = 1_000_000_000_000, 1_999_999_999_999
+    regions = g.label_frames["Region"].select("id")
+    out = P.all_shortest_paths(g.rels, _seed(g), max_hops=5, targets=regions)
+    return out.select(
+        "start_id",
+        "end_id",
+        "hops",
+        F.concat_ws("->", F.transform("path", lambda x: x.cast("string"))).alias("path_str"),
+    ).distinct()
+
+
 @register("gds_pagerank")  # rows-only: float power iteration
 def gds_pagerank(spark, sf_dir):
     """gds.pageRank (15 iterations, damping 0.85, dangling-mass aware)."""

@@ -205,6 +205,58 @@ def llm_cosine_topk(spark, sf_dir):
     return sim.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """Left-fold double dot product — same operation order as operators.
+    similarity.dot, so results are bit-identical."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+_COS_SQL = (
+    f"{_dot_sql('a.embedding', 'b.embedding')} / greatest("
+    f"sqrt({_dot_sql('a.embedding', 'a.embedding')}) * "
+    f"sqrt({_dot_sql('b.embedding', 'b.embedding')}), 1e-12)"
+)
+
+
+@register(
+    "llm_ivf_topk",
+    f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 50)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def llm_ivf_topk(spark, sf_dir):
+    """IVF ANN: probe the query's coarse cell only (equi-join on the
+    cluster assignment — the inverted-file scale path)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return sim.ivf_topk(e, e.where(F.col("vec_id") < 50), k=5)
+
+
+@register(
+    "llm_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.35
+    """,
+)
+def llm_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by cluster cell."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return sim.cosine_neardup_blocked(e, threshold=0.35)
+
+
 @register("llm_minhash_neardup")  # rows-only: LSH candidate set is approximate
 def llm_minhash_neardup(spark, sf_dir):
     """MinHash+LSH near-dup pairs, Jaccard-verified at 0.5 (banded, bucketed)."""

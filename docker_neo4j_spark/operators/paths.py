@@ -1,0 +1,98 @@
+"""Path enumeration: shortestPath / allShortestPaths (SURVEY.md §2.B.3).
+
+``var_length_expand`` (patterns.py) answers *reachability* — min hops per
+(start, end). This module materializes the *paths themselves* as node-id
+arrays, which is what Cypher's ``shortestPath((a)-[*..k]->(b))`` /
+``allShortestPaths`` bind.
+
+BSP shape: the frontier carries the path array; each superstep joins the
+frontier against the edge set and appends the next node. Simple-path
+semantics (no repeated node within one path — Cypher's rule) via an
+``array_contains`` guard, which also makes the loop terminate on cyclic
+graphs. Paths explode combinatorially by nature — the operator is meant
+for bounded ``max_hops`` and/or a filtered start set, exactly like the
+reference engine's planner assumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enumerate_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    targets: DataFrame | None = None,
+) -> DataFrame:
+    """All simple paths of length 1..max_hops from ``sources`` (id col).
+
+    Returns (start_id, end_id, hops, path) with ``path`` the full node-id
+    array. ``targets`` (id col) filters end nodes if given.
+    """
+    e = edges.select("src", "dst").distinct().repartition("src").cache()
+    frontier = sources.select(
+        F.col("id").alias("start_id"),
+        F.col("id").alias("end_id"),
+        F.array(F.col("id")).alias("path"),
+    )
+    out = None
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(e, frontier["end_id"] == e["src"])
+            .where(~F.array_contains(F.col("path"), F.col("dst")))  # simple paths
+            .select(
+                "start_id",
+                F.col("dst").alias("end_id"),
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+            )
+        )
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        step = frontier.withColumn("hops", F.lit(hop).cast("long"))
+        out = step if out is None else out.unionByName(step)
+    if out is None:
+        return sources.sparkSession.createDataFrame(
+            [], "start_id long, end_id long, hops long, path array<bigint>"
+        )
+    if targets is not None:
+        out = out.join(
+            targets.select(F.col("id").alias("end_id")).distinct(), "end_id", "left_semi"
+        )
+    return out.select("start_id", "end_id", "hops", "path")
+
+
+def all_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    targets: DataFrame | None = None,
+) -> DataFrame:
+    """``allShortestPaths``: every minimum-length path per (start, end).
+
+    Enumerate up to ``max_hops`` then keep paths whose length equals the
+    per-pair minimum (one extra groupBy-min + semi-join — no second
+    traversal).
+    """
+    paths = enumerate_paths(edges, sources, max_hops, targets)
+    mins = paths.groupBy("start_id", "end_id").agg(F.min("hops").alias("hops"))
+    return paths.join(mins, ["start_id", "end_id", "hops"])
+
+
+def shortest_path(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    targets: DataFrame | None = None,
+) -> DataFrame:
+    """``shortestPath``: ONE deterministic minimum-length path per pair —
+    the lexicographically smallest node-id sequence among the shortest
+    (the reference picks an arbitrary one; we pick a stable one so results
+    are reproducible and oracle-comparable)."""
+    best = all_shortest_paths(edges, sources, max_hops, targets)
+    return (
+        best.groupBy("start_id", "end_id", "hops")
+        .agg(F.min("path").alias("path"))
+    )

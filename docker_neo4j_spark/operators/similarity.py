@@ -88,6 +88,88 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cell (the 100 TB path
+    when an inverted-file/centroid assignment exists).
+
+    ``cell_col`` is the coarse-quantizer assignment (here the precomputed
+    cluster id; in production the argmin-centroid of a trained codebook).
+    The join is an equi-join on (cell), so cost is Σ_cell |Q_cell|·|C_cell|
+    instead of |Q|·|C|. Deterministic given the assignment — exact within
+    the probed cell.
+    """
+    c = corpus.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    q = queries.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    scored = (
+        q.join(c, "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_neardup_blocked(
+    df: DataFrame,
+    threshold: float,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking cell —
+    the embedding-space analog of MinHash near-dup: candidates only form
+    inside a block (equi-join on the cell), never all-pairs."""
+    s = df.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    a = s.select(F.col("_cell"), F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = s.select(F.col("_cell"), F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        a.join(b, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> Column:
     """Deterministic pseudo-random hyperplane as plain literal doubles
     (splitmix64-style mix in Python — keeps the Spark expression a flat

@@ -93,3 +93,34 @@ def test_node_similarity_known(spark):
     e = _edges(spark, [(1, 100), (1, 101), (2, 101), (2, 102), (3, 200)])
     out = {(r["node_a"], r["node_b"]): r["jaccard"] for r in gds.node_similarity(e).collect()}
     assert out == {(1, 2): pytest.approx(1 / 3)}
+
+
+def test_enumerate_and_shortest_paths(spark):
+    from docker_neo4j_spark.operators import paths as P
+
+    # diamond with a long detour: 1→2→4, 1→3→4, 1→5→6→4
+    e = _edges(spark, [(1, 2), (2, 4), (1, 3), (3, 4), (1, 5), (5, 6), (6, 4)])
+    seed = _nodes(spark, [1])
+    target = _nodes(spark, [4])
+
+    allp = P.enumerate_paths(e, seed, max_hops=4, targets=target).collect()
+    assert sorted(tuple(r["path"]) for r in allp) == [
+        (1, 2, 4), (1, 3, 4), (1, 5, 6, 4),
+    ]
+
+    shortest_all = P.all_shortest_paths(e, seed, max_hops=4, targets=target).collect()
+    assert sorted(tuple(r["path"]) for r in shortest_all) == [(1, 2, 4), (1, 3, 4)]
+
+    one = P.shortest_path(e, seed, max_hops=4, targets=target).collect()
+    assert [tuple(r["path"]) for r in one] == [(1, 2, 4)]  # lexicographic pick
+
+
+def test_paths_are_simple_on_cycles(spark):
+    from docker_neo4j_spark.operators import paths as P
+
+    # cycle 1→2→3→1 plus exit 3→9: enumeration must terminate, no repeats
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 9)])
+    out = P.enumerate_paths(e, _nodes(spark, [1]), max_hops=6).collect()
+    for r in out:
+        assert len(r["path"]) == len(set(r["path"]))
+    assert max(r["hops"] for r in out) == 3  # 1→2→3→9 is the longest simple path
