@@ -150,6 +150,51 @@ class Conf:
         return messages
 
 
+    def render(self, file: str = "neo4j.conf") -> str:
+        """Config dump (A14): the conf file as ``setting=value`` lines,
+        append-only settings emitted once per value — byte-comparable to
+        what the entrypoint's file would contain."""
+        lines = []
+        for setting, value in self.file(file).items():
+            if isinstance(value, list):
+                lines += [f"{setting}={v}" for v in value]
+            else:
+                lines.append(f"{setting}={value}")
+        return "\n".join(lines)
+
+
+def migrate_legacy_env(env: dict[str, str]) -> tuple[dict[str, str], list[str]]:
+    """Legacy env-var migration (A17): ``NEO4JLABS_PLUGINS`` →
+    ``NEO4J_PLUGINS`` (docker-entrypoint.sh:468-472) — old name keeps
+    working, a deprecation warning is emitted, an explicit new name wins."""
+    out = dict(env)
+    warnings = []
+    if "NEO4JLABS_PLUGINS" in env:
+        warnings.append(
+            "NEO4JLABS_PLUGINS has been renamed to NEO4J_PLUGINS since Neo4j 5.0.0.\n"
+            "The old name will still work, but is likely to be deprecated in future releases."
+        )
+        out.setdefault("NEO4J_PLUGINS", env["NEO4JLABS_PLUGINS"])
+    return out, warnings
+
+
+def run_extension_hook(env: dict[str, str], loader, exists=None) -> bool:
+    """Extension hook (A16, docker-entrypoint.sh:644): if
+    ``EXTENSION_SCRIPT`` points at an existing file, hand it to ``loader``
+    (the sourcing mechanism is injected — Python callers pass e.g.
+    ``runpy.run_path``). Returns whether the hook ran."""
+    import os
+
+    path = env.get("EXTENSION_SCRIPT")
+    if not path:
+        return False
+    exists = exists or os.path.isfile
+    if not exists(path):
+        return False
+    loader(path)
+    return True
+
+
 # ---- semver (docker-image-src/common/semver.jq semantics) ---------------
 
 _VER_RE = re.compile(r"(?P<major>[0-9x*]+)(\.(?P<minor>[0-9x*]+))?(\.?(?P<patch>[0-9x*]+))?")

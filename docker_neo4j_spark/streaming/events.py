@@ -87,6 +87,40 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.dropDuplicates(["event_id"])
 
 
+def stateful_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, sum_value) maintained across micro-batches.
+
+    The state is two numbers per user — the arbitrary-stateful escape
+    hatch the built-in aggregates can't express (e.g. decayed counters,
+    session models). Emits the updated running totals each batch; state
+    is keyed by user_id and bounded by processing-time timeout.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def cdc_upsert_sink(target_path: str, key: str = "event_id"):
     """``foreachBatch`` function: idempotent merge-on-key upsert into a
     parquet-backed table — the CDC publish contract (at-least-once input

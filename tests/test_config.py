@@ -137,3 +137,42 @@ def test_resolve_plugin_jar_min_by():
     assert resolve_plugin_jar(versions, "5.20.0") == "wild.jar"
     assert resolve_plugin_jar(versions, "6.0.0") == "future.jar"
     assert resolve_plugin_jar(versions, "7.1.2") is None
+
+
+def test_legacy_plugins_name_migration():
+    from docker_neo4j_spark.config import migrate_legacy_env
+
+    env, warns = migrate_legacy_env({"NEO4JLABS_PLUGINS": '["apoc"]'})
+    assert env["NEO4J_PLUGINS"] == '["apoc"]'
+    assert any("renamed to NEO4J_PLUGINS" in w for w in warns)
+    # explicit new name wins over the legacy one
+    env2, _ = migrate_legacy_env({"NEO4JLABS_PLUGINS": "old", "NEO4J_PLUGINS": "new"})
+    assert env2["NEO4J_PLUGINS"] == "new"
+    env3, warns3 = migrate_legacy_env({"NEO4J_PLUGINS": "new"})
+    assert env3["NEO4J_PLUGINS"] == "new" and warns3 == []
+
+
+def test_extension_hook(tmp_path):
+    from docker_neo4j_spark.config import run_extension_hook
+
+    script = tmp_path / "ext.py"
+    script.write_text("x = 1")
+    ran = []
+    assert run_extension_hook({"EXTENSION_SCRIPT": str(script)}, ran.append) is True
+    assert ran == [str(script)]
+    assert run_extension_hook({}, ran.append) is False
+    assert run_extension_hook({"EXTENSION_SCRIPT": str(tmp_path / "no")}, ran.append) is False
+    assert ran == [str(script)]
+
+
+def test_config_render_dump():
+    conf = Conf()
+    conf.add_docker_default("server.directories.logs", "/logs")
+    conf.add_env_setting("server.jvm.additional", "-Dfoo=1")
+    conf.add_env_setting("server.jvm.additional", "-Dbar=2")
+    out = conf.render()
+    assert out.splitlines() == [
+        "server.directories.logs=/logs",
+        "server.jvm.additional=-Dfoo=1",
+        "server.jvm.additional=-Dbar=2",
+    ]

@@ -78,3 +78,30 @@ def test_cdc_upsert_idempotent(spark, event_dir, tmp_path):
     replay = src.limit(1)
     sink(new.unionByName(replay), 2)
     assert spark.read.parquet(target).count() == src.count() + 1
+
+
+def test_stateful_running_totals(spark, event_dir):
+    from docker_neo4j_spark.streaming.events import stateful_running_totals
+
+    stream = read_event_stream(spark, event_dir)
+    out = stateful_running_totals(stream)
+    run_stream_to_memory(out, "running_totals", output_mode="update")
+    got = spark.table("running_totals")
+
+    # counts only grow: the max row per user is the final state, and it
+    # must equal the batch groupBy over the full input
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value")
+    )
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    f = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in final.collect()}
+    b = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in batch.collect()}
+    assert f == b
+    # state persisted across micro-batches: some user must appear in
+    # multiple batches with growing counts (4 input files -> 4 batches)
+    multi = got.groupBy("user_id").agg(F.count("*").alias("k")).where(F.col("k") > 1).count()
+    assert multi > 0
