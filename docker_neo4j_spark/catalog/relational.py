@@ -21,7 +21,7 @@ from ..operators.patterns import (
     pattern_predicate,
     var_length_expand,
 )
-from ..sources.tpch import build_graph
+from ..sources.tpch import build_graph, load_tables
 from . import register
 
 
@@ -743,3 +743,62 @@ def intersect_names(spark, sf_dir):
     b = g.rels_by_type("IN_NATION").where(F.col("src") >= 4_000_000_000_000)
     s = b.select((F.col("dst") - 2_000_000_000_000).cast("int").alias("nationkey"))
     return c.intersect(s)
+
+
+@register(
+    "except_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 0
+    EXCEPT SELECT c_nationkey FROM customer WHERE c_acctbal > 9900
+    """,
+)
+def except_nations(spark, sf_dir):
+    """except (set difference) — nations with positive-balance customers
+    but none above the 9900 cutoff."""
+    c = load_tables(spark, sf_dir)["customer"]
+    a = c.where(F.col("c_acctbal") > 0).select(F.col("c_nationkey").alias("nationkey"))
+    b = c.where(F.col("c_acctbal") > 9900).select(F.col("c_nationkey").alias("nationkey"))
+    return a.distinct().exceptAll(b.distinct())
+
+
+@register(
+    "agg_percentile_cont",
+    """
+    WITH s AS (
+      SELECT o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders)
+    SELECT o_orderstatus,
+           CAST(SUM(CASE
+             WHEN rk = CAST(floor(1 + (n - 1) * 0.5) AS BIGINT)
+               THEN o_totalprice * (1 - ((n - 1) * 0.5 - floor((n - 1) * 0.5)))
+             WHEN rk = CAST(floor(1 + (n - 1) * 0.5) AS BIGINT) + 1
+               THEN o_totalprice * ((n - 1) * 0.5 - floor((n - 1) * 0.5))
+             ELSE 0 END) AS DOUBLE) AS p50
+    FROM s GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_cont(spark, sf_dir):
+    """percentileCont(x, 0.5) — linear-interpolated median per group,
+    computed with the same explicit rank/interpolation formula on both
+    sides (engine-native quantile functions differ in convention)."""
+    g = build_graph(spark, sf_dir)
+    o = g.nodes_by_label("Order")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderstatus")
+    pos = (F.col("n") - 1) * 0.5
+    lo = F.floor(pos) + 1
+    frac = pos - F.floor(pos)
+    contrib = (
+        F.when(F.col("rk") == lo.cast("long"), F.col("o_totalprice") * (1 - frac))
+        .when(F.col("rk") == lo.cast("long") + 1, F.col("o_totalprice") * frac)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        o.select("o_orderstatus", "o_totalprice", "o_orderkey")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wc))
+        .groupBy("o_orderstatus")
+        .agg(F.sum(contrib).cast("double").alias("p50"))
+    )

@@ -14,8 +14,33 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..sources.tpch import load_tables
-from ..streaming.events import dedup_within_watermark, windowed_counts
+from ..streaming.events import dedup_within_watermark, session_counts, windowed_counts
 from . import register
+
+
+@register(
+    "stream_session_windows_batch",
+    """
+    WITH t AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t)
+    SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows_batch(spark, sf_dir):
+    """Gap-based session windows — batch twin of the streaming
+    session_window aggregate, graded against gaps-and-islands SQL."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return session_counts(ev, gap="5 minutes")
 
 
 @register(

@@ -78,6 +78,26 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session windows (gap-based): events closer than ``gap``
+    merge into one session; a ≥gap silence closes it. Works on batch and
+    streaming frames (streaming closes sessions at the watermark)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful exactly-once dedup on event_id within the watermark horizon."""
     if events.isStreaming:
