@@ -279,6 +279,19 @@ def llm_ann_topk(spark, sf_dir):
     return sim.ann_topk(e, e.where(F.col("vec_id") < 10), k=5, dim=64)
 
 
+@register("llm_embed_and_search")  # rows-only: pandas_udf encoder is engine-side
+def llm_embed_and_search(spark, sf_dir):
+    """genai.vector.encode + vector top-k end-to-end: Arrow-batched
+    embedding of the documents, then cosine top-3 over the fresh column."""
+    from ..operators.embed import embed_documents
+
+    d = load_tables(spark, sf_dir)["documents"]
+    emb = embed_documents(d, dim=32).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return sim.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+
+
 @register("llm_multimodal_features")  # rows-only: mapInPandas feature extraction
 def llm_multimodal_features(spark, sf_dir):
     """Binary media column → Arrow-batched feature extraction (stubbed codec)."""

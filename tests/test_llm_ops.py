@@ -140,3 +140,33 @@ def test_fingerprint_order_sensitivity(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(df).collect()}
     assert fp[1] == fp[3]
     assert fp[1] != fp[2]
+
+
+def test_embed_text_deterministic_and_normalized(spark):
+    from docker_neo4j_spark.operators.embed import embed_documents
+
+    df = spark.createDataFrame(
+        [(1, "spark engine fast"), (2, "spark engine fast"), (3, "completely different words")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["embedding"] for r in embed_documents(df, dim=16).collect()}
+    assert out[1] == out[2]  # deterministic across rows/processes
+    assert out[1] != out[3]
+    norm = sum(x * x for x in out[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+    assert len(out[1]) == 16
+
+
+def test_kafka_wiring_gated(spark):
+    from docker_neo4j_spark.streaming.kafka import kafka_available, read_kafka_events
+
+    if kafka_available(spark):
+        df = read_kafka_events(spark, "localhost:9092", "events")
+        assert df.isStreaming
+    else:
+        # connector jar absent in this container: building the reader must
+        # fail with Spark's standard missing-data-source error, not a crash
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="kafka|KAFKA|DATA_SOURCE"):
+            read_kafka_events(spark, "localhost:9092", "events")
