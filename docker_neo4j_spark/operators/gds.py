@@ -149,15 +149,17 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did").cache()
     n = nodes.select("id").cache()
     n_total = n.count()
+    # the dangling node SET is static — compute once, broadcast per round
+    dangling_ids = n.join(deg, n["id"] == deg["_did"], "left_anti").cache()
+    dangling_ids.count()
     pr = _ckpt(n.select("id", F.lit(1.0).alias("pr")))
     for _ in range(iterations):
-        with_deg = pr.join(deg, pr["id"] == deg["_did"], "left").drop("_did")
-        dangling = with_deg.where(F.col("_deg").isNull()).agg(
+        dangling = pr.join(F.broadcast(dangling_ids), "id").agg(
             F.coalesce(F.sum("pr"), F.lit(0.0))
         ).first()[0]
         contribs = (
-            with_deg.where(F.col("_deg").isNotNull())
-            .join(e, with_deg["id"] == e["src"])
+            pr.join(deg, pr["id"] == deg["_did"])
+            .join(e, pr["id"] == e["src"])
             .select(F.col("dst").alias("id"), (F.col("pr") / F.col("_deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
