@@ -133,6 +133,25 @@ class GraphStore:
             nodes = nodes.withColumn(k, F.when(cond, F.lit(v)).otherwise(old))
         self._swap(nodes=nodes)
 
+    def remove_props(self, label: str, match_props: dict, prop_names: list[str]) -> None:
+        """``MATCH (n:Label {match}) REMOVE n.k`` — null out the property
+        on matching rows only (the column itself stays for other labels)."""
+        self.set_props(label, match_props, {k: None for k in prop_names})
+
+    def merge_rel(self, rel_type: str, src: int, dst: int, props: dict | None = None) -> int:
+        """``MERGE (a)-[:TYPE]->(b)`` for known endpoints — create iff no
+        rel of this type already connects them; returns the rel id."""
+        existing = (
+            self.graph.rels.where(
+                (F.col("type") == rel_type) & (F.col("src") == src) & (F.col("dst") == dst)
+            )
+            .select("id")
+            .take(1)
+        )
+        if existing:
+            return existing[0]["id"]
+        return self.create_rels(rel_type, [(src, dst)], [props or {}])[0]
+
     def delete_nodes(self, label: str, detach: bool = True, **props) -> None:
         """``MATCH (n:Label {props}) [DETACH] DELETE n``."""
         doomed = self.match_nodes(label, **props).select("id")

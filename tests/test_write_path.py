@@ -104,3 +104,24 @@ def test_load_csv_import(spark, tmp_path):
     ids = [r["id"] for r in store.match_nodes("dog").orderBy("name").collect()]
     store.create_rels("SNIFFS", [(ids[0], ids[1])])
     assert store.expand("dog", "SNIFFS", "dog").count() == 1
+
+
+def test_remove_props_and_merge_rel(spark):
+    store = GraphStore(spark)
+    (a,) = store.create_nodes("dog", [{"name": "Arne", "age": 7}])
+    (b,) = store.create_nodes("dog", [{"name": "Bosse", "age": 3}])
+
+    # REMOVE n.age on Arne only
+    store.remove_props("dog", {"name": "Arne"}, ["age"])
+    ages = {r["name"]: r["age"] for r in store.match_nodes("dog").collect()}
+    assert ages == {"Arne": None, "Bosse": 3}
+
+    # MERGE rel: second call is a no-op returning the same id
+    r1 = store.merge_rel("SNIFFS", a, b)
+    r2 = store.merge_rel("SNIFFS", a, b)
+    assert r1 == r2
+    assert store.graph.rels.count() == 1
+    # different type between same endpoints is a new rel
+    r3 = store.merge_rel("LIKES", a, b)
+    assert r3 != r1
+    assert store.graph.rels.count() == 2
