@@ -209,20 +209,26 @@ def load_csv(
 def import_nodes_from_csv(
     store: GraphStore, path: str, label: str, **csv_opts
 ) -> int:
-    """LOAD CSV → CREATE nodes, fully distributed (no driver collect):
-    rows get ids from a monotonic base + row hash-free sequence via
-    zipWithIndex-style window on a stable ordering of all columns."""
-    from pyspark.sql.window import Window
+    """LOAD CSV → CREATE nodes, fully distributed (no driver collect).
 
+    Ids come from ``zipWithIndex`` over a contiguous reserved block —
+    per-partition counting with one tiny driver-side offset exchange, the
+    scale-safe unique-id assignment (a global-sort window would funnel the
+    whole import through one partition)."""
     df = load_csv(store.spark, path, **csv_opts)
     base = next(store._node_ids)
     # reserve a contiguous block
     n = df.count()
     for _ in range(n - 1):
         next(store._node_ids)
-    w = Window.orderBy(*df.columns)
-    new = df.withColumn("id", F.row_number().over(w) + F.lit(base - 1)).withColumn(
-        "labels", F.array(F.lit(label))
+    schema = df.schema
+    indexed = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    new = store.spark.createDataFrame(
+        indexed, schema.add("_idx", "long")
+    ).select(
+        (F.col("_idx") + F.lit(base)).alias("id"),
+        F.array(F.lit(label)).alias("labels"),
+        *[F.col(c) for c in df.columns],
     )
     store._swap(nodes=store._union_missing(store.graph.nodes, new))
     return n
