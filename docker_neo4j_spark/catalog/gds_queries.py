@@ -305,6 +305,20 @@ def gds_label_propagation(spark, sf_dir):
     return gds.label_propagation(edges, nodes, max_iter=6)
 
 
+@register("gds_louvain")  # rows-only: modularity-gain iteration (float, tie-break-sensitive)
+def gds_louvain(spark, sf_dir):
+    """gds.louvain (synchronous local-moving, deterministic tie-break)."""
+    g = build_graph(spark, sf_dir)
+    edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
+    nodes = (
+        g.label_frames["Customer"].select("id")
+        .unionByName(g.label_frames["Supplier"].select("id"))
+        .unionByName(g.label_frames["Nation"].select("id"))
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    return gds.louvain(edges, nodes, max_iter=5)
+
+
 @register(
     "gds_graph_project",
     """

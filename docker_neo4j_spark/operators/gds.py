@@ -216,6 +216,106 @@ def label_propagation(
     return lab
 
 
+def louvain(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """gds.louvain — modularity-based community detection: (id, community).
+
+    Synchronous BSP form of Louvain's local-moving phase. Each round a node
+    scores every candidate community C (its neighbors' communities plus its
+    own) by the modularity term ΔQ ∝ k_in(v→C) − deg(v)·Σtot(C∖v)/2m —
+    Σtot excludes v's own degree when C is v's current community, so
+    "stay" and "move" are compared on equal footing — and adopts the argmax
+    (ties → smallest community id). Two distributed-adaptation details,
+    both standard in BSP Louvain (cf. Que et al., "Scalable Community
+    Detection with the Louvain Algorithm", IPDPS'15):
+
+    - **Parity gating**: only nodes whose hash parity matches the iteration
+      parity may move, which breaks the two-cycle where adjacent nodes
+      simultaneously swap into each other's communities and never converge.
+    - **No coarsening phase**: the sequential reference also contracts
+      communities and recurses; one local-moving pass is the standard
+      distributed surface (state stays (id, community), one groupBy + three
+      joins per round).
+
+    Stops at a fixpoint (a full even+odd pair with no moves) or ``max_iter``.
+    """
+    e = undirect(edges).distinct().repartition("src").cache()
+    two_m = e.count()  # each undirected edge counted twice = 2m
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did").cache()
+    comm = _ckpt(nodes.select("id", F.col("id").alias("community")))
+    stable = 0
+    for it in range(max_iter):
+        # community degree mass Σtot(C)
+        sigma = (
+            comm.join(deg, comm["id"] == deg["_did"])
+            .groupBy("community")
+            .agg(F.sum("_deg").alias("_sigma"))
+            .withColumnRenamed("community", "cand")
+        )
+        # k_in(v → C): edges from v into each neighboring community, plus a
+        # zero row for v's own community so "stay" is always a candidate
+        nbr_comm = comm.select(F.col("id").alias("_nid"), F.col("community").alias("_c"))
+        k_in = (
+            e.join(nbr_comm, e["dst"] == nbr_comm["_nid"])
+            .groupBy(F.col("src").alias("id"), F.col("_c").alias("cand"))
+            .agg(F.count("*").cast("double").alias("_kin"))
+            .unionByName(
+                comm.select("id", F.col("community").alias("cand"), F.lit(0.0).alias("_kin"))
+            )
+            .groupBy("id", "cand")
+            .agg(F.max("_kin").alias("_kin"))
+        )
+        own = comm.withColumnRenamed("community", "_own")
+        scored = (
+            k_in.join(deg, k_in["id"] == deg["_did"])
+            .join(sigma, "cand")
+            .join(own, "id")
+            .select(
+                "id",
+                "cand",
+                "_own",
+                (
+                    F.col("_kin")
+                    - F.col("_deg").cast("double")
+                    * (
+                        F.col("_sigma")
+                        - F.when(F.col("cand") == F.col("_own"), F.col("_deg")).otherwise(F.lit(0))
+                    )
+                    / F.lit(float(two_m))
+                ).alias("_gain"),
+            )
+        )
+        best = scored.groupBy("id").agg(
+            F.max_by(
+                "cand", F.struct(F.col("_gain").alias("g"), (-F.col("cand")).alias("t"))
+            ).alias("_best"),
+        )
+        movable = F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(it % 2)
+        # left join keeps isolated nodes (absent from deg/k_in) in place
+        new_comm = _ckpt(
+            comm.join(best, "id", "left").select(
+                "id",
+                F.when(movable & F.col("_best").isNotNull(), F.col("_best"))
+                .otherwise(F.col("community"))
+                .alias("community"),
+            )
+        )
+        changed = new_comm.join(
+            comm.withColumnRenamed("community", "_old"), "id"
+        ).where(F.col("community") != F.col("_old"))
+        if changed.isEmpty():
+            stable += 1
+            if stable >= 2:  # a full even+odd pair with no moves
+                break
+        else:
+            stable = 0
+        comm = new_comm
+    e.unpersist()
+    deg.unpersist()
+    return comm
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over an undirected simple graph.
 

@@ -88,6 +88,19 @@ def test_label_propagation_two_cliques(spark):
     assert len({out[7], out[8], out[9]}) == 1
 
 
+def test_louvain_two_cliques(spark):
+    # same bridged-cliques shape as LPA: Louvain must separate the cliques
+    # and must NOT merge them across the single bridge edge
+    clique1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    clique2 = [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a < b]
+    e = _edges(spark, clique1 + clique2 + [(3, 7)])
+    n = _nodes(spark, [1, 2, 3, 7, 8, 9])
+    out = {r["id"]: r["community"] for r in gds.louvain(e, n, max_iter=8).collect()}
+    assert len({out[1], out[2], out[3]}) == 1
+    assert len({out[7], out[8], out[9]}) == 1
+    assert out[1] != out[9]
+
+
 def test_node_similarity_known(spark):
     # a and b share 1 of 3 total neighbors; a and c share nothing
     e = _edges(spark, [(1, 100), (1, 101), (2, 101), (2, 102), (3, 200)])
