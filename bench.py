@@ -73,6 +73,10 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in names:
+        # Isolate queries from each other: cached frames and localCheckpoint
+        # RDDs left behind by a previous query otherwise pressure executor
+        # memory and skew later timings (measured ~8 s on gds_pagerank).
+        spark.catalog.clearCache()
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()

@@ -145,13 +145,36 @@ def pagerank(
     Σpr = N is preserved each round. Per round: one join + one groupBy-sum
     shuffle + one scalar aggregate for the dangling mass.
     """
-    e = edges.select("src", "dst").repartition("src").cache()
-    deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did").cache()
+    e = edges.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did")
+    # (src, dst, 1/deg(src)) is static across iterations — join deg into the
+    # edge list ONCE, partitioned by the per-round join key, instead of
+    # re-joining deg inside every power iteration (15 joins → 1).
+    e_deg = (
+        e.join(deg, e["src"] == deg["_did"])
+        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_invdeg"))
+        .repartition("src")
+        .cache()
+    )
     n = nodes.select("id").cache()
     n_total = n.count()
-    # the dangling node SET is static — compute once, broadcast per round
-    dangling_ids = n.join(deg, n["id"] == deg["_did"], "left_anti").cache()
+    # Two static node sets, computed once and reused every round:
+    # - dangling (no OUT-edges): their mass redistributes uniformly
+    # - sink-only (no IN-edges): they receive exactly the base term, so the
+    #   per-round update is `contribs ∪ no_in` — a union, not an N-row
+    #   outer join (the join was a SortMergeJoin that re-exchanged and
+    #   re-sorted all N node ids every iteration).
+    # Anti-join against the DISTINCT endpoint sets (≤N rows; AQE broadcasts
+    # them when they fit) rather than the raw edge list — the naive
+    # anti-join sort-merge-shuffles all |E| edges twice just to derive two
+    # ≤N-row node sets. No broadcast hint: at cluster scale the id set can
+    # exceed driver memory and AQE must be free to keep the shuffle join.
+    src_set = e_deg.select("src").distinct()
+    dst_set = e_deg.select("dst").distinct()
+    dangling_ids = n.join(src_set, n["id"] == src_set["src"], "left_anti").cache()
     dangling_ids.count()
+    no_in_ids = n.join(dst_set, n["id"] == dst_set["dst"], "left_anti").cache()
+    no_in_ids.count()
     pr = _ckpt(n.select("id", F.lit(1.0).alias("pr")))
     for _ in range(iterations):
         # Separate small scalar job for the dangling mass: folding it into
@@ -162,19 +185,21 @@ def pagerank(
             F.coalesce(F.sum("pr"), F.lit(0.0))
         ).first()[0]
         contribs = (
-            pr.join(deg, pr["id"] == deg["_did"])
-            .join(e, pr["id"] == e["src"])
-            .select(F.col("dst").alias("id"), (F.col("pr") / F.col("_deg")).alias("c"))
+            pr.join(e_deg, pr["id"] == e_deg["src"])
+            .select(F.col("dst").alias("id"), (F.col("pr") * F.col("_invdeg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
         base = (1.0 - damping) + damping * dangling / n_total
         pr = _ckpt(
-            n.join(contribs, "id", "left").select(
-                "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
-            )
+            contribs.select(
+                "id", (F.lit(base) + F.lit(damping) * F.col("c")).alias("pr")
+            ).unionByName(no_in_ids.select("id", F.lit(base).alias("pr")))
         )
+    e_deg.unpersist()
+    n.unpersist()
+    dangling_ids.unpersist()
+    no_in_ids.unpersist()
     return pr
 
 
