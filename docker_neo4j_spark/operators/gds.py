@@ -53,23 +53,30 @@ def bfs(
     ``sources``: DataFrame with an ``id`` column (dist 0 seeds).
     """
     e = (undirect(edges) if undirected else edges.select("src", "dst")).repartition("src").cache()
-    dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
-    frontier = dist.select("id")
+    frontier = _ckpt(sources.select("id").distinct())
+    # One checkpoint per level (the frontier); `visited` and the result stay
+    # lazy unions of the already-materialized levels, so each superstep
+    # materializes only the new frontier instead of frontier + full dist.
+    levels = [frontier.select("id", F.lit(0).cast("long").alias("dist"))]
+    visited = frontier
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier["id"] == e["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(dist, "id", "left_anti")
+            .join(visited, "id", "left_anti")
         )
         nxt = _ckpt(nxt)
         if nxt.isEmpty():
             break
-        dist = _ckpt(
-            dist.unionByName(nxt.select("id", F.lit(depth).cast("long").alias("dist")))
-        )
+        levels.append(nxt.select("id", F.lit(depth).cast("long").alias("dist")))
+        visited = visited.unionByName(nxt)
         frontier = nxt
-    return dist
+    e.unpersist()
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
 
 
 def sssp(
@@ -85,24 +92,29 @@ def sssp(
     """
     e = edges.select("src", "dst", F.col(weight_col).alias("_w")).repartition("src").cache()
     dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
+    # Delta/frontier Bellman-Ford: only nodes whose distance improved last
+    # round relax their out-edges — classic full Bellman-Ford re-relaxed
+    # every settled node every round (|settled|×deg join work per round) and
+    # needed a separate convergence-check job; here the improved frontier IS
+    # the convergence check (empty → fixpoint).
+    frontier = dist
     for _ in range(max_iter):
-        relaxed = (
-            dist.join(e, dist["id"] == e["src"])
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
             .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("dist"))
-        )
-        new_dist = (
-            dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
-        new_dist = _ckpt(new_dist)
-        # converged when no node improved
-        improved = new_dist.join(
-            dist.withColumnRenamed("dist", "_old"), "id", "left"
-        ).where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+        improved = _ckpt(
+            cand.join(dist.withColumnRenamed("dist", "_old"), "id", "left")
+            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("id", "dist")
+        )
         if improved.isEmpty():
-            return new_dist
-        dist = new_dist
+            break
+        dist = _ckpt(dist.join(improved, "id", "left_anti").unionByName(improved))
+        frontier = improved
+    e.unpersist()
     return dist
 
 
