@@ -65,6 +65,24 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     return F.array(*[_one(i) for i in range(num_hashes)])
 
 
+def shingle_frame(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """(_k, _sh) per document — the shared map stage of the near-dup pipeline.
+
+    Materializes shingles as a real column: downstream expressions reference
+    it num_hashes times, and Catalyst does not CSE across lambda boundaries —
+    inlining would re-tokenize+re-shingle 32× per row (measured 10×+
+    slowdown). Also spreads a few-file input across cores: the map work is
+    embarrassingly parallel.
+    """
+    src = df.select(F.col(key).alias("_k"), F.col(text_col).alias("_t"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.select("_k", shingles("_t", shingle_n).alias("_sh"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -73,26 +91,20 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: (key_a, key_b, band hits) with key_a < key_b.
 
     rows→(doc, band_id, band_hash)→groupBy bucket→pairs inside bucket.
     The only shuffles are the explode-groupBy on (band_id, band_hash) and
     the final pair dedup — never an all-pairs join.
+
+    ``shingled``: optional precomputed ``shingle_frame`` (lets the full
+    pipeline shingle the corpus once instead of once per stage).
     """
     rows = num_hashes // bands
-    # Materialize shingles as a real column first: the signature references
-    # it num_hashes times, and Catalyst does not CSE across lambda
-    # boundaries — inlining would re-tokenize+re-shingle 32× per row
-    # (measured 10×+ slowdown). Also spread a few-file input across cores:
-    # the map work is embarrassingly parallel.
-    src = df.select(F.col(key).alias("_k"), F.col(text_col).alias("_t"))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    sig = src.select(
-        "_k", shingles("_t", shingle_n).alias("_sh")
-    ).select("_k", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+    sh = shingled if shingled is not None else shingle_frame(df, text_col, key, shingle_n)
+    sig = sh.select("_k", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
     banded = sig.select(
         "_k",
         F.explode(
@@ -130,16 +142,14 @@ def jaccard_pairs(
     text_col: str = "text",
     key: str = "doc_id",
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify stage).
 
     Joins the (small) candidate set against per-doc shingle arrays twice —
     at scale, candidates ≪ corpus so both joins broadcast the candidate side.
     """
-    sh = df.select(F.col(key).alias("_k"), shingles(text_col, shingle_n).alias("_sh"))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if sh.rdd.getNumPartitions() < par:
-        sh = sh.repartition(par)
+    sh = shingled if shingled is not None else shingle_frame(df, text_col, key, shingle_n)
     out = (
         candidates.join(sh.withColumnRenamed("_k", "key_a").withColumnRenamed("_sh", "_sha"), "key_a")
         .join(sh.withColumnRenamed("_k", "key_b").withColumnRenamed("_sh", "_shb"), "key_b")
@@ -164,9 +174,14 @@ def near_dup_dedup(
     """Full near-dup pipeline: LSH candidates → Jaccard verify → keep set.
 
     Returns (key_a, key_b, jaccard) for verified near-duplicate pairs.
+    The shingle frame (the expensive tokenize+n-gram map stage) is computed
+    once and cached across the candidate and verify stages.
     """
-    cand = minhash_lsh_candidates(df, text_col, key, num_hashes, bands)
-    return jaccard_pairs(df, cand, text_col, key).where(F.col("jaccard") >= threshold)
+    sh = shingle_frame(df, text_col, key).cache()
+    cand = minhash_lsh_candidates(df, text_col, key, num_hashes, bands, shingled=sh)
+    return jaccard_pairs(df, cand, text_col, key, shingled=sh).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:

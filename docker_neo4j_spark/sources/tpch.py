@@ -67,7 +67,24 @@ REL_BASE = {
 }
 
 
+def _session_memo(spark: SparkSession) -> dict:
+    """Per-session memo for catalog objects (lazy frames over immutable
+    parquet). Rebuilding the table/graph catalog on every query call costs
+    ~3.5 s of driver-side work (parquet footer reads × 10 tables + plan
+    construction) — a real engine builds its catalog once at startup.
+    Stored on the session object so lifetime matches the session."""
+    memo = getattr(spark, "_graft_catalog_memo", None)
+    if memo is None:
+        memo = {}
+        spark._graft_catalog_memo = memo
+    return memo
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    memo = _session_memo(spark)
+    ck = ("tables", os.path.abspath(sf_dir))
+    if ck in memo:
+        return dict(memo[ck])
     # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
     # read nanos as long and truncate to micros with *integer* division —
     # the same truncation DuckDB applies loading ns into its us-precision
@@ -80,6 +97,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out["events"] = ev
+    memo[ck] = dict(out)
     return out
 
 
@@ -96,7 +114,14 @@ def build_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGr
     Relationships: IN_REGION (Nation->Region), IN_NATION (Customer->Nation,
     Supplier->Nation), PLACED (Customer->Order), CONTAINS (Order->Part,
     carrying lineitem properties), SUPPLIED_BY (lineitem: Part->Supplier).
+
+    Memoized per (session, sf_dir): the projection is a pure lazy plan over
+    immutable parquet, and catalog queries call this on every invocation.
     """
+    memo = _session_memo(spark)
+    ck = ("graph", os.path.abspath(sf_dir))
+    if ck in memo:
+        return memo[ck]
     t = load_tables(spark, sf_dir)
 
     def nodes_of(df: DataFrame, label: str, key: str, props: list[str]) -> DataFrame:
@@ -219,10 +244,12 @@ def build_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGr
     rels = None
     for df in type_frames.values():
         rels = df if rels is None else rels.unionByName(df)
-    return PropertyGraph(
+    g = PropertyGraph(
         nodes=nodes,
         rels=rels,
         label_frames=label_frames,
         type_frames=type_frames,
         small_labels=frozenset({"Region", "Nation"}),
     )
+    memo[ck] = g
+    return g
