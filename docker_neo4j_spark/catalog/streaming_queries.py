@@ -44,6 +44,35 @@ def stream_session_windows_batch(spark, sf_dir):
 
 
 @register(
+    "stream_sessionize_batch",
+    """
+    WITH t AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize_batch(spark, sf_dir):
+    """Batch twin of the event-time-timeout sessionizer (the
+    applyInPandasWithState operator whose streaming close-on-timeout path
+    is pytest-graded); (user, start, end, n) per gap session."""
+    from ..streaming.events import stateful_sessionize
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return stateful_sessionize(ev, gap="10 minutes")
+
+
+@register(
     "stream_windowed_counts_batch",
     """
     SELECT date_trunc('hour', ts) AS window_start,

@@ -113,8 +113,9 @@ def stateful_running_totals(events: DataFrame, watermark: str = "1 hour") -> Dat
 
     The state is two numbers per user — the arbitrary-stateful escape
     hatch the built-in aggregates can't express (e.g. decayed counters,
-    session models). Emits the updated running totals each batch; state
-    is keyed by user_id and bounded by processing-time timeout.
+    session models). Emits the updated running totals each batch; state is
+    keyed by user_id and lives for the stream's lifetime (running totals
+    never expire — for timeout-closed state see ``stateful_sessionize``).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -138,6 +139,121 @@ def stateful_running_totals(events: DataFrame, watermark: str = "1 hour") -> Dat
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _duration_ms(text: str) -> int:
+    """'10 minutes' / '30 seconds' / '2 hours' → milliseconds."""
+    qty, unit = text.strip().split()
+    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000}[unit.rstrip("s")]
+    return int(qty) * mult
+
+
+def stateful_sessionize(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user sessionization with **event-time timeout** state close:
+    (user_id, session_start, session_end, n_events), one row per CLOSED
+    session.
+
+    The timeout path ``session_window`` can't express: state carries the
+    open session; every batch extends it and re-arms
+    ``setTimeoutTimestamp(last_event + gap)``; when the watermark passes
+    that point the group is invoked with ``hasTimedOut`` and the closed
+    session is emitted exactly once (append mode — only finalized rows).
+
+    On a batch frame this degrades to the deterministic ``session_window``
+    equivalent (min/max/count per gap-session), which is the oracle twin
+    the streaming path is differentially tested against.
+    """
+    if not events.isStreaming:
+        return (
+            events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count("*").cast("long").alias("n_events"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, end long, n long"  # event-time micros
+    gap_ms = _duration_ms(gap)
+
+    gap_us = gap_ms * 1_000
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        def rows(sessions):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": [pd.to_datetime(s, unit="us") for s, _, _ in sessions],
+                    "session_end": [pd.to_datetime(e, unit="us") for _, e, _ in sessions],
+                    "n_events": [n for _, _, n in sessions],
+                }
+            )
+
+        if state.hasTimedOut:
+            closed = [state.get]
+            state.remove()
+            yield rows(closed)
+            return
+        start, end, n = state.get if state.exists else (None, None, 0)
+        parts = [
+            pdf["ts"].astype("int64").to_numpy() // 1_000 for pdf in pdfs if len(pdf)
+        ]
+        if not parts:
+            return
+        ts = np.sort(np.concatenate(parts))
+        # split the batch into gap-separated segments (vectorized)
+        cuts = np.flatnonzero(np.diff(ts) > gap_us)
+        segs = np.split(ts, cuts + 1)
+        closed = []
+        if start is not None and int(ts[0]) - end <= gap_us:
+            # first segment continues the open session
+            seg0 = segs[0]
+            start = min(start, int(seg0[0]))
+            end = max(end, int(seg0[-1]))
+            n += len(seg0)
+            remaining = segs[1:]
+        else:
+            if start is not None:
+                closed.append((start, end, n))
+            remaining = segs
+            start = None
+        if remaining:
+            # segments are gap-separated, so everything before the last one
+            # (including a just-extended open session) is finalized; the
+            # last segment becomes the new open session
+            if start is not None:
+                closed.append((start, end, n))
+            for seg in remaining[:-1]:
+                closed.append((int(seg[0]), int(seg[-1]), len(seg)))
+            last = remaining[-1]
+            start, end, n = int(last[0]), int(last[-1]), len(last)
+        state.update((start, end, n))
+        state.setTimeoutTimestamp(end // 1_000 + gap_ms)
+        if closed:
+            yield rows(closed)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -105,3 +105,71 @@ def test_stateful_running_totals(spark, event_dir):
     # multiple batches with growing counts (4 input files -> 4 batches)
     multi = got.groupBy("user_id").agg(F.count("*").alias("k")).where(F.col("k") > 1).count()
     assert multi > 0
+
+
+def test_stateful_sessionize_timeout_close(spark, tmp_path):
+    """Event-time-timeout state close: sessions finalize either when a
+    later-than-gap event arrives (in-band split) or when the watermark
+    passes last_event+gap (hasTimedOut path); both must match the batch
+    session_window twin."""
+    import os
+    import time as _time
+
+    from docker_neo4j_spark.streaming.events import stateful_sessionize
+
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    base = "2024-01-01T{}:00"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            [(i, ts, u, "click", 1.0, "{}") for i, (ts, u) in enumerate(rows)],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        sub = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(sub))
+        part = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+        target = d / name
+        os.rename(sub / part, target)
+        os.utime(target, (mtime, mtime))
+
+    t0 = _time.time() - 1000
+    # batch 1: user1 session (10:00, 10:02), user2 session (10:01)
+    write_file("f1.parquet", [(base.format("10"), 1), ("2024-01-01T10:02:00", 1), ("2024-01-01T10:01:00", 2)], t0)
+    # batch 2: user2 at 13:00 — > gap after 10:01, closes user2's first session in-band
+    write_file("f2.parquet", [("2024-01-01T13:00:00", 2)], t0 + 10)
+    # batch 3: user3 at 16:00 — advances the watermark past user1's timeout
+    write_file("f3.parquet", [("2024-01-01T16:00:00", 3)], t0 + 20)
+
+    stream = read_event_stream(spark, str(d))
+    out = stateful_sessionize(stream, gap="10 minutes", watermark="1 hour")
+    run_stream_to_memory(out, "sessions_closed", output_mode="append")
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.table("sessions_closed").collect()
+    }
+    # user1 closes by timeout (watermark passes 10:12); user2's first
+    # session closes in-band when 13:00 arrives; user2's second closes by
+    # timeout in the final batch (watermark 15:00 > 13:10). user3 (16:00,
+    # timeout 16:10) is still open when the stream drains — never emitted.
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:02:00", 2),
+        (2, "2024-01-01 10:01:00", "2024-01-01 10:01:00", 1),
+        (2, "2024-01-01 13:00:00", "2024-01-01 13:00:00", 1),
+    }
+
+    # every closed session must also be a row of the batch twin
+    twin = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in stateful_sessionize(
+            spark.read.parquet(str(d)), gap="10 minutes"
+        ).collect()
+    }
+    assert got <= twin
