@@ -159,9 +159,15 @@ class Dbms:
     # ---- backup / restore (TestBackupRestore.java:117-159) ------------
     def backup(self, name: str, graph) -> None:
         """Online snapshot: the store stays queryable (frames are immutable,
-        so the snapshot is just a reference — O(1), consistent)."""
+        so the snapshot is just a reference — O(1), consistent).
+
+        Passing a mutable ``GraphStore`` captures its *current* immutable
+        PropertyGraph, not the store itself — writes that land after the
+        backup swap in new frames and must not leak into the snapshot
+        (reference takes online backups against a live, written-to db:
+        TestBackupRestore.java:117-159)."""
         self.check_queryable(name)
-        self.snapshots[name] = graph
+        self.snapshots[name] = getattr(graph, "graph", graph)
 
     def restore(self, name: str):
         """Restore requires the database stopped, like the reference."""

@@ -105,3 +105,23 @@ def test_server_report(spark):
     assert rep["databases"]["neo4j"] == "online"
     assert rep["users"] == ["neo4j"]
     assert "spark_version" in rep and "conf" in rep
+
+
+def test_backup_is_consistent_while_writes_in_flight(spark):
+    """An online backup must be a point-in-time snapshot: writes committed
+    after the backup may not leak into it (the reference backs up a live,
+    written-to database)."""
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    store = GraphStore(spark)
+    store.create_nodes("dog", [{"name": "Arne"}])
+    dbms = Dbms.bootstrap("none")
+    dbms.backup("neo4j", store)
+
+    store.create_nodes("dog", [{"name": "Armstrong"}])
+    assert store.graph.nodes.count() == 2  # live store sees the new write
+
+    dbms.stop_database("neo4j")
+    snap = dbms.restore("neo4j")
+    names = [r["name"] for r in snap.nodes.select("name").collect()]
+    assert names == ["Arne"]
