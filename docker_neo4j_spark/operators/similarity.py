@@ -248,11 +248,13 @@ def ann_topk(
     q = qb.select(
         "query_id", "_qv", "_qn", F.explode(F.array(*probes)).alias("bucket")
     )
+    # Score INSIDE the join pipeline (before any shuffle), then dedupe
+    # multi-table hits on the (query, neighbor, sim) scalar triple — a
+    # dropDuplicates on the raw candidate rows would shuffle both full
+    # embedding vectors (~40× more bytes) per candidate instead.
     scored = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
@@ -261,6 +263,8 @@ def ann_topk(
                 / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
             ).alias("sim"),
         )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
