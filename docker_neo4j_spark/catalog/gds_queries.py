@@ -305,6 +305,40 @@ def gds_label_propagation(spark, sf_dir):
     return gds.label_propagation(edges, nodes, max_iter=6)
 
 
+@register(
+    "gds_local_clustering",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT id, COUNT(*) AS d FROM (
+        SELECT p1 AS id FROM e UNION ALL SELECT p2 FROM e) GROUP BY id),
+    tri AS (
+      SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z
+      FROM e e1 JOIN e e2 ON e2.p1 = e1.p2 JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+    pn AS (
+      SELECT id, COUNT(*) AS t FROM (
+        SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      GROUP BY id)
+    SELECT deg.id, CAST(COALESCE(pn.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.d >= 2
+                THEN 2.0 * COALESCE(pn.t, 0) / (deg.d * (deg.d - 1))
+                ELSE 0.0 END AS coeff
+    FROM deg LEFT JOIN pn ON pn.id = deg.id
+    """,
+)
+def gds_local_clustering(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient on the part
+    co-occurrence graph (wedge closure, never all-pairs)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    co = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return gds.local_clustering(co)
+
+
 @register("gds_louvain")  # rows-only: modularity-gain iteration (float, tie-break-sensitive)
 def gds_louvain(spark, sf_dir):
     """gds.louvain (synchronous local-moving, deterministic tie-break)."""

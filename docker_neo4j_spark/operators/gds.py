@@ -375,6 +375,53 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri.agg(F.count("*").cast("long").alias("triangles"))
 
 
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient:
+    (id, triangles, coeff) with coeff = 2·t / (deg·(deg−1)), 0 when deg<2.
+
+    Same wedge-closure join as ``triangle_count`` (each triangle found once
+    as a<b<c), then each triangle credits its three vertices via an
+    explode-groupBy — still degree-bounded equi-joins, never all-pairs.
+    Covers the gds.triangleCount per-node stream / localClusteringCoefficient
+    surface (SURVEY §2.B.10).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("_deg"))
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("_t"))
+    )
+    return deg.join(per_node, "id", "left").select(
+        "id",
+        F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("_deg") >= 2,
+            2.0
+            * F.coalesce(F.col("_t"), F.lit(0)).cast("double")
+            / (F.col("_deg") * (F.col("_deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )
+
+
 def node_similarity(
     edges: DataFrame,
     top_k: int | None = None,

@@ -78,6 +78,17 @@ def test_triangle_count_known(spark):
     assert gds.triangle_count(e2).first()["triangles"] == 1
 
 
+def test_local_clustering_known(spark):
+    # two triangles share edge (2,3); 5 dangles off 4
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 5)])
+    out = {r["id"]: (r["triangles"], r["coeff"]) for r in gds.local_clustering(e).collect()}
+    assert out[1] == (1, pytest.approx(1.0))       # deg 2, 1 triangle
+    assert out[2] == (2, pytest.approx(2 / 3))     # deg 3, 2 triangles
+    assert out[3] == (2, pytest.approx(2 / 3))
+    assert out[4] == (1, pytest.approx(1 / 3))     # deg 3, 1 triangle
+    assert out[5] == (0, pytest.approx(0.0))       # deg 1 → coeff 0
+
+
 def test_label_propagation_two_cliques(spark):
     clique1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
     clique2 = [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a < b]
