@@ -48,6 +48,17 @@ def default_master() -> str:
     return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
 
 
+def resolve_conf(extra_conf: dict[str, str] | None = None) -> dict[str, str]:
+    """The A15 command-synthesis step as a pure function: layer engine
+    defaults under caller overrides (default-no-overwrite vs
+    explicit-overwrite, the same split the reference entrypoint implements
+    for neo4j.conf before exec'ing the engine)."""
+    conf = dict(ENGINE_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    return conf
+
+
 def get_spark(
     app_name: str = "docker-neo4j-spark",
     master: str | None = None,
@@ -56,13 +67,9 @@ def get_spark(
     """Build (or reuse) the engine session with layered defaults.
 
     Precedence (lowest to highest): ENGINE_DEFAULT_CONF < extra_conf —
-    the same default-no-overwrite vs explicit-overwrite split the reference
-    entrypoint implements for neo4j.conf.
+    see ``resolve_conf``.
     """
     builder = SparkSession.builder.appName(app_name).master(master or default_master())
-    conf = dict(ENGINE_DEFAULT_CONF)
-    if extra_conf:
-        conf.update(extra_conf)
-    for k, v in conf.items():
+    for k, v in resolve_conf(extra_conf).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -17,6 +17,7 @@ from docker_neo4j_spark.config import (
     migrate_legacy_env,
     semver_match,
 )
+from docker_neo4j_spark.session import ENGINE_DEFAULT_CONF, resolve_conf
 
 # setting names: dotted lowercase words, never starting with a digit,
 # never an append-only key
@@ -114,3 +115,23 @@ def test_legacy_migration_explicit_name_wins(env):
         assert out["NEO4J_PLUGINS"] == expected
     else:
         assert out == env and not warnings
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(sorted(ENGINE_DEFAULT_CONF) + ["user.custom.key"]),
+        _value,
+        max_size=4,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_session_conf_layering_a15(extra):
+    """A15: caller conf always beats engine defaults; untouched defaults
+    all survive; no other keys appear."""
+    out = resolve_conf(extra)
+    for k, v in extra.items():
+        assert out[k] == v
+    for k, v in ENGINE_DEFAULT_CONF.items():
+        if k not in extra:
+            assert out[k] == v
+    assert set(out) == set(ENGINE_DEFAULT_CONF) | set(extra)

@@ -105,11 +105,12 @@ def test_louvain_two_cliques(spark):
     clique1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
     clique2 = [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a < b]
     e = _edges(spark, clique1 + clique2 + [(3, 7)])
-    n = _nodes(spark, [1, 2, 3, 7, 8, 9])
+    n = _nodes(spark, [1, 2, 3, 7, 8, 9, 99])
     out = {r["id"]: r["community"] for r in gds.louvain(e, n, max_iter=8).collect()}
     assert len({out[1], out[2], out[3]}) == 1
     assert len({out[7], out[8], out[9]}) == 1
     assert out[1] != out[9]
+    assert out[99] == 99  # isolated node keeps its own community
 
 
 def test_node_similarity_known(spark):
