@@ -164,6 +164,48 @@ def gds_wcc_supply_zones(spark, sf_dir):
 
 
 @register(
+    "gds_wcc_star_supply_zones",
+    f"""
+    WITH RECURSIVE e0 AS (
+      SELECT CAST(4000000000000 + s_suppkey AS BIGINT) AS src,
+             CAST(2000000000000 + s_nationkey AS BIGINT) AS dst FROM supplier
+      UNION ALL
+      SELECT CAST(2000000000000 + n_nationkey AS BIGINT),
+             CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    n AS (
+      SELECT CAST(4000000000000 + s_suppkey AS BIGINT) AS id FROM supplier
+      UNION SELECT CAST(2000000000000 + n_nationkey AS BIGINT) FROM nation
+      UNION SELECT CAST(1000000000000 + r_regionkey AS BIGINT) FROM region
+    ),
+    r AS (
+      SELECT id, id AS comp FROM n
+      UNION
+      SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id
+    )
+    SELECT id, MIN(comp) AS comp FROM r GROUP BY id
+    """,
+)
+def gds_wcc_star_supply_zones(spark, sf_dir):
+    """Same components as gds_wcc_supply_zones through the O(log n)
+    large-star/small-star contraction kernel instead of O(diameter)
+    min-label BSP — the high-diameter scale path."""
+    g = build_graph(spark, sf_dir)
+    sup_lo = 4_000_000_000_000
+    edges = g.type_frames["IN_NATION"].where(F.col("src") >= sup_lo).unionByName(
+        g.type_frames["IN_REGION"]
+    ).select("src", "dst")
+    nodes = (
+        g.label_frames["Supplier"]
+        .select("id")
+        .unionByName(g.label_frames["Nation"].select("id"))
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    return gds.wcc_star(edges, nodes)
+
+
+@register(
     "gds_triangle_count_copart",
     """
     WITH e AS (

@@ -145,6 +145,71 @@ def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
     return comp
 
 
+def wcc_star(edges: DataFrame, nodes: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Weakly-connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): (id, comp) with comp = min node id in the component
+    — identical output contract to ``wcc``.
+
+    Scale rationale: min-label propagation (``wcc``) needs O(diameter)
+    rounds — fine on the TPC-H supply graph (diameter ≤ 4), quadratic
+    pain on a 10⁶-hop path at 100 TB. Star contraction hangs every node
+    under its component minimum in O(log n) rounds regardless of diameter.
+    Each round is two groupBy-min + join shuffles over the shrinking edge
+    list.
+    """
+    e = (
+        undirect(edges)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e = _ckpt(e.select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")))
+    for _ in range(max_iter):
+        # large-star: every node connects its LARGER neighbors to the
+        # minimum of its neighborhood (incl. itself)
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = large.where(F.col("u") != F.col("v")).distinct()
+        # small-star: every node connects its smaller neighbors (and
+        # itself) to the minimum of those
+        sym1 = e1.unionByName(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sub = sym1.where(F.col("v") < F.col("u"))
+        mins_s = sub.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            sub.join(mins_s, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins_s.select("u", F.col("m").alias("v")))
+        )
+        new_e = _ckpt(
+            small.where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+        # fixpoint: the star forest stops changing
+        if (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).isEmpty()
+        ):
+            e = new_e
+            break
+        e = new_e
+    # at the fixpoint every edge is (member, root); isolated nodes root themselves
+    comp = e.groupBy("u").agg(F.min("v").alias("comp")).withColumnRenamed("u", "id")
+    roots = comp.select(F.col("comp").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    covered = comp.unionByName(roots)
+    rest = nodes.select("id").join(covered, "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    return covered.unionByName(rest)
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,

@@ -53,6 +53,36 @@ def test_wcc_two_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_wcc_star_equals_minlabel_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.04
+        ]
+        if not edges:
+            edges = [(0, 1)]
+        e = _edges(spark, edges)
+        nodes = _nodes(spark, list(range(n)))
+        ml = {r["id"]: r["comp"] for r in gds.wcc(e, nodes).collect()}
+        st = {r["id"]: r["comp"] for r in gds.wcc_star(e, nodes).collect()}
+        assert st == ml, f"trial {trial}"
+
+
+def test_wcc_star_long_path_and_isolated(spark):
+    # 30-hop path: min-label needs 30 rounds, star contraction O(log n)
+    e = _edges(spark, [(i, i + 1) for i in range(30)])
+    n = _nodes(spark, list(range(31)) + [99])
+    out = {r["id"]: r["comp"] for r in gds.wcc_star(e, n, max_iter=10).collect()}
+    assert all(out[i] == 0 for i in range(31))
+    assert out[99] == 99
+
+
 def test_pagerank_cycle_uniform_and_mass(spark):
     # 3-cycle: perfectly symmetric → pr = 1.0 each; total mass preserved
     e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
