@@ -28,6 +28,24 @@ _PUNCT = """regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')"""
 
 
 @register(
+    "llm_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+             AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def llm_token_counts(spark, sf_dir):
+    """Whitespace + GPT-2-style BPE-ish token counts per document."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return tx.token_counts(d)
+
+
+@register(
     "llm_text_stats",
     f"""
     SELECT doc_id,

@@ -24,6 +24,14 @@ from pyspark.sql import functions as F
 TOKEN_RE = "[a-z0-9]+"
 PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
 
+# GPT-2-style pre-tokenizer pattern (public: openai/gpt-2 encoder.py),
+# restricted to the Java-regex ∩ RE2 dialect so Spark and the DuckDB
+# oracle segment identically: contractions, optionally-space-prefixed
+# letter runs / digit runs / symbol runs. The original's trailing
+# `\s+(?!\S)` clause needs lookahead (absent from RE2) and only affects
+# pure-whitespace tokens, which a token COUNT ignores anyway.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
 # Tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic. Deliberately small and overlapping-free enough to separate the
 # corpus languages (en/de/es/fr + CJK detection for zh).
@@ -39,6 +47,21 @@ def tokens(text) -> Column:
     """Lowercased word tokens via regexp extraction (JVM-side)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def token_counts(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Whitespace and BPE-ish token counts per document (the brief's
+    'token counting' row): (key, n_ws_tokens, n_bpe_tokens).
+
+    Whitespace tokens = non-empty splits on ``\\s+``; BPE-ish tokens =
+    matches of the GPT-2 pre-tokenizer pattern (see ``BPE_TOKEN_RE``).
+    Map-only, two columns read, full codegen.
+    """
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long")
+    return df.select(key, ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
 
 
 def text_stats(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:

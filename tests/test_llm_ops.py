@@ -170,3 +170,24 @@ def test_kafka_wiring_gated(spark):
 
         with _pytest.raises(Exception, match="kafka|KAFKA|DATA_SOURCE"):
             read_kafka_events(spark, "localhost:9092", "events")
+
+
+def test_token_counts_known_strings(spark):
+    from docker_neo4j_spark.operators.text import token_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world"),                # ws 2; bpe: Hello, " world"
+            (2, "don't stop"),                 # ws 2; bpe: don, 't, " stop"
+            (3, "  a  b  "),                   # ws 2 (empty splits dropped)
+            (4, "x123,y!"),                    # bpe: x, 123, ",", y, "!"
+            (5, ""),                           # 0 / 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_counts(df).collect()}
+    assert out[1] == (2, 2)
+    assert out[2] == (2, 3)
+    assert out[3] == (2, 2)
+    assert out[4] == (1, 5)
+    assert out[5] == (0, 0)
