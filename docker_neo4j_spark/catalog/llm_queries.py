@@ -260,6 +260,16 @@ def llm_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(e, e.where(F.col("vec_id") < 50), k=5)
 
 
+@register("llm_ivf_trained")  # rows-only: KMeans float iterations are engine-specific
+def llm_ivf_trained(spark, sf_dir):
+    """End-to-end trained inverted file: KMeans codebook → cell
+    assignment → nprobe=2 probed exact-cosine top-5 (recall vs brute
+    force is pytest-graded)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    assigned, centroids = sim.ivf_build(e, n_cells=16, seed=42)
+    return sim.ivf_search(assigned, centroids, e.where(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
 @register(
     "llm_embedding_neardup",
     f"""

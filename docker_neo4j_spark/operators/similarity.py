@@ -170,6 +170,105 @@ def cosine_neardup_blocked(
     )
 
 
+def ivf_build(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a KMeans coarse quantizer and assign every corpus vector to a
+    cell — the inverted-file build step behind ``ivf_topk``'s assumed cell
+    column. Returns (assigned corpus with ``_cell``, centroids frame
+    (_cell, _centroid)).
+
+    Scale: the codebook is n_cells×dim floats (driver-tiny, broadcast to
+    searches); assignment is one ``model.transform`` map pass; the
+    assigned frame is what you'd write back to parquet partitioned by
+    cell.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = corpus.select(
+        id_col,
+        vec_col,
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=20, featuresCol="_v", predictionCol="_cell"
+    ).fit(v)
+    assigned = model.transform(v).select(
+        id_col, vec_col, F.col("_cell").cast("long").alias("_cell")
+    )
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "_cell long, _centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over a trained inverted file: each query probes its ``nprobe``
+    nearest cells (ranked by centroid distance against the broadcast
+    codebook), then exact cosine within the probed cells — cost
+    Σ_probed |cell|, never |Q|·|C|."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    d = F.col("_qv").cast("array<double>")
+    dist2 = F.aggregate(
+        F.zip_with(d, F.col("_centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("_cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "_qv", "_qn", "_cell", dist2.alias("_d2"))
+        .withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "_qv", "_qn", "_cell")
+    )
+    c = assigned.select(
+        "_cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        probes.join(c, "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
+            ).alias("sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> Column:
     """Deterministic pseudo-random hyperplane as plain literal doubles
     (splitmix64-style mix in Python — keeps the Spark expression a flat

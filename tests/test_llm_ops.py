@@ -191,3 +191,22 @@ def test_token_counts_known_strings(spark):
     assert out[3] == (2, 2)
     assert out[4] == (1, 5)
     assert out[5] == (0, 0)
+
+
+def test_ivf_trained_recall_and_determinism(spark, emb):
+    """KMeans-codebook IVF: nprobe=3 of 8 cells recovers ≥60% of exact
+    top-5; same seed → identical assignment and results."""
+    assigned, centroids = sim.ivf_build(emb, n_cells=8, seed=42)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = sim.ivf_search(assigned, centroids, queries, k=5, nprobe=3).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hit / n_exact >= 0.6
+
+    assigned2, centroids2 = sim.ivf_build(emb, n_cells=8, seed=42)
+    a1 = sorted((r["vec_id"], r["_cell"]) for r in assigned.collect())
+    a2 = sorted((r["vec_id"], r["_cell"]) for r in assigned2.collect())
+    assert a1 == a2
