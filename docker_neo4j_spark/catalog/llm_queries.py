@@ -327,3 +327,12 @@ def llm_multimodal_features(spark, sf_dir):
     return mm.extract_features(mm.attach_media(d)).select(
         "media_id", "format", "n_bytes", F.size("feature").cast("long").alias("feat_dim")
     )
+
+
+@register("llm_multimodal_frames")  # rows-only: mapInPandas row fan-out (stubbed slicer)
+def llm_multimodal_frames(spark, sf_dir):
+    """Resize + frame-sample plumbing: one media row fans out to sampled
+    frames (media_id, frame_idx, frame bytes) through Arrow batches."""
+    d = load_tables(spark, sf_dir)["documents"]
+    frames = mm.sample_frames(mm.attach_media(d), frame_bytes=64, every_n=2, max_frames=4)
+    return frames.select("media_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes"))

@@ -50,6 +50,25 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
 
 def attach_media(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """Synthesize a media table from text payloads (test harness for the
@@ -93,3 +112,73 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: nearest-neighbor byte subsample of the
+    payload to exactly width·height bytes (cycled if short). Stands in for
+    a real PIL ``Image.resize``; same signature and output contract (a
+    payload of the target pixel count)."""
+    n = width * height
+    if not payload:
+        return bytes(n)
+    step = max(len(payload) // n, 1)
+    out = (payload[::step] * ((n // max(len(payload[::step]), 1)) + 1))[:n]
+    return bytes(out)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Batch image resize over ``mapInPandas`` (Arrow in/out, one worker
+    per partition): payload → width×height payload + dims metadata.
+
+    The codec is a clearly-marked deterministic fake (`_fake_resize`);
+    swap in PIL per format for real deployments — the Spark-side schema,
+    partitioning, and batch flow are the real contract.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id", "format"]].copy()
+            out["payload"] = pdf["payload"].map(
+                lambda p: _fake_resize(bytes(p), width, height)
+            )
+            out["n_bytes"] = out["payload"].map(len).astype("int64")
+            out["width"] = width
+            out["height"] = height
+            yield out[["media_id", "payload", "format", "n_bytes", "width", "height"]]
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every_n: int = 2, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling over ``mapInPandas``: one input row fans out to
+    one row per sampled frame (media_id, frame_idx, frame).
+
+    The payload is treated as concatenated fixed-size frames (the fake
+    container format); every ``every_n``-th frame is kept up to
+    ``max_frames``. Real deployments swap the slicer for an ffmpeg
+    keyframe extractor — the row-fan-out shape (Arrow batches in, MORE
+    rows out) is the part Spark cares about.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                n_frames = max(len(p) // frame_bytes, 1)
+                kept = 0
+                for i in range(0, n_frames, every_n):
+                    if kept >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(p[i * frame_bytes : (i + 1) * frame_bytes])
+                    kept += 1
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -210,3 +210,24 @@ def test_ivf_trained_recall_and_determinism(spark, emb):
     a1 = sorted((r["vec_id"], r["_cell"]) for r in assigned.collect())
     a2 = sorted((r["vec_id"], r["_cell"]) for r in assigned2.collect())
     assert a1 == a2
+
+
+def test_resize_and_frame_sample_contracts(spark, docs):
+    media = mm.attach_media(docs.limit(20))
+
+    resized = mm.resize_images(media, width=16, height=4).cache()
+    assert resized.count() == 20
+    bad = resized.where((F.col("n_bytes") != 64) | (F.length("payload") != 64)).count()
+    assert bad == 0  # every payload is exactly width*height bytes
+    # deterministic: same input -> byte-identical output
+    again = {r["media_id"]: bytes(r["payload"]) for r in mm.resize_images(media, 16, 4).collect()}
+    for r in resized.collect():
+        assert bytes(r["payload"]) == again[r["media_id"]]
+
+    frames = mm.sample_frames(media, frame_bytes=32, every_n=2, max_frames=3).cache()
+    # fan-out: every media row yields 1..3 frames, indices are even
+    per = {r["media_id"]: r["n"] for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per) == {r["media_id"] for r in media.select("media_id").collect()}
+    assert all(1 <= n <= 3 for n in per.values())
+    assert frames.where(F.col("frame_idx") % 2 != 0).count() == 0
+    assert frames.where(F.length("frame") > 32).count() == 0
