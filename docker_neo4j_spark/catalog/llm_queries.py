@@ -299,6 +299,14 @@ def llm_simhash(spark, sf_dir):
     return dd.simhash(d)
 
 
+@register("llm_simhash_neardup")  # rows-only: xxhash64-derived signatures
+def llm_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs via 4×16-bit banding (exact recall at
+    Hamming ≤ 3 by pigeonhole; bucket join, never all-pairs)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return dd.simhash_neardup(d, max_hamming=3)
+
+
 @register("llm_ann_topk")  # rows-only: ANN is approximate by design
 def llm_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-5 (the scale path; recall vs brute

@@ -216,3 +216,55 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataF
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs: (key_a, key_b, hamming) with hamming ≤
+    ``max_hamming``.
+
+    Bands the 64-bit signature into 4×16-bit chunks and bucket-joins on
+    (band, chunk) — by pigeonhole, any pair within Hamming distance 3 has
+    at least one identical chunk, so recall is EXACT for the default
+    radius (same candidates-only-inside-a-bucket shape as MinHash LSH;
+    never all-pairs). Candidates are then verified with ``hamming64``.
+    """
+    sig = simhash(df, text_col, key).cache()
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+        )
+        for b in range(4)
+    ]
+    banded = sig.select(
+        F.col(key).alias("_k"), F.explode(F.array(*bands)).alias("band")
+    ).select("_k", "band.band_id", "band.chunk")
+    buckets = (
+        banded.groupBy("band_id", "chunk")
+        .agg(F.collect_list("_k").alias("ks"))
+        .where((F.size("ks") > 1) & (F.size("ks") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode("ks").alias("a"), F.col("ks"))
+        .select("a", F.explode("ks").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(key).alias("a"), F.col("simhash").alias("_sa"))
+    sb = sig.select(F.col(key).alias("b"), F.col("simhash").alias("_sb"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            F.col("a").alias("key_a"),
+            F.col("b").alias("key_b"),
+            hamming64(F.col("_sa"), F.col("_sb")).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

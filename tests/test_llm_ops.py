@@ -231,3 +231,33 @@ def test_resize_and_frame_sample_contracts(spark, docs):
     assert all(1 <= n <= 3 for n in per.values())
     assert frames.where(F.col("frame_idx") % 2 != 0).count() == 0
     assert frames.where(F.length("frame") > 32).count() == 0
+
+
+def test_simhash_neardup_exact_recall_within_radius(spark, docs):
+    """4x16-bit banding gives EXACT recall for Hamming <= 3 (pigeonhole):
+    the banded bucket join must find every brute-force pair."""
+    d = docs.limit(60).cache()
+    got = {
+        (r["key_a"], r["key_b"], r["hamming"])
+        for r in dd.simhash_neardup(d, max_hamming=3).collect()
+    }
+    sig = dd.simhash(d)
+    a = sig.select(F.col("doc_id").alias("key_a"), F.col("simhash").alias("_sa"))
+    b = sig.select(F.col("doc_id").alias("key_b"), F.col("simhash").alias("_sb"))
+    brute = {
+        (r["key_a"], r["key_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b",
+            dd.hamming64(F.col("_sa"), F.col("_sb")).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+    # and a duplicated doc is found at hamming 0
+    twin = d.limit(1).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    withdup = d.select("doc_id", "text").unionByName(twin)
+    dup = dd.simhash_neardup(withdup, max_hamming=0).collect()
+    assert any(r["hamming"] == 0 for r in dup)
