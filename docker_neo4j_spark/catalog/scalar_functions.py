@@ -339,3 +339,28 @@ def fn_approx_count_distinct(spark, sf_dir):
         cy.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+
+
+@register(
+    "fn_point_suite",
+    """
+    SELECT c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS px,
+           CAST(c_nationkey AS DOUBLE) AS py,
+           sqrt((c_acctbal - 1000.0) * (c_acctbal - 1000.0)
+                + (c_nationkey - 12.0) * (c_nationkey - 12.0)) AS dist
+    FROM customer
+    """,
+)
+def fn_point_suite(spark, sf_dir):
+    """POINT shim: point({x,y}) construction, accessors, cartesian
+    point.distance (IEEE-exact: *, −, +, sqrt only — oracle-safe)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    p = cy.point(F.col("c_acctbal"), F.col("c_nationkey"))
+    ref = cy.point(F.lit(1000.0), F.lit(12.0))
+    return c.select(
+        "c_custkey",
+        cy.point_x(p).alias("px"),
+        cy.point_y(p).alias("py"),
+        cy.point_distance(p, ref).alias("dist"),
+    )

@@ -213,6 +213,47 @@ def duration_between_days(a, b) -> Column:
     return F.datediff(_c(b), _c(a)).cast("long")
 
 
+# ---------------------------------------------------------------- spatial ----
+# POINT as a plain struct + function shims (SURVEY §7.2 "custom types").
+
+def point(x, y) -> Column:
+    """point({x: …, y: …}) → struct<x double, y double> (cartesian CRS)."""
+    return F.struct(_c(x).cast("double").alias("x"), _c(y).cast("double").alias("y"))
+
+
+def point_x(p) -> Column:
+    return _c(p)["x"]
+
+
+def point_y(p) -> Column:
+    return _c(p)["y"]
+
+
+def point_distance(a, b) -> Column:
+    """point.distance(a, b) for cartesian points: √(Δx²+Δy²).
+
+    Uses only correctly-rounded IEEE ops (*, −, +, sqrt), so the result is
+    bit-identical across engines — oracle-safe, unlike trig-based
+    geographic distance (libm-dependent; see ``haversine_m``)."""
+    dx = point_x(a) - point_x(b)
+    dy = point_y(a) - point_y(b)
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def haversine_m(lat1, lon1, lat2, lon2) -> Column:
+    """Geographic (WGS-84 sphere) distance in meters between lat/lon
+    degree pairs — the point.distance geographic-CRS analog. Trig results
+    are libm-dependent in the last ulp, so this is pytest-graded (known
+    city pairs ± tolerance), never hash-compared against another engine."""
+    r = 6_371_008.8  # mean earth radius, meters
+    la1, lo1, la2, lo2 = (F.radians(_c(c).cast("double")) for c in (lat1, lon1, lat2, lon2))
+    a = (
+        F.sin((la2 - la1) / 2) ** 2
+        + F.cos(la1) * F.cos(la2) * F.sin((lo2 - lo1) / 2) ** 2
+    )
+    return F.lit(2.0 * r) * F.asin(F.sqrt(a))
+
+
 def year(x) -> Column:
     return F.year(_c(x))
 

@@ -80,3 +80,19 @@ def test_properties_map_and_json(spark):
     assert df.select(cy.json_extract("js", "$.k").alias("v")).first()["v"] == "7"
     got = df.select(cy.map_get(cy.from_json_map("js", "long"), "k").alias("v")).first()["v"]
     assert got == 7
+
+
+def test_point_and_haversine(spark):
+    from docker_neo4j_spark.functions import cypher as cy
+
+    df = spark.createDataFrame([(0.0, 0.0, 3.0, 4.0)], "ax double, ay double, bx double, by double")
+    r = df.select(
+        cy.point_distance(cy.point("ax", "ay"), cy.point("bx", "by")).alias("d"),
+        cy.point_x(cy.point("ax", "ay")).alias("x"),
+    ).first()
+    assert r["d"] == 5.0 and r["x"] == 0.0
+
+    # Paris (48.8566, 2.3522) — Berlin (52.52, 13.405): ~878 km
+    g = spark.createDataFrame([(48.8566, 2.3522, 52.52, 13.405)], "a double, b double, c double, d double")
+    km = g.select((cy.haversine_m("a", "b", "c", "d") / 1000.0).alias("km")).first()["km"]
+    assert abs(km - 878) < 10
