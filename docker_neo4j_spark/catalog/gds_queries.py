@@ -381,6 +381,14 @@ def gds_local_clustering(spark, sf_dir):
     return gds.local_clustering(co)
 
 
+@register("gds_personalized_pagerank")  # rows-only: float power iteration
+def gds_personalized_pagerank(spark, sf_dir):
+    """gds.pageRank with sourceNodes: rank personalized on the lowest
+    customer; mass stays in its reachable neighborhood."""
+    g = build_graph(spark, sf_dir)
+    return gds.personalized_pagerank(g.rels, _seed(g), g.nodes, iterations=10)
+
+
 @register("gds_louvain")  # rows-only: modularity-gain iteration (float, tie-break-sensitive)
 def gds_louvain(spark, sf_dir):
     """gds.louvain (synchronous local-moving, deterministic tie-break)."""

@@ -145,6 +145,65 @@ def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
     return comp
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 15,
+    damping: float = 0.85,
+) -> DataFrame:
+    """gds.pageRank with ``sourceNodes`` (personalized / topic-sensitive
+    PageRank): (id, pr) with Σpr = 1; teleport and dangling mass both
+    return to the uniform distribution over ``sources`` instead of all
+    nodes, so rank concentrates on the sources' neighborhoods and nodes
+    unreachable from them score exactly 0.
+
+    Same per-round shape as ``pagerank`` (one edge join + one groupBy-sum
+    + a scalar dangling aggregate); the teleport set rides as a small
+    cached frame unioned into each update.
+    """
+    e = edges.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did")
+    e_deg = (
+        e.join(deg, e["src"] == deg["_did"])
+        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_invdeg"))
+        .repartition("src")
+        .cache()
+    )
+    src_set = e_deg.select("src").distinct()
+    s = sources.select("id").distinct().cache()
+    n_sources = s.count()
+    teleport = s.select("id", F.lit(1.0 / n_sources).alias("_t")).cache()
+    dangling_ids = nodes.select("id").join(
+        src_set, nodes["id"] == src_set["src"], "left_anti"
+    ).cache()
+    dangling_ids.count()
+    pr = _ckpt(teleport.select("id", F.col("_t").alias("pr")))
+    for _ in range(iterations):
+        dangling = pr.join(F.broadcast(dangling_ids), "id").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0))
+        ).first()[0]
+        contribs = (
+            pr.join(e_deg, pr["id"] == e_deg["src"])
+            .select(F.col("dst").alias("id"), (F.col("pr") * F.col("_invdeg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        # teleport share: (1-d) plus the dangling mass re-teleported
+        scale = (1.0 - damping) + damping * dangling
+        pr = _ckpt(
+            contribs.select("id", (F.lit(damping) * F.col("c")).alias("pr"))
+            .unionByName(teleport.select("id", (F.lit(scale) * F.col("_t")).alias("pr")))
+            .groupBy("id")
+            .agg(F.sum("pr").alias("pr"))
+        )
+    e_deg.unpersist()
+    s.unpersist()
+    teleport.unpersist()
+    dangling_ids.unpersist()
+    return pr
+
+
 def wcc_star(edges: DataFrame, nodes: DataFrame, max_iter: int = 50) -> DataFrame:
     """Weakly-connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and

@@ -179,3 +179,26 @@ def test_paths_are_simple_on_cycles(spark):
     for r in out:
         assert len(r["path"]) == len(set(r["path"]))
     assert max(r["hops"] for r in out) == 3  # 1→2→3→9 is the longest simple path
+
+
+def test_personalized_pagerank_locality_and_mass(spark):
+    # two disconnected 3-cycles; personalize on a node of the first
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (7, 8), (8, 9), (9, 7)])
+    n = _nodes(spark, [1, 2, 3, 7, 8, 9])
+    seed = _nodes(spark, [1])
+    out = {r["id"]: r["pr"] for r in gds.personalized_pagerank(e, seed, n, iterations=25).collect()}
+    # mass sums to 1 and stays in the seed's component
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert all(out.get(i, 0.0) == 0.0 for i in (7, 8, 9))
+    # the seed outranks its cycle-mates (teleport returns to it)
+    assert out[1] > out[2] and out[1] > out[3]
+
+
+def test_personalized_pagerank_dangling_returns_to_source(spark):
+    # 1 -> 2, 2 dangling: mass teleports back to 1, never leaks; sum = 1
+    e = _edges(spark, [(1, 2)])
+    n = _nodes(spark, [1, 2, 5])
+    out = {r["id"]: r["pr"] for r in gds.personalized_pagerank(e, _nodes(spark, [1]), n, iterations=30).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out.get(5, 0.0) == 0.0
+    assert out[1] > out[2] > 0
