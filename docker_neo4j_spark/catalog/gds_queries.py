@@ -381,6 +381,20 @@ def gds_local_clustering(spark, sf_dir):
     return gds.local_clustering(co)
 
 
+@register("gds_pagerank_weighted")  # rows-only: float power iteration
+def gds_pagerank_weighted(spark, sf_dir):
+    """gds.pageRank with relationshipWeightProperty: lineitem-derived
+    edges weighted by l_quantity, FK edges weight 1."""
+    g = build_graph(spark, sf_dir)
+    w = (
+        F.when(F.col("type").isin("CONTAINS", "SUPPLIED_BY"), F.col("l_quantity"))
+        .otherwise(F.lit(1.0))
+        .alias("weight")
+    )
+    edges = g.rels.select("src", "dst", w)
+    return gds.pagerank(edges, g.nodes, iterations=10, weight_col="weight")
+
+
 @register("gds_personalized_pagerank")  # rows-only: float power iteration
 def gds_personalized_pagerank(spark, sf_dir):
     """gds.pageRank with sourceNodes: rank personalized on the lowest

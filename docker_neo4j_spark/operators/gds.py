@@ -274,21 +274,29 @@ def pagerank(
     nodes: DataFrame,
     iterations: int = 15,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank with dangling-mass redistribution: (id, pr).
 
     Fixed iteration count (the reference's gds.pageRank default shape);
     Σpr = N is preserved each round. Per round: one join + one groupBy-sum
     shuffle + one scalar aggregate for the dangling mass.
+
+    ``weight_col``: the gds relationshipWeightProperty analog — each
+    out-edge carries weight/Σweight(src) of the node's rank instead of
+    1/deg (identical when all weights are equal).
     """
-    e = edges.select("src", "dst")
-    deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did")
-    # (src, dst, 1/deg(src)) is static across iterations — join deg into the
+    if weight_col is None:
+        e = edges.select("src", "dst", F.lit(1.0).alias("_w"))
+    else:
+        e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("_w"))
+    deg = e.groupBy("src").agg(F.sum("_w").alias("_wsum")).withColumnRenamed("src", "_did")
+    # (src, dst, w/Σw(src)) is static across iterations — join deg into the
     # edge list ONCE, partitioned by the per-round join key, instead of
     # re-joining deg inside every power iteration (15 joins → 1).
     e_deg = (
         e.join(deg, e["src"] == deg["_did"])
-        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_invdeg"))
+        .select("src", "dst", (F.col("_w") / F.col("_wsum")).alias("_invdeg"))
         .repartition("src")
         .cache()
     )

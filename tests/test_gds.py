@@ -202,3 +202,14 @@ def test_personalized_pagerank_dangling_returns_to_source(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-9
     assert out.get(5, 0.0) == 0.0
     assert out[1] > out[2] > 0
+
+
+def test_pagerank_weighted_prefers_heavy_edge(spark):
+    # 1 splits rank 9:1 between 2 and 3; unweighted would split evenly
+    e = _edges(spark, [(1, 2), (1, 3), (2, 1), (3, 1)], weights=[9.0, 1.0, 1.0, 1.0])
+    n = _nodes(spark, [1, 2, 3])
+    w = {r["id"]: r["pr"] for r in gds.pagerank(e, n, iterations=25, weight_col="weight").collect()}
+    u = {r["id"]: r["pr"] for r in gds.pagerank(e, n, iterations=25).collect()}
+    assert w[2] > w[3]                      # heavy edge wins
+    assert abs(u[2] - u[3]) < 1e-12         # unweighted splits evenly
+    assert abs(sum(w.values()) - 3.0) < 1e-6
