@@ -1,0 +1,75 @@
+"""Scale-cliff stress gate: run the heavy NON-headline catalog queries at
+a larger scale factor than the correctness gate uses (default sf0.1, 10×
+the driver's sf0.01) and fail loudly on any error.
+
+bench.py covers the headline set; this covers the long tail that only
+ever runs at sf0.01 otherwise — path enumeration, pair generators,
+self-joins, iterative community detection — exactly the shapes that can
+hide a combinatorial cliff.
+
+Usage: python scripts/stress_heavy.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEAVY = [
+    "cartesian_product",
+    "rel_uniqueness_pairs",
+    "gds_all_shortest_paths_to_regions",
+    "gds_node_similarity_suppliers",
+    "gds_triangle_count_copart",
+    "gds_local_clustering",
+    "llm_ngram_jaccard_block",
+    "llm_embedding_neardup",
+    "llm_cosine_topk",
+    "gds_wcc_star_supply_zones",
+    "llm_ivf_trained",
+    "gds_louvain",
+    "gds_personalized_pagerank",
+    "gds_pagerank_weighted",
+    "llm_simhash_neardup",
+    "llm_token_counts",
+    "stream_sessionize_batch",
+    "cypher_session_smoke",
+    "write_create_match_return",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or HEAVY
+
+    from docker_neo4j_spark import get_spark
+    from docker_neo4j_spark.catalog import QUERIES, load_all
+    from docker_neo4j_spark.sources.tpch import build_graph, load_tables
+
+    load_all()
+    spark = get_spark(app_name="stress")
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).write.mode("overwrite").format("noop").save()
+    build_graph(spark, sf_dir)
+
+    failures = 0
+    for name in names:
+        if name not in QUERIES:
+            print(f"SKIP  {name}: not registered")
+            continue
+        spark.catalog.clearCache()
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            print(f"OK    {name}: {time.time() - t0:.1f}s")
+        except Exception as ex:  # noqa: BLE001 — report-and-continue gate
+            failures += 1
+            print(f"FAIL  {name}: {type(ex).__name__}: {str(ex)[:160]}")
+    print(f"\n{len(names) - failures} ok, {failures} failed / {len(names)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

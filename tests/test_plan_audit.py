@@ -65,3 +65,21 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     facts = audit(exact_dedup(d))
     assert facts.n_exchanges == 1  # one hash shuffle on the digest, nothing else
+
+
+def test_token_counts_reads_two_columns(spark, sf_dir):
+    from docker_neo4j_spark.operators.text import token_counts
+    from docker_neo4j_spark.plans.audit import assert_columns_pruned
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    assert_columns_pruned(token_counts(d), {"documents": 2})
+
+
+def test_simhash_neardup_no_cartesian(spark, sf_dir):
+    from docker_neo4j_spark.operators import dedup as dd
+    from docker_neo4j_spark.plans.audit import assert_no_cartesian
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    assert_no_cartesian(dd.simhash_neardup(d))
