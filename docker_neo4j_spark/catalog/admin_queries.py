@@ -155,6 +155,23 @@ def proc_show_procedures(spark, sf_dir):
 
 
 @register(
+    "admin_show_databases",
+    """
+    SELECT 'neo4j' AS name, 'online' AS status
+    UNION ALL SELECT 'system', 'online'
+    """,
+)
+def admin_show_databases(spark, sf_dir):
+    """SHOW DATABASES through the admin façade: the reference boots with
+    neo4j + system online (docker-entrypoint.sh main flow; lifecycle
+    transitions are pytest-graded in test_admin)."""
+    from ..admin import Dbms
+
+    dbms = Dbms.bootstrap("none")
+    return spark.createDataFrame(dbms.show_databases(), "name string, status string")
+
+
+@register(
     "load_csv_nation_agg",
     """
     SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
