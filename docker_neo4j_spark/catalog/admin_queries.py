@@ -100,6 +100,28 @@ def cypher_session_smoke(spark, sf_dir):
 
 
 @register(
+    "cypher_where_filter",
+    """
+    SELECT name FROM (VALUES ('Arne', 4), ('Bosse', 2), ('Armstrong', 7)) AS t(name, age)
+    WHERE (age > 3 AND name LIKE 'Ar%') OR name = 'Bosse' ORDER BY name
+    """,
+)
+def cypher_where_filter(spark, sf_dir):
+    """Façade WHERE clause: comparison + STARTS WITH + boolean composition
+    compiled from the Cypher string to Column predicates."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne', age: 4})")
+    s.run("CREATE (b:dog {name:'Bosse', age: 2})")
+    s.run("CREATE (c:dog {name:'Armstrong', age: 7})")
+    return s.run(
+        "MATCH (d:dog) WHERE (d.age > 3 AND d.name STARTS WITH 'Ar') OR d.name = 'Bosse' "
+        "RETURN d.name ORDER BY d.name"
+    ).select(F.col("`d.name`").alias("name"))
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

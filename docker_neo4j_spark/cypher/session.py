@@ -76,6 +76,150 @@ def _parse_value(v: str):
     return float(v) if "." in v else int(v)
 
 
+_WHERE_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<str>'[^']*'|\"[^\"]*\")"
+    r"|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<op><=|>=|<>|=|<|>)"
+    r"|(?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)|(?P<lbr>\[)|(?P<rbr>\])"
+    r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
+    r")"
+)
+
+
+def _compile_where(src: str) -> F.Column:
+    """Compile a Cypher WHERE expression to a Spark Column over the bound
+    pattern's ``var_prop`` columns.
+
+    Grammar (recursive descent): OR-terms of AND-factors; factors are
+    NOT/parenthesized/comparisons; comparisons support = <> < <= > >=,
+    STARTS WITH / ENDS WITH / CONTAINS, IS [NOT] NULL, IN [list], and
+    literals (string/number/bool/null) — the predicate subset the
+    engine's DataFrame layer grades oracle-side (SURVEY §2.B.2).
+    """
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(src):
+        m = _WHERE_TOKEN_RE.match(src, pos)
+        if not m:
+            raise ValueError(f"WHERE: cannot tokenize at {src[pos:pos + 20]!r}")
+        pos = m.end()
+        for kind in ("str", "num", "op", "lpar", "rpar", "comma", "lbr", "rbr", "word"):
+            if m.group(kind) is not None:
+                tokens.append((kind, m.group(kind)))
+                break
+    i = 0
+
+    def peek(k=None, v=None):
+        if i >= len(tokens):
+            return False
+        kind, val = tokens[i]
+        if k is not None and kind != k:
+            return False
+        if v is not None and val.upper() != v:
+            return False
+        return True
+
+    def take():
+        nonlocal i
+        t = tokens[i]
+        i += 1
+        return t
+
+    def operand() -> F.Column:
+        kind, val = take()
+        if kind == "str":
+            return F.lit(val[1:-1])
+        if kind == "num":
+            return F.lit(float(val) if "." in val else int(val))
+        if kind == "word":
+            up = val.upper()
+            if up == "TRUE":
+                return F.lit(True)
+            if up == "FALSE":
+                return F.lit(False)
+            if up == "NULL":
+                return F.lit(None)
+            if "." in val:
+                var, prop = val.split(".", 1)
+                return F.col(f"{var}_{prop}")
+            return F.col(f"{val}_id")
+        raise ValueError(f"WHERE: unexpected operand {val!r}")
+
+    def comparison() -> F.Column:
+        left = operand()
+        if peek("op"):
+            op = take()[1]
+            right = operand()
+            return {
+                "=": left == right,
+                "<>": left != right,
+                "<": left < right,
+                "<=": left <= right,
+                ">": left > right,
+                ">=": left >= right,
+            }[op]
+        if peek("word", "IS"):
+            take()
+            if peek("word", "NOT"):
+                take()
+                _null = take()  # NULL
+                return left.isNotNull()
+            _null = take()  # NULL
+            return left.isNull()
+        if peek("word", "STARTS"):
+            take(); take()  # WITH
+            return left.startswith(operand())
+        if peek("word", "ENDS"):
+            take(); take()  # WITH
+            return left.endswith(operand())
+        if peek("word", "CONTAINS"):
+            take()
+            return left.contains(operand())
+        if peek("word", "IN"):
+            take()
+            take()  # [
+            vals = []
+            while not peek("rbr"):
+                kind, val = take()
+                if kind == "comma":
+                    continue
+                vals.append(val[1:-1] if kind == "str" else (float(val) if "." in val else int(val)))
+            take()  # ]
+            return left.isin(vals)
+        return left  # bare boolean property
+
+    def factor() -> F.Column:
+        if peek("word", "NOT"):
+            take()
+            return ~factor()
+        if peek("lpar"):
+            take()
+            e = expr()
+            take()  # )
+            return e
+        return comparison()
+
+    def term() -> F.Column:
+        out = factor()
+        while peek("word", "AND"):
+            take()
+            out = out & factor()
+        return out
+
+    def expr() -> F.Column:
+        out = term()
+        while peek("word", "OR"):
+            take()
+            out = out | term()
+        return out
+
+    result = expr()
+    if i != len(tokens):
+        raise ValueError(f"WHERE: trailing tokens {tokens[i:]!r}")
+    return result
+
+
 def _parse_pattern(src: str) -> tuple[list, str]:
     """Parse ``(a:L {..})-[:T]->(b)...``; returns (elements, rest)."""
     elems: list = []
@@ -260,8 +404,15 @@ class Session:
             ret = body[m_return.end():].strip()
         else:
             raise ValueError("MATCH without RETURN or CREATE")
+        where_src = None
+        m_where = re.search(r"\bWHERE\b", pattern_src, re.IGNORECASE)
+        if m_where:
+            where_src = pattern_src[m_where.end():].strip()
+            pattern_src = pattern_src[: m_where.start()].strip()
         elems, rest = _parse_pattern(pattern_src)
         bound = self._bind(elems)
+        if where_src:
+            bound = bound.where(_compile_where(where_src))
 
         if m_create:
             # anchor on the (small) binding set; reference flow binds one row

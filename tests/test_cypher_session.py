@@ -88,3 +88,31 @@ def test_queries_refused_while_stopped(spark):
         s.run("MATCH (n) RETURN count(n)")
     dbms.start_database("neo4j")
     assert s.run("MATCH (n) RETURN count(n)").first()[0] == 0
+
+
+def test_match_where_clause(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 4})")
+    session.run("CREATE (b:dog {name:'Bosse', age: 2})")
+    session.run("CREATE (c:dog {name:'Armstrong', age: 7})")
+
+    r = session.run("MATCH (d:dog) WHERE d.age > 3 RETURN d.name ORDER BY d.name").collect()
+    assert [row["d.name"] for row in r] == ["Armstrong", "Arne"]
+
+    r = session.run(
+        "MATCH (d:dog) WHERE d.name STARTS WITH 'Ar' AND d.age < 5 RETURN d.name"
+    ).collect()
+    assert [row["d.name"] for row in r] == ["Arne"]
+
+    r = session.run(
+        "MATCH (d:dog) WHERE d.name IN ['Bosse', 'Armstrong'] OR d.age = 4 "
+        "RETURN d.name ORDER BY d.age DESC LIMIT 2"
+    ).collect()
+    assert [row["d.name"] for row in r] == ["Armstrong", "Arne"]
+
+    r = session.run(
+        "MATCH (d:dog) WHERE NOT (d.age >= 4 OR d.name CONTAINS 'strong') RETURN d.name"
+    ).collect()
+    assert [row["d.name"] for row in r] == ["Bosse"]
+
+    r = session.run("MATCH (d:dog) WHERE d.age IS NOT NULL RETURN count(*)").collect()
+    assert r[0][0] == 3
