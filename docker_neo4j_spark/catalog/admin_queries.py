@@ -122,6 +122,34 @@ def cypher_where_filter(spark, sf_dir):
 
 
 @register(
+    "cypher_implicit_grouping",
+    """
+    SELECT owner, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(age) AS BIGINT) AS sum_age
+    FROM (VALUES ('Arne', 4, 'kim'), ('Bosse', 2, 'kim'), ('Armstrong', 7, 'alex'))
+      AS t(name, age, owner)
+    GROUP BY owner ORDER BY owner
+    """,
+)
+def cypher_implicit_grouping(spark, sf_dir):
+    """Façade implicit grouping: non-aggregate RETURN items become the
+    grouping keys of the aggregates, straight from the Cypher string."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne', age: 4, owner:'kim'})")
+    s.run("CREATE (b:dog {name:'Bosse', age: 2, owner:'kim'})")
+    s.run("CREATE (c:dog {name:'Armstrong', age: 7, owner:'alex'})")
+    out = s.run(
+        "MATCH (d:dog) RETURN d.owner, count(*), sum(d.age) ORDER BY d.owner"
+    )
+    return out.select(
+        F.col("`d.owner`").alias("owner"),
+        F.col("`count(*)`").alias("n"),
+        F.col("`sum(d.age)`").cast("long").alias("sum_age"),
+    )
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

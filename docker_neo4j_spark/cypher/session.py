@@ -220,6 +220,18 @@ def _compile_where(src: str) -> F.Column:
     return result
 
 
+def _order_keys(order_by: str, resolve) -> list:
+    """ORDER BY key list → sorted Column list via ``resolve(name)``."""
+    keys = []
+    for k in order_by.split(","):
+        k = k.strip()
+        desc = k.upper().endswith(" DESC")
+        k = re.sub(r"\s+(A|DE)SC$", "", k, flags=re.IGNORECASE)
+        col = resolve(k)
+        keys.append(col.desc() if desc else col.asc())
+    return keys
+
+
 def _parse_pattern(src: str) -> tuple[list, str]:
     """Parse ``(a:L {..})-[:T]->(b)...``; returns (elements, rest)."""
     elems: list = []
@@ -457,23 +469,47 @@ class Session:
                 return F.col(f"{var}_{prop}")
             return F.col(f"{name}_id")
 
-        cols = []
+        # Cypher implicit grouping: non-aggregate RETURN items are the
+        # grouping keys of any aggregate items (SURVEY §2.B.4).
+        agg_re = re.compile(
+            r"(count|sum|avg|min|max|collect)\(\s*(DISTINCT\s+)?"
+            r"(\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",
+            re.IGNORECASE,
+        )
+        keys: list[tuple[str, F.Column]] = []
+        aggs: list[F.Column] = []
         for item in [i.strip() for i in ret.split(",")]:
-            cnt = re.match(r"count\(\s*(\*|[A-Za-z_]\w*)\s*\)$", item, re.IGNORECASE)
-            if cnt:
-                return bound.agg(F.count("*").cast("long").alias(item))
-            cols.append(_resolve(item).alias(item))
+            m = agg_re.match(item)
+            if not m:
+                keys.append((item, _resolve(item).alias(item)))
+                continue
+            fn, distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
+            col = F.lit(1) if arg == "*" else _resolve(arg)
+            if fn == "count":
+                e = F.countDistinct(col) if distinct else F.count(col if arg != "*" else "*")
+                e = e.cast("long")
+            elif fn == "collect":
+                e = F.sort_array(
+                    F.collect_set(col) if distinct else F.collect_list(col)
+                )
+            else:
+                e = getattr(F, fn)(col)
+            aggs.append(e.alias(item))
+
+        if aggs:
+            out = (
+                bound.groupBy([c for _, c in keys]).agg(*aggs)
+                if keys
+                else bound.agg(*aggs)
+            )
+            if order_by:
+                out = out.orderBy(*_order_keys(order_by, lambda k: F.col(f"`{k}`")))
+            return out if limit is None else out.limit(limit)
+
         # sort on the full binding (ORDER BY may reference unprojected props)
         if order_by:
-            keys = []
-            for k in order_by.split(","):
-                k = k.strip()
-                desc = k.upper().endswith(" DESC")
-                k = re.sub(r"\s+(A|DE)SC$", "", k, flags=re.IGNORECASE)
-                col = _resolve(k)
-                keys.append(col.desc() if desc else col.asc())
-            bound = bound.orderBy(*keys)
-        out = bound.select(cols)
+            bound = bound.orderBy(*_order_keys(order_by, _resolve))
+        out = bound.select([c for _, c in keys])
         if limit is not None:
             out = out.limit(limit)
         return out

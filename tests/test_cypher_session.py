@@ -116,3 +116,31 @@ def test_match_where_clause(session):
 
     r = session.run("MATCH (d:dog) WHERE d.age IS NOT NULL RETURN count(*)").collect()
     assert r[0][0] == 3
+
+
+def test_match_implicit_grouping_aggregates(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 4, owner:'kim'})")
+    session.run("CREATE (b:dog {name:'Bosse', age: 2, owner:'kim'})")
+    session.run("CREATE (c:dog {name:'Armstrong', age: 7, owner:'alex'})")
+
+    # implicit grouping: non-aggregate items are the keys
+    r = session.run(
+        "MATCH (d:dog) RETURN d.owner, count(*), sum(d.age) ORDER BY d.owner"
+    ).collect()
+    assert [(row["d.owner"], row["count(*)"], row["sum(d.age)"]) for row in r] == [
+        ("alex", 1, 7),
+        ("kim", 2, 6),
+    ]
+
+    # global aggregates without keys
+    r = session.run("MATCH (d:dog) RETURN min(d.age), max(d.age), avg(d.age)").collect()
+    assert (r[0][0], r[0][1]) == (2, 7)
+    assert abs(r[0][2] - 13 / 3) < 1e-9
+
+    # collect() with deterministic ordering
+    r = session.run("MATCH (d:dog) RETURN d.owner, collect(d.name) ORDER BY d.owner").collect()
+    assert [tuple(row["collect(d.name)"]) for row in r] == [("Armstrong",), ("Arne", "Bosse")]
+
+    # count DISTINCT
+    r = session.run("MATCH (d:dog) RETURN count(DISTINCT d.owner)").collect()
+    assert r[0][0] == 2
