@@ -453,7 +453,7 @@ class Session:
         return match_chain(self.store.graph, pattern)
 
     def _project_match(self, bound: DataFrame, ret: str, elems: list) -> DataFrame:
-        # ORDER BY / LIMIT suffixes
+        # ORDER BY / LIMIT suffixes, DISTINCT prefix
         order_by = limit = None
         m_ob = re.search(r"\bORDER\s+BY\b", ret, re.IGNORECASE)
         m_li = re.search(r"\bLIMIT\s+(\d+)\s*$", ret, re.IGNORECASE)
@@ -463,6 +463,9 @@ class Session:
         if m_ob:
             order_by = ret[m_ob.end():].strip()
             ret = ret[: m_ob.start()].strip()
+        distinct = bool(re.match(r"DISTINCT\b", ret, re.IGNORECASE))
+        if distinct:
+            ret = ret[len("DISTINCT"):].strip()
         def _resolve(name: str) -> F.Column:
             if "." in name:
                 var, prop = name.split(".", 1)
@@ -479,22 +482,29 @@ class Session:
         keys: list[tuple[str, F.Column]] = []
         aggs: list[F.Column] = []
         for item in [i.strip() for i in ret.split(",")]:
+            # `expr AS alias` names the output column; default is the
+            # literal RETURN text (what a Bolt record exposes)
+            m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+            if m_as:
+                alias, item = m_as.group(1), item[: m_as.start()].strip()
+            else:
+                alias = item
             m = agg_re.match(item)
             if not m:
-                keys.append((item, _resolve(item).alias(item)))
+                keys.append((alias, _resolve(item).alias(alias)))
                 continue
-            fn, distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
+            fn, agg_distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
             col = F.lit(1) if arg == "*" else _resolve(arg)
             if fn == "count":
-                e = F.countDistinct(col) if distinct else F.count(col if arg != "*" else "*")
+                e = F.countDistinct(col) if agg_distinct else F.count(col if arg != "*" else "*")
                 e = e.cast("long")
             elif fn == "collect":
                 e = F.sort_array(
-                    F.collect_set(col) if distinct else F.collect_list(col)
+                    F.collect_set(col) if agg_distinct else F.collect_list(col)
                 )
             else:
                 e = getattr(F, fn)(col)
-            aggs.append(e.alias(item))
+            aggs.append(e.alias(alias))
 
         if aggs:
             out = (
@@ -510,6 +520,8 @@ class Session:
         if order_by:
             bound = bound.orderBy(*_order_keys(order_by, _resolve))
         out = bound.select([c for _, c in keys])
+        if distinct:
+            out = out.distinct()
         if limit is not None:
             out = out.limit(limit)
         return out

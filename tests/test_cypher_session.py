@@ -144,3 +144,17 @@ def test_match_implicit_grouping_aggregates(session):
     # count DISTINCT
     r = session.run("MATCH (d:dog) RETURN count(DISTINCT d.owner)").collect()
     assert r[0][0] == 2
+
+
+def test_match_distinct_and_as_alias(session):
+    session.run("CREATE (a:dog {name:'Arne', owner:'kim'})")
+    session.run("CREATE (b:dog {name:'Bosse', owner:'kim'})")
+    session.run("CREATE (c:dog {name:'Armstrong', owner:'alex'})")
+
+    r = session.run("MATCH (d:dog) RETURN DISTINCT d.owner").collect()
+    assert sorted(row["d.owner"] for row in r) == ["alex", "kim"]
+
+    r = session.run(
+        "MATCH (d:dog) RETURN d.owner AS who, count(*) AS n ORDER BY who"
+    ).collect()
+    assert [(row["who"], row["n"]) for row in r] == [("alex", 1), ("kim", 2)]
