@@ -150,6 +150,29 @@ def cypher_implicit_grouping(spark, sf_dir):
 
 
 @register(
+    "cypher_optional_match",
+    """
+    SELECT d AS name, o AS sniffed
+    FROM (VALUES ('Arne', 'Bosse'), ('Bosse', NULL), ('Armstrong', NULL)) AS t(d, o)
+    ORDER BY name
+    """,
+)
+def cypher_optional_match(spark, sf_dir):
+    """Façade OPTIONAL MATCH: left-outer hop from the Cypher string;
+    unmatched dogs return null."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    s.run("CREATE (c:dog {name:'Armstrong'})")
+    out = s.run(
+        "MATCH (d:dog) OPTIONAL MATCH (d)-[:SNIFFS]->(o:dog) "
+        "RETURN d.name AS name, o.name AS sniffed ORDER BY name"
+    )
+    return out
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

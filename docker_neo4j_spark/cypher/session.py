@@ -416,6 +416,9 @@ class Session:
             ret = body[m_return.end():].strip()
         else:
             raise ValueError("MATCH without RETURN or CREATE")
+        # OPTIONAL MATCH segments follow the main pattern (and its WHERE)
+        segments = re.split(r"\bOPTIONAL\s+MATCH\b", pattern_src, flags=re.IGNORECASE)
+        pattern_src, optionals = segments[0].strip(), [s.strip() for s in segments[1:]]
         where_src = None
         m_where = re.search(r"\bWHERE\b", pattern_src, re.IGNORECASE)
         if m_where:
@@ -425,6 +428,10 @@ class Session:
         bound = self._bind(elems)
         if where_src:
             bound = bound.where(_compile_where(where_src))
+        for k, opt in enumerate(optionals):
+            # RETURN/ORDER BY resolve purely by column name, so the new
+            # `{var}_{prop}` columns are visible without touching `elems`
+            bound = self._bind_optional(bound, opt, k)
 
         if m_create:
             # anchor on the (small) binding set; reference flow binds one row
@@ -437,6 +444,27 @@ class Session:
             return out if out is not None else self.spark.createDataFrame([], "ok string")
 
         return self._project_match(bound, ret, elems)
+
+    def _bind_optional(self, bound: DataFrame, opt_src: str, k: int) -> DataFrame:
+        """``OPTIONAL MATCH (a)-[:T]->(b:M)`` — single-hop left-outer expand
+        anchored on an already-bound variable (unmatched rows → nulls)."""
+        from ..operators.patterns import NodeSpec, RelSpec, optional_expand
+
+        oelems, _ = _parse_pattern(opt_src)
+        if len(oelems) != 3 or not isinstance(oelems[0], _Node):
+            raise ValueError("OPTIONAL MATCH supports a single anchored hop")
+        anchor, rel, tgt = oelems
+        if not anchor.var or f"{anchor.var}_id" not in bound.columns:
+            raise ValueError(f"OPTIONAL MATCH anchor {anchor.var!r} is not bound")
+        direction = "in" if rel.reversed else "out"
+        tgt_var = tgt.var or f"_opt{k}"
+        return optional_expand(
+            self.store.graph,
+            bound,
+            f"{anchor.var}_id",
+            RelSpec(rel.var or f"_or{k}", rel.rel_type, direction),
+            NodeSpec(tgt_var, tgt.label, tgt.props or None),
+        )
 
     def _bind(self, elems: list) -> DataFrame:
         from ..operators.patterns import NodeSpec, RelSpec, match_chain
@@ -516,12 +544,21 @@ class Session:
                 out = out.orderBy(*_order_keys(order_by, lambda k: F.col(f"`{k}`")))
             return out if limit is None else out.limit(limit)
 
-        # sort on the full binding (ORDER BY may reference unprojected props)
-        if order_by:
+        # ORDER BY may reference projected aliases (sort after projection)
+        # or unprojected pattern props (sort the full binding first)
+        alias_names = {a for a, _ in keys}
+        order_names = [
+            re.sub(r"\s+(A|DE)SC$", "", k.strip(), flags=re.IGNORECASE)
+            for k in order_by.split(",")
+        ] if order_by else []
+        by_alias = order_names and all(k in alias_names for k in order_names)
+        if order_by and not by_alias:
             bound = bound.orderBy(*_order_keys(order_by, _resolve))
         out = bound.select([c for _, c in keys])
         if distinct:
             out = out.distinct()
+        if by_alias:
+            out = out.orderBy(*_order_keys(order_by, lambda k: F.col(f"`{k}`")))
         if limit is not None:
             out = out.limit(limit)
         return out

@@ -158,3 +158,25 @@ def test_match_distinct_and_as_alias(session):
         "MATCH (d:dog) RETURN d.owner AS who, count(*) AS n ORDER BY who"
     ).collect()
     assert [(row["who"], row["n"]) for row in r] == [("alex", 1), ("kim", 2)]
+
+
+def test_optional_match_string_form(session):
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    session.run("CREATE (c:dog {name:'Armstrong'})")
+
+    r = session.run(
+        "MATCH (d:dog) OPTIONAL MATCH (d)-[:SNIFFS]->(o:dog) "
+        "RETURN d.name, o.name ORDER BY d.name"
+    ).collect()
+    got = [(row["d.name"], row["o.name"]) for row in r]
+    assert got == [("Armstrong", None), ("Arne", "Bosse"), ("Bosse", None)]
+
+    # WHERE on the main match composes with the optional hop
+    r = session.run(
+        "MATCH (d:dog) WHERE d.name STARTS WITH 'Ar' "
+        "OPTIONAL MATCH (d)-[:SNIFFS]->(o:dog) RETURN d.name, o.name ORDER BY d.name"
+    ).collect()
+    assert [(row["d.name"], row["o.name"]) for row in r] == [
+        ("Armstrong", None),
+        ("Arne", "Bosse"),
+    ]
