@@ -173,6 +173,28 @@ def cypher_optional_match(spark, sf_dir):
 
 
 @register(
+    "cypher_with_pipeline",
+    """
+    SELECT owner AS who, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (VALUES ('Arne', 'kim'), ('Bosse', 'kim'), ('Armstrong', 'alex')) AS t(name, owner)
+    GROUP BY owner HAVING COUNT(*) > 1
+    """,
+)
+def cypher_with_pipeline(spark, sf_dir):
+    """Façade WITH pipeline: mid-query aggregation with a WHERE on the
+    aggregate (Cypher's HAVING), straight from the string."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne', owner:'kim'})")
+    s.run("CREATE (b:dog {name:'Bosse', owner:'kim'})")
+    s.run("CREATE (c:dog {name:'Armstrong', owner:'alex'})")
+    return s.run(
+        "MATCH (d:dog) WITH d.owner AS who, count(*) AS n WHERE n > 1 RETURN who, n"
+    )
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

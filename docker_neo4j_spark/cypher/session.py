@@ -87,9 +87,32 @@ _WHERE_TOKEN_RE = re.compile(
 )
 
 
-def _compile_where(src: str) -> F.Column:
-    """Compile a Cypher WHERE expression to a Spark Column over the bound
-    pattern's ``var_prop`` columns.
+def _default_resolver(name: str) -> F.Column:
+    """Bound-pattern name resolution: ``var.prop`` → var_prop, bare var →
+    its id column."""
+    if "." in name:
+        var, prop = name.split(".", 1)
+        return F.col(f"{var}_{prop}")
+    return F.col(f"{name}_id")
+
+
+def _frame_resolver(frame: DataFrame):
+    """Resolver over an explicit frame (a WITH stage's output): literal
+    column names win (aliases may contain dots, e.g. ``d.owner``), then
+    pattern-style var_prop / var_id."""
+    cols = set(frame.columns)
+
+    def resolve(name: str) -> F.Column:
+        if name in cols:
+            return F.col(f"`{name}`")
+        return _default_resolver(name)
+
+    return resolve
+
+
+def _compile_where(src: str, resolve=None) -> F.Column:
+    """Compile a Cypher WHERE expression to a Spark Column via the name
+    ``resolve``r (default: the bound pattern's ``var_prop`` columns).
 
     Grammar (recursive descent): OR-terms of AND-factors; factors are
     NOT/parenthesized/comparisons; comparisons support = <> < <= > >=,
@@ -97,6 +120,7 @@ def _compile_where(src: str) -> F.Column:
     literals (string/number/bool/null) — the predicate subset the
     engine's DataFrame layer grades oracle-side (SURVEY §2.B.2).
     """
+    resolve = resolve or _default_resolver
     tokens: list[tuple[str, str]] = []
     pos = 0
     while pos < len(src):
@@ -140,10 +164,7 @@ def _compile_where(src: str) -> F.Column:
                 return F.lit(False)
             if up == "NULL":
                 return F.lit(None)
-            if "." in val:
-                var, prop = val.split(".", 1)
-                return F.col(f"{var}_{prop}")
-            return F.col(f"{val}_id")
+            return resolve(val)
         raise ValueError(f"WHERE: unexpected operand {val!r}")
 
     def comparison() -> F.Column:
@@ -218,6 +239,43 @@ def _compile_where(src: str) -> F.Column:
     if i != len(tokens):
         raise ValueError(f"WHERE: trailing tokens {tokens[i:]!r}")
     return result
+
+
+_AGG_RE = re.compile(
+    r"(count|sum|avg|min|max|collect)\(\s*(DISTINCT\s+)?"
+    r"(\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",
+    re.IGNORECASE,
+)
+
+
+def _parse_items(src: str, resolve) -> tuple[list, list]:
+    """Parse a RETURN/WITH item list into (keys, aggs) — Cypher implicit
+    grouping: non-aggregate items are the grouping keys of any aggregate
+    items (SURVEY §2.B.4). ``expr AS alias`` names the output column; the
+    default is the literal item text (what a Bolt record exposes)."""
+    keys: list[tuple[str, F.Column]] = []
+    aggs: list[F.Column] = []
+    for item in [i.strip() for i in src.split(",")]:
+        m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+        if m_as:
+            alias, item = m_as.group(1), item[: m_as.start()].strip()
+        else:
+            alias = item
+        m = _AGG_RE.match(item)
+        if not m:
+            keys.append((alias, resolve(item).alias(alias)))
+            continue
+        fn, agg_distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
+        col = F.lit(1) if arg == "*" else resolve(arg)
+        if fn == "count":
+            e = F.countDistinct(col) if agg_distinct else F.count(col if arg != "*" else "*")
+            e = e.cast("long")
+        elif fn == "collect":
+            e = F.sort_array(F.collect_set(col) if agg_distinct else F.collect_list(col))
+        else:
+            e = getattr(F, fn)(col)
+        aggs.append(e.alias(alias))
+    return keys, aggs
 
 
 def _order_keys(order_by: str, resolve) -> list:
@@ -416,6 +474,10 @@ class Session:
             ret = body[m_return.end():].strip()
         else:
             raise ValueError("MATCH without RETURN or CREATE")
+        # WITH pipeline stages trail the pattern clauses; the lookbehinds
+        # keep `STARTS WITH` / `ENDS WITH` predicates intact
+        parts = re.split(r"(?<!STARTS\s)(?<!ENDS\s)\bWITH\b", pattern_src, flags=re.IGNORECASE)
+        pattern_src, with_stages = parts[0].strip(), [s.strip() for s in parts[1:]]
         # OPTIONAL MATCH segments follow the main pattern (and its WHERE)
         segments = re.split(r"\bOPTIONAL\s+MATCH\b", pattern_src, flags=re.IGNORECASE)
         pattern_src, optionals = segments[0].strip(), [s.strip() for s in segments[1:]]
@@ -433,6 +495,26 @@ class Session:
             # `{var}_{prop}` columns are visible without touching `elems`
             bound = self._bind_optional(bound, opt, k)
 
+        # WITH pipelines: each stage projects/aggregates, an optional WHERE
+        # filters the stage output (Cypher's HAVING), and later stages
+        # resolve against the stage's aliases (SURVEY §2.B.6)
+        for stage_src in with_stages:
+            m_w = re.search(r"\bWHERE\b", stage_src, re.IGNORECASE)
+            items_src = stage_src[: m_w.start()].strip() if m_w else stage_src.strip()
+            keys, aggs = _parse_items(items_src, _frame_resolver(bound))
+            if aggs:
+                bound = (
+                    bound.groupBy([c for _, c in keys]).agg(*aggs)
+                    if keys
+                    else bound.agg(*aggs)
+                )
+            else:
+                bound = bound.select([c for _, c in keys])
+            if m_w:
+                bound = bound.where(
+                    _compile_where(stage_src[m_w.end():].strip(), _frame_resolver(bound))
+                )
+
         if m_create:
             # anchor on the (small) binding set; reference flow binds one row
             anchor_vars = [el.var for el in elems if isinstance(el, _Node) and el.var]
@@ -443,7 +525,7 @@ class Session:
                 out = self._create(tail, anchors)
             return out if out is not None else self.spark.createDataFrame([], "ok string")
 
-        return self._project_match(bound, ret, elems)
+        return self._project_match(bound, ret, elems, _frame_resolver(bound))
 
     def _bind_optional(self, bound: DataFrame, opt_src: str, k: int) -> DataFrame:
         """``OPTIONAL MATCH (a)-[:T]->(b:M)`` — single-hop left-outer expand
@@ -480,7 +562,10 @@ class Session:
                 pattern.append(RelSpec(el.var or f"_r{j}", el.rel_type, direction))
         return match_chain(self.store.graph, pattern)
 
-    def _project_match(self, bound: DataFrame, ret: str, elems: list) -> DataFrame:
+    def _project_match(
+        self, bound: DataFrame, ret: str, elems: list, resolve=None
+    ) -> DataFrame:
+        _resolve = resolve or _default_resolver
         # ORDER BY / LIMIT suffixes, DISTINCT prefix
         order_by = limit = None
         m_ob = re.search(r"\bORDER\s+BY\b", ret, re.IGNORECASE)
@@ -494,45 +579,8 @@ class Session:
         distinct = bool(re.match(r"DISTINCT\b", ret, re.IGNORECASE))
         if distinct:
             ret = ret[len("DISTINCT"):].strip()
-        def _resolve(name: str) -> F.Column:
-            if "." in name:
-                var, prop = name.split(".", 1)
-                return F.col(f"{var}_{prop}")
-            return F.col(f"{name}_id")
 
-        # Cypher implicit grouping: non-aggregate RETURN items are the
-        # grouping keys of any aggregate items (SURVEY §2.B.4).
-        agg_re = re.compile(
-            r"(count|sum|avg|min|max|collect)\(\s*(DISTINCT\s+)?"
-            r"(\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",
-            re.IGNORECASE,
-        )
-        keys: list[tuple[str, F.Column]] = []
-        aggs: list[F.Column] = []
-        for item in [i.strip() for i in ret.split(",")]:
-            # `expr AS alias` names the output column; default is the
-            # literal RETURN text (what a Bolt record exposes)
-            m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
-            if m_as:
-                alias, item = m_as.group(1), item[: m_as.start()].strip()
-            else:
-                alias = item
-            m = agg_re.match(item)
-            if not m:
-                keys.append((alias, _resolve(item).alias(alias)))
-                continue
-            fn, agg_distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
-            col = F.lit(1) if arg == "*" else _resolve(arg)
-            if fn == "count":
-                e = F.countDistinct(col) if agg_distinct else F.count(col if arg != "*" else "*")
-                e = e.cast("long")
-            elif fn == "collect":
-                e = F.sort_array(
-                    F.collect_set(col) if agg_distinct else F.collect_list(col)
-                )
-            else:
-                e = getattr(F, fn)(col)
-            aggs.append(e.alias(alias))
+        keys, aggs = _parse_items(ret, _resolve)
 
         if aggs:
             out = (

@@ -180,3 +180,29 @@ def test_optional_match_string_form(session):
         ("Armstrong", None),
         ("Arne", "Bosse"),
     ]
+
+
+def test_with_pipeline_aggregate_and_having(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 4, owner:'kim'})")
+    session.run("CREATE (b:dog {name:'Bosse', age: 2, owner:'kim'})")
+    session.run("CREATE (c:dog {name:'Armstrong', age: 7, owner:'alex'})")
+
+    # mid-query aggregation + WHERE on the aggregate (Cypher's HAVING)
+    r = session.run(
+        "MATCH (d:dog) WITH d.owner AS who, count(*) AS n WHERE n > 1 RETURN who, n"
+    ).collect()
+    assert [(row["who"], row["n"]) for row in r] == [("kim", 2)]
+
+    # two chained WITH stages; later stages resolve the earlier aliases
+    r = session.run(
+        "MATCH (d:dog) WITH d.owner AS who, d.age AS age "
+        "WITH who, sum(age) AS total RETURN who, total ORDER BY who"
+    ).collect()
+    assert [(row["who"], row["total"]) for row in r] == [("alex", 7), ("kim", 6)]
+
+    # STARTS WITH in a WHERE must not be mistaken for a WITH stage
+    r = session.run(
+        "MATCH (d:dog) WHERE d.name STARTS WITH 'Ar' "
+        "WITH d.owner AS who, count(*) AS n RETURN who, n ORDER BY who"
+    ).collect()
+    assert [(row["who"], row["n"]) for row in r] == [("alex", 1), ("kim", 1)]
