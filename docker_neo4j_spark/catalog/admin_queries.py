@@ -195,6 +195,27 @@ def cypher_with_pipeline(spark, sf_dir):
 
 
 @register(
+    "cypher_var_length",
+    """
+    SELECT name, hops FROM (VALUES ('Bosse', CAST(1 AS BIGINT)), ('Cleo', CAST(2 AS BIGINT)))
+      AS t(name, hops) ORDER BY hops
+    """,
+)
+def cypher_var_length(spark, sf_dir):
+    """Façade var-length pattern: -[:T*1..3]-> BFS reachability with a
+    minimum-hops column, straight from the string."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    s.run("MATCH (b:dog {name:'Bosse'}) CREATE (c:dog {name:'Cleo'})<-[:SNIFFS]-(b)")
+    return s.run(
+        "MATCH (a:dog {name:'Arne'})-[:SNIFFS*1..3]->(b:dog) "
+        "RETURN b.name AS name, hops ORDER BY hops"
+    )
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

@@ -40,7 +40,9 @@ _NODE_RE = re.compile(
 )
 _REL_RE = re.compile(
     r"(?P<larrow><)?-\s*\[\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
-    r"(?::(?P<type>[A-Za-z_][A-Za-z0-9_]*))?\s*\]\s*-(?P<rarrow>>)?"
+    r"(?::(?P<type>[A-Za-z_][A-Za-z0-9_]*))?"
+    r"(?:\s*\*\s*(?P<lo>\d+)?(?:\s*\.\.\s*(?P<hi>\d+))?)?"
+    r"\s*\]\s*-(?P<rarrow>>)?"
 )
 
 
@@ -56,6 +58,8 @@ class _Rel:
     var: str | None
     rel_type: str | None
     reversed: bool
+    lo: int | None = None  # var-length *lo..hi bounds; None = single hop
+    hi: int | None = None
 
 
 def _parse_props(src: str | None) -> dict:
@@ -306,7 +310,17 @@ def _parse_pattern(src: str) -> tuple[list, str]:
         n = _NODE_RE.match(src, r.end())
         if not n:
             raise ValueError(f"expected node after relationship at: {src[r.end():][:40]!r}")
-        elems.append(_Rel(r.group("var"), r.group("type"), bool(r.group("larrow"))))
+        lo = hi = None
+        if "*" in r.group(0):
+            # `*` → 1..10 (engine cap), `*n` → n..n, `*a..b` → a..b, `*..b` → 1..b
+            lo = int(r.group("lo") or 1)
+            if r.group("hi"):
+                hi = int(r.group("hi"))
+            elif ".." in r.group(0) or not r.group("lo"):
+                hi = 10
+            else:
+                hi = lo
+        elems.append(_Rel(r.group("var"), r.group("type"), bool(r.group("larrow")), lo, hi))
         elems.append(_Node(n.group("var"), n.group("label"), _parse_props(n.group("props"))))
         pos = n.end()
     return elems, src[pos:].strip()
@@ -551,6 +565,8 @@ class Session:
     def _bind(self, elems: list) -> DataFrame:
         from ..operators.patterns import NodeSpec, RelSpec, match_chain
 
+        if any(isinstance(el, _Rel) and el.lo is not None for el in elems):
+            return self._bind_varlength(elems)
         pattern = []
         for j, el in enumerate(elems):
             if isinstance(el, _Node):
@@ -561,6 +577,42 @@ class Session:
                 direction = "in" if el.reversed else "out"
                 pattern.append(RelSpec(el.var or f"_r{j}", el.rel_type, direction))
         return match_chain(self.store.graph, pattern)
+
+    def _bind_varlength(self, elems: list) -> DataFrame:
+        """``(a)-[:T*lo..hi]->(b)`` — BFS reachability expansion with a
+        ``hops`` column (minimum hop count per pair, the engine's
+        var-length semantics; full path enumeration is paths.*)."""
+        from ..operators.patterns import (
+            NodeSpec,
+            _node_frame,
+            prefix_columns,
+            var_length_expand,
+        )
+
+        if len(elems) != 3:
+            raise ValueError("var-length patterns support a single (a)-[*..]->(b) hop")
+        a, rel, b = elems
+        a_var, b_var = a.var or "a", b.var or "b"
+        g = self.store.graph
+        a_frame = _node_frame(g, NodeSpec(a_var, a.label, a.props or None))
+        reach = var_length_expand(
+            g,
+            a_frame.select("id"),
+            "id",
+            [rel.rel_type] if rel.rel_type else None,
+            rel.lo,
+            rel.hi,
+            direction="in" if rel.reversed else "out",
+        )
+        b_frame = prefix_columns(
+            _node_frame(g, NodeSpec(b_var, b.label, b.props or None)), b_var
+        )
+        a_pref = prefix_columns(a_frame, a_var)
+        return (
+            a_pref.join(reach, F.col(f"{a_var}_id") == reach["start_id"])
+            .join(b_frame, reach["node_id"] == F.col(f"{b_var}_id"))
+            .drop("start_id", "node_id")
+        )
 
     def _project_match(
         self, bound: DataFrame, ret: str, elems: list, resolve=None

@@ -206,3 +206,27 @@ def test_with_pipeline_aggregate_and_having(session):
         "WITH d.owner AS who, count(*) AS n RETURN who, n ORDER BY who"
     ).collect()
     assert [(row["who"], row["n"]) for row in r] == [("alex", 1), ("kim", 1)]
+
+
+def test_var_length_string_form(session):
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    session.run("MATCH (b:dog {name:'Bosse'}) CREATE (c:dog {name:'Cleo'})<-[:SNIFFS]-(b)")
+
+    r = session.run(
+        "MATCH (a:dog {name:'Arne'})-[:SNIFFS*1..3]->(b:dog) "
+        "RETURN b.name AS name, hops ORDER BY hops"
+    ).collect()
+    assert [(row["name"], row["hops"]) for row in r] == [("Bosse", 1), ("Cleo", 2)]
+
+    # exact length *2
+    r = session.run(
+        "MATCH (a:dog {name:'Arne'})-[:SNIFFS*2]->(b:dog) RETURN b.name AS name"
+    ).collect()
+    assert [row["name"] for row in r] == ["Cleo"]
+
+    # reversed direction from the sink
+    r = session.run(
+        "MATCH (c:dog {name:'Cleo'})<-[:SNIFFS*1..3]-(b:dog) "
+        "RETURN b.name AS name ORDER BY name"
+    ).collect()
+    assert [row["name"] for row in r] == ["Arne", "Bosse"]
