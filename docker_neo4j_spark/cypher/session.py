@@ -362,9 +362,39 @@ class Session:
             return self._bare_return(q)
         if head == "CREATE":
             return self._create(q[len("CREATE"):].strip(), anchors={})
+        if head == "MERGE":
+            return self._merge(q[len("MERGE"):].strip())
         if head == "MATCH":
             return self._match(q)
         raise ValueError(f"Unsupported Cypher statement: {cypher!r}")
+
+    def _merge(self, pattern_src: str) -> DataFrame:
+        """``MERGE (n:L {props})[-[:T]->(m:M {props})]`` — idempotent
+        match-or-create through the store's merge primitives."""
+        ret = None
+        up = pattern_src.upper()
+        if " RETURN " in f" {up} ":
+            idx = up.index("RETURN")
+            ret = pattern_src[idx + len("RETURN"):].strip()
+            pattern_src = pattern_src[:idx].strip()
+        elems, rest = _parse_pattern(pattern_src)
+        if rest:
+            raise ValueError(f"trailing content after MERGE pattern: {rest!r}")
+        ids: dict[str, int] = {}
+        for el in elems:
+            if isinstance(el, _Node):
+                var = el.var or f"_anon{self._anon}"
+                self._anon += 1
+                ids[var] = self.store.merge_node(el.label or "_", el.props)
+        for i in range(1, len(elems), 2):
+            rel, left, right = elems[i], elems[i - 1], elems[i + 1]
+            s, d = ids[left.var or ""], ids[right.var or ""]
+            if rel.reversed:
+                s, d = d, s
+            self.store.merge_rel(rel.rel_type or "_", s, d)
+        if ret is None:
+            return self.spark.createDataFrame([], "ok string")
+        return self._project_bound(ret, ids)
 
     # ---- CALL ---------------------------------------------------------
     def _call(self, q: str) -> DataFrame:

@@ -230,3 +230,19 @@ def test_var_length_string_form(session):
         "RETURN b.name AS name ORDER BY name"
     ).collect()
     assert [row["name"] for row in r] == ["Arne", "Bosse"]
+
+
+def test_merge_string_form_idempotent(session):
+    r1 = session.run("MERGE (a:dog {name:'Arne'}) RETURN a.name").collect()
+    assert r1[0]["a.name"] == "Arne"
+    session.run("MERGE (a:dog {name:'Arne'})")  # second merge: no new node
+    assert session.run("MATCH (d:dog) RETURN count(*)").collect()[0][0] == 1
+
+    # relationship merge is idempotent too
+    session.run("MERGE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    session.run("MERGE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    assert session.run("MATCH (d:dog) RETURN count(*)").collect()[0][0] == 2
+    n_rels = session.run(
+        "MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN count(*)"
+    ).collect()[0][0]
+    assert n_rels == 1
