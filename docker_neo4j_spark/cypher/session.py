@@ -60,6 +60,15 @@ class _Rel:
     reversed: bool
     lo: int | None = None  # var-length *lo..hi bounds; None = single hop
     hi: int | None = None
+    undirected: bool = False  # `(a)-[:T]-(b)` — no arrow on either side
+
+
+def _direction(rel: "_Rel") -> str:
+    """Arrow → expand direction. No arrow on either side is Cypher's
+    undirected pattern: the union of both orientations, not 'out'."""
+    if rel.undirected:
+        return "both"
+    return "in" if rel.reversed else "out"
 
 
 def _parse_props(src: str | None) -> dict:
@@ -320,7 +329,16 @@ def _parse_pattern(src: str) -> tuple[list, str]:
                 hi = 10
             else:
                 hi = lo
-        elems.append(_Rel(r.group("var"), r.group("type"), bool(r.group("larrow")), lo, hi))
+        elems.append(
+            _Rel(
+                r.group("var"),
+                r.group("type"),
+                bool(r.group("larrow")),
+                lo,
+                hi,
+                undirected=not r.group("larrow") and not r.group("rarrow"),
+            )
+        )
         elems.append(_Node(n.group("var"), n.group("label"), _parse_props(n.group("props"))))
         pos = n.end()
     return elems, src[pos:].strip()
@@ -369,8 +387,11 @@ class Session:
         raise ValueError(f"Unsupported Cypher statement: {cypher!r}")
 
     def _merge(self, pattern_src: str) -> DataFrame:
-        """``MERGE (n:L {props})[-[:T]->(m:M {props})]`` — idempotent
-        match-or-create through the store's merge primitives."""
+        """``MERGE (n:L {props})[-[:T]->(m:M {props})]`` — openCypher atomic
+        pattern semantics: MERGE matches the WHOLE pattern, and on any miss
+        creates the ENTIRE pattern (including fresh nodes for parts that
+        would individually match). Single-node MERGE degenerates to the
+        familiar match-or-create."""
         ret = None
         up = pattern_src.upper()
         if " RETURN " in f" {up} ":
@@ -380,21 +401,42 @@ class Session:
         elems, rest = _parse_pattern(pattern_src)
         if rest:
             raise ValueError(f"trailing content after MERGE pattern: {rest!r}")
-        ids: dict[str, int] = {}
         for el in elems:
-            if isinstance(el, _Node):
-                var = el.var or f"_anon{self._anon}"
+            if isinstance(el, _Rel) and el.undirected:
+                raise ValueError("MERGE requires a directed relationship pattern")
+            if isinstance(el, _Node) and not el.var:
+                el.var = f"_anon{self._anon}"
                 self._anon += 1
-                ids[var] = self.store.merge_node(el.label or "_", el.props)
-        for i in range(1, len(elems), 2):
-            rel, left, right = elems[i], elems[i - 1], elems[i + 1]
-            s, d = ids[left.var or ""], ids[right.var or ""]
-            if rel.reversed:
-                s, d = d, s
-            self.store.merge_rel(rel.rel_type or "_", s, d)
+        ids = self._match_whole_pattern(elems)
+        if ids is None:
+            ids = {}
+            for el in elems:
+                if isinstance(el, _Node):
+                    (nid,) = self.store.create_nodes(el.label or "_", [el.props])
+                    ids[el.var] = nid
+            for i in range(1, len(elems), 2):
+                rel, left, right = elems[i], elems[i - 1], elems[i + 1]
+                s, d = ids[left.var], ids[right.var]
+                if rel.reversed:
+                    s, d = d, s
+                self.store.create_rels(rel.rel_type or "_", [(s, d)], [{}])
         if ret is None:
             return self.spark.createDataFrame([], "ok string")
         return self._project_bound(ret, ids)
+
+    def _match_whole_pattern(self, elems: list) -> dict[str, int] | None:
+        """Bind the full pattern against the store; first match's node ids,
+        or None when the pattern (as a whole) has no binding."""
+        node_cols = set(self.store.graph.nodes.columns)
+        for el in elems:
+            if isinstance(el, _Node) and any(k not in node_cols for k in el.props):
+                return None  # property no write has introduced → no match
+        bound = self._bind(elems)
+        vars_ = [el.var for el in elems if isinstance(el, _Node)]
+        rows = bound.select([F.col(f"{v}_id").alias(v) for v in vars_]).take(1)
+        if not rows:
+            return None
+        return {v: rows[0][v] for v in vars_}
 
     # ---- CALL ---------------------------------------------------------
     def _call(self, q: str) -> DataFrame:
@@ -468,6 +510,8 @@ class Session:
         elems, rest = _parse_pattern(pattern_src)
         if rest:
             raise ValueError(f"trailing content after CREATE pattern: {rest!r}")
+        if any(isinstance(el, _Rel) and el.undirected for el in elems):
+            raise ValueError("CREATE requires a directed relationship pattern")
         created: dict[str, tuple[int, dict]] = {}
         ids: dict[str, int] = dict(anchors)
         # create the new nodes (anchored vars are reused, not recreated)
@@ -582,13 +626,12 @@ class Session:
         anchor, rel, tgt = oelems
         if not anchor.var or f"{anchor.var}_id" not in bound.columns:
             raise ValueError(f"OPTIONAL MATCH anchor {anchor.var!r} is not bound")
-        direction = "in" if rel.reversed else "out"
         tgt_var = tgt.var or f"_opt{k}"
         return optional_expand(
             self.store.graph,
             bound,
             f"{anchor.var}_id",
-            RelSpec(rel.var or f"_or{k}", rel.rel_type, direction),
+            RelSpec(rel.var or f"_or{k}", rel.rel_type, _direction(rel)),
             NodeSpec(tgt_var, tgt.label, tgt.props or None),
         )
 
@@ -604,8 +647,7 @@ class Session:
                 self._anon += 1
                 pattern.append(NodeSpec(var, el.label, el.props or None))
             else:
-                direction = "in" if el.reversed else "out"
-                pattern.append(RelSpec(el.var or f"_r{j}", el.rel_type, direction))
+                pattern.append(RelSpec(el.var or f"_r{j}", el.rel_type, _direction(el)))
         return match_chain(self.store.graph, pattern)
 
     def _bind_varlength(self, elems: list) -> DataFrame:
@@ -632,7 +674,7 @@ class Session:
             [rel.rel_type] if rel.rel_type else None,
             rel.lo,
             rel.hi,
-            direction="in" if rel.reversed else "out",
+            direction=_direction(rel),
         )
         b_frame = prefix_columns(
             _node_frame(g, NodeSpec(b_var, b.label, b.props or None)), b_var

@@ -208,7 +208,15 @@ def build_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGr
             )
         ),
     )
-    li_key = F.col("l_orderkey") * 256 + F.col("_seq")
+    # Rel ids are l_orderkey*256 + per-order seq; TPC-H bounds lineitems at
+    # 7/order but synthetic data is unvalidated — enforce the invariant in
+    # the expression itself (fires lazily, costs no extra job) instead of
+    # silently colliding with the next orderkey's id block.
+    li_key = F.when(
+        F.col("_seq") < 256, F.col("l_orderkey") * 256 + F.col("_seq")
+    ).otherwise(
+        F.raise_error(F.lit("rel-id overflow: >=256 lineitems in one order"))
+    )
     typed = {
         "IN_REGION": rel(
             t["nation"], "IN_REGION", "IN_REGION", F.col("n_nationkey"),

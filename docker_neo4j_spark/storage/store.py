@@ -217,10 +217,9 @@ def import_nodes_from_csv(
     whole import through one partition)."""
     df = load_csv(store.spark, path, **csv_opts)
     base = next(store._node_ids)
-    # reserve a contiguous block
+    # reserve a contiguous block (O(1) driver work, not an O(n) loop)
     n = df.count()
-    for _ in range(n - 1):
-        next(store._node_ids)
+    store._node_ids = itertools.count(base + n)
     schema = df.schema
     indexed = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
     new = store.spark.createDataFrame(

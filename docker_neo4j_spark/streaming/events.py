@@ -265,12 +265,18 @@ def cdc_upsert_sink(target_path: str, key: str = "event_id"):
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.dropDuplicates([key])
-        try:
+        # First batch: the target does not exist yet. Check existence
+        # explicitly instead of a broad try/except — a transient read error
+        # must propagate (and the batch retry) rather than silently
+        # truncating the target to this micro-batch.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
             current = spark.read.parquet(target_path)
             merged = current.join(
                 batch.select(F.col(key).alias("_k")), current[key] == F.col("_k"), "left_anti"
             ).select(batch.columns).unionByName(batch)
-        except Exception:
+        else:
             merged = batch
         merged.write.mode("overwrite").parquet(target_path + "_next")
         spark.read.parquet(target_path + "_next").write.mode("overwrite").parquet(target_path)

@@ -238,11 +238,30 @@ def test_merge_string_form_idempotent(session):
     session.run("MERGE (a:dog {name:'Arne'})")  # second merge: no new node
     assert session.run("MATCH (d:dog) RETURN count(*)").collect()[0][0] == 1
 
-    # relationship merge is idempotent too
+    # openCypher atomic-pattern semantics: the WHOLE pattern has no match
+    # (no rel yet), so MERGE creates the ENTIRE pattern — including a fresh
+    # Arne node, even though one exists individually.
     session.run("MERGE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    assert session.run("MATCH (d:dog) RETURN count(*)").collect()[0][0] == 3
+
+    # ...and the second full-pattern merge matches, creating nothing
     session.run("MERGE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
-    assert session.run("MATCH (d:dog) RETURN count(*)").collect()[0][0] == 2
+    assert session.run("MATCH (d:dog) RETURN count(*)").collect()[0][0] == 3
     n_rels = session.run(
         "MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN count(*)"
     ).collect()[0][0]
     assert n_rels == 1
+
+
+def test_undirected_pattern_is_both_orientations(session):
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    # no arrow → union of both orientations, not silently 'out'
+    r = session.run(
+        "MATCH (a:dog)-[:SNIFFS]-(b:dog) RETURN a.name AS name ORDER BY name"
+    ).collect()
+    assert [row["name"] for row in r] == ["Arne", "Bosse"]
+    # CREATE/MERGE reject undirected rels (Cypher requires a direction)
+    with pytest.raises(ValueError):
+        session.run("CREATE (a:dog {name:'X'})-[:SNIFFS]-(b:dog {name:'Y'})")
+    with pytest.raises(ValueError):
+        session.run("MERGE (a:dog {name:'X'})-[:SNIFFS]-(b:dog {name:'Y'})")
