@@ -216,6 +216,27 @@ def cypher_var_length(spark, sf_dir):
 
 
 @register(
+    "write_create_from_match_batch",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tagged FROM customer
+    """,
+)
+def write_create_from_match_batch(spark, sf_dir):
+    """Set-based CREATE anchored on a MATCH binding: one Tag node + TAGGED
+    rel per customer, id-assigned distributed and appended in ONE batch —
+    the binding frame is never collected to the driver. Read back through
+    the façade to count the created pattern."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    store = GraphStore(spark, build_graph(spark, sf_dir))
+    s = Session(spark, store=store)
+    s.run("MATCH (c:Customer) CREATE (t:Tag {kind:'vip'})-[:TAGGED]->(c)")
+    return s.run("MATCH (t:Tag)-[:TAGGED]->(c:Customer) RETURN count(*) AS n_tagged")
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

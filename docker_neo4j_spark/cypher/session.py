@@ -20,8 +20,9 @@ admin layers. The exact query corpus this must (and does) execute:
 Result columns are named with the literal RETURN text (``arne.name``),
 matching what a Bolt record exposes. This is a serving façade for
 interactive smoke queries — analytical work goes through the DataFrame
-API; only CREATE-anchored-on-MATCH collects the (tiny) anchor binding
-set to the driver.
+API. All write statements (CREATE anchored on MATCH included) are
+set-based: ids are assigned distributed and appended in one batch per
+pattern element, never via a driver-side row loop.
 """
 
 from __future__ import annotations
@@ -604,16 +605,65 @@ class Session:
                 )
 
         if m_create:
-            # anchor on the (small) binding set; reference flow binds one row
-            anchor_vars = [el.var for el in elems if isinstance(el, _Node) and el.var]
-            rows = bound.select([F.col(f"{v}_id").alias(v) for v in anchor_vars]).collect()
-            out = None
-            for r in rows:
-                anchors = {v: r[v] for v in anchor_vars}
-                out = self._create(tail, anchors)
-            return out if out is not None else self.spark.createDataFrame([], "ok string")
+            return self._create_from_binding(tail, bound)
 
         return self._project_match(bound, ret, elems, _frame_resolver(bound))
+
+    def _create_from_binding(self, tail: str, bound: DataFrame) -> DataFrame:
+        """Set-based ``MATCH … CREATE …`` (SURVEY §2.B.13): one new node/rel
+        per binding row, id-assigned distributed (``stage_indexed``) and
+        appended in ONE batch per pattern element — the binding frame is
+        never collected to the driver, so a 10⁶-row MATCH binds fine."""
+        ret = None
+        up = tail.upper()
+        if " RETURN " in f" {up} ":
+            idx = up.index("RETURN")
+            ret = tail[idx + len("RETURN"):].strip()
+            tail = tail[:idx].strip()
+        elems, rest = _parse_pattern(tail)
+        if rest:
+            raise ValueError(f"trailing content after CREATE pattern: {rest!r}")
+        if any(isinstance(el, _Rel) and el.undirected for el in elems):
+            raise ValueError("CREATE requires a directed relationship pattern")
+        for el in elems:
+            if isinstance(el, _Node) and not el.var:
+                el.var = f"_anon{self._anon}"
+                self._anon += 1
+        frame, n = self.store.stage_indexed(bound)
+        created: set[str] = set()
+        for el in elems:
+            if not isinstance(el, _Node) or f"{el.var}_id" in frame.columns:
+                continue  # anchored on the MATCH binding — reused, not recreated
+            created.add(el.var)
+            base = self.store.reserve_node_ids(n)
+            frame = frame.withColumn(f"{el.var}_id", F.col("_idx") + F.lit(base))
+            frame = frame.withColumn(f"{el.var}_labels", F.array(F.lit(el.label or "_")))
+            for k, v in el.props.items():
+                frame = frame.withColumn(f"{el.var}_{k}", F.lit(v))
+            self.store.append_nodes(
+                frame.select(
+                    F.col(f"{el.var}_id").alias("id"),
+                    F.col(f"{el.var}_labels").alias("labels"),
+                    *[F.col(f"{el.var}_{k}").alias(k) for k in el.props],
+                )
+            )
+        for i in range(1, len(elems), 2):
+            rel, left, right = elems[i], elems[i - 1], elems[i + 1]
+            s, d = F.col(f"{left.var}_id"), F.col(f"{right.var}_id")
+            if rel.reversed:
+                s, d = d, s
+            base_r = self.store.reserve_rel_ids(n)
+            self.store.append_rels(
+                frame.select(
+                    (F.col("_idx") + F.lit(base_r)).alias("id"),
+                    s.alias("src"),
+                    d.alias("dst"),
+                    F.lit(rel.rel_type or "_").alias("type"),
+                )
+            )
+        if ret is None:
+            return self.spark.createDataFrame([], "ok string")
+        return self._project_match(frame.drop("_idx"), ret, elems, _frame_resolver(frame))
 
     def _bind_optional(self, bound: DataFrame, opt_src: str, k: int) -> DataFrame:
         """``OPTIONAL MATCH (a)-[:T]->(b:M)`` — single-hop left-outer expand

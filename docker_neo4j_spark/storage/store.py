@@ -58,6 +58,36 @@ class GraphStore:
         """Schema-evolving union: new property columns null-pad old rows."""
         return base.unionByName(extra, allowMissingColumns=True)
 
+    def reserve_node_ids(self, n: int) -> int:
+        """Reserve a contiguous block of n node ids; returns the base."""
+        base = next(self._node_ids)
+        self._node_ids = itertools.count(base + n)
+        return base
+
+    def reserve_rel_ids(self, n: int) -> int:
+        base = next(self._rel_ids)
+        self._rel_ids = itertools.count(base + n)
+        return base
+
+    def append_nodes(self, df: DataFrame) -> None:
+        """Append pre-built node rows (id, labels, props) in one union."""
+        self._swap(nodes=self._union_missing(self.graph.nodes, df))
+
+    def append_rels(self, df: DataFrame) -> None:
+        self._swap(rels=self._union_missing(self.graph.rels, df))
+
+    def stage_indexed(self, df: DataFrame) -> tuple[DataFrame, int]:
+        """Pin ``df`` and attach a dense 0..n-1 ``_idx`` column; returns
+        (frame, n). The id-assignment backbone for every set-based write:
+        per-partition counting via ``zipWithIndex`` (one tiny offset
+        exchange, no global-sort window), then an eager localCheckpoint so
+        ids are stable across re-evaluation of downstream plans."""
+        indexed = self.spark.createDataFrame(
+            df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1])),
+            df.schema.add("_idx", "long"),
+        ).localCheckpoint(eager=True)
+        return indexed, indexed.count()
+
     def _swap(self, nodes: DataFrame | None = None, rels: DataFrame | None = None) -> None:
         self.graph = PropertyGraph(
             nodes=self.graph.nodes if nodes is None else nodes,
@@ -151,6 +181,53 @@ class GraphStore:
         if existing:
             return existing[0]["id"]
         return self.create_rels(rel_type, [(src, dst)], [props or {}])[0]
+
+    def merge_nodes(self, label: str, df: DataFrame, key_cols: list[str]) -> int:
+        """Bulk ``MERGE (n:Label {keys})`` — the documented batch path
+        (one left-anti join + one append, never O(n) driver round-trips).
+
+        Inserts one node per distinct ``key_cols`` row of ``df`` that has no
+        existing node with this label and key values; returns the number
+        inserted. Extra columns of ``df`` become properties of new nodes.
+        """
+        existing = self.match_nodes(label)
+        fresh = df.dropDuplicates(key_cols)
+        if all(k in existing.columns for k in key_cols):
+            fresh = fresh.join(existing.select(key_cols), key_cols, "left_anti")
+        indexed, n = self.stage_indexed(fresh)
+        if n == 0:
+            return 0
+        base = self.reserve_node_ids(n)
+        self.append_nodes(
+            indexed.select(
+                (F.col("_idx") + F.lit(base)).alias("id"),
+                F.array(F.lit(label)).alias("labels"),
+                *[F.col(c) for c in df.columns],
+            )
+        )
+        return n
+
+    def merge_rels(self, rel_type: str, pairs: DataFrame) -> int:
+        """Bulk ``MERGE (a)-[:TYPE]->(b)`` over a (src, dst) frame — insert
+        each distinct pair not already connected by this type; one
+        left-anti join + one append. Returns the number inserted."""
+        existing = self.graph.rels.where(F.col("type") == rel_type).select("src", "dst")
+        fresh = pairs.select("src", "dst").dropDuplicates(["src", "dst"]).join(
+            existing, ["src", "dst"], "left_anti"
+        )
+        indexed, n = self.stage_indexed(fresh)
+        if n == 0:
+            return 0
+        base = self.reserve_rel_ids(n)
+        self.append_rels(
+            indexed.select(
+                (F.col("_idx") + F.lit(base)).alias("id"),
+                F.col("src"),
+                F.col("dst"),
+                F.lit(rel_type).alias("type"),
+            )
+        )
+        return n
 
     def delete_nodes(self, label: str, detach: bool = True, **props) -> None:
         """``MATCH (n:Label {props}) [DETACH] DELETE n``."""

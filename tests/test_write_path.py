@@ -106,6 +106,54 @@ def test_load_csv_import(spark, tmp_path):
     assert store.expand("dog", "SNIFFS", "dog").count() == 1
 
 
+def test_batch_merge_nodes_and_rels(spark):
+    store = GraphStore(spark)
+    df = spark.createDataFrame(
+        [("Arne", 7), ("Bosse", 3), ("Arne", 7)], "name string, age long"
+    )
+    assert store.merge_nodes("dog", df, ["name"]) == 2  # input deduped
+    assert store.merge_nodes("dog", df, ["name"]) == 0  # idempotent
+    assert store.match_nodes("dog").count() == 2
+
+    # new keys insert, existing keys don't
+    df2 = spark.createDataFrame([("Arne", 7), ("Cleo", 1)], "name string, age long")
+    assert store.merge_nodes("dog", df2, ["name"]) == 1
+    assert store.match_nodes("dog").count() == 3
+
+    ids = {r["name"]: r["id"] for r in store.match_nodes("dog").collect()}
+    pairs = spark.createDataFrame(
+        [(ids["Arne"], ids["Bosse"]), (ids["Arne"], ids["Bosse"]), (ids["Bosse"], ids["Cleo"])],
+        "src long, dst long",
+    )
+    assert store.merge_rels("SNIFFS", pairs) == 2
+    assert store.merge_rels("SNIFFS", pairs) == 0
+    assert store.graph.rels.count() == 2
+    # rel ids unique
+    assert store.graph.rels.select("id").distinct().count() == 2
+
+
+def test_set_based_create_from_match(spark):
+    """MATCH binding of 120 rows → CREATE appends 120 nodes + 120 rels in
+    one batch (no driver row loop)."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    store = GraphStore(spark)
+    store.create_nodes("dog", [{"name": f"d{i}"} for i in range(120)])
+    s = Session(spark, store=store)
+    out = s.run(
+        "MATCH (d:dog) CREATE (t:tag {kind:'good'})-[:TAGS]->(d) "
+        "RETURN count(*) AS n"
+    ).collect()
+    assert out[0]["n"] == 120
+    assert store.match_nodes("tag").count() == 120
+    assert store.graph.rels.where(F.col("type") == "TAGS").count() == 120
+    # created node ids are unique and disjoint from the dogs'
+    assert store.graph.nodes.select("id").distinct().count() == 240
+    # the created pattern reads back joined correctly
+    joined = s.run("MATCH (t:tag)-[:TAGS]->(d:dog) RETURN count(*) AS n").collect()
+    assert joined[0]["n"] == 120
+
+
 def test_remove_props_and_merge_rel(spark):
     store = GraphStore(spark)
     (a,) = store.create_nodes("dog", [{"name": "Arne", "age": 7}])
