@@ -237,6 +237,169 @@ def write_create_from_match_batch(spark, sf_dir):
 
 
 @register(
+    "cypher_unwind",
+    """
+    SELECT n_name AS name FROM nation ORDER BY name
+    """,
+)
+def cypher_unwind(spark, sf_dir):
+    """Façade UNWIND: collect a list mid-pipeline then explode it back to
+    rows, straight from the Cypher string (SURVEY §2.B.6)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) WITH collect(n.n_name) AS names "
+        "UNWIND names AS name RETURN name ORDER BY name"
+    )
+
+
+@register(
+    "cypher_union",
+    """
+    SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region
+    """,
+)
+def cypher_union(spark, sf_dir):
+    """Façade UNION: distinct union of two full statements, split at the
+    top level of the Cypher string."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) RETURN n.n_name AS name "
+        "UNION MATCH (r:Region) RETURN r.r_name AS name"
+    )
+
+
+@register(
+    "cypher_skip_limit",
+    """
+    SELECT c_name AS name FROM customer ORDER BY name LIMIT 5 OFFSET 10
+    """,
+)
+def cypher_skip_limit(spark, sf_dir):
+    """Façade SKIP: ORDER BY … SKIP n LIMIT m pagination (c_name is unique,
+    so the page is deterministic)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run("MATCH (c:Customer) RETURN c.c_name AS name ORDER BY name SKIP 10 LIMIT 5")
+
+
+@register(
+    "cypher_exists_pattern",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders) AND c_acctbal > 1000
+    """,
+)
+def cypher_exists_pattern(spark, sf_dir):
+    """Façade pattern predicate: ``WHERE (c)-[:PLACED]->()`` compiles to a
+    left-semi join mixed with a plain column predicate in the same WHERE."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (c:Customer) WHERE (c)-[:PLACED]->() AND c.c_acctbal > 1000 "
+        "RETURN count(*) AS n"
+    )
+
+
+@register(
+    "cypher_not_exists_pattern",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def cypher_not_exists_pattern(spark, sf_dir):
+    """Façade NOT pattern predicate → left-anti join."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run("MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->() RETURN count(*) AS n")
+
+
+@register(
+    "cypher_optional_chain",
+    """
+    SELECT c_custkey AS ck, CAST(COUNT(l_partkey) AS BIGINT) AS n
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, l_partkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def cypher_optional_chain(spark, sf_dir):
+    """Façade multi-hop OPTIONAL MATCH: the optional side is a full
+    match_chain, left-joined on the anchor; customers with no orders
+    count 0 parts."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) "
+        "RETURN c.c_custkey AS ck, count(p.p_partkey) AS n"
+    )
+
+
+@register(
+    "cypher_shortest_path",
+    """
+    SELECT r_name AS name, CAST(2 AS BIGINT) AS hops
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey WHERE c_custkey = 1
+    """,
+)
+def cypher_shortest_path(spark, sf_dir):
+    """Façade shortestPath((a)-[*..k]->(b)) in MATCH, wired to the paths
+    operator: customer 1 reaches its region in exactly 2 hops
+    (IN_NATION → IN_REGION)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH p = shortestPath((c:Customer {c_custkey: 1})-[*..3]->(r:Region)) "
+        "RETURN r.r_name AS name, length(p) AS hops"
+    )
+
+
+@register(
+    "cypher_set_delete_readback",
+    """
+    SELECT name FROM (VALUES ('Arne')) AS t(name)
+    """,
+)
+def cypher_set_delete_readback(spark, sf_dir):
+    """Façade SET / DETACH DELETE statements (mutate-then-verify flow,
+    TestBackupRestore.java:143-146 shape): flag young dogs, delete the
+    others, read back what survived the combination."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne', age: 4})-[:SNIFFS]->(b:dog {name:'Bosse', age: 9})")
+    s.run("CREATE (c:dog {name:'Cleo', age: 11})")
+    s.run("MATCH (d:dog) WHERE d.age < 5 SET d.young = true")
+    s.run("MATCH (d:dog) WHERE d.age >= 5 DETACH DELETE d")
+    return s.run("MATCH (d:dog) WHERE d.young = true RETURN d.name AS name")
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

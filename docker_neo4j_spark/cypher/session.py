@@ -304,6 +304,42 @@ def _order_keys(order_by: str, resolve) -> list:
     return keys
 
 
+def _split_top(src: str, word: str) -> list[str]:
+    """Split ``src`` on keyword ``word`` at nesting depth 0 (outside any
+    (), [], {} and quotes) — the clause splitter for UNION / AND terms."""
+    parts: list[str] = []
+    depth = i = start = 0
+    n, w = len(src), len(word)
+    while i < n:
+        c = src[i]
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif c in "'\"":
+            j = src.find(c, i + 1)
+            i = j if j > 0 else n - 1
+        elif (
+            depth == 0
+            and src[i : i + w].upper() == word
+            and (i == 0 or not (src[i - 1].isalnum() or src[i - 1] == "_"))
+            and (i + w >= n or not (src[i + w].isalnum() or src[i + w] == "_"))
+        ):
+            parts.append(src[start:i])
+            i += w
+            start = i
+            continue
+        i += 1
+    parts.append(src[start:])
+    return parts
+
+
+def _looks_like_pattern(src: str) -> bool:
+    """A WHERE term that is itself a relationship pattern, e.g.
+    ``(a)-[:T]->(b)`` — node paren followed by a rel bracket."""
+    return bool(re.match(r"\(", src)) and bool(re.search(r"\)\s*<?-\s*\[", src))
+
+
 def _parse_pattern(src: str) -> tuple[list, str]:
     """Parse ``(a:L {..})-[:T]->(b)...``; returns (elements, rest)."""
     elems: list = []
@@ -369,6 +405,11 @@ class Session:
         head = q.split(None, 1)[0].upper() if q else ""
         if self.dbms is not None:
             self.dbms.check_queryable()
+        union_parts = _split_top(q, "UNION")
+        if len(union_parts) > 1:
+            return self._union(union_parts)
+        if head == "UNWIND":
+            return self._standalone_unwind(q)
         if head == "SHOW" and q.upper().startswith("SHOW PROCEDURES"):
             from ..procedures.registry import show_procedures
 
@@ -386,6 +427,58 @@ class Session:
         if head == "MATCH":
             return self._match(q)
         raise ValueError(f"Unsupported Cypher statement: {cypher!r}")
+
+    def _union(self, parts: list[str]) -> DataFrame:
+        """``<q> UNION [ALL] <q> ...`` — distinct union of the parts'
+        results (Cypher requires identical column names; ALL keeps
+        duplicates). Mixed ALL / distinct in one statement is rejected,
+        matching openCypher."""
+        alls: list[bool] = []
+        queries = [parts[0]]
+        for p in parts[1:]:
+            m = re.match(r"\s*ALL\b", p, re.IGNORECASE)
+            alls.append(bool(m))
+            queries.append(p[m.end():] if m else p)
+        if len(set(alls)) > 1:
+            raise ValueError("cannot mix UNION and UNION ALL in one statement")
+        out = None
+        for sub in queries:
+            frame = self.run(sub)
+            out = frame if out is None else out.unionByName(frame)
+        return out if alls[0] else out.distinct()
+
+    def _unwind_stage(self, bound: DataFrame, src: str) -> DataFrame:
+        """``UNWIND <list-expr> AS var`` — explode a literal list or a bound
+        list column into one row per element (SURVEY §2.B.6)."""
+        m = re.match(r"(?P<expr>.+?)\s+AS\s+(?P<var>[A-Za-z_]\w*)\s*$", src, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"UNWIND requires '<expr> AS <var>': {src!r}")
+        expr, var = m.group("expr").strip(), m.group("var")
+        if expr.startswith("["):
+            vals = [_parse_value(v.strip()) for v in expr[1:-1].split(",") if v.strip()]
+            col = F.explode(F.array(*[F.lit(v) for v in vals]))
+        else:
+            mr = re.match(r"range\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)$", expr, re.IGNORECASE)
+            if mr:
+                col = F.explode(F.sequence(F.lit(int(mr.group(1))), F.lit(int(mr.group(2)))))
+            else:
+                col = F.explode(_frame_resolver(bound)(expr))
+        return bound.withColumn(var, col)
+
+    def _standalone_unwind(self, q: str) -> DataFrame:
+        """``UNWIND [..] AS x [UNWIND ..] RETURN ...`` with no MATCH — the
+        pipeline runs over a one-row seed frame."""
+        m_ret = re.search(r"\bRETURN\b", q, re.IGNORECASE)
+        if not m_ret:
+            raise ValueError("UNWIND without RETURN")
+        ret = q[m_ret.end():].strip()
+        stages = _split_top(q[:m_ret.start()], "UNWIND")
+        bound = self.spark.range(1).select(F.lit(1).alias("_seed"))
+        for stage in stages:
+            if stage.strip():
+                bound = self._unwind_stage(bound, stage.strip())
+        bound = bound.drop("_seed")
+        return self._project_match(bound, ret, [], _frame_resolver(bound))
 
     def _merge(self, pattern_src: str) -> DataFrame:
         """``MERGE (n:L {props})[-[:T]->(m:M {props})]`` — openCypher atomic
@@ -552,21 +645,32 @@ class Session:
     # ---- MATCH --------------------------------------------------------
     def _match(self, q: str) -> DataFrame:
         body = q[len("MATCH"):].strip()
-        m_create = re.search(r"\bCREATE\b", body, re.IGNORECASE)
+        if re.match(r"(?:\w+\s*=\s*)?(?:allShortestPaths|shortestPath)\s*\(", body, re.IGNORECASE):
+            return self._shortest_path(body)
+        # terminal write verb (CREATE/SET/REMOVE/DELETE) or RETURN
+        m_write = re.search(
+            r"\b(CREATE|SET|REMOVE|DETACH\s+DELETE|DELETE)\b", body, re.IGNORECASE
+        )
         m_return = re.search(r"\bRETURN\b", body, re.IGNORECASE)
-        if m_create:
-            pattern_src = body[: m_create.start()].strip()
-            tail = body[m_create.end():].strip()
+        verb = tail = None
+        if m_write and (not m_return or m_write.start() < m_return.start()):
+            pattern_src = body[: m_write.start()].strip()
+            verb = re.sub(r"\s+", " ", m_write.group(1).upper())
+            tail = body[m_write.end():].strip()
         elif m_return:
             pattern_src = body[: m_return.start()].strip()
-            tail = None
             ret = body[m_return.end():].strip()
         else:
-            raise ValueError("MATCH without RETURN or CREATE")
-        # WITH pipeline stages trail the pattern clauses; the lookbehinds
-        # keep `STARTS WITH` / `ENDS WITH` predicates intact
-        parts = re.split(r"(?<!STARTS\s)(?<!ENDS\s)\bWITH\b", pattern_src, flags=re.IGNORECASE)
-        pattern_src, with_stages = parts[0].strip(), [s.strip() for s in parts[1:]]
+            raise ValueError("MATCH without RETURN or a write clause")
+        # WITH / UNWIND pipeline stages trail the pattern clauses; the
+        # lookbehinds keep `STARTS WITH` / `ENDS WITH` predicates intact
+        parts = re.split(
+            r"(?<!STARTS\s)(?<!ENDS\s)\b(WITH|UNWIND)\b", pattern_src, flags=re.IGNORECASE
+        )
+        pattern_src = parts[0].strip()
+        pipeline = [
+            (parts[i].upper(), parts[i + 1].strip()) for i in range(1, len(parts) - 1, 2)
+        ]
         # OPTIONAL MATCH segments follow the main pattern (and its WHERE)
         segments = re.split(r"\bOPTIONAL\s+MATCH\b", pattern_src, flags=re.IGNORECASE)
         pattern_src, optionals = segments[0].strip(), [s.strip() for s in segments[1:]]
@@ -575,19 +679,43 @@ class Session:
         if m_where:
             where_src = pattern_src[m_where.end():].strip()
             pattern_src = pattern_src[: m_where.start()].strip()
-        elems, rest = _parse_pattern(pattern_src)
-        bound = self._bind(elems)
+        # comma-separated pattern groups are a cartesian product of their
+        # bindings (Cypher MATCH (a), (b) — SURVEY §2.B.3 cartesian row)
+        groups = []
+        for gsrc in _split_top(pattern_src, ","):
+            gelems, rest = _parse_pattern(gsrc.strip())
+            if rest:
+                raise ValueError(f"trailing content after MATCH pattern: {rest!r}")
+            groups.append(gelems)
+        elems = [el for g in groups for el in g]
+        # a DELETE of a relationship variable needs the rel id columns that
+        # match_chain would otherwise statically prune
+        rel_ids_needed = None
+        if verb in ("DELETE", "DETACH DELETE"):
+            del_vars = {v.strip() for v in _split_top(tail, "RETURN")[0].split(",")}
+            if any(
+                isinstance(el, _Rel) and el.var in del_vars for el in elems
+            ):
+                rel_ids_needed = True
+        bound = None
+        for gelems in groups:
+            gbound = self._bind(gelems, with_rel_ids=rel_ids_needed)
+            bound = gbound if bound is None else bound.crossJoin(gbound)
         if where_src:
-            bound = bound.where(_compile_where(where_src))
+            bound = self._apply_where(bound, where_src)
         for k, opt in enumerate(optionals):
             # RETURN/ORDER BY resolve purely by column name, so the new
             # `{var}_{prop}` columns are visible without touching `elems`
             bound = self._bind_optional(bound, opt, k)
 
-        # WITH pipelines: each stage projects/aggregates, an optional WHERE
-        # filters the stage output (Cypher's HAVING), and later stages
-        # resolve against the stage's aliases (SURVEY §2.B.6)
-        for stage_src in with_stages:
+        # WITH pipelines: each WITH stage projects/aggregates, an optional
+        # WHERE filters the stage output (Cypher's HAVING), and later stages
+        # resolve against the stage's aliases; UNWIND stages explode a list
+        # into rows (SURVEY §2.B.6)
+        for kind, stage_src in pipeline:
+            if kind == "UNWIND":
+                bound = self._unwind_stage(bound, stage_src)
+                continue
             m_w = re.search(r"\bWHERE\b", stage_src, re.IGNORECASE)
             items_src = stage_src[: m_w.start()].strip() if m_w else stage_src.strip()
             keys, aggs = _parse_items(items_src, _frame_resolver(bound))
@@ -600,14 +728,198 @@ class Session:
             else:
                 bound = bound.select([c for _, c in keys])
             if m_w:
-                bound = bound.where(
-                    _compile_where(stage_src[m_w.end():].strip(), _frame_resolver(bound))
+                bound = self._apply_where(
+                    bound, stage_src[m_w.end():].strip(), _frame_resolver(bound)
                 )
 
-        if m_create:
+        if verb == "CREATE":
             return self._create_from_binding(tail, bound)
+        if verb == "SET":
+            return self._set_from_binding(tail, bound, elems, remove=False)
+        if verb == "REMOVE":
+            return self._set_from_binding(tail, bound, elems, remove=True)
+        if verb in ("DELETE", "DETACH DELETE"):
+            return self._delete_from_binding(tail, bound, elems, detach="DETACH" in verb)
 
         return self._project_match(bound, ret, elems, _frame_resolver(bound))
+
+    def _apply_where(self, bound: DataFrame, where_src: str, resolve=None) -> DataFrame:
+        """Apply a WHERE clause whose top-level AND terms may mix column
+        predicates with pattern predicates — ``(a)-[:T]->(b)`` /
+        ``exists((a)-[:T]->(b))`` / ``exists { (a)-[:T]->(b) }`` compile to
+        a left-semi join, ``NOT <pattern>`` to a left-anti join (Catalyst's
+        decorrelated-subquery form); the remaining terms compile to one
+        Column filter (SURVEY §2.B.3 pattern predicates)."""
+        plain: list[str] = []
+        for term in _split_top(where_src, "AND"):
+            t = term.strip()
+            m_not = re.match(r"NOT\s+", t, re.IGNORECASE)
+            inner = t[m_not.end():].strip() if m_not else t
+            m_ex = re.match(
+                r"EXISTS\s*(?:\{\s*(?:MATCH\s+)?(?P<brace>.*?)\s*\}|\(\s*(?P<paren>.*?)\s*\))\s*$",
+                inner,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m_ex:
+                inner = (m_ex.group("brace") or m_ex.group("paren")).strip()
+            if m_ex or _looks_like_pattern(inner):
+                bound = self._pattern_filter(bound, inner, anti=bool(m_not))
+            else:
+                plain.append(t)
+        if plain:
+            bound = bound.where(_compile_where(" AND ".join(plain), resolve))
+        return bound
+
+    def _pattern_filter(self, bound: DataFrame, src: str, anti: bool) -> DataFrame:
+        """Semi/anti-join ``bound`` against the bindings of a pattern — the
+        general (multi-hop, multi-anchor) pattern predicate."""
+        from ..operators.patterns import NodeSpec, RelSpec, match_chain
+
+        elems, rest = _parse_pattern(src)
+        if rest:
+            raise ValueError(f"trailing content in pattern predicate: {rest!r}")
+        pattern = []
+        for j, el in enumerate(elems):
+            if isinstance(el, _Node):
+                if not el.var:
+                    el.var = f"_pp{self._anon}"
+                    self._anon += 1
+                pattern.append(NodeSpec(el.var, el.label, el.props or None))
+            else:
+                pattern.append(RelSpec(el.var or f"_ppr{j}", el.rel_type, _direction(el)))
+        join_vars = [
+            el.var
+            for el in elems
+            if isinstance(el, _Node) and f"{el.var}_id" in bound.columns
+        ]
+        if not join_vars:
+            raise ValueError("pattern predicate must reference a bound variable")
+        sub = match_chain(self.store.graph, pattern)
+        keys = sub.select(
+            [F.col(f"{v}_id").alias(f"_pp_{v}") for v in join_vars]
+        ).distinct()
+        cond = None
+        for v in join_vars:
+            c = F.col(f"{v}_id") == F.col(f"_pp_{v}")
+            cond = c if cond is None else cond & c
+        return bound.join(keys, cond, "left_anti" if anti else "left_semi")
+
+    def _set_from_binding(
+        self, tail: str, bound: DataFrame, elems: list, remove: bool
+    ) -> DataFrame:
+        """Set-based ``MATCH … SET v.k = <literal>`` / ``REMOVE v.k`` — the
+        matched id set drives one conditional column update per variable
+        (store.set_props_by_ids); never a driver row loop."""
+        ret = None
+        parts = _split_top(tail, "RETURN")
+        if len(parts) > 1:
+            tail, ret = parts[0].strip(), parts[1].strip()
+        per_var: dict[str, dict] = {}
+        for item in tail.split(","):
+            item = item.strip()
+            if remove:
+                var, prop = item.split(".", 1)
+                per_var.setdefault(var, {})[prop] = None
+            else:
+                lhs, rhs = item.split("=", 1)
+                var, prop = lhs.strip().split(".", 1)
+                per_var.setdefault(var, {})[prop] = _parse_value(rhs.strip())
+        for var, props in per_var.items():
+            if f"{var}_id" not in bound.columns:
+                raise ValueError(f"SET/REMOVE variable {var!r} is not bound")
+            self.store.set_props_by_ids(
+                bound.select(F.col(f"{var}_id").alias("id")), props
+            )
+            # read-your-writes inside this statement's RETURN
+            for prop, val in props.items():
+                bound = bound.withColumn(f"{var}_{prop}", F.lit(val))
+        if ret is None:
+            return self.spark.createDataFrame([], "ok string")
+        return self._project_match(bound, ret, elems, _frame_resolver(bound))
+
+    def _delete_from_binding(
+        self, tail: str, bound: DataFrame, elems: list, detach: bool
+    ) -> DataFrame:
+        """Set-based ``MATCH … [DETACH] DELETE v[, w]`` — matched ids are
+        anti-joined out of the store in one swap per variable. Plain DELETE
+        of a node that still has relationships raises, matching Cypher."""
+        ret = None
+        parts = _split_top(tail, "RETURN")
+        if len(parts) > 1:
+            tail, ret = parts[0].strip(), parts[1].strip()
+        rel_vars = {el.var for el in elems if isinstance(el, _Rel) and el.var}
+        for var in (v.strip() for v in tail.split(",")):
+            if f"{var}_id" not in bound.columns:
+                raise ValueError(f"DELETE variable {var!r} is not bound")
+            ids = bound.select(F.col(f"{var}_id").alias("id"))
+            if var in rel_vars:
+                self.store.delete_rels_by_ids(ids)
+            else:
+                self.store.delete_nodes_by_ids(ids, detach=detach)
+        if ret is None:
+            return self.spark.createDataFrame([], "ok string")
+        return self._project_match(bound, ret, elems, _frame_resolver(bound))
+
+    def _shortest_path(self, body: str) -> DataFrame:
+        """``MATCH p = shortestPath((a)-[:T*..k]->(b)) RETURN …`` — wired to
+        the paths module (one deterministic minimum-hop path per pair;
+        allShortestPaths keeps every minimum-length path). ``length(p)``
+        resolves to the hop count, ``p`` to the node-id array."""
+        from ..operators.paths import all_shortest_paths, shortest_path
+        from ..operators.patterns import NodeSpec, RelSpec, _node_frame, _rel_frame
+        from ..graph import prefix_columns
+
+        m = re.match(
+            r"(?:(?P<pvar>\w+)\s*=\s*)?(?P<fn>allShortestPaths|shortestPath)\s*\(",
+            body,
+            re.IGNORECASE,
+        )
+        # find the matching close paren of the shortestPath(...) call
+        depth, i = 1, m.end()
+        while i < len(body) and depth:
+            if body[i] == "(":
+                depth += 1
+            elif body[i] == ")":
+                depth -= 1
+            i += 1
+        inner, rest = body[m.end(): i - 1].strip(), body[i:].strip()
+        m_ret = re.match(r"RETURN\b", rest, re.IGNORECASE)
+        if not m_ret:
+            raise ValueError("shortestPath MATCH requires RETURN")
+        ret = rest[m_ret.end():].strip()
+        elems, extra = _parse_pattern(inner)
+        if extra or len(elems) != 3:
+            raise ValueError("shortestPath takes a single (a)-[*..]->(b) pattern")
+        a, rel, b = elems
+        if rel.hi is None:
+            rel.lo, rel.hi = 1, 10  # engine cap, same default as var-length
+        a_var, b_var = a.var or "a", b.var or "b"
+        g = self.store.graph
+        edges = _rel_frame(g, RelSpec("_sp", rel.rel_type, _direction(rel)))
+        srcs = _node_frame(g, NodeSpec(a_var, a.label, a.props or None))
+        tgts = _node_frame(g, NodeSpec(b_var, b.label, b.props or None))
+        fn = shortest_path if m.group("fn").lower() == "shortestpath" else all_shortest_paths
+        paths = fn(edges, srcs.select("id"), rel.hi, targets=tgts.select("id"))
+        paths = paths.where(F.col("hops") >= rel.lo)
+        joined = (
+            prefix_columns(srcs, a_var)
+            .join(paths, F.col(f"{a_var}_id") == paths["start_id"])
+            .join(prefix_columns(tgts, b_var), paths["end_id"] == F.col(f"{b_var}_id"))
+            .drop("start_id", "end_id")
+        )
+        pvar = m.group("pvar")
+        base_resolve = _frame_resolver(joined)
+
+        def resolve(name: str) -> F.Column:
+            if pvar:
+                if name == pvar:
+                    return F.col("path")
+                mlen = re.match(r"length\(\s*(\w+)\s*\)$", name)
+                if mlen and mlen.group(1) == pvar:
+                    return F.col("hops")
+            return base_resolve(name)
+
+        return self._project_match(joined, ret, elems, resolve)
 
     def _create_from_binding(self, tail: str, bound: DataFrame) -> DataFrame:
         """Set-based ``MATCH … CREATE …`` (SURVEY §2.B.13): one new node/rel
@@ -670,22 +982,41 @@ class Session:
         anchored on an already-bound variable (unmatched rows → nulls)."""
         from ..operators.patterns import NodeSpec, RelSpec, optional_expand
 
-        oelems, _ = _parse_pattern(opt_src)
-        if len(oelems) != 3 or not isinstance(oelems[0], _Node):
-            raise ValueError("OPTIONAL MATCH supports a single anchored hop")
-        anchor, rel, tgt = oelems
-        if not anchor.var or f"{anchor.var}_id" not in bound.columns:
-            raise ValueError(f"OPTIONAL MATCH anchor {anchor.var!r} is not bound")
-        tgt_var = tgt.var or f"_opt{k}"
-        return optional_expand(
-            self.store.graph,
-            bound,
-            f"{anchor.var}_id",
-            RelSpec(rel.var or f"_or{k}", rel.rel_type, _direction(rel)),
-            NodeSpec(tgt_var, tgt.label, tgt.props or None),
-        )
+        oelems, rest = _parse_pattern(opt_src)
+        if rest:
+            raise ValueError(f"trailing content in OPTIONAL MATCH: {rest!r}")
+        anchor = oelems[0]
+        if not isinstance(anchor, _Node) or not anchor.var or f"{anchor.var}_id" not in bound.columns:
+            raise ValueError("OPTIONAL MATCH must anchor on a bound variable")
+        if len(oelems) == 3:
+            rel, tgt = oelems[1], oelems[2]
+            tgt_var = tgt.var or f"_opt{k}"
+            return optional_expand(
+                self.store.graph,
+                bound,
+                f"{anchor.var}_id",
+                RelSpec(rel.var or f"_or{k}", rel.rel_type, _direction(rel)),
+                NodeSpec(tgt_var, tgt.label, tgt.props or None),
+            )
+        # multi-hop: bind the whole optional chain, left-join on the anchor
+        from ..operators.patterns import match_chain
 
-    def _bind(self, elems: list) -> DataFrame:
+        pattern = []
+        for j, el in enumerate(oelems):
+            if isinstance(el, _Node):
+                if not el.var:
+                    el.var = f"_opt{k}_{j}"
+                pattern.append(NodeSpec(el.var, el.label, el.props or None))
+            else:
+                pattern.append(RelSpec(el.var or f"_or{k}_{j}", el.rel_type, _direction(el)))
+        sub = match_chain(self.store.graph, pattern)
+        dup = [c for c in sub.columns if c in bound.columns and c != f"{anchor.var}_id"]
+        sub = sub.drop(*dup).withColumnRenamed(f"{anchor.var}_id", "_opt_anchor")
+        return bound.join(
+            sub, F.col(f"{anchor.var}_id") == F.col("_opt_anchor"), "left"
+        ).drop("_opt_anchor")
+
+    def _bind(self, elems: list, with_rel_ids: bool | None = None) -> DataFrame:
         from ..operators.patterns import NodeSpec, RelSpec, match_chain
 
         if any(isinstance(el, _Rel) and el.lo is not None for el in elems):
@@ -698,7 +1029,7 @@ class Session:
                 pattern.append(NodeSpec(var, el.label, el.props or None))
             else:
                 pattern.append(RelSpec(el.var or f"_r{j}", el.rel_type, _direction(el)))
-        return match_chain(self.store.graph, pattern)
+        return match_chain(self.store.graph, pattern, with_rel_ids=with_rel_ids)
 
     def _bind_varlength(self, elems: list) -> DataFrame:
         """``(a)-[:T*lo..hi]->(b)`` — BFS reachability expansion with a
@@ -740,13 +1071,17 @@ class Session:
         self, bound: DataFrame, ret: str, elems: list, resolve=None
     ) -> DataFrame:
         _resolve = resolve or _default_resolver
-        # ORDER BY / LIMIT suffixes, DISTINCT prefix
-        order_by = limit = None
+        # ORDER BY / SKIP / LIMIT suffixes, DISTINCT prefix
+        order_by = limit = skip = None
         m_ob = re.search(r"\bORDER\s+BY\b", ret, re.IGNORECASE)
         m_li = re.search(r"\bLIMIT\s+(\d+)\s*$", ret, re.IGNORECASE)
         if m_li:
             limit = int(m_li.group(1))
             ret = ret[: m_li.start()].strip()
+        m_sk = re.search(r"\bSKIP\s+(\d+)\s*$", ret, re.IGNORECASE)
+        if m_sk:
+            skip = int(m_sk.group(1))
+            ret = ret[: m_sk.start()].strip()
         if m_ob:
             order_by = ret[m_ob.end():].strip()
             ret = ret[: m_ob.start()].strip()
@@ -764,6 +1099,8 @@ class Session:
             )
             if order_by:
                 out = out.orderBy(*_order_keys(order_by, lambda k: F.col(f"`{k}`")))
+            if skip is not None:
+                out = out.offset(skip)
             return out if limit is None else out.limit(limit)
 
         # ORDER BY may reference projected aliases (sort after projection)
@@ -781,6 +1118,8 @@ class Session:
             out = out.distinct()
         if by_alias:
             out = out.orderBy(*_order_keys(order_by, lambda k: F.col(f"`{k}`")))
+        if skip is not None:
+            out = out.offset(skip)
         if limit is not None:
             out = out.limit(limit)
         return out

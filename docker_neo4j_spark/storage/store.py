@@ -229,6 +229,46 @@ class GraphStore:
         )
         return n
 
+    def set_props_by_ids(self, ids: DataFrame, new_props: dict) -> None:
+        """Set-based ``SET`` driven by a matched id frame: one left join +
+        conditional column update per property — the façade's
+        ``MATCH … SET`` path (no driver materialization of the match)."""
+        flagged = ids.select("id").distinct().withColumn("_hit", F.lit(True))
+        nodes = self.graph.nodes.join(flagged, "id", "left")
+        for k, v in new_props.items():
+            old = F.col(k) if k in self.graph.nodes.columns else F.lit(None)
+            nodes = nodes.withColumn(k, F.when(F.col("_hit"), F.lit(v)).otherwise(old))
+        self._swap(nodes=nodes.drop("_hit"))
+
+    def delete_nodes_by_ids(self, ids: DataFrame, detach: bool = True) -> None:
+        """Set-based ``[DETACH] DELETE`` driven by a matched id frame.
+        Plain DELETE raises if any doomed node still has relationships
+        (Cypher's constraint); DETACH also anti-joins those rels away."""
+        doomed = ids.select("id").distinct()
+        rels = self.graph.rels
+        if not detach:
+            touching = rels.join(
+                doomed.withColumnRenamed("id", "src"), "src", "left_semi"
+            ).unionByName(
+                rels.join(doomed.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            )
+            if not touching.isEmpty():
+                raise ValueError(
+                    "cannot DELETE nodes that still have relationships; use DETACH DELETE"
+                )
+            new_rels = rels
+        else:
+            new_rels = rels.join(
+                doomed.withColumnRenamed("id", "src"), "src", "left_anti"
+            ).join(doomed.withColumnRenamed("id", "dst"), "dst", "left_anti").select(
+                rels.columns
+            )
+        self._swap(nodes=self.graph.nodes.join(doomed, "id", "left_anti"), rels=new_rels)
+
+    def delete_rels_by_ids(self, ids: DataFrame) -> None:
+        """``DELETE r`` for a matched relationship id frame — one anti-join."""
+        self._swap(rels=self.graph.rels.join(ids.select("id").distinct(), "id", "left_anti"))
+
     def delete_nodes(self, label: str, detach: bool = True, **props) -> None:
         """``MATCH (n:Label {props}) [DETACH] DELETE n``."""
         doomed = self.match_nodes(label, **props).select("id")

@@ -265,3 +265,134 @@ def test_undirected_pattern_is_both_orientations(session):
         session.run("CREATE (a:dog {name:'X'})-[:SNIFFS]-(b:dog {name:'Y'})")
     with pytest.raises(ValueError):
         session.run("MERGE (a:dog {name:'X'})-[:SNIFFS]-(b:dog {name:'Y'})")
+
+
+def test_unwind_standalone_and_pipeline(session):
+    r = session.run("UNWIND [1,2,3] AS x RETURN x ORDER BY x").collect()
+    assert [row["x"] for row in r] == [1, 2, 3]
+    r = session.run("UNWIND range(1,4) AS x RETURN sum(x) AS s").collect()
+    assert r[0]["s"] == 10
+    session.run("CREATE (a:dog {name:'Arne'})")
+    session.run("CREATE (b:dog {name:'Bosse'})")
+    r = session.run(
+        "MATCH (d:dog) WITH collect(d.name) AS names UNWIND names AS nm "
+        "RETURN nm ORDER BY nm"
+    ).collect()
+    assert [row["nm"] for row in r] == ["Arne", "Bosse"]
+
+
+def test_union_and_union_all(session):
+    session.run("CREATE (a:dog {name:'Arne'})")
+    session.run("CREATE (b:cat {name:'Arne'})")
+    r = session.run(
+        "MATCH (d:dog) RETURN d.name AS n UNION MATCH (c:cat) RETURN c.name AS n"
+    ).collect()
+    assert [row["n"] for row in r] == ["Arne"]  # distinct
+    r = session.run(
+        "MATCH (d:dog) RETURN d.name AS n UNION ALL MATCH (c:cat) RETURN c.name AS n"
+    ).collect()
+    assert len(r) == 2
+    with pytest.raises(ValueError):
+        session.run(
+            "MATCH (d:dog) RETURN d.name AS n UNION MATCH (c:cat) RETURN c.name AS n "
+            "UNION ALL MATCH (c:cat) RETURN c.name AS n"
+        )
+
+
+def test_skip_pagination(session):
+    for i in range(5):
+        session.run(f"CREATE (d:dog {{name:'d{i}'}})")
+    r = session.run(
+        "MATCH (d:dog) RETURN d.name AS n ORDER BY n SKIP 2 LIMIT 2"
+    ).collect()
+    assert [row["n"] for row in r] == ["d2", "d3"]
+    r = session.run("MATCH (d:dog) RETURN d.name AS n ORDER BY n SKIP 4").collect()
+    assert [row["n"] for row in r] == ["d4"]
+
+
+def test_pattern_predicate_in_where(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 7})-[:SNIFFS]->(b:dog {name:'Bosse', age: 3})")
+    session.run("CREATE (c:dog {name:'Cleo', age: 1})")
+    r = session.run(
+        "MATCH (d:dog) WHERE (d)-[:SNIFFS]->(:dog) RETURN d.name AS n"
+    ).collect()
+    assert [row["n"] for row in r] == ["Arne"]
+    r = session.run(
+        "MATCH (d:dog) WHERE NOT (d)-[:SNIFFS]->() RETURN d.name AS n ORDER BY n"
+    ).collect()
+    assert [row["n"] for row in r] == ["Bosse", "Cleo"]
+    # exists() / exists {} forms, mixed with a column predicate
+    r = session.run(
+        "MATCH (d:dog) WHERE exists((d)-[:SNIFFS]->()) AND d.age > 5 RETURN d.name AS n"
+    ).collect()
+    assert [row["n"] for row in r] == ["Arne"]
+    r = session.run(
+        "MATCH (d:dog) WHERE exists { MATCH (d)-[:SNIFFS]->(:dog) } RETURN d.name AS n"
+    ).collect()
+    assert [row["n"] for row in r] == ["Arne"]
+    # two bound vars: the predicate joins on both
+    r = session.run(
+        "MATCH (a:dog), (b:dog) WHERE (a)-[:SNIFFS]->(b) RETURN a.name AS an, b.name AS bn"
+    ).collect()
+    assert (r[0]["an"], r[0]["bn"]) == ("Arne", "Bosse")
+
+
+def test_set_remove_statements(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 7})")
+    session.run("CREATE (b:dog {name:'Bosse', age: 3})")
+    session.run("MATCH (d:dog) WHERE d.age > 5 SET d.old = true, d.age = 8")
+    r = session.run("MATCH (d:dog) WHERE d.old = true RETURN d.name AS n, d.age AS a").collect()
+    assert len(r) == 1 and (r[0]["n"], r[0]["a"]) == ("Arne", 8)
+    # SET ... RETURN reads its own write
+    r = session.run("MATCH (d:dog {name:'Bosse'}) SET d.age = 4 RETURN d.age AS a").collect()
+    assert r[0]["a"] == 4
+    session.run("MATCH (d:dog {name:'Arne'}) REMOVE d.old")
+    assert session.run("MATCH (d:dog) WHERE d.old = true RETURN count(*)").collect()[0][0] == 0
+
+
+def test_delete_statements(session):
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    session.run("CREATE (c:dog {name:'Cleo'})")
+    # plain DELETE of a connected node raises (Cypher constraint)
+    with pytest.raises(ValueError):
+        session.run("MATCH (d:dog {name:'Arne'}) DELETE d")
+    # deleting the relationship variable removes just the rel
+    session.run("MATCH (a:dog)-[r:SNIFFS]->(b:dog) DELETE r")
+    assert session.run("MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN count(*)").collect()[0][0] == 0
+    # now plain DELETE works; DETACH DELETE also fine
+    session.run("MATCH (d:dog {name:'Arne'}) DELETE d")
+    session.run("MATCH (d:dog) DETACH DELETE d")
+    assert session.run("MATCH (n) RETURN count(n)").collect()[0][0] == 0
+
+
+def test_optional_match_multi_hop(session):
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    session.run("MATCH (b:dog {name:'Bosse'}) CREATE (c:dog {name:'Cleo'})<-[:SNIFFS]-(b)")
+    r = session.run(
+        "MATCH (d:dog) OPTIONAL MATCH (d)-[:SNIFFS]->(e:dog)-[:SNIFFS]->(f:dog) "
+        "RETURN d.name AS dn, f.name AS fn ORDER BY dn"
+    ).collect()
+    assert [(row["dn"], row["fn"]) for row in r] == [
+        ("Arne", "Cleo"), ("Bosse", None), ("Cleo", None),
+    ]
+
+
+def test_shortest_path_in_match(session):
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    session.run("MATCH (b:dog {name:'Bosse'}) CREATE (c:dog {name:'Cleo'})<-[:SNIFFS]-(b)")
+    # direct shortcut: Arne->Cleo in addition to the 2-hop chain
+    session.run(
+        "MATCH (a:dog {name:'Arne'}) CREATE (a)-[:SNIFFS]->(x:dog {name:'X'})"
+    )
+    r = session.run(
+        "MATCH p = shortestPath((a:dog {name:'Arne'})-[:SNIFFS*..4]->(b:dog {name:'Cleo'})) "
+        "RETURN b.name AS bn, length(p) AS hops"
+    ).collect()
+    assert len(r) == 1 and (r[0]["bn"], r[0]["hops"]) == ("Cleo", 2)
+    r = session.run(
+        "MATCH p = allShortestPaths((a:dog {name:'Arne'})-[:SNIFFS*..4]->(b:dog)) "
+        "RETURN b.name AS bn, length(p) AS hops ORDER BY bn"
+    ).collect()
+    assert [(row["bn"], row["hops"]) for row in r] == [
+        ("Bosse", 1), ("Cleo", 2), ("X", 1),
+    ]
