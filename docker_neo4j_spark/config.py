@@ -150,6 +150,45 @@ class Conf:
         return messages
 
 
+    def expand_commands(self, run_command=None) -> list[str]:
+        """EXTENDED_CONF command expansion: a value of the exact form
+        ``$(command)`` is replaced by the command's stdout
+        (TestExtendedConf.java:59,68-151 — ``--expand-commands`` is passed
+        when the EXTENDED_CONF env var is set, docker-entrypoint.sh:344).
+
+        ``run_command(cmd)`` returns (exit_code, stdout, stderr); the
+        default runs a real shell. A non-zero exit fails FAST on the first
+        error (the reference quits the entrypoint the first time), raising
+        a ValueError carrying the reference's message shape — the setting
+        name AND the command's own stderr. Returns the list of settings
+        that were expanded."""
+        if run_command is None:
+
+            def run_command(cmd: str):
+                import subprocess
+
+                p = subprocess.run(
+                    cmd, shell=True, capture_output=True, text=True
+                )
+                return p.returncode, p.stdout, p.stderr
+
+        expanded = []
+        for fname in self.files:
+            for setting, value in self.file(fname).items():
+                if not isinstance(value, str):
+                    continue
+                m = re.fullmatch(r"\$\((?P<cmd>.+)\)", value.strip())
+                if not m:
+                    continue
+                code, out, err = run_command(m.group("cmd"))
+                if code != 0:
+                    raise ValueError(
+                        f"Error evaluating value for setting '{setting}': {err.strip()}"
+                    )
+                self.file(fname)[setting] = out.strip()
+                expanded.append(setting)
+        return expanded
+
     def render(self, file: str = "neo4j.conf") -> str:
         """Config dump (A14): the conf file as ``setting=value`` lines,
         append-only settings emitted once per value — byte-comparable to

@@ -176,3 +176,49 @@ def test_config_render_dump():
         "server.jvm.additional=-Dfoo=1",
         "server.jvm.additional=-Dbar=2",
     ]
+
+
+def test_extended_conf_command_expansion():
+    """EXTENDED_CONF $(cmd) expansion incl. the invalid-command failure
+    path (TestExtendedConf.java:59,68-151): valid command → stdout becomes
+    the value; failing command → fail fast with the setting name and the
+    command's stderr, first error only."""
+    from docker_neo4j_spark.config import Conf
+
+    conf = Conf()
+    # ExtendedConf.conf: server.logs.gc.rotation.keep_number=$(expr 2 * 10)
+    conf.add_env_setting("server.logs.gc.rotation.keep_number", "$(expr 2 '*' 10)")
+    conf.add_env_setting("server.memory.heap.max_size", "512m")  # untouched
+    expanded = conf.expand_commands()
+    assert expanded == ["server.logs.gc.rotation.keep_number"]
+    assert conf.get("server.logs.gc.rotation.keep_number") == "20"
+    assert conf.get("server.memory.heap.max_size") == "512m"
+
+    # InvalidExtendedConf.conf: the command prints to stderr and exits 1
+    bad = Conf()
+    bad.add_env_setting(
+        "server.logs.gc.rotation.keep_number",
+        "$(bash -c '>&2 echo \"this is an error message from inside neo4j config command expansion\" && exit 1')",
+    )
+    bad.add_env_setting("server.other", "$(echo never-reached)")
+    with pytest.raises(ValueError) as ei:
+        bad.expand_commands()
+    msg = str(ei.value)
+    assert "Error evaluating value for setting 'server.logs.gc.rotation.keep_number'" in msg
+    assert "this is an error message from inside neo4j config command expansion" in msg
+
+
+def test_extended_conf_expansion_with_fake_shell():
+    """The run_command seam: deterministic fake shell, no subprocess."""
+    from docker_neo4j_spark.config import Conf
+
+    conf = Conf()
+    conf.add_env_setting("server.a", "$(get-a)")
+    calls = []
+
+    def fake(cmd):
+        calls.append(cmd)
+        return 0, "forty-two\n", ""
+
+    conf.expand_commands(run_command=fake)
+    assert calls == ["get-a"] and conf.get("server.a") == "forty-two"
