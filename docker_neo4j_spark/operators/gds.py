@@ -275,12 +275,20 @@ def pagerank(
     iterations: int = 15,
     damping: float = 0.85,
     weight_col: str | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank with dangling-mass redistribution: (id, pr).
 
-    Fixed iteration count (the reference's gds.pageRank default shape);
-    Σpr = N is preserved each round. Per round: one join + one groupBy-sum
-    shuffle + one scalar aggregate for the dangling mass.
+    Fixed iteration count by default; Σpr = N is preserved each round. Per
+    round: one join + one groupBy-sum shuffle + one scalar aggregate for
+    the dangling mass.
+
+    ``tolerance``: gds.pageRank's convergence knob (its default shape is
+    maxIterations=20, tolerance=1e-7) — stop early once the summed
+    per-node rank change drops below ``tolerance × N``. Costs one extra
+    id-join scalar job per round, which pays for itself whenever the graph
+    converges before the iteration cap (a DAG converges in ≤ depth+1
+    rounds). ``None`` = fixed-count mode, zero extra jobs.
 
     ``weight_col``: the gds relationshipWeightProperty analog — each
     out-edge carries weight/Σweight(src) of the node's rank instead of
@@ -335,11 +343,22 @@ def pagerank(
             .agg(F.sum("c").alias("c"))
         )
         base = (1.0 - damping) + damping * dangling / n_total
-        pr = _ckpt(
+        new_pr = _ckpt(
             contribs.select(
                 "id", (F.lit(base) + F.lit(damping) * F.col("c")).alias("pr")
             ).unionByName(no_in_ids.select("id", F.lit(base).alias("pr")))
         )
+        if tolerance is not None:
+            delta = (
+                new_pr.join(pr.withColumnRenamed("pr", "_old"), "id")
+                .agg(F.sum(F.abs(F.col("pr") - F.col("_old"))))
+                .first()[0]
+            )
+            pr = new_pr
+            if delta is not None and delta < tolerance * n_total:
+                break
+        else:
+            pr = new_pr
     e_deg.unpersist()
     n.unpersist()
     dangling_ids.unpersist()

@@ -1,0 +1,131 @@
+"""Thin HTTP serving wrapper over the Cypher façade (SURVEY.md §2.B.1).
+
+The reference image publishes the database on ports 7474 (HTTP) and 7687
+(Bolt) — docker-image-src/calver/coredb/Dockerfile-trixie:54 ``EXPOSE
+7474 7687`` — and its tests drive queries over that network surface.
+This module is the engine's port surface: the neo4j *HTTP transaction
+API* shape (``POST /db/{name}/tx/commit`` with ``{"statements": [...]}``,
+response ``{"results": [{"columns", "data": [{"row": ...}]}], "errors"}``)
+served over Python's stdlib ``ThreadingHTTPServer``, executing each
+statement through :class:`docker_neo4j_spark.cypher.session.Session`.
+
+This is a serving façade for interactive/smoke traffic — one collect per
+statement, like a Bolt result stream. Analytical work goes through the
+DataFrame API; a 100 TB batch job would never round-trip rows over HTTP.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .cypher.session import Session
+
+
+def _jsonable(v):
+    """Row value → JSON-serializable (dates/decimals/arrays)."""
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
+
+
+def run_statements(session: Session, statements: list[dict]) -> dict:
+    """Execute the HTTP-API statement list; first error aborts the rest
+    (the transactional endpoint's semantics: errors roll the tx back)."""
+    results, errors = [], []
+    for stmt in statements:
+        text = stmt.get("statement", "")
+        try:
+            df = session.run(text)
+            rows = df.collect()
+            results.append(
+                {
+                    "columns": list(df.columns),
+                    "data": [{"row": [_jsonable(v) for v in r]} for r in rows],
+                }
+            )
+        except Exception as ex:  # surface as a Neo.ClientError, keep serving
+            errors.append(
+                {"code": "Neo.ClientError.Statement.SyntaxError", "message": str(ex)}
+            )
+            break
+        if errors:
+            break
+    return {"results": results, "errors": errors}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "docker-neo4j-spark"
+
+    def _send(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 (BaseHTTPRequestHandler API)
+        from . import __version__
+
+        # discovery document (what the reference serves on 7474's root)
+        self._send(200, {"neo4j_version": __version__, "neo4j_edition": "spark"})
+
+    def do_POST(self):  # noqa: N802
+        if not self.path.rstrip("/").endswith("/tx/commit"):
+            self._send(404, {"results": [], "errors": [{"code": "Neo.ClientError.Request.Invalid", "message": f"no such endpoint {self.path}"}]})
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            payload = json.loads(self.rfile.read(length) or b"{}")
+        except json.JSONDecodeError as ex:
+            self._send(400, {"results": [], "errors": [{"code": "Neo.ClientError.Request.InvalidFormat", "message": str(ex)}]})
+            return
+        out = run_statements(self.server.session, payload.get("statements", []))
+        self._send(200, out)
+
+    def log_message(self, *args):  # quiet test runs
+        pass
+
+
+class HttpServer:
+    """``serve(session, port)`` lifecycle object; ``.port`` after start.
+
+    Threaded so a test (or a driver process) can query while the main
+    thread keeps working; one Session is shared — the façade's store swaps
+    are atomic snapshot replacements, so concurrent reads are consistent.
+    """
+
+    def __init__(self, session: Session, host: str = "127.0.0.1", port: int = 0):
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.session = session
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "HttpServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def serve(session: Session, host: str = "127.0.0.1", port: int = 7474) -> HttpServer:
+    """Start serving the session over HTTP; returns the running server."""
+    return HttpServer(session, host, port).start()

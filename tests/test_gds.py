@@ -213,3 +213,22 @@ def test_pagerank_weighted_prefers_heavy_edge(spark):
     assert w[2] > w[3]                      # heavy edge wins
     assert abs(u[2] - u[3]) < 1e-12         # unweighted splits evenly
     assert abs(sum(w.values()) - 3.0) < 1e-6
+
+
+def test_pagerank_tolerance_early_exit(spark):
+    """tolerance mode (gds.pageRank's convergence knob): a symmetric cycle
+    converges immediately, so the loop must exit far below the cap with
+    the same (uniform) ranks and preserved mass."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    n = _nodes(spark, [1, 2, 3])
+    out = {r["id"]: r["pr"] for r in gds.pagerank(e, n, iterations=50, tolerance=1e-7).collect()}
+    for v in out.values():
+        assert abs(v - 1.0) < 1e-9
+    assert abs(sum(out.values()) - 3.0) < 1e-9
+    # tolerance=None and tolerance-mode agree on a non-trivial graph
+    e2 = _edges(spark, [(1, 9), (2, 9), (3, 9), (9, 1)])
+    n2 = _nodes(spark, [1, 2, 3, 9])
+    fixed = {r["id"]: r["pr"] for r in gds.pagerank(e2, n2, iterations=25).collect()}
+    tol = {r["id"]: r["pr"] for r in gds.pagerank(e2, n2, iterations=25, tolerance=1e-12).collect()}
+    for k in fixed:
+        assert abs(fixed[k] - tol[k]) < 1e-6

@@ -1,0 +1,73 @@
+"""HTTP serving wrapper: the reference's port surface (Dockerfile-trixie:54
+EXPOSE 7474) driven end-to-end over a real socket."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from docker_neo4j_spark.cypher.session import Session
+from docker_neo4j_spark.server import serve
+
+
+@pytest.fixture
+def server(spark):
+    srv = serve(Session(spark), port=0)
+    yield srv
+    srv.stop()
+
+
+def _post(srv, statements):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/db/neo4j/tx/commit",
+        data=json.dumps({"statements": statements}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def test_http_create_then_match(server):
+    out = _post(
+        server,
+        [
+            {"statement": "CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'}) RETURN arne.name"},
+        ],
+    )
+    assert out["errors"] == []
+    out = _post(server, [{"statement": "MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name"}])
+    assert out["errors"] == []
+    assert out["results"][0]["columns"] == ["a.name"]
+    assert [d["row"] for d in out["results"][0]["data"]] == [["Arne"]]
+
+
+def test_http_multi_statement_and_error(server):
+    out = _post(
+        server,
+        [
+            {"statement": "RETURN 1"},
+            {"statement": "THIS IS NOT CYPHER"},
+            {"statement": "RETURN 2"},  # aborted after the error
+        ],
+    )
+    assert len(out["results"]) == 1
+    assert out["results"][0]["data"] == [{"row": [1]}]
+    assert len(out["errors"]) == 1
+    assert out["errors"][0]["code"].startswith("Neo.ClientError")
+
+
+def test_http_discovery_and_bad_endpoint(server):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/") as resp:
+        doc = json.loads(resp.read())
+    assert "neo4j_version" in doc
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/nope", data=b"{}", method="POST"
+    )
+    try:
+        urllib.request.urlopen(req)
+        raised = False
+    except urllib.error.HTTPError as ex:
+        raised = ex.code == 404
+    assert raised
