@@ -400,6 +400,72 @@ def cypher_set_delete_readback(spark, sf_dir):
 
 
 @register(
+    "cypher_call_subquery",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+    """,
+)
+def cypher_call_subquery(spark, sf_dir):
+    """Façade CALL { subquery }: the braced statement runs as its own
+    query; the outer RETURN aggregates over it (SURVEY §2.B.6)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run("CALL { MATCH (n:Nation) RETURN n.n_name AS name } RETURN count(*) AS n")
+
+
+@register(
+    "proc_vector_query_nodes",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id AS node FROM embeddings, q
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def proc_vector_query_nodes(spark, sf_dir):
+    """``CALL db.index.vector.queryNodes(...)`` through the string façade
+    over a store whose nodes carry an ``embedding`` property — id set of
+    the cosine top-5 must match DuckDB's (scores omitted: float-fold
+    ordering is compared, bit patterns are not)."""
+    from ..cypher.session import Session
+    from ..graph import PropertyGraph
+    from ..storage.store import GraphStore
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nodes = emb.select(
+        F.col("vec_id").alias("id"), F.array(F.lit("Doc")).alias("labels"), "embedding"
+    )
+    rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+    s = Session(spark, store=GraphStore(spark, PropertyGraph(nodes=nodes, rels=rels)))
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    qstr = "[" + ", ".join(f"{float(x):.9g}" for x in qvec) + "]"
+    return s.run(
+        f"CALL db.index.vector.queryNodes('Doc', 5, {qstr}) YIELD node, score RETURN node"
+    )
+
+
+@register(
+    "proc_genai_encode_dim",
+    """
+    SELECT CAST(32 AS BIGINT) AS dim
+    """,
+)
+def proc_genai_encode_dim(spark, sf_dir):
+    """``genai.vector.encode`` wired as a registered scalar function (the
+    genai plugin surface): encoding returns a fixed-width array<float>.
+    Values are the engine's deterministic stub (pytest-covered); the
+    oracle grades the registered-function plumbing and width contract."""
+    from ..procedures.registry import fn
+
+    return spark.range(1).select(
+        F.size(fn("genai.vector.encode", "hello")).cast("long").alias("dim")
+    )
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

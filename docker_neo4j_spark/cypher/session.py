@@ -83,10 +83,16 @@ def _parse_props(src: str | None) -> dict:
 
 
 def _parse_value(v: str):
+    if v.startswith("["):
+        return [
+            _parse_value(x.strip()) for x in _split_top(v[1:-1], ",") if x.strip()
+        ]
     if v.startswith(("'", '"')):
         return v[1:-1]
     if v.lower() in ("true", "false"):
         return v.lower() == "true"
+    if v.lower() == "null":
+        return None
     return float(v) if "." in v else int(v)
 
 
@@ -242,11 +248,19 @@ def _compile_where(src: str, resolve=None) -> F.Column:
             out = out & factor()
         return out
 
-    def expr() -> F.Column:
+    def xterm() -> F.Column:
+        # Cypher precedence: NOT > AND > XOR > OR
         out = term()
+        while peek("word", "XOR"):
+            take()
+            out = out != term()
+        return out
+
+    def expr() -> F.Column:
+        out = xterm()
         while peek("word", "OR"):
             take()
-            out = out | term()
+            out = out | xterm()
         return out
 
     result = expr()
@@ -322,8 +336,13 @@ def _split_top(src: str, word: str) -> list[str]:
         elif (
             depth == 0
             and src[i : i + w].upper() == word
-            and (i == 0 or not (src[i - 1].isalnum() or src[i - 1] == "_"))
-            and (i + w >= n or not (src[i + w].isalnum() or src[i + w] == "_"))
+            and (
+                not word[0].isalnum()  # punctuation separators need no boundary
+                or (
+                    (i == 0 or not (src[i - 1].isalnum() or src[i - 1] == "_"))
+                    and (i + w >= n or not (src[i + w].isalnum() or src[i + w] == "_"))
+                )
+            )
         ):
             parts.append(src[start:i])
             i += w
@@ -417,6 +436,8 @@ class Session:
         if head == "ALTER":
             return self._alter_password(q)
         if head == "CALL":
+            if re.match(r"CALL\s*\{", q, re.IGNORECASE):
+                return self._call_subquery(q)
             return self._call(q)
         if head == "RETURN":
             return self._bare_return(q)
@@ -479,6 +500,27 @@ class Session:
                 bound = self._unwind_stage(bound, stage.strip())
         bound = bound.drop("_seed")
         return self._project_match(bound, ret, [], _frame_resolver(bound))
+
+    def _call_subquery(self, q: str) -> DataFrame:
+        """``CALL { <inner query> } RETURN …`` — the uncorrelated subquery
+        composition (SURVEY §2.B.6): the braced statement runs as its own
+        query; the outer RETURN projects/aggregates over its result."""
+        start = q.index("{")
+        depth, i = 1, start + 1
+        while i < len(q) and depth:
+            if q[i] == "{":
+                depth += 1
+            elif q[i] == "}":
+                depth -= 1
+            i += 1
+        inner, rest = q[start + 1 : i - 1].strip(), q[i:].strip()
+        frame = self.run(inner)
+        m_ret = re.match(r"RETURN\b", rest, re.IGNORECASE)
+        if not m_ret:
+            return frame
+        return self._project_match(
+            frame, rest[m_ret.end():].strip(), [], _frame_resolver(frame)
+        )
 
     def _merge(self, pattern_src: str) -> DataFrame:
         """``MERGE (n:L {props})[-[:T]->(m:M {props})]`` — openCypher atomic
@@ -555,7 +597,8 @@ class Session:
         args = {}
         raw_args = (m.group("args") or "").strip()
         if raw_args:
-            for i, part in enumerate(raw_args.split(",")):
+            # bracket-aware split so list literals ([0.1, 0.2]) stay whole
+            for i, part in enumerate(_split_top(raw_args, ",")):
                 args[f"arg{i}"] = _parse_value(part.strip())
         yield_cols = None
         if m.group("yield"):
@@ -563,7 +606,14 @@ class Session:
         where = None
         if m.group("wkey"):
             where = F.col(m.group("wkey")) == _parse_value(m.group("wval"))
-        out = call(self.spark, name, args=args or None, yield_cols=yield_cols, where=where)
+        out = call(
+            self.spark,
+            name,
+            args=args or None,
+            yield_cols=yield_cols,
+            where=where,
+            context={"graph": self.store.graph, "store": self.store},
+        )
         if m.group("ret"):
             out = out.select([c.strip() for c in m.group("ret").split(",")])
         return out
@@ -571,11 +621,15 @@ class Session:
     # ---- RETURN <expr> ------------------------------------------------
     def _bare_return(self, q: str) -> DataFrame:
         expr = q[len("RETURN"):].strip()
-        fn_m = re.match(r"([A-Za-z_][\w.]*)\(\s*\)$", expr)
+        fn_m = re.match(r"([A-Za-z_][\w.]*)\((.*)\)$", expr)
         if fn_m:
             from ..procedures.registry import fn
 
-            return self.spark.range(1).select(fn(fn_m.group(1)).alias(expr))
+            raw = fn_m.group(2).strip()
+            args = [
+                _parse_value(p.strip()) for p in _split_top(raw, ",") if p.strip()
+            ] if raw else []
+            return self.spark.range(1).select(fn(fn_m.group(1), *args).alias(expr))
         return self.spark.range(1).select(F.lit(_parse_value(expr)).alias(expr))
 
     # ---- ALTER CURRENT USER -------------------------------------------
@@ -982,13 +1036,18 @@ class Session:
         anchored on an already-bound variable (unmatched rows → nulls)."""
         from ..operators.patterns import NodeSpec, RelSpec, optional_expand
 
+        where_src = None
+        m_w = re.search(r"\bWHERE\b", opt_src, re.IGNORECASE)
+        if m_w:
+            where_src = opt_src[m_w.end():].strip()
+            opt_src = opt_src[: m_w.start()].strip()
         oelems, rest = _parse_pattern(opt_src)
         if rest:
             raise ValueError(f"trailing content in OPTIONAL MATCH: {rest!r}")
         anchor = oelems[0]
         if not isinstance(anchor, _Node) or not anchor.var or f"{anchor.var}_id" not in bound.columns:
             raise ValueError("OPTIONAL MATCH must anchor on a bound variable")
-        if len(oelems) == 3:
+        if len(oelems) == 3 and where_src is None:
             rel, tgt = oelems[1], oelems[2]
             tgt_var = tgt.var or f"_opt{k}"
             return optional_expand(
@@ -998,7 +1057,9 @@ class Session:
                 RelSpec(rel.var or f"_or{k}", rel.rel_type, _direction(rel)),
                 NodeSpec(tgt_var, tgt.label, tgt.props or None),
             )
-        # multi-hop: bind the whole optional chain, left-join on the anchor
+        # multi-hop (or WHERE-qualified): bind the whole optional chain,
+        # filter it (a WHERE attached to OPTIONAL MATCH applies inside the
+        # optional side, not post-join), then left-join on the anchor
         from ..operators.patterns import match_chain
 
         pattern = []
@@ -1010,6 +1071,8 @@ class Session:
             else:
                 pattern.append(RelSpec(el.var or f"_or{k}_{j}", el.rel_type, _direction(el)))
         sub = match_chain(self.store.graph, pattern)
+        if where_src:
+            sub = sub.where(_compile_where(where_src))
         dup = [c for c in sub.columns if c in bound.columns and c != f"{anchor.var}_id"]
         sub = sub.drop(*dup).withColumnRenamed(f"{anchor.var}_id", "_opt_anchor")
         return bound.join(

@@ -51,12 +51,30 @@ def call(
     args: dict | None = None,
     yield_cols: list[str] | None = None,
     where=None,
+    context: dict | None = None,
 ) -> DataFrame:
-    """``CALL name(args) YIELD cols [WHERE pred]``."""
+    """``CALL name(args) YIELD cols [WHERE pred]``.
+
+    ``args`` may use positional ``arg0..argN`` keys (how the string façade
+    parses a CALL) — they are remapped onto the procedure's declared
+    parameter order. ``context`` carries engine objects (graph, store)
+    injected only into procedures whose signature asks for them.
+    """
+    import inspect
+
     if name not in _REGISTRY:
         raise KeyError(f"There is no procedure with the name `{name}` registered")
     proc = _REGISTRY[name]
-    merged = {**proc.defaults, **(args or {})}
+    params = [p for p in inspect.signature(proc.fn).parameters if p != "spark"]
+    args = dict(args or {})
+    pos = sorted((k for k in args if k.startswith("arg") and k[3:].isdigit()), key=lambda k: int(k[3:]))
+    for i, key in enumerate(pos):
+        if i < len(params):
+            args[params[i]] = args.pop(key)
+    merged = {**proc.defaults, **args}
+    for ctx_key, ctx_val in (context or {}).items():
+        if ctx_key in params and ctx_key not in merged:
+            merged[ctx_key] = ctx_val
     df = proc.fn(spark, **merged)
     if yield_cols:
         df = df.select(*yield_cols)
@@ -161,6 +179,58 @@ def allowed_procedures(conf_value: str | None) -> "Callable[[str], bool]":
         return any(fnmatch.fnmatch(name, g) for g in globs)
 
     return allowed
+
+
+@procedure(
+    "db.index.vector.queryNodes",
+    signature=(
+        "db.index.vector.queryNodes(indexName :: STRING, "
+        "numberOfNearestNeighbours :: INTEGER, query :: LIST<FLOAT>) :: "
+        "(node :: INTEGER, score :: FLOAT)"
+    ),
+    description="Query the vector index for the k nearest nodes (genai surface)",
+    defaults={"indexName": "", "k": 5},
+)
+def _vector_query_nodes(
+    spark: SparkSession, indexName: str = "", k: int = 5, query=None, graph=None
+) -> DataFrame:
+    """``CALL db.index.vector.queryNodes('label', k, [..])`` (SURVEY
+    §2.B.11, public vector-index surface): cosine top-k over nodes carrying
+    an ``embedding`` property. ``indexName`` maps to a node label ('' = all
+    embedded nodes) — the engine's single-index-per-label analog. Pure JVM
+    expression scoring (zip_with dot product); ordered LIMIT k, so the
+    result is deterministic and oracle-comparable."""
+    from ..operators.similarity import cosine
+
+    empty = "node bigint, score double"
+    if graph is None or not query:
+        return spark.createDataFrame([], empty)
+    nodes = graph.nodes
+    if "embedding" not in nodes.columns:
+        return spark.createDataFrame([], empty)
+    nodes = nodes.where(F.col("embedding").isNotNull())
+    if indexName:
+        nodes = nodes.where(F.array_contains(F.col("labels"), indexName))
+    qvec = F.array(*[F.lit(float(x)).cast("float") for x in query])
+    return (
+        nodes.select(
+            F.col("id").alias("node"),
+            cosine(F.col("embedding"), qvec).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(int(k))
+    )
+
+
+@scalar_function("genai.vector.encode")
+def _genai_vector_encode(text=None, dim: int = 32):
+    """``genai.vector.encode(text)`` → array<float> (the genai plugin's
+    encode surface, calver/coredb/neo4j-plugins.json:31-36); Arrow-batched
+    deterministic encoder from operators.embed."""
+    from ..operators.embed import embed_text
+
+    col = text if isinstance(text, F.Column) else F.lit(text)
+    return embed_text(int(dim))(col)
 
 
 @procedure(

@@ -396,3 +396,35 @@ def test_shortest_path_in_match(session):
     assert [(row["bn"], row["hops"]) for row in r] == [
         ("Bosse", 1), ("Cleo", 2), ("X", 1),
     ]
+
+
+def test_xor_and_call_subquery(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 7, good: true})")
+    session.run("CREATE (b:dog {name:'Bosse', age: 3, good: true})")
+    session.run("CREATE (c:dog {name:'Cleo', age: 9, good: false})")
+    r = session.run(
+        "MATCH (d:dog) WHERE d.age > 5 XOR d.good = true RETURN d.name AS n ORDER BY n"
+    ).collect()
+    assert [row["n"] for row in r] == ["Bosse", "Cleo"]
+    r = session.run(
+        "CALL { MATCH (d:dog) RETURN d.name AS n, d.age AS a } RETURN count(*) AS c, sum(a) AS s"
+    ).collect()
+    assert (r[0]["c"], r[0]["s"]) == (3, 19)
+
+
+def test_optional_match_with_where(session):
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse', age: 3})")
+    session.run("MATCH (a:dog {name:'Arne'}) CREATE (a)-[:SNIFFS]->(c:dog {name:'Cleo', age: 9})")
+    # WHERE applies inside the optional side: Arne keeps a row even though
+    # only one neighbour passes the filter
+    r = session.run(
+        "MATCH (d:dog {name:'Arne'}) OPTIONAL MATCH (d)-[:SNIFFS]->(o:dog) WHERE o.age > 5 "
+        "RETURN d.name AS dn, o.name AS on"
+    ).collect()
+    assert [(row["dn"], row["on"]) for row in r] == [("Arne", "Cleo")]
+    # nothing passes → null row survives (left join, not post-filter)
+    r = session.run(
+        "MATCH (d:dog {name:'Bosse'}) OPTIONAL MATCH (d)-[:SNIFFS]->(o:dog) WHERE o.age > 99 "
+        "RETURN d.name AS dn, o.name AS on"
+    ).collect()
+    assert [(row["dn"], row["on"]) for row in r] == [("Bosse", None)]

@@ -74,3 +74,39 @@ def test_db_labels_on_graph(spark):
     store.create_nodes("cat", [{"name": "Mjau"}])
     labels = [r["label"] for r in call(spark, "db.labels", args={"graph": store.graph}).collect()]
     assert labels == ["cat", "dog"]
+
+
+def test_vector_query_nodes_procedure(spark):
+    """db.index.vector.queryNodes through the string façade: top-k by
+    cosine against an embedding node property, positional CALL args
+    (including a list literal) mapped onto the procedure signature."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    store = GraphStore(spark)
+    store.create_nodes(
+        "Doc", [{"name": f"d{i}", "embedding": [float(i), 1.0]} for i in range(5)]
+    )
+    s = Session(spark, store=store)
+    r = s.run(
+        "CALL db.index.vector.queryNodes('Doc', 3, [4.0, 1.0]) YIELD node, score RETURN node, score"
+    ).collect()
+    assert len(r) == 3
+    assert r[0]["score"] == pytest.approx(1.0)  # [4,1] itself is stored
+    scores = [row["score"] for row in r]
+    assert scores == sorted(scores, reverse=True)
+    # label filter: no Doc2 label → empty
+    r = s.run(
+        "CALL db.index.vector.queryNodes('Nope', 3, [4.0, 1.0]) YIELD node RETURN node"
+    ).collect()
+    assert r == []
+
+
+def test_genai_encode_scalar_function(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    a = s.run("RETURN genai.vector.encode('hello')").collect()[0][0]
+    b = s.run("RETURN genai.vector.encode('hello')").collect()[0][0]
+    c = s.run("RETURN genai.vector.encode('world')").collect()[0][0]
+    assert len(a) == 32 and a == b and a != c  # deterministic, input-sensitive
