@@ -344,3 +344,143 @@ def llm_multimodal_frames(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     frames = mm.sample_frames(mm.attach_media(d), frame_bytes=64, every_n=2, max_frames=4)
     return frames.select("media_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes"))
+
+
+@register(
+    "llm_hash_split",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS first_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN SUBSTRING(md5(CONCAT('split', CAST(doc_id AS VARCHAR))), 1, 4) < 'e666' THEN 'train'
+                  WHEN SUBSTRING(md5(CONCAT('split', CAST(doc_id AS VARCHAR))), 1, 4) < 'f333' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split ORDER BY split
+    """,
+)
+def llm_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by hashed key (curation.hash_split):
+    map-only, engine-reproducible (md5 hex-threshold), leakage-proof."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        curation.hash_split(d, key_col="doc_id", salt="split", fractions=(0.9, 0.05, 0.05))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("doc_id").cast("long").alias("first_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT)
+               AS n_tokens,
+             doc_id % 8 AS _shard
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             _shard * 4294967296
+               + CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY _shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
+               AS pack_id,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY _shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS "offset"
+      FROM toks
+    )
+    SELECT CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX("offset") AS BIGINT) AS max_offset
+    FROM packed
+    """,
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Sharded sequence packing (curation.pack_sequences): documents fill
+    512-token context windows in key order within 8 deterministic shards —
+    the pretraining batch-packing planner, pure integer arithmetic."""
+    from ..operators import curation
+    from ..operators import text as tx
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tx.token_counts(d).select("doc_id", F.col("n_ws_tokens").alias("n_tokens"))
+    packed = curation.pack_sequences(
+        toks, token_col="n_tokens", key_col="doc_id", budget=512, num_shards=8
+    )
+    return packed.agg(
+        F.countDistinct("pack_id").cast("long").alias("n_packs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("offset").cast("long").alias("max_offset"),
+    )
+
+
+@register(
+    "llm_exact_dedup_clusters",
+    """
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+    FROM documents
+    """,
+)
+def llm_exact_dedup_clusters(spark, sf_dir):
+    """Exact-duplicate clustering (curation.exact_dedup_clusters): every
+    doc mapped to its canonical identical-text member — the keep-one +
+    provenance primitive (filter is_canonical = dedup; join canonical =
+    explain every drop)."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.exact_dedup_clusters(d)
+
+
+@register("llm_neardup_clusters")  # rows-only: LSH candidate generation is approximate
+def llm_neardup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: MinHash-LSH pairs → Jaccard verify →
+    connected components → canonical per cluster (curation.dedup_clusters)."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = curation.dedup_clusters(d, threshold=0.8)
+    return out.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_canonical"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+        F.countDistinct("canonical").cast("long").alias("n_clusters"),
+    )
+
+
+@register(
+    "llm_domain_cap",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    ) WHERE rk <= 50
+    GROUP BY source ORDER BY source
+    """,
+)
+def llm_domain_cap(spark, sf_dir):
+    """Per-domain cap (curation.domain_cap): keep the 50 largest docs per
+    source — the anti-overrepresentation curation primitive, one window
+    shuffle on the domain key."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        curation.domain_cap(d, domain_col="source", key="doc_id", rank_col="n_chars", k=50)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

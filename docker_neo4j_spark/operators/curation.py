@@ -1,0 +1,171 @@
+"""Training-data curation operators: splits, packing, cluster dedup, caps.
+
+The reference's genai/plugin surface stops at encode+index
+(calver/coredb/neo4j-plugins.json:31-36); these are the surrounding
+operations a large-scale LLM training pipeline runs on the same tables
+(BASELINE mandate: dedup / similarity / text analysis as first-class
+engine operators, not demos).
+
+Scale design notes (100 TB):
+- ``hash_split``: map-only — one md5 per row, no shuffle, no state. The
+  split is a pure function of (salt, key), so it is reproducible across
+  runs, engines, and partitionings — the property a train/test split
+  must have (leakage-proof re-materialization).
+- ``pack_sequences``: the global-order cumulative sum is the scale trap
+  (a single-ordered window = one task). We shard first (deterministic
+  ``key % num_shards``), then pack within shards: each shard's prefix
+  sum runs in parallel, bins are (shard, bin) pairs — exactly how
+  distributed sequence packing is run in practice.
+- ``dedup_clusters``: candidate pairs come from banded MinHash-LSH
+  (never all-pairs), verified pairs feed a connected-components pass
+  (O(log n) rounds of min-propagation), canonical = min doc id per
+  component. Every stage is a bucketed equi-join or groupBy.
+- ``domain_cap``: one window partitioned by the domain column — the
+  partition key is the shuffle key, skewed domains are the caveat (salt
+  or pre-aggregate if one domain dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed key (map-only).
+
+    The first 4 hex chars of ``md5(salt || key)`` give a uniform 16-bit
+    bucket; split boundaries are hex-string thresholds, so the comparison
+    is identical in any engine that can md5 a string (hex digits are
+    ASCII-ordered). Returns ``df`` + a ``split`` column.
+    """
+    train, val, _test = fractions
+    t_hex = format(int(train * 65536), "04x")
+    v_hex = format(int((train + val) * 65536), "04x")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < t_hex, F.lit("train"))
+        .when(bucket < v_hex, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    budget: int = 2048,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Streaming sequence packing: assign each document to the context
+    window (pack) where it starts, reading documents in ``key_col`` order
+    within deterministic shards.
+
+    ``pack_id = shard * 2^32 + floor(exclusive_cumsum(tokens) / budget)``
+    — the fill-and-spill packing used for LLM pretraining batches (a doc
+    may straddle its pack boundary; training handles that with masking).
+    ``offset`` is the doc's start position inside its pack. All integer
+    arithmetic — engine-exact.
+    """
+    shard = (F.col(key_col) % num_shards).alias("_shard")
+    w = Window.partitionBy("_shard").orderBy(key_col)
+    cum = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("_shard", shard)
+        .withColumn("_cum", cum)
+        .select(
+            key_col,
+            token_col,
+            (
+                F.col("_shard") * F.lit(2**32) + F.floor(F.col("_cum") / budget)
+            ).alias("pack_id"),
+            (F.col("_cum") % budget).alias("offset"),
+        )
+    )
+
+
+def exact_dedup_clusters(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate clustering: every row mapped to the canonical
+    (minimum-key) member of its identical-text group — one md5 digest +
+    one window, no join. Output (key, canonical, is_canonical)."""
+    w = Window.partitionBy("_digest")
+    return (
+        df.select(F.col(key), F.md5(F.col(text_col)).alias("_digest"))
+        .withColumn("canonical", F.min(key).over(w))
+        .select(
+            key,
+            "canonical",
+            (F.col(key) == F.col("canonical")).alias("is_canonical"),
+        )
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate clustering: MinHash-LSH candidates → Jaccard-verified
+    pairs → connected components → canonical member per cluster.
+
+    The keep-one-per-cluster primitive of corpus dedup: output is
+    (key, canonical, is_canonical); filtering ``is_canonical`` yields the
+    deduplicated corpus, joining back on ``canonical`` explains every
+    drop. Components via gds.wcc (alternating min-label propagation,
+    O(log n) rounds) over the verified pair list only — never all-pairs.
+    """
+    from .dedup import jaccard_pairs, minhash_lsh_candidates, shingle_frame
+    from .gds import wcc
+
+    sh = shingle_frame(df, text_col=text_col, key=key).cache()
+    cands = minhash_lsh_candidates(
+        df, text_col=text_col, key=key, num_hashes=num_hashes, bands=bands, shingled=sh
+    )
+    pairs = jaccard_pairs(df, cands, text_col=text_col, key=key, shingled=sh).where(
+        F.col("jaccard") >= threshold
+    )
+    edges = pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+    comp = wcc(edges, df.select(F.col(key).alias("id")))
+    out = comp.select(
+        F.col("id").alias(key),
+        F.col("comp").alias("canonical"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+    sh.unpersist()
+    return out
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    key: str = "doc_id",
+    rank_col: str = "n_chars",
+    k: int = 100,
+) -> DataFrame:
+    """Per-domain document cap: keep the top ``k`` rows of each domain by
+    ``rank_col`` (ties broken on key — total order, so the kept set is
+    deterministic). The anti-overrepresentation primitive of corpus
+    curation; one window shuffle partitioned by the domain column."""
+    w = Window.partitionBy(domain_col).orderBy(F.desc(rank_col), F.asc(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1,0 +1,84 @@
+"""Training-data curation operators (operators/curation.py): deterministic
+splits, sequence packing, cluster dedup, domain caps."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from docker_neo4j_spark.operators import curation
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = curation.hash_split(df).groupBy("split").count().collect()
+    b = curation.hash_split(df).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert counts == {r["split"]: r["count"] for r in b}  # reproducible
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.85 < counts["train"] / 2000 < 0.95
+    assert 0.02 < counts["val"] / 2000 < 0.08
+    assert 0.02 < counts["test"] / 2000 < 0.08
+    # a different salt reshuffles membership, same key always lands together
+    c = curation.hash_split(df, salt="other").groupBy("split").count().collect()
+    assert {r["split"]: r["count"] for r in c} != counts or True  # counts may
+    # coincide; membership must not (check one bucket's ids differ)
+    ids_a = {r["doc_id"] for r in curation.hash_split(df).where("split = 'val'").collect()}
+    ids_c = {r["doc_id"] for r in curation.hash_split(df, salt="other").where("split = 'val'").collect()}
+    assert ids_a != ids_c
+
+
+def test_pack_sequences_fill_and_spill(spark):
+    # one shard (num_shards=1): docs of 100 tokens each, budget 250 →
+    # exclusive cumsum 0,100,200,300,... → packs 0,0,0(straddles),1,...
+    df = spark.createDataFrame([(i, 100) for i in range(10)], "doc_id long, n_tokens long")
+    out = curation.pack_sequences(df, budget=250, num_shards=1).orderBy("doc_id").collect()
+    assert [r["pack_id"] for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert [r["offset"] for r in out] == [0, 100, 200, 50, 150, 0, 100, 200, 50, 150]
+    # shards pack independently and ids never collide across shards
+    out2 = curation.pack_sequences(df, budget=250, num_shards=2).collect()
+    assert len({r["pack_id"] for r in out2} ) >= 2
+    shards = {r["pack_id"] // 2**32 for r in out2}
+    assert shards == {0, 1}
+
+
+def test_exact_dedup_clusters(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["canonical"], r["is_canonical"]) for r in curation.exact_dedup_clusters(df).collect()}
+    assert out[1] == (1, True) and out[3] == (1, False) and out[4] == (1, False)
+    assert out[2] == (2, True) and out[5] == (5, True)
+
+
+def test_neardup_clusters_groups_and_canonicals(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " ok"  # high-Jaccard near-duplicate
+    other = "completely different content about distributed query engines at scale"
+    df = spark.createDataFrame(
+        [(10, base), (11, near), (12, other), (13, base)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["canonical"], r["is_canonical"]) for r in
+           curation.dedup_clusters(df, threshold=0.6, num_hashes=32, bands=16).collect()}
+    # 10, 11, 13 cluster together under canonical 10; 12 stands alone
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    assert out[13] == (10, False)
+    assert out[12] == (12, True)
+
+
+def test_domain_cap_keeps_topk_deterministically(spark):
+    rows = [(i, "a", 100 - i) for i in range(10)] + [(100 + i, "b", 5) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = curation.domain_cap(df, k=4).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(by_src["a"]) == [0, 1, 2, 3]  # largest four
+    assert sorted(by_src["b"]) == [100, 101, 102]  # under the cap: all kept
+    # ties (all n_chars=5 in b) break on doc_id — deterministic kept set
+    out2 = curation.domain_cap(df, k=2).collect()
+    b_kept = sorted(r["doc_id"] for r in out2 if r["source"] == "b")
+    assert b_kept == [100, 101]
