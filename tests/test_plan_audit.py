@@ -83,3 +83,30 @@ def test_simhash_neardup_no_cartesian(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     assert_no_cartesian(dd.simhash_neardup(d))
+
+
+def test_hash_split_is_map_only(spark, sf_dir):
+    """hash_split must add zero exchanges — a pure map over the scan."""
+    from docker_neo4j_spark.operators.curation import hash_split
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    facts = audit(hash_split(d))
+    assert facts.n_exchanges == 0
+    assert facts.n_cartesian == 0
+
+
+def test_pack_sequences_one_shuffle_per_shard_window(spark, sf_dir):
+    """pack_sequences: exactly one exchange (hash by shard) feeding the
+    window — no global single-partition sort."""
+    from docker_neo4j_spark.operators.curation import pack_sequences
+    from docker_neo4j_spark.operators.text import token_counts
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = token_counts(d).select("doc_id", F.col("n_ws_tokens").alias("n_tokens"))
+    facts = audit(pack_sequences(toks, budget=512, num_shards=8))
+    assert facts.n_exchanges == 1
+    # hash-partitioned by shard, NOT a global range/single partition
+    assert "hashpartitioning" in facts.text.lower()
+    assert "singlepartition" not in facts.text.lower()
