@@ -466,6 +466,71 @@ def proc_genai_encode_dim(spark, sf_dir):
 
 
 @register(
+    "source_jsonl_roundtrip",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def source_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink → source roundtrip (sources/textdata.py): the documents
+    table written as JSON-Lines and read back with an explicit schema must
+    aggregate identically to the parquet original."""
+    import tempfile
+
+    from ..sources.textdata import read_jsonl, write_jsonl
+
+    d = load_tables(spark, sf_dir)["documents"]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_jsonl(d, f"{tmp}/docs")
+        back = read_jsonl(spark, f"{tmp}/docs", schema=d.schema)
+        out = (
+            back.groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+            .orderBy("lang")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    return out
+
+
+@register(
+    "proc_export_csv_roundtrip",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS BIGINT) AS nodes,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS relationships
+    """,
+)
+def proc_export_csv_roundtrip(spark, sf_dir):
+    """``CALL apoc.export.csv.all(path)`` through the string façade over
+    the Nation/Region subgraph, then re-read the exported CSV and count —
+    the export surface graded end-to-end."""
+    import tempfile
+
+    from ..cypher.session import Session
+    from ..graph import PropertyGraph
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    g = build_graph(spark, sf_dir)
+    small = PropertyGraph(
+        nodes=g.label_frames["Nation"].unionByName(g.label_frames["Region"]),
+        rels=g.type_frames["IN_REGION"],
+    )
+    s = Session(spark, store=GraphStore(spark, small))
+    with tempfile.TemporaryDirectory() as tmp:
+        s.run(f"CALL apoc.export.csv.all('{tmp}/exp')")
+        nodes = spark.read.option("header", True).csv(f"{tmp}/exp/nodes")
+        rels = spark.read.option("header", True).csv(f"{tmp}/exp/rels")
+        out = spark.createDataFrame(
+            [(nodes.count(), rels.count())], "nodes bigint, relationships bigint"
+        ).localCheckpoint(eager=True)
+    return out
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

@@ -234,6 +234,27 @@ def _genai_vector_encode(text=None, dim: int = 32):
 
 
 @procedure(
+    "apoc.export.csv.all",
+    signature="apoc.export.csv.all(file :: STRING) :: (file :: STRING, nodes :: INTEGER, relationships :: INTEGER)",
+    description="Export the whole graph to CSV (apoc export surface)",
+)
+def _apoc_export_csv_all(spark: SparkSession, file: str = "", graph=None) -> DataFrame:
+    """``CALL apoc.export.csv.all('/path')`` — the apoc plugin's export
+    surface (plugin manifest calver/coredb/neo4j-plugins.json) over the
+    engine's distributed CSV sink (one file per partition, no driver
+    funnel)."""
+    schema = "file string, nodes bigint, relationships bigint"
+    if graph is None or not file:
+        return spark.createDataFrame([], schema)
+    from ..sources.textdata import export_graph_csv
+
+    export_graph_csv(graph, file)
+    return spark.createDataFrame(
+        [(file, graph.nodes.count(), graph.rels.count())], schema
+    )
+
+
+@procedure(
     "db.labels",
     signature="db.labels() :: (label :: STRING)",
     description="List all labels in the graph",

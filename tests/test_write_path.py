@@ -173,3 +173,25 @@ def test_remove_props_and_merge_rel(spark):
     r3 = store.merge_rel("LIKES", a, b)
     assert r3 != r1
     assert store.graph.rels.count() == 2
+
+
+def test_jsonl_roundtrip_and_csv_export(spark, tmp_path):
+    from docker_neo4j_spark.sources.textdata import export_graph_csv, read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "hallo welt", "de")],
+        "doc_id long, text string, lang string",
+    )
+    write_jsonl(df, str(tmp_path / "docs"))
+    back = read_jsonl(spark, str(tmp_path / "docs"), schema=df.schema)
+    assert sorted(r["text"] for r in back.collect()) == ["hallo welt", "hello world"]
+
+    store = GraphStore(spark)
+    a, b = store.create_nodes("dog", [{"name": "Arne"}, {"name": "Bosse"}])
+    store.create_rels("SNIFFS", [(a, b)])
+    export_graph_csv(store.graph, str(tmp_path / "exp"))
+    nodes = spark.read.option("header", True).csv(str(tmp_path / "exp/nodes"))
+    rels = spark.read.option("header", True).csv(str(tmp_path / "exp/rels"))
+    assert nodes.count() == 2 and rels.count() == 1
+    assert "labels" in nodes.columns  # array flattened to ;-joined string
+    assert nodes.where(F.col("labels") == "dog").count() == 2
