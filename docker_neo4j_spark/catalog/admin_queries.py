@@ -466,6 +466,28 @@ def proc_genai_encode_dim(spark, sf_dir):
 
 
 @register(
+    "cypher_expression_projection",
+    """
+    SELECT c_name AS name, c_acctbal * 2 + 1 AS x,
+           CONCAT(c_mktsegment, '!') AS seg
+    FROM customer
+    """,
+)
+def cypher_expression_projection(spark, sf_dir):
+    """Façade expression projection: arithmetic with precedence and string
+    concatenation compiled from the RETURN item text (SURVEY §2.B.2)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (c:Customer) RETURN c.c_name AS name, c.c_acctbal * 2 + 1 AS x, "
+        "c.c_mktsegment + '!' AS seg"
+    )
+
+
+@register(
     "source_jsonl_roundtrip",
     """
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars

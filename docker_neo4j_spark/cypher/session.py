@@ -269,6 +269,84 @@ def _compile_where(src: str, resolve=None) -> F.Column:
     return result
 
 
+_ARITH_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<str>'[^']*'|\"[^\"]*\")"
+    r"|(?P<num>\d+(?:\.\d+)?)"
+    r"|(?P<op>[+\-*/%])"
+    r"|(?P<lpar>\()|(?P<rpar>\))"
+    r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
+    r")"
+)
+
+
+def _compile_value_expr(src: str, resolve) -> F.Column:
+    """Arithmetic expression projection (SURVEY §2.B.2): ``+ - * / %`` with
+    precedence and parens over properties/literals. ``+`` with a string
+    literal operand concatenates (Cypher's string ``+``)."""
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(src):
+        m = _ARITH_TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            raise ValueError(f"cannot tokenize expression at {src[pos:pos + 20]!r}")
+        pos = m.end()
+        for kind in ("str", "num", "op", "lpar", "rpar", "word"):
+            if m.group(kind) is not None:
+                tokens.append((kind, m.group(kind)))
+                break
+    i = 0
+
+    def peek_op(*ops):
+        return i < len(tokens) and tokens[i][0] == "op" and tokens[i][1] in ops
+
+    def factor():
+        nonlocal i
+        kind, val = tokens[i]
+        i += 1
+        if kind == "op" and val == "-":
+            return (-factor()[0], False)
+        if kind == "lpar":
+            e = expr()
+            i += 1  # )
+            return e
+        if kind == "str":
+            return (F.lit(val[1:-1]), True)
+        if kind == "num":
+            return (F.lit(float(val) if "." in val else int(val)), False)
+        return (resolve(val), False)
+
+    def term():
+        nonlocal i
+        out, s = factor()
+        while peek_op("*", "/", "%"):
+            op = tokens[i][1]
+            i += 1
+            rhs, _ = factor()
+            out = out * rhs if op == "*" else out / rhs if op == "/" else out % rhs
+        return (out, s)
+
+    def expr():
+        nonlocal i
+        out, s = term()
+        while peek_op("+", "-"):
+            op = tokens[i][1]
+            i += 1
+            rhs, rs = term()
+            if op == "-":
+                out, s = out - rhs, False
+            elif s or rs:  # string + → concatenation
+                out, s = F.concat(out.cast("string"), rhs.cast("string")), True
+            else:
+                out = out + rhs
+        return (out, s)
+
+    result, _ = expr()
+    if i != len(tokens):
+        raise ValueError(f"trailing tokens in expression: {tokens[i:]!r}")
+    return result
+
+
 _AGG_RE = re.compile(
     r"(count|sum|avg|min|max|collect)\(\s*(DISTINCT\s+)?"
     r"(\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",
@@ -291,7 +369,10 @@ def _parse_items(src: str, resolve) -> tuple[list, list]:
             alias = item
         m = _AGG_RE.match(item)
         if not m:
-            keys.append((alias, resolve(item).alias(alias)))
+            if re.search(r"[+\-*/%]", item):
+                keys.append((alias, _compile_value_expr(item, resolve).alias(alias)))
+            else:
+                keys.append((alias, resolve(item).alias(alias)))
             continue
         fn, agg_distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
         col = F.lit(1) if arg == "*" else resolve(arg)

@@ -428,3 +428,18 @@ def test_optional_match_with_where(session):
         "RETURN d.name AS dn, o.name AS on"
     ).collect()
     assert [(row["dn"], row["on"]) for row in r] == [("Bosse", None)]
+
+
+def test_expression_projection(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 7})")
+    session.run("CREATE (b:dog {name:'Bosse', age: 3})")
+    r = session.run(
+        "MATCH (d:dog) RETURN d.name AS n, d.age * 2 + 1 AS x, (d.age + 1) % 4 AS m, "
+        "d.name + '!' AS bang, -d.age AS neg ORDER BY n"
+    ).collect()
+    assert [(row["n"], row["x"], row["m"], row["bang"], row["neg"]) for row in r] == [
+        ("Arne", 15, 0, "Arne!", -7),
+        ("Bosse", 7, 0, "Bosse!", -3),
+    ]
+    r = session.run("MATCH (d:dog) WITH d.age * 10 AS a RETURN sum(a) AS s").collect()
+    assert r[0]["s"] == 100
