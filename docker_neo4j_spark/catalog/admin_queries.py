@@ -595,7 +595,9 @@ def proc_list_config_yield_where(spark, sf_dir):
 @register(
     "proc_show_procedures",
     """
-    SELECT 'db.labels' AS name
+    SELECT 'apoc.export.csv.all' AS name
+    UNION ALL SELECT 'db.index.vector.queryNodes'
+    UNION ALL SELECT 'db.labels'
     UNION ALL SELECT 'dbms.listConfig'
     UNION ALL SELECT 'example.defaultValues'
     """,

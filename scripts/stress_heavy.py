@@ -37,6 +37,11 @@ HEAVY = [
     "stream_sessionize_batch",
     "cypher_session_smoke",
     "write_create_match_return",
+    "llm_neardup_clusters",
+    "llm_pack_sequences",
+    "cypher_optional_chain",
+    "write_create_from_match_batch",
+    "proc_vector_query_nodes",
 ]
 
 
