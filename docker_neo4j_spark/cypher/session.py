@@ -109,7 +109,13 @@ _WHERE_TOKEN_RE = re.compile(
 
 def _default_resolver(name: str) -> F.Column:
     """Bound-pattern name resolution: ``var.prop`` → var_prop, bare var →
-    its id column."""
+    its id column; ``id(v)/labels(v)/type(r)`` → the entity's fixed
+    columns (SURVEY §2.B.7 ids/labels rows)."""
+    m = re.match(r"(id|labels|type)\(\s*(\w+)\s*\)$", name)
+    if m:
+        fn_name, var = m.groups()
+        suffix = {"id": "id", "labels": "labels", "type": "type"}[fn_name]
+        return F.col(f"{var}_{suffix}")
     if "." in name:
         var, prop = name.split(".", 1)
         return F.col(f"{var}_{prop}")
@@ -125,6 +131,27 @@ def _frame_resolver(frame: DataFrame):
     def resolve(name: str) -> F.Column:
         if name in cols:
             return F.col(f"`{name}`")
+        m = re.match(r"properties\(\s*(\w+)\s*\)$", name)
+        if m:
+            # map of the variable's property columns (fixed cols excluded)
+            var = m.group(1)
+            pairs = []
+            for c in frame.columns:
+                if c.startswith(f"{var}_") and c not in (f"{var}_id", f"{var}_labels", f"{var}_type"):
+                    pairs += [F.lit(c[len(var) + 1 :]), F.col(c).cast("string")]
+            if not pairs:
+                return F.lit(None)
+            full = F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2]))
+            # Cypher's properties() omits absent keys (null-padded columns)
+            return F.map_filter(full, lambda _k, v: v.isNotNull())
+        if "." in name:
+            var, prop = name.split(".", 1)
+            if f"{var}_{prop}" in cols:
+                return F.col(f"{var}_{prop}")
+            if f"{var}_id" in cols:
+                # bound variable, property no write has introduced → null
+                # (Cypher: accessing a missing property yields null)
+                return F.lit(None)
         return _default_resolver(name)
 
     return resolve
@@ -349,7 +376,7 @@ def _compile_value_expr(src: str, resolve) -> F.Column:
 
 _AGG_RE = re.compile(
     r"(count|sum|avg|min|max|collect)\(\s*(DISTINCT\s+)?"
-    r"(\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",
+    r"(\*|.+?)\s*\)$",
     re.IGNORECASE,
 )
 
@@ -375,7 +402,12 @@ def _parse_items(src: str, resolve) -> tuple[list, list]:
                 keys.append((alias, resolve(item).alias(alias)))
             continue
         fn, agg_distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
-        col = F.lit(1) if arg == "*" else resolve(arg)
+        if arg == "*":
+            col = F.lit(1)
+        elif re.search(r"[+\-*/%]", arg):
+            col = _compile_value_expr(arg, resolve)
+        else:
+            col = resolve(arg)
         if fn == "count":
             e = F.countDistinct(col) if agg_distinct else F.count(col if arg != "*" else "*")
             e = e.cast("long")
@@ -608,13 +640,30 @@ class Session:
         pattern semantics: MERGE matches the WHOLE pattern, and on any miss
         creates the ENTIRE pattern (including fresh nodes for parts that
         would individually match). Single-node MERGE degenerates to the
-        familiar match-or-create."""
+        familiar match-or-create. ``ON CREATE SET`` / ``ON MATCH SET``
+        apply their assignments to the branch actually taken."""
         ret = None
         up = pattern_src.upper()
         if " RETURN " in f" {up} ":
             idx = up.index("RETURN")
             ret = pattern_src[idx + len("RETURN"):].strip()
             pattern_src = pattern_src[:idx].strip()
+        on_create: dict[str, dict] = {}
+        on_match: dict[str, dict] = {}
+        for kind, target in (("CREATE", on_create), ("MATCH", on_match)):
+            m_on = re.search(rf"\bON\s+{kind}\s+SET\s+", pattern_src, re.IGNORECASE)
+            if not m_on:
+                continue
+            tail_src = pattern_src[m_on.end():]
+            m_next = re.search(r"\bON\s+(CREATE|MATCH)\s+SET\s+", tail_src, re.IGNORECASE)
+            assigns = tail_src[: m_next.start()] if m_next else tail_src
+            pattern_src = (
+                pattern_src[: m_on.start()] + (tail_src[m_next.start():] if m_next else "")
+            ).strip()
+            for item in assigns.split(","):
+                lhs, rhs = item.split("=", 1)
+                var, prop = lhs.strip().split(".", 1)
+                target.setdefault(var, {})[prop] = _parse_value(rhs.strip())
         elems, rest = _parse_pattern(pattern_src)
         if rest:
             raise ValueError(f"trailing content after MERGE pattern: {rest!r}")
@@ -625,7 +674,8 @@ class Session:
                 el.var = f"_anon{self._anon}"
                 self._anon += 1
         ids = self._match_whole_pattern(elems)
-        if ids is None:
+        created = ids is None
+        if created:
             ids = {}
             for el in elems:
                 if isinstance(el, _Node):
@@ -637,6 +687,12 @@ class Session:
                 if rel.reversed:
                     s, d = d, s
                 self.store.create_rels(rel.rel_type or "_", [(s, d)], [{}])
+        for var, props in (on_create if created else on_match).items():
+            if var not in ids:
+                raise ValueError(f"ON {'CREATE' if created else 'MATCH'} SET variable {var!r} is not in the pattern")
+            self.store.set_props_by_ids(
+                self.spark.createDataFrame([(ids[var],)], "id long"), props
+            )
         if ret is None:
             return self.spark.createDataFrame([], "ok string")
         return self._project_bound(ret, ids)

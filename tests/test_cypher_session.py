@@ -443,3 +443,29 @@ def test_expression_projection(session):
     ]
     r = session.run("MATCH (d:dog) WITH d.age * 10 AS a RETURN sum(a) AS s").collect()
     assert r[0]["s"] == 100
+
+
+def test_merge_on_create_on_match_set(session):
+    session.run(
+        "MERGE (a:dog {name:'Arne'}) ON CREATE SET a.created = true ON MATCH SET a.matched = true"
+    )
+    r = session.run("MATCH (a:dog {name:'Arne'}) RETURN a.created AS c, a.matched AS m").collect()
+    assert (r[0]["c"], r[0]["m"]) == (True, None)
+    session.run(
+        "MERGE (a:dog {name:'Arne'}) ON CREATE SET a.created = true ON MATCH SET a.matched = true"
+    )
+    r = session.run("MATCH (a:dog {name:'Arne'}) RETURN a.created AS c, a.matched AS m").collect()
+    assert (r[0]["c"], r[0]["m"]) == (True, True)
+    assert session.run("MATCH (d:dog) RETURN count(*)").collect()[0][0] == 1
+
+
+def test_entity_function_resolvers(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 7})-[:SNIFFS]->(b:dog {name:'Bosse', age: 3})")
+    r = session.run(
+        "MATCH (a:dog)-[r:SNIFFS]->(b:dog) RETURN labels(b) AS lb, type(r) AS t"
+    ).collect()
+    assert r[0]["lb"] == ["dog"] and r[0]["t"] == "SNIFFS"
+    r = session.run("MATCH (b:dog {name:'Bosse'}) RETURN properties(b) AS p").collect()
+    assert r[0]["p"] == {"name": "Bosse", "age": "3"}  # null-padded keys omitted
+    r = session.run("MATCH (d:dog) RETURN sum(d.age * 2) AS s").collect()
+    assert r[0]["s"] == 20
