@@ -484,3 +484,38 @@ def llm_domain_cap(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "llm_quality_filter_langs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter({_TOKS},
+                  x -> list_contains(['the','and','of','to','in','is','that','for','it','with'], x)))
+                  AS DOUBLE) AS n_sw,
+             CAST(len({_PUNCT}) AS DOUBLE) AS n_punct,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_uniq
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM t
+    WHERE least(n_tok / 100.0, 1.0) * 0.4
+          + (n_sw / greatest(n_tok, 1.0)) * 0.3
+          + (n_uniq / greatest(n_tok, 1.0)) * 0.2
+          + (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 10, 1.0)) * 0.1 >= 0.5
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_quality_filter_langs(spark, sf_dir):
+    """Quality-threshold corpus filter, per language — the transformation
+    is stream-compatible (no global state; test_streaming drives the same
+    code path through readStream availableNow and asserts batch parity)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    kept = tx.quality_score(d).where(F.col("quality") >= 0.5).select("doc_id")
+    return (
+        d.join(kept, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .orderBy("lang")
+    )

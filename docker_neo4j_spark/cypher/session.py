@@ -532,7 +532,25 @@ class Session:
         self._current_password = self.password
 
     # ---- public API ---------------------------------------------------
-    def run(self, cypher: str) -> DataFrame:
+    def run(self, cypher: str, parameters: dict | None = None) -> DataFrame:
+        """Execute a Cypher string. ``parameters`` fills ``$name``
+        placeholders (the Bolt parameter convention — drivers send
+        ``session.run("MATCH (n {id: $id}) …", id=7)``); values render as
+        literals with strings quoted, lists bracketed."""
+        if parameters:
+            def render(v):
+                if isinstance(v, str):
+                    return "'" + v.replace("'", "\\'") + "'"
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                if isinstance(v, (list, tuple)):
+                    return "[" + ", ".join(render(x) for x in v) + "]"
+                if v is None:
+                    return "null"
+                return repr(v)
+
+            for k in sorted(parameters, key=len, reverse=True):  # $ab before $a
+                cypher = cypher.replace(f"${k}", render(parameters[k]))
         q = cypher.strip().rstrip(";").strip()
         head = q.split(None, 1)[0].upper() if q else ""
         if self.dbms is not None:

@@ -173,3 +173,52 @@ def test_stateful_sessionize_timeout_close(spark, tmp_path):
         ).collect()
     }
     assert got <= twin
+
+
+def test_quality_filter_stream_equals_batch(spark, tmp_path):
+    """The quality-threshold corpus filter runs unchanged over readStream:
+    availableNow drain equals the batch result (stream/batch parity for
+    the curation path)."""
+    from docker_neo4j_spark.operators.text import quality_score
+    from docker_neo4j_spark.streaming.events import run_stream_to_memory
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and it is happy with that for now", "en"),
+            (2, "x!!", "en"),
+            (3, "the data is in the lake and the pipeline moves it to the warehouse for training", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+
+    def keep(df):
+        # single-lineage form (no self-join) — required for the stream path
+        return quality_score(df).where(F.col("quality") >= 0.5).select("doc_id")
+
+    batch_ids = {r["doc_id"] for r in keep(spark.read.parquet(str(tmp_path / "docs"))).collect()}
+    stream = spark.readStream.schema("doc_id long, text string, lang string").parquet(
+        str(tmp_path / "docs")
+    )
+    run_stream_to_memory(keep(stream), "q_filter")
+    stream_ids = {r["doc_id"] for r in spark.table("q_filter").collect()}
+    assert stream_ids == batch_ids  # exact stream/batch parity
+    assert 2 not in batch_ids and 3 in batch_ids  # junk dropped, prose kept
+
+
+def test_session_run_parameters(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne', age: 7})")
+    s.run("CREATE (b:dog {name:'Bosse', age: 3})")
+    r = s.run(
+        "MATCH (d:dog) WHERE d.name = $name AND d.age > $min RETURN d.name AS n",
+        parameters={"name": "Arne", "min": 5},
+    ).collect()
+    assert [row["n"] for row in r] == ["Arne"]
+    r = s.run(
+        "MATCH (d:dog) WHERE d.name IN $names RETURN count(*) AS c",
+        parameters={"names": ["Arne", "Bosse", "Cleo"]},
+    ).collect()
+    assert r[0]["c"] == 2
