@@ -488,6 +488,35 @@ def cypher_expression_projection(spark, sf_dir):
 
 
 @register(
+    "layout_bucketed_expand",
+    """
+    SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def layout_bucketed_expand(spark, sf_dir):
+    """Bucketed storage layout (storage/layout.py): Customer nodes and
+    PLACED rels persisted bucketBy(id)/bucketBy(src), re-read, and
+    expanded with a shuffle-free co-located join (plan-audited in
+    test_plan_audit)."""
+    from ..graph import PropertyGraph
+    from ..sources.tpch import build_graph
+    from ..storage.layout import bucketed_expand, save_bucketed_graph
+
+    g = build_graph(spark, sf_dir)
+    small = PropertyGraph(nodes=g.label_frames["Customer"], rels=g.type_frames["PLACED"])
+    save_bucketed_graph(small, "cat_bucketed", buckets=16)
+    out = (
+        bucketed_expand(spark, "cat_bucketed")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("segment")
+    )
+    return out
+
+
+@register(
     "source_jsonl_roundtrip",
     """
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars

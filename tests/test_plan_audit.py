@@ -110,3 +110,42 @@ def test_pack_sequences_one_shuffle_per_shard_window(spark, sf_dir):
     # hash-partitioned by shard, NOT a global range/single partition
     assert "hashpartitioning" in facts.text.lower()
     assert "singlepartition" not in facts.text.lower()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """storage/layout.py: a bucketed-bucketed equi-join on the bucket key
+    must contain NO Exchange on either side — the shuffle-free adjacency
+    join the layout exists to buy (disable broadcast to force the issue)."""
+    from docker_neo4j_spark.graph import PropertyGraph
+    from docker_neo4j_spark.sources.tpch import build_graph
+    from docker_neo4j_spark.storage.layout import bucketed_expand, save_bucketed_graph
+
+    g = build_graph(spark, sf_dir)
+    small = PropertyGraph(nodes=g.label_frames["Customer"], rels=g.type_frames["PLACED"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_bucketed_graph(small, "t_bucket_audit", buckets=8)
+        facts = audit(bucketed_expand(spark, "t_bucket_audit"))
+        assert facts.n_exchanges == 0
+        assert facts.n_sort_merge_joins >= 1  # it IS a real join, just co-located
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_audit_nodes")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_audit_rels")
+
+
+def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
+    """save_partitioned: an equality filter on the partition column must
+    appear in PartitionFilters (planning-time directory pruning)."""
+    from docker_neo4j_spark.sources.tpch import load_tables
+    from docker_neo4j_spark.storage.layout import save_partitioned
+
+    d = load_tables(spark, sf_dir)["documents"]
+    save_partitioned(d, str(tmp_path / "docs"), "lang")
+    back = spark.read.parquet(str(tmp_path / "docs")).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1) and "= en" in m.group(1)
