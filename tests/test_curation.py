@@ -82,3 +82,34 @@ def test_domain_cap_keeps_topk_deterministically(spark):
     out2 = curation.domain_cap(df, k=2).collect()
     b_kept = sorted(r["doc_id"] for r in out2 if r["source"] == "b")
     assert b_kept == [100, 101]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """operators/skew.py: salting must not change join semantics — same
+    result as the plain join on a skewed key distribution (one hot key),
+    and the fact rows actually spread across multiple salt values."""
+    from docker_neo4j_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i < 900 else f"k{i}") for i in range(1000)],
+        "row_id long, key string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"v{i}") for i in range(900, 1000)],
+        "key string, val string",
+    )
+    plain = fact.join(dim, "key").select("row_id", "val")
+    salted = salted_join(fact, dim, key="key", salt_from="row_id", n_salts=8).select(
+        "row_id", "val"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the hot key's rows really spread over several salts
+    import pyspark.sql.functions as FF
+
+    n_salts_used = (
+        fact.where("key = 'hot'")
+        .select(FF.pmod(FF.xxhash64("row_id"), FF.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts_used >= 4
