@@ -488,6 +488,29 @@ def cypher_expression_projection(spark, sf_dir):
 
 
 @register(
+    "cypher_scalar_functions",
+    """
+    SELECT UPPER(n_name) AS u, SUBSTRING(n_name, 1, 3) AS pre,
+           CAST(LENGTH(n_name) AS INTEGER) AS n
+    FROM nation ORDER BY u
+    """,
+)
+def cypher_scalar_functions(spark, sf_dir):
+    """Façade scalar function calls in RETURN items (toUpper / substring /
+    size), resolved against functions/cypher.py — Cypher's 0-based
+    substring maps to SQL's 1-based."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) RETURN toUpper(n.n_name) AS u, "
+        "substring(n.n_name, 0, 3) AS pre, size(n.n_name) AS n ORDER BY u"
+    )
+
+
+@register(
     "layout_bucketed_expand",
     """
     SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders

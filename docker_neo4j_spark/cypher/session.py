@@ -380,6 +380,37 @@ _AGG_RE = re.compile(
     re.IGNORECASE,
 )
 
+# entity accessors stay with the frame resolvers (prefixed columns)
+_ENTITY_FNS = frozenset({"id", "labels", "type", "properties", "length"})
+
+
+def _compile_fn_call(item: str, resolve) -> F.Column | None:
+    """``toUpper(d.name)``-style scalar function calls in RETURN/WITH items,
+    resolved against the engine's Cypher function library
+    (functions/cypher.py — SURVEY §2.B.7). Arguments may be literals,
+    names, or nested calls. Returns None when the item is not a call to a
+    known function (caller falls back to plain name resolution)."""
+    m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*(.*)\s*\)$", item, re.DOTALL)
+    if not m or m.group(1).lower() in _ENTITY_FNS:
+        return None
+    from ..functions import cypher as cf
+
+    fn = getattr(cf, m.group(1), None) or getattr(cf, m.group(1) + "_", None)
+    if fn is None or not callable(fn):
+        return None
+    args = []
+    raw = m.group(2).strip()
+    for part in (_split_top(raw, ",") if raw else []):
+        part = part.strip()
+        nested = _compile_fn_call(part, resolve)
+        if nested is not None:
+            args.append(nested)
+        elif part.startswith(("'", '"', "[")) or re.fullmatch(r"-?\d+(\.\d+)?", part):
+            args.append(_parse_value(part))
+        else:
+            args.append(resolve(part))
+    return fn(*args)
+
 
 def _parse_items(src: str, resolve) -> tuple[list, list]:
     """Parse a RETURN/WITH item list into (keys, aggs) — Cypher implicit
@@ -388,7 +419,7 @@ def _parse_items(src: str, resolve) -> tuple[list, list]:
     default is the literal item text (what a Bolt record exposes)."""
     keys: list[tuple[str, F.Column]] = []
     aggs: list[F.Column] = []
-    for item in [i.strip() for i in src.split(",")]:
+    for item in [i.strip() for i in _split_top(src, ",")]:
         m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
         if m_as:
             alias, item = m_as.group(1), item[: m_as.start()].strip()
@@ -396,7 +427,10 @@ def _parse_items(src: str, resolve) -> tuple[list, list]:
             alias = item
         m = _AGG_RE.match(item)
         if not m:
-            if re.search(r"[+\-*/%]", item):
+            call = None if re.search(r"[+\-*/%]", item) else _compile_fn_call(item, resolve)
+            if call is not None:
+                keys.append((alias, call.alias(alias)))
+            elif re.search(r"[+\-*/%]", item):
                 keys.append((alias, _compile_value_expr(item, resolve).alias(alias)))
             else:
                 keys.append((alias, resolve(item).alias(alias)))

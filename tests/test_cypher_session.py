@@ -469,3 +469,19 @@ def test_entity_function_resolvers(session):
     assert r[0]["p"] == {"name": "Bosse", "age": "3"}  # null-padded keys omitted
     r = session.run("MATCH (d:dog) RETURN sum(d.age * 2) AS s").collect()
     assert r[0]["s"] == 20
+
+
+def test_scalar_functions_in_return(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 7})")
+    session.run("CREATE (b:dog {name:'bosse', age: 3})")
+    r = session.run(
+        "MATCH (d:dog) RETURN toUpper(d.name) AS u, substring(d.name, 0, 2) AS s2, "
+        "size(d.name) AS n, coalesce(d.owner, d.name) AS o, toUpper(left(d.name, 1)) AS i "
+        "ORDER BY u"
+    ).collect()
+    assert [(x["u"], x["s2"], x["n"], x["o"], x["i"]) for x in r] == [
+        ("ARNE", "Ar", 4, "Arne", "A"),
+        ("BOSSE", "bo", 5, "bosse", "B"),
+    ]
+    r = session.run("MATCH (d:dog) WITH size(d.name) AS n RETURN sum(n) AS t").collect()
+    assert r[0]["t"] == 9
