@@ -211,6 +211,23 @@ def _compile_where(src: str, resolve=None) -> F.Column:
                 return F.lit(False)
             if up == "NULL":
                 return F.lit(None)
+            if peek("lpar"):
+                # scalar function call — reassemble the balanced call text
+                # (string tokens keep their quotes) and compile it
+                parts = [val, "("]
+                take()
+                depth = 1
+                while depth:
+                    k2, v2 = take()
+                    if k2 == "lpar":
+                        depth += 1
+                    elif k2 == "rpar":
+                        depth -= 1
+                    parts.append(", " if k2 == "comma" else v2)
+                text = "".join(parts)
+                col = _compile_fn_call(text, resolve)
+                # entity fns (id/labels/type/…) resolve as names
+                return col if col is not None else resolve(text)
             return resolve(val)
         raise ValueError(f"WHERE: unexpected operand {val!r}")
 

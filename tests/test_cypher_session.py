@@ -485,3 +485,23 @@ def test_scalar_functions_in_return(session):
     ]
     r = session.run("MATCH (d:dog) WITH size(d.name) AS n RETURN sum(n) AS t").collect()
     assert r[0]["t"] == 9
+
+
+def test_scalar_functions_in_where(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 7})")
+    session.run("CREATE (b:dog {name:'bosse', age: 3})")
+    r = session.run(
+        "MATCH (d:dog) WHERE toUpper(d.name) STARTS WITH 'AR' RETURN d.name AS n"
+    ).collect()
+    assert [row["n"] for row in r] == ["Arne"]
+    r = session.run(
+        "MATCH (d:dog) WHERE size(d.name) > 4 AND toLower(d.name) CONTAINS 'ss' RETURN d.name AS n"
+    ).collect()
+    assert [row["n"] for row in r] == ["bosse"]
+    r = session.run(
+        "MATCH (d:dog) WHERE substring(d.name, 0, 1) = 'A' OR d.age < 5 RETURN count(*) AS c"
+    ).collect()
+    assert r[0]["c"] == 2
+    # entity accessor still resolves in WHERE
+    r = session.run("MATCH (d:dog) WHERE labels(d) IS NOT NULL RETURN count(*) AS c").collect()
+    assert r[0]["c"] == 2
