@@ -34,6 +34,18 @@ def save_bucketed_graph(
     buckets. ``buckets`` should be sized so one bucket of the largest
     table fits an executor's memory at target scale (e.g. 100 TB / 64k
     buckets ≈ 1.6 GB)."""
+    spark = graph.nodes.sparkSession
+    for suffix in ("nodes", "rels"):
+        # a fresh session's in-memory catalog doesn't know about a previous
+        # run's table, but saveAsTable still refuses while the warehouse
+        # dir exists — drop the registration AND the orphaned location
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        loc = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{spark.conf.get('spark.sql.warehouse.dir')}/{name}_{suffix}"
+        )
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     (
         graph.nodes.write.mode("overwrite")
         .bucketBy(buckets, "id")
