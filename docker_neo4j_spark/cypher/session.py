@@ -1174,9 +1174,10 @@ class Session:
             if pvar:
                 if name == pvar:
                     return F.col("path")
-                mlen = re.match(r"length\(\s*(\w+)\s*\)$", name)
-                if mlen and mlen.group(1) == pvar:
-                    return F.col("hops")
+                mlen = re.match(r"(length|nodes)\(\s*(\w+)\s*\)$", name)
+                if mlen and mlen.group(2) == pvar:
+                    # length(p) = hop count; nodes(p) = the node-id array
+                    return F.col("hops" if mlen.group(1) == "length" else "path")
             return base_resolve(name)
 
         return self._project_match(joined, ret, elems, resolve)
