@@ -519,3 +519,44 @@ def llm_quality_filter_langs(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_kept"))
         .orderBy("lang")
     )
+
+
+@register(
+    "llm_scrub_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+             AS text
+    FROM documents
+    """,
+)
+def llm_scrub_pii(spark, sf_dir):
+    """Email/URL scrub pass (curation.scrub_pii): map-only regexp_replace
+    chain in the common Java∩RE2∩DuckDB dialect — engine-reproducible."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.scrub_pii(d).select("doc_id", "text")
+
+
+@register(
+    "llm_split_paragraphs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '\n\s*\n'),
+                                        x -> TRIM(x)), x -> x != '') AS parts
+      FROM documents)
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS para_idx, parts[u.i] AS para
+    FROM t, UNNEST(generate_series(1, len(parts))) AS u(i)
+    """,
+)
+def llm_split_paragraphs(spark, sf_dir):
+    """Blank-line paragraph chunking (curation.split_paragraphs):
+    generator projection, no shuffle."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.split_paragraphs(d)

@@ -152,6 +152,45 @@ def dedup_clusters(
     return out
 
 
+# Portable across Java regex, RE2, and DuckDB (no lookbehind, no \b-edge
+# dialect differences beyond the common subset).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^\\s]+"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+) -> DataFrame:
+    """Replace emails and URLs in ``text_col`` with placeholder tokens —
+    the standard pre-training scrub pass. Map-only JVM regexes (one
+    ``regexp_replace`` chain, no UDF); patterns restricted to the
+    Java∩RE2∩DuckDB dialect so the pass is engine-reproducible."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), URL_RE, url_token),
+        EMAIL_RE,
+        email_token,
+    )
+    return df.withColumn(text_col, scrubbed)
+
+
+def split_paragraphs(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Explode documents into (key, para_idx, para) rows on blank-line
+    boundaries, dropping empty fragments — the chunking primitive ahead of
+    per-paragraph dedup/scoring. One generator projection, no shuffle."""
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), "\\n\\s*\\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    return df.select(
+        key, F.posexplode(paras).alias("para_idx", "para")
+    ).withColumn("para_idx", F.col("para_idx").cast("long"))
+
+
 def domain_cap(
     df: DataFrame,
     domain_col: str = "source",

@@ -113,3 +113,27 @@ def test_salted_join_equals_plain_join(spark):
         .count()
     )
     assert n_salts_used >= 4
+
+
+def test_scrub_pii_and_split_paragraphs(spark):
+    from docker_neo4j_spark.operators.curation import scrub_pii, split_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@test.org or see https://x.io/p?q=1 now")],
+        "doc_id long, text string",
+    )
+    out = scrub_pii(df).collect()[0]["text"]
+    assert out == "mail me at <EMAIL> or see <URL> now"
+
+    df2 = spark.createDataFrame(
+        [(1, "first para\n\n  \n\nsecond para\n\nthird"), (2, "only one")],
+        "doc_id long, text string",
+    )
+    rows = split_paragraphs(df2).collect()
+    got = {(r["doc_id"], r["para_idx"]): r["para"] for r in rows}
+    assert got == {
+        (1, 0): "first para",
+        (1, 1): "second para",
+        (1, 2): "third",
+        (2, 0): "only one",
+    }
