@@ -972,25 +972,54 @@ class Session:
         # WHERE filters the stage output (Cypher's HAVING), and later stages
         # resolve against the stage's aliases; UNWIND stages explode a list
         # into rows (SURVEY §2.B.6)
-        for kind, stage_src in pipeline:
+        for k2, (kind, stage_src) in enumerate(pipeline):
             if kind == "UNWIND":
                 bound = self._unwind_stage(bound, stage_src)
                 continue
+            # a WITH stage may be followed by another [OPTIONAL] MATCH —
+            # the multi-MATCH pipeline (SURVEY §2.B.6); the new pattern
+            # joins back on the stage's still-bound variables
+            tail_match = None
+            m_m = re.search(r"\b(OPTIONAL\s+)?MATCH\b", stage_src, re.IGNORECASE)
+            if m_m:
+                tail_match = (bool(m_m.group(1)), stage_src[m_m.end():].strip())
+                stage_src = stage_src[: m_m.start()].strip()
             m_w = re.search(r"\bWHERE\b", stage_src, re.IGNORECASE)
             items_src = stage_src[: m_w.start()].strip() if m_w else stage_src.strip()
-            keys, aggs = _parse_items(items_src, _frame_resolver(bound))
+            # `WITH a` for a bound pattern variable carries the WHOLE
+            # binding forward (all a_* columns), so later MATCH / RETURN
+            # clauses can keep expanding from it — Cypher's variable
+            # passthrough, not a projection to one column
+            var_items: list[str] = []
+            expr_items: list[str] = []
+            for it in (i.strip() for i in _split_top(items_src, ",")):
+                if re.fullmatch(r"[A-Za-z_]\w*", it) and f"{it}_id" in bound.columns:
+                    var_items.append(it)
+                else:
+                    expr_items.append(it)
+            var_cols = [
+                F.col(c)
+                for v in var_items
+                for c in bound.columns
+                if c == f"{v}_id" or c.startswith(f"{v}_")
+            ]
+            keys, aggs = (
+                _parse_items(", ".join(expr_items), _frame_resolver(bound))
+                if expr_items
+                else ([], [])
+            )
             if aggs:
-                bound = (
-                    bound.groupBy([c for _, c in keys]).agg(*aggs)
-                    if keys
-                    else bound.agg(*aggs)
-                )
+                group_cols = var_cols + [c for _, c in keys]
+                bound = bound.groupBy(group_cols).agg(*aggs) if group_cols else bound.agg(*aggs)
             else:
-                bound = bound.select([c for _, c in keys])
+                bound = bound.select(var_cols + [c for _, c in keys])
             if m_w:
                 bound = self._apply_where(
                     bound, stage_src[m_w.end():].strip(), _frame_resolver(bound)
                 )
+            if tail_match is not None:
+                optional, msrc = tail_match
+                bound = self._bind_additional(bound, msrc, optional, 100 + k2)
 
         if verb == "CREATE":
             return self._create_from_binding(tail, bound)
@@ -1237,6 +1266,58 @@ class Session:
         if ret is None:
             return self.spark.createDataFrame([], "ok string")
         return self._project_match(frame.drop("_idx"), ret, elems, _frame_resolver(frame))
+
+    def _bind_additional(
+        self, bound: DataFrame, src: str, optional: bool, k: int
+    ) -> DataFrame:
+        """A further ``[OPTIONAL] MATCH`` after a WITH stage: bind the new
+        pattern and join it back on every variable shared with ``bound``
+        (inner for MATCH, left for OPTIONAL MATCH; no shared variable →
+        cartesian, Cypher's disconnected-pattern rule)."""
+        from ..operators.patterns import NodeSpec, RelSpec, match_chain
+
+        if optional:
+            return self._bind_optional(bound, src, k)
+        where_src = None
+        m_w = re.search(r"\bWHERE\b", src, re.IGNORECASE)
+        if m_w:
+            where_src = src[m_w.end():].strip()
+            src = src[: m_w.start()].strip()
+        elems, rest = _parse_pattern(src)
+        if rest:
+            raise ValueError(f"trailing content after MATCH pattern: {rest!r}")
+        pattern = []
+        for j, el in enumerate(elems):
+            if isinstance(el, _Node):
+                if not el.var:
+                    el.var = f"_m{k}_{j}"
+                pattern.append(NodeSpec(el.var, el.label, el.props or None))
+            else:
+                pattern.append(RelSpec(el.var or f"_mr{k}_{j}", el.rel_type, _direction(el)))
+        sub = match_chain(self.store.graph, pattern)
+        anchors = [
+            el.var
+            for el in elems
+            if isinstance(el, _Node) and f"{el.var}_id" in bound.columns
+        ]
+        if not anchors:
+            bound = bound.crossJoin(sub)
+        else:
+            dup = [
+                c
+                for c in sub.columns
+                if c in bound.columns and c not in {f"{v}_id" for v in anchors}
+            ]
+            sub = sub.drop(*dup)
+            cond = None
+            for v in anchors:
+                sub = sub.withColumnRenamed(f"{v}_id", f"_m_{v}")
+                c = F.col(f"{v}_id") == F.col(f"_m_{v}")
+                cond = c if cond is None else cond & c
+            bound = bound.join(sub, cond).drop(*[f"_m_{v}" for v in anchors])
+        if where_src:
+            bound = self._apply_where(bound, where_src, _frame_resolver(bound))
+        return bound
 
     def _bind_optional(self, bound: DataFrame, opt_src: str, k: int) -> DataFrame:
         """``OPTIONAL MATCH (a)-[:T]->(b:M)`` — single-hop left-outer expand

@@ -505,3 +505,32 @@ def test_scalar_functions_in_where(session):
     # entity accessor still resolves in WHERE
     r = session.run("MATCH (d:dog) WHERE labels(d) IS NOT NULL RETURN count(*) AS c").collect()
     assert r[0]["c"] == 2
+
+
+def test_multi_match_pipeline(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 7})-[:SNIFFS]->(b:dog {name:'Bosse', age: 3})")
+    session.run("MATCH (a:dog {name:'Arne'}) CREATE (a)-[:SNIFFS]->(c:dog {name:'Cleo', age: 9})")
+    session.run("MATCH (b:dog {name:'Bosse'}), (c:dog {name:'Cleo'}) CREATE (b)-[:SNIFFS]->(c)")
+    # aggregate, filter on it, then MATCH again from the kept binding
+    r = session.run(
+        "MATCH (a:dog)-[:SNIFFS]->(b:dog) WITH a, count(*) AS n WHERE n >= 2 "
+        "MATCH (a)-[:SNIFFS]->(c:dog) RETURN a.name AS an, c.name AS cn ORDER BY cn"
+    ).collect()
+    assert [(x["an"], x["cn"]) for x in r] == [("Arne", "Bosse"), ("Arne", "Cleo")]
+    # WITH passthrough keeps the whole binding (properties usable later)
+    r = session.run(
+        "MATCH (a:dog) WITH a WHERE a.age > 5 RETURN a.name AS n ORDER BY n"
+    ).collect()
+    assert [x["n"] for x in r] == ["Arne", "Cleo"]
+    # OPTIONAL MATCH after WITH keeps unmatched rows
+    r = session.run(
+        "MATCH (a:dog {name:'Cleo'}) WITH a OPTIONAL MATCH (a)-[:SNIFFS]->(x:dog) "
+        "RETURN a.name AS an, x.name AS xn"
+    ).collect()
+    assert [(x["an"], x["xn"]) for x in r] == [("Cleo", None)]
+    # no shared variable → cartesian
+    r = session.run(
+        "MATCH (a:dog {name:'Arne'}) WITH a MATCH (z:dog {name:'Cleo'}) "
+        "RETURN a.name AS an, z.name AS zn"
+    ).collect()
+    assert [(x["an"], x["zn"]) for x in r] == [("Arne", "Cleo")]
