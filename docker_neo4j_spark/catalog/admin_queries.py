@@ -488,6 +488,37 @@ def cypher_expression_projection(spark, sf_dir):
 
 
 @register(
+    "cypher_multi_match_pipeline",
+    """
+    WITH t AS (
+      SELECT o_custkey AS ck, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+    )
+    SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders
+    FROM t JOIN customer ON c_custkey = ck
+           JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name ORDER BY nation
+    """,
+)
+def cypher_multi_match_pipeline(spark, sf_dir):
+    """Façade multi-MATCH pipeline: aggregate per customer, filter on the
+    aggregate, then MATCH again from the kept binding into a second
+    pattern — WITH carries the whole node binding forward."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) WITH c, count(*) AS n_orders "
+        "WHERE n_orders >= 20 MATCH (c)-[:IN_NATION]->(nt:Nation) "
+        "RETURN nt.n_name AS nation, count(*) AS n_cust, sum(n_orders) AS total_orders "
+        "ORDER BY nation"
+    )
+
+
+@register(
     "cypher_scalar_functions",
     """
     SELECT UPPER(n_name) AS u, SUBSTRING(n_name, 1, 3) AS pre,
