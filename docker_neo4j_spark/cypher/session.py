@@ -985,7 +985,23 @@ class Session:
                 tail_match = (bool(m_m.group(1)), stage_src[m_m.end():].strip())
                 stage_src = stage_src[: m_m.start()].strip()
             m_w = re.search(r"\bWHERE\b", stage_src, re.IGNORECASE)
+            where_part = stage_src[m_w.end():].strip() if m_w else None
             items_src = stage_src[: m_w.start()].strip() if m_w else stage_src.strip()
+            # openCypher clause order inside WITH: items [ORDER BY] [SKIP]
+            # [LIMIT] [WHERE] — the mid-pipeline top-k idiom
+            st_order = st_skip = st_limit = None
+            m_li = re.search(r"\bLIMIT\s+(\d+)\s*$", items_src, re.IGNORECASE)
+            if m_li:
+                st_limit = int(m_li.group(1))
+                items_src = items_src[: m_li.start()].strip()
+            m_sk = re.search(r"\bSKIP\s+(\d+)\s*$", items_src, re.IGNORECASE)
+            if m_sk:
+                st_skip = int(m_sk.group(1))
+                items_src = items_src[: m_sk.start()].strip()
+            m_ob = re.search(r"\bORDER\s+BY\b", items_src, re.IGNORECASE)
+            if m_ob:
+                st_order = items_src[m_ob.end():].strip()
+                items_src = items_src[: m_ob.start()].strip()
             # `WITH a` for a bound pattern variable carries the WHOLE
             # binding forward (all a_* columns), so later MATCH / RETURN
             # clauses can keep expanding from it — Cypher's variable
@@ -1013,10 +1029,14 @@ class Session:
                 bound = bound.groupBy(group_cols).agg(*aggs) if group_cols else bound.agg(*aggs)
             else:
                 bound = bound.select(var_cols + [c for _, c in keys])
-            if m_w:
-                bound = self._apply_where(
-                    bound, stage_src[m_w.end():].strip(), _frame_resolver(bound)
-                )
+            if st_order:
+                bound = bound.orderBy(*_order_keys(st_order, _frame_resolver(bound)))
+            if st_skip is not None:
+                bound = bound.offset(st_skip)
+            if st_limit is not None:
+                bound = bound.limit(st_limit)
+            if where_part:
+                bound = self._apply_where(bound, where_part, _frame_resolver(bound))
             if tail_match is not None:
                 optional, msrc = tail_match
                 bound = self._bind_additional(bound, msrc, optional, 100 + k2)

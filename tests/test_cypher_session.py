@@ -534,3 +534,19 @@ def test_multi_match_pipeline(session):
         "RETURN a.name AS an, z.name AS zn"
     ).collect()
     assert [(x["an"], x["zn"]) for x in r] == [("Arne", "Cleo")]
+
+
+def test_with_order_by_limit_pipeline(session):
+    for i in range(6):
+        session.run(f"CREATE (d:dog {{name:'d{i}', age: {i}}})")
+    # mid-pipeline top-3 by age, then keep filtering
+    r = session.run(
+        "MATCH (d:dog) WITH d ORDER BY d.age DESC LIMIT 3 "
+        "WITH d WHERE d.age < 5 RETURN d.name AS n ORDER BY n"
+    ).collect()
+    assert [x["n"] for x in r] == ["d3", "d4"]
+    # SKIP inside WITH
+    r = session.run(
+        "MATCH (d:dog) WITH d.name AS n ORDER BY n SKIP 4 RETURN n ORDER BY n"
+    ).collect()
+    assert [x["n"] for x in r] == ["d4", "d5"]
