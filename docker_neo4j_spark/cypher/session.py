@@ -987,6 +987,9 @@ class Session:
             m_w = re.search(r"\bWHERE\b", stage_src, re.IGNORECASE)
             where_part = stage_src[m_w.end():].strip() if m_w else None
             items_src = stage_src[: m_w.start()].strip() if m_w else stage_src.strip()
+            st_distinct = bool(re.match(r"DISTINCT\b", items_src, re.IGNORECASE))
+            if st_distinct:
+                items_src = items_src[len("DISTINCT"):].strip()
             # openCypher clause order inside WITH: items [ORDER BY] [SKIP]
             # [LIMIT] [WHERE] — the mid-pipeline top-k idiom
             st_order = st_skip = st_limit = None
@@ -1029,6 +1032,8 @@ class Session:
                 bound = bound.groupBy(group_cols).agg(*aggs) if group_cols else bound.agg(*aggs)
             else:
                 bound = bound.select(var_cols + [c for _, c in keys])
+                if st_distinct:
+                    bound = bound.distinct()
             if st_order:
                 bound = bound.orderBy(*_order_keys(st_order, _frame_resolver(bound)))
             if st_skip is not None:
@@ -1459,6 +1464,16 @@ class Session:
         distinct = bool(re.match(r"DISTINCT\b", ret, re.IGNORECASE))
         if distinct:
             ret = ret[len("DISTINCT"):].strip()
+
+        if ret == "*":  # RETURN * — the whole binding, as-is
+            out = bound
+            if distinct:
+                out = out.distinct()
+            if order_by:
+                out = out.orderBy(*_order_keys(order_by, _resolve))
+            if skip is not None:
+                out = out.offset(skip)
+            return out if limit is None else out.limit(limit)
 
         keys, aggs = _parse_items(ret, _resolve)
 

@@ -550,3 +550,14 @@ def test_with_order_by_limit_pipeline(session):
         "MATCH (d:dog) WITH d.name AS n ORDER BY n SKIP 4 RETURN n ORDER BY n"
     ).collect()
     assert [x["n"] for x in r] == ["d4", "d5"]
+
+
+def test_return_star_and_with_distinct(session):
+    session.run("CREATE (a:dog {name:'Arne', owner:'kim'})")
+    session.run("CREATE (b:dog {name:'Bosse', owner:'kim'})")
+    r = session.run("MATCH (d:dog) RETURN * ORDER BY d.name").collect()
+    assert len(r) == 2 and "d_name" in r[0].asDict()
+    r = session.run(
+        "MATCH (d:dog) WITH DISTINCT d.owner AS o RETURN o"
+    ).collect()
+    assert [x["o"] for x in r] == ["kim"]
