@@ -738,3 +738,84 @@ def load_csv_nation_agg(spark, sf_dir):
         )
         out = out.localCheckpoint(eager=True)
     return out
+
+
+@register(
+    "cypher_case_expression",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE c_mktsegment WHEN 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+             AS building
+    FROM customer GROUP BY bucket ORDER BY bucket
+    """,
+)
+def cypher_case_expression(spark, sf_dir):
+    """Façade CASE expressions — generic form as a grouping key and simple
+    form inside an aggregate — compiled from the Cypher string (the
+    reference surface is arbitrary Cypher text over Bolt,
+    DatabaseIO.java:121-128)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (c:Customer) RETURN "
+        "CASE WHEN c.c_acctbal < 0 THEN 'neg' WHEN c.c_acctbal < 5000 THEN 'mid' "
+        "ELSE 'high' END AS bucket, count(*) AS n, "
+        "sum(CASE c.c_mktsegment WHEN 'BUILDING' THEN 1 ELSE 0 END) AS building "
+        "ORDER BY bucket"
+    )
+
+
+@register(
+    "cypher_list_comprehension",
+    """
+    SELECT p_partkey AS pk,
+           list_transform(list_filter(string_split(p_name, ' '),
+                                      w -> length(w) > 6),
+                          w -> upper(w)) AS words
+    FROM part ORDER BY pk
+    """,
+)
+def cypher_list_comprehension(spark, sf_dir):
+    """Façade list comprehension ``[w IN list WHERE pred | expr]`` →
+    JVM higher-order functions (filter + transform), no Python UDF."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (p:Part) RETURN p.p_partkey AS pk, "
+        "[w IN split(p.p_name, ' ') WHERE size(w) > 6 | toUpper(w)] AS words "
+        "ORDER BY pk"
+    )
+
+
+@register(
+    "cypher_reduce",
+    """
+    SELECT p_partkey AS pk,
+           CAST(list_sum(list_transform(string_split(p_name, ' '),
+                                        w -> length(w))) AS BIGINT) AS chars
+    FROM part ORDER BY pk
+    """,
+)
+def cypher_reduce(spark, sf_dir):
+    """Façade ``reduce(acc = init, x IN list | expr)`` → ``F.aggregate``
+    JVM fold; the merge expression resolves both the accumulator and the
+    element through a scoped two-variable resolver."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (p:Part) RETURN p.p_partkey AS pk, "
+        "reduce(acc = 0, w IN split(p.p_name, ' ') | acc + size(w)) AS chars "
+        "ORDER BY pk"
+    )

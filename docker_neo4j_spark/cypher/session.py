@@ -101,6 +101,7 @@ _WHERE_TOKEN_RE = re.compile(
     r"(?P<str>'[^']*'|\"[^\"]*\")"
     r"|(?P<num>-?\d+(?:\.\d+)?)"
     r"|(?P<op><=|>=|<>|=|<|>)"
+    r"|(?P<aop>[+\-*/%])"
     r"|(?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)|(?P<lbr>\[)|(?P<rbr>\])"
     r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
     r")"
@@ -175,7 +176,7 @@ def _compile_where(src: str, resolve=None) -> F.Column:
         if not m:
             raise ValueError(f"WHERE: cannot tokenize at {src[pos:pos + 20]!r}")
         pos = m.end()
-        for kind in ("str", "num", "op", "lpar", "rpar", "comma", "lbr", "rbr", "word"):
+        for kind in ("str", "num", "op", "aop", "lpar", "rpar", "comma", "lbr", "rbr", "word"):
             if m.group(kind) is not None:
                 tokens.append((kind, m.group(kind)))
                 break
@@ -197,7 +198,7 @@ def _compile_where(src: str, resolve=None) -> F.Column:
         i += 1
         return t
 
-    def operand() -> F.Column:
+    def primary() -> F.Column:
         kind, val = take()
         if kind == "str":
             return F.lit(val[1:-1])
@@ -230,6 +231,23 @@ def _compile_where(src: str, resolve=None) -> F.Column:
                 return col if col is not None else resolve(text)
             return resolve(val)
         raise ValueError(f"WHERE: unexpected operand {val!r}")
+
+    def operand() -> F.Column:
+        # arithmetic over primaries — `x % 2 = 0`, `a.qty * a.price > 100`
+        def aterm() -> F.Column:
+            out = primary()
+            while peek("aop") and tokens[i][1] in "*/%":
+                op = take()[1]
+                rhs = primary()
+                out = out * rhs if op == "*" else out / rhs if op == "/" else out % rhs
+            return out
+
+        out = aterm()
+        while peek("aop") and tokens[i][1] in "+-":
+            op = take()[1]
+            rhs = aterm()
+            out = out + rhs if op == "+" else out - rhs
+        return out
 
     def comparison() -> F.Column:
         left = operand()
@@ -318,7 +336,7 @@ _ARITH_TOKEN_RE = re.compile(
     r"(?P<str>'[^']*'|\"[^\"]*\")"
     r"|(?P<num>\d+(?:\.\d+)?)"
     r"|(?P<op>[+\-*/%])"
-    r"|(?P<lpar>\()|(?P<rpar>\))"
+    r"|(?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)"
     r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
     r")"
 )
@@ -335,7 +353,7 @@ def _compile_value_expr(src: str, resolve) -> F.Column:
         if not m or m.end() == pos:
             raise ValueError(f"cannot tokenize expression at {src[pos:pos + 20]!r}")
         pos = m.end()
-        for kind in ("str", "num", "op", "lpar", "rpar", "word"):
+        for kind in ("str", "num", "op", "lpar", "rpar", "comma", "word"):
             if m.group(kind) is not None:
                 tokens.append((kind, m.group(kind)))
                 break
@@ -358,6 +376,28 @@ def _compile_value_expr(src: str, resolve) -> F.Column:
             return (F.lit(val[1:-1]), True)
         if kind == "num":
             return (F.lit(float(val) if "." in val else int(val)), False)
+        if kind == "word" and i < len(tokens) and tokens[i][0] == "lpar":
+            # scalar function call inside arithmetic — reassemble the
+            # balanced call text and hand it to the call compiler
+            parts = [val, "("]
+            i += 1
+            depth = 1
+            while depth and i < len(tokens):
+                k2, v2 = tokens[i]
+                i += 1
+                if k2 == "lpar":
+                    depth += 1
+                elif k2 == "rpar":
+                    depth -= 1
+                    if not depth:
+                        parts.append(")")
+                        break
+                parts.append(", " if k2 == "comma" else v2)
+                if k2 == "word" and i < len(tokens) and tokens[i][0] == "word":
+                    parts.append(" ")
+            text = "".join(parts)
+            col = _compile_fn_call(text, resolve)
+            return (col if col is not None else resolve(text), False)
         return (resolve(val), False)
 
     def term():
@@ -424,9 +464,164 @@ def _compile_fn_call(item: str, resolve) -> F.Column | None:
             args.append(nested)
         elif part.startswith(("'", '"', "[")) or re.fullmatch(r"-?\d+(\.\d+)?", part):
             args.append(_parse_value(part))
+        elif re.search(r"[+\-*/%]", part) or re.match(r"CASE\b", part, re.IGNORECASE):
+            args.append(_value_of(part, resolve))
         else:
             args.append(resolve(part))
     return fn(*args)
+
+
+def _balanced_strip(text: str) -> str | None:
+    """If ``text`` is one parenthesized group (the opening ``(`` matches
+    the final ``)``), return the inner text, else None."""
+    depth = 0
+    for i, c in enumerate(text):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return text[1:-1].strip() if i == len(text) - 1 else None
+    return None
+
+
+def _compile_case(item: str, resolve) -> F.Column | None:
+    """``CASE … END`` expressions in RETURN/WITH items — both forms:
+    generic (``CASE WHEN pred THEN v … [ELSE v] END``) and simple
+    (``CASE subject WHEN v THEN v … END``). WHEN predicates reuse the
+    WHERE compiler; THEN/ELSE values reuse the shared value compiler, so
+    nesting (function calls, arithmetic) works. Returns None when the item
+    is not a CASE expression.
+
+    Reference anchor: arbitrary Cypher strings over Bolt
+    (src/test/java/com/neo4j/docker/utils/DatabaseIO.java:121-128).
+    """
+    m = re.match(r"CASE\b(.*)\bEND$", item.strip(), re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    when_parts = _split_top(m.group(1), "WHEN")
+    head = when_parts[0].strip()
+    if not when_parts[1:]:
+        raise ValueError(f"CASE without WHEN: {item!r}")
+    subject = _value_of(head, resolve) if head else None
+    branches: list[tuple[F.Column, F.Column]] = []
+    otherwise = None
+    for part in when_parts[1:]:
+        sub = _split_top(part, "ELSE")
+        if len(sub) > 1:
+            otherwise = _value_of(sub[1].strip(), resolve)
+        thens = _split_top(sub[0], "THEN")
+        if len(thens) != 2:
+            raise ValueError(f"CASE WHEN without THEN: {sub[0]!r}")
+        cond_src, then_src = thens[0].strip(), thens[1].strip()
+        cond = (
+            subject == _value_of(cond_src, resolve)
+            if subject is not None
+            else _compile_where(cond_src, resolve)
+        )
+        branches.append((cond, _value_of(then_src, resolve)))
+    out = F.when(*branches[0])
+    for cond, val in branches[1:]:
+        out = out.when(cond, val)
+    return out.otherwise(otherwise) if otherwise is not None else out
+
+
+def _compile_list_comp(item: str, resolve) -> F.Column | None:
+    """List comprehension ``[x IN list WHERE pred | expr]`` → JVM
+    higher-order functions (``F.filter`` + ``F.transform`` — no Python
+    UDF). Either the WHERE or the ``| expr`` part may be absent. Returns
+    None when the item is not a comprehension (e.g. a plain list literal).
+    """
+    if not (item.startswith("[") and item.endswith("]")):
+        return None
+    body = item[1:-1].strip()
+    m = re.match(r"([A-Za-z_]\w*)\s+IN\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    var, rest = m.group(1), m.group(2)
+    pipe = _split_top(rest, "|")
+    out_src = pipe[1].strip() if len(pipe) > 1 else None
+    wh = _split_top(pipe[0], "WHERE")
+    list_src, pred_src = wh[0].strip(), (wh[1].strip() if len(wh) > 1 else None)
+    src_col = _value_of(list_src, resolve)
+
+    def scoped(el):
+        # closure (NOT a default arg — pyspark treats 2-arg lambdas as
+        # (element, index)) mapping the iteration variable to the lambda
+        # element; everything else falls through to the outer resolver.
+        def sub(name: str) -> F.Column:
+            return el if name == var else resolve(name)
+
+        return sub
+
+    out = src_col
+    if pred_src is not None:
+        out = F.filter(out, lambda el: _compile_where(pred_src, scoped(el)))
+    if out_src is not None:
+        out = F.transform(out, lambda el: _value_of(out_src, scoped(el)))
+    return out
+
+
+def _compile_reduce(item: str, resolve) -> F.Column | None:
+    """``reduce(acc = init, x IN list | expr)`` → ``F.aggregate`` (JVM
+    fold). The merge expression sees both the accumulator and the element
+    through a two-variable scoped resolver."""
+    m = re.match(
+        r"reduce\s*\(\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*,\s*([A-Za-z_]\w*)\s+IN\s+(.+)\)$",
+        item.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    acc_var, init_src, el_var, rest = m.groups()
+    pipe = _split_top(rest, "|")
+    if len(pipe) != 2:
+        raise ValueError(f"reduce without merge expression: {item!r}")
+    list_src, merge_src = pipe[0].strip(), pipe[1].strip()
+
+    def scoped(acc, el):
+        def sub(name: str) -> F.Column:
+            if name == acc_var:
+                return acc
+            if name == el_var:
+                return el
+            return resolve(name)
+
+        return sub
+
+    init = _value_of(init_src, resolve)
+    # Cypher's reduce keeps the init's numeric type loose; long init is the
+    # common case and sum-like folds stay long unless the list is floats.
+    return F.aggregate(
+        _value_of(list_src, resolve),
+        init.cast("long") if re.fullmatch(r"-?\d+", init_src) else init,
+        lambda acc, el: _value_of(merge_src, scoped(acc, el)),
+    )
+
+
+def _value_of(text: str, resolve) -> F.Column:
+    """The shared value-expression compiler for RETURN/WITH items and
+    CASE/comprehension sub-expressions: CASE → comprehension → reduce →
+    function call → arithmetic/concat → literal → name resolution."""
+    text = text.strip()
+    if (
+        text.startswith("(")
+        and text.endswith(")")
+        and _balanced_strip(text) is not None
+        and not _looks_like_pattern(text)
+    ):
+        return _value_of(_balanced_strip(text), resolve)
+    for compiler in (_compile_case, _compile_list_comp, _compile_reduce, _compile_fn_call):
+        col = compiler(text, resolve)
+        if col is not None:
+            return col
+    if re.search(r"[+\-*/%]", text):
+        return _compile_value_expr(text, resolve)
+    if text.startswith(("'", '"', "[")) or re.fullmatch(r"-?\d+(\.\d+)?", text):
+        return F.lit(_parse_value(text))
+    if text.upper() in ("TRUE", "FALSE", "NULL"):
+        return F.lit(_parse_value(text))
+    return resolve(text)
 
 
 def _parse_items(src: str, resolve) -> tuple[list, list]:
@@ -444,21 +639,10 @@ def _parse_items(src: str, resolve) -> tuple[list, list]:
             alias = item
         m = _AGG_RE.match(item)
         if not m:
-            call = None if re.search(r"[+\-*/%]", item) else _compile_fn_call(item, resolve)
-            if call is not None:
-                keys.append((alias, call.alias(alias)))
-            elif re.search(r"[+\-*/%]", item):
-                keys.append((alias, _compile_value_expr(item, resolve).alias(alias)))
-            else:
-                keys.append((alias, resolve(item).alias(alias)))
+            keys.append((alias, _value_of(item, resolve).alias(alias)))
             continue
         fn, agg_distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
-        if arg == "*":
-            col = F.lit(1)
-        elif re.search(r"[+\-*/%]", arg):
-            col = _compile_value_expr(arg, resolve)
-        else:
-            col = resolve(arg)
+        col = F.lit(1) if arg == "*" else _value_of(arg, resolve)
         if fn == "count":
             e = F.countDistinct(col) if agg_distinct else F.count(col if arg != "*" else "*")
             e = e.cast("long")
@@ -827,16 +1011,35 @@ class Session:
     # ---- RETURN <expr> ------------------------------------------------
     def _bare_return(self, q: str) -> DataFrame:
         expr = q[len("RETURN"):].strip()
-        fn_m = re.match(r"([A-Za-z_][\w.]*)\((.*)\)$", expr)
-        if fn_m:
-            from ..procedures.registry import fn
 
-            raw = fn_m.group(2).strip()
-            args = [
-                _parse_value(p.strip()) for p in _split_top(raw, ",") if p.strip()
-            ] if raw else []
-            return self.spark.range(1).select(fn(fn_m.group(1), *args).alias(expr))
-        return self.spark.range(1).select(F.lit(_parse_value(expr)).alias(expr))
+        def _unbound(name: str) -> F.Column:
+            raise ValueError(f"unbound name in bare RETURN: {name!r}")
+
+        cols = []
+        for item in [i.strip() for i in _split_top(expr, ",")]:
+            m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+            alias, body = (
+                (m_as.group(1), item[: m_as.start()].strip()) if m_as else (item, item)
+            )
+            col = None
+            fn_m = re.match(r"([A-Za-z_][\w.]*)\((.*)\)$", body)
+            if fn_m:
+                # registered plugin/scalar functions (apoc.version, …) win;
+                # the Cypher expression compiler is the fallback
+                from ..procedures.registry import fn
+
+                try:
+                    raw = fn_m.group(2).strip()
+                    args = [
+                        _parse_value(p.strip()) for p in _split_top(raw, ",") if p.strip()
+                    ] if raw else []
+                    col = fn(fn_m.group(1), *args)
+                except (KeyError, ValueError):
+                    col = None
+            if col is None:
+                col = _value_of(body, _unbound)
+            cols.append(col.alias(alias))
+        return self.spark.range(1).select(cols)
 
     # ---- ALTER CURRENT USER -------------------------------------------
     _current_password: str | None = None

@@ -561,3 +561,60 @@ def test_return_star_and_with_distinct(session):
         "MATCH (d:dog) WITH DISTINCT d.owner AS o RETURN o"
     ).collect()
     assert [x["o"] for x in r] == ["kim"]
+
+
+def test_case_expressions(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 7})")
+    session.run("CREATE (b:dog {name:'Bosse', age: 3})")
+    # generic form as a projected value
+    r = session.run(
+        "MATCH (d:dog) RETURN d.name AS n, "
+        "CASE WHEN d.age > 5 THEN 'old' ELSE 'young' END AS bucket ORDER BY n"
+    ).collect()
+    assert [(x["n"], x["bucket"]) for x in r] == [("Arne", "old"), ("Bosse", "young")]
+    # simple form; no ELSE → null
+    r = session.run(
+        "MATCH (d:dog) RETURN d.name AS n, "
+        "CASE d.name WHEN 'Arne' THEN 1 END AS idx ORDER BY n"
+    ).collect()
+    assert [(x["n"], x["idx"]) for x in r] == [("Arne", 1), ("Bosse", None)]
+    # CASE inside an aggregate
+    r = session.run(
+        "MATCH (d:dog) RETURN sum(CASE WHEN d.age > 5 THEN 1 ELSE 0 END) AS olds"
+    ).collect()
+    assert r[0]["olds"] == 1
+
+
+def test_list_comprehension_and_reduce(session):
+    session.run("CREATE (a:dog {name:'Arne'})")
+    # comprehension: filter + transform, nested function calls
+    r = session.run(
+        "MATCH (d:dog) RETURN [w IN split(d.name, 'n') WHERE size(w) > 1 | toUpper(w)] AS ws"
+    ).collect()
+    assert r[0]["ws"] == ["AR"]
+    # filter-only comprehension over a literal range
+    r = session.run("RETURN [x IN range(1, 6) WHERE x % 3 = 0] AS xs").collect()
+    assert r[0]["xs"] == [3, 6]
+    # reduce over a comprehension (nesting both ways)
+    r = session.run(
+        "RETURN reduce(acc = 0, x IN [y IN range(1, 4) | y * 2] | acc + x) AS tot"
+    ).collect()
+    assert r[0]["tot"] == 20
+
+
+def test_arithmetic_in_where(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 7})")
+    session.run("CREATE (b:dog {name:'Bosse', age: 4})")
+    r = session.run(
+        "MATCH (d:dog) WHERE d.age % 2 = 0 RETURN d.name AS n"
+    ).collect()
+    assert [x["n"] for x in r] == ["Bosse"]
+    r = session.run(
+        "MATCH (d:dog) WHERE d.age * 2 - 1 > 10 RETURN d.name AS n"
+    ).collect()
+    assert [x["n"] for x in r] == ["Arne"]
+    # function call inside WHERE arithmetic
+    r = session.run(
+        "MATCH (d:dog) WHERE size(d.name) + 1 = 5 RETURN d.name AS n"
+    ).collect()
+    assert [x["n"] for x in r] == ["Arne"]
