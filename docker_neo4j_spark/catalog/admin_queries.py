@@ -775,25 +775,35 @@ def cypher_case_expression(spark, sf_dir):
     "cypher_list_comprehension",
     """
     SELECT p_partkey AS pk,
-           list_transform(list_filter(string_split(p_name, ' '),
-                                      w -> length(w) > 6),
-                          w -> upper(w)) AS words
+           COALESCE(array_to_string(
+               list_transform(list_filter(string_split(p_name, ' '),
+                                          w -> length(w) > 4),
+                              w -> upper(w)), ' '), '') AS words
     FROM part ORDER BY pk
     """,
 )
 def cypher_list_comprehension(spark, sf_dir):
     """Façade list comprehension ``[w IN list WHERE pred | expr]`` →
-    JVM higher-order functions (filter + transform), no Python UDF."""
+    JVM higher-order functions (filter + transform), no Python UDF.
+
+    The comprehension's array result surfaces as an ``array_join`` string:
+    the correctness gate canonicalizes rows via pandas sort/hash, which can't
+    order raw list cells (catalog conventions, ``catalog/__init__.py``).
+    Every element still flows through the comparison — join is lossless for
+    a space-delimited word list."""
+    import pyspark.sql.functions as F
+
     from ..cypher.session import Session
     from ..sources.tpch import build_graph
     from ..storage.store import GraphStore
 
     s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
-    return s.run(
+    out = s.run(
         "MATCH (p:Part) RETURN p.p_partkey AS pk, "
-        "[w IN split(p.p_name, ' ') WHERE size(w) > 6 | toUpper(w)] AS words "
+        "[w IN split(p.p_name, ' ') WHERE size(w) > 4 | toUpper(w)] AS words "
         "ORDER BY pk"
     )
+    return out.select("pk", F.array_join("words", " ").alias("words"))
 
 
 @register(

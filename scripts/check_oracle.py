@@ -35,19 +35,25 @@ TABLES = (
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror of the driver's ``_canon``: columns sorted by name, rows via
+    ``DataFrame.sort_values`` over the RAW columns — object cells are NOT
+    stringified first, so unhashable cells (lists, dicts, arrays) raise
+    ``TypeError`` here exactly as they do in the driver gate (the r3
+    ``cypher_list_comprehension`` failure mode). Keep this byte-faithful to
+    the driver's canonicalization, not "improved"."""
     df = df.copy()
     df.columns = [str(c) for c in df.columns]
     df = df[sorted(df.columns)]
     for c in df.columns:
         s = df[c]
-        if s.dtype == object:
-            df[c] = s.map(lambda v: None if v is None else str(v))
-        elif str(s.dtype).startswith("datetime"):
+        if str(s.dtype).startswith("datetime"):
             df[c] = s.astype("datetime64[us]").map(lambda v: None if pd.isna(v) else v.isoformat())
     if len(df) == 0:
         return df.reset_index(drop=True)
-    key = df.astype(str).agg("|".join, axis=1)
-    return df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
+    # sort_values over raw columns — raises on unhashable object cells,
+    # matching pandas.core.sorting.lexsort_indexer in the driver.
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
