@@ -42,6 +42,140 @@ def _seed(g):
     return g.label_frames["Customer"].orderBy("id").limit(1).select("id")
 
 
+# DuckDB twin of build_graph's node set (all six labels).
+_NODES = """
+  SELECT CAST(1000000000000 + r_regionkey AS BIGINT) AS id FROM region
+  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT) FROM nation
+  UNION ALL SELECT CAST(3000000000000 + c_custkey AS BIGINT) FROM customer
+  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT) FROM supplier
+  UNION ALL SELECT CAST(5000000000000 + p_partkey AS BIGINT) FROM part
+  UNION ALL SELECT CAST(6000000000000 + o_orderkey AS BIGINT) FROM orders
+"""
+
+
+def _pagerank_sql(iterations: int, weighted: bool, out_scale: str) -> str:
+    """Unrolled power-iteration PageRank as chained DuckDB CTEs.
+
+    Mirrors ``operators/gds.pagerank`` operation-for-operation (same edge
+    multiset, same `(1-d) + d*dangling/N` base computed before the update,
+    same `base + d*Σ(pr·w/Σw)` per node, sink-only nodes get exactly the
+    base) with every literal written as a float8 (`0.85e0`) so DuckDB's
+    IEEE arithmetic matches Spark's. Iterations are UNROLLED rather than
+    WITH RECURSIVE because the recursive term would need two references to
+    the working table (contribution join + dangling scalar). Both sides
+    surface `CAST(ROUND(pr * scale) AS BIGINT)` — the last-ulp float noise
+    from cross-engine summation order is orders of magnitude below the
+    rounding granularity, and an integer column is canonicalizer-proof.
+    """
+    w_expr = "CAST(w AS DOUBLE)" if weighted else "1.0e0"
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES}),",
+        f"nodes AS MATERIALIZED ({_NODES}),",
+        f"ew AS MATERIALIZED (SELECT src, dst, {w_expr} AS w FROM e),",
+        "ed AS MATERIALIZED (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS invdeg FROM ew),",
+        "dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM ew)),",
+        "no_in AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT dst FROM ew)),",
+        "nt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
+        "pr0 AS MATERIALIZED (SELECT id, 1.0e0 AS pr FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"pr{k - 1}"
+        parts.append(
+            f"b{k} AS (SELECT (1.0e0 - 0.85e0) + 0.85e0 * "
+            f"COALESCE((SELECT SUM(p.pr) FROM {p} p JOIN dang USING (id)), 0e0) "
+            f"/ (SELECT n FROM nt) AS b),"
+        )
+        parts.append(
+            f"pr{k} AS MATERIALIZED ("
+            f"SELECT c.id, (SELECT b FROM b{k}) + 0.85e0 * c.c AS pr FROM "
+            f"(SELECT ed.dst AS id, SUM(p.pr * ed.invdeg) AS c "
+            f"FROM {p} p JOIN ed ON ed.src = p.id GROUP BY ed.dst) c "
+            f"UNION ALL SELECT id, (SELECT b FROM b{k}) FROM no_in),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"SELECT id, CAST(ROUND(pr * {out_scale}) AS BIGINT) AS pr_scaled "
+        f"FROM pr{iterations}"
+    )
+    return "\n".join(parts)
+
+
+def _ppr_sql(iterations: int, out_scale: str) -> str:
+    """Unrolled personalized PageRank (single lowest-customer seed) as
+    chained DuckDB CTEs — twin of ``operators/gds.personalized_pagerank``:
+    teleport and dangling mass return to the seed, support set = seed ∪
+    reached, `pr = Σ(d·contrib) + scale·t` via a 2-element commutative
+    (order-proof) group-sum."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES}),",
+        f"nodes AS MATERIALIZED ({_NODES}),",
+        "ed AS MATERIALIZED (SELECT src, dst, 1.0e0 / (COUNT(*) OVER (PARTITION BY src)) AS invdeg FROM e),",
+        "dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),",
+        "seed AS MATERIALIZED (SELECT CAST(3000000000000 + MIN(c_custkey) AS BIGINT) AS id FROM customer),",
+        "pr0 AS MATERIALIZED (SELECT id, 1.0e0 AS pr FROM seed),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"pr{k - 1}"
+        parts.append(
+            f"s{k} AS (SELECT (1.0e0 - 0.85e0) + 0.85e0 * "
+            f"COALESCE((SELECT SUM(p.pr) FROM {p} p JOIN dang USING (id)), 0e0) AS b),"
+        )
+        parts.append(
+            f"pr{k} AS MATERIALIZED (SELECT id, SUM(pr) AS pr FROM ("
+            f"SELECT ed.dst AS id, 0.85e0 * SUM(p.pr * ed.invdeg) AS pr "
+            f"FROM {p} p JOIN ed ON ed.src = p.id GROUP BY ed.dst "
+            f"UNION ALL SELECT id, (SELECT b FROM s{k}) * 1.0e0 FROM seed"
+            f") GROUP BY id),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"SELECT id, CAST(ROUND(pr * {out_scale}) AS BIGINT) AS pr_scaled "
+        f"FROM pr{iterations}"
+    )
+    return "\n".join(parts)
+
+
+def _lpa_sql(iterations: int) -> str:
+    """Unrolled synchronous label propagation as chained DuckDB CTEs — twin
+    of ``operators/gds.label_propagation`` on the IN_NATION ∪ IN_REGION
+    subgraph: most-frequent neighbor label, ties → smallest label. All
+    arithmetic is integer, so equality is exact. Running the full
+    ``iterations`` without the operator's early exit is equivalent: the
+    update is a deterministic function of the labels, so a converged
+    labeling is a fixpoint."""
+    parts = [
+        "WITH b AS (",
+        "  SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS s,",
+        "         CAST(2000000000000 + c_nationkey AS BIGINT) AS d FROM customer",
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT),",
+        "         CAST(2000000000000 + s_nationkey AS BIGINT) FROM supplier",
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT),",
+        "         CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation),",
+        "e AS MATERIALIZED (SELECT s AS src, d AS dst FROM b UNION ALL SELECT d, s FROM b),",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS community FROM e),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"lab{k - 1}"
+        parts.append(
+            f"best{k} AS (SELECT id, community AS cand FROM ("
+            f"SELECT e.dst AS id, p.community, COUNT(*) AS n, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.dst "
+            f"ORDER BY COUNT(*) DESC, p.community ASC) AS rn "
+            f"FROM {p} p JOIN e ON e.src = p.id GROUP BY e.dst, p.community"
+            f") WHERE rn = 1),"
+        )
+        parts.append(
+            f"lab{k} AS MATERIALIZED (SELECT l.id, COALESCE(b.cand, l.community) AS community "
+            f"FROM {p} l LEFT JOIN best{k} b USING (id)),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(f"SELECT id, community FROM lab{iterations}")
+    return "\n".join(parts)
+
+
 @register(
     "gds_degree",
     f"""
@@ -326,16 +460,26 @@ def gds_all_shortest_paths_to_regions(spark, sf_dir):
     ).distinct()
 
 
-@register("gds_pagerank")  # rows-only: float power iteration
+@register("gds_pagerank", _pagerank_sql(15, weighted=False, out_scale="1e6"))
 def gds_pagerank(spark, sf_dir):
-    """gds.pageRank (15 iterations, damping 0.85, dangling-mass aware)."""
+    """gds.pageRank (15 iterations, damping 0.85, dangling-mass aware).
+
+    Oracle: unrolled power iteration in DuckDB (``_pagerank_sql``); both
+    sides surface micro-rank `CAST(ROUND(pr*1e6) AS BIGINT)` so the
+    cross-engine last-ulp summation noise can't break hash equality."""
     g = build_graph(spark, sf_dir)
-    return gds.pagerank(g.rels, g.nodes, iterations=15)
+    out = gds.pagerank(g.rels, g.nodes, iterations=15)
+    return out.select(
+        "id", F.round(F.col("pr") * F.lit(1e6)).cast("long").alias("pr_scaled")
+    )
 
 
-@register("gds_label_propagation")  # rows-only: tie-break-sensitive iteration
+@register("gds_label_propagation", _lpa_sql(6))
 def gds_label_propagation(spark, sf_dir):
-    """gds.labelPropagation (synchronous, deterministic tie-break)."""
+    """gds.labelPropagation (synchronous, deterministic tie-break).
+
+    Oracle: unrolled synchronous LPA in DuckDB (``_lpa_sql``) — integer
+    labels + integer vote counts, exact equality."""
     g = build_graph(spark, sf_dir)
     edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
     nodes = (
@@ -381,10 +525,11 @@ def gds_local_clustering(spark, sf_dir):
     return gds.local_clustering(co)
 
 
-@register("gds_pagerank_weighted")  # rows-only: float power iteration
+@register("gds_pagerank_weighted", _pagerank_sql(10, weighted=True, out_scale="1e6"))
 def gds_pagerank_weighted(spark, sf_dir):
     """gds.pageRank with relationshipWeightProperty: lineitem-derived
-    edges weighted by l_quantity, FK edges weight 1."""
+    edges weighted by l_quantity, FK edges weight 1. Oracle: unrolled
+    weighted power iteration (``_pagerank_sql`` with w = l_quantity)."""
     g = build_graph(spark, sf_dir)
     w = (
         F.when(F.col("type").isin("CONTAINS", "SUPPLIED_BY"), F.col("l_quantity"))
@@ -392,15 +537,23 @@ def gds_pagerank_weighted(spark, sf_dir):
         .alias("weight")
     )
     edges = g.rels.select("src", "dst", w)
-    return gds.pagerank(edges, g.nodes, iterations=10, weight_col="weight")
+    out = gds.pagerank(edges, g.nodes, iterations=10, weight_col="weight")
+    return out.select(
+        "id", F.round(F.col("pr") * F.lit(1e6)).cast("long").alias("pr_scaled")
+    )
 
 
-@register("gds_personalized_pagerank")  # rows-only: float power iteration
+@register("gds_personalized_pagerank", _ppr_sql(10, out_scale="1e9"))
 def gds_personalized_pagerank(spark, sf_dir):
     """gds.pageRank with sourceNodes: rank personalized on the lowest
-    customer; mass stays in its reachable neighborhood."""
+    customer; mass stays in its reachable neighborhood. Oracle: unrolled
+    teleport-to-seed power iteration (``_ppr_sql``); nano-rank granularity
+    because Σpr = 1 spreads over a small support set."""
     g = build_graph(spark, sf_dir)
-    return gds.personalized_pagerank(g.rels, _seed(g), g.nodes, iterations=10)
+    out = gds.personalized_pagerank(g.rels, _seed(g), g.nodes, iterations=10)
+    return out.select(
+        "id", F.round(F.col("pr") * F.lit(1e9)).cast("long").alias("pr_scaled")
+    )
 
 
 @register("gds_louvain")  # rows-only: modularity-gain iteration (float, tie-break-sensitive)
