@@ -807,6 +807,37 @@ def cypher_list_comprehension(spark, sf_dir):
 
 
 @register(
+    "cypher_temporal",
+    """
+    SELECT o_orderkey AS ok,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due,
+           strftime(o_orderdate + INTERVAL 14 MONTH, '%Y-%m-%d') AS anniv,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dy
+    FROM orders ORDER BY ok
+    """,
+)
+def cypher_temporal(spark, sf_dir):
+    """Façade temporal surface (SURVEY §2.B.7 temporal row): ``date()``
+    construction, ``+ duration('P…')`` arithmetic, and accessor functions
+    inside one Cypher string — all compiled to JVM date arithmetic
+    (``to_date``/``make_interval``), no Python in the row path."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (o:Order) RETURN o.o_orderkey AS ok, "
+        "toString(date(o.o_orderdate) + duration('P30D')) AS due, "
+        "toString(date(o.o_orderdate) + duration('P1Y2M')) AS anniv, "
+        "year(o.o_orderdate) AS yr, month(o.o_orderdate) AS mo, "
+        "day(o.o_orderdate) AS dy ORDER BY ok"
+    )
+
+
+@register(
     "cypher_reduce",
     """
     SELECT p_partkey AS pk,

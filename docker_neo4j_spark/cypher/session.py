@@ -450,6 +450,25 @@ def _compile_fn_call(item: str, resolve) -> F.Column | None:
     m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*(.*)\s*\)$", item, re.DOTALL)
     if not m or m.group(1).lower() in _ENTITY_FNS:
         return None
+    # the greedy regex would also match `f(a) + g(b)` as one call to `f`
+    # with argument text "a) + g(b" — reject when that text is not
+    # paren-balanced (quote-aware), so arithmetic over calls falls through
+    # to the expression compiler
+    depth, quote = 0, None
+    for ch in m.group(2):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+    if depth != 0:
+        return None
     from ..functions import cypher as cf
 
     fn = getattr(cf, m.group(1), None) or getattr(cf, m.group(1) + "_", None)

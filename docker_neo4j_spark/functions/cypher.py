@@ -199,6 +199,61 @@ def map_get(m, key: str) -> Column:
 
 # -------------------------------------------------------------- temporal ----
 
+_ISO_DURATION_RE = None  # compiled lazily (module imports stay cheap)
+
+
+def _temporal_arg(x) -> Column:
+    # str args that start with a digit are ISO literals ('1995-03-15');
+    # other strs follow the library's column-name convention.
+    if isinstance(x, str) and x[:1].isdigit():
+        return F.lit(x)
+    return _c(x)
+
+
+def date(x=None) -> Column:
+    """Cypher ``date()`` / ``date(expr)`` construction → DATE column."""
+    return F.current_date() if x is None else F.to_date(_temporal_arg(x))
+
+
+def datetime(x=None) -> Column:
+    """Cypher ``datetime()`` / ``datetime(expr)`` → TIMESTAMP column."""
+    return F.current_timestamp() if x is None else F.to_timestamp(_temporal_arg(x))
+
+
+def localdatetime(x=None) -> Column:
+    return datetime(x)
+
+
+def duration(spec: str) -> Column:
+    """Cypher ``duration('P1Y2M3DT4H5M6S')`` → interval column
+    (``make_interval``), so ``date()/datetime() + duration()`` arithmetic
+    runs JVM-side. Accepts the ISO-8601 subset Cypher uses: Y/M/W/D date
+    parts, H/M/S time parts (S may be fractional)."""
+    global _ISO_DURATION_RE
+    import re as _re
+
+    if _ISO_DURATION_RE is None:
+        _ISO_DURATION_RE = _re.compile(
+            r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+            r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+        )
+    if not isinstance(spec, str):
+        raise TypeError("duration() takes an ISO-8601 string literal")
+    m = _ISO_DURATION_RE.match(spec.strip())
+    if m is None or spec.strip() == "P":
+        raise ValueError(f"invalid ISO-8601 duration: {spec!r}")
+    y, mo, w, d, h, mi, s = m.groups()
+    return F.make_interval(
+        F.lit(int(y or 0)),
+        F.lit(int(mo or 0)),
+        F.lit(int(w or 0)),
+        F.lit(int(d or 0)),
+        F.lit(int(h or 0)),
+        F.lit(int(mi or 0)),
+        F.lit(float(s or 0)),
+    )
+
+
 def date_trunc(unit: str, x) -> Column:
     return F.date_trunc(unit, _c(x))
 

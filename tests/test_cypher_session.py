@@ -618,3 +618,34 @@ def test_arithmetic_in_where(session):
         "MATCH (d:dog) WHERE size(d.name) + 1 = 5 RETURN d.name AS n"
     ).collect()
     assert [x["n"] for x in r] == ["Arne"]
+
+
+def test_temporal_construction_and_duration_arithmetic(session):
+    # date()/datetime() construction from literals + duration arithmetic
+    r = session.run(
+        "RETURN toString(date('1995-03-15') + duration('P1Y2M10D')) AS d"
+    ).collect()
+    assert r[0]["d"] == "1996-05-25"
+    r = session.run(
+        "RETURN toString(datetime('1995-03-15 06:00:00') + duration('P1DT2H30M')) AS t"
+    ).collect()
+    assert r[0]["t"].startswith("1995-03-16 08:30")
+    # accessors over a constructed date
+    r = session.run("RETURN year(date('1995-03-15')) AS y, month(date('1995-03-15')) AS m").collect()
+    assert (r[0]["y"], r[0]["m"]) == (1995, 3)
+
+
+def test_temporal_over_bound_property(session):
+    session.run("CREATE (a:evt {name:'a', day:'2024-02-29'})")
+    r = session.run(
+        "MATCH (e:evt) RETURN toString(date(e.day) + duration('P14M')) AS anniv"
+    ).collect()
+    # single-step month addition: 2024-02-29 + 14 months = 2025-04-29
+    assert r[0]["anniv"] == "2025-04-29"
+
+
+def test_fn_call_regex_does_not_swallow_arithmetic():
+    # `f(a) + g(b)` must not parse as one call to f (paren balance check)
+    from docker_neo4j_spark.cypher.session import _compile_fn_call
+
+    assert _compile_fn_call("date(x) + duration('P1D')", lambda n: None) is None
