@@ -807,6 +807,35 @@ def cypher_list_comprehension(spark, sf_dir):
 
 
 @register(
+    "write_merge_unwind_batch",
+    """
+    SELECT CAST(700 AS BIGINT) AS n_nodes, CAST(244650 AS BIGINT) AS ck_sum
+    """,
+)
+def write_merge_unwind_batch(spark, sf_dir):
+    """Batch MERGE through the façade: ``UNWIND $rows AS r MERGE (…)``
+    with a 1,500-element parameter compiles to ONE set-based
+    ``store.merge_nodes`` (distinct → left-anti → append) — no per-row
+    driver round-trip. Two overlapping batches: 1,500 rows / 500 distinct
+    keys insert 500; a second 500-row batch re-merging 300 of them plus
+    200 new keys inserts exactly 200. Oracle = closed form: 700 nodes,
+    Σck = Σ0..699 = 244650."""
+    from ..cypher.session import Session
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark))
+    rows = [{"ck": i % 500, "name": f"c{i % 500}"} for i in range(1500)]
+    s.run("UNWIND $rows AS r MERGE (c:Cust {ck: r.ck, name: r.name})", {"rows": rows})
+    rows2 = [{"ck": k, "name": f"c{k}"} for k in range(200, 700)]
+    s.run("UNWIND $rows AS r MERGE (c:Cust {ck: r.ck, name: r.name})", {"rows": rows2})
+    out = s.run("MATCH (c:Cust) RETURN count(*), sum(c.ck)")
+    return out.select(
+        F.col("`count(*)`").alias("n_nodes"),
+        F.col("`sum(c.ck)`").cast("long").alias("ck_sum"),
+    )
+
+
+@register(
     "cypher_temporal",
     """
     SELECT o_orderkey AS ok,

@@ -792,6 +792,10 @@ class Session:
         ``session.run("MATCH (n {id: $id}) …", id=7)``); values render as
         literals with strings quoted, lists bracketed."""
         if parameters:
+            batch = self._try_batch_unwind_merge(cypher, parameters)
+            if batch is not None:
+                return batch
+
             def render(v):
                 if isinstance(v, str):
                     return "'" + v.replace("'", "\\'") + "'"
@@ -906,6 +910,54 @@ class Session:
         return self._project_match(
             frame, rest[m_ret.end():].strip(), [], _frame_resolver(frame)
         )
+
+    _BATCH_MERGE_RE = re.compile(
+        r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"
+        r"MERGE\s*\(\s*(?P<nvar>\w*)\s*:\s*(?P<label>\w+)\s*"
+        r"\{(?P<props>[^{}]*)\}\s*\)\s*"
+        r"(?:RETURN\s+count\s*\(\s*(?:\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*)?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_batch_unwind_merge(self, cypher: str, parameters: dict) -> DataFrame | None:
+        """``UNWIND $rows AS r MERGE (n:Label {k: r.k, …})`` with a
+        list-of-maps parameter — the bulk-upsert shape every Bolt driver
+        guide documents for batch loading. Compiles to ONE
+        ``store.merge_nodes`` call (distinct + left-anti + append), never a
+        per-row driver round-trip; the single-statement ``_merge`` path and
+        its take(1) stay for the interactive corpus. Returns None when the
+        statement is any other shape (caller falls through to the literal
+        renderer)."""
+        m = self._BATCH_MERGE_RE.match(cypher.strip().rstrip(";"))
+        if not m:
+            return None
+        rows = parameters.get(m.group("param"))
+        if not isinstance(rows, (list, tuple)) or not rows or not all(
+            isinstance(r, dict) for r in rows
+        ):
+            return None
+        var = m.group("var")
+        sel, key_cols = [], []
+        for part in _split_top(m.group("props"), ","):
+            if not part.strip():
+                continue
+            k, v = part.split(":", 1)
+            k, v = k.strip(), v.strip()
+            if re.fullmatch(rf"{re.escape(var)}\.(\w+)", v):
+                sel.append(F.col(v.split(".", 1)[1]).alias(k))
+            else:
+                sel.append(F.lit(_parse_value(v)).alias(k))
+            key_cols.append(k)
+        if not key_cols:
+            return None
+        df = self.spark.createDataFrame(list(rows)).select(*sel)
+        self.store.merge_nodes(m.group("label"), df, key_cols)
+        alias = m.group("alias")
+        if alias is None:
+            return self.spark.createDataFrame([], "ok string")
+        # Cypher cardinality: UNWIND emits one row per input element and
+        # MERGE preserves it, so count(*) over the statement = len(rows)
+        return self.spark.createDataFrame([(len(rows),)], f"{alias} long")
 
     def _merge(self, pattern_src: str) -> DataFrame:
         """``MERGE (n:L {props})[-[:T]->(m:M {props})]`` — openCypher atomic

@@ -649,3 +649,27 @@ def test_fn_call_regex_does_not_swallow_arithmetic():
     from docker_neo4j_spark.cypher.session import _compile_fn_call
 
     assert _compile_fn_call("date(x) + duration('P1D')", lambda n: None) is None
+
+
+def test_batch_unwind_merge_is_set_based(session):
+    rows = [{"ck": i % 50, "name": f"c{i % 50}"} for i in range(150)]
+    out = session.run(
+        "UNWIND $rows AS r MERGE (c:Cust {ck: r.ck, name: r.name}) RETURN count(*) AS n",
+        {"rows": rows},
+    ).collect()
+    assert out[0]["n"] == 150  # Cypher cardinality: one row per UNWIND element
+    n = session.run("MATCH (c:Cust) RETURN count(*) AS n").collect()[0]["n"]
+    assert n == 50
+    # second overlapping batch inserts only the new keys
+    session.run(
+        "UNWIND $rows AS r MERGE (c:Cust {ck: r.ck, name: r.name})",
+        {"rows": [{"ck": k, "name": f"c{k}"} for k in range(40, 60)]},
+    )
+    n = session.run("MATCH (c:Cust) RETURN count(*) AS n").collect()[0]["n"]
+    assert n == 60
+
+
+def test_batch_unwind_merge_only_intercepts_its_shape(session):
+    # a non-list parameter falls through to the literal renderer
+    r = session.run("RETURN $x + 1 AS y", {"x": 41}).collect()
+    assert r[0]["y"] == 42
