@@ -556,6 +556,23 @@ def gds_personalized_pagerank(spark, sf_dir):
     )
 
 
+@register("gds_pagerank_serving")  # rows-only: early-exit iteration count is convergence-dependent
+def gds_pagerank_serving(spark, sf_dir):
+    """gds.pageRank in its default SERVING shape — maxIterations=20,
+    tolerance=1e-7 (the knob's documented defaults) — the query bench.py
+    times as `gds_pagerank`. The oracle-checked `gds_pagerank` row pins
+    iterations=15 with no early exit so the DuckDB unrolled twin is exact;
+    this row exists so the benchmark measures what a server would run.
+    Rows-only by design: the early-exit round count depends on float
+    convergence, so per-node values land within `tolerance` of — but not
+    bit-equal to — the fixed-mode fixpoint."""
+    g = build_graph(spark, sf_dir)
+    out = gds.pagerank(g.rels, g.nodes, iterations=20, tolerance=1e-7)
+    return out.select(
+        "id", F.round(F.col("pr") * F.lit(1e6)).cast("long").alias("pr_scaled")
+    )
+
+
 @register("gds_louvain")  # rows-only: modularity-gain iteration (float, tie-break-sensitive)
 def gds_louvain(spark, sf_dir):
     """gds.louvain (synchronous local-moving, deterministic tie-break)."""

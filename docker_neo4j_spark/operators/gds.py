@@ -327,6 +327,25 @@ def pagerank(
     dangling_ids.count()
     no_in_ids = n.join(dst_set, n["id"] == dst_set["dst"], "left_anti").cache()
     no_in_ids.count()
+    # Zero-weight self-rows for sink-only nodes fold the "receives exactly
+    # the base term" case INTO the contribution aggregate (pr·0 = 0 →
+    # base + d·0 = base, bit-identical to the old union branch). The win
+    # is partitioning, not arithmetic: the update becomes pure
+    # join→groupBy(id), whose output hash-partitioning survives
+    # localCheckpoint, so the next round's join on pr.id needs NO N-row
+    # exchange — the old unionByName erased the partitioning and forced a
+    # full pr shuffle every iteration.
+    e_run = (
+        e_deg.unionByName(
+            no_in_ids.select(
+                F.col("id").alias("src"),
+                F.col("id").alias("dst"),
+                F.lit(0.0).alias("_invdeg"),
+            )
+        )
+        .repartition("src")
+        .cache()
+    )
     pr = _ckpt(n.select("id", F.lit(1.0).alias("pr")))
     for _ in range(iterations):
         # Separate small scalar job for the dangling mass: folding it into
@@ -337,7 +356,7 @@ def pagerank(
             F.coalesce(F.sum("pr"), F.lit(0.0))
         ).first()[0]
         contribs = (
-            pr.join(e_deg, pr["id"] == e_deg["src"])
+            pr.join(e_run, pr["id"] == e_run["src"])
             .select(F.col("dst").alias("id"), (F.col("pr") * F.col("_invdeg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
@@ -346,7 +365,7 @@ def pagerank(
         new_pr = _ckpt(
             contribs.select(
                 "id", (F.lit(base) + F.lit(damping) * F.col("c")).alias("pr")
-            ).unionByName(no_in_ids.select("id", F.lit(base).alias("pr")))
+            )
         )
         if tolerance is not None:
             delta = (
@@ -360,6 +379,7 @@ def pagerank(
         else:
             pr = new_pr
     e_deg.unpersist()
+    e_run.unpersist()
     n.unpersist()
     dangling_ids.unpersist()
     no_in_ids.unpersist()

@@ -38,6 +38,12 @@ ENGINE_DEFAULT_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
+    # local-mode: the single JVM is driver AND all 32 executor threads.
+    # 8g measured BEST here: 32g was tried and its first heavy query paid
+    # ~70 s of first-touch page faulting inside the VM (107.8 s vs 33 s
+    # pagerank, reproduced twice), never amortized within a bench run. On
+    # a real cluster this maps to executor memory sized so a shuffle
+    # partition fits comfortably (SURVEY §6).
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }

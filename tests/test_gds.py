@@ -232,3 +232,19 @@ def test_pagerank_tolerance_early_exit(spark):
     tol = {r["id"]: r["pr"] for r in gds.pagerank(e2, n2, iterations=25, tolerance=1e-12).collect()}
     for k in fixed:
         assert abs(fixed[k] - tol[k]) < 1e-6
+
+
+def test_pagerank_tolerance_matches_fixed_mode(spark):
+    # serving shape (maxIterations=20, tolerance=1e-7) must agree with the
+    # fixed-mode fixpoint within tolerance and preserve the rank ORDER —
+    # the invariant that lets bench.py time the early-exit shape while the
+    # oracle row pins fixed iterations
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5)])
+    n = _nodes(spark, [1, 2, 3, 4, 5, 6])
+    fixed = {r["id"]: r["pr"] for r in gds.pagerank(e, n, iterations=30).collect()}
+    tol = {r["id"]: r["pr"] for r in gds.pagerank(e, n, iterations=30, tolerance=1e-7).collect()}
+    assert set(fixed) == set(tol)
+    for k in fixed:
+        assert abs(fixed[k] - tol[k]) < 1e-5
+    rank = lambda d: [k for k, _ in sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))]
+    assert rank(fixed) == rank(tol)
