@@ -9,6 +9,18 @@ standard Spark DATA_SOURCE_NOT_FOUND error at start time, and
 the source (windowed aggs, dedup, foreachBatch upsert) is shared with
 the file-backed stream in events.py — swapping the format is the entire
 migration, which is the point of the Structured Streaming design.
+
+Enabling the real connector (any Spark 4.x deployment):
+
+    spark-submit --packages \\
+        org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>
+    # or spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:…
+    # (pulls kafka-clients + commons-pool2 transitively)
+
+``tests/test_streaming.py::test_kafka_roundtrip_real`` runs a real
+produce→consume roundtrip when BOTH are present — the connector jar on
+the classpath and a broker address in ``$SPARK_KAFKA_BOOTSTRAP`` — and
+pytest-skips (never fakes) otherwise.
 """
 
 from __future__ import annotations

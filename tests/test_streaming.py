@@ -222,3 +222,49 @@ def test_session_run_parameters(spark):
         parameters={"names": ["Arne", "Bosse", "Cleo"]},
     ).collect()
     assert r[0]["c"] == 2
+
+
+def test_kafka_roundtrip_real(spark, tmp_path):
+    """Real Kafka produce→consume roundtrip. Runs only when the
+    spark-sql-kafka connector jar is on the classpath (see
+    streaming/kafka.py for coordinates) AND a broker is reachable at
+    $SPARK_KAFKA_BOOTSTRAP; skipped — never faked — otherwise."""
+    import os
+    import uuid
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from docker_neo4j_spark.streaming.kafka import kafka_available
+
+    if not kafka_available(spark):
+        _pytest.skip("spark-sql-kafka connector jar not on classpath")
+    bootstrap = os.environ.get("SPARK_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        _pytest.skip("no broker: set SPARK_KAFKA_BOOTSTRAP=host:port")
+
+    topic = f"spark_graft_test_{uuid.uuid4().hex[:8]}"
+    src = spark.range(100).select(
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(F.col("id"), (F.col("id") * 2).alias("v"))).alias("value"),
+    )
+    (
+        src.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    back = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+        .select(
+            F.col("key").cast("string").alias("key"),
+            F.get_json_object(F.col("value").cast("string"), "$.v").cast("long").alias("v"),
+        )
+    )
+    rows = {int(r["key"]): r["v"] for r in back.collect()}
+    assert len(rows) == 100 and all(rows[k] == 2 * k for k in rows)
