@@ -149,3 +149,15 @@ def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1) and "= en" in m.group(1)
+
+
+def test_three_hop_all_joins_broadcast(spark, sf_dir, queries):
+    # the bench's only big-table self-join path (lineitem⋈lineitem on
+    # l_partkey): the chain must compile to a pure broadcast-join cascade
+    # at test SF — a SortMergeJoin regression here is the r3 bench's
+    # expand_three_hop slowdown coming back
+    df = queries["expand_three_hop"](spark, sf_dir)
+    facts = audit(df)
+    assert facts.n_broadcast_joins >= 5
+    assert facts.n_sort_merge_joins == 0
+    assert facts.n_cartesian == 0
