@@ -440,6 +440,17 @@ _AGG_RE = re.compile(
 # entity accessors stay with the frame resolvers (prefixed columns)
 _ENTITY_FNS = frozenset({"id", "labels", "type", "properties", "length"})
 
+# Cypher's namespaced callables → library implementations. duration.between
+# and duration.inDays surface DAY granularity (a bigint of days) rather
+# than a full duration value — the accessor idiom `duration.inDays(a,b).days`
+# is the overwhelmingly common consumption and maps to exactly this.
+_DOTTED_FNS = {
+    "duration.between": "duration_between_days",
+    "duration.inDays": "duration_between_days",
+    "datetime.truncate": "date_trunc",
+    "apoc.json.path": "json_extract",
+}
+
 
 def _compile_fn_call(item: str, resolve) -> F.Column | None:
     """``toUpper(d.name)``-style scalar function calls in RETURN/WITH items,
@@ -447,7 +458,7 @@ def _compile_fn_call(item: str, resolve) -> F.Column | None:
     (functions/cypher.py — SURVEY §2.B.7). Arguments may be literals,
     names, or nested calls. Returns None when the item is not a call to a
     known function (caller falls back to plain name resolution)."""
-    m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*(.*)\s*\)$", item, re.DOTALL)
+    m = re.match(r"([A-Za-z_][A-Za-z0-9_.]*)\s*\(\s*(.*)\s*\)$", item, re.DOTALL)
     if not m or m.group(1).lower() in _ENTITY_FNS:
         return None
     # the greedy regex would also match `f(a) + g(b)` as one call to `f`
@@ -471,7 +482,12 @@ def _compile_fn_call(item: str, resolve) -> F.Column | None:
         return None
     from ..functions import cypher as cf
 
-    fn = getattr(cf, m.group(1), None) or getattr(cf, m.group(1) + "_", None)
+    name = m.group(1)
+    if "." in name:
+        mapped = _DOTTED_FNS.get(name)
+        fn = getattr(cf, mapped, None) if mapped else None
+    else:
+        fn = getattr(cf, name, None) or getattr(cf, name + "_", None)
     if fn is None or not callable(fn):
         return None
     args = []

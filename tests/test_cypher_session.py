@@ -673,3 +673,14 @@ def test_batch_unwind_merge_only_intercepts_its_shape(session):
     # a non-list parameter falls through to the literal renderer
     r = session.run("RETURN $x + 1 AS y", {"x": 41}).collect()
     assert r[0]["y"] == 42
+
+
+def test_dotted_function_names(session):
+    r = session.run(
+        "RETURN duration.inDays(date('1995-01-01'), date('1995-03-01')) AS days"
+    ).collect()
+    assert r[0]["days"] == 59
+    r = session.run(
+        "RETURN toString(datetime.truncate('month', datetime('1995-03-15 06:30:00'))) AS m"
+    ).collect()
+    assert r[0]["m"].startswith("1995-03-01 00:00")
