@@ -302,11 +302,8 @@ def pagerank(
     # (src, dst, w/Σw(src)) is static across iterations — join deg into the
     # edge list ONCE, partitioned by the per-round join key, instead of
     # re-joining deg inside every power iteration (15 joins → 1).
-    e_deg = (
-        e.join(deg, e["src"] == deg["_did"])
-        .select("src", "dst", (F.col("_w") / F.col("_wsum")).alias("_invdeg"))
-        .repartition("src")
-        .cache()
+    e_deg = e.join(deg, e["src"] == deg["_did"]).select(
+        "src", "dst", (F.col("_w") / F.col("_wsum")).alias("_invdeg")
     )
     n = nodes.select("id").cache()
     n_total = n.count()
@@ -321,8 +318,12 @@ def pagerank(
     # anti-join sort-merge-shuffles all |E| edges twice just to derive two
     # ≤N-row node sets. No broadcast hint: at cluster scale the id set can
     # exceed driver memory and AQE must be free to keep the shuffle join.
-    src_set = e_deg.select("src").distinct()
-    dst_set = e_deg.select("dst").distinct()
+    # Derived from the RAW edge frame, not e_deg: the deg join preserves
+    # every endpoint, and going through e would otherwise re-run that join
+    # once per distinct (e_deg itself stays an unmaterialized plan — its
+    # only consumer is the cached e_run below).
+    src_set = e.select("src").distinct()
+    dst_set = e.select("dst").distinct()
     dangling_ids = n.join(src_set, n["id"] == src_set["src"], "left_anti").cache()
     dangling_ids.count()
     no_in_ids = n.join(dst_set, n["id"] == dst_set["dst"], "left_anti").cache()
@@ -378,7 +379,6 @@ def pagerank(
                 break
         else:
             pr = new_pr
-    e_deg.unpersist()
     e_run.unpersist()
     n.unpersist()
     dangling_ids.unpersist()
