@@ -836,6 +836,39 @@ def write_merge_unwind_batch(spark, sf_dir):
 
 
 @register(
+    "write_merge_rel_batch",
+    """
+    SELECT CAST(30 AS BIGINT) AS n_routes
+    """,
+)
+def write_merge_rel_batch(spark, sf_dir):
+    """Batch relationship MERGE through the façade: UNWIND $rows MATCH
+    endpoints by key, MERGE the edge — one ``store.merge_rels`` left-anti
+    batch. 100 pairs with duplicates collapse to the 30 distinct routes —
+    (i mod 10, i mod 6) has period lcm(10,6)=30 (closed form); re-running
+    the same batch inserts nothing."""
+    from ..cypher.session import Session
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark))
+    s.run(
+        "UNWIND $rows AS r MERGE (c:City {name: r.name})",
+        {"rows": [{"name": f"city{i}"} for i in range(20)]},
+    )
+    pairs = [{"f": f"city{i % 10}", "t": f"city{10 + (i % 6)}"} for i in range(100)]
+    for _ in range(2):  # idempotence: second pass inserts zero
+        s.run(
+            "UNWIND $rows AS r MATCH (a:City {name: r.f}), (b:City {name: r.t}) "
+            "MERGE (a)-[:ROUTE]->(b)",
+            {"rows": pairs},
+        )
+    out = s.run("MATCH (a:City)-[:ROUTE]->(b:City) RETURN count(*)")
+    from pyspark.sql import functions as F
+
+    return out.select(F.col("`count(*)`").alias("n_routes"))
+
+
+@register(
     "cypher_temporal",
     """
     SELECT o_orderkey AS ok,

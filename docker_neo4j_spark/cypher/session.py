@@ -808,7 +808,10 @@ class Session:
         ``session.run("MATCH (n {id: $id}) …", id=7)``); values render as
         literals with strings quoted, lists bracketed."""
         if parameters:
-            batch = self._try_batch_unwind_merge(cypher, parameters)
+            batch = self._try_batch_unwind_merge(cypher, parameters) \
+                if "MERGE" in cypher.upper() else None
+            if batch is None and "MERGE" in cypher.upper():
+                batch = self._try_batch_rel_merge(cypher, parameters)
             if batch is not None:
                 return batch
 
@@ -934,6 +937,58 @@ class Session:
         r"(?:RETURN\s+count\s*\(\s*(?:\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*)?$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    _BATCH_MERGE_REL_RE = re.compile(
+        r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"
+        r"MATCH\s*\(\s*(?P<av>\w+)\s*:\s*(?P<albl>\w+)\s*\{\s*(?P<ak>\w+)\s*:\s*(?P<aref>[\w.]+)\s*\}\s*\)\s*,\s*"
+        r"\(\s*(?P<bv>\w+)\s*:\s*(?P<blbl>\w+)\s*\{\s*(?P<bk>\w+)\s*:\s*(?P<bref>[\w.]+)\s*\}\s*\)\s+"
+        r"MERGE\s*\(\s*(?P<l>\w+)\s*\)\s*-\s*\[\s*:\s*(?P<rtype>\w+)\s*\]\s*->\s*\(\s*(?P<r>\w+)\s*\)\s*"
+        r"(?:RETURN\s+count\s*\(\s*(?:\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*)?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_batch_rel_merge(self, cypher: str, parameters: dict) -> DataFrame | None:
+        """``UNWIND $rows AS r MATCH (a:L {k: r.x}), (b:M {k: r.y})
+        MERGE (a)-[:T]->(b)`` — the batch relationship-upsert twin of
+        ``_try_batch_unwind_merge``: two key-joins against the node frames
+        resolve endpoint ids, then ONE ``store.merge_rels`` (distinct +
+        left-anti + append) writes every missing edge."""
+        m = self._BATCH_MERGE_REL_RE.match(cypher.strip().rstrip(";"))
+        if not m:
+            return None
+        rows = parameters.get(m.group("param"))
+        if not isinstance(rows, (list, tuple)) or not rows or not all(
+            isinstance(r, dict) for r in rows
+        ):
+            return None
+        var = m.group("var")
+        if m.group("l") != m.group("av") or m.group("r") != m.group("bv"):
+            return None
+
+        def field(ref: str) -> str | None:
+            mm = re.fullmatch(rf"{re.escape(var)}\.(\w+)", ref)
+            return mm.group(1) if mm else None
+
+        fa, fb = field(m.group("aref")), field(m.group("bref"))
+        if fa is None or fb is None:
+            return None
+        df = self.spark.createDataFrame(list(rows))
+        na = self.store.match_nodes(m.group("albl")).select(
+            F.col("id").alias("_aid"), F.col(m.group("ak")).alias("_akey")
+        )
+        nb = self.store.match_nodes(m.group("blbl")).select(
+            F.col("id").alias("_bid"), F.col(m.group("bk")).alias("_bkey")
+        )
+        pairs = (
+            df.join(na, df[fa] == na["_akey"])
+            .join(nb, df[fb] == nb["_bkey"])
+            .select(F.col("_aid").alias("src"), F.col("_bid").alias("dst"))
+        )
+        self.store.merge_rels(m.group("rtype"), pairs)
+        alias = m.group("alias")
+        if alias is None:
+            return self.spark.createDataFrame([], "ok string")
+        return self.spark.createDataFrame([(len(rows),)], f"{alias} long")
 
     def _try_batch_unwind_merge(self, cypher: str, parameters: dict) -> DataFrame | None:
         """``UNWIND $rows AS r MERGE (n:Label {k: r.k, …})`` with a

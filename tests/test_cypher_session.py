@@ -684,3 +684,29 @@ def test_dotted_function_names(session):
         "RETURN toString(datetime.truncate('month', datetime('1995-03-15 06:30:00'))) AS m"
     ).collect()
     assert r[0]["m"].startswith("1995-03-01 00:00")
+
+
+def test_batch_unwind_rel_merge(session):
+    session.run(
+        "UNWIND $rows AS r MERGE (c:City {name: r.name})",
+        {"rows": [{"name": n} for n in ["ams", "ber", "cdg"]]},
+    )
+    out = session.run(
+        "UNWIND $rows AS r MATCH (a:City {name: r.f}), (b:City {name: r.t}) "
+        "MERGE (a)-[:ROUTE]->(b) RETURN count(*) AS n",
+        {"rows": [{"f": "ams", "t": "ber"}, {"f": "ams", "t": "cdg"},
+                  {"f": "ams", "t": "ber"}]},  # duplicate pair merges once
+    ).collect()
+    assert out[0]["n"] == 3
+    r = session.run(
+        "MATCH (a:City)-[:ROUTE]->(b:City) RETURN count(*) AS n"
+    ).collect()
+    assert r[0]["n"] == 2
+    # re-merging the same batch inserts nothing new
+    session.run(
+        "UNWIND $rows AS r MATCH (a:City {name: r.f}), (b:City {name: r.t}) "
+        "MERGE (a)-[:ROUTE]->(b)",
+        {"rows": [{"f": "ams", "t": "ber"}]},
+    )
+    r = session.run("MATCH (a:City)-[:ROUTE]->(b:City) RETURN count(*) AS n").collect()
+    assert r[0]["n"] == 2
