@@ -18,6 +18,13 @@ from ..streaming.events import dedup_within_watermark, session_counts, windowed_
 from . import register
 
 
+def _fmt_ts(col: str):
+    """Catalog convention (catalog/__init__.py): timestamps surface as
+    formatted strings — a raw timestamp column would hit the driver
+    canonicalizer's engine-specific datetime dtype handling."""
+    return F.date_format(F.col(col), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
 @register(
     "stream_session_windows_batch",
     """
@@ -32,7 +39,8 @@ from . import register
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM t)
-    SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
     FROM s GROUP BY user_id, sid
     """,
 )
@@ -40,7 +48,8 @@ def stream_session_windows_batch(spark, sf_dir):
     """Gap-based session windows — batch twin of the streaming
     session_window aggregate, graded against gaps-and-islands SQL."""
     ev = load_tables(spark, sf_dir)["events"]
-    return session_counts(ev, gap="5 minutes")
+    out = session_counts(ev, gap="5 minutes")
+    return out.withColumn("session_start", _fmt_ts("session_start"))
 
 
 @register(
@@ -57,7 +66,8 @@ def stream_session_windows_batch(spark, sf_dir):
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM t)
-    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+    SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM s GROUP BY user_id, sid
     """,
@@ -69,13 +79,16 @@ def stream_sessionize_batch(spark, sf_dir):
     from ..streaming.events import stateful_sessionize
 
     ev = load_tables(spark, sf_dir)["events"]
-    return stateful_sessionize(ev, gap="10 minutes")
+    out = stateful_sessionize(ev, gap="10 minutes")
+    return out.withColumn("session_start", _fmt_ts("session_start")).withColumn(
+        "session_end", _fmt_ts("session_end")
+    )
 
 
 @register(
     "stream_windowed_counts_batch",
     """
-    SELECT date_trunc('hour', ts) AS window_start,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -86,7 +99,8 @@ def stream_windowed_counts_batch(spark, sf_dir):
     """Tumbling 1-hour window per event type — batch twin of the
     streaming aggregate (same code path, exact decimal sums)."""
     ev = load_tables(spark, sf_dir)["events"]
-    return windowed_counts(ev, window="1 hour", exact_sums=True)
+    out = windowed_counts(ev, window="1 hour", exact_sums=True)
+    return out.withColumn("window_start", _fmt_ts("window_start"))
 
 
 @register(
