@@ -195,3 +195,30 @@ def test_jsonl_roundtrip_and_csv_export(spark, tmp_path):
     assert nodes.count() == 2 and rels.count() == 1
     assert "labels" in nodes.columns  # array flattened to ;-joined string
     assert nodes.where(F.col("labels") == "dog").count() == 2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    b1=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+    b2=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+)
+def test_merge_nodes_batch_laws(spark, b1, b2):
+    """MERGE-batch laws for any pair of key batches: |nodes| equals the
+    distinct key union, insert counts decompose as |K1| + |K2∖K1|, and
+    re-merging either batch inserts nothing (idempotence)."""
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    store = GraphStore(spark)
+    df1 = spark.createDataFrame([(k,) for k in b1], "ck long")
+    df2 = spark.createDataFrame([(k,) for k in b2], "ck long")
+    n1 = store.merge_nodes("T", df1, ["ck"])
+    n2 = store.merge_nodes("T", df2, ["ck"])
+    assert n1 == len(set(b1))
+    assert n2 == len(set(b2) - set(b1))
+    assert store.match_nodes("T").count() == len(set(b1) | set(b2))
+    assert store.merge_nodes("T", df1, ["ck"]) == 0
+    assert store.merge_nodes("T", df2, ["ck"]) == 0
