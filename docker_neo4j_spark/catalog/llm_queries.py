@@ -560,3 +560,56 @@ def llm_split_paragraphs(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return curation.split_paragraphs(d)
+
+
+@register(
+    "llm_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE WHEN lang = 'en' THEN '4000' ELSE 'ffff' END
+    ORDER BY doc_id
+    """,
+)
+def llm_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (curation.stratified_sample):
+    keep 25% of English docs, ~100% of everything else, selected by
+    hashed key — corpus mixing that is reproducible across engines,
+    partitionings and cluster sizes (16-bit md5 bucket vs per-stratum hex
+    threshold; 0x4000/0x10000 = 25%, 'ffff' ≈ all)."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = curation.stratified_sample(
+        d, strata_col="lang", fractions={"en": 0.25}, default_fraction=0.9999847
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "llm_decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(t[u.i:u.i + 7], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+    hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (curation.decontaminate): flag documents
+    sharing any 8-word n-gram with the benchmark subset (doc_id % 20 = 0
+    stands in for a held-out eval set). One distinct-ngram equi-join —
+    never doc×benchmark — so the candidate shape survives a 100 TB corpus
+    against a fixed benchmark."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    return curation.decontaminate(d, bench, n=8).orderBy("doc_id")

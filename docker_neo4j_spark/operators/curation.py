@@ -208,3 +208,83 @@ def domain_cap(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 1.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum fraction of
+    rows chosen by hashed key — the corpus-mixing primitive (e.g. keep
+    100% of rare languages, 10% of English). Map-only: the same 16-bit
+    md5 bucket as ``hash_split``, compared against a per-stratum
+    hex threshold, so membership is reproducible in any engine with md5
+    and independent of partitioning, ordering, or cluster size — unlike
+    ``DataFrame.sample``, whose RNG is partition-dependent.
+    """
+    def hex_thr(frac: float) -> str:
+        # fraction 1.0 would format as '10000', which string-compares
+        # BELOW most 4-hex buckets — use a supremum above every hex string
+        return "g" if frac >= 1.0 else format(int(frac * 65536), "04x")
+
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+    )
+    thr = F.lit(hex_thr(default_fraction))
+    for stratum, frac in sorted((fractions or {}).items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(hex_thr(frac))
+        ).otherwise(thr)
+    return df.where(bucket < thr)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word
+    ``n``-gram with a benchmark set — the held-out-leak check every
+    training-data pipeline runs before a model sees the corpus.
+
+    Both sides explode to n-gram frames (whitespace tokens, join with
+    single spaces) and meet in ONE distinct-ngram semi join keyed on the
+    n-gram string — candidate generation is an equi-join on a uniformly
+    distributed key, never a doc×benchmark cross product, so the shape
+    survives a 100 TB corpus against a fixed benchmark (the benchmark
+    n-gram side is small and AQE broadcasts it).
+
+    Returns (key_col, contaminated) for every input document.
+    """
+
+    def ngrams(frame: DataFrame, key: F.Column) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        count = F.size(toks) - n + 1  # n-grams in a doc; ≤0 → none
+        grams = F.when(
+            count > 0,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return frame.select(key.alias("_k"), F.explode(grams).alias("_gram"))
+
+    bench_grams = ngrams(benchmark, F.lit(True)).select("_gram").distinct()
+    hits = (
+        ngrams(df, F.col(key_col))
+        .join(bench_grams, "_gram")
+        .select(F.col("_k").alias(key_col))
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        df.select(key_col)
+        .join(hits, key_col, "left")
+        .select(key_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+    )

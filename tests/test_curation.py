@@ -137,3 +137,39 @@ def test_scrub_pii_and_split_paragraphs(spark):
         (1, 2): "third",
         (2, 0): "only one",
     }
+
+
+def test_stratified_sample_deterministic_and_full_keep(spark):
+    from docker_neo4j_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)], "doc_id long, lang string"
+    )
+    out = stratified_sample(df, fractions={"en": 0.25}, default_fraction=1.0)
+    rows = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    # fraction 1.0 keeps EVERY row of the default stratum (the hex-threshold
+    # supremum case), and the same call returns the same set
+    assert {k for k, l in rows if l == "de"} == {i for i in range(400) if i % 2 == 0}
+    n_en = sum(1 for _, l in rows if l == "en")
+    assert 20 <= n_en <= 80  # ~25% of 200, deterministic but hash-distributed
+    again = {(r["doc_id"], r["lang"]) for r in stratified_sample(
+        df, fractions={"en": 0.25}, default_fraction=1.0).collect()}
+    assert again == rows
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from docker_neo4j_spark.operators.curation import decontaminate
+
+    words = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix {words} suffix"),        # contains the benchmark 8-gram
+            (2, "totally unrelated text with many different words here"),
+            (3, words),                            # exactly the 8-gram
+            (4, "short doc"),                      # shorter than n → never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, words)], "doc_id long, text string")
+    out = {r["doc_id"]: r["contaminated"] for r in decontaminate(docs, bench, n=8).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False}
