@@ -613,3 +613,98 @@ def llm_decontaminate(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     bench = d.where(F.col("doc_id") % 20 == 0)
     return curation.decontaminate(d, bench, n=8).orderBy("doc_id")
+
+
+@register(
+    "llm_repetition_signals",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> TRIM(x)),
+                         x -> x != '') AS lines,
+             regexp_split_to_array(TRIM(lower(text)), '\s+') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(toks) > 1
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS bi
+      FROM t),
+    e AS (SELECT doc_id, unnest(bi) AS bg FROM b),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_c FROM (
+        SELECT doc_id, bg, COUNT(*) AS c FROM e GROUP BY doc_id, bg)
+      GROUP BY doc_id)
+    SELECT b.doc_id,
+           CASE WHEN len(lines) > 0
+                THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                     / CAST(len(lines) AS DOUBLE)
+                ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN len(bi) > 0
+                THEN CAST(top.top_c AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM b LEFT JOIN top ON top.doc_id = b.doc_id ORDER BY b.doc_id
+    """,
+)
+def llm_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (text.repetition_signals):
+    duplicate-line fraction (per-row HOF) + top-bigram fraction
+    (explode → per-doc max multiplicity — linear, shuffle on the uniform
+    (doc, bigram) key); ratios are exact integer divisions so both
+    engines agree bit-for-bit."""
+    from ..operators import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return T.repetition_signals(d).orderBy("doc_id")
+
+
+@register(
+    "llm_mixing_weights",
+    """
+    WITH c AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source)
+    SELECT domain, n_docs,
+           CAST(ROUND(pow(CAST(n_docs AS DOUBLE), 0.7e0)
+                      / SUM(pow(CAST(n_docs AS DOUBLE), 0.7e0)) OVER ()
+                      * 1e6) AS BIGINT) AS weight_micro
+    FROM c ORDER BY domain
+    """,
+)
+def llm_mixing_weights(spark, sf_dir):
+    """Temperature-sampling corpus weights (text.mixing_weights, T=0.7):
+    w_d ∝ n_d^T normalized over domains. Surfaced as micro-weights
+    (ROUND(w·1e6)) — libm pow may differ in the last ulp across engines,
+    orders of magnitude below the rounding granularity."""
+    from ..operators import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = T.mixing_weights(d, domain_col="source", temperature=0.7)
+    return out.select(
+        "domain",
+        "n_docs",
+        F.round(F.col("weight") * F.lit(1e6)).cast("long").alias("weight_micro"),
+    ).orderBy("domain")
+
+
+@register(
+    "llm_vocabulary",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents)
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS term_freq
+    FROM tok GROUP BY token
+    ORDER BY doc_freq DESC, term_freq DESC, token ASC LIMIT 100
+    """,
+)
+def llm_vocabulary(spark, sf_dir):
+    """Corpus top-100 vocabulary by document frequency
+    (text.vocabulary): explode → two-level aggregate → totally-ordered
+    top-k (ties term_freq desc then token asc)."""
+    from ..operators import text as T
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return T.vocabulary(d, top_k=100)

@@ -174,3 +174,120 @@ def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
         fp.alias("fingerprint"),
         F.md5(F.col(text_col)).alias("content_md5"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, "Scaling Language Models", Table A1 — public):
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of an
+      earlier line (0.0 for ≤1 line),
+    - ``top_bigram_frac``: fraction of the doc's word bigrams occupied by
+      its single most frequent bigram (0.0 when no bigram).
+
+    Pure higher-order-function arithmetic over each row — map-only, no
+    shuffle, exact integer ratios surfaced as DOUBLE (n/m with both
+    BIGINT — bit-identical across engines)."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - n_distinct_lines).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_bi = F.size(toks) - 1
+    bigrams = F.when(
+        n_bi > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_bi),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # max bigram multiplicity via explode → two-level aggregate — LINEAR
+    # in doc length (a per-row distinct×filter HOF was quadratic: 77 s at
+    # sf0.01 vs ~2 s for this shape) and the groupBy key (doc, bigram) is
+    # high-cardinality/uniform, so the shuffle scales
+    base = df.select(
+        F.col(key),
+        dup_line_frac.alias("dup_line_frac"),
+        n_bi.cast("long").alias("_n_bi"),
+        bigrams.alias("_bi"),
+    )
+    top = (
+        base.select(key, F.explode("_bi").alias("_bg"))
+        .groupBy(key, "_bg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(key)
+        .agg(F.max("_c").alias("_top"))
+    )
+    return (
+        base.join(top, key, "left")
+        .select(
+            key,
+            "dup_line_frac",
+            F.when(
+                F.col("_n_bi") > 0,
+                F.col("_top").cast("double") / F.col("_n_bi").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+def mixing_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    temperature: float = 0.7,
+) -> DataFrame:
+    """Temperature-based corpus mixing weights per domain: w_d ∝ n_d^T
+    (Conneau & Lample 2019's multilingual sampling, public) — the knob
+    that up-samples small sources. One groupBy + a broadcastable scalar:
+    returns (domain, n_docs, weight) with Σweight = 1."""
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    powered = counts.withColumn(
+        "_p", F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature)))
+    )
+    total = powered.agg(F.sum("_p").alias("_z"))
+    return (
+        powered.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            (F.col("_p") / F.col("_z")).alias("weight"),
+        )
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by document frequency (ties → term
+    frequency desc, then token asc — total order, deterministic). The
+    tokenizer-prep primitive: explode tokens → two-level aggregate →
+    ordered top-k. Distributes as one explode + one groupBy(token)
+    shuffle; the top-k is a global sort of ≤|vocab| aggregated rows, not
+    of the corpus."""
+    tok = df.select(
+        F.col(key).alias("_k"),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")).alias("token"),
+    )
+    agg = tok.groupBy("token").agg(
+        F.countDistinct("_k").cast("long").alias("doc_freq"),
+        F.count("*").cast("long").alias("term_freq"),
+    )
+    return agg.orderBy(
+        F.desc("doc_freq"), F.desc("term_freq"), F.asc("token")
+    ).limit(top_k)

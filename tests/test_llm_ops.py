@@ -261,3 +261,46 @@ def test_simhash_neardup_exact_recall_within_radius(spark, docs):
     withdup = d.select("doc_id", "text").unionByName(twin)
     dup = dd.simhash_neardup(withdup, max_hamming=0).collect()
     assert any(r["hamming"] == 0 for r in dup)
+
+
+def test_repetition_signals_known_values(spark):
+    from docker_neo4j_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),          # 3 lines, 2 distinct → dup 1/3
+            (2, "x y x y x y"),            # bigrams: [x y, y x, x y, y x, x y] → top 3/5
+            (3, "hello"),                  # no bigram, one line
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert abs(out[1]["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(out[2]["top_bigram_frac"] - 3 / 5) < 1e-12
+    assert out[3]["top_bigram_frac"] == 0.0 and out[3]["dup_line_frac"] == 0.0
+
+
+def test_mixing_weights_sum_and_monotonicity(spark):
+    from docker_neo4j_spark.operators.text import mixing_weights
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    w = {r["domain"]: r["weight"] for r in mixing_weights(df, temperature=0.7).collect()}
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+    assert w["big"] > w["small"]                       # more data → larger weight
+    # temperature < 1 up-samples the small domain vs its raw share
+    assert w["small"] > 100 / 1000
+
+
+def test_vocabulary_orders_by_doc_frequency(spark):
+    from docker_neo4j_spark.operators.text import vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry cherry"), (3, "apple banana")],
+        "doc_id long, text string",
+    )
+    rows = vocabulary(docs, top_k=2).collect()
+    assert [r["token"] for r in rows] == ["apple", "banana"]
+    assert rows[0]["doc_freq"] == 3 and rows[1]["doc_freq"] == 2
