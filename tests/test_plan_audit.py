@@ -161,3 +161,22 @@ def test_three_hop_all_joins_broadcast(spark, sf_dir, queries):
     assert facts.n_broadcast_joins >= 5
     assert facts.n_sort_merge_joins == 0
     assert facts.n_cartesian == 0
+
+
+def test_decontaminate_broadcasts_benchmark_and_prunes(spark, sf_dir, queries):
+    df = queries["llm_decontaminate"](spark, sf_dir)
+    facts = audit(df)
+    # the benchmark n-gram side must broadcast; doc×benchmark must never
+    # appear as a shuffle or nested-loop cross product
+    assert facts.n_broadcast_joins >= 1
+    assert facts.n_cartesian == 0
+    assert_columns_pruned(df, {"doc_id": 2})  # only doc_id + text read
+
+
+def test_stratified_sample_is_map_only_plus_order(spark, sf_dir, queries):
+    df = queries["llm_stratified_sample"](spark, sf_dir)
+    facts = audit(df)
+    # md5-threshold sampling itself is map-only: the single exchange is
+    # the presentation ORDER BY, no join or aggregate shuffles
+    assert facts.n_exchanges <= 1
+    assert facts.n_sort_merge_joins == 0 and facts.n_broadcast_joins == 0
