@@ -708,3 +708,33 @@ def llm_vocabulary(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return T.vocabulary(d, top_k=100)
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, MAX(value) AS value FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT l.event_id, r.value AS value_asof
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.asof_join): each click event enriched
+    with the latest at-or-before purchase value for the same user —
+    union+window, one shuffle on user_id, verified against DuckDB's
+    native ASOF JOIN. The right side is pre-aggregated to unique
+    (user, ts) so the most-recent match is engine-deterministic."""
+    from ..operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id", value_cols=("value",))
+    return out.select("event_id", F.col("value_asof")).orderBy("event_id")

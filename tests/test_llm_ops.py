@@ -304,3 +304,22 @@ def test_vocabulary_orders_by_doc_frequency(spark):
     rows = vocabulary(docs, top_k=2).collect()
     assert [r["token"] for r in rows] == ["apple", "banana"]
     assert rows[0]["doc_freq"] == 3 and rows[1]["doc_freq"] == 2
+
+
+def test_asof_join_backward_inclusive_semantics(spark):
+    from docker_neo4j_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 100), (3, 15, 200), (4, 5, 300)],
+        "event_id long, ts long, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, 1.0), (100, 18, 2.0), (200, 15, 9.0)],
+        "user_id long, ts long, value double",
+    )
+    out = {r["event_id"]: r["value_asof"] for r in
+           asof_join(left, right, value_cols=("value",)).collect()}
+    assert out[1] == 1.0      # equal ts → inclusive
+    assert out[2] == 2.0      # most recent of two priors
+    assert out[3] == 9.0      # other user's rows invisible
+    assert out[4] is None     # no prior row → null
