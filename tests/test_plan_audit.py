@@ -164,6 +164,10 @@ def test_three_hop_all_joins_broadcast(spark, sf_dir, queries):
 
 
 def test_decontaminate_broadcasts_benchmark_and_prunes(spark, sf_dir, queries):
+    # audit the COLD plan: a cached `documents` frame left by another test
+    # would otherwise substitute a 5-column InMemoryRelation for the
+    # pruned parquet scan
+    spark.catalog.clearCache()
     df = queries["llm_decontaminate"](spark, sf_dir)
     facts = audit(df)
     # the benchmark n-gram side must broadcast; doc×benchmark must never
