@@ -808,10 +808,13 @@ class Session:
         ``session.run("MATCH (n {id: $id}) …", id=7)``); values render as
         literals with strings quoted, lists bracketed."""
         if parameters:
-            batch = self._try_batch_unwind_merge(cypher, parameters) \
-                if "MERGE" in cypher.upper() else None
-            if batch is None and "MERGE" in cypher.upper():
-                batch = self._try_batch_rel_merge(cypher, parameters)
+            up = cypher.upper()
+            batch = None
+            if "MERGE" in up:
+                batch = self._try_batch_unwind_merge(cypher, parameters) \
+                    or self._try_batch_rel_merge(cypher, parameters)
+            elif "CREATE" in up:
+                batch = self._try_batch_unwind_create(cypher, parameters)
             if batch is not None:
                 return batch
 
@@ -937,6 +940,48 @@ class Session:
         r"(?:RETURN\s+count\s*\(\s*(?:\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*)?$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    _BATCH_CREATE_RE = re.compile(
+        r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"
+        r"CREATE\s*\(\s*(?P<nvar>\w*)\s*:\s*(?P<label>\w+)\s*"
+        r"\{(?P<props>[^{}]*)\}\s*\)\s*"
+        r"(?:RETURN\s+count\s*\(\s*(?:\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*)?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_batch_unwind_create(self, cypher: str, parameters: dict) -> DataFrame | None:
+        """``UNWIND $rows AS r CREATE (n:Label {k: r.k, …})`` — bulk insert
+        from a list-of-maps parameter in ONE ``store.create_nodes`` append
+        (no dedup — CREATE always inserts, the Cypher contract)."""
+        m = self._BATCH_CREATE_RE.match(cypher.strip().rstrip(";"))
+        if not m:
+            return None
+        rows = parameters.get(m.group("param"))
+        if not isinstance(rows, (list, tuple)) or not rows or not all(
+            isinstance(r, dict) for r in rows
+        ):
+            return None
+        var = m.group("var")
+        mapped = []
+        for part in _split_top(m.group("props"), ","):
+            if not part.strip():
+                continue
+            k, v = part.split(":", 1)
+            k, v = k.strip(), v.strip()
+            if re.fullmatch(rf"{re.escape(var)}\.(\w+)", v):
+                mapped.append((k, v.split(".", 1)[1], None))
+            else:
+                mapped.append((k, None, _parse_value(v)))
+        if not mapped:
+            return None
+        self.store.create_nodes(
+            m.group("label"),
+            [{k: (r.get(f) if f is not None else lit) for k, f, lit in mapped} for r in rows],
+        )
+        alias = m.group("alias")
+        if alias is None:
+            return self.spark.createDataFrame([], "ok string")
+        return self.spark.createDataFrame([(len(rows),)], f"{alias} long")
 
     _BATCH_MERGE_REL_RE = re.compile(
         r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"

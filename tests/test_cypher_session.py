@@ -710,3 +710,20 @@ def test_batch_unwind_rel_merge(session):
     )
     r = session.run("MATCH (a:City)-[:ROUTE]->(b:City) RETURN count(*) AS n").collect()
     assert r[0]["n"] == 2
+
+
+def test_batch_unwind_create(session):
+    out = session.run(
+        "UNWIND $rows AS r CREATE (c:Item {sku: r.sku, qty: r.qty}) RETURN count(*) AS n",
+        {"rows": [{"sku": f"s{i}", "qty": i} for i in range(200)]},
+    ).collect()
+    assert out[0]["n"] == 200
+    r = session.run("MATCH (c:Item) RETURN count(*) AS n, sum(c.qty) AS q").collect()
+    assert r[0]["n"] == 200 and r[0]["q"] == sum(range(200))
+    # CREATE always inserts — a second identical batch doubles the count
+    session.run(
+        "UNWIND $rows AS r CREATE (c:Item {sku: r.sku, qty: r.qty})",
+        {"rows": [{"sku": "s0", "qty": 0}]},
+    )
+    r = session.run("MATCH (c:Item) RETURN count(*) AS n").collect()
+    assert r[0]["n"] == 201
