@@ -813,6 +813,8 @@ class Session:
             if "MERGE" in up:
                 batch = self._try_batch_unwind_merge(cypher, parameters) \
                     or self._try_batch_rel_merge(cypher, parameters)
+            elif "DELETE" in up:
+                batch = self._try_batch_unwind_delete(cypher, parameters)
             elif "CREATE" in up:
                 batch = self._try_batch_unwind_create(cypher, parameters)
             if batch is not None:
@@ -982,6 +984,39 @@ class Session:
         if alias is None:
             return self.spark.createDataFrame([], "ok string")
         return self.spark.createDataFrame([(len(rows),)], f"{alias} long")
+
+    _BATCH_DELETE_RE = re.compile(
+        r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"
+        r"MATCH\s*\(\s*(?P<nvar>\w+)\s*:\s*(?P<label>\w+)\s*"
+        r"\{\s*(?P<key>\w+)\s*:\s*(?P<ref>[\w.]+)\s*\}\s*\)\s+"
+        r"(?P<detach>DETACH\s+)?DELETE\s+(?P<dvar>\w+)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_batch_unwind_delete(self, cypher: str, parameters: dict) -> DataFrame | None:
+        """``UNWIND $rows AS r MATCH (n:L {k: r.k}) [DETACH] DELETE n`` —
+        bulk delete by key batch: one key-join resolves doomed ids, one
+        set-based ``store.delete_nodes_by_ids`` removes them (plain DELETE
+        keeps the Cypher still-connected constraint)."""
+        m = self._BATCH_DELETE_RE.match(cypher.strip().rstrip(";"))
+        if not m or m.group("dvar") != m.group("nvar"):
+            return None
+        rows = parameters.get(m.group("param"))
+        if not isinstance(rows, (list, tuple)) or not rows or not all(
+            isinstance(r, dict) for r in rows
+        ):
+            return None
+        mm = re.fullmatch(rf"{re.escape(m.group('var'))}\.(\w+)", m.group("ref"))
+        if mm is None:
+            return None
+        field = mm.group(1)
+        keys = self.spark.createDataFrame(
+            [(r.get(field),) for r in rows], f"_key {'string' if isinstance(rows[0].get(field), str) else 'long'}"
+        )
+        nodes = self.store.match_nodes(m.group("label"))
+        doomed = nodes.join(keys, nodes[m.group("key")] == keys["_key"], "left_semi").select("id")
+        self.store.delete_nodes_by_ids(doomed, detach=m.group("detach") is not None)
+        return self.spark.createDataFrame([], "ok string")
 
     _BATCH_MERGE_REL_RE = re.compile(
         r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"

@@ -727,3 +727,25 @@ def test_batch_unwind_create(session):
     )
     r = session.run("MATCH (c:Item) RETURN count(*) AS n").collect()
     assert r[0]["n"] == 201
+
+
+def test_batch_unwind_delete(session):
+    session.run(
+        "UNWIND $rows AS r CREATE (c:Box {bid: r.bid})",
+        {"rows": [{"bid": i} for i in range(50)]},
+    )
+    session.run(
+        "UNWIND $rows AS r MATCH (c:Box {bid: r.bid}) DETACH DELETE c",
+        {"rows": [{"bid": i} for i in range(0, 50, 2)]},
+    )
+    r = session.run("MATCH (c:Box) RETURN count(*) AS n").collect()
+    assert r[0]["n"] == 25
+    # plain DELETE refuses while relationships remain
+    session.run("CREATE (a:Box {bid: 100})-[:IN]->(b:Box {bid: 101})")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="DETACH"):
+        session.run(
+            "UNWIND $rows AS r MATCH (c:Box {bid: r.bid}) DELETE c",
+            {"rows": [{"bid": 100}]},
+        )
