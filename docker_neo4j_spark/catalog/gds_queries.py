@@ -606,3 +606,57 @@ def gds_graph_project(spark, sf_dir):
         .groupBy("kind")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@register(
+    "gds_closeness_nations",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS s,
+             CAST(2000000000000 + c_nationkey AS BIGINT) AS d FROM customer
+      UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT),
+             CAST(2000000000000 + s_nationkey AS BIGINT) FROM supplier
+      UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT),
+             CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation),
+    e AS (SELECT s AS src, d AS dst FROM b UNION ALL SELECT d, s FROM b),
+    srcs AS (
+      SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS id FROM nation
+      UNION ALL SELECT CAST(1000000000000 + r_regionkey AS BIGINT) FROM region),
+    walk(source, id, dist) AS (
+      SELECT id, id, 0 FROM srcs
+      UNION
+      SELECT w.source, e.dst, w.dist + 1
+      FROM walk w JOIN e ON e.src = w.id WHERE w.dist < 8
+    ),
+    d AS (SELECT source, id, MIN(dist) AS dist FROM walk GROUP BY source, id),
+    a AS (SELECT source AS id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+                 CAST(SUM(dist) AS BIGINT) AS sum_dist
+          FROM d GROUP BY source)
+    SELECT id, n_reached, sum_dist,
+           CAST(ROUND(CASE WHEN sum_dist > 0
+                THEN CAST(n_reached - 1 AS DOUBLE) / CAST(sum_dist AS DOUBLE)
+                ELSE 0e0 END * 1e6) AS BIGINT) AS closeness_micro
+    FROM a ORDER BY id
+    """,
+)
+def gds_closeness_nations(spark, sf_dir):
+    """gds.closeness for the Nation ∪ Region node set over the undirected
+    membership subgraph (operators/gds.closeness — multi-source frontier
+    BSP; GDS raw formula (reached−1)/Σdist). Source-bounded by design:
+    exact for the requested set, landmark sampling is the scale path.
+    Oracle: recursive-CTE multi-source BFS with a hop cap above the
+    subgraph's diameter; integer counts + one exact division, surfaced as
+    micro-scaled integers."""
+    g = build_graph(spark, sf_dir)
+    edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
+    srcs = (
+        g.label_frames["Nation"].select("id")
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    out = gds.closeness(edges, srcs, max_depth=8)
+    return out.select(
+        "id",
+        "n_reached",
+        "sum_dist",
+        F.round(F.col("closeness") * F.lit(1e6)).cast("long").alias("closeness_micro"),
+    ).orderBy("id")

@@ -248,3 +248,15 @@ def test_pagerank_tolerance_matches_fixed_mode(spark):
         assert abs(fixed[k] - tol[k]) < 1e-5
     rank = lambda d: [k for k, _ in sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))]
     assert rank(fixed) == rank(tol)
+
+
+def test_closeness_known_path_graph(spark):
+    # path 1-2-3: closeness(2) = 2/2 = 1.0; closeness(1) = 2/3
+    e = _edges(spark, [(1, 2), (2, 3)])
+    srcs = _nodes(spark, [1, 2, 3])
+    out = {r["id"]: r for r in gds.closeness(e, srcs).collect()}
+    assert out[2]["closeness"] == 1.0 and out[2]["n_reached"] == 3
+    assert abs(out[1]["closeness"] - 2 / 3) < 1e-12
+    # isolated source: reaches only itself → closeness 0
+    out2 = {r["id"]: r for r in gds.closeness(e, _nodes(spark, [99])).collect()}
+    assert out2[99]["closeness"] == 0.0 and out2[99]["n_reached"] == 1
