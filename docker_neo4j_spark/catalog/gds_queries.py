@@ -660,3 +660,60 @@ def gds_closeness_nations(spark, sf_dir):
         "sum_dist",
         F.round(F.col("closeness") * F.lit(1e6)).cast("long").alias("closeness_micro"),
     ).orderBy("id")
+
+
+@register(
+    "gds_harmonic_nations",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS s,
+             CAST(2000000000000 + c_nationkey AS BIGINT) AS d FROM customer
+      UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT),
+             CAST(2000000000000 + s_nationkey AS BIGINT) FROM supplier
+      UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT),
+             CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation),
+    e AS (SELECT s AS src, d AS dst FROM b UNION ALL SELECT d, s FROM b),
+    srcs AS (
+      SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS id FROM nation
+      UNION ALL SELECT CAST(1000000000000 + r_regionkey AS BIGINT) FROM region),
+    walk(source, id, dist) AS (
+      SELECT id, id, 0 FROM srcs
+      UNION
+      SELECT w.source, e.dst, w.dist + 1
+      FROM walk w JOIN e ON e.src = w.id WHERE w.dist < 8
+    ),
+    d AS (SELECT source, id, MIN(dist) AS dist FROM walk GROUP BY source, id)
+    SELECT source AS id,
+           CAST(ROUND(SUM(CASE WHEN dist > 0 THEN 1e0 / CAST(dist AS DOUBLE)
+                               ELSE 0e0 END) * 1e6) AS BIGINT) AS harmonic_micro
+    FROM d GROUP BY source ORDER BY id
+    """,
+)
+def gds_harmonic_nations(spark, sf_dir):
+    """gds.closeness.harmonic for the Nation ∪ Region set: Σ_v 1/d(u,v)
+    over the same multi-source BSP walk as gds_closeness_nations —
+    harmonic handles disconnected graphs gracefully (unreachable terms
+    contribute 0 instead of poisoning the mean). Micro-scaled: the 1/d
+    terms are exact IEEE divisions of small integers and the cross-engine
+    summation-order noise is ~1e-16, far below the 5e-7 boundary."""
+    from pyspark.sql.window import Window  # noqa: F401  (parity with module imports)
+
+    g = build_graph(spark, sf_dir)
+    edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
+    srcs = (
+        g.label_frames["Nation"].select("id")
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    walk = gds.closeness_walk(edges, srcs, max_depth=8)
+    out = walk.groupBy(F.col("source").alias("id")).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist").cast("double"))
+                .otherwise(F.lit(0.0))
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("harmonic_micro")
+    )
+    return out.orderBy("id")

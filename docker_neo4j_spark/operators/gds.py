@@ -636,27 +636,17 @@ def node_similarity(
     return out
 
 
-def closeness(
+def closeness_walk(
     edges: DataFrame,
     sources: DataFrame,
     max_depth: int = 20,
     undirected: bool = True,
 ) -> DataFrame:
-    """gds.closeness — closeness centrality for the ``sources`` node set:
-    ``(id, n_reached, sum_dist, closeness)`` with the GDS raw formula
-    closeness(u) = (reached(u) − 1) / Σ_v d(u, v).
-
-    Multi-source frontier BSP: the frontier carries a ``source``
-    dimension, so one superstep advances EVERY source's BFS at once —
-    per level one join + one anti-join, exactly the single-source shape
-    with a wider key. State is |sources| × |reached|, which is why the
-    operator takes an explicit source set: exact for a bounded set
-    (here: the label subset you care about), landmark-style sampling is
-    the documented 100 TB path (same contract as gds's sampled
-    betweenness/closeness estimators — exact all-pairs is O(V·E) on ANY
-    engine). All arithmetic is integer counts + one exact double
-    division, so a scaled-integer surface is engine-exact.
-    """
+    """Multi-source BFS distance table: (source, id, dist) for every node
+    reachable from each source — the shared walk under ``closeness`` and
+    the harmonic-centrality catalog row. Frontier BSP with the source
+    dimension riding in the key; state is |sources| × |reached|, which is
+    why callers pass a bounded source set (landmark sampling at scale)."""
     e = (undirect(edges) if undirected else edges.select("src", "dst")).repartition("src").cache()
     frontier = _ckpt(
         sources.select(F.col("id").alias("source")).distinct().select(
@@ -682,6 +672,31 @@ def closeness(
     walk = levels[0]
     for lv in levels[1:]:
         walk = walk.unionByName(lv)
+    return walk
+
+
+def closeness(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 20,
+    undirected: bool = True,
+) -> DataFrame:
+    """gds.closeness — closeness centrality for the ``sources`` node set:
+    ``(id, n_reached, sum_dist, closeness)`` with the GDS raw formula
+    closeness(u) = (reached(u) − 1) / Σ_v d(u, v).
+
+    Multi-source frontier BSP: the frontier carries a ``source``
+    dimension, so one superstep advances EVERY source's BFS at once —
+    per level one join + one anti-join, exactly the single-source shape
+    with a wider key. State is |sources| × |reached|, which is why the
+    operator takes an explicit source set: exact for a bounded set
+    (here: the label subset you care about), landmark-style sampling is
+    the documented 100 TB path (same contract as gds's sampled
+    betweenness/closeness estimators — exact all-pairs is O(V·E) on ANY
+    engine). All arithmetic is integer counts + one exact double
+    division, so a scaled-integer surface is engine-exact.
+    """
+    walk = closeness_walk(edges, sources, max_depth=max_depth, undirected=undirected)
     agg = walk.groupBy(F.col("source").alias("id")).agg(
         F.count("*").cast("long").alias("n_reached"),
         F.sum("dist").cast("long").alias("sum_dist"),
