@@ -696,8 +696,6 @@ def gds_harmonic_nations(spark, sf_dir):
     contribute 0 instead of poisoning the mean). Micro-scaled: the 1/d
     terms are exact IEEE divisions of small integers and the cross-engine
     summation-order noise is ~1e-16, far below the 5e-7 boundary."""
-    from pyspark.sql.window import Window  # noqa: F401  (parity with module imports)
-
     g = build_graph(spark, sf_dir)
     edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
     srcs = (
