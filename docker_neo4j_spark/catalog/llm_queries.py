@@ -576,12 +576,13 @@ def llm_stratified_sample(spark, sf_dir):
     keep 25% of English docs, ~100% of everything else, selected by
     hashed key — corpus mixing that is reproducible across engines,
     partitionings and cluster sizes (16-bit md5 bucket vs per-stratum hex
-    threshold; 0x4000/0x10000 = 25%, 'ffff' ≈ all)."""
+    threshold; 0x4000/0x10000 = 25%, 65535/65536 → 'ffff' ≈ all — exactly
+    the oracle's literal, not a float that truncates to 'fffe')."""
     from ..operators import curation
 
     d = load_tables(spark, sf_dir)["documents"]
     out = curation.stratified_sample(
-        d, strata_col="lang", fractions={"en": 0.25}, default_fraction=0.9999847
+        d, strata_col="lang", fractions={"en": 0.25}, default_fraction=65535 / 65536
     )
     return out.select("doc_id", "lang").orderBy("doc_id")
 

@@ -1010,9 +1010,15 @@ class Session:
         if mm is None:
             return None
         field = mm.group(1)
-        keys = self.spark.createDataFrame(
-            [(r.get(field),) for r in rows], f"_key {'string' if isinstance(rows[0].get(field), str) else 'long'}"
-        )
+        # key type from the first NON-None value (rows[0] may be a None
+        # key); bail to the literal renderer on mixed-type batches, which
+        # would otherwise raise inside createDataFrame
+        vals = [r.get(field) for r in rows]
+        non_null = [v for v in vals if v is not None]
+        if non_null and not all(isinstance(v, type(non_null[0])) for v in non_null):
+            return None
+        ktype = "string" if non_null and isinstance(non_null[0], str) else "long"
+        keys = self.spark.createDataFrame([(v,) for v in vals], f"_key {ktype}")
         nodes = self.store.match_nodes(m.group("label"))
         doomed = nodes.join(keys, nodes[m.group("key")] == keys["_key"], "left_semi").select("id")
         self.store.delete_nodes_by_ids(doomed, detach=m.group("detach") is not None)
@@ -1064,11 +1070,16 @@ class Session:
             .join(nb, df[fb] == nb["_bkey"])
             .select(F.col("_aid").alias("src"), F.col("_bid").alias("dst"))
         )
-        self.store.merge_rels(m.group("rtype"), pairs)
         alias = m.group("alias")
+        # Cypher cardinality: the intermediate MATCH drops UNWIND rows
+        # whose endpoints don't resolve (and multiplies on duplicate
+        # keys), so count(*) is the PRE-distinct joined-pair count, not
+        # len(rows). Counted before merge_rels distincts it.
+        n_out = pairs.count() if alias is not None else None
+        self.store.merge_rels(m.group("rtype"), pairs)
         if alias is None:
             return self.spark.createDataFrame([], "ok string")
-        return self.spark.createDataFrame([(len(rows),)], f"{alias} long")
+        return self.spark.createDataFrame([(n_out,)], f"{alias} long")
 
     def _try_batch_unwind_merge(self, cypher: str, parameters: dict) -> DataFrame | None:
         """``UNWIND $rows AS r MERGE (n:Label {k: r.k, …})`` with a

@@ -36,12 +36,23 @@ def asof_join(
     Returns all ``left`` columns plus ``<col><suffix>`` for each value
     column (null when no prior right row exists). Ties at equal ``on``:
     the right row is visible to the left row (right sorts first).
+
+    All value columns travel in ONE struct tagged per right row, and the
+    window takes ``last(struct, ignorenulls=True)`` — so (a) a matched
+    right row whose value is legitimately NULL surfaces as NULL instead
+    of being skipped for an older non-null value, and (b) multi-column
+    results are row-atomic (never a mix of two right rows), matching
+    DuckDB ASOF JOIN / pandas ``merge_asof`` semantics.
     """
     lcols = left.columns
+    rv = "_rv_struct"
+    struct_t = F.struct(*[F.col(c).alias(c) for c in value_cols])
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(right.select(struct_t.alias(rv)).schema[rv].dataType)
+        .alias(rv),
     )
     tagged_r = right.select(
         *[
@@ -49,7 +60,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        struct_t.alias(rv),
     )
     w = (
         Window.partitionBy(by)
@@ -59,9 +70,9 @@ def asof_join(
     enriched = tagged_l.unionByName(tagged_r).select(
         *lcols,
         F.col("_side"),
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last(rv, ignorenulls=True).over(w).alias(rv),
     )
-    return enriched.where(F.col("_side") == 1).drop("_side")
+    return enriched.where(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"{rv}.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -210,6 +210,15 @@ def domain_cap(
     )
 
 
+def hex_thr(frac: float) -> str:
+    """16-bit hex-bucket threshold for a keep-fraction. Rounds to the
+    nearest bucket (truncation would make e.g. 65535/65536 compare as
+    'fffe', silently dropping one bucket of rows); fraction >= 1.0 maps
+    to 'g', a supremum above every 4-hex-digit string."""
+    n = round(frac * 65536)
+    return "g" if n >= 65536 else format(n, "04x")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str = "lang",
@@ -226,11 +235,6 @@ def stratified_sample(
     and independent of partitioning, ordering, or cluster size — unlike
     ``DataFrame.sample``, whose RNG is partition-dependent.
     """
-    def hex_thr(frac: float) -> str:
-        # fraction 1.0 would format as '10000', which string-compares
-        # BELOW most 4-hex buckets — use a supremum above every hex string
-        return "g" if frac >= 1.0 else format(int(frac * 65536), "04x")
-
     bucket = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
     )

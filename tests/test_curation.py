@@ -139,6 +139,18 @@ def test_scrub_pii_and_split_paragraphs(spark):
     }
 
 
+def test_hex_thr_rounds_to_nearest_bucket():
+    from docker_neo4j_spark.operators.curation import hex_thr
+
+    # truncation would give 'fffe' for 65535/65536 — the r5 near-miss where
+    # the Spark threshold silently excluded one bucket the oracle kept
+    assert hex_thr(65535 / 65536) == "ffff"
+    assert hex_thr(0.9999847) == "ffff"
+    assert hex_thr(0.25) == "4000"
+    assert hex_thr(1.0) == "g"
+    assert hex_thr(0.0) == "0000"
+
+
 def test_stratified_sample_deterministic_and_full_keep(spark):
     from docker_neo4j_spark.operators.curation import stratified_sample
 

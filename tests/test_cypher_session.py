@@ -712,6 +712,39 @@ def test_batch_unwind_rel_merge(session):
     assert r[0]["n"] == 2
 
 
+def test_batch_rel_merge_counts_only_resolved_endpoints(session):
+    # Cypher: the intermediate MATCH drops UNWIND rows whose endpoint keys
+    # don't resolve, so count(*) reflects survivors — not the batch size
+    session.run(
+        "UNWIND $rows AS r MERGE (c:Port {name: r.name})",
+        {"rows": [{"name": "lhr"}, {"name": "jfk"}]},
+    )
+    out = session.run(
+        "UNWIND $rows AS r MATCH (a:Port {name: r.f}), (b:Port {name: r.t}) "
+        "MERGE (a)-[:ROUTE]->(b) RETURN count(*) AS n",
+        {"rows": [{"f": "lhr", "t": "jfk"}, {"f": "lhr", "t": "nosuch"},
+                  {"f": "ghost", "t": "jfk"}]},
+    ).collect()
+    assert out[0]["n"] == 1
+    r = session.run("MATCH (a:Port)-[:ROUTE]->(b) RETURN count(*) AS n").collect()
+    assert r[0]["n"] == 1
+
+
+def test_batch_unwind_delete_none_first_key(session):
+    # schema inference must skip leading-None keys (string type comes from
+    # the first NON-None value, not rows[0])
+    session.run(
+        "UNWIND $rows AS r CREATE (c:Tag {name: r.name})",
+        {"rows": [{"name": f"t{i}"} for i in range(4)]},
+    )
+    session.run(
+        "UNWIND $rows AS r MATCH (c:Tag {name: r.name}) DETACH DELETE c",
+        {"rows": [{"name": None}, {"name": "t1"}, {"name": "t3"}]},
+    )
+    r = session.run("MATCH (c:Tag) RETURN count(*) AS n").collect()
+    assert r[0]["n"] == 2
+
+
 def test_batch_unwind_create(session):
     out = session.run(
         "UNWIND $rows AS r CREATE (c:Item {sku: r.sku, qty: r.qty}) RETURN count(*) AS n",

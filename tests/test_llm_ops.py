@@ -323,3 +323,23 @@ def test_asof_join_backward_inclusive_semantics(spark):
     assert out[2] == 2.0      # most recent of two priors
     assert out[3] == 9.0      # other user's rows invisible
     assert out[4] is None     # no prior row → null
+
+
+def test_asof_join_null_values_and_row_atomicity(spark):
+    from docker_neo4j_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 20, 100), (2, 30, 100)], "event_id long, ts long, user_id long"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, 1.0, "a"), (100, 15, None, None), (100, 25, None, "c")],
+        "user_id long, ts long, value double, tag string",
+    )
+    rows = {
+        r["event_id"]: (r["value_asof"], r["tag_asof"])
+        for r in asof_join(left, right, value_cols=("value", "tag")).collect()
+    }
+    # the MATCHED row's NULL surfaces — not an older non-null value —
+    # and both value columns come from the SAME right row (ts=15 / ts=25)
+    assert rows[1] == (None, None)
+    assert rows[2] == (None, "c")
