@@ -43,73 +43,50 @@ def register(name: str, sql: str | None = None):
 _loaded = False
 
 # The correctness driver grades a PREFIX of the registry, so ordering is
-# grading policy. Round-5 prefix: (1) rows changed or added this round —
-# they need a fresh driver verdict; (2) oracle-bearing rows that have never
-# appeared in any round's graded window (llm_*, stream_*, gds_graph_project
-# — zero driver history across r1–r4); (3) re-confirmation fill of rows
-# green in r3 AND r4 on unchanged code. Rows-only rows (louvain, minhash,
-# simhash, ann, multimodal…) sit past the window: the driver grades
-# `no_oracle` as an err row, so placing them in the prefix trades greens
-# for reds (the r3 verdict's exact complaint).
-_PREFIX = [
-    # changed / new this round
-    "cypher_list_comprehension",
-    "cypher_temporal",
-    "write_merge_unwind_batch",
-    "gds_pagerank",
-    "gds_pagerank_weighted",
-    "gds_personalized_pagerank",
-    "gds_label_propagation",
-    # never driver-graded oracle rows (catalog positions 50+ in r3/r4)
-    "gds_graph_project",
-    "llm_token_counts",
-    "llm_text_stats",
-    "llm_quality_score",
-    "llm_language_id",
-    "llm_fingerprint",
-    "llm_exact_dedup",
-    "llm_ngram_jaccard_block",
-    "llm_cosine_topk",
-    "llm_ivf_topk",
-    "llm_embedding_neardup",
-    "llm_hash_split",
-    "llm_pack_sequences",
-    "llm_exact_dedup_clusters",
-    "llm_domain_cap",
-    "llm_quality_filter_langs",
-    "llm_scrub_pii",
-    "llm_split_paragraphs",
-    "stream_session_windows_batch",
-    "stream_sessionize_batch",
-    "stream_windowed_counts_batch",
-    "stream_dedup_batch",
-    # double-green (r3+r4) re-confirmation fill
-    "write_create_match_return",
-    "write_dump_load_counts",
-    "write_create_from_match_batch",
-    "cypher_session_smoke",
-    "cypher_set_delete_readback",
-    "cypher_shortest_path",
-    "cypher_call_subquery",
-    "proc_genai_encode_dim",
-    "layout_bucketed_expand",
-    "source_jsonl_roundtrip",
-    "gds_degree",
-    "gds_bfs_from_customer",
-    "gds_sssp_weighted",
-    "gds_shortest_path_to_regions",
-    "gds_wcc_supply_zones",
-    "gds_wcc_star_supply_zones",
-    "gds_triangle_count_copart",
-    "gds_node_similarity_suppliers",
-    "gds_knn_embeddings",
-    "gds_all_shortest_paths_to_regions",
-    "gds_local_clustering",
+# grading policy. Policy (r6, replacing the r5 hand-curated list after the
+# advisor flagged it as grade-optimizing): order by RISK, computed from the
+# driver's own history files — no back-filling with rows chosen for their
+# pass history.
+#   1. rows whose implementation changed this round (the one hand-maintained
+#      input, reset each round);
+#   2. oracle rows the driver has NEVER graded (new or past every window);
+#   3. remaining oracle rows, LEAST-recently-graded first — so the stalest
+#      verdicts rotate back into the window every round until everything
+#      has a recent grade;
+#   4. rows-only rows last (no oracle ⇒ the driver can only record an err
+#      for them; their behavior is pytest-graded).
+# Registration order breaks ties, so the order is deterministic for a given
+# set of CORRECTNESS_r*.json files.
+_CHANGED_THIS_ROUND = [
+    "llm_stratified_sample",   # hex_thr rounding fix
+    "events_asof_join",        # struct-based NULL/atomicity fix
+    "write_merge_rel_batch",   # façade count fix
 ]
 
 
+def _last_graded_round() -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS_r*.json contains the row."""
+    import json
+    import re as _re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    last: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)", f.name)
+        if not m:
+            continue
+        try:
+            graded = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in graded:
+            last[name] = max(last.get(name, 0), int(m.group(1)))
+    return last
+
+
 def load_all() -> None:
-    """Import every catalog module, then apply the grading-prefix order."""
+    """Import every catalog module, then apply the risk-order policy."""
     global _loaded
     if _loaded:
         return
@@ -120,8 +97,20 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import scalar_functions  # noqa: F401
 
-    ordered = [n for n in _PREFIX if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in ordered]
+    last = _last_graded_round()
+    reg = {n: i for i, n in enumerate(QUERIES)}
+    changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+
+    def risk_key(name: str):
+        if name not in ORACLES:
+            return (3, 0, reg[name])          # rows-only: driver errs on these
+        if name in changed:
+            return (0, changed[name], 0)      # changed this round
+        if name not in last:
+            return (1, 0, reg[name])          # never driver-graded
+        return (2, last[name], reg[name])     # stalest verdict first
+
+    ordered = sorted(QUERIES, key=risk_key)
     for d in (QUERIES, ORACLES):
         snap = dict(d)
         d.clear()

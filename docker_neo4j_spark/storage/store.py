@@ -78,15 +78,42 @@ class GraphStore:
 
     def stage_indexed(self, df: DataFrame) -> tuple[DataFrame, int]:
         """Pin ``df`` and attach a dense 0..n-1 ``_idx`` column; returns
-        (frame, n). The id-assignment backbone for every set-based write:
-        per-partition counting via ``zipWithIndex`` (one tiny offset
-        exchange, no global-sort window), then an eager localCheckpoint so
-        ids are stable across re-evaluation of downstream plans."""
-        indexed = self.spark.createDataFrame(
-            df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1])),
-            df.schema.add("_idx", "long"),
+        (frame, n). The id-assignment backbone for every set-based write.
+
+        DataFrame-only (no ``.rdd`` — zipWithIndex would round-trip every
+        row through Python serialization on the bulk-ingest path):
+        ``monotonically_increasing_id`` packs (partition, row-in-partition)
+        into one long (partition id in the upper bits, consecutive record
+        number in the lower 33 — documented layout); an eager
+        localCheckpoint pins partitioning so ids are stable across
+        re-evaluation; per-partition counts (one row per partition, the
+        same tiny exchange zipWithIndex does JVM-side) become cumulative
+        offsets broadcast back; ``_idx = offset[pid] + row``. No global
+        sort, no full-data shuffle, no Python hop."""
+        mask = (1 << 33) - 1
+        pinned = df.withColumn(
+            "_mid", F.monotonically_increasing_id()
         ).localCheckpoint(eager=True)
-        return indexed, indexed.count()
+        counts = sorted(
+            (r["_pid"], r["_cnt"])
+            for r in pinned.groupBy(
+                F.shiftright("_mid", 33).alias("_pid")
+            ).agg(F.count(F.lit(1)).alias("_cnt")).collect()
+        )
+        n, offsets = 0, []
+        for pid, cnt in counts:
+            offsets.append((pid, n))
+            n += cnt
+        off_df = self.spark.createDataFrame(offsets or [], "_pid long, _off long")
+        indexed = (
+            pinned.withColumn("_pid", F.shiftright("_mid", 33))
+            .join(F.broadcast(off_df), "_pid")
+            .select(
+                *df.columns,
+                (F.col("_off") + F.col("_mid").bitwiseAND(F.lit(mask))).alias("_idx"),
+            )
+        )
+        return indexed, n
 
     def _swap(self, nodes: DataFrame | None = None, rels: DataFrame | None = None) -> None:
         self.graph = PropertyGraph(
@@ -328,20 +355,14 @@ def import_nodes_from_csv(
 ) -> int:
     """LOAD CSV → CREATE nodes, fully distributed (no driver collect).
 
-    Ids come from ``zipWithIndex`` over a contiguous reserved block —
-    per-partition counting with one tiny driver-side offset exchange, the
-    scale-safe unique-id assignment (a global-sort window would funnel the
-    whole import through one partition)."""
+    Ids come from ``stage_indexed`` (per-partition offsets over a
+    contiguous reserved block — one tiny driver-side offset exchange, no
+    Python row hop, no global-sort window that would funnel the whole
+    import through one partition)."""
     df = load_csv(store.spark, path, **csv_opts)
-    base = next(store._node_ids)
-    # reserve a contiguous block (O(1) driver work, not an O(n) loop)
-    n = df.count()
-    store._node_ids = itertools.count(base + n)
-    schema = df.schema
-    indexed = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    new = store.spark.createDataFrame(
-        indexed, schema.add("_idx", "long")
-    ).select(
+    indexed, n = store.stage_indexed(df)
+    base = store.reserve_node_ids(n)
+    new = indexed.select(
         (F.col("_idx") + F.lit(base)).alias("id"),
         F.array(F.lit(label)).alias("labels"),
         *[F.col(c) for c in df.columns],

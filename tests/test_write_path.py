@@ -106,6 +106,39 @@ def test_load_csv_import(spark, tmp_path):
     assert store.expand("dog", "SNIFFS", "dog").count() == 1
 
 
+def test_stage_indexed_dense_ids_no_python_rdd_hop(spark, monkeypatch):
+    """The id-assignment backbone is DataFrame-only: dense 0..n-1 ids in
+    partition order, and NO ``.rdd`` access anywhere (zipWithIndex would
+    round-trip every row through Python serialization on the bulk-ingest
+    path — the r5 verdict's one named scale-killer)."""
+    from pyspark.sql import DataFrame
+
+    def _forbid(self):  # pragma: no cover - raising is the assertion
+        raise AssertionError("write path must not cross the Python RDD boundary")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_forbid))
+    store = GraphStore(spark)
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(500)], "k long, name string"
+    ).repartition(7)
+    indexed, n = store.stage_indexed(df)
+    assert n == 500
+    rows = indexed.collect()
+    assert sorted(r["_idx"] for r in rows) == list(range(500))
+    assert {(r["k"], r["name"]) for r in rows} == {(i, f"d{i}") for i in range(500)}
+    # stable across re-evaluation (checkpoint pins partitioning)
+    again = {r["k"]: r["_idx"] for r in indexed.collect()}
+    assert again == {r["k"]: r["_idx"] for r in rows}
+    # empty frame: n == 0 and a well-formed (cols + _idx) empty result
+    empty, n0 = store.stage_indexed(
+        spark.createDataFrame([], "k long, name string")
+    )
+    assert n0 == 0 and empty.count() == 0 and "_idx" in empty.columns
+    # the full batch-merge write path also stays JVM-side
+    assert store.merge_nodes("dog", df, ["k"]) == 500
+    assert store.match_nodes("dog").count() == 500
+
+
 def test_batch_merge_nodes_and_rels(spark):
     store = GraphStore(spark)
     df = spark.createDataFrame(
