@@ -100,6 +100,42 @@ def cypher_session_smoke(spark, sf_dir):
 
 
 @register(
+    "bolt_roundtrip",
+    """
+    SELECT name FROM (VALUES ('Armstrong'), ('Arne')) AS t(name) ORDER BY name
+    """,
+)
+def bolt_roundtrip(spark, sf_dir):
+    """The same DatabaseIO corpus as ``cypher_session_smoke``, but over the
+    REAL network channel: a Bolt v5 server on a TCP socket, driven by the
+    in-repo wire client (handshake → HELLO → RUN/PULL with PackStream
+    records) — the reference's primary query path
+    (DatabaseIO.java:121-132, Dockerfile-trixie:54 ``EXPOSE 7687``)."""
+    from ..bolt import BoltClient, BoltServer
+    from ..cypher.session import Session
+
+    server = BoltServer(Session(spark)).start()
+    try:
+        with BoltClient(server.port) as c:
+            c.hello()
+            c.run(
+                "CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'}) "
+                "RETURN arne.name"
+            )
+            c.run(
+                "MATCH (a:dog {name:'Arne'}) "
+                "CREATE (armstrong:dog {name:'Armstrong'})-[:SNIFFS]->(a) "
+                "return a.name, armstrong.name"
+            )
+            _, rows = c.run(
+                "MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name ORDER BY a.name"
+            )
+    finally:
+        server.stop()
+    return spark.createDataFrame([(r[0],) for r in rows], "name string")
+
+
+@register(
     "cypher_where_filter",
     """
     SELECT name FROM (VALUES ('Arne', 4), ('Bosse', 2), ('Armstrong', 7)) AS t(name, age)

@@ -82,11 +82,28 @@ def _parse_props(src: str | None) -> dict:
     return out
 
 
+def _lit_map(d: dict) -> F.Column:
+    """Map literal → a map column (nested maps recurse; scalars/lists via
+    F.lit) — the ``RETURN {a: 1} AS m`` surface."""
+    kv = []
+    for k, v in d.items():
+        kv.append(F.lit(k))
+        kv.append(_lit_map(v) if isinstance(v, dict) else F.lit(v))
+    return F.create_map(*kv)
+
+
 def _parse_value(v: str):
     if v.startswith("["):
         return [
             _parse_value(x.strip()) for x in _split_top(v[1:-1], ",") if x.strip()
         ]
+    if v.startswith("{"):
+        out = {}
+        for part in _split_top(v[1:-1], ","):
+            if part.strip():
+                k, val = part.split(":", 1)
+                out[k.strip().strip("'\"`")] = _parse_value(val.strip())
+        return out
     if v.startswith(("'", '"')):
         return v[1:-1]
     if v.lower() in ("true", "false"):
@@ -1255,6 +1272,8 @@ class Session:
                 (m_as.group(1), item[: m_as.start()].strip()) if m_as else (item, item)
             )
             col = None
+            if body.startswith("{") and body.endswith("}"):
+                col = _lit_map(_parse_value(body))
             fn_m = re.match(r"([A-Za-z_][\w.]*)\((.*)\)$", body)
             if fn_m:
                 # registered plugin/scalar functions (apoc.version, …) win;
