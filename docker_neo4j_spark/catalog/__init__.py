@@ -61,6 +61,7 @@ _CHANGED_THIS_ROUND = [
     "llm_stratified_sample",   # hex_thr rounding fix
     "events_asof_join",        # struct-based NULL/atomicity fix
     "write_merge_rel_batch",   # façade count fix
+    "gds_louvain",             # integer-gain rework + new exact oracle
 ]
 
 

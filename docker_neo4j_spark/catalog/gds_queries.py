@@ -573,9 +573,75 @@ def gds_pagerank_serving(spark, sf_dir):
     )
 
 
-@register("gds_louvain")  # rows-only: modularity-gain iteration (float, tie-break-sensitive)
+def _louvain_sql(iterations: int) -> str:
+    """Unrolled synchronous Louvain local-moving as chained DuckDB CTEs —
+    twin of ``operators/gds.louvain`` on the IN_NATION ∪ IN_REGION
+    subgraph. The move decision is the EXACT integer argmax
+    ``G = 2m·k_in − deg·(Σtot − [cand=own]·deg)`` with ties to the
+    smallest community id, and the parity gate is plain ``id % 2`` — every
+    operation is integer, so equality is bit-exact across engines. Running
+    the full ``iterations`` without the operator's early exit is
+    equivalent: once an even+odd round pair produces no moves, the update
+    is at a fixpoint and further rounds are identity."""
+    parts = [
+        "WITH b AS (",
+        "  SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS s,",
+        "         CAST(2000000000000 + c_nationkey AS BIGINT) AS d FROM customer",
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT),",
+        "         CAST(2000000000000 + s_nationkey AS BIGINT) FROM supplier",
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT),",
+        "         CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation),",
+        # undirect + distinct (UNION dedups), same as gds.undirect().distinct()
+        "e AS MATERIALIZED (SELECT s AS src, d AS dst FROM b UNION SELECT d, s FROM b),",
+        "nodes AS MATERIALIZED (",
+        "  SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS id FROM customer",
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT) FROM supplier",
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT) FROM nation",
+        "  UNION ALL SELECT CAST(1000000000000 + r_regionkey AS BIGINT) FROM region),",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS dg FROM e GROUP BY src),",
+        "tm AS (SELECT COUNT(*) AS two_m FROM e),",
+        "c0 AS MATERIALIZED (SELECT id, id AS community FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"c{k - 1}"
+        parts.append(
+            f"sig{k} AS (SELECT c.community AS cand, SUM(d.dg) AS sigma "
+            f"FROM {p} c JOIN deg d USING (id) GROUP BY c.community),"
+        )
+        parts.append(
+            f"kin{k} AS (SELECT id, cand, MAX(kin) AS kin FROM ("
+            f"SELECT e.src AS id, c.community AS cand, COUNT(*) AS kin "
+            f"FROM e JOIN {p} c ON c.id = e.dst GROUP BY e.src, c.community "
+            f"UNION ALL SELECT id, community, CAST(0 AS BIGINT) FROM {p}"
+            f") GROUP BY id, cand),"
+        )
+        parts.append(
+            f"best{k} AS (SELECT id, cand FROM ("
+            f"SELECT k.id, k.cand, ROW_NUMBER() OVER (PARTITION BY k.id ORDER BY "
+            f"((SELECT two_m FROM tm) * k.kin - d.dg * (s.sigma - "
+            f"CASE WHEN k.cand = o.community THEN d.dg ELSE 0 END)) DESC, "
+            f"k.cand ASC) AS rn "
+            f"FROM kin{k} k JOIN deg d USING (id) "
+            f"JOIN sig{k} s ON s.cand = k.cand JOIN {p} o ON o.id = k.id"
+            f") WHERE rn = 1),"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT c.id, "
+            f"CASE WHEN c.id % 2 = {(k - 1) % 2} AND b.cand IS NOT NULL "
+            f"THEN b.cand ELSE c.community END AS community "
+            f"FROM {p} c LEFT JOIN best{k} b USING (id)),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(f"SELECT id, community FROM c{iterations}")
+    return "\n".join(parts)
+
+
+@register("gds_louvain", _louvain_sql(5))
 def gds_louvain(spark, sf_dir):
-    """gds.louvain (synchronous local-moving, deterministic tie-break)."""
+    """gds.louvain (synchronous local-moving, deterministic tie-break) —
+    exact-oracled via integer modularity gains (``_louvain_sql``), the
+    same unrolled-CTE technique as ``_pagerank_sql``."""
     g = build_graph(spark, sf_dir)
     edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
     nodes = (

@@ -434,11 +434,16 @@ def louvain(
     own) by the modularity term ΔQ ∝ k_in(v→C) − deg(v)·Σtot(C∖v)/2m —
     Σtot excludes v's own degree when C is v's current community, so
     "stay" and "move" are compared on equal footing — and adopts the argmax
-    (ties → smallest community id). Two distributed-adaptation details,
-    both standard in BSP Louvain (cf. Que et al., "Scalable Community
-    Detection with the Louvain Algorithm", IPDPS'15):
+    (ties → smallest community id). The score is compared through the
+    monotone integer transform ``G = 2m·k_in − deg·Σtot(C∖v)`` (every term
+    is an edge count), so the argmax is EXACT int64 arithmetic — no float
+    rounding, and bit-identical in any engine, which is what lets
+    ``gds_louvain_oracle`` pair it with an unrolled DuckDB CTE oracle.
+    Two distributed-adaptation details, both standard in BSP Louvain
+    (cf. Que et al., "Scalable Community Detection with the Louvain
+    Algorithm", IPDPS'15):
 
-    - **Parity gating**: only nodes whose hash parity matches the iteration
+    - **Parity gating**: only nodes whose id parity matches the iteration
       parity may move, which breaks the two-cycle where adjacent nodes
       simultaneously swap into each other's communities and never converge.
     - **No coarsening phase**: the sequential reference also contracts
@@ -467,14 +472,15 @@ def louvain(
         k_in = (
             e.join(nbr_comm, e["dst"] == nbr_comm["_nid"])
             .groupBy(F.col("src").alias("id"), F.col("_c").alias("cand"))
-            .agg(F.count("*").cast("double").alias("_kin"))
+            .agg(F.count("*").alias("_kin"))
             .unionByName(
-                comm.select("id", F.col("community").alias("cand"), F.lit(0.0).alias("_kin"))
+                comm.select("id", F.col("community").alias("cand"), F.lit(0).cast("long").alias("_kin"))
             )
             .groupBy("id", "cand")
             .agg(F.max("_kin").alias("_kin"))
         )
         own = comm.withColumnRenamed("community", "_own")
+        # exact integer gain: G = 2m·k_in − deg·(Σtot − [cand = own]·deg)
         scored = (
             k_in.join(deg, k_in["id"] == deg["_did"])
             .join(sigma, "cand")
@@ -484,13 +490,12 @@ def louvain(
                 "cand",
                 "_own",
                 (
-                    F.col("_kin")
-                    - F.col("_deg").cast("double")
+                    F.lit(int(two_m)) * F.col("_kin")
+                    - F.col("_deg")
                     * (
                         F.col("_sigma")
                         - F.when(F.col("cand") == F.col("_own"), F.col("_deg")).otherwise(F.lit(0))
                     )
-                    / F.lit(float(two_m))
                 ).alias("_gain"),
             )
         )
@@ -499,7 +504,7 @@ def louvain(
                 "cand", F.struct(F.col("_gain").alias("g"), (-F.col("cand")).alias("t"))
             ).alias("_best"),
         )
-        movable = F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(it % 2)
+        movable = F.pmod(F.col("id"), F.lit(2)) == F.lit(it % 2)
         # left join keeps isolated nodes (absent from deg/k_in) in place
         new_comm = _ckpt(
             comm.join(best, "id", "left").select(
