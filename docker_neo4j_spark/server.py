@@ -38,21 +38,36 @@ def _jsonable(v):
     return v
 
 
-def run_statements(session: Session, statements: list[dict]) -> dict:
+MAX_RESULT_ROWS = 10_000
+
+
+def run_statements(
+    session: Session, statements: list[dict], max_rows: int = MAX_RESULT_ROWS
+) -> dict:
     """Execute the HTTP-API statement list; first error aborts the rest
-    (the transactional endpoint's semantics: errors roll the tx back)."""
+    (the transactional endpoint's semantics: errors roll the tx back).
+
+    Result serving is CAPPED at ``max_rows`` per statement — the driver
+    fetches ``limit(max_rows + 1)`` so a ``MATCH (n) RETURN n`` over a big
+    graph can never materialize the full result driver-side; a truncated
+    result carries ``"hasMore": true`` (analytical result sets belong in
+    the DataFrame API / a parquet sink, not an HTTP response body)."""
     results, errors = [], []
     for stmt in statements:
         text = stmt.get("statement", "")
         try:
             df = session.run(text)
-            rows = df.collect()
-            results.append(
-                {
-                    "columns": list(df.columns),
-                    "data": [{"row": [_jsonable(v) for v in r]} for r in rows],
-                }
-            )
+            rows = df.limit(max_rows + 1).collect() if max_rows else df.collect()
+            has_more = bool(max_rows) and len(rows) > max_rows
+            result = {
+                "columns": list(df.columns),
+                "data": [
+                    {"row": [_jsonable(v) for v in r]} for r in rows[:max_rows or None]
+                ],
+            }
+            if has_more:
+                result["hasMore"] = True
+            results.append(result)
         except Exception as ex:  # surface as a Neo.ClientError, keep serving
             errors.append(
                 {"code": "Neo.ClientError.Statement.SyntaxError", "message": str(ex)}

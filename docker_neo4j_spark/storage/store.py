@@ -317,16 +317,71 @@ class GraphStore:
         )
 
     # ---- dump / load (TestDumpLoad.java:90-133) -----------------------
+    # Dump format version history. Bump on any layout change; load()
+    # accepts dumps with version <= current (older images' data loads in
+    # newer ones — the TestUpgrade.java:54-149 contract) and refuses
+    # dumps from the future or with a schema stamp that doesn't match
+    # their own parquet (truncated/corrupted snapshots fail loudly at
+    # load, not as silent wrong answers later).
+    DUMP_FORMAT_VERSION = 1
+
+    @staticmethod
+    def _schema_hash(nodes: DataFrame, rels: DataFrame) -> str:
+        import hashlib
+
+        text = nodes.schema.simpleString() + "|" + rels.schema.simpleString()
+        return hashlib.sha256(text.encode()).hexdigest()[:16]
+
     def dump(self, path: str) -> None:
-        """Snapshot the store to ``<path>/nodes`` + ``<path>/rels`` parquet."""
+        """Snapshot the store to ``<path>/{nodes,rels}`` parquet plus a
+        ``_meta`` stamp ``{format_version, engine_version, schema_hash}``
+        (written through Spark so the dump stays a plain directory on any
+        Hadoop-compatible filesystem, never a driver-local file)."""
+        from .. import __version__
+
         self.graph.nodes.write.mode("overwrite").parquet(f"{path}/nodes")
         self.graph.rels.write.mode("overwrite").parquet(f"{path}/rels")
+        meta = self.spark.createDataFrame(
+            [
+                (
+                    self.DUMP_FORMAT_VERSION,
+                    __version__,
+                    self._schema_hash(self.graph.nodes, self.graph.rels),
+                )
+            ],
+            "format_version int, engine_version string, schema_hash string",
+        )
+        meta.coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "GraphStore":
-        """Rehydrate a dumped snapshot; id counters resume above the max."""
+        """Rehydrate a dumped snapshot; id counters resume above the max.
+        Validates the ``_meta`` stamp when present (pre-stamp dumps still
+        load — the upgrade path accepts older formats)."""
+        from pyspark.errors import AnalysisException
+
         nodes = spark.read.parquet(f"{path}/nodes")
         rels = spark.read.parquet(f"{path}/rels")
+        try:
+            meta = spark.read.json(f"{path}/_meta").first()
+        except AnalysisException:
+            meta = None  # legacy dump without a stamp (pre-versioning)
+        except Exception as ex:
+            # present but unreadable (checksum/parse failure) → corrupt
+            raise ValueError(f"dump at {path} has an unreadable _meta stamp") from ex
+        if meta is not None:
+            ver = int(meta["format_version"])
+            if ver > cls.DUMP_FORMAT_VERSION:
+                raise ValueError(
+                    f"dump at {path} has format version {ver}, newer than this "
+                    f"engine's {cls.DUMP_FORMAT_VERSION} — upgrade the engine to load it"
+                )
+            expect = cls._schema_hash(nodes, rels)
+            if meta["schema_hash"] != expect:
+                raise ValueError(
+                    f"dump at {path} is corrupt: schema stamp {meta['schema_hash']} "
+                    f"does not match its own data ({expect})"
+                )
         store = cls(spark, PropertyGraph(nodes=nodes, rels=rels))
         hi_n = nodes.agg(F.max("id")).first()[0]
         hi_r = rels.agg(F.max("id")).first()[0]

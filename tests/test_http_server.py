@@ -43,6 +43,29 @@ def test_http_create_then_match(server):
     assert [d["row"] for d in out["results"][0]["data"]] == [["Arne"]]
 
 
+def test_http_result_cap_has_more(spark):
+    """A huge RETURN never materializes fully driver-side: the server
+    fetches limit(cap+1), truncates, and flags hasMore."""
+    from docker_neo4j_spark.server import run_statements
+
+    out = run_statements(
+        Session(spark),
+        [{"statement": "UNWIND range(1, 1000000) AS x RETURN x"}],
+        max_rows=50,
+    )
+    assert out["errors"] == []
+    res = out["results"][0]
+    assert len(res["data"]) == 50 and res["hasMore"] is True
+    assert res["data"][0]["row"] == [1]
+
+    # under the cap: no hasMore key (wire shape unchanged for normal use)
+    out = run_statements(
+        Session(spark), [{"statement": "UNWIND range(1, 3) AS x RETURN x"}], max_rows=50
+    )
+    assert "hasMore" not in out["results"][0]
+    assert len(out["results"][0]["data"]) == 3
+
+
 def test_http_multi_statement_and_error(server):
     out = _post(
         server,
