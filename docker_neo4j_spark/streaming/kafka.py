@@ -47,12 +47,15 @@ def read_kafka_events(
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "latest",
+    format: str = "kafka",
 ) -> DataFrame:
     """Kafka ingest → typed event stream: JSON values parsed to the same
     schema the file source produces, so every downstream transformation
-    is source-agnostic."""
+    is source-agnostic. ``format`` swaps the connector for the vendored
+    file-backed contract fake (``kafka_file.py``, format ``file_kafka``)
+    with identical options and output schema — nothing else changes."""
     raw = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(format)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
@@ -69,6 +72,7 @@ def write_kafka_cdc(
     topic: str,
     checkpoint_dir: str,
     key_col: str = "event_id",
+    format: str = "kafka",
 ):
     """CDC publish: a change-feed DataFrame → Kafka topic (key = entity id,
     value = JSON change record). Returns the unstarted writer."""
@@ -77,7 +81,7 @@ def write_kafka_cdc(
         F.to_json(F.struct(*changes.columns)).alias("value"),
     )
     return (
-        payload.writeStream.format("kafka")
+        payload.writeStream.format(format)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)

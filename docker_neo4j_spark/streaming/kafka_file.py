@@ -1,0 +1,247 @@
+"""File-backed Kafka-contract data source (PySpark Python Data Source API).
+
+The container ships no spark-sql-kafka connector jar and no network to
+fetch one, so the real produce→consume path can't execute here. Rather
+than leave the Kafka wiring forever skip-gated, this module vendors a
+**drop-in contract fake**: a registered Spark data source
+(``file_kafka``) that honors the exact option surface of the real
+connector —
+
+- ``kafka.bootstrap.servers`` → the spool root (a directory path plays
+  the broker address),
+- ``subscribe`` / ``topic`` → topic name,
+- ``startingOffsets`` → ``earliest``/``latest``,
+
+and yields the real connector's exact output schema
+``key binary, value binary, topic string, partition int, offset bigint,
+timestamp timestamp, timestampType int``, so
+``read_kafka_events``/``write_kafka_cdc`` run UNMODIFIED against it
+(swap the format name, nothing else — the module's design promise).
+
+The log is a directory of immutable JSONL part files per topic; the
+record order is the sorted-filename concatenation, offsets are positions
+in that order. Appends create new part files (no in-place mutation), so
+concurrent producers never corrupt the log — the same append-only
+contract a real broker partition gives. One partition per topic: this is
+a CONTRACT fake for correctness tests, not a throughput tool; at scale
+the real connector talks to a real cluster.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import uuid
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+KAFKA_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+
+def _topic_dir(root: str, topic: str) -> str:
+    return os.path.join(root, topic)
+
+
+def _log_records(root: str, topic: str) -> list[dict]:
+    """The topic log: records across sorted immutable part files."""
+    d = _topic_dir(root, topic)
+    if not os.path.isdir(d):
+        return []
+    records: list[dict] = []
+    for fname in sorted(os.listdir(d)):
+        if not fname.endswith(".jsonl"):
+            continue
+        with open(os.path.join(d, fname)) as f:
+            for line in f:
+                if line.strip():
+                    records.append(json.loads(line))
+    return records
+
+
+def _append_part(root: str, topic: str, rows: list[dict]) -> None:
+    if not rows:
+        return
+    d = _topic_dir(root, topic)
+    os.makedirs(d, exist_ok=True)
+    part = os.path.join(d, f"part-{uuid.uuid4().hex}.jsonl")
+    tmp = part + ".tmp"
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, part)  # atomic publish: readers never see partial files
+
+
+def _to_output_row(rec: dict, topic: str, offset: int):
+    key = rec.get("key")
+    return (
+        key.encode() if isinstance(key, str) else key,
+        (rec.get("value") or "").encode(),
+        topic,
+        0,
+        offset,
+        datetime.datetime.fromtimestamp(rec.get("ts", 0.0)),
+        0,  # TimestampType.CREATE_TIME
+    )
+
+
+class _Opts:
+    def __init__(self, options):
+        self.root = options.get("kafka.bootstrap.servers")
+        self.topic = options.get("subscribe") or options.get("topic")
+        self.starting = (options.get("startingOffsets") or "earliest").lower()
+        if not self.root or not self.topic:
+            raise ValueError(
+                "file_kafka requires kafka.bootstrap.servers (spool dir) and "
+                "subscribe/topic options — the real connector's option names"
+            )
+
+
+class FileKafkaBatchReader(DataSourceReader):
+    def __init__(self, opts: _Opts):
+        self.opts = opts
+
+    def read(self, partition) -> Iterator[tuple]:
+        for i, rec in enumerate(_log_records(self.opts.root, self.opts.topic)):
+            yield _to_output_row(rec, self.opts.topic, i)
+
+
+class FileKafkaStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, opts: _Opts):
+        self.opts = opts
+
+    def initialOffset(self) -> dict:
+        if self.opts.starting == "latest":
+            return {"n": len(_log_records(self.opts.root, self.opts.topic))}
+        return {"n": 0}
+
+    def read(self, start: dict):
+        records = _log_records(self.opts.root, self.opts.topic)
+        lo = int(start["n"])
+        rows = [
+            _to_output_row(rec, self.opts.topic, i)
+            for i, rec in enumerate(records[lo:], start=lo)
+        ]
+        return iter(rows), {"n": len(records)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        records = _log_records(self.opts.root, self.opts.topic)
+        lo, hi = int(start["n"]), int(end["n"])
+        return iter(
+            _to_output_row(rec, self.opts.topic, i)
+            for i, rec in enumerate(records[lo:hi], start=lo)
+        )
+
+
+class _Commit(WriterCommitMessage):
+    pass
+
+
+def _rows_to_records(iterator) -> list[dict]:
+    import time
+
+    out = []
+    now = time.time()
+    for row in iterator:
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        key = d.get("key")
+        value = d.get("value")
+        out.append(
+            {
+                "key": key.decode() if isinstance(key, (bytes, bytearray)) else key,
+                "value": value.decode()
+                if isinstance(value, (bytes, bytearray))
+                else value,
+                "ts": now,
+            }
+        )
+    return out
+
+
+class FileKafkaBatchWriter(DataSourceWriter):
+    """Producer contract: rows with (key?, value) columns append to the
+    topic log; each task publishes one immutable part file."""
+
+    def __init__(self, opts: _Opts):
+        self.opts = opts
+
+    def write(self, iterator) -> _Commit:
+        _append_part(self.opts.root, self.opts.topic, _rows_to_records(iterator))
+        return _Commit()
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        return None
+
+
+class FileKafkaStreamWriter(DataSourceStreamWriter):
+    def __init__(self, opts: _Opts):
+        self.opts = opts
+
+    def write(self, iterator) -> _Commit:
+        _append_part(self.opts.root, self.opts.topic, _rows_to_records(iterator))
+        return _Commit()
+
+    def commit(self, messages, batchId):
+        return None
+
+    def abort(self, messages, batchId):
+        return None
+
+
+class FileKafkaDataSource(DataSource):
+    """``spark.dataSource.register(FileKafkaDataSource)`` then use format
+    ``file_kafka`` anywhere the real connector's ``kafka`` would go."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "file_kafka"
+
+    def schema(self):
+        return KAFKA_SCHEMA
+
+    def reader(self, schema) -> FileKafkaBatchReader:
+        return FileKafkaBatchReader(_Opts(self.options))
+
+    def simpleStreamReader(self, schema) -> FileKafkaStreamReader:
+        return FileKafkaStreamReader(_Opts(self.options))
+
+    def writer(self, schema, overwrite) -> FileKafkaBatchWriter:
+        return FileKafkaBatchWriter(_Opts(self.options))
+
+    def streamWriter(self, schema, overwrite) -> FileKafkaStreamWriter:
+        return FileKafkaStreamWriter(_Opts(self.options))
+
+
+def register(spark) -> None:
+    """Idempotent registration of the contract fake."""
+    spark.dataSource.register(FileKafkaDataSource)
