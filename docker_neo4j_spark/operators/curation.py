@@ -20,9 +20,13 @@ Scale design notes (100 TB):
   (never all-pairs), verified pairs feed a connected-components pass
   (O(log n) rounds of min-propagation), canonical = min doc id per
   component. Every stage is a bucketed equi-join or groupBy.
-- ``domain_cap``: one window partitioned by the domain column — the
-  partition key is the shuffle key, skewed domains are the caveat (salt
-  or pre-aggregate if one domain dominates).
+- ``domain_cap``: two-phase top-k. Phase 1 ranks within (domain,
+  hash-shard) — partition sizes are ~N/shards no matter how skewed the
+  domain distribution is — and prunes to ≤k survivors per shard
+  (pigeonhole: a row outside its shard's top-k cannot be in the
+  domain's global top-k). Phase 2's per-domain window then runs over
+  ≤ shards·k rows per domain, so no single reducer ever sees a whole
+  hot domain.
 """
 
 from __future__ import annotations
@@ -197,16 +201,34 @@ def domain_cap(
     key: str = "doc_id",
     rank_col: str = "n_chars",
     k: int = 100,
+    shards: int = 16,
 ) -> DataFrame:
     """Per-domain document cap: keep the top ``k`` rows of each domain by
     ``rank_col`` (ties broken on key — total order, so the kept set is
     deterministic). The anti-overrepresentation primitive of corpus
-    curation; one window shuffle partitioned by the domain column."""
-    w = Window.partitionBy(domain_col).orderBy(F.desc(rank_col), F.asc(key))
+    curation.
+
+    Skew-safe two-phase top-k: a naive single window partitioned by the
+    domain column puts an entire hot domain (half the web is one domain)
+    on one reducer. Instead phase 1 ranks within ``(domain, xxhash64(key)
+    % shards)`` — every global top-k row is necessarily inside its own
+    shard's top-k, so filtering to per-shard rank ≤ k keeps all answers
+    while bounding phase 2's per-domain input at ``shards·k`` rows. The
+    kept set is identical to the single-window formulation (pytest
+    asserts equality), but the widest partition phase 1 sees is ~N/shards
+    regardless of domain skew.
+    """
+    shard = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(shards))
+    order = [F.desc(rank_col), F.asc(key)]
+    w1 = Window.partitionBy(domain_col, "_shard").orderBy(*order)
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        df.withColumn("_shard", shard)
+        .withColumn("_srk", F.row_number().over(w1))
+        .where(F.col("_srk") <= k)
+        .withColumn("_rk", F.row_number().over(w2))
         .where(F.col("_rk") <= k)
-        .drop("_rk")
+        .drop("_shard", "_srk", "_rk")
     )
 
 

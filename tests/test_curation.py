@@ -84,6 +84,28 @@ def test_domain_cap_keeps_topk_deterministically(spark):
     assert b_kept == [100, 101]
 
 
+def test_domain_cap_two_phase_matches_single_window(spark):
+    """The skew-safe two-phase top-k must keep exactly the rows the naive
+    single per-domain window would keep, for every shard count."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, "hot" if i % 5 else "cold", (i * 37) % 250) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    naive = {
+        (r["doc_id"], r["source"])
+        for r in df.withColumn("_rk", F.row_number().over(w))
+        .where("_rk <= 25")
+        .collect()
+    }
+    for shards in (1, 4, 16):
+        got = {
+            (r["doc_id"], r["source"])
+            for r in curation.domain_cap(df, k=25, shards=shards).collect()
+        }
+        assert got == naive, f"shards={shards}"
+
+
 def test_salted_join_equals_plain_join(spark):
     """operators/skew.py: salting must not change join semantics — same
     result as the plain join on a skewed key distribution (one hot key),
