@@ -137,6 +137,80 @@ def _ppr_sql(iterations: int, out_scale: str) -> str:
     return "\n".join(parts)
 
 
+def _article_rank_sql(iterations: int, out_scale: str) -> str:
+    """Unrolled ArticleRank as chained DuckDB CTEs — twin of
+    ``operators/gds.article_rank``: share = 1/(outDeg + |E|/|N|), base =
+    (1-d), no dangling redistribution; sink-only nodes surface as the
+    bare base via the UNION ALL branch (mirroring the Spark side's
+    zero-share self-rows). Same float-exactness conventions as
+    ``_pagerank_sql`` (all literals float8, integer-scaled output)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst FROM ({_EDGES})),",
+        f"nodes AS MATERIALIZED ({_NODES}),",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),",
+        "avgd AS MATERIALIZED (SELECT CAST((SELECT COUNT(*) FROM e) AS DOUBLE)"
+        " / (SELECT COUNT(*) FROM nodes) AS a),",
+        "ed AS MATERIALIZED (SELECT e.src, e.dst, 1.0e0 /"
+        " (CAST(deg.d AS DOUBLE) + (SELECT a FROM avgd)) AS share"
+        " FROM e JOIN deg ON deg.src = e.src),",
+        "no_in AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT dst FROM e)),",
+        "pr0 AS MATERIALIZED (SELECT id, 1.0e0 AS pr FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"pr{k - 1}"
+        parts.append(
+            f"pr{k} AS MATERIALIZED ("
+            f"SELECT c.id, (1.0e0 - 0.85e0) + 0.85e0 * c.c AS pr FROM "
+            f"(SELECT ed.dst AS id, SUM(p.pr * ed.share) AS c "
+            f"FROM {p} p JOIN ed ON ed.src = p.id GROUP BY ed.dst) c "
+            f"UNION ALL SELECT id, (1.0e0 - 0.85e0) FROM no_in),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"SELECT id, CAST(ROUND(pr * {out_scale}) AS BIGINT) AS pr_scaled "
+        f"FROM pr{iterations}"
+    )
+    return "\n".join(parts)
+
+
+def _eigenvector_sql(iterations: int, out_scale: str) -> str:
+    """Unrolled L2-normalized power iteration (eigenvector centrality) as
+    chained DuckDB CTEs — twin of ``operators/gds.eigenvector`` over the
+    UNDIRECTED projection (the directed TPC-H graph is a DAG, whose
+    eigenvector limit is the zero vector; the symmetric orientation is
+    the GDS default use-case and the odd C-O-P-S-N-C cycle makes the
+    iteration aperiodic/convergent): x ← Ax/‖Ax‖₂ from x₀ = 1; nodes
+    never receiving mass surface as exactly 0 via the final LEFT JOIN
+    (the Spark side's COALESCE)."""
+    parts = [
+        "WITH e0 AS MATERIALIZED (SELECT src, dst FROM "
+        f"({_EDGES})),",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION ALL SELECT dst AS src, src AS dst FROM e0),",
+        f"nodes AS MATERIALIZED ({_NODES}),",
+        "x0 AS MATERIALIZED (SELECT id, 1.0e0 AS score FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"x{k - 1}"
+        parts.append(
+            f"y{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.score) AS s "
+            f"FROM {p} p JOIN e ON e.src = p.id GROUP BY e.dst),"
+        )
+        parts.append(f"n{k} AS (SELECT SQRT(SUM(s * s)) AS nrm FROM y{k}),")
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT id, s / (SELECT nrm FROM n{k}) "
+            f"AS score FROM y{k}),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"SELECT n.id, CAST(ROUND(COALESCE(x.score, 0e0) * {out_scale}) AS BIGINT)"
+        f" AS score_scaled FROM nodes n LEFT JOIN x{iterations} x ON x.id = n.id"
+    )
+    return "\n".join(parts)
+
+
 def _lpa_sql(iterations: int) -> str:
     """Unrolled synchronous label propagation as chained DuckDB CTEs — twin
     of ``operators/gds.label_propagation`` on the IN_NATION ∪ IN_REGION
@@ -471,6 +545,40 @@ def gds_pagerank(spark, sf_dir):
     out = gds.pagerank(g.rels, g.nodes, iterations=15)
     return out.select(
         "id", F.round(F.col("pr") * F.lit(1e6)).cast("long").alias("pr_scaled")
+    )
+
+
+@register("gds_article_rank", _article_rank_sql(15, out_scale="1e6"))
+def gds_article_rank(spark, sf_dir):
+    """gds.articleRank (15 iterations, damping 0.85): the PageRank
+    variant that divides a node's contribution by outDeg + avgOutDeg,
+    dampening low-degree hubs (plugin namespace declared at
+    reference calver/coredb/neo4j-plugins.json:24-30).
+
+    Oracle: unrolled power iteration (``_article_rank_sql``), integer-
+    scaled micro-rank output like ``gds_pagerank``."""
+    g = build_graph(spark, sf_dir)
+    out = gds.article_rank(g.rels, g.nodes, iterations=15)
+    return out.select(
+        "id", F.round(F.col("pr") * F.lit(1e6)).cast("long").alias("pr_scaled")
+    )
+
+
+@register("gds_eigenvector", _eigenvector_sql(15, out_scale="1e6"))
+def gds_eigenvector(spark, sf_dir):
+    """gds.eigenvector (15 L2-normalized power iterations, UNDIRECTED
+    orientation — the directed projection is a DAG whose eigenvector
+    limit is zero): centrality as the dominant eigenvector of the
+    symmetric adjacency; isolated nodes are exactly 0.
+
+    Oracle: unrolled normalize-and-propagate CTE chain
+    (``_eigenvector_sql``); both sides surface
+    `CAST(ROUND(score*1e6) AS BIGINT)`."""
+    g = build_graph(spark, sf_dir)
+    out = gds.eigenvector(gds.undirect(g.rels), g.nodes, iterations=15)
+    return out.select(
+        "id",
+        F.round(F.col("score") * F.lit(1e6)).cast("long").alias("score_scaled"),
     )
 
 

@@ -386,6 +386,112 @@ def pagerank(
     return pr
 
 
+def article_rank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 15,
+    damping: float = 0.85,
+) -> DataFrame:
+    """gds.articleRank — PageRank variant that dampens low-degree hubs:
+    each out-edge carries ``pr(u) / (outDeg(u) + avgOutDeg)`` instead of
+    ``pr(u) / outDeg(u)`` (avgOutDeg = |E|/|N| over the projected graph),
+    so a recommendation from a 2-link page is worth less than under
+    PageRank. No dangling redistribution (mass decays, per the published
+    formulation): dangling nodes simply contribute nothing. Returns
+    (id, pr).
+
+    Same per-round physical shape as ``pagerank`` minus the dangling
+    scalar job: ONE join + groupBy-sum whose hash partitioning survives
+    ``localCheckpoint`` (zero-share self-rows keep sink-only nodes inside
+    the aggregate, so no N-row union/exchange per round).
+    """
+    e = edges.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did")
+    n = nodes.select("id").cache()
+    n_total = n.count()
+    avg_deg = e.count() / n_total
+    e_share = e.join(deg, e["src"] == deg["_did"]).select(
+        "src",
+        "dst",
+        (F.lit(1.0) / (F.col("_deg").cast("double") + F.lit(avg_deg))).alias("_share"),
+    )
+    dst_set = e.select("dst").distinct()
+    no_in_ids = n.join(dst_set, n["id"] == dst_set["dst"], "left_anti")
+    e_run = (
+        e_share.unionByName(
+            no_in_ids.select(
+                F.col("id").alias("src"),
+                F.col("id").alias("dst"),
+                F.lit(0.0).alias("_share"),
+            )
+        )
+        .repartition("src")
+        .cache()
+    )
+    base = 1.0 - damping
+    pr = _ckpt(n.select("id", F.lit(1.0).alias("pr")))
+    for _ in range(iterations):
+        pr = _ckpt(
+            pr.join(e_run, pr["id"] == e_run["src"])
+            .select(F.col("dst").alias("id"), (F.col("pr") * F.col("_share")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+            .select("id", (F.lit(base) + F.lit(damping) * F.col("c")).alias("pr"))
+        )
+    e_run.unpersist()
+    n.unpersist()
+    return pr
+
+
+def eigenvector(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 15,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """gds.eigenvector — eigenvector centrality by L2-normalized power
+    iteration: x ← Aᵀx / ‖Aᵀx‖₂ from x₀ = 1. Returns (id, score) for
+    every node; nodes outside the dominant eigenspace's support (no
+    in-path) are exactly 0.
+
+    Per round: one edge join + groupBy-sum over the *live* support only
+    (zeros neither contribute mass nor change the L2 norm, so dropped
+    rows are re-materialized as 0 once, at the end — the state frame
+    shrinks to the receiving set after round 1) + one scalar norm job.
+
+    On a DAG the support empties after ``longest_path`` rounds (the true
+    limit is the zero vector); the norm guard below stops iterating the
+    moment the vector dies instead of propagating NULLs. Pass an
+    undirected edge set (``gds.undirect``) for the classical symmetric
+    formulation, which is the GDS default orientation use-case.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select("src", "dst", w.alias("_w")).repartition("src").cache()
+    x = _ckpt(nodes.select("id", F.lit(1.0).alias("score")))
+    for _ in range(iterations):
+        y = _ckpt(
+            x.join(e, x["id"] == e["src"])
+            .select(F.col("dst").alias("id"), (F.col("score") * F.col("_w")).alias("m"))
+            .groupBy("id")
+            .agg(F.sum("m").alias("score"))
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).first()[0]
+        if norm is None or norm == 0.0:
+            x = y.limit(0)  # vector died (DAG ran out of paths): all zeros
+            break
+        x = y.select("id", (F.col("score") / F.lit(norm)).alias("score"))
+    e.unpersist()
+    return (
+        nodes.select("id")
+        .join(x, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
 def label_propagation(
     edges: DataFrame, nodes: DataFrame, max_iter: int = 10
 ) -> DataFrame:

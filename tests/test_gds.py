@@ -260,3 +260,80 @@ def test_closeness_known_path_graph(spark):
     # isolated source: reaches only itself → closeness 0
     out2 = {r["id"]: r for r in gds.closeness(e, _nodes(spark, [99])).collect()}
     assert out2[99]["closeness"] == 0.0 and out2[99]["n_reached"] == 1
+
+
+def test_article_rank_dampens_low_degree_recommender(spark):
+    # 1 has out-degree 1 (→3), 2 has out-degree 3 (→3,→4,→5). Under
+    # PageRank node 1's single link hands 3 its whole rank; ArticleRank
+    # divides by (deg + avg) so the low-degree recommendation is worth
+    # less than deg=1 would suggest: share(1→3) = 1/(1+avg) < 1.
+    e = _edges(spark, [(1, 3), (2, 3), (2, 4), (2, 5)])
+    n = _nodes(spark, [1, 2, 3, 4, 5])
+    out = {r["id"]: r["pr"] for r in gds.article_rank(e, n, iterations=20).collect()}
+    avg = 4 / 5
+    base = 0.15
+    # sources never receive: exactly the base term
+    assert abs(out[1] - base) < 1e-12 and abs(out[2] - base) < 1e-12
+    # closed form at the fixpoint for a 2-level DAG
+    expect_3 = base + 0.85 * (base / (1 + avg) + base / (3 + avg))
+    expect_4 = base + 0.85 * (base / (3 + avg))
+    assert abs(out[3] - expect_3) < 1e-9
+    assert abs(out[4] - expect_4) < 1e-9 and abs(out[5] - expect_4) < 1e-9
+    # ordering: 3 (two recommenders) above 4/5 (one weak recommender)
+    assert out[3] > out[4] == out[5] > 0
+
+
+def test_eigenvector_k3_uniform_and_unreached_zero(spark):
+    # complete digraph K3 (aperiodic, eigengap 2 vs -1 so the power
+    # iteration converges): uniform dominant eigenvector, L2 norm 1;
+    # node 9 has no in-edges -> exactly 0 and its initial boost to node 1
+    # decays away
+    e = _edges(
+        spark, [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (9, 1)]
+    )
+    n = _nodes(spark, [1, 2, 3, 9])
+    out = {r["id"]: r["score"] for r in gds.eigenvector(e, n, iterations=25).collect()}
+    assert out[9] == 0.0
+    import math
+
+    for i in (1, 2, 3):
+        assert abs(out[i] - 1 / math.sqrt(3)) < 1e-6
+    norm = math.sqrt(sum(v * v for v in out.values()))
+    assert abs(norm - 1.0) < 1e-9
+
+
+def test_eigenvector_weighted_triangle_fixpoint(spark):
+    # undirected weighted triangle (non-bipartite -> converges): at the
+    # fixpoint A·x is proportional to x and ||x||_2 = 1
+    import math
+
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    weights = [1.0, 1.0, 2.0, 2.0, 3.0, 3.0]
+    e = _edges(spark, pairs, weights=weights)
+    n = _nodes(spark, [1, 2, 3])
+    out = {
+        r["id"]: r["score"]
+        for r in gds.eigenvector(e, n, iterations=40, weight_col="weight").collect()
+    }
+    norm = math.sqrt(sum(v * v for v in out.values()))
+    assert abs(norm - 1.0) < 1e-9
+    a = {  # A·x under the same weights
+        1: 1.0 * out[2] + 3.0 * out[3],
+        2: 1.0 * out[1] + 2.0 * out[3],
+        3: 3.0 * out[1] + 2.0 * out[2],
+    }
+    lam = math.sqrt(sum(v * v for v in a.values()))
+    for i in (1, 2, 3):
+        # linear convergence at rate λ2/λ1 — 40 rounds lands ~1e-6 off
+        assert abs(a[i] / lam - out[i]) < 1e-5
+    # strongest-strength node (3: weights 2+3) dominates
+    assert out[3] > out[1] > out[2] > 0
+
+
+def test_eigenvector_dag_dies_to_zero(spark):
+    # directed DAG: the support empties and the norm guard returns all
+    # zeros instead of NULLs
+    e = _edges(spark, [(1, 2), (2, 3)])
+    n = _nodes(spark, [1, 2, 3])
+    out = {r["id"]: r["score"] for r in gds.eigenvector(e, n, iterations=10).collect()}
+    assert out == {1: 0.0, 2: 0.0, 3: 0.0}
