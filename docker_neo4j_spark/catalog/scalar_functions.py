@@ -364,3 +364,95 @@ def fn_point_suite(spark, sf_dir):
         cy.point_y(p).alias("py"),
         cy.point_distance(p, ref).alias("dist"),
     )
+
+
+@register(
+    "fn_apoc_text_suite",
+    """
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
+           CASE WHEN greatest(length(c_name), length(c_mktsegment)) = 0
+                THEN 1.0e0
+                ELSE 1.0e0 - CAST(levenshtein(c_name, c_mktsegment) AS DOUBLE)
+                     / greatest(length(c_name), length(c_mktsegment)) END AS lev_sim,
+           upper(substr(c_name, 1, 1)) || substr(c_name, 2) AS capitalized,
+           lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '', 'g')) AS cleaned,
+           repeat(c_mktsegment, 2) AS doubled,
+           CAST(strpos(c_name, '#') - 1 AS BIGINT) AS hash_idx,
+           CAST(ascii(substr(c_name, 10, 1)) AS BIGINT) AS char9
+    FROM customer
+    """,
+)
+def fn_apoc_text_suite(spark, sf_dir):
+    """apoc.text.* — levenshteinDistance/levenshteinSimilarity/capitalize/
+    clean/repeat/indexOf/charAt over customer rows (plugin declared at
+    reference calver/coredb/neo4j-plugins.json:3-8; the repo's own test
+    calls RETURN apoc.version() at TestConfSettings.java:411)."""
+    from ..functions import apoc
+
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.select(
+        "c_custkey",
+        apoc.text_levenshtein_distance("c_name", "c_mktsegment").alias("lev"),
+        apoc.text_levenshtein_similarity("c_name", "c_mktsegment").alias("lev_sim"),
+        apoc.text_capitalize("c_name").alias("capitalized"),
+        apoc.text_clean("c_name").alias("cleaned"),
+        apoc.text_repeat("c_mktsegment", 2).alias("doubled"),
+        apoc.text_index_of("c_name", "#").alias("hash_idx"),
+        apoc.text_char_at("c_name", 9).alias("char9"),
+    )
+
+
+@register(
+    "fn_apoc_coll_suite",
+    """
+    WITH per_nation AS (
+      SELECT n_name,
+             list_sort(list(c_custkey ORDER BY c_custkey)) AS ks
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(list_aggregate(ks, 'sum') AS BIGINT) AS k_sum,
+           CAST(list_aggregate(ks, 'sum') AS DOUBLE) / len(ks) AS k_avg,
+           CAST(list_aggregate(ks, 'min') AS BIGINT) AS k_min,
+           CAST(list_aggregate(ks, 'max') AS BIGINT) AS k_max,
+           CAST(len(list_distinct(ks)) AS BIGINT) AS n_set,
+           CASE WHEN len(ks) < 2 THEN ''
+                ELSE array_to_string(
+                  list_transform(range(1, len(ks)),
+                                 i -> CAST(ks[i] AS VARCHAR) || '-' || CAST(ks[i+1] AS VARCHAR)),
+                  ',') END AS pairs_str,
+           COALESCE(array_to_string(
+             list_sort(list_intersect(ks, [1,2,3,4,5,6,7,8,9,10])), ','), '') AS small_keys,
+           CAST(len(list_filter(ks, x -> x % 2 = 0)) AS BIGINT) AS n_even
+    FROM per_nation
+    """,
+)
+def fn_apoc_coll_suite(spark, sf_dir):
+    """apoc.coll.* — sum/avg/min/max/toSet/pairs/intersection plus a
+    filter count, over per-nation customer-key lists (collect_list with a
+    total sort order so both engines build the identical list)."""
+    from ..functions import apoc
+
+    t = load_tables(spark, sf_dir)
+    c, n = t["customer"], t["nation"]
+    ks = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("ks"))
+    )
+    small = F.array([F.lit(i) for i in range(1, 11)])
+    return ks.select(
+        "n_name",
+        apoc.coll_sum("ks").alias("k_sum"),
+        apoc.coll_avg("ks").alias("k_avg"),
+        apoc.coll_min("ks").cast("long").alias("k_min"),
+        apoc.coll_max("ks").cast("long").alias("k_max"),
+        F.size(apoc.coll_to_set("ks")).cast("long").alias("n_set"),
+        apoc.coll_pairs_joined("ks").alias("pairs_str"),
+        F.array_join(
+            apoc.coll_intersection("ks", small.cast("array<bigint>")), ","
+        ).alias("small_keys"),
+        F.size(F.filter(F.col("ks"), lambda x: x % 2 == 0)).cast("long").alias("n_even"),
+    )

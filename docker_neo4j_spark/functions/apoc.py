@@ -1,0 +1,222 @@
+"""APOC core function library → built-in Spark Column expressions.
+
+The reference declares the apoc plugin in every manifest
+(calver/coredb/neo4j-plugins.json:3-8) and its own test suite calls
+``RETURN apoc.version()`` (TestConfSettings.java:411); the plugin's public
+function surface (apoc.text.*, apoc.coll.*, apoc.map.*) is therefore part
+of the packaged query capability. Every function here compiles to JVM-side
+``pyspark.sql.functions`` expressions — no UDFs, whole-stage-codegen
+friendly — and each is exercised by an oracle-paired catalog row
+(``fn_apoc_text_suite`` / ``fn_apoc_coll_suite``).
+
+Semantics follow the published APOC docs; where APOC is 0-based
+(indexOf) the 0-based contract is kept even though Spark's builtins are
+1-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+# ---- apoc.text.* --------------------------------------------------------
+
+
+def text_levenshtein_distance(a, b) -> Column:
+    """apoc.text.levenshteinDistance — edit distance (JVM built-in)."""
+    return F.levenshtein(_c(a), _c(b)).cast("long")
+
+
+def text_levenshtein_similarity(a, b) -> Column:
+    """apoc.text.levenshteinSimilarity = 1 - dist/maxLen."""
+    dist = F.levenshtein(_c(a), _c(b)).cast("double")
+    mx = F.greatest(F.length(_c(a)), F.length(_c(b))).cast("double")
+    return F.when(mx == 0, F.lit(1.0)).otherwise(F.lit(1.0) - dist / mx)
+
+
+def text_hamming_distance(a, b) -> Column:
+    """apoc.text.hammingDistance — differing positions; length diff counts."""
+    ca, cb = _c(a), _c(b)
+    n = F.least(F.length(ca), F.length(cb))
+    same = F.when(n <= 0, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: ca.substr(i, F.lit(1)) == cb.substr(i, F.lit(1)),
+            )
+        )
+    )
+    return (F.greatest(F.length(ca), F.length(cb)) - same).cast("long")
+
+
+def text_capitalize(x) -> Column:
+    """apoc.text.capitalize — first char uppercased, rest untouched."""
+    c = _c(x)
+    return F.concat(
+        F.upper(F.substring(c, 1, 1)), F.substring(c, F.lit(2), F.length(c))
+    )
+
+
+def text_clean(x) -> Column:
+    """apoc.text.clean — lowercase, strip everything non-alphanumeric."""
+    return F.lower(F.regexp_replace(_c(x), "[^A-Za-z0-9]+", ""))
+
+
+def text_join(parts: Column, delim: str) -> Column:
+    """apoc.text.join(list, delim)."""
+    return F.array_join(parts, delim)
+
+
+def text_repeat(x, times: int) -> Column:
+    """apoc.text.repeat(item, count)."""
+    return F.repeat(_c(x), times)
+
+
+def text_index_of(x, lookup: str) -> Column:
+    """apoc.text.indexOf — 0-based, -1 when absent (Spark instr is
+    1-based with 0-absent; shift by one)."""
+    return (F.instr(_c(x), lookup) - 1).cast("long")
+
+
+def text_char_at(x, index: int) -> Column:
+    """apoc.text.charAt — 0-based character code at index."""
+    return F.ascii(F.substring(_c(x), index + 1, 1)).cast("long")
+
+
+def text_swap_case(x) -> Column:
+    """apoc.text.swapCase — per-char case flip (regexp-free builtin mix)."""
+    c = _c(x)
+    chars = F.split(c, "")
+    flipped = F.transform(
+        chars,
+        lambda ch: F.when(ch == F.upper(ch), F.lower(ch)).otherwise(F.upper(ch)),
+    )
+    return F.array_join(flipped, "")
+
+
+# ---- apoc.coll.* --------------------------------------------------------
+
+
+def coll_sum(l) -> Column:
+    """apoc.coll.sum — integer list sum via fold (no explode/shuffle)."""
+    return F.aggregate(_c(l), F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+
+
+def coll_avg(l) -> Column:
+    """apoc.coll.avg."""
+    c = _c(l)
+    return F.when(F.size(c) > 0, coll_sum(c).cast("double") / F.size(c))
+
+
+def coll_min(l) -> Column:
+    """apoc.coll.min."""
+    return F.array_min(_c(l))
+
+
+def coll_max(l) -> Column:
+    """apoc.coll.max."""
+    return F.array_max(_c(l))
+
+
+def coll_to_set(l) -> Column:
+    """apoc.coll.toSet — order-preserving distinct."""
+    return F.array_distinct(_c(l))
+
+
+def coll_sort(l) -> Column:
+    """apoc.coll.sort."""
+    return F.array_sort(_c(l))
+
+
+def coll_contains(l, value) -> Column:
+    """apoc.coll.contains."""
+    return F.array_contains(_c(l), value)
+
+
+def coll_index_of(l, value) -> Column:
+    """apoc.coll.indexOf — 0-based, -1 when absent."""
+    return (
+        F.coalesce(F.array_position(_c(l), value), F.lit(0)) - 1
+    ).cast("long")
+
+
+def coll_pairs_joined(l, sep: str = ",") -> Column:
+    """apoc.coll.pairs rendered as 'a-b'-joined string — consecutive
+    pairs [a,b],[b,c],… (string form keeps the cross-engine compare
+    struct-free)."""
+    c = _c(l)
+    return F.when(F.size(c) < 2, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.size(c) - 1),
+                lambda i: F.concat(
+                    F.element_at(c, i).cast("string"),
+                    F.lit("-"),
+                    F.element_at(c, i + 1).cast("string"),
+                ),
+            ),
+            sep,
+        )
+    )
+
+
+def coll_flatten(ll) -> Column:
+    """apoc.coll.flatten — one nesting level."""
+    return F.flatten(_c(ll))
+
+
+def coll_union(a, b) -> Column:
+    """apoc.coll.union — distinct union, sorted for determinism."""
+    return F.array_sort(F.array_distinct(F.concat(_c(a), _c(b))))
+
+
+def coll_intersection(a, b) -> Column:
+    """apoc.coll.intersection — sorted distinct intersection."""
+    return F.array_sort(F.array_intersect(_c(a), _c(b)))
+
+
+def coll_subtract(a, b) -> Column:
+    """apoc.coll.subtract — sorted distinct difference."""
+    return F.array_sort(F.array_except(_c(a), _c(b)))
+
+
+def coll_zip_joined(a, b, sep: str = ",") -> Column:
+    """apoc.coll.zip rendered as 'a:b'-joined string (pads nothing —
+    stops at the shorter list, like APOC)."""
+    ca, cb = _c(a), _c(b)
+    n = F.least(F.size(ca), F.size(cb))
+    return F.when(n <= 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat(
+                    F.element_at(ca, i).cast("string"),
+                    F.lit(":"),
+                    F.element_at(cb, i).cast("string"),
+                ),
+            ),
+            sep,
+        )
+    )
+
+
+def coll_frequencies_joined(l) -> Column:
+    """apoc.coll.frequencies rendered as sorted 'item:count' string."""
+    c = _c(l)
+    uniq = F.array_sort(F.array_distinct(c))
+    return F.array_join(
+        F.transform(
+            uniq,
+            lambda u: F.concat(
+                u.cast("string"),
+                F.lit(":"),
+                F.size(F.filter(c, lambda x: x == u)).cast("string"),
+            ),
+        ),
+        ",",
+    )

@@ -162,6 +162,66 @@ def _apoc_version():
     return F.lit(__version__)
 
 
+def _litify(v):
+    """Façade args arrive as parsed Python literals; Columns pass through."""
+    return v if isinstance(v, F.Column) else F.lit(v)
+
+
+def _register_apoc_functions() -> None:
+    """RETURN-position apoc.text.* / apoc.coll.* (functions/apoc.py) —
+    the published function surface of the plugin every reference manifest
+    bundles (calver/coredb/neo4j-plugins.json:3-8)."""
+    from ..functions import apoc as A
+
+    # (impl, n_column_args): the first n args become Column literals
+    # (lists become array literals); the rest stay Python scalars
+    # (delimiters, counts, lookup strings) as the impl signatures expect.
+    mapping: dict[str, tuple] = {
+        "apoc.text.levenshteinDistance": (A.text_levenshtein_distance, 2),
+        "apoc.text.levenshteinSimilarity": (A.text_levenshtein_similarity, 2),
+        "apoc.text.hammingDistance": (A.text_hamming_distance, 2),
+        "apoc.text.capitalize": (A.text_capitalize, 1),
+        "apoc.text.clean": (A.text_clean, 1),
+        "apoc.text.join": (A.text_join, 1),
+        "apoc.text.repeat": (A.text_repeat, 1),
+        "apoc.text.indexOf": (A.text_index_of, 1),
+        "apoc.text.charAt": (A.text_char_at, 1),
+        "apoc.text.swapCase": (A.text_swap_case, 1),
+        "apoc.coll.sum": (A.coll_sum, 1),
+        "apoc.coll.avg": (A.coll_avg, 1),
+        "apoc.coll.min": (A.coll_min, 1),
+        "apoc.coll.max": (A.coll_max, 1),
+        "apoc.coll.toSet": (A.coll_to_set, 1),
+        "apoc.coll.sort": (A.coll_sort, 1),
+        "apoc.coll.contains": (A.coll_contains, 1),
+        "apoc.coll.indexOf": (A.coll_index_of, 1),
+        "apoc.coll.flatten": (A.coll_flatten, 1),
+        "apoc.coll.union": (A.coll_union, 2),
+        "apoc.coll.intersection": (A.coll_intersection, 2),
+        "apoc.coll.subtract": (A.coll_subtract, 2),
+    }
+    for name, (impl, ncols) in mapping.items():
+
+        def make(impl, ncols):
+            def call(*args):
+                cooked = []
+                for i, a in enumerate(args):
+                    if i >= ncols:
+                        cooked.append(a)
+                    elif isinstance(a, list):
+                        cooked.append(F.array(*[_litify(x) for x in a]))
+                    else:
+                        cooked.append(_litify(a))
+                return impl(*cooked)
+
+            return call
+
+        _FUNCTIONS[name] = make(impl, ncols)
+
+
+_register_apoc_functions()
+
+
 # ---- security allowlist (dbms.security.procedures.unrestricted) ---------
 
 

@@ -1,0 +1,74 @@
+"""APOC function library (functions/apoc.py) — unit semantics on literal
+rows, covering the functions the oracle suites don't surface directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docker_neo4j_spark.functions import apoc
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_text_functions(spark):
+    assert _one(spark, apoc.text_levenshtein_distance(F.lit("kitten"), F.lit("sitting"))) == 3
+    assert _one(spark, apoc.text_levenshtein_similarity(F.lit("abc"), F.lit("abc"))) == 1.0
+    assert _one(spark, apoc.text_hamming_distance(F.lit("karolin"), F.lit("kathrin"))) == 3
+    # length difference counts toward hamming
+    assert _one(spark, apoc.text_hamming_distance(F.lit("abc"), F.lit("abcdd"))) == 2
+    assert _one(spark, apoc.text_hamming_distance(F.lit(""), F.lit(""))) == 0
+    assert _one(spark, apoc.text_capitalize(F.lit("hello World"))) == "Hello World"
+    assert _one(spark, apoc.text_clean(F.lit("Hello, World! 42"))) == "helloworld42"
+    assert _one(spark, apoc.text_join(F.array(F.lit("a"), F.lit("b")), "|")) == "a|b"
+    assert _one(spark, apoc.text_repeat(F.lit("ab"), 3)) == "ababab"
+    assert _one(spark, apoc.text_index_of(F.lit("abcd"), "c")) == 2
+    assert _one(spark, apoc.text_index_of(F.lit("abcd"), "z")) == -1
+    assert _one(spark, apoc.text_char_at(F.lit("abc"), 1)) == ord("b")
+    assert _one(spark, apoc.text_swap_case(F.lit("aBc9"))) == "AbC9"
+
+
+def test_coll_functions(spark):
+    l = F.array(*[F.lit(x) for x in (3, 1, 2, 3)])
+    assert _one(spark, apoc.coll_sum(l)) == 9
+    assert _one(spark, apoc.coll_avg(l)) == 2.25
+    assert _one(spark, apoc.coll_min(l)) == 1
+    assert _one(spark, apoc.coll_max(l)) == 3
+    assert _one(spark, apoc.coll_to_set(l)) == [3, 1, 2]
+    assert _one(spark, apoc.coll_sort(l)) == [1, 2, 3, 3]
+    assert _one(spark, apoc.coll_contains(l, 2)) is True
+    assert _one(spark, apoc.coll_index_of(l, 2)) == 2
+    assert _one(spark, apoc.coll_index_of(l, 9)) == -1
+    assert _one(spark, apoc.coll_pairs_joined(l)) == "3-1,1-2,2-3"
+    assert _one(spark, apoc.coll_pairs_joined(F.array(F.lit(7)))) == ""
+    nested = F.array(F.array(F.lit(1), F.lit(2)), F.array(F.lit(3)))
+    assert _one(spark, apoc.coll_flatten(nested)) == [1, 2, 3]
+    b = F.array(F.lit(2), F.lit(4))
+    assert _one(spark, apoc.coll_union(l, b)) == [1, 2, 3, 4]
+    assert _one(spark, apoc.coll_intersection(l, b)) == [2]
+    assert _one(spark, apoc.coll_subtract(l, b)) == [1, 3]
+    assert _one(spark, apoc.coll_zip_joined(l, b)) == "3:2,1:4"
+    assert _one(spark, apoc.coll_zip_joined(F.array().cast("array<int>"), b)) == ""
+    assert _one(spark, apoc.coll_frequencies_joined(l)) == "1:1,2:1,3:2"
+
+
+def test_avg_of_empty_list_is_null(spark):
+    empty = F.array().cast("array<long>")
+    assert _one(spark, apoc.coll_avg(empty)) is None
+
+
+def test_facade_return_apoc_functions(spark):
+    """RETURN-position apoc.* through the Cypher façade's registered
+    scalar-function path (same mechanism as RETURN apoc.version())."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    r = s.run("RETURN apoc.text.clean('Hello, World!') AS c").first()
+    assert r["c"] == "helloworld"
+    r = s.run("RETURN apoc.text.levenshteinDistance('kitten', 'sitting') AS d").first()
+    assert r["d"] == 3
+    r = s.run("RETURN apoc.coll.sum([1, 2, 3]) AS s").first()
+    assert r["s"] == 6
+    r = s.run("RETURN apoc.coll.sort([3, 1, 2]) AS l").first()
+    assert list(r["l"]) == [1, 2, 3]
