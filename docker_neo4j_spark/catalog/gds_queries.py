@@ -211,6 +211,36 @@ def _eigenvector_sql(iterations: int, out_scale: str) -> str:
     return "\n".join(parts)
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel as chained DuckDB CTEs — twin of
+    ``operators/gds.kcore``: symmetric simple projection, then ``rounds``
+    rounds of drop-degree-<k. The Spark side early-exits at the fixpoint;
+    extra unrolled rounds here are no-ops, so both sides agree as long as
+    the peel converges within ``rounds`` (generous: peel depth is the
+    cascade count, single digits on this graph). Integer-only — hash-exact."""
+    parts = [
+        "WITH s0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        f" greatest(src, dst) AS b FROM ({_EDGES}) WHERE src <> dst),",
+        "g0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM s0"
+        " UNION ALL SELECT b, a FROM s0),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT src FROM g{r - 1}"
+            f" GROUP BY src HAVING COUNT(*) >= {k}),"
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT g.src, g.dst FROM g{r - 1} g"
+            f" JOIN k{r} x ON x.src = g.src JOIN k{r} y ON y.src = g.dst),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM g{rounds} GROUP BY src"
+    )
+    return "\n".join(parts)
+
+
 def _lpa_sql(iterations: int) -> str:
     """Unrolled synchronous label propagation as chained DuckDB CTEs — twin
     of ``operators/gds.label_propagation`` on the IN_NATION ∪ IN_REGION
@@ -546,6 +576,16 @@ def gds_pagerank(spark, sf_dir):
     return out.select(
         "id", F.round(F.col("pr") * F.lit(1e6)).cast("long").alias("pr_scaled")
     )
+
+
+@register("gds_kcore", _kcore_sql(4, rounds=20))
+def gds_kcore(spark, sf_dir):
+    """gds.kcore (k=4): members and in-core degrees of the maximal
+    subgraph with min degree 4, via iterative peeling over the
+    undirected simple projection. Oracle: fixed-round unrolled peel
+    (``_kcore_sql``) — integer-only, hash-exact."""
+    g = build_graph(spark, sf_dir)
+    return gds.kcore(g.rels, k=4, max_rounds=20)
 
 
 @register("gds_article_rank", _article_rank_sql(15, out_scale="1e6"))

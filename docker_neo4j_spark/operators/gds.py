@@ -635,6 +635,56 @@ def louvain(
     return comm
 
 
+def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
+    """gds.kcore (fixed k): the maximal subgraph in which every node has
+    degree ≥ k, over the undirected simple projection (dedup +
+    self-loop-free). Returns (id, deg) — members with their degree
+    INSIDE the core subgraph.
+
+    Iterative peeling: drop nodes with degree < k, re-derive degrees,
+    repeat to fixpoint. Each round is one groupBy-count + two semi
+    joins over a monotonically shrinking symmetric edge list — the
+    standard distributed peel (O(peel-depth) rounds, each a pair of
+    equi-joins; never materializes anything bigger than the edge list).
+    Early exit when the edge count stops changing; a fixed-round oracle
+    unrolls the same DP (no-op rounds are no-ops on both sides).
+    """
+    simple = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = _ckpt(
+        simple.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            simple.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    n_edges = sym.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count("*").alias("_d"))
+            .where(F.col("_d") >= k)
+            .select("src")
+        )
+        nxt = _ckpt(
+            sym.join(keep, "src", "left_semi").join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            break
+        sym, n_edges = nxt, n_nxt
+    return sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over an undirected simple graph.
 

@@ -337,3 +337,17 @@ def test_eigenvector_dag_dies_to_zero(spark):
     n = _nodes(spark, [1, 2, 3])
     out = {r["id"]: r["score"] for r in gds.eigenvector(e, n, iterations=10).collect()}
     assert out == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_kcore_peels_cascading_tail(spark):
+    # K4 on {1,2,3,4} plus a pendant path 4-5-6: the 3-core is exactly the
+    # K4 (deg 3 each); 5 and 6 peel in cascading rounds
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    e = _edges(spark, k4 + [(4, 5), (5, 6)])
+    out = {r["id"]: r["deg"] for r in gds.kcore(e, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k larger than any degree -> empty core
+    assert gds.kcore(e, k=10).count() == 0
+    # k=1 keeps everything (simple projection degrees)
+    out1 = {r["id"]: r["deg"] for r in gds.kcore(e, k=1).collect()}
+    assert out1[5] == 2 and out1[6] == 1 and out1[4] == 4
