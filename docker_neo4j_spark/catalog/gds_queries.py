@@ -211,6 +211,64 @@ def _eigenvector_sql(iterations: int, out_scale: str) -> str:
     return "\n".join(parts)
 
 
+def _betweenness_sql(depth: int, out_scale: str) -> str:
+    """Unrolled Brandes betweenness (supplier-sourced, part↔supplier
+    co-supply bipartite graph) as chained DuckDB CTEs — twin of
+    ``operators/gds.betweenness``.
+
+    Forward: per level, frontier ⋈ edges with a visited anti-join and a
+    grouped σ sum (BIGINT — integer-exact path counts). Backward: per
+    level, δ(s,v) = Σ σ(s,v)/σ(s,w)·(1+δ(s,w)) over successors one level
+    deeper. Score = Σ_s δ at depth ≥ 1 (endpoints excluded, raw sums).
+    Output scaled at 1e4 — δ chains sum ~10⁵ doubles, so the coarser
+    granularity keeps cross-engine summation-order noise far below the
+    rounding step (pagerank's 1e6 margin doesn't apply to values this
+    large)."""
+    parts = [
+        "WITH ps AS MATERIALIZED (SELECT DISTINCT"
+        " CAST(5000000000000 + l_partkey AS BIGINT) AS p,"
+        " CAST(4000000000000 + l_suppkey AS BIGINT) AS sp FROM lineitem),",
+        "e AS MATERIALIZED (SELECT p AS src, sp AS dst FROM ps"
+        " UNION ALL SELECT sp, p FROM ps),",
+        "bnodes AS MATERIALIZED (SELECT DISTINCT p AS id FROM ps"
+        " UNION SELECT DISTINCT sp FROM ps),",
+        "bsrc AS MATERIALIZED (SELECT DISTINCT sp AS id FROM ps),",
+        "f0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(1 AS BIGINT) AS sigma FROM bsrc),",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM f0),",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"f{d} AS MATERIALIZED (SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma "
+            f"FROM f{d - 1} p JOIN e ON e.src = p.v "
+            f"LEFT JOIN vis{d - 1} x ON x.s = p.s AND x.v = e.dst "
+            f"WHERE x.s IS NULL GROUP BY p.s, e.dst),"
+        )
+        parts.append(
+            f"vis{d} AS MATERIALIZED (SELECT s, v FROM vis{d - 1}"
+            f" UNION ALL SELECT s, v FROM f{d}),"
+        )
+    parts.append(
+        f"b{depth} AS MATERIALIZED (SELECT s, v, sigma, 0e0 AS delta FROM f{depth}),"
+    )
+    for d in range(depth - 1, -1, -1):
+        parts.append(
+            f"b{d} AS MATERIALIZED (SELECT f.s, f.v, f.sigma, "
+            f"COALESCE(SUM(CAST(f.sigma AS DOUBLE) / w.sigma * (1e0 + w.delta)), 0e0) AS delta "
+            f"FROM f{d} f LEFT JOIN e ON e.src = f.v "
+            f"LEFT JOIN b{d + 1} w ON w.s = f.s AND w.v = e.dst "
+            f"GROUP BY f.s, f.v, f.sigma),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT v, delta FROM b{d}" for d in range(1, depth + 1)
+    )
+    parts.append(f"sc AS (SELECT v, SUM(delta) AS bc FROM ({union}) GROUP BY v)")
+    parts.append(
+        f"SELECT n.id, CAST(ROUND(COALESCE(sc.bc, 0e0) * {out_scale}) AS BIGINT)"
+        f" AS bc_scaled FROM bnodes n LEFT JOIN sc ON sc.v = n.id"
+    )
+    return "\n".join(parts)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peel as chained DuckDB CTEs — twin of
     ``operators/gds.kcore``: symmetric simple projection, then ``rounds``
@@ -575,6 +633,39 @@ def gds_pagerank(spark, sf_dir):
     out = gds.pagerank(g.rels, g.nodes, iterations=15)
     return out.select(
         "id", F.round(F.col("pr") * F.lit(1e6)).cast("long").alias("pr_scaled")
+    )
+
+
+@register("gds_betweenness_cosupply", _betweenness_sql(8, out_scale="1e4"))
+def gds_betweenness_cosupply(spark, sf_dir):
+    """gds.betweenness (Brandes, supplier source set = the gds
+    samplingSize contract) over the part↔supplier co-supply bipartite
+    graph (distinct lineitem pairs, undirected). Raw (un-halved)
+    dependency sums, endpoints excluded.
+
+    Oracle: unrolled forward-σ/backward-δ DP (``_betweenness_sql``) with
+    the same depth cap on both sides, so truncation — if any — is
+    identical."""
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .select(
+            (F.lit(5000000000000) + F.col("l_partkey")).alias("p"),
+            (F.lit(4000000000000) + F.col("l_suppkey")).alias("sp"),
+        )
+        .distinct()
+    )
+    edges = ps.select(F.col("p").alias("src"), F.col("sp").alias("dst"))
+    nodes = ps.select(F.col("p").alias("id")).union(
+        ps.select(F.col("sp").alias("id"))
+    ).distinct()
+    sources = ps.select(F.col("sp").alias("id")).distinct()
+    bc = gds.betweenness(edges, sources, max_depth=8, undirected=True)
+    return nodes.join(bc, "id", "left").select(
+        "id",
+        F.round(F.coalesce(F.col("bc"), F.lit(0.0)) * F.lit(1e4))
+        .cast("long")
+        .alias("bc_scaled"),
     )
 
 

@@ -635,6 +635,110 @@ def louvain(
     return comm
 
 
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 8,
+    undirected: bool = True,
+) -> DataFrame:
+    """gds.betweenness — Brandes' algorithm with an explicit source set
+    (the gds ``samplingSize`` contract: exact when ``sources`` is every
+    node, deterministic sampled estimate otherwise — exact all-pairs is
+    O(V·E) on any engine, so a bounded/landmark source set is the only
+    honest 100 TB shape). Returns (id, bc): Σ over sources s of the
+    dependency δ_s(v), endpoints excluded, raw (un-halved) sums.
+
+    Two BSP sweeps, both level-synchronous with the source dimension in
+    the key (one superstep advances every source's tree at once):
+
+    - forward: per level one edge join + anti-join against visited +
+      groupBy-(source,node) SUM of path counts σ — integer-exact;
+    - backward (deepest level first): δ(s,v) = Σ_{w∈succ(v)}
+      σ(s,v)/σ(s,w) · (1 + δ(s,w)) — per level one join of the level
+      frame with the (cached) edge list and the next level's δ frame.
+
+    State is |sources| × |reached| rows of (s, v, σ) per level — the
+    frames a 1000-executor cluster shuffles are bounded by the walk, not
+    |V|². ``max_depth`` caps both sweeps; an unrolled oracle with the
+    same cap truncates identically, so the pairing stays exact even if
+    the true diameter exceeds the cap.
+    """
+    e = (
+        (undirect(edges) if undirected else edges.select("src", "dst"))
+        .distinct()
+        .repartition("src")
+        .cache()
+    )
+    lvl = _ckpt(
+        sources.select(F.col("id").alias("s")).distinct().select(
+            "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma")
+        )
+    )
+    levels = [lvl]
+    visited = lvl.select("s", "v")
+    for _ in range(max_depth):
+        nxt = _ckpt(
+            lvl.join(e, lvl["v"] == e["src"])
+            .select("s", F.col("dst").alias("v"), "sigma")
+            .join(visited, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "v"))
+        lvl = nxt
+    # backward dependency sweep
+    deltas: list[DataFrame] = [None] * len(levels)
+    deepest = levels[-1]
+    deltas[-1] = deepest.select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+    for d in range(len(levels) - 2, -1, -1):
+        cur, nxt_d = levels[d], deltas[d + 1]
+        succ = (
+            cur.join(e, cur["v"] == e["src"])
+            .select("s", "v", "sigma", F.col("dst").alias("_w"))
+            .join(
+                nxt_d.select(
+                    "s",
+                    F.col("v").alias("_w"),
+                    F.col("sigma").alias("_wsig"),
+                    F.col("delta").alias("_wdelta"),
+                ),
+                ["s", "_w"],
+            )
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.col("sigma").cast("double")
+                    / F.col("_wsig").cast("double")
+                    * (F.lit(1.0) + F.col("_wdelta"))
+                ).alias("_acc")
+            )
+        )
+        deltas[d] = _ckpt(
+            cur.join(succ, ["s", "v"], "left").select(
+                "s",
+                "v",
+                "sigma",
+                F.coalesce(F.col("_acc"), F.lit(0.0)).alias("delta"),
+            )
+        )
+    interior = deltas[1:]  # depth ≥ 1: endpoints (the sources) excluded
+    if not interior:
+        out = sources.select(F.col("id")).distinct().select(
+            "id", F.lit(0.0).alias("bc")
+        )
+        e.unpersist()
+        return out
+    acc = interior[0].select("v", "delta")
+    for fr in interior[1:]:
+        acc = acc.unionByName(fr.select("v", "delta"))
+    out = acc.groupBy(F.col("v").alias("id")).agg(F.sum("delta").alias("bc"))
+    e.unpersist()
+    return out
+
+
 def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
     """gds.kcore (fixed k): the maximal subgraph in which every node has
     degree ≥ k, over the undirected simple projection (dedup +

@@ -351,3 +351,31 @@ def test_kcore_peels_cascading_tail(spark):
     # k=1 keeps everything (simple projection degrees)
     out1 = {r["id"]: r["deg"] for r in gds.kcore(e, k=1).collect()}
     assert out1[5] == 2 and out1[6] == 1 and out1[4] == 4
+
+
+def test_betweenness_path_star_and_cycle(spark):
+    # path 1-2-3, all sources: bc(2) = 2 raw (ordered pairs (1,3),(3,1))
+    e = _edges(spark, [(1, 2), (2, 3)])
+    n = _nodes(spark, [1, 2, 3])
+    out = {r["id"]: r["bc"] for r in gds.betweenness(e, n).collect()}
+    assert out.get(2) == 2.0 and out.get(1, 0.0) == 0.0 and out.get(3, 0.0) == 0.0
+    # star K1,3: center carries all 6 ordered leaf pairs
+    e2 = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    n2 = _nodes(spark, [0, 1, 2, 3])
+    out2 = {r["id"]: r["bc"] for r in gds.betweenness(e2, n2).collect()}
+    assert out2[0] == 6.0
+    # 4-cycle: two equal shortest paths between opposite corners — every
+    # node carries 2 * (1/2 + 1/2) = ... = 1.0 raw each
+    e3 = _edges(spark, [(1, 2), (2, 4), (4, 3), (3, 1)])
+    n3 = _nodes(spark, [1, 2, 3, 4])
+    out3 = {r["id"]: r["bc"] for r in gds.betweenness(e3, n3).collect()}
+    for v in (1, 2, 3, 4):
+        assert abs(out3[v] - 1.0) < 1e-12
+
+
+def test_betweenness_sampled_subset_of_sources(spark):
+    # restricting sources = only those trees' dependencies accumulate
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    out = {r["id"]: r["bc"] for r in gds.betweenness(e, _nodes(spark, [1])).collect()}
+    # from source 1: delta(2) = 2 (targets 3,4), delta(3) = 1 (target 4)
+    assert out[2] == 2.0 and out[3] == 1.0 and out.get(4, 0.0) == 0.0
