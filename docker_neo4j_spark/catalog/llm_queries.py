@@ -739,3 +739,38 @@ def events_asof_join(spark, sf_dir):
     )
     out = asof_join(clicks, purchases, on="ts", by="user_id", value_cols=("value",))
     return out.select("event_id", F.col("value_asof")).orderBy("event_id")
+
+
+@register(
+    "llm_quality_deciles",
+    """
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY bucket
+    """,
+)
+def llm_quality_deciles(spark, sf_dir):
+    """Decile bucketing by document size (curation.ntile_exact): the
+    quality-binning / curriculum primitive, computed as an ANSI-exact
+    NTILE(10) WITHOUT the single-task global window — range repartition +
+    per-partition row_number + broadcast offsets (curation.global_rank),
+    pure integer bucket arithmetic. Oracle: DuckDB's native NTILE over
+    the same total order."""
+    from ..operators.curation import ntile_exact
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    b = ntile_exact(d, ["n_chars", "doc_id"], n_buckets=10)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

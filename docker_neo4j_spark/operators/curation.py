@@ -232,6 +232,74 @@ def domain_cap(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str = "_rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact 1-based global rank over a TOTAL order (include a unique
+    tiebreaker in ``order_cols``) — without the single-task trap of
+    ``Window.orderBy`` with no partition key.
+
+    ``repartitionByRange`` on the order keys (every row in partition i
+    sorts before every row in partition i+1; no ties cross a boundary
+    because the order is total), per-partition ``row_number``, then
+    per-partition counts (one row per partition) become cumulative
+    offsets broadcast back: ``rank = offset[pid] + local_row``. The only
+    full-data movement is the range exchange itself — the same cost any
+    engine pays to rank, spread over all partitions instead of one.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_gr_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=True)  # pin partition placement
+    w = Window.partitionBy("_gr_pid").orderBy(*cols)
+    d = d.withColumn("_gr_lr", F.row_number().over(w))
+    counts = sorted(
+        (r["_gr_pid"], r["_n"])
+        for r in d.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    acc, offsets = 0, []
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = d.sparkSession.createDataFrame(offsets or [(0, 0)], "_gr_pid int, _gr_off long")
+    return (
+        d.join(F.broadcast(off), "_gr_pid")
+        .withColumn(rank_name, F.col("_gr_off") + F.col("_gr_lr"))
+        .drop("_gr_pid", "_gr_lr", "_gr_off")
+    )
+
+
+def ntile_exact(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int = 10,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """SQL-exact NTILE(n) over a total order, scale-safe: bucket sizes
+    differ by at most one with the larger buckets first (the ANSI NTILE
+    contract), computed from ``global_rank`` with pure integer arithmetic
+    — no single-partition window anywhere. The quality-bucketing /
+    curriculum-binning primitive of corpus curation."""
+    total = df.count()
+    base, rem = divmod(total, n_buckets)
+    ranked = global_rank(df, order_cols, rank_name="_nt_rank")
+    big = base + 1  # size of the first `rem` buckets
+    cut = rem * big
+    r0 = F.col("_nt_rank") - 1
+    if base == 0:
+        bucket = r0 + 1  # fewer rows than buckets: bucket == rank
+    else:
+        bucket = (
+            F.when(F.col("_nt_rank") <= cut, F.floor(r0 / big) + 1)
+            .otherwise(F.lit(rem) + F.floor((r0 - cut) / base) + 1)
+        )
+    return ranked.withColumn(bucket_name, bucket.cast("long")).drop("_nt_rank")
+
+
 def hex_thr(frac: float) -> str:
     """16-bit hex-bucket threshold for a keep-fraction. Rounds to the
     nearest bucket (truncation would make e.g. 65535/65536 compare as

@@ -207,3 +207,34 @@ def test_decontaminate_flags_exact_ngram_overlap(spark):
     bench = spark.createDataFrame([(99, words)], "doc_id long, text string")
     out = {r["doc_id"]: r["contaminated"] for r in decontaminate(docs, bench, n=8).collect()}
     assert out == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_global_rank_is_exact_total_order(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    ranked = curation.global_rank(df, ["score", "doc_id"], rank_name="r", num_partitions=7)
+    got = [(r["score"], r["doc_id"], r["r"]) for r in ranked.collect()]
+    expect = sorted((s, d) for d, s in rows)
+    assert sorted(got) == [(s, d, i + 1) for i, (s, d) in enumerate(expect)]
+
+
+def test_ntile_exact_matches_sql_ntile(spark):
+    # 23 rows, 10 buckets: first 3 buckets get 3 rows, the rest 2 (ANSI)
+    df = spark.createDataFrame([(i,) for i in range(23)], "doc_id long")
+    out = curation.ntile_exact(df, ["doc_id"], n_buckets=10)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    df.createOrReplaceTempView("_nt")
+    sql = {
+        r["doc_id"]: r["b"]
+        for r in spark.sql(
+            "SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id) AS b FROM _nt"
+        ).collect()
+    }
+    assert got == sql
+    # fewer rows than buckets: bucket == rank
+    tiny = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    t = {r["doc_id"]: r["bucket"] for r in curation.ntile_exact(tiny, ["doc_id"], 10).collect()}
+    assert t == {1: 1, 2: 2, 3: 3}
