@@ -774,3 +774,30 @@ def llm_quality_deciles(spark, sf_dir):
         F.max("n_chars").cast("long").alias("max_chars"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@register(
+    "llm_chunk_documents",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text,
+           CAST(least(64, len(toks) - i*48) AS BIGINT) AS n_tokens
+    FROM d, UNNEST(range(0,
+      CASE WHEN len(toks) <= 64 THEN 1
+           ELSE (len(toks) - 64 + 47) // 48 + 1 END)) AS t(i)
+    """,
+)
+def llm_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (curation.chunk_documents): 64-token
+    windows, 16-token overlap (stride 48) — map-only generator
+    projection, zero shuffles. Oracle: the same integer window
+    arithmetic over DuckDB list slices."""
+    from ..operators.curation import chunk_documents
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return chunk_documents(d, chunk_tokens=64, overlap=16)

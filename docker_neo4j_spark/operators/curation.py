@@ -232,6 +232,54 @@ def domain_cap(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking: split each document into windows of
+    ``chunk_tokens`` whitespace tokens advancing by ``chunk_tokens -
+    overlap`` — the RAG/embedding-prep primitive. Map-only (split +
+    sequence + transform + posexplode: one generator projection, zero
+    shuffles; 100 TB chunking is embarrassingly parallel and this shape
+    keeps it that way).
+
+    Output (key, chunk_idx, chunk_text, n_tokens); a document shorter
+    than one window yields exactly one chunk. Chunk count =
+    1 + ceil((n - chunk)/stride) in pure integer arithmetic —
+    engine-exact, so the op carries a DuckDB oracle
+    (``llm_chunk_documents``).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # integer ceil via floor: (n-chunk+stride-1) div stride + 1
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1).cast("long")).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / F.lit(stride)).cast("long") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(toks, (i * stride + 1).cast("int"), chunk_tokens), " "
+            ).alias("txt"),
+            F.least(F.lit(chunk_tokens).cast("long"), n - i * stride).alias("nt"),
+        ),
+    )
+    return df.select(
+        key, F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        key,
+        F.col("chunk_idx").cast("long"),
+        F.col("_c.txt").alias("chunk_text"),
+        F.col("_c.nt").alias("n_tokens"),
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list,

@@ -238,3 +238,21 @@ def test_ntile_exact_matches_sql_ntile(spark):
     tiny = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
     t = {r["doc_id"]: r["bucket"] for r in curation.ntile_exact(tiny, ["doc_id"], 10).collect()}
     assert t == {1: 1, 2: 2, 3: 3}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    out = curation.chunk_documents(df, chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"]) for r in out.collect()}
+    # doc 1: stride 2 → starts 0,2,4,6 (8 covers tail: ceil((10-4)/2)+1 = 4 chunks)
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert rows[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert (1, 4) not in rows
+    # short doc: one chunk, actual token count
+    assert rows[(2, 0)] == ("short doc", 2)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        curation.chunk_documents(df, chunk_tokens=4, overlap=4)
