@@ -184,3 +184,60 @@ def test_stratified_sample_is_map_only_plus_order(spark, sf_dir, queries):
     # the presentation ORDER BY, no join or aggregate shuffles
     assert facts.n_exchanges <= 1
     assert facts.n_sort_merge_joins == 0 and facts.n_broadcast_joins == 0
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    from docker_neo4j_spark.operators.curation import chunk_documents
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    facts = audit(chunk_documents(d))
+    # split + sequence + posexplode: a pure generator projection
+    assert facts.n_exchanges == 0
+    assert "Generate" in facts.text
+    assert facts.n_cartesian == 0
+
+
+def test_domain_cap_has_no_single_domain_partition_window(spark, sf_dir):
+    from docker_neo4j_spark.operators.curation import domain_cap
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    facts = audit(domain_cap(d, domain_col="source", key="doc_id", rank_col="n_chars", k=50))
+    # two-phase: phase-1 window keyed by (domain, shard) bounds partition
+    # width; the plan must contain the sharded window partition key
+    assert "_shard" in facts.text
+    assert facts.n_cartesian == 0
+
+
+def test_ntile_exact_no_single_partition_exchange(spark, sf_dir):
+    from docker_neo4j_spark.operators.curation import ntile_exact
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    out = ntile_exact(d, ["n_chars", "doc_id"], n_buckets=10)
+    facts = audit(out)
+    # the global-rank path must never collapse to Exchange SinglePartition
+    # (the trap of Window.orderBy without partitioning); range exchange OK
+    assert "SinglePartition" not in facts.text
+    assert facts.n_cartesian == 0
+
+
+def test_betweenness_forward_level_is_grouped_equijoin(spark, sf_dir):
+    from docker_neo4j_spark.operators import gds
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .select(
+            (F.lit(5000000000000) + F.col("l_partkey")).alias("p"),
+            (F.lit(4000000000000) + F.col("l_suppkey")).alias("sp"),
+        )
+        .distinct()
+    )
+    edges = ps.select(F.col("p").alias("src"), F.col("sp").alias("dst"))
+    sources = ps.select(F.col("sp").alias("id")).distinct()
+    out = gds.betweenness(edges, sources, max_depth=3)
+    facts = audit(out)
+    assert facts.n_cartesian == 0
