@@ -863,6 +863,24 @@ class Session:
             from ..procedures.registry import show_procedures
 
             return show_procedures(self.spark)
+        if head == "SHOW" and q.upper().startswith("SHOW INDEX"):
+            from ..storage.indexes import SHOW_SCHEMA
+
+            return self.spark.createDataFrame(self.store.indexes.rows(), SHOW_SCHEMA)
+        if head == "CREATE" and re.match(
+            r"CREATE\s+(?:RANGE\s+|TEXT\s+|POINT\s+)?INDEX\b", q, re.IGNORECASE
+        ):
+            return self._create_index(q)
+        if head == "DROP" and q.upper().startswith("DROP INDEX"):
+            m = re.match(
+                r"DROP\s+INDEX\s+(?P<name>\w+)(?P<ifx>\s+IF\s+EXISTS)?\s*$",
+                q,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"Unsupported DROP INDEX syntax: {q!r}")
+            self.store.indexes.drop(m.group("name"), if_exists=bool(m.group("ifx")))
+            return self.spark.createDataFrame([], "ok string")
         if head == "ALTER":
             return self._alter_password(q)
         if head == "CALL":
@@ -878,6 +896,40 @@ class Session:
         if head == "MATCH":
             return self._match(q)
         raise ValueError(f"Unsupported Cypher statement: {cypher!r}")
+
+    _CREATE_INDEX_RE = re.compile(
+        r"CREATE\s+(?:(?P<type>RANGE|TEXT|POINT)\s+)?INDEX"
+        r"(?:\s+(?P<name>\w+))?(?P<ine>\s+IF\s+NOT\s+EXISTS)?\s+"
+        r"FOR\s*\(\s*(?P<var>\w+)\s*:\s*(?P<label>\w+)\s*\)\s+"
+        r"ON\s*\(\s*(?P<props>[^)]+)\)\s*$",
+        re.IGNORECASE,
+    )
+
+    def _create_index(self, q: str) -> DataFrame:
+        """``CREATE [RANGE|TEXT|POINT] INDEX [name] [IF NOT EXISTS]
+        FOR (n:Label) ON (n.prop, …)`` — openCypher 5 index DDL. Registers
+        catalog metadata (SHOW INDEXES) and marks the properties for
+        dump-time clustering (storage/indexes.py docstring: parquet
+        row-group min/max pruning is the physical index)."""
+        m = self._CREATE_INDEX_RE.match(q)
+        if not m:
+            raise ValueError(f"Unsupported CREATE INDEX syntax: {q!r}")
+        var = m.group("var")
+        props = []
+        for p in m.group("props").split(","):
+            pm = re.fullmatch(rf"\s*{re.escape(var)}\.(\w+)\s*", p)
+            if not pm:
+                raise ValueError(f"index property must be {var}.<prop>: {p!r}")
+            props.append(pm.group(1))
+        name = m.group("name") or f"index_{m.group('label')}_{'_'.join(props)}"
+        self.store.indexes.create(
+            name,
+            m.group("label"),
+            props,
+            index_type=(m.group("type") or "RANGE").upper(),
+            if_not_exists=bool(m.group("ine")),
+        )
+        return self.spark.createDataFrame([], "ok string")
 
     def _union(self, parts: list[str]) -> DataFrame:
         """``<q> UNION [ALL] <q> ...`` — distinct union of the parts'

@@ -52,6 +52,9 @@ class GraphStore:
         self.graph = graph
         self._node_ids = itertools.count(WRITE_NODE_BASE)
         self._rel_ids = itertools.count(WRITE_REL_BASE)
+        from .indexes import IndexCatalog
+
+        self.indexes = IndexCatalog()
 
     # ---- helpers -------------------------------------------------------
     def _union_missing(self, base: DataFrame, extra: DataFrame) -> DataFrame:
@@ -339,17 +342,30 @@ class GraphStore:
         Hadoop-compatible filesystem, never a driver-local file)."""
         from .. import __version__
 
-        self.graph.nodes.write.mode("overwrite").parquet(f"{path}/nodes")
+        nodes_out = self.graph.nodes
+        # CREATE INDEX's physical side: cluster rows within partitions on
+        # the indexed properties so parquet row-group min/max stats become
+        # selective for lookups on them (see storage/indexes.py)
+        cluster = [
+            c for c in self.indexes.cluster_columns() if c in nodes_out.columns
+        ]
+        if cluster:
+            nodes_out = nodes_out.sortWithinPartitions(*cluster)
+        nodes_out.write.mode("overwrite").parquet(f"{path}/nodes")
         self.graph.rels.write.mode("overwrite").parquet(f"{path}/rels")
+        import json as _json
+
         meta = self.spark.createDataFrame(
             [
                 (
                     self.DUMP_FORMAT_VERSION,
                     __version__,
                     self._schema_hash(self.graph.nodes, self.graph.rels),
+                    _json.dumps(self.indexes.to_json()),
                 )
             ],
-            "format_version int, engine_version string, schema_hash string",
+            "format_version int, engine_version string, schema_hash string,"
+            " indexes string",
         )
         meta.coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
 
@@ -383,6 +399,14 @@ class GraphStore:
                     f"does not match its own data ({expect})"
                 )
         store = cls(spark, PropertyGraph(nodes=nodes, rels=rels))
+        if meta is not None and "indexes" in (meta.asDict() if meta else {}):
+            import json as _json
+
+            from .indexes import IndexCatalog
+
+            raw = meta["indexes"]
+            if raw:
+                store.indexes = IndexCatalog.from_json(_json.loads(raw))
         hi_n = nodes.agg(F.max("id")).first()[0]
         hi_r = rels.agg(F.max("id")).first()[0]
         store._node_ids = itertools.count(max(WRITE_NODE_BASE, (hi_n or 0) + 1))

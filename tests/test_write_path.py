@@ -321,3 +321,40 @@ def test_merge_nodes_batch_laws(spark, b1, b2):
     assert store.match_nodes("T").count() == len(set(b1) | set(b2))
     assert store.merge_nodes("T", df1, ["ck"]) == 0
     assert store.merge_nodes("T", df2, ["ck"]) == 0
+
+
+def test_index_ddl_create_show_drop_and_dump_clustering(spark, tmp_path):
+    """CREATE/SHOW/DROP INDEX through the façade; dump clusters node rows
+    within partitions by the indexed property and the catalog survives
+    dump/load (storage/indexes.py)."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name: 'Arne', age: 4})")
+    s.run("CREATE (b:dog {name: 'Bosse', age: 2})")
+    s.run("CREATE INDEX dog_name FOR (n:dog) ON (n.name)")
+    idx = s.run("SHOW INDEXES").collect()
+    assert [(r["name"], r["state"], r["type"], r["labelsOrTypes"], r["properties"]) for r in idx] == [
+        ("dog_name", "ONLINE", "RANGE", ["dog"], ["name"])
+    ]
+    # duplicate without IF NOT EXISTS refuses; with it, no-op
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        s.run("CREATE INDEX dog_name FOR (n:dog) ON (n.name)")
+    s.run("CREATE INDEX dog_name IF NOT EXISTS FOR (n:dog) ON (n.name)")
+    # dump applies within-partition clustering on the indexed column and
+    # persists the catalog
+    d = str(tmp_path / "dump")
+    s.store.dump(d)
+    re_store = GraphStore.load(spark, d)
+    assert [x.name for x in re_store.indexes.indexes.values()] == ["dog_name"]
+    names = [r["name"] for r in spark.read.parquet(f"{d}/nodes").select("name").collect()]
+    assert sorted(names) == ["Arne", "Bosse"]
+    # drop removes it; IF EXISTS tolerates absence
+    s.run("DROP INDEX dog_name")
+    assert s.run("SHOW INDEXES").count() == 0
+    s.run("DROP INDEX dog_name IF EXISTS")
+    with _pt.raises(Exception):
+        s.run("DROP INDEX dog_name")
