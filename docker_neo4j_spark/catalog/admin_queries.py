@@ -958,3 +958,32 @@ def cypher_reduce(spark, sf_dir):
         "reduce(acc = 0, w IN split(p.p_name, ' ') | acc + size(w)) AS chars "
         "ORDER BY pk"
     )
+
+
+@register(
+    "cypher_index_ddl",
+    """
+    SELECT * FROM (VALUES
+      ('dog_name', 'ONLINE', 'RANGE', 'dog', 'name'),
+      ('dog_age_text', 'ONLINE', 'TEXT', 'dog', 'age')
+    ) AS t(name, state, type, label, prop) ORDER BY name
+    """,
+)
+def cypher_index_ddl(spark, sf_dir):
+    """Index DDL surface: CREATE [TEXT] INDEX … FOR (n:L) ON (n.p), then
+    SHOW INDEXES introspection (storage/indexes.py — catalog metadata +
+    dump-time row-group clustering as the physical index)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name: 'Arne', age: 4})")
+    s.run("CREATE INDEX dog_name FOR (n:dog) ON (n.name)")
+    s.run("CREATE TEXT INDEX dog_age_text IF NOT EXISTS FOR (n:dog) ON (n.age)")
+    out = s.run("SHOW INDEXES")
+    return out.select(
+        "name",
+        "state",
+        "type",
+        F.element_at("labelsOrTypes", 1).alias("label"),
+        F.element_at("properties", 1).alias("prop"),
+    ).orderBy("name")

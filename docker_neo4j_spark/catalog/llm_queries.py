@@ -801,3 +801,42 @@ def llm_chunk_documents(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "llm_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS tc FROM tok GROUP BY token),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             -SUM(ln(CAST(c.tc AS DOUBLE) / (SELECT n FROM total))) / COUNT(*) AS nll
+      FROM tok t JOIN counts c ON c.token = t.token
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           CAST(ROUND(s.nll * 1e3) AS BIGINT) AS nll_milli
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+)
+def llm_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality signal (text.unigram_logprob): mean -ln p(tok)
+    under the corpus's own unigram distribution. Output milli-rounded —
+    ln() is libm-ulp engine-dependent and the per-doc mean sums ~100
+    terms, so 1e3 granularity keeps the noise ~9 orders below the
+    rounding step."""
+    from ..operators.text import unigram_logprob
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = unigram_logprob(d)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("nll") * F.lit(1e3)).cast("long").alias("nll_milli"),
+    )

@@ -857,6 +857,20 @@ class Session:
         union_parts = _split_top(q, "UNION")
         if len(union_parts) > 1:
             return self._union(union_parts)
+        if head in ("EXPLAIN", "PROFILE"):
+            # openCypher EXPLAIN/PROFILE: compile the inner statement and
+            # surface the engine's (physical) plan — here the Catalyst
+            # formatted plan, which is the real execution artifact. One
+            # row per plan line, like the reference's plan table.
+            inner = q[len(head):].strip()
+            df = self.run(inner)
+            from ..plans.audit import formatted_plan
+
+            lines = formatted_plan(df).splitlines()
+            return self.spark.createDataFrame(
+                [(i, ln) for i, ln in enumerate(lines) if ln.strip()],
+                "step long, plan string",
+            )
         if head == "UNWIND":
             return self._standalone_unwind(q)
         if head == "SHOW" and q.upper().startswith("SHOW PROCEDURES"):

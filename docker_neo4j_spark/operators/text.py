@@ -291,3 +291,39 @@ def vocabulary(
     return agg.orderBy(
         F.desc("doc_freq"), F.desc("term_freq"), F.asc("token")
     ).limit(top_k)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram LM — the classic cheap "perplexity" quality signal (docs of
+    rare/garbled tokens score high, formulaic boilerplate scores low).
+
+    Two aggregation passes, both shuffling only on bounded keys:
+    corpus-wide token counts (one groupBy(token) over the exploded
+    frame), then token→count equi-join and a per-doc mean of
+    -ln(count/total). The unigram table is |vocab|-sized — broadcast
+    when it fits; the join key is the token (the same shape as
+    decontamination's n-gram join). Returns (key, n_tokens, nll) with
+    nll = mean -ln p(token); empty docs surface NULL.
+    """
+    tok = df.select(
+        F.col(key),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("_tc"))
+    total = tok.count()
+    scored = tok.join(counts, "token").groupBy(key).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (-F.sum(F.log(F.col("_tc") / F.lit(float(total)))) / F.count("*")).alias("nll"),
+    )
+    return df.select(key).join(scored, key, "left").select(
+        key,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "nll",
+    )

@@ -782,3 +782,15 @@ def test_batch_unwind_delete(session):
             "UNWIND $rows AS r MATCH (c:Box {bid: r.bid}) DELETE c",
             {"rows": [{"bid": 100}]},
         )
+
+
+def test_explain_returns_physical_plan_rows(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name: 'Arne'})-[:SNIFFS]->(b:dog {name: 'Bosse'})")
+    plan = s.run("EXPLAIN MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name")
+    text = "\n".join(r["plan"] for r in plan.collect())
+    assert "Physical Plan" in text or "Join" in text or "Project" in text
+    # PROFILE is accepted as an alias surface
+    assert s.run("PROFILE RETURN 1 AS one").count() > 0

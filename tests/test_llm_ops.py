@@ -343,3 +343,23 @@ def test_asof_join_null_values_and_row_atomicity(spark):
     # and both value columns come from the SAME right row (ts=15 / ts=25)
     assert rows[1] == (None, None)
     assert rows[2] == (None, "c")
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from docker_neo4j_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # only common tokens
+            (2, "the zyzzyva qoph vex"),     # mostly hapaxes
+            (3, ""),                          # empty -> NULL nll
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["nll"] < out[2]["nll"]
+    assert out[3]["n_tokens"] == 0 and out[3]["nll"] is None
+    # exact value check: p(the)=5/8 -> nll(doc1) = -ln(5/8)
+    import math
+
+    assert abs(out[1]["nll"] - (-math.log(5 / 8))) < 1e-12
