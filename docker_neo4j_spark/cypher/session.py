@@ -1281,27 +1281,52 @@ class Session:
         return {v: rows[0][v] for v in vars_}
 
     # ---- CALL ---------------------------------------------------------
+    @staticmethod
+    def _scan_call_args(rest: str) -> tuple[str | None, str]:
+        """Extract a balanced ``( … )`` argument list (quote-aware, so
+        Cypher-string arguments containing parens survive — the
+        apoc.periodic.iterate case); returns (inner_text, remainder)."""
+        if not rest.startswith("("):
+            return None, rest
+        depth, i, n = 0, 0, len(rest)
+        while i < n:
+            ch = rest[i]
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+                if depth == 0:
+                    return rest[1:i], rest[i + 1 :]
+            elif ch in "'\"":
+                j = rest.find(ch, i + 1)
+                i = j if j > 0 else n - 1
+            i += 1
+        raise ValueError(f"Unbalanced parentheses in CALL arguments: {rest!r}")
+
     def _call(self, q: str) -> DataFrame:
         from ..procedures.registry import call
 
+        m0 = re.match(r"CALL\s+(?P<name>[A-Za-z_][\w.]*)\s*", q, re.IGNORECASE)
+        if not m0:
+            raise ValueError(f"Unsupported CALL syntax: {q!r}")
+        raw, rest = self._scan_call_args(q[m0.end():].strip())
         m = re.match(
-            r"CALL\s+(?P<name>[A-Za-z_][\w.]*)\s*(?:\((?P<args>[^)]*)\))?"
-            r"(?:\s+YIELD\s+(?P<yield>[\w\s,]+?))?"
+            r"(?:\s*YIELD\s+(?P<yield>[\w\s,]+?))?"
             r"(?:\s+WHERE\s+(?P<wkey>[\w.]+)\s*=\s*(?P<wval>'[^']*'|\S+))?"
-            r"(?:\s+RETURN\s+(?P<ret>.+))?$",
-            q,
+            r"(?:\s*RETURN\s+(?P<ret>.+))?\s*$",
+            rest,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"Unsupported CALL syntax: {q!r}")
-        name = m.group("name")
+        name = m0.group("name")
         if name == "dbms.changePassword":
-            new = _parse_value(m.group("args").strip())
+            new = _parse_value((raw or "").strip())
             self.dbms.change_password(self.user or "neo4j", self._current_password, new)
             self._current_password = new
             return self.spark.createDataFrame([], "ok string")
         args = {}
-        raw_args = (m.group("args") or "").strip()
+        raw_args = (raw or "").strip()
         if raw_args:
             # bracket-aware split so list literals ([0.1, 0.2]) stay whole
             for i, part in enumerate(_split_top(raw_args, ",")):
@@ -1318,7 +1343,11 @@ class Session:
             args=args or None,
             yield_cols=yield_cols,
             where=where,
-            context={"graph": self.store.graph, "store": self.store},
+            context={
+                "graph": self.store.graph,
+                "store": self.store,
+                "session": self,
+            },
         )
         if m.group("ret"):
             out = out.select([c.strip() for c in m.group("ret").split(",")])

@@ -222,6 +222,58 @@ def _register_apoc_functions() -> None:
 _register_apoc_functions()
 
 
+@procedure(
+    "apoc.periodic.iterate",
+    signature=(
+        "apoc.periodic.iterate(cypherIterate :: STRING, cypherAction :: STRING, "
+        "config :: MAP) :: (batches :: INTEGER, total :: INTEGER, "
+        "committedOperations :: INTEGER, failedBatches :: INTEGER)"
+    ),
+    description="Batched bulk execution: outer query rows drive the inner statement in batches",
+    defaults={"config": None},
+)
+def _periodic_iterate(
+    spark: SparkSession,
+    cypherIterate: str = "",
+    cypherAction: str = "",
+    config: dict | None = None,
+    session=None,
+) -> DataFrame:
+    """``CALL apoc.periodic.iterate(outer, inner, {batchSize})`` — the
+    APOC bulk-update driver. The outer statement's rows stream to the
+    driver in ``batchSize`` slices (APOC itself is driver-batched — this
+    is the published contract, not a Spark anti-pattern: the DATA path
+    stays set-based because the inner statement receives each slice as
+    the ``$rows`` parameter, which the façade routes to the one-join
+    batch write paths — UNWIND $rows MERGE/CREATE/DELETE — so each batch
+    is O(1) Spark jobs, not O(rows)).
+
+    Dialect note (documented divergence): APOC re-binds outer variables
+    per row; here the inner statement uses ``UNWIND $rows AS r`` to
+    access them — same statements a batch-minded APOC user already
+    writes. Returns one row (batches, total, committedOperations,
+    failedBatches).
+    """
+    if session is None:
+        raise ValueError("apoc.periodic.iterate requires a session context")
+    batch_size = int((config or {}).get("batchSize", 1000))
+    outer = session.run(cypherIterate)
+    rows = [r.asDict(recursive=True) for r in outer.toLocalIterator()]
+    batches = committed = failed = 0
+    for i in range(0, len(rows), batch_size):
+        chunk = rows[i : i + batch_size]
+        batches += 1
+        try:
+            session.run(cypherAction, {"rows": chunk})
+            committed += len(chunk)
+        except Exception:
+            failed += 1
+    return spark.createDataFrame(
+        [(batches, len(rows), committed, failed)],
+        "batches long, total long, committedOperations long, failedBatches long",
+    )
+
+
 # ---- security allowlist (dbms.security.procedures.unrestricted) ---------
 
 

@@ -110,3 +110,32 @@ def test_genai_encode_scalar_function(spark):
     b = s.run("RETURN genai.vector.encode('hello')").collect()[0][0]
     c = s.run("RETURN genai.vector.encode('world')").collect()[0][0]
     assert len(a) == 32 and a == b and a != c  # deterministic, input-sensitive
+
+
+def test_periodic_iterate_batched_bulk_update(spark):
+    """apoc.periodic.iterate: outer rows drive the inner batch statement
+    through the set-based write paths, in batchSize slices."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    for i in range(7):
+        s.run(f"CREATE (p:person {{pid: {i}, name: 'p{i}'}})")
+    out = s.run(
+        "CALL apoc.periodic.iterate("
+        "'MATCH (p:person) RETURN p.pid AS pid', "
+        "'UNWIND $rows AS r MERGE (t:tag {pid: r.pid})', "
+        "{batchSize: 3})"
+    ).first()
+    assert out["batches"] == 3          # 3 + 3 + 1
+    assert out["total"] == 7
+    assert out["committedOperations"] == 7
+    assert out["failedBatches"] == 0
+    assert s.run("MATCH (t:tag) RETURN count(*) AS n").first()["n"] == 7
+    # idempotent second run: MERGE creates nothing new
+    s.run(
+        "CALL apoc.periodic.iterate("
+        "'MATCH (p:person) RETURN p.pid AS pid', "
+        "'UNWIND $rows AS r MERGE (t:tag {pid: r.pid})', "
+        "{batchSize: 3})"
+    )
+    assert s.run("MATCH (t:tag) RETURN count(*) AS n").first()["n"] == 7
