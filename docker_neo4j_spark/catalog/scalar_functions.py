@@ -456,3 +456,49 @@ def fn_apoc_coll_suite(spark, sf_dir):
         ).alias("small_keys"),
         F.size(F.filter(F.col("ks"), lambda x: x % 2 == 0)).cast("long").alias("n_even"),
     )
+
+
+@register(
+    "fn_gds_similarity_suite",
+    """
+    WITH pair AS (
+      SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ),
+    folds AS (
+      SELECT vec_id,
+        list_reduce(list_prepend(0.0, list_transform(range(1, len(ea) + 1),
+          i -> ea[i]::DOUBLE * eb[i]::DOUBLE)), (acc, x) -> acc + x) AS dot,
+        list_reduce(list_prepend(0.0, list_transform(range(1, len(ea) + 1),
+          i -> ea[i]::DOUBLE * ea[i]::DOUBLE)), (acc, x) -> acc + x) AS na,
+        list_reduce(list_prepend(0.0, list_transform(range(1, len(eb) + 1),
+          i -> eb[i]::DOUBLE * eb[i]::DOUBLE)), (acc, x) -> acc + x) AS nb,
+        list_reduce(list_prepend(0.0, list_transform(range(1, len(ea) + 1),
+          i -> (ea[i]::DOUBLE - eb[i]::DOUBLE) * (ea[i]::DOUBLE - eb[i]::DOUBLE))),
+          (acc, x) -> acc + x) AS sqdiff
+      FROM pair
+    )
+    SELECT vec_id,
+           CAST(ROUND(dot / greatest(sqrt(na) * sqrt(nb), 1e-12) * 1e6) AS BIGINT) AS cos_micro,
+           CAST(ROUND(sqrt(sqdiff) * 1e6) AS BIGINT) AS dist_micro,
+           CAST(ROUND(1e0 / (1e0 + sqrt(sqdiff)) * 1e6) AS BIGINT) AS euc_micro
+    FROM folds
+    """,
+)
+def fn_gds_similarity_suite(spark, sf_dir):
+    """gds.similarity.* scalar functions (functions/gds.py): cosine /
+    euclideanDistance / euclidean over consecutive embedding pairs —
+    sequential zip_with+aggregate folds, bit-matched against DuckDB
+    list_reduce folds and surfaced as micro-rounded integers."""
+    from ..functions import gds as G
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb"))
+    pair = a.join(b, "vec_id")
+    return pair.select(
+        "vec_id",
+        F.round(G.cosine("ea", "eb") * F.lit(1e6)).cast("long").alias("cos_micro"),
+        F.round(G.euclidean_distance("ea", "eb") * F.lit(1e6)).cast("long").alias("dist_micro"),
+        F.round(G.euclidean("ea", "eb") * F.lit(1e6)).cast("long").alias("euc_micro"),
+    )

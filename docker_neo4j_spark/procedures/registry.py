@@ -218,6 +218,18 @@ def _register_apoc_functions() -> None:
 
         _FUNCTIONS[name] = make(impl, ncols)
 
+    from ..functions import gds as G
+
+    gds_mapping = {
+        "gds.similarity.cosine": (G.cosine, 2),
+        "gds.similarity.euclidean": (G.euclidean, 2),
+        "gds.similarity.euclideanDistance": (G.euclidean_distance, 2),
+        "gds.similarity.jaccard": (G.jaccard, 2),
+        "gds.similarity.overlap": (G.overlap, 2),
+    }
+    for name, (impl, ncols) in gds_mapping.items():
+        _FUNCTIONS[name] = make(impl, ncols)
+
 
 _register_apoc_functions()
 

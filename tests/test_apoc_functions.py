@@ -72,3 +72,26 @@ def test_facade_return_apoc_functions(spark):
     assert r["s"] == 6
     r = s.run("RETURN apoc.coll.sort([3, 1, 2]) AS l").first()
     assert list(r["l"]) == [1, 2, 3]
+
+
+def test_gds_similarity_functions(spark):
+    from docker_neo4j_spark.functions import gds as G
+
+    a = F.array(F.lit(1.0), F.lit(0.0))
+    b = F.array(F.lit(0.0), F.lit(1.0))
+    assert abs(_one(spark, G.cosine(a, a)) - 1.0) < 1e-12
+    assert abs(_one(spark, G.cosine(a, b))) < 1e-6  # orthogonal
+    import math
+
+    assert abs(_one(spark, G.euclidean_distance(a, b)) - math.sqrt(2)) < 1e-12
+    assert abs(_one(spark, G.euclidean(a, a)) - 1.0) < 1e-12
+    sa = F.array(F.lit(1), F.lit(2), F.lit(3))
+    sb = F.array(F.lit(2), F.lit(3), F.lit(4))
+    assert abs(_one(spark, G.jaccard(sa, sb)) - 2 / 4) < 1e-12
+    assert abs(_one(spark, G.overlap(sa, sb)) - 2 / 3) < 1e-12
+    # façade RETURN position
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    r = s.run("RETURN gds.similarity.jaccard([1, 2], [2, 3]) AS j").first()
+    assert abs(r["j"] - 1 / 3) < 1e-12
