@@ -871,6 +871,8 @@ class Session:
                 [(i, ln) for i, ln in enumerate(lines) if ln.strip()],
                 "step long, plan string",
             )
+        if head == "FOREACH":
+            return self._foreach(q)
         if head == "UNWIND":
             return self._standalone_unwind(q)
         if head == "SHOW" and q.upper().startswith("SHOW PROCEDURES"):
@@ -910,6 +912,38 @@ class Session:
         if head == "MATCH":
             return self._match(q)
         raise ValueError(f"Unsupported Cypher statement: {cypher!r}")
+
+    def _foreach(self, q: str) -> DataFrame:
+        """Standalone ``FOREACH (x IN <list> | <update clause>)`` — the
+        openCypher write-iteration clause. The list must be a literal or
+        parameter-substituted literal (the façade substitutes ``$param``
+        before dispatch); each element executes the inner update clause
+        with ``x`` bound, via literal substitution into the existing
+        write paths (CREATE/MERGE/SET/DELETE). Iteration count is the
+        literal's length — a driver loop bounded by the statement text,
+        never by table data (data-driven bulk writes use the UNWIND
+        batch paths instead)."""
+        m = re.match(
+            r"FOREACH\s*\(\s*(?P<var>\w+)\s+IN\s+(?P<list>\[.*?\])\s*\|\s*(?P<body>.+)\)\s*$",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"Unsupported FOREACH syntax: {q!r}")
+        values = _parse_value(m.group("list"))
+        var, body = m.group("var"), m.group("body").strip()
+        for v in values:
+            if isinstance(v, str):
+                lit = "'" + v.replace("'", "\\'") + "'"
+            elif isinstance(v, bool):
+                lit = "true" if v else "false"
+            elif v is None:
+                lit = "null"
+            else:
+                lit = repr(v)
+            stmt = re.sub(rf"\b{re.escape(var)}\b", lit, body)
+            self.run(stmt)
+        return self.spark.createDataFrame([], "ok string")
 
     _CREATE_INDEX_RE = re.compile(
         r"CREATE\s+(?:(?P<type>RANGE|TEXT|POINT)\s+)?INDEX"

@@ -42,6 +42,18 @@ HEAVY = [
     "cypher_optional_chain",
     "write_create_from_match_batch",
     "proc_vector_query_nodes",
+    # round-6 additions: new GDS iteratives + the LLM/stream rows with
+    # join or window shapes worth a 10× cliff check
+    "gds_article_rank",
+    "gds_eigenvector",
+    "gds_kcore",
+    "gds_betweenness_cosupply",
+    "llm_quality_deciles",
+    "llm_chunk_documents",
+    "llm_unigram_logprob",
+    "stream_attribution_join_batch",
+    "fn_apoc_coll_suite",
+    "fn_gds_similarity_suite",
 ]
 
 

@@ -794,3 +794,18 @@ def test_explain_returns_physical_plan_rows(spark):
     assert "Physical Plan" in text or "Join" in text or "Project" in text
     # PROFILE is accepted as an alias surface
     assert s.run("PROFILE RETURN 1 AS one").count() > 0
+
+
+def test_foreach_literal_list_writes(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("FOREACH (x IN [1, 2, 3] | CREATE (:num {v: x}))")
+    assert s.run("MATCH (n:num) RETURN count(*) AS n").first()["n"] == 3
+    vals = sorted(
+        r["n.v"] for r in s.run("MATCH (n:num) RETURN n.v").collect()
+    )
+    assert vals == [1, 2, 3]
+    # parameter-substituted list + string elements
+    s.run("FOREACH (nm IN $names | CREATE (:person {name: nm}))", {"names": ["a", "b"]})
+    assert s.run("MATCH (p:person) RETURN count(*) AS n").first()["n"] == 2
