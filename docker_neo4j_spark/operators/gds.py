@@ -374,10 +374,12 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("pr") - F.col("_old"))))
                 .first()[0]
             )
-            pr = new_pr
+            pr.unpersist()  # new_pr is eagerly checkpointed; old rounds
+            pr = new_pr     # must not pin O(iterations) node-frames
             if delta is not None and delta < tolerance * n_total:
                 break
         else:
+            pr.unpersist()
             pr = new_pr
     e_run.unpersist()
     n.unpersist()
@@ -431,13 +433,15 @@ def article_rank(
     base = 1.0 - damping
     pr = _ckpt(n.select("id", F.lit(1.0).alias("pr")))
     for _ in range(iterations):
-        pr = _ckpt(
+        new_pr = _ckpt(
             pr.join(e_run, pr["id"] == e_run["src"])
             .select(F.col("dst").alias("id"), (F.col("pr") * F.col("_share")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
             .select("id", (F.lit(base) + F.lit(damping) * F.col("c")).alias("pr"))
         )
+        pr.unpersist()
+        pr = new_pr
     e_run.unpersist()
     n.unpersist()
     return pr
@@ -472,6 +476,7 @@ def eigenvector(
     )
     e = edges.select("src", "dst", w.alias("_w")).repartition("src").cache()
     x = _ckpt(nodes.select("id", F.lit(1.0).alias("score")))
+    prev: DataFrame | None = None
     for _ in range(iterations):
         y = _ckpt(
             x.join(e, x["id"] == e["src"])
@@ -480,6 +485,9 @@ def eigenvector(
             .agg(F.sum("m").alias("score"))
         )
         norm = y.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).first()[0]
+        if prev is not None:
+            prev.unpersist()  # y is checkpointed; don't pin every round
+        prev = y
         if norm is None or norm == 0.0:
             x = y.limit(0)  # vector died (DAG ran out of paths): all zeros
             break
@@ -689,17 +697,34 @@ def betweenness(
         levels.append(nxt)
         visited = visited.unionByName(nxt.select("s", "v"))
         lvl = nxt
-    # backward dependency sweep
-    deltas: list[DataFrame] = [None] * len(levels)
-    deepest = levels[-1]
-    deltas[-1] = deepest.select("s", "v", "sigma", F.lit(0.0).alias("delta"))
-    for d in range(len(levels) - 2, -1, -1):
-        cur, nxt_d = levels[d], deltas[d + 1]
+    # Backward dependency sweep, memory-frugal: δ of level d+1 folds into
+    # a running ≤|reached|-row score frame the moment level d's δ is
+    # checkpointed, and the consumed level/δ frames are unpersisted — at
+    # any instant only TWO (s, v, σ[, δ]) level frames are pinned, not
+    # all O(depth) of them (at sf0.1 the per-level frames are 10⁷-row;
+    # retaining the whole stack was measured to exhaust executor memory
+    # when run alongside other cached state). δ at depth 0 (the sources,
+    # endpoint-excluded by Brandes) is never computed at all.
+    if len(levels) == 1:
+        e.unpersist()
+        return sources.select(F.col("id")).distinct().select(
+            "id", F.lit(0.0).alias("bc")
+        )
+
+    def _fold(score: DataFrame | None, delta_frame: DataFrame) -> DataFrame:
+        contrib = delta_frame.select("v", "delta")
+        merged = contrib if score is None else score.unionByName(contrib)
+        return _ckpt(merged.groupBy("v").agg(F.sum("delta").alias("delta")))
+
+    score: DataFrame | None = None
+    delta_next = levels[-1].select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+    for d in range(len(levels) - 2, 0, -1):
+        cur = levels[d]
         succ = (
             cur.join(e, cur["v"] == e["src"])
             .select("s", "v", "sigma", F.col("dst").alias("_w"))
             .join(
-                nxt_d.select(
+                delta_next.select(
                     "s",
                     F.col("v").alias("_w"),
                     F.col("sigma").alias("_wsig"),
@@ -716,7 +741,7 @@ def betweenness(
                 ).alias("_acc")
             )
         )
-        deltas[d] = _ckpt(
+        delta_cur = _ckpt(
             cur.join(succ, ["s", "v"], "left").select(
                 "s",
                 "v",
@@ -724,19 +749,16 @@ def betweenness(
                 F.coalesce(F.col("_acc"), F.lit(0.0)).alias("delta"),
             )
         )
-    interior = deltas[1:]  # depth ≥ 1: endpoints (the sources) excluded
-    if not interior:
-        out = sources.select(F.col("id")).distinct().select(
-            "id", F.lit(0.0).alias("bc")
-        )
-        e.unpersist()
-        return out
-    acc = interior[0].select("v", "delta")
-    for fr in interior[1:]:
-        acc = acc.unionByName(fr.select("v", "delta"))
-    out = acc.groupBy(F.col("v").alias("id")).agg(F.sum("delta").alias("bc"))
+        score = _fold(score, delta_next)  # depth d+1 ≥ 1: interior, counts
+        delta_next.unpersist()
+        levels[d + 1].unpersist()
+        delta_next = delta_cur
+    score = _fold(score, delta_next)  # depth 1
+    delta_next.unpersist()
+    for lv in levels[:2]:
+        lv.unpersist()
     e.unpersist()
-    return out
+    return score.select(F.col("v").alias("id"), F.col("delta").alias("bc"))
 
 
 def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
