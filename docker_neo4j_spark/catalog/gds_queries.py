@@ -232,7 +232,11 @@ def _betweenness_sql(depth: int, out_scale: str) -> str:
         " UNION ALL SELECT sp, p FROM ps),",
         "bnodes AS MATERIALIZED (SELECT DISTINCT p AS id FROM ps"
         " UNION SELECT DISTINCT sp FROM ps),",
-        "bsrc AS MATERIALIZED (SELECT DISTINCT sp AS id FROM ps),",
+        # samplingSize=200 (deterministic lowest-id sample): exact at
+        # sf0.01 (only 100 suppliers exist), bounds the |sources|×|reached|
+        # forward state at larger SFs — the documented gds betweenness
+        # sampling contract
+        "bsrc AS MATERIALIZED (SELECT DISTINCT sp AS id FROM ps ORDER BY id LIMIT 200),",
         "f0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(1 AS BIGINT) AS sigma FROM bsrc),",
         "vis0 AS MATERIALIZED (SELECT s, v FROM f0),",
     ]
@@ -659,7 +663,9 @@ def gds_betweenness_cosupply(spark, sf_dir):
     nodes = ps.select(F.col("p").alias("id")).union(
         ps.select(F.col("sp").alias("id"))
     ).distinct()
-    sources = ps.select(F.col("sp").alias("id")).distinct()
+    sources = (
+        ps.select(F.col("sp").alias("id")).distinct().orderBy("id").limit(200)
+    )
     bc = gds.betweenness(edges, sources, max_depth=8, undirected=True)
     return nodes.join(bc, "id", "left").select(
         "id",

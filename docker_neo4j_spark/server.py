@@ -19,6 +19,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -92,6 +93,23 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 (BaseHTTPRequestHandler API)
         from . import __version__
 
+        # readiness endpoint the reference's wait strategy polls
+        # (WaitStrategies.java:24-28: GET /db/<db>/cluster/available)
+        m = re.match(r"^/db/([^/]+)/cluster/available/?$", self.path)
+        if m:
+            dbms = getattr(self.server.session, "dbms", None)
+            db = m.group(1)
+            stopped = False
+            if dbms is not None:
+                try:
+                    dbms.check_queryable(db)
+                except Exception:
+                    stopped = True
+            if stopped:
+                self._send(404, {"message": f"database {db} is not available"})
+            else:
+                self._send(200, {"available": True, "database": db})
+            return
         # discovery document (what the reference serves on 7474's root)
         self._send(200, {"neo4j_version": __version__, "neo4j_edition": "spark"})
 

@@ -71,12 +71,22 @@ def main() -> int:
         df.limit(1).write.mode("overwrite").format("noop").save()
     build_graph(spark, sf_dir)
 
+    def release_all_rdds() -> None:
+        """Free cached tables AND leaked localCheckpoint blocks between
+        queries — clearCache() alone leaves checkpointed RDDs pinned, so
+        a long stress sequence otherwise measures cumulative leakage, not
+        per-query behavior."""
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in jmap.values():
+            rdd.unpersist()
+
     failures = 0
     for name in names:
         if name not in QUERIES:
             print(f"SKIP  {name}: not registered")
             continue
-        spark.catalog.clearCache()
+        release_all_rdds()
         t0 = time.time()
         try:
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()

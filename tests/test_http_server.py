@@ -94,3 +94,35 @@ def test_http_discovery_and_bad_endpoint(server):
     except urllib.error.HTTPError as ex:
         raised = ex.code == 404
     assert raised
+
+
+def test_http_cluster_available_readiness(spark):
+    """GET /db/<db>/cluster/available — the exact path the reference's
+    wait strategy polls (WaitStrategies.java:24-28): 200 while online,
+    404 after STOP DATABASE, 200 again after START."""
+    import json as _json
+    import urllib.request
+
+    from docker_neo4j_spark.admin import Dbms
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.server import HttpServer
+
+    s = Session(spark)
+    s.dbms = Dbms()
+    srv = HttpServer(s).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/db/neo4j/cluster/available"
+        with urllib.request.urlopen(url) as r:
+            assert r.status == 200
+            assert _json.loads(r.read())["available"] is True
+        s.dbms.stop_database("neo4j")
+        try:
+            urllib.request.urlopen(url)
+            raise AssertionError("expected 404 while stopped")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        s.dbms.start_database("neo4j")
+        with urllib.request.urlopen(url) as r:
+            assert r.status == 200
+    finally:
+        srv.stop()
