@@ -62,6 +62,12 @@ _CHANGED_THIS_ROUND = [
     "events_asof_join",        # struct-based NULL/atomicity fix
     "write_merge_rel_batch",   # façade count fix
     "gds_louvain",             # integer-gain rework + new exact oracle
+    "llm_domain_cap",          # two-phase skew-safe top-k rewrite
+    "gds_pagerank",            # per-round checkpoint release
+    "gds_pagerank_weighted",   # per-round checkpoint release
+    "cypher_call_subquery",    # paren-aware CALL arg scanner
+    "proc_genai_encode_dim",   # paren-aware CALL arg scanner
+    "write_dump_load_counts",  # dump now clusters by indexed columns
 ]
 
 
