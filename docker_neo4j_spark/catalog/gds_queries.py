@@ -273,6 +273,36 @@ def _betweenness_sql(depth: int, out_scale: str) -> str:
     return "\n".join(parts)
 
 
+def _random_walk_sql(steps: int, salt: str) -> str:
+    """Unrolled deterministic random walk — twin of
+    ``operators/gds.random_walk`` over the undirected projection, nation
+    sources: per step one join + ``arg_min(dst, md5(...))`` per walk.
+    The draw is a pure hash function of (salt, step, current, neighbor),
+    so both engines pick the identical neighbor — no RNG anywhere."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT src, dst FROM ({_EDGES})),",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0"
+        " UNION ALL SELECT dst, src FROM e0),",
+        "w0 AS MATERIALIZED (SELECT CAST(2000000000000 + n_nationkey AS BIGINT)"
+        " AS walk_id, CAST(2000000000000 + n_nationkey AS BIGINT) AS id FROM nation),",
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT c.walk_id, "
+            f"arg_min(e.dst, md5('{salt}' || '|' || '{k}' || '|' ||"
+            f" CAST(c.id AS VARCHAR) || '|' || CAST(e.dst AS VARCHAR))) AS id "
+            f"FROM w{k - 1} c JOIN e ON e.src = c.id GROUP BY c.walk_id),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({k} AS BIGINT) AS step, id FROM w{k}"
+        for k in range(0, steps + 1)
+    )
+    parts.append(f"SELECT walk_id, step, id FROM ({union})")
+    return "\n".join(parts)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peel as chained DuckDB CTEs — twin of
     ``operators/gds.kcore``: symmetric simple projection, then ``rounds``
@@ -673,6 +703,17 @@ def gds_betweenness_cosupply(spark, sf_dir):
         .cast("long")
         .alias("bc_scaled"),
     )
+
+
+@register("gds_random_walk", _random_walk_sql(6, salt="walk"))
+def gds_random_walk(spark, sf_dir):
+    """gds.randomWalk (deterministic hash-seeded draws, 6 steps,
+    undirected, one walk per nation). No RNG: next hop = argmin
+    md5(salt|step|cur|neighbor), so the walk is reproducible across
+    runs/engines and carries an exact oracle (``_random_walk_sql``)."""
+    g = build_graph(spark, sf_dir)
+    nations = g.label_frames["Nation"].select("id")
+    return gds.random_walk(g.rels, nations, steps=6, undirected=True)
 
 
 @register("gds_kcore", _kcore_sql(4, rounds=20))

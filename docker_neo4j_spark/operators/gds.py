@@ -643,6 +643,56 @@ def louvain(
     return comm
 
 
+def random_walk(
+    edges: DataFrame,
+    sources: DataFrame,
+    steps: int = 5,
+    salt: str = "walk",
+    undirected: bool = False,
+) -> DataFrame:
+    """gds.randomWalk with a DETERMINISTIC hash-seeded chooser: from each
+    source, ``steps`` hops where the next node is the out-neighbor with
+    the minimum ``md5(salt ‖ step ‖ current ‖ neighbor)`` — a fixed
+    pseudo-random draw that is reproducible across runs, partitionings,
+    and engines (the property RNG-based samplers lack, and what makes
+    this walk ORACLE-checkable: the same argmin is expressible in SQL).
+    Walks stop early at sink nodes. Returns (walk_id, step, id): one row
+    per visited position, walk_id = the source id, step 0 = the source.
+
+    Per step: one frontier⋈edges join + one min_by aggregation keyed on
+    the walk — the frontier is |walks| rows, never more, so a million
+    concurrent walks is a million-row state frame regardless of graph
+    size.
+    """
+    e = (undirect(edges) if undirected else edges.select("src", "dst")).repartition("src").cache()
+    cur = _ckpt(
+        sources.select(F.col("id").alias("walk_id")).distinct().select(
+            "walk_id", F.col("walk_id").alias("id")
+        )
+    )
+    out = [cur.select("walk_id", F.lit(0).cast("long").alias("step"), "id")]
+    for k in range(1, steps + 1):
+        draw = F.md5(
+            F.concat_ws("|", F.lit(salt), F.lit(str(k)), F.col("id"), F.col("dst"))
+        )
+        nxt = _ckpt(
+            cur.join(e, cur["id"] == e["src"])
+            .select("walk_id", "id", "dst", draw.alias("_h"))
+            .groupBy("walk_id")
+            .agg(F.min_by("dst", F.col("_h")).alias("id"))
+        )
+        if nxt.isEmpty():
+            break
+        out.append(nxt.select("walk_id", F.lit(k).cast("long").alias("step"), "id"))
+        cur.unpersist()
+        cur = nxt
+    e.unpersist()
+    acc = out[0]
+    for fr in out[1:]:
+        acc = acc.unionByName(fr)
+    return acc
+
+
 def betweenness(
     edges: DataFrame,
     sources: DataFrame,

@@ -379,3 +379,21 @@ def test_betweenness_sampled_subset_of_sources(spark):
     out = {r["id"]: r["bc"] for r in gds.betweenness(e, _nodes(spark, [1])).collect()}
     # from source 1: delta(2) = 2 (targets 3,4), delta(3) = 1 (target 4)
     assert out[2] == 2.0 and out[3] == 1.0 and out.get(4, 0.0) == 0.0
+
+
+def test_random_walk_deterministic_and_sink_stop(spark):
+    # path 1→2→3: from 1 the only walk is 1,2,3 then stops at the sink
+    e = _edges(spark, [(1, 2), (2, 3)])
+    out = gds.random_walk(e, _nodes(spark, [1]), steps=5)
+    rows = sorted((r["step"], r["id"]) for r in out.collect())
+    assert rows == [(0, 1), (1, 2), (2, 3)]
+    # deterministic: two runs agree exactly; a different salt may diverge
+    e2 = _edges(spark, [(1, 2), (1, 3), (2, 1), (3, 1)])
+    a = sorted(map(tuple, gds.random_walk(e2, _nodes(spark, [1]), steps=4).collect()))
+    b = sorted(map(tuple, gds.random_walk(e2, _nodes(spark, [1]), steps=4).collect()))
+    assert a == b
+    # every step emits exactly one row per live walk
+    n = _nodes(spark, [1, 2, 3])
+    w = gds.random_walk(e2, n, steps=3)
+    per_step = {r["step"]: r["cnt"] for r in w.groupBy("step").agg(F.count("*").alias("cnt")).collect()}
+    assert per_step[0] == 3 and all(v == 3 for v in per_step.values())
