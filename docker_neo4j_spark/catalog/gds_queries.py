@@ -333,14 +333,12 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return "\n".join(parts)
 
 
-def _lpa_sql(iterations: int) -> str:
-    """Unrolled synchronous label propagation as chained DuckDB CTEs — twin
-    of ``operators/gds.label_propagation`` on the IN_NATION ∪ IN_REGION
-    subgraph: most-frequent neighbor label, ties → smallest label. All
-    arithmetic is integer, so equality is exact. Running the full
-    ``iterations`` without the operator's early exit is equivalent: the
-    update is a deterministic function of the labels, so a converged
-    labeling is a fixpoint."""
+def _lpa_parts(iterations: int) -> list[str]:
+    """The unrolled-LPA CTE chain (shared by ``_lpa_sql`` and the
+    modularity/conductance oracles that score the resulting labeling);
+    the final CTE is ``lab{iterations}`` and the undirected doubled edge
+    list is ``e``. Every clause ends with a comma so callers can append
+    further CTEs before the final SELECT."""
     parts = [
         "WITH b AS (",
         "  SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS s,",
@@ -366,9 +364,64 @@ def _lpa_sql(iterations: int) -> str:
             f"lab{k} AS MATERIALIZED (SELECT l.id, COALESCE(b.cand, l.community) AS community "
             f"FROM {p} l LEFT JOIN best{k} b USING (id)),"
         )
+    return parts
+
+
+def _lpa_sql(iterations: int) -> str:
+    """Unrolled synchronous label propagation as chained DuckDB CTEs — twin
+    of ``operators/gds.label_propagation`` on the IN_NATION ∪ IN_REGION
+    subgraph: most-frequent neighbor label, ties → smallest label. All
+    arithmetic is integer, so equality is exact. Running the full
+    ``iterations`` without the operator's early exit is equivalent: the
+    update is a deterministic function of the labels, so a converged
+    labeling is a fixpoint."""
+    parts = _lpa_parts(iterations)
     last = parts.pop().rstrip(",")
     parts.append(last)
     parts.append(f"SELECT id, community FROM lab{iterations}")
+    return "\n".join(parts)
+
+
+def _community_metric_sql(iterations: int, metric: str) -> str:
+    """Modularity / conductance oracle over the unrolled-LPA labeling:
+    reuse ``_lpa_parts`` verbatim, then score lab{k} against the SAME
+    doubled edge list ``e`` with pure integer aggregation (exact across
+    engines); the only division is the final single-step scaled ratio."""
+    parts = _lpa_parts(iterations)
+    parts.append(
+        f"asg AS MATERIALIZED (SELECT id, community FROM lab{iterations}),"
+    )
+    parts.append(
+        "lab AS (SELECT s.community AS cs, t.community AS cd "
+        "FROM e JOIN asg s ON s.id = e.src JOIN asg t ON t.id = e.dst),"
+    )
+    if metric == "modularity":
+        parts.append(
+            "per_c AS (SELECT cs AS community, COUNT(*) AS deg_sum, "
+            "SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS inn FROM lab GROUP BY cs)"
+        )
+        parts.append(
+            "SELECT CAST(SUM(deg_sum) AS BIGINT) AS two_m, "
+            "CAST(SUM(deg_sum) * SUM(inn) - SUM(deg_sum * deg_sum) AS BIGINT) AS q_num, "
+            "CAST(ROUND(CAST(SUM(deg_sum) * SUM(inn) - SUM(deg_sum * deg_sum) AS DOUBLE) "
+            "/ (CAST(SUM(deg_sum) AS DOUBLE) * CAST(SUM(deg_sum) AS DOUBLE)) * 1e6) "
+            "AS BIGINT) AS q_micro "
+            "FROM per_c"
+        )
+    else:
+        parts.append(
+            "per_c AS (SELECT cs AS community, COUNT(*) AS vol, "
+            "SUM(CASE WHEN cs <> cd THEN 1 ELSE 0 END) AS cut FROM lab GROUP BY cs),"
+        )
+        parts.append("tm AS (SELECT SUM(vol) AS two_m FROM per_c)")
+        parts.append(
+            "SELECT community, CAST(cut AS BIGINT) AS cut, CAST(vol AS BIGINT) AS vol, "
+            "CASE WHEN LEAST(vol, (SELECT two_m FROM tm) - vol) > 0 "
+            "THEN CAST(ROUND(CAST(cut AS DOUBLE) "
+            "/ CAST(LEAST(vol, (SELECT two_m FROM tm) - vol) AS DOUBLE) * 1e6) AS BIGINT) "
+            "ELSE 0 END AS phi_micro "
+            "FROM per_c"
+        )
     return "\n".join(parts)
 
 
@@ -1067,3 +1120,95 @@ def gds_harmonic_nations(spark, sf_dir):
         .alias("harmonic_micro")
     )
     return out.orderBy("id")
+
+
+def _hits_sql(iterations: int, out_scale: str) -> str:
+    """Unrolled HITS (Kleinberg hubs & authorities) as chained DuckDB CTEs
+    — twin of ``operators/gds.hits`` over the DIRECTED projection: per
+    round a ← normalize(Aᵀh) then h ← normalize(Aa), both L2. Same
+    double-sum + round-scale tolerance argument as ``_eigenvector_sql``."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst FROM ({_EDGES})),",
+        f"nodes AS MATERIALIZED ({_NODES}),",
+        "h0 AS MATERIALIZED (SELECT id, 1.0e0 AS hub FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"h{k - 1}"
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.hub) AS auth "
+            f"FROM {p} p JOIN e ON e.src = p.id GROUP BY e.dst),"
+        )
+        parts.append(f"an{k} AS (SELECT SQRT(SUM(auth * auth)) AS nrm FROM ar{k}),")
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT id, auth / (SELECT nrm FROM an{k}) "
+            f"AS auth FROM ar{k}),"
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS id, SUM(a.auth) AS hub "
+            f"FROM a{k} a JOIN e ON e.dst = a.id GROUP BY e.src),"
+        )
+        parts.append(f"hn{k} AS (SELECT SQRT(SUM(hub * hub)) AS nrm FROM hr{k}),")
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT id, hub / (SELECT nrm FROM hn{k}) "
+            f"AS hub FROM hr{k}),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"SELECT n.id, "
+        f"CAST(ROUND(COALESCE(h.hub, 0e0) * {out_scale}) AS BIGINT) AS hub_scaled, "
+        f"CAST(ROUND(COALESCE(a.auth, 0e0) * {out_scale}) AS BIGINT) AS auth_scaled "
+        f"FROM nodes n LEFT JOIN h{iterations} h ON h.id = n.id "
+        f"LEFT JOIN a{iterations} a ON a.id = n.id"
+    )
+    return "\n".join(parts)
+
+
+@register("gds_hits", _hits_sql(8, out_scale="1e6"))
+def gds_hits(spark, sf_dir):
+    """gds.alpha.hits over the full FK projection — hubs score order-
+    placing customers / nations, authorities score parts/suppliers/
+    regions (edge heads). Oracle: unrolled alternating power iteration
+    (``_hits_sql``), micro-scaled."""
+    g = build_graph(spark, sf_dir)
+    out = gds.hits(g.rels.select("src", "dst"), g.nodes.select("id"), iterations=8)
+    return out.select(
+        "id",
+        F.round(F.col("hub") * F.lit(1e6)).cast("long").alias("hub_scaled"),
+        F.round(F.col("auth") * F.lit(1e6)).cast("long").alias("auth_scaled"),
+    )
+
+
+def _lpa_subgraph(spark, sf_dir):
+    """The IN_NATION ∪ IN_REGION subgraph + its 6-round LPA labeling —
+    shared input of the community-metric rows (twin of ``_lpa_parts``)."""
+    g = build_graph(spark, sf_dir)
+    edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
+    nodes = (
+        g.label_frames["Customer"].select("id")
+        .unionByName(g.label_frames["Supplier"].select("id"))
+        .unionByName(g.label_frames["Nation"].select("id"))
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    asg = gds.label_propagation(edges, nodes, max_iter=6)
+    return edges, asg
+
+
+@register("gds_modularity_lpa", _community_metric_sql(6, "modularity"))
+def gds_modularity_lpa(spark, sf_dir):
+    """gds.modularity — Newman Q of the 6-round LPA labeling on the
+    nation/region subgraph. Exact: the oracle replays the unrolled-LPA
+    CTE chain then aggregates with pure integer arithmetic
+    (``_community_metric_sql``); q_num = Q·(2m)² is bit-exact, q_micro
+    derives from it with one division."""
+    edges, asg = _lpa_subgraph(spark, sf_dir)
+    return gds.modularity(edges, asg)
+
+
+@register("gds_conductance_lpa", _community_metric_sql(6, "conductance"))
+def gds_conductance_lpa(spark, sf_dir):
+    """gds.conductance — per-community cut/volume of the 6-round LPA
+    labeling; cut and vol are exact integers, phi_micro is one scaled
+    division of them."""
+    edges, asg = _lpa_subgraph(spark, sf_dir)
+    return gds.conductance(edges, asg)

@@ -500,6 +500,79 @@ def eigenvector(
     )
 
 
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 8,
+) -> DataFrame:
+    """gds.alpha.hits — Kleinberg hubs & authorities by alternating power
+    iteration: a ← normalize(Aᵀh), h ← normalize(Aa), from h₀ = 1, both
+    L2-normalized every half-step (the gds hitsIterations semantics).
+    Returns (id, hub, auth) for every node; nodes with no out-edges have
+    hub = 0 exactly, nodes with no in-edges auth = 0 exactly.
+
+    Cost per round: two edge joins + two groupBy-sum shuffles + two scalar
+    norm jobs — the same per-round shape as ``eigenvector`` run twice. The
+    edge frame is joined on ``src`` for the authority step and on ``dst``
+    for the hub step, so it is cached in BOTH partitionings once (at 100 TB
+    two partitioned copies of (src,dst) beat re-shuffling the edge set
+    every half-step; state frames stay (id, score) and broadcast when they
+    fit). On a DAG both vectors stay strictly positive on their support
+    (unlike eigenvector's directed collapse) because each half-step reads
+    the OTHER vector, so no norm-death guard is needed beyond the zero
+    check.
+    """
+    e_src = edges.select("src", "dst").repartition("src").cache()
+    e_dst = edges.select("src", "dst").repartition("dst").cache()
+    h = _ckpt(nodes.select("id", F.lit(1.0).alias("hub")))
+    a = nodes.select("id", F.lit(0.0).alias("auth")).limit(0)
+    prev_h, prev_a = None, None
+    for _ in range(iterations):
+        # authority: a(v) = Σ_{u→v} h(u), then L2-normalize
+        a_raw = _ckpt(
+            h.join(e_src, h["id"] == e_src["src"])
+            .select(F.col("dst").alias("id"), F.col("hub").alias("m"))
+            .groupBy("id")
+            .agg(F.sum("m").alias("auth"))
+        )
+        norm_a = a_raw.agg(F.sqrt(F.sum(F.col("auth") * F.col("auth")))).first()[0]
+        if prev_a is not None:
+            prev_a.unpersist()
+        prev_a = a_raw
+        if norm_a is None or norm_a == 0.0:
+            a = a_raw.limit(0)
+            h = h.limit(0)
+            break
+        a = a_raw.select("id", (F.col("auth") / F.lit(norm_a)).alias("auth"))
+        # hub: h(u) = Σ_{u→v} a(v), then L2-normalize
+        h_raw = _ckpt(
+            a.join(e_dst, a["id"] == e_dst["dst"])
+            .select(F.col("src").alias("id"), F.col("auth").alias("m"))
+            .groupBy("id")
+            .agg(F.sum("m").alias("hub"))
+        )
+        norm_h = h_raw.agg(F.sqrt(F.sum(F.col("hub") * F.col("hub")))).first()[0]
+        if prev_h is not None:
+            prev_h.unpersist()
+        prev_h = h_raw
+        if norm_h is None or norm_h == 0.0:
+            h = h_raw.limit(0)
+            break
+        h = h_raw.select("id", (F.col("hub") / F.lit(norm_h)).alias("hub"))
+    e_src.unpersist()
+    e_dst.unpersist()
+    out = (
+        nodes.select("id")
+        .join(h.withColumnRenamed("hub", "_h"), "id", "left")
+        .join(a.withColumnRenamed("auth", "_a"), "id", "left")
+    )
+    return out.select(
+        "id",
+        F.coalesce("_h", F.lit(0.0)).alias("hub"),
+        F.coalesce("_a", F.lit(0.0)).alias("auth"),
+    )
+
+
 def label_propagation(
     edges: DataFrame, nodes: DataFrame, max_iter: int = 10
 ) -> DataFrame:
@@ -641,6 +714,87 @@ def louvain(
     e.unpersist()
     deg.unpersist()
     return comm
+
+
+def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """gds.modularity — Newman modularity of a community assignment over
+    the UNDIRECTED view of ``edges``: Q = Σ_c [in_c/(2m) − (d_c/(2m))²].
+
+    Returns ONE row ``(two_m, q_num, q_micro)`` where ``q_num`` is the
+    EXACT integer numerator Q·(2m)² = 2m·Σin_c − Σd_c² (in_c counted in
+    the doubled src/dst representation, d_c = Σ degree over the community)
+    — all integer arithmetic, so the value is bit-identical across
+    engines; ``q_micro`` = round(Q·1e6) derives from it with one division.
+
+    Shape at scale: two broadcast-able joins of the (id, community)
+    assignment into the edge list (AQE broadcasts the assignment while it
+    fits; both joins key on an edge endpoint so they pipeline into the
+    same scan) + two groupBy(community) partial aggregates — no all-pairs
+    term anywhere, Σd_c² folds the null model analytically.
+    """
+    e = undirect(edges)
+    asg = assignment.select("id", "community")
+    lab = (
+        e.join(asg.withColumnRenamed("id", "src").withColumnRenamed("community", "_cs"), "src")
+        .join(asg.withColumnRenamed("id", "dst").withColumnRenamed("community", "_cd"), "dst")
+    )
+    per_c = lab.groupBy(F.col("_cs").alias("community")).agg(
+        F.count("*").alias("_deg_sum"),
+        F.sum((F.col("_cs") == F.col("_cd")).cast("long")).alias("_in"),
+    )
+    return per_c.agg(
+        F.sum("_deg_sum").alias("two_m"),
+        (
+            F.sum("_deg_sum") * F.sum("_in")
+            - F.sum(F.col("_deg_sum") * F.col("_deg_sum"))
+        ).alias("q_num"),
+    ).select(
+        F.col("two_m").cast("long").alias("two_m"),
+        F.col("q_num").cast("long").alias("q_num"),
+        F.round(
+            F.col("q_num").cast("double")
+            / (F.col("two_m").cast("double") * F.col("two_m").cast("double"))
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("q_micro"),
+    )
+
+
+def conductance(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """gds.conductance — per-community cut quality over the UNDIRECTED
+    view: φ(c) = cut(c) / min(vol(c), 2m − vol(c)).
+
+    Returns (community, cut, vol, phi_micro): ``cut`` = edges with exactly
+    one endpoint in c, ``vol`` = Σ degree over c (both in the doubled
+    representation, so each undirected cut edge contributes 1 to each
+    side's cut), ``phi_micro`` = round(φ·1e6); communities that contain
+    every edge endpoint (vol = 2m) surface φ = 0 by convention.
+
+    Same two-join + one-aggregate shape as ``modularity`` — assignment
+    broadcast, single groupBy(community) shuffle.
+    """
+    e = undirect(edges)
+    asg = assignment.select("id", "community")
+    lab = (
+        e.join(asg.withColumnRenamed("id", "src").withColumnRenamed("community", "_cs"), "src")
+        .join(asg.withColumnRenamed("id", "dst").withColumnRenamed("community", "_cd"), "dst")
+    )
+    per_c = lab.groupBy(F.col("_cs").alias("community")).agg(
+        F.count("*").alias("vol"),
+        F.sum((F.col("_cs") != F.col("_cd")).cast("long")).alias("cut"),
+    )
+    total = per_c.agg(F.sum("vol").alias("_two_m"))
+    den = F.least(F.col("vol"), F.col("_two_m") - F.col("vol"))
+    return per_c.crossJoin(F.broadcast(total)).select(
+        "community",
+        F.col("cut").cast("long").alias("cut"),
+        F.col("vol").cast("long").alias("vol"),
+        F.when(den > 0, F.round(F.col("cut").cast("double") / den.cast("double") * F.lit(1e6)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("phi_micro"),
+    )
 
 
 def random_walk(

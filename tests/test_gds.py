@@ -397,3 +397,63 @@ def test_random_walk_deterministic_and_sink_stop(spark):
     w = gds.random_walk(e2, n, steps=3)
     per_step = {r["step"]: r["cnt"] for r in w.groupBy("step").agg(F.count("*").alias("cnt")).collect()}
     assert per_step[0] == 3 and all(v == 3 for v in per_step.values())
+
+
+def test_hits_golden_ratio_bipartite(spark):
+    # hubs {1,2} -> authorities {3,4}: 1->3, 1->4, 2->4. The principal
+    # eigenvectors of A^T A / A A^T give auth4/auth3 = hub1/hub2 = phi
+    # (the golden ratio); pure-hub nodes have auth 0 and vice versa.
+    import math
+
+    e = _edges(spark, [(1, 3), (1, 4), (2, 4)])
+    n = _nodes(spark, [1, 2, 3, 4])
+    rows = {r["id"]: (r["hub"], r["auth"]) for r in gds.hits(e, n, iterations=30).collect()}
+    phi = (1 + math.sqrt(5)) / 2
+    assert rows[3][0] == 0.0 and rows[4][0] == 0.0  # no out-edges -> hub 0
+    assert rows[1][1] == 0.0 and rows[2][1] == 0.0  # no in-edges -> auth 0
+    assert abs(rows[4][1] / rows[3][1] - phi) < 1e-6
+    assert abs(rows[1][0] / rows[2][0] - phi) < 1e-6
+    hub_norm = math.sqrt(sum(h * h for h, _ in rows.values()))
+    auth_norm = math.sqrt(sum(a * a for _, a in rows.values()))
+    assert abs(hub_norm - 1.0) < 1e-9 and abs(auth_norm - 1.0) < 1e-9
+
+
+def test_modularity_two_triangles_bridge(spark):
+    # two triangles {1,2,3} and {4,5,6} joined by 3-4; the natural
+    # 2-community split has Q = 70/196 = 0.357142857...
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)])
+    asg = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)], ["id", "community"]
+    )
+    row = gds.modularity(e, asg).collect()[0]
+    assert row["two_m"] == 14
+    assert row["q_num"] == 14 * 12 - (49 + 49)  # 70, exact integers
+    assert row["q_micro"] == 357143
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: Q = m/m - (2m/2m)^2 = 0 exactly
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    asg = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], ["id", "community"])
+    row = gds.modularity(e, asg).collect()[0]
+    assert row["q_num"] == 0 and row["q_micro"] == 0
+
+
+def test_conductance_two_triangles_bridge(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)])
+    asg = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)], ["id", "community"]
+    )
+    rows = {r["community"]: r for r in gds.conductance(e, asg).collect()}
+    # each side: vol 7 (degrees 2+2+3), one cut edge, phi = 1/7
+    for c in (10, 20):
+        assert rows[c]["vol"] == 7 and rows[c]["cut"] == 1
+        assert rows[c]["phi_micro"] == round(1 / 7 * 1e6)
+
+
+def test_conductance_whole_graph_community_zero_denominator(spark):
+    # a community holding every endpoint has vol = 2m -> phi 0 by convention
+    e = _edges(spark, [(1, 2), (2, 3)])
+    asg = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], ["id", "community"])
+    rows = gds.conductance(e, asg).collect()
+    assert len(rows) == 1 and rows[0]["phi_micro"] == 0 and rows[0]["cut"] == 0
