@@ -1212,3 +1212,32 @@ def gds_conductance_lpa(spark, sf_dir):
     division of them."""
     edges, asg = _lpa_subgraph(spark, sf_dir)
     return gds.conductance(edges, asg)
+
+
+@register(
+    "gds_scale_properties",
+    """
+    WITH s AS (
+      SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx, MAX(ABS(c_acctbal)) AS mabs,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM customer)
+    SELECT c_custkey AS id,
+           CAST(ROUND((c_acctbal - mn) / (mx - mn) * 1e6) AS BIGINT) AS minmax_scaled,
+           CAST(ROUND((c_acctbal - sm / n) / (mx - mn) * 1e6) AS BIGINT) AS mean_scaled,
+           CAST(ROUND((c_acctbal - sm / n) / SQRT((s2 - sm * sm / n) / (n - 1)) * 1e6) AS BIGINT) AS stdscore_scaled,
+           CAST(ROUND(LN(c_acctbal - mn + 1) * 1e6) AS BIGINT) AS log_scaled
+    FROM customer, s
+    """,
+)
+def gds_scale_properties(spark, sf_dir):
+    """gds.scaleProperties on customer account balances — minMax, mean,
+    stdScore and log scalers in one pass. μ/σ derive from exact DECIMAL
+    sums (``operators/gds.scale_properties``); the remaining per-row ops
+    are single IEEE operations, so micro-rounded values match the oracle
+    bit-for-bit (LN is the one libm-ulp surface, absorbed by rounding)."""
+    c = load_tables(spark, sf_dir)["customer"].withColumnRenamed("c_custkey", "id")
+    return gds.scale_properties(
+        c, "c_acctbal", scalers=("minmax", "mean", "stdscore", "log")
+    )

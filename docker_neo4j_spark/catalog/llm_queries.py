@@ -840,3 +840,118 @@ def llm_unigram_logprob(spark, sf_dir):
         "n_tokens",
         F.round(F.col("nll") * F.lit(1e3)).cast("long").alias("nll_milli"),
     )
+
+
+@register(
+    "llm_tfidf_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, d.doc_freq,
+             CAST(ROUND(CAST(t.tf AS DOUBLE)
+                        * ln((SELECT n FROM nd) / CAST(d.doc_freq AS DOUBLE))
+                        * 1e3) AS BIGINT) AS score_milli
+      FROM tf t JOIN dfq d USING (token)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_milli DESC, token ASC) AS rn
+      FROM scored)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq, score_milli
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def llm_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (text.tfidf_top_terms): ranked by
+    the milli-rounded score with a token tiebreak — the rounding makes
+    equal-real-score coincidences (2·ln 10 = ln 100) an explicit tie
+    instead of a libm-ulp coin flip."""
+    from ..operators.text import tfidf_top_terms
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return tfidf_top_terms(d, top_k=3)
+
+
+@register(
+    "llm_bm25_search",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+      FROM documents),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT n FROM nd) AS a FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ('vector', 'hash', 'spark') GROUP BY doc_id, token),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    per_term AS (
+      SELECT t.doc_id,
+             ln(1e0 + ((SELECT n FROM nd) - CAST(d.df AS DOUBLE) + 0.5e0)
+                      / (CAST(d.df AS DOUBLE) + 0.5e0))
+             * (CAST(t.tf AS DOUBLE) * 2.2e0)
+             / (CAST(t.tf AS DOUBLE)
+                + 1.2e0 * (0.25e0 + 0.75e0 * CAST(l.dl AS DOUBLE)
+                                    / (SELECT a FROM avgdl))) AS s
+      FROM tf t JOIN dfq d USING (token) JOIN dl l USING (doc_id)),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(ROUND(SUM(s) * 1e3) AS BIGINT) AS score_milli
+      FROM per_term GROUP BY doc_id)
+    SELECT doc_id, n_hits, score_milli FROM scored
+    ORDER BY score_milli DESC, doc_id ASC LIMIT 20
+    """,
+)
+def llm_bm25_search(spark, sf_dir):
+    """BM25 top-20 for the query 'vector hash spark' (text.bm25,
+    k1=1.2 b=0.75): dl/df/N are exact integers, avgdl one division, the
+    per-doc sum spans ≤3 terms — milli-rounding absorbs the float noise.
+    LIMIT carries the (score, doc_id) total order."""
+    from ..operators.text import bm25
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return bm25(d, ["vector", "hash", "spark"], top_k=20)
+
+
+@register(
+    "llm_importance_weights",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+      FROM documents),
+    counts AS (
+      SELECT token,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cb
+      FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS t, CAST(SUM(cb) AS DOUBLE) AS b,
+                   CAST(COUNT(*) AS DOUBLE) AS v FROM counts),
+    scored AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             CAST(ROUND(SUM(
+               ln((CAST(c.ct AS DOUBLE) + 1e0)
+                  / ((SELECT t FROM tot) + (SELECT v FROM tot)))
+               - ln((CAST(c.cb AS DOUBLE) + 1e0)
+                    / ((SELECT b FROM tot) + (SELECT v FROM tot)))
+             ) / COUNT(*) * 1e3) AS BIGINT) AS llr_milli
+      FROM tok t JOIN counts c USING (token) GROUP BY t.doc_id)
+    SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           s.llr_milli
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def llm_importance_weights(spark, sf_dir):
+    """DSIR-style importance weights (text.importance_weights): per-doc
+    mean log-likelihood ratio of the lang='en' target unigram LM vs the
+    background LM, add-1 smoothed — the published importance-resampling
+    selection signal, milli-rounded like the unigram row."""
+    from ..operators.text import importance_weights
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return importance_weights(d, F.col("lang") == "en")

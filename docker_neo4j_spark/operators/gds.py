@@ -797,6 +797,60 @@ def conductance(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     )
 
 
+def scale_properties(
+    df: DataFrame,
+    value_col: str,
+    scalers: tuple[str, ...] = ("minmax",),
+    id_col: str = "id",
+    out_scale: float = 1e6,
+) -> DataFrame:
+    """gds.scaleProperties — per-node feature scaling of ``value_col``.
+
+    Supported scalers (the GDS names): ``minmax`` (x−min)/(max−min),
+    ``mean`` (x−μ)/(max−min), ``max`` x/max|x|, ``stdscore`` (x−μ)/σ,
+    ``log`` ln(x−min+1), ``center`` x−μ. Output: (id, <scaler>_scaled …),
+    one DOUBLE column per requested scaler, each further multiplied by
+    ``out_scale`` and rounded to BIGINT so results are stable across
+    engines (σ and μ derive from exact DECIMAL sums — double-sum ordering
+    across partitions would otherwise make μ run-dependent; the remaining
+    per-row ops are single IEEE operations, deterministic by definition).
+
+    Shape at scale: ONE global aggregate (map-side partial → 1 row) cross
+    joined back as a broadcast literal; the scaling itself is map-only.
+    """
+    x = F.col(value_col).cast("double")
+    dec = F.col(value_col).cast("decimal(18,4)")
+    stats = df.agg(
+        F.min(x).alias("_mn"),
+        F.max(x).alias("_mx"),
+        F.max(F.abs(x)).alias("_mabs"),
+        F.sum(dec).cast("double").alias("_sm"),
+        F.sum(dec * dec).cast("double").alias("_s2"),
+        F.count("*").cast("double").alias("_n"),
+    )
+    mn, mx = F.col("_mn"), F.col("_mx")
+    mean = F.col("_sm") / F.col("_n")
+    var = (F.col("_s2") - F.col("_sm") * F.col("_sm") / F.col("_n")) / (F.col("_n") - 1)
+    exprs = {
+        "minmax": (x - mn) / (mx - mn),
+        "mean": (x - mean) / (mx - mn),
+        "max": x / F.col("_mabs"),
+        "stdscore": (x - mean) / F.sqrt(var),
+        "log": F.log(x - mn + F.lit(1.0)),
+        "center": x - mean,
+    }
+    unknown = [s for s in scalers if s not in exprs]
+    if unknown:
+        raise ValueError(f"unknown scaler(s) {unknown}; choose from {sorted(exprs)}")
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("id"),
+        *[
+            F.round(exprs[s] * F.lit(out_scale)).cast("long").alias(f"{s}_scaled")
+            for s in scalers
+        ],
+    )
+
+
 def random_walk(
     edges: DataFrame,
     sources: DataFrame,

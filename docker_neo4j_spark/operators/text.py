@@ -327,3 +327,164 @@ def unigram_logprob(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "nll",
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: score = tf · ln(N/df), ranked by
+    the MILLI-ROUNDED score (ties → token asc) so the ranking is stable
+    across engines — two distinct (tf, df) pairs can produce the exact
+    same real score (2·ln(10) = ln(100)), and ranking raw doubles there
+    would let a 1-ulp libm difference flip which row survives the cut;
+    ranking the rounded integer makes the tie explicit and the token
+    tiebreak deterministic.
+
+    Shape at scale: explode → groupBy(key, token) [one shuffle] →
+    groupBy(token) doc-freq [bounded |vocab| shuffle, broadcast back] →
+    per-doc top-k window partitioned BY DOCUMENT (never a global sort).
+    Returns (key, token, tf, doc_freq, score_milli), ≤ top_k rows per doc.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(key),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    tf = tok.groupBy(key, "token").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("doc_freq"))
+    n_docs = df.count()
+    scored = tf.join(dfreq, "token").withColumn(
+        "score_milli",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double"))
+            * F.lit(1e3)
+        ).cast("long"),
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("score_milli"), F.asc("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .select(key, "token", "tf", "doc_freq", "score_milli")
+    )
+
+
+def bm25(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    key: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval of ``query_terms`` over the corpus (Robertson &
+    Spärck Jones): score(d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Returns the top_k docs as
+    (key, n_hits, score_milli), ordered score desc / key asc.
+
+    dl and avgdl come from exact integer token counts (avgdl = Σdl/N, one
+    division), df/N are integers — every float enters through the same
+    closed-form expression on both engines, and the per-doc sum spans only
+    |query| terms, so milli-rounding absorbs summation-order noise.
+
+    Shape at scale: the query-term list is a broadcast literal; scoring is
+    explode → semi-join on the ≤|query| term set → groupBy(doc) — the
+    corpus is never globally sorted (top_k sorts the matched set only).
+    """
+    tok = df.select(
+        F.col(key),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    n_docs = df.count()
+    dl = tok.groupBy(key).agg(F.count("*").cast("long").alias("_dl"))
+    avgdl = dl.agg(F.sum("_dl")).first()[0] / float(n_docs)
+    q = [t.lower() for t in query_terms]
+    qtok = tok.where(F.col("token").isin(q))
+    tf = qtok.groupBy(key, "token").agg(F.count("*").cast("long").alias("_tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df").cast("double") + F.lit(0.5))
+        / (F.col("_df").cast("double") + F.lit(0.5))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, key)
+        .select(
+            F.col(key),
+            (
+                idf
+                * (F.col("_tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("_tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+                    )
+                )
+            ).alias("_s"),
+        )
+    )
+    scored = per_term.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.round(F.sum("_s") * F.lit(1e3)).cast("long").alias("score_milli"),
+    )
+    return scored.orderBy(F.desc("score_milli"), F.asc(key)).limit(top_k)
+
+
+def importance_weights(
+    df: DataFrame,
+    target_filter,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, data selection via
+    importance resampling): per-doc mean log-likelihood ratio between the
+    TARGET unigram LM (docs matching ``target_filter``, a boolean Column)
+    and the BACKGROUND LM (all other docs), add-1 smoothed over the joint
+    vocabulary: w(d) = (1/|d|) Σ_{tok∈d} [ln p_t(tok) − ln p_b(tok)].
+    Docs that look like the target distribution score positive and are
+    kept preferentially when resampling. Returns (key, n_tokens,
+    llr_milli); empty docs surface NULL.
+
+    Shape at scale: one explode, two bounded groupBy(token) count tables
+    (broadcast when they fit), one token equi-join back, one groupBy(doc)
+    — identical to ``unigram_logprob`` with a second LM column.
+    """
+    tok = df.select(
+        F.col(key),
+        target_filter.alias("_is_t"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.col("_is_t").cast("long")).cast("long").alias("_ct"),
+        F.sum((~F.col("_is_t")).cast("long")).cast("long").alias("_cb"),
+    )
+    totals = counts.agg(
+        F.sum("_ct").alias("t"), F.sum("_cb").alias("b"), F.count("*").alias("v")
+    ).first()
+    t_tot, b_tot, vocab = float(totals["t"]), float(totals["b"]), float(totals["v"])
+    llr = F.log(
+        (F.col("_ct").cast("double") + F.lit(1.0)) / F.lit(t_tot + vocab)
+    ) - F.log((F.col("_cb").cast("double") + F.lit(1.0)) / F.lit(b_tot + vocab))
+    scored = tok.join(counts, "token").groupBy(key).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.sum(llr) / F.count("*") * F.lit(1e3)).cast("long").alias("llr_milli"),
+    )
+    return df.select(key).join(scored, key, "left").select(
+        key,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "llr_milli",
+    )

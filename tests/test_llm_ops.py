@@ -363,3 +363,60 @@ def test_unigram_logprob_rare_tokens_score_higher(spark):
     import math
 
     assert abs(out[1]["nll"] - (-math.log(5 / 8))) < 1e-12
+
+
+def test_tfidf_top_terms_scores_and_tiebreak(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry apple")],
+        ["doc_id", "text"],
+    )
+    out = tx.tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every term has df=2 over N=3; d1's apple (tf 2) dominates
+    top1 = by_doc[1][0]
+    assert top1["token"] == "apple" and top1["tf"] == 2 and top1["doc_freq"] == 2
+    assert top1["score_milli"] == round(2 * math.log(3 / 2) * 1e3)
+    # d2: banana and cherry tie exactly (tf 1, df 2) -> token asc order
+    assert [r["token"] for r in by_doc[2]] == ["banana", "cherry"]
+
+
+def test_bm25_frequency_and_absence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "filler filler filler filler filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tx.bm25(docs, ["spark"], top_k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids  # no hit -> no row
+    assert ids[0] == 1 and ids[1] == 2  # higher tf ranks first
+    assert all(r["n_hits"] == 1 for r in rows)
+    assert rows[0]["score_milli"] > rows[1]["score_milli"] > 0
+
+
+def test_importance_weights_sign_separates_domains(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha", "en"),
+            (2, "alpha alpha beta", "en"),
+            (3, "beta beta beta", "de"),
+            (4, "beta beta beta", "de"),
+            (5, "", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.importance_weights(docs, F.col("lang") == "en").collect()
+    }
+    # target-looking docs score positive, background-looking negative
+    assert out[1]["llr_milli"] > 0 > out[3]["llr_milli"]
+    assert out[3]["llr_milli"] == out[4]["llr_milli"]  # identical text
+    assert out[5]["n_tokens"] == 0 and out[5]["llr_milli"] is None
