@@ -987,3 +987,28 @@ def cypher_index_ddl(spark, sf_dir):
         F.element_at("labelsOrTypes", 1).alias("label"),
         F.element_at("properties", 1).alias("prop"),
     ).orderBy("name")
+
+
+@register(
+    "cypher_count_subquery",
+    """
+    SELECT n_name AS name,
+           CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)
+              + (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey)
+              AS BIGINT) AS members
+    FROM nation ORDER BY name
+    """,
+)
+def cypher_count_subquery(spark, sf_dir):
+    """Façade ``COUNT { pattern }`` in RETURN position (openCypher 9
+    count subquery): per-nation membership counted by a decorrelated
+    groupBy + left join, zero for match-less anchors."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) RETURN n.n_name AS name, "
+        "COUNT { (n)<-[:IN_NATION]-() } AS members ORDER BY name"
+    )

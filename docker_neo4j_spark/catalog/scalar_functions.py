@@ -502,3 +502,46 @@ def fn_gds_similarity_suite(spark, sf_dir):
         F.round(G.euclidean_distance("ea", "eb") * F.lit(1e6)).cast("long").alias("dist_micro"),
         F.round(G.euclidean("ea", "eb") * F.lit(1e6)).cast("long").alias("euc_micro"),
     )
+
+
+@register(
+    "fn_apoc_map_suite",
+    """
+    SELECT n_name,
+           'id=' || CAST(n_nationkey AS VARCHAR) || ',name=' || n_name
+             || ',region=' || CAST(n_regionkey AS VARCHAR) AS merged_str,
+           'id=' || CAST(n_nationkey * 2 AS VARCHAR)
+             || ',region=' || CAST(n_regionkey AS VARCHAR) AS setkey_str,
+           'id=' || CAST(n_nationkey AS VARCHAR) || ',name=' || n_name AS removed_str,
+           CAST(n_regionkey AS VARCHAR) AS got_region,
+           'missing' AS got_default,
+           'id,region' AS keys_str
+    FROM nation
+    """,
+)
+def fn_apoc_map_suite(spark, sf_dir):
+    """apoc.map.* — fromPairs/merge/setKey/removeKey/get/keys over per-row
+    maps built from nation columns, rendered through the sorted 'k=v'
+    serialization (map columns don't hash across engines; strings do).
+    The oracle constructs the same strings directly, so this checks the
+    Spark map plumbing end-to-end against a closed form."""
+    from ..functions import apoc
+
+    n = load_tables(spark, sf_dir)["nation"]
+    m1 = apoc.map_from_pairs(
+        F.array(F.lit("id"), F.lit("region")),
+        F.array(F.col("n_nationkey").cast("string"), F.col("n_regionkey").cast("string")),
+    )
+    m2 = apoc.map_from_pairs(F.array(F.lit("name")), F.array(F.col("n_name")))
+    merged = apoc.map_merge(m1, m2)
+    return n.select(
+        "n_name",
+        apoc.map_sorted_join(merged).alias("merged_str"),
+        apoc.map_sorted_join(
+            apoc.map_set_key(m1, "id", (F.col("n_nationkey") * 2).cast("string"))
+        ).alias("setkey_str"),
+        apoc.map_sorted_join(apoc.map_remove_key(merged, "region")).alias("removed_str"),
+        apoc.map_get(m1, "region").alias("got_region"),
+        apoc.map_get(m1, "absent", "missing").alias("got_default"),
+        F.array_join(apoc.map_keys_sorted(m1), ",").alias("keys_str"),
+    )

@@ -1639,6 +1639,8 @@ class Session:
         if verb in ("DELETE", "DETACH DELETE"):
             return self._delete_from_binding(tail, bound, elems, detach="DETACH" in verb)
 
+        if re.search(r"\bCOUNT\s*\{", ret, re.IGNORECASE):
+            bound, ret = self._apply_count_subqueries(bound, ret)
         return self._project_match(bound, ret, elems, _frame_resolver(bound))
 
     def _apply_where(self, bound: DataFrame, where_src: str, resolve=None) -> DataFrame:
@@ -1701,6 +1703,67 @@ class Session:
             c = F.col(f"{v}_id") == F.col(f"_pp_{v}")
             cond = c if cond is None else cond & c
         return bound.join(keys, cond, "left_anti" if anti else "left_semi")
+
+    _COUNT_SUB_RE = re.compile(
+        r"COUNT\s*\{\s*(?:MATCH\s+)?(?P<pat>[^{}]+?)\s*\}", re.IGNORECASE | re.DOTALL
+    )
+
+    def _apply_count_subqueries(self, bound: DataFrame, ret: str):
+        """openCypher 9 ``COUNT { pattern }`` in RETURN position: each
+        occurrence becomes a per-binding count column (pattern matches
+        grouped by the anchor ids, left-joined back, absent → 0) and the
+        RETURN text is rewritten to reference it. Pattern-only subqueries
+        (no inner WHERE/RETURN) — the existential-count core.
+
+        Distributes as one aggregate per subquery over the pattern-match
+        frame keyed on the anchor ids + one left join — the same
+        decorrelated shape Catalyst rewrites scalar subqueries into.
+        """
+        while True:
+            m = self._COUNT_SUB_RE.search(ret)
+            if m is None:
+                return bound, ret
+            col = f"_csq{self._anon}"
+            self._anon += 1
+            bound = self._count_pattern(bound, m.group("pat").strip(), col)
+            ret = ret[: m.start()] + col + ret[m.end():]
+
+    def _count_pattern(self, bound: DataFrame, src: str, out_col: str) -> DataFrame:
+        """Left-join the per-anchor match count of a pattern onto ``bound``
+        as ``out_col`` (the COUNT{} compilation; twin of _pattern_filter)."""
+        from ..operators.patterns import NodeSpec, RelSpec, match_chain
+
+        elems, rest = _parse_pattern(src)
+        if rest:
+            raise ValueError(f"trailing content in COUNT subquery: {rest!r}")
+        pattern = []
+        for j, el in enumerate(elems):
+            if isinstance(el, _Node):
+                if not el.var:
+                    el.var = f"_pp{self._anon}"
+                    self._anon += 1
+                pattern.append(NodeSpec(el.var, el.label, el.props or None))
+            else:
+                pattern.append(RelSpec(el.var or f"_ppr{j}", el.rel_type, _direction(el)))
+        join_vars = [
+            el.var
+            for el in elems
+            if isinstance(el, _Node) and f"{el.var}_id" in bound.columns
+        ]
+        if not join_vars:
+            raise ValueError("COUNT subquery must reference a bound variable")
+        sub = match_chain(self.store.graph, pattern)
+        counts = sub.groupBy(
+            [F.col(f"{v}_id").alias(f"_pp_{v}") for v in join_vars]
+        ).agg(F.count("*").cast("long").alias(out_col))
+        cond = None
+        for v in join_vars:
+            c = F.col(f"{v}_id") == F.col(f"_pp_{v}")
+            cond = c if cond is None else cond & c
+        joined = bound.join(counts, cond, "left")
+        return joined.drop(*[f"_pp_{v}" for v in join_vars]).withColumn(
+            out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
+        )
 
     def _set_from_binding(
         self, tail: str, bound: DataFrame, elems: list, remove: bool

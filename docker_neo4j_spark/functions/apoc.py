@@ -220,3 +220,71 @@ def coll_frequencies_joined(l) -> Column:
         ),
         ",",
     )
+
+
+# ---- apoc.map.* ---------------------------------------------------------
+
+
+def map_from_pairs(keys, values) -> Column:
+    """apoc.map.fromPairs / fromLists — build a map from two parallel
+    arrays (the APOC pair-list collapses to this once unzipped)."""
+    return F.map_from_arrays(_c(keys), _c(values))
+
+
+def map_merge(a, b) -> Column:
+    """apoc.map.merge — right side wins on duplicate keys (APOC contract).
+    The left is pre-filtered so the merge never trips Spark's default
+    EXCEPTION dedup policy and stays policy-independent."""
+    left, right = _c(a), _c(b)
+    rk = F.map_keys(right)
+    return F.map_concat(
+        F.map_filter(left, lambda k, _: ~F.array_contains(rk, k)), right
+    )
+
+
+def map_set_key(m, key: str, value) -> Column:
+    """apoc.map.setKey — upsert one entry."""
+    val = value if isinstance(value, Column) else F.lit(value)
+    return F.map_concat(
+        F.map_filter(_c(m), lambda k, _: k != F.lit(key)),
+        F.map_from_arrays(F.array(F.lit(key)), F.array(val)),
+    )
+
+
+def map_remove_key(m, key: str) -> Column:
+    """apoc.map.removeKey."""
+    return F.map_filter(_c(m), lambda k, _: k != F.lit(key))
+
+
+def map_get(m, key: str, default=None) -> Column:
+    """apoc.map.get with a default (APOC throws without one; here the
+    default is surfaced as NULL unless given)."""
+    got = F.element_at(_c(m), F.lit(key))
+    if default is None:
+        return got
+    d = default if isinstance(default, Column) else F.lit(default)
+    return F.coalesce(got, d)
+
+
+def map_keys_sorted(m) -> Column:
+    """apoc.map.keys rendered in sorted order (APOC preserves insertion
+    order; Spark maps are unordered, so a total order is the stable
+    cross-engine rendering)."""
+    return F.array_sort(F.map_keys(_c(m)))
+
+
+def map_sorted_join(m, pair_sep: str = "=", item_sep: str = ",") -> Column:
+    """Render a map as the sorted 'k=v' joined string — the hash-stable
+    serialization every map-valued oracle row goes through (map column
+    types don't sort/hash across engines; strings do)."""
+    return F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(_c(m)),
+                lambda e: F.concat(
+                    e["key"].cast("string"), F.lit(pair_sep), e["value"].cast("string")
+                ),
+            )
+        ),
+        item_sep,
+    )

@@ -95,3 +95,27 @@ def test_gds_similarity_functions(spark):
     s = Session(spark)
     r = s.run("RETURN gds.similarity.jaccard([1, 2], [2, 3]) AS j").first()
     assert abs(r["j"] - 1 / 3) < 1e-12
+
+
+def test_map_family_merge_setkey_remove_get(spark):
+    from docker_neo4j_spark.functions import apoc
+
+    df = spark.createDataFrame([(1, "x")], ["k", "v"])
+    m1 = apoc.map_from_pairs(
+        F.array(F.lit("a"), F.lit("b")), F.array(F.lit("1"), F.lit("2"))
+    )
+    m2 = apoc.map_from_pairs(F.array(F.lit("b")), F.array(F.lit("9")))
+    row = df.select(
+        apoc.map_sorted_join(apoc.map_merge(m1, m2)).alias("merged"),
+        apoc.map_sorted_join(apoc.map_set_key(m1, "a", "7")).alias("set_a"),
+        apoc.map_sorted_join(apoc.map_set_key(m1, "c", "3")).alias("set_new"),
+        apoc.map_sorted_join(apoc.map_remove_key(m1, "a")).alias("removed"),
+        apoc.map_get(m1, "a").alias("got"),
+        apoc.map_get(m1, "zz", "dflt").alias("got_default"),
+        F.array_join(apoc.map_keys_sorted(m1), ",").alias("keys"),
+    ).collect()[0]
+    assert row["merged"] == "a=1,b=9"  # right side wins on duplicate keys
+    assert row["set_a"] == "a=7,b=2" and row["set_new"] == "a=1,b=2,c=3"
+    assert row["removed"] == "b=2"
+    assert row["got"] == "1" and row["got_default"] == "dflt"
+    assert row["keys"] == "a,b"

@@ -809,3 +809,34 @@ def test_foreach_literal_list_writes(spark):
     # parameter-substituted list + string elements
     s.run("FOREACH (nm IN $names | CREATE (:person {name: nm}))", {"names": ["a", "b"]})
     assert s.run("MATCH (p:person) RETURN count(*) AS n").first()["n"] == 2
+
+
+def test_count_subquery_in_return(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    s.run("MATCH (a:dog {name:'Armstrong'}) RETURN a")  # no-op warm read
+    s.run("CREATE (c:dog {name:'Cleo'})")
+    s.run("MATCH (a:dog {name:'Arne'}), (c:dog {name:'Cleo'}) CREATE (a)-[:SNIFFS]->(c)")
+    out = {
+        r["name"]: r["n_sniffed"]
+        for r in s.run(
+            "MATCH (d:dog) RETURN d.name AS name, "
+            "COUNT { (d)-[:SNIFFS]->() } AS n_sniffed"
+        ).collect()
+    }
+    # Arne sniffs two dogs, the others none — absent matches surface 0
+    assert out == {"Arne": 2, "Bosse": 0, "Cleo": 0}
+
+
+def test_count_subquery_mixed_with_scalar_projection(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    rows = s.run(
+        "MATCH (d:dog {name:'Arne'}) RETURN d.name AS name, "
+        "COUNT { (d)-[:SNIFFS]->(:dog) } AS n ORDER BY name"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1
