@@ -1241,3 +1241,63 @@ def gds_scale_properties(spark, sf_dir):
     return gds.scale_properties(
         c, "c_acctbal", scalers=("minmax", "mean", "stdscore", "log")
     )
+
+
+@register(
+    "gds_topological_layers",
+    f"""
+    WITH RECURSIVE e AS (SELECT src, dst FROM ({_EDGES})),
+    nodes AS ({_NODES}),
+    walk(id, d) AS (
+      SELECT id, 0 FROM nodes
+      UNION
+      SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id WHERE w.d < 8
+    )
+    SELECT id, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY id
+    """,
+)
+def gds_topological_layers(spark, sf_dir):
+    """Topological level scheduling over the FK DAG
+    (``operators/gds.topological_layers``): layer = longest path ending
+    at the node (customer→order→part→supplier→nation→region tops out at
+    5). Oracle: recursive-CTE longest-path fold, exact integers."""
+    g = build_graph(spark, sf_dir)
+    return gds.topological_layers(g.rels.select("src", "dst"), g.nodes.select("id"), max_iter=10)
+
+
+@register(
+    "gds_scc_regions",
+    """
+    SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS id,
+           CAST(3000000000000 + c_custkey AS BIGINT) AS component FROM customer
+    UNION ALL
+    SELECT CAST(4000000000000 + s_suppkey AS BIGINT),
+           CAST(4000000000000 + s_suppkey AS BIGINT) FROM supplier
+    UNION ALL
+    SELECT CAST(2000000000000 + n_nationkey AS BIGINT),
+           CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation
+    UNION ALL
+    SELECT CAST(1000000000000 + r_regionkey AS BIGINT),
+           CAST(1000000000000 + r_regionkey AS BIGINT) FROM region
+    """,
+)
+def gds_scc_regions(spark, sf_dir):
+    """gds.scc (FW-BW-MIN peeling) on the membership subgraph with
+    region→nation BACK-edges added: nation↔region cycles collapse each
+    region with its nations into one SCC anchored at the region id (the
+    SCC's min), while the one-way customer/supplier spokes stay
+    singletons — the closed-form the oracle states directly. Two peels:
+    the cyclic cores retire first, the spokes the round after."""
+    g = build_graph(spark, sf_dir)
+    fwd = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
+    back = g.type_frames["IN_REGION"].select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    edges = fwd.unionByName(back)
+    nodes = (
+        g.label_frames["Customer"].select("id")
+        .unionByName(g.label_frames["Supplier"].select("id"))
+        .unionByName(g.label_frames["Nation"].select("id"))
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    return gds.scc(edges, nodes, max_peels=5, max_iter=12)

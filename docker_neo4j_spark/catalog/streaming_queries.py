@@ -151,3 +151,65 @@ def stream_attribution_join_batch(spark, sf_dir):
         ev.where(F.col("event_type") == "purchase"),
         horizon="1 hour",
     )
+
+
+@register(
+    "stream_attribution_left_batch",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+           p.value AS amount
+    FROM events c
+    LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+)
+def stream_attribution_left_batch(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join (attribution with
+    unattributed clicks surfaced as NULL purchases) — on streams the
+    outer rows emit when the watermark proves no match can arrive; the
+    batch twin is a plain left join with the same bounds."""
+    from ..streaming.events import attribution_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        how="left_outer",
+    )
+
+
+@register(
+    "events_funnel_counts",
+    """
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id)
+    SELECT CAST(0 AS BIGINT) AS step_index, 'view' AS step,
+           CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS users
+    UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+    """,
+)
+def events_funnel_counts(spark, sf_dir):
+    """First-touch ordered funnel view→click→purchase
+    (``streaming/events.funnel_counts``): stage k binds the earliest
+    event strictly after stage k−1's binding; per-stage distinct-user
+    counts, exact integers."""
+    from ..streaming.events import funnel_counts
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return funnel_counts(ev, ["view", "click", "purchase"])

@@ -797,6 +797,126 @@ def conductance(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     )
 
 
+def topological_layers(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """DAG topological layering: layer(v) = length of the LONGEST path
+    ending at v (sources sit at 0) — the level-scheduling primitive
+    (which nodes can process in parallel at step k). Returns (id, layer);
+    on a cyclic input the affected nodes simply stop increasing at the
+    iteration cap, so pre-check acyclicity if that matters.
+
+    BSP: one join + groupBy-max per round, rounds = longest-path length
+    (the frontier relaxes one level per superstep, like BFS with max/+1
+    instead of min). State stays (id, layer)."""
+    e = edges.select("src", "dst").repartition("src").cache()
+    lay = _ckpt(nodes.select("id", F.lit(0).cast("long").alias("layer")))
+    for _ in range(max_iter):
+        cand = (
+            lay.join(e, lay["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("layer") + F.lit(1)).alias("_cand"))
+        )
+        new_lay = _ckpt(
+            lay.join(cand, "id", "left").select(
+                "id",
+                F.greatest(F.col("layer"), F.coalesce("_cand", F.lit(0))).alias("layer"),
+            )
+        )
+        changed = new_lay.join(
+            lay.withColumnRenamed("layer", "_old"), "id"
+        ).where(F.col("layer") != F.col("_old"))
+        if changed.isEmpty():
+            lay = new_lay
+            break
+        lay = new_lay
+    e.unpersist()
+    return lay
+
+
+def _min_label_fixpoint(
+    edges: DataFrame, nodes: DataFrame, max_iter: int, out: str
+) -> DataFrame:
+    """Propagate min node id along ``edges`` (src→dst) to a fixpoint:
+    lab(v) = min({v} ∪ {lab(u) : u→v}) — "smallest id that can reach v"
+    when given forward edges, "smallest id v can reach" when given the
+    reversed edge set. One join + groupBy-min shuffle per round."""
+    lab = _ckpt(nodes.select("id", F.col("id").alias(out)))
+    for _ in range(max_iter):
+        cand = (
+            lab.join(edges, lab["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(out).alias("_cand"))
+        )
+        new_lab = _ckpt(
+            lab.join(cand, "id", "left").select(
+                "id", F.least(F.col(out), F.coalesce("_cand", F.col(out))).alias(out)
+            )
+        )
+        changed = new_lab.join(
+            lab.withColumnRenamed(out, "_old"), "id"
+        ).where(F.col(out) != F.col("_old"))
+        if changed.isEmpty():
+            return new_lab
+        lab = new_lab
+    return lab
+
+
+def scc(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_peels: int = 10,
+    max_iter: int = 30,
+) -> DataFrame:
+    """gds.scc — strongly connected components of a DIRECTED graph by
+    FW-BW-MIN peeling (the BSP construction of Slota et al. / Orzan's
+    coloring): per peel, fwd(v) = min id reaching v, bwd(v) = min id v
+    reaches; fwd(v) = bwd(v) = c proves v and c mutually reachable, so
+    those nodes retire with component = c. The global min id of the
+    remaining set always satisfies the condition, so every peel retires
+    ≥1 full SCC and the loop terminates; trivial (singleton) SCCs retire
+    in bulk the round their neighborhoods clear. Returns (id, component),
+    component = min node id of the SCC.
+
+    Scale shape: each peel is two min-label fixpoints (one per edge
+    orientation, diameter-many one-shuffle rounds each) over the LIVE
+    subgraph only — retired components are semi-joined out of the edge
+    set, so dense cores stop paying for the long tail. State is
+    (id, label) throughout; nothing driver-side but empty-checks."""
+    remaining = _ckpt(nodes.select("id"))
+    result: DataFrame | None = None
+    for _ in range(max_peels):
+        if remaining.isEmpty():
+            break
+        er = (
+            edges.select("src", "dst")
+            .join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .cache()
+        )
+        fwd = _min_label_fixpoint(er, remaining, max_iter, "fmin")
+        bwd = _min_label_fixpoint(
+            er.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            remaining,
+            max_iter,
+            "bmin",
+        )
+        done = (
+            fwd.join(bwd, "id")
+            .where(F.col("fmin") == F.col("bmin"))
+            .select("id", F.col("fmin").alias("component"))
+        )
+        done = _ckpt(done)
+        result = done if result is None else result.unionByName(done)
+        remaining = _ckpt(remaining.join(done, "id", "left_anti"))
+        er.unpersist()
+    if result is None:
+        return nodes.select("id", F.col("id").alias("component")).limit(0)
+    # safety cap fallback: anything past max_peels keeps its own id
+    leftover = remaining.select("id", F.col("id").alias("component"))
+    return _ckpt(result.unionByName(leftover))
+
+
 def scale_properties(
     df: DataFrame,
     value_col: str,

@@ -112,6 +112,7 @@ def attribution_join(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched with the same
     user's clicks in the preceding ``horizon`` — the ad-attribution shape
@@ -149,7 +150,12 @@ def attribution_join(
             <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
         )
     )
-    return c.join(p, cond).select(
+    # how="left_outer": unattributed clicks survive with NULL purchase
+    # columns — on streams Spark emits them once the click's watermark
+    # passes click_ts + horizon (state eviction doubles as the "no match
+    # will ever come" proof); on batch it's a plain left join, the twin
+    # the oracle row grades.
+    return c.join(p, cond, how).select(
         "click_id",
         "purchase_id",
         F.col("c_user").alias("user_id"),
@@ -161,6 +167,53 @@ def attribution_join(
         ).alias("gap_us"),
         "amount",
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed step k of
+    ``steps`` STRICTLY AFTER their chosen time for step k−1 (each stage
+    binds the EARLIEST event satisfying the order constraint — the
+    standard first-touch funnel, deterministic because min-of-timestamps
+    needs no tiebreak). Returns (step_index, step, users), one row per
+    step, monotonically non-increasing.
+
+    Scale shape: every stage is one equi-join + groupBy on the user key —
+    the chain stays user-partitioned end to end and never widens past
+    (user, ts); stage k's plan nests k joins (funnel length is small and
+    fixed, so the linear plan depth is fine without checkpoints).
+    """
+    cur = None
+    stages = []
+    for i, s in enumerate(steps):
+        ev = events.where(F.col(type_col) == F.lit(s)).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+        )
+        if cur is None:
+            cur = ev.groupBy("_u").agg(F.min("_t").alias("_prev"))
+        else:
+            cur = (
+                cur.join(ev, "_u")
+                .where(F.col("_t") > F.col("_prev"))
+                .groupBy("_u")
+                .agg(F.min("_t").alias("_prev"))
+            )
+        stages.append(
+            cur.agg(F.count("*").cast("long").alias("users")).select(
+                F.lit(i).cast("long").alias("step_index"),
+                F.lit(s).alias("step"),
+                "users",
+            )
+        )
+    out = stages[0]
+    for st in stages[1:]:
+        out = out.unionByName(st)
+    return out
 
 
 def stateful_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -457,3 +457,27 @@ def test_conductance_whole_graph_community_zero_denominator(spark):
     asg = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], ["id", "community"])
     rows = gds.conductance(e, asg).collect()
     assert len(rows) == 1 and rows[0]["phi_micro"] == 0 and rows[0]["cut"] == 0
+
+
+def test_topological_layers_diamond(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (3, 4), (2, 4), (4, 5)])
+    n = _nodes(spark, [1, 2, 3, 4, 5])
+    out = {r["id"]: r["layer"] for r in gds.topological_layers(e, n).collect()}
+    # longest path, not shortest: 4 sits at 2 via either branch, 5 at 3
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    # cycle {1,2,3} -> 4 -> cycle {5,6}; 7 isolated. Components anchor at
+    # each SCC's min id; the bridge node and the isolate are singletons.
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5)])
+    n = _nodes(spark, [1, 2, 3, 4, 5, 6, 7])
+    out = {r["id"]: r["component"] for r in gds.scc(e, n).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_scc_dag_is_all_singletons(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    n = _nodes(spark, [1, 2, 3])
+    out = {r["id"]: r["component"] for r in gds.scc(e, n).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}

@@ -382,3 +382,43 @@ def test_stream_stream_attribution_join_matches_batch(spark, event_dir):
         for r in spark.table("attrib_join").collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_funnel_counts_order_sensitivity(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 completes in order; user 2 purchases BEFORE clicking
+        (1, "view", base),
+        (1, "click", base + dt.timedelta(minutes=1)),
+        (1, "purchase", base + dt.timedelta(minutes=2)),
+        (2, "view", base),
+        (2, "purchase", base + dt.timedelta(minutes=1)),
+        (2, "click", base + dt.timedelta(minutes=2)),
+        (3, "view", base),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    from docker_neo4j_spark.streaming.events import funnel_counts
+
+    out = {r["step"]: r["users"] for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_attribution_left_outer_emits_unmatched_clicks(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    clicks = spark.createDataFrame(
+        [(1, base, 10, "click", 0.0), (2, base + dt.timedelta(hours=3), 10, "click", 0.0)],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    purchases = spark.createDataFrame(
+        [(9, base + dt.timedelta(minutes=30), 10, "purchase", 5.0)],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    from docker_neo4j_spark.streaming.events import attribution_join
+
+    out = {r["click_id"]: r for r in attribution_join(clicks, purchases, how="left_outer").collect()}
+    assert out[1]["purchase_id"] == 9 and out[1]["gap_us"] == 30 * 60 * 1_000_000
+    assert out[2]["purchase_id"] is None and out[2]["amount"] is None
