@@ -955,3 +955,44 @@ def llm_importance_weights(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return importance_weights(d, F.col("lang") == "en")
+
+
+@register(
+    "llm_bloom_membership",
+    """
+    WITH bkeys AS (
+      SELECT text AS key FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    pos AS (
+      SELECT (CAST(CONCAT('0x', substr(md5(key || '#' || CAST(i AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 65536) AS pos
+      FROM bkeys, range(5) t(i)),
+    bloom AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+      FROM pos GROUP BY 1),
+    ppos AS (
+      SELECT doc_id,
+             (CAST(CONCAT('0x', substr(md5(text || '#' || CAST(i AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 65536) AS pos
+      FROM documents, range(5) t(i)),
+    hits AS (
+      SELECT p.doc_id, COUNT(*) AS c
+      FROM ppos p JOIN bloom b ON b.word = p.pos // 32
+      WHERE (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) <> 0
+      GROUP BY p.doc_id)
+    SELECT d.doc_id, COALESCE(h.c, 0) = 5 AS hit
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def llm_bloom_membership(spark, sf_dir):
+    """Bloom-filter seen-set membership (dedup.bloom_build/bloom_probe):
+    the filter built over sources src0-2 is a ≤2048-row broadcast bitmap;
+    probing the whole corpus is map-side hashing + a broadcast lookup.
+    Every build-set doc hits (no false negatives); the md5-derived hash
+    family makes false positives identical across engines, so the row is
+    exact, not statistical."""
+    from ..operators.dedup import bloom_build, bloom_probe
+
+    d = load_tables(spark, sf_dir)["documents"]
+    bloom = bloom_build(d.where(F.col("source").isin("src0", "src1", "src2")))
+    return bloom_probe(d, bloom)

