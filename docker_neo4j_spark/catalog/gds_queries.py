@@ -1301,3 +1301,35 @@ def gds_scc_regions(spark, sf_dir):
         .unionByName(g.label_frames["Region"].select("id"))
     )
     return gds.scc(edges, nodes, max_peels=5, max_iter=12)
+
+
+@register(
+    "gds_degree_weighted",
+    f"""
+    WITH e AS ({_EDGES})
+    SELECT src AS id,
+           CAST(COUNT(*) AS BIGINT) AS out_degree,
+           CAST(SUM(w) AS BIGINT) AS weighted_degree
+    FROM e GROUP BY src
+    """,
+)
+def gds_degree_weighted(spark, sf_dir):
+    """gds.degree with relationshipWeightProperty — out-degree and
+    quantity-weighted degree in one pass (integer weights, exact). One
+    groupBy(src) partial-aggregate shuffle; the map side combines before
+    the exchange, so the shuffle carries ≤|nodes| rows, not |edges|."""
+    g = build_graph(spark, sf_dir)
+    w = (
+        F.when(
+            F.col("type").isin("CONTAINS", "SUPPLIED_BY"), F.col("l_quantity").cast("long")
+        )
+        .otherwise(F.lit(1))
+    )
+    return (
+        g.rels.select("src", w.alias("_w"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.count("*").cast("long").alias("out_degree"),
+            F.sum("_w").cast("long").alias("weighted_degree"),
+        )
+    )

@@ -996,3 +996,44 @@ def llm_bloom_membership(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     bloom = bloom_build(d.where(F.col("source").isin("src0", "src1", "src2")))
     return bloom_probe(d, bloom)
+
+
+@register(
+    "llm_curation_pipeline",
+    """
+    WITH kept AS (SELECT * FROM documents WHERE n_chars >= 100),
+    canon AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM kept),
+    ded AS (SELECT doc_id, lang FROM canon WHERE rn = 1),
+    sp AS (
+      SELECT lang,
+             CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       < 'e666' THEN 'train'
+                  WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       < 'f333' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ded)
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sp GROUP BY split, lang
+    """,
+)
+def llm_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition in ONE lazy DAG: length filter →
+    exact dedup (md5-canonical keep-lowest-id) → deterministic hash
+    split → per-(split, lang) counts. The point of the row is
+    composability: three catalog operators chain without materialization
+    barriers, and Catalyst still pushes the n_chars filter into the scan.
+    Thresholds 0.9/0.05 are the hash_split defaults (hex 'e666'/'f333')."""
+    from ..operators.curation import hash_split
+    from ..operators.dedup import exact_dedup
+
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("n_chars") >= 100)
+    keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    ded = d.join(keep, "doc_id", "left_semi")
+    return (
+        hash_split(ded)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
