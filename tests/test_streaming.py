@@ -371,10 +371,15 @@ def test_stream_stream_attribution_join_matches_batch(spark, event_dir):
     )
 
     stream = read_event_stream(spark, event_dir)
+    # the fixture's 4 files are HASH-partitioned, not time-ordered, so a
+    # micro-batch can carry rows older than the watermark advanced by an
+    # earlier batch; a watermark wider than the fixture's 2-day span keeps
+    # the parity deterministic (drop behavior is covered by the dedup test)
     s = attribution_join(
         stream.where(F.col("event_type") == "click"),
         stream.where(F.col("event_type") == "purchase"),
         horizon="24 hours",
+        watermark="10 days",
     )
     run_stream_to_memory(s, "attrib_join", output_mode="append")
     got = sorted(
