@@ -68,6 +68,7 @@ _CHANGED_THIS_ROUND = [
     "cypher_call_subquery",    # paren-aware CALL arg scanner
     "proc_genai_encode_dim",   # paren-aware CALL arg scanner
     "write_dump_load_counts",  # dump now clusters by indexed columns
+    "proc_show_procedures",    # registry grew apoc.periodic.iterate; oracle updated
 ]
 
 

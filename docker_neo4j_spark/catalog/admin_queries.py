@@ -715,6 +715,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     "proc_show_procedures",
     """
     SELECT 'apoc.export.csv.all' AS name
+    UNION ALL SELECT 'apoc.periodic.iterate'
     UNION ALL SELECT 'db.index.vector.queryNodes'
     UNION ALL SELECT 'db.labels'
     UNION ALL SELECT 'dbms.listConfig'

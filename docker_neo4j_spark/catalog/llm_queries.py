@@ -1037,3 +1037,35 @@ def llm_curation_pipeline(spark, sf_dir):
         .groupBy("split", "lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+@register(
+    "llm_domain_kl",
+    """
+    WITH tok AS (
+      SELECT source AS domain,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+      FROM documents),
+    dc AS (SELECT domain, token, COUNT(*) AS cd FROM tok GROUP BY domain, token),
+    cc AS (SELECT token, SUM(cd) AS c FROM dc GROUP BY token),
+    dt AS (SELECT domain, SUM(cd) AS td FROM dc GROUP BY domain),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v FROM cc),
+    per_term AS (
+      SELECT dc.domain, dt.td,
+             ((CAST(dc.cd AS DOUBLE) + 1e0) / (CAST(dt.td AS DOUBLE) + (SELECT v FROM tot)))
+             * ln(((CAST(dc.cd AS DOUBLE) + 1e0) / (CAST(dt.td AS DOUBLE) + (SELECT v FROM tot)))
+                  / ((CAST(cc.c AS DOUBLE) + 1e0) / ((SELECT t FROM tot) + (SELECT v FROM tot)))) AS kl
+      FROM dc JOIN cc USING (token) JOIN dt USING (domain))
+    SELECT domain, CAST(MIN(td) AS BIGINT) AS n_tokens,
+           CAST(ROUND(SUM(kl) * 1e3) AS BIGINT) AS kl_milli
+    FROM per_term GROUP BY domain
+    """,
+)
+def llm_domain_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram blend
+    (text.domain_kl) — the mixing diagnostic; integer counts through one
+    closed-form float expression, milli-rounded like the unigram row."""
+    from ..operators.text import domain_kl
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return domain_kl(d)

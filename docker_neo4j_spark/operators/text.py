@@ -488,3 +488,47 @@ def importance_weights(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "llr_milli",
     )
+
+
+def domain_kl(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain KL divergence from the corpus unigram distribution:
+    KL(p_d ‖ p) = Σ_w p_d(w)·ln(p_d(w)/p(w)), add-1 smoothed over the
+    corpus vocabulary — the data-mixing diagnostic that ranks how far
+    each source drifts from the blend (near-duplicate domains score ~0,
+    specialist domains score high). Returns (domain, n_tokens, kl_milli).
+
+    Shape at scale: one explode → one groupBy(domain, token) count → one
+    groupBy(token) corpus count (broadcast back) → one groupBy(domain)
+    fold. The |domains|×|vocab| term table is the only wide frame and it
+    aggregates immediately; nothing is ever collected.
+    """
+    tok = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    dc = tok.groupBy("domain", "token").agg(F.count("*").cast("long").alias("_cd"))
+    cc = dc.groupBy("token").agg(F.sum("_cd").alias("_c"))
+    d_tot = dc.groupBy("domain").agg(F.sum("_cd").alias("_td"))
+    totals = cc.agg(F.sum("_c").alias("t"), F.count("*").alias("v")).first()
+    c_tot, vocab = float(totals["t"]), float(totals["v"])
+    # smoothed probabilities; every term derives from exact integer counts
+    # through the same closed form on both engines
+    p_d = (F.col("_cd").cast("double") + F.lit(1.0)) / (
+        F.col("_td").cast("double") + F.lit(vocab)
+    )
+    p = (F.col("_c").cast("double") + F.lit(1.0)) / F.lit(c_tot + vocab)
+    per_term = (
+        dc.join(F.broadcast(cc), "token")
+        .join(F.broadcast(d_tot), "domain")
+        .select("domain", F.col("_td"), (p_d * F.log(p_d / p)).alias("_kl"))
+    )
+    return per_term.groupBy("domain").agg(
+        F.first("_td").cast("long").alias("n_tokens"),
+        F.round(F.sum("_kl") * F.lit(1e3)).cast("long").alias("kl_milli"),
+    )

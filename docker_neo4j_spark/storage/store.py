@@ -175,7 +175,14 @@ class GraphStore:
 
     # ---- MERGE / SET / DELETE -----------------------------------------
     def merge_node(self, label: str, key_props: dict, extra_props: dict | None = None) -> int:
-        """``MERGE (n:Label {key props})`` — create iff no match; returns id."""
+        """``MERGE (n:Label {key props})`` — create iff no match; returns id.
+
+        SINGLETON path: one Spark job (``take(1)``) per call — correct but
+        O(jobs) in a driver-side loop. Batch merges belong on
+        ``merge_nodes`` (one left-anti join for the whole batch); the
+        Cypher façade already routes ``UNWIND $rows … MERGE`` there
+        (``cypher/session.py:_try_batch_unwind_merge``), so this path is
+        for genuinely one-off upserts, not ingest loops."""
         existing = self.match_nodes(label, **key_props).select("id").take(1)
         if existing:
             return existing[0]["id"]

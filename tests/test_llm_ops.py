@@ -443,3 +443,18 @@ def test_bloom_bitmap_is_bounded(spark):
     bloom = dd.bloom_build(docs, m_bits=1 << 10, k=3).collect()
     assert len(bloom) <= (1 << 10) // 32  # packed words, never per-key rows
     assert all(0 <= r["word"] < (1 << 10) // 32 for r in bloom)
+
+
+def test_domain_kl_specialist_domain_scores_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "mixed"),
+            (2, "beta gamma delta alpha", "mixed"),
+            (3, "zzz zzz zzz zzz", "weird"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["domain"]: r for r in tx.domain_kl(docs).collect()}
+    # the domain that is the blend scores near 0; the specialist far above
+    assert out["weird"]["kl_milli"] > out["mixed"]["kl_milli"] >= 0
+    assert out["mixed"]["n_tokens"] == 8 and out["weird"]["n_tokens"] == 4
