@@ -1651,8 +1651,25 @@ class Session:
         decorrelated-subquery form); the remaining terms compile to one
         Column filter (SURVEY §2.B.3 pattern predicates)."""
         plain: list[str] = []
+        count_terms: list[str] = []
+        count_cols: list[str] = []
         for term in _split_top(where_src, "AND"):
             t = term.strip()
+            if self._COUNT_SUB_RE.search(t):
+                # COUNT { pattern } in a WHERE comparison: materialize the
+                # per-anchor count column first (checked before the pattern
+                # branch — the braced pattern would fool _looks_like_pattern)
+                while True:
+                    m_c = self._COUNT_SUB_RE.search(t)
+                    if m_c is None:
+                        break
+                    col = f"_csq{self._anon}"
+                    self._anon += 1
+                    bound = self._count_pattern(bound, m_c.group("pat").strip(), col)
+                    count_cols.append(col)
+                    t = t[: m_c.start()] + col + t[m_c.end():]
+                count_terms.append(t)
+                continue
             m_not = re.match(r"NOT\s+", t, re.IGNORECASE)
             inner = t[m_not.end():].strip() if m_not else t
             m_ex = re.match(
@@ -1668,6 +1685,11 @@ class Session:
                 plain.append(t)
         if plain:
             bound = bound.where(_compile_where(" AND ".join(plain), resolve))
+        if count_terms:
+            # fresh resolver: the _csq columns exist only on the widened frame
+            bound = bound.where(
+                _compile_where(" AND ".join(count_terms), _frame_resolver(bound))
+            ).drop(*count_cols)
         return bound
 
     def _pattern_filter(self, bound: DataFrame, src: str, anti: bool) -> DataFrame:

@@ -840,3 +840,23 @@ def test_count_subquery_mixed_with_scalar_projection(spark):
         "COUNT { (d)-[:SNIFFS]->(:dog) } AS n ORDER BY name"
     ).collect()
     assert len(rows) == 1 and rows[0]["n"] == 1
+
+
+def test_count_subquery_in_where(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    s.run("CREATE (c:dog {name:'Cleo'})")
+    s.run("MATCH (a:dog {name:'Arne'}), (c:dog {name:'Cleo'}) CREATE (a)-[:SNIFFS]->(c)")
+    rows = s.run(
+        "MATCH (d:dog) WHERE COUNT { (d)-[:SNIFFS]->() } >= 2 "
+        "RETURN d.name AS name"
+    ).collect()
+    assert [r["name"] for r in rows] == ["Arne"]
+    # internal count columns must not leak into RETURN *
+    star = s.run(
+        "MATCH (d:dog) WHERE COUNT { (d)-[:SNIFFS]->() } = 0 RETURN *"
+    )
+    assert not [c for c in star.columns if c.startswith("_csq")]
+    assert star.count() == 2  # Bosse and Cleo sniff nobody
