@@ -213,3 +213,29 @@ def events_funnel_counts(spark, sf_dir):
 
     ev = load_tables(spark, sf_dir)["events"]
     return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    j AS (
+      SELECT f.cohort, date_diff('day', f.cohort, a.day) AS off
+      FROM a JOIN f USING (user_id))
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           CAST(off AS BIGINT) AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM j WHERE off <= 7 GROUP BY cohort, off
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle (streaming/events.retention_cohorts):
+    first-activity-day cohorts × day offsets ≤ 7, distinct-user counts —
+    exact integer analytics over the events table."""
+    from ..streaming.events import retention_cohorts
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return retention_cohorts(ev, horizon_days=7)

@@ -405,3 +405,37 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def retention_cohorts(
+    events: DataFrame,
+    horizon_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity DAY, counted at
+    each day offset they return (0 = signup day). Returns
+    (cohort, offset_days, users) for offsets ≤ horizon_days — the classic
+    retention-triangle input, exact integers throughout.
+
+    Shape at scale: one groupBy(user) min (the cohort map, broadcast when
+    it fits), one distinct over (user, day) — NOT raw events — and one
+    bounded groupBy(cohort, offset); the (user, day) distinct is the only
+    wide shuffle and it is already the minimal activity set."""
+    first = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(F.to_date(ts_col)).alias("_cohort")
+    )
+    act = events.select(
+        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_day")
+    ).distinct()
+    j = act.join(first, "_u").select(
+        "_cohort", F.datediff("_day", "_cohort").alias("offset_days")
+    )
+    return (
+        j.where(F.col("offset_days") <= horizon_days)
+        .groupBy(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort"),
+            F.col("offset_days").cast("long").alias("offset_days"),
+        )
+        .agg(F.count("*").cast("long").alias("users"))
+    )

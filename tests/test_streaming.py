@@ -427,3 +427,33 @@ def test_attribution_left_outer_emits_unmatched_clicks(spark):
     out = {r["click_id"]: r for r in attribution_join(clicks, purchases, how="left_outer").collect()}
     assert out[1]["purchase_id"] == 9 and out[1]["gap_us"] == 30 * 60 * 1_000_000
     assert out[2]["purchase_id"] is None and out[2]["amount"] is None
+
+
+def test_retention_cohorts_triangle(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        # user 1: active day 0 and day 2; user 2: day 0 only (same cohort)
+        (1, "view", d0),
+        (1, "view", d0 + dt.timedelta(days=2, hours=3)),
+        (2, "view", d0 + dt.timedelta(hours=5)),
+        # user 3 joins a day later, returns day 1
+        (3, "view", d0 + dt.timedelta(days=1)),
+        (3, "view", d0 + dt.timedelta(days=2)),
+        # beyond-horizon activity is excluded
+        (2, "view", d0 + dt.timedelta(days=30)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    from docker_neo4j_spark.streaming.events import retention_cohorts
+
+    out = {
+        (r["cohort"], r["offset_days"]): r["users"]
+        for r in retention_cohorts(ev, horizon_days=7).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
