@@ -1013,3 +1013,24 @@ def cypher_count_subquery(spark, sf_dir):
         "MATCH (n:Nation) RETURN n.n_name AS name, "
         "COUNT { (n)<-[:IN_NATION]-() } AS members ORDER BY name"
     )
+
+
+@register(
+    "cypher_rel_alternation",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
+           AS BIGINT) AS n
+    """,
+)
+def cypher_rel_alternation(spark, sf_dir):
+    """Relationship-type alternation ``-[:A|B]->`` through the façade:
+    each Customer has one IN_NATION edge plus one PLACED edge per order,
+    so the alternation count is |customer| + |orders|. The union routes
+    through ``PropertyGraph.rels_by_type`` so each branch stays a pruned
+    per-type scan."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run("MATCH (c:Customer)-[:IN_NATION|PLACED]->(x) RETURN count(*) AS n")

@@ -41,7 +41,7 @@ _NODE_RE = re.compile(
 )
 _REL_RE = re.compile(
     r"(?P<larrow><)?-\s*\[\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
-    r"(?::(?P<type>[A-Za-z_][A-Za-z0-9_]*))?"
+    r"(?::(?P<type>[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?"
     r"(?:\s*\*\s*(?P<lo>\d+)?(?:\s*\.\.\s*(?P<hi>\d+))?)?"
     r"\s*\]\s*-(?P<rarrow>>)?"
 )
@@ -2097,7 +2097,7 @@ class Session:
             g,
             a_frame.select("id"),
             "id",
-            [rel.rel_type] if rel.rel_type else None,
+            [t.strip() for t in rel.rel_type.split("|")] if rel.rel_type else None,
             rel.lo,
             rel.hi,
             direction=_direction(rel),

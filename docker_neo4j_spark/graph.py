@@ -60,7 +60,16 @@ class PropertyGraph:
         return self.nodes.where(F.array_contains(F.col("labels"), label))
 
     def rels_by_type(self, rel_type: str) -> DataFrame:
-        """``-[:TYPE]->`` — relationship-type scan (DatabaseIO.java:51)."""
+        """``-[:TYPE]->`` — relationship-type scan (DatabaseIO.java:51).
+        ``-[:A|B]->`` alternation unions the per-type slices (each still a
+        pruned scan when catalogued), the one chokepoint every pattern
+        operator routes through."""
+        if "|" in rel_type:
+            r = None
+            for t in (p.strip() for p in rel_type.split("|")):
+                s = self.rels_by_type(t)
+                r = s if r is None else r.unionByName(s)
+            return r
         if rel_type in self.type_frames:
             return self.type_frames[rel_type]
         return self.rels.where(F.col("type") == rel_type)

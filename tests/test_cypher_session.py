@@ -860,3 +860,22 @@ def test_count_subquery_in_where(spark):
     )
     assert not [c for c in star.columns if c.startswith("_csq")]
     assert star.count() == 2  # Bosse and Cleo sniff nobody
+
+
+def test_rel_type_alternation(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    s.run("MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) CREATE (b)-[:LICKS]->(a)")
+    s.run("CREATE (c:dog {name:'Cleo'})")
+    n = s.run(
+        "MATCH (x:dog)-[:SNIFFS|LICKS]->(y:dog) RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    assert n == 2
+    # alternation inside a var-length pattern: Arne -SNIFFS-> Bosse -LICKS-> Arne
+    reach = s.run(
+        "MATCH (a:dog {name:'Arne'})-[:SNIFFS|LICKS*1..2]->(b) "
+        "RETURN DISTINCT b.name AS name ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in reach] == ["Arne", "Bosse"]
