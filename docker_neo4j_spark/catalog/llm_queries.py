@@ -1069,3 +1069,58 @@ def llm_domain_kl(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return domain_kl(d)
+
+
+def _bpe_sql(k_rounds: int) -> str:
+    """Unrolled BPE training as chained DuckDB CTEs — twin of
+    ``text.bpe_train``: per round an adjacent-pair weighted count, a
+    (cnt DESC, pair ASC) argmax, and a list_reduce left-fold that
+    re-segments the vocabulary with the chosen merge (the lambda reads
+    the 1-row b{k} via a cross join). All counts are integers and the
+    fold is the same greedy-leftmost contract as the Spark aggregate."""
+    parts = [
+        "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+', 0)) AS w FROM documents),",
+        "words AS (SELECT w, COUNT(*) AS wc FROM tok GROUP BY w),",
+        "seg0 AS MATERIALIZED (SELECT w, wc, string_split(w, '') AS seg FROM words),",
+    ]
+    for k in range(1, k_rounds + 1):
+        p = f"seg{k - 1}"
+        parts.append(
+            f"p{k} AS (SELECT z[1] AS pa, z[2] AS pb, SUM(wc) AS cnt FROM ("
+            f"SELECT wc, unnest(list_zip(seg[1:len(seg)-1], seg[2:len(seg)])) AS z "
+            f"FROM {p} WHERE len(seg) > 1) GROUP BY pa, pb),"
+        )
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT pa, pb, pa || pb AS merged, cnt FROM p{k} "
+            f"ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),"
+        )
+        parts.append(
+            f"seg{k} AS MATERIALIZED (SELECT w, wc, "
+            f"list_reduce(list_transform(seg, t -> [t]), "
+            f"(acc, x) -> CASE WHEN acc[-1] = b{k}.pa AND x[1] = b{k}.pb "
+            f"THEN acc[:-2] || [b{k}.merged] ELSE acc || x END) AS seg "
+            f"FROM {p}, b{k}),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    selects = [
+        f"SELECT CAST({k - 1} AS BIGINT) AS rank, pa AS pair_a, pb AS pair_b, "
+        f"merged, CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, k_rounds + 1)
+    ]
+    parts.append(" UNION ALL ".join(selects))
+    return "\n".join(parts)
+
+
+@register("llm_bpe_train", _bpe_sql(6))
+def llm_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (text.bpe_train): 6 merge rules
+    learned from the corpus — the corpus collapses to (word, count) once,
+    then every round is vocabulary-sized. Oracle: the unrolled-CTE twin
+    with the same integer counts, argmax tie-break, and greedy-leftmost
+    fold."""
+    from ..operators.text import bpe_train
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return bpe_train(d, num_merges=6)

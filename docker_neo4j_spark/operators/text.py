@@ -532,3 +532,73 @@ def domain_kl(
         F.first("_td").cast("long").alias("n_tokens"),
         F.round(F.sum("_kl") * F.lit(1e3)).cast("long").alias("kl_milli"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    ``num_merges`` merge rules from the corpus. Returns the merge table
+    (rank, pair_a, pair_b, merged, pair_count) in learning order.
+
+    The classic trick that makes this distributed-cheap: collapse the
+    corpus to (word, count) ONCE — afterwards every round works on the
+    vocabulary, not the corpus. Per round: adjacent-pair explode over the
+    |vocab| segmentations → groupBy(pair) weighted count → one argmax
+    scalar (count desc, pair asc — deterministic tie-break) → a
+    whole-stage-codegen ``aggregate`` left-fold re-segments each word
+    (greedy leftmost application, the BPE contract; runs of the same
+    token merge pairwise like the reference implementation). At 100 TB
+    the only corpus-sized job is the initial token count; the iteration
+    cost is O(num_merges × |vocab|).
+    """
+    tok = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("w")
+    )
+    words = tok.groupBy("w").agg(F.count("*").cast("long").alias("wc"))
+    seg = words.select("w", "wc", F.split("w", "").alias("seg")).localCheckpoint()
+    merges = []
+    for k in range(num_merges):
+        pairs = (
+            seg.where(F.size("seg") > 1)
+            .select(
+                "wc",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(seg, 1, size(seg)-1)").alias("a"),
+                        F.expr("slice(seg, 2, size(seg)-1)").alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .select(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"), "wc")
+        )
+        best = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pa"), F.asc("pb"))
+            .first()
+        )
+        if best is None:
+            break
+        pa, pb, cnt = best["pa"], best["pb"], int(best["cnt"])
+        merged = pa + pb
+        merges.append((k, pa, pb, merged, cnt))
+        # tokens match TOKEN_RE ([a-z0-9]+) so literal embedding is safe
+        seg = seg.withColumn(
+            "seg",
+            F.expr(
+                f"""aggregate(seg, CAST(array() AS array<string>),
+                (acc, x) -> CASE
+                  WHEN size(acc) > 0 AND element_at(acc, -1) = '{pa}' AND x = '{pb}'
+                  THEN concat(slice(acc, 1, size(acc)-1), array('{merged}'))
+                  ELSE concat(acc, array(x)) END)"""
+            ),
+        ).localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank long, pair_a string, pair_b string, merged string, pair_count long"
+    )

@@ -458,3 +458,25 @@ def test_domain_kl_specialist_domain_scores_higher(spark):
     # the domain that is the blend scores near 0; the specialist far above
     assert out["weird"]["kl_milli"] > out["mixed"]["kl_milli"] >= 0
     assert out["mixed"]["n_tokens"] == 8 and out["weird"]["n_tokens"] == 4
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    # corpus: 'abab' x3, 'ab' x2, 'cd' x1 -> pair (a,b) dominates (count
+    # 3*2+2=8); after merging, (ab,ab) appears 3 times beating (c,d)=1
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab ab cd")], ["doc_id", "text"]
+    )
+    rows = tx.bpe_train(docs, num_merges=3).collect()
+    got = [(r["rank"], r["pair_a"], r["pair_b"], r["merged"], r["pair_count"]) for r in rows]
+    assert got[0] == (0, "a", "b", "ab", 8)
+    assert got[1] == (1, "ab", "ab", "abab", 3)
+    assert got[2] == (2, "c", "d", "cd", 1)
+
+
+def test_bpe_train_greedy_leftmost_on_runs(spark):
+    # 'aaaa': after rank-0 merge (a,a) the segmentation must be [aa, aa]
+    # (pairwise, not overlapping), so rank-1 learns (aa, aa)
+    docs = spark.createDataFrame([(1, "aaaa")], ["doc_id", "text"])
+    rows = tx.bpe_train(docs, num_merges=2).collect()
+    assert (rows[0]["pair_a"], rows[0]["pair_b"]) == ("a", "a")
+    assert (rows[1]["pair_a"], rows[1]["pair_b"], rows[1]["pair_count"]) == ("aa", "aa", 1)
