@@ -1124,3 +1124,36 @@ def llm_bpe_train(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return bpe_train(d, num_merges=6)
+
+
+def _bpe_encode_sql(k_rounds: int) -> str:
+    """``_bpe_sql``'s CTE chain + a document join against the final
+    segmentation: per-doc BPE token count under the learned merges."""
+    base = _bpe_sql(k_rounds)
+    # strip the trailing merge-table UNION; keep the CTE chain
+    chain = base[: base.rindex("SELECT CAST(0 AS BIGINT) AS rank")].rstrip()
+    if not chain.endswith(","):
+        chain += ","
+    return (
+        chain
+        + f"""
+    tok2 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+             '[a-z0-9]+', 0)) AS w FROM documents),
+    per_doc AS (
+      SELECT t.doc_id, SUM(len(g.seg)) AS n
+      FROM tok2 t JOIN seg{k_rounds} g USING (w) GROUP BY t.doc_id)
+    SELECT d.doc_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+    )
+
+
+@register("llm_bpe_encode", _bpe_encode_sql(6))
+def llm_bpe_encode(spark, sf_dir):
+    """Apply the 6-rule BPE merge table back to the corpus
+    (text.bpe_token_counts): per-document token budget under the learned
+    vocabulary — encoding touches DISTINCT words only, then one vocab
+    join per document token."""
+    from ..operators.text import bpe_token_counts, bpe_train
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return bpe_token_counts(d, bpe_train(d, num_merges=6))

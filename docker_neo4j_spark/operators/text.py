@@ -602,3 +602,52 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank long, pair_a string, pair_b string, merged string, pair_count long"
     )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Apply a ``bpe_train`` merge table to the corpus: per-document token
+    count under the learned vocabulary — the tokenizer-budgeting signal
+    (how many BPE tokens will this corpus cost?). Returns
+    (key, n_bpe_tokens); docs with no tokens surface 0.
+
+    The merge table is bounded by construction (num_merges rows), so
+    collecting it to build the fold chain is a driver-side constant, not
+    a data collect. Encoding applies each merge exhaustively in rank
+    order — one left-fold per rule, the standard priority-order encoder —
+    over the DISTINCT words only; documents then join word → subword
+    count, so the per-doc cost is one explode + one vocab join.
+    """
+    rules = [
+        (r["pair_a"], r["pair_b"], r["merged"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    tok = df.select(
+        F.col(key),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("w"),
+    )
+    words = tok.select("w").distinct().withColumn("seg", F.split("w", ""))
+    for pa, pb, m in rules:
+        words = words.withColumn(
+            "seg",
+            F.expr(
+                f"""aggregate(seg, CAST(array() AS array<string>),
+                (acc, x) -> CASE
+                  WHEN size(acc) > 0 AND element_at(acc, -1) = '{pa}' AND x = '{pb}'
+                  THEN concat(slice(acc, 1, size(acc)-1), array('{m}'))
+                  ELSE concat(acc, array(x)) END)"""
+            ),
+        )
+    counts = words.select("w", F.size("seg").cast("long").alias("_n"))
+    per_doc = tok.join(counts, "w").groupBy(key).agg(
+        F.sum("_n").cast("long").alias("n_bpe_tokens")
+    )
+    return df.select(key).join(per_doc, key, "left").select(
+        key, F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens")
+    )

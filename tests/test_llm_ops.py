@@ -480,3 +480,17 @@ def test_bpe_train_greedy_leftmost_on_runs(spark):
     rows = tx.bpe_train(docs, num_merges=2).collect()
     assert (rows[0]["pair_a"], rows[0]["pair_b"]) == ("a", "a")
     assert (rows[1]["pair_a"], rows[1]["pair_b"], rows[1]["pair_count"]) == ("aa", "aa", 1)
+
+
+def test_bpe_token_counts_under_learned_merges(spark):
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab ab cd"), (2, "abab xy"), (3, "")],
+        ["doc_id", "text"],
+    )
+    merges = tx.bpe_train(docs, num_merges=2)  # learns (a,b)->ab, (ab,ab)->abab
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in tx.bpe_token_counts(docs, merges).collect()}
+    # doc1: abab->1 x3, ab->1 x2, cd->2 chars = 3+2+2 = 7
+    assert out[1] == 7
+    # doc2: abab->1, xy->2 = 3
+    assert out[2] == 3
+    assert out[3] == 0
