@@ -879,3 +879,39 @@ def test_rel_type_alternation(spark):
         "RETURN DISTINCT b.name AS name ORDER BY name"
     ).collect()
     assert [r["name"] for r in reach] == ["Arne", "Bosse"]
+
+
+def test_three_valued_logic_null_comparisons(spark):
+    """Cypher WHERE is 3VL: NULL comparisons are neither true nor false —
+    the row drops from the match but survives its negation's complement."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne', age: 4})")
+    s.run("CREATE (b:dog {name:'Bosse'})")  # age missing -> NULL
+    gt = s.run("MATCH (d:dog) WHERE d.age > 3 RETURN d.name AS n").collect()
+    le = s.run("MATCH (d:dog) WHERE NOT d.age > 3 RETURN d.name AS n").collect()
+    # Bosse (NULL age) appears in NEITHER branch — 3VL, not boolean split
+    assert [r["n"] for r in gt] == ["Arne"] and [r["n"] for r in le] == []
+
+
+def test_count_property_skips_nulls_vs_count_star(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne', age: 4})")
+    s.run("CREATE (b:dog {name:'Bosse'})")
+    r = s.run("MATCH (d:dog) RETURN count(*) AS all, count(d.age) AS aged").collect()[0]
+    assert (r["all"], r["aged"]) == (2, 1)
+
+
+def test_order_by_unprojected_property(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    for name, age in (("Arne", 4), ("Bosse", 2), ("Cleo", 9)):
+        s.run(f"CREATE (d:dog {{name:'{name}', age: {age}}})")
+    r = s.run(
+        "MATCH (d:dog) RETURN d.name AS n ORDER BY d.age DESC LIMIT 2"
+    ).collect()
+    assert [x["n"] for x in r] == ["Cleo", "Arne"]
