@@ -1333,3 +1333,52 @@ def gds_degree_weighted(spark, sf_dir):
             F.sum("_w").cast("long").alias("weighted_degree"),
         )
     )
+
+
+@register(
+    "gds_spanning_forest",
+    """
+    SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS src,
+           CAST(2000000000000 + c_nationkey AS BIGINT) AS dst,
+           CAST(1 AS BIGINT) AS weight FROM customer
+    UNION ALL
+    SELECT CAST(4000000000000 + s_suppkey AS BIGINT),
+           CAST(2000000000000 + s_nationkey AS BIGINT), 1 FROM supplier
+    UNION ALL
+    SELECT CAST(2000000000000 + n_nationkey AS BIGINT),
+           CAST(1000000000000 + n_regionkey AS BIGINT), 1 FROM nation
+    """,
+)
+def gds_spanning_forest(spark, sf_dir):
+    """gds.spanningTree (Borůvka BSP) on the membership forest plus
+    redundant weight-10 customer→region shortcut edges: every shortcut is
+    the unique heaviest edge in its cycle, so the cycle property excludes
+    exactly the shortcuts and the minimum spanning forest is the original
+    membership edge set — the closed form the oracle states. Exercises
+    component merging across ≥2 Borůvka rounds (stars → region trees)."""
+    g = build_graph(spark, sf_dir)
+    light = (
+        g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"])
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        (F.lit(3000000000000) + F.col("c_custkey")).cast("long").alias("src"),
+        F.col("c_nationkey").alias("_nk"),
+    )
+    n = t["nation"].select(
+        F.col("n_nationkey").alias("_nk2"), F.col("n_regionkey").alias("_rk")
+    )
+    heavy = c.join(n, c["_nk"] == n["_nk2"]).select(
+        "src",
+        (F.lit(1000000000000) + F.col("_rk")).cast("long").alias("dst"),
+        F.lit(10.0).alias("weight"),
+    )
+    nodes = (
+        g.label_frames["Customer"].select("id")
+        .unionByName(g.label_frames["Supplier"].select("id"))
+        .unionByName(g.label_frames["Nation"].select("id"))
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    out = gds.spanning_forest(light.unionByName(heavy), nodes)
+    return out.select("src", "dst", F.col("weight").cast("long").alias("weight"))

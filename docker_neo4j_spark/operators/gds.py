@@ -917,6 +917,88 @@ def scc(
     return _ckpt(result.unionByName(leftover))
 
 
+def spanning_forest(
+    edges: DataFrame,
+    nodes: DataFrame,
+    weight_col: str = "weight",
+    max_rounds: int = 15,
+) -> DataFrame:
+    """gds.spanningTree — minimum spanning forest by Borůvka BSP: each
+    round every component selects its minimum outgoing edge (total order
+    (w, src, dst) — the consistent tie-break that makes Borůvka cycle-free
+    and the result deterministic even with duplicate weights), selected
+    edges join the forest, touched components merge, repeat until no
+    cross-component edge remains (≤ log₂|V| rounds — component count at
+    least halves each round). Returns the forest edges (src, dst, weight).
+
+    Scale shape per round: two assignment joins into the edge list (the
+    (id, comp) state broadcasts while it fits) + one groupBy(component)
+    min_by + a WCC over the SELECTED edges only (component-count rows,
+    tiny) — the edge set is never rewritten, only relabeled through the
+    state frame.
+    """
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("w")
+    ).cache()
+    comp = _ckpt(nodes.select("id", F.col("id").alias("comp")))
+    chosen: DataFrame | None = None
+    for _ in range(max_rounds):
+        lab = (
+            e.join(
+                comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "cu"),
+                "src",
+            )
+            .join(
+                comp.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cv"),
+                "dst",
+            )
+            .where(F.col("cu") != F.col("cv"))
+        )
+        if lab.isEmpty():
+            break
+        cand = lab.select(F.col("cu").alias("c"), "src", "dst", "w").unionByName(
+            lab.select(F.col("cv").alias("c"), "src", "dst", "w")
+        )
+        pick = _ckpt(
+            cand.groupBy("c")
+            .agg(
+                F.min_by(
+                    F.struct("src", "dst", "w"), F.struct("w", "src", "dst")
+                ).alias("e")
+            )
+            .select("e.src", "e.dst", "e.w")
+            .distinct()
+        )
+        chosen = pick if chosen is None else _ckpt(chosen.unionByName(pick))
+        pe = (
+            pick.join(
+                comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "cu"),
+                "src",
+            )
+            .join(
+                comp.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cv"),
+                "dst",
+            )
+            .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+        )
+        # unique column names: mapping shares lineage with comp, so joining
+        # on a same-named column would be an ambiguous self-reference
+        mapping = wcc(pe, comp.select(F.col("comp").alias("id")).distinct()).select(
+            F.col("id").alias("_oldc"), F.col("comp").alias("_newc")
+        )
+        comp = _ckpt(
+            comp.join(mapping, F.col("comp") == F.col("_oldc"), "left").select(
+                "id", F.coalesce("_newc", F.col("comp")).alias("comp")
+            )
+        )
+    e.unpersist()
+    if chosen is None:
+        return edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("weight")
+        ).limit(0)
+    return chosen.select("src", "dst", F.col("w").alias("weight"))
+
+
 def scale_properties(
     df: DataFrame,
     value_col: str,

@@ -481,3 +481,38 @@ def test_scc_dag_is_all_singletons(spark):
     n = _nodes(spark, [1, 2, 3])
     out = {r["id"]: r["component"] for r in gds.scc(e, n).collect()}
     assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_spanning_forest_square_with_diagonal(spark):
+    # square 1-2-3-4 with diagonal 1-3: MST keeps the three lightest edges
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    weights = [1.0, 2.0, 3.0, 4.0, 5.0]
+    e = _edges(spark, pairs, weights=weights)
+    n = _nodes(spark, [1, 2, 3, 4])
+    forest = {(r["src"], r["dst"], r["weight"]) for r in gds.spanning_forest(e, n).collect()}
+    assert forest == {(1, 2, 1.0), (2, 3, 2.0), (3, 4, 3.0)}
+
+
+def test_spanning_forest_two_components_and_tie_break(spark):
+    # two disjoint triangles, all weights equal: the (w, src, dst) total
+    # order picks the lexicographically smallest edges deterministically
+    pairs = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)]
+    weights = [1.0] * 6
+    e = _edges(spark, pairs, weights=weights)
+    n = _nodes(spark, [1, 2, 3, 7, 8, 9])
+    rows = gds.spanning_forest(e, n).collect()
+    # a forest over two 3-node components has exactly 4 edges
+    assert len(rows) == 4
+    forest_edges = [(r["src"], r["dst"]) for r in rows]
+    # acyclic + spanning: WCC over the forest equals WCC over the graph
+    fe = spark.createDataFrame(forest_edges, ["src", "dst"])
+    full = {r["id"]: r["comp"] for r in gds.wcc(e.select("src", "dst"), n).collect()}
+    tree = {r["id"]: r["comp"] for r in gds.wcc(fe, n).collect()}
+    assert full == tree
+
+
+def test_spanning_forest_isolated_nodes_yield_no_edges(spark):
+    e = _edges(spark, [(1, 2)], weights=[2.0])
+    n = _nodes(spark, [1, 2, 99])
+    rows = gds.spanning_forest(e, n).collect()
+    assert {(r["src"], r["dst"]) for r in rows} == {(1, 2)}
