@@ -1382,3 +1382,81 @@ def gds_spanning_forest(spark, sf_dir):
     )
     out = gds.spanning_forest(light.unionByName(heavy), nodes)
     return out.select("src", "dst", F.col("weight").cast("long").alias("weight"))
+
+
+def _fastrp_sql(dim: int, rounds: int, salt: str) -> str:
+    """Unrolled FastRP as chained DuckDB CTEs in the same LONG FORM as
+    ``operators/gds.fastrp``: md5-parity ±1 init, per-round in-neighbor
+    mean over the doubled membership edge set, unit iteration weights,
+    micro-rounded components serialized as an ordered comma string (array
+    columns don't hash across engines; strings do)."""
+    hexlow = "'0','1','2','3','4','5','6','7'"
+    parts = [
+        "WITH b AS (",
+        "  SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS s,",
+        "         CAST(2000000000000 + c_nationkey AS BIGINT) AS d FROM customer",
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT),",
+        "         CAST(2000000000000 + s_nationkey AS BIGINT) FROM supplier",
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT),",
+        "         CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation),",
+        "e AS MATERIALIZED (SELECT s AS src, d AS dst FROM b UNION ALL SELECT d, s FROM b),",
+        "nodes AS MATERIALIZED (",
+        "  SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS id FROM customer",
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT) FROM supplier",
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT) FROM nation",
+        "  UNION ALL SELECT CAST(1000000000000 + r_regionkey AS BIGINT) FROM region),",
+        "deg AS MATERIALIZED (SELECT dst, COUNT(*) AS dg FROM e GROUP BY dst),",
+        f"x0 AS MATERIALIZED (SELECT id, j, CASE WHEN substr(md5("
+        f"'{salt}#' || CAST(id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 1) "
+        f"IN ({hexlow}) THEN 1.0e0 ELSE -1.0e0 END AS v "
+        f"FROM nodes, range({dim}) t(j)),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT e.dst AS id, p.j, SUM(p.v) / d.dg AS v "
+            f"FROM x{k - 1} p JOIN e ON e.src = p.id JOIN deg d ON d.dst = e.dst "
+            f"GROUP BY e.dst, p.j, d.dg),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT id, j, v FROM x{k}" for k in range(1, rounds + 1)
+    )
+    parts.append(f"summ AS (SELECT id, j, SUM(v) AS v FROM ({union}) GROUP BY id, j),")
+    parts.append(
+        f"grid AS (SELECT n.id, t.j FROM nodes n, range({dim}) t(j))"
+    )
+    parts.append(
+        "SELECT g.id, string_agg(CAST(CAST(ROUND(COALESCE(s.v, 0e0) * 1e6) AS BIGINT) "
+        "AS VARCHAR), ',' ORDER BY g.j) AS emb "
+        "FROM grid g LEFT JOIN summ s ON s.id = g.id AND s.j = g.j GROUP BY g.id"
+    )
+    return "\n".join(parts)
+
+
+@register("gds_fastrp", _fastrp_sql(8, 3, "fastrp"))
+def gds_fastrp(spark, sf_dir):
+    """gds.fastRP node embeddings on the undirected membership subgraph:
+    deterministic md5-parity ±1 projections, three in-neighbor-mean
+    rounds, unit iteration weights. The long-form (id, j, v) state keeps
+    every round a plain join→groupBy — PageRank's shuffle shape times the
+    embedding dimension — and the row serializes micro-rounded components
+    as an ordered string for the hash gate."""
+    edges, _ = _lpa_subgraph(spark, sf_dir)
+    g = build_graph(spark, sf_dir)
+    nodes = (
+        g.label_frames["Customer"].select("id")
+        .unionByName(g.label_frames["Supplier"].select("id"))
+        .unionByName(g.label_frames["Nation"].select("id"))
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    out = gds.fastrp(gds.undirect(edges), nodes, dim=8, weights=(1.0, 1.0, 1.0))
+    emb = out.select(
+        "id", "j", F.round(F.col("v") * F.lit(1e6)).cast("long").cast("string").alias("r")
+    )
+    return emb.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "r"))), lambda s: s["r"]
+            ),
+            ",",
+        ).alias("emb")
+    )

@@ -999,6 +999,75 @@ def spanning_forest(
     return chosen.select("src", "dst", F.col("w").alias("weight"))
 
 
+def fastrp(
+    edges: DataFrame,
+    nodes: DataFrame,
+    dim: int = 8,
+    weights: tuple[float, ...] = (1.0, 1.0, 1.0),
+    salt: str = "fastrp",
+) -> DataFrame:
+    """gds.fastRP — node embeddings by very sparse random projection
+    (Chen et al. 2019): x₀ = deterministic ±1 projection (md5 parity of
+    (salt, id, dim) — reproducible across runs and engines, unlike RNG
+    seeding), then k rounds of x_k = D⁻¹A·x_{k−1} (mean over in-neighbors)
+    combined as Σ weights[k]·x_k. Returns LONG FORM (id, j, v) — one row
+    per (node, dimension); nodes with no in-path surface exact 0s.
+
+    The long form IS the scale design: the state is (id, j, v) rows — a
+    d-fold node frame, never a per-node array that would resist partial
+    aggregation — so each round is one edge join + one groupBy(dst, j)
+    mean, the exact PageRank shuffle shape replicated d times, and the
+    embedding dimension scales by adding rows, not widening a column.
+    """
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    x = _ckpt(
+        nodes.select("id", F.explode(dims).alias("j")).select(
+            "id",
+            "j",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            F.lit(salt),
+                            F.col("id").cast("string"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin(*"01234567"),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("v"),
+        )
+    )
+    e = edges.select("src", "dst").repartition("src").cache()
+    deg_in = e.groupBy("dst").agg(F.count("*").alias("_dg")).withColumnRenamed(
+        "dst", "_di"
+    )
+    acc: DataFrame | None = None
+    for w in weights:
+        nxt = (
+            x.join(e, x["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"), "j")
+            .agg(F.sum("v").alias("_s"))
+        )
+        x = _ckpt(
+            nxt.join(deg_in, nxt["id"] == deg_in["_di"]).select(
+                "id", "j", (F.col("_s") / F.col("_dg")).alias("v")
+            )
+        )
+        term = x.select("id", "j", (F.col("v") * F.lit(w)).alias("t"))
+        acc = term if acc is None else acc.unionByName(term)
+    res = acc.groupBy("id", "j").agg(F.sum("t").alias("v"))
+    base = nodes.select("id", F.explode(dims).alias("j"))
+    return base.join(res, ["id", "j"], "left").select(
+        "id", "j", F.coalesce("v", F.lit(0.0)).alias("v")
+    )
+
+
 def scale_properties(
     df: DataFrame,
     value_col: str,

@@ -516,3 +516,26 @@ def test_spanning_forest_isolated_nodes_yield_no_edges(spark):
     n = _nodes(spark, [1, 2, 99])
     rows = gds.spanning_forest(e, n).collect()
     assert {(r["src"], r["dst"]) for r in rows} == {(1, 2)}
+
+
+def test_fastrp_structural_equivalence_and_determinism(spark):
+    # two structurally equivalent leaves hanging off the same hub get
+    # IDENTICAL embeddings after round 1 (their in-neighborhood is {hub}),
+    # and the hash-seeded init makes repeated runs bit-identical
+    e = _edges(spark, [(1, 2), (1, 3), (2, 1), (3, 1)])
+    n = _nodes(spark, [1, 2, 3])
+    out = gds.fastrp(e, n, dim=4, weights=(1.0, 0.5))
+    got = {(r["id"], r["j"]): r["v"] for r in out.collect()}
+    for j in range(4):
+        assert got[(2, j)] == got[(3, j)]  # same in-neighborhood -> same emb
+    again = {(r["id"], r["j"]): r["v"] for r in gds.fastrp(e, n, dim=4, weights=(1.0, 0.5)).collect()}
+    assert got == again
+
+
+def test_fastrp_isolated_node_is_zero_vector(spark):
+    e = _edges(spark, [(1, 2)])
+    n = _nodes(spark, [1, 2, 9])
+    out = {(r["id"], r["j"]): r["v"] for r in gds.fastrp(e, n, dim=3, weights=(1.0,)).collect()}
+    assert all(out[(9, j)] == 0.0 for j in range(3))
+    # node 2's embedding after one round is exactly node 1's +-1 init
+    assert all(out[(2, j)] in (1.0, -1.0) for j in range(3))
