@@ -1460,3 +1460,62 @@ def gds_fastrp(spark, sf_dir):
             ",",
         ).alias("emb")
     )
+
+
+def _kmeans_sql(k: int, dim: int, iterations: int) -> str:
+    """Unrolled Lloyd's k-means as chained DuckDB CTEs, mirroring
+    ``operators/gds.kmeans`` op-for-op: milli-quantized integer points,
+    k-lowest-id seeding, exact int64 distances, ROW_NUMBER arg-min with
+    ties to the lowest centroid id, re-quantized means with
+    empty-cluster COALESCE."""
+    parts = [
+        "WITH pts AS MATERIALIZED (",
+        "  SELECT vec_id AS id, t.j - 1 AS j,",
+        "         CAST(ROUND(CAST(embedding[t.j] AS DOUBLE) * 1000e0) AS BIGINT) AS q",
+        f"  FROM embeddings, range(1, {dim + 1}) t(j)),",
+        f"seeds AS (SELECT DISTINCT id FROM pts ORDER BY id LIMIT {k}),",
+        "c0 AS MATERIALIZED (SELECT p.id AS c, p.j, p.q FROM pts p "
+        "JOIN seeds s ON s.id = p.id),",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"d{r} AS (SELECT p.id, c.c, "
+            f"SUM((p.q - c.q) * (p.q - c.q)) AS dist "
+            f"FROM pts p JOIN c{r - 1} c ON c.j = p.j GROUP BY p.id, c.c),"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT id, c AS cluster FROM ("
+            f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY dist, c) AS rn FROM d{r}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"m{r} AS (SELECT a.cluster AS c, p.j, "
+            f"CAST(ROUND(AVG(p.q)) AS BIGINT) AS q "
+            f"FROM a{r} a JOIN pts p ON p.id = a.id GROUP BY a.cluster, p.j),"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT o.c, o.j, COALESCE(m.q, o.q) AS q "
+            f"FROM c{r - 1} o LEFT JOIN m{r} m ON m.c = o.c AND m.j = o.j),"
+        )
+    parts.append(
+        f"fin AS (SELECT id AS vec_id, cluster FROM a{iterations})"
+    )
+    parts.append("SELECT vec_id, cluster FROM fin")
+    return "\n".join(parts)
+
+
+@register("gds_kmeans", _kmeans_sql(10, 64, 3))
+def gds_kmeans(spark, sf_dir):
+    """gds.kmeans over the embeddings table (64-dim float vectors, k=10,
+    3 Lloyd rounds). Quantized-integer arithmetic makes the whole
+    iteration engine-exact (see operators/gds.kmeans docstring); the
+    assignment step is one broadcast join of the k x d centroid frame —
+    the O(N*k*d) cost every k-means pays, with no other shuffle wider
+    than groupBy(id)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    pts = e.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("j", "v"),
+    ).select("id", "j", F.col("v").cast("double").alias("v"))
+    out = gds.kmeans(pts, k=10, max_iter=3)
+    return out.select(F.col("id").alias("vec_id"), "cluster")

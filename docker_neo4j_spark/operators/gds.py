@@ -1528,3 +1528,70 @@ def closeness(
         .otherwise(F.lit(0.0))
         .alias("closeness"),
     )
+
+
+def kmeans(
+    points: DataFrame,
+    k: int = 10,
+    max_iter: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """gds.kmeans (reference surface: the GDS community-detection k-means
+    over a node float-array property) — Lloyd's algorithm on LONG-FORM
+    points ``(id, j, v)``; returns the final assignment ``(id, cluster)``.
+
+    Determinism-by-quantization: coordinates quantize to milli-scale
+    integers up front and centroid means re-quantize each round
+    (``round(avg(q))``), so every distance is an exact int64 sum and the
+    arg-min (ties → lowest centroid id) is bit-identical on any engine or
+    partitioning — no float accumulation order anywhere. Seeding is the
+    k lowest point ids (deterministic, RNG-free).
+
+    Scale design: the assignment step is the textbook O(N·k·d) cost as
+    one broadcast join (centroids are k×d rows — tiny, always broadcast)
+    + groupBy(id, c) partial-aggregated sum + one min_by per id; the
+    update step is one groupBy(c, j) mean over N·d rows. State between
+    rounds is only the k×d centroid frame; empty clusters keep their
+    previous centroid (COALESCE over the old grid) — no resampling, no
+    driver-side data.
+    """
+    pts = _ckpt(
+        points.select(
+            "id", "j", F.round(F.col("v") * F.lit(scale)).cast("long").alias("q")
+        )
+    ).cache()
+    seeds = pts.select("id").distinct().orderBy("id").limit(k)
+    cent = _ckpt(
+        pts.join(F.broadcast(seeds), "id").select(
+            F.col("id").alias("c"), "j", "q"
+        )
+    )
+    assign = None
+    for _ in range(max_iter):
+        cq = cent.select("c", F.col("j").alias("_cj"), F.col("q").alias("_cq"))
+        d = (
+            pts.join(F.broadcast(cq), pts["j"] == cq["_cj"])
+            .groupBy("id", "c")
+            .agg(
+                F.sum((F.col("q") - F.col("_cq")) * (F.col("q") - F.col("_cq"))).alias(
+                    "dist"
+                )
+            )
+        )
+        assign = _ckpt(
+            d.groupBy("id").agg(
+                F.min(F.struct("dist", "c")).alias("_m")
+            ).select("id", F.col("_m.c").alias("cluster"))
+        )
+        means = (
+            assign.join(pts, "id")
+            .groupBy(F.col("cluster").alias("c"), "j")
+            .agg(F.round(F.avg("q")).cast("long").alias("_nq"))
+        )
+        cent = _ckpt(
+            cent.join(means, ["c", "j"], "left").select(
+                "c", "j", F.coalesce("_nq", "q").alias("q")
+            )
+        )
+    pts.unpersist()
+    return assign

@@ -539,3 +539,50 @@ def test_fastrp_isolated_node_is_zero_vector(spark):
     assert all(out[(9, j)] == 0.0 for j in range(3))
     # node 2's embedding after one round is exactly node 1's +-1 init
     assert all(out[(2, j)] in (1.0, -1.0) for j in range(3))
+
+
+def test_kmeans_matches_brute_force_lloyd(spark):
+    """Quantized Lloyd on random-ish 2-D points == a numpy reimplementation
+    with identical quantization/seeding/tie rules."""
+    import numpy as np
+
+    rng = [(i, float(((i * 37) % 97) / 10.0), float(((i * 61) % 89) / 10.0)) for i in range(40)]
+    pts_long = [(i, 0, x) for i, x, _ in rng] + [(i, 1, y) for i, _, y in rng]
+    pts = spark.createDataFrame(pts_long, ["id", "j", "v"])
+    got = {
+        r["id"]: r["cluster"]
+        for r in gds.kmeans(pts, k=4, max_iter=3).collect()
+    }
+
+    q = {i: np.array([round(x * 1000), round(y * 1000)], dtype=np.int64) for i, x, y in rng}
+    cent = {i: q[i].copy() for i in range(4)}  # k lowest ids
+    for _ in range(3):
+        assign = {}
+        for i, v in q.items():
+            best = min(
+                ((int(((v - c) ** 2).sum()), cid) for cid, c in cent.items())
+            )
+            assign[i] = best[1]
+        new = {}
+        for cid in cent:
+            members = [q[i] for i, a in assign.items() if a == cid]
+            if members:
+                new[cid] = np.round(np.mean(members, axis=0)).astype(np.int64)
+            else:
+                new[cid] = cent[cid]
+        cent = new
+    assert got == assign
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A far-away seed that captures nothing must survive via COALESCE
+    (assignment stays total and deterministic)."""
+    pts_long = []
+    for i in range(6):
+        pts_long += [(i, 0, 0.0 + i * 0.001), (i, 1, 0.0)]
+    # id 0..1 seeds; all points sit near origin so seed 1 may go empty —
+    # the run must still return one cluster per point, from the seed set.
+    pts = spark.createDataFrame(pts_long, ["id", "j", "v"])
+    out = gds.kmeans(pts, k=2, max_iter=2).collect()
+    assert len(out) == 6
+    assert {r["cluster"] for r in out} <= {0, 1}
