@@ -1519,3 +1519,58 @@ def gds_kmeans(spark, sf_dir):
     ).select("id", "j", F.col("v").cast("double").alias("v"))
     out = gds.kmeans(pts, k=10, max_iter=3)
     return out.select(F.col("id").alias("vec_id"), "cluster")
+
+
+def _node2vec_sql(steps: int, wr: int, wc: int, wf: int, salt: str) -> str:
+    """Unrolled node2vec walk — twin of ``operators/gds.node2vec_walk``
+    over the distinct undirected projection, nation sources. Per step:
+    candidate join, (prev,cand) adjacency left-join for the distance-1
+    class, replica fan-out ``range(1, max_w+1)`` filtered to the class
+    weight, ``arg_min`` over the replica hash per walk."""
+    maxw = max(wr, wc, wf)
+    parts = [
+        f"WITH eraw AS (SELECT src, dst FROM ({_EDGES})),",
+        "esym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw)),",
+        "w0 AS MATERIALIZED (SELECT CAST(2000000000000 + n_nationkey AS BIGINT)"
+        " AS walk_id, CAST(NULL AS BIGINT) AS prev,"
+        " CAST(2000000000000 + n_nationkey AS BIGINT) AS id FROM nation),",
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"c{k} AS (SELECT w.walk_id, w.id, e.dst, "
+            f"CASE WHEN e.dst = w.prev THEN {wr} "
+            f"WHEN t.src IS NOT NULL THEN {wc} ELSE {wf} END AS m "
+            f"FROM w{k - 1} w JOIN esym e ON e.src = w.id "
+            f"LEFT JOIN esym t ON t.src = w.prev AND t.dst = e.dst),"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT walk_id, MIN(id) AS prev, "
+            f"arg_min(dst, md5('{salt}' || '|' || '{k}' || '|' || "
+            f"CAST(walk_id AS VARCHAR) || '|' || CAST(id AS VARCHAR) || '|' || "
+            f"CAST(dst AS VARCHAR) || '|' || CAST(r.j AS VARCHAR))) AS id "
+            f"FROM c{k}, range(1, {maxw + 1}) r(j) WHERE r.j <= m "
+            f"GROUP BY walk_id),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({k} AS BIGINT) AS step, id FROM w{k}"
+        for k in range(0, steps + 1)
+    )
+    parts.append(f"SELECT walk_id, step, id FROM ({union})")
+    return "\n".join(parts)
+
+
+@register("gds_node2vec_walk", _node2vec_sql(6, 4, 2, 1, salt="n2v"))
+def gds_node2vec_walk(spark, sf_dir):
+    """gds.node2vec biased walks (6 steps, undirected, one walk per
+    nation; return:in-between:far = 4:2:1, i.e. p=0.5, q=2). The
+    replica-minhash draw makes the weighted choice exact AND
+    deterministic — see operators/gds.node2vec_walk; the oracle unrolls
+    the identical argmin (``_node2vec_sql``)."""
+    g = build_graph(spark, sf_dir)
+    nations = g.label_frames["Nation"].select("id")
+    return gds.node2vec_walk(
+        g.rels, nations, steps=6, w_return=4, w_common=2, w_far=1, undirected=True
+    )

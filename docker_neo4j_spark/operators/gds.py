@@ -1595,3 +1595,97 @@ def kmeans(
         )
     pts.unpersist()
     return assign
+
+
+def node2vec_walk(
+    edges: DataFrame,
+    sources: DataFrame,
+    steps: int = 5,
+    w_return: int = 4,
+    w_common: int = 2,
+    w_far: int = 1,
+    salt: str = "n2v",
+    undirected: bool = False,
+) -> DataFrame:
+    """gds.node2vec second-order biased walks (Grover & Leskovec 2016),
+    RNG-free: the return/in-between/far bias weights 1/p, 1, 1/q are
+    expressed as small-integer replica counts (w_return, w_common,
+    w_far), each candidate edge is replicated that many times, and the
+    next hop is the replica with the minimum
+    ``md5(salt|step|walk_id|cur|cand|replica)``. Because replica hashes
+    are i.i.d. uniform, a candidate wins with probability EXACTLY
+    m/Σm — true weighted sampling with rational weights, yet a pure
+    deterministic function expressible identically in SQL (the oracle
+    unrolls the same argmin). Step 1 has no predecessor: every candidate
+    falls into the "far" class, so the draw is uniform.
+
+    Per step: one frontier⋈edges join, one (prev,cand)∈E membership
+    left-join (the distance-1 test), a ≤max(w)-fold replica explode, and
+    one min_by per walk — frontier state stays |walks| rows.
+    """
+    base = (undirect(edges) if undirected else edges.select("src", "dst")).distinct()
+    e = base.repartition("src").cache()
+    t_adj = base.select(
+        F.col("src").alias("_ts"), F.col("dst").alias("_td"), F.lit(1).alias("_near")
+    )
+    cur = _ckpt(
+        sources.select(F.col("id").alias("walk_id")).distinct().select(
+            "walk_id",
+            F.lit(None).cast("long").alias("prev"),
+            F.col("walk_id").alias("id"),
+        )
+    )
+    out = [cur.select("walk_id", F.lit(0).cast("long").alias("step"), "id")]
+    for k in range(1, steps + 1):
+        cand = (
+            cur.join(e, cur["id"] == e["src"])
+            .join(
+                t_adj,
+                (cur["prev"] == t_adj["_ts"]) & (e["dst"] == t_adj["_td"]),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "id",
+                "dst",
+                F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_near").isNotNull(), F.lit(w_common))
+                .otherwise(F.lit(w_far))
+                .alias("_m"),
+            )
+        )
+        reps = cand.select(
+            "walk_id",
+            "id",
+            "dst",
+            F.explode(F.sequence(F.lit(1), F.col("_m"))).alias("_j"),
+        )
+        draw = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.lit(str(k)),
+                F.col("walk_id"),
+                F.col("id"),
+                F.col("dst"),
+                F.col("_j"),
+            )
+        )
+        nxt = _ckpt(
+            reps.select("walk_id", "id", "dst", draw.alias("_h"))
+            .groupBy("walk_id")
+            .agg(
+                F.min("id").alias("prev"),
+                F.min_by("dst", F.col("_h")).alias("id"),
+            )
+        )
+        if nxt.isEmpty():
+            break
+        out.append(nxt.select("walk_id", F.lit(k).cast("long").alias("step"), "id"))
+        cur.unpersist()
+        cur = nxt
+    e.unpersist()
+    acc = out[0]
+    for fr in out[1:]:
+        acc = acc.unionByName(fr)
+    return acc

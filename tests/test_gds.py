@@ -586,3 +586,57 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     out = gds.kmeans(pts, k=2, max_iter=2).collect()
     assert len(out) == 6
     assert {r["cluster"] for r in out} <= {0, 1}
+
+
+def test_node2vec_walk_matches_replica_minhash_oracle(spark):
+    """The biased walk == a hashlib reimplementation of the same
+    replica-minhash rule on a small undirected graph."""
+    import hashlib
+
+    pairs = [(1, 2), (2, 3), (3, 4), (2, 4), (4, 5), (1, 3)]
+    e = _edges(spark, pairs)
+    got = {
+        (r["walk_id"], r["step"]): r["id"]
+        for r in gds.node2vec_walk(
+            e, _nodes(spark, [1, 5]), steps=4, undirected=True
+        ).collect()
+    }
+
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    wr, wc, wf = 4, 2, 1
+    exp = {}
+    for w0 in (1, 5):
+        prev, cur = None, w0
+        exp[(w0, 0)] = w0
+        for k in range(1, 5):
+            best = None
+            for x in sorted(adj.get(cur, ())):
+                m = wr if x == prev else (wc if prev is not None and x in adj.get(prev, ()) else wf)
+                for j in range(1, m + 1):
+                    h = hashlib.md5(f"n2v|{k}|{w0}|{cur}|{x}|{j}".encode()).hexdigest()
+                    if best is None or h < best[0]:
+                        best = (h, x)
+            prev, cur = cur, best[1]
+            exp[(w0, k)] = cur
+    assert got == exp
+
+
+def test_node2vec_bias_weights_shift_distribution(spark):
+    """With an overwhelming return weight the walk must backtrack: from a
+    path graph 1-2-3, step 2 with w_return>>others returns to 1."""
+    e = _edges(spark, [(1, 2), (2, 3), (2, 4), (2, 5), (2, 6)])
+    out = {
+        (r["walk_id"], r["step"]): r["id"]
+        for r in gds.node2vec_walk(
+            e, _nodes(spark, [1]), steps=2, w_return=4000, w_common=1, w_far=1,
+            undirected=True,
+        ).collect()
+    }
+    assert out[(1, 1)] == 2
+    # 4000 return replicas vs 4 far replicas: P(return)=4000/4004; the
+    # fixed salt realizes the overwhelmingly likely branch determinis-
+    # tically — if not, the draw machinery is broken, not unlucky.
+    assert out[(1, 2)] == 1
