@@ -1034,3 +1034,40 @@ def cypher_rel_alternation(spark, sf_dir):
 
     s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
     return s.run("MATCH (c:Customer)-[:IN_NATION|PLACED]->(x) RETURN count(*) AS n")
+
+
+@register(
+    "cypher_list_quantifiers",
+    """
+    WITH w AS (SELECT p_partkey AS pk,
+                      string_split(p_name, ' ') AS ws
+               FROM part)
+    SELECT pk,
+           CAST(len(list_filter(ws, x -> length(x) > 3)) = len(ws) AS BOOLEAN) AS all_long,
+           CAST(len(list_filter(ws, x -> contains(x, 'a'))) > 0 AS BOOLEAN) AS any_a,
+           CAST(len(list_filter(ws, x -> length(x) > 8)) = 0 AS BOOLEAN) AS none_huge,
+           CAST(len(list_filter(ws, x -> starts_with(x, 's'))) = 1 AS BOOLEAN) AS one_s
+    FROM w
+    WHERE len(list_filter(ws, x -> contains(x, 'e'))) > 0
+    ORDER BY pk
+    """,
+)
+def cypher_list_quantifiers(spark, sf_dir):
+    """Façade list quantifiers ``all/any/none/single(x IN list WHERE
+    pred)`` in RETURN and WHERE position → JVM higher-order functions
+    (forall / exists / ¬exists / filtered size) — no Python UDF, stays
+    inside whole-stage codegen (SURVEY §2.B.7 predicate functions)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (p:Part) WHERE any(x IN split(p.p_name, ' ') WHERE x CONTAINS 'e') "
+        "RETURN p.p_partkey AS pk, "
+        "all(x IN split(p.p_name, ' ') WHERE size(x) > 3) AS all_long, "
+        "any(x IN split(p.p_name, ' ') WHERE x CONTAINS 'a') AS any_a, "
+        "none(x IN split(p.p_name, ' ') WHERE size(x) > 8) AS none_huge, "
+        "single(x IN split(p.p_name, ' ') WHERE x STARTS WITH 's') AS one_s "
+        "ORDER BY pk"
+    )

@@ -235,15 +235,30 @@ def _compile_where(src: str, resolve=None) -> F.Column:
                 parts = [val, "("]
                 take()
                 depth = 1
+                prev_kind = "lpar"
                 while depth:
                     k2, v2 = take()
                     if k2 == "lpar":
                         depth += 1
                     elif k2 == "rpar":
                         depth -= 1
-                    parts.append(", " if k2 == "comma" else v2)
+                    if k2 == "comma":
+                        parts.append(", ")
+                    else:
+                        # keep word/literal boundaries (`x IN list WHERE …`
+                        # must not reassemble as `xINlistWHERE…`)
+                        if prev_kind in ("word", "num", "str") and k2 in (
+                            "word",
+                            "num",
+                            "str",
+                        ):
+                            parts.append(" ")
+                        parts.append(v2)
+                    prev_kind = k2
                 text = "".join(parts)
-                col = _compile_fn_call(text, resolve)
+                col = _compile_quantifier(text, resolve)
+                if col is None:
+                    col = _compile_fn_call(text, resolve)
                 # entity fns (id/labels/type/…) resolve as names
                 return col if col is not None else resolve(text)
             return resolve(val)
@@ -614,6 +629,41 @@ def _compile_list_comp(item: str, resolve) -> F.Column | None:
     return out
 
 
+def _compile_quantifier(item: str, resolve) -> F.Column | None:
+    """List predicate quantifiers ``all/any/none/single(x IN list WHERE
+    pred)`` → JVM higher-order functions (``F.forall`` / ``F.exists`` /
+    negation / filtered ``F.size`` — no Python UDF). Cypher requires the
+    WHERE part for these, so its absence means "not a quantifier"."""
+    m = re.match(
+        r"(all|any|none|single)\s*\(\s*([A-Za-z_]\w*)\s+IN\s+(.+)\)$",
+        item.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    kind, var, rest = m.group(1).lower(), m.group(2), m.group(3)
+    wh = _split_top(rest, "WHERE")
+    if len(wh) != 2:
+        return None
+    list_src, pred_src = wh[0].strip(), wh[1].strip()
+    src_col = _value_of(list_src, resolve)
+
+    def scoped(el):
+        def sub(name: str) -> F.Column:
+            return el if name == var else resolve(name)
+
+        return sub
+
+    pred = lambda el: _compile_where(pred_src, scoped(el))  # noqa: E731
+    if kind == "all":
+        return F.forall(src_col, pred)
+    if kind == "any":
+        return F.exists(src_col, pred)
+    if kind == "none":
+        return ~F.exists(src_col, pred)
+    return F.size(F.filter(src_col, pred)) == F.lit(1)  # single
+
+
 def _compile_reduce(item: str, resolve) -> F.Column | None:
     """``reduce(acc = init, x IN list | expr)`` → ``F.aggregate`` (JVM
     fold). The merge expression sees both the accumulator and the element
@@ -663,7 +713,13 @@ def _value_of(text: str, resolve) -> F.Column:
         and not _looks_like_pattern(text)
     ):
         return _value_of(_balanced_strip(text), resolve)
-    for compiler in (_compile_case, _compile_list_comp, _compile_reduce, _compile_fn_call):
+    for compiler in (
+        _compile_case,
+        _compile_list_comp,
+        _compile_quantifier,
+        _compile_reduce,
+        _compile_fn_call,
+    ):
         col = compiler(text, resolve)
         if col is not None:
             return col

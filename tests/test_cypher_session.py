@@ -915,3 +915,26 @@ def test_order_by_unprojected_property(spark):
         "MATCH (d:dog) RETURN d.name AS n ORDER BY d.age DESC LIMIT 2"
     ).collect()
     assert [x["n"] for x in r] == ["Cleo", "Arne"]
+
+
+def test_list_quantifiers_return_and_where(session):
+    session.run("CREATE (a:dog {name:'Arne'})")
+    r = session.run(
+        "MATCH (d:dog) RETURN "
+        "all(x IN range(2, 8, 2) WHERE x % 2 = 0) AS a, "
+        "any(x IN range(1, 5) WHERE x > 4) AS b, "
+        "none(x IN range(1, 5) WHERE x > 9) AS c, "
+        "single(x IN range(1, 5) WHERE x = 3) AS d, "
+        "single(x IN range(1, 5) WHERE x > 3) AS e"
+    ).collect()
+    row = r[0]
+    assert (row["a"], row["b"], row["c"], row["d"], row["e"]) == (
+        True, True, True, True, False,
+    )
+    # WHERE position: quantifier over a property-derived list
+    session.run("CREATE (b:dog {name:'Bo'})")
+    r = session.run(
+        "MATCH (d:dog) WHERE all(w IN split(d.name, 'r') WHERE size(w) >= 2) "
+        "RETURN d.name AS n ORDER BY n"
+    ).collect()
+    assert [x["n"] for x in r] == ["Bo"]
