@@ -1574,3 +1574,56 @@ def gds_node2vec_walk(spark, sf_dir):
     return gds.node2vec_walk(
         g.rels, nations, steps=6, w_return=4, w_common=2, w_far=1, undirected=True
     )
+
+
+@register(
+    "gds_yens_ksp",
+    f"""
+    WITH RECURSIVE emin AS MATERIALIZED (
+      SELECT src, dst, MIN(w) AS w FROM ({_EDGES}) GROUP BY src, dst),
+    seeds AS (SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS id
+              FROM customer ORDER BY id LIMIT 5),
+    p AS (
+      SELECT s.id AS start_id, s.id AS end_id, [s.id] AS nodes,
+             CAST(s.id AS VARCHAR) AS path_str, CAST(0 AS BIGINT) AS cost,
+             0 AS hops
+      FROM seeds s
+      UNION ALL
+      SELECT p.start_id, e.dst, list_append(p.nodes, e.dst),
+             p.path_str || '->' || CAST(e.dst AS VARCHAR), p.cost + e.w,
+             p.hops + 1
+      FROM p JOIN emin e ON e.src = p.end_id
+      WHERE NOT list_contains(p.nodes, e.dst) AND p.hops < 6),
+    hits AS (SELECT start_id, end_id, cost, path_str FROM p
+             WHERE hops >= 1
+               AND end_id IN (SELECT CAST(1000000000000 + r_regionkey AS BIGINT)
+                              FROM region)),
+    ranked AS (SELECT start_id, end_id, cost, path_str,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY start_id, end_id
+                                              ORDER BY cost, path_str) AS BIGINT)
+                        AS rank
+               FROM hits)
+    SELECT start_id, end_id, rank, cost, path_str FROM ranked WHERE rank <= 3
+    """,
+)
+def gds_yens_ksp(spark, sf_dir):
+    """gds.shortestPath.yens — 3 cheapest loopless paths from the 5
+    lowest customers to every reachable Region, weighted by the
+    lineitem-quantity edge weights (exact BIGINT costs, min over
+    parallel edges). Set-wise Yen: one shared bounded traversal + one
+    per-pair top-k window (see operators/paths.k_shortest_paths);
+    oracle: recursive-CTE enumeration with the identical ranking."""
+    from ..operators import paths as P
+
+    g = build_graph(spark, sf_dir)
+    seeds = g.label_frames["Customer"].select("id").orderBy("id").limit(5)
+    regions = g.label_frames["Region"].select("id")
+    w = (
+        F.when(F.col("type").isin("CONTAINS", "SUPPLIED_BY"), F.col("l_quantity"))
+        .otherwise(F.lit(1.0))
+        .alias("weight")
+    )
+    edges = g.rels.select("src", "dst", w)
+    return P.k_shortest_paths(
+        edges, seeds, k=3, max_hops=6, weight_col="weight", targets=regions
+    )

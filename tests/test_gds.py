@@ -640,3 +640,41 @@ def test_node2vec_bias_weights_shift_distribution(spark):
     # fixed salt realizes the overwhelmingly likely branch determinis-
     # tically — if not, the draw machinery is broken, not unlucky.
     assert out[(1, 2)] == 1
+
+
+def test_k_shortest_paths_matches_dfs_bruteforce(spark):
+    """Weighted K-shortest loopless paths == exhaustive DFS enumeration
+    with the same (cost, path-string) ranking."""
+    wedges = [(1, 2, 4), (1, 3, 1), (3, 2, 1), (2, 4, 1), (3, 4, 5), (1, 4, 9), (2, 3, 1)]
+    from docker_neo4j_spark.operators import paths as P
+
+    e = spark.createDataFrame(wedges, ["src", "dst", "w"])
+    seeds = _nodes(spark, [1])
+    got = {
+        (r["start_id"], r["end_id"], r["rank"]): (r["cost"], r["path_str"])
+        for r in P.k_shortest_paths(e, seeds, k=3, max_hops=5, weight_col="w").collect()
+    }
+
+    adj = {}
+    for s, d, w in wedges:
+        adj.setdefault(s, []).append((d, w))
+    found = []  # (end, cost, path_str)
+
+    def dfs(node, seen, cost, path):
+        if len(path) > 1:
+            found.append((node, cost, "->".join(map(str, path))))
+        if len(path) > 5:
+            return
+        for d, w in adj.get(node, []):
+            if d not in seen:
+                dfs(d, seen | {d}, cost + w, path + [d])
+
+    dfs(1, {1}, 0, [1])
+    exp = {}
+    by_end = {}
+    for end, cost, ps in sorted(found, key=lambda t: (t[0], t[1], t[2])):
+        by_end.setdefault(end, []).append((cost, ps))
+    for end, lst in by_end.items():
+        for rank, (cost, ps) in enumerate(lst[:3], start=1):
+            exp[(1, end, rank)] = (cost, ps)
+    assert got == exp
