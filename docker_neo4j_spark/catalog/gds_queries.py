@@ -1462,7 +1462,7 @@ def gds_fastrp(spark, sf_dir):
     )
 
 
-def _kmeans_sql(k: int, dim: int, iterations: int) -> str:
+def _kmeans_sql(k: int, dim: int, iterations: int, tail: str | None = None) -> str:
     """Unrolled Lloyd's k-means as chained DuckDB CTEs, mirroring
     ``operators/gds.kmeans`` op-for-op: milli-quantized integer points,
     k-lowest-id seeding, exact int64 distances, ROW_NUMBER arg-min with
@@ -1500,7 +1500,7 @@ def _kmeans_sql(k: int, dim: int, iterations: int) -> str:
     parts.append(
         f"fin AS (SELECT id AS vec_id, cluster FROM a{iterations})"
     )
-    parts.append("SELECT vec_id, cluster FROM fin")
+    parts.append(tail or "SELECT vec_id, cluster FROM fin")
     return "\n".join(parts)
 
 

@@ -1157,3 +1157,37 @@ def llm_bpe_encode(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return bpe_token_counts(d, bpe_train(d, num_merges=6))
+
+
+def _semantic_dedup_sql() -> str:
+    from .gds_queries import _kmeans_sql
+
+    tail = f"""
+    , ea AS (SELECT e.vec_id, e.embedding, f.cluster
+             FROM embeddings e JOIN fin f ON f.vec_id = e.vec_id)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+    FROM ea a JOIN ea b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.35
+    """
+    return _kmeans_sql(10, 64, 3, tail=tail)
+
+
+@register("llm_semantic_dedup", _semantic_dedup_sql())
+def llm_semantic_dedup(spark, sf_dir):
+    """Semantic near-dedup with a LEARNED blocking key: k-means over the
+    embedding space (quantized-integer Lloyd — gds.kmeans) assigns each
+    document a cluster, and cosine candidate pairs only form inside a
+    cluster — the end-to-end unsupervised SemDeDup shape (no
+    ground-truth label column anywhere). Still never all-pairs: the
+    pair join is an equi-join on the learned cell; the sequential-fold
+    cosine keeps the score engine-exact."""
+    from ..operators import gds
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    pts = e.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("j", "v"),
+    ).select("id", "j", F.col("v").cast("double").alias("v"))
+    asg = gds.kmeans(pts, k=10, max_iter=3).withColumnRenamed("id", "vec_id")
+    blocked = e.join(asg, "vec_id").withColumnRenamed("cluster", "label2")
+    return sim.cosine_neardup_blocked(blocked, threshold=0.35, cell_col="label2")

@@ -239,3 +239,28 @@ def events_retention_cohorts(spark, sf_dir):
 
     ev = load_tables(spark, sf_dir)["events"]
     return retention_cohorts(ev, horizon_days=7)
+
+
+@register(
+    "stream_trending_topk_batch",
+    """
+    WITH c AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type) AS rn
+      FROM c) WHERE rn <= 3
+    """,
+)
+def stream_trending_topk_batch(spark, sf_dir):
+    """Per-window top-3 trending event types — batch twin of the
+    streaming windowed-count + per-finalized-window rank pipeline
+    (events.trending_topk). The rank window is partitioned by the hour
+    bucket — no SinglePartition sort anywhere."""
+    from ..streaming.events import trending_topk
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = trending_topk(ev, window="1 hour", k=3)
+    return out.withColumn("window_start", _fmt_ts("window_start"))

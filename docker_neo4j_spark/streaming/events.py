@@ -439,3 +439,38 @@ def retention_cohorts(
         )
         .agg(F.count("*").cast("long").alias("users"))
     )
+
+
+def trending_topk(
+    events: DataFrame,
+    window: str = "1 hour",
+    k: int = 3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Windowed top-k trending event types: per tumbling window, the k
+    most frequent types ranked by (count DESC, type) — the per-window
+    tiebreak keeps the ranking total and engine-exact.
+
+    Batch: one windowed groupBy + a per-window rank (partitioned window,
+    never a global sort). Streaming: the windowed count is the stateful
+    part (watermark evicts closed windows); the rank is per-window and
+    belongs in the sink's foreachBatch once a window finalizes — same
+    code path, applied per emitted batch.
+    """
+    from pyspark.sql import Window as W
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    counts = (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    if events.isStreaming:
+        return counts  # rank per finalized batch in foreachBatch
+    rk = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -457,3 +457,30 @@ def test_retention_cohorts_triangle(spark):
         ("2024-01-02", 0): 1,
         ("2024-01-02", 1): 1,
     }
+
+
+def test_stream_trending_topk_matches_batch(spark, event_dir):
+    """Streaming windowed counts (complete mode) + per-window rank ==
+    the one-shot batch trending_topk ranking."""
+    from pyspark.sql import Window as W
+
+    from docker_neo4j_spark.streaming.events import trending_topk
+
+    stream = read_event_stream(spark, event_dir)
+    counts = trending_topk(stream, window="1 hour", k=3)
+    assert "rank" not in counts.columns  # streaming side defers ranking
+    run_stream_to_memory(counts, "trend_counts", output_mode="complete")
+    rk = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    got = (
+        spark.table("trend_counts")
+        .withColumn("rank", F.row_number().over(rk).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+    batch = trending_topk(spark.read.parquet(event_dir), window="1 hour", k=3)
+    canon = lambda df: sorted(  # noqa: E731
+        (str(r["window_start"]), r["event_type"], r["n_events"], r["rank"])
+        for r in df.collect()
+    )
+    assert canon(got) == canon(batch)
