@@ -912,7 +912,7 @@ def gds_pagerank_serving(spark, sf_dir):
     )
 
 
-def _louvain_sql(iterations: int) -> str:
+def _louvain_sql(iterations: int, tail: str | None = None) -> str:
     """Unrolled synchronous Louvain local-moving as chained DuckDB CTEs —
     twin of ``operators/gds.louvain`` on the IN_NATION ∪ IN_REGION
     subgraph. The move decision is the EXACT integer argmax
@@ -970,9 +970,12 @@ def _louvain_sql(iterations: int) -> str:
             f"THEN b.cand ELSE c.community END AS community "
             f"FROM {p} c LEFT JOIN best{k} b USING (id)),"
         )
-    last = parts.pop().rstrip(",")
-    parts.append(last)
-    parts.append(f"SELECT id, community FROM c{iterations}")
+    if tail is None:
+        last = parts.pop().rstrip(",")
+        parts.append(last)
+        parts.append(f"SELECT id, community FROM c{iterations}")
+    else:
+        parts.append(tail)
     return "\n".join(parts)
 
 
@@ -1627,3 +1630,46 @@ def gds_yens_ksp(spark, sf_dir):
     return P.k_shortest_paths(
         edges, seeds, k=3, max_hops=6, weight_col="weight", targets=regions
     )
+
+
+def _leiden_sql(louvain_iters: int, refine_rounds: int) -> str:
+    """Unrolled Leiden: the Louvain CTE chain (``_louvain_sql``) plus
+    ``refine_rounds`` of min-label propagation restricted to
+    intra-community edges — twin of ``operators/gds.leiden``. Extra
+    rounds past the fixpoint are identity, so a generous fixed unroll
+    matches the Spark side's early exit."""
+    parts = [
+        f"ce AS MATERIALIZED (SELECT e.src, e.dst FROM e "
+        f"JOIN c{louvain_iters} x ON x.id = e.src "
+        f"JOIN c{louvain_iters} y ON y.id = e.dst "
+        f"WHERE x.community = y.community),",
+        "r0 AS (SELECT id, id AS lab FROM nodes),",
+    ]
+    for t in range(1, refine_rounds + 1):
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT r.id, "
+            f"LEAST(r.lab, COALESCE(m.c, r.lab)) AS lab FROM r{t - 1} r "
+            f"LEFT JOIN (SELECT ce.dst AS id, MIN(p.lab) AS c FROM r{t - 1} p "
+            f"JOIN ce ON ce.src = p.id GROUP BY ce.dst) m ON m.id = r.id),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(f"SELECT id, lab AS community FROM r{refine_rounds}")
+    return _louvain_sql(louvain_iters, tail="\n".join(parts))
+
+
+@register("gds_leiden", _leiden_sql(5, 12))
+def gds_leiden(spark, sf_dir):
+    """gds.leiden — Louvain assignment refined to connected communities
+    (the Leiden guarantee). Same subgraph and round count as
+    gds_louvain; the refinement WCC is min-label over intra-community
+    edges only (``operators/gds.leiden``)."""
+    g = build_graph(spark, sf_dir)
+    edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
+    nodes = (
+        g.label_frames["Customer"].select("id")
+        .unionByName(g.label_frames["Supplier"].select("id"))
+        .unionByName(g.label_frames["Nation"].select("id"))
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    return gds.leiden(edges, nodes, max_iter=5, refine_iter=12)

@@ -1689,3 +1689,34 @@ def node2vec_walk(
     for fr in out[1:]:
         acc = acc.unionByName(fr)
     return acc
+
+
+def leiden(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 10,
+    refine_iter: int = 12,
+) -> DataFrame:
+    """gds.leiden — Louvain local-moving plus the Leiden refinement
+    guarantee (Traag, Waltman & van Eck 2019): communities are split into
+    their connected components, so no returned community is internally
+    disconnected — the specific Louvain defect the Leiden paper proves
+    and fixes. Returns (id, community) with community = the minimum node
+    id inside the refined component (stable, engine-exact labels).
+
+    Refinement is one min-label WCC restricted to INTRA-community edges
+    (two semi-joins against the assignment, then the standard fixpoint) —
+    the same join+groupBy-min shuffle shape per round as WCC, on a
+    subgraph that is never larger than the input.
+    """
+    comm = louvain(edges, nodes, max_iter)
+    e = undirect(edges).distinct()
+    a = comm.select(F.col("id").alias("_sa"), F.col("community").alias("_ca"))
+    b = comm.select(F.col("id").alias("_sb"), F.col("community").alias("_cb"))
+    intra = (
+        e.join(a, e["src"] == a["_sa"])
+        .join(b, e["dst"] == b["_sb"])
+        .where(F.col("_ca") == F.col("_cb"))
+        .select("src", "dst")
+    )
+    return _min_label_fixpoint(intra, nodes, refine_iter, "community")

@@ -678,3 +678,40 @@ def test_k_shortest_paths_matches_dfs_bruteforce(spark):
         for rank, (cost, ps) in enumerate(lst[:3], start=1):
             exp[(1, end, rank)] = (cost, ps)
     assert got == exp
+
+
+def test_leiden_splits_disconnected_louvain_communities(spark):
+    """Two triangles joined only through a hub that louvain may claim:
+    every leiden community must induce a CONNECTED subgraph (the Leiden
+    guarantee), and refinement never merges distinct louvain communities."""
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 7), (4, 7)]
+    e = _edges(spark, pairs)
+    nodes = _nodes(spark, list(range(1, 8)))
+    out = {r["id"]: r["community"] for r in gds.leiden(e, nodes).collect()}
+    assert set(out) == set(range(1, 8))
+
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    from collections import deque
+
+    comms = {}
+    for n, c in out.items():
+        comms.setdefault(c, set()).add(n)
+    for members in comms.values():
+        seen = set()
+        q = deque([next(iter(members))])
+        seen.add(q[0])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v in members and v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        assert seen == members, f"disconnected community {members}"
+    # refinement only splits: members of one leiden community share a
+    # louvain community
+    lv = {r["id"]: r["community"] for r in gds.louvain(e, nodes).collect()}
+    for members in comms.values():
+        assert len({lv[m] for m in members}) == 1
