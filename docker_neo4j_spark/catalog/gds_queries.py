@@ -1673,3 +1673,118 @@ def gds_leiden(spark, sf_dir):
         .unionByName(g.label_frames["Region"].select("id"))
     )
     return gds.leiden(edges, nodes, max_iter=5, refine_iter=12)
+
+
+@register(
+    "gds_link_prediction",
+    """
+    WITH ps AS (SELECT DISTINCT CAST(5000000000000 + l_partkey AS BIGINT) AS p,
+                       CAST(4000000000000 + l_suppkey AS BIGINT) AS s
+                FROM lineitem),
+    e AS MATERIALIZED (SELECT p AS src, s AS dst FROM ps
+                       UNION SELECT s, p FROM ps),
+    deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                         FROM e GROUP BY src),
+    cand AS (SELECT DISTINCT p FROM ps ORDER BY p LIMIT 40),
+    pairs AS (SELECT x.p AS a, y.p AS b FROM cand x JOIN cand y ON x.p < y.p),
+    com AS (
+      SELECT pr.a, pr.b, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             list(1.0e0 / d.deg ORDER BY az.dst) AS ra_terms,
+             list(1.0e0 / ln(CAST(d.deg AS DOUBLE)) ORDER BY az.dst) AS aa_terms
+      FROM pairs pr
+      JOIN e az ON az.src = pr.a
+      JOIN e zb ON zb.src = az.dst AND zb.dst = pr.b
+      JOIN deg d ON d.id = az.dst
+      GROUP BY pr.a, pr.b)
+    SELECT pr.a, pr.b,
+           COALESCE(c.common_neighbors, 0) AS common_neighbors,
+           COALESCE(da.deg, 0) + COALESCE(db.deg, 0)
+             - COALESCE(c.common_neighbors, 0) AS total_neighbors,
+           COALESCE(da.deg, 0) * COALESCE(db.deg, 0) AS pref_attachment,
+           COALESCE(list_reduce(list_prepend(0.0e0, c.ra_terms),
+                                (acc, x) -> acc + x), 0.0e0) AS resource_alloc,
+           CAST(ROUND(COALESCE(list_reduce(list_prepend(0.0e0, c.aa_terms),
+                                           (acc, x) -> acc + x), 0.0e0) * 1e6)
+                AS BIGINT) AS adamic_micro
+    FROM pairs pr
+    LEFT JOIN deg da ON da.id = pr.a
+    LEFT JOIN deg db ON db.id = pr.b
+    LEFT JOIN com c ON c.a = pr.a AND c.b = pr.b
+    """,
+)
+def gds_link_prediction(spark, sf_dir):
+    """gds.alpha.linkprediction.* (commonNeighbors, totalNeighbors,
+    preferentialAttachment, resourceAllocation, adamicAdar) scored for
+    the 780 lowest part-id pairs of the co-supply bipartite graph.
+    Float sums fold over common neighbors in ascending-z order on both
+    engines (bit-stable); Adamic-Adar surfaces micro-rounded because
+    libm ln may differ in the last ulp across engines."""
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .select(
+            (F.lit(5000000000000) + F.col("l_partkey")).alias("src"),
+            (F.lit(4000000000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    cand = ps.select(F.col("src").alias("p")).distinct().orderBy("p").limit(40)
+    pairs = (
+        cand.select(F.col("p").alias("a"))
+        .join(cand.select(F.col("p").alias("b")), F.col("a") < F.col("b"))
+    )
+    out = gds.link_prediction(ps, pairs)
+    return out.select(
+        "a",
+        "b",
+        "common_neighbors",
+        "total_neighbors",
+        "pref_attachment",
+        "resource_alloc",
+        F.round(F.col("adamic_adar") * F.lit(1e6)).cast("long").alias("adamic_micro"),
+    )
+
+
+@register(
+    "gds_split_relationships",
+    """
+    WITH e AS (SELECT CAST(3000000000000 + o_custkey AS BIGINT) AS src,
+                      CAST(6000000000000 + o_orderkey AS BIGINT) AS dst
+               FROM orders),
+    tagged AS (SELECT src, dst,
+                      CASE WHEN substr(md5(CAST(src AS VARCHAR) || '|' ||
+                                        CAST(dst AS VARCHAR)), 1, 4) < 'cccc'
+                           THEN 'train' ELSE 'test' END AS split
+               FROM e)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(src + dst) AS BIGINT) AS checksum
+    FROM tagged GROUP BY split
+    """,
+)
+def gds_split_relationships(spark, sf_dir):
+    """gds.alpha.ml.splitRelationships — deterministic train/test edge
+    split for link-prediction pipelines: an edge goes to 'train' iff
+    the first 16 bits of md5(src|dst) fall under 0xcccc (≈80%). Pure
+    map-side tag — no shuffle beyond the audit groupBy, no RNG, stable
+    under any partitioning; the summary row is an integer checksum."""
+    g = build_graph(spark, sf_dir)
+    e = g.type_frames["PLACED"].select("src", "dst")
+    tagged = e.select(
+        "src",
+        "dst",
+        F.when(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("src").cast("string"), F.col("dst").cast("string"))),
+                1,
+                4,
+            )
+            < F.lit("cccc"),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.col("src") + F.col("dst")).cast("long").alias("checksum"),
+    )

@@ -264,3 +264,52 @@ def stream_trending_topk_batch(spark, sf_dir):
     ev = load_tables(spark, sf_dir)["events"]
     out = trending_topk(ev, window="1 hour", k=3)
     return out.withColumn("window_start", _fmt_ts("window_start"))
+
+
+@register(
+    "events_ohlc_rollup",
+    """
+    WITH w AS (SELECT date_trunc('hour', ts) AS ws, event_type, ts, event_id, value
+               FROM events),
+    r AS (SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY ws, event_type
+                               ORDER BY ts, event_id) AS rn_a,
+            ROW_NUMBER() OVER (PARTITION BY ws, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM w)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           MIN(value) AS low_v, MAX(value) AS high_v,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY ws, event_type
+    """,
+)
+def events_ohlc_rollup(spark, sf_dir):
+    """Hypertable-style OHLC downsample: per tumbling hour per event
+    type, open/close (first/last by (ts, event_id) — the unique
+    tiebreak keeps the pick engine-exact) and low/high/count. One
+    windowed groupBy with min_by/max_by struct ordering — no sort, no
+    shuffle beyond the rollup keys; every output is a picked or compared
+    double, never a float sum."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open_v"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close_v"),
+            F.min("value").alias("low_v"),
+            F.max("value").alias("high_v"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open_v",
+            "close_v",
+            "low_v",
+            "high_v",
+            "n_events",
+        )
+    )
+    return out.withColumn("window_start", _fmt_ts("window_start"))

@@ -1720,3 +1720,77 @@ def leiden(
         .select("src", "dst")
     )
     return _min_label_fixpoint(intra, nodes, refine_iter, "community")
+
+
+def link_prediction(
+    edges: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """gds.alpha.linkprediction.* — the five classic topological scores
+    for candidate node pairs (a, b) over the UNDIRECTED simple view:
+
+    - common_neighbors  |Γ(a) ∩ Γ(b)|
+    - total_neighbors   |Γ(a) ∪ Γ(b)|
+    - pref_attachment   |Γ(a)| · |Γ(b)|
+    - resource_alloc    Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z)
+    - adamic_adar       Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg(z))
+
+    Set shape, not path shape: common neighbors come from ONE self-join
+    through the shared endpoint (edges az ⋈ edges zb on z, semi-joined
+    to the candidate pairs first so only requested pairs generate work).
+    The float sums fold over the common neighbors in ascending-z order
+    (array_sort + sequential F.aggregate), so the result is bit-stable
+    across partitionings and engines — never a parallel float SUM.
+    """
+    e = undirect(edges).distinct().cache()
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    p = pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    az = e.select(F.col("src").alias("a"), F.col("dst").alias("z"))
+    zb = e.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    common = (
+        p.join(az, "a")
+        .join(zb, ["z", "b"])
+        .join(deg.withColumnRenamed("src", "z"), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.array_sort(F.collect_list(F.struct("z", "deg"))).alias("_zs"),
+        )
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.aggregate(
+                "_zs",
+                F.lit(0.0),
+                lambda acc, s: acc + F.lit(1.0) / s["deg"].cast("double"),
+            ).alias("resource_alloc"),
+            F.aggregate(
+                "_zs",
+                F.lit(0.0),
+                lambda acc, s: acc + F.lit(1.0) / F.log(s["deg"].cast("double")),
+            ).alias("adamic_adar"),
+        )
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("_db"))
+    out = (
+        p.join(da, "a", "left")
+        .join(db, "b", "left")
+        .join(common, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("common_neighbors", F.lit(0)).cast("long").alias("common_neighbors"),
+            (
+                F.coalesce("_da", F.lit(0)) + F.coalesce("_db", F.lit(0))
+                - F.coalesce("common_neighbors", F.lit(0))
+            ).cast("long").alias("total_neighbors"),
+            (F.coalesce("_da", F.lit(0)) * F.coalesce("_db", F.lit(0)))
+            .cast("long")
+            .alias("pref_attachment"),
+            F.coalesce("resource_alloc", F.lit(0.0)).alias("resource_alloc"),
+            F.coalesce("adamic_adar", F.lit(0.0)).alias("adamic_adar"),
+        )
+    )
+    return out

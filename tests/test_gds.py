@@ -715,3 +715,26 @@ def test_leiden_splits_disconnected_louvain_communities(spark):
     lv = {r["id"]: r["community"] for r in gds.louvain(e, nodes).collect()}
     for members in comms.values():
         assert len({lv[m] for m in members}) == 1
+
+
+def test_link_prediction_closed_form(spark):
+    """Scores on a hand-checked graph: 1-2, 1-3, 2-3, 2-4, 3-4 (kite).
+    Pair (1,4): common = {2,3} (deg 3 each); pair (1,2): common = {3}."""
+    import math
+
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    pairs = spark.createDataFrame([(1, 4), (1, 2)], ["a", "b"])
+    got = {(r["a"], r["b"]): r for r in gds.link_prediction(e, pairs).collect()}
+
+    r14 = got[(1, 4)]
+    assert r14["common_neighbors"] == 2
+    assert r14["total_neighbors"] == 2 + 2 - 2  # deg(1)=2, deg(4)=2
+    assert r14["pref_attachment"] == 4
+    assert abs(r14["resource_alloc"] - (1 / 3 + 1 / 3)) < 1e-12
+    assert abs(r14["adamic_adar"] - 2 / math.log(3)) < 1e-12
+
+    r12 = got[(1, 2)]
+    assert r12["common_neighbors"] == 1
+    assert r12["total_neighbors"] == 2 + 3 - 1
+    assert r12["pref_attachment"] == 6
+    assert abs(r12["resource_alloc"] - 1 / 3) < 1e-12
