@@ -1191,3 +1191,29 @@ def llm_semantic_dedup(spark, sf_dir):
     asg = gds.kmeans(pts, k=10, max_iter=3).withColumnRenamed("id", "vec_id")
     blocked = e.join(asg, "vec_id").withColumnRenamed("cluster", "label2")
     return sim.cosine_neardup_blocked(blocked, threshold=0.35, cell_col="label2")
+
+
+@register(
+    "llm_classifier_filter",
+    """
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> ''),
+    w AS (
+      SELECT doc_id,
+             ((CAST(CONCAT('0x', substr(md5(t), 1, 4)) AS BIGINT) % 256)
+              * 2654435761) % 1001 - 500 AS wt
+      FROM tok)
+    SELECT doc_id, CAST(SUM(wt) - 40 AS BIGINT) AS score,
+           SUM(wt) - 40 > 0 AS keep
+    FROM w GROUP BY doc_id
+    """,
+)
+def llm_classifier_filter(spark, sf_dir):
+    """Linear quality-classifier inference (text.linear_classifier_score):
+    hashed bag-of-words buckets, fixed integer weight table, one
+    integer-sum per document — the fastText-filter serving shape with
+    zero driver-side model state."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return tx.linear_classifier_score(d)

@@ -651,3 +651,45 @@ def bpe_token_counts(
     return df.select(key).join(per_doc, key, "left").select(
         key, F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens")
     )
+
+
+def linear_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n_buckets: int = 256,
+    bias: int = -40,
+) -> DataFrame:
+    """Quality-classifier INFERENCE over hashed bag-of-words features —
+    the serving half of a fastText/logreg-style filter (the model the
+    big public corpora gate on): feature = md5-hash bucket of each
+    whitespace token, weight = a fixed integer table keyed by bucket
+    (here derived from a Knuth multiplicative hash of the bucket id —
+    deterministic stand-in for trained weights; swap in a real table by
+    joining a (bucket, weight) frame). Returns (key, score, keep).
+
+    Scale shape: explode → map-side bucket+weight expressions → one
+    groupBy(key) integer sum. No model object on the driver, no UDF;
+    weights-as-expression keeps everything in whole-stage codegen, and
+    a learned weight table would broadcast-join instead. Integer
+    arithmetic end-to-end — bit-exact on any engine.
+    """
+    tok = df.select(
+        F.col(key),
+        F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+    ).where(F.col("_t") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    weight = (bucket * F.lit(2654435761)) % F.lit(1001) - F.lit(500)
+    scored = (
+        tok.select(F.col(key), weight.alias("_w"))
+        .groupBy(key)
+        .agg(F.sum("_w").cast("long").alias("raw"))
+    )
+    return scored.select(
+        key,
+        (F.col("raw") + F.lit(bias)).alias("score"),
+        (F.col("raw") + F.lit(bias) > 0).alias("keep"),
+    )
