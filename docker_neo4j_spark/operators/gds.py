@@ -1530,6 +1530,27 @@ def closeness(
     )
 
 
+def _kmeans_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: nearest centroid per point (exact int64
+    distances, ties → lowest centroid id). The k×d centroid frame is an
+    explicit broadcast — the audit-tested join shape."""
+    cq = cent.select("c", F.col("j").alias("_cj"), F.col("q").alias("_cq"))
+    d = (
+        pts.join(F.broadcast(cq), pts["j"] == cq["_cj"])
+        .groupBy("id", "c")
+        .agg(
+            F.sum((F.col("q") - F.col("_cq")) * (F.col("q") - F.col("_cq"))).alias(
+                "dist"
+            )
+        )
+    )
+    return (
+        d.groupBy("id")
+        .agg(F.min(F.struct("dist", "c")).alias("_m"))
+        .select("id", F.col("_m.c").alias("cluster"))
+    )
+
+
 def kmeans(
     points: DataFrame,
     k: int = 10,
@@ -1568,21 +1589,7 @@ def kmeans(
     )
     assign = None
     for _ in range(max_iter):
-        cq = cent.select("c", F.col("j").alias("_cj"), F.col("q").alias("_cq"))
-        d = (
-            pts.join(F.broadcast(cq), pts["j"] == cq["_cj"])
-            .groupBy("id", "c")
-            .agg(
-                F.sum((F.col("q") - F.col("_cq")) * (F.col("q") - F.col("_cq"))).alias(
-                    "dist"
-                )
-            )
-        )
-        assign = _ckpt(
-            d.groupBy("id").agg(
-                F.min(F.struct("dist", "c")).alias("_m")
-            ).select("id", F.col("_m.c").alias("cluster"))
-        )
+        assign = _ckpt(_kmeans_assign(pts, cent))
         means = (
             assign.join(pts, "id")
             .groupBy(F.col("cluster").alias("c"), "j")

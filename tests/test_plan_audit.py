@@ -294,3 +294,42 @@ def test_scale_properties_is_one_aggregate_plus_map(spark, sf_dir):
     assert facts.n_sort_merge_joins == 0
     assert "CartesianProduct" not in facts.text
     assert "BroadcastNestedLoopJoin" in facts.text
+
+
+def test_classifier_filter_single_exchange_no_python(spark, sf_dir, queries):
+    """Hashed-feature classifier: map-side weight expressions + ONE
+    groupBy shuffle; no Python/Arrow eval anywhere in the plan."""
+    df = queries["llm_classifier_filter"](spark, sf_dir)
+    facts = audit(df)
+    assert facts.n_exchanges == 1
+    assert "Python" not in facts.text and "ArrowEval" not in facts.text
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """The O(N·k·d) assignment join must broadcast the k×d centroid
+    frame, never shuffle the point set against it."""
+    from docker_neo4j_spark.operators import gds
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    pts_q = e.select(
+        F.col("vec_id").alias("id"), F.posexplode("embedding").alias("j", "v")
+    ).select("id", "j", F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"))
+    pts = pts_q
+    seeds = pts.select("id").distinct().orderBy("id").limit(10)
+    cent = pts.join(F.broadcast(seeds), "id").select(
+        F.col("id").alias("c"), "j", "q"
+    )
+    df = gds._kmeans_assign(pts_q, cent)
+    facts = audit(df)
+    assert facts.n_sort_merge_joins == 0
+    assert facts.n_broadcast_joins >= 1
+
+
+def test_split_relationships_map_only_tag(spark, sf_dir, queries):
+    """The split tag itself is map-side; the only exchange is the audit
+    groupBy(split)."""
+    df = queries["gds_split_relationships"](spark, sf_dir)
+    facts = audit(df)
+    assert facts.n_exchanges <= 1
+    assert facts.n_cartesian == 0
