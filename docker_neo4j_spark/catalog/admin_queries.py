@@ -1071,3 +1071,39 @@ def cypher_list_quantifiers(spark, sf_dir):
         "single(x IN split(p.p_name, ' ') WHERE x STARTS WITH 's') AS one_s "
         "ORDER BY pk"
     )
+
+
+@register(
+    "cypher_pattern_comprehension",
+    """
+    SELECT n_name AS nation,
+           COALESCE((SELECT string_agg(s_name, ',' ORDER BY s_name)
+                     FROM supplier s
+                     WHERE s.s_nationkey = n.n_nationkey
+                       AND s.s_acctbal > 5000), '') AS rich_suppliers
+    FROM nation n ORDER BY nation
+    """,
+)
+def cypher_pattern_comprehension(spark, sf_dir):
+    """Pattern comprehensions ``[(s:Supplier)-[:IN_NATION]->(n) WHERE
+    pred | expr]`` in RETURN position: decorrelated to ONE pattern-match
+    frame aggregated per anchor id (collect_list) and left-joined back —
+    the same shape Catalyst rewrites correlated scalar subqueries into,
+    never a per-row subquery. The array surfaces sorted (Cypher leaves
+    comprehension order unspecified; a distributed engine must pin one)
+    and joins to a string for the hash gate."""
+    import pyspark.sql.functions as F
+
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "MATCH (n:Nation) RETURN n.n_name AS nation, "
+        "[(s:Supplier)-[:IN_NATION]->(n) WHERE s.s_acctbal > 5000 | s.s_name] "
+        "AS rich_suppliers ORDER BY nation"
+    )
+    return out.select(
+        "nation", F.array_join("rich_suppliers", ",").alias("rich_suppliers")
+    )

@@ -149,6 +149,11 @@ def _frame_resolver(frame: DataFrame):
     def resolve(name: str) -> F.Column:
         if name in cols:
             return F.col(f"`{name}`")
+        return _resolve_rest(name)
+
+    resolve.frame = frame  # lets fn dispatch see column dtypes (size())
+
+    def _resolve_rest(name: str) -> F.Column:
         m = re.match(r"properties\(\s*(\w+)\s*\)$", name)
         if m:
             # map of the variable's property columns (fixed cols excluded)
@@ -522,6 +527,17 @@ def _compile_fn_call(item: str, resolve) -> F.Column | None:
         fn = getattr(cf, name, None) or getattr(cf, name + "_", None)
     if fn is None or not callable(fn):
         return None
+    # Cypher's size() is polymorphic (string length / list cardinality);
+    # the library maps it to string length. When the one argument is a
+    # frame column of array type (e.g. a rewritten pattern-comprehension
+    # column), dispatch to the list form instead.
+    if name.lower() == "size":
+        frame = getattr(resolve, "frame", None)
+        argtext = m.group(2).strip()
+        if frame is not None and dict(frame.dtypes).get(argtext, "").startswith(
+            "array"
+        ):
+            fn = cf.size_list
     args = []
     raw = m.group(2).strip()
     for part in (_split_top(raw, ",") if raw else []):
@@ -1806,6 +1822,111 @@ class Session:
             bound = self._count_pattern(bound, m.group("pat").strip(), col)
             ret = ret[: m.start()] + col + ret[m.end():]
 
+    @staticmethod
+    def _find_pattern_comprehension(ret: str):
+        """Locate the next ``[(...)... | expr]`` span. Regex can't do it —
+        the pattern part itself contains brackets (``-[:T]->``) — so scan
+        with depth counting from each ``[`` that opens onto a ``(``.
+        Returns (start, end, pat_src, where_src, expr_src) or None."""
+        for i, ch in enumerate(ret):
+            if ch != "[" or not ret[i + 1 :].lstrip().startswith("("):
+                continue
+            depth, pipe = 0, None
+            for j in range(i, len(ret)):
+                c = ret[j]
+                if c in "[(":
+                    depth += 1
+                elif c in "])":
+                    depth -= 1
+                    if depth == 0:
+                        if pipe is None:
+                            break  # plain list, not a comprehension
+                        head = ret[i + 1 : pipe].strip()
+                        expr = ret[pipe + 1 : j].strip()
+                        m_w = re.search(
+                            r"\sWHERE\s", head, re.IGNORECASE
+                        )
+                        if m_w:
+                            return (
+                                i,
+                                j + 1,
+                                head[: m_w.start()].strip(),
+                                head[m_w.end() :].strip(),
+                                expr,
+                            )
+                        return (i, j + 1, head, None, expr)
+                elif c == "|" and depth == 1 and pipe is None:
+                    pipe = j
+        return None
+
+    def _apply_pattern_comprehensions(self, bound: DataFrame, ret: str):
+        """Pattern comprehensions ``[(n)-[:T]->(m) WHERE pred | expr]`` in
+        RETURN position: each becomes a per-binding collected array column
+        and the RETURN text is rewritten to reference it. The collected
+        array is ``array_sort``ed — Cypher leaves the order unspecified,
+        a distributed engine must pin SOME order to be deterministic, and
+        sorted is the one that is also oracle-comparable.
+
+        Same decorrelated shape as COUNT{}: one pattern-match frame per
+        comprehension, aggregated on the anchor ids (collect_list instead
+        of count), left-joined back — never a per-row subquery."""
+        from ..operators.patterns import NodeSpec, RelSpec, match_chain
+
+        while True:
+            hit = self._find_pattern_comprehension(ret)
+            if hit is None:
+                return bound, ret
+            start, end, pat_src, where_src, expr_src = hit
+            out_col = f"_pcq{self._anon}"
+            self._anon += 1
+            elems, rest = _parse_pattern(pat_src)
+            if rest:
+                raise ValueError(
+                    f"trailing content in pattern comprehension: {rest!r}"
+                )
+            pattern = []
+            for j, el in enumerate(elems):
+                if isinstance(el, _Node):
+                    if not el.var:
+                        el.var = f"_pc{self._anon}"
+                        self._anon += 1
+                    pattern.append(NodeSpec(el.var, el.label, el.props or None))
+                else:
+                    pattern.append(
+                        RelSpec(el.var or f"_pcr{j}", el.rel_type, _direction(el))
+                    )
+            join_vars = [
+                el.var
+                for el in elems
+                if isinstance(el, _Node) and f"{el.var}_id" in bound.columns
+            ]
+            if not join_vars:
+                raise ValueError(
+                    "pattern comprehension must reference a bound variable"
+                )
+            sub = match_chain(self.store.graph, pattern)
+            if where_src:
+                sub = sub.where(
+                    _compile_where(where_src, _frame_resolver(sub))
+                )
+            val = _value_of(expr_src, _frame_resolver(sub))
+            arrs = sub.groupBy(
+                [F.col(f"{v}_id").alias(f"_pp_{v}") for v in join_vars]
+            ).agg(F.array_sort(F.collect_list(val)).alias(out_col))
+            cond = None
+            for v in join_vars:
+                c = F.col(f"{v}_id") == F.col(f"_pp_{v}")
+                cond = c if cond is None else cond & c
+            joined = bound.join(arrs, cond, "left").drop(
+                *[f"_pp_{v}" for v in join_vars]
+            )
+            dtype = dict(joined.dtypes)[out_col]
+            bound = joined.withColumn(
+                out_col,
+                F.coalesce(F.col(out_col), F.array().cast(dtype)),
+            )
+            ret = ret[:start] + out_col + ret[end:]
+
     def _count_pattern(self, bound: DataFrame, src: str, out_col: str) -> DataFrame:
         """Left-join the per-anchor match count of a pattern onto ``bound``
         as ``out_col`` (the COUNT{} compilation; twin of _pattern_filter)."""
@@ -2171,6 +2292,12 @@ class Session:
     def _project_match(
         self, bound: DataFrame, ret: str, elems: list, resolve=None
     ) -> DataFrame:
+        # Pattern comprehensions rewrite BOTH the frame and the RETURN
+        # text, so they hook here — the single funnel every RETURN
+        # projection flows through — and refresh the resolver.
+        if re.search(r"\[\s*\(", ret):
+            bound, ret = self._apply_pattern_comprehensions(bound, ret)
+            resolve = _frame_resolver(bound)
         _resolve = resolve or _default_resolver
         # ORDER BY / SKIP / LIMIT suffixes, DISTINCT prefix
         order_by = limit = skip = None

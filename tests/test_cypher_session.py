@@ -938,3 +938,30 @@ def test_list_quantifiers_return_and_where(session):
         "RETURN d.name AS n ORDER BY n"
     ).collect()
     assert [x["n"] for x in r] == ["Bo"]
+
+
+def test_pattern_comprehension_return_position(session):
+    session.run("CREATE (a:dog {name:'Arne'})")
+    session.run("CREATE (b:dog {name:'Bosse'})")
+    session.run("CREATE (c:cat {name:'Misse'})")
+    session.run(
+        "MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) CREATE (a)-[:KNOWS]->(b)"
+    )
+    session.run(
+        "MATCH (a:dog {name:'Arne'}), (c:cat {name:'Misse'}) CREATE (a)-[:KNOWS]->(c)"
+    )
+    r = session.run(
+        "MATCH (d:dog) RETURN d.name AS n, "
+        "[(d)-[:KNOWS]->(x) | x.name] AS friends ORDER BY n"
+    ).collect()
+    assert [(row["n"], row["friends"]) for row in r] == [
+        ("Arne", ["Bosse", "Misse"]),  # sorted — the engine's pinned order
+        ("Bosse", []),  # matchless anchor → empty list, not NULL
+    ]
+    # WHERE inside the comprehension + size() around the rewritten column
+    r = session.run(
+        "MATCH (d:dog) RETURN d.name AS n, "
+        "size([(d)-[:KNOWS]->(x) WHERE x.name STARTS WITH 'M' | x.name]) AS cats "
+        "ORDER BY n"
+    ).collect()
+    assert [(row["n"], row["cats"]) for row in r] == [("Arne", 1), ("Bosse", 0)]
