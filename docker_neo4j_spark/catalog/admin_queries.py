@@ -1107,3 +1107,42 @@ def cypher_pattern_comprehension(spark, sf_dir):
     return out.select(
         "nation", F.array_join("rich_suppliers", ",").alias("rich_suppliers")
     )
+
+
+@register(
+    "cypher_constraint_ddl",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'dog_name_uq', 'ONLINE', 'UNIQUENESS', 'NODE',
+       'dog', 'name', CAST(2 AS BIGINT))
+    ) AS t(id, name, state, type, entityType, label, prop, n_dogs)
+    """,
+)
+def cypher_constraint_ddl(spark, sf_dir):
+    """Constraint DDL surface: CREATE CONSTRAINT … REQUIRE n.p IS
+    UNIQUE, SHOW CONSTRAINTS introspection, write-path enforcement
+    (storage/constraints.py — distributed dup-count validation; the
+    refused duplicate CREATE is part of the checked behavior)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name: 'Arne'})")
+    s.run("CREATE CONSTRAINT dog_name_uq FOR (n:dog) REQUIRE n.name IS UNIQUE")
+    s.run("CREATE (b:dog {name: 'Bosse'})")
+    try:
+        s.run("CREATE (c:dog {name: 'Arne'})")
+        raise AssertionError("unique constraint did not fire")
+    except ValueError:
+        pass
+    n_dogs = s.run("MATCH (n:dog) RETURN count(*) AS n").collect()[0]["n"]
+    out = s.run("SHOW CONSTRAINTS")
+    return out.select(
+        "id",
+        "name",
+        "state",
+        "type",
+        "entityType",
+        F.element_at("labelsOrTypes", 1).alias("label"),
+        F.element_at("properties", 1).alias("prop"),
+        F.lit(n_dogs).cast("long").alias("n_dogs"),
+    )

@@ -955,6 +955,26 @@ class Session:
             from ..storage.indexes import SHOW_SCHEMA
 
             return self.spark.createDataFrame(self.store.indexes.rows(), SHOW_SCHEMA)
+        if head == "SHOW" and q.upper().startswith("SHOW CONSTRAINT"):
+            from ..storage.constraints import SHOW_SCHEMA as C_SCHEMA
+
+            return self.spark.createDataFrame(
+                self.store.constraints.rows(), C_SCHEMA
+            )
+        if head == "CREATE" and re.match(r"CREATE\s+CONSTRAINT\b", q, re.IGNORECASE):
+            return self._create_constraint(q)
+        if head == "DROP" and q.upper().startswith("DROP CONSTRAINT"):
+            m = re.match(
+                r"DROP\s+CONSTRAINT\s+(?P<name>\w+)(?P<ifx>\s+IF\s+EXISTS)?\s*$",
+                q,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"Unsupported DROP CONSTRAINT syntax: {q!r}")
+            self.store.constraints.drop(
+                m.group("name"), if_exists=bool(m.group("ifx"))
+            )
+            return self.spark.createDataFrame([], "ok string")
         if head == "CREATE" and re.match(
             r"CREATE\s+(?:RANGE\s+|TEXT\s+|POINT\s+)?INDEX\b", q, re.IGNORECASE
         ):
@@ -1015,6 +1035,51 @@ class Session:
                 lit = repr(v)
             stmt = re.sub(rf"\b{re.escape(var)}\b", lit, body)
             self.run(stmt)
+        return self.spark.createDataFrame([], "ok string")
+
+    _CREATE_CONSTRAINT_RE = re.compile(
+        r"CREATE\s+CONSTRAINT"
+        r"(?:\s+(?P<name>\w+))?(?P<ine>\s+IF\s+NOT\s+EXISTS)?\s+"
+        r"FOR\s*\(\s*(?P<var>\w+)\s*:\s*(?P<label>\w+)\s*\)\s+"
+        r"REQUIRE\s+(?P<prop>[\w.]+)\s+IS\s+UNIQUE\s*$",
+        re.IGNORECASE,
+    )
+
+    def _create_constraint(self, q: str) -> DataFrame:
+        """``CREATE CONSTRAINT [name] [IF NOT EXISTS] FOR (n:Label)
+        REQUIRE n.prop IS UNIQUE`` — openCypher 5 constraint DDL.
+        Registers catalog metadata (SHOW CONSTRAINTS), refuses to create
+        over data that already violates it (one distributed dup-count),
+        and arms the write-path validation (storage/constraints.py)."""
+        m = self._CREATE_CONSTRAINT_RE.match(q)
+        if not m:
+            raise ValueError(f"Unsupported CREATE CONSTRAINT syntax: {q!r}")
+        var = m.group("var")
+        pm = re.fullmatch(rf"{re.escape(var)}\.(\w+)", m.group("prop"))
+        if not pm:
+            raise ValueError(f"constraint property must be {var}.<prop>")
+        prop, label = pm.group(1), m.group("label")
+        name = m.group("name") or f"constraint_{label}_{prop}"
+        existing = self.store.graph.nodes
+        if prop in existing.columns:
+            dup = (
+                existing.where(
+                    F.array_contains(F.col("labels"), label)
+                    & F.col(prop).isNotNull()
+                )
+                .groupBy(prop)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .take(1)
+            )
+            if dup:
+                raise ValueError(
+                    f"Unable to create constraint {name}: existing data has "
+                    f"duplicate `{prop}` = {dup[0][prop]!r} on :{label}"
+                )
+        self.store.constraints.create(
+            name, label, [prop], if_not_exists=bool(m.group("ine"))
+        )
         return self.spark.createDataFrame([], "ok string")
 
     _CREATE_INDEX_RE = re.compile(

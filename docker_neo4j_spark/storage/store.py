@@ -52,9 +52,11 @@ class GraphStore:
         self.graph = graph
         self._node_ids = itertools.count(WRITE_NODE_BASE)
         self._rel_ids = itertools.count(WRITE_REL_BASE)
+        from .constraints import ConstraintCatalog
         from .indexes import IndexCatalog
 
         self.indexes = IndexCatalog()
+        self.constraints = ConstraintCatalog()
 
     # ---- helpers -------------------------------------------------------
     def _union_missing(self, base: DataFrame, extra: DataFrame) -> DataFrame:
@@ -74,7 +76,45 @@ class GraphStore:
 
     def append_nodes(self, df: DataFrame) -> None:
         """Append pre-built node rows (id, labels, props) in one union."""
+        self._enforce_unique(df)
         self._swap(nodes=self._union_missing(self.graph.nodes, df))
+
+    def _enforce_unique(self, new_nodes: DataFrame) -> None:
+        """Distributed uniqueness validation for constrained labels: one
+        groupBy-count over (incoming ∪ existing) constrained keys per
+        constraint whose label the batch touches. Null keys are exempt
+        (Cypher semantics). No constraints → zero extra jobs."""
+        for c in self.constraints.constraints.values():
+            prop = c.properties[0]
+            if prop not in new_nodes.columns:
+                continue
+            incoming = new_nodes.where(
+                F.array_contains(F.col("labels"), c.label)
+                & F.col(prop).isNotNull()
+            ).select(prop)
+            if incoming.isEmpty():
+                continue
+            base = self.graph.nodes
+            existing = (
+                base.where(
+                    F.array_contains(F.col("labels"), c.label)
+                    & F.col(prop).isNotNull()
+                ).select(prop)
+                if prop in base.columns
+                else None
+            )
+            pool = incoming if existing is None else incoming.unionByName(existing)
+            dup = (
+                pool.groupBy(prop)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .take(1)
+            )
+            if dup:
+                raise ValueError(
+                    f"Node already exists with label `{c.label}` and property "
+                    f"`{prop}` = {dup[0][prop]!r} (constraint {c.name})"
+                )
 
     def append_rels(self, df: DataFrame) -> None:
         self._swap(rels=self._union_missing(self.graph.rels, df))
@@ -135,6 +175,7 @@ class GraphStore:
         ]
         new = self.spark.createDataFrame(data)
         cols = ["id", "labels", *prop_cols]
+        self._enforce_unique(new.select(cols))
         self._swap(nodes=self._union_missing(self.graph.nodes, new.select(cols)))
         return ids
 
@@ -353,9 +394,15 @@ class GraphStore:
         # CREATE INDEX's physical side: cluster rows within partitions on
         # the indexed properties so parquet row-group min/max stats become
         # selective for lookups on them (see storage/indexes.py)
-        cluster = [
-            c for c in self.indexes.cluster_columns() if c in nodes_out.columns
+        # unique constraints are index-backed in the reference; their key
+        # properties cluster the dump exactly like declared indexes
+        ccols = self.indexes.cluster_columns() + [
+            c.properties[0] for c in self.constraints.constraints.values()
         ]
+        cluster = []
+        for c in ccols:
+            if c in nodes_out.columns and c not in cluster:
+                cluster.append(c)
         if cluster:
             nodes_out = nodes_out.sortWithinPartitions(*cluster)
         nodes_out.write.mode("overwrite").parquet(f"{path}/nodes")
@@ -369,10 +416,11 @@ class GraphStore:
                     __version__,
                     self._schema_hash(self.graph.nodes, self.graph.rels),
                     _json.dumps(self.indexes.to_json()),
+                    _json.dumps(self.constraints.to_json()),
                 )
             ],
             "format_version int, engine_version string, schema_hash string,"
-            " indexes string",
+            " indexes string, constraints string",
         )
         meta.coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
 
@@ -414,6 +462,15 @@ class GraphStore:
             raw = meta["indexes"]
             if raw:
                 store.indexes = IndexCatalog.from_json(_json.loads(raw))
+        md = meta.asDict() if meta is not None else {}
+        if md.get("constraints"):
+            import json as _json
+
+            from .constraints import ConstraintCatalog
+
+            store.constraints = ConstraintCatalog.from_json(
+                _json.loads(md["constraints"])
+            )
         hi_n = nodes.agg(F.max("id")).first()[0]
         hi_r = rels.agg(F.max("id")).first()[0]
         store._node_ids = itertools.count(max(WRITE_NODE_BASE, (hi_n or 0) + 1))

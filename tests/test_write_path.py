@@ -358,3 +358,49 @@ def test_index_ddl_create_show_drop_and_dump_clustering(spark, tmp_path):
     s.run("DROP INDEX dog_name IF EXISTS")
     with _pt.raises(Exception):
         s.run("DROP INDEX dog_name")
+
+
+def test_unique_constraint_blocks_duplicate_create(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})")
+    s.run("CREATE CONSTRAINT dog_name_uq FOR (n:dog) REQUIRE n.name IS UNIQUE")
+    rows = s.run("SHOW CONSTRAINTS").collect()
+    assert [(r["name"], r["type"], r["labelsOrTypes"], r["properties"]) for r in rows] == [
+        ("dog_name_uq", "UNIQUENESS", ["dog"], ["name"])
+    ]
+    # new unique value fine; duplicate refused; null exempt; other labels exempt
+    s.run("CREATE (b:dog {name:'Bosse'})")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dog.*name.*Arne"):
+        s.run("CREATE (c:dog {name:'Arne'})")
+    s.run("CREATE (d:dog)")
+    s.run("CREATE (e:cat {name:'Arne'})")
+    assert s.run("MATCH (n:dog) RETURN count(*) AS n").collect()[0]["n"] == 3
+
+
+def test_constraint_rejects_preexisting_violation_and_survives_dump(spark, tmp_path):
+    import pytest as _pytest
+
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})")
+    s.run("CREATE (b:dog {name:'Arne'})")
+    with _pytest.raises(ValueError, match="duplicate"):
+        s.run("CREATE CONSTRAINT uq FOR (n:dog) REQUIRE n.name IS UNIQUE")
+    # fresh store: constraint round-trips through dump/load and still arms
+    s2 = Session(spark)
+    s2.run("CREATE (a:dog {name:'Arne'})")
+    s2.run("CREATE CONSTRAINT uq FOR (n:dog) REQUIRE n.name IS UNIQUE")
+    d = str(tmp_path / "dump")
+    s2.store.dump(d)
+    again = GraphStore.load(spark, d)
+    s3 = Session(spark, store=again)
+    with _pytest.raises(ValueError, match="Arne"):
+        s3.run("CREATE (x:dog {name:'Arne'})")
+    s3.run("DROP CONSTRAINT uq")
+    s3.run("CREATE (x:dog {name:'Arne'})")  # unconstrained again
