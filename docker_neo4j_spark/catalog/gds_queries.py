@@ -1788,3 +1788,55 @@ def gds_split_relationships(spark, sf_dir):
         F.count("*").cast("long").alias("n_edges"),
         F.sum(F.col("src") + F.col("dst")).cast("long").alias("checksum"),
     )
+
+
+def _lpa_weighted_sql(iterations: int) -> str:
+    """Unrolled WEIGHTED label propagation — twin of
+    ``operators/gds.label_propagation(weight_col=...)`` on the co-supply
+    bipartite multigraph: votes are Σ l_quantity (exact BIGINT), ties →
+    smallest label. Parallel edges stay a multiset on both sides."""
+    parts = [
+        "WITH b AS (SELECT CAST(5000000000000 + l_partkey AS BIGINT) AS s,",
+        "         CAST(4000000000000 + l_suppkey AS BIGINT) AS d,",
+        "         CAST(l_quantity AS BIGINT) AS w FROM lineitem),",
+        "e AS MATERIALIZED (SELECT s AS src, d AS dst, w FROM b"
+        " UNION ALL SELECT d, s, w FROM b),",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS community FROM e),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"lab{k - 1}"
+        parts.append(
+            f"best{k} AS (SELECT id, community AS cand FROM ("
+            f"SELECT e.dst AS id, p.community, SUM(e.w) AS n, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.dst "
+            f"ORDER BY SUM(e.w) DESC, p.community ASC) AS rn "
+            f"FROM {p} p JOIN e ON e.src = p.id GROUP BY e.dst, p.community"
+            f") WHERE rn = 1),"
+        )
+        parts.append(
+            f"lab{k} AS MATERIALIZED (SELECT l.id, COALESCE(b.cand, l.community)"
+            f" AS community FROM {p} l LEFT JOIN best{k} b USING (id)),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(f"SELECT id, community FROM lab{iterations}")
+    return "\n".join(parts)
+
+
+@register("gds_label_propagation_weighted", _lpa_weighted_sql(4))
+def gds_label_propagation_weighted(spark, sf_dir):
+    """gds.labelPropagation with relationshipWeightProperty: votes sum
+    the incident l_quantity weights (exact BIGINT argmax) over the
+    part↔supplier co-supply multigraph, 4 synchronous rounds."""
+    t = load_tables(spark, sf_dir)
+    b = t["lineitem"].select(
+        (F.lit(5000000000000) + F.col("l_partkey")).alias("src"),
+        (F.lit(4000000000000) + F.col("l_suppkey")).alias("dst"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    nodes = (
+        b.select(F.col("src").alias("id"))
+        .unionByName(b.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return gds.label_propagation(b, nodes, max_iter=4, weight_col="w")

@@ -574,7 +574,8 @@ def hits(
 
 
 def label_propagation(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 10
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 10,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Community detection by label propagation: (id, community).
 
@@ -582,14 +583,31 @@ def label_propagation(
     the most frequent neighbor label (ties → smallest label, deterministic).
     Capped iterations — LPA has no convergence guarantee on bipartite
     structures (documented reference behavior as well).
+
+    ``weight_col`` is gds's relationshipWeightProperty: votes sum the
+    incident edge weights instead of counting edges. Integer weights keep
+    the argmax exact (the catalog row casts l_quantity to BIGINT).
     """
-    e = undirect(edges).repartition("src").cache()
+    if weight_col is None:
+        e = undirect(edges).repartition("src").cache()
+    else:
+        d = edges.select("src", "dst", F.col(weight_col).alias("_w"))
+        e = (
+            d.unionByName(
+                d.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "_w"
+                )
+            )
+            .repartition("src")
+            .cache()
+        )
+    vote = F.count("*") if weight_col is None else F.sum("_w")
     lab = _ckpt(nodes.select("id", F.col("id").alias("community")))
     for _ in range(max_iter):
         votes = (
             lab.join(e, lab["id"] == e["src"])
             .groupBy(F.col("dst").alias("id"), "community")
-            .agg(F.count("*").alias("_n"))
+            .agg(vote.alias("_n"))
         )
         # max over (n, -community): most frequent label, ties → smallest label
         best = votes.groupBy("id").agg(
