@@ -718,6 +718,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'apoc.periodic.iterate'
     UNION ALL SELECT 'db.index.vector.queryNodes'
     UNION ALL SELECT 'db.labels'
+    UNION ALL SELECT 'db.schema.visualization'
     UNION ALL SELECT 'dbms.listConfig'
     UNION ALL SELECT 'example.defaultValues'
     """,
@@ -1146,3 +1147,37 @@ def cypher_constraint_ddl(spark, sf_dir):
         F.element_at("properties", 1).alias("prop"),
         F.lit(n_dogs).cast("long").alias("n_dogs"),
     )
+
+
+@register(
+    "proc_schema_visualization",
+    """
+    SELECT * FROM (
+      SELECT 'Nation' AS srcLabel, 'IN_REGION' AS relType, 'Region' AS dstLabel,
+             CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n
+      UNION ALL SELECT 'Customer', 'IN_NATION', 'Nation',
+             CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+      UNION ALL SELECT 'Supplier', 'IN_NATION', 'Nation',
+             CAST((SELECT COUNT(*) FROM supplier) AS BIGINT)
+      UNION ALL SELECT 'Customer', 'PLACED', 'Order',
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      UNION ALL SELECT 'Order', 'CONTAINS', 'Part',
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+      UNION ALL SELECT 'Part', 'SUPPLIED_BY', 'Supplier',
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    ) ORDER BY srcLabel, relType, dstLabel
+    """,
+)
+def proc_schema_visualization(spark, sf_dir):
+    """CALL db.schema.visualization through the façade: the schema graph
+    as (srcLabel, relType, dstLabel, count) triples — two label joins +
+    one groupBy over the rel frame (procedures/registry.py)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "CALL db.schema.visualization() YIELD srcLabel, relType, dstLabel, n"
+    )
+    return out.orderBy("srcLabel", "relType", "dstLabel")

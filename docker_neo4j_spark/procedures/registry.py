@@ -389,3 +389,35 @@ def _db_labels(spark: SparkSession, graph=None) -> DataFrame:
     return (
         graph.nodes.select(F.explode("labels").alias("label")).distinct().orderBy("label")
     )
+
+
+@procedure(
+    "db.schema.visualization",
+    signature=(
+        "db.schema.visualization() :: "
+        "(srcLabel :: STRING, relType :: STRING, dstLabel :: STRING, n :: INTEGER)"
+    ),
+    description="Schema graph: distinct (source label, rel type, target label) triples with counts",
+)
+def _db_schema_visualization(spark: SparkSession, graph=None) -> DataFrame:
+    """The reference's schema-introspection procedure, set-based: two
+    label joins over the rel frame + one groupBy — never a sampling
+    pass. Multi-label nodes contribute one triple per label (the schema
+    graph's meta-node fan-out)."""
+    if graph is None:
+        return spark.createDataFrame(
+            [], "srcLabel string, relType string, dstLabel string, n long"
+        )
+    sl = graph.nodes.select(
+        F.col("id").alias("_sid"), F.explode("labels").alias("srcLabel")
+    )
+    dl = graph.nodes.select(
+        F.col("id").alias("_did"), F.explode("labels").alias("dstLabel")
+    )
+    return (
+        graph.rels.select("src", "dst", F.col("type").alias("relType"))
+        .join(sl, F.col("src") == F.col("_sid"))
+        .join(dl, F.col("dst") == F.col("_did"))
+        .groupBy("srcLabel", "relType", "dstLabel")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
