@@ -313,3 +313,47 @@ def events_ohlc_rollup(spark, sf_dir):
         )
     )
     return out.withColumn("window_start", _fmt_ts("window_start"))
+
+
+@register(
+    "events_anomaly_3sigma",
+    """
+    WITH st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)))
+                  AS DOUBLE) AS s2
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CAST(ROUND((e.value - s1 / n) * (e.value - s1 / n) * 1e6) AS BIGINT)
+             AS sqdev_micro
+    FROM events e JOIN st ON st.event_type = e.event_type
+    WHERE (e.value - s1 / n) * (e.value - s1 / n) * n * n
+          > 9e0 * (n * s2 - s1 * s1)
+    """,
+)
+def events_anomaly_3sigma(spark, sf_dir):
+    """3σ anomaly flagging per event type: population mean/variance from
+    EXACT decimal Σx / Σx² (order-independent), then a broadcast join of
+    the 1-row-per-type stats frame back onto the stream — the classic
+    two-pass outlier detector with no float accumulation anywhere. The
+    comparison cross-multiplies to avoid division ((x−μ)²·n² > 9·(nΣx²−(Σx)²)),
+    so both engines evaluate the identical double expression."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = F.col("value").cast("decimal(28,6)")
+    st = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    j = ev.join(F.broadcast(st), "event_type")
+    dev = F.col("value") - F.col("s1") / F.col("n")
+    return (
+        j.where(dev * dev * F.col("n") * F.col("n") > F.lit(9.0) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(dev * dev * F.lit(1e6)).cast("long").alias("sqdev_micro"),
+        )
+    )
