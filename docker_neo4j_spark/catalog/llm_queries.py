@@ -1217,3 +1217,31 @@ def llm_classifier_filter(spark, sf_dir):
     zero driver-side model state."""
     d = load_tables(spark, sf_dir)["documents"]
     return tx.linear_classifier_score(d)
+
+
+@register(
+    "llm_exact_substring_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i + 9], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS u(i)
+      WHERE len(t) >= 10),
+    keep AS (SELECT gram FROM grams GROUP BY gram
+             HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+    g AS (SELECT gr.doc_id, gr.gram FROM grams gr JOIN keep k USING (gram))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def llm_exact_substring_pairs(spark, sf_dir):
+    """Exact-substring duplication pairs (curation.exact_substring_pairs):
+    10-word-gram doc↔doc equi-join with the stop-gram frequency guard —
+    never all-pairs, bounded per-gram fan-out."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.exact_substring_pairs(d, n=10, max_gram_docs=50)

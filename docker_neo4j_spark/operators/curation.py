@@ -430,3 +430,53 @@ def decontaminate(
         .join(hits, key_col, "left")
         .select(key_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
     )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 10,
+    max_gram_docs: int = 50,
+) -> DataFrame:
+    """Exact-substring duplication pairs (the word-n-gram form of Lee et
+    al. 2022's dedup): every document pair sharing at least one ``n``-word
+    gram, with the count of distinct shared grams — the signal corpus
+    dedup pipelines threshold on before dropping repeated boilerplate.
+
+    Scale shape: one distinct (doc, gram) frame, one self-equi-join on
+    the gram string. The quadratic danger is a gram shared by thousands
+    of documents (license headers); ``max_gram_docs`` drops grams more
+    frequent than that BEFORE the pair join — the standard stop-gram
+    guard, same role as minhash's ``max_bucket`` — so per-gram fan-out
+    is bounded and the join never degenerates. Deterministic integers
+    end-to-end.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    count = F.size(toks) - n + 1
+    grams_arr = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        df.select(F.col(key_col), F.explode(grams_arr).alias("gram"))
+        .distinct()
+    )
+    keep = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .where((F.col("_docs") >= 2) & (F.col("_docs") <= max_gram_docs))
+        .select("gram")
+    )
+    g = grams.join(keep, "gram")
+    a = g.select(F.col("gram"), F.col(key_col).alias("id_a"))
+    b = g.select(F.col("gram"), F.col(key_col).alias("id_b"))
+    return (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )

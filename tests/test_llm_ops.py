@@ -494,3 +494,29 @@ def test_bpe_token_counts_under_learned_merges(spark):
     # doc2: abab->1, xy->2 = 3
     assert out[2] == 3
     assert out[3] == 0
+
+
+def test_exact_substring_pairs_stop_gram_guard(spark):
+    """Shared 3-gram links docs; a gram shared by too many docs is
+    dropped by the guard instead of fanning out quadratically."""
+    from docker_neo4j_spark.operators.curation import exact_substring_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "a quick brown fox runs"),
+        (3, "something else entirely here now"),
+    ] + [(10 + i, "common header line three") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_grams"]
+        for r in exact_substring_pairs(df, n=3, max_gram_docs=10).collect()
+    }
+    # docs 1,2 share "quick brown fox"; header docs all pair up
+    assert got[(1, 2)] == 1
+    assert got[(10, 11)] == 2  # "common header line", "header line three"
+    # guard: same corpus with max_gram_docs=4 drops the 5-doc header gram
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in exact_substring_pairs(df, n=3, max_gram_docs=4).collect()
+    }
+    assert (10, 11) not in guarded and (1, 2) in guarded
