@@ -719,6 +719,9 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'db.index.vector.queryNodes'
     UNION ALL SELECT 'db.labels'
     UNION ALL SELECT 'db.schema.visualization'
+    UNION ALL SELECT 'gds.graph.drop'
+    UNION ALL SELECT 'gds.graph.list'
+    UNION ALL SELECT 'gds.graph.project'
     UNION ALL SELECT 'dbms.listConfig'
     UNION ALL SELECT 'example.defaultValues'
     """,
@@ -1181,3 +1184,45 @@ def proc_schema_visualization(spark, sf_dir):
         "CALL db.schema.visualization() YIELD srcLabel, relType, dstLabel, n"
     )
     return out.orderBy("srcLabel", "relType", "dstLabel")
+
+
+@register(
+    "proc_gds_graph_catalog",
+    """
+    SELECT 'memb_cat' AS graphName,
+           CAST((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM nation)
+                AS BIGINT) AS nodeCount,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS relationshipCount,
+           CAST(0 AS BIGINT) AS after_drop
+    """,
+)
+def proc_gds_graph_catalog(spark, sf_dir):
+    """gds.graph.project / list / drop lifecycle through the façade: a
+    named label/type-filtered projection lands in the in-memory catalog
+    as CACHED frames (endpoint-filtered rels, left-semi joins), lists
+    its counts, and drop unpersists (procedures/registry.py)."""
+    from ..cypher.session import Session
+    from ..procedures.registry import _graphs_for
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    _graphs_for(spark).pop("memb_cat", None)  # idempotent under re-runs
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run(
+        "CALL gds.graph.project('memb_cat', ['Customer', 'Nation'], ['IN_NATION']) "
+        "YIELD graphName"
+    )
+    listed = s.run(
+        "CALL gds.graph.list() YIELD graphName, nodeCount, relationshipCount"
+    ).where(F.col("graphName") == "memb_cat")
+    row = listed.collect()[0]
+    s.run("CALL gds.graph.drop('memb_cat') YIELD graphName")
+    remaining = (
+        s.run("CALL gds.graph.list() YIELD graphName")
+        .where(F.col("graphName") == "memb_cat")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(row["graphName"], row["nodeCount"], row["relationshipCount"], remaining)],
+        "graphName string, nodeCount long, relationshipCount long, after_drop long",
+    )

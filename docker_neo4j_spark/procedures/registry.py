@@ -421,3 +421,90 @@ def _db_schema_visualization(spark: SparkSession, graph=None) -> DataFrame:
         .groupBy("srcLabel", "relType", "dstLabel")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# ---- gds.graph catalog: named projections (project → list → drop) ------
+# Projections are CACHED filtered views keyed per SparkSession — the GDS
+# workflow's in-memory graph catalog, Spark-style: a projection is a lazy
+# label/type-filtered plan plus .cache(), so algorithms that consume it
+# re-read memory-resident frames instead of re-scanning parquet; drop
+# unpersists. Nothing is ever collected to the driver.
+_GRAPH_CATALOG: dict[int, dict[str, tuple]] = {}
+
+
+def _graphs_for(spark: SparkSession) -> dict[str, tuple]:
+    return _GRAPH_CATALOG.setdefault(id(spark), {})
+
+
+@procedure(
+    "gds.graph.project",
+    signature=(
+        "gds.graph.project(graphName :: STRING, nodeLabels :: LIST, "
+        "relTypes :: LIST) :: (graphName :: STRING, nodeCount :: INTEGER, "
+        "relationshipCount :: INTEGER)"
+    ),
+    description="Project a named label/type-filtered graph into the in-memory catalog",
+)
+def _gds_graph_project(
+    spark: SparkSession, graphName: str = "", nodeLabels=None, relTypes=None, graph=None
+) -> DataFrame:
+    if graph is None:
+        raise ValueError("gds.graph.project requires a graph context")
+    cat = _graphs_for(spark)
+    if graphName in cat:
+        raise ValueError(f"A graph with name '{graphName}' already exists")
+    nodes = graph.nodes
+    if nodeLabels:
+        cond = None
+        for lb in nodeLabels:
+            c = F.array_contains(F.col("labels"), lb)
+            cond = c if cond is None else cond | c
+        nodes = nodes.where(cond)
+    rels = graph.rels
+    if relTypes:
+        rels = rels.where(F.col("type").isin(*relTypes))
+    # endpoints must survive the node filter (GDS projection semantics)
+    ids = nodes.select(F.col("id").alias("_nid"))
+    rels = (
+        rels.join(ids, rels["src"] == ids["_nid"], "left_semi")
+        .join(ids.withColumnRenamed("_nid", "_nid2"), rels["dst"] == F.col("_nid2"), "left_semi")
+    )
+    nodes, rels = nodes.cache(), rels.cache()
+    nc, rc = nodes.count(), rels.count()
+    cat[graphName] = (nodes, rels, nc, rc)
+    return spark.createDataFrame(
+        [(graphName, nc, rc)],
+        "graphName string, nodeCount long, relationshipCount long",
+    )
+
+
+@procedure(
+    "gds.graph.list",
+    signature=(
+        "gds.graph.list() :: (graphName :: STRING, nodeCount :: INTEGER, "
+        "relationshipCount :: INTEGER)"
+    ),
+    description="List graphs in the in-memory catalog",
+)
+def _gds_graph_list(spark: SparkSession) -> DataFrame:
+    rows = sorted(
+        (name, nc, rc) for name, (_, _, nc, rc) in _graphs_for(spark).items()
+    )
+    return spark.createDataFrame(
+        rows, "graphName string, nodeCount long, relationshipCount long"
+    )
+
+
+@procedure(
+    "gds.graph.drop",
+    signature="gds.graph.drop(graphName :: STRING) :: (graphName :: STRING)",
+    description="Drop a graph from the in-memory catalog",
+)
+def _gds_graph_drop(spark: SparkSession, graphName: str = "") -> DataFrame:
+    cat = _graphs_for(spark)
+    if graphName not in cat:
+        raise ValueError(f"Graph with name '{graphName}' does not exist")
+    nodes, rels, _, _ = cat.pop(graphName)
+    nodes.unpersist()
+    rels.unpersist()
+    return spark.createDataFrame([(graphName,)], "graphName string")

@@ -139,3 +139,39 @@ def test_periodic_iterate_batched_bulk_update(spark):
         "{batchSize: 3})"
     )
     assert s.run("MATCH (t:tag) RETURN count(*) AS n").first()["n"] == 7
+
+
+def test_gds_graph_catalog_lifecycle(spark):
+    """project → list → algorithms-on-projection → drop; double project
+    refused; drop of missing name refused."""
+    import pytest as _pytest
+
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.procedures.registry import _graphs_for
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    _graphs_for(spark).clear()
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})")
+    s.run("CREATE (b:dog {name:'Bosse'})")
+    s.run("CREATE (c:cat {name:'Misse'})")
+    s.run("MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) CREATE (a)-[:KNOWS]->(b)")
+    s.run("MATCH (a:dog {name:'Arne'}), (c:cat {name:'Misse'}) CREATE (a)-[:LIKES]->(c)")
+    r = s.run(
+        "CALL gds.graph.project('dogs', ['dog'], ['KNOWS']) "
+        "YIELD graphName, nodeCount, relationshipCount"
+    ).collect()[0]
+    assert (r["nodeCount"], r["relationshipCount"]) == (2, 1)
+    with _pytest.raises(ValueError, match="already exists"):
+        s.run("CALL gds.graph.project('dogs', ['dog'], ['KNOWS']) YIELD graphName")
+    # label filter drops the cat endpoint even if the type were included
+    r2 = s.run(
+        "CALL gds.graph.project('dogs2', ['dog'], ['KNOWS', 'LIKES']) "
+        "YIELD nodeCount, relationshipCount"
+    ).collect()[0]
+    assert (r2["nodeCount"], r2["relationshipCount"]) == (2, 1)
+    assert {x["graphName"] for x in s.run("CALL gds.graph.list() YIELD graphName").collect()} == {"dogs", "dogs2"}
+    s.run("CALL gds.graph.drop('dogs') YIELD graphName")
+    s.run("CALL gds.graph.drop('dogs2') YIELD graphName")
+    with _pytest.raises(ValueError, match="does not exist"):
+        s.run("CALL gds.graph.drop('dogs') YIELD graphName")
