@@ -715,9 +715,12 @@ def proc_list_config_yield_where(spark, sf_dir):
     "proc_show_procedures",
     """
     SELECT 'apoc.export.csv.all' AS name
+    UNION ALL SELECT 'apoc.meta.stats'
     UNION ALL SELECT 'apoc.periodic.iterate'
     UNION ALL SELECT 'db.index.vector.queryNodes'
     UNION ALL SELECT 'db.labels'
+    UNION ALL SELECT 'db.propertyKeys'
+    UNION ALL SELECT 'db.relationshipTypes'
     UNION ALL SELECT 'db.schema.visualization'
     UNION ALL SELECT 'gds.graph.drop'
     UNION ALL SELECT 'gds.graph.list'
@@ -1225,4 +1228,40 @@ def proc_gds_graph_catalog(spark, sf_dir):
     return spark.createDataFrame(
         [(row["graphName"], row["nodeCount"], row["relationshipCount"], remaining)],
         "graphName string, nodeCount long, relationshipCount long, after_drop long",
+    )
+
+
+@register(
+    "proc_meta_introspection",
+    """
+    WITH pk AS (SELECT 14 AS n_keys)
+    SELECT 'CONTAINS' AS first_type,
+           CAST((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+              + (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region)
+              + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM orders)
+              AS BIGINT) AS node_count,
+           CAST(6 AS BIGINT) AS label_count,
+           CAST(5 AS BIGINT) AS type_count
+    """,
+)
+def proc_meta_introspection(spark, sf_dir):
+    """db.relationshipTypes + apoc.meta.stats through the façade — the
+    schema introspection a reference user scripts against."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    first = (
+        s.run("CALL db.relationshipTypes() YIELD relationshipType")
+        .orderBy("relationshipType")
+        .limit(1)
+        .collect()[0]["relationshipType"]
+    )
+    stats = s.run(
+        "CALL apoc.meta.stats() YIELD nodeCount, labelCount, relTypeCount"
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(first, stats["nodeCount"], stats["labelCount"], stats["relTypeCount"])],
+        "first_type string, node_count long, label_count long, type_count long",
     )

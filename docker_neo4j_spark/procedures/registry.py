@@ -508,3 +508,62 @@ def _gds_graph_drop(spark: SparkSession, graphName: str = "") -> DataFrame:
     nodes.unpersist()
     rels.unpersist()
     return spark.createDataFrame([(graphName,)], "graphName string")
+
+
+@procedure(
+    "db.relationshipTypes",
+    signature="db.relationshipTypes() :: (relationshipType :: STRING)",
+    description="List all relationship types in the graph",
+)
+def _db_relationship_types(spark: SparkSession, graph=None) -> DataFrame:
+    if graph is None:
+        return spark.createDataFrame([], "relationshipType string")
+    return (
+        graph.rels.select(F.col("type").alias("relationshipType"))
+        .distinct()
+        .orderBy("relationshipType")
+    )
+
+
+@procedure(
+    "db.propertyKeys",
+    signature="db.propertyKeys() :: (propertyKey :: STRING)",
+    description="List all property keys (node and relationship columns)",
+)
+def _db_property_keys(spark: SparkSession, graph=None) -> DataFrame:
+    if graph is None:
+        return spark.createDataFrame([], "propertyKey string")
+    fixed = {"id", "labels", "src", "dst", "type"}
+    keys = sorted(
+        {c for c in graph.nodes.columns if c not in fixed}
+        | {c for c in graph.rels.columns if c not in fixed}
+    )
+    return spark.createDataFrame([(k,) for k in keys], "propertyKey string")
+
+
+@procedure(
+    "apoc.meta.stats",
+    signature=(
+        "apoc.meta.stats() :: (nodeCount :: INTEGER, relCount :: INTEGER, "
+        "labelCount :: INTEGER, relTypeCount :: INTEGER, propertyKeyCount :: INTEGER)"
+    ),
+    description="Whole-graph metadata summary counts",
+)
+def _apoc_meta_stats(spark: SparkSession, graph=None) -> DataFrame:
+    schema = (
+        "nodeCount long, relCount long, labelCount long, relTypeCount long,"
+        " propertyKeyCount long"
+    )
+    if graph is None:
+        return spark.createDataFrame([(0, 0, 0, 0, 0)], schema)
+    fixed = {"id", "labels", "src", "dst", "type"}
+    n_keys = len(
+        {c for c in graph.nodes.columns if c not in fixed}
+        | {c for c in graph.rels.columns if c not in fixed}
+    )
+    # one job: counts + distincts via two tiny aggregates
+    nc = graph.nodes.count()
+    rc = graph.rels.count()
+    lc = graph.nodes.select(F.explode("labels").alias("l")).distinct().count()
+    tc = graph.rels.select("type").distinct().count()
+    return spark.createDataFrame([(nc, rc, lc, tc, n_keys)], schema)

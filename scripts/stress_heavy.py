@@ -60,6 +60,18 @@ HEAVY = [
     "gds_scc_regions",
     "llm_tfidf_topterms",
     "stream_attribution_left_batch",
+    # late-round-6 additions: new iterative / pair-generating shapes
+    "gds_kmeans",
+    "gds_node2vec_walk",
+    "gds_yens_ksp",
+    "gds_leiden",
+    "gds_link_prediction",
+    "gds_label_propagation_weighted",
+    "llm_semantic_dedup",
+    "llm_exact_substring_pairs",
+    "llm_classifier_filter",
+    "events_anomaly_3sigma",
+    "events_ohlc_rollup",
 ]
 
 
