@@ -1265,3 +1265,30 @@ def proc_meta_introspection(spark, sf_dir):
         [(first, stats["nodeCount"], stats["labelCount"], stats["relTypeCount"])],
         "first_type string, node_count long, label_count long, type_count long",
     )
+
+
+@register(
+    "cypher_exists_where_subquery",
+    """
+    SELECT n_name AS nation
+    FROM nation n
+    WHERE EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000)
+    ORDER BY nation
+    """,
+)
+def cypher_exists_where_subquery(spark, sf_dir):
+    """openCypher 9 existential subquery with inner WHERE:
+    ``EXISTS { (s:Supplier)-[:IN_NATION]->(n) WHERE s.s_acctbal > 9000 }``
+    — the inner predicate filters the pattern-match frame BEFORE the
+    distinct semi-join (cypher/session.py:_pattern_filter)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "MATCH (n:Nation) WHERE EXISTS { (s:Supplier)-[:IN_NATION]->(n) "
+        "WHERE s.s_acctbal > 9000 } RETURN n.n_name AS nation ORDER BY nation"
+    )
+    return out

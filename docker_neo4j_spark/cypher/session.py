@@ -1814,10 +1814,18 @@ class Session:
                 inner,
                 re.IGNORECASE | re.DOTALL,
             )
+            inner_where = None
             if m_ex:
                 inner = (m_ex.group("brace") or m_ex.group("paren")).strip()
+                # openCypher 9 existential subquery may carry its own WHERE:
+                # EXISTS { (a)-[:T]->(b) WHERE b.x > 1 }
+                wh = _split_top(inner, "WHERE")
+                if len(wh) > 1:
+                    inner, inner_where = wh[0].strip(), wh[1].strip()
             if m_ex or _looks_like_pattern(inner):
-                bound = self._pattern_filter(bound, inner, anti=bool(m_not))
+                bound = self._pattern_filter(
+                    bound, inner, anti=bool(m_not), where=inner_where
+                )
             else:
                 plain.append(t)
         if plain:
@@ -1829,9 +1837,13 @@ class Session:
             ).drop(*count_cols)
         return bound
 
-    def _pattern_filter(self, bound: DataFrame, src: str, anti: bool) -> DataFrame:
+    def _pattern_filter(
+        self, bound: DataFrame, src: str, anti: bool, where: str | None = None
+    ) -> DataFrame:
         """Semi/anti-join ``bound`` against the bindings of a pattern — the
-        general (multi-hop, multi-anchor) pattern predicate."""
+        general (multi-hop, multi-anchor) pattern predicate. ``where`` is
+        the existential subquery's inner predicate, filtered on the
+        pattern-match frame BEFORE the distinct/semi-join."""
         from ..operators.patterns import NodeSpec, RelSpec, match_chain
 
         elems, rest = _parse_pattern(src)
@@ -1854,6 +1866,8 @@ class Session:
         if not join_vars:
             raise ValueError("pattern predicate must reference a bound variable")
         sub = match_chain(self.store.graph, pattern)
+        if where:
+            sub = sub.where(_compile_where(where, _frame_resolver(sub)))
         keys = sub.select(
             [F.col(f"{v}_id").alias(f"_pp_{v}") for v in join_vars]
         ).distinct()

@@ -965,3 +965,18 @@ def test_pattern_comprehension_return_position(session):
         "ORDER BY n"
     ).collect()
     assert [(row["n"], row["cats"]) for row in r] == [("Arne", 1), ("Bosse", 0)]
+
+
+def test_exists_subquery_with_inner_where(session):
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    session.run("CREATE (c:dog {name:'Cora'})-[:SNIFFS]->(d:dog {name:'Abbe'})")
+    r = session.run(
+        "MATCH (x:dog) WHERE EXISTS { (x)-[:SNIFFS]->(y:dog) WHERE y.name STARTS WITH 'B' } "
+        "RETURN x.name AS n ORDER BY n"
+    ).collect()
+    assert [row["n"] for row in r] == ["Arne"]
+    r = session.run(
+        "MATCH (x:dog) WHERE NOT EXISTS { (x)-[:SNIFFS]->(y:dog) WHERE y.name STARTS WITH 'B' } "
+        "RETURN x.name AS n ORDER BY n"
+    ).collect()
+    assert [row["n"] for row in r] == ["Abbe", "Bosse", "Cora"]
