@@ -1181,6 +1181,16 @@ class Session:
                 depth -= 1
             i += 1
         inner, rest = q[start + 1 : i - 1].strip(), q[i:].strip()
+        # ``CALL { … } IN TRANSACTIONS [OF n ROWS]`` — neo4j's batched
+        # write-commit syntax (the modern apoc.periodic.iterate). Frames
+        # are immutable snapshots with per-statement atomic swaps, so the
+        # batching knob changes commit granularity the engine doesn't
+        # have, not the result: accept and strip it.
+        m_tx = re.match(
+            r"IN\s+TRANSACTIONS(?:\s+OF\s+\d+\s+ROWS?)?\s*", rest, re.IGNORECASE
+        )
+        if m_tx:
+            rest = rest[m_tx.end():].strip()
         frame = self.run(inner)
         m_ret = re.match(r"RETURN\b", rest, re.IGNORECASE)
         if not m_ret:

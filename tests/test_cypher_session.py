@@ -980,3 +980,13 @@ def test_exists_subquery_with_inner_where(session):
         "RETURN x.name AS n ORDER BY n"
     ).collect()
     assert [row["n"] for row in r] == ["Abbe", "Bosse", "Cora"]
+
+
+def test_call_subquery_in_transactions(session):
+    session.run("CREATE (a:dog {name:'Arne'})")
+    session.run("CREATE (b:dog {name:'Bosse'})")
+    r = session.run(
+        "CALL { MATCH (d:dog) RETURN d.name AS n } IN TRANSACTIONS OF 1 ROWS "
+        "RETURN count(*) AS total"
+    ).collect()
+    assert r[0]["total"] == 2
