@@ -1292,3 +1292,27 @@ def cypher_exists_where_subquery(spark, sf_dir):
         "WHERE s.s_acctbal > 9000 } RETURN n.n_name AS nation ORDER BY nation"
     )
     return out
+
+
+@register(
+    "cypher_map_projection",
+    """
+    SELECT n_name AS name,
+           '{"name":"' || n_name || '","key":' || CAST(n_nationkey AS VARCHAR)
+             || '}' AS m
+    FROM nation ORDER BY name
+    """,
+)
+def cypher_map_projection(spark, sf_dir):
+    """Map projection ``n {.prop, alias: expr}`` → a struct column
+    (heterogeneous-safe), serialized to JSON for the hash gate."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "MATCH (n:Nation) RETURN n.n_name AS name, "
+        "n {name: n.n_name, key: n.n_nationkey} AS m ORDER BY name"
+    )
+    return out.select("name", F.to_json("m").alias("m"))

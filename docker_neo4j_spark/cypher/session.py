@@ -154,6 +154,25 @@ def _frame_resolver(frame: DataFrame):
     resolve.frame = frame  # lets fn dispatch see column dtypes (size())
 
     def _resolve_rest(name: str) -> F.Column:
+        m = re.match(r"keys\(\s*(\w+)\s*\)$", name)
+        if m and f"{m.group(1)}_id" in cols:
+            # keys(node): property names present (non-null) on the row,
+            # sorted (Cypher leaves order unspecified; a distributed
+            # engine pins one)
+            var = m.group(1)
+            ks = []
+            for c in sorted(frame.columns):
+                if c.startswith(f"{var}_") and c not in (
+                    f"{var}_id",
+                    f"{var}_labels",
+                    f"{var}_type",
+                ):
+                    ks.append(
+                        F.when(F.col(c).isNotNull(), F.lit(c[len(var) + 1 :]))
+                    )
+            if not ks:
+                return F.array().cast("array<string>")
+            return F.filter(F.array(*ks), lambda x: x.isNotNull())
         m = re.match(r"properties\(\s*(\w+)\s*\)$", name)
         if m:
             # map of the variable's property columns (fixed cols excluded)
@@ -538,6 +557,13 @@ def _compile_fn_call(item: str, resolve) -> F.Column | None:
             "array"
         ):
             fn = cf.size_list
+    # keys(node) is entity introspection, not map_keys over a map column —
+    # route through the resolver's node-variable branch.
+    if name.lower() == "keys":
+        frame = getattr(resolve, "frame", None)
+        argtext = m.group(2).strip()
+        if frame is not None and f"{argtext}_id" in frame.columns:
+            return resolve(f"keys({argtext})")
     args = []
     raw = m.group(2).strip()
     for part in (_split_top(raw, ",") if raw else []):
@@ -717,6 +743,45 @@ def _compile_reduce(item: str, resolve) -> F.Column | None:
     )
 
 
+def _compile_map_projection(item: str, resolve) -> F.Column | None:
+    """Map projection ``var {.prop, alias: expr, .*}`` → a STRUCT column
+    (Cypher maps are heterogeneous; Spark's MapType is not — a struct
+    carries mixed field types losslessly and serializes the same shape
+    over Bolt/JSON). ``.*`` expands to every property column of the
+    variable, sorted."""
+    m = re.match(r"^([A-Za-z_]\w*)\s*\{(.*)\}$", item.strip(), re.DOTALL)
+    if not m:
+        return None
+    var, body = m.group(1), m.group(2).strip()
+    frame = getattr(resolve, "frame", None)
+    if frame is None or f"{var}_id" not in frame.columns:
+        return None
+    fields = []
+    for part in _split_top(body, ","):
+        part = part.strip()
+        if not part:
+            continue
+        if part == ".*":
+            for c in sorted(frame.columns):
+                if c.startswith(f"{var}_") and c not in (
+                    f"{var}_id",
+                    f"{var}_labels",
+                    f"{var}_type",
+                ):
+                    fields.append(F.col(c).alias(c[len(var) + 1 :]))
+        elif part.startswith("."):
+            prop = part[1:].strip()
+            fields.append(resolve(f"{var}.{prop}").alias(prop))
+        elif ":" in part:
+            alias, expr = part.split(":", 1)
+            fields.append(_value_of(expr.strip(), resolve).alias(alias.strip()))
+        else:
+            raise ValueError(f"unsupported map projection item: {part!r}")
+    if not fields:
+        return None
+    return F.struct(*fields)
+
+
 def _value_of(text: str, resolve) -> F.Column:
     """The shared value-expression compiler for RETURN/WITH items and
     CASE/comprehension sub-expressions: CASE → comprehension → reduce →
@@ -731,6 +796,7 @@ def _value_of(text: str, resolve) -> F.Column:
         return _value_of(_balanced_strip(text), resolve)
     for compiler in (
         _compile_case,
+        _compile_map_projection,
         _compile_list_comp,
         _compile_quantifier,
         _compile_reduce,

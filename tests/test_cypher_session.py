@@ -990,3 +990,17 @@ def test_call_subquery_in_transactions(session):
         "RETURN count(*) AS total"
     ).collect()
     assert r[0]["total"] == 2
+
+
+def test_map_projection_and_keys(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 4, owner:'kim'})")
+    session.run("CREATE (b:dog {name:'Bosse', age: 2})")
+    r = session.run(
+        "MATCH (d:dog) RETURN d {.name, years: d.age * 2} AS m ORDER BY d.name"
+    ).collect()
+    assert [(x["m"]["name"], x["m"]["years"]) for x in r] == [("Arne", 8), ("Bosse", 4)]
+    r = session.run("MATCH (d:dog) RETURN d {.*} AS m ORDER BY d.name").collect()
+    assert r[0]["m"].asDict() == {"age": 4, "name": "Arne", "owner": "kim"}
+    # keys(): present (non-null) property names, sorted
+    r = session.run("MATCH (d:dog) RETURN keys(d) AS ks ORDER BY d.name").collect()
+    assert [x["ks"] for x in r] == [["age", "name", "owner"], ["age", "name"]]
