@@ -2130,15 +2130,24 @@ class Session:
         if len(parts) > 1:
             tail, ret = parts[0].strip(), parts[1].strip()
         per_var: dict[str, dict] = {}
-        for item in tail.split(","):
+        for item in _split_top(tail, ","):
             item = item.strip()
             if remove:
                 var, prop = item.split(".", 1)
                 per_var.setdefault(var, {})[prop] = None
-            else:
-                lhs, rhs = item.split("=", 1)
-                var, prop = lhs.strip().split(".", 1)
-                per_var.setdefault(var, {})[prop] = _parse_value(rhs.strip())
+                continue
+            m_pe = re.match(r"(\w+)\s*\+=\s*(\{.*\})\s*$", item, re.DOTALL)
+            if m_pe:
+                # ``SET v += {map}`` — mutating map merge: each key updates
+                # like an individual SET, absent keys untouched
+                var, mapping = m_pe.group(1), _parse_value(m_pe.group(2))
+                if not isinstance(mapping, dict):
+                    raise ValueError(f"SET += expects a map literal: {item!r}")
+                per_var.setdefault(var, {}).update(mapping)
+                continue
+            lhs, rhs = item.split("=", 1)
+            var, prop = lhs.strip().split(".", 1)
+            per_var.setdefault(var, {})[prop] = _parse_value(rhs.strip())
         for var, props in per_var.items():
             if f"{var}_id" not in bound.columns:
                 raise ValueError(f"SET/REMOVE variable {var!r} is not bound")

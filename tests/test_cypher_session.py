@@ -1004,3 +1004,12 @@ def test_map_projection_and_keys(session):
     # keys(): present (non-null) property names, sorted
     r = session.run("MATCH (d:dog) RETURN keys(d) AS ks ORDER BY d.name").collect()
     assert [x["ks"] for x in r] == [["age", "name", "owner"], ["age", "name"]]
+
+
+def test_set_plus_equals_map_merge(session):
+    session.run("CREATE (a:dog {name:'Arne', age: 4})")
+    session.run("MATCH (d:dog {name:'Arne'}) SET d += {age: 5, color: 'brown'}")
+    r = session.run(
+        "MATCH (d:dog {name:'Arne'}) RETURN d.age AS a, d.color AS c, d.name AS n"
+    ).collect()
+    assert (r[0]["a"], r[0]["c"], r[0]["n"]) == (5, "brown", "Arne")
