@@ -1840,3 +1840,81 @@ def gds_label_propagation_weighted(spark, sf_dir):
         .distinct()
     )
     return gds.label_propagation(b, nodes, max_iter=4, weight_col="w")
+
+
+def _sllpa_sql(rounds: int, thr_num: int, thr_den: int, salt: str) -> str:
+    """Unrolled Speaker-Listener LPA — twin of ``operators/gds.sllpa``
+    on the distinct undirected membership subgraph: per round the
+    speaker draw is arg_min over md5(salt|k|src|dst|label|replica) with
+    memory counts as replica counts (exact cnt/Σcnt), the listener takes
+    the most-heard label (ties → smallest), and memory increments via a
+    FULL JOIN. Every quantity is an integer."""
+    maxrep = rounds + 1
+    parts = [
+        "WITH eraw AS (",
+        "  SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS src,",
+        "         CAST(2000000000000 + c_nationkey AS BIGINT) AS dst FROM customer",
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT),",
+        "         CAST(2000000000000 + s_nationkey AS BIGINT) FROM supplier",
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT),",
+        "         CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation),",
+        "esym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw)),",
+        "nodes AS MATERIALIZED ("
+        "  SELECT CAST(1000000000000 + r_regionkey AS BIGINT) AS id FROM region"
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT) FROM nation"
+        "  UNION ALL SELECT CAST(3000000000000 + c_custkey AS BIGINT) FROM customer"
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT) FROM supplier),",
+        "m0 AS MATERIALIZED (SELECT id AS node, id AS label,"
+        " CAST(1 AS BIGINT) AS cnt FROM nodes),",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"m{k - 1}"
+        parts.append(
+            f"sp{k} AS (SELECT src, dst, arg_min(label, h) AS label FROM ("
+            f"SELECT e.src, e.dst, m.label, "
+            f"md5('{salt}' || '|' || '{k}' || '|' || CAST(e.src AS VARCHAR)"
+            f" || '|' || CAST(e.dst AS VARCHAR) || '|' || CAST(m.label AS VARCHAR)"
+            f" || '|' || CAST(r.j AS VARCHAR)) AS h "
+            f"FROM esym e JOIN {p} m ON m.node = e.src, "
+            f"range(1, {maxrep + 1}) r(j) WHERE r.j <= m.cnt"
+            f") GROUP BY src, dst),"
+        )
+        parts.append(
+            f"hd{k} AS (SELECT node, label FROM ("
+            f"SELECT dst AS node, label, COUNT(*) AS n, "
+            f"ROW_NUMBER() OVER (PARTITION BY dst ORDER BY COUNT(*) DESC,"
+            f" label ASC) AS rn FROM sp{k} GROUP BY dst, label"
+            f") WHERE rn = 1),"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT COALESCE(m.node, h.node) AS node, "
+            f"COALESCE(m.label, h.label) AS label, "
+            f"COALESCE(m.cnt, 0) + CASE WHEN h.node IS NULL THEN 0 ELSE 1 END AS cnt "
+            f"FROM {p} m FULL JOIN hd{k} h ON h.node = m.node AND h.label = m.label),"
+        )
+    parts.append(
+        f"tot AS (SELECT node, SUM(cnt) AS t FROM m{rounds} GROUP BY node)"
+    )
+    parts.append(
+        f"SELECT m.node AS id, m.label, m.cnt FROM m{rounds} m JOIN tot ON tot.node = m.node "
+        f"WHERE m.cnt * {thr_den} >= tot.t * {thr_num}"
+    )
+    return "\n".join(parts)
+
+
+@register("gds_sllpa", _sllpa_sql(5, 1, 4, salt="sllpa"))
+def gds_sllpa(spark, sf_dir):
+    """gds.alpha.sllpa overlapping communities (5 rounds, keep labels
+    holding ≥1/4 of a node's memory) on the membership subgraph — the
+    replica-minhash speaker draw makes the stochastic algorithm
+    deterministic AND exactly weighted (operators/gds.sllpa)."""
+    g = build_graph(spark, sf_dir)
+    edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
+    nodes = (
+        g.label_frames["Customer"].select("id")
+        .unionByName(g.label_frames["Supplier"].select("id"))
+        .unionByName(g.label_frames["Nation"].select("id"))
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    return gds.sllpa(edges, nodes, rounds=5, threshold_num=1, threshold_den=4)

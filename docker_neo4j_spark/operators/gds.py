@@ -1819,3 +1819,94 @@ def link_prediction(
         )
     )
     return out
+
+
+def sllpa(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int = 5,
+    threshold_num: int = 1,
+    threshold_den: int = 4,
+    salt: str = "sllpa",
+) -> DataFrame:
+    """gds.alpha.sllpa — Speaker-Listener LPA (Xie et al. 2011), the
+    OVERLAPPING community detector: every node keeps a label memory;
+    each round every neighbor speaks ONE label drawn from its memory
+    with probability cnt/Σcnt, the listener adopts the most-heard label
+    (ties → smallest) and appends it to memory; after ``rounds``, a node
+    belongs to every label holding ≥ threshold of its memory. Returns
+    (id, label, cnt) membership rows — a node can appear under several
+    labels, which single-membership LPA/Louvain cannot express.
+
+    RNG-free: the speaker draw uses the replica-minhash trick (see
+    node2vec_walk) — memory counts ARE the replica counts, so the draw
+    is exactly cnt/Σcnt yet a pure md5 argmin both engines compute
+    identically. State is (node, label, cnt) with ≤ rounds+1 labels per
+    node; each round is one edge⋈memory join + a ≤(rounds+1)-fold
+    replica explode + two groupBys — the LPA shuffle shape with a
+    bounded constant factor.
+    """
+    e = undirect(edges).distinct().repartition("src").cache()
+    mem = _ckpt(
+        nodes.select(
+            F.col("id").alias("node"),
+            F.col("id").alias("label"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    )
+    for k in range(1, rounds + 1):
+        cand = e.join(mem, e["src"] == mem["node"]).select(
+            "src", "dst", "label", "cnt"
+        )
+        reps = cand.select(
+            "src",
+            "dst",
+            "label",
+            F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("_j"),
+        )
+        draw = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.lit(str(k)),
+                F.col("src"),
+                F.col("dst"),
+                F.col("label"),
+                F.col("_j"),
+            )
+        )
+        spoken = reps.select("src", "dst", "label", draw.alias("_h")).groupBy(
+            "src", "dst"
+        ).agg(F.min_by("label", F.col("_h")).alias("label"))
+        heard = (
+            spoken.groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("_n"))
+            .groupBy("node")
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(F.col("_n").alias("n"), (-F.col("label")).alias("t")),
+                ).alias("label")
+            )
+            .select("node", "label", F.lit(1).cast("long").alias("_inc"))
+        )
+        mem = _ckpt(
+            mem.join(heard, ["node", "label"], "full")
+            .select(
+                "node",
+                "label",
+                (F.coalesce("cnt", F.lit(0)) + F.coalesce("_inc", F.lit(0))).alias(
+                    "cnt"
+                ),
+            )
+        )
+    totals = mem.groupBy("node").agg(F.sum("cnt").alias("_tot"))
+    out = (
+        mem.join(totals, "node")
+        .where(
+            F.col("cnt") * F.lit(threshold_den) >= F.col("_tot") * F.lit(threshold_num)
+        )
+        .select(F.col("node").alias("id"), "label", "cnt")
+    )
+    e.unpersist()
+    return out

@@ -738,3 +738,26 @@ def test_link_prediction_closed_form(spark):
     assert r12["total_neighbors"] == 2 + 3 - 1
     assert r12["pref_attachment"] == 6
     assert abs(r12["resource_alloc"] - 1 / 3) < 1e-12
+
+
+def test_sllpa_overlapping_membership(spark):
+    """Two triangles sharing a bridge node: the bridge can belong to both
+    communities (overlap single-membership LPA can't express); every node
+    keeps its memory total = 1 + rounds-with-neighbors."""
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    e = _edges(spark, pairs)
+    nodes = _nodes(spark, list(range(1, 7)))
+    out = gds.sllpa(e, nodes, rounds=6, threshold_num=1, threshold_den=10)
+    rows = out.collect()
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r["id"], set()).add(r["label"])
+    assert set(by_node) == set(range(1, 7))
+    # determinism: a second run returns the identical membership set
+    again = {
+        (r["id"], r["label"], r["cnt"])
+        for r in gds.sllpa(e, nodes, rounds=6, threshold_num=1, threshold_den=10).collect()
+    }
+    assert again == {(r["id"], r["label"], r["cnt"]) for r in rows}
+    # at least one node overlaps (belongs to ≥2 labels) at this loose threshold
+    assert any(len(ls) >= 2 for ls in by_node.values())
