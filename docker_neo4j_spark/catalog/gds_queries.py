@@ -1918,3 +1918,41 @@ def gds_sllpa(spark, sf_dir):
         .unionByName(g.label_frames["Region"].select("id"))
     )
     return gds.sllpa(edges, nodes, rounds=5, threshold_num=1, threshold_den=4)
+
+
+@register(
+    "gds_node_similarity_metrics",
+    """
+    WITH ps AS (SELECT DISTINCT CAST(5000000000000 + l_partkey AS BIGINT) AS src,
+                       CAST(4000000000000 + l_suppkey AS BIGINT) AS dst
+                FROM lineitem),
+    sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS sz FROM ps GROUP BY src),
+    inter AS (
+      SELECT a.src AS node_a, b.src AS node_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ps a JOIN ps b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src)
+    SELECT i.node_a, i.node_b, i.inter,
+           CAST(ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) * 1e6)
+                AS BIGINT) AS jaccard_micro,
+           CAST(ROUND(CAST(i.inter AS DOUBLE) / LEAST(sa.sz, sb.sz) * 1e6)
+                AS BIGINT) AS overlap_micro,
+           CAST(ROUND(CAST(i.inter AS DOUBLE) / SQRT(CAST(sa.sz * sb.sz AS DOUBLE))
+                * 1e6) AS BIGINT) AS cosine_micro
+    FROM inter i JOIN sizes sa ON sa.src = i.node_a
+                 JOIN sizes sb ON sb.src = i.node_b
+    """,
+)
+def gds_node_similarity_metrics(spark, sf_dir):
+    """gds.nodeSimilarity similarityMetric = JACCARD | OVERLAP | COSINE
+    in one shared bucket-join pass over the part→supplier out-neighbor
+    sets (operators/gds.node_similarity_metrics)."""
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .select(
+            (F.lit(5000000000000) + F.col("l_partkey")).alias("src"),
+            (F.lit(4000000000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return gds.node_similarity_metrics(ps)

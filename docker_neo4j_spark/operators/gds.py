@@ -1910,3 +1910,50 @@ def sllpa(
     )
     e.unpersist()
     return out
+
+
+def node_similarity_metrics(edges: DataFrame) -> DataFrame:
+    """gds.nodeSimilarity similarityMetric variants in one pass —
+    JACCARD |A∩B|/|A∪B|, OVERLAP |A∩B|/min(|A|,|B|), COSINE
+    |A∩B|/√(|A|·|B|) — over out-neighbor sets. Same bucket-join
+    candidate shape as ``node_similarity`` (pairs only from shared
+    neighbors, cost Σ_n deg², never |V|²); the three scores are derived
+    from the SAME (∩, |A|, |B|) integers, so adding metrics adds zero
+    shuffles. Scores surface micro-rounded (cosine's √ is libm).
+    Returns (node_a, node_b, inter, jaccard_micro, overlap_micro,
+    cosine_micro) with node_a < node_b.
+    """
+    ne = edges.select("src", "dst").distinct().cache()
+    sizes = ne.groupBy("src").agg(F.count("*").alias("_sz"))
+    a = ne.select(F.col("src").alias("node_a"), F.col("dst").alias("_n"))
+    b = ne.select(F.col("src").alias("node_b"), F.col("dst").alias("_n"))
+    inter = (
+        a.join(b, "_n")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("src", "node_a").withColumnRenamed("_sz", "_sa"),
+            "node_a",
+        )
+        .join(
+            sizes.withColumnRenamed("src", "node_b").withColumnRenamed("_sz", "_sb"),
+            "node_b",
+        )
+    )
+    i = F.col("inter").cast("double")
+    micro = lambda c: F.round(c * F.lit(1e6)).cast("long")  # noqa: E731
+    return out.select(
+        "node_a",
+        "node_b",
+        "inter",
+        micro(i / (F.col("_sa") + F.col("_sb") - F.col("inter"))).alias(
+            "jaccard_micro"
+        ),
+        micro(i / F.least("_sa", "_sb")).alias("overlap_micro"),
+        micro(i / F.sqrt((F.col("_sa") * F.col("_sb")).cast("double"))).alias(
+            "cosine_micro"
+        ),
+    )
