@@ -1956,3 +1956,32 @@ def gds_node_similarity_metrics(spark, sf_dir):
         .distinct()
     )
     return gds.node_similarity_metrics(ps)
+
+
+@register(
+    "gds_collapse_path",
+    """
+    WITH collapsed AS (
+      SELECT DISTINCT CAST(3000000000000 + o.o_custkey AS BIGINT) AS src,
+             CAST(5000000000000 + l.l_partkey AS BIGINT) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rels,
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+           CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst,
+           CAST(SUM(src % 997 + dst % 997) AS BIGINT) AS checksum
+    FROM collapsed
+    """,
+)
+def gds_collapse_path(spark, sf_dir):
+    """gds.beta.collapsePath: PLACED ∘ CONTAINS contracts to one
+    Customer→Part ORDERED relationship set (distinct endpoint pairs, one
+    equi-join per hop — operators/gds.collapse_path); summarized as
+    integer counts + a modular checksum."""
+    g = build_graph(spark, sf_dir)
+    col = gds.collapse_path(g, ["PLACED", "CONTAINS"], "ORDERED")
+    return col.agg(
+        F.count("*").cast("long").alias("n_rels"),
+        F.countDistinct("src").cast("long").alias("n_src"),
+        F.countDistinct("dst").cast("long").alias("n_dst"),
+        F.sum(F.col("src") % 997 + F.col("dst") % 997).cast("long").alias("checksum"),
+    )

@@ -1957,3 +1957,33 @@ def node_similarity_metrics(edges: DataFrame) -> DataFrame:
             "cosine_micro"
         ),
     )
+
+
+def collapse_path(
+    graph,
+    rel_types: list[str],
+    new_type: str,
+) -> DataFrame:
+    """gds.beta.collapsePath — contract each path matching the rel-type
+    chain into one synthetic relationship (src of the first hop → dst of
+    the last), DISTINCT over endpoint pairs (the GDS contract). One
+    equi-join per hop over the per-type pruned rel frames; no node
+    properties travel through the chain. Returns (src, dst, type).
+    """
+    out = None
+    for i, t in enumerate(rel_types):
+        r = graph.rels_by_type(t).select(
+            F.col("src").alias(f"_s{i}"), F.col("dst").alias(f"_d{i}")
+        )
+        if out is None:
+            out = r
+        else:
+            out = out.join(r, F.col(f"_d{i - 1}") == F.col(f"_s{i}"))
+    last = len(rel_types) - 1
+    return (
+        out.select(
+            F.col("_s0").alias("src"), F.col(f"_d{last}").alias("dst")
+        )
+        .distinct()
+        .withColumn("type", F.lit(new_type))
+    )
