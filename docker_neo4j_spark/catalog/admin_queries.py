@@ -1316,3 +1316,49 @@ def cypher_map_projection(spark, sf_dir):
         "n {name: n.n_name, key: n.n_nationkey} AS m ORDER BY name"
     )
     return out.select("name", F.to_json("m").alias("m"))
+
+
+@register(
+    "cypher_path_binding",
+    """
+    WITH RECURSIVE p AS (
+      SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS start_id,
+             CAST(2000000000000 + n_nationkey AS BIGINT) AS end_id,
+             [CAST(2000000000000 + n_nationkey AS BIGINT)] AS nodes, 0 AS hops
+      FROM nation WHERE n_nationkey < 3
+      UNION ALL
+      SELECT p.start_id, e.dst, list_append(p.nodes, e.dst), p.hops + 1
+      FROM p JOIN (
+        SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS src,
+               CAST(1000000000000 + n_regionkey AS BIGINT) AS dst FROM nation
+      ) e ON e.src = p.end_id
+      WHERE NOT list_contains(p.nodes, e.dst) AND p.hops < 2)
+    SELECT start_id, end_id, CAST(hops AS BIGINT) AS len,
+           array_to_string(nodes, '->') AS path_str
+    FROM p WHERE hops >= 1
+    ORDER BY start_id, end_id
+    """,
+)
+def cypher_path_binding(spark, sf_dir):
+    """General path binding ``MATCH p = (n:Nation)-[:IN_REGION*1..2]->(r)
+    RETURN length(p), nodes(p)`` — every simple path via
+    paths.enumerate_paths, with p/length(p)/nodes(p) accessor wiring."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "MATCH p = (n:Nation)-[:IN_REGION*1..2]->(x) "
+        "WHERE n.n_nationkey < 3 "
+        "RETURN n.id AS start_id, x.id AS end_id, length(p) AS len, nodes(p) AS ns "
+        "ORDER BY start_id, end_id"
+    )
+    return out.select(
+        "start_id",
+        "end_id",
+        "len",
+        F.concat_ws("->", F.transform("ns", lambda x: x.cast("string"))).alias(
+            "path_str"
+        ),
+    )

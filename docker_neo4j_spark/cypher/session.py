@@ -564,6 +564,18 @@ def _compile_fn_call(item: str, resolve) -> F.Column | None:
         argtext = m.group(2).strip()
         if frame is not None and f"{argtext}_id" in frame.columns:
             return resolve(f"keys({argtext})")
+    # path accessors: length(p)/nodes(p) on a bound path variable are the
+    # binding frame's hops/path columns, not string/collection functions;
+    # size(nodes(p)) is the array form.
+    pv = getattr(resolve, "path_vars", None)
+    if pv:
+        argtext = m.group(2).strip()
+        if name.lower() in ("length", "nodes") and argtext in pv:
+            return resolve(f"{name.lower()}({argtext})")
+        if name.lower() == "size" and re.fullmatch(
+            r"nodes\(\s*(\w+)\s*\)", argtext
+        ) and re.fullmatch(r"nodes\(\s*(\w+)\s*\)", argtext).group(1) in pv:
+            return F.size(resolve(argtext))
     args = []
     raw = m.group(2).strip()
     for part in (_split_top(raw, ",") if raw else []):
@@ -1704,6 +1716,8 @@ class Session:
         body = q[len("MATCH"):].strip()
         if re.match(r"(?:\w+\s*=\s*)?(?:allShortestPaths|shortestPath)\s*\(", body, re.IGNORECASE):
             return self._shortest_path(body)
+        if re.match(r"\w+\s*=\s*\(", body):
+            return self._path_binding(body)
         # terminal write verb (CREATE/SET/REMOVE/DELETE) or RETURN
         m_write = re.search(
             r"\b(CREATE|SET|REMOVE|DETACH\s+DELETE|DELETE)\b", body, re.IGNORECASE
@@ -2184,6 +2198,67 @@ class Session:
             return self.spark.createDataFrame([], "ok string")
         return self._project_match(bound, ret, elems, _frame_resolver(bound))
 
+    def _path_binding(self, body: str) -> DataFrame:
+        """General path binding ``MATCH p = (a)-[:T*lo..hi]->(b) RETURN …``
+        — every simple path (not just the shortest): wired to
+        ``paths.enumerate_paths`` over the typed pruned rel frame.
+        ``p`` resolves to the node-id array, ``length(p)`` to the hop
+        count, ``nodes(p)`` to the array — the same accessor contract as
+        the shortestPath binding. A fixed single-hop pattern binds paths
+        of length exactly 1."""
+        from ..graph import prefix_columns
+        from ..operators.paths import enumerate_paths
+        from ..operators.patterns import NodeSpec, RelSpec, _node_frame, _rel_frame
+
+        m = re.match(r"(?P<pvar>\w+)\s*=\s*", body)
+        rest_src = body[m.end():]
+        m_ret = re.search(r"\bRETURN\b", rest_src, re.IGNORECASE)
+        if not m_ret:
+            raise ValueError("path-binding MATCH requires RETURN")
+        pat_src, ret = rest_src[: m_ret.start()].strip(), rest_src[m_ret.end():].strip()
+        where_src = None
+        m_wh = re.search(r"\bWHERE\b", pat_src, re.IGNORECASE)
+        if m_wh:
+            pat_src, where_src = (
+                pat_src[: m_wh.start()].strip(),
+                pat_src[m_wh.end():].strip(),
+            )
+        elems, extra = _parse_pattern(pat_src)
+        if extra or len(elems) != 3:
+            raise ValueError("path binding takes a single (a)-[…]->(b) pattern")
+        a, rel, b = elems
+        lo = rel.lo if rel.lo is not None else 1
+        hi = rel.hi if rel.hi is not None else (10 if rel.lo is not None else lo)
+        a_var, b_var = a.var or "a", b.var or "b"
+        g = self.store.graph
+        edges = _rel_frame(g, RelSpec("_pb", rel.rel_type, _direction(rel)))
+        srcs = _node_frame(g, NodeSpec(a_var, a.label, a.props or None))
+        tgts = _node_frame(g, NodeSpec(b_var, b.label, b.props or None))
+        paths = enumerate_paths(edges, srcs.select("id"), hi, targets=tgts.select("id"))
+        paths = paths.where(F.col("hops") >= lo)
+        joined = (
+            prefix_columns(srcs, a_var)
+            .join(paths, F.col(f"{a_var}_id") == paths["start_id"])
+            .join(prefix_columns(tgts, b_var), paths["end_id"] == F.col(f"{b_var}_id"))
+            .drop("start_id", "end_id")
+        )
+        pvar = m.group("pvar")
+        base_resolve = _frame_resolver(joined)
+
+        def resolve(name: str) -> F.Column:
+            if name == pvar:
+                return F.col("path")
+            mlen = re.match(r"(length|nodes)\(\s*(\w+)\s*\)$", name)
+            if mlen and mlen.group(2) == pvar:
+                return F.col("hops" if mlen.group(1) == "length" else "path")
+            return base_resolve(name)
+
+        resolve.frame = joined
+        resolve.path_vars = {pvar}
+        if where_src:
+            joined = joined.where(_compile_where(where_src, resolve))
+        return self._project_match(joined, ret, elems, resolve)
+
     def _shortest_path(self, body: str) -> DataFrame:
         """``MATCH p = shortestPath((a)-[:T*..k]->(b)) RETURN …`` — wired to
         the paths module (one deterministic minimum-hop path per pair;
@@ -2244,6 +2319,9 @@ class Session:
                     return F.col("hops" if mlen.group(1) == "length" else "path")
             return base_resolve(name)
 
+        resolve.frame = joined
+        if pvar:
+            resolve.path_vars = {pvar}
         return self._project_match(joined, ret, elems, resolve)
 
     def _create_from_binding(self, tail: str, bound: DataFrame) -> DataFrame:

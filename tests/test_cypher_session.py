@@ -1013,3 +1013,25 @@ def test_set_plus_equals_map_merge(session):
         "MATCH (d:dog {name:'Arne'}) RETURN d.age AS a, d.color AS c, d.name AS n"
     ).collect()
     assert (r[0]["a"], r[0]["c"], r[0]["n"]) == (5, "brown", "Arne")
+
+
+def test_general_path_binding(session):
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    session.run("MATCH (b:dog {name:'Bosse'}) CREATE (b)-[:SNIFFS]->(c:dog {name:'Cora'})")
+    r = session.run(
+        "MATCH p = (a:dog {name:'Arne'})-[:SNIFFS*1..3]->(x:dog) "
+        "RETURN length(p) AS l, x.name AS n ORDER BY l"
+    ).collect()
+    assert [(x["l"], x["n"]) for x in r] == [(1, "Bosse"), (2, "Cora")]
+    # nodes(p) binds the node-id array; single-hop fixed pattern = length 1
+    r = session.run(
+        "MATCH p = (a:dog {name:'Arne'})-[:SNIFFS]->(x:dog) "
+        "RETURN size(nodes(p)) AS k"
+    ).collect()
+    assert [x["k"] for x in r] == [2]
+    # WHERE between pattern and RETURN filters on path accessors
+    r = session.run(
+        "MATCH p = (a:dog)-[:SNIFFS*1..3]->(x:dog) WHERE length(p) = 2 "
+        "RETURN a.name AS s, x.name AS e"
+    ).collect()
+    assert [(x["s"], x["e"]) for x in r] == [("Arne", "Cora")]
