@@ -1985,3 +1985,21 @@ def gds_collapse_path(spark, sf_dir):
         F.countDistinct("dst").cast("long").alias("n_dst"),
         F.sum(F.col("src") % 997 + F.col("dst") % 997).cast("long").alias("checksum"),
     )
+
+
+@register("gds_influence_celf")  # rows-only: k×sims×depth unroll is impractical SQL; pytest holds the exact oracle
+def gds_influence_celf(spark, sf_dir):
+    """gds.beta.influenceMaximization.celf — greedy IC seed selection
+    with deterministic hash-coin cascades (8 sims, p=0.2, k=3) on the
+    membership subgraph. Exactness is pytest-graded against a Python
+    reimplementation of the identical cascades
+    (test_gds.py::test_influence_maximization_matches_bruteforce)."""
+    g = build_graph(spark, sf_dir)
+    edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
+    nodes = (
+        g.label_frames["Nation"].select("id")
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    return gds.influence_maximization(
+        edges, nodes, k=3, p_num=1, p_den=5, n_sims=8, max_depth=4
+    )

@@ -1987,3 +1987,113 @@ def collapse_path(
         .distinct()
         .withColumn("type", F.lit(new_type))
     )
+
+
+def influence_maximization(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int = 3,
+    p_num: int = 1,
+    p_den: int = 5,
+    n_sims: int = 8,
+    max_depth: int = 4,
+    salt: str = "celf",
+) -> DataFrame:
+    """gds.beta.influenceMaximization.celf — greedy seed selection under
+    the Independent Cascade model, DETERMINISTIC: each simulation s keeps
+    edge (u,v) alive iff the first 4 hex chars of md5(salt|s|u|v) fall
+    under p_num/p_den · 0x10000 — a fixed coin that both reruns and any
+    engine reproduce. Spread(S) = Σ_s |reach_s(S)| / n_sims over the
+    alive-subgraphs; each greedy round picks the node with the maximum
+    marginal spread (ties → smallest id). Returns (rank, id,
+    spread_gain_x_sims) — integer reach counts, no floats.
+
+    Scale shape: all n_sims simulations advance in ONE BSP frontier
+    keyed by (sim, node) — multi-source BFS with the simulation id
+    riding in the key, the closeness_walk pattern — and every candidate
+    node's marginal gain in a round comes from ONE reachability pass
+    seeded with all candidates (frontier keyed by (candidate, sim,
+    node)). Greedy k is a driver loop of k such passes, not |V| passes.
+    """
+    thr = (p_num * 0x10000) // p_den
+    e_all = undirect(edges).distinct()
+    alive = None
+    for s in range(n_sims):
+        coin = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.lit(str(s)), F.col("src"), F.col("dst")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        es = e_all.where(coin < F.lit(thr)).select(
+            F.lit(s).alias("sim"), "src", "dst"
+        )
+        alive = es if alive is None else alive.unionByName(es)
+    alive = alive.repartition("src").cache()
+
+    def reach(seed_frame):
+        """(cand, sim, node) reachability over the alive subgraphs —
+        frontier BSP, one superstep per depth for EVERY (cand, sim)."""
+        frontier = _ckpt(seed_frame)
+        visited = frontier
+        for _ in range(max_depth):
+            nxt = (
+                frontier.join(alive, (frontier["node"] == alive["src"]) & (frontier["sim"] == alive["sim"]))
+                .select("cand", frontier["sim"], F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, ["cand", "sim", "node"], "left_anti")
+            )
+            nxt = _ckpt(nxt)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        return visited
+
+    chosen: list = []
+    out_rows = []
+    base_reached = None  # (sim, node) reached by the chosen set
+    n = nodes.select("id").cache()
+    for rank in range(1, k + 1):
+        cands = n
+        if chosen:
+            cands = n.where(~F.col("id").isin(*chosen))
+        seeds = cands.select(F.col("id").alias("cand")).crossJoin(
+            self_sims := nodes.sparkSession.range(n_sims).select(
+                F.col("id").cast("long").alias("sim")
+            )
+        ).select("cand", "sim", F.col("cand").alias("node"))
+        reached = reach(seeds)
+        if base_reached is not None:
+            reached = reached.join(
+                base_reached, ["sim", "node"], "left_anti"
+            )
+        gains = (
+            reached.groupBy("cand")
+            .agg(F.count("*").alias("_g"))
+        )
+        best = gains.orderBy(F.desc("_g"), F.asc("cand")).limit(1).collect()[0]
+        chosen.append(best["cand"])
+        out_rows.append((rank, best["cand"], int(best["_g"])))
+        seed_chosen = (
+            nodes.sparkSession.createDataFrame(
+                [(c,) for c in chosen], "cand long"
+            )
+            .crossJoin(self_sims)
+            .select(F.lit(0).alias("cand"), "sim", F.col("cand").alias("node"))
+        )
+        base_reached = _ckpt(
+            reach(seed_chosen).select("sim", "node").distinct()
+        )
+    alive.unpersist()
+    n.unpersist()
+    return nodes.sparkSession.createDataFrame(
+        out_rows, "rank long, id long, spread_gain_x_sims long"
+    )

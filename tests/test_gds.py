@@ -761,3 +761,58 @@ def test_sllpa_overlapping_membership(spark):
     assert again == {(r["id"], r["label"], r["cnt"]) for r in rows}
     # at least one node overlaps (belongs to ≥2 labels) at this loose threshold
     assert any(len(ls) >= 2 for ls in by_node.values())
+
+
+def test_influence_maximization_matches_bruteforce(spark):
+    """Greedy IC seed selection == a hashlib/NetworkX-free Python
+    reimplementation of the identical deterministic cascades."""
+    import hashlib
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6), (2, 7)]
+    k, p_num, p_den, n_sims, depth, salt = 2, 1, 2, 4, 4, "celf"
+    e = _edges(spark, pairs)
+    nodes = _nodes(spark, list(range(1, 8)))
+    got = [
+        (r["rank"], r["id"], r["spread_gain_x_sims"])
+        for r in gds.influence_maximization(
+            e, nodes, k=k, p_num=p_num, p_den=p_den, n_sims=n_sims,
+            max_depth=depth, salt=salt,
+        ).orderBy("rank").collect()
+    ]
+
+    sym = set()
+    for s, d in pairs:
+        sym.add((s, d))
+        sym.add((d, s))
+    thr = (p_num * 0x10000) // p_den
+    alive = {
+        s: {
+            (u, v)
+            for (u, v) in sym
+            if int(hashlib.md5(f"{salt}|{s}|{u}|{v}".encode()).hexdigest()[:4], 16) < thr
+        }
+        for s in range(n_sims)
+    }
+
+    def reach(seedset, s):
+        seen, frontier = set(seedset), set(seedset)
+        for _ in range(depth):
+            nxt = {v for u in frontier for (uu, v) in alive[s] if uu == u} - seen
+            if not nxt:
+                break
+            seen |= nxt
+            frontier = nxt
+        return seen
+
+    chosen, exp = [], []
+    base = {s: set() for s in range(n_sims)}
+    for rank in range(1, k + 1):
+        best = None
+        for cand in [x for x in range(1, 8) if x not in chosen]:
+            gain = sum(len(reach({cand}, s) - base[s]) for s in range(n_sims))
+            if best is None or (gain, -cand) > (best[0], -best[1]):
+                best = (gain, cand)
+        chosen.append(best[1])
+        exp.append((rank, best[1], best[0]))
+        base = {s: reach(set(chosen), s) for s in range(n_sims)}
+    assert got == exp
