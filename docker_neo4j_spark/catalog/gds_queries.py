@@ -2003,3 +2003,70 @@ def gds_influence_celf(spark, sf_dir):
     return gds.influence_maximization(
         edges, nodes, k=3, p_num=1, p_den=5, n_sims=8, max_depth=4
     )
+
+
+def _k1coloring_sql(rounds: int) -> str:
+    """Unrolled greedy conflict-resolution coloring — twin of
+    ``operators/gds.k1coloring`` on the membership subgraph: per round
+    the higher-id endpoint of each monochrome edge takes the smallest
+    color absent from its neighborhood. Extra rounds past the conflict-
+    free fixpoint are identity, so the fixed unroll matches the
+    operator's early exit. Integer-only."""
+    parts = [
+        "WITH b AS (",
+        "  SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS s,",
+        "         CAST(2000000000000 + c_nationkey AS BIGINT) AS d FROM customer",
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT),",
+        "         CAST(2000000000000 + s_nationkey AS BIGINT) FROM supplier",
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT),",
+        "         CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation),",
+        "e AS MATERIALIZED (SELECT DISTINCT s AS src, d AS dst FROM ("
+        "SELECT s, d FROM b UNION ALL SELECT d, s FROM b)),",
+        "nodes AS MATERIALIZED (",
+        "  SELECT CAST(1000000000000 + r_regionkey AS BIGINT) AS id FROM region",
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT) FROM nation",
+        "  UNION ALL SELECT CAST(3000000000000 + c_custkey AS BIGINT) FROM customer",
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT) FROM supplier),",
+        "c0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS color FROM nodes),",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"c{k - 1}"
+        parts.append(
+            f"cf{k} AS (SELECT DISTINCT e.dst AS id FROM e "
+            f"JOIN {p} a ON a.id = e.src JOIN {p} x ON x.id = e.dst "
+            f"WHERE a.color = x.color AND e.src < e.dst),"
+        )
+        parts.append(
+            f"nb{k} AS (SELECT e.src AS id, list(DISTINCT n.color) AS used "
+            f"FROM e JOIN cf{k} c ON c.id = e.src "
+            f"JOIN {p} n ON n.id = e.dst GROUP BY e.src),"
+        )
+        parts.append(
+            f"rc{k} AS (SELECT id, CAST(list_min(list_filter("
+            f"generate_series(0, len(used)), c -> NOT list_contains(used, c)))"
+            f" AS BIGINT) AS color FROM nb{k}),"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT c.id, COALESCE(r.color, c.color) AS color "
+            f"FROM {p} c LEFT JOIN rc{k} r USING (id)),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(f"SELECT id, color FROM c{rounds}")
+    return "\n".join(parts)
+
+
+@register("gds_k1coloring", _k1coloring_sql(12))
+def gds_k1coloring(spark, sf_dir):
+    """gds.beta.k1coloring on the membership subgraph — deterministic
+    id-priority conflict resolution; exact unrolled-CTE oracle
+    (``_k1coloring_sql``); properness pytest on an odd cycle."""
+    g = build_graph(spark, sf_dir)
+    edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
+    nodes = (
+        g.label_frames["Customer"].select("id")
+        .unionByName(g.label_frames["Supplier"].select("id"))
+        .unionByName(g.label_frames["Nation"].select("id"))
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    return gds.k1coloring(edges, nodes, max_rounds=12)

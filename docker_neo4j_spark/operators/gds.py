@@ -2097,3 +2097,63 @@ def influence_maximization(
     return nodes.sparkSession.createDataFrame(
         out_rows, "rank long, id long, spread_gain_x_sims long"
     )
+
+
+def k1coloring(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """gds.beta.k1coloring — greedy graph coloring by iterative conflict
+    resolution (the Gebremedhin-Manne style distributed scheme GDS runs):
+    everyone starts at color 0; each round, for every monochrome edge the
+    LOWER-priority endpoint (higher id — priority is the node id, so the
+    whole run is deterministic) recolors to the smallest color absent
+    from its neighborhood; stop when no conflicts remain. Returns
+    (id, color).
+
+    Per round: one conflict join + one neighbor-color collect_set +
+    a smallest-absent-color expression over the (bounded) set — all on
+    the conflicted nodes only, which shrink geometrically. Colors are
+    bounded by max-degree+1, so the collected set stays small even on
+    hub nodes.
+    """
+    e = undirect(edges).distinct().repartition("src").cache()
+    color = _ckpt(nodes.select("id", F.lit(0).cast("long").alias("color")))
+    for _ in range(max_rounds):
+        ca = color.select(F.col("id").alias("_ia"), F.col("color").alias("_ca"))
+        cb = color.select(F.col("id").alias("_ib"), F.col("color").alias("_cb"))
+        conflicts = (
+            e.join(ca, e["src"] == ca["_ia"])
+            .join(cb, e["dst"] == cb["_ib"])
+            .where((F.col("_ca") == F.col("_cb")) & (F.col("_ia") < F.col("_ib")))
+            .select(F.col("_ib").alias("id"))
+            .distinct()
+        )
+        conflicts = _ckpt(conflicts)
+        if conflicts.isEmpty():
+            break
+        nb = (
+            e.join(conflicts, e["src"] == conflicts["id"])
+            .join(
+                color.select(F.col("id").alias("_n"), F.col("color").alias("_nc")),
+                F.col("dst") == F.col("_n"),
+            )
+            .groupBy(e["src"].alias("id"))
+            .agg(F.collect_set("_nc").alias("_used"))
+        )
+        # smallest color not in _used: scan 0..size(_used) — one of them
+        # must be free (pigeonhole), filter+array_min keeps it JVM-side
+        free = F.array_min(
+            F.filter(
+                F.sequence(F.lit(0).cast("long"), F.size("_used").cast("long")),
+                lambda c: ~F.exists(F.col("_used"), lambda u: u == c),
+            )
+        )
+        recolored = nb.select("id", free.cast("long").alias("color"))
+        color = _ckpt(
+            color.join(recolored.withColumnRenamed("color", "_new"), "id", "left")
+            .select("id", F.coalesce("_new", "color").alias("color"))
+        )
+    e.unpersist()
+    return color

@@ -816,3 +816,18 @@ def test_influence_maximization_matches_bruteforce(spark):
         exp.append((rank, best[1], best[0]))
         base = {s: reach(set(chosen), s) for s in range(n_sims)}
     assert got == exp
+
+
+def test_k1coloring_proper_and_deterministic(spark):
+    """The returned coloring is PROPER (no monochrome edge) on an odd
+    cycle + chords, uses few colors, and reruns identically."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (1, 3), (2, 5)]
+    e = _edges(spark, pairs)
+    nodes = _nodes(spark, [1, 2, 3, 4, 5])
+    got = {r["id"]: r["color"] for r in gds.k1coloring(e, nodes).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for s, d in pairs:
+        assert got[s] != got[d], f"monochrome edge {s}-{d}"
+    assert max(got.values()) <= 3  # ≤ maxdeg, and this graph 3-colors
+    again = {r["id"]: r["color"] for r in gds.k1coloring(e, nodes).collect()}
+    assert again == got
