@@ -2070,3 +2070,50 @@ def gds_k1coloring(spark, sf_dir):
         .unionByName(g.label_frames["Region"].select("id"))
     )
     return gds.k1coloring(edges, nodes, max_rounds=12)
+
+
+@register(
+    "gds_degree_orientations",
+    f"""
+    WITH e AS (SELECT src, dst FROM ({_EDGES})),
+    outd AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY src),
+    ind AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY dst),
+    und AS (SELECT id, CAST(SUM(n) AS BIGINT) AS n FROM (
+      SELECT src AS id, COUNT(*) AS n FROM e GROUP BY src
+      UNION ALL SELECT dst, COUNT(*) FROM e GROUP BY dst) GROUP BY id)
+    SELECT n.id,
+           COALESCE(outd.n, 0) AS out_degree,
+           COALESCE(ind.n, 0) AS in_degree,
+           COALESCE(und.n, 0) AS undirected_degree
+    FROM ({_NODES}) n
+    LEFT JOIN outd ON outd.id = n.id
+    LEFT JOIN ind ON ind.id = n.id
+    LEFT JOIN und ON und.id = n.id
+    """,
+)
+def gds_degree_orientations(spark, sf_dir):
+    """gds.degree with orientation NATURAL / REVERSE / UNDIRECTED in one
+    pass: two map-side-combined groupBys over the edge multiset, joined
+    onto the node frame (shuffle rows = node count, never edges)."""
+    g = build_graph(spark, sf_dir)
+    e = g.rels.select("src", "dst")
+    outd = e.groupBy(F.col("src").alias("id")).agg(F.count("*").cast("long").alias("out_degree"))
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").cast("long").alias("in_degree"))
+    und = (
+        outd.select("id", F.col("out_degree").alias("n"))
+        .unionByName(ind.select("id", F.col("in_degree").alias("n")))
+        .groupBy("id")
+        .agg(F.sum("n").cast("long").alias("undirected_degree"))
+    )
+    return (
+        g.nodes.select("id")
+        .join(outd, "id", "left")
+        .join(ind, "id", "left")
+        .join(und, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce("undirected_degree", F.lit(0)).cast("long").alias("undirected_degree"),
+        )
+    )
