@@ -570,7 +570,7 @@ def _compile_fn_call(item: str, resolve) -> F.Column | None:
     pv = getattr(resolve, "path_vars", None)
     if pv:
         argtext = m.group(2).strip()
-        if name.lower() in ("length", "nodes") and argtext in pv:
+        if name.lower() in ("length", "nodes", "relationships") and argtext in pv:
             return resolve(f"{name.lower()}({argtext})")
         if name.lower() == "size" and re.fullmatch(
             r"nodes\(\s*(\w+)\s*\)", argtext
@@ -2248,9 +2248,23 @@ class Session:
         def resolve(name: str) -> F.Column:
             if name == pvar:
                 return F.col("path")
-            mlen = re.match(r"(length|nodes)\(\s*(\w+)\s*\)$", name)
+            mlen = re.match(r"(length|nodes|relationships)\(\s*(\w+)\s*\)$", name)
             if mlen and mlen.group(2) == pvar:
-                return F.col("hops" if mlen.group(1) == "length" else "path")
+                if mlen.group(1) == "length":
+                    return F.col("hops")
+                if mlen.group(1) == "nodes":
+                    return F.col("path")
+                # relationships(p): the hop endpoints as "src->dst" strings
+                # (the facade serves entities by value; rel ids are pruned
+                # from path enumeration by design — patterns.py:88)
+                return F.transform(
+                    F.sequence(F.lit(1), F.size("path") - 1),
+                    lambda i: F.concat_ws(
+                        "->",
+                        F.element_at("path", i).cast("string"),
+                        F.element_at("path", i + 1).cast("string"),
+                    ),
+                )
             return base_resolve(name)
 
         resolve.frame = joined

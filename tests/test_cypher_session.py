@@ -1035,3 +1035,14 @@ def test_general_path_binding(session):
         "RETURN a.name AS s, x.name AS e"
     ).collect()
     assert [(x["s"], x["e"]) for x in r] == [("Arne", "Cora")]
+
+
+def test_path_relationships_accessor(session):
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    session.run("MATCH (b:dog {name:'Bosse'}) CREATE (b)-[:SNIFFS]->(c:dog {name:'Cora'})")
+    r = session.run(
+        "MATCH p = (a:dog {name:'Arne'})-[:SNIFFS*2..2]->(x:dog) "
+        "RETURN relationships(p) AS rs"
+    ).collect()
+    assert len(r) == 1 and len(r[0]["rs"]) == 2
+    assert all("->" in hop for hop in r[0]["rs"])
