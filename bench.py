@@ -47,6 +47,14 @@ HEADLINE = [
 ]
 
 
+# r6 note: gds_pagerank carries ~+1.7s at sf0.1 versus r5 from the
+# per-round checkpoint RELEASE (superseded pr frames unpersist each
+# iteration — measured 23.0s with vs 21.3s without on this machine).
+# The release is kept deliberately: it bounds iterative-state memory to
+# O(1) node-frames instead of O(iterations), which is the difference
+# between finishing and OOMing at the 100 TB target; the bench pays the
+# honest price of that contract.
+
 # Timing-key → catalog-row substitutions (empty by design). The
 # gds_pagerank_serving row (maxIterations=20, tolerance=1e-7, the gds
 # defaults) was benchmarked as a candidate alias and measured SLOWER than
