@@ -722,6 +722,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'db.propertyKeys'
     UNION ALL SELECT 'db.relationshipTypes'
     UNION ALL SELECT 'db.schema.visualization'
+    UNION ALL SELECT 'dbms.components'
     UNION ALL SELECT 'gds.graph.drop'
     UNION ALL SELECT 'gds.graph.list'
     UNION ALL SELECT 'gds.graph.project'
@@ -1362,3 +1363,19 @@ def cypher_path_binding(spark, sf_dir):
             "path_str"
         ),
     )
+
+
+@register(
+    "proc_dbms_components",
+    """
+    SELECT 'Neo4j Kernel' AS name, 'community' AS edition
+    """,
+)
+def proc_dbms_components(spark, sf_dir):
+    """CALL dbms.components() — the server-identity procedure every
+    driver handshake logs (name/versions/edition)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    out = s.run("CALL dbms.components() YIELD name, edition")
+    return out.select("name", "edition")

@@ -357,3 +357,46 @@ def events_anomaly_3sigma(spark, sf_dir):
             F.round(dev * dev * F.lit(1e6)).cast("long").alias("sqdev_micro"),
         )
     )
+
+
+@register(
+    "stream_sliding_windows_batch",
+    """
+    WITH ev AS (SELECT ts, event_type, value FROM events),
+    halfhours AS (
+      SELECT date_trunc('hour', ts) + CASE WHEN EXTRACT(minute FROM ts) >= 30
+             THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS slot,
+             event_type, value FROM ev),
+    expanded AS (
+      SELECT slot AS wstart, event_type, value FROM halfhours
+      UNION ALL
+      SELECT slot - INTERVAL 30 MINUTE, event_type, value FROM halfhours)
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY wstart, event_type
+    """,
+)
+def stream_sliding_windows_batch(spark, sf_dir):
+    """Hopping (sliding) windows — 1-hour window every 30 minutes, so
+    each event lands in exactly two windows: ``F.window(ts, '1 hour',
+    '30 minutes')``, identical on batch and stream (the state doubles
+    versus tumbling, the watermark contract is unchanged). Exact decimal
+    sums for the hash gate."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return out.withColumn("window_start", _fmt_ts("window_start"))

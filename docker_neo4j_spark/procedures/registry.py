@@ -567,3 +567,19 @@ def _apoc_meta_stats(spark: SparkSession, graph=None) -> DataFrame:
     lc = graph.nodes.select(F.explode("labels").alias("l")).distinct().count()
     tc = graph.rels.select("type").distinct().count()
     return spark.createDataFrame([(nc, rc, lc, tc, n_keys)], schema)
+
+
+@procedure(
+    "dbms.components",
+    signature=(
+        "dbms.components() :: (name :: STRING, versions :: LIST, edition :: STRING)"
+    ),
+    description="Server component name, versions, and edition",
+)
+def _dbms_components(spark: SparkSession) -> DataFrame:
+    from .. import __version__
+
+    return spark.createDataFrame(
+        [("Neo4j Kernel", [__version__], "community")],
+        "name string, versions array<string>, edition string",
+    )
