@@ -2117,3 +2117,66 @@ def gds_degree_orientations(spark, sf_dir):
             F.coalesce("undirected_degree", F.lit(0)).cast("long").alias("undirected_degree"),
         )
     )
+
+
+def _hashgnn_sql(n_features: int, n_slots: int, iterations: int, salt: str) -> str:
+    """Unrolled HashGNN — twin of ``operators/gds.hashgnn`` on the
+    distinct undirected membership subgraph: md5-parity feature init,
+    per-iteration neighbor pooling + per-slot min-hash selection,
+    zero-padded sorted string output. Integer/hash arithmetic only."""
+    even = "'0','2','4','6','8','a','c','e'"
+    parts = [
+        "WITH b AS (",
+        "  SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS s,",
+        "         CAST(2000000000000 + c_nationkey AS BIGINT) AS d FROM customer",
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT),",
+        "         CAST(2000000000000 + s_nationkey AS BIGINT) FROM supplier",
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT),",
+        "         CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT s AS src, d AS dst FROM b UNION ALL SELECT d, s FROM b)),",
+        "nodes AS MATERIALIZED (",
+        "  SELECT CAST(1000000000000 + r_regionkey AS BIGINT) AS id FROM region",
+        "  UNION ALL SELECT CAST(2000000000000 + n_nationkey AS BIGINT) FROM nation",
+        "  UNION ALL SELECT CAST(3000000000000 + c_custkey AS BIGINT) FROM customer",
+        "  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT) FROM supplier),",
+        f"s0 AS MATERIALIZED (SELECT id, t.j FROM nodes, range({n_features}) t(j) "
+        f"WHERE substr(md5('{salt}' || '|init|' || CAST(id AS VARCHAR) || '|' || "
+        f"CAST(t.j AS VARCHAR)), 1, 1) IN ({even})),",
+    ]
+    for t in range(1, iterations + 1):
+        p = f"s{t - 1}"
+        parts.append(
+            f"pool{t} AS (SELECT DISTINCT id, j FROM ("
+            f"SELECT id, j FROM {p} "
+            f"UNION ALL SELECT e.dst AS id, p.j FROM {p} p JOIN e ON e.src = p.id)),"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT DISTINCT id, j FROM ("
+            f"SELECT id, arg_min(j, md5('{salt}' || '|' || '{t}' || '|' || "
+            f"CAST(sl.s AS VARCHAR) || '|' || CAST(j AS VARCHAR))) AS j "
+            f"FROM pool{t}, range({n_slots}) sl(s) GROUP BY id, sl.s)),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"SELECT id, string_agg(printf('%02d', j), ',' ORDER BY printf('%02d', j))"
+        f" AS emb FROM s{iterations} GROUP BY id"
+    )
+    return "\n".join(parts)
+
+
+@register("gds_hashgnn", _hashgnn_sql(16, 8, 2, salt="hashgnn"))
+def gds_hashgnn(spark, sf_dir):
+    """gds.beta.hashgnn binary embeddings (16 features, 8 slots, 2
+    min-hash message-passing rounds) on the membership subgraph —
+    training-free, float-free, engine-exact (operators/gds.hashgnn)."""
+    g = build_graph(spark, sf_dir)
+    edges = g.type_frames["IN_NATION"].unionByName(g.type_frames["IN_REGION"]).select("src", "dst")
+    nodes = (
+        g.label_frames["Customer"].select("id")
+        .unionByName(g.label_frames["Supplier"].select("id"))
+        .unionByName(g.label_frames["Nation"].select("id"))
+        .unionByName(g.label_frames["Region"].select("id"))
+    )
+    return gds.hashgnn(edges, nodes, n_features=16, n_slots=8, iterations=2)

@@ -2157,3 +2157,76 @@ def k1coloring(
         )
     e.unpersist()
     return color
+
+
+def hashgnn(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_features: int = 16,
+    n_slots: int = 8,
+    iterations: int = 2,
+    salt: str = "hashgnn",
+    undirected: bool = True,
+) -> DataFrame:
+    """gds.beta.hashgnn — hash-based binary node embeddings (the
+    HashGNN construction: message passing where aggregation is MIN-HASH
+    SELECTION instead of arithmetic, so embeddings stay binary and the
+    whole computation is integer/hash arithmetic end-to-end — no
+    training, no floats, deterministic).
+
+    State: each node holds a SET of active feature ids (long form
+    (id, j)). Init: feature j is active on v iff md5(salt|init|v|j) has
+    an even first hex digit (≈50% density). Iteration t: pool each
+    node's own + in-neighbor features, then for each of ``n_slots``
+    output slots keep the pooled feature with the minimum
+    md5(salt|t|slot|feature) — a per-slot min-hash signature of the
+    neighborhood feature set (Jaccard-sensitive, like any min-hash).
+    Returns (id, emb) with the final sorted feature-id list serialized
+    as a comma string.
+
+    Shuffle shape: per iteration one edge join + distinct union (the
+    pool) + one groupBy(id, slot) argmin — PageRank's cost times
+    n_slots, all exact integers.
+    """
+    e = (undirect(edges) if undirected else edges.select("src", "dst")).distinct()
+    feats = nodes.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(n_features - 1))).alias("j")
+    ).where(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), F.lit("init"), F.col("id"), F.col("j")
+                )
+            ),
+            1,
+            1,
+        ).isin(*"02468ace")
+    )
+    state = _ckpt(feats.select("id", "j"))
+    for t in range(1, iterations + 1):
+        nbr = (
+            state.join(e, state["id"] == e["src"])
+            .select(F.col("dst").alias("id"), "j")
+        )
+        pool = state.unionByName(nbr).distinct()
+        slots = pool.select(
+            "id",
+            "j",
+            F.explode(F.sequence(F.lit(0), F.lit(n_slots - 1))).alias("_s"),
+        )
+        h = F.md5(
+            F.concat_ws("|", F.lit(salt), F.lit(str(t)), F.col("_s"), F.col("j"))
+        )
+        state = _ckpt(
+            slots.select("id", "_s", "j", h.alias("_h"))
+            .groupBy("id", "_s")
+            .agg(F.min_by("j", F.col("_h")).alias("j"))
+            .select("id", "j")
+            .distinct()
+        )
+    # zero-padded feature ids so the sorted string form orders numerically
+    return state.groupBy("id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.format_string("%02d", "j"))), ","
+        ).alias("emb")
+    )

@@ -831,3 +831,24 @@ def test_k1coloring_proper_and_deterministic(spark):
     assert max(got.values()) <= 3  # ≤ maxdeg, and this graph 3-colors
     again = {r["id"]: r["color"] for r in gds.k1coloring(e, nodes).collect()}
     assert again == got
+
+
+def test_hashgnn_minhash_locality(spark):
+    """Min-hash selection is Jaccard-sensitive: twin nodes with identical
+    neighborhoods get identical embeddings; embeddings are deterministic
+    and bounded by n_slots features."""
+    pairs = [(1, 3), (2, 3), (3, 4), (4, 5)]  # 1 and 2 are twins into 3
+    e = _edges(spark, pairs)
+    nodes = _nodes(spark, [1, 2, 3, 4, 5])
+    out = {
+        r["id"]: r["emb"]
+        for r in gds.hashgnn(e, nodes, n_features=16, n_slots=8, iterations=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    for emb in out.values():
+        assert 1 <= len(emb.split(",")) <= 8
+    again = {
+        r["id"]: r["emb"]
+        for r in gds.hashgnn(e, nodes, n_features=16, n_slots=8, iterations=2).collect()
+    }
+    assert again == out
