@@ -72,6 +72,14 @@ HEAVY = [
     "llm_classifier_filter",
     "events_anomaly_3sigma",
     "events_ohlc_rollup",
+    "gds_sllpa",
+    "gds_k1coloring",
+    "gds_hashgnn",
+    "gds_node_similarity_metrics",
+    "gds_collapse_path",
+    "gds_influence_celf",
+    "cypher_path_binding",
+    "stream_sliding_windows_batch",
 ]
 
 
