@@ -2180,3 +2180,29 @@ def gds_hashgnn(spark, sf_dir):
         .unionByName(g.label_frames["Region"].select("id"))
     )
     return gds.hashgnn(edges, nodes, n_features=16, n_slots=8, iterations=2)
+
+
+@register(
+    "gds_bfs_tree",
+    f"""
+    WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst FROM ({_EDGES})),
+    seed AS (SELECT CAST(3000000000000 + MIN(c_custkey) AS BIGINT) AS id FROM customer),
+    walk AS (
+      SELECT id, 0 AS dist FROM seed
+      UNION ALL
+      SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.id WHERE w.dist < 6),
+    d AS MATERIALIZED (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY id)
+    SELECT c.id, c.dist,
+           (SELECT MIN(e.src) FROM e JOIN d p ON p.id = e.src
+            WHERE e.dst = c.id AND p.dist = c.dist - 1) AS parent
+    FROM d c
+    """,
+)
+def gds_bfs_tree(spark, sf_dir):
+    """BFS shortest-path tree from the lowest customer: (id, dist,
+    parent) with the smallest equal-depth predecessor as the
+    deterministic parent (operators/gds.bfs_tree — apoc.path.spanningTree
+    / gds.bfs predecessor surface)."""
+    g = build_graph(spark, sf_dir)
+    seed = g.label_frames["Customer"].orderBy("id").limit(1).select("id")
+    return gds.bfs_tree(g.rels, seed, max_depth=6)

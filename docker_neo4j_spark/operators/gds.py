@@ -2230,3 +2230,48 @@ def hashgnn(
             F.array_sort(F.collect_list(F.format_string("%02d", "j"))), ","
         ).alias("emb")
     )
+
+
+def bfs_tree(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 20,
+    undirected: bool = False,
+) -> DataFrame:
+    """BFS shortest-path tree (apoc.path.spanningTree / the predecessor
+    output of gds.bfs): (id, dist, parent) with parent = the SMALLEST
+    dist-1 neighbor that discovered the node — the deterministic choice
+    among equally-short predecessors, so the tree is unique and
+    oracle-checkable. Sources carry parent = NULL. Same frontier BSP as
+    ``bfs`` with one extra min-aggregation per level.
+    """
+    e = (undirect(edges) if undirected else edges.select("src", "dst")).repartition("src").cache()
+    frontier = _ckpt(sources.select("id").distinct())
+    levels = [
+        frontier.select(
+            "id",
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(None).cast("long").alias("parent"),
+        )
+    ]
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(e["src"]).alias("parent"))
+            .join(visited, "id", "left_anti")
+        )
+        nxt = _ckpt(nxt)
+        if nxt.isEmpty():
+            break
+        levels.append(
+            nxt.select("id", F.lit(depth).cast("long").alias("dist"), "parent")
+        )
+        visited = visited.unionByName(nxt.select("id"))
+        frontier = nxt.select("id")
+    e.unpersist()
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

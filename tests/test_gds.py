@@ -852,3 +852,16 @@ def test_hashgnn_minhash_locality(spark):
         for r in gds.hashgnn(e, nodes, n_features=16, n_slots=8, iterations=2).collect()
     }
     assert again == out
+
+
+def test_bfs_tree_parents(spark):
+    """Diamond 1→{2,3}→4: dist(4)=2, parent(4)=2 (smallest equal-depth
+    predecessor); seed parent NULL; tree edges reconstruct the distances."""
+    e = _edges(spark, [(1, 2), (2, 4), (1, 3), (3, 4), (4, 5)])
+    out = {r["id"]: (r["dist"], r["parent"]) for r in gds.bfs_tree(e, _nodes(spark, [1])).collect()}
+    assert out[1] == (0, None)
+    assert out[4] == (2, 2)
+    assert out[5] == (3, 4)
+    for nid, (dist, parent) in out.items():
+        if parent is not None:
+            assert out[parent][0] == dist - 1
