@@ -2206,3 +2206,40 @@ def gds_bfs_tree(spark, sf_dir):
     g = build_graph(spark, sf_dir)
     seed = g.label_frames["Customer"].orderBy("id").limit(1).select("id")
     return gds.bfs_tree(g.rels, seed, max_depth=6)
+
+
+@register(
+    "gds_subgraph_all",
+    f"""
+    WITH RECURSIVE e AS MATERIALIZED (SELECT src, dst FROM ({_EDGES})),
+    seed AS (SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS id
+             FROM nation WHERE n_nationkey < 2),
+    walk AS (
+      SELECT id, 0 AS dist FROM seed
+      UNION ALL
+      SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.id WHERE w.dist < 4),
+    reach AS MATERIALIZED (SELECT DISTINCT id FROM walk),
+    induced AS (SELECT e.src, e.dst FROM e
+                JOIN reach a ON a.id = e.src JOIN reach b ON b.id = e.dst)
+    SELECT CAST((SELECT COUNT(*) FROM reach) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM induced) AS BIGINT) AS n_rels
+    """,
+)
+def gds_subgraph_all(spark, sf_dir):
+    """apoc.path.subgraphAll: the ≤4-hop reachable closure of two seed
+    nations plus every edge INDUCED on it (two semi-joins) — node and
+    rel counts. BFS + induced-edge filter, no path materialization."""
+    from ..operators import gds as G
+
+    g = build_graph(spark, sf_dir)
+    seeds = g.label_frames["Nation"].select("id").orderBy("id").limit(2)
+    reach = G.bfs(g.rels, seeds, max_depth=4).select("id")
+    e = g.rels.select("src", "dst")
+    induced = e.join(
+        reach.withColumnRenamed("id", "src"), "src", "left_semi"
+    ).join(reach.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    n_nodes = reach.count()
+    return induced.agg(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.count("*").cast("long").alias("n_rels"),
+    )
