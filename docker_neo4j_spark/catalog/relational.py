@@ -802,3 +802,84 @@ def agg_percentile_cont(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.sum(contrib).cast("double").alias("p50"))
     )
+
+
+@register(
+    "agg_rollup_volumes",
+    """
+    SELECT COALESCE(c_mktsegment, '<all>') AS segment,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+    """,
+)
+def agg_rollup_volumes(spark, sf_dir):
+    """ROLLUP hierarchy totals (segment → priority → grand total) in ONE
+    aggregation pass — Spark's ``rollup()`` computes all grouping sets
+    with map-side partial aggregation, no per-level re-scan. Exact
+    decimal sums; NULL grouping keys surface as '<all>' on both sides."""
+    t = load_tables(spark, sf_dir)
+    j = t["orders"].join(
+        t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"]
+    )
+    return (
+        j.rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "volume",
+        )
+    )
+
+
+@register(
+    "events_moving_average",
+    """
+    WITH v AS (
+      SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,2)) AS val
+      FROM events),
+    w AS (
+      SELECT event_type, ts, event_id,
+             SUM(val) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS k
+      FROM v)
+    SELECT event_id, event_type,
+           CAST(ROUND(CAST(s AS DOUBLE) / k * 1000) AS BIGINT) AS ma_milli
+    FROM w
+    """,
+)
+def events_moving_average(spark, sf_dir):
+    """5-row trailing moving average per event type — the time-series
+    smoothing window, partitioned by type (never a global sort) with a
+    (ts, event_id) total order and exact DECIMAL running sums; the
+    average surfaces milli-rounded from the same exact fraction on both
+    engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    val = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.sum(val).over(w).cast("double") / F.count("*").over(w) * 1000
+        )
+        .cast("long")
+        .alias("ma_milli"),
+    )
