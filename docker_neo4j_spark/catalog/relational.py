@@ -883,3 +883,36 @@ def events_moving_average(spark, sf_dir):
         .cast("long")
         .alias("ma_milli"),
     )
+
+
+@register(
+    "events_lag_lead_delta",
+    """
+    WITH v AS (SELECT user_id, ts, event_id,
+                      CAST(value AS DECIMAL(18,2)) AS val FROM events)
+    SELECT event_id,
+           CAST(ROUND(CAST(val - COALESCE(LAG(val) OVER w, val) AS DOUBLE) * 1000)
+                AS BIGINT) AS delta_milli,
+           CAST(LEAD(event_id) OVER w AS BIGINT) AS next_event
+    FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_lag_lead_delta(spark, sf_dir):
+    """LAG/LEAD per user stream: value delta against the previous event
+    and the next event id — the change-detection window shape,
+    partitioned by user (never a global sort), exact DECIMAL deltas
+    milli-scaled."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    val = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        F.round(
+            (val - F.coalesce(F.lag(val).over(w), val)).cast("double") * 1000
+        )
+        .cast("long")
+        .alias("delta_milli"),
+        F.lead("event_id").over(w).cast("long").alias("next_event"),
+    )
