@@ -1245,3 +1245,34 @@ def llm_exact_substring_pairs(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return curation.exact_substring_pairs(d, n=10, max_gram_docs=50)
+
+
+@register(
+    "llm_freq_spectrum",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS t FROM documents),
+    tf AS (SELECT t, COUNT(*) AS f FROM tok WHERE t <> '' GROUP BY t),
+    spec AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tf GROUP BY f)
+    SELECT CAST(f AS BIGINT) AS freq, n_tokens FROM spec
+    ORDER BY freq DESC LIMIT 20
+    """,
+)
+def llm_freq_spectrum(spark, sf_dir):
+    """Token frequency-of-frequency spectrum (the Zipf/Good-Turing
+    diagnostic corpus audits start from): two chained integer groupBys —
+    token→count then count→count-of-counts — and a top-20 on the
+    spectrum, which is tiny by construction."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    tf = tok.groupBy("t").agg(F.count("*").alias("f"))
+    return (
+        tf.groupBy("f")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+        .select(F.col("f").cast("long").alias("freq"), "n_tokens")
+        .orderBy(F.desc("freq"))
+        .limit(20)
+    )

@@ -916,3 +916,63 @@ def events_lag_lead_delta(spark, sf_dir):
         .alias("delta_milli"),
         F.lead("event_id").over(w).cast("long").alias("next_event"),
     )
+
+
+@register(
+    "agg_cube_volumes",
+    """
+    SELECT COALESCE(c_mktsegment, '<all>') AS segment,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def agg_cube_volumes(spark, sf_dir):
+    """CUBE grouping sets — all four (segment, status) marginals in one
+    aggregation pass (Spark expands the grouping sets map-side, no
+    re-scan per set)."""
+    t = load_tables(spark, sf_dir)
+    j = t["orders"].join(
+        t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"]
+    )
+    return (
+        j.cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "rank_percentile_suppliers",
+    """
+    WITH s AS (SELECT s_suppkey, s_nationkey,
+                      CAST(s_acctbal AS DECIMAL(18,2)) AS bal FROM supplier)
+    SELECT s_suppkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(ROUND(PERCENT_RANK() OVER w * 1e6) AS BIGINT) AS pct_micro,
+           CAST(ROUND(CUME_DIST() OVER w * 1e6) AS BIGINT) AS cume_micro
+    FROM s WINDOW w AS (PARTITION BY s_nationkey ORDER BY bal DESC, s_suppkey)
+    """,
+)
+def rank_percentile_suppliers(spark, sf_dir):
+    """RANK / PERCENT_RANK / CUME_DIST per nation over supplier balances
+    — the ranked-percentile window family with a unique tiebreak;
+    rational ranks micro-scaled (exact int/int division on both
+    engines)."""
+    from pyspark.sql import Window as W
+
+    s = load_tables(spark, sf_dir)["supplier"]
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").cast("decimal(18,2)").desc(), "s_suppkey"
+    )
+    return s.select(
+        "s_suppkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.round(F.percent_rank().over(w) * 1e6).cast("long").alias("pct_micro"),
+        F.round(F.cume_dist().over(w) * 1e6).cast("long").alias("cume_micro"),
+    )
