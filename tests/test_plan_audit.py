@@ -333,3 +333,26 @@ def test_split_relationships_map_only_tag(spark, sf_dir, queries):
     facts = audit(df)
     assert facts.n_exchanges <= 1
     assert facts.n_cartesian == 0
+
+
+def test_sllpa_no_cartesian_bounded_explode(spark, sf_dir, queries):
+    """The speaker-draw replica explode is bounded by memory counts and
+    the rounds are pure join→groupBy — no cartesian anywhere."""
+    df = queries["gds_sllpa"](spark, sf_dir)
+    facts = audit(df)
+    assert facts.n_cartesian == 0
+
+
+def test_hashgnn_no_cartesian(spark, sf_dir, queries):
+    df = queries["gds_hashgnn"](spark, sf_dir)
+    facts = audit(df)
+    assert facts.n_cartesian == 0
+
+
+def test_ksp_window_partitioned_by_pair(spark, sf_dir, queries):
+    """The Yen top-k window partitions by (start, end) — never a
+    SinglePartition global sort."""
+    df = queries["gds_yens_ksp"](spark, sf_dir)
+    facts = audit(df)
+    assert "SinglePartition" not in facts.text
+    assert facts.n_cartesian == 0
