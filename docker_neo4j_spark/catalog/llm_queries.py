@@ -1276,3 +1276,44 @@ def llm_freq_spectrum(spark, sf_dir):
         .orderBy(F.desc("freq"))
         .limit(20)
     )
+
+
+def _langid_confusion_sql() -> str:
+    """Reuses the llm_language_id prediction CTE and cross-tabs it
+    against the gold ``lang`` column — the classifier-evaluation join."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {_sw_sql(tx.STOPWORDS["en"])} AS sw_en,
+             {_sw_sql(tx.STOPWORDS["de"])} AS sw_de,
+             {_sw_sql(tx.STOPWORDS["es"])} AS sw_es,
+             {_sw_sql(tx.STOPWORDS["fr"])} AS sw_fr,
+             CAST(len(regexp_extract_all(text, '[\\x{{4E00}}-\\x{{9FFF}}]')) AS BIGINT) AS n_cjk
+      FROM documents),
+    pred AS (
+      SELECT doc_id, lang AS gold,
+             CASE WHEN n_cjk > 0 THEN 'zh'
+                  WHEN sw_en >= sw_de AND sw_en >= sw_es AND sw_en >= sw_fr THEN 'en'
+                  WHEN sw_de >= sw_es AND sw_de >= sw_fr THEN 'de'
+                  WHEN sw_es >= sw_fr THEN 'es'
+                  ELSE 'fr' END AS pred
+      FROM t)
+    SELECT gold, pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY gold, pred
+    """
+
+
+@register("llm_langid_confusion", _langid_confusion_sql())
+def llm_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix against the gold ``lang`` column —
+    the evaluation cross-tab every classifier in the curation pipeline
+    gets audited with: one join of predictions onto gold labels, one
+    integer groupBy(gold, pred)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    pred = tx.language_id(d).select("doc_id", F.col("lang_pred").alias("pred"))
+    return (
+        d.select("doc_id", F.col("lang").alias("gold"))
+        .join(pred, "doc_id")
+        .groupBy("gold", "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
