@@ -400,3 +400,32 @@ def stream_sliding_windows_batch(spark, sf_dir):
         )
     )
     return out.withColumn("window_start", _fmt_ts("window_start"))
+
+
+@register(
+    "stream_windowed_distinct_users_batch",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def stream_windowed_distinct_users_batch(spark, sf_dir):
+    """Distinct users per tumbling hour — the state-heavy windowed
+    COUNT(DISTINCT): Spark expands it to a two-level aggregate (partial
+    distinct per partition, then merge), so the shuffle carries
+    (window, user) pairs once, not raw events; the streaming twin is the
+    same plan under a watermark (or approx_count_distinct when the exact
+    set would exceed state budgets — that variant is the rows-only
+    fn_approx_count_distinct)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )
+    return out.withColumn("window_start", _fmt_ts("window_start"))
