@@ -2243,3 +2243,50 @@ def gds_subgraph_all(spark, sf_dir):
         F.lit(n_nodes).cast("long").alias("n_nodes"),
         F.count("*").cast("long").alias("n_rels"),
     )
+
+
+@register(
+    "gds_dyad_census",
+    f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES}) WHERE src <> dst),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+    mut AS (SELECT COUNT(*) AS m FROM e e1
+            JOIN e e2 ON e2.src = e1.dst AND e2.dst = e1.src
+            WHERE e1.src < e1.dst),
+    n AS (SELECT COUNT(*) AS cnt FROM ({_NODES}))
+    SELECT CAST((SELECT m FROM mut) AS BIGINT) AS mutual,
+           CAST((SELECT COUNT(*) FROM und) - (SELECT m FROM mut) AS BIGINT)
+             AS asymmetric,
+           CAST((SELECT cnt * (cnt - 1) / 2 FROM n)
+                - (SELECT COUNT(*) FROM und) AS BIGINT) AS null_dyads
+    """,
+)
+def gds_dyad_census(spark, sf_dir):
+    """Holland–Leinhardt dyad census (M-A-N): mutual / asymmetric /
+    null dyad counts over the directed graph — mutual pairs from one
+    self-join on reversed endpoints, asymmetric from the undirected
+    collapse minus mutuals, nulls in closed form from |V| — no pair
+    enumeration beyond existing edges."""
+    g = build_graph(spark, sf_dir)
+    e = g.rels.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e2 = e.select(F.col("src").alias("_s2"), F.col("dst").alias("_d2"))
+    mutual = (
+        e.where(F.col("src") < F.col("dst"))
+        .join(e2, (F.col("_s2") == F.col("dst")) & (F.col("_d2") == F.col("src")))
+        .count()
+    )
+    n_nodes = g.nodes.count()
+    n_und = und.count()
+    return spark.createDataFrame(
+        [
+            (
+                mutual,
+                n_und - mutual,
+                n_nodes * (n_nodes - 1) // 2 - n_und,
+            )
+        ],
+        "mutual long, asymmetric long, null_dyads long",
+    )
