@@ -108,3 +108,49 @@ def test_topological_layers_matches_longest_path_on_dags(spark, edges):
     n = spark.createDataFrame([(i,) for i in nodes], ["id"])
     got = {r["id"]: r["layer"] for r in gds.topological_layers(e, n).collect()}
     assert got == best
+
+
+@given(edges=_edge_sets())
+@settings(**_SETTINGS)
+def test_k1coloring_always_proper(spark, edges):
+    """On any random graph the conflict-resolution coloring terminates
+    PROPER: no undirected edge is monochrome."""
+    nodes = sorted({x for e in edges for x in e})
+    e = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    n = spark.createDataFrame([(i,) for i in nodes], ["id"])
+    got = {r["id"]: r["color"] for r in gds.k1coloring(e, n, max_rounds=20).collect()}
+    assert set(got) == set(nodes)
+    for a, b in edges:
+        if a != b:
+            assert got[a] != got[b], f"monochrome edge {a}-{b} in {edges}"
+
+
+@given(edges=_edge_sets())
+@settings(**_SETTINGS)
+def test_leiden_communities_always_connected(spark, edges):
+    """The Leiden guarantee holds on any random graph: every returned
+    community induces a connected subgraph of the undirected view."""
+    from collections import deque
+
+    nodes = sorted({x for e in edges for x in e})
+    e = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    n = spark.createDataFrame([(i,) for i in nodes], ["id"])
+    got = {r["id"]: r["community"] for r in gds.leiden(e, n, max_iter=6).collect()}
+    assert set(got) == set(nodes)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    comms = {}
+    for v, c in got.items():
+        comms.setdefault(c, set()).add(v)
+    for members in comms.values():
+        start = next(iter(members))
+        seen, q = {start}, deque([start])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v in members and v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        assert seen == members, f"disconnected community {members} in {edges}"
