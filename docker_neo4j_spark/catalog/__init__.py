@@ -75,6 +75,9 @@ _CHANGED_THIS_ROUND = [
     "cypher_list_comprehension",
     "cypher_temporal",
     "cypher_set_delete_readback",
+    # label_propagation grew the weight_col parameter — unweighted path
+    # is unchanged but shares the loop body; re-grade its green row
+    "gds_label_propagation",
 ]
 
 
