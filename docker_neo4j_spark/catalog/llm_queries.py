@@ -1317,3 +1317,57 @@ def llm_langid_confusion(spark, sf_dir):
         .groupBy("gold", "pred")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def _leakage_free_split_sql(rounds: int) -> str:
+    """Unrolled leakage-free split: duplication pairs → ``rounds``
+    min-label WCC rounds → one md5 coin per component. The Spark side
+    runs the IDENTICAL bounded round count, so both sides agree even on
+    an unconverged pathological duplicate chain — no convergence-luck."""
+    parts = [
+        r"""WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i + 9], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS u(i)
+      WHERE len(t) >= 10),
+    keep AS MATERIALIZED (SELECT gram FROM grams GROUP BY gram
+             HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+    g AS MATERIALIZED (SELECT gr.doc_id, gr.gram FROM grams gr JOIN keep k USING (gram)),
+    pr AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+    sym AS MATERIALIZED (SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+    l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS comp FROM documents),"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, LEAST(l.comp, COALESCE(m.c, l.comp)) AS comp "
+            f"FROM l{k - 1} l LEFT JOIN (SELECT s.id_b AS id, MIN(p.comp) AS c "
+            f"FROM l{k - 1} p JOIN sym s ON s.id_a = p.id GROUP BY s.id_b) m "
+            f"ON m.id = l.id),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"""SELECT id AS doc_id, comp AS component,
+           CASE WHEN substr(md5('lfsplit' || '|' || CAST(comp AS VARCHAR)), 1, 4)
+                     < 'cccc'
+                THEN 'train' ELSE 'test' END AS split
+    FROM l{rounds}"""
+    )
+    return "\n".join(parts)
+
+
+@register("llm_leakage_free_split", _leakage_free_split_sql(8))
+def llm_leakage_free_split(spark, sf_dir):
+    """Leakage-free split (curation.leakage_free_split): documents
+    sharing a 10-gram form duplicate components (min-label WCC over the
+    pair graph) and each component lands on ONE side via a single md5
+    coin on its canonical id — no near-duplicate ever straddles
+    train/test. Both sides run the identical 8 bounded min-label rounds
+    (``_leakage_free_split_sql``)."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.leakage_free_split(d, n=10, max_gram_docs=50, wcc_rounds=8)

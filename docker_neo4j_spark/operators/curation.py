@@ -480,3 +480,64 @@ def exact_substring_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 10,
+    max_gram_docs: int = 50,
+    train_hex: str = "cccc",
+    salt: str = "lfsplit",
+    wcc_rounds: int = 12,
+) -> DataFrame:
+    """Leakage-free train/test split: documents that share an ``n``-word
+    gram (near/exact duplicates) must land on the SAME side, or the test
+    set leaks into training. Pipeline: duplication pairs
+    (``exact_substring_pairs`` — gram equi-join with the stop-gram
+    guard) → min-label WCC over the pair graph (duplicate components) →
+    ONE md5 coin per component (keyed on the component's canonical min
+    doc id) decides the side for every member atomically. Singleton docs
+    are their own component — the split stays the plain hash split for
+    them. Returns (key_col, component, split).
+
+    The component fixpoint is ``wcc_rounds`` bounded min-label rounds
+    over the (sparse) duplicate-pair graph — pair components are tiny
+    (duplicate clusters), so a small bound converges; everything is
+    md5/integer arithmetic, reproducible on any engine or partitioning.
+    """
+    pairs = exact_substring_pairs(
+        df, text_col=text_col, key_col=key_col, n=n, max_gram_docs=max_gram_docs
+    ).select("id_a", "id_b")
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    lab = df.select(F.col(key_col).alias("id")).withColumn("comp", F.col("id"))
+    lab = lab.localCheckpoint(eager=True)
+    for _ in range(wcc_rounds):
+        cand = (
+            lab.join(sym, lab["id"] == sym["id_a"])
+            .groupBy(F.col("id_b").alias("id"))
+            .agg(F.min("comp").alias("_c"))
+        )
+        new_lab = lab.join(cand, "id", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce("_c", F.col("comp"))).alias("comp")
+        ).localCheckpoint(eager=True)
+        changed = new_lab.join(
+            lab.withColumnRenamed("comp", "_old"), "id"
+        ).where(F.col("comp") != F.col("_old"))
+        if changed.isEmpty():
+            lab = new_lab
+            break
+        lab = new_lab
+    side = F.when(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col("comp").cast("string"))), 1, 4
+        )
+        < F.lit(train_hex),
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    return lab.select(
+        F.col("id").alias(key_col), F.col("comp").alias("component"), side.alias("split")
+    )

@@ -520,3 +520,25 @@ def test_exact_substring_pairs_stop_gram_guard(spark):
         for r in exact_substring_pairs(df, n=3, max_gram_docs=4).collect()
     }
     assert (10, 11) not in guarded and (1, 2) in guarded
+
+
+def test_leakage_free_split_atomic_components(spark):
+    """Duplicate documents NEVER straddle train/test; singletons follow
+    the plain hash coin of their own id."""
+    from docker_neo4j_spark.operators.curation import leakage_free_split
+
+    dup = "the exact same long sentence with ten or more words in it"
+    rows = [
+        (1, dup), (2, dup + " plus a tail"), (3, dup + " other tail"),
+        (4, "a completely different document about something else entirely here"),
+        (5, "yet another unrelated text with plenty of distinct words inside it"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["component"], r["split"]) for r in
+           leakage_free_split(df, n=10, max_gram_docs=10).collect()}
+    assert len(out) == 5
+    # 1,2,3 share the 10-gram → one component, one side
+    assert out[1][0] == out[2][0] == out[3][0] == 1
+    assert out[1][1] == out[2][1] == out[3][1]
+    # singletons are their own component
+    assert out[4][0] == 4 and out[5][0] == 5
