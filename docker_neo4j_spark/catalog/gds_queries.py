@@ -2290,3 +2290,27 @@ def gds_dyad_census(spark, sf_dir):
         ],
         "mutual long, asymmetric long, null_dyads long",
     )
+
+
+@register(
+    "gds_degree_distribution",
+    f"""
+    WITH e AS (SELECT src, dst FROM ({_EDGES})),
+    deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src)
+    SELECT CAST(d AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d ORDER BY degree DESC LIMIT 30
+    """,
+)
+def gds_degree_distribution(spark, sf_dir):
+    """Out-degree distribution (the power-law audit every graph report
+    opens with): degree → node count, two chained integer groupBys —
+    the second is over the tiny distinct-degree set."""
+    g = build_graph(spark, sf_dir)
+    deg = g.rels.groupBy("src").agg(F.count("*").alias("d"))
+    return (
+        deg.groupBy("d")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(F.col("d").cast("long").alias("degree"), "n_nodes")
+        .orderBy(F.desc("degree"))
+        .limit(30)
+    )

@@ -976,3 +976,44 @@ def rank_percentile_suppliers(spark, sf_dir):
         F.round(F.percent_rank().over(w) * 1e6).cast("long").alias("pct_micro"),
         F.round(F.cume_dist().over(w) * 1e6).cast("long").alias("cume_micro"),
     )
+
+
+@register(
+    "agg_above_customer_avg",
+    """
+    WITH ca AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM orders o JOIN ca ON ca.ck = o.o_custkey
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * ca.n > 1.5 * ca.s
+    """,
+)
+def agg_above_customer_avg(spark, sf_dir):
+    """Correlated-scalar-subquery shape (TPC-H Q17 family): orders above
+    1.5× their own customer's average, DECORRELATED to one groupBy +
+    one equi-join — the rewrite Catalyst applies to correlated
+    subqueries, written declaratively. The comparison cross-multiplies
+    (price·n > 1.5·sum) so no division touches the predicate; sums are
+    exact DECIMAL."""
+    t = load_tables(spark, sf_dir)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    ca = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(dec).cast("double").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    o = t["orders"]
+    j = o.join(ca, o["o_custkey"] == ca["ck"]).where(
+        dec * F.col("n") > F.lit(1.5) * F.col("s")
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(dec).cast("double").alias("volume"),
+    )
