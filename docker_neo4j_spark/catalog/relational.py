@@ -1017,3 +1017,62 @@ def agg_above_customer_avg(spark, sf_dir):
         F.count("*").cast("long").alias("n_orders"),
         F.sum(dec).cast("double").alias("volume"),
     )
+
+
+@register(
+    "agg_pivot_status_by_segment",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_orders
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def agg_pivot_status_by_segment(spark, sf_dir):
+    """PIVOT (orderstatus columns per segment) — Spark's
+    ``groupBy().pivot(values)`` with EXPLICIT pivot values, which skips
+    the extra distinct-scan pass and compiles to the same conditional
+    aggregation the SQL FILTER form expresses."""
+    t = load_tables(spark, sf_dir)
+    j = t["orders"].join(
+        t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"]
+    )
+    out = (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "segment",
+        F.coalesce("F", F.lit(0)).cast("long").alias("f_orders"),
+        F.coalesce("O", F.lit(0)).cast("long").alias("o_orders"),
+        F.coalesce("P", F.lit(0)).cast("long").alias("p_orders"),
+    ).orderBy("segment")
+
+
+@register(
+    "events_value_histogram",
+    """
+    WITH b AS (SELECT CAST(FLOOR(CAST(value AS DECIMAL(18,2)) / 10) AS BIGINT)
+                 AS bucket FROM events)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram (width 10): map-side integer binning
+    via exact DECIMAL floor-division + one groupBy over the tiny bucket
+    domain."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.select(
+            F.floor(F.col("value").cast("decimal(18,2)") / 10)
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("bucket")
+    )
