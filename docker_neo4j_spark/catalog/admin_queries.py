@@ -715,6 +715,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     "proc_show_procedures",
     """
     SELECT 'apoc.export.csv.all' AS name
+    UNION ALL SELECT 'apoc.export.json.all'
     UNION ALL SELECT 'apoc.meta.stats'
     UNION ALL SELECT 'apoc.periodic.iterate'
     UNION ALL SELECT 'db.index.vector.queryNodes'
@@ -1379,3 +1380,40 @@ def proc_dbms_components(spark, sf_dir):
     s = Session(spark)
     out = s.run("CALL dbms.components() YIELD name, edition")
     return out.select("name", "edition")
+
+
+@register(
+    "proc_export_json_roundtrip",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region)
+                AS BIGINT) AS nodes,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS relationships
+    """,
+)
+def proc_export_json_roundtrip(spark, sf_dir):
+    """apoc.export.json.all: whole-subgraph JSONL export + re-read — the
+    counts survive the round trip (sources/textdata.write_jsonl with
+    explicit re-read schema, never inference)."""
+    import tempfile
+
+    from ..cypher.session import Session
+    from ..graph import PropertyGraph
+    from ..sources.textdata import read_jsonl
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    g = build_graph(spark, sf_dir)
+    small = PropertyGraph(
+        nodes=g.label_frames["Nation"].unionByName(
+            g.label_frames["Region"], allowMissingColumns=True
+        ),
+        rels=g.type_frames["IN_REGION"],
+    )
+    s = Session(spark, store=GraphStore(spark, small))
+    with tempfile.TemporaryDirectory() as tmp:
+        s.run(f"CALL apoc.export.json.all('{tmp}/out') YIELD file, nodes, relationships")
+        nodes = read_jsonl(spark, f"{tmp}/out/nodes", small.nodes.schema).count()
+        rels = read_jsonl(spark, f"{tmp}/out/rels", small.rels.schema).count()
+    return spark.createDataFrame(
+        [(nodes, rels)], "nodes long, relationships long"
+    )

@@ -583,3 +583,24 @@ def _dbms_components(spark: SparkSession) -> DataFrame:
         [("Neo4j Kernel", [__version__], "community")],
         "name string, versions array<string>, edition string",
     )
+
+
+@procedure(
+    "apoc.export.json.all",
+    signature=(
+        "apoc.export.json.all(file :: STRING) :: "
+        "(file :: STRING, nodes :: INTEGER, relationships :: INTEGER)"
+    ),
+    description="Export the whole graph as JSONL (nodes + rels directories)",
+)
+def _apoc_export_json_all(spark: SparkSession, file: str = "", graph=None) -> DataFrame:
+    schema = "file string, nodes long, relationships long"
+    if graph is None or not file:
+        return spark.createDataFrame([], schema)
+    from ..sources.textdata import write_jsonl
+
+    write_jsonl(graph.nodes, f"{file}/nodes")
+    write_jsonl(graph.rels, f"{file}/rels")
+    return spark.createDataFrame(
+        [(file, graph.nodes.count(), graph.rels.count())], schema
+    )
