@@ -58,26 +58,22 @@ _loaded = False
 # Registration order breaks ties, so the order is deterministic for a given
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND = [
-    "llm_stratified_sample",   # hex_thr rounding fix
-    "events_asof_join",        # struct-based NULL/atomicity fix
-    "write_merge_rel_batch",   # façade count fix
-    "gds_louvain",             # integer-gain rework + new exact oracle
-    "llm_domain_cap",          # two-phase skew-safe top-k rewrite
-    "gds_pagerank",            # per-round checkpoint release
-    "gds_pagerank_weighted",   # per-round checkpoint release
-    "cypher_call_subquery",    # paren-aware CALL arg scanner
-    "proc_genai_encode_dim",   # paren-aware CALL arg scanner
-    "write_dump_load_counts",  # dump now clusters by indexed columns
-    "proc_show_procedures",    # registry grew apoc.periodic.iterate; oracle updated
-    # façade expression-compiler changes (quantifier hook, WHERE call
-    # reassembly, resolver restructure, polymorphic size): re-grade the
-    # already-green rows that exercise those exact paths
-    "cypher_list_comprehension",
-    "cypher_temporal",
+    # r7: SET-path uniqueness enforcement now runs in set_props /
+    # set_props_by_ids (ADVICE r6) — re-grade the row that exercises SET
     "cypher_set_delete_readback",
-    # label_propagation grew the weight_col parameter — unweighted path
-    # is unchanged but shares the loop body; re-grade its green row
-    "gds_label_propagation",
+    # r7: quote-aware bracket scan in _find_pattern_comprehension
+    # (ADVICE r6) — re-grade the row that exercises pattern comprehensions
+    "cypher_pattern_comprehension",
+]
+
+# Rows REGISTERED this round: real never-graded rows, but the r6 verdict
+# froze catalog growth until the pre-existing backlog clears, so they sort
+# BEHIND the older never-graded rows (sub-bucket 1 within tier 1) and only
+# enter the 50-row window once the backlog fits. Reset each round (entries
+# migrate out once they receive a first verdict).
+_NEW_THIS_ROUND = [
+    "fn_approx_distinct_exact",
+    "rdf_import_triples",
 ]
 
 
@@ -117,6 +113,7 @@ def load_all() -> None:
     last = _last_graded_round()
     reg = {n: i for i, n in enumerate(QUERIES)}
     changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+    new = set(_NEW_THIS_ROUND)
 
     def risk_key(name: str):
         if name not in ORACLES:
@@ -124,7 +121,9 @@ def load_all() -> None:
         if name in changed:
             return (0, changed[name], 0)      # changed this round
         if name not in last:
-            return (1, 0, reg[name])          # never driver-graded
+            # never driver-graded: pre-existing backlog before rows first
+            # registered this round (growth must not displace the backlog)
+            return (1, 1 if name in new else 0, reg[name])
         return (2, last[name], reg[name])     # stalest verdict first
 
     ordered = sorted(QUERIES, key=risk_key)

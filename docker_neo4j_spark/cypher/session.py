@@ -1996,14 +1996,30 @@ class Session:
         """Locate the next ``[(...)... | expr]`` span. Regex can't do it —
         the pattern part itself contains brackets (``-[:T]->``) — so scan
         with depth counting from each ``[`` that opens onto a ``(``.
-        Returns (start, end, pat_src, where_src, expr_src) or None."""
-        for i, ch in enumerate(ret):
+        Returns (start, end, pat_src, where_src, expr_src) or None.
+
+        Quoted spans are skipped during both scans (mirroring
+        ``_split_top`` — r6 ADVICE: a ``[(`` or stray bracket inside a
+        string literal must not trigger or derail the depth count)."""
+        n = len(ret)
+        i = 0
+        while i < n:
+            ch = ret[i]
+            if ch in "'\"":  # skip the whole string literal
+                k = ret.find(ch, i + 1)
+                i = (k if k > 0 else n - 1) + 1
+                continue
             if ch != "[" or not ret[i + 1 :].lstrip().startswith("("):
+                i += 1
                 continue
             depth, pipe = 0, None
-            for j in range(i, len(ret)):
+            j = i
+            while j < n:
                 c = ret[j]
-                if c in "[(":
+                if c in "'\"":
+                    k = ret.find(c, j + 1)
+                    j = k if k > 0 else n - 1
+                elif c in "[(":
                     depth += 1
                 elif c in "])":
                     depth -= 1
@@ -2026,6 +2042,8 @@ class Session:
                         return (i, j + 1, head, None, expr)
                 elif c == "|" and depth == 1 and pipe is None:
                     pipe = j
+                j += 1
+            i += 1
         return None
 
     def _apply_pattern_comprehensions(self, bound: DataFrame, ret: str):

@@ -2008,13 +2008,23 @@ def influence_maximization(
     marginal spread (ties → smallest id). Returns (rank, id,
     spread_gain_x_sims) — integer reach counts, no floats.
 
-    Scale shape: all n_sims simulations advance in ONE BSP frontier
-    keyed by (sim, node) — multi-source BFS with the simulation id
-    riding in the key, the closeness_walk pattern — and every candidate
-    node's marginal gain in a round comes from ONE reachability pass
-    seeded with all candidates (frontier keyed by (candidate, sim,
-    node)). Greedy k is a driver loop of k such passes, not |V| passes.
+    CELF cost model (r7, replacing the per-round all-candidate rescan):
+    ONE all-candidate reachability pass seeds the lazy-forward queue
+    (frontier BSP keyed by (cand, sim, node), all sims advancing
+    together); every later round pops the queue head and re-simulates
+    ONLY that candidate until the head's gain is fresh — submodularity
+    makes the cached gains valid upper bounds, so the fresh head is the
+    exact greedy argmax (ties → smallest id, encoded in the queue's
+    (−gain, id) order). The driver queue is truncated to the top
+    ``max(64, 8k)`` round-1 candidates (bounded driver state at any
+    graph size); a guard re-runs the full pass in the provably-rare
+    case a fresh gain falls below the truncation cutoff. Because the
+    alive-edge sets are fixed per simulation, reach(S) = ∪ reach({c}),
+    so the chosen-set base updates by unioning the selected candidate's
+    own reach — no extra chosen-set BSP per round.
     """
+    import heapq
+
     thr = (p_num * 0x10000) // p_den
     e_all = undirect(edges).distinct()
     alive = None
@@ -2037,6 +2047,8 @@ def influence_maximization(
         )
         alive = es if alive is None else alive.unionByName(es)
     alive = alive.repartition("src").cache()
+    spark = nodes.sparkSession
+    sims = spark.range(n_sims).select(F.col("id").cast("long").alias("sim"))
 
     def reach(seed_frame):
         """(cand, sim, node) reachability over the alive subgraphs —
@@ -2057,44 +2069,90 @@ def influence_maximization(
             frontier = nxt
         return visited
 
+    n = nodes.select("id").cache()
+    queue_cap = max(64, 8 * k)
+
+    def all_candidate_gains(exclude: list, base):
+        """Full pass: marginal gain of every non-chosen candidate vs
+        ``base``, zero-gain candidates included (left join + coalesce —
+        absent rows would break the ties→smallest-id rule and empty
+        gains would IndexError). Returns the top ``queue_cap`` rows by
+        (gain desc, id asc) plus the cutoff tuple below which truncated
+        candidates are known to sit."""
+        cands = n if not exclude else n.where(~F.col("id").isin(*exclude))
+        seeds = cands.select(F.col("id").alias("cand")).crossJoin(sims).select(
+            "cand", "sim", F.col("cand").alias("node")
+        )
+        reached = reach(seeds)
+        marginal = (
+            reached if base is None else reached.join(base, ["sim", "node"], "left_anti")
+        )
+        gains = (
+            cands.select(F.col("id").alias("cand"))
+            .join(marginal.groupBy("cand").agg(F.count("*").alias("_g")), "cand", "left")
+            .select("cand", F.coalesce("_g", F.lit(0)).alias("_g"))
+        )
+        top = gains.orderBy(F.desc("_g"), F.asc("cand")).limit(queue_cap + 1).collect()
+        cutoff = (-1, 0)  # nothing truncated
+        if len(top) > queue_cap:
+            cutoff = (int(top[queue_cap]["_g"]), -int(top[queue_cap]["cand"]))
+            top = top[:queue_cap]
+        return reached, top, cutoff
+
+    def single_candidate_reach(cand: int):
+        seed = spark.createDataFrame([(cand,)], "cand long").crossJoin(sims).select(
+            "cand", "sim", F.col("cand").alias("node")
+        )
+        return reach(seed)
+
     chosen: list = []
     out_rows = []
     base_reached = None  # (sim, node) reached by the chosen set
-    n = nodes.select("id").cache()
+    reached_r1, top, cutoff = all_candidate_gains([], None)
+    # heap entries: (-gain, cand, fresh_round); gains are upper bounds
+    # for rounds after the one they were evaluated in (submodularity)
+    heap = [(-int(r["_g"]), int(r["cand"]), 1) for r in top]
+    heapq.heapify(heap)
+    cand_reach: dict = {}  # selected candidate's own (sim, node) reach
     for rank in range(1, k + 1):
-        cands = n
-        if chosen:
-            cands = n.where(~F.col("id").isin(*chosen))
-        seeds = cands.select(F.col("id").alias("cand")).crossJoin(
-            self_sims := nodes.sparkSession.range(n_sims).select(
-                F.col("id").cast("long").alias("sim")
-            )
-        ).select("cand", "sim", F.col("cand").alias("node"))
-        reached = reach(seeds)
-        if base_reached is not None:
-            reached = reached.join(
-                base_reached, ["sim", "node"], "left_anti"
-            )
-        gains = (
-            reached.groupBy("cand")
-            .agg(F.count("*").alias("_g"))
-        )
-        best = gains.orderBy(F.desc("_g"), F.asc("cand")).limit(1).collect()[0]
-        chosen.append(best["cand"])
-        out_rows.append((rank, best["cand"], int(best["_g"])))
-        seed_chosen = (
-            nodes.sparkSession.createDataFrame(
-                [(c,) for c in chosen], "cand long"
-            )
-            .crossJoin(self_sims)
-            .select(F.lit(0).alias("cand"), "sim", F.col("cand").alias("node"))
-        )
+        if not heap:
+            break
+        while True:
+            neg_g, cand, fresh = heap[0]
+            if fresh == rank:
+                break  # head is fresh → exact greedy argmax this round
+            heapq.heappop(heap)
+            # a candidate's own reach is base-independent — computed once,
+            # reused across rounds; only the anti-join vs base is per-round
+            r_single = cand_reach.get(cand)
+            if r_single is None:
+                r_single = single_candidate_reach(cand)
+            g = r_single.join(base_reached, ["sim", "node"], "left_anti").count()
+            cand_reach[cand] = r_single
+            heapq.heappush(heap, (-int(g), cand, rank))
+            if (-heap[0][0], -heap[0][1]) <= cutoff:
+                # fresh best fell below the truncation cutoff: the true
+                # argmax may be a truncated candidate — re-run the full
+                # pass (provably rare at queue_cap ≥ 8k)
+                reached_r1, top, cutoff = all_candidate_gains(chosen, base_reached)
+                heap = [(-int(r["_g"]), int(r["cand"]), rank) for r in top]
+                heapq.heapify(heap)
+                cand_reach = {}
+        neg_g, best_cand, _ = heapq.heappop(heap)
+        chosen.append(best_cand)
+        out_rows.append((rank, best_cand, -neg_g))
+        best_reach = cand_reach.pop(best_cand, None)
+        if best_reach is None:  # selected straight from a full pass
+            best_reach = reached_r1.where(F.col("cand") == best_cand)
+        add = best_reach.select("sim", "node")
         base_reached = _ckpt(
-            reach(seed_chosen).select("sim", "node").distinct()
+            add.distinct()
+            if base_reached is None
+            else base_reached.unionByName(add).distinct()
         )
     alive.unpersist()
     n.unpersist()
-    return nodes.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         out_rows, "rank long, id long, spread_gain_x_sims long"
     )
 
@@ -2117,10 +2175,16 @@ def k1coloring(
     the conflicted nodes only, which shrink geometrically. Colors are
     bounded by max-degree+1, so the collected set stays small even on
     hub nodes.
+
+    The returned coloring is always PROPER: the loop runs until the
+    conflict frame is empty, with ``max_rounds`` as a hard safety cap
+    that raises instead of silently returning a coloring with
+    monochrome edges (r6 ADVICE — long id-ordered conflict chains can
+    outlast any fixed round count).
     """
     e = undirect(edges).distinct().repartition("src").cache()
     color = _ckpt(nodes.select("id", F.lit(0).cast("long").alias("color")))
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds + 1):
         ca = color.select(F.col("id").alias("_ia"), F.col("color").alias("_ca"))
         cb = color.select(F.col("id").alias("_ib"), F.col("color").alias("_cb"))
         conflicts = (
@@ -2133,6 +2197,12 @@ def k1coloring(
         conflicts = _ckpt(conflicts)
         if conflicts.isEmpty():
             break
+        if rnd == max_rounds:
+            e.unpersist()
+            raise RuntimeError(
+                f"k1coloring did not converge within max_rounds={max_rounds}: "
+                "conflicts remain — raise max_rounds"
+            )
         nb = (
             e.join(conflicts, e["src"] == conflicts["id"])
             .join(

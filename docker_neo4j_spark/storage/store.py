@@ -116,6 +116,34 @@ class GraphStore:
                     f"`{prop}` = {dup[0][prop]!r} (constraint {c.name})"
                 )
 
+    def _enforce_unique_post(self, nodes: DataFrame, touched: set[str]) -> None:
+        """Write-path uniqueness for property UPDATES (``SET n.k = v``):
+        validate the candidate post-update frame before it is swapped in.
+        Only constraints whose key property was touched are checked — an
+        untouched property cannot create a new collision. One
+        groupBy-count + take(1) over the constrained label's non-null
+        keys per affected constraint (the reference enforces uniqueness
+        on updates exactly as on creates)."""
+        for c in self.constraints.constraints.values():
+            prop = c.properties[0]
+            if prop not in touched or prop not in nodes.columns:
+                continue
+            dup = (
+                nodes.where(
+                    F.array_contains(F.col("labels"), c.label)
+                    & F.col(prop).isNotNull()
+                )
+                .groupBy(prop)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .take(1)
+            )
+            if dup:
+                raise ValueError(
+                    f"Node already exists with label `{c.label}` and property "
+                    f"`{prop}` = {dup[0][prop]!r} (constraint {c.name})"
+                )
+
     def append_rels(self, df: DataFrame) -> None:
         self._swap(rels=self._union_missing(self.graph.rels, df))
 
@@ -239,6 +267,7 @@ class GraphStore:
         for k, v in new_props.items():
             old = F.col(k) if k in nodes.columns else F.lit(None)
             nodes = nodes.withColumn(k, F.when(cond, F.lit(v)).otherwise(old))
+        self._enforce_unique_post(nodes, set(new_props))
         self._swap(nodes=nodes)
 
     def remove_props(self, label: str, match_props: dict, prop_names: list[str]) -> None:
@@ -316,7 +345,9 @@ class GraphStore:
         for k, v in new_props.items():
             old = F.col(k) if k in self.graph.nodes.columns else F.lit(None)
             nodes = nodes.withColumn(k, F.when(F.col("_hit"), F.lit(v)).otherwise(old))
-        self._swap(nodes=nodes.drop("_hit"))
+        nodes = nodes.drop("_hit")
+        self._enforce_unique_post(nodes, set(new_props))
+        self._swap(nodes=nodes)
 
     def delete_nodes_by_ids(self, ids: DataFrame, detach: bool = True) -> None:
         """Set-based ``[DETACH] DELETE`` driven by a matched id frame.

@@ -967,6 +967,23 @@ def test_pattern_comprehension_return_position(session):
     assert [(row["n"], row["cats"]) for row in r] == [("Arne", 1), ("Bosse", 0)]
 
 
+def test_pattern_comprehension_quote_robust(session):
+    """String literals containing '[(' / ']' / '|' in RETURN position
+    must not trigger or derail the pattern-comprehension scan (r6
+    ADVICE: the depth scan now skips quoted spans like _split_top)."""
+    session.run("CREATE (a:dog {name:'Arne'})-[:KNOWS]->(b:dog {name:'Bosse'})")
+    r = session.run(
+        "MATCH (d:dog {name:'Arne'}) RETURN '[(x' AS lit, "
+        "[(d)-[:KNOWS]->(x) | x.name] AS friends"
+    ).collect()
+    assert [(row["lit"], row["friends"]) for row in r] == [("[(x", ["Bosse"])]
+    # a literal with brackets but no real comprehension parses as plain text
+    r = session.run(
+        "MATCH (d:dog {name:'Arne'}) RETURN 'a[(b]|c)d' AS lit, d.name AS n"
+    ).collect()
+    assert [(row["lit"], row["n"]) for row in r] == [("a[(b]|c)d", "Arne")]
+
+
 def test_exists_subquery_with_inner_where(session):
     session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
     session.run("CREATE (c:dog {name:'Cora'})-[:SNIFFS]->(d:dog {name:'Abbe'})")

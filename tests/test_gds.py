@@ -543,8 +543,16 @@ def test_fastrp_isolated_node_is_zero_vector(spark):
 
 def test_kmeans_matches_brute_force_lloyd(spark):
     """Quantized Lloyd on random-ish 2-D points == a numpy reimplementation
-    with identical quantization/seeding/tie rules."""
+    with identical quantization/seeding/tie rules. The oracle rounds
+    HALF-AWAY-FROM-ZERO to match the engine's Spark F.round (HALF_UP,
+    DuckDB-compatible) — Python round/np.round are half-to-even and would
+    diverge whenever a centroid mean lands exactly on .5 (r6 ADVICE)."""
+    import math
+
     import numpy as np
+
+    def half_up(v: float) -> int:
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
 
     rng = [(i, float(((i * 37) % 97) / 10.0), float(((i * 61) % 89) / 10.0)) for i in range(40)]
     pts_long = [(i, 0, x) for i, x, _ in rng] + [(i, 1, y) for i, _, y in rng]
@@ -554,7 +562,7 @@ def test_kmeans_matches_brute_force_lloyd(spark):
         for r in gds.kmeans(pts, k=4, max_iter=3).collect()
     }
 
-    q = {i: np.array([round(x * 1000), round(y * 1000)], dtype=np.int64) for i, x, y in rng}
+    q = {i: np.array([half_up(x * 1000), half_up(y * 1000)], dtype=np.int64) for i, x, y in rng}
     cent = {i: q[i].copy() for i in range(4)}  # k lowest ids
     for _ in range(3):
         assign = {}
@@ -567,7 +575,9 @@ def test_kmeans_matches_brute_force_lloyd(spark):
         for cid in cent:
             members = [q[i] for i, a in assign.items() if a == cid]
             if members:
-                new[cid] = np.round(np.mean(members, axis=0)).astype(np.int64)
+                new[cid] = np.array(
+                    [half_up(m) for m in np.mean(members, axis=0)], dtype=np.int64
+                )
             else:
                 new[cid] = cent[cid]
         cent = new

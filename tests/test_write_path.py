@@ -404,3 +404,31 @@ def test_constraint_rejects_preexisting_violation_and_survives_dump(spark, tmp_p
         s3.run("CREATE (x:dog {name:'Arne'})")
     s3.run("DROP CONSTRAINT uq")
     s3.run("CREATE (x:dog {name:'Arne'})")  # unconstrained again
+
+
+def test_unique_constraint_blocks_set_collision(spark):
+    """SET onto a constrained property enforces uniqueness (ADVICE r6:
+    the reference enforces uniqueness on property updates, not just
+    creates — both the façade SET path and the direct store API)."""
+    import pytest as _pytest
+
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})")
+    s.run("CREATE (b:dog {name:'Bosse'})")
+    s.run("CREATE CONSTRAINT dog_name_uq FOR (n:dog) REQUIRE n.name IS UNIQUE")
+    # façade MATCH … SET path (set_props_by_ids) refuses the collision
+    with _pytest.raises(ValueError, match="dog.*name.*'Arne'"):
+        s.run("MATCH (n:dog {name:'Bosse'}) SET n.name = 'Arne'")
+    # non-colliding update still fine; store unchanged by the failed SET
+    s.run("MATCH (n:dog {name:'Bosse'}) SET n.name = 'Birgit'")
+    names = sorted(
+        r["name"] for r in s.run("MATCH (n:dog) RETURN n.name AS name").collect()
+    )
+    assert names == ["Arne", "Birgit"]
+    # direct store API set_props path refuses too
+    with _pytest.raises(ValueError, match="dog.*name.*'Arne'"):
+        s.store.set_props("dog", {"name": "Birgit"}, {"name": "Arne"})
+    # setting to NULL never collides (null keys exempt under Cypher semantics)
+    s.store.set_props("dog", {"name": "Birgit"}, {"name": None})
