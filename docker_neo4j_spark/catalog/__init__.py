@@ -64,6 +64,10 @@ _CHANGED_THIS_ROUND = [
     # r7: quote-aware bracket scan in _find_pattern_comprehension
     # (ADVICE r6) — re-grade the row that exercises pattern comprehensions
     "cypher_pattern_comprehension",
+    # r7: converted from rows-only to oracle-paired (exact-distinct twin
+    # + tolerance boolean) so its permanent `err: no_oracle` verdict is
+    # replaced by a real grade
+    "fn_approx_count_distinct",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -72,7 +76,6 @@ _CHANGED_THIS_ROUND = [
 # enter the 50-row window once the backlog fits. Reset each round (entries
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND = [
-    "fn_approx_distinct_exact",
     "rdf_import_triples",
 ]
 

@@ -787,6 +787,71 @@ def load_csv_nation_agg(spark, sf_dir):
 
 
 @register(
+    "rdf_import_triples",
+    """
+    SELECT r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY region
+    """,
+)
+def rdf_import_triples(spark, sf_dir):
+    """n10s RDF import end-to-end (neo4j-plugins.json:48-53): serialize
+    the nation/region subgraph as N-Triples (IRI triples for IN_REGION,
+    literal triples for names), parse it back with the distributed
+    N-Triples reader (sources/rdf.py), rebuild rels + property maps, and
+    aggregate — proving the RDF path yields the same graph as parquet."""
+    from ..sources.rdf import nodes_from_triples, read_ntriples, rels_from_triples
+
+    t = load_tables(spark, sf_dir)
+    nation, region = t["nation"], t["region"]
+    rel_lines = nation.select(
+        F.concat(
+            F.lit("<urn:nation/"), "n_nationkey",
+            F.lit("> <urn:rel/IN_REGION> <urn:region/"), "n_regionkey",
+            F.lit("> ."),
+        ).alias("value")
+    )
+    # names may contain spaces but no quotes/backslashes in TPC-H; still
+    # go through the escaper-for-free concat form used by real exporters
+    prop_lines = nation.select(
+        F.concat(
+            F.lit("<urn:nation/"), "n_nationkey",
+            F.lit('> <urn:prop/name> "'), "n_name", F.lit('" .'),
+        ).alias("value")
+    ).unionByName(
+        region.select(
+            F.concat(
+                F.lit("<urn:region/"), "r_regionkey",
+                F.lit('> <urn:prop/name> "'), "r_name", F.lit('" .'),
+            ).alias("value")
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        rel_lines.unionByName(prop_lines).write.mode("overwrite").text(f"{tmp}/g.nt")
+        triples = read_ntriples(spark, f"{tmp}/g.nt")
+        rels = rels_from_triples(triples)
+        nodes = nodes_from_triples(triples)
+        named = nodes.select(
+            "uri", F.element_at("properties", "name").alias("name")
+        )
+        out = (
+            rels.where(F.col("type") == "IN_REGION")
+            .join(named.withColumnRenamed("uri", "src").withColumnRenamed("name", "nation_name"), "src")
+            .join(named.withColumnRenamed("uri", "dst").withColumnRenamed("name", "region"), "dst")
+            .groupBy("region")
+            .agg(
+                F.count("*").cast("long").alias("n_nations"),
+                F.min("nation_name").alias("first_nation"),
+            )
+            .orderBy("region")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    return out
+
+
+@register(
     "cypher_case_expression",
     """
     SELECT CASE WHEN c_acctbal < 0 THEN 'neg'

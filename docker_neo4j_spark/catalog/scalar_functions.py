@@ -331,13 +331,36 @@ def fn_properties_map(spark, sf_dir):
     )
 
 
-@register("fn_approx_count_distinct")  # rows-only: HLL estimates are engine-specific
+@register(
+    "fn_approx_count_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_tolerance
+    FROM orders
+    """,
+)
 def fn_approx_count_distinct(spark, sf_dir):
-    """approx_count_distinct — estimate alongside the exact count."""
+    """approx_count_distinct — HLL estimate vs the exact count.
+
+    The raw HLL estimate is engine-specific (Spark's HLL++ vs DuckDB's
+    HLL differ), so the gradeable surface is the PIPELINE SHAPE: the
+    exact count plus a boolean asserting the estimate landed within
+    3×rsd of it (HLL++'s standard-error bound at rsd=0.05 → ±15%,
+    comfortably satisfied at every SF). Both columns are deterministic,
+    so the row is oracle-paired — this replaces the permanently
+    ungradeable rows-only form whose only possible driver verdict was
+    ``err: no_oracle`` (r2)."""
     o = load_tables(spark, sf_dir)["orders"]
+    rsd = 0.05
     return o.agg(
-        cy.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.countDistinct("o_custkey").cast("long").alias("exact_customers"),
+        cy.approx_count_distinct("o_custkey", rsd).alias("_approx"),
+    ).select(
+        "exact_customers",
+        (
+            F.abs(F.col("_approx") - F.col("exact_customers"))
+            <= F.lit(3 * rsd) * F.col("exact_customers")
+        ).alias("within_tolerance"),
     )
 
 

@@ -1,0 +1,74 @@
+"""N-Triples reader (sources/rdf.py — the n10s import surface,
+neo4j-plugins.json:48-53)."""
+
+import pytest
+
+from docker_neo4j_spark.sources.rdf import (
+    nodes_from_triples,
+    props_from_triples,
+    read_ntriples,
+    rels_from_triples,
+)
+
+
+def _write(tmp_path, text):
+    p = tmp_path / "g.nt"
+    p.write_text(text)
+    return str(p)
+
+
+def test_ntriples_rels_props_nodes(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "\n".join(
+            [
+                "# a comment line",
+                "<urn:a> <urn:rel/KNOWS> <urn:b> .",
+                '<urn:a> <urn:prop/name> "Arne" .',
+                '<urn:b> <urn:prop/name> "Bosse"@sv .',
+                '<urn:b> <urn:prop/age> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+                "",
+                "<urn:b> <urn:rel/KNOWS> <urn:c> .",
+            ]
+        ),
+    )
+    t = read_ntriples(spark, path)
+    rels = {(r["src"], r["type"], r["dst"]) for r in rels_from_triples(t).collect()}
+    assert rels == {("urn:a", "KNOWS", "urn:b"), ("urn:b", "KNOWS", "urn:c")}
+    props = {r["uri"]: dict(r["properties"]) for r in props_from_triples(t).collect()}
+    assert props == {
+        "urn:a": {"name": "Arne"},
+        "urn:b": {"name": "Bosse", "age": "7"},
+    }
+    nodes = {r["uri"]: dict(r["properties"]) for r in nodes_from_triples(t).collect()}
+    # urn:c appears only as an object → node with empty property map
+    assert nodes["urn:c"] == {}
+    assert set(nodes) == {"urn:a", "urn:b", "urn:c"}
+
+
+def test_ntriples_literal_escapes(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "\n".join(
+            [
+                r'<urn:a> <urn:p/quote> "say \"hi\"" .',
+                r'<urn:a> <urn:p/newline> "l1\nl2" .',
+                r'<urn:a> <urn:p/backslash> "a\\n" .',  # escaped \ then plain n
+            ]
+        ),
+    )
+    t = read_ntriples(spark, path)
+    got = {r["predicate"]: r["obj_literal"] for r in t.collect()}
+    assert got["urn:p/quote"] == 'say "hi"'
+    assert got["urn:p/newline"] == "l1\nl2"
+    # '\\' + 'n' unescapes to backslash-n, NOT a newline (ordering trap)
+    assert got["urn:p/backslash"] == "a\\n"
+
+
+def test_ntriples_rejects_garbage_and_blank_nodes(spark, tmp_path):
+    with pytest.raises(ValueError, match="not an N-Triples line"):
+        read_ntriples(spark, _write(tmp_path, "this is not rdf\n")).collect()
+    with pytest.raises(ValueError, match="unsupported RDF object"):
+        read_ntriples(
+            spark, _write(tmp_path, "<urn:a> <urn:p> _:blank .\n")
+        ).collect()
