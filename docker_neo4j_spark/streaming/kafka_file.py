@@ -89,9 +89,18 @@ def _log_records(root: str, topic: str) -> list[dict]:
 def _append_part(root: str, topic: str, rows: list[dict]) -> None:
     if not rows:
         return
+    import time
+
     d = _topic_dir(root, topic)
     os.makedirs(d, exist_ok=True)
-    part = os.path.join(d, f"part-{uuid.uuid4().hex}.jsonl")
+    # monotonic part names: sorted-filename order == append order, so a
+    # later produce can never renumber existing offsets (the broker's
+    # append-only contract; random names broke it — offsets must be
+    # stable for consumers seeking by offset). The uuid suffix keeps
+    # same-nanosecond concurrent producers collision-free.
+    part = os.path.join(
+        d, f"part-{time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
+    )
     tmp = part + ".tmp"
     with open(tmp, "w") as f:
         for r in rows:

@@ -1,0 +1,181 @@
+"""Broker-protocol conformance for the file-backed Kafka contract source.
+
+The container has no spark-sql-kafka jar and no network to fetch one, so
+the real produce→consume roundtrip cannot run here; these tests instead
+pin ``streaming/kafka_file.py`` to the guarantees the REAL connector
+documents, so code written against the twin transfers to a real broker
+unchanged: exact output schema, dense monotonic per-partition offsets
+stable across re-reads, append-only log semantics, earliest/latest
+semantics, exactly-once micro-batch delivery through a checkpoint, topic
+isolation, binary key/value round-trip, and option validation.
+Reference surface: the ``streams`` plugin,
+/root/reference/docker-image-src/3.5/coredb/neo4j-plugins.json:24-27.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_neo4j_spark.streaming import kafka_file
+
+
+@pytest.fixture()
+def broker(spark, tmp_path):
+    kafka_file.register(spark)
+    return str(tmp_path / "broker")
+
+
+def _produce(spark, broker, topic, pairs):
+    spark.createDataFrame(pairs, "key string, value string").coalesce(1).write.mode(
+        "append"
+    ).format("file_kafka").option("kafka.bootstrap.servers", broker).option(
+        "topic", topic
+    ).save()
+
+
+def _consume(spark, broker, topic):
+    return (
+        spark.read.format("file_kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", topic)
+        .load()
+    )
+
+
+def test_output_schema_matches_real_connector(spark, broker):
+    """The real connector's documented scan schema, field for field —
+    (key binary, value binary, topic string, partition int, offset
+    bigint, timestamp timestamp, timestampType int) in that order."""
+    _produce(spark, broker, "t", [("k", "v")])
+    df = _consume(spark, broker, "t")
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("key", "binary"),
+        ("value", "binary"),
+        ("topic", "string"),
+        ("partition", "int"),
+        ("offset", "bigint"),
+        ("timestamp", "timestamp"),
+        ("timestampType", "int"),
+    ]
+
+
+def test_offsets_dense_monotonic_and_stable(spark, broker):
+    """Offsets within a partition are 0..n-1 in log order and identical
+    across re-reads (a consumer may seek by offset and must find the
+    same record)."""
+    _produce(spark, broker, "t", [(str(i), f"v{i}") for i in range(5)])
+    first = [
+        (r["offset"], bytes(r["value"]).decode())
+        for r in _consume(spark, broker, "t").orderBy("offset").collect()
+    ]
+    assert [o for o, _ in first] == list(range(5))
+    again = [
+        (r["offset"], bytes(r["value"]).decode())
+        for r in _consume(spark, broker, "t").orderBy("offset").collect()
+    ]
+    assert first == again
+
+
+def test_append_only_log_preserves_existing_offsets(spark, broker):
+    """Producing more records never renumbers what is already in the
+    log — the broker's append-only partition contract."""
+    _produce(spark, broker, "t", [("a", "v0"), ("b", "v1")])
+    before = {
+        r["offset"]: bytes(r["value"]).decode()
+        for r in _consume(spark, broker, "t").collect()
+    }
+    _produce(spark, broker, "t", [("c", "v2")])
+    after = {
+        r["offset"]: bytes(r["value"]).decode()
+        for r in _consume(spark, broker, "t").collect()
+    }
+    assert {k: after[k] for k in before} == before
+    assert after[max(after)] == "v2"
+
+
+def test_topic_isolation(spark, broker):
+    _produce(spark, broker, "alpha", [("k", "va")])
+    _produce(spark, broker, "beta", [("k", "vb")])
+    a = _consume(spark, broker, "alpha").collect()
+    assert len(a) == 1 and bytes(a[0]["value"]).decode() == "va"
+    assert a[0]["topic"] == "alpha"
+    assert _consume(spark, broker, "beta").count() == 1
+
+
+def test_binary_key_value_roundtrip(spark, broker):
+    """Keys and values travel as bytes; a null key is legal (real
+    producers send keyless records for round-robin partitioning)."""
+    _produce(spark, broker, "t", [(None, "unkeyed"), ("k1", "keyed")])
+    rows = {
+        (bytes(r["key"]).decode() if r["key"] is not None else None): bytes(
+            r["value"]
+        ).decode()
+        for r in _consume(spark, broker, "t").collect()
+    }
+    assert rows == {None: "unkeyed", "k1": "keyed"}
+
+
+def test_starting_offsets_latest_vs_earliest_streaming(spark, broker, tmp_path):
+    """startingOffsets=latest ignores the backlog, earliest replays it —
+    the consumer-group seek semantics the real source implements."""
+    _produce(spark, broker, "t", [("old", "backlog")])
+
+    def drain(starting, out_name):
+        out, ckpt = str(tmp_path / out_name), str(tmp_path / f"{out_name}_ckpt")
+        q = (
+            spark.readStream.format("file_kafka")
+            .option("kafka.bootstrap.servers", broker)
+            .option("subscribe", "t")
+            .option("startingOffsets", starting)
+            .load()
+            .select(F.col("value").cast("string"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["value"] for r in spark.read.parquet(out).collect()}
+
+    assert drain("earliest", "e") == {"backlog"}
+    assert drain("latest", "l") == set()
+
+
+def test_exactly_once_across_micro_batches(spark, broker, tmp_path):
+    """Records produced between availableNow drains arrive exactly once
+    when the checkpoint is reused — the offset-tracking contract."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("file_kafka")
+            .option("kafka.bootstrap.servers", broker)
+            .option("subscribe", "t")
+            .option("startingOffsets", "earliest")
+            .load()
+            .select(F.col("value").cast("string"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _produce(spark, broker, "t", [("a", "v0")])
+    drain()
+    _produce(spark, broker, "t", [("b", "v1"), ("c", "v2")])
+    drain()
+    vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert vals == ["v0", "v1", "v2"]  # no loss, no duplicates
+
+
+def test_option_validation_mirrors_connector(spark, broker):
+    """Missing bootstrap/topic options fail loudly with the real option
+    names in the message (misconfiguration must not read empty data)."""
+    with pytest.raises(Exception, match="kafka.bootstrap.servers"):
+        spark.read.format("file_kafka").option("subscribe", "t").load().collect()
+    with pytest.raises(Exception, match="subscribe"):
+        spark.read.format("file_kafka").option(
+            "kafka.bootstrap.servers", broker
+        ).load().collect()

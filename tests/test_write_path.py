@@ -100,6 +100,13 @@ def test_dump_version_stamp_and_refusal(spark):
         meta_file = glob.glob(f"{tmp}/snap/_meta/part-*.json")[0]
         stamp = json.loads(open(meta_file).read())
 
+        # stamped OLDER format version (N-1 image wrote it) → loads in
+        # this engine — the TestUpgrade.java:54-73 direction
+        _rewrite_stamp(
+            meta_file, dict(stamp, format_version=GraphStore.DUMP_FORMAT_VERSION - 1)
+        )
+        assert GraphStore.load(spark, f"{tmp}/snap").match_nodes("dog").count() == 1
+
         # future format version → refuse with upgrade message
         _rewrite_stamp(
             meta_file, dict(stamp, format_version=GraphStore.DUMP_FORMAT_VERSION + 1)
