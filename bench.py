@@ -44,6 +44,11 @@ HEADLINE = [
     "llm_quality_score",
     # streaming (batch-equivalent windowed aggregate)
     "stream_windowed_counts_batch",
+    # r7 breadth (VERDICT): one representative per newer family so perf
+    # regressions in that code are visible round-over-round
+    "gds_betweenness_cosupply",   # sampled Brandes BSP
+    "llm_bpe_train",              # corpus-collapse + merge loop
+    "stream_attribution_join_batch",  # stream-stream interval join (batch twin)
 ]
 
 

@@ -35,9 +35,17 @@ from pyspark.sql import functions as F
 
 from ..storage.store import GraphStore
 
+# The props block is quote-aware (r6 ADVICE): quoted spans are matched
+# atomically so '}' ',' '{' inside string literals can't terminate the
+# block early, and one level of brace nesting covers map-valued props.
+_PROPS_BODY = (
+    r"(?:'[^']*'|\"[^\"]*\""           # string literals, atomically
+    r"|\{(?:'[^']*'|\"[^\"]*\"|[^{}'\"])*\}"  # one nested map level
+    r"|[^{}'\"])*"                     # everything else, no stray braces
+)
 _NODE_RE = re.compile(
     r"\(\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*(?::(?P<label>[A-Za-z_][A-Za-z0-9_]*))?"
-    r"\s*(?:\{(?P<props>[^}]*)\})?\s*\)"
+    r"\s*(?:\{(?P<props>" + _PROPS_BODY + r")\})?\s*\)"
 )
 _REL_RE = re.compile(
     r"(?P<larrow><)?-\s*\[\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
@@ -76,7 +84,9 @@ def _parse_props(src: str | None) -> dict:
     if not src:
         return {}
     out = {}
-    for part in src.split(","):
+    for part in _split_top(src, ","):  # quote/bracket-aware, not str.split
+        if not part.strip():
+            continue
         k, v = part.split(":", 1)
         out[k.strip()] = _parse_value(v.strip())
     return out

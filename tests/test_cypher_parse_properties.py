@@ -1,0 +1,97 @@
+"""Property tests (hypothesis) for the façade's node/property parsing.
+
+r6 ADVICE: the props block and the top-level splitters must be
+quote-aware — '}' ',' '{' ')' ':' inside string literals must never
+terminate a block or split a pair. These tests generate property maps,
+render them as Cypher text, and assert the parser round-trips them
+exactly. Pure string layer, no SparkSession: runs in milliseconds."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docker_neo4j_spark.cypher.session import _NODE_RE, _parse_props
+
+# string values draw from an alphabet that INCLUDES the structural
+# characters the scanner must not trip on; quotes/backslash excluded
+# (escape sequences are outside the supported subset)
+_tricky_text = st.text(
+    alphabet=st.sampled_from(list("abcZ9 {}[](),:|.<>=-+")), min_size=0, max_size=12
+)
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+_scalar = st.one_of(
+    _tricky_text,
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.booleans(),
+    st.none(),
+)
+_value = st.one_of(
+    _scalar,
+    st.lists(st.integers(min_value=0, max_value=99), max_size=4),
+    st.dictionaries(_ident, st.integers(min_value=0, max_value=99), max_size=3),
+)
+_props = st.dictionaries(_ident, _value, min_size=0, max_size=5)
+
+
+def _render_value(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return f"'{v}'"
+    if isinstance(v, list):
+        return "[" + ", ".join(_render_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k}: {_render_value(x)}" for k, x in v.items()) + "}"
+    return repr(v)
+
+
+def _render_props(d: dict) -> str:
+    return "{" + ", ".join(f"{k}: {_render_value(v)}" for k, v in d.items()) + "}"
+
+
+@given(_props, st.one_of(st.none(), _ident), st.one_of(st.none(), _ident))
+@settings(max_examples=300, deadline=None)
+def test_node_pattern_props_roundtrip(props, var, label):
+    """(var:Label {props}) → _NODE_RE + _parse_props recovers exactly the
+    generated var, label, and property map."""
+    src = "(" + (var or "")
+    if label:
+        src += f":{label}"
+    if props or not (var or label):
+        src += " " + _render_props(props)
+    src += ")"
+    m = _NODE_RE.match(src)
+    assert m is not None, src
+    assert m.end() == len(src), f"scan stopped early in {src!r}: {src[:m.end()]!r}"
+    assert m.group("var") == var
+    assert m.group("label") == label
+    assert _parse_props(m.group("props")) == props
+
+
+@given(_props)
+@settings(max_examples=200, deadline=None)
+def test_node_regex_never_spills_past_pattern(props):
+    """In a longer statement the node match must stop at ITS closing
+    paren even when property strings contain ')' or '}'."""
+    src = f"(n:dog {_render_props(props)})-[:KNOWS]->(m:cat)"
+    m = _NODE_RE.match(src)
+    assert m is not None
+    assert _parse_props(m.group("props")) == props
+    assert src[m.end() :].startswith("-[:KNOWS]->")
+
+
+def test_props_with_structural_chars_end_to_end(spark):
+    """One full CREATE → MATCH → RETURN pass through the Session with
+    values containing '}', ',', ')' and ':' — the exact shapes the
+    regex used to break on."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:doc {name:'a}b', note:'x,y', ref:'(1):2'})")
+    r = s.run(
+        "MATCH (a:doc {name:'a}b'}) RETURN a.note AS note, a.ref AS ref"
+    ).collect()
+    assert [(row["note"], row["ref"]) for row in r] == [("x,y", "(1):2")]
