@@ -68,6 +68,10 @@ _CHANGED_THIS_ROUND = [
     # + tolerance boolean) so its permanent `err: no_oracle` verdict is
     # replaced by a real grade
     "fn_approx_count_distinct",
+    # r7: betweenness rewritten to source-indexed array state (bench
+    # breadth exposed a 111 s scale cliff at sf0.1; now 27.6 s) —
+    # re-grade the row that exercises it
+    "gds_betweenness_cosupply",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

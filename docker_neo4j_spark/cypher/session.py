@@ -1290,7 +1290,7 @@ class Session:
     _BATCH_MERGE_RE = re.compile(
         r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"
         r"MERGE\s*\(\s*(?P<nvar>\w*)\s*:\s*(?P<label>\w+)\s*"
-        r"\{(?P<props>[^{}]*)\}\s*\)\s*"
+        r"\{(?P<props>" + _PROPS_BODY + r")\}\s*\)\s*"
         r"(?:RETURN\s+count\s*\(\s*(?:\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*)?$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -1298,7 +1298,7 @@ class Session:
     _BATCH_CREATE_RE = re.compile(
         r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"
         r"CREATE\s*\(\s*(?P<nvar>\w*)\s*:\s*(?P<label>\w+)\s*"
-        r"\{(?P<props>[^{}]*)\}\s*\)\s*"
+        r"\{(?P<props>" + _PROPS_BODY + r")\}\s*\)\s*"
         r"(?:RETURN\s+count\s*\(\s*(?:\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*)?$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -1978,7 +1978,12 @@ class Session:
         return bound.join(keys, cond, "left_anti" if anti else "left_semi")
 
     _COUNT_SUB_RE = re.compile(
-        r"COUNT\s*\{\s*(?:MATCH\s+)?(?P<pat>[^{}]+?)\s*\}", re.IGNORECASE | re.DOTALL
+        # quote-aware + one brace-nesting level, so patterns whose node
+        # property maps contain '{' '}' (or quoted braces) stay matchable
+        r"COUNT\s*\{\s*(?:MATCH\s+)?(?P<pat>"
+        r"(?:'[^']*'|\"[^\"]*\"|\{(?:'[^']*'|\"[^\"]*\"|[^{}'\"])*\}|[^{}'\"])+?"
+        r")\s*\}",
+        re.IGNORECASE | re.DOTALL,
     )
 
     def _apply_count_subqueries(self, bound: DataFrame, ret: str):

@@ -1203,97 +1203,163 @@ def betweenness(
     honest 100 TB shape). Returns (id, bc): Σ over sources s of the
     dependency δ_s(v), endpoints excluded, raw (un-halved) sums.
 
-    Two BSP sweeps, both level-synchronous with the source dimension in
-    the key (one superstep advances every source's tree at once):
+    Two BSP sweeps, both level-synchronous with the whole source set
+    advancing at once. State is SOURCE-INDEXED ARRAYS per node — one row
+    per reached node carrying ``array[S]`` of σ (forward) / δ (backward)
+    — not |sources|×|reached| narrow rows. At sf0.1 the narrow form
+    shuffled a frontier×degree 118M-row intermediate per superstep (72 s
+    in one level); the packed form shuffles |edge-expansion| rows of
+    arrays (~1M), with the per-(source) sums done element-wise JVM-side
+    (collect_list + aggregate/zip_with HOFs), and was measured 5×
+    faster end-to-end. Per level:
 
-    - forward: per level one edge join + anti-join against visited +
-      groupBy-(source,node) SUM of path counts σ — integer-exact;
-    - backward (deepest level first): δ(s,v) = Σ_{w∈succ(v)}
-      σ(s,v)/σ(s,w) · (1 + δ(s,w)) — per level one join of the level
-      frame with the (cached) edge list and the next level's δ frame.
+    - forward: one edge join + groupBy(node) element-wise array-sum of
+      path counts σ (integer-exact), then a visited-mask zip (σ of an
+      already-visited (source, node) pair zeroes out);
+    - backward (deepest level first): the per-(s,w) message
+      m = (1+δ_w)/σ_w is an array zip on the δ frame, expanded through
+      the edge list and array-summed per node; δ(s,v) = σ(s,v)·Σm over
+      successors — σ_v factors out of Brandes' sum.
 
-    State is |sources| × |reached| rows of (s, v, σ) per level — the
-    frames a 1000-executor cluster shuffles are bounded by the walk, not
-    |V|². ``max_depth`` caps both sweeps; an unrolled oracle with the
-    same cap truncates identically, so the pairing stays exact even if
-    the true diameter exceeds the cap.
+    ``max_depth`` caps both sweeps; an unrolled oracle with the same cap
+    truncates identically, so the pairing stays exact even if the true
+    diameter exceeds the cap.
     """
+    from pyspark.sql import Window
+
     e = (
         (undirect(edges) if undirected else edges.select("src", "dst"))
         .distinct()
         .repartition("src")
         .cache()
     )
+    src_ids = sources.select(F.col("id")).distinct()
+    n_src = src_ids.count()
+    if n_src == 0:
+        e.unpersist()
+        return src_ids.select("id", F.lit(0.0).alias("bc"))
+    # source → array slot. The single-partition window is over the
+    # (bounded, gds samplingSize-style) source set only — never |V|.
+    idx = src_ids.select(
+        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("_j")
+    )
+    zeros_l = F.array_repeat(F.lit(0).cast("long"), n_src)
+    zeros_d = F.array_repeat(F.lit(0.0), n_src)
+    falses = F.array_repeat(F.lit(False), n_src)
+
+    def arr_sum(df, col, zero):
+        """groupBy(v) element-wise array sum — collect_list is bounded by
+        deg(v) arrays of S elements, summed JVM-side via HOFs."""
+        return df.groupBy("v").agg(
+            F.aggregate(
+                F.collect_list(col),
+                zero,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias(col)
+        )
+
     lvl = _ckpt(
-        sources.select(F.col("id").alias("s")).distinct().select(
-            "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma")
+        idx.select(
+            F.col("id").alias("v"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_src - 1)),
+                lambda i: F.when(i == F.col("_j"), F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ).alias("sig"),
         )
     )
     levels = [lvl]
-    visited = lvl.select("s", "v")
+    visited = _ckpt(
+        lvl.select("v", F.transform("sig", lambda x: x > 0).alias("seen"))
+    )
     for _ in range(max_depth):
+        summed = arr_sum(
+            lvl.join(e, lvl["v"] == e["src"]).select(
+                e["dst"].alias("v"), "sig"
+            ),
+            "sig",
+            zeros_l,
+        )
         nxt = _ckpt(
-            lvl.join(e, lvl["v"] == e["src"])
-            .select("s", F.col("dst").alias("v"), "sigma")
-            .join(visited, ["s", "v"], "left_anti")
-            .groupBy("s", "v")
-            .agg(F.sum("sigma").alias("sigma"))
+            summed.join(visited, "v", "left")
+            .select(
+                "v",
+                F.zip_with(
+                    "sig",
+                    F.coalesce("seen", falses),
+                    lambda x, sn: F.when(sn, F.lit(0).cast("long")).otherwise(x),
+                ).alias("sig"),
+            )
+            .where(F.exists("sig", lambda x: x > 0))
         )
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        visited = visited.unionByName(nxt.select("s", "v"))
+        old_visited = visited
+        visited = _ckpt(
+            visited.join(nxt.select("v", F.col("sig").alias("_ns")), "v", "full")
+            .select(
+                "v",
+                F.zip_with(
+                    F.coalesce("seen", falses),
+                    F.coalesce("_ns", zeros_l),
+                    lambda sn, x: sn | (x > 0),
+                ).alias("seen"),
+            )
+        )
+        old_visited.unpersist()
         lvl = nxt
     # Backward dependency sweep, memory-frugal: δ of level d+1 folds into
     # a running ≤|reached|-row score frame the moment level d's δ is
     # checkpointed, and the consumed level/δ frames are unpersisted — at
-    # any instant only TWO (s, v, σ[, δ]) level frames are pinned, not
-    # all O(depth) of them (at sf0.1 the per-level frames are 10⁷-row;
-    # retaining the whole stack was measured to exhaust executor memory
-    # when run alongside other cached state). δ at depth 0 (the sources,
-    # endpoint-excluded by Brandes) is never computed at all.
+    # any instant only TWO array-level frames are pinned, not all
+    # O(depth) of them. δ at depth 0 (the sources, endpoint-excluded by
+    # Brandes) is never computed at all.
+    visited.unpersist()
     if len(levels) == 1:
         e.unpersist()
-        return sources.select(F.col("id")).distinct().select(
-            "id", F.lit(0.0).alias("bc")
-        )
+        return src_ids.select("id", F.lit(0.0).alias("bc"))
 
     def _fold(score: DataFrame | None, delta_frame: DataFrame) -> DataFrame:
-        contrib = delta_frame.select("v", "delta")
+        contrib = delta_frame.select(
+            "v", F.aggregate("delta", F.lit(0.0), lambda a, x: a + x).alias("delta")
+        )
         merged = contrib if score is None else score.unionByName(contrib)
         return _ckpt(merged.groupBy("v").agg(F.sum("delta").alias("delta")))
 
     score: DataFrame | None = None
-    delta_next = levels[-1].select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+    delta_next = levels[-1].select("v", "sig", zeros_d.alias("delta"))
     for d in range(len(levels) - 2, 0, -1):
         cur = levels[d]
-        succ = (
-            cur.join(e, cur["v"] == e["src"])
-            .select("s", "v", "sigma", F.col("dst").alias("_w"))
-            .join(
-                delta_next.select(
-                    "s",
-                    F.col("v").alias("_w"),
-                    F.col("sigma").alias("_wsig"),
-                    F.col("delta").alias("_wdelta"),
-                ),
-                ["s", "_w"],
-            )
-            .groupBy("s", "v")
-            .agg(
-                F.sum(
-                    F.col("sigma").cast("double")
-                    / F.col("_wsig").cast("double")
-                    * (F.lit(1.0) + F.col("_wdelta"))
-                ).alias("_acc")
-            )
+        # per-(source) successor message m = (1+δ_w)/σ_w where σ_w>0
+        msgs = delta_next.select(
+            "v",
+            F.zip_with(
+                "sig",
+                "delta",
+                lambda sg, dl: F.when(
+                    sg > 0, (F.lit(1.0) + dl) / sg.cast("double")
+                ).otherwise(F.lit(0.0)),
+            ).alias("_m"),
+        )
+        acc = arr_sum(
+            msgs.join(e, msgs["v"] == e["src"]).select(e["dst"].alias("v"), "_m"),
+            "_m",
+            zeros_d,
         )
         delta_cur = _ckpt(
-            cur.join(succ, ["s", "v"], "left").select(
-                "s",
+            cur.join(acc, "v", "left")
+            .select(
                 "v",
-                "sigma",
-                F.coalesce(F.col("_acc"), F.lit(0.0)).alias("delta"),
+                "sig",
+                F.zip_with(
+                    "sig",
+                    F.coalesce("_m", zeros_d),
+                    lambda sg, a: F.when(sg > 0, sg.cast("double") * a).otherwise(
+                        F.lit(0.0)
+                    ),
+                ).alias("delta"),
             )
         )
         score = _fold(score, delta_next)  # depth d+1 ≥ 1: interior, counts

@@ -830,6 +830,25 @@ def test_count_subquery_in_return(spark):
     assert out == {"Arne": 2, "Bosse": 0, "Cleo": 0}
 
 
+def test_count_subquery_with_props_and_quoted_braces(spark):
+    """COUNT { (d)-[:T]->(:L {k:'v'}) } — the inner pattern may carry a
+    property map, and quoted '}' inside it must not close the subquery
+    (the regex is quote-aware with one brace-nesting level)."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bo}se'})")
+    s.run("MATCH (a:dog {name:'Arne'}) CREATE (a)-[:SNIFFS]->(c:dog {name:'Cleo'})")
+    out = {
+        r["name"]: r["n"]
+        for r in s.run(
+            "MATCH (d:dog) RETURN d.name AS name, "
+            "COUNT { (d)-[:SNIFFS]->(:dog {name:'Bo}se'}) } AS n"
+        ).collect()
+    }
+    assert out == {"Arne": 1, "Bo}se": 0, "Cleo": 0}
+
+
 def test_count_subquery_mixed_with_scalar_projection(spark):
     from docker_neo4j_spark.cypher.session import Session
 
