@@ -80,6 +80,14 @@ HEAVY = [
     "gds_influence_celf",
     "cypher_path_binding",
     "stream_sliding_windows_batch",
+    # round-7 additions
+    "rdf_import_triples",
+    "llm_bpe_train",
+    "llm_bpe_encode",
+    "llm_leakage_free_split",
+    "llm_bm25_search",
+    "llm_decontaminate",
+    "gds_random_walk",
 ]
 
 
