@@ -9,7 +9,9 @@ connector —
 
 - ``kafka.bootstrap.servers`` → the spool root (a directory path plays
   the broker address),
-- ``subscribe`` / ``topic`` → topic name,
+- ``subscribe`` (comma-separated topic list) / ``topic`` → topics;
+  producers may omit the option and route per-row via a ``topic`` column
+  (the real producer contract),
 - ``startingOffsets`` → ``earliest``/``latest``,
 
 and yields the real connector's exact output schema
@@ -122,14 +124,21 @@ def _to_output_row(rec: dict, topic: str, offset: int):
 
 
 class _Opts:
-    def __init__(self, options):
+    def __init__(self, options, for_write: bool = False):
         self.root = options.get("kafka.bootstrap.servers")
-        self.topic = options.get("subscribe") or options.get("topic")
+        raw = options.get("subscribe") or options.get("topic")
+        # the real connector's subscribe takes a comma-separated topic list
+        self.topics = [t.strip() for t in (raw or "").split(",") if t.strip()]
+        self.topic = self.topics[0] if self.topics else None
         self.starting = (options.get("startingOffsets") or "earliest").lower()
-        if not self.root or not self.topic:
+        if not self.root or (not self.topics and not for_write):
             raise ValueError(
                 "file_kafka requires kafka.bootstrap.servers (spool dir) and "
                 "subscribe/topic options — the real connector's option names"
+            )
+        if not self.root:
+            raise ValueError(
+                "file_kafka requires kafka.bootstrap.servers (spool dir)"
             )
 
 
@@ -138,8 +147,18 @@ class FileKafkaBatchReader(DataSourceReader):
         self.opts = opts
 
     def read(self, partition) -> Iterator[tuple]:
-        for i, rec in enumerate(_log_records(self.opts.root, self.opts.topic)):
-            yield _to_output_row(rec, self.opts.topic, i)
+        for topic in self.opts.topics:
+            for i, rec in enumerate(_log_records(self.opts.root, topic)):
+                yield _to_output_row(rec, topic, i)
+
+
+def _norm_offset(off: dict, topics: list[str]) -> dict:
+    """Offset dict → {topic: consumed-count}. Accepts the legacy single-
+    topic int form so existing checkpoints keep resuming."""
+    n = off.get("n", 0)
+    if isinstance(n, dict):
+        return {t: int(n.get(t, 0)) for t in topics}
+    return {topics[0]: int(n)} if len(topics) == 1 else {t: 0 for t in topics}
 
 
 class FileKafkaStreamReader(SimpleDataSourceStreamReader):
@@ -148,41 +167,59 @@ class FileKafkaStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.opts.starting == "latest":
-            return {"n": len(_log_records(self.opts.root, self.opts.topic))}
-        return {"n": 0}
+            return {
+                "n": {
+                    t: len(_log_records(self.opts.root, t)) for t in self.opts.topics
+                }
+            }
+        return {"n": {t: 0 for t in self.opts.topics}}
 
     def read(self, start: dict):
-        records = _log_records(self.opts.root, self.opts.topic)
-        lo = int(start["n"])
-        rows = [
-            _to_output_row(rec, self.opts.topic, i)
-            for i, rec in enumerate(records[lo:], start=lo)
-        ]
-        return iter(rows), {"n": len(records)}
+        lo = _norm_offset(start, self.opts.topics)
+        rows, end = [], {}
+        for topic in self.opts.topics:
+            records = _log_records(self.opts.root, topic)
+            rows += [
+                _to_output_row(rec, topic, i)
+                for i, rec in enumerate(records[lo[topic]:], start=lo[topic])
+            ]
+            end[topic] = len(records)
+        return iter(rows), {"n": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        records = _log_records(self.opts.root, self.opts.topic)
-        lo, hi = int(start["n"]), int(end["n"])
-        return iter(
-            _to_output_row(rec, self.opts.topic, i)
-            for i, rec in enumerate(records[lo:hi], start=lo)
-        )
+        lo = _norm_offset(start, self.opts.topics)
+        hi = _norm_offset(end, self.opts.topics)
+        for topic in self.opts.topics:
+            records = _log_records(self.opts.root, topic)
+            for i, rec in enumerate(
+                records[lo[topic]:hi[topic]], start=lo[topic]
+            ):
+                yield _to_output_row(rec, topic, i)
 
 
 class _Commit(WriterCommitMessage):
     pass
 
 
-def _rows_to_records(iterator) -> list[dict]:
+def _rows_to_records(iterator, default_topic: str | None) -> dict[str, list[dict]]:
+    """Producer routing, the real connector's rule: the ``topic`` option
+    wins; without it each row's ``topic`` column decides; neither is an
+    error. Returns records grouped per destination topic."""
     import time
 
-    out = []
+    out: dict[str, list[dict]] = {}
     now = time.time()
     for row in iterator:
         d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        topic = default_topic or d.get("topic")
+        if not topic:
+            raise ValueError(
+                "file_kafka write: no 'topic' option and no topic column "
+                "on the row — the real connector's producer contract"
+            )
         key = d.get("key")
         value = d.get("value")
-        out.append(
+        out.setdefault(topic, []).append(
             {
                 "key": key.decode() if isinstance(key, (bytes, bytearray)) else key,
                 "value": value.decode()
@@ -195,14 +232,16 @@ def _rows_to_records(iterator) -> list[dict]:
 
 
 class FileKafkaBatchWriter(DataSourceWriter):
-    """Producer contract: rows with (key?, value) columns append to the
-    topic log; each task publishes one immutable part file."""
+    """Producer contract: rows with (key?, value[, topic]) columns append
+    to the topic log; each task publishes one immutable part file per
+    destination topic."""
 
     def __init__(self, opts: _Opts):
         self.opts = opts
 
     def write(self, iterator) -> _Commit:
-        _append_part(self.opts.root, self.opts.topic, _rows_to_records(iterator))
+        for topic, recs in _rows_to_records(iterator, self.opts.topic).items():
+            _append_part(self.opts.root, topic, recs)
         return _Commit()
 
     def commit(self, messages):
@@ -217,7 +256,8 @@ class FileKafkaStreamWriter(DataSourceStreamWriter):
         self.opts = opts
 
     def write(self, iterator) -> _Commit:
-        _append_part(self.opts.root, self.opts.topic, _rows_to_records(iterator))
+        for topic, recs in _rows_to_records(iterator, self.opts.topic).items():
+            _append_part(self.opts.root, topic, recs)
         return _Commit()
 
     def commit(self, messages, batchId):
@@ -245,10 +285,10 @@ class FileKafkaDataSource(DataSource):
         return FileKafkaStreamReader(_Opts(self.options))
 
     def writer(self, schema, overwrite) -> FileKafkaBatchWriter:
-        return FileKafkaBatchWriter(_Opts(self.options))
+        return FileKafkaBatchWriter(_Opts(self.options, for_write=True))
 
     def streamWriter(self, schema, overwrite) -> FileKafkaStreamWriter:
-        return FileKafkaStreamWriter(_Opts(self.options))
+        return FileKafkaStreamWriter(_Opts(self.options, for_write=True))
 
 
 def register(spark) -> None:

@@ -179,3 +179,73 @@ def test_option_validation_mirrors_connector(spark, broker):
         spark.read.format("file_kafka").option(
             "kafka.bootstrap.servers", broker
         ).load().collect()
+
+
+def test_multi_topic_subscribe(spark, broker):
+    """subscribe accepts a comma-separated topic list; each record keeps
+    its own topic and per-topic dense offsets (the real connector's
+    multi-topic consumer contract)."""
+    _produce(spark, broker, "alpha", [("a", "va0"), ("a", "va1")])
+    _produce(spark, broker, "beta", [("b", "vb0")])
+    rows = (
+        spark.read.format("file_kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "alpha, beta")
+        .load()
+        .collect()
+    )
+    got = sorted((r["topic"], r["offset"], bytes(r["value"]).decode()) for r in rows)
+    assert got == [("alpha", 0, "va0"), ("alpha", 1, "va1"), ("beta", 0, "vb0")]
+
+
+def test_multi_topic_streaming_exactly_once(spark, broker, tmp_path):
+    """A streaming consumer over two topics tracks offsets per topic
+    through the checkpoint — records in either topic between drains
+    arrive exactly once."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("file_kafka")
+            .option("kafka.bootstrap.servers", broker)
+            .option("subscribe", "t1,t2")
+            .option("startingOffsets", "earliest")
+            .load()
+            .select("topic", F.col("value").cast("string"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _produce(spark, broker, "t1", [("k", "v1")])
+    drain()
+    _produce(spark, broker, "t2", [("k", "v2")])
+    _produce(spark, broker, "t1", [("k", "v3")])
+    drain()
+    got = sorted(
+        (r["topic"], r["value"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("t1", "v1"), ("t1", "v3"), ("t2", "v2")]
+
+
+def test_writer_topic_column_routing(spark, broker):
+    """Without a 'topic' option, each row's topic column names its
+    destination — the real producer contract; with neither, the write
+    fails loudly."""
+    spark.createDataFrame(
+        [("k1", "va", "alpha"), ("k2", "vb", "beta")],
+        "key string, value string, topic string",
+    ).coalesce(1).write.mode("append").format("file_kafka").option(
+        "kafka.bootstrap.servers", broker
+    ).save()
+    a = _consume(spark, broker, "alpha").collect()
+    b = _consume(spark, broker, "beta").collect()
+    assert [bytes(r["value"]).decode() for r in a] == ["va"]
+    assert [bytes(r["value"]).decode() for r in b] == ["vb"]
+    with pytest.raises(Exception, match="topic"):
+        spark.createDataFrame([("k", "v")], "key string, value string").write.mode(
+            "append"
+        ).format("file_kafka").option("kafka.bootstrap.servers", broker).save()
