@@ -81,6 +81,7 @@ _CHANGED_THIS_ROUND = [
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND = [
     "rdf_import_triples",
+    "graphql_region_rollup",
 ]
 
 

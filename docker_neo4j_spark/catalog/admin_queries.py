@@ -852,6 +852,27 @@ def rdf_import_triples(spark, sf_dir):
 
 
 @register(
+    "graphql_region_rollup",
+    """
+    SELECT r_name AS name,
+           COALESCE(STRING_AGG(n_name, ',' ORDER BY n_name), '') AS nations_name
+    FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY name
+    """,
+)
+def graphql_region_rollup(spark, sf_dir):
+    """GraphQL plugin surface (neo4j-plugins.json:28-32): the query
+    ``{ region { name nations { name } } }`` through the GraphQL engine
+    (graphql.py) — label scan, IN_REGION traversal, to-many selection
+    pinned to sorted order and comma-serialized."""
+    from ..graphql import tpch_engine
+    from ..sources.tpch import build_graph
+
+    eng = tpch_engine(build_graph(spark, sf_dir))
+    return eng.execute("{ region { name nations { name } } }").orderBy("name")
+
+
+@register(
     "cypher_case_expression",
     """
     SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
