@@ -72,6 +72,10 @@ _CHANGED_THIS_ROUND = [
     # breadth exposed a 111 s scale cliff at sf0.1; now 27.6 s) —
     # re-grade the row that exercises it
     "gds_betweenness_cosupply",
+    # r7: _REL_RE grew a quote-aware props block and every RelSpec site
+    # now threads rel props — re-grade a graded row that exercises the
+    # shared rel-pattern machinery end-to-end
+    "cypher_shortest_path",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

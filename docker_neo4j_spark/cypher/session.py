@@ -51,6 +51,9 @@ _REL_RE = re.compile(
     r"(?P<larrow><)?-\s*\[\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
     r"(?::(?P<type>[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?"
     r"(?:\s*\*\s*(?P<lo>\d+)?(?:\s*\.\.\s*(?P<hi>\d+))?)?"
+    r"(?:\s*\{(?P<props>(?:'[^']*'|\"[^\"]*\""
+    r"|\{(?:'[^']*'|\"[^\"]*\"|[^{}'\"])*\}"
+    r"|[^{}'\"])*)\})?"
     r"\s*\]\s*-(?P<rarrow>>)?"
 )
 
@@ -70,6 +73,7 @@ class _Rel:
     lo: int | None = None  # var-length *lo..hi bounds; None = single hop
     hi: int | None = None
     undirected: bool = False  # `(a)-[:T]-(b)` — no arrow on either side
+    props: dict = field(default_factory=dict)  # `[r:T {k: v}]` map
 
 
 def _direction(rel: "_Rel") -> str:
@@ -953,6 +957,7 @@ def _parse_pattern(src: str) -> tuple[list, str]:
                 lo,
                 hi,
                 undirected=not r.group("larrow") and not r.group("rarrow"),
+                props=_parse_props(r.group("props")),
             )
         )
         elems.append(_Node(n.group("var"), n.group("label"), _parse_props(n.group("props"))))
@@ -1524,7 +1529,7 @@ class Session:
                 s, d = ids[left.var], ids[right.var]
                 if rel.reversed:
                     s, d = d, s
-                self.store.create_rels(rel.rel_type or "_", [(s, d)], [{}])
+                self.store.create_rels(rel.rel_type or "_", [(s, d)], [rel.props or {}])
         for var, props in (on_create if created else on_match).items():
             if var not in ids:
                 raise ValueError(f"ON {'CREATE' if created else 'MATCH'} SET variable {var!r} is not in the pattern")
@@ -1703,7 +1708,7 @@ class Session:
             d = ids[right.var or ""]
             if rel.reversed:
                 s, d = d, s
-            self.store.create_rels(rel.rel_type or "_", [(s, d)], [{}])
+            self.store.create_rels(rel.rel_type or "_", [(s, d)], [rel.props or {}])
         if ret is None:
             return self.spark.createDataFrame([], "ok string")
         return self._project_bound(ret, ids)
@@ -1957,7 +1962,7 @@ class Session:
                     self._anon += 1
                 pattern.append(NodeSpec(el.var, el.label, el.props or None))
             else:
-                pattern.append(RelSpec(el.var or f"_ppr{j}", el.rel_type, _direction(el)))
+                pattern.append(RelSpec(el.var or f"_ppr{j}", el.rel_type, _direction(el), props=el.props or None))
         join_vars = [
             el.var
             for el in elems
@@ -2095,7 +2100,7 @@ class Session:
                     pattern.append(NodeSpec(el.var, el.label, el.props or None))
                 else:
                     pattern.append(
-                        RelSpec(el.var or f"_pcr{j}", el.rel_type, _direction(el))
+                        RelSpec(el.var or f"_pcr{j}", el.rel_type, _direction(el), props=el.props or None)
                     )
             join_vars = [
                 el.var
@@ -2145,7 +2150,7 @@ class Session:
                     self._anon += 1
                 pattern.append(NodeSpec(el.var, el.label, el.props or None))
             else:
-                pattern.append(RelSpec(el.var or f"_ppr{j}", el.rel_type, _direction(el)))
+                pattern.append(RelSpec(el.var or f"_ppr{j}", el.rel_type, _direction(el), props=el.props or None))
         join_vars = [
             el.var
             for el in elems
@@ -2264,7 +2269,7 @@ class Session:
         hi = rel.hi if rel.hi is not None else (10 if rel.lo is not None else lo)
         a_var, b_var = a.var or "a", b.var or "b"
         g = self.store.graph
-        edges = _rel_frame(g, RelSpec("_pb", rel.rel_type, _direction(rel)))
+        edges = _rel_frame(g, RelSpec("_pb", rel.rel_type, _direction(rel), props=rel.props or None))
         srcs = _node_frame(g, NodeSpec(a_var, a.label, a.props or None))
         tgts = _node_frame(g, NodeSpec(b_var, b.label, b.props or None))
         paths = enumerate_paths(edges, srcs.select("id"), hi, targets=tgts.select("id"))
@@ -2341,7 +2346,7 @@ class Session:
             rel.lo, rel.hi = 1, 10  # engine cap, same default as var-length
         a_var, b_var = a.var or "a", b.var or "b"
         g = self.store.graph
-        edges = _rel_frame(g, RelSpec("_sp", rel.rel_type, _direction(rel)))
+        edges = _rel_frame(g, RelSpec("_sp", rel.rel_type, _direction(rel), props=rel.props or None))
         srcs = _node_frame(g, NodeSpec(a_var, a.label, a.props or None))
         tgts = _node_frame(g, NodeSpec(b_var, b.label, b.props or None))
         fn = shortest_path if m.group("fn").lower() == "shortestpath" else all_shortest_paths
@@ -2421,6 +2426,7 @@ class Session:
                     s.alias("src"),
                     d.alias("dst"),
                     F.lit(rel.rel_type or "_").alias("type"),
+                    *[F.lit(v).alias(k) for k, v in rel.props.items()],
                 )
             )
         if ret is None:
@@ -2453,7 +2459,7 @@ class Session:
                     el.var = f"_m{k}_{j}"
                 pattern.append(NodeSpec(el.var, el.label, el.props or None))
             else:
-                pattern.append(RelSpec(el.var or f"_mr{k}_{j}", el.rel_type, _direction(el)))
+                pattern.append(RelSpec(el.var or f"_mr{k}_{j}", el.rel_type, _direction(el), props=el.props or None))
         sub = match_chain(self.store.graph, pattern)
         anchors = [
             el.var
@@ -2502,7 +2508,7 @@ class Session:
                 self.store.graph,
                 bound,
                 f"{anchor.var}_id",
-                RelSpec(rel.var or f"_or{k}", rel.rel_type, _direction(rel)),
+                RelSpec(rel.var or f"_or{k}", rel.rel_type, _direction(rel), props=rel.props or None),
                 NodeSpec(tgt_var, tgt.label, tgt.props or None),
             )
         # multi-hop (or WHERE-qualified): bind the whole optional chain,
@@ -2517,7 +2523,7 @@ class Session:
                     el.var = f"_opt{k}_{j}"
                 pattern.append(NodeSpec(el.var, el.label, el.props or None))
             else:
-                pattern.append(RelSpec(el.var or f"_or{k}_{j}", el.rel_type, _direction(el)))
+                pattern.append(RelSpec(el.var or f"_or{k}_{j}", el.rel_type, _direction(el), props=el.props or None))
         sub = match_chain(self.store.graph, pattern)
         if where_src:
             sub = sub.where(_compile_where(where_src))
@@ -2539,7 +2545,7 @@ class Session:
                 self._anon += 1
                 pattern.append(NodeSpec(var, el.label, el.props or None))
             else:
-                pattern.append(RelSpec(el.var or f"_r{j}", el.rel_type, _direction(el)))
+                pattern.append(RelSpec(el.var or f"_r{j}", el.rel_type, _direction(el), props=el.props or None))
         return match_chain(self.store.graph, pattern, with_rel_ids=with_rel_ids)
 
     def _bind_varlength(self, elems: list) -> DataFrame:

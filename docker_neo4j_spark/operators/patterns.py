@@ -45,11 +45,14 @@ class NodeSpec:
 
 @dataclass(frozen=True)
 class RelSpec:
-    """``-[alias:TYPE]->`` / ``<-[...]-`` / ``-[...]-`` (direction both)."""
+    """``-[alias:TYPE {prop: value}]->`` / ``<-[...]-`` / ``-[...]-``
+    (direction both). ``props`` filter on relationship property columns
+    — pushed into the type-pruned rel scan like node props."""
 
     alias: str
     rel_type: str | None = None
     direction: str = "out"  # out | in | both
+    props: dict[str, object] | None = None
 
 
 def _node_frame(graph: PropertyGraph, spec: NodeSpec) -> DataFrame:
@@ -65,6 +68,10 @@ def _rel_frame(graph: PropertyGraph, spec: RelSpec) -> DataFrame:
     previous node' — for ``in`` we swap src/dst; for ``both`` we union both
     orientations (rel id preserved, so uniqueness filters still work)."""
     r = graph.rels_by_type(spec.rel_type) if spec.rel_type else graph.rels
+    if spec.props:
+        for k, v in spec.props.items():
+            # a property column no write has introduced matches nothing
+            r = r.where(F.col(k) == F.lit(v)) if k in r.columns else r.where(F.lit(False))
     fwd = r
     rev = r.withColumn("_tmp", F.col("src")).withColumn("src", F.col("dst")).withColumn(
         "dst", F.col("_tmp")

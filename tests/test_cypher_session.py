@@ -1082,3 +1082,35 @@ def test_path_relationships_accessor(session):
     ).collect()
     assert len(r) == 1 and len(r[0]["rs"]) == 2
     assert all("->" in hop for hop in r[0]["rs"])
+
+
+def test_relationship_property_maps(spark):
+    """``[r:T {k: v}]`` in CREATE stores the property; in MATCH it
+    filters on the rel frame (pushed into the type-pruned scan), and
+    quoted structural characters inside values parse (r7: _REL_RE grew
+    the same quote-aware props block as _NODE_RE)."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS {strength: 3}]->(b:dog {name:'Bosse'})")
+    s.run(
+        "MATCH (a:dog {name:'Bosse'}), (b:dog {name:'Arne'}) "
+        "CREATE (a)-[:SNIFFS {strength: 7}]->(b)"
+    )
+    r = s.run(
+        "MATCH (a:dog)-[r:SNIFFS {strength: 3}]->(b:dog) RETURN a.name AS an"
+    ).collect()
+    assert [x["an"] for x in r] == ["Arne"]
+    r = s.run(
+        "MATCH (a:dog)-[r:SNIFFS]->(b) WHERE r.strength = 7 RETURN a.name AS an"
+    ).collect()
+    assert [x["an"] for x in r] == ["Bosse"]
+    # unknown rel property matches nothing (never errors)
+    assert s.run("MATCH (a)-[r:SNIFFS {ghost: 1}]->(b) RETURN a.name AS an").count() == 0
+    # quoted '}' ',' inside a rel property value
+    s.run(
+        "MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) "
+        "CREATE (a)-[:TAGGED {label: 'x}y,z'}]->(b)"
+    )
+    r = s.run("MATCH (a)-[r:TAGGED {label: 'x}y,z'}]->(b) RETURN b.name AS bn").collect()
+    assert [x["bn"] for x in r] == ["Bosse"]
