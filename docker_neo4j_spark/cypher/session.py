@@ -51,9 +51,7 @@ _REL_RE = re.compile(
     r"(?P<larrow><)?-\s*\[\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
     r"(?::(?P<type>[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?"
     r"(?:\s*\*\s*(?P<lo>\d+)?(?:\s*\.\.\s*(?P<hi>\d+))?)?"
-    r"(?:\s*\{(?P<props>(?:'[^']*'|\"[^\"]*\""
-    r"|\{(?:'[^']*'|\"[^\"]*\"|[^{}'\"])*\}"
-    r"|[^{}'\"])*)\})?"
+    r"(?:\s*\{(?P<props>" + _PROPS_BODY + r")\})?"
     r"\s*\]\s*-(?P<rarrow>>)?"
 )
 
@@ -2406,7 +2404,9 @@ class Session:
             frame = frame.withColumn(f"{el.var}_id", F.col("_idx") + F.lit(base))
             frame = frame.withColumn(f"{el.var}_labels", F.array(F.lit(el.label or "_")))
             for k, v in el.props.items():
-                frame = frame.withColumn(f"{el.var}_{k}", F.lit(v))
+                frame = frame.withColumn(
+                    f"{el.var}_{k}", _lit_map(v) if isinstance(v, dict) else F.lit(v)
+                )
             self.store.append_nodes(
                 frame.select(
                     F.col(f"{el.var}_id").alias("id"),
@@ -2426,7 +2426,10 @@ class Session:
                     s.alias("src"),
                     d.alias("dst"),
                     F.lit(rel.rel_type or "_").alias("type"),
-                    *[F.lit(v).alias(k) for k, v in rel.props.items()],
+                    *[
+                        (_lit_map(v) if isinstance(v, dict) else F.lit(v)).alias(k)
+                        for k, v in rel.props.items()
+                    ],
                 )
             )
         if ret is None:

@@ -32,7 +32,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:(?P<punct>[{}():,])
            |(?P<str>"(?:[^"\\]|\\.)*")
            |(?P<num>-?\d+)
-           |(?P<bool>true|false)
+           |(?P<bool>(?:true|false)(?![A-Za-z0-9_]))
            |(?P<name>[A-Za-z_][A-Za-z0-9_]*))""",
     re.VERBOSE,
 )
@@ -200,14 +200,31 @@ class GraphQLEngine:
             .join(child.withColumnRenamed("id", "_cid"), "_cid")
         )
         if rel.many:
-            # to-many: pinned sorted order, comma-serialized per child
-            # field — deterministic AND hashable for differential gates
+            # to-many: collect ONE struct per child and sort the struct
+            # array once (lexicographic over fields in selection order),
+            # so sibling fields of the same child object stay row-aligned
+            # — sorting each column independently would decorrelate them.
+            # Serialized as comma strings: deterministic AND hashable for
+            # differential gates.
+            kids = F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        *[
+                            F.col(c).alias(s.name)
+                            for c, s in zip(child_cols, sel.selections)
+                        ]
+                    )
+                )
+            )
+            def _getter(fname):
+                return lambda kid: kid[fname]
+
             agg = hop.groupBy("_gid").agg(
                 *[
-                    F.concat_ws(",", F.array_sort(F.collect_list(c))).alias(
+                    F.concat_ws(",", F.transform(kids, _getter(s.name))).alias(
                         f"{sel.name}_{s.name}"
                     )
-                    for c, s in zip(child_cols, sel.selections)
+                    for s in sel.selections
                 ]
             )
             joined = parent.join(agg, "_gid", "left")
@@ -238,7 +255,8 @@ def tpch_engine(graph) -> GraphQLEngine:
             label="Nation",
             props={"name": "n_name"},
             relations={
-                "region": Relation("IN_REGION", "out", "region", many=False)
+                "region": Relation("IN_REGION", "out", "region", many=False),
+                "customers": Relation("IN_NATION", "in", "customer", many=True),
             },
         ),
         "customer": GraphQLType(

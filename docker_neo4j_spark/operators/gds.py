@@ -1320,6 +1320,9 @@ def betweenness(
     if len(levels) == 1:
         e.unpersist()
         return src_ids.select("id", F.lit(0.0).alias("bc"))
+    # backward joins key on dst — cache that partitioning once for all
+    # levels instead of re-exchanging the edge set per round
+    e_by_dst = e.repartition("dst").cache()
 
     def _fold(score: DataFrame | None, delta_frame: DataFrame) -> DataFrame:
         contrib = delta_frame.select(
@@ -1343,8 +1346,14 @@ def betweenness(
                 ).otherwise(F.lit(0.0)),
             ).alias("_m"),
         )
+        # messages flow along the PREDECESSOR relation: w's dependency
+        # reaches v iff the forward edge v→w exists, so join on e.dst==w
+        # and emit e.src — joining on e.src would walk w's out-edges,
+        # which is only equivalent when e is the symmetric undirected set
         acc = arr_sum(
-            msgs.join(e, msgs["v"] == e["src"]).select(e["dst"].alias("v"), "_m"),
+            msgs.join(e_by_dst, msgs["v"] == e_by_dst["dst"]).select(
+                e_by_dst["src"].alias("v"), "_m"
+            ),
             "_m",
             zeros_d,
         )
@@ -1371,6 +1380,7 @@ def betweenness(
     for lv in levels[:2]:
         lv.unpersist()
     e.unpersist()
+    e_by_dst.unpersist()
     return score.select(F.col("v").alias("id"), F.col("delta").alias("bc"))
 
 

@@ -59,7 +59,11 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         "predicate",
         F.when(iri != "", iri).alias("obj_iri"),
         F.when(
-            F.col("_obj").startswith('"'),
+            # full _LITERAL match, not just a leading quote: a malformed
+            # literal (e.g. unterminated quote) must surface as NULL so
+            # the fail-loud check below catches it — regexp_extract's
+            # no-match '' would otherwise import a silent empty property
+            F.col("_obj").rlike(_LITERAL),
             # unescape N-Triples literal escapes in one logical pass:
             # '\\' first via a NUL sentinel (never present in text data)
             # so a backslash freed by it can't re-trigger '\n'/'\t'/'\"'

@@ -98,10 +98,12 @@ def _append_part(root: str, topic: str, rows: list[dict]) -> None:
     # monotonic part names: sorted-filename order == append order, so a
     # later produce can never renumber existing offsets (the broker's
     # append-only contract; random names broke it — offsets must be
-    # stable for consumers seeking by offset). The uuid suffix keeps
-    # same-nanosecond concurrent producers collision-free.
+    # stable for consumers seeking by offset). The 'z' prefix sorts
+    # AFTER any legacy part-<uuid4hex> file (hex < 'z'), so appending to
+    # a pre-upgrade spool extends it instead of renumbering it; the uuid
+    # suffix keeps same-nanosecond concurrent producers collision-free.
     part = os.path.join(
-        d, f"part-{time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
+        d, f"part-z{time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
     )
     tmp = part + ".tmp"
     with open(tmp, "w") as f:
@@ -136,10 +138,6 @@ class _Opts:
                 "file_kafka requires kafka.bootstrap.servers (spool dir) and "
                 "subscribe/topic options — the real connector's option names"
             )
-        if not self.root:
-            raise ValueError(
-                "file_kafka requires kafka.bootstrap.servers (spool dir)"
-            )
 
 
 class FileKafkaBatchReader(DataSourceReader):
@@ -154,11 +152,19 @@ class FileKafkaBatchReader(DataSourceReader):
 
 def _norm_offset(off: dict, topics: list[str]) -> dict:
     """Offset dict → {topic: consumed-count}. Accepts the legacy single-
-    topic int form so existing checkpoints keep resuming."""
+    topic int form so existing checkpoints keep resuming; a legacy int
+    under a MULTI-topic subscription is ambiguous (which topic was it?)
+    and silently zeroing would re-deliver consumed records, so refuse."""
     n = off.get("n", 0)
     if isinstance(n, dict):
         return {t: int(n.get(t, 0)) for t in topics}
-    return {topics[0]: int(n)} if len(topics) == 1 else {t: 0 for t in topics}
+    if len(topics) == 1:
+        return {topics[0]: int(n)}
+    raise ValueError(
+        "file_kafka checkpoint holds a single-topic offset but the "
+        "subscription now names multiple topics — start a fresh "
+        "checkpoint for the widened subscription"
+    )
 
 
 class FileKafkaStreamReader(SimpleDataSourceStreamReader):

@@ -875,3 +875,29 @@ def test_bfs_tree_parents(spark):
     for nid, (dist, parent) in out.items():
         if parent is not None:
             assert out[parent][0] == dist - 1
+
+
+def test_betweenness_directed_path(spark):
+    """Directed 0->1->2 with source {0}: Brandes gives delta(1) = 1
+    (sigma_1/sigma_2 * (1 + 0)); the array-state backward sweep must walk
+    the PREDECESSOR relation (edge v->w), not w's out-edges — a directed
+    chain has no out-edges from the deepest node, so the successor-join
+    form silently returned bc(1) = 0 (r7 review regression)."""
+    e = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    nodes = _nodes(spark, [0, 1, 2])
+    sources = spark.createDataFrame([(0,)], ["id"])
+    got = {
+        r["id"]: r["bc"]
+        for r in gds.betweenness(e, sources, max_depth=4, undirected=False).collect()
+    }
+    assert got.get(1) == 1.0
+    assert got.get(2, 0.0) == 0.0
+    # diamond 0->{1,2}->3: sigma(3)=2, each middle node carries 0.5
+    e2 = spark.createDataFrame([(0, 1), (0, 2), (1, 3), (2, 3)], ["src", "dst"])
+    got2 = {
+        r["id"]: r["bc"]
+        for r in gds.betweenness(
+            e2, sources, max_depth=4, undirected=False
+        ).collect()
+    }
+    assert got2.get(1) == 0.5 and got2.get(2) == 0.5

@@ -58,3 +58,28 @@ def test_quoted_braces_in_arguments(engine):
     # a string argument containing '{' '}' must not derail the tokenizer
     rows = engine.execute('{ nation(name: "no{such}nation") { name } }').collect()
     assert rows == []
+
+
+def test_to_many_multi_prop_rows_stay_aligned(engine, spark):
+    """Sibling fields of the same child object must stay row-aligned:
+    the struct array is sorted ONCE, not per column (r7 review: per-column
+    array_sort decorrelated name[i] from its own mktsegment[i])."""
+    rows = engine.execute(
+        '{ nation(name: "NATION_13") { name customers { name mktsegment } } }'
+    ).collect()
+    assert len(rows) == 1
+    names = rows[0]["customers_name"].split(",")
+    segs = rows[0]["customers_mktsegment"].split(",")
+    assert len(names) == len(segs) and len(names) > 1
+    # oracle: the true (name, segment) pairs from the raw tables
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    t = load_tables(spark, SF)
+    truth = {
+        r["c_name"]: r["c_mktsegment"]
+        for r in t["customer"].join(
+            t["nation"], t["customer"]["c_nationkey"] == t["nation"]["n_nationkey"]
+        ).where(t["nation"]["n_name"] == "NATION_13").collect()
+    }
+    assert dict(zip(names, segs)) == truth
+    assert names == sorted(names)
