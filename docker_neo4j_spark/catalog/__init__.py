@@ -57,25 +57,8 @@ _loaded = False
 #      for them; their behavior is pytest-graded).
 # Registration order breaks ties, so the order is deterministic for a given
 # set of CORRECTNESS_r*.json files.
-_CHANGED_THIS_ROUND = [
-    # r7: SET-path uniqueness enforcement now runs in set_props /
-    # set_props_by_ids (ADVICE r6) — re-grade the row that exercises SET
-    "cypher_set_delete_readback",
-    # r7: quote-aware bracket scan in _find_pattern_comprehension
-    # (ADVICE r6) — re-grade the row that exercises pattern comprehensions
-    "cypher_pattern_comprehension",
-    # r7: converted from rows-only to oracle-paired (exact-distinct twin
-    # + tolerance boolean) so its permanent `err: no_oracle` verdict is
-    # replaced by a real grade
-    "fn_approx_count_distinct",
-    # r7: betweenness rewritten to source-indexed array state (bench
-    # breadth exposed a 111 s scale cliff at sf0.1; now 27.6 s) —
-    # re-grade the row that exercises it
-    "gds_betweenness_cosupply",
-    # r7: _REL_RE grew a quote-aware props block and every RelSpec site
-    # now threads rel props — re-grade a graded row that exercises the
-    # shared rel-pattern machinery end-to-end
-    "cypher_shortest_path",
+_CHANGED_THIS_ROUND: list[str] = [
+    # r8 entries are appended as implementations change; reset at round start.
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -83,9 +66,8 @@ _CHANGED_THIS_ROUND = [
 # BEHIND the older never-graded rows (sub-bucket 1 within tier 1) and only
 # enter the 50-row window once the backlog fits. Reset each round (entries
 # migrate out once they receive a first verdict).
-_NEW_THIS_ROUND = [
-    "rdf_import_triples",
-    "graphql_region_rollup",
+_NEW_THIS_ROUND: list[str] = [
+    # r8 entries are appended as new rows register; reset at round start.
 ]
 
 
