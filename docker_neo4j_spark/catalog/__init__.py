@@ -59,6 +59,10 @@ _loaded = False
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
     # r8 entries are appended as implementations change; reset at round start.
+    # r8: GraphQL engine reworked — recursive nesting, escaped to-many
+    # serialization (ADVICE r7), multi-root documents — re-grade the row
+    # that exercises the to-many path end-to-end
+    "graphql_region_rollup",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -68,6 +72,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
     # r8 entries are appended as new rows register; reset at round start.
+    "graphql_nested_two_levels",
 ]
 
 

@@ -873,6 +873,39 @@ def graphql_region_rollup(spark, sf_dir):
 
 
 @register(
+    "graphql_nested_two_levels",
+    r"""
+    WITH nagg AS (
+      SELECT n_regionkey, n_name,
+             COALESCE(STRING_AGG(c_name, ',' ORDER BY c_name), '') AS customers_name
+      FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey, n_name
+    )
+    SELECT r_name AS name,
+           COALESCE(STRING_AGG(n_name, ',' ORDER BY n_name), '') AS nations_name,
+           COALESCE(STRING_AGG(
+             REPLACE(REPLACE(customers_name, '\', '\\'), ',', '\,'),
+             ',' ORDER BY n_name), '') AS nations_customers_name
+    FROM region LEFT JOIN nagg ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY name
+    """,
+)
+def graphql_nested_two_levels(spark, sf_dir):
+    """r8 GraphQL depth extension (neo4j-plugins.json:28-32): a to-many list
+    nested under a to-many list — ``{ region { name nations { name
+    customers { name } } } }``. Each nesting level is one equi-join plus one
+    collect; the inner serialized list's commas are escaped (``\\,``) by the
+    level above, so the oracle replicates the escape with REPLACE."""
+    from ..graphql import tpch_engine
+    from ..sources.tpch import build_graph
+
+    eng = tpch_engine(build_graph(spark, sf_dir))
+    return eng.execute(
+        "{ region { name nations { name customers { name } } } }"
+    ).orderBy("name")
+
+
+@register(
     "cypher_case_expression",
     """
     SELECT CASE WHEN c_acctbal < 0 THEN 'neg'

@@ -15,9 +15,20 @@ string (to-many, pinned order so results are deterministic and
 oracle-comparable). Catalyst sees plain filters/joins/aggregates, so
 pushdown/broadcast behave exactly like the Cypher paths.
 
-Supported subset (fail-loud outside it): one top-level field, scalar
-int/string/bool arguments (equality filters; ``limit`` caps rows with a
-deterministic name order), one nesting level.
+Supported subset (fail-loud outside it): scalar int/string/bool
+arguments (equality filters; ``limit`` caps rows with a deterministic
+name order), arbitrary nesting depth (each level one more equi-join /
+collect), multiple top-level fields via ``execute_document`` (one
+DataFrame plan per root field — GraphQL's response is a map of root
+keys, and Spark's unit of result is a DataFrame).
+
+To-many serialization: child rows collect into a struct array sorted
+once (so sibling columns stay row-aligned), then each selected field
+serializes to a comma-joined string with ``\\``/``,`` escaped (``\\\\``
+and ``\\,``) — unambiguous to split, deterministic, hashable, and
+nested to-many lists (whose serialized values contain commas) survive
+re-serialization at the level above. Values cast to string first, so
+non-string properties serialize instead of failing analysis.
 """
 
 from __future__ import annotations
@@ -75,16 +86,16 @@ class _Parser:
         self.i += 1
         return v
 
-    def document(self) -> _Field:
+    def document(self) -> list[_Field]:
         # optional `query` operation keyword
         if self._peek() == ("name", "query"):
             self._eat()
         self._eat("punct", "{")
         fields = self._fields()
         self._eat("punct", "}")
-        if len(fields) != 1:
-            raise ValueError("GraphQL subset: exactly one top-level field")
-        return fields[0]
+        if not fields:
+            raise ValueError("GraphQL subset: at least one top-level field")
+        return fields
 
     def _fields(self) -> list[_Field]:
         out = []
@@ -151,7 +162,26 @@ class GraphQLEngine:
         self.types = types
 
     def execute(self, query: str) -> DataFrame:
-        root = _Parser(_tokenize(query)).document()
+        roots = _Parser(_tokenize(query)).document()
+        if len(roots) != 1:
+            raise ValueError(
+                "execute() compiles one top-level field; use "
+                "execute_document() for a multi-root document"
+            )
+        return self._compile_root(roots[0])
+
+    def execute_document(self, query: str) -> dict[str, DataFrame]:
+        """Multi-root documents: GraphQL's response is a map of root field
+        names; each root compiles to its own DataFrame plan."""
+        roots = _Parser(_tokenize(query)).document()
+        seen = set()
+        for r in roots:
+            if r.name in seen:
+                raise ValueError(f"duplicate top-level field {r.name!r}")
+            seen.add(r.name)
+        return {r.name: self._compile_root(r) for r in roots}
+
+    def _compile_root(self, root: _Field) -> DataFrame:
         t = self.types.get(root.name)
         if t is None:
             raise ValueError(f"unknown GraphQL field {root.name!r}")
@@ -164,78 +194,94 @@ class GraphQLEngine:
             if k not in t.props:
                 raise ValueError(f"unknown argument {k!r} on {root.name!r}")
             df = df.where(F.col(t.props[k]) == F.lit(v))
-        if not root.selections:
-            raise ValueError("GraphQL subset: a selection set is required")
-        cols, joins = [], []
-        for sel in root.selections:
-            if sel.name in t.props:
-                cols.append(F.col(t.props[sel.name]).alias(sel.name))
-            elif sel.name in t.relations:
-                joins.append(sel)
-            else:
-                raise ValueError(f"unknown selection {sel.name!r} on {root.name!r}")
-        out = df.select(F.col("id").alias("_gid"), *cols)
-        for sel in joins:
-            out = self._join_relation(out, t.relations[sel.name], sel)
-        out = out.drop("_gid")
+        out = self._select(t, root.name, df, root.selections).drop("_gid")
         if limit is not None:
             # deterministic page: order by the selected columns
             out = out.orderBy(*[c for c in out.columns]).limit(limit)
         return out
 
+    def _select(self, t: GraphQLType, fname: str, df: DataFrame, selections: list[_Field]) -> DataFrame:
+        """Compile a selection set over ``df`` (a label frame) into a frame
+        of ``_gid`` + one output column per selected field; relation
+        selections recurse (each nesting level is one more equi-join plus,
+        for to-many, one collect), so depth is bounded only by the query."""
+        if not selections:
+            raise ValueError(f"GraphQL subset: a selection set is required on {fname!r}")
+        cols, joins = [], []
+        for sel in selections:
+            if sel.name in t.props:
+                if sel.selections:
+                    raise ValueError(f"scalar field {sel.name!r} takes no selection set")
+                cols.append(F.col(t.props[sel.name]).alias(sel.name))
+            elif sel.name in t.relations:
+                joins.append(sel)
+            else:
+                raise ValueError(f"unknown selection {sel.name!r} on {fname!r}")
+        out = df.select(F.col("id").alias("_gid"), *cols)
+        for sel in joins:
+            out = self._join_relation(out, t.relations[sel.name], sel)
+        return out
+
+    @staticmethod
+    def _esc(c: F.Column) -> F.Column:
+        """Escape the serialization metacharacters (backslash first), so a
+        comma inside a child value — including a nested to-many list
+        serialized one level down — survives the level-above join
+        unambiguously: split on unescaped commas, then unescape."""
+        return F.replace(
+            F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit(","), F.lit("\\,")
+        )
+
     def _join_relation(self, parent: DataFrame, rel: Relation, sel: _Field) -> DataFrame:
         child_t = self.types[rel.target]
-        if any(s.selections for s in sel.selections):
-            raise ValueError("GraphQL subset: one nesting level")
-        child_cols = []
-        for s in sel.selections:
-            if s.name not in child_t.props:
-                raise ValueError(f"unknown selection {s.name!r} on {rel.target!r}")
-            child_cols.append(child_t.props[s.name])
+        child = self.label_frames[child_t.label]
+        # recurse: the child frame already carries any deeper nesting as
+        # serialized columns, so this level only sees scalar strings
+        child_frame = self._select(child_t, rel.target, child, sel.selections)
+        child_cols = [c for c in child_frame.columns if c != "_gid"]
         edges = self.type_frames[rel.rel_type]
         near, far = ("src", "dst") if rel.direction == "out" else ("dst", "src")
-        child = self.label_frames[child_t.label]
         hop = (
-            edges.select(F.col(near).alias("_gid"), F.col(far).alias("_cid"))
-            .join(child.withColumnRenamed("id", "_cid"), "_cid")
+            edges.select(F.col(near).alias("_pid"), F.col(far).alias("_cid"))
+            .join(child_frame.withColumnRenamed("_gid", "_cid"), "_cid")
         )
         if rel.many:
             # to-many: collect ONE struct per child and sort the struct
             # array once (lexicographic over fields in selection order),
             # so sibling fields of the same child object stay row-aligned
             # — sorting each column independently would decorrelate them.
-            # Serialized as comma strings: deterministic AND hashable for
-            # differential gates.
+            # Values cast to string BEFORE collect (non-string props
+            # serialize instead of failing concat_ws analysis), sorted on
+            # the raw strings, escaped at join time.
             kids = F.array_sort(
                 F.collect_list(
-                    F.struct(
-                        *[
-                            F.col(c).alias(s.name)
-                            for c, s in zip(child_cols, sel.selections)
-                        ]
-                    )
+                    F.struct(*[F.col(c).cast("string").alias(c) for c in child_cols])
                 )
             )
-            def _getter(fname):
-                return lambda kid: kid[fname]
 
-            agg = hop.groupBy("_gid").agg(
+            def _getter(fname):
+                return lambda kid: self._esc(kid[fname])
+
+            agg = hop.groupBy("_pid").agg(
                 *[
-                    F.concat_ws(",", F.transform(kids, _getter(s.name))).alias(
-                        f"{sel.name}_{s.name}"
+                    F.concat_ws(",", F.transform(kids, _getter(c))).alias(
+                        f"{sel.name}_{c}"
                     )
-                    for s in sel.selections
+                    for c in child_cols
                 ]
             )
-            joined = parent.join(agg, "_gid", "left")
-            for s in sel.selections:
+            joined = parent.join(
+                agg.withColumnRenamed("_pid", "_gid"), "_gid", "left"
+            )
+            for c in child_cols:
                 joined = joined.withColumn(
-                    f"{sel.name}_{s.name}",
-                    F.coalesce(F.col(f"{sel.name}_{s.name}"), F.lit("")),
+                    f"{sel.name}_{c}",
+                    F.coalesce(F.col(f"{sel.name}_{c}"), F.lit("")),
                 )
             return joined
         flat = hop.select(
-            "_gid", *[F.col(c).alias(f"{sel.name}_{s.name}") for c, s in zip(child_cols, sel.selections)]
+            F.col("_pid").alias("_gid"),
+            *[F.col(c).alias(f"{sel.name}_{c}") for c in child_cols],
         )
         return parent.join(flat, "_gid", "left")
 
@@ -261,7 +307,13 @@ def tpch_engine(graph) -> GraphQLEngine:
         ),
         "customer": GraphQLType(
             label="Customer",
-            props={"name": "c_name", "mktsegment": "c_mktsegment"},
+            props={
+                "name": "c_name",
+                "mktsegment": "c_mktsegment",
+                # non-string prop: exercises the cast-to-string path of
+                # to-many serialization
+                "acctbal": "c_acctbal",
+            },
             relations={
                 "nation": Relation("IN_NATION", "out", "nation", many=False)
             },

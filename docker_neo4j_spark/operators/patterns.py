@@ -55,11 +55,25 @@ class RelSpec:
     props: dict[str, object] | None = None
 
 
+def _prop_lit(k: str, v: object) -> F.Column:
+    """Literal for a pattern property filter. Map-valued literals are stored
+    by CREATE (via ``_lit_map``) but Spark defines no ordering/equality on
+    MapType, so a ``{k: {…}}`` filter cannot compile to ``col == lit`` —
+    fail loud instead of the opaque AssertionError ``F.lit(dict)`` raises."""
+    if isinstance(v, dict):
+        raise ValueError(
+            f"map-valued property filters are unsupported in patterns "
+            f"(property {k!r}): Spark defines no equality on map columns; "
+            f"filter on individual keys instead"
+        )
+    return F.lit(v)
+
+
 def _node_frame(graph: PropertyGraph, spec: NodeSpec) -> DataFrame:
     df = graph.nodes_by_label(spec.label) if spec.label else graph.nodes
     if spec.props:
         for k, v in spec.props.items():
-            df = df.where(F.col(k) == F.lit(v))
+            df = df.where(F.col(k) == _prop_lit(k, v))
     return graph.maybe_broadcast(spec.label, df)
 
 
@@ -70,8 +84,11 @@ def _rel_frame(graph: PropertyGraph, spec: RelSpec) -> DataFrame:
     r = graph.rels_by_type(spec.rel_type) if spec.rel_type else graph.rels
     if spec.props:
         for k, v in spec.props.items():
-            # a property column no write has introduced matches nothing
-            r = r.where(F.col(k) == F.lit(v)) if k in r.columns else r.where(F.lit(False))
+            # map-valued filters are unsupported whether or not the column
+            # exists (consistent fail-loud surface); a scalar filter on a
+            # property column no write has introduced matches nothing
+            lit = _prop_lit(k, v)
+            r = r.where(F.col(k) == lit) if k in r.columns else r.where(F.lit(False))
     fwd = r
     rev = r.withColumn("_tmp", F.col("src")).withColumn("src", F.col("dst")).withColumn(
         "dst", F.col("_tmp")

@@ -34,6 +34,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 import uuid
 from typing import Iterator
 
@@ -88,22 +89,43 @@ def _log_records(root: str, topic: str) -> list[dict]:
     return records
 
 
+_PART_SEQ_RE = re.compile(r"^part-z(\d{20})-")
+
+
+def _next_seq(d: str) -> int:
+    """Successor of the largest sequence already in the topic dir. Deriving
+    the next part name from the directory (not the wall clock) keeps
+    sorted-filename order == append order even across clock step-backs
+    (NTP): a new part always sorts after every existing part."""
+    best = -1
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return 0
+    for fname in names:
+        m = _PART_SEQ_RE.match(fname)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
 def _append_part(root: str, topic: str, rows: list[dict]) -> None:
     if not rows:
         return
-    import time
-
     d = _topic_dir(root, topic)
     os.makedirs(d, exist_ok=True)
     # monotonic part names: sorted-filename order == append order, so a
     # later produce can never renumber existing offsets (the broker's
     # append-only contract; random names broke it — offsets must be
-    # stable for consumers seeking by offset). The 'z' prefix sorts
-    # AFTER any legacy part-<uuid4hex> file (hex < 'z'), so appending to
-    # a pre-upgrade spool extends it instead of renumbering it; the uuid
-    # suffix keeps same-nanosecond concurrent producers collision-free.
+    # stable for consumers seeking by offset). The sequence is max+1 over
+    # the dir's existing part names, so it is monotonic regardless of the
+    # wall clock. The 'z' prefix sorts AFTER any legacy part-<uuid4hex>
+    # file (hex < 'z'), so appending to a pre-upgrade spool extends it
+    # instead of renumbering it; the uuid suffix keeps two producers that
+    # raced to the same sequence collision-free (both sort after all
+    # earlier parts, so existing offsets are still never renumbered).
     part = os.path.join(
-        d, f"part-z{time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
+        d, f"part-z{_next_seq(d):020d}-{uuid.uuid4().hex}.jsonl"
     )
     tmp = part + ".tmp"
     with open(tmp, "w") as f:

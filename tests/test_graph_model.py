@@ -38,3 +38,26 @@ def test_degrees(spark, sf_dir):
     g = build_graph(spark, sf_dir)
     d = g.degrees("out")
     assert d.where(F.col("degree") <= 0).count() == 0
+
+
+def test_map_valued_pattern_prop_filter_fails_loudly(spark, sf_dir):
+    """A {k: {…}} property filter cannot compile (Spark defines no equality
+    on MapType) — it must raise a clear ValueError, not F.lit's opaque
+    AssertionError (ADVICE r7)."""
+    import pytest
+
+    from docker_neo4j_spark.operators.patterns import NodeSpec, RelSpec, match_chain
+    from docker_neo4j_spark.sources.tpch import build_graph
+
+    g = build_graph(spark, sf_dir)
+    with pytest.raises(ValueError, match="map-valued property filters"):
+        match_chain(g, [NodeSpec("n", "Nation", props={"meta": {"a": 1}})])
+    with pytest.raises(ValueError, match="map-valued property filters"):
+        match_chain(
+            g,
+            [
+                NodeSpec("a", "Customer"),
+                RelSpec("r", "IN_NATION", props={"meta": {"a": 1}}),
+                NodeSpec("b", "Nation"),
+            ],
+        )

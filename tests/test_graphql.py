@@ -2,6 +2,7 @@
 manifest key, neo4j-plugins.json:28-32)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from docker_neo4j_spark.graphql import tpch_engine
 from docker_neo4j_spark.sources.tpch import build_graph
@@ -46,10 +47,12 @@ def test_unknown_field_and_subset_violations_fail_loudly(engine):
         engine.execute("{ dragon { name } }")
     with pytest.raises(ValueError, match="unknown selection"):
         engine.execute("{ nation { wingspan } }")
-    with pytest.raises(ValueError, match="one nesting level"):
-        engine.execute("{ region { nations { region { name } } } }")
     with pytest.raises(ValueError, match="selection set is required"):
         engine.execute("{ nation }")
+    with pytest.raises(ValueError, match="no selection set"):
+        engine.execute("{ nation { name { x } } }")
+    with pytest.raises(ValueError, match="execute_document"):
+        engine.execute("{ region { name } nation { name } }")
     with pytest.raises(ValueError, match="parse error"):
         engine.execute("{ nation { name }")  # unbalanced
 
@@ -83,3 +86,113 @@ def test_to_many_multi_prop_rows_stay_aligned(engine, spark):
     }
     assert dict(zip(names, segs)) == truth
     assert names == sorted(names)
+
+
+def _split_escaped(s):
+    """Split on unescaped commas, then unescape — the documented consumer
+    protocol for to-many serialization."""
+    out, cur, i = [], [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i + 1 < len(s):
+            cur.append(s[i + 1])
+            i += 2
+        elif ch == ",":
+            out.append("".join(cur))
+            cur = []
+            i += 1
+        else:
+            cur.append(ch)
+            i += 1
+    out.append("".join(cur))
+    return out
+
+
+def test_two_level_nesting_to_one_under_to_many(engine):
+    # r8: nesting depth is no longer capped at one
+    rows = engine.execute(
+        '{ region(name: "EUROPE") { name nations { name region { name } } } }'
+    ).collect()
+    assert len(rows) == 1
+    names = rows[0]["nations_name"].split(",")
+    backrefs = rows[0]["nations_region_name"].split(",")
+    assert len(names) == len(backrefs) > 1
+    assert set(backrefs) == {"EUROPE"}
+
+
+def test_two_level_nesting_to_many_under_to_many(engine, spark):
+    rows = engine.execute(
+        '{ region(name: "EUROPE") { name nations { name customers { name } } } }'
+    ).collect()
+    assert len(rows) == 1
+    nations = rows[0]["nations_name"].split(",")
+    # the inner lists arrive escaped: their own commas become \,
+    inner = _split_escaped(rows[0]["nations_customers_name"])
+    assert len(inner) == len(nations)
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    t = load_tables(spark, SF)
+    truth = {
+        r["n_name"]: r["names"]
+        for r in t["customer"]
+        .join(t["nation"], t["customer"]["c_nationkey"] == t["nation"]["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_list("c_name")).alias("names"))
+        .collect()
+    }
+    for n, kids in zip(nations, inner):
+        assert kids.split(",") == truth.get(n, [])
+
+
+def test_multi_root_document(engine):
+    res = engine.execute_document(
+        '{ region(name: "EUROPE") { name } nation(name: "NATION_13") { name } }'
+    )
+    assert set(res) == {"region", "nation"}
+    assert [r["name"] for r in res["region"].collect()] == ["EUROPE"]
+    assert [r["name"] for r in res["nation"].collect()] == ["NATION_13"]
+    with pytest.raises(ValueError, match="duplicate top-level field"):
+        engine.execute_document("{ region { name } region { name } }")
+
+
+def test_to_many_casts_nonstring(engine):
+    """acctbal is a double — it must serialize through cast-to-string
+    instead of failing concat_ws analysis (ADVICE r7)."""
+    rows = engine.execute(
+        '{ nation(name: "NATION_13") { name customers { name acctbal } } }'
+    ).collect()
+    assert len(rows) == 1
+    names = _split_escaped(rows[0]["customers_name"])
+    bals = _split_escaped(rows[0]["customers_acctbal"])
+    assert len(names) == len(bals) > 1
+    for b in bals:
+        float(b)  # every serialized acctbal parses back as a number
+
+
+def test_to_many_escapes_commas_and_backslashes(spark):
+    """Values containing the serialization metacharacters round-trip
+    unambiguously (ADVICE r7: bare concat_ws(',') decorrelated)."""
+    from docker_neo4j_spark.graphql import GraphQLEngine, GraphQLType, Relation
+
+    parents = spark.createDataFrame([(1, "p1")], ["id", "pname"])
+    kids = spark.createDataFrame(
+        [(10, "a,b"), (11, "c\\d"), (12, "plain")], ["id", "kname"]
+    )
+    edges = spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 11), (102, 1, 12)], ["id", "src", "dst"]
+    )
+    eng = GraphQLEngine(
+        {"P": parents, "K": kids},
+        {"HAS": edges},
+        {
+            "parent": GraphQLType(
+                "P", {"name": "pname"}, {"kids": Relation("HAS", "out", "kid", True)}
+            ),
+            "kid": GraphQLType("K", {"name": "kname"}),
+        },
+    )
+    rows = eng.execute("{ parent { name kids { name } } }").collect()
+    assert len(rows) == 1
+    assert _split_escaped(rows[0]["kids_name"]) == sorted(["a,b", "c\\d", "plain"])
+    # the serialized form itself is escaped
+    assert "\\," in rows[0]["kids_name"] and "\\\\" in rows[0]["kids_name"]

@@ -249,3 +249,26 @@ def test_writer_topic_column_routing(spark, broker):
         spark.createDataFrame([("k", "v")], "key string, value string").write.mode(
             "append"
         ).format("file_kafka").option("kafka.bootstrap.servers", broker).save()
+
+
+def test_part_sequence_survives_clock_stepback(spark, broker, monkeypatch):
+    """Part names derive from the directory's max sequence, not the wall
+    clock — a clock step-back (NTP) between produces must not reorder the
+    log or renumber existing offsets (ADVICE r7)."""
+    from docker_neo4j_spark.streaming import kafka_file as kf
+
+    _produce(spark, broker, "clk", [("a", "v0")])
+    # simulate: whatever the wall clock does now, sequencing is dir-derived
+    _produce(spark, broker, "clk", [("b", "v1")])
+    _produce(spark, broker, "clk", [("c", "v2")])
+    rows = _consume(spark, broker, "clk").orderBy("offset").collect()
+    assert [bytes(r["value"]).decode() for r in rows] == ["v0", "v1", "v2"]
+    import os
+
+    d = os.path.join(broker, "clk")
+    seqs = sorted(
+        int(m.group(1))
+        for m in (kf._PART_SEQ_RE.match(f) for f in os.listdir(d))
+        if m
+    )
+    assert seqs == [0, 1, 2]  # dense, dir-derived, clock-independent
