@@ -63,6 +63,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # serialization (ADVICE r7), multi-root documents — re-grade the row
     # that exercises the to-many path end-to-end
     "graphql_region_rollup",
+    # r8: N-Triples validation made lazy (WHERE-clause raise_error guard,
+    # one scan per import) + blank-node subjects/objects under a flag
+    "rdf_import_triples",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

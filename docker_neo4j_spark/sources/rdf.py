@@ -18,8 +18,18 @@ supported grammar is the N-Triples core:
     # comment lines and blank lines are ignored
 
 Escaped ``\\"``, ``\\\\``, ``\\n``, ``\\t`` inside literals are unescaped.
-Anything outside this subset (blank nodes, full Turtle) raises at parse
-time rather than importing silently-wrong data.
+Blank nodes (``_:label``) are accepted under ``accept_blank_nodes=True``
+and mapped to synthetic document-scoped IRIs (``bnode://label`` — the
+n10s ``Shorten``-style deterministic mapping); otherwise, and for
+anything else outside the subset (full Turtle), the import fails loud
+rather than importing silently-wrong data.
+
+Fail-loud is LAZY (r8, was an eager extra scan per import): the
+validity checks are ``raise_error`` branches inside a WHERE clause, so
+the first Spark action over the parsed frame raises on the first bad
+line and a clean import costs exactly one pass. A filter determines
+cardinality, so Catalyst cannot prune the guard (a check riding an
+output column would vanish under ``count()``'s column pruning).
 
 Scale shape: one narrow projection per frame, no shuffle until the
 caller aggregates/joins; property pivot is a groupBy on subject — one
@@ -31,68 +41,114 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# <s> <p> (object-term) .   — object classified afterwards
-_LINE = r"^\s*<([^>]+)>\s+<([^>]+)>\s+(.+?)\s*\.\s*$"
+# (<s> | _:b) <p> (object-term) .   — object classified afterwards
+_BNODE = r"_:[A-Za-z0-9][A-Za-z0-9_.\-]*"
+_LINE = rf"^\s*(?:<([^>]+)>|({_BNODE}))\s+<([^>]+)>\s+(.+?)\s*\.\s*$"
 _LITERAL = r'^"((?:[^"\\]|\\.)*)"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]+>)?$'
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+def _bnode_iri(label_col):
+    """``_:b0`` → ``bnode://b0`` — deterministic synthetic IRI, so blank
+    nodes join/group like any other node identity."""
+    return F.concat(F.lit("bnode://"), F.substring(label_col, 3, 2**30))
+
+
+def read_ntriples(
+    spark: SparkSession, path: str, accept_blank_nodes: bool = False
+) -> DataFrame:
     """Parse an N-Triples file into (subject, predicate, obj_iri,
     obj_literal) — exactly one of the obj_* columns is non-null per row.
-    Unparseable non-comment lines raise (fail-loud import)."""
+    Unparseable non-comment lines raise from the FIRST action over the
+    result (lazy fail-loud import: one scan, no eager validation pass)."""
     lines = spark.read.text(path).where(
         (F.trim("value") != "") & ~F.trim("value").startswith("#")
     )
+    subj_iri = F.regexp_extract("value", _LINE, 1)
+    subj_bnode = F.regexp_extract("value", _LINE, 2)
     parsed = lines.select(
-        F.regexp_extract("value", _LINE, 1).alias("subject"),
-        F.regexp_extract("value", _LINE, 2).alias("predicate"),
-        F.regexp_extract("value", _LINE, 3).alias("_obj"),
+        subj_iri.alias("_s_iri"),
+        subj_bnode.alias("_s_bnode"),
+        F.regexp_extract("value", _LINE, 3).alias("predicate"),
+        F.regexp_extract("value", _LINE, 4).alias("_obj"),
         "value",
     )
-    bad = parsed.where(F.col("subject") == "").select("value").take(1)
-    if bad:
-        raise ValueError(f"not an N-Triples line: {bad[0]['value']!r}")
     iri = F.regexp_extract("_obj", r"^<([^>]+)>$", 1)
+    obj_bnode = F.regexp_extract("_obj", rf"^({_BNODE})$", 1)
     lit_raw = F.regexp_extract("_obj", _LITERAL, 1)
-    out = parsed.select(
-        "subject",
-        "predicate",
-        F.when(iri != "", iri).alias("obj_iri"),
-        F.when(
-            # full _LITERAL match, not just a leading quote: a malformed
-            # literal (e.g. unterminated quote) must surface as NULL so
-            # the fail-loud check below catches it — regexp_extract's
-            # no-match '' would otherwise import a silent empty property
-            F.col("_obj").rlike(_LITERAL),
-            # unescape N-Triples literal escapes in one logical pass:
-            # '\\' first via a NUL sentinel (never present in text data)
-            # so a backslash freed by it can't re-trigger '\n'/'\t'/'\"'
+    obj_iri = F.when(iri != "", iri)
+    if accept_blank_nodes:
+        obj_iri = obj_iri.when(obj_bnode != "", _bnode_iri(obj_bnode))
+    obj_literal = F.when(
+        # full _LITERAL match, not just a leading quote: a malformed
+        # literal (e.g. unterminated quote) must surface as NULL so
+        # the fail-loud guard below catches it — regexp_extract's
+        # no-match '' would otherwise import a silent empty property
+        F.col("_obj").rlike(_LITERAL),
+        # unescape N-Triples literal escapes in one logical pass:
+        # '\\' first via a NUL sentinel (never present in text data)
+        # so a backslash freed by it can't re-trigger '\n'/'\t'/'\"'
+        F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
                     F.regexp_replace(
-                        F.regexp_replace(
-                            F.regexp_replace(lit_raw, r"\\\\", "\x00"),
-                            r'\\"',
-                            '"',
-                        ),
-                        r"\\n",
-                        "\n",
+                        F.regexp_replace(lit_raw, r"\\\\", "\x00"),
+                        r'\\"',
+                        '"',
                     ),
-                    r"\\t",
-                    "\t",
+                    r"\\n",
+                    "\n",
                 ),
-                "\x00",
-                "\\\\",
+                r"\\t",
+                "\t",
             ),
-        ).alias("obj_literal"),
-        "value",
+            "\x00",
+            "\\\\",
+        ),
     )
-    mis = out.where(F.col("obj_iri").isNull() & F.col("obj_literal").isNull()).select(
-        "value"
-    ).take(1)
-    if mis:
-        raise ValueError(f"unsupported RDF object term: {mis[0]['value']!r}")
-    return out.drop("value")
+    out = parsed.select(
+        F.col("_s_iri").alias("subject"),
+        "predicate",
+        obj_iri.alias("obj_iri"),
+        obj_literal.alias("obj_literal"),
+        "value",
+        F.col("_s_bnode").alias("_s_bnode"),
+    )
+    # Lazy fail-loud: the guard is a WHERE clause — a filter determines
+    # cardinality, so Catalyst can never prune it (a guard riding an
+    # output column would vanish under count()'s column pruning). The
+    # first action over the frame raises on the first bad line and a
+    # clean import costs ONE pass, not an eager validation scan.
+    bad_line = (F.col("subject") == "") & (F.col("_s_bnode") == "")
+    guard = F.when(
+        bad_line,
+        F.raise_error(F.concat(F.lit("not an N-Triples line: "), F.col("value"))),
+    ).when(
+        F.col("obj_iri").isNull() & F.col("obj_literal").isNull(),
+        F.raise_error(
+            F.concat(F.lit("unsupported RDF object term: "), F.col("value"))
+        ),
+    )
+    if accept_blank_nodes:
+        subject_out = F.when(
+            F.col("_s_bnode") != "", _bnode_iri(F.col("_s_bnode"))
+        ).otherwise(F.col("subject"))
+    else:
+        guard = guard.when(
+            F.col("_s_bnode") != "",
+            F.raise_error(
+                F.concat(
+                    F.lit("blank-node subject (pass accept_blank_nodes=True): "),
+                    F.col("value"),
+                )
+            ),
+        )
+        subject_out = F.col("subject")
+    return out.where(guard.otherwise(F.lit(True))).select(
+        subject_out.alias("subject"),
+        "predicate",
+        "obj_iri",
+        "obj_literal",
+    )
 
 
 def _local_name(col):

@@ -66,9 +66,45 @@ def test_ntriples_literal_escapes(spark, tmp_path):
 
 
 def test_ntriples_rejects_garbage_and_blank_nodes(spark, tmp_path):
-    with pytest.raises(ValueError, match="not an N-Triples line"):
+    # r8: fail-loud is lazy — the error surfaces from the first ACTION
+    # (one scan per import), as a Spark raise_error, not an eager pass
+    with pytest.raises(Exception, match="not an N-Triples line"):
         read_ntriples(spark, _write(tmp_path, "this is not rdf\n")).collect()
-    with pytest.raises(ValueError, match="unsupported RDF object"):
+    with pytest.raises(Exception, match="unsupported RDF object"):
         read_ntriples(
             spark, _write(tmp_path, "<urn:a> <urn:p> _:blank .\n")
         ).collect()
+    with pytest.raises(Exception, match="blank-node subject"):
+        read_ntriples(
+            spark, _write(tmp_path, '_:b0 <urn:p> "x" .\n')
+        ).collect()
+
+
+def test_ntriples_validation_is_lazy_one_pass(spark, tmp_path):
+    """Building the frame over a bad file must NOT raise (no eager
+    validation scan); only an action does."""
+    df = read_ntriples(spark, _write(tmp_path, "this is not rdf\n"))
+    with pytest.raises(Exception, match="not an N-Triples line"):
+        df.count()
+
+
+def test_ntriples_blank_nodes_under_flag(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "\n".join(
+            [
+                "_:b0 <urn:rel/KNOWS> <urn:a> .",
+                "<urn:a> <urn:rel/KNOWS> _:b1 .",
+                '_:b0 <urn:prop/name> "Anon" .',
+            ]
+        ),
+    )
+    t = read_ntriples(spark, path, accept_blank_nodes=True)
+    rels = {(r["src"], r["type"], r["dst"]) for r in rels_from_triples(t).collect()}
+    assert rels == {
+        ("bnode://b0", "KNOWS", "urn:a"),
+        ("urn:a", "KNOWS", "bnode://b1"),
+    }
+    nodes = {r["uri"]: dict(r["properties"]) for r in nodes_from_triples(t).collect()}
+    assert nodes["bnode://b0"] == {"name": "Anon"}
+    assert set(nodes) == {"bnode://b0", "bnode://b1", "urn:a"}
