@@ -66,6 +66,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r8: N-Triples validation made lazy (WHERE-clause raise_error guard,
     # one scan per import) + blank-node subjects/objects under a flag
     "rdf_import_triples",
+    # r8: rows-only → oracle-paired conversions (first driver grade with
+    # an oracle): serving-shape PageRank's early exit replicated in SQL;
+    # simhash token hash switched xxhash64 → md5-64 so the signature and
+    # the banded near-dup pairs replay exactly in DuckDB
+    "gds_pagerank_serving",
+    "llm_simhash",
+    "llm_simhash_neardup",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

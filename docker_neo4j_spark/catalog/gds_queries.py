@@ -101,6 +101,45 @@ def _pagerank_sql(iterations: int, weighted: bool, out_scale: str) -> str:
     return "\n".join(parts)
 
 
+def _pagerank_serving_sql(max_iter: int, tol: str, out_scale: str) -> str:
+    """Unrolled SERVING-shape PageRank (maxIterations + tolerance early
+    exit) as chained DuckDB CTEs — twin of ``operators/gds.pagerank``
+    with ``tolerance`` set. The early exit is replicated, not approximated:
+    after unrolling all ``max_iter`` rounds, per-round deltas
+    ``d_k = Σ|pr_k − pr_{k-1}|`` feed a stop-round pick
+    ``k* = min k s.t. d_k < tol·N`` (else ``max_iter``) — the same
+    comparison the operator makes after each round — and the output is
+    round ``k*``'s frame. Deltas shrink geometrically (×damping), so the
+    threshold crossing sits orders of magnitude above cross-engine
+    last-ulp summation noise; the comparison agrees on both sides."""
+    base = _pagerank_sql(max_iter, weighted=False, out_scale=out_scale)
+    # reuse the unrolled chain; replace the final SELECT with the
+    # delta/stop/pick tail
+    chain = base[: base.rindex("SELECT id, CAST(ROUND")]
+    parts = [chain.rstrip().rstrip(",") + ","]
+    for k in range(1, max_iter + 1):
+        parts.append(
+            f"d{k} AS (SELECT SUM(ABS(a.pr - b.pr)) AS d "
+            f"FROM pr{k} a JOIN pr{k - 1} b USING (id)),"
+        )
+    deltas = " UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT d FROM d{k}) AS d" for k in range(1, max_iter + 1)
+    )
+    parts.append(
+        f"stop AS (SELECT COALESCE(MIN(k), {max_iter}) AS k FROM ({deltas}) "
+        f"WHERE d < {tol} * (SELECT n FROM nt)),"
+    )
+    allpr = " UNION ALL ".join(
+        f"SELECT {k} AS k, id, pr FROM pr{k}" for k in range(1, max_iter + 1)
+    )
+    parts.append(f"allpr AS ({allpr})")
+    parts.append(
+        f"SELECT id, CAST(ROUND(pr * {out_scale}) AS BIGINT) AS pr_scaled "
+        f"FROM allpr WHERE k = (SELECT k FROM stop)"
+    )
+    return "\n".join(parts)
+
+
 def _ppr_sql(iterations: int, out_scale: str) -> str:
     """Unrolled personalized PageRank (single lowest-customer seed) as
     chained DuckDB CTEs — twin of ``operators/gds.personalized_pagerank``:
@@ -895,16 +934,19 @@ def gds_personalized_pagerank(spark, sf_dir):
     )
 
 
-@register("gds_pagerank_serving")  # rows-only: early-exit iteration count is convergence-dependent
+@register(
+    "gds_pagerank_serving",
+    _pagerank_serving_sql(20, tol="1.0e-7", out_scale="1e6"),
+)
 def gds_pagerank_serving(spark, sf_dir):
     """gds.pageRank in its default SERVING shape — maxIterations=20,
-    tolerance=1e-7 (the knob's documented defaults) — the query bench.py
-    times as `gds_pagerank`. The oracle-checked `gds_pagerank` row pins
-    iterations=15 with no early exit so the DuckDB unrolled twin is exact;
-    this row exists so the benchmark measures what a server would run.
-    Rows-only by design: the early-exit round count depends on float
-    convergence, so per-node values land within `tolerance` of — but not
-    bit-equal to — the fixed-mode fixpoint."""
+    tolerance=1e-7 (the knob's documented defaults).
+
+    Oracle (r8, was rows-only): ``_pagerank_serving_sql`` unrolls all 20
+    rounds AND replicates the early exit — per-round Σ|Δpr| deltas pick
+    the same stop round the operator's `delta < tol·N` check does, so
+    the surfaced frame is the identical round on both engines (deltas
+    shrink geometrically, so the threshold comparison is noise-proof)."""
     g = build_graph(spark, sf_dir)
     out = gds.pagerank(g.rels, g.nodes, iterations=20, tolerance=1e-7)
     return out.select(

@@ -292,17 +292,112 @@ def llm_minhash_neardup(spark, sf_dir):
     return dd.near_dup_dedup(d, threshold=0.5)
 
 
-@register("llm_simhash")  # rows-only: depends on Spark's xxhash64 family
+# SimHash chunk CTEs shared by the two simhash oracles. Token hash = the
+# first 64 bits of md5 (exactly operators/dedup.simhash since the r8
+# md5 switch); bit i of the 16-char hex prefix lives in hex char
+# 16 − i//4 at nibble bit i%4. Bits vote with multiplicity (2·cnt > n),
+# then pack into the same 4×16-bit band chunks the LSH uses — chunk
+# values < 2^16, so no 64-bit sign pitfalls on either engine.
+_SIMHASH_CHUNKS = """
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents
+    ),
+    h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tok),
+    v AS (
+      SELECT doc_id, g.i,
+             SUM((CAST(concat('0x', substr(hx, 16 - CAST(FLOOR(g.i / 4) AS INTEGER), 1)) AS INTEGER)
+                  >> (g.i % 4)) & 1) AS cnt,
+             COUNT(*) AS n
+      FROM h, (SELECT unnest(range(64)) AS i) g
+      GROUP BY doc_id, g.i
+    ),
+    bits AS (SELECT doc_id, i, CASE WHEN cnt * 2 > n THEN 1 ELSE 0 END AS bit FROM v),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i < 16 THEN bit * (1 << (i % 16)) ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN i >= 16 AND i < 32 THEN bit * (1 << (i % 16)) ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN i >= 32 AND i < 48 THEN bit * (1 << (i % 16)) ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN i >= 48 THEN bit * (1 << (i % 16)) ELSE 0 END) AS BIGINT) AS c3
+      FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT d.doc_id, COALESCE(c0, 0) AS c0, COALESCE(c1, 0) AS c1,
+             COALESCE(c2, 0) AS c2, COALESCE(c3, 0) AS c3
+      FROM documents d LEFT JOIN agg USING (doc_id)
+    )
+"""
+
+
+def _simhash_chunk_cols(sig):
+    """(doc_id, simhash) → the 4×16-bit band chunks as long columns —
+    sign-safe on both engines (shiftright sign-extends, the mask strips)."""
+    return sig.select(
+        "doc_id",
+        *[
+            F.shiftright("simhash", 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("long")
+            .alias(f"c{b}")
+            for b in range(4)
+        ],
+    )
+
+
+@register(
+    "llm_simhash",
+    f"WITH {_SIMHASH_CHUNKS} SELECT doc_id, c0, c1, c2, c3 FROM chunks",
+)
 def llm_simhash(spark, sf_dir):
-    """64-bit SimHash signature per document (map-only)."""
+    """64-bit SimHash signature per document (map-only), surfaced as its
+    4×16-bit band chunks.
+
+    Oracle (r8, was rows-only): the md5-based token hash exists verbatim
+    in DuckDB, so the exact signature is replayed cross-engine
+    (``_SIMHASH_CHUNKS``); chunk values < 2^16 sidestep 64-bit sign
+    divergence in the compared surface."""
     d = load_tables(spark, sf_dir)["documents"]
-    return dd.simhash(d)
+    return _simhash_chunk_cols(dd.simhash(d))
 
 
-@register("llm_simhash_neardup")  # rows-only: xxhash64-derived signatures
+@register(
+    "llm_simhash_neardup",
+    f"""
+    WITH {_SIMHASH_CHUNKS},
+    banded AS (
+      SELECT doc_id, g.b,
+             CASE g.b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS chunk
+      FROM chunks, (SELECT unnest(range(4)) AS b) g
+    ),
+    ok_buckets AS (
+      SELECT b, chunk FROM banded GROUP BY b, chunk
+      HAVING COUNT(*) > 1 AND COUNT(*) <= 1000
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS key_a, y.doc_id AS key_b
+      FROM banded x
+      JOIN ok_buckets o ON o.b = x.b AND o.chunk = x.chunk
+      JOIN banded y ON y.b = x.b AND y.chunk = x.chunk AND x.doc_id < y.doc_id
+    )
+    SELECT p.key_a, p.key_b,
+           CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+             AS BIGINT) AS hamming
+    FROM pairs p
+    JOIN chunks a ON a.doc_id = p.key_a
+    JOIN chunks b ON b.doc_id = p.key_b
+    WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+        + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+    """,
+)
 def llm_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs via 4×16-bit banding (exact recall at
-    Hamming ≤ 3 by pigeonhole; bucket join, never all-pairs)."""
+    Hamming ≤ 3 by pigeonhole; bucket join, never all-pairs).
+
+    Oracle (r8, was rows-only): same banded bucket join in SQL — bucket
+    membership, the ``max_bucket`` skew cap, and the per-pair Hamming
+    verify are all deterministic given the md5 signatures; Hamming is
+    summed per chunk so neither engine touches a signed 64-bit value."""
     d = load_tables(spark, sf_dir)["documents"]
     return dd.simhash_neardup(d, max_hamming=3)
 

@@ -191,11 +191,24 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataF
     hashes: set iff 2·|{tokens with bit i set}| > |tokens| (ties → 0,
     matching sign(Σ±1) ≤ 0). Token multiplicity weights the vote. 64
     static-index array filters — no explode, no shuffle, full codegen.
+
+    Token hash = the first 64 bits of md5 (hi<<32 | lo from the leading
+    16 hex chars; r8, was xxhash64): md5 exists verbatim in DuckDB, so
+    the signature — and everything banded from it — is oracle-pairable
+    cross-engine, at the same map-only plan shape.
     """
     # Materialize token hashes once (64 bit-filters reference them; no CSE
     # across lambdas), then vote on the precomputed hash array.
     src = df.select(
-        key, F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias("_h")
+        key, F.transform(tokens(text_col), F.md5).alias("_m")
+    ).select(
+        key,
+        F.transform(
+            "_m",
+            lambda m: F.shiftleft(
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long"), 32
+            ).bitwiseOR(F.conv(F.substring(m, 9, 8), 16, 10).cast("long")),
+        ).alias("_h"),
     )
     n = F.size("_h")
 
