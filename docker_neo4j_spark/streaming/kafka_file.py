@@ -9,10 +9,14 @@ connector —
 
 - ``kafka.bootstrap.servers`` → the spool root (a directory path plays
   the broker address),
-- ``subscribe`` (comma-separated topic list) / ``topic`` → topics;
-  producers may omit the option and route per-row via a ``topic`` column
-  (the real producer contract),
-- ``startingOffsets`` → ``earliest``/``latest``,
+- exactly ONE of ``assign`` (JSON ``{"topic": [0]}``), ``subscribe``
+  (comma-separated topic list), or ``subscribePattern`` (regex) for
+  reads — the real connector's subscription rule; producers take an
+  optional ``topic`` or route per-row via a ``topic`` column (the real
+  producer contract),
+- ``startingOffsets`` → ``earliest``/``latest``/per-partition JSON
+  (``{"topic": {"0": off}}``, -2 = earliest, -1 = latest; ``latest``
+  refused for batch reads, as the real connector refuses it),
 
 and yields the real connector's exact output schema
 ``key binary, value binary, topic string, partition int, offset bigint,
@@ -148,18 +152,106 @@ def _to_output_row(rec: dict, topic: str, offset: int):
 
 
 class _Opts:
-    def __init__(self, options, for_write: bool = False):
+    """Option surface of the real connector, validated the way it
+    validates: reads take EXACTLY ONE of ``assign`` (JSON topic →
+    partition list), ``subscribe`` (comma-separated list), or
+    ``subscribePattern`` (regex); writes take an optional ``topic``
+    (else per-row routing). ``startingOffsets`` accepts
+    ``earliest``/``latest`` or the per-partition JSON form
+    (``{"topic": {"0": off}}``, with -2 = earliest and -1 = latest;
+    partitions missing from the JSON start earliest); ``latest`` is
+    refused for batch reads — all real-connector rules."""
+
+    def __init__(self, options, for_write: bool = False, for_batch: bool = False):
         self.root = options.get("kafka.bootstrap.servers")
-        raw = options.get("subscribe") or options.get("topic")
-        # the real connector's subscribe takes a comma-separated topic list
-        self.topics = [t.strip() for t in (raw or "").split(",") if t.strip()]
-        self.topic = self.topics[0] if self.topics else None
-        self.starting = (options.get("startingOffsets") or "earliest").lower()
-        if not self.root or (not self.topics and not for_write):
+        if not self.root:
             raise ValueError(
-                "file_kafka requires kafka.bootstrap.servers (spool dir) and "
-                "subscribe/topic options — the real connector's option names"
+                "file_kafka requires kafka.bootstrap.servers (spool dir) — "
+                "the real connector's option name"
             )
+        self.topic = (options.get("topic") or "").strip() or None
+        if for_write:
+            self.topics: list[str] = [self.topic] if self.topic else []
+            self.starting = "earliest"
+            self.starting_json = None
+            return
+        modes = [
+            k for k in ("assign", "subscribe", "subscribePattern") if options.get(k)
+        ]
+        if len(modes) != 1:
+            raise ValueError(
+                "file_kafka reads require exactly one of assign / subscribe / "
+                "subscribePattern — the real connector's subscription rule"
+            )
+        mode = modes[0]
+        if mode == "subscribe":
+            self.topics = [
+                t.strip() for t in options.get("subscribe").split(",") if t.strip()
+            ]
+            if not self.topics:
+                raise ValueError("file_kafka: empty subscribe topic list")
+        elif mode == "assign":
+            try:
+                spec = json.loads(options.get("assign"))
+                assert isinstance(spec, dict) and spec
+            except (ValueError, AssertionError):
+                raise ValueError(
+                    'file_kafka: assign must be JSON like {"topic": [0]} — '
+                    "the real connector's assign form"
+                ) from None
+            for topic, parts in spec.items():
+                if parts not in ([0], []):
+                    raise ValueError(
+                        f"file_kafka: topic {topic!r} has a single partition 0 "
+                        f"(assign requested {parts!r})"
+                    )
+            self.topics = sorted(spec)
+        else:  # subscribePattern — resolved against the spool at plan time
+            pat = re.compile(options.get("subscribePattern"))
+            existing = (
+                sorted(os.listdir(self.root)) if os.path.isdir(self.root) else []
+            )
+            self.topics = [
+                t
+                for t in existing
+                if pat.fullmatch(t) and os.path.isdir(os.path.join(self.root, t))
+            ]
+        raw_start = options.get("startingOffsets") or "earliest"
+        self.starting_json = None
+        if raw_start.strip().startswith("{"):
+            try:
+                self.starting_json = {
+                    t: {int(p): int(o) for p, o in parts.items()}
+                    for t, parts in json.loads(raw_start).items()
+                }
+            except (ValueError, AttributeError):
+                raise ValueError(
+                    "file_kafka: startingOffsets JSON must be "
+                    '{"topic": {"partition": offset}}'
+                ) from None
+            self.starting = "json"
+        else:
+            self.starting = raw_start.strip().lower()
+            if self.starting not in ("earliest", "latest"):
+                raise ValueError(
+                    f"file_kafka: bad startingOffsets {raw_start!r}"
+                )
+        if for_batch and self.starting == "latest":
+            raise ValueError(
+                "file_kafka: startingOffsets 'latest' is not allowed for "
+                "batch queries — the real connector's rule"
+            )
+
+    def start_index(self, topic: str, log_len: int) -> int:
+        """Resolved start position for a topic's single partition 0."""
+        if self.starting_json is not None:
+            off = self.starting_json.get(topic, {}).get(0, -2)
+            if off == -2:
+                return 0
+            if off == -1:
+                return log_len
+            return min(max(off, 0), log_len)
+        return log_len if self.starting == "latest" else 0
 
 
 class FileKafkaBatchReader(DataSourceReader):
@@ -168,7 +260,9 @@ class FileKafkaBatchReader(DataSourceReader):
 
     def read(self, partition) -> Iterator[tuple]:
         for topic in self.opts.topics:
-            for i, rec in enumerate(_log_records(self.opts.root, topic)):
+            records = _log_records(self.opts.root, topic)
+            start = self.opts.start_index(topic, len(records))
+            for i, rec in enumerate(records[start:], start=start):
                 yield _to_output_row(rec, topic, i)
 
 
@@ -194,13 +288,12 @@ class FileKafkaStreamReader(SimpleDataSourceStreamReader):
         self.opts = opts
 
     def initialOffset(self) -> dict:
-        if self.opts.starting == "latest":
-            return {
-                "n": {
-                    t: len(_log_records(self.opts.root, t)) for t in self.opts.topics
-                }
+        return {
+            "n": {
+                t: self.opts.start_index(t, len(_log_records(self.opts.root, t)))
+                for t in self.opts.topics
             }
-        return {"n": {t: 0 for t in self.opts.topics}}
+        }
 
     def read(self, start: dict):
         lo = _norm_offset(start, self.opts.topics)
@@ -307,7 +400,7 @@ class FileKafkaDataSource(DataSource):
         return KAFKA_SCHEMA
 
     def reader(self, schema) -> FileKafkaBatchReader:
-        return FileKafkaBatchReader(_Opts(self.options))
+        return FileKafkaBatchReader(_Opts(self.options, for_batch=True))
 
     def simpleStreamReader(self, schema) -> FileKafkaStreamReader:
         return FileKafkaStreamReader(_Opts(self.options))

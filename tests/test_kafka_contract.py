@@ -272,3 +272,126 @@ def test_part_sequence_survives_clock_stepback(spark, broker, monkeypatch):
         if m
     )
     assert seqs == [0, 1, 2]  # dense, dir-derived, clock-independent
+
+
+def test_subscription_mode_mutual_exclusion(spark, broker):
+    """Exactly one of assign/subscribe/subscribePattern — zero or two is
+    the real connector's IllegalArgumentException."""
+    _produce(spark, broker, "t", [("a", "v")])
+    with pytest.raises(Exception, match="exactly one of"):
+        spark.read.format("file_kafka").option(
+            "kafka.bootstrap.servers", broker
+        ).load().collect()
+    with pytest.raises(Exception, match="exactly one of"):
+        spark.read.format("file_kafka").option(
+            "kafka.bootstrap.servers", broker
+        ).option("subscribe", "t").option("assign", '{"t": [0]}').load().collect()
+
+
+def test_assign_mode(spark, broker):
+    """assign takes the real connector's JSON form; a partition other
+    than 0 fails loudly (the twin is single-partition per topic)."""
+    _produce(spark, broker, "ta", [("a", "v0")])
+    _produce(spark, broker, "tb", [("b", "v1")])
+    rows = (
+        spark.read.format("file_kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option("assign", '{"ta": [0], "tb": [0]}')
+        .load()
+        .collect()
+    )
+    assert {r["topic"] for r in rows} == {"ta", "tb"}
+    with pytest.raises(Exception, match="single partition 0"):
+        spark.read.format("file_kafka").option(
+            "kafka.bootstrap.servers", broker
+        ).option("assign", '{"ta": [0, 1]}').load().collect()
+    with pytest.raises(Exception, match="assign must be JSON"):
+        spark.read.format("file_kafka").option(
+            "kafka.bootstrap.servers", broker
+        ).option("assign", "ta").load().collect()
+
+
+def test_subscribe_pattern_mode(spark, broker):
+    _produce(spark, broker, "events_a", [("a", "v0")])
+    _produce(spark, broker, "events_b", [("b", "v1")])
+    _produce(spark, broker, "other", [("c", "v2")])
+    rows = (
+        spark.read.format("file_kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribePattern", "events_.*")
+        .load()
+        .collect()
+    )
+    assert {r["topic"] for r in rows} == {"events_a", "events_b"}
+    # zero matches is an empty result, not an error (real connector)
+    empty = (
+        spark.read.format("file_kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribePattern", "nomatch_.*")
+        .load()
+        .collect()
+    )
+    assert empty == []
+
+
+def test_starting_offsets_json_batch(spark, broker):
+    """Per-partition JSON startingOffsets: a concrete offset seeks, -2 is
+    earliest, -1 is latest; a topic missing from the JSON starts
+    earliest."""
+    _produce(spark, broker, "j1", [(str(i), f"v{i}") for i in range(5)])
+    _produce(spark, broker, "j2", [(str(i), f"w{i}") for i in range(3)])
+    rows = (
+        spark.read.format("file_kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "j1,j2")
+        .option("startingOffsets", '{"j1": {"0": 3}, "j2": {"0": -2}}')
+        .load()
+        .collect()
+    )
+    got = sorted((r["topic"], r["offset"]) for r in rows)
+    assert got == [("j1", 3), ("j1", 4), ("j2", 0), ("j2", 1), ("j2", 2)]
+    # -1 (latest) yields nothing in batch for that topic
+    rows2 = (
+        spark.read.format("file_kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "j1,j2")
+        .option("startingOffsets", '{"j1": {"0": -1}}')
+        .load()
+        .collect()
+    )
+    got2 = sorted((r["topic"], r["offset"]) for r in rows2)
+    assert got2 == [("j2", 0), ("j2", 1), ("j2", 2)]
+
+
+def test_batch_read_refuses_latest(spark, broker):
+    _produce(spark, broker, "t", [("a", "v")])
+    with pytest.raises(Exception, match="not allowed for"):
+        spark.read.format("file_kafka").option(
+            "kafka.bootstrap.servers", broker
+        ).option("subscribe", "t").option(
+            "startingOffsets", "latest"
+        ).load().collect()
+
+
+def test_starting_offsets_json_streaming(spark, broker, tmp_path):
+    """The JSON form also seeds a NEW streaming checkpoint's initial
+    offset (existing checkpoints keep their own positions)."""
+    _produce(spark, broker, "js", [(str(i), f"v{i}") for i in range(4)])
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("file_kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "js")
+        .option("startingOffsets", '{"js": {"0": 2}}')
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(60)
+    )
+    vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert vals == ["v2", "v3"]
