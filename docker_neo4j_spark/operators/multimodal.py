@@ -82,9 +82,34 @@ def attach_media(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> 
     )
 
 
+try:  # import-guarded real codec: present in deployments, not this container
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - container has no PIL
+    _PILImage = None
+    HAS_PIL = False
+
+
 def decode_image(payload: bytes) -> object:
-    """Real image decode — requires a codec library not in this container."""
+    """Image decode: real (PIL) when the codec library is importable —
+    the same code runs unmodified in a codec-equipped environment —
+    else the explicit stub this container documents."""
+    if HAS_PIL:
+        import io
+
+        return _PILImage.open(io.BytesIO(payload))
     raise NotImplementedError("image decode requires PIL/ffmpeg; not available here")
+
+
+def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize: decode, nearest-neighbor resize, re-encode as PNG."""
+    import io
+
+    img = decode_image(payload)
+    buf = io.BytesIO()
+    img.resize((width, height)).save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -127,20 +152,34 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, codec: str = "fake"
+) -> DataFrame:
     """Batch image resize over ``mapInPandas`` (Arrow in/out, one worker
     per partition): payload → width×height payload + dims metadata.
 
-    The codec is a clearly-marked deterministic fake (`_fake_resize`);
-    swap in PIL per format for real deployments — the Spark-side schema,
-    partitioning, and batch flow are the real contract.
+    ``codec``: ``"fake"`` (default) uses the clearly-marked deterministic
+    byte-subsample (`_fake_resize` — environment-independent, so the
+    contract tests run anywhere); ``"pil"`` decodes/resizes/re-encodes
+    with PIL and fails loud if the library is absent. The Spark-side
+    schema, partitioning, and batch flow are identical either way — the
+    real contract this module exists to pin.
     """
+    if codec not in ("fake", "pil"):
+        raise ValueError(f"codec must be 'fake' or 'pil', got {codec!r}")
+    if codec == "pil" and not HAS_PIL:
+        raise NotImplementedError("codec='pil' requires PIL; not available here")
+    resize = (
+        _pil_resize
+        if codec == "pil"
+        else _fake_resize
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["media_id", "format"]].copy()
             out["payload"] = pdf["payload"].map(
-                lambda p: _fake_resize(bytes(p), width, height)
+                lambda p: resize(bytes(p), width, height)
             )
             out["n_bytes"] = out["payload"].map(len).astype("int64")
             out["width"] = width
