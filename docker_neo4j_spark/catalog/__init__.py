@@ -73,6 +73,16 @@ _CHANGED_THIS_ROUND: list[str] = [
     "gds_pagerank_serving",
     "llm_simhash",
     "llm_simhash_neardup",
+    # r8: façade pattern parsing + clause splitting ported from the
+    # _NODE_RE/_REL_RE/_split_top regex scanners to the positional token
+    # lexer (cypher/lexer.py) — re-grade representative rows that push
+    # the ported path hardest (rel patterns + props, var-length bounds,
+    # type alternation, comprehension scan, CREATE/SET props)
+    "cypher_shortest_path",
+    "cypher_var_length",
+    "cypher_rel_alternation",
+    "cypher_pattern_comprehension",
+    "cypher_set_delete_readback",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

@@ -34,44 +34,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..storage.store import GraphStore
-
-# The props block is quote-aware (r6 ADVICE): quoted spans are matched
-# atomically so '}' ',' '{' inside string literals can't terminate the
-# block early, and one level of brace nesting covers map-valued props.
-_PROPS_BODY = (
-    r"(?:'[^']*'|\"[^\"]*\""           # string literals, atomically
-    r"|\{(?:'[^']*'|\"[^\"]*\"|[^{}'\"])*\}"  # one nested map level
-    r"|[^{}'\"])*"                     # everything else, no stray braces
+from .lexer import (  # r8: the positional-token lexer replaces the regex
+    PROPS_BODY as _PROPS_BODY,  # scanners (_NODE_RE/_REL_RE) and the
+    Node as _Node,   # char-scan splitter — see cypher/lexer.py
+    Rel as _Rel,
+    parse_pattern as _parse_pattern,
+    parse_props as _parse_props,
+    parse_value as _parse_value,
+    split_top as _split_top,
 )
-_NODE_RE = re.compile(
-    r"\(\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*(?::(?P<label>[A-Za-z_][A-Za-z0-9_]*))?"
-    r"\s*(?:\{(?P<props>" + _PROPS_BODY + r")\})?\s*\)"
-)
-_REL_RE = re.compile(
-    r"(?P<larrow><)?-\s*\[\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
-    r"(?::(?P<type>[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?"
-    r"(?:\s*\*\s*(?P<lo>\d+)?(?:\s*\.\.\s*(?P<hi>\d+))?)?"
-    r"(?:\s*\{(?P<props>" + _PROPS_BODY + r")\})?"
-    r"\s*\]\s*-(?P<rarrow>>)?"
-)
-
-
-@dataclass
-class _Node:
-    var: str | None
-    label: str | None
-    props: dict
-
-
-@dataclass
-class _Rel:
-    var: str | None
-    rel_type: str | None
-    reversed: bool
-    lo: int | None = None  # var-length *lo..hi bounds; None = single hop
-    hi: int | None = None
-    undirected: bool = False  # `(a)-[:T]-(b)` — no arrow on either side
-    props: dict = field(default_factory=dict)  # `[r:T {k: v}]` map
 
 
 def _direction(rel: "_Rel") -> str:
@@ -82,18 +53,6 @@ def _direction(rel: "_Rel") -> str:
     return "in" if rel.reversed else "out"
 
 
-def _parse_props(src: str | None) -> dict:
-    if not src:
-        return {}
-    out = {}
-    for part in _split_top(src, ","):  # quote/bracket-aware, not str.split
-        if not part.strip():
-            continue
-        k, v = part.split(":", 1)
-        out[k.strip()] = _parse_value(v.strip())
-    return out
-
-
 def _lit_map(d: dict) -> F.Column:
     """Map literal → a map column (nested maps recurse; scalars/lists via
     F.lit) — the ``RETURN {a: 1} AS m`` surface."""
@@ -102,27 +61,6 @@ def _lit_map(d: dict) -> F.Column:
         kv.append(F.lit(k))
         kv.append(_lit_map(v) if isinstance(v, dict) else F.lit(v))
     return F.create_map(*kv)
-
-
-def _parse_value(v: str):
-    if v.startswith("["):
-        return [
-            _parse_value(x.strip()) for x in _split_top(v[1:-1], ",") if x.strip()
-        ]
-    if v.startswith("{"):
-        out = {}
-        for part in _split_top(v[1:-1], ","):
-            if part.strip():
-                k, val = part.split(":", 1)
-                out[k.strip().strip("'\"`")] = _parse_value(val.strip())
-        return out
-    if v.startswith(("'", '"')):
-        return v[1:-1]
-    if v.lower() in ("true", "false"):
-        return v.lower() == "true"
-    if v.lower() == "null":
-        return None
-    return float(v) if "." in v else int(v)
 
 
 _WHERE_TOKEN_RE = re.compile(
@@ -880,87 +818,10 @@ def _order_keys(order_by: str, resolve) -> list:
     return keys
 
 
-def _split_top(src: str, word: str) -> list[str]:
-    """Split ``src`` on keyword ``word`` at nesting depth 0 (outside any
-    (), [], {} and quotes) — the clause splitter for UNION / AND terms."""
-    parts: list[str] = []
-    depth = i = start = 0
-    n, w = len(src), len(word)
-    while i < n:
-        c = src[i]
-        if c in "([{":
-            depth += 1
-        elif c in ")]}":
-            depth -= 1
-        elif c in "'\"":
-            j = src.find(c, i + 1)
-            i = j if j > 0 else n - 1
-        elif (
-            depth == 0
-            and src[i : i + w].upper() == word
-            and (
-                not word[0].isalnum()  # punctuation separators need no boundary
-                or (
-                    (i == 0 or not (src[i - 1].isalnum() or src[i - 1] == "_"))
-                    and (i + w >= n or not (src[i + w].isalnum() or src[i + w] == "_"))
-                )
-            )
-        ):
-            parts.append(src[start:i])
-            i += w
-            start = i
-            continue
-        i += 1
-    parts.append(src[start:])
-    return parts
-
-
 def _looks_like_pattern(src: str) -> bool:
     """A WHERE term that is itself a relationship pattern, e.g.
     ``(a)-[:T]->(b)`` — node paren followed by a rel bracket."""
     return bool(re.match(r"\(", src)) and bool(re.search(r"\)\s*<?-\s*\[", src))
-
-
-def _parse_pattern(src: str) -> tuple[list, str]:
-    """Parse ``(a:L {..})-[:T]->(b)...``; returns (elements, rest)."""
-    elems: list = []
-    pos = 0
-    m = _NODE_RE.match(src, pos)
-    if not m:
-        raise ValueError(f"expected node pattern at: {src[pos:pos+40]!r}")
-    elems.append(_Node(m.group("var"), m.group("label"), _parse_props(m.group("props"))))
-    pos = m.end()
-    while True:
-        r = _REL_RE.match(src, pos)
-        if not r:
-            break
-        n = _NODE_RE.match(src, r.end())
-        if not n:
-            raise ValueError(f"expected node after relationship at: {src[r.end():][:40]!r}")
-        lo = hi = None
-        if "*" in r.group(0):
-            # `*` → 1..10 (engine cap), `*n` → n..n, `*a..b` → a..b, `*..b` → 1..b
-            lo = int(r.group("lo") or 1)
-            if r.group("hi"):
-                hi = int(r.group("hi"))
-            elif ".." in r.group(0) or not r.group("lo"):
-                hi = 10
-            else:
-                hi = lo
-        elems.append(
-            _Rel(
-                r.group("var"),
-                r.group("type"),
-                bool(r.group("larrow")),
-                lo,
-                hi,
-                undirected=not r.group("larrow") and not r.group("rarrow"),
-                props=_parse_props(r.group("props")),
-            )
-        )
-        elems.append(_Node(n.group("var"), n.group("label"), _parse_props(n.group("props"))))
-        pos = n.end()
-    return elems, src[pos:].strip()
 
 
 @dataclass

@@ -11,7 +11,7 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from docker_neo4j_spark.cypher.session import _NODE_RE, _parse_props
+from docker_neo4j_spark.cypher.lexer import parse_pattern, parse_props, split_top
 
 # string values draw from an alphabet that INCLUDES the structural
 # characters the scanner must not trip on; quotes/backslash excluded
@@ -55,32 +55,59 @@ def _render_props(d: dict) -> str:
 @given(_props, st.one_of(st.none(), _ident), st.one_of(st.none(), _ident))
 @settings(max_examples=300, deadline=None)
 def test_node_pattern_props_roundtrip(props, var, label):
-    """(var:Label {props}) → _NODE_RE + _parse_props recovers exactly the
-    generated var, label, and property map."""
+    """(var:Label {props}) → the lexer's parse_pattern recovers exactly
+    the generated var, label, and property map (r8: token stream, was
+    _NODE_RE + _parse_props)."""
     src = "(" + (var or "")
     if label:
         src += f":{label}"
     if props or not (var or label):
         src += " " + _render_props(props)
     src += ")"
-    m = _NODE_RE.match(src)
-    assert m is not None, src
-    assert m.end() == len(src), f"scan stopped early in {src!r}: {src[:m.end()]!r}"
-    assert m.group("var") == var
-    assert m.group("label") == label
-    assert _parse_props(m.group("props")) == props
+    elems, rest = parse_pattern(src)
+    assert len(elems) == 1 and rest == "", f"scan stopped early in {src!r}"
+    node = elems[0]
+    assert node.var == var
+    assert node.label == label
+    assert node.props == props
 
 
 @given(_props)
 @settings(max_examples=200, deadline=None)
-def test_node_regex_never_spills_past_pattern(props):
-    """In a longer statement the node match must stop at ITS closing
-    paren even when property strings contain ')' or '}'."""
-    src = f"(n:dog {_render_props(props)})-[:KNOWS]->(m:cat)"
-    m = _NODE_RE.match(src)
-    assert m is not None
-    assert _parse_props(m.group("props")) == props
-    assert src[m.end() :].startswith("-[:KNOWS]->")
+def test_node_parse_never_spills_past_pattern(props):
+    """In a longer statement the node parse must stop at ITS closing
+    paren even when property strings contain ')' or '}' — and the rel
+    that follows parses off the same token stream."""
+    src = f"(n:dog {_render_props(props)})-[:KNOWS]->(m:cat) RETURN n"
+    elems, rest = parse_pattern(src)
+    assert [type(e).__name__ for e in elems] == ["Node", "Rel", "Node"]
+    assert elems[0].props == props
+    assert elems[1].rel_type == "KNOWS"
+    assert rest == "RETURN n"
+
+
+@given(_props)
+@settings(max_examples=200, deadline=None)
+def test_rel_pattern_props_roundtrip(props):
+    """[r:T {props}] → the rel's property map round-trips exactly
+    (r7 ADVICE class: rel props parse with the same rigor as node
+    props; now shared token-stream code by construction)."""
+    src = f"(a)-[r:T {_render_props(props)}]->(b)"
+    elems, rest = parse_pattern(src)
+    assert rest == ""
+    assert elems[1].props == props
+
+
+@given(_props)
+@settings(max_examples=150, deadline=None)
+def test_split_top_never_splits_inside_values(props):
+    """split_top(',') at depth 0 must not split inside the props block,
+    whatever structural characters its strings contain."""
+    body = f"(n {_render_props(props)})"
+    parts = split_top(f"{body} , x", ",")
+    assert len(parts) == 2 and parts[0].strip() == body
+
+    assert parse_props(None) == {} and parse_props("  ") == {}
 
 
 def test_props_with_structural_chars_end_to_end(spark):
