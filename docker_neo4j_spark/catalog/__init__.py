@@ -93,6 +93,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 _NEW_THIS_ROUND: list[str] = [
     # r8 entries are appended as new rows register; reset at round start.
     "graphql_nested_two_levels",
+    "rdf_export_roundtrip",
 ]
 
 

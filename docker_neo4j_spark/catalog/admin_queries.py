@@ -852,6 +852,66 @@ def rdf_import_triples(spark, sf_dir):
 
 
 @register(
+    "rdf_export_roundtrip",
+    """
+    WITH t AS (
+      SELECT 'urn:g/rel/IN_REGION' AS predicate,
+             'urn:g/node/' || CAST(CAST(1000000000000 + n_regionkey AS BIGINT) AS VARCHAR) AS obj
+      FROM nation
+      UNION ALL SELECT 'urn:g/prop/name', n_name FROM nation
+      UNION ALL SELECT 'urn:g/prop/name', r_name FROM region
+    )
+    SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(obj) AS min_obj, MAX(obj) AS max_obj
+    FROM t GROUP BY predicate ORDER BY predicate
+    """,
+)
+def rdf_export_roundtrip(spark, sf_dir):
+    """r8 n10s export surface (neo4j-plugins.json:48-53): property graph →
+    RDF triples (``graph_to_triples``) → N-Triples text
+    (``to_ntriples``) → re-import (``read_ntriples``) → aggregate.
+    Export∘import must be the identity, so the roundtripped aggregate
+    equals the oracle computed straight from the source tables."""
+    from ..sources.rdf import graph_to_triples, read_ntriples, to_ntriples
+
+    t = load_tables(spark, sf_dir)
+    nodes = (
+        t["nation"]
+        .select(
+            (F.lit(2000000000000) + F.col("n_nationkey")).alias("id"),
+            F.col("n_name").alias("name"),
+        )
+        .unionByName(
+            t["region"].select(
+                (F.lit(1000000000000) + F.col("r_regionkey")).alias("id"),
+                F.col("r_name").alias("name"),
+            )
+        )
+    )
+    rels = t["nation"].select(
+        (F.lit(2000000000000) + F.col("n_nationkey")).alias("src"),
+        (F.lit(1000000000000) + F.col("n_regionkey")).alias("dst"),
+        F.lit("IN_REGION").alias("type"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        to_ntriples(graph_to_triples(nodes, rels, base="urn:g/")).write.mode(
+            "overwrite"
+        ).text(f"{tmp}/g.nt")
+        back = read_ntriples(spark, f"{tmp}/g.nt")
+        out = (
+            back.groupBy("predicate")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.min(F.coalesce("obj_literal", "obj_iri")).alias("min_obj"),
+                F.max(F.coalesce("obj_literal", "obj_iri")).alias("max_obj"),
+            )
+            .orderBy("predicate")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    return out
+
+
+@register(
     "graphql_region_rollup",
     """
     SELECT r_name AS name,

@@ -209,3 +209,103 @@ def nodes_from_triples(triples: DataFrame) -> DataFrame:
             "properties", F.map_from_arrays(F.array(), F.array())
         ).alias("properties"),
     )
+
+
+# ---- namespaces + export (the n10s surface's other half) -----------------
+#
+# Real n10s maps namespace prefixes (semantics.addNamespacePrefix) and
+# exports the graph back to RDF (semantics/n10s RDF export endpoints);
+# reference manifest: 3.5/coredb/neo4j-plugins.json:48-53.
+
+
+def shorten_iris(triples: DataFrame, prefixes: dict[str, str]) -> DataFrame:
+    """n10s ``Shorten`` mapping: replace each IRI's longest matching
+    namespace with ``prefix:`` (``{"rdf": "http://…#"}`` →
+    ``rdf:type``). Literals untouched; unmatched IRIs pass through. One
+    map-only projection — a chain of prefix-tested replaces, no UDFs."""
+    # longest namespace first so nested namespaces shorten deterministically
+    ordered = sorted(prefixes.items(), key=lambda kv: -len(kv[1]))
+
+    def short(col):
+        out = F.col(col) if isinstance(col, str) else col
+        for pfx, ns in ordered:
+            out = F.when(
+                out.startswith(ns),
+                F.concat(F.lit(pfx + ":"), F.substring(out, len(ns) + 1, 2**30)),
+            ).otherwise(out)
+        return out
+
+    return triples.select(
+        short("subject").alias("subject"),
+        short("predicate").alias("predicate"),
+        short(F.col("obj_iri")).alias("obj_iri"),
+        "obj_literal",
+    )
+
+
+def _escape_literal(col):
+    """Inverse of the reader's unescape: backslash first, then the
+    quote/newline/tab metacharacters."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    return F.regexp_replace(out, "\t", r"\\t")
+
+
+def to_ntriples(triples: DataFrame) -> DataFrame:
+    """(subject, predicate, obj_iri, obj_literal) → one ``value`` column
+    of N-Triples lines (the export sink: ``df.write.text(path)``).
+    Map-only; literals re-escaped so export∘import is the identity on
+    the supported subset."""
+    obj_term = F.when(
+        F.col("obj_iri").isNotNull(), F.concat(F.lit("<"), F.col("obj_iri"), F.lit(">"))
+    ).otherwise(F.concat(F.lit('"'), _escape_literal(F.col("obj_literal")), F.lit('"')))
+    return triples.select(
+        F.concat(
+            F.lit("<"), F.col("subject"), F.lit("> <"), F.col("predicate"),
+            F.lit("> "), obj_term, F.lit(" ."),
+        ).alias("value")
+    )
+
+
+def graph_to_triples(
+    nodes: DataFrame,
+    rels: DataFrame,
+    base: str = "urn:graph/",
+) -> DataFrame:
+    """Property graph → RDF triples (the n10s export mapping, inverted
+    import): every node id becomes ``<base>node/<id>``, every rel type a
+    ``<base>rel/<TYPE>`` predicate, every scalar node property a literal
+    triple under ``<base>prop/<key>``. Null properties are skipped.
+
+    ``nodes``: (id, <prop columns…>); ``rels``: (src, dst, type).
+    Map-only per frame; one union — no shuffle introduced by export."""
+    node_iri = lambda c: F.concat(F.lit(base + "node/"), F.col(c).cast("string"))  # noqa: E731
+    rel_triples = rels.select(
+        node_iri("src").alias("subject"),
+        F.concat(F.lit(base + "rel/"), F.col("type")).alias("predicate"),
+        node_iri("dst").alias("obj_iri"),
+        F.lit(None).cast("string").alias("obj_literal"),
+    )
+    prop_cols = [c for c in nodes.columns if c not in ("id", "labels")]
+    out = rel_triples
+    if prop_cols:
+        props = nodes.select(
+            node_iri("id").alias("subject"),
+            F.explode(
+                F.map_filter(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(c) for c in prop_cols]),
+                        F.array(*[F.col(c).cast("string") for c in prop_cols]),
+                    ),
+                    lambda _, v: v.isNotNull(),
+                )
+            ).alias("key", "val"),
+        ).select(
+            "subject",
+            F.concat(F.lit(base + "prop/"), F.col("key")).alias("predicate"),
+            F.lit(None).cast("string").alias("obj_iri"),
+            F.col("val").alias("obj_literal"),
+        )
+        out = out.unionByName(props)
+    return out

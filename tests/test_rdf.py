@@ -108,3 +108,56 @@ def test_ntriples_blank_nodes_under_flag(spark, tmp_path):
     nodes = {r["uri"]: dict(r["properties"]) for r in nodes_from_triples(t).collect()}
     assert nodes["bnode://b0"] == {"name": "Anon"}
     assert set(nodes) == {"bnode://b0", "bnode://b1", "urn:a"}
+
+
+def test_export_import_identity_on_escapes(spark, tmp_path):
+    """export ∘ import is the identity on the supported subset, including
+    literals holding every escape metacharacter."""
+    from docker_neo4j_spark.sources.rdf import to_ntriples
+
+    src = spark.createDataFrame(
+        [
+            ("urn:a", "urn:p/x", "urn:b", None),
+            ("urn:a", "urn:p/q", None, 'say "hi"'),
+            ("urn:a", "urn:p/n", None, "l1\nl2\tend"),
+            ("urn:a", "urn:p/b", None, "a\\n raw backslash"),
+        ],
+        "subject string, predicate string, obj_iri string, obj_literal string",
+    )
+    p = str(tmp_path / "out.nt")
+    to_ntriples(src).coalesce(1).write.mode("overwrite").text(p)
+    back = read_ntriples(spark, p)
+    got = {
+        (r["subject"], r["predicate"], r["obj_iri"], r["obj_literal"])
+        for r in back.collect()
+    }
+    want = {tuple(r) for r in src.collect()}
+    assert got == want
+
+
+def test_graph_to_triples_and_shorten(spark, tmp_path):
+    from docker_neo4j_spark.sources.rdf import graph_to_triples, shorten_iris
+
+    nodes = spark.createDataFrame(
+        [(1, "Arne", None), (2, None, 7)], "id long, name string, age int"
+    )
+    rels = spark.createDataFrame([(1, 2, "KNOWS")], "src long, dst long, type string")
+    t = graph_to_triples(nodes, rels, base="urn:g/")
+    rows = {
+        (r["subject"], r["predicate"], r["obj_iri"], r["obj_literal"])
+        for r in t.collect()
+    }
+    # null props skipped; rel endpoints become node IRIs
+    assert rows == {
+        ("urn:g/node/1", "urn:g/rel/KNOWS", "urn:g/node/2", None),
+        ("urn:g/node/1", "urn:g/prop/name", None, "Arne"),
+        ("urn:g/node/2", "urn:g/prop/age", None, "7"),
+    }
+    short = shorten_iris(t, {"g": "urn:g/"})
+    srows = {(r["subject"], r["predicate"]) for r in short.collect()}
+    assert ("g:node/1", "g:rel/KNOWS") in srows
+    # longest-namespace-first: a nested namespace wins over its parent
+    short2 = shorten_iris(t, {"g": "urn:g/", "gn": "urn:g/node/"})
+    assert ("gn:1", "g:rel/KNOWS") in {
+        (r["subject"], r["predicate"]) for r in short2.collect()
+    }
