@@ -94,6 +94,7 @@ _NEW_THIS_ROUND: list[str] = [
     # r8 entries are appended as new rows register; reset at round start.
     "graphql_nested_two_levels",
     "rdf_export_roundtrip",
+    "graphql_mutation_readback",
 ]
 
 

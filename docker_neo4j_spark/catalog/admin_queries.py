@@ -852,6 +852,37 @@ def rdf_import_triples(spark, sf_dir):
 
 
 @register(
+    "graphql_mutation_readback",
+    """
+    SELECT name, seg FROM (VALUES ('alpha', 'MOVED'), ('gamma', 'G'))
+      AS t(name, seg) ORDER BY name
+    """,
+)
+def graphql_mutation_readback(spark, sf_dir):
+    """r8 GraphQL mutation surface (the graphql plugin's auto-generated
+    create<Type>/update<Type>/delete<Type> mutations) over a live store:
+    create three, update one, delete one via mutation documents, then
+    read back through the QUERY path of the same store-backed engine —
+    read-your-writes end-to-end."""
+    from ..graphql import GraphQLType, store_engine
+    from ..storage.store import GraphStore
+
+    types = {
+        "thing": GraphQLType(label="Thing", props={"name": "name", "seg": "seg"})
+    }
+    eng = store_engine(GraphStore(spark), types)
+    for m in (
+        'mutation { createThing(name: "alpha", seg: "A") { name } }',
+        'mutation { createThing(name: "beta", seg: "B") { name } }',
+        'mutation { createThing(name: "gamma", seg: "G") { name } }',
+        'mutation { updateThing(name: "alpha", seg: "MOVED") { name seg } }',
+        'mutation { deleteThing(name: "beta") }',
+    ):
+        eng.execute(m).collect()
+    return eng.execute("{ thing { name seg } }").orderBy("name")
+
+
+@register(
     "rdf_export_roundtrip",
     """
     WITH t AS (

@@ -86,16 +86,17 @@ class _Parser:
         self.i += 1
         return v
 
-    def document(self) -> list[_Field]:
-        # optional `query` operation keyword
-        if self._peek() == ("name", "query"):
-            self._eat()
+    def document(self) -> tuple[str, list[_Field]]:
+        # optional `query` / `mutation` operation keyword
+        op = "query"
+        if self._peek() in (("name", "query"), ("name", "mutation")):
+            op = self._eat()
         self._eat("punct", "{")
         fields = self._fields()
         self._eat("punct", "}")
         if not fields:
             raise ValueError("GraphQL subset: at least one top-level field")
-        return fields
+        return op, fields
 
     def _fields(self) -> list[_Field]:
         out = []
@@ -151,34 +152,116 @@ class GraphQLType:
     relations: dict[str, Relation] = field(default_factory=dict)
 
 
-class GraphQLEngine:
-    """Executes the GraphQL read subset against a PropertyGraph's
-    label/type frames. ``types`` maps top-level field names (and relation
-    targets) to GraphQLType entries."""
+_MUTATION_RE = re.compile(r"^(create|update|delete)([A-Z]\w*)$")
 
-    def __init__(self, label_frames, type_frames, types: dict[str, GraphQLType]):
+
+class GraphQLEngine:
+    """Executes the GraphQL subset against a PropertyGraph's label/type
+    frames. ``types`` maps top-level field names (and relation targets)
+    to GraphQLType entries. With a ``store`` (GraphStore), mutation
+    documents run too: ``create<Type>(props…)``, ``update<Type>(match,
+    updates…)``, ``delete<Type>(match…)`` — the graphql plugin's
+    auto-generated mutation surface. Pair with ``store_frames`` so query
+    fields read the live store (read-your-writes)."""
+
+    def __init__(
+        self,
+        label_frames,
+        type_frames,
+        types: dict[str, GraphQLType],
+        store=None,
+    ):
         self.label_frames = label_frames
         self.type_frames = type_frames
         self.types = types
+        self.store = store
+
+    def _run_mutation(self, root: _Field) -> DataFrame:
+        if self.store is None:
+            raise ValueError(
+                "mutations require a GraphStore-backed engine "
+                "(pass store= to GraphQLEngine)"
+            )
+        m = _MUTATION_RE.match(root.name)
+        if not m:
+            raise ValueError(
+                f"unknown mutation {root.name!r} — the subset is "
+                f"create<Type> / update<Type> / delete<Type>"
+            )
+        verb, raw = m.group(1), m.group(2)
+        tname = raw[0].lower() + raw[1:]
+        t = self.types.get(tname)
+        if t is None:
+            raise ValueError(f"unknown GraphQL type {tname!r} in {root.name!r}")
+
+        def col(k: str) -> str:
+            if k not in t.props:
+                raise ValueError(f"unknown argument {k!r} on {root.name!r}")
+            return t.props[k]
+
+        cols = []
+        for sel in root.selections:
+            if sel.name not in t.props or sel.selections:
+                raise ValueError(
+                    "mutation selections are scalar fields only "
+                    f"(got {sel.name!r})"
+                )
+            cols.append(F.col(t.props[sel.name]).alias(sel.name))
+        if verb == "delete":
+            if root.selections:
+                raise ValueError("delete mutations take no selection set")
+            if not root.args:
+                raise ValueError(f"{root.name}: match arguments required")
+            match = {col(k): v for k, v in root.args.items()}
+            n = self.store.match_nodes(t.label, **match).count()
+            self.store.delete_nodes(t.label, **match)
+            return self.store.spark.createDataFrame([(n,)], "deleted bigint")
+        if not cols:
+            raise ValueError(f"{root.name}: a selection set is required")
+        if verb == "create":
+            if not root.args:
+                raise ValueError(f"{root.name}: property arguments required")
+            ids = self.store.create_nodes(
+                t.label, [{col(k): v for k, v in root.args.items()}]
+            )
+            out = self.store.match_nodes(t.label).where(F.col("id") == ids[0])
+            return out.select(*cols)
+        # update: first argument matches, the rest set (documented subset)
+        args = list(root.args.items())
+        if len(args) < 2:
+            raise ValueError(
+                f"{root.name}: needs one match argument and at least one update"
+            )
+        (mk, mv) = args[0]
+        self.store.set_props(
+            t.label, {col(mk): mv}, {col(k): v for k, v in args[1:]}
+        )
+        return self.store.match_nodes(t.label, **{col(mk): mv}).select(*cols)
 
     def execute(self, query: str) -> DataFrame:
-        roots = _Parser(_tokenize(query)).document()
+        op, roots = _Parser(_tokenize(query)).document()
         if len(roots) != 1:
             raise ValueError(
                 "execute() compiles one top-level field; use "
                 "execute_document() for a multi-root document"
             )
+        if op == "mutation":
+            return self._run_mutation(roots[0])
         return self._compile_root(roots[0])
 
     def execute_document(self, query: str) -> dict[str, DataFrame]:
         """Multi-root documents: GraphQL's response is a map of root field
-        names; each root compiles to its own DataFrame plan."""
-        roots = _Parser(_tokenize(query)).document()
+        names; each root compiles to its own DataFrame plan. Mutation
+        documents run their root fields in document order (the GraphQL
+        serial-execution rule for mutations)."""
+        op, roots = _Parser(_tokenize(query)).document()
         seen = set()
         for r in roots:
             if r.name in seen:
                 raise ValueError(f"duplicate top-level field {r.name!r}")
             seen.add(r.name)
+        if op == "mutation":
+            return {r.name: self._run_mutation(r) for r in roots}
         return {r.name: self._compile_root(r) for r in roots}
 
     def _compile_root(self, root: _Field) -> DataFrame:
@@ -284,6 +367,33 @@ class GraphQLEngine:
             *[F.col(c).alias(f"{sel.name}_{c}") for c in child_cols],
         )
         return parent.join(flat, "_gid", "left")
+
+
+class _StoreLabelFrames:
+    """Lazy label → frame mapping over the LIVE store, so query fields
+    observe mutations (read-your-writes, the Bolt façade's contract)."""
+
+    def __init__(self, store):
+        self._store = store
+
+    def __getitem__(self, label):
+        return self._store.match_nodes(label)
+
+
+class _StoreTypeFrames:
+    def __init__(self, store):
+        self._store = store
+
+    def __getitem__(self, rtype):
+        return self._store.graph.rels_by_type(rtype)
+
+
+def store_engine(store, types: dict[str, GraphQLType]) -> GraphQLEngine:
+    """GraphQL engine over a live GraphStore: queries read the current
+    graph, mutation documents write through the store."""
+    return GraphQLEngine(
+        _StoreLabelFrames(store), _StoreTypeFrames(store), types, store=store
+    )
 
 
 def tpch_engine(graph) -> GraphQLEngine:

@@ -196,3 +196,70 @@ def test_to_many_escapes_commas_and_backslashes(spark):
     assert _split_escaped(rows[0]["kids_name"]) == sorted(["a,b", "c\\d", "plain"])
     # the serialized form itself is escaped
     assert "\\," in rows[0]["kids_name"] and "\\\\" in rows[0]["kids_name"]
+
+
+@pytest.fixture()
+def store_eng(spark):
+    from docker_neo4j_spark.graphql import GraphQLType, Relation, store_engine
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    store = GraphStore(spark)
+    store.create_nodes("Nation", [{"n_name": "NATION_A"}, {"n_name": "NATION_B"}])
+    types = {
+        "nation": GraphQLType(label="Nation", props={"name": "n_name"}),
+    }
+    return store_engine(store, types)
+
+
+def test_mutation_create_and_read_your_writes(store_eng):
+    created = store_eng.execute(
+        'mutation { createNation(name: "NATION_NEW") { name } }'
+    ).collect()
+    assert [r["name"] for r in created] == ["NATION_NEW"]
+    # the QUERY path reads the live store: the new node is visible
+    back = store_eng.execute('{ nation(name: "NATION_NEW") { name } }').collect()
+    assert [r["name"] for r in back] == ["NATION_NEW"]
+
+
+def test_mutation_delete(store_eng):
+    deleted = store_eng.execute(
+        'mutation { deleteNation(name: "NATION_B") }'
+    ).collect()
+    assert [r["deleted"] for r in deleted] == [1]
+    left = store_eng.execute("{ nation { name } }").collect()
+    assert "NATION_B" not in {r["name"] for r in left}
+
+
+def test_mutation_update_sets_props(spark):
+    from docker_neo4j_spark.graphql import GraphQLType, store_engine
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    store = GraphStore(spark)
+    store.create_nodes("Customer", [{"c_name": "c1", "c_mktsegment": "OLD"}])
+    eng = store_engine(
+        store,
+        {
+            "customer": GraphQLType(
+                label="Customer",
+                props={"name": "c_name", "mktsegment": "c_mktsegment"},
+            )
+        },
+    )
+    out = eng.execute(
+        'mutation { updateCustomer(name: "c1", mktsegment: "BUILDING") '
+        "{ name mktsegment } }"
+    ).collect()
+    assert [(r["name"], r["mktsegment"]) for r in out] == [("c1", "BUILDING")]
+
+
+def test_mutation_fail_loud_surface(store_eng, engine):
+    with pytest.raises(ValueError, match="unknown mutation"):
+        store_eng.execute("mutation { renameNation(name: \"x\") { name } }")
+    with pytest.raises(ValueError, match="unknown GraphQL type"):
+        store_eng.execute("mutation { createDragon(name: \"x\") { name } }")
+    with pytest.raises(ValueError, match="no selection set"):
+        store_eng.execute('mutation { deleteNation(name: "x") { name } }')
+    with pytest.raises(ValueError, match="require a GraphStore"):
+        engine.execute('mutation { createNation(name: "x") { name } }')
+    with pytest.raises(ValueError, match="scalar fields only"):
+        store_eng.execute('mutation { createNation(name: "x") { name { y } } }')
