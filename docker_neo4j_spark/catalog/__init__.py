@@ -95,6 +95,8 @@ _NEW_THIS_ROUND: list[str] = [
     "graphql_nested_two_levels",
     "rdf_export_roundtrip",
     "graphql_mutation_readback",
+    "stream_static_enrich_batch",
+    "llm_bigram_lm",
 ]
 
 

@@ -937,6 +937,53 @@ def llm_unigram_logprob(spark, sf_dir):
     )
 
 
+_BIGRAM_LM_SQL = """
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, UNNEST(range(1, len(toks))) AS t(i)
+    ),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+    cctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS n FROM cb GROUP BY w1),
+    tok AS (SELECT unnest(toks) AS w FROM d),
+    cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+    scored AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             -SUM(ln(
+               0.5e0 * (CAST(cb.c AS DOUBLE) / CAST(cctx.n AS DOUBLE))
+               + 0.5e0 * (CAST(cu.c AS DOUBLE) / (SELECT n FROM total))
+             )) / COUNT(*) AS nll
+      FROM bg b
+      JOIN cb USING (w1, w2) JOIN cctx USING (w1) JOIN cu ON cu.w = b.w2
+      GROUP BY b.doc_id
+    )
+    SELECT d2.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           CAST(ROUND(s.nll * 1e3) AS BIGINT) AS nll_milli
+    FROM documents d2 LEFT JOIN scored s ON s.doc_id = d2.doc_id
+"""
+
+
+@register("llm_bigram_lm", _BIGRAM_LM_SQL)
+def llm_bigram_lm(spark, sf_dir):
+    """r8: interpolated bigram-LM quality signal (text.bigram_logprob,
+    Jelinek-Mercer λ=0.5) — word-ORDER sensitive where the unigram row
+    is not. Milli-rounded like llm_unigram_logprob (same libm-ulp
+    rationale); the p expression is parenthesized identically on both
+    engines."""
+    from ..operators.text import bigram_logprob
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return bigram_logprob(d).select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("nll") * 1e3).cast("long").alias("nll_milli"),
+    )
+
+
 @register(
     "llm_tfidf_topterms",
     """

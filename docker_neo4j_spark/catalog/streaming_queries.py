@@ -104,6 +104,41 @@ def stream_windowed_counts_batch(spark, sf_dir):
 
 
 @register(
+    "stream_static_enrich_batch",
+    """
+    SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events LEFT JOIN customer ON c_custkey = user_id
+    GROUP BY 1, 2 ORDER BY segment, event_type
+    """,
+)
+def stream_static_enrich_batch(spark, sf_dir):
+    """r8: stream-static enrichment join (the canonical micro-batch
+    pattern: broadcast the dimension snapshot into each batch) — events
+    enriched with the customer segment, then per-(segment, type) exact
+    sums. Batch twin of the same code path; stream==batch parity is
+    pytest-pinned (test_streaming)."""
+    from ..streaming.events import enrich_with_dimension
+
+    t = load_tables(spark, sf_dir)
+    enriched = enrich_with_dimension(
+        t["events"], t["customer"], "user_id", "c_custkey", ["c_mktsegment"]
+    )
+    return (
+        enriched.groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("segment", "event_type")
+    )
+
+
+@register(
     "stream_dedup_batch",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_after_dedup

@@ -693,3 +693,60 @@ def linear_classifier_score(
         (F.col("raw") + F.lit(bias)).alias("score"),
         (F.col("raw") + F.lit(bias) > 0).alias("keep"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    lam: float = 0.5,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an interpolated
+    bigram LM trained on the corpus itself — one rung above the unigram
+    signal: formulaic word-order boilerplate scores low, shuffled-word
+    salad scores high even when its unigram profile is normal.
+
+    p(w2|w1) = lam·c(w1w2)/c(w1·) + (1−lam)·c(w2)/N  (fixed-weight
+    Jelinek-Mercer interpolation; the unigram back-off term keeps unseen
+    continuations finite).
+
+    Shuffle shape: bigrams explode once, then every aggregation keys on
+    a bounded vocabulary (bigram, context, token) — no corpus sort, no
+    per-doc state beyond the final groupBy(key). The three stats joins
+    are vocab-sized (AQE broadcasts them when they fit). Returns
+    (key, n_bigrams, nll); docs with <2 tokens surface NULL nll.
+    """
+    toks = df.select(F.col(key), tokens(text_col).alias("_t"))
+    n_tok = F.size("_t")
+    bg = toks.where(n_tok >= 2).select(
+        key,
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, n_tok - 1).alias("w1"),
+                F.slice("_t", 2, n_tok - 1).alias("w2"),
+            )
+        ).alias("_b"),
+    ).select(key, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("_cb"))
+    cctx = cb.groupBy("w1").agg(F.sum("_cb").cast("long").alias("_cctx"))
+    tok = toks.select(F.explode("_t").alias("w"))
+    cu = tok.groupBy("w").agg(F.count("*").cast("long").alias("_cu"))
+    total = float(tok.count())
+    p = F.lit(lam) * (F.col("_cb").cast("double") / F.col("_cctx").cast("double")) + F.lit(
+        1.0 - lam
+    ) * (F.col("_cu").cast("double") / F.lit(total))
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cctx, "w1")
+        .join(cu, F.col("w2") == F.col("w"))
+        .groupBy(key)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (-F.sum(F.log(p)) / F.count("*")).alias("nll"),
+        )
+    )
+    return df.select(key).join(scored, key, "left").select(
+        key,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "nll",
+    )

@@ -474,3 +474,21 @@ def trending_topk(
         counts.withColumn("rank", F.row_number().over(rk).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    events_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming pattern:
+    each micro-batch joins against the (slowly-changing) dimension
+    snapshot. The dimension side is explicitly broadcast: at 100 TB of
+    stream the dim is the small side by construction, and a shuffled
+    join would re-exchange every micro-batch. Works identically on a
+    batch frame (stream==batch parity is pytest-pinned)."""
+    d = dim.select(F.col(dim_key).alias(events_key), *dim_cols)
+    return events.join(F.broadcast(d), events_key, how)

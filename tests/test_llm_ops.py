@@ -573,3 +573,42 @@ def test_leakage_free_split_atomic_components(spark):
     assert out[1][1] == out[2][1] == out[3][1]
     # singletons are their own component
     assert out[4][0] == 4 and out[5][0] == 5
+
+
+def test_bigram_lm_order_sensitivity_and_exactness(spark):
+    """The bigram signal separates docs by word ORDER at identical
+    unigram profiles, and matches an exact Python twin of the
+    interpolated formula."""
+    import math
+
+    from docker_neo4j_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "a a a b b b a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in bigram_logprob(docs).collect()}
+    assert out[3] == (0, None)  # <2 tokens → no bigrams, NULL nll
+    assert out[1][0] == out[2][0] == 7
+    # same unigrams, scrambled order → strictly worse (higher) nll
+    assert out[2][1] > out[1][1]
+
+    # exact twin: recompute p(w2|w1) = .5*cb/cctx + .5*cu/N in Python
+    texts = {1: "a b a b a b a b".split(), 2: "a a a b b b a b".split(), 3: ["solo"]}
+    from collections import Counter
+
+    cb = Counter(); cu = Counter()
+    for t in texts.values():
+        cu.update(t)
+        cb.update(zip(t, t[1:]))
+    cctx = Counter()
+    for (w1, _), c in cb.items():
+        cctx[w1] += c
+    N = sum(cu.values())
+    for d in (1, 2):
+        t = texts[d]
+        nll = -sum(
+            math.log(0.5 * cb[(w1, w2)] / cctx[w1] + 0.5 * cu[w2] / N)
+            for w1, w2 in zip(t, t[1:])
+        ) / (len(t) - 1)
+        assert abs(out[d][1] - nll) < 1e-9

@@ -484,3 +484,40 @@ def test_stream_trending_topk_matches_batch(spark, event_dir):
         for r in df.collect()
     )
     assert canon(got) == canon(batch)
+
+
+def test_stream_static_enrich_matches_batch(spark, event_dir, sf_dir):
+    """Stream-static broadcast enrichment: the same join over readStream
+    (availableNow drain) equals the batch result, and out-of-dimension
+    keys survive the LEFT join with a null segment."""
+    from docker_neo4j_spark.streaming.events import (
+        enrich_with_dimension,
+        run_stream_to_memory,
+    )
+
+    dim = load_tables(spark, sf_dir)["customer"]
+
+    def shape(df):
+        return (
+            enrich_with_dimension(df, dim, "user_id", "c_custkey", ["c_mktsegment"])
+            .groupBy(
+                F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+                "event_type",
+            )
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    batch = {
+        (r["segment"], r["event_type"]): r["n"]
+        for r in shape(spark.read.parquet(event_dir)).collect()
+    }
+    run_stream_to_memory(
+        shape(read_event_stream(spark, event_dir)),
+        "enriched_counts",
+        output_mode="complete",
+    )
+    got = {
+        (r["segment"], r["event_type"]): r["n"]
+        for r in spark.table("enriched_counts").collect()
+    }
+    assert got == batch and batch
