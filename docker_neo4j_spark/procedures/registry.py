@@ -604,3 +604,75 @@ def _apoc_export_json_all(spark: SparkSession, file: str = "", graph=None) -> Da
     return spark.createDataFrame(
         [(file, graph.nodes.count(), graph.rels.count())], schema
     )
+
+
+@procedure(
+    "apoc.load.json",
+    signature="apoc.load.json(file :: STRING) :: (value :: MAP)",
+    description="Load a JSON-lines file; one row per object (apoc load surface)",
+)
+def _apoc_load_json(spark: SparkSession, file: str = "", graph=None) -> DataFrame:
+    """``CALL apoc.load.json('/path')`` — the apoc plugin's file-load
+    surface (manifest calver/coredb/neo4j-plugins.json) on Spark's
+    distributed JSON reader: one row per top-level object, columns
+    re-packed into apoc's single ``value`` map (values stringified — the
+    façade's map columns are string-valued, like property maps from
+    LOAD CSV). Schema inference is one extra pass, exactly Spark's
+    documented JSON-source behavior."""
+    if not file:
+        return spark.createDataFrame([], "value map<string,string>")
+    df = spark.read.json(file)
+    return df.select(
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in df.columns]),
+            F.array(*[F.col(c).cast("string") for c in df.columns]),
+        ).alias("value")
+    )
+
+
+@procedure(
+    "apoc.load.csv",
+    signature="apoc.load.csv(file :: STRING) :: (lineNo :: INTEGER, list :: LIST, map :: MAP)",
+    description="Load a CSV file with headers; apoc's (lineNo, list, map) shape",
+)
+def _apoc_load_csv(spark: SparkSession, file: str = "", graph=None) -> DataFrame:
+    """``CALL apoc.load.csv('/path')`` — header CSV to apoc's documented
+    (lineNo, list, map) row shape. lineNo is the 0-based position in
+    file order, assigned distributed: per-partition row_number plus
+    broadcast per-partition offsets (the ``curation.global_rank``
+    technique — bounded collect of one count per partition, NO
+    single-task global window)."""
+    from pyspark.sql import Window
+
+    schema = "lineNo bigint, list array<string>, map map<string,string>"
+    if not file:
+        return spark.createDataFrame([], schema)
+    df = spark.read.csv(file, header=True)
+    cols = df.columns
+    part = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mono", F.monotonically_increasing_id()
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    in_part = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("_mono")
+    )
+    return part.select(
+        (F.coalesce(off[F.col("_pid")], F.lit(0)) + in_part - 1)
+        .cast("long")
+        .alias("lineNo"),
+        F.array(*[F.col(c).cast("string") for c in cols]).alias("list"),
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in cols]),
+            F.array(*[F.col(c).cast("string") for c in cols]),
+        ).alias("map"),
+    )

@@ -175,3 +175,29 @@ def test_gds_graph_catalog_lifecycle(spark):
     s.run("CALL gds.graph.drop('dogs2') YIELD graphName")
     with _pytest.raises(ValueError, match="does not exist"):
         s.run("CALL gds.graph.drop('dogs') YIELD graphName")
+
+
+def test_apoc_load_json_and_csv(spark, tmp_path):
+    """apoc.load.json / apoc.load.csv file-load surfaces: JSONL rows as a
+    value map; CSV as apoc's (lineNo, list, map) with DENSE sequential
+    line numbers in file order (broadcast-offset assignment, no global
+    single-task window)."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    jpath = tmp_path / "rows.jsonl"
+    jpath.write_text('{"name": "a", "n": 1}\n{"name": "b", "n": 2}\n')
+    s = Session(spark)
+    rows = s.run(
+        f"CALL apoc.load.json('{jpath}') YIELD value RETURN value"
+    ).collect()
+    got = sorted((r["value"]["name"], r["value"]["n"]) for r in rows)
+    assert got == [("a", "1"), ("b", "2")]
+
+    cpath = tmp_path / "rows.csv"
+    cpath.write_text("name,qty\n" + "\n".join(f"r{i},{i}" for i in range(50)) + "\n")
+    out = s.run(
+        f"CALL apoc.load.csv('{cpath}') YIELD lineNo, list, map RETURN lineNo, list, map"
+    ).collect()
+    assert sorted(r["lineNo"] for r in out) == list(range(50))
+    by_no = {r["lineNo"]: r for r in out}
+    assert by_no[0]["list"] == ["r0", "0"] and by_no[49]["map"]["qty"] == "49"
