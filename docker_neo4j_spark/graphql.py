@@ -318,6 +318,14 @@ class GraphQLEngine:
     def _join_relation(self, parent: DataFrame, rel: Relation, sel: _Field) -> DataFrame:
         child_t = self.types[rel.target]
         child = self.label_frames[child_t.label]
+        # nested-field arguments filter the child set before the join
+        # (GraphQL's per-field argument semantics); `limit` is root-only —
+        # a per-parent limit needs an ordering contract the subset
+        # doesn't define, so fail loud rather than pick one silently
+        for k, v in sel.args.items():
+            if k not in child_t.props:
+                raise ValueError(f"unknown argument {k!r} on {sel.name!r}")
+            child = child.where(F.col(child_t.props[k]) == F.lit(v))
         # recurse: the child frame already carries any deeper nesting as
         # serialized columns, so this level only sees scalar strings
         child_frame = self._select(child_t, rel.target, child, sel.selections)

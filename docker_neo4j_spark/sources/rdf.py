@@ -20,9 +20,13 @@ supported grammar is the N-Triples core:
 Escaped ``\\"``, ``\\\\``, ``\\n``, ``\\t`` inside literals are unescaped.
 Blank nodes (``_:label``) are accepted under ``accept_blank_nodes=True``
 and mapped to synthetic document-scoped IRIs (``bnode://label`` — the
-n10s ``Shorten``-style deterministic mapping); otherwise, and for
-anything else outside the subset (full Turtle), the import fails loud
-rather than importing silently-wrong data.
+n10s ``Shorten``-style deterministic mapping). ``read_turtle`` extends
+the grammar with Turtle's ``@prefix``/``PREFIX`` declarations, prefixed
+names in any term position, and the ``a`` keyword (still one triple per
+line). Anything outside these subsets (``;``/``,`` predicate lists,
+multi-line literals) fails loud rather than importing silently-wrong
+data. The export half lives below: ``graph_to_triples`` /
+``to_ntriples`` / ``shorten_iris``.
 
 Fail-loud is LAZY (r8, was an eager extra scan per import): the
 validity checks are ``raise_error`` branches inside a WHERE clause, so
@@ -38,6 +42,8 @@ shuffle keyed on the (uniform) IRI hash.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,6 +51,29 @@ from pyspark.sql import functions as F
 _BNODE = r"_:[A-Za-z0-9][A-Za-z0-9_.\-]*"
 _LINE = rf"^\s*(?:<([^>]+)>|({_BNODE}))\s+<([^>]+)>\s+(.+?)\s*\.\s*$"
 _LITERAL = r'^"((?:[^"\\]|\\.)*)"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]+>)?$'
+
+
+def _unescape_literal(col):
+    """Unescape N-Triples literal escapes in one logical pass: '\\\\'
+    first via a NUL sentinel (never present in text data) so a backslash
+    freed by it can't re-trigger '\\n'/'\\t'/'\\"'."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(col, r"\\\\", "\x00"),
+                    r'\\"',
+                    '"',
+                ),
+                r"\\n",
+                "\n",
+            ),
+            r"\\t",
+            "\t",
+        ),
+        "\x00",
+        "\\\\",
+    )
 
 
 def _bnode_iri(label_col):
@@ -84,26 +113,7 @@ def read_ntriples(
         # the fail-loud guard below catches it — regexp_extract's
         # no-match '' would otherwise import a silent empty property
         F.col("_obj").rlike(_LITERAL),
-        # unescape N-Triples literal escapes in one logical pass:
-        # '\\' first via a NUL sentinel (never present in text data)
-        # so a backslash freed by it can't re-trigger '\n'/'\t'/'\"'
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.regexp_replace(lit_raw, r"\\\\", "\x00"),
-                        r'\\"',
-                        '"',
-                    ),
-                    r"\\n",
-                    "\n",
-                ),
-                r"\\t",
-                "\t",
-            ),
-            "\x00",
-            "\\\\",
-        ),
+        _unescape_literal(lit_raw),
     )
     out = parsed.select(
         F.col("_s_iri").alias("subject"),
@@ -309,3 +319,107 @@ def graph_to_triples(
         )
         out = out.unionByName(props)
     return out
+
+
+# ---- Turtle prefix subset (the n10s import format beyond N-Triples) ------
+
+_PNAME = r"[A-Za-z_][\w.\-]*:[\w.\-]*"
+_PREFIX_LINE = re.compile(
+    r"^\s*(?:@prefix|PREFIX)\s+([A-Za-z_][\w.\-]*):\s*<([^>]+)>\s*\.?\s*$",
+    re.IGNORECASE,
+)
+_TTL_TERMS = r"^\s*(\S+)\s+(\S+)\s+(.+?)\s*\.\s*$"
+
+
+def read_turtle(
+    spark: SparkSession, path: str, accept_blank_nodes: bool = False
+) -> DataFrame:
+    """Turtle PREFIX subset → the same (subject, predicate, obj_iri,
+    obj_literal) frame as ``read_ntriples``: ``@prefix``/``PREFIX``
+    declarations, prefixed names (``p:local``) in any term position, the
+    ``a`` keyword (rdf:type), plus everything the N-Triples core
+    accepts. Still line-oriented (one triple per line — no ``;``/``,``
+    predicate lists; fail-loud outside the subset, the n10s contract).
+
+    Two passes by necessity: prefix declarations are collected first (a
+    filtered scan; the collect is bounded by the prefix count), then the
+    data lines parse distributed with prefixes expanded as a chain of
+    startswith projections — no UDFs. Terms are sliced BEFORE expansion,
+    so a literal containing ``p:x`` is never rewritten."""
+    lines = spark.read.text(path).where(
+        (F.trim("value") != "") & ~F.trim("value").startswith("#")
+    )
+    is_prefix = F.trim("value").rlike(r"(?i)^(@prefix|PREFIX)\s")
+    prefixes: dict[str, str] = {}
+    for r in lines.where(is_prefix).collect():
+        m = _PREFIX_LINE.match(r["value"])
+        if not m:
+            raise ValueError(f"bad prefix declaration: {r['value']!r}")
+        prefixes[m.group(1)] = m.group(2)
+
+    def expand(term):
+        """IRI-position term → IRI string (or '' when not an IRI form).
+        Handles <iri>, p:local (declared prefixes only), and bnodes
+        (passed through for the caller's bnode handling)."""
+        out = F.regexp_extract(term, r"^<([^>]+)>$", 1)
+        for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[0])):
+            out = F.when(
+                term.rlike(rf"^{re.escape(pfx)}:[\w.\-]*$"),
+                F.concat(F.lit(ns), F.substring(term, len(pfx) + 2, 2**30)),
+            ).otherwise(out)
+        return out
+
+    data = lines.where(~is_prefix)
+    s_t = F.regexp_extract("value", _TTL_TERMS, 1)
+    p_t = F.regexp_extract("value", _TTL_TERMS, 2)
+    o_t = F.regexp_extract("value", _TTL_TERMS, 3)
+    s_iri = expand(s_t)
+    s_bnode = F.regexp_extract(s_t, rf"^({_BNODE})$", 1)
+    p_iri = F.when(
+        p_t == "a", F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    ).otherwise(expand(p_t))
+    o_iri = expand(o_t)
+    o_bnode = F.regexp_extract(o_t, rf"^({_BNODE})$", 1)
+    lit_raw = F.regexp_extract(o_t, _LITERAL, 1)
+    obj_iri = F.when(o_iri != "", o_iri)
+    if accept_blank_nodes:
+        obj_iri = obj_iri.when(o_bnode != "", _bnode_iri(o_bnode))
+    obj_literal = F.when(o_t.rlike(_LITERAL), _unescape_literal(lit_raw))
+    parsed = data.select(
+        s_iri.alias("subject"),
+        s_bnode.alias("_s_bnode"),
+        p_iri.alias("predicate"),
+        obj_iri.alias("obj_iri"),
+        obj_literal.alias("obj_literal"),
+        "value",
+    )
+    # same lazy WHERE-guard as read_ntriples: one data pass, first action
+    # raises on the first bad line
+    guard = F.when(
+        ((F.col("subject") == "") & (F.col("_s_bnode") == ""))
+        | (F.col("predicate") == ""),
+        F.raise_error(F.concat(F.lit("not a Turtle-subset line: "), F.col("value"))),
+    ).when(
+        F.col("obj_iri").isNull() & F.col("obj_literal").isNull(),
+        F.raise_error(
+            F.concat(F.lit("unsupported RDF object term: "), F.col("value"))
+        ),
+    )
+    if accept_blank_nodes:
+        subject_out = F.when(
+            F.col("_s_bnode") != "", _bnode_iri(F.col("_s_bnode"))
+        ).otherwise(F.col("subject"))
+    else:
+        guard = guard.when(
+            F.col("_s_bnode") != "",
+            F.raise_error(
+                F.concat(
+                    F.lit("blank-node subject (pass accept_blank_nodes=True): "),
+                    F.col("value"),
+                )
+            ),
+        )
+        subject_out = F.col("subject")
+    return parsed.where(guard.otherwise(F.lit(True))).select(
+        subject_out.alias("subject"), "predicate", "obj_iri", "obj_literal"
+    )

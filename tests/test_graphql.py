@@ -263,3 +263,18 @@ def test_mutation_fail_loud_surface(store_eng, engine):
         engine.execute('mutation { createNation(name: "x") { name } }')
     with pytest.raises(ValueError, match="scalar fields only"):
         store_eng.execute('mutation { createNation(name: "x") { name { y } } }')
+
+
+def test_nested_field_arguments_filter_children(engine):
+    """r8: arguments on nested fields filter the child set before the
+    join — an empty filtered list serializes as ''."""
+    rows = engine.execute(
+        '{ region(name: "EUROPE") { name nations(name: "NATION_13") { name } } }'
+    ).collect()
+    assert len(rows) == 1 and rows[0]["nations_name"] == "NATION_13"
+    rows2 = engine.execute(
+        '{ region(name: "EUROPE") { name nations(name: "NO_SUCH") { name } } }'
+    ).collect()
+    assert rows2[0]["nations_name"] == ""
+    with pytest.raises(ValueError, match="unknown argument"):
+        engine.execute('{ region { name nations(wing: 1) { name } } }')

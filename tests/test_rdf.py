@@ -161,3 +161,60 @@ def test_graph_to_triples_and_shorten(spark, tmp_path):
     assert ("gn:1", "g:rel/KNOWS") in {
         (r["subject"], r["predicate"]) for r in short2.collect()
     }
+
+
+def test_turtle_prefix_subset(spark, tmp_path):
+    """@prefix declarations, prefixed names in every term position, the
+    'a' keyword, and plain N-Triples forms all in one Turtle file."""
+    from docker_neo4j_spark.sources.rdf import read_turtle
+
+    path = _write(
+        tmp_path,
+        "\n".join(
+            [
+                "@prefix ex: <urn:example/> .",
+                "PREFIX foaf: <http://xmlns.com/foaf/0.1/>",
+                "# a comment",
+                "ex:arne a foaf:Person .",
+                'ex:arne foaf:name "Arne" .',
+                "ex:arne ex:knows ex:bosse .",
+                "<urn:raw/x> <urn:raw/p> ex:bosse .",
+                '<urn:raw/x> foaf:name "Raw, with ttl prefix ex:inside literal" .',
+            ]
+        ),
+    )
+    t = read_turtle(spark, path)
+    got = {
+        (r["subject"], r["predicate"], r["obj_iri"], r["obj_literal"])
+        for r in t.collect()
+    }
+    assert got == {
+        (
+            "urn:example/arne",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://xmlns.com/foaf/0.1/Person",
+            None,
+        ),
+        ("urn:example/arne", "http://xmlns.com/foaf/0.1/name", None, "Arne"),
+        ("urn:example/arne", "urn:example/knows", "urn:example/bosse", None),
+        ("urn:raw/x", "urn:raw/p", "urn:example/bosse", None),
+        (
+            "urn:raw/x",
+            "http://xmlns.com/foaf/0.1/name",
+            None,
+            "Raw, with ttl prefix ex:inside literal",
+        ),
+    }
+
+
+def test_turtle_fails_loud_outside_subset(spark, tmp_path):
+    from docker_neo4j_spark.sources.rdf import read_turtle
+
+    # undeclared prefix → not an IRI form → fail loud
+    with pytest.raises(Exception, match="not a Turtle-subset line"):
+        read_turtle(
+            spark, _write(tmp_path, "nope:x <urn:p> <urn:y> .\n")
+        ).collect()
+    # malformed prefix declaration
+    with pytest.raises(ValueError, match="bad prefix declaration"):
+        read_turtle(spark, _write(tmp_path, "@prefix broken <urn:p> .\n"))
