@@ -83,6 +83,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     "cypher_rel_alternation",
     "cypher_pattern_comprehension",
     "cypher_set_delete_readback",
+    # r8: apoc.load.csv/json registered — SHOW PROCEDURES surface (and
+    # its oracle's expected list) grew by two rows
+    "proc_show_procedures",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

@@ -756,6 +756,8 @@ def proc_list_config_yield_where(spark, sf_dir):
     """
     SELECT 'apoc.export.csv.all' AS name
     UNION ALL SELECT 'apoc.export.json.all'
+    UNION ALL SELECT 'apoc.load.csv'
+    UNION ALL SELECT 'apoc.load.json'
     UNION ALL SELECT 'apoc.meta.stats'
     UNION ALL SELECT 'apoc.periodic.iterate'
     UNION ALL SELECT 'db.index.vector.queryNodes'

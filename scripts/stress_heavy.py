@@ -90,6 +90,13 @@ HEAVY = [
     "gds_random_walk",
     # r8: synthetic hub-skew gate (not a catalog row) — see _SYNTHETIC
     "hub_star_betweenness",
+    # r8 additions with join/explode shapes worth the 10× cliff check
+    "llm_bigram_lm",
+    "stream_static_enrich_batch",
+    "graphql_nested_two_levels",
+    "rdf_export_roundtrip",
+    "llm_simhash_neardup",
+    "gds_pagerank_serving",
 ]
 
 
