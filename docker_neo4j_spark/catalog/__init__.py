@@ -86,6 +86,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r8: apoc.load.csv/json registered — SHOW PROCEDURES surface (and
     # its oracle's expected list) grew by two rows
     "proc_show_procedures",
+    # r8: MinHash re-keyed to the md5-base + affine family (one md5 per
+    # shingle; band keys now verbatim signature slices) — the two rows
+    # built on it convert from rows-only to oracle-paired
+    "llm_minhash_neardup",
+    "llm_neardup_clusters",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

@@ -285,9 +285,101 @@ def llm_embedding_neardup(spark, sf_dir):
     return sim.cosine_neardup_blocked(e, threshold=0.35)
 
 
-@register("llm_minhash_neardup")  # rows-only: LSH candidate set is approximate
+def _minhash_pairs_ctes(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> str:
+    """Shared CTE chain (no WITH keyword) replaying ``dedup``'s MinHash
+    pipeline up to scored pairs — exact since the r8 md5-base + affine
+    family: shingles, the (a·x+b) mod p minima, verbatim band keys, the
+    max_bucket skew cap, and the Jaccard verify all replay
+    operation-for-operation (constants from ``dedup.minhash_params``,
+    the same LCG stream the operator bakes). Ends with
+    ``scored(key_a, key_b, jaccard)``; compose a threshold on top."""
+    from ..operators.dedup import MINHASH_PRIME as p
+    from ..operators.dedup import minhash_params
+
+    params = minhash_params(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN(({a} * x + {b}) % {p}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    banded = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_hash FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i + 1 : i + {shingle_n}], ' ') AS s
+      FROM d, UNNEST(range(0, greatest(len(toks) - {shingle_n}, 0) + 1)) AS t(i)
+    ),
+    hx AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % {p} AS x
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+    banded AS (
+      {banded}
+    ),
+    buckets AS (
+      SELECT band_id, band_hash FROM banded GROUP BY band_id, band_hash
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS key_a, y.doc_id AS key_b
+      FROM banded x
+      JOIN buckets u USING (band_id, band_hash)
+      JOIN banded y ON y.band_id = x.band_id AND y.band_hash = x.band_hash
+                   AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.key_a, p.key_b, COUNT(*) AS ni
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.key_a
+      JOIN sh b ON b.doc_id = p.key_b AND b.s = a.s
+      GROUP BY p.key_a, p.key_b
+    ),
+    scored AS (
+      SELECT i.key_a, i.key_b,
+             CAST(i.ni AS DOUBLE)
+               / GREATEST(CAST(sa.n + sb.n - i.ni AS DOUBLE), 1.0e0) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.key_a
+      JOIN sizes sb ON sb.doc_id = i.key_b
+    )"""
+
+
+def _minhash_neardup_sql(threshold: str = "0.5e0") -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT key_a, key_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+@register("llm_minhash_neardup", _minhash_neardup_sql())
 def llm_minhash_neardup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, Jaccard-verified at 0.5 (banded, bucketed)."""
+    """MinHash+LSH near-dup pairs, Jaccard-verified at 0.5 (banded,
+    bucketed).
+
+    Oracle (r8, was rows-only): the md5-base + affine hash family
+    (``dedup.minhash_signature_from_base``) exists verbatim in DuckDB,
+    so the WHOLE pipeline — signatures, band buckets, skew cap, verify —
+    is replayed exactly (``_minhash_neardup_sql``); jaccard is the same
+    integer division on both engines, bit-identical."""
     d = load_tables(spark, sf_dir)["documents"]
     return dd.near_dup_dedup(d, threshold=0.5)
 
@@ -535,10 +627,34 @@ def llm_exact_dedup_clusters(spark, sf_dir):
     return curation.exact_dedup_clusters(d)
 
 
-@register("llm_neardup_clusters")  # rows-only: LSH candidate generation is approximate
+@register(
+    "llm_neardup_clusters",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    und AS (
+      SELECT key_a AS a, key_b AS b FROM scored WHERE jaccard >= 0.8e0
+      UNION SELECT key_b, key_a FROM scored WHERE jaccard >= 0.8e0
+    ),
+    lbl(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.b, l.comp FROM lbl l JOIN und u ON u.a = l.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN id = comp THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters
+    FROM comp
+    """,
+)
 def llm_neardup_clusters(spark, sf_dir):
     """Near-duplicate clustering: MinHash-LSH pairs → Jaccard verify →
-    connected components → canonical per cluster (curation.dedup_clusters)."""
+    connected components → canonical per cluster (curation.dedup_clusters).
+
+    Oracle (r8, was rows-only): the md5-base MinHash made the pair set
+    deterministic, and min-label WCC converges to a UNIQUE fixpoint —
+    the DuckDB twin reaches it by recursive min-label closure over the
+    same ≥0.8 verified pairs."""
     from ..operators import curation
 
     d = load_tables(spark, sf_dir)["documents"]

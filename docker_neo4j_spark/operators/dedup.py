@@ -53,16 +53,57 @@ def shingles(text, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne 2^31-1: products stay < 2^62
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) affine constants, engine-agnostic: a deterministic
+    LCG stream seeded 42 (the same numbers bake into the DuckDB oracle)."""
+    out, x = [], 42
+    for _ in range(2 * num_hashes):
+        x = (1103515245 * x + 12345) % MINHASH_PRIME
+        out.append(x or 1)
+    return [(out[2 * i], out[2 * i + 1]) for i in range(num_hashes)]
+
+
+def md5_base31(col) -> Column:
+    """Shingle → 31-bit base hash: the first 8 hex chars of md5 mod the
+    Mersenne prime. md5 exists verbatim in DuckDB, so the whole MinHash
+    construction replays cross-engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % MINHASH_PRIME
+    )
+
+
+def minhash_signature_from_base(base_col: Column, num_hashes: int = 32) -> Column:
+    """Signature from a MATERIALIZED base-hash array (see
+    ``minhash_signature`` — callers should select the base array as a
+    real column first: Catalyst does not CSE across lambda boundaries,
+    so referencing an inline base expression ``num_hashes`` times would
+    recompute the md5 that many times per shingle)."""
+
+    def _one(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(base_col, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME)
+        )
+
+    return F.array(*[_one(a, b) for a, b in minhash_params(num_hashes)])
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed i, min over xxhash64(shingle, i).
+    """MinHash signature: per hash i, min over (a_i·x + b_i) mod p of the
+    per-shingle md5 base x — the single-base + universal-rehash family
+    (datasketch's construction; r8, was seeded xxhash64). ONE md5 per
+    shingle feeds all ``num_hashes`` functions, and every operation
+    exists identically in DuckDB, so signatures are oracle-pairable.
 
-    xxhash64 is Spark's JVM-side 64-bit hash; seeding via the second
-    argument gives the independent hash family.
-    """
-    def _one(i: int) -> Column:
-        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
-
-    return F.array(*[_one(i) for i in range(num_hashes)])
+    NOTE: inline convenience form — prefer materializing the base array
+    (``minhash_signature_from_base``) in pipelines, as
+    ``minhash_lsh_candidates`` does."""
+    return minhash_signature_from_base(
+        F.transform(shingle_col, lambda s: md5_base31(s)), num_hashes
+    )
 
 
 def shingle_frame(
@@ -104,7 +145,12 @@ def minhash_lsh_candidates(
     """
     rows = num_hashes // bands
     sh = shingled if shingled is not None else shingle_frame(df, text_col, key, shingle_n)
-    sig = sh.select("_k", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+    sig = sh.select(
+        "_k", F.transform("_sh", lambda s: md5_base31(s)).alias("_base")
+    ).select("_k", minhash_signature_from_base(F.col("_base"), num_hashes).alias("_sig"))
+    # band key = the band's signature slice verbatim (comma string):
+    # bucket identity needs exactness, not compactness, and a literal key
+    # replays in the DuckDB oracle with no extra hash to model
     banded = sig.select(
         "_k",
         F.explode(
@@ -112,8 +158,9 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
+                        F.concat_ws(
+                            ",",
+                            *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)],
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
