@@ -106,6 +106,8 @@ _NEW_THIS_ROUND: list[str] = [
     "stream_static_enrich_batch",
     "llm_bigram_lm",
     "proc_apoc_load_csv_json",
+    "llm_gopher_rules",
+    "llm_ngram_jaccard_pairs",
 ]
 
 

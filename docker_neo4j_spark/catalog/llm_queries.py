@@ -1629,3 +1629,121 @@ def llm_leakage_free_split(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return curation.leakage_free_split(d, n=10, max_gram_docs=50, wcc_rounds=8)
+
+
+@register(
+    "llm_gopher_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x != '') AS lines,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbols
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words,
+                    x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS sum_len,
+             n_symbols,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*•]')))
+               AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)$')))
+               AS BIGINT) AS n_ell,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(list_transform(words, w2 -> lower(w2)), s)))
+               AS BIGINT) AS n_required_stopwords
+      FROM w)
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+                ELSE 0.0 END AS symbol_ratio,
+           CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+                ELSE 0.0 END AS alpha_frac,
+           CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                ELSE 0.0 END AS bullet_frac,
+           CASE WHEN n_lines > 0 THEN CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                ELSE 0.0 END AS ellipsis_frac,
+           n_required_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND (CASE WHEN n_words > 0
+                      THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      ELSE 0.0 END) >= 3.0
+            AND (CASE WHEN n_words > 0
+                      THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      ELSE 0.0 END) <= 10.0
+            AND (CASE WHEN n_words > 0
+                      THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      ELSE 0.0 END) <= 0.1
+            AND (CASE WHEN n_lines > 0
+                      THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                      ELSE 0.0 END) <= 0.9
+            AND (CASE WHEN n_lines > 0
+                      THEN CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                      ELSE 0.0 END) <= 0.3
+            AND (CASE WHEN n_words > 0
+                      THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      ELSE 0.0 END) >= 0.8
+            AND n_required_stopwords >= 2) AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def llm_gopher_rules(spark, sf_dir):
+    """Full Gopher quality-rule suite (text.gopher_rules — Rae et al.
+    2021 Appendix A1.1, public): word-count bounds, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, required-stopword rule, and the conjunction ``keep`` flag.
+    Map-only HOF arithmetic; every ratio an exact BIGINT/BIGINT→DOUBLE
+    division, so the threshold comparisons agree across engines."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return tx.gopher_rules(d).orderBy("doc_id")
+
+
+@register(
+    "llm_ngram_jaccard_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    g0 AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) - 2 > 0
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             ELSE [] END) AS gram
+      FROM t),
+    g1 AS (SELECT DISTINCT doc_id, gram FROM g0),
+    keep AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g1 GROUP BY gram)
+             WHERE c <= 200),
+    g AS (SELECT g1.doc_id, g1.gram FROM g1 JOIN keep USING (gram)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, shared_ngrams,
+           CAST(shared_ngrams AS DOUBLE)
+             / CAST(sa.sz + sb.sz - shared_ngrams AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(shared_ngrams AS DOUBLE)
+            / CAST(sa.sz + sb.sz - shared_ngrams AS DOUBLE) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs at θ=0.2
+    (dedup.ngram_jaccard_pairs): distinct-gram equi-join with the
+    stop-gram doc-frequency guard, exact set Jaccard — the ground truth
+    the MinHash/SimHash recall tests approximate. At sf0.01 this is
+    exactly the 25 planted near-duplicate pairs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return dd.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_gram_docs=200).orderBy(
+        "id_a", "id_b"
+    )

@@ -414,3 +414,70 @@ def bloom_probe(
         .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
         .select(id_col, F.coalesce("hit", F.lit(False)).alias("hit"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_docs: int = 200,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-duplicate pairs (the brief's
+    "n-gram Jaccard" dedup row): for every document pair sharing an
+    n-gram, ``|A∩B| / |A∪B|`` over the documents' DISTINCT n-gram sets,
+    thresholded.
+
+    Unlike the MinHash path this is exact — no signature approximation —
+    so it doubles as the ground truth the LSH recall tests compare
+    against. Scale shape: one distinct (doc, gram) frame; grams with
+    document frequency above ``max_gram_docs`` are stop-grams excluded
+    from BOTH the intersection and the set sizes (semantics: Jaccard
+    over non-ubiquitous n-grams), which bounds per-gram join fan-out
+    exactly like ``exact_substring_pairs``; the pair join is a gram-key
+    equi-join — never all-pairs. Integer counts end-to-end; the final
+    division is one exact BIGINT/BIGINT → DOUBLE per pair.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    count = F.size(toks) - n + 1
+    grams_arr = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(F.col(key), F.explode(grams_arr).alias("gram")).distinct()
+    keep = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .where(F.col("_docs") <= max_gram_docs)
+        .select("gram")
+    )
+    g = grams.join(keep, "gram")
+    sizes = g.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    a = g.select(F.col("gram"), F.col(key).alias("id_a"))
+    b = g.select(F.col("gram"), F.col(key).alias("id_b"))
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(key, "id_a").withColumnRenamed("_sz", "_sa"), "id_a")
+        .join(sizes.withColumnRenamed(key, "id_b").withColumnRenamed("_sz", "_sb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "_inter",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.col("_inter").alias("shared_ngrams"), "jaccard"
+    )

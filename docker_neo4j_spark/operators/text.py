@@ -750,3 +750,97 @@ def bigram_logprob(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "nll",
     )
+
+
+# Gopher document-quality rule thresholds (Rae et al. 2021, "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# Appendix A1.1 — public). Word = non-empty whitespace split (raw, not
+# the alnum token set: mean word length counts punctuation the way the
+# paper's tokenizer-free filter does).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_REQUIRED_STOPWORDS = 2
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Full Gopher quality-filter rule suite per document (Rae et al.
+    2021, Appendix A1.1): word-count bounds, mean word length, symbol
+    ("#"/"...") to word ratio, bullet-start and ellipsis-end line
+    fractions, alphabetic-word fraction, and the required-stopword rule
+    — surfaced as per-rule signals plus the conjunction ``keep`` flag.
+
+    Pure higher-order-function arithmetic per row — map-only, no
+    shuffle, two columns read off parquet. Every ratio is an exact
+    BIGINT/BIGINT division to DOUBLE, so the DuckDB oracle twin matches
+    bit-for-bit; threshold comparisons on those exact doubles make
+    ``keep`` deterministic across engines.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.when(
+        n_words > 0, sum_len.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)).cast("long")
+    )
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines).cast("long")
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(r"^[-*•]"))).cast("double")
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$"))).cast("double")
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    sw = F.array([F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    low = F.transform(words, lambda w: F.lower(w))
+    n_req_sw = F.size(
+        F.filter(sw, lambda s: F.array_contains(low, s))
+    ).cast("long")
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_req_sw >= GOPHER_MIN_REQUIRED_STOPWORDS)
+    )
+    return df.select(
+        key,
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        n_req_sw.alias("n_required_stopwords"),
+        keep.alias("keep"),
+    )

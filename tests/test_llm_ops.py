@@ -612,3 +612,56 @@ def test_bigram_lm_order_sensitivity_and_exactness(spark):
             for w1, w2 in zip(t, t[1:])
         ) / (len(t) - 1)
         assert abs(out[d][1] - nll) < 1e-9
+
+
+def test_gopher_rules_known_values(spark):
+    good = (
+        "the quick brown foxes jumped over lazy sleeping dogs with "
+        "great delight and that have wanted " * 5
+    )  # 80 words, mean word length ≈ 4.8, five required stopwords
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                  # passes every rule
+            (2, "short text only"),                     # fails min word count
+            (3, "- one\n- two\n- three\n" + good),      # bullet lines but <90% → keep
+            (4, ("# " * 40) + good),                    # symbol ratio > 0.1
+            (5, " ".join(["12345"] * 60)),              # no alpha, no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.gopher_rules(docs).collect()}
+    assert out[1]["keep"] is True and out[1]["n_words"] == 80
+    assert out[2]["keep"] is False and out[2]["n_words"] == 3
+    assert out[3]["keep"] is True and abs(out[3]["bullet_frac"] - 3 / 4) < 1e-12
+    assert out[4]["keep"] is False and out[4]["symbol_ratio"] > 0.1
+    assert out[5]["keep"] is False
+    assert out[5]["alpha_frac"] == 0.0 and out[5]["n_required_stopwords"] == 0
+
+
+def test_ngram_jaccard_exact_values(spark):
+    # doc1/doc2 share a 5-word run; doc3 disjoint. 3-grams: doc1 has 4,
+    # doc2 has 4, shared = the 3 grams of the common 5-word run.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "omega alpha beta gamma delta epsilon"),
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["shared_ngrams"]) == (1, 2, 3)
+    assert abs(r["jaccard"] - 3 / 5) < 1e-12
+
+
+def test_ngram_jaccard_stop_gram_guard_bounds_fanout(spark):
+    # A gram shared by every doc is excluded by max_gram_docs, so the
+    # ubiquitous boilerplate does not create all-pairs candidates.
+    docs = spark.createDataFrame(
+        [(i, "common boiler plate " + f"unique{i} x{i} y{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_gram_docs=5).collect()
+    assert rows == []

@@ -356,3 +356,14 @@ def test_ksp_window_partitioned_by_pair(spark, sf_dir, queries):
     facts = audit(df)
     assert "SinglePartition" not in facts.text
     assert facts.n_cartesian == 0
+
+
+def test_ngram_jaccard_no_cartesian(spark, sf_dir):
+    """The exact n-gram Jaccard pair join must stay a gram-key equi-join
+    (stop-gram guarded) — never a cartesian product."""
+    from docker_neo4j_spark.operators import dedup as dd
+    from docker_neo4j_spark.plans.audit import assert_no_cartesian
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    assert_no_cartesian(dd.ngram_jaccard_pairs(d))
