@@ -91,6 +91,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # built on it convert from rows-only to oracle-paired
     "llm_minhash_neardup",
     "llm_neardup_clusters",
+    # r8: ANN hyperplanes factored to shared literal values and the row
+    # converted rows-only → oracle-paired (_ann_topk_sql)
+    "llm_ann_topk",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

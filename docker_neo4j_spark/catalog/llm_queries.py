@@ -494,10 +494,72 @@ def llm_simhash_neardup(spark, sf_dir):
     return dd.simhash_neardup(d, max_hamming=3)
 
 
-@register("llm_ann_topk")  # rows-only: ANN is approximate by design
+def _ann_topk_sql(
+    k: int = 5, dim: int = 64, n_planes: int = 6, n_tables: int = 4,
+    seed: int = 42, qmax: int = 10,
+) -> str:
+    """DuckDB twin of similarity.ann_topk: the hyperplanes are literal
+    doubles generated by the SAME ``hyperplane_values`` call the Spark
+    plan embeds, so bucket codes, Hamming-1 probes, and fold-ordered
+    cosine scores replay exactly — the ANN result is approximate w.r.t.
+    brute force but fully deterministic, hence oracle-checkable."""
+    from ..operators.similarity import hyperplane_values
+
+    def dot_lit(vec: str, vals: list[float]) -> str:
+        lits = "[" + ", ".join(repr(v) for v in vals) + "]"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim} + 1), "
+            f"i -> {vec}[i]::DOUBLE * ({lits})[i])), (acc, x) -> acc + x)"
+        )
+
+    buckets = []
+    for t in range(n_tables):
+        terms = [
+            f"(CASE WHEN {dot_lit('embedding', hyperplane_values(dim, p, seed + 7919 * t))}"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        ]
+        buckets.append(
+            "CAST(" + " + ".join(terms) + f" + {t << n_planes} AS BIGINT) AS b{t}"
+        )
+    bcols = [f"b{t}" for t in range(n_tables)]
+    probes = []
+    for bc in bcols:
+        probes.append(bc)
+        probes += [f"xor({bc}, {1 << p})" for p in range(n_planes)]
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+             {', '.join(buckets)}
+      FROM embeddings),
+    corp AS (SELECT vec_id AS neighbor_id, embedding AS cv, nrm AS cn,
+                    unnest([{', '.join(bcols)}]) AS bucket FROM base),
+    probes AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+                      unnest([{', '.join(probes)}]) AS bucket
+               FROM base WHERE vec_id < {qmax}),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             MAX({_dot_sql('qv', 'cv')} / greatest(qn * cn, 1e-12)) AS sim
+      FROM probes JOIN corp USING (bucket)
+      WHERE query_id != neighbor_id
+      GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+               AS rank
+      FROM scored)
+    WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+@register("llm_ann_topk", _ann_topk_sql())
 def llm_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-5 (the scale path; recall vs brute
-    force is pytest-checked)."""
+    """LSH-bucketed approximate top-5 (the scale path). Approximate
+    w.r.t. brute force (recall pytest-checked) but deterministic given
+    the literal hyperplanes, so since r8 it carries an exact DuckDB twin
+    (``_ann_topk_sql``) replaying buckets, probes, and fold-ordered
+    cosines."""
     e = load_tables(spark, sf_dir)["embeddings"]
     return sim.ann_topk(e, e.where(F.col("vec_id") < 10), k=5, dim=64)
 

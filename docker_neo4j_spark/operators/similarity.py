@@ -269,10 +269,10 @@ def ivf_search(
     )
 
 
-def _hyperplane(dim: int, plane: int, seed: int = 42) -> Column:
-    """Deterministic pseudo-random hyperplane as plain literal doubles
-    (splitmix64-style mix in Python — keeps the Spark expression a flat
-    literal array instead of a per-component hash chain)."""
+def hyperplane_values(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random hyperplane components (splitmix64-style
+    mix in Python). Exposed as plain floats so the DuckDB oracle can embed
+    the IDENTICAL literals — one source of truth for impl and oracle."""
 
     def mix(x: int) -> float:
         x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
@@ -280,7 +280,13 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> Column:
         x ^= x >> 31
         return (x % 10_000_001) / 5_000_000.0 - 1.0
 
-    return F.array(*[F.lit(mix((seed << 32) ^ (plane << 16) ^ j)) for j in range(dim)])
+    return [mix((seed << 32) ^ (plane << 16) ^ j) for j in range(dim)]
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> Column:
+    """Hyperplane as a flat literal-double array expression (no
+    per-component hash chain inside the plan)."""
+    return F.array(*[F.lit(v) for v in hyperplane_values(dim, plane, seed)])
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
