@@ -523,6 +523,89 @@ def gds_sssp_weighted(spark, sf_dir):
     return gds.sssp(edges, _seed(g), max_iter=10)
 
 
+# _EDGES with the quantity-weighted branches shifted NEGATIVE (w - 10):
+# the projected graph is a DAG (customer→order→part→supplier→nation→
+# region), so negative weights are safe — no negative cycle exists and
+# the detection pass must come back empty.
+_EDGES_NEG = """
+  SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS src,
+         CAST(1000000000000 + n_regionkey AS BIGINT) AS dst, CAST(1 AS BIGINT) AS w FROM nation
+  UNION ALL SELECT CAST(3000000000000 + c_custkey AS BIGINT),
+         CAST(2000000000000 + c_nationkey AS BIGINT), 1 FROM customer
+  UNION ALL SELECT CAST(4000000000000 + s_suppkey AS BIGINT),
+         CAST(2000000000000 + s_nationkey AS BIGINT), 1 FROM supplier
+  UNION ALL SELECT CAST(3000000000000 + o_custkey AS BIGINT),
+         CAST(6000000000000 + o_orderkey AS BIGINT), 1 FROM orders
+  UNION ALL SELECT CAST(6000000000000 + l_orderkey AS BIGINT),
+         CAST(5000000000000 + l_partkey AS BIGINT), CAST(l_quantity AS BIGINT) - 10 FROM lineitem
+  UNION ALL SELECT CAST(5000000000000 + l_partkey AS BIGINT),
+         CAST(4000000000000 + l_suppkey AS BIGINT), CAST(l_quantity AS BIGINT) - 10 FROM lineitem
+"""
+
+
+@register(
+    "gds_bellman_ford_negative",
+    f"""
+    WITH RECURSIVE e AS ({_EDGES_NEG}),
+    seed AS (SELECT CAST(3000000000000 + MIN(c_custkey) AS BIGINT) AS id FROM customer),
+    walk AS (
+      SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM seed
+      UNION
+      SELECT e.dst, walk.dist + e.w, walk.hops + 1
+      FROM walk JOIN e ON e.src = walk.id WHERE walk.hops < 6
+    )
+    SELECT id, MIN(dist) AS dist, FALSE AS on_negative_cycle FROM walk GROUP BY id
+    """,
+)
+def gds_bellman_ford_negative(spark, sf_dir):
+    """gds.bellmanFord with genuinely negative edge weights (quantity−10
+    on the lineitem-derived edges): exact integer distances plus the
+    negative-cycle flag, provably all-false on this DAG projection — the
+    detection pass (one extra relaxation round) must find nothing. The
+    cycle-positive path is pytest-covered on a crafted graph."""
+    g = build_graph(spark, sf_dir)
+    w = (
+        F.when(
+            F.col("type").isin("CONTAINS", "SUPPLIED_BY"),
+            F.col("l_quantity").cast("long") - 10,
+        )
+        .otherwise(F.lit(1))
+        .alias("weight")
+    )
+    edges = g.rels.select("src", "dst", w)
+    return gds.bellman_ford(edges, _seed(g), max_iter=10)
+
+
+@register(
+    "gds_dag_longest_path",
+    f"""
+    WITH RECURSIVE e AS ({_EDGES}),
+    seed AS (SELECT CAST(3000000000000 + MIN(c_custkey) AS BIGINT) AS id FROM customer),
+    walk AS (
+      SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM seed
+      UNION
+      SELECT e.dst, walk.dist + e.w, walk.hops + 1
+      FROM walk JOIN e ON e.src = walk.id WHERE walk.hops < 6
+    )
+    SELECT id, MAX(dist) AS dist FROM walk GROUP BY id
+    """,
+)
+def gds_dag_longest_path(spark, sf_dir):
+    """gds.dag.longestPath: longest weighted path from the seed customer
+    over the DAG projection — the sssp frontier BSP with max-relaxation
+    (critical-path distance, exact integers)."""
+    g = build_graph(spark, sf_dir)
+    w = (
+        F.when(
+            F.col("type").isin("CONTAINS", "SUPPLIED_BY"), F.col("l_quantity").cast("long")
+        )
+        .otherwise(F.lit(1))
+        .alias("weight")
+    )
+    edges = g.rels.select("src", "dst", w)
+    return gds.dag_longest_path(edges, _seed(g), max_iter=10)
+
+
 @register(
     "gds_shortest_path_to_regions",
     f"""

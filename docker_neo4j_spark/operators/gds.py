@@ -118,6 +118,91 @@ def sssp(
     return dist
 
 
+def bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_iter: int = 30,
+) -> DataFrame:
+    """gds.bellmanFord parity: weighted SSSP with negative weights AND
+    negative-cycle detection — (id, dist, on_negative_cycle).
+
+    The relaxation loop is ``sssp`` (frontier Bellman-Ford). Detection is
+    the textbook extra pass: after the loop converges (or ``max_iter``
+    bounds it), one more relaxation round finds any node that can still
+    improve — possible only on/through a negative cycle. Those nodes'
+    REACHABLE set (an unweighted BFS taint — shortest distances are
+    undefined downstream of a negative cycle, gds.bellmanFord's
+    semantics) gets ``dist = NULL`` and the flag set. On a
+    negative-cycle-free graph the detection pass is one empty-join job.
+    """
+    dist = sssp(edges, sources, weight_col, max_iter)
+    e = edges.select("src", "dst", F.col(weight_col).alias("_w"))
+    cand = (
+        dist.join(e, dist["id"] == e["src"])
+        .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("_d2"))
+        .groupBy("id")
+        .agg(F.min("_d2").alias("_d2"))
+    )
+    still_improving = _ckpt(
+        cand.join(dist, "id").where(F.col("_d2") < F.col("dist")).select("id")
+    )
+    if still_improving.isEmpty():
+        return dist.select(
+            "id", "dist", F.lit(False).alias("on_negative_cycle")
+        )
+    tainted = bfs(edges, still_improving, max_depth=max_iter).select("id")
+    return (
+        dist.join(tainted.withColumn("_t", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_t"), F.lit(None).cast("long")).otherwise(F.col("dist")).alias("dist"),
+            F.coalesce(F.col("_t"), F.lit(False)).alias("on_negative_cycle"),
+        )
+    )
+
+
+def dag_longest_path(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_iter: int = 30,
+) -> DataFrame:
+    """gds.dag.longestPath parity: longest weighted path distance from the
+    source set to every reachable node — (id, dist). Defined on DAGs;
+    on a cyclic graph the loop is bounded by ``max_iter`` (the GDS
+    procedure refuses cycles up front; a distributed cycle check is the
+    topological-layers fixpoint, so callers wanting the strict contract
+    compose ``topological_layers`` first).
+
+    Same frontier BSP as ``sssp`` with max-relaxation: only nodes whose
+    longest distance grew last round re-relax their out-edges; on a DAG
+    that is ≤ longest-hop-count supersteps, each one edge-partitioned
+    join + groupBy-max shuffle.
+    """
+    e = edges.select("src", "dst", F.col(weight_col).alias("_w")).repartition("src").cache()
+    dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("dist"))
+            .groupBy("id")
+            .agg(F.max("dist").alias("dist"))
+        )
+        improved = _ckpt(
+            cand.join(dist.withColumnRenamed("dist", "_old"), "id", "left")
+            .where(F.col("_old").isNull() | (F.col("dist") > F.col("_old")))
+            .select("id", "dist")
+        )
+        if improved.isEmpty():
+            break
+        dist = _ckpt(dist.join(improved, "id", "left_anti").unionByName(improved))
+        frontier = improved
+    e.unpersist()
+    return dist
+
+
 def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
     """Weakly-connected components: (id, comp) with comp = min node id in
     the component (deterministic canonical labeling).

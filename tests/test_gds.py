@@ -901,3 +901,46 @@ def test_betweenness_directed_path(spark):
         ).collect()
     }
     assert got2.get(1) == 0.5 and got2.get(2) == 0.5
+
+
+def test_bellman_ford_flags_negative_cycle(spark):
+    """a→b→c→a sums to −1: every node on/through the cycle loses its
+    distance and gets the flag; the off-cycle sink d (reachable from the
+    cycle) is tainted too."""
+    from docker_neo4j_spark.operators import gds
+
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, -4), (3, 1, 1), (3, 4, 5)],
+        "src long, dst long, weight long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r for r in gds.bellman_ford(edges, seeds, max_iter=8).collect()}
+    assert all(out[i]["on_negative_cycle"] for i in (1, 2, 3, 4))
+    assert all(out[i]["dist"] is None for i in (1, 2, 3, 4))
+
+
+def test_bellman_ford_negative_weights_no_cycle(spark):
+    """Negative weights on a DAG: exact shortest distances, no flags."""
+    from docker_neo4j_spark.operators import gds
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 2), (3, 2, -4), (2, 4, 1)],
+        "src long, dst long, weight long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r for r in gds.bellman_ford(edges, seeds).collect()}
+    assert not any(r["on_negative_cycle"] for r in out.values())
+    assert (out[2]["dist"], out[3]["dist"], out[4]["dist"]) == (-2, 2, -1)
+
+
+def test_dag_longest_path_exact(spark):
+    """Diamond DAG: longest (not shortest) path distance per node."""
+    from docker_neo4j_spark.operators import gds
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 10), (2, 4, 1), (3, 4, 1), (4, 5, 2)],
+        "src long, dst long, weight long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r["dist"] for r in gds.dag_longest_path(edges, seeds).collect()}
+    assert out == {1: 0, 2: 1, 3: 10, 4: 11, 5: 13}
