@@ -111,6 +111,8 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_apoc_load_csv_json",
     "llm_gopher_rules",
     "llm_ngram_jaccard_pairs",
+    "gds_bellman_ford_negative",
+    "gds_dag_longest_path",
 ]
 
 
