@@ -113,6 +113,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_ngram_jaccard_pairs",
     "gds_bellman_ford_negative",
     "gds_dag_longest_path",
+    "proc_fulltext_query_nodes",
 ]
 
 

@@ -484,6 +484,57 @@ def proc_vector_query_nodes(spark, sf_dir):
 
 
 @register(
+    "proc_fulltext_query_nodes",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+      FROM documents),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT n FROM nd) AS a FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ('vector', 'hash', 'spark') GROUP BY doc_id, token),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    per_term AS (
+      SELECT t.doc_id,
+             ln(1e0 + ((SELECT n FROM nd) - CAST(d.df AS DOUBLE) + 0.5e0)
+                      / (CAST(d.df AS DOUBLE) + 0.5e0))
+             * (CAST(t.tf AS DOUBLE) * 2.2e0)
+             / (CAST(t.tf AS DOUBLE)
+                + 1.2e0 * (0.25e0 + 0.75e0 * CAST(l.dl AS DOUBLE)
+                                    / (SELECT a FROM avgdl))) AS s
+      FROM tf t JOIN dfq d USING (token) JOIN dl l USING (doc_id)),
+    scored AS (
+      SELECT doc_id AS node, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(ROUND(SUM(s) * 1e3) AS BIGINT) AS score_milli
+      FROM per_term GROUP BY doc_id)
+    SELECT node, n_hits, score_milli FROM scored
+    ORDER BY score_milli DESC, node ASC LIMIT 10
+    """,
+)
+def proc_fulltext_query_nodes(spark, sf_dir):
+    """``CALL db.index.fulltext.queryNodes(...)`` through the string
+    façade over a store whose Doc nodes carry the documents' ``text``
+    property: BM25 top-10 for 'vector hash spark' — identical closed-form
+    scoring to llm_bm25_search, so the milli-rounded scores hash-match."""
+    from ..cypher.session import Session
+    from ..graph import PropertyGraph
+    from ..storage.store import GraphStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nodes = docs.select(
+        F.col("doc_id").alias("id"), F.array(F.lit("Doc")).alias("labels"), "text"
+    )
+    rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+    s = Session(spark, store=GraphStore(spark, PropertyGraph(nodes=nodes, rels=rels)))
+    return s.run(
+        "CALL db.index.fulltext.queryNodes('Doc', 'vector hash spark', 10) "
+        "YIELD node, n_hits, score_milli RETURN node, n_hits, score_milli"
+    )
+
+
+@register(
     "proc_genai_encode_dim",
     """
     SELECT CAST(32 AS BIGINT) AS dim
@@ -760,6 +811,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'apoc.load.json'
     UNION ALL SELECT 'apoc.meta.stats'
     UNION ALL SELECT 'apoc.periodic.iterate'
+    UNION ALL SELECT 'db.index.fulltext.queryNodes'
     UNION ALL SELECT 'db.index.vector.queryNodes'
     UNION ALL SELECT 'db.labels'
     UNION ALL SELECT 'db.propertyKeys'

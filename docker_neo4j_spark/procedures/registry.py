@@ -346,6 +346,50 @@ def _vector_query_nodes(
     )
 
 
+@procedure(
+    "db.index.fulltext.queryNodes",
+    signature=(
+        "db.index.fulltext.queryNodes(indexName :: STRING, "
+        "queryString :: STRING, k :: INTEGER) :: "
+        "(node :: INTEGER, n_hits :: INTEGER, score_milli :: INTEGER)"
+    ),
+    description="Query the full-text index: BM25-ranked nodes matching the terms",
+    defaults={"indexName": "", "k": 20},
+)
+def _fulltext_query_nodes(
+    spark: SparkSession, indexName: str = "", queryString: str = "", k: int = 20,
+    graph=None,
+) -> DataFrame:
+    """``CALL db.index.fulltext.queryNodes('Label', 'terms…', k)`` — the
+    public full-text index surface, scored with exact-integer BM25
+    (operators.text.bm25, k1=1.2 b=0.75) over nodes carrying a ``text``
+    property. ``indexName`` maps to a node label ('' = every text-bearing
+    node), the single-index-per-label analog the vector procedure also
+    uses; the query string is whitespace-split into OR terms (the Lucene
+    subset that is deterministic and oracle-comparable). The corpus is
+    never globally sorted — scoring explodes only the ≤|query| matched
+    term set and the ordered LIMIT carries the (score, node) total order.
+    """
+    from ..operators.text import bm25
+
+    empty = "node bigint, n_hits bigint, score_milli bigint"
+    terms = [t for t in (queryString or "").split() if t]
+    if graph is None or not terms:
+        return spark.createDataFrame([], empty)
+    nodes = graph.nodes
+    if "text" not in nodes.columns:
+        return spark.createDataFrame([], empty)
+    nodes = nodes.where(F.col("text").isNotNull())
+    if indexName:
+        nodes = nodes.where(F.array_contains(F.col("labels"), indexName))
+    return bm25(
+        nodes.select(F.col("id").alias("node"), "text"),
+        terms,
+        key="node",
+        top_k=int(k),
+    )
+
+
 @scalar_function("genai.vector.encode")
 def _genai_vector_encode(text=None, dim: int = 32):
     """``genai.vector.encode(text)`` → array<float> (the genai plugin's

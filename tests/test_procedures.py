@@ -201,3 +201,33 @@ def test_apoc_load_json_and_csv(spark, tmp_path):
     assert sorted(r["lineNo"] for r in out) == list(range(50))
     by_no = {r["lineNo"]: r for r in out}
     assert by_no[0]["list"] == ["r0", "0"] and by_no[49]["map"]["qty"] == "49"
+
+
+def test_fulltext_query_nodes_label_filter_and_empty_query(spark):
+    """Fulltext BM25 procedure: label filtering scopes the corpus; an
+    empty query string yields an empty typed frame."""
+    from pyspark.sql import functions as F
+
+    from docker_neo4j_spark.graph import PropertyGraph
+    from docker_neo4j_spark.procedures.registry import call
+
+    nodes = spark.createDataFrame(
+        [
+            (1, ["Doc"], "spark hash vector spark"),
+            (2, ["Doc"], "nothing relevant here"),
+            (3, ["Other"], "spark spark spark"),
+        ],
+        "id long, labels array<string>, text string",
+    )
+    rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+    g = PropertyGraph(nodes=nodes, rels=rels)
+    out = call(spark, "db.index.fulltext.queryNodes",
+               args={"arg0": "Doc", "arg1": "spark vector", "arg2": 5},
+               context={"graph": g})
+    rows = out.collect()
+    assert [r["node"] for r in rows] == [1]  # label filter drops node 3
+    assert rows[0]["n_hits"] == 2 and rows[0]["score_milli"] > 0
+    empty = call(spark, "db.index.fulltext.queryNodes",
+                 args={"arg0": "Doc", "arg1": "", "arg2": 5},
+                 context={"graph": g})
+    assert empty.columns == ["node", "n_hits", "score_milli"] and empty.count() == 0
