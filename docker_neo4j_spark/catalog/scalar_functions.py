@@ -427,6 +427,68 @@ def fn_apoc_text_suite(spark, sf_dir):
 
 
 @register(
+    "fn_apoc_text_fuzzy_suite",
+    """
+    WITH s AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             lower(c_name) AS la, lower(c_mktsegment) AS lb,
+             list_filter(regexp_split_to_array(lower(c_name), '[^a-z0-9]+'),
+                         p -> p != '') AS parts
+      FROM customer),
+    g AS (
+      SELECT *,
+             CASE WHEN length(la) >= 2
+                  THEN list_transform(generate_series(1, length(la) - 1),
+                                      i -> substr(la, i, 2))
+                  ELSE [] END AS ga,
+             CASE WHEN length(lb) >= 2
+                  THEN list_transform(generate_series(1, length(lb) - 1),
+                                      i -> substr(lb, i, 2))
+                  ELSE [] END AS gb
+      FROM s)
+    SELECT c_custkey,
+           coalesce(parts[1], '')
+             || array_to_string(list_transform(list_slice(parts, 2, len(parts)),
+                  p -> upper(substr(p, 1, 1)) || substr(p, 2)), '') AS camel,
+           array_to_string(list_transform(parts,
+                  p -> upper(substr(p, 1, 1)) || substr(p, 2)), '') AS upper_camel,
+           regexp_replace(trim(c_name), '[^A-Za-z0-9]+', '-', 'g') AS slug,
+           levenshtein(c_name, c_mktsegment)
+             <= (CASE WHEN length(c_name) < 3 THEN 0
+                      WHEN length(c_name) <= 5 THEN 1 ELSE 2 END) AS fuzzy,
+           CASE WHEN len(ga) + len(gb) = 0 THEN 1.0e0
+                ELSE 2.0e0 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_distinct(ga),
+                         gr -> CAST(least(len(list_filter(ga, x -> x = gr)),
+                                          len(list_filter(gb, x -> x = gr)))
+                               AS BIGINT))),
+                       (acc, x) -> acc + x) AS DOUBLE)
+                     / CAST(len(ga) + len(gb) AS DOUBLE) END AS sorensen_dice
+    FROM g
+    """,
+)
+def fn_apoc_text_fuzzy_suite(spark, sf_dir):
+    """apoc.text.* fuzzy/case family — sorensenDiceSimilarity (multiset
+    character bigrams), fuzzyMatch (Lucene length-banded edit allowance),
+    camelCase / upperCamelCase / slug — over customer rows. All per-row
+    HOF/builtin expressions; the Dice ratio is one exact
+    2·BIGINT/BIGINT → DOUBLE division on both engines."""
+    from ..functions import apoc
+
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.select(
+        "c_custkey",
+        apoc.text_camel_case("c_name").alias("camel"),
+        apoc.text_upper_camel_case("c_name").alias("upper_camel"),
+        apoc.text_slug("c_name").alias("slug"),
+        apoc.text_fuzzy_match("c_name", "c_mktsegment").alias("fuzzy"),
+        apoc.text_sorensen_dice_similarity("c_name", "c_mktsegment").alias(
+            "sorensen_dice"
+        ),
+    )
+
+
+@register(
     "fn_apoc_coll_suite",
     """
     WITH per_nation AS (

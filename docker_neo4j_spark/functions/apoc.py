@@ -99,6 +99,79 @@ def text_swap_case(x) -> Column:
     return F.array_join(flipped, "")
 
 
+def _char_bigrams(c: Column) -> Column:
+    """Multiset of character bigrams (empty below length 2)."""
+    return F.when(
+        F.length(c) >= 2,
+        F.transform(F.sequence(F.lit(1), F.length(c) - 1), lambda i: c.substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def text_sorensen_dice_similarity(a, b) -> Column:
+    """apoc.text.sorensenDiceSimilarity — 2·|A∩B| / (|A|+|B|) over the
+    MULTISET of character bigrams of the lowercased strings (the
+    published short-string similarity); 1.0 when neither side has a
+    bigram. Per-row HOF arithmetic — quadratic only in the string's own
+    bigram count."""
+    ga, gb = _char_bigrams(F.lower(_c(a))), _char_bigrams(F.lower(_c(b)))
+    inter2 = F.aggregate(
+        F.array_distinct(ga),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.least(
+            F.size(F.filter(ga, lambda x: x == g)),
+            F.size(F.filter(gb, lambda x: x == g)),
+        ).cast("long"),
+    )
+    denom = (F.size(ga) + F.size(gb)).cast("long")
+    return F.when(denom == 0, F.lit(1.0)).otherwise(
+        F.lit(2.0) * inter2.cast("double") / denom.cast("double")
+    )
+
+
+def text_fuzzy_match(a, b) -> Column:
+    """apoc.text.fuzzyMatch — Lucene FuzzyQuery rule: edits allowed by
+    first-term length (<3 → 0, 3–5 → 1, >5 → 2); true when the edit
+    distance fits."""
+    ca, cb = _c(a), _c(b)
+    n = F.length(ca)
+    allowed = F.when(n < 3, F.lit(0)).when(n <= 5, F.lit(1)).otherwise(F.lit(2))
+    return F.levenshtein(ca, cb) <= allowed
+
+
+def _words_lower(x) -> Column:
+    return F.filter(
+        F.split(F.lower(_c(x)), "[^a-z0-9]+"), lambda p: p != F.lit("")
+    )
+
+
+def text_camel_case(x) -> Column:
+    """apoc.text.camelCase — 'FOO BAR' → 'fooBar': split on
+    non-alphanumerics, lowercase, capitalize every part but the first."""
+    parts = _words_lower(x)
+    first = F.coalesce(F.element_at(parts, 1), F.lit(""))
+    rest = F.transform(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        lambda p: F.concat(F.upper(p.substr(F.lit(1), F.lit(1))), p.substr(F.lit(2), F.length(p))),
+    )
+    return F.concat(first, F.array_join(rest, ""))
+
+
+def text_upper_camel_case(x) -> Column:
+    """apoc.text.upperCamelCase — 'FOO BAR' → 'FooBar'."""
+    parts = F.transform(
+        _words_lower(x),
+        lambda p: F.concat(F.upper(p.substr(F.lit(1), F.lit(1))), p.substr(F.lit(2), F.length(p))),
+    )
+    return F.array_join(parts, "")
+
+
+def text_slug(x, sep: str = "-") -> Column:
+    """apoc.text.slug — trim, collapse every non-alphanumeric run to the
+    separator (case preserved, per the APOC doc)."""
+    return F.regexp_replace(F.trim(_c(x)), "[^A-Za-z0-9]+", sep)
+
+
 # ---- apoc.coll.* --------------------------------------------------------
 
 

@@ -119,3 +119,25 @@ def test_map_family_merge_setkey_remove_get(spark):
     assert row["removed"] == "b=2"
     assert row["got"] == "1" and row["got_default"] == "dflt"
     assert row["keys"] == "a,b"
+
+
+def test_text_fuzzy_and_case_functions(spark):
+    from docker_neo4j_spark.functions import apoc
+
+    df = spark.createDataFrame(
+        [("FOO BAR", "foo baz"), ("the", "thx"), ("ab", "ac"), ("night", "night")],
+        "a string, b string",
+    )
+    rows = df.select(
+        apoc.text_camel_case("a").alias("cc"),
+        apoc.text_upper_camel_case("a").alias("ucc"),
+        apoc.text_slug("a").alias("slug"),
+        apoc.text_fuzzy_match("a", "b").alias("fz"),
+        apoc.text_sorensen_dice_similarity("a", "b").alias("sd"),
+    ).collect()
+    assert (rows[0]["cc"], rows[0]["ucc"], rows[0]["slug"]) == ("fooBar", "FooBar", "FOO-BAR")
+    # 'FOO BAR' vs 'foo baz' bigram multisets share {fo,oo,ba}+space-grams → 5/6
+    assert abs(rows[0]["sd"] - 2 * 5 / 12) < 1e-12
+    assert rows[1]["fz"] is True      # len 3 → 1 edit allowed, dist 1
+    assert rows[2]["fz"] is False     # len 2 → exact only
+    assert rows[3]["fz"] is True and rows[3]["sd"] == 1.0
