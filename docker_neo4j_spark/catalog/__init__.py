@@ -115,6 +115,7 @@ _NEW_THIS_ROUND: list[str] = [
     "gds_dag_longest_path",
     "proc_fulltext_query_nodes",
     "fn_apoc_text_fuzzy_suite",
+    "llm_deterministic_shuffle",
 ]
 
 

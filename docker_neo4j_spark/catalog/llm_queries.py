@@ -1809,3 +1809,26 @@ def llm_ngram_jaccard_pairs(spark, sf_dir):
     return dd.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_gram_docs=200).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "llm_deterministic_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('shuffle-v1' || '|' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS shuffle_rank
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_deterministic_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (curation.deterministic_shuffle):
+    exact global position under the md5(salt|key) order — reproducible
+    'randomness' with no single-task window (range repartition +
+    broadcast offsets)."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.deterministic_shuffle(d).select("doc_id", "shuffle_rank").orderBy(
+        "doc_id"
+    )

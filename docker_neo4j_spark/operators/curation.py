@@ -541,3 +541,31 @@ def leakage_free_split(
     return lab.select(
         F.col("id").alias(key_col), F.col("comp").alias("component"), side.alias("split")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: str = "doc_id",
+    salt: str = "shuffle-v1",
+    rank_name: str = "shuffle_rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets an
+    exact 1-based position in the order md5(salt|key) — RNG-free, so the
+    'random' order is reproducible across runs, engines, and partition
+    counts (unlike ``DataFrame.orderBy(rand())``), and any contiguous
+    slice of it is an unbiased sample.
+
+    The md5 sort key is one map-side expression; the ranking reuses
+    ``global_rank`` (range repartition + per-partition row_number +
+    broadcast offsets), so there is no single-task window — the one
+    full-data movement is the range exchange any engine pays to order.
+    The key column is the tiebreaker, making the order total even under
+    md5 collisions.
+    """
+    d = df.withColumn(
+        "_sh_key", F.md5(F.concat_ws("|", F.lit(salt), F.col(key).cast("string")))
+    )
+    return global_rank(
+        d, ["_sh_key", key], rank_name=rank_name, num_partitions=num_partitions
+    ).drop("_sh_key")

@@ -97,6 +97,15 @@ HEAVY = [
     "rdf_export_roundtrip",
     "llm_simhash_neardup",
     "gds_pagerank_serving",
+    # late-r8 additions: pair generators, BSP path algorithms, BM25 and
+    # bigram-HOF suites — the new shapes worth the 10× cliff check
+    "llm_ngram_jaccard_pairs",
+    "llm_gopher_rules",
+    "gds_bellman_ford_negative",
+    "gds_dag_longest_path",
+    "proc_fulltext_query_nodes",
+    "fn_apoc_text_fuzzy_suite",
+    "llm_ann_topk",
 ]
 
 

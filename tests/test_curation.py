@@ -256,3 +256,23 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pt.raises(ValueError):
         curation.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_deterministic_shuffle_reproducible_and_total(spark):
+    """Same salt → identical order across invocations and partition
+    counts; different salt → different order; ranks are a permutation."""
+    from docker_neo4j_spark.operators.curation import deterministic_shuffle
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["shuffle_rank"] for r in deterministic_shuffle(docs).collect()}
+    b = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in deterministic_shuffle(docs, num_partitions=7).collect()
+    }
+    c = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in deterministic_shuffle(docs, salt="other").collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 201))
+    assert a != c
