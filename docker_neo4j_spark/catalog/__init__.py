@@ -94,6 +94,23 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r8: ANN hyperplanes factored to shared literal values and the row
     # converted rows-only → oracle-paired (_ann_topk_sql)
     "llm_ann_topk",
+    # late r8: clause-keyword scanning ported to the lexer (find_keyword /
+    # split_keyword / _split_pipeline / _trailing_int_kw) — every façade
+    # query re-splits through it; re-grade one row per distinct ported
+    # path (WITH stages + mid-pipeline ORDER/LIMIT, trailing SKIP/LIMIT,
+    # OPTIONAL MATCH split, MERGE ON CREATE/MATCH, COUNT{} guard,
+    # standalone UNWIND, CREATE-tail RETURN, path binding, stage-tail
+    # MATCH). Also fixed: _create/_merge found RETURN by raw string
+    # containment — a literal containing ' RETURN ' truncated the pattern.
+    "cypher_with_pipeline",
+    "cypher_skip_limit",
+    "cypher_optional_chain",
+    "write_merge_unwind_batch",
+    "cypher_count_subquery",
+    "cypher_unwind",
+    "write_create_from_match_batch",
+    "cypher_path_binding",
+    "cypher_multi_match_pipeline",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

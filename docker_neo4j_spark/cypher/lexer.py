@@ -324,3 +324,53 @@ def split_top(src: str, word: str) -> list[str]:
             start = t.end
     parts.append(src[start:])
     return parts
+
+
+def find_keyword(src: str, *words: str) -> tuple[int, int] | None:
+    """First depth-0, quote-safe occurrence of the consecutive keyword
+    sequence (each one ident token); returns the matched span's
+    ``(start_char, end_char)`` or None.
+
+    The structured replacement for the façade's
+    ``re.search(r"\\bKEYWORD\\b")`` clause scanners: those could match a
+    keyword inside a string literal or a bracketed subexpression —
+    here quoted spans are atomic tokens and bracket depth gates the
+    match, so ``RETURN 'has WHERE inside'`` no longer fools the
+    splitter."""
+    seq = [w.upper() for w in words]
+    toks = tokenize(src)
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.kind == "punct":
+            if t.text in _OPEN:
+                depth += 1
+            elif t.text in _CLOSE:
+                depth -= 1
+            continue
+        if depth or t.kind != "ident" or t.text.upper() != seq[0]:
+            continue
+        j = i
+        ok = True
+        for w in seq[1:]:
+            j += 1
+            if j >= len(toks) or toks[j].kind != "ident" or toks[j].text.upper() != w:
+                ok = False
+                break
+        if ok:
+            return (t.pos, toks[j].end)
+    return None
+
+
+def split_keyword(src: str, *words: str) -> list[str]:
+    """Split on every depth-0 occurrence of the keyword sequence — the
+    multi-word sibling of ``split_top`` (e.g. ``OPTIONAL MATCH``)."""
+    parts: list[str] = []
+    rest, base = src, 0
+    while True:
+        hit = find_keyword(rest, *words)
+        if hit is None:
+            parts.append(rest)
+            return parts
+        s, e = hit
+        parts.append(rest[:s])
+        rest = rest[e:]

@@ -38,11 +38,79 @@ from .lexer import (  # r8: the positional-token lexer replaces the regex
     PROPS_BODY as _PROPS_BODY,  # scanners (_NODE_RE/_REL_RE) and the
     Node as _Node,   # char-scan splitter — see cypher/lexer.py
     Rel as _Rel,
+    find_keyword as _find_kw,
     parse_pattern as _parse_pattern,
     parse_props as _parse_props,
     parse_value as _parse_value,
+    split_keyword as _split_kw,
     split_top as _split_top,
 )
+
+
+def _split_pipeline(src: str) -> tuple[list[str], list[str]]:
+    """Depth-0, quote-safe split of a clause body on WITH / UNWIND stage
+    keywords (``STARTS WITH`` / ``ENDS WITH`` predicates kept intact by
+    the preceding-ident guard) — the token-stream port of the
+    lookbehind-regex splitter."""
+    from .lexer import _CLOSE, _OPEN, tokenize
+
+    parts: list[str] = []
+    kws: list[str] = []
+    depth = start = 0
+    prev_ident: str | None = None
+    for t in tokenize(src):
+        if t.kind == "punct":
+            depth += 1 if t.text in _OPEN else (-1 if t.text in _CLOSE else 0)
+            prev_ident = None
+            continue
+        if t.kind == "ident":
+            up = t.text.upper()
+            if (
+                depth == 0
+                and up in ("WITH", "UNWIND")
+                and not (up == "WITH" and prev_ident in ("STARTS", "ENDS"))
+            ):
+                parts.append(src[start : t.pos])
+                kws.append(up)
+                start = t.end
+            prev_ident = up
+        else:
+            prev_ident = None
+    parts.append(src[start:])
+    return parts, kws
+
+
+def _has_count_subquery(src: str) -> bool:
+    """True when a ``COUNT { … }`` subquery token pair appears anywhere
+    outside string literals (any bracket depth — COUNT{} may sit inside a
+    larger expression)."""
+    from .lexer import tokenize
+
+    toks = tokenize(src)
+    return any(
+        t.kind == "ident"
+        and t.text.upper() == "COUNT"
+        and i + 1 < len(toks)
+        and toks[i + 1].kind == "punct"
+        and toks[i + 1].text == "{"
+        for i, t in enumerate(toks)
+    )
+
+
+def _trailing_int_kw(src: str, *words: str) -> tuple[int | None, str]:
+    """``(value, head)`` when ``src`` ends with ``<words> <int>`` at depth
+    0 (the terminal LIMIT/SKIP clause), else ``(None, src)`` — the
+    quote-safe port of the ``\\bLIMIT\\s+(\\d+)\\s*$`` scanners."""
+    base = 0
+    while True:
+        h = _find_kw(src[base:], *words)
+        if h is None:
+            return None, src
+        s, e = base + h[0], base + h[1]
+        m = re.fullmatch(r"\s*(\d+)\s*", src[e:])
+        if m:
+            return int(m.group(1)), src[:s].strip()
+        base = e
 
 
 def _direction(rel: "_Rel") -> str:
@@ -1108,11 +1176,11 @@ class Session:
     def _standalone_unwind(self, q: str) -> DataFrame:
         """``UNWIND [..] AS x [UNWIND ..] RETURN ...`` with no MATCH — the
         pipeline runs over a one-row seed frame."""
-        m_ret = re.search(r"\bRETURN\b", q, re.IGNORECASE)
-        if not m_ret:
+        h_ret = _find_kw(q, "RETURN")
+        if not h_ret:
             raise ValueError("UNWIND without RETURN")
-        ret = q[m_ret.end():].strip()
-        stages = _split_top(q[:m_ret.start()], "UNWIND")
+        ret = q[h_ret[1]:].strip()
+        stages = _split_top(q[: h_ret[0]], "UNWIND")
         bound = self.spark.range(1).select(F.lit(1).alias("_seed"))
         for stage in stages:
             if stage.strip():
@@ -1345,22 +1413,27 @@ class Session:
         familiar match-or-create. ``ON CREATE SET`` / ``ON MATCH SET``
         apply their assignments to the branch actually taken."""
         ret = None
-        up = pattern_src.upper()
-        if " RETURN " in f" {up} ":
-            idx = up.index("RETURN")
-            ret = pattern_src[idx + len("RETURN"):].strip()
-            pattern_src = pattern_src[:idx].strip()
+        h_ret = _find_kw(pattern_src, "RETURN")
+        if h_ret:
+            ret = pattern_src[h_ret[1]:].strip()
+            pattern_src = pattern_src[: h_ret[0]].strip()
         on_create: dict[str, dict] = {}
         on_match: dict[str, dict] = {}
         for kind, target in (("CREATE", on_create), ("MATCH", on_match)):
-            m_on = re.search(rf"\bON\s+{kind}\s+SET\s+", pattern_src, re.IGNORECASE)
-            if not m_on:
+            h_on = _find_kw(pattern_src, "ON", kind, "SET")
+            if not h_on:
                 continue
-            tail_src = pattern_src[m_on.end():]
-            m_next = re.search(r"\bON\s+(CREATE|MATCH)\s+SET\s+", tail_src, re.IGNORECASE)
-            assigns = tail_src[: m_next.start()] if m_next else tail_src
+            tail_src = pattern_src[h_on[1]:]
+            nxt = [
+                h for h in (
+                    _find_kw(tail_src, "ON", "CREATE", "SET"),
+                    _find_kw(tail_src, "ON", "MATCH", "SET"),
+                ) if h
+            ]
+            h_next = min(nxt) if nxt else None
+            assigns = tail_src[: h_next[0]] if h_next else tail_src
             pattern_src = (
-                pattern_src[: m_on.start()] + (tail_src[m_next.start():] if m_next else "")
+                pattern_src[: h_on[0]] + (tail_src[h_next[0]:] if h_next else "")
             ).strip()
             for item in assigns.split(","):
                 lhs, rhs = item.split("=", 1)
@@ -1539,11 +1612,10 @@ class Session:
     # ---- CREATE -------------------------------------------------------
     def _create(self, pattern_src: str, anchors: dict[str, int]) -> DataFrame:
         ret = None
-        up = pattern_src.upper()
-        if " RETURN " in f" {up} ":
-            idx = up.index("RETURN")
-            ret = pattern_src[idx + len("RETURN"):].strip()
-            pattern_src = pattern_src[:idx].strip()
+        h_ret = _find_kw(pattern_src, "RETURN")
+        if h_ret:
+            ret = pattern_src[h_ret[1]:].strip()
+            pattern_src = pattern_src[: h_ret[0]].strip()
         elems, rest = _parse_pattern(pattern_src)
         if rest:
             raise ValueError(f"trailing content after CREATE pattern: {rest!r}")
@@ -1593,37 +1665,41 @@ class Session:
         if re.match(r"\w+\s*=\s*\(", body):
             return self._path_binding(body)
         # terminal write verb (CREATE/SET/REMOVE/DELETE) or RETURN
-        m_write = re.search(
-            r"\b(CREATE|SET|REMOVE|DETACH\s+DELETE|DELETE)\b", body, re.IGNORECASE
-        )
-        m_return = re.search(r"\bRETURN\b", body, re.IGNORECASE)
+        w_hits = [
+            (h[0], h[1], " ".join(words))
+            for words in (
+                ("CREATE",), ("SET",), ("REMOVE",), ("DETACH", "DELETE"), ("DELETE",),
+            )
+            if (h := _find_kw(body, *words))
+        ]
+        h_write = min(w_hits) if w_hits else None
+        h_return = _find_kw(body, "RETURN")
         verb = tail = None
-        if m_write and (not m_return or m_write.start() < m_return.start()):
-            pattern_src = body[: m_write.start()].strip()
-            verb = re.sub(r"\s+", " ", m_write.group(1).upper())
-            tail = body[m_write.end():].strip()
-        elif m_return:
-            pattern_src = body[: m_return.start()].strip()
-            ret = body[m_return.end():].strip()
+        if h_write and (not h_return or h_write[0] < h_return[0]):
+            pattern_src = body[: h_write[0]].strip()
+            verb = h_write[2]
+            tail = body[h_write[1]:].strip()
+        elif h_return:
+            pattern_src = body[: h_return[0]].strip()
+            ret = body[h_return[1]:].strip()
         else:
             raise ValueError("MATCH without RETURN or a write clause")
-        # WITH / UNWIND pipeline stages trail the pattern clauses; the
-        # lookbehinds keep `STARTS WITH` / `ENDS WITH` predicates intact
-        parts = re.split(
-            r"(?<!STARTS\s)(?<!ENDS\s)\b(WITH|UNWIND)\b", pattern_src, flags=re.IGNORECASE
-        )
+        # WITH / UNWIND pipeline stages trail the pattern clauses
+        # (`STARTS WITH` / `ENDS WITH` kept intact by the splitter's
+        # preceding-ident guard)
+        parts, stage_kws = _split_pipeline(pattern_src)
         pattern_src = parts[0].strip()
         pipeline = [
-            (parts[i].upper(), parts[i + 1].strip()) for i in range(1, len(parts) - 1, 2)
+            (stage_kws[i], parts[i + 1].strip()) for i in range(len(stage_kws))
         ]
         # OPTIONAL MATCH segments follow the main pattern (and its WHERE)
-        segments = re.split(r"\bOPTIONAL\s+MATCH\b", pattern_src, flags=re.IGNORECASE)
+        segments = _split_kw(pattern_src, "OPTIONAL", "MATCH")
         pattern_src, optionals = segments[0].strip(), [s.strip() for s in segments[1:]]
         where_src = None
-        m_where = re.search(r"\bWHERE\b", pattern_src, re.IGNORECASE)
-        if m_where:
-            where_src = pattern_src[m_where.end():].strip()
-            pattern_src = pattern_src[: m_where.start()].strip()
+        h_where = _find_kw(pattern_src, "WHERE")
+        if h_where:
+            where_src = pattern_src[h_where[1]:].strip()
+            pattern_src = pattern_src[: h_where[0]].strip()
         # comma-separated pattern groups are a cartesian product of their
         # bindings (Cypher MATCH (a), (b) — SURVEY §2.B.3 cartesian row)
         groups = []
@@ -1665,31 +1741,26 @@ class Session:
             # the multi-MATCH pipeline (SURVEY §2.B.6); the new pattern
             # joins back on the stage's still-bound variables
             tail_match = None
-            m_m = re.search(r"\b(OPTIONAL\s+)?MATCH\b", stage_src, re.IGNORECASE)
-            if m_m:
-                tail_match = (bool(m_m.group(1)), stage_src[m_m.end():].strip())
-                stage_src = stage_src[: m_m.start()].strip()
-            m_w = re.search(r"\bWHERE\b", stage_src, re.IGNORECASE)
-            where_part = stage_src[m_w.end():].strip() if m_w else None
-            items_src = stage_src[: m_w.start()].strip() if m_w else stage_src.strip()
+            h_om, h_m = _find_kw(stage_src, "OPTIONAL", "MATCH"), _find_kw(stage_src, "MATCH")
+            h_any = h_om if (h_om and (not h_m or h_om[0] <= h_m[0])) else h_m
+            if h_any:
+                tail_match = (h_any == h_om, stage_src[h_any[1]:].strip())
+                stage_src = stage_src[: h_any[0]].strip()
+            h_w = _find_kw(stage_src, "WHERE")
+            where_part = stage_src[h_w[1]:].strip() if h_w else None
+            items_src = stage_src[: h_w[0]].strip() if h_w else stage_src.strip()
             st_distinct = bool(re.match(r"DISTINCT\b", items_src, re.IGNORECASE))
             if st_distinct:
                 items_src = items_src[len("DISTINCT"):].strip()
             # openCypher clause order inside WITH: items [ORDER BY] [SKIP]
             # [LIMIT] [WHERE] — the mid-pipeline top-k idiom
-            st_order = st_skip = st_limit = None
-            m_li = re.search(r"\bLIMIT\s+(\d+)\s*$", items_src, re.IGNORECASE)
-            if m_li:
-                st_limit = int(m_li.group(1))
-                items_src = items_src[: m_li.start()].strip()
-            m_sk = re.search(r"\bSKIP\s+(\d+)\s*$", items_src, re.IGNORECASE)
-            if m_sk:
-                st_skip = int(m_sk.group(1))
-                items_src = items_src[: m_sk.start()].strip()
-            m_ob = re.search(r"\bORDER\s+BY\b", items_src, re.IGNORECASE)
-            if m_ob:
-                st_order = items_src[m_ob.end():].strip()
-                items_src = items_src[: m_ob.start()].strip()
+            st_order = st_skip = None
+            st_limit, items_src = _trailing_int_kw(items_src, "LIMIT")
+            st_skip, items_src = _trailing_int_kw(items_src, "SKIP")
+            h_ob = _find_kw(items_src, "ORDER", "BY")
+            if h_ob:
+                st_order = items_src[h_ob[1]:].strip()
+                items_src = items_src[: h_ob[0]].strip()
             # `WITH a` for a bound pattern variable carries the WHOLE
             # binding forward (all a_* columns), so later MATCH / RETURN
             # clauses can keep expanding from it — Cypher's variable
@@ -1740,7 +1811,7 @@ class Session:
         if verb in ("DELETE", "DETACH DELETE"):
             return self._delete_from_binding(tail, bound, elems, detach="DETACH" in verb)
 
-        if re.search(r"\bCOUNT\s*\{", ret, re.IGNORECASE):
+        if _has_count_subquery(ret):
             bound, ret = self._apply_count_subqueries(bound, ret)
         return self._project_match(bound, ret, elems, _frame_resolver(bound))
 
@@ -1907,15 +1978,13 @@ class Session:
                             break  # plain list, not a comprehension
                         head = ret[i + 1 : pipe].strip()
                         expr = ret[pipe + 1 : j].strip()
-                        m_w = re.search(
-                            r"\sWHERE\s", head, re.IGNORECASE
-                        )
-                        if m_w:
+                        h_w = _find_kw(head, "WHERE")
+                        if h_w:
                             return (
                                 i,
                                 j + 1,
-                                head[: m_w.start()].strip(),
-                                head[m_w.end() :].strip(),
+                                head[: h_w[0]].strip(),
+                                head[h_w[1]:].strip(),
                                 expr,
                             )
                         return (i, j + 1, head, None, expr)
@@ -2109,16 +2178,16 @@ class Session:
 
         m = re.match(r"(?P<pvar>\w+)\s*=\s*", body)
         rest_src = body[m.end():]
-        m_ret = re.search(r"\bRETURN\b", rest_src, re.IGNORECASE)
-        if not m_ret:
+        h_ret = _find_kw(rest_src, "RETURN")
+        if not h_ret:
             raise ValueError("path-binding MATCH requires RETURN")
-        pat_src, ret = rest_src[: m_ret.start()].strip(), rest_src[m_ret.end():].strip()
+        pat_src, ret = rest_src[: h_ret[0]].strip(), rest_src[h_ret[1]:].strip()
         where_src = None
-        m_wh = re.search(r"\bWHERE\b", pat_src, re.IGNORECASE)
-        if m_wh:
+        h_wh = _find_kw(pat_src, "WHERE")
+        if h_wh:
             pat_src, where_src = (
-                pat_src[: m_wh.start()].strip(),
-                pat_src[m_wh.end():].strip(),
+                pat_src[: h_wh[0]].strip(),
+                pat_src[h_wh[1]:].strip(),
             )
         elems, extra = _parse_pattern(pat_src)
         if extra or len(elems) != 3:
@@ -2241,11 +2310,10 @@ class Session:
         appended in ONE batch per pattern element — the binding frame is
         never collected to the driver, so a 10⁶-row MATCH binds fine."""
         ret = None
-        up = tail.upper()
-        if " RETURN " in f" {up} ":
-            idx = up.index("RETURN")
-            ret = tail[idx + len("RETURN"):].strip()
-            tail = tail[:idx].strip()
+        h_ret = _find_kw(tail, "RETURN")
+        if h_ret:
+            ret = tail[h_ret[1]:].strip()
+            tail = tail[: h_ret[0]].strip()
         elems, rest = _parse_pattern(tail)
         if rest:
             raise ValueError(f"trailing content after CREATE pattern: {rest!r}")
@@ -2309,10 +2377,10 @@ class Session:
         if optional:
             return self._bind_optional(bound, src, k)
         where_src = None
-        m_w = re.search(r"\bWHERE\b", src, re.IGNORECASE)
-        if m_w:
-            where_src = src[m_w.end():].strip()
-            src = src[: m_w.start()].strip()
+        h_w = _find_kw(src, "WHERE")
+        if h_w:
+            where_src = src[h_w[1]:].strip()
+            src = src[: h_w[0]].strip()
         elems, rest = _parse_pattern(src)
         if rest:
             raise ValueError(f"trailing content after MATCH pattern: {rest!r}")
@@ -2355,10 +2423,10 @@ class Session:
         from ..operators.patterns import NodeSpec, RelSpec, optional_expand
 
         where_src = None
-        m_w = re.search(r"\bWHERE\b", opt_src, re.IGNORECASE)
-        if m_w:
-            where_src = opt_src[m_w.end():].strip()
-            opt_src = opt_src[: m_w.start()].strip()
+        h_w = _find_kw(opt_src, "WHERE")
+        if h_w:
+            where_src = opt_src[h_w[1]:].strip()
+            opt_src = opt_src[: h_w[0]].strip()
         oelems, rest = _parse_pattern(opt_src)
         if rest:
             raise ValueError(f"trailing content in OPTIONAL MATCH: {rest!r}")
@@ -2459,19 +2527,13 @@ class Session:
             resolve = _frame_resolver(bound)
         _resolve = resolve or _default_resolver
         # ORDER BY / SKIP / LIMIT suffixes, DISTINCT prefix
-        order_by = limit = skip = None
-        m_ob = re.search(r"\bORDER\s+BY\b", ret, re.IGNORECASE)
-        m_li = re.search(r"\bLIMIT\s+(\d+)\s*$", ret, re.IGNORECASE)
-        if m_li:
-            limit = int(m_li.group(1))
-            ret = ret[: m_li.start()].strip()
-        m_sk = re.search(r"\bSKIP\s+(\d+)\s*$", ret, re.IGNORECASE)
-        if m_sk:
-            skip = int(m_sk.group(1))
-            ret = ret[: m_sk.start()].strip()
-        if m_ob:
-            order_by = ret[m_ob.end():].strip()
-            ret = ret[: m_ob.start()].strip()
+        order_by = None
+        limit, ret = _trailing_int_kw(ret, "LIMIT")
+        skip, ret = _trailing_int_kw(ret, "SKIP")
+        h_ob = _find_kw(ret, "ORDER", "BY")
+        if h_ob:
+            order_by = ret[h_ob[1]:].strip()
+            ret = ret[: h_ob[0]].strip()
         distinct = bool(re.match(r"DISTINCT\b", ret, re.IGNORECASE))
         if distinct:
             ret = ret[len("DISTINCT"):].strip()

@@ -122,3 +122,31 @@ def test_props_with_structural_chars_end_to_end(spark):
         "MATCH (a:doc {name:'a}b'}) RETURN a.note AS note, a.ref AS ref"
     ).collect()
     assert [(row["note"], row["ref"]) for row in r] == [("x,y", "(1):2")]
+
+
+def test_keyword_in_string_literal_does_not_split_clauses(spark):
+    """The r8 keyword-finder port: RETURN/WHERE/DELETE inside a string
+    literal must not be treated as a clause boundary (the regex scanners
+    this replaces would split there)."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (d:Trap {name: 'keep WHERE RETURN DELETE me', kind: 'x'})")
+    out = s.run(
+        "MATCH (d:Trap) WHERE d.kind = 'x' "
+        "RETURN d.name AS name, ' WHERE RETURN LIMIT 3 ' AS trap"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["name"] == "keep WHERE RETURN DELETE me"
+    assert out[0]["trap"] == " WHERE RETURN LIMIT 3 "
+
+
+def test_find_keyword_skips_quotes_and_brackets():
+    from docker_neo4j_spark.cypher.lexer import find_keyword, split_keyword
+
+    assert find_keyword("RETURN 'no WHERE here'", "WHERE") is None
+    assert find_keyword("WHERE size([x IN l WHERE x]) > 0", "WHERE") == (0, 5)
+    assert split_keyword("a OPTIONAL MATCH b 'OPTIONAL MATCH' c", "OPTIONAL", "MATCH") == [
+        "a ",
+        " b 'OPTIONAL MATCH' c",
+    ]
