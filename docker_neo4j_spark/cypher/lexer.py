@@ -15,7 +15,11 @@ Ported onto the stream so far (each removes its regex twin from
 - ``parse_pattern`` — MATCH/CREATE pattern parsing: ``(a:L {p: v})``
   nodes, ``-[r:T|U *1..3 {p: v}]->`` relationships (replaces
   ``_NODE_RE``/``_REL_RE``/``_PROPS_BODY``);
-- ``parse_value``/``parse_props`` — literal scalars/lists/maps.
+- ``parse_value``/``parse_props`` — literal scalars/lists/maps;
+- ``find_keyword``/``split_keyword`` — depth-0, quote-safe clause-keyword
+  scanning (replaces the ``re.search(r"\\bKEYWORD\\b")`` scanners and the
+  raw ``" RETURN " in src`` containment checks, which a keyword inside a
+  string literal could fool).
 
 The reference surface is arbitrary Cypher text over Bolt
 (docker-image-src test harness, DatabaseIO.java:121-128); the grammar
