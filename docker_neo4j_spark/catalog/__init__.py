@@ -133,6 +133,7 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_fulltext_query_nodes",
     "fn_apoc_text_fuzzy_suite",
     "llm_deterministic_shuffle",
+    "proc_apoc_path_expand",
 ]
 
 

@@ -535,6 +535,43 @@ def proc_fulltext_query_nodes(spark, sf_dir):
 
 
 @register(
+    "proc_apoc_path_expand",
+    """
+    WITH RECURSIVE e AS (
+      SELECT CAST(3000000000000 + o_custkey AS BIGINT) AS src,
+             CAST(6000000000000 + o_orderkey AS BIGINT) AS dst FROM orders
+      UNION ALL
+      SELECT CAST(6000000000000 + l_orderkey AS BIGINT),
+             CAST(5000000000000 + l_partkey AS BIGINT) FROM lineitem),
+    seed AS (SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS id FROM customer),
+    walk AS (
+      SELECT id, 0 AS lvl FROM seed
+      UNION
+      SELECT e.dst, walk.lvl + 1 FROM walk JOIN e ON e.src = walk.id
+      WHERE walk.lvl < 2)
+    SELECT id AS node, CAST(MIN(lvl) AS BIGINT) AS level FROM walk
+    WHERE id >= 5000000000000 AND id < 6000000000000
+    GROUP BY id HAVING MIN(lvl) >= 1
+    ORDER BY node
+    """,
+)
+def proc_apoc_path_expand(spark, sf_dir):
+    """``CALL apoc.path.expand('Customer', 'PLACED>|CONTAINS>', '>Part',
+    1, 2)`` through the façade: BFS levels over the typed-pruned edge
+    frame, end-label terminated — every Part reachable from any customer
+    within two hops, at its shortest level."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "CALL apoc.path.expand('Customer', 'PLACED>|CONTAINS>', '>Part', 1, 2) "
+        "YIELD node, level RETURN node, level"
+    )
+
+
+@register(
     "proc_genai_encode_dim",
     """
     SELECT CAST(32 AS BIGINT) AS dim
@@ -811,6 +848,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'apoc.load.json'
     UNION ALL SELECT 'apoc.meta.stats'
     UNION ALL SELECT 'apoc.periodic.iterate'
+    UNION ALL SELECT 'apoc.path.expand'
     UNION ALL SELECT 'db.index.fulltext.queryNodes'
     UNION ALL SELECT 'db.index.vector.queryNodes'
     UNION ALL SELECT 'db.labels'

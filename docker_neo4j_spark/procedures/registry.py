@@ -390,6 +390,61 @@ def _fulltext_query_nodes(
     )
 
 
+@procedure(
+    "apoc.path.expand",
+    signature=(
+        "apoc.path.expand(start :: STRING, relationshipFilter :: STRING, "
+        "labelFilter :: STRING, minLevel :: INTEGER, maxLevel :: INTEGER) :: "
+        "(node :: INTEGER, level :: INTEGER)"
+    ),
+    description="Expand from the start label along filtered relationship types within level bounds",
+    defaults={"labelFilter": "", "minLevel": 1, "maxLevel": 3},
+)
+def _apoc_path_expand(
+    spark: SparkSession, start: str = "", relationshipFilter: str = "",
+    labelFilter: str = "", minLevel: int = 1, maxLevel: int = 3, graph=None,
+) -> DataFrame:
+    """APOC path-expander subset (apoc.path.expand, the plugin's traversal
+    procedure): ``start`` names the start-node label set;
+    ``relationshipFilter`` is the APOC ``'T1>|T2>'`` outgoing-type syntax
+    (incoming ``<T`` is rejected fail-loud — same one-direction subset the
+    pattern compiler serves); ``labelFilter`` supports the ``'>L'``
+    end-label terminator or '' for all. Levels are BFS shortest hop
+    counts (APOC's NODE_GLOBAL uniqueness default), yielded for
+    minLevel ≤ level ≤ maxLevel — the frontier BSP from operators.gds,
+    one typed-pruned edge frame, no path materialization."""
+    from ..operators.gds import bfs
+
+    empty = "node bigint, level bigint"
+    if graph is None or not start:
+        return spark.createDataFrame([], empty)
+    types = []
+    for part in (relationshipFilter or "").split("|"):
+        part = part.strip()
+        if not part:
+            continue
+        if part.startswith("<"):
+            raise ValueError(
+                "apoc.path.expand: incoming '<T' filters are unsupported "
+                "(outgoing 'T>' subset only)"
+            )
+        types.append(part.rstrip(">"))
+    edges = graph.rels
+    if types:
+        edges = edges.where(F.col("type").isin(types))
+    sources = graph.nodes.where(F.array_contains(F.col("labels"), start)).select("id")
+    reached = bfs(edges.select("src", "dst"), sources, max_depth=int(maxLevel))
+    out = reached.where(F.col("dist") >= int(minLevel)).select(
+        F.col("id").alias("node"), F.col("dist").cast("long").alias("level")
+    )
+    if labelFilter.startswith(">") and labelFilter[1:]:
+        ends = graph.nodes.where(
+            F.array_contains(F.col("labels"), labelFilter[1:])
+        ).select(F.col("id").alias("node"))
+        out = out.join(ends, "node", "left_semi")
+    return out
+
+
 @scalar_function("genai.vector.encode")
 def _genai_vector_encode(text=None, dim: int = 32):
     """``genai.vector.encode(text)`` → array<float> (the genai plugin's

@@ -231,3 +231,42 @@ def test_fulltext_query_nodes_label_filter_and_empty_query(spark):
                  args={"arg0": "Doc", "arg1": "", "arg2": 5},
                  context={"graph": g})
     assert empty.columns == ["node", "n_hits", "score_milli"] and empty.count() == 0
+
+
+def test_apoc_path_expand_levels_and_filters(spark):
+    """Level bounds, outgoing-type filter, end-label terminator, and the
+    fail-loud incoming-filter rejection."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from docker_neo4j_spark.graph import PropertyGraph
+    from docker_neo4j_spark.procedures.registry import call
+
+    nodes = spark.createDataFrame(
+        [(1, ["A"]), (2, ["B"]), (3, ["C"]), (4, ["C"]), (5, ["B"])],
+        "id long, labels array<string>",
+    )
+    rels = spark.createDataFrame(
+        [(10, 1, 2, "X"), (11, 2, 3, "Y"), (12, 1, 4, "Z"), (13, 3, 5, "X")],
+        "id long, src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes=nodes, rels=rels)
+    out = call(
+        spark, "apoc.path.expand",
+        args={"arg0": "A", "arg1": "X>|Y>", "arg2": "", "arg3": 1, "arg4": 3},
+        context={"graph": g},
+    )
+    got = {(r["node"], r["level"]) for r in out.collect()}
+    assert got == {(2, 1), (3, 2), (5, 3)}  # Z-edge to 4 filtered out
+    ends = call(
+        spark, "apoc.path.expand",
+        args={"arg0": "A", "arg1": "X>|Y>", "arg2": ">C", "arg3": 1, "arg4": 3},
+        context={"graph": g},
+    )
+    assert {(r["node"], r["level"]) for r in ends.collect()} == {(3, 2)}
+    with pytest.raises(ValueError, match="incoming"):
+        call(
+            spark, "apoc.path.expand",
+            args={"arg0": "A", "arg1": "<X", "arg2": "", "arg3": 1, "arg4": 2},
+            context={"graph": g},
+        )
