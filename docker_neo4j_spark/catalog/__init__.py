@@ -111,6 +111,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     "write_create_from_match_batch",
     "cypher_path_binding",
     "cypher_multi_match_pipeline",
+    # late r8: the Arrow-batched encoder row converted rows-only →
+    # oracle-paired (FNV-1a HUGEINT replay, _FNV_SQL)
+    "llm_embed_and_search",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

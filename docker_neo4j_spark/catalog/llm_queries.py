@@ -564,10 +564,70 @@ def llm_ann_topk(spark, sf_dir):
     return sim.ann_topk(e, e.where(F.col("vec_id") < 10), k=5, dim=64)
 
 
-@register("llm_embed_and_search")  # rows-only: pandas_udf encoder is engine-side
+# DuckDB replay of the Arrow-batched encoder's FNV-1a token hash: the
+# HUGEINT fold keeps every intermediate in [0, 2^64); xor only ever
+# touches the low 7 bits (ASCII bytes), so it is computed on the
+# BIGINT-safe `acc % 128` slice — bit-identical to operators.embed's
+# Python loop (validated token-for-token).
+_FNV_SQL = """list_reduce(
+    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      list_transform(generate_series(1, length(token)),
+                     i -> CAST(unicode(substr(token, i, 1)) AS HUGEINT))),
+    (acc, b) -> ((acc - (acc % 128)
+                  + xor(CAST(acc % 128 AS BIGINT), CAST(b AS BIGINT)))
+                 * 1099511628211) % 18446744073709551616
+  )"""
+
+
+@register(
+    "llm_embed_and_search",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x != '')) AS token
+      FROM documents),
+    h AS (SELECT doc_id, CAST({_FNV_SQL} % 32 AS BIGINT) AS dim FROM tok),
+    cnt AS (SELECT doc_id, dim, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM h GROUP BY doc_id, dim),
+    m AS (SELECT doc_id, map(list(dim ORDER BY dim), list(c ORDER BY dim)) AS mm
+          FROM cnt GROUP BY doc_id),
+    vraw AS (
+      SELECT d.doc_id,
+             list_transform(generate_series(0, 31),
+                            i -> coalesce(map_extract(mm, i)[1], 0.0)) AS v
+      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id),
+    emb AS (
+      SELECT doc_id AS vec_id,
+             list_transform(v, x -> CAST(x / (CASE WHEN s = 0.0 THEN 1.0
+                                               ELSE sqrt(s) END) AS REAL))
+               AS embedding
+      FROM (SELECT doc_id, v,
+                   list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                               (a, b) -> a + b) AS s
+            FROM vraw)),
+    q AS (SELECT vec_id, embedding FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q.embedding', 'c.embedding')}
+             / greatest(sqrt({_dot_sql('q.embedding', 'q.embedding')})
+                        * sqrt({_dot_sql('c.embedding', 'c.embedding')}),
+                        1e-12) AS sim
+      FROM q JOIN emb c ON q.vec_id != c.vec_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
 def llm_embed_and_search(spark, sf_dir):
     """genai.vector.encode + vector top-k end-to-end: Arrow-batched
-    embedding of the documents, then cosine top-3 over the fresh column."""
+    embedding of the documents, then cosine top-3 over the fresh column.
+    Oracle-paired since r8: the encoder's FNV-1a feature hashing, integer
+    bag-of-words, double normalize, and float32 cast replay exactly in
+    DuckDB (``_FNV_SQL``) — the engine's one pandas_udf is itself
+    differential-tested, not just contract-tested."""
     from ..operators.embed import embed_documents
 
     d = load_tables(spark, sf_dir)["documents"]
