@@ -137,6 +137,7 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_apoc_text_fuzzy_suite",
     "llm_deterministic_shuffle",
     "proc_apoc_path_expand",
+    "fn_apoc_date_suite",
 ]
 
 

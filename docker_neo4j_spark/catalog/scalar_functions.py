@@ -630,3 +630,50 @@ def fn_apoc_map_suite(spark, sf_dir):
         apoc.map_get(m1, "absent", "missing").alias("got_default"),
         F.array_join(apoc.map_keys_sorted(m1), ",").alias("keys_str"),
     )
+
+
+@register(
+    "fn_apoc_date_suite",
+    """
+    SELECT o_orderkey,
+           epoch_ms(o_orderdate) AS ms,
+           strftime(o_orderdate, '%Y/%m/%d %H:%M') AS fmt,
+           epoch_ms(strptime(strftime(o_orderdate, '%Y/%m/%d %H:%M'),
+                             '%Y/%m/%d %H:%M')) // 1000 AS parsed_s,
+           epoch_ms(o_orderdate) // 1000 + 45 * 86400 AS plus45d_s,
+           epoch_ms(o_orderdate) // 86400000 AS in_days,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.000Z' AS iso,
+           epoch_ms(o_orderdate) AS iso_roundtrip_ms
+    FROM orders
+    """,
+)
+def fn_apoc_date_suite(spark, sf_dir):
+    """apoc.date.* — format/parse/add/convert/field/toISO8601/fromISO8601
+    over order dates (epoch-integer temporal helpers; plugin manifest at
+    the reference's calver/coredb/neo4j-plugins.json:3-8). Fixed-length
+    TimeUnit arithmetic in UTC, all built-in Column expressions; the
+    fromISO8601(toISO8601(ms)) round trip is asserted against the raw
+    epoch by the oracle."""
+    from ..functions import apoc
+
+    o = load_tables(spark, sf_dir)["orders"]
+    # o_orderdate is TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (session.py:34) so the cast to instant is the identity mapping.
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    fmt = apoc.date_format(ms, "ms", "yyyy/MM/dd HH:mm")
+    return o.select(
+        "o_orderkey",
+        ms.alias("ms"),
+        fmt.alias("fmt"),
+        apoc.date_parse(fmt, "s", "yyyy/MM/dd HH:mm").alias("parsed_s"),
+        apoc.date_add(apoc.date_convert(ms, "ms", "s"), "s", 45, "d").alias(
+            "plus45d_s"
+        ),
+        apoc.date_convert(ms, "ms", "d").alias("in_days"),
+        apoc.date_field(ms, "ms", "years").alias("yr"),
+        apoc.date_to_iso8601(ms, "ms").alias("iso"),
+        apoc.date_from_iso8601(apoc.date_to_iso8601(ms, "ms")).alias(
+            "iso_roundtrip_ms"
+        ),
+    )

@@ -361,3 +361,95 @@ def map_sorted_join(m, pair_sep: str = "=", item_sep: str = ",") -> Column:
         ),
         item_sep,
     )
+
+
+# ---- apoc.date.* --------------------------------------------------------
+#
+# APOC's temporal helpers operate on integer epochs in a caller-chosen
+# unit (apoc.date.format / parse / add / convert / field / toISO8601 —
+# published APOC core surface; plugin declared at the reference's
+# calver/coredb/neo4j-plugins.json:3-8). All arithmetic is fixed-length
+# (TimeUnit semantics: 1 d = 86_400_000 ms — no calendars, no DST), so
+# every helper compiles to pure integer/column expressions; the session
+# timezone is pinned to UTC (session.py:34) which matches APOC's default.
+
+_UNIT_MS: dict[str, int] = {
+    "ms": 1,
+    "s": 1_000,
+    "m": 60_000,
+    "h": 3_600_000,
+    "d": 86_400_000,
+}
+
+
+def _unit_ms(unit: str) -> int:
+    try:
+        return _UNIT_MS[unit]
+    except KeyError:
+        raise ValueError(
+            f"unsupported time unit {unit!r} (supported: {sorted(_UNIT_MS)})"
+        ) from None
+
+
+def date_format(time, unit: str, fmt: str) -> Column:
+    """apoc.date.format(time, unit, format) — epoch integer in ``unit``
+    rendered through a Java datetime pattern, UTC."""
+    ms = _c(time).cast("long") * F.lit(_unit_ms(unit))
+    return F.date_format(F.timestamp_millis(ms), fmt)
+
+
+def date_parse(text, unit: str, fmt: str) -> Column:
+    """apoc.date.parse(text, unit, format) — string → epoch integer in
+    ``unit`` (truncating division, TimeUnit.convert semantics)."""
+    ms = F.unix_millis(F.to_timestamp(_c(text), fmt))
+    return (ms / F.lit(_unit_ms(unit))).cast("long")
+
+
+def date_add(time, unit: str, add_value: int, add_unit: str) -> Column:
+    """apoc.date.add(time, unit, addValue, addUnit) — fixed-length
+    arithmetic in ``unit``."""
+    ms = _c(time).cast("long") * F.lit(_unit_ms(unit))
+    out = ms + F.lit(int(add_value) * _unit_ms(add_unit))
+    return (out / F.lit(_unit_ms(unit))).cast("long")
+
+
+def date_convert(time, unit: str, to_unit: str) -> Column:
+    """apoc.date.convert(time, unit, toUnit) — truncating unit change."""
+    ms = _c(time).cast("long") * F.lit(_unit_ms(unit))
+    return (ms / F.lit(_unit_ms(to_unit))).cast("long")
+
+
+_DATE_FIELDS = {
+    "years": F.year,
+    "months": F.month,
+    "days": F.dayofmonth,
+    "hours": F.hour,
+    "minutes": F.minute,
+    "seconds": F.second,
+}
+
+
+def date_field(time, unit: str, field: str) -> Column:
+    """apoc.date.field(time, unit, field) — calendar field of the epoch,
+    UTC. Fields use APOC's plural names (years/months/days/…)."""
+    try:
+        fn = _DATE_FIELDS[field]
+    except KeyError:
+        raise ValueError(
+            f"unsupported field {field!r} (supported: {sorted(_DATE_FIELDS)})"
+        ) from None
+    ms = _c(time).cast("long") * F.lit(_unit_ms(unit))
+    return fn(F.timestamp_millis(ms)).cast("int")
+
+
+def date_to_iso8601(time, unit: str) -> Column:
+    """apoc.date.toISO8601(time, unit) — UTC 'Z'-suffixed rendering with
+    millisecond precision (APOC's yyyy-MM-dd'T'HH:mm:ss.SSS'Z')."""
+    return date_format(time, unit, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+
+def date_from_iso8601(text) -> Column:
+    """apoc.date.fromISO8601(text) — ISO string → epoch millis."""
+    return F.unix_millis(
+        F.to_timestamp(_c(text), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    )

@@ -141,3 +141,36 @@ def test_text_fuzzy_and_case_functions(spark):
     assert rows[1]["fz"] is True      # len 3 → 1 edit allowed, dist 1
     assert rows[2]["fz"] is False     # len 2 → exact only
     assert rows[3]["fz"] is True and rows[3]["sd"] == 1.0
+
+
+def test_date_functions(spark):
+    import pytest
+
+    # 2021-03-04 05:06:07 UTC
+    ms = 1614834367000
+    assert _one(spark, apoc.date_format(F.lit(ms), "ms", "yyyy-MM-dd HH:mm:ss")) == (
+        "2021-03-04 05:06:07"
+    )
+    assert (
+        _one(spark, apoc.date_parse(F.lit("2021-03-04 05:06:07"), "ms", "yyyy-MM-dd HH:mm:ss"))
+        == ms
+    )
+    # parse into coarser units truncates (TimeUnit.convert semantics)
+    assert (
+        _one(spark, apoc.date_parse(F.lit("2021-03-04 05:06:07"), "d", "yyyy-MM-dd HH:mm:ss"))
+        == ms // 86_400_000
+    )
+    assert _one(spark, apoc.date_add(F.lit(ms), "ms", 2, "h")) == ms + 2 * 3_600_000
+    assert _one(spark, apoc.date_add(F.lit(ms // 1000), "s", -1, "d")) == ms // 1000 - 86_400
+    assert _one(spark, apoc.date_convert(F.lit(ms), "ms", "h")) == ms // 3_600_000
+    assert _one(spark, apoc.date_field(F.lit(ms), "ms", "years")) == 2021
+    assert _one(spark, apoc.date_field(F.lit(ms), "ms", "minutes")) == 6
+    iso = _one(spark, apoc.date_to_iso8601(F.lit(ms), "ms"))
+    assert iso == "2021-03-04T05:06:07.000Z"
+    assert _one(spark, apoc.date_from_iso8601(F.lit(iso))) == ms
+    # fail-loud on unknown units/fields — a typo'd unit must not silently
+    # default (APOC raises too)
+    with pytest.raises(ValueError, match="unsupported time unit"):
+        apoc.date_convert(F.lit(ms), "ms", "fortnight")
+    with pytest.raises(ValueError, match="unsupported field"):
+        apoc.date_field(F.lit(ms), "ms", "weekday")
