@@ -138,6 +138,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_deterministic_shuffle",
     "proc_apoc_path_expand",
     "fn_apoc_date_suite",
+    "llm_boilerplate_removal",
 ]
 
 

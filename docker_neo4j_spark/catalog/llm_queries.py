@@ -1892,3 +1892,49 @@ def llm_deterministic_shuffle(spark, sf_dir):
     return curation.deterministic_shuffle(d).select("doc_id", "shuffle_rank").orderBy(
         "doc_id"
     )
+
+
+@register(
+    "llm_boilerplate_removal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(list_slice(ws, CAST(i*8+1 AS BIGINT),
+                                        CAST((i+1)*8 AS BIGINT)), ' ') AS seg
+      FROM toks, unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)),
+    bp AS (
+      SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+    flag AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, (b.seg IS NOT NULL) AS is_bp
+      FROM segs s LEFT JOIN bp b USING (seg)),
+    docs AS (
+      SELECT doc_id,
+             count(*) AS n_segments,
+             CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+             coalesce(array_to_string(
+               list(seg ORDER BY seg_idx) FILTER (WHERE NOT is_bp), ' '), '')
+               AS cleaned_text
+      FROM flag GROUP BY doc_id)
+    SELECT doc_id, n_segments, n_boilerplate, cleaned_text,
+           CAST(CASE WHEN cleaned_text = '' THEN 0
+                ELSE len(regexp_split_to_array(cleaned_text, '\s+')) END
+                AS BIGINT) AS retained_words
+    FROM docs
+    """,
+)
+def llm_boilerplate_removal(spark, sf_dir):
+    """CCNet/RefinedWeb-style boilerplate removal: 8-word segments
+    recurring verbatim in ≥2 distinct documents are template boilerplate
+    and are cut; each document is rebuilt from its surviving segments.
+    Keyed shuffles only (segment-df groupBy, pre-filtered equi-join,
+    per-doc reassembly) — no all-pairs stage at any scale."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return curation.remove_boilerplate(
+        d, segment_tokens=8, min_doc_freq=2
+    ).orderBy("doc_id")

@@ -569,3 +569,77 @@ def deterministic_shuffle(
     return global_rank(
         d, ["_sh_key", key], rank_name=rank_name, num_partitions=num_partitions
     ).drop("_sh_key")
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    segment_tokens: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb recipe:
+    a text segment that recurs verbatim across ``min_doc_freq`` or more
+    DISTINCT documents is template boilerplate — headers, footers, nav
+    bars — and is cut from every document that carries it).
+
+    Documents are segmented into non-overlapping ``segment_tokens``-word
+    windows (trailing partial window kept), the per-segment document
+    frequency is aggregated corpus-wide, and each document is rebuilt
+    from its non-boilerplate segments in order.
+
+    Output: (key, n_segments, n_boilerplate, cleaned_text,
+    retained_words) — one row per input document, empty-string
+    cleaned_text when everything was boilerplate.
+
+    Scale (100 TB): three keyed shuffles, none all-pairs — (1) the
+    df-count groupBy on segment text, (2) the segment⋈boilerplate-set
+    equi-join (the right side is pre-filtered to df ≥ threshold, a tiny
+    fraction of the segment space, and carries no skew guard need:
+    segment texts are near-unique by construction), (3) the per-doc
+    reassembly groupBy. Segmentation itself is the map-only
+    transform+posexplode shape shared with ``chunk_documents``.
+    """
+    if segment_tokens <= 0:
+        raise ValueError("segment_tokens must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_segs = F.ceil(n / F.lit(float(segment_tokens))).cast("long")
+    segs = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, (i * segment_tokens + 1).cast("int"), segment_tokens),
+            " ",
+        ),
+    )
+    exploded = df.select(
+        F.col(key), F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    boiler = (
+        exploded.groupBy("seg")
+        .agg(F.count_distinct(key).alias("_df"))
+        .where(F.col("_df") >= min_doc_freq)
+        .select("seg", F.lit(True).alias("_bp"))
+    )
+    flagged = exploded.join(boiler, "seg", "left").select(
+        key,
+        "seg_idx",
+        "seg",
+        F.coalesce(F.col("_bp"), F.lit(False)).alias("_bp"),
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("seg_idx"), F.col("seg"), F.col("_bp")))
+    )
+    kept = F.filter(parts, lambda p: ~p["_bp"])
+    cleaned = F.array_join(F.transform(kept, lambda p: p["seg"]), " ")
+    return flagged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("_bp").cast("long")).alias("n_boilerplate"),
+        cleaned.alias("cleaned_text"),
+        F.size(F.split(F.trim(cleaned), r"\s+")).alias("retained_words"),
+    ).withColumn(
+        "retained_words",
+        F.when(F.col("cleaned_text") == "", F.lit(0)).otherwise(
+            F.col("retained_words")
+        ).cast("long"),
+    )

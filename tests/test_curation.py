@@ -276,3 +276,45 @@ def test_deterministic_shuffle_reproducible_and_total(spark):
     assert a == b
     assert sorted(a.values()) == list(range(1, 201))
     assert a != c
+
+
+def test_remove_boilerplate_cuts_recurring_segments(spark):
+    from docker_neo4j_spark.operators.curation import remove_boilerplate
+
+    header = "subscribe to our newsletter for more"  # 6 words = 2 segments at 3
+    docs = spark.createDataFrame(
+        [
+            (1, header + " alpha beta gamma"),
+            (2, header + " delta epsilon zeta"),
+            (3, "completely unrelated body text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            docs, segment_tokens=3, min_doc_freq=2
+        ).collect()
+    }
+    # docs 1 and 2: 9 words → 3 segments; the two header segments recur
+    # in both docs and are cut, the unique tail survives
+    for d, tail in ((1, "alpha beta gamma"), (2, "delta epsilon zeta")):
+        assert out[d]["n_segments"] == 3
+        assert out[d]["n_boilerplate"] == 2
+        assert out[d]["cleaned_text"] == tail
+        assert out[d]["retained_words"] == 3
+    # doc 3 is untouched
+    assert out[3]["n_boilerplate"] == 0
+    assert out[3]["cleaned_text"] == "completely unrelated body text here now"
+    assert out[3]["retained_words"] == 6
+
+
+def test_remove_boilerplate_all_boilerplate_doc(spark):
+    from docker_neo4j_spark.operators.curation import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in remove_boilerplate(docs, segment_tokens=3).collect()}
+    assert rows[1]["cleaned_text"] == "" and rows[1]["retained_words"] == 0
+    assert rows[2]["n_boilerplate"] == 1

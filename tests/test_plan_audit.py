@@ -367,3 +367,12 @@ def test_ngram_jaccard_no_cartesian(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     assert_no_cartesian(dd.ngram_jaccard_pairs(d))
+
+
+def test_remove_boilerplate_no_cartesian(spark, sf_dir):
+    from docker_neo4j_spark.operators.curation import remove_boilerplate
+    from docker_neo4j_spark.plans.audit import assert_no_cartesian
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    assert_no_cartesian(remove_boilerplate(d))
