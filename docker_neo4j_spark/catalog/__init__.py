@@ -139,6 +139,8 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_apoc_path_expand",
     "fn_apoc_date_suite",
     "llm_boilerplate_removal",
+    "gds_articulation_points",
+    "gds_bridges",
 ]
 
 

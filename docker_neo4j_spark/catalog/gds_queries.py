@@ -2439,3 +2439,93 @@ def gds_degree_distribution(spark, sf_dir):
         .orderBy(F.desc("degree"))
         .limit(30)
     )
+
+
+# Sparse supply graph for biconnectivity: a dense slice (every ~250th part
+# with ALL its suppliers — guarantees cycles through shared nations) plus a
+# sparse slice (quantity-1 tax-free lineitems — mostly tree-like tendrils),
+# closed through supplier→nation edges. At sf0.01: 384 edges, 2 components,
+# 192 independent cycles, 56 articulation points, 73 bridges.
+_BICONN_PRED = "(l_partkey % 250 = 0 OR (l_quantity = 1 AND l_tax = 0))"
+_BICONN_EDGES = f"""
+  SELECT DISTINCT CAST(5000000000000 + l_partkey AS BIGINT) AS u,
+         CAST(4000000000000 + l_suppkey AS BIGINT) AS v
+  FROM lineitem WHERE {_BICONN_PRED}
+  UNION
+  SELECT DISTINCT CAST(4000000000000 + s_suppkey AS BIGINT),
+         CAST(2000000000000 + s_nationkey AS BIGINT)
+  FROM supplier WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem WHERE {_BICONN_PRED})
+"""
+
+
+def _biconn_edges(spark, sf_dir):
+    cond = (F.col("l_partkey") % 250 == 0) | (
+        (F.col("l_quantity") == 1) & (F.col("l_tax") == 0)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(cond)
+    ps = li.select(
+        (F.lit(5_000_000_000_000) + F.col("l_partkey")).alias("src"),
+        (F.lit(4_000_000_000_000) + F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    sn = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(li.select(F.col("l_suppkey").alias("s_suppkey")).distinct(), "s_suppkey")
+        .select(
+            (F.lit(4_000_000_000_000) + F.col("s_suppkey")).alias("src"),
+            (F.lit(2_000_000_000_000) + F.col("s_nationkey")).alias("dst"),
+        )
+    )
+    return ps.unionByName(sn)
+
+
+@register(
+    "gds_articulation_points",
+    f"""
+    WITH RECURSIVE ed AS ({_BICONN_EDGES}),
+    e AS (SELECT u AS a, v AS b FROM ed UNION SELECT v, u FROM ed),
+    start AS (SELECT a AS r, MIN(b) AS s FROM e GROUP BY a),
+    flood AS (
+      SELECT r, s AS id FROM start
+      UNION
+      SELECT f.r, e.b FROM flood f JOIN e ON e.a = f.id WHERE e.b <> f.r
+    )
+    SELECT e.a AS id FROM e
+    LEFT JOIN flood f ON f.r = e.a AND f.id = e.b
+    GROUP BY e.a
+    HAVING COUNT(*) FILTER (WHERE f.id IS NULL) > 0
+    ORDER BY id
+    """,
+)
+def gds_articulation_points(spark, sf_dir):
+    """gds.articulationPoints over the sparse supply graph — Tarjan–
+    Vishkin biconnectivity on a BFS spanning forest (no DFS anywhere; see
+    operators/gds.py:biconnected_components). The oracle is the definition
+    itself: for every vertex r, flood-fill its component from r's minimum
+    neighbor with r removed; r is an articulation point iff some neighbor
+    stays unreached — one recursive CTE parameterized by r."""
+    return gds.articulation_points(_biconn_edges(spark, sf_dir))
+
+
+@register(
+    "gds_bridges",
+    f"""
+    WITH RECURSIVE ed AS ({_BICONN_EDGES}),
+    e AS (SELECT u AS a, v AS b FROM ed UNION SELECT v, u FROM ed),
+    fl AS (
+      SELECT ed.u AS bu, ed.v AS bv, ed.u AS id FROM ed
+      UNION
+      SELECT f.bu, f.bv, e.b FROM fl f JOIN e ON e.a = f.id
+      WHERE NOT (e.a = f.bu AND e.b = f.bv) AND NOT (e.a = f.bv AND e.b = f.bu)
+    )
+    SELECT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM ed
+    WHERE NOT EXISTS (
+      SELECT 1 FROM fl WHERE fl.bu = ed.u AND fl.bv = ed.v AND fl.id = ed.v)
+    ORDER BY src, dst
+    """,
+)
+def gds_bridges(spark, sf_dir):
+    """gds.bridges over the same graph — single-edge biconnected
+    components of the Tarjan–Vishkin labeling. Oracle: per-edge
+    flood-fill from u avoiding only that edge; bridge iff v unreached."""
+    return gds.bridges(_biconn_edges(spark, sf_dir))

@@ -2506,3 +2506,263 @@ def bfs_tree(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def biconnected_components(
+    edges: DataFrame, max_depth: int = 40
+) -> DataFrame:
+    """Biconnected components: every simple undirected edge labeled with
+    its block — ``(src, dst, bcc)`` with src < dst and bcc = the minimum
+    non-root endpoint id in the block (deterministic canonical label).
+
+    Tarjan–Vishkin (1985) without DFS — the construction that made
+    biconnectivity parallel, and the right shape for BSP-on-DataFrames
+    (reference surface: gds.articulationPoints / gds.bridges; the
+    reference ships them via the graph-data-science plugin jar,
+    /root/reference/docker-image-src/3.5/coredb/neo4j-plugins.json:34-40):
+
+    1. BFS spanning forest (``bfs_tree``; parent = min equally-near
+       neighbor, so the forest is unique).
+    2. Preorder number ``pre`` and subtree size ``nd`` per vertex —
+       bottom-up size sum then top-down prefix offsets, one small
+       per-depth-level join per superstep (O(height) rounds).
+    3. ``low``/``high``: min/max preorder reachable from the subtree via
+       one non-tree edge — same bottom-up sweep.
+    4. Auxiliary graph on tree edges (a tree edge ≡ its child endpoint):
+       * non-tree edge {u,v} with neither endpoint an ancestor of the
+         other joins their parent edges (in a BFS forest every non-tree
+         edge is such a pair — no back edges exist);
+       * tree edge (v,w) joins v's own parent edge iff subtree(w)
+         escapes subtree(v): low(w) < pre(v) or high(w) ≥ pre(v)+nd(v).
+       Connected components of the auxiliary graph (``wcc_star``,
+       O(log n) rounds) are exactly the biconnected components.
+
+    Scale shape: the per-depth sweeps touch one BFS level at a time; the
+    only global shuffles are the aux-graph WCC and one groupBy per sweep
+    level. The sibling-offset window partitions by parent (bounded by max
+    degree); root base offsets window over the #components-sized root
+    frame.
+    """
+    from pyspark.sql.window import Window
+
+    e0 = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+    e_dir = e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    verts = (
+        e0.select(F.col("u").alias("id"))
+        .unionByName(e0.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    comp = wcc_star(e_dir, verts)
+    roots = comp.select(F.col("comp").alias("id")).distinct()
+    tree = _ckpt(bfs_tree(e_dir, roots, max_depth=max_depth, undirected=True))
+    maxd = tree.agg(F.max("dist")).first()[0] or 0
+
+    # -- bottom-up subtree sizes, one BFS level per superstep
+    sz_levels: list[DataFrame] = []
+    below: DataFrame | None = None
+    for d in range(maxd, -1, -1):
+        level = tree.where(F.col("dist") == d).select("id")
+        if below is None:
+            nd = level.select("id", F.lit(1).cast("long").alias("nd"))
+        else:
+            child_sum = (
+                tree.where(F.col("dist") == d + 1)
+                .select("id", "parent")
+                .join(below, "id")
+                .groupBy(F.col("parent").alias("id"))
+                .agg(F.sum("nd").alias("_c"))
+            )
+            nd = level.join(child_sum, "id", "left").select(
+                "id", (F.coalesce("_c", F.lit(0)) + 1).cast("long").alias("nd")
+            )
+        nd = _ckpt(nd)
+        sz_levels.append(nd)
+        below = nd
+    nd_all = sz_levels[0]
+    for lv in sz_levels[1:]:
+        nd_all = nd_all.unionByName(lv)
+
+    # -- preorder: per-parent sibling prefix offsets, then top-down
+    w_sib = (
+        Window.partitionBy("parent")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        tree.where(F.col("parent").isNotNull())
+        .join(nd_all, "id")
+        .select(
+            "id",
+            "parent",
+            "dist",
+            F.coalesce(F.sum("nd").over(w_sib), F.lit(0)).alias("off"),
+        )
+    )
+    w_root = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    pre_levels = [
+        _ckpt(
+            roots.join(nd_all, "id").select(
+                "id", F.coalesce(F.sum("nd").over(w_root), F.lit(0)).alias("pre")
+            )
+        )
+    ]
+    cur = pre_levels[0]
+    for d in range(1, maxd + 1):
+        cur = _ckpt(
+            off.where(F.col("dist") == d)
+            .join(
+                cur.select(F.col("id").alias("parent"), F.col("pre").alias("_pp")),
+                "parent",
+            )
+            .select("id", (F.col("_pp") + 1 + F.col("off")).alias("pre"))
+        )
+        pre_levels.append(cur)
+    pre_all = pre_levels[0]
+    for lv in pre_levels[1:]:
+        pre_all = pre_all.unionByName(lv)
+    info = _ckpt(pre_all.join(nd_all, "id"))  # (id, pre, nd)
+
+    # -- non-tree edges and low/high initial values
+    te = tree.where(F.col("parent").isNotNull()).select(
+        F.least("parent", "id").alias("u"), F.greatest("parent", "id").alias("v")
+    )
+    nt = _ckpt(e0.join(te, ["u", "v"], "left_anti"))
+    nt_und = nt.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        nt.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    nbext = (
+        nt_und.join(
+            info.select(F.col("id").alias("b"), F.col("pre").alias("_bp")), "b"
+        )
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("_bp").alias("_nlo"), F.max("_bp").alias("_nhi"))
+    )
+    init = _ckpt(
+        info.join(nbext, "id", "left").select(
+            "id",
+            F.least(F.col("pre"), F.coalesce("_nlo", F.col("pre"))).alias("lo0"),
+            F.greatest(F.col("pre"), F.coalesce("_nhi", F.col("pre"))).alias("hi0"),
+        )
+    )
+
+    # -- bottom-up low/high
+    lh_levels: list[DataFrame] = []
+    below = None
+    for d in range(maxd, -1, -1):
+        lvl = tree.where(F.col("dist") == d).select("id", "parent").join(init, "id")
+        if below is None:
+            lvl = lvl.select(
+                "id", "parent", F.col("lo0").alias("lo"), F.col("hi0").alias("hi")
+            )
+        else:
+            ch = (
+                tree.where(F.col("dist") == d + 1)
+                .select("id", "parent")
+                .join(below.select("id", "lo", "hi"), "id")
+                .groupBy(F.col("parent").alias("id"))
+                .agg(F.min("lo").alias("_clo"), F.max("hi").alias("_chi"))
+            )
+            lvl = lvl.join(ch, "id", "left").select(
+                "id",
+                "parent",
+                F.least("lo0", F.coalesce("_clo", F.col("lo0"))).alias("lo"),
+                F.greatest("hi0", F.coalesce("_chi", F.col("hi0"))).alias("hi"),
+            )
+        lvl = _ckpt(lvl)
+        lh_levels.append(lvl)
+        below = lvl
+    lh_all = lh_levels[0]
+    for lv in lh_levels[1:]:
+        lh_all = lh_all.unionByName(lv)
+
+    # -- auxiliary graph (vertex = non-root vertex w ≡ tree edge (p(w), w))
+    iu = info.select(
+        F.col("id").alias("u"), F.col("pre").alias("_up"), F.col("nd").alias("_un")
+    )
+    iv = info.select(
+        F.col("id").alias("v"), F.col("pre").alias("_vp"), F.col("nd").alias("_vn")
+    )
+    nt_i = _ckpt(nt.join(iu, "u").join(iv, "v"))
+    u_anc_v = (F.col("_up") <= F.col("_vp")) & (
+        F.col("_vp") < F.col("_up") + F.col("_un")
+    )
+    v_anc_u = (F.col("_vp") <= F.col("_up")) & (
+        F.col("_up") < F.col("_vp") + F.col("_vn")
+    )
+    aux_a = nt_i.where(~u_anc_v & ~v_anc_u).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    pv = info.select(
+        F.col("id").alias("parent"), F.col("pre").alias("_pp"), F.col("nd").alias("_pn")
+    )
+    aux_b = (
+        lh_all.where(F.col("parent").isNotNull())
+        .join(roots.select(F.col("id").alias("parent")), "parent", "left_anti")
+        .join(pv, "parent")
+        .where(
+            (F.col("lo") < F.col("_pp"))
+            | (F.col("hi") >= F.col("_pp") + F.col("_pn"))
+        )
+        .select(F.col("parent").alias("src"), F.col("id").alias("dst"))
+    )
+    aux_nodes = tree.where(F.col("parent").isNotNull()).select("id")
+    bcc = wcc_star(aux_a.unionByName(aux_b), aux_nodes)
+    lab_w = bcc.select(F.col("id").alias("_w"), F.col("comp").alias("bcc"))
+
+    # -- every graph edge → its block
+    tree_lab = (
+        tree.where(F.col("parent").isNotNull())
+        .join(lab_w, tree["id"] == lab_w["_w"])
+        .select(
+            F.least("parent", "id").alias("src"),
+            F.greatest("parent", "id").alias("dst"),
+            "bcc",
+        )
+    )
+    nt_lab = (
+        nt_i.select(
+            "u",
+            "v",
+            F.when(F.col("_up") >= F.col("_vp"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("_w"),
+        )
+        .join(lab_w, "_w")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "bcc")
+    )
+    out = tree_lab.unionByName(nt_lab)
+    e0.unpersist()
+    return out
+
+
+def articulation_points(edges: DataFrame, max_depth: int = 40) -> DataFrame:
+    """gds.articulationPoints: vertices whose removal disconnects their
+    component — exactly the vertices incident to ≥ 2 biconnected
+    components. One countDistinct over the edge→block labeling."""
+    lab = biconnected_components(edges, max_depth=max_depth)
+    return (
+        lab.select(F.col("src").alias("id"), "bcc")
+        .unionByName(lab.select(F.col("dst").alias("id"), "bcc"))
+        .groupBy("id")
+        .agg(F.countDistinct("bcc").alias("_nb"))
+        .where(F.col("_nb") >= 2)
+        .select("id")
+    )
+
+
+def bridges(edges: DataFrame, max_depth: int = 40) -> DataFrame:
+    """gds.bridges: edges whose removal disconnects their component —
+    exactly the single-edge biconnected components. Canonical (src < dst)
+    endpoint pairs."""
+    lab = biconnected_components(edges, max_depth=max_depth)
+    singleton = (
+        lab.groupBy("bcc").agg(F.count("*").alias("_n")).where(F.col("_n") == 1)
+    )
+    return lab.join(singleton, "bcc", "left_semi").select("src", "dst")
