@@ -141,6 +141,8 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_boilerplate_removal",
     "gds_articulation_points",
     "gds_bridges",
+    "fn_apoc_agg_stats_suite",
+    "fn_apoc_agg_items_suite",
 ]
 
 

@@ -677,3 +677,132 @@ def fn_apoc_date_suite(spark, sf_dir):
             "iso_roundtrip_ms"
         ),
     )
+
+
+@register(
+    "fn_apoc_agg_stats_suite",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n,
+           MIN(l_quantity) AS qty_min,
+           MAX(l_quantity) AS qty_max,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty_sum,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(l_quantity) AS qty_mean,
+           SQRT(GREATEST(
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(38,6))
+                           * CAST(l_quantity AS DECIMAL(38,6))
+                           AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity)
+             - (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(l_quantity))
+               * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(l_quantity)),
+             0.0)) AS qty_stdev,
+           quantile_cont(l_quantity, 0.5) AS qty_median,
+           quantile_cont(l_quantity, 0.9) AS qty_p90,
+           min_by(l_extendedprice,
+                  l_linenumber * 1099511627776
+                  + CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS first_price,
+           max_by(l_extendedprice,
+                  l_linenumber * 1099511627776
+                  + CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS last_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def fn_apoc_agg_stats_suite(spark, sf_dir):
+    """apoc.agg.statistics / median / percentiles / first / last over
+    lineitem quantities per return flag. The first/last order key embeds
+    the value itself (linenumber·2⁴⁰ + price-cents) — (orderkey,
+    linenumber) is NOT unique in this corpus, and a key tie must imply an
+    identical output value for min_by to be deterministic."""
+    from ..functions import apoc
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    key = F.col("l_linenumber").cast("long") * F.lit(1099511627776) + F.round(
+        F.col("l_extendedprice") * 100
+    ).cast("long")
+    st = apoc.agg_statistics(F.col("l_quantity"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            st.alias("st"),
+            apoc.agg_median(F.col("l_quantity")).alias("qty_median"),
+            apoc.agg_percentile(F.col("l_quantity"), 0.9).alias("qty_p90"),
+            apoc.agg_first(F.col("l_extendedprice"), key).alias("first_price"),
+            apoc.agg_last(F.col("l_extendedprice"), key).alias("last_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("st.count").alias("n"),
+            F.col("st.min").alias("qty_min"),
+            F.col("st.max").alias("qty_max"),
+            F.col("st.sum").alias("qty_sum"),
+            F.col("st.mean").alias("qty_mean"),
+            F.col("st.stdev").alias("qty_stdev"),
+            "qty_median",
+            "qty_p90",
+            "first_price",
+            "last_price",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "fn_apoc_agg_items_suite",
+    """
+    WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 997 = 0),
+    m AS (SELECT l_orderkey, MAX(l_quantity) AS mq, MIN(l_quantity) AS nq
+          FROM f GROUP BY l_orderkey)
+    SELECT f.l_orderkey,
+           product(f.l_linenumber) AS ln_product,
+           MAX(m.mq) AS max_qty,
+           STRING_AGG(CASE WHEN f.l_quantity = m.mq
+                           THEN CAST(f.l_linenumber AS VARCHAR) END,
+                      ',' ORDER BY f.l_linenumber) AS max_items,
+           MAX(m.nq) AS min_qty,
+           STRING_AGG(CASE WHEN f.l_quantity = m.nq
+                           THEN CAST(f.l_linenumber AS VARCHAR) END,
+                      ',' ORDER BY f.l_linenumber) AS min_items,
+           COALESCE(array_to_string(
+             (list(CAST(f.l_quantity AS VARCHAR)
+                   ORDER BY f.l_linenumber, f.l_quantity))[2:3], ','), '')
+             AS qty_slice
+    FROM f JOIN m USING (l_orderkey)
+    GROUP BY f.l_orderkey ORDER BY f.l_orderkey
+    """,
+)
+def fn_apoc_agg_items_suite(spark, sf_dir):
+    """apoc.agg.product / maxItems / minItems / slice per sampled order
+    (orderkey ≡ 0 mod 997 keeps the output bounded at any sf). Items and
+    slices surface as csv strings (the catalog's array-hash convention);
+    the slice orders by (linenumber, quantity) because linenumber alone is
+    not unique."""
+    from ..functions import apoc
+
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") % 997 == 0)
+    csv = lambda c: F.concat_ws(",", F.transform(c, lambda i: i.cast("string")))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            apoc.agg_product(F.col("l_linenumber")).alias("ln_product"),
+            apoc.agg_max_items(F.col("l_linenumber"), F.col("l_quantity")).alias("mx"),
+            apoc.agg_min_items(F.col("l_linenumber"), F.col("l_quantity")).alias("mn"),
+            apoc.agg_slice(
+                F.col("l_quantity").cast("string"),
+                F.struct(F.col("l_linenumber"), F.col("l_quantity")),
+                1,
+                2,
+            ).alias("sl"),
+        )
+        .select(
+            "l_orderkey",
+            "ln_product",
+            F.col("mx.value").alias("max_qty"),
+            csv(F.col("mx.items")).alias("max_items"),
+            F.col("mn.value").alias("min_qty"),
+            csv(F.col("mn.items")).alias("min_items"),
+            F.concat_ws(",", F.col("sl")).alias("qty_slice"),
+        )
+        .orderBy("l_orderkey")
+    )

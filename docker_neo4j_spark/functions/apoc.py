@@ -453,3 +453,102 @@ def date_from_iso8601(text) -> Column:
     return F.unix_millis(
         F.to_timestamp(_c(text), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     )
+
+
+# ---- apoc.agg.* ---------------------------------------------------------
+# Aggregate-position functions (used inside groupBy().agg(...)). All are
+# built-in aggregate expressions; the item-collecting ones materialize one
+# group's items in the aggregation buffer (bounded by group size — same
+# contract as APOC's own collecting aggregates).
+
+
+def agg_statistics(x) -> Column:
+    """apoc.agg.statistics — {count,min,max,sum,mean,stdev} in one pass.
+
+    Sums go through DECIMAL so the result is partition-order independent;
+    mean/stdev (population) derive from those exact sums — the catalog's
+    oracle-exactness convention."""
+    c = _c(x)
+    d = c.cast("decimal(38,6)")
+    n = F.count(c)
+    s = F.sum(d).cast("double")
+    s2 = F.sum((d * d).cast("decimal(38,6)")).cast("double")
+    mean = s / n
+    var = s2 / n - mean * mean
+    return F.struct(
+        n.alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        s.alias("sum"),
+        mean.alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("stdev"),
+    )
+
+
+def agg_median(x) -> Column:
+    """apoc.agg.median — linear-interpolated (continuous) median."""
+    return F.percentile(_c(x), F.lit(0.5))
+
+
+def agg_percentile(x, p: float) -> Column:
+    """apoc.agg.percentiles — one continuous percentile (call per p)."""
+    return F.percentile(_c(x), F.lit(p))
+
+
+def agg_first(value, order) -> Column:
+    """apoc.agg.first with an explicit total order (APOC's first() follows
+    stream order, which a distributed engine must replace with a
+    deterministic key): the value at the minimum order key."""
+    return F.min_by(_c(value), _c(order))
+
+
+def agg_last(value, order) -> Column:
+    """apoc.agg.last — the value at the maximum order key."""
+    return F.max_by(_c(value), _c(order))
+
+
+def agg_max_items(item, value) -> Column:
+    """apoc.agg.maxItems — {value: max, items: [every item at the max]},
+    items ascending (APOC returns them in an unspecified order; sorted is
+    the deterministic choice)."""
+    lst = F.sort_array(
+        F.collect_list(F.struct(_c(value).alias("v"), _c(item).alias("i"))),
+        asc=False,
+    )
+    top = F.element_at(lst, 1)["v"]
+    items = F.sort_array(
+        F.transform(F.filter(lst, lambda s: s["v"] == top), lambda s: s["i"])
+    )
+    return F.struct(top.alias("value"), items.alias("items"))
+
+
+def agg_min_items(item, value) -> Column:
+    """apoc.agg.minItems — {value: min, items: [...]}, items ascending."""
+    lst = F.sort_array(
+        F.collect_list(F.struct(_c(value).alias("v"), _c(item).alias("i")))
+    )
+    bot = F.element_at(lst, 1)["v"]
+    items = F.sort_array(
+        F.transform(F.filter(lst, lambda s: s["v"] == bot), lambda s: s["i"])
+    )
+    return F.struct(bot.alias("value"), items.alias("items"))
+
+
+def agg_product(x) -> Column:
+    """apoc.agg.product — product of the group's values. Folded over the
+    SORTED value list so the fp rounding order is deterministic (exact
+    whenever the values and running products are integers < 2^53)."""
+    return F.aggregate(
+        F.sort_array(F.collect_list(_c(x).cast("double"))),
+        F.lit(1.0),
+        lambda acc, v: acc * v,
+    )
+
+
+def agg_slice(item, order, frm: int, count: int) -> Column:
+    """apoc.agg.slice — ``count`` items starting at 0-based ``frm`` of the
+    group's items under an explicit total order."""
+    lst = F.sort_array(
+        F.collect_list(F.struct(_c(order).alias("o"), _c(item).alias("i")))
+    )
+    return F.transform(F.slice(lst, frm + 1, count), lambda s: s["i"])

@@ -174,3 +174,46 @@ def test_date_functions(spark):
         apoc.date_convert(F.lit(ms), "ms", "fortnight")
     with pytest.raises(ValueError, match="unsupported field"):
         apoc.date_field(F.lit(ms), "ms", "weekday")
+
+
+def test_agg_family(spark):
+    """apoc.agg.* on a hand-computable group set."""
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, 30.0),
+            ("a", 3, 30.0),
+            ("a", 4, 20.0),
+            ("b", 7, 5.0),
+        ],
+        "g string, k int, v double",
+    )
+    out = (
+        df.groupBy("g")
+        .agg(
+            apoc.agg_statistics(F.col("v")).alias("st"),
+            apoc.agg_median(F.col("v")).alias("med"),
+            apoc.agg_first(F.col("v"), F.col("k")).alias("first_v"),
+            apoc.agg_last(F.col("v"), F.col("k")).alias("last_v"),
+            apoc.agg_product(F.col("v")).alias("prod"),
+            apoc.agg_max_items(F.col("k"), F.col("v")).alias("mx"),
+            apoc.agg_min_items(F.col("k"), F.col("v")).alias("mn"),
+            apoc.agg_slice(F.col("k"), F.col("k"), 1, 2).alias("sl"),
+        )
+        .collect()
+    )
+    rows = {r.g: r for r in out}
+    a = rows["a"]
+    assert a.st["count"] == 4 and a.st["min"] == 10.0 and a.st["max"] == 30.0
+    assert a.st.sum == 90.0 and a.st.mean == 22.5
+    # population stdev of [10,30,30,20]: sqrt(E[x^2]-mean^2) = sqrt(68.75)
+    assert abs(a.st.stdev - 68.75**0.5) < 1e-12
+    assert a.med == 25.0
+    assert a.first_v == 10.0 and a.last_v == 20.0
+    assert a.prod == 10.0 * 20.0 * 30.0 * 30.0
+    assert a.mx.value == 30.0 and a.mx.items == [2, 3]
+    assert a.mn.value == 10.0 and a.mn.items == [1]
+    assert a.sl == [2, 3]
+    b = rows["b"]
+    assert b.st["count"] == 1 and b.st["stdev"] == 0.0
+    assert b.mx.items == [7] and b.sl == []
