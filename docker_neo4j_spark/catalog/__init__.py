@@ -143,6 +143,7 @@ _NEW_THIS_ROUND: list[str] = [
     "gds_bridges",
     "fn_apoc_agg_stats_suite",
     "fn_apoc_agg_items_suite",
+    "gds_steiner_tree",
 ]
 
 

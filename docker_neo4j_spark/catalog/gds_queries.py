@@ -2529,3 +2529,24 @@ def gds_bridges(spark, sf_dir):
     components of the Tarjan–Vishkin labeling. Oracle: per-edge
     flood-fill from u avoiding only that edge; bridge iff v unreached."""
     return gds.bridges(_biconn_edges(spark, sf_dir))
+
+
+@register("gds_steiner_tree")  # rows-only: a Borůvka MST inside a recursive
+# CTE is not SQL-expressible; tests/test_steiner.py replays an exact Python
+# twin of all five stages and checks the 2·OPT bound against brute force.
+def gds_steiner_tree(spark, sf_dir):
+    """gds.steinerTree (Mehlhorn 2-approx) over the sparse supply graph
+    used by the biconnectivity rows, weight = 1 + (suppkey+partkey) % 7
+    (deterministic, arithmetic from the ids). Terminals: every nation
+    vertex in the graph. Returns the tree edges (src, dst, weight)."""
+    e = _biconn_edges(spark, sf_dir)
+    w = (F.lit(1) + (F.col("src") + F.col("dst")) % 7).cast("double").alias("weight")
+    edges = e.select("src", "dst", w)
+    lo, hi = 2_000_000_000_000, 2_999_999_999_999
+    terms = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .where(F.col("id").between(lo, hi))
+        .distinct()
+    )
+    return gds.steiner_tree(edges, terms)

@@ -2766,3 +2766,184 @@ def bridges(edges: DataFrame, max_depth: int = 40) -> DataFrame:
         lab.groupBy("bcc").agg(F.count("*").alias("_n")).where(F.col("_n") == 1)
     )
     return lab.join(singleton, "bcc", "left_semi").select("src", "dst")
+
+
+def steiner_tree(
+    edges: DataFrame,
+    terminals: DataFrame,
+    weight_col: str = "weight",
+    max_iter: int = 30,
+) -> DataFrame:
+    """gds.steinerTree — Mehlhorn's 2-approximation, the textbook
+    distributed construction (every stage is an existing BSP primitive):
+
+    1. Voronoi partition: multi-source Dijkstra from ALL terminals at
+       once; every vertex learns (dist, terminal, parent, parent-edge
+       weight) to its nearest terminal, ties broken by (dist, terminal
+       id, parent id) so the partition is deterministic.
+    2. Terminal graph: every original edge {u,v} whose endpoints sit in
+       different cells proposes terminal-edge (t(u), t(v)) with weight
+       d(u)+w+d(v); min_by keeps the best proposal per terminal pair
+       (tie-break again by the full struct).
+    3. MST of the terminal graph — ``spanning_forest`` (Borůvka).
+    4. Unfold each chosen proposal: the bridging edge {u,v} plus the two
+       Dijkstra parent-pointer walks u→t(u), v→t(v) (BSP walk, one join
+       per level).
+    5. Peel non-terminal leaves until fixpoint (the unfolded union can
+       contain redundant tails; peeling only ever removes weight).
+
+    Returns the tree edge list (src, dst, weight), src < dst, deduped.
+    Weight ≤ 2·OPT (Mehlhorn 1988). Rows-only in the catalog: stages 1-5
+    are exact and deterministic, but an MST inside a recursive CTE is not
+    SQL-expressible — pytest replays an exact Python twin instead.
+    """
+    und = (
+        edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition("src")
+        .cache()
+    )
+    # -- 1. multi-source Dijkstra: state (id, dist, term, parent, pw)
+    state = _ckpt(
+        terminals.select("id").distinct().select(
+            "id",
+            F.lit(0.0).alias("dist"),
+            F.col("id").alias("term"),
+            F.lit(None).cast("long").alias("parent"),
+            F.lit(0.0).alias("pw"),
+        )
+    )
+    better = F.struct("dist", "term", "parent")
+    frontier = state
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(und, frontier["id"] == und["src"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                "term",
+                F.col("src").alias("parent"),
+                F.col("w").alias("pw"),
+            )
+            .groupBy("id")
+            .agg(
+                F.min_by(
+                    F.struct("dist", "term", "parent", "pw"),
+                    F.struct("dist", "term", "parent"),
+                ).alias("s")
+            )
+            .select("id", "s.dist", "s.term", "s.parent", "s.pw")
+        )
+        improved = _ckpt(
+            cand.join(
+                state.select("id", better.alias("_old")), "id", "left"
+            )
+            .where(
+                F.col("_old").isNull()
+                | (F.struct("dist", "term", "parent") < F.col("_old"))
+            )
+            .select("id", "dist", "term", "parent", "pw")
+        )
+        if improved.isEmpty():
+            break
+        state = _ckpt(state.join(improved, "id", "left_anti").unionByName(improved))
+        frontier = improved
+
+    # -- 2. terminal-graph proposals (keep the bridging edge for unfold)
+    su = state.select(
+        F.col("id").alias("src"),
+        F.col("dist").alias("_du"),
+        F.col("term").alias("_tu"),
+    )
+    sv = state.select(
+        F.col("id").alias("dst"),
+        F.col("dist").alias("_dv"),
+        F.col("term").alias("_tv"),
+    )
+    cross = (
+        und.join(su, "src")
+        .join(sv, "dst")
+        .where(F.col("_tu") != F.col("_tv"))
+        .select(
+            F.least("_tu", "_tv").alias("ta"),
+            F.greatest("_tu", "_tv").alias("tb"),
+            (F.col("_du") + F.col("w") + F.col("_dv")).alias("tw"),
+            "src",
+            "dst",
+            "w",
+        )
+    )
+    best = _ckpt(
+        cross.groupBy("ta", "tb")
+        .agg(
+            F.min_by(
+                F.struct("tw", "src", "dst", "w"), F.struct("tw", "src", "dst")
+            ).alias("b")
+        )
+        .select("ta", "tb", "b.tw", "b.src", "b.dst", "b.w")
+    )
+
+    # -- 3. MST over the terminal graph
+    tnodes = terminals.select("id").distinct()
+    mst = spanning_forest(
+        best.select(F.col("ta").alias("src"), F.col("tb").alias("dst"), "tw"),
+        tnodes,
+        weight_col="tw",
+    )
+    chosen = mst.select(
+        F.least("src", "dst").alias("ta"), F.greatest("src", "dst").alias("tb")
+    ).join(best, ["ta", "tb"])
+
+    # -- 4. unfold: bridging edges + both parent-pointer walks
+    bridge = chosen.select("src", "dst", "w")
+    walk_seed = chosen.select(F.col("src").alias("id")).unionByName(
+        chosen.select(F.col("dst").alias("id"))
+    ).distinct()
+    parts = [bridge]
+    cur = _ckpt(walk_seed)
+    ps = state.select("id", "parent", "pw")
+    for _ in range(max_iter):
+        step = _ckpt(cur.join(ps, "id").where(F.col("parent").isNotNull()))
+        if step.isEmpty():
+            break
+        parts.append(
+            step.select(F.col("id").alias("src"), F.col("parent").alias("dst"), F.col("pw").alias("w"))
+        )
+        cur = _ckpt(step.select(F.col("parent").alias("id")).distinct())
+    tree = parts[0]
+    for p in parts[1:]:
+        tree = tree.unionByName(p)
+    tree = _ckpt(
+        tree.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"), "w"
+        ).groupBy("src", "dst")
+        .agg(F.min("w").alias("weight"))
+    )
+
+    # -- 5. peel non-terminal leaves
+    for _ in range(max_iter):
+        deg = (
+            tree.select(F.col("src").alias("id"))
+            .unionByName(tree.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("_d"))
+        )
+        drop = deg.where(F.col("_d") == 1).join(tnodes, "id", "left_anti")
+        if drop.isEmpty():
+            break
+        leaf = drop.select(F.col("id").alias("_leaf"))
+        tree = _ckpt(
+            tree.join(leaf, tree["src"] == F.col("_leaf"), "left_anti")
+            .join(leaf, tree["dst"] == F.col("_leaf"), "left_anti")
+        )
+    und.unpersist()
+    return tree.select("src", "dst", "weight")
