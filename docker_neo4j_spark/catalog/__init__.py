@@ -144,6 +144,7 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_apoc_agg_stats_suite",
     "fn_apoc_agg_items_suite",
     "gds_steiner_tree",
+    "gds_astar_path",
 ]
 
 

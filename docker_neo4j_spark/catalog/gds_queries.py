@@ -2550,3 +2550,91 @@ def gds_steiner_tree(spark, sf_dir):
         .distinct()
     )
     return gds.steiner_tree(edges, terms)
+
+
+@register(
+    "gds_astar_path",
+    f"""
+    WITH RECURSIVE ed AS ({_BICONN_EDGES}),
+    e0 AS (SELECT u AS a, v AS b FROM ed UNION SELECT v, u FROM ed),
+    e AS (
+      SELECT a, b,
+             CAST(CEIL(SQRT(CAST((a % 23 - b % 23) * (a % 23 - b % 23)
+                           + (a % 19 - b % 19) * (a % 19 - b % 19) AS DOUBLE)))
+                  + 1 + (a + b) % 5 AS DOUBLE) AS wt
+      FROM e0
+    ),
+    src AS (SELECT MIN(a) AS s FROM e0),
+    flood AS (
+      SELECT s AS id FROM src
+      UNION
+      SELECT e0.b FROM flood JOIN e0 ON e0.a = flood.id
+    ),
+    tgt AS (SELECT MAX(id) AS t FROM flood),
+    w1 AS (
+      SELECT s AS id, CAST(0 AS DOUBLE) AS dist FROM src
+      UNION
+      SELECT e.b, w1.dist + e.wt FROM w1 JOIN e ON e.a = w1.id
+      WHERE w1.dist + e.wt <= 120
+    ),
+    d AS (SELECT id, MIN(dist) AS dist FROM w1 GROUP BY id),
+    par AS (
+      SELECT e.b AS id, MIN(e.a) AS parent
+      FROM e JOIN d du ON du.id = e.a JOIN d dv ON dv.id = e.b
+      WHERE du.dist + e.wt = dv.dist
+      GROUP BY e.b
+    ),
+    pw AS (
+      SELECT t AS id, 0 AS k FROM tgt
+      UNION ALL
+      SELECT par.parent, pw.k + 1 FROM pw
+      JOIN par ON par.id = pw.id
+      WHERE pw.id <> (SELECT s FROM src)
+    )
+    SELECT (SELECT dist FROM d WHERE id = (SELECT t FROM tgt)) AS total_cost,
+           STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY k DESC) AS path
+    FROM pw
+    """,
+)
+def gds_astar_path(spark, sf_dir):
+    """gds.shortestPath.astar over the sparse supply graph with grid
+    coordinates derived from the node id (x = id mod 23, y = id mod 19)
+    and edge weight ceil(euclid) + 1 + (u+v) mod 5 — by construction
+    every weight ≥ the euclidean gap, so the euclidean heuristic is
+    admissible and A* is exact. Source = min vertex id, target = max
+    reachable id; the oracle replays plain Dijkstra (identical fixpoint:
+    A*'s strict pruning provably never drops a label the canonical path
+    needs) with the min-parent tie-break and walks the parent table."""
+    e0 = _biconn_edges(spark, sf_dir)
+    und = e0.select("src", "dst").unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    wt = (
+        F.ceil(
+            F.sqrt(
+                (
+                    (F.col("src") % 23 - F.col("dst") % 23)
+                    * (F.col("src") % 23 - F.col("dst") % 23)
+                    + (F.col("src") % 19 - F.col("dst") % 19)
+                    * (F.col("src") % 19 - F.col("dst") % 19)
+                ).cast("double")
+            )
+        )
+        + 1
+        + (F.col("src") + F.col("dst")) % 5
+    ).cast("double")
+    edges = und.select("src", "dst", wt.alias("weight"))
+    verts = (
+        und.select(F.col("src").alias("id")).unionByName(
+            und.select(F.col("dst").alias("id"))
+        )
+    ).distinct()
+    coords = verts.select(
+        "id",
+        (F.col("id") % 23).cast("double").alias("x"),
+        (F.col("id") % 19).cast("double").alias("y"),
+    )
+    source = verts.agg(F.min("id")).first()[0]
+    reach = gds.bfs(edges.select("src", "dst"), verts.where(F.col("id") == source))
+    target = reach.agg(F.max("id")).first()[0]
+    return gds.astar(edges, coords, int(source), int(target))

@@ -2947,3 +2947,122 @@ def steiner_tree(
         )
     und.unpersist()
     return tree.select("src", "dst", "weight")
+
+
+def astar(
+    edges: DataFrame,
+    coords: DataFrame,
+    source: int,
+    target: int,
+    weight_col: str = "weight",
+    max_iter: int = 100,
+) -> DataFrame:
+    """gds.shortestPath.astar — single-pair A* over (id, x, y) coordinates
+    with the euclidean heuristic. Exact whenever the heuristic is
+    admissible (every edge weight ≥ the euclidean distance between its
+    endpoints — the caller's contract, as with GDS's haversine variant).
+
+    BSP label-correcting Dijkstra whose frontier is A*-pruned: after each
+    relaxation round, improved labels with dist + h(v) STRICTLY above the
+    best goal cost so far are dropped — with an admissible h no vertex on
+    any optimal path (nor any argmin predecessor feeding one: f is
+    non-increasing backward along parent chains) can be pruned, so the
+    final (dist, parent) labels on the path equal plain Dijkstra's and the
+    result replays exactly in SQL. Ties (dist, then parent id) make the
+    returned path canonical.
+
+    Returns one row: (total_cost, path) with path = csv of node ids
+    source→target. Empty frame if the target is unreachable.
+    """
+    e = (
+        edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+        .repartition("src")
+        .cache()
+    )
+    trow = coords.where(F.col("id") == target).select("x", "y").first()
+    if trow is None:
+        raise ValueError(f"astar: target {target} has no coordinates")
+    hx, hy = float(trow[0]), float(trow[1])
+    h = F.sqrt(
+        (F.col("x") - F.lit(hx)) * (F.col("x") - F.lit(hx))
+        + (F.col("y") - F.lit(hy)) * (F.col("y") - F.lit(hy))
+    )
+    hcol = coords.select("id", h.alias("_h"))
+    state = _ckpt(
+        e.sparkSession.createDataFrame(
+            [(source, 0.0, None)], "id long, dist double, parent long"
+        )
+    )
+    frontier = state
+    best = float("inf")
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                F.col("src").alias("parent"),
+            )
+            .groupBy("id")
+            .agg(
+                F.min_by(F.struct("dist", "parent"), F.struct("dist", "parent")).alias(
+                    "s"
+                )
+            )
+            .select("id", "s.dist", "s.parent")
+        )
+        improved = cand.join(
+            state.select("id", F.struct("dist", "parent").alias("_old")), "id", "left"
+        ).where(
+            F.col("_old").isNull() | (F.struct("dist", "parent") < F.col("_old"))
+        ).select("id", "dist", "parent")
+        if best != float("inf"):
+            improved = improved.join(hcol, "id", "left").where(
+                F.col("_h").isNull() | (F.col("dist") + F.col("_h") <= F.lit(best))
+            ).select("id", "dist", "parent")
+        improved = _ckpt(improved)
+        if improved.isEmpty():
+            break
+        state = _ckpt(state.join(improved, "id", "left_anti").unionByName(improved))
+        frontier = improved
+        goal = state.where(F.col("id") == target).select("dist").first()
+        if goal is not None:
+            best = float(goal[0])
+    e.unpersist()
+    goal = state.where(F.col("id") == target).select("dist").first()
+    if goal is None:
+        return state.sparkSession.createDataFrame(
+            [], "total_cost double, path string"
+        )
+    # parent-pointer walk target→source (path-length-bounded supersteps)
+    ps = state.select("id", "parent")
+    cur = _ckpt(
+        state.sparkSession.createDataFrame([(target, 0)], "id long, k int")
+    )
+    hops = [cur]
+    for _ in range(max_iter):
+        nxt = _ckpt(
+            cur.join(ps, "id")
+            .where(F.col("parent").isNotNull())
+            .select(F.col("parent").alias("id"), (F.col("k") + 1).alias("k"))
+        )
+        if nxt.isEmpty():
+            break
+        hops.append(nxt)
+        cur = nxt
+    walk = hops[0]
+    for hdf in hops[1:]:
+        walk = walk.unionByName(hdf)
+    return walk.agg(
+        F.lit(float(goal[0])).alias("total_cost"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("k").alias("k"), F.col("id").alias("i"))),
+                    asc=False,
+                ),
+                lambda s: s["i"].cast("string"),
+            ),
+        ).alias("path"),
+    )
