@@ -145,6 +145,8 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_apoc_agg_items_suite",
     "gds_steiner_tree",
     "gds_astar_path",
+    "gds_triangle_listing",
+    "proc_apoc_cypher_run",
 ]
 
 

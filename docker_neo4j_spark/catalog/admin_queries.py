@@ -842,7 +842,9 @@ def proc_list_config_yield_where(spark, sf_dir):
 @register(
     "proc_show_procedures",
     """
-    SELECT 'apoc.export.csv.all' AS name
+    SELECT 'apoc.cypher.doIt' AS name
+    UNION ALL SELECT 'apoc.cypher.run'
+    UNION ALL SELECT 'apoc.export.csv.all'
     UNION ALL SELECT 'apoc.export.json.all'
     UNION ALL SELECT 'apoc.load.csv'
     UNION ALL SELECT 'apoc.load.json'
@@ -1758,4 +1760,31 @@ def proc_export_json_roundtrip(spark, sf_dir):
         rels = read_jsonl(spark, f"{tmp}/out/rels", small.rels.schema).count()
     return spark.createDataFrame(
         [(nodes, rels)], "nodes long, relationships long"
+    )
+
+
+@register(
+    "proc_apoc_cypher_run",
+    """
+    SELECT n_name AS name, CAST(COUNT(*) AS BIGINT) AS customers
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WHERE c_acctbal > 1000.0
+    GROUP BY n_name ORDER BY customers DESC, name LIMIT 5
+    """,
+)
+def proc_apoc_cypher_run(spark, sf_dir):
+    """``CALL apoc.cypher.run(...)`` through the façade: the dynamically
+    passed statement (with a $minbal parameter rendered by the session's
+    Bolt parameter convention) runs against the same graph and returns
+    its native columns."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "CALL apoc.cypher.run('MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+        "WHERE c.c_acctbal > $minbal RETURN n.n_name AS name, "
+        "count(*) AS customers ORDER BY customers DESC, name LIMIT 5', "
+        "{minbal: 1000.0}) YIELD name, customers RETURN name, customers"
     )

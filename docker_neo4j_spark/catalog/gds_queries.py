@@ -2638,3 +2638,29 @@ def gds_astar_path(spark, sf_dir):
     reach = gds.bfs(edges.select("src", "dst"), verts.where(F.col("id") == source))
     target = reach.agg(F.max("id")).first()[0]
     return gds.astar(edges, coords, int(source), int(target))
+
+
+@register(
+    "gds_triangle_listing",
+    """
+    WITH co AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 100 = 0
+    )
+    SELECT ab.u AS a, ab.v AS b, bc.v AS c
+    FROM co ab JOIN co bc ON ab.v = bc.u
+    JOIN co ac ON ac.u = ab.u AND ac.v = bc.v
+    ORDER BY a, b, c
+    """,
+)
+def gds_triangle_listing(spark, sf_dir):
+    """gds.alpha.triangles over the sampled part co-occurrence graph
+    (orders ≡ 0 mod 100 bound the listing at any sf): every triangle as a
+    canonical (a < b < c) row — the enumeration twin of
+    gds_triangle_count_copart."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") % 100 == 0)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    co = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return gds.triangle_list(co).orderBy("a", "b", "c")

@@ -3066,3 +3066,27 @@ def astar(
             ),
         ).alias("path"),
     )
+
+
+def triangle_list(edges: DataFrame) -> DataFrame:
+    """gds.alpha.triangles — ENUMERATE the triangles (a < b < c), one row
+    each, rather than just counting them. Same degree-bounded wedge
+    closure as ``triangle_count``; the canonical ordering makes the
+    listing deterministic and join-keyed (a,b)/(b,c)/(a,c) — no
+    cartesian anywhere."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        ab.join(bc, "y")
+        .join(ac, ["x", "z"])
+        .select(F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c"))
+    )

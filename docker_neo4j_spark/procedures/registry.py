@@ -775,3 +775,46 @@ def _apoc_load_csv(spark: SparkSession, file: str = "", graph=None) -> DataFrame
             F.array(*[F.col(c).cast("string") for c in cols]),
         ).alias("map"),
     )
+
+
+@procedure(
+    "apoc.cypher.run",
+    signature="apoc.cypher.run(statement :: STRING, params :: MAP) :: (value :: ANY)",
+    description="Run a dynamically constructed read statement with $-parameters",
+)
+def _apoc_cypher_run(spark: SparkSession, statement: str = "", params=None, session=None):
+    """apoc.cypher.run — the dynamic-subquery procedure of APOC core
+    (plugin manifest: /root/reference/docker-image-src/3.5/coredb/
+    neo4j-plugins.json:3-8). The statement executes through the SAME
+    façade session, so it sees the live store (read-your-writes) and
+    every registered function. Columns surface natively instead of being
+    re-wrapped in APOC's untyped `value` map — documented deviation: the
+    map form erases the types a DataFrame keeps. Write clauses are
+    refused (APOC routes those to apoc.cypher.doIt)."""
+    if session is None:
+        raise ValueError("apoc.cypher.run requires a session context")
+    stmt = (statement or "").strip()
+    if not stmt:
+        raise ValueError("apoc.cypher.run: empty statement")
+    head = stmt.split(None, 1)[0].upper()
+    if head in ("CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE", "DROP"):
+        raise ValueError(
+            "apoc.cypher.run is read-only; use apoc.cypher.doIt for writes"
+        )
+    return session.run(stmt, params or None)
+
+
+@procedure(
+    "apoc.cypher.doIt",
+    signature="apoc.cypher.doIt(statement :: STRING, params :: MAP) :: (value :: ANY)",
+    description="Run a dynamically constructed statement that may update the graph",
+)
+def _apoc_cypher_do_it(spark: SparkSession, statement: str = "", params=None, session=None):
+    """apoc.cypher.doIt — the writing twin of apoc.cypher.run (no
+    read-only guard); same native-column deviation."""
+    if session is None:
+        raise ValueError("apoc.cypher.doIt requires a session context")
+    stmt = (statement or "").strip()
+    if not stmt:
+        raise ValueError("apoc.cypher.doIt: empty statement")
+    return session.run(stmt, params or None)

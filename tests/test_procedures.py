@@ -270,3 +270,25 @@ def test_apoc_path_expand_levels_and_filters(spark):
             args={"arg0": "A", "arg1": "<X", "arg2": "", "arg3": 1, "arg4": 2},
             context={"graph": g},
         )
+
+
+def test_apoc_cypher_run_and_do_it(spark):
+    """apoc.cypher.run executes a dynamic read statement through the SAME
+    session (parameters rendered, live store visible); write clauses are
+    refused and routed to apoc.cypher.doIt, whose effects are immediately
+    readable back."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:P {k: 1, v: 'a'})")
+    s.run("CREATE (:P {k: 2, v: 'b'})")
+    out = s.run(
+        "CALL apoc.cypher.run('MATCH (p:P) WHERE p.k >= $lo "
+        "RETURN p.v AS v ORDER BY v', {lo: 1}) YIELD v RETURN v"
+    )
+    assert [r.v for r in out.collect()] == ["a", "b"]
+    with pytest.raises(ValueError, match="read-only"):
+        s.run("CALL apoc.cypher.run('CREATE (:P {k: 3})', {})")
+    s.run("CALL apoc.cypher.doIt('CREATE (:P {k: 3, v: \"c\"})', {})")
+    after = s.run("MATCH (p:P) RETURN count(*) AS n")
+    assert after.collect()[0].n == 3
