@@ -147,6 +147,7 @@ _NEW_THIS_ROUND: list[str] = [
     "gds_astar_path",
     "gds_triangle_listing",
     "proc_apoc_cypher_run",
+    "llm_token_budget_selection",
 ]
 
 

@@ -1938,3 +1938,48 @@ def llm_boilerplate_removal(spark, sf_dir):
     return curation.remove_boilerplate(
         d, segment_tokens=8, min_doc_freq=2
     ).orderBy("doc_id")
+
+
+@register(
+    "llm_token_budget_selection",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})
+             END AS ttr
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, ttr,
+             SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, n_tokens, ttr, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 10000 ORDER BY cum_tokens
+    """,
+)
+def llm_token_budget_selection(spark, sf_dir):
+    """Data selection under a token budget: rank documents by type-token
+    ratio (desc, doc_id tiebreak) and keep the prefix whose running token
+    total fits 10k tokens — `curation.select_by_budget`, the exact
+    distributed prefix sum (range repartition + broadcast offsets; no
+    single-task window). The oracle is the same greedy prefix as one
+    ordered window cumsum."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tx.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(F.size(toks) == 0, F.lit(0.0))
+        .otherwise(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        )
+        .alias("ttr"),
+    )
+    out = curation.select_by_budget(
+        scored, "n_tokens", [F.desc("ttr"), F.asc("doc_id")], 10_000
+    )
+    return out.select("doc_id", "n_tokens", "ttr", "cum_tokens").orderBy("cum_tokens")

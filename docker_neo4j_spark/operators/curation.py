@@ -643,3 +643,55 @@ def remove_boilerplate(
             F.col("retained_words")
         ).cast("long"),
     )
+
+
+def select_by_budget(
+    df: DataFrame,
+    tokens_col: str,
+    order_cols: list,
+    budget: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Greedy corpus selection under a token budget: keep the prefix of
+    the given TOTAL order (include a unique tiebreaker) whose running
+    token total stays ≤ ``budget`` — the data-selection step of every
+    pretraining mix ("take the best documents until the budget is
+    full"). Prefix semantics: the first document that would overflow the
+    budget stops the selection.
+
+    Exact distributed prefix sum, same shape as ``global_rank``:
+    ``repartitionByRange`` on the order keys, per-partition running sums
+    via a partition-local window, per-partition TOTALS (one row each)
+    broadcast back as cumulative offsets. Adds ``cum_tokens``. No
+    single-task window anywhere.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_sb_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=True)  # pin partition placement
+    w = (
+        Window.partitionBy("_sb_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_sb_run", F.sum(F.col(tokens_col).cast("long")).over(w))
+    sums = sorted(
+        (r["_sb_pid"], r["_s"])
+        for r in d.groupBy("_sb_pid")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("_s"))
+        .collect()
+    )
+    acc, offsets = 0, []
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += int(s or 0)
+    off = d.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_sb_pid int, _sb_off long"
+    )
+    return (
+        d.join(F.broadcast(off), "_sb_pid")
+        .withColumn("cum_tokens", F.col("_sb_off") + F.col("_sb_run"))
+        .where(F.col("cum_tokens") <= F.lit(int(budget)))
+        .drop("_sb_pid", "_sb_run", "_sb_off")
+    )

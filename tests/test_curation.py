@@ -318,3 +318,43 @@ def test_remove_boilerplate_all_boilerplate_doc(spark):
     rows = {r["doc_id"]: r for r in remove_boilerplate(docs, segment_tokens=3).collect()}
     assert rows[1]["cleaned_text"] == "" and rows[1]["retained_words"] == 0
     assert rows[2]["n_boilerplate"] == 1
+
+
+def test_select_by_budget_prefix_semantics(spark):
+    """Greedy prefix under the total order: the first overflowing row
+    stops the selection even if a later smaller row would still fit."""
+    from docker_neo4j_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, 9.0, 40), (2, 8.0, 50), (3, 7.0, 30), (4, 6.0, 5)],
+        "doc_id long, score double, toks long",
+    )
+    out = curation.select_by_budget(
+        df, "toks", [F.desc("score"), F.asc("doc_id")], 100, num_partitions=3
+    )
+    rows = {r.doc_id: r.cum_tokens for r in out.collect()}
+    # 40 + 50 = 90 fits; doc 3 would reach 120 > 100 and stops the prefix,
+    # so doc 4 (which alone would fit) is NOT selected
+    assert rows == {1: 40, 2: 90}
+
+
+def test_select_by_budget_matches_single_partition(spark):
+    """Distributed prefix sum == the one-partition window answer."""
+    import random
+
+    from docker_neo4j_spark.operators import curation
+
+    rng = random.Random(3)
+    data = [(i, float(rng.randint(0, 9)), rng.randint(1, 20)) for i in range(200)]
+    df = spark.createDataFrame(data, "doc_id long, score double, toks long")
+    out = curation.select_by_budget(
+        df, "toks", [F.desc("score"), F.asc("doc_id")], 500, num_partitions=8
+    )
+    got = sorted((r.doc_id, r.cum_tokens) for r in out.collect())
+    run, exp = 0, []
+    for doc_id, _, toks in sorted(data, key=lambda r: (-r[1], r[0])):
+        run += toks
+        if run > 500:
+            break
+        exp.append((doc_id, run))
+    assert got == sorted(exp)
