@@ -148,6 +148,7 @@ _NEW_THIS_ROUND: list[str] = [
     "gds_triangle_listing",
     "proc_apoc_cypher_run",
     "llm_token_budget_selection",
+    "proc_export_graphml_lines",
 ]
 
 

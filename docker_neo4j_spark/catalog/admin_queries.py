@@ -846,6 +846,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'apoc.cypher.run'
     UNION ALL SELECT 'apoc.export.csv.all'
     UNION ALL SELECT 'apoc.export.json.all'
+    UNION ALL SELECT 'apoc.export.graphml.all'
     UNION ALL SELECT 'apoc.load.csv'
     UNION ALL SELECT 'apoc.load.json'
     UNION ALL SELECT 'apoc.meta.stats'
@@ -1788,3 +1789,56 @@ def proc_apoc_cypher_run(spark, sf_dir):
         "count(*) AS customers ORDER BY customers DESC, name LIMIT 5', "
         "{minbal: 1000.0}) YIELD name, customers RETURN name, customers"
     )
+
+
+@register(
+    "proc_export_graphml_lines",
+    """
+    WITH n AS (SELECT CAST(1000000000000 + r_regionkey AS BIGINT) AS id,
+                      'Region' AS lab, r_name AS name FROM region
+               UNION ALL
+               SELECT CAST(2000000000000 + n_nationkey AS BIGINT),
+                      'Nation', n_name FROM nation),
+    e AS (SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS src,
+                 CAST(1000000000000 + n_regionkey AS BIGINT) AS dst FROM nation)
+    SELECT line FROM (
+      SELECT '<?xml version="1.0" encoding="UTF-8"?>' AS line
+      UNION ALL SELECT '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'
+      UNION ALL SELECT '<key id="labels" for="node" attr.name="labels" attr.type="string"/>'
+      UNION ALL SELECT '<key id="label" for="edge" attr.name="label" attr.type="string"/>'
+      UNION ALL SELECT '<key id="name" for="node" attr.name="name" attr.type="string"/>'
+      UNION ALL SELECT '<graph id="G" edgedefault="directed">'
+      UNION ALL
+      SELECT '<node id="n' || id || '"><data key="labels">:' || lab
+             || '</data><data key="name">' || name || '</data></node>' FROM n
+      UNION ALL
+      SELECT '<edge source="n' || src || '" target="n' || dst
+             || '"><data key="label">IN_REGION</data></edge>' FROM e
+      UNION ALL SELECT '</graph>'
+      UNION ALL SELECT '</graphml>'
+    ) ORDER BY line
+    """,
+)
+def proc_export_graphml_lines(spark, sf_dir):
+    """apoc.export.graphml line set for the Nation/Region subgraph — the
+    exporter's exact document lines (header keys, APOC :Label convention,
+    one self-contained element per line). TPC-H names contain no XML
+    specials, so the oracle skips the escape chain the exporter applies;
+    the escape path is pytest-covered."""
+    from ..sources.graphml import graph_to_graphml
+    from ..sources.tpch import build_graph
+
+    g = build_graph(spark, sf_dir)
+    lo_r, lo_n = 1_000_000_000_000, 2_000_000_000_000
+    nodes = (
+        g.nodes.where(
+            F.array_contains("labels", "Region") | F.array_contains("labels", "Nation")
+        )
+        .select(
+            "id",
+            "labels",
+            F.coalesce(F.col("r_name"), F.col("n_name")).alias("name"),
+        )
+    )
+    rels = g.rels.where(F.col("type") == "IN_REGION").select("src", "dst", "type")
+    return graph_to_graphml(nodes, rels).select("line").orderBy("line")

@@ -818,3 +818,25 @@ def _apoc_cypher_do_it(spark: SparkSession, statement: str = "", params=None, se
     if not stmt:
         raise ValueError("apoc.cypher.doIt: empty statement")
     return session.run(stmt, params or None)
+
+
+@procedure(
+    "apoc.export.graphml.all",
+    signature="apoc.export.graphml.all(file :: STRING, config :: MAP) :: (file :: STRING, nodes :: INTEGER, relationships :: INTEGER)",
+    description="Export the whole graph to GraphML",
+)
+def _apoc_export_graphml_all(spark: SparkSession, file: str = "", config=None, graph=None):
+    """apoc.export.graphml.all — one ordered single-document write; the
+    line set stays a distributed DataFrame until the sink (see
+    sources/graphml.py)."""
+    from ..sources.graphml import write_graphml
+
+    if graph is None:
+        raise ValueError("apoc.export.graphml.all requires a graph context")
+    if not file:
+        raise ValueError("apoc.export.graphml.all: file is required")
+    write_graphml(graph.nodes, graph.rels, file)
+    return spark.createDataFrame(
+        [(file, graph.nodes.count(), graph.rels.count())],
+        "file string, nodes long, relationships long",
+    )

@@ -61,3 +61,59 @@ def test_map_valued_pattern_prop_filter_fails_loudly(spark, sf_dir):
                 NodeSpec("b", "Nation"),
             ],
         )
+
+
+def test_graphml_roundtrip(spark, tmp_path):
+    """Export → native-XML import reproduces ids, labels, types, and
+    props (as strings), including XML-special characters."""
+    from docker_neo4j_spark.sources import graphml as gm
+
+    nodes = spark.createDataFrame(
+        [
+            (1, ["A"], 'x & <y> "q"', 3.5),
+            (2, ["A", "B"], None, 7.0),
+            (3, ["C"], "plain", None),
+        ],
+        "id long, labels array<string>, name string, score double",
+    )
+    rels = spark.createDataFrame(
+        [(1, 2, "KNOWS", 5), (2, 3, "LIKES", None)],
+        "src long, dst long, type string, since int",
+    )
+    path = str(tmp_path / "g.xml")
+    gm.write_graphml(nodes, rels, path)
+    n2, r2 = gm.read_graphml(spark, path)
+    got_n = {r.id: (tuple(r.labels), dict(r.props)) for r in n2.collect()}
+    assert got_n == {
+        1: (("A",), {"name": 'x & <y> "q"', "score": "3.5"}),
+        2: (("A", "B"), {"score": "7.0"}),
+        3: (("C",), {"name": "plain"}),
+    }
+    got_r = {(r.src, r.dst): (r.type, dict(r.props)) for r in r2.collect()}
+    assert got_r == {
+        (1, 2): ("KNOWS", {"since": "5"}),
+        (2, 3): ("LIKES", {}),
+    }
+
+
+def test_graphml_export_procedure(spark, tmp_path):
+    """CALL apoc.export.graphml.all writes the single ordered document
+    and reports counts."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:T {k: 1})")
+    s.run("CREATE (:T {k: 2})")
+    path = str(tmp_path / "out.xml")
+    out = s.run(
+        f"CALL apoc.export.graphml.all('{path}', {{}}) "
+        "YIELD file, nodes, relationships RETURN file, nodes, relationships"
+    )
+    row = out.collect()[0]
+    assert row.nodes == 2 and row.relationships == 0
+    text = "\n".join(
+        r.value
+        for r in spark.read.text(path).withColumnRenamed("value", "value").collect()
+    )
+    assert text.startswith('<?xml version="1.0"')
+    assert "<node id=" in text and text.rstrip().endswith("</graphml>")
