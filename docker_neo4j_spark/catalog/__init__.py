@@ -149,6 +149,7 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_apoc_cypher_run",
     "llm_token_budget_selection",
     "proc_export_graphml_lines",
+    "gds_rwr_sample",
 ]
 
 

@@ -2664,3 +2664,58 @@ def gds_triangle_listing(spark, sf_dir):
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     co = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst")
     return gds.triangle_list(co).orderBy("a", "b", "c")
+
+
+def _rwr_sql(walks: int, steps: int, restart: float, salt: str) -> str:
+    """Unrolled deterministic RWR sampler — twin of ``gds.rwr_sample``
+    over the undirected projection, seed = the minimum customer node.
+    Restart when md5(salt|r|k|walk) sorts below the 4-hex-digit bucket
+    boundary (string compare, engine-portable); sink walks restart."""
+    from ..operators.curation import hex_thr
+
+    thr = hex_thr(restart)
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT src, dst FROM ({_EDGES})),",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0"
+        " UNION ALL SELECT dst, src FROM e0),",
+        "seed AS (SELECT CAST(3000000000000 + MIN(c_custkey) AS BIGINT) AS s"
+        " FROM customer),",
+        f"w0 AS MATERIALIZED (SELECT UNNEST(range({walks})) AS walk_id, s AS id"
+        " FROM seed),",
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"step{k} AS MATERIALIZED (SELECT c.walk_id, "
+            f"arg_min(e.dst, md5('{salt}' || '|' || '{k}' || '|' ||"
+            f" CAST(c.id AS VARCHAR) || '|' || CAST(e.dst AS VARCHAR))) AS nxt "
+            f"FROM w{k - 1} c JOIN e ON e.src = c.id GROUP BY c.walk_id),"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT c.walk_id, "
+            f"CASE WHEN md5('{salt}|r|{k}|' || CAST(c.walk_id AS VARCHAR))"
+            f" < '{thr}' OR s.nxt IS NULL THEN (SELECT s FROM seed)"
+            f" ELSE s.nxt END AS id "
+            f"FROM w{k - 1} c LEFT JOIN step{k} s USING (walk_id)),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    union = " UNION ALL ".join(
+        f"SELECT id FROM w{k}" for k in range(0, steps + 1)
+    )
+    parts.append(
+        f"SELECT id, CAST(COUNT(*) AS BIGINT) AS visits FROM ({union})"
+        " GROUP BY id ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+@register("gds_rwr_sample", _rwr_sql(8, 20, 0.15, "rwr"))
+def gds_rwr_sample(spark, sf_dir):
+    """gds.graph.sample.rwr: 8 deterministic hash-drawn walks of 20 steps
+    with 0.15 restart from the minimum customer node — the sampled node
+    universe with visit counts."""
+    g = build_graph(spark, sf_dir)
+    seed = int(_seed(g).agg(F.min("id")).first()[0])
+    return gds.rwr_sample(
+        g.rels, seed, walks=8, steps=20, restart=0.15, salt="rwr"
+    ).orderBy("id")

@@ -3090,3 +3090,73 @@ def triangle_list(edges: DataFrame) -> DataFrame:
         .join(ac, ["x", "z"])
         .select(F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c"))
     )
+
+
+def rwr_sample(
+    edges: DataFrame,
+    seed: int,
+    walks: int = 8,
+    steps: int = 20,
+    restart: float = 0.15,
+    salt: str = "rwr",
+    undirected: bool = True,
+) -> DataFrame:
+    """gds.graph.sample.rwr — random-walk-with-restart sampling with the
+    same DETERMINISTIC hash draws as ``random_walk``: ``walks`` parallel
+    walks start at ``seed``; at step k a walk restarts to the seed when
+    ``md5(salt‖'r'‖k‖walk_id) < hex-threshold(restart)`` (string compare
+    against the 4-hex-digit bucket boundary — engine-portable), otherwise
+    it moves to the out-neighbor with the minimum
+    ``md5(salt‖k‖current‖neighbor)``. Sink nodes always restart. Returns
+    the sampled node set with visit counts: (id, visits) — the node
+    universe a sampled-subgraph projection keeps.
+
+    Per step the state is ``walks`` rows — one join + one min_by — so
+    sampling cost is O(steps · walks) rows of state regardless of graph
+    size.
+    """
+    from .curation import hex_thr  # 4-hex-digit bucket boundary
+
+    thr = hex_thr(restart)
+    e = (
+        (undirect(edges) if undirected else edges.select("src", "dst"))
+        .repartition("src")
+        .cache()
+    )
+    spark = edges.sparkSession
+    cur = _ckpt(
+        spark.range(walks).select(
+            F.col("id").alias("walk_id"), F.lit(seed).cast("long").alias("id")
+        )
+    )
+    out = [cur]
+    for k in range(1, steps + 1):
+        draw = F.md5(
+            F.concat_ws("|", F.lit(salt), F.lit(str(k)), F.col("id"), F.col("dst"))
+        )
+        stepped = (
+            cur.join(e, cur["id"] == e["src"])
+            .select("walk_id", "dst", draw.alias("_h"))
+            .groupBy("walk_id")
+            .agg(F.min_by("dst", F.col("_h")).alias("_next"))
+        )
+        rdraw = F.md5(
+            F.concat_ws("|", F.lit(salt), F.lit("r"), F.lit(str(k)), F.col("walk_id"))
+        )
+        cur = _ckpt(
+            cur.join(stepped, "walk_id", "left").select(
+                "walk_id",
+                F.when(
+                    (rdraw < F.lit(thr)) | F.col("_next").isNull(),
+                    F.lit(seed).cast("long"),
+                )
+                .otherwise(F.col("_next"))
+                .alias("id"),
+            )
+        )
+        out.append(cur)
+    e.unpersist()
+    acc = out[0]
+    for fr in out[1:]:
+        acc = acc.unionByName(fr)
+    return acc.groupBy("id").agg(F.count("*").cast("long").alias("visits"))

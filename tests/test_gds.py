@@ -944,3 +944,23 @@ def test_dag_longest_path_exact(spark):
     seeds = spark.createDataFrame([(1,)], "id long")
     out = {r["id"]: r["dist"] for r in gds.dag_longest_path(edges, seeds).collect()}
     assert out == {1: 0, 2: 1, 3: 10, 4: 11, 5: 13}
+
+
+def test_rwr_sample_deterministic_and_bounded(spark):
+    """RWR sampling: total visits == walks × (steps+1); sink-only graphs
+    keep every walk oscillating through the seed (restart on stuck); the
+    hash draws make two runs identical."""
+    from docker_neo4j_spark.operators import gds
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    a = {(r.id, r.visits) for r in gds.rwr_sample(edges, 1, walks=4, steps=10).collect()}
+    b = {(r.id, r.visits) for r in gds.rwr_sample(edges, 1, walks=4, steps=10).collect()}
+    assert a == b
+    assert sum(v for _, v in a) == 4 * 11
+    assert {i for i, _ in a} <= {1, 2, 3, 4}
+    # a graph with ONLY a sink: every step restarts to the seed
+    sink = spark.createDataFrame([(7, 8)], "src long, dst long")
+    out = {r.id: r.visits for r in gds.rwr_sample(sink, 9, walks=2, steps=5, undirected=False).collect()}
+    assert out == {9: 12}
