@@ -114,6 +114,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # late r8: the Arrow-batched encoder row converted rows-only →
     # oracle-paired (FNV-1a HUGEINT replay, _FNV_SQL)
     "llm_embed_and_search",
+    # late r8: db.index.vector.queryNodes grew the created-index IVF probe
+    # branch (indexName resolves against CREATE VECTOR INDEX first) —
+    # re-grade the legacy label-path row that shares the procedure
+    "proc_vector_query_nodes",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -150,6 +154,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_token_budget_selection",
     "proc_export_graphml_lines",
     "gds_rwr_sample",
+    "proc_vector_index_query",
 ]
 
 

@@ -1842,3 +1842,56 @@ def proc_export_graphml_lines(spark, sf_dir):
     )
     rels = g.rels.where(F.col("type") == "IN_REGION").select("src", "dst", "type")
     return graph_to_graphml(nodes, rels).select("line").orderBy("line")
+
+
+# Shared query-vector literal for the vector-index row: exact /16
+# binary fractions so the Cypher literal and the SQL literal are the
+# same doubles.
+_VQ_VALS = [((i * 37) % 19 - 9) / 16.0 for i in range(64)]
+_VQ_LIST = "[" + ", ".join(repr(v) for v in _VQ_VALS) + "]"
+
+
+@register(
+    "proc_vector_index_query",
+    f"""
+    WITH q AS (SELECT {_VQ_LIST}::DOUBLE[] AS qv)
+    SELECT c.vec_id AS node,
+      list_reduce(list_prepend(0.0,
+        list_transform(range(1, 65), i -> qv[i] * c.embedding[i]::DOUBLE)),
+        (a, x) -> a + x)
+      / greatest(
+          sqrt(list_reduce(list_prepend(0.0,
+            list_transform(range(1, 65), i -> qv[i] * qv[i])), (a, x) -> a + x))
+        * sqrt(list_reduce(list_prepend(0.0,
+            list_transform(range(1, 65),
+              i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)),
+            (a, x) -> a + x)),
+          1e-12) AS score
+    FROM embeddings c, q ORDER BY score DESC, node LIMIT 5
+    """,
+)
+def proc_vector_index_query(spark, sf_dir):
+    """CREATE VECTOR INDEX → db.index.vector.queryNodes through the
+    façade: the DDL trains an IVF coarse quantizer (KMeans codebook +
+    inverted file) and the query probes it by INDEX NAME. nprobe = cells
+    here, so the probe is provably exact and the brute-force cosine
+    oracle applies regardless of how KMeans clusters — the
+    approximate-nprobe path is pytest-graded (recall + subset property)."""
+    from ..cypher.session import Session
+    from ..graph import PropertyGraph
+    from ..storage.store import GraphStore
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nodes = emb.select(
+        F.col("vec_id").alias("id"), F.array(F.lit("Vec")).alias("labels"), "embedding"
+    )
+    rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+    s = Session(spark, store=GraphStore(spark, PropertyGraph(nodes=nodes, rels=rels)))
+    s.run(
+        "CREATE VECTOR INDEX embidx FOR (n:Vec) ON (n.embedding) "
+        "OPTIONS {dimensions: 64, similarity: 'cosine', cells: 8, nprobe: 8}"
+    )
+    return s.run(
+        f"CALL db.index.vector.queryNodes('embidx', 5, {_VQ_LIST}) "
+        "YIELD node, score RETURN node, score"
+    )

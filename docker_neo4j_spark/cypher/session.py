@@ -971,6 +971,11 @@ class Session:
             from ..procedures.registry import show_procedures
 
             return show_procedures(self.spark)
+        if head == "SHOW" and q.upper().startswith("SHOW VECTOR INDEX"):
+            from ..storage.indexes import SHOW_SCHEMA
+
+            rows = [r for r in self.store.indexes.rows() if r[3] == "VECTOR"]
+            return self.spark.createDataFrame(rows, SHOW_SCHEMA)
         if head == "SHOW" and q.upper().startswith("SHOW INDEX"):
             from ..storage.indexes import SHOW_SCHEMA
 
@@ -996,6 +1001,10 @@ class Session:
             )
             return self.spark.createDataFrame([], "ok string")
         if head == "CREATE" and re.match(
+            r"CREATE\s+VECTOR\s+INDEX\b", q, re.IGNORECASE
+        ):
+            return self._create_vector_index(q)
+        if head == "CREATE" and re.match(
             r"CREATE\s+(?:RANGE\s+|TEXT\s+|POINT\s+)?INDEX\b", q, re.IGNORECASE
         ):
             return self._create_index(q)
@@ -1008,6 +1017,8 @@ class Session:
             if not m:
                 raise ValueError(f"Unsupported DROP INDEX syntax: {q!r}")
             self.store.indexes.drop(m.group("name"), if_exists=bool(m.group("ifx")))
+            # a dropped VECTOR index must stop answering probes
+            self.store.vector_data.pop(m.group("name"), None)
             return self.spark.createDataFrame([], "ok string")
         if head == "ALTER":
             return self._alter_password(q)
@@ -1134,6 +1145,84 @@ class Session:
             index_type=(m.group("type") or "RANGE").upper(),
             if_not_exists=bool(m.group("ine")),
         )
+        return self.spark.createDataFrame([], "ok string")
+
+    _CREATE_VINDEX_RE = re.compile(
+        r"CREATE\s+VECTOR\s+INDEX"
+        r"(?:\s+(?P<name>\w+))?(?P<ine>\s+IF\s+NOT\s+EXISTS)?\s+"
+        r"FOR\s*\(\s*(?P<var>\w+)\s*:\s*(?P<label>\w+)\s*\)\s+"
+        r"ON\s*\(?\s*(?P<var2>\w+)\.(?P<prop>\w+)\s*\)?\s*"
+        r"(?:OPTIONS\s+(?P<opts>\{.*\}))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _create_vector_index(self, q: str) -> DataFrame:
+        """``CREATE VECTOR INDEX name FOR (n:Label) ON n.prop OPTIONS
+        {dimensions: D, similarity: 'cosine'[, cells: C, nprobe: P]}`` —
+        the Neo4j 5 vector-index DDL. Beyond catalog metadata this TRAINS
+        the index: a KMeans coarse quantizer over the label's embedding
+        property (``similarity.ivf_build``) whose inverted file
+        ``db.index.vector.queryNodes`` probes when called with this
+        index's name — the build-once/probe-many shape a 100 TB corpus
+        needs instead of per-query brute force. ``cells``/``nprobe`` are
+        engine options (Neo4j's HNSW has no Spark-native analog; IVF is
+        the honest distributed equivalent). cosine only — other
+        similarity functions raise."""
+        m = self._CREATE_VINDEX_RE.match(q)
+        if not m:
+            raise ValueError(f"Unsupported CREATE VECTOR INDEX syntax: {q!r}")
+        if m.group("var") != m.group("var2"):
+            raise ValueError(
+                f"index property must be {m.group('var')}.<prop>: {q!r}"
+            )
+        opts = _parse_value(m.group("opts")) if m.group("opts") else {}
+        if not isinstance(opts, dict):
+            raise ValueError(f"OPTIONS must be a map literal: {q!r}")
+        if "dimensions" not in opts:
+            raise ValueError("vector index OPTIONS require `dimensions`")
+        sim_fn = str(opts.get("similarity", "cosine")).lower()
+        if sim_fn != "cosine":
+            raise ValueError(
+                f"unsupported vector similarity function: {sim_fn!r} (cosine only)"
+            )
+        label, prop = m.group("label"), m.group("prop")
+        name = m.group("name") or f"vector_{label}_{prop}"
+        options = {
+            "dimensions": int(opts["dimensions"]),
+            "similarity": sim_fn,
+            "cells": int(opts.get("cells", 16)),
+            "nprobe": int(opts.get("nprobe", 2)),
+        }
+        self.store.indexes.create(
+            name,
+            label,
+            [prop],
+            index_type="VECTOR",
+            if_not_exists=bool(m.group("ine")),
+            options=options,
+        )
+        nodes = self.store.graph.nodes
+        if prop in nodes.columns:
+            from ..operators.similarity import ivf_build
+
+            corpus = nodes.where(
+                F.array_contains(F.col("labels"), label)
+                & F.col(prop).isNotNull()
+            ).select("id", prop)
+            cnt = corpus.count()
+            if cnt:
+                assigned, centroids = ivf_build(
+                    corpus,
+                    n_cells=max(1, min(options["cells"], cnt)),
+                    id_col="id",
+                    vec_col=prop,
+                )
+                self.store.vector_data[name] = {
+                    "assigned": assigned.localCheckpoint(eager=True),
+                    "centroids": centroids,
+                    "options": options,
+                    "vec_col": prop,
+                }
         return self.spark.createDataFrame([], "ok string")
 
     def _union(self, parts: list[str]) -> DataFrame:

@@ -316,19 +316,49 @@ def allowed_procedures(conf_value: str | None) -> "Callable[[str], bool]":
     defaults={"indexName": "", "k": 5},
 )
 def _vector_query_nodes(
-    spark: SparkSession, indexName: str = "", k: int = 5, query=None, graph=None
+    spark: SparkSession, indexName: str = "", k: int = 5, query=None, graph=None,
+    store=None,
 ) -> DataFrame:
     """``CALL db.index.vector.queryNodes('label', k, [..])`` (SURVEY
     §2.B.11, public vector-index surface): cosine top-k over nodes carrying
-    an ``embedding`` property. ``indexName`` maps to a node label ('' = all
-    embedded nodes) — the engine's single-index-per-label analog. Pure JVM
-    expression scoring (zip_with dot product); ordered LIMIT k, so the
-    result is deterministic and oracle-comparable."""
+    an ``embedding`` property. ``indexName`` resolves FIRST against vector
+    indexes created by ``CREATE VECTOR INDEX`` — those probe the trained
+    IVF inverted file (``nprobe`` nearest cells; exact when nprobe =
+    cells) instead of scanning every vector. Otherwise ``indexName`` maps
+    to a node label ('' = all embedded nodes) — the single-index-per-label
+    analog — scored brute-force. Pure JVM expression scoring (zip_with dot
+    product); ordered LIMIT k, so the result is deterministic and
+    oracle-comparable."""
     from ..operators.similarity import cosine
 
     empty = "node bigint, score double"
     if graph is None or not query:
         return spark.createDataFrame([], empty)
+    vdata = getattr(store, "vector_data", {}) if store is not None else {}
+    if indexName in vdata:
+        from ..operators.similarity import ivf_search
+
+        entry = vdata[indexName]
+        qdf = spark.createDataFrame(
+            [(-1, [float(x) for x in query])],
+            f"id long, {entry['vec_col']} array<float>",
+        )
+        hits = ivf_search(
+            entry["assigned"],
+            entry["centroids"],
+            qdf,
+            k=int(k),
+            nprobe=entry["options"]["nprobe"],
+            id_col="id",
+            vec_col=entry["vec_col"],
+        )
+        return (
+            hits.select(
+                F.col("neighbor_id").alias("node"), F.col("sim").alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("node"))
+            .limit(int(k))
+        )
     nodes = graph.nodes
     if "embedding" not in nodes.columns:
         return spark.createDataFrame([], empty)

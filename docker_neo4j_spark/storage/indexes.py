@@ -32,8 +32,11 @@ class Index:
     name: str
     label: str
     properties: list[str]
-    index_type: str = "RANGE"  # RANGE | TEXT | POINT (openCypher 5 DDL)
+    index_type: str = "RANGE"  # RANGE | TEXT | POINT | VECTOR (openCypher 5 DDL)
     state: str = "ONLINE"
+    # VECTOR indexes carry their config here (dimensions, similarity,
+    # cells, nprobe); empty for the clustering index types.
+    options: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -50,12 +53,13 @@ class IndexCatalog:
         properties: list[str],
         index_type: str = "RANGE",
         if_not_exists: bool = False,
+        options: dict | None = None,
     ) -> Index:
         if name in self.indexes:
             if if_not_exists:
                 return self.indexes[name]
             raise ValueError(f"An equivalent index already exists: {name}")
-        idx = Index(name, label, list(properties), index_type.upper())
+        idx = Index(name, label, list(properties), index_type.upper(), options=dict(options or {}))
         self.indexes[name] = idx
         return idx
 
@@ -71,6 +75,8 @@ class IndexCatalog:
         creation order) — the physical clustering side of CREATE INDEX."""
         cols: list[str] = []
         for idx in self.indexes.values():
+            if idx.index_type == "VECTOR":
+                continue  # embedding arrays are IVF-indexed, not sort keys
             p = idx.properties[0]
             if p not in cols:
                 cols.append(p)
@@ -100,6 +106,7 @@ class IndexCatalog:
                 "label": x.label,
                 "properties": x.properties,
                 "index_type": x.index_type,
+                "options": x.options,
             }
             for x in self.indexes.values()
         ]
@@ -108,7 +115,10 @@ class IndexCatalog:
     def from_json(cls, rows: list[dict]) -> "IndexCatalog":
         cat = cls()
         for r in rows:
-            cat.create(r["name"], r["label"], r["properties"], r.get("index_type", "RANGE"))
+            cat.create(
+                r["name"], r["label"], r["properties"],
+                r.get("index_type", "RANGE"), options=r.get("options"),
+            )
         return cat
 
 

@@ -57,6 +57,10 @@ class GraphStore:
 
         self.indexes = IndexCatalog()
         self.constraints = ConstraintCatalog()
+        # name -> {"assigned": DataFrame, "centroids": DataFrame, "options": dict}
+        # for VECTOR indexes (the trained IVF inverted file; rebuilt on
+        # load rather than serialized — the codebook is derived state)
+        self.vector_data: dict[str, dict] = {}
 
     # ---- helpers -------------------------------------------------------
     def _union_missing(self, base: DataFrame, extra: DataFrame) -> DataFrame:

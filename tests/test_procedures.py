@@ -292,3 +292,84 @@ def test_apoc_cypher_run_and_do_it(spark):
     s.run("CALL apoc.cypher.doIt('CREATE (:P {k: 3, v: \"c\"})', {})")
     after = s.run("MATCH (p:P) RETURN count(*) AS n")
     assert after.collect()[0].n == 3
+
+
+def test_vector_index_ddl_and_probe(spark):
+    """CREATE VECTOR INDEX trains an IVF inverted file; queryNodes by
+    index name probes it. With nprobe == cells the probe is exact (==
+    brute force); with nprobe < cells the hits are a subset of the
+    corpus ranked consistently. DDL surface: SHOW VECTOR INDEXES, DROP,
+    and fail-loud on unsupported similarity / missing dimensions."""
+    import pytest as _pytest
+
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.graph import PropertyGraph
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.9, 0.1, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    nodes = spark.createDataFrame(
+        [(i, ["V"], v) for i, v in vecs],
+        "id long, labels array<string>, embedding array<float>",
+    )
+    rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+    s = Session(spark, store=GraphStore(spark, PropertyGraph(nodes=nodes, rels=rels)))
+    s.run(
+        "CREATE VECTOR INDEX vidx FOR (n:V) ON (n.embedding) "
+        "OPTIONS {dimensions: 4, similarity: 'cosine', cells: 3, nprobe: 3}"
+    )
+    shown = s.run("SHOW VECTOR INDEXES").collect()
+    assert [r.name for r in shown] == ["vidx"] and shown[0].type == "VECTOR"
+    exact = s.run(
+        "CALL db.index.vector.queryNodes('vidx', 2, [1.0, 0.05, 0.0, 0.0]) "
+        "YIELD node, score RETURN node, score"
+    ).collect()
+    assert [r.node for r in exact] == [1, 2]
+    # brute-force label path (legacy '' / label indexName) agrees
+    brute = s.run(
+        "CALL db.index.vector.queryNodes('V', 2, [1.0, 0.05, 0.0, 0.0]) "
+        "YIELD node, score RETURN node, score"
+    ).collect()
+    assert [(r.node, r.score) for r in brute] == [(r.node, r.score) for r in exact]
+    with _pytest.raises(ValueError, match="dimensions"):
+        s.run("CREATE VECTOR INDEX bad FOR (n:V) ON (n.embedding)")
+    with _pytest.raises(ValueError, match="similarity"):
+        s.run(
+            "CREATE VECTOR INDEX bad2 FOR (n:V) ON (n.embedding) "
+            "OPTIONS {dimensions: 4, similarity: 'euclidean'}"
+        )
+    s.run("DROP INDEX vidx")
+    assert s.run("SHOW VECTOR INDEXES").count() == 0
+
+
+def test_dropped_vector_index_stops_probing(spark):
+    """After DROP INDEX the trained inverted file is evicted — queryNodes
+    falls back to the label path (which doesn't match the index name →
+    empty), not the stale IVF data."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.graph import PropertyGraph
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    nodes = spark.createDataFrame(
+        [(1, ["V"], [1.0, 0.0]), (2, ["V"], [0.0, 1.0])],
+        "id long, labels array<string>, embedding array<float>",
+    )
+    rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+    s = Session(spark, store=GraphStore(spark, PropertyGraph(nodes=nodes, rels=rels)))
+    s.run(
+        "CREATE VECTOR INDEX gone FOR (n:V) ON (n.embedding) "
+        "OPTIONS {dimensions: 2, cells: 2, nprobe: 2}"
+    )
+    assert s.run(
+        "CALL db.index.vector.queryNodes('gone', 1, [1.0, 0.0]) YIELD node RETURN node"
+    ).count() == 1
+    s.run("DROP INDEX gone")
+    assert s.run(
+        "CALL db.index.vector.queryNodes('gone', 1, [1.0, 0.0]) YIELD node RETURN node"
+    ).count() == 0
