@@ -155,6 +155,7 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_export_graphml_lines",
     "gds_rwr_sample",
     "proc_vector_index_query",
+    "events_countmin_frequencies",
 ]
 
 

@@ -464,3 +464,52 @@ def stream_windowed_distinct_users_batch(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
     )
     return out.withColumn("window_start", _fmt_ts("window_start"))
+
+
+@register(
+    "events_countmin_frequencies",
+    """
+    WITH ds AS (SELECT UNNEST(range(4)) AS d),
+    b AS (
+      SELECT d, CAST(('0x' || substr(md5('cms|' || CAST(d AS VARCHAR) || '|'
+               || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+      FROM events, ds),
+    cnt AS (SELECT d, bucket, COUNT(*) AS c FROM b GROUP BY d, bucket),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    kb AS (
+      SELECT user_id, d,
+             CAST(('0x' || substr(md5('cms|' || CAST(d AS VARCHAR) || '|'
+               || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+      FROM keys, ds),
+    est AS (SELECT user_id, MIN(COALESCE(c, 0)) AS est
+            FROM kb LEFT JOIN cnt USING (d, bucket) GROUP BY user_id),
+    ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact
+           FROM events GROUP BY user_id)
+    SELECT est.user_id, est.est, ex.exact, est.est - ex.exact AS overcount
+    FROM est JOIN ex USING (user_id)
+    ORDER BY ex.exact DESC, est.user_id LIMIT 20
+    """,
+)
+def events_countmin_frequencies(spark, sf_dir):
+    """Count-min sketch per-user event frequencies (depth 4 × width 64 —
+    deliberately narrower than the 150-user key space so hash collisions
+    produce REAL overcounts) next to the exact counts: est ≥ exact always,
+    overcount = the sketch's collision error. The md5-derived buckets make
+    the whole sketch deterministic, so the oracle replays build AND query
+    exactly — `operators/sketch.py`."""
+    from ..operators import sketch
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sk = sketch.countmin_build(ev, "user_id", depth=4, width=64)
+    keys = ev.select("user_id").distinct()
+    est = sketch.countmin_query(sk, keys, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("exact"))
+    return (
+        est.withColumnRenamed("key", "user_id")
+        .join(exact, "user_id")
+        .select(
+            "user_id", "est", "exact", (F.col("est") - F.col("exact")).alias("overcount")
+        )
+        .orderBy(F.desc("exact"), F.asc("user_id"))
+        .limit(20)
+    )
