@@ -118,6 +118,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # branch (indexName resolves against CREATE VECTOR INDEX first) —
     # re-grade the legacy label-path row that shares the procedure
     "proc_vector_query_nodes",
+    # late r8: attribution_join user_id now coalesces across sides (the
+    # full-outer prerequisite; values identical for inner/left) — re-grade
+    # both pre-existing rows on the shared path
+    "stream_attribution_join_batch",
+    "stream_attribution_left_batch",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -156,6 +161,7 @@ _NEW_THIS_ROUND: list[str] = [
     "gds_rwr_sample",
     "proc_vector_index_query",
     "events_countmin_frequencies",
+    "stream_attribution_full_batch",
 ]
 
 

@@ -513,3 +513,37 @@ def events_countmin_frequencies(spark, sf_dir):
         .orderBy(F.desc("exact"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "stream_attribution_full_batch",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           COALESCE(c.user_id, p.user_id) AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+           p.value AS amount
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_attribution_full_batch(spark, sf_dir):
+    """FULL OUTER stream-stream interval join — unattributed clicks AND
+    click-less purchases both survive with NULL far-side columns (on
+    streams each side emits once its watermark proves no match can
+    arrive; Spark supports full-outer stream-stream exactly because the
+    interval bound makes both state stores evictable). The side filters
+    live in subqueries, not WHERE — a WHERE would silently delete the
+    right-only rows."""
+    from ..streaming.events import attribution_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        how="full_outer",
+    )

@@ -154,11 +154,13 @@ def attribution_join(
     # columns — on streams Spark emits them once the click's watermark
     # passes click_ts + horizon (state eviction doubles as the "no match
     # will ever come" proof); on batch it's a plain left join, the twin
-    # the oracle row grades.
+    # the oracle row grades. how="full_outer" additionally surfaces
+    # click-less purchases (both watermarks gate emission on streams);
+    # user_id coalesces across sides so right-only rows keep theirs.
     return c.join(p, cond, how).select(
         "click_id",
         "purchase_id",
-        F.col("c_user").alias("user_id"),
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         # NTZ-safe: cast both sides before unix_micros; any session-zone
         # shift cancels in the difference
         (

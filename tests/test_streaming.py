@@ -521,3 +521,33 @@ def test_stream_static_enrich_matches_batch(spark, event_dir, sf_dir):
         for r in spark.table("enriched_counts").collect()
     }
     assert got == batch and batch
+
+
+def test_attribution_full_outer_emits_both_unmatched_sides(spark):
+    """FULL OUTER: unattributed clicks keep NULL purchase columns AND
+    click-less purchases keep NULL click columns with their own
+    user_id."""
+    import datetime as _dt
+
+    from docker_neo4j_spark.streaming.events import attribution_join
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0, 100, "click", 0.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    purchases = spark.createDataFrame(
+        [
+            (2, t0 + _dt.timedelta(minutes=30), 100, "purchase", 9.0, ""),
+            (3, t0 + _dt.timedelta(minutes=10), 200, "purchase", 5.0, ""),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = {
+        (r.click_id, r.purchase_id): r
+        for r in attribution_join(clicks, purchases, how="full_outer").collect()
+    }
+    assert set(rows) == {(1, 2), (None, 3)}
+    assert rows[(1, 2)].user_id == 100 and rows[(1, 2)].gap_us == 30 * 60 * 1_000_000
+    lone = rows[(None, 3)]
+    assert lone.user_id == 200 and lone.gap_us is None and lone.amount == 5.0
