@@ -162,6 +162,7 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_vector_index_query",
     "events_countmin_frequencies",
     "stream_attribution_full_batch",
+    "proc_apoc_refactor_rename",
 ]
 
 

@@ -844,6 +844,9 @@ def proc_list_config_yield_where(spark, sf_dir):
     """
     SELECT 'apoc.cypher.doIt' AS name
     UNION ALL SELECT 'apoc.cypher.run'
+    UNION ALL SELECT 'apoc.refactor.mergeNodes'
+    UNION ALL SELECT 'apoc.refactor.rename.label'
+    UNION ALL SELECT 'apoc.refactor.rename.type'
     UNION ALL SELECT 'apoc.export.csv.all'
     UNION ALL SELECT 'apoc.export.json.all'
     UNION ALL SELECT 'apoc.export.graphml.all'
@@ -1894,4 +1897,37 @@ def proc_vector_index_query(spark, sf_dir):
     return s.run(
         f"CALL db.index.vector.queryNodes('embidx', 5, {_VQ_LIST}) "
         "YIELD node, score RETURN node, score"
+    )
+
+
+@register(
+    "proc_apoc_refactor_rename",
+    """
+    SELECT r.r_name AS region, CAST(COUNT(*) AS BIGINT) AS nations
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name ORDER BY region
+    """,
+)
+def proc_apoc_refactor_rename(spark, sf_dir):
+    """apoc.refactor.rename.label + rename.type through the façade: the
+    Nation/Region subgraph is renamed to Country/LOCATED_IN in place, and
+    the readback MATCH uses ONLY the new names — proving the rewrite hit
+    every node/relationship (the oracle is the same rollup from the base
+    tables, name-agnostic)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    g = build_graph(spark, sf_dir)
+    s = Session(spark, store=GraphStore(spark, g))
+    n_ren = s.run(
+        "CALL apoc.refactor.rename.label('Nation', 'Country') YIELD total RETURN total"
+    ).collect()[0].total
+    r_ren = s.run(
+        "CALL apoc.refactor.rename.type('IN_REGION', 'LOCATED_IN') YIELD total RETURN total"
+    ).collect()[0].total
+    assert n_ren > 0 and r_ren > 0
+    return s.run(
+        "MATCH (c:Country)-[:LOCATED_IN]->(r:Region) "
+        "RETURN r.r_name AS region, count(*) AS nations ORDER BY region"
     )

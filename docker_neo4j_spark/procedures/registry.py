@@ -870,3 +870,102 @@ def _apoc_export_graphml_all(spark: SparkSession, file: str = "", config=None, g
         [(file, graph.nodes.count(), graph.rels.count())],
         "file string, nodes long, relationships long",
     )
+
+
+@procedure(
+    "apoc.refactor.rename.label",
+    signature="apoc.refactor.rename.label(oldLabel :: STRING, newLabel :: STRING) :: (total :: INTEGER)",
+    description="Rename a node label on every node carrying it",
+)
+def _refactor_rename_label(spark: SparkSession, oldLabel: str = "", newLabel: str = "", store=None):
+    """apoc.refactor.rename.label — one map pass over the node frame
+    (transform on the labels array); label-pruned views rebuild lazily
+    after the swap."""
+    if store is None:
+        raise ValueError("apoc.refactor.rename.label requires a store context")
+    if not oldLabel or not newLabel:
+        raise ValueError("apoc.refactor.rename.label: both labels are required")
+    nodes = store.graph.nodes
+    total = nodes.where(F.array_contains("labels", oldLabel)).count()
+    renamed = nodes.withColumn(
+        "labels",
+        F.transform(
+            "labels",
+            lambda l: F.when(l == oldLabel, F.lit(newLabel)).otherwise(l),
+        ),
+    )
+    store._swap(nodes=renamed)
+    return spark.createDataFrame([(total,)], "total long")
+
+
+@procedure(
+    "apoc.refactor.rename.type",
+    signature="apoc.refactor.rename.type(oldType :: STRING, newType :: STRING) :: (total :: INTEGER)",
+    description="Rename a relationship type on every relationship carrying it",
+)
+def _refactor_rename_type(spark: SparkSession, oldType: str = "", newType: str = "", store=None):
+    """apoc.refactor.rename.type — map pass over the relationship frame."""
+    if store is None:
+        raise ValueError("apoc.refactor.rename.type requires a store context")
+    if not oldType or not newType:
+        raise ValueError("apoc.refactor.rename.type: both types are required")
+    rels = store.graph.rels
+    total = rels.where(F.col("type") == oldType).count()
+    retyped = rels.withColumn(
+        "type",
+        F.when(F.col("type") == oldType, F.lit(newType)).otherwise(F.col("type")),
+    )
+    store._swap(rels=retyped)
+    return spark.createDataFrame([(total,)], "total long")
+
+
+@procedure(
+    "apoc.refactor.mergeNodes",
+    signature="apoc.refactor.mergeNodes(nodes :: LIST OF INTEGER) :: (id :: INTEGER, merged :: INTEGER)",
+    description="Merge a list of nodes into the first: union labels, first-non-null properties, rewire relationships",
+)
+def _refactor_merge_nodes(spark: SparkSession, nodes=None, store=None):
+    """apoc.refactor.mergeNodes — the first listed node survives; labels
+    union in list order, each property takes the first non-null value in
+    list order, every relationship endpoint on a merged-away node rewires
+    to the survivor (self-relationships that result are kept, matching
+    APOC's preserve default). The collect is bounded by the CALL
+    argument's length — merging a literal id list is inherently a
+    driver-sized operation."""
+    if store is None:
+        raise ValueError("apoc.refactor.mergeNodes requires a store context")
+    ids = [int(x) for x in (nodes or [])]
+    if len(ids) < 2:
+        raise ValueError("apoc.refactor.mergeNodes needs at least two node ids")
+    frame = store.graph.nodes
+    rows = {r["id"]: r for r in frame.where(F.col("id").isin(ids)).collect()}
+    missing = [i for i in ids if i not in rows]
+    if missing:
+        raise ValueError(f"apoc.refactor.mergeNodes: unknown node ids {missing}")
+    target = ids[0]
+    labels: list[str] = []
+    merged = {}
+    for i in ids:
+        r = rows[i].asDict()
+        for lab in r.get("labels") or []:
+            if lab not in labels:
+                labels.append(lab)
+        for c, v in r.items():
+            if c in ("id", "labels"):
+                continue
+            if merged.get(c) is None and v is not None:
+                merged[c] = v
+    out_row = {"id": target, "labels": labels, **{
+        c: merged.get(c) for c in frame.columns if c not in ("id", "labels")
+    }}
+    survivor = spark.createDataFrame([tuple(out_row[c] for c in frame.columns)], frame.schema)
+    new_nodes = frame.where(~F.col("id").isin(ids)).unionByName(survivor)
+    gone = [i for i in ids[1:]]
+    rels = store.graph.rels
+    rewired = rels.withColumn(
+        "src", F.when(F.col("src").isin(gone), F.lit(target)).otherwise(F.col("src"))
+    ).withColumn(
+        "dst", F.when(F.col("dst").isin(gone), F.lit(target)).otherwise(F.col("dst"))
+    )
+    store._swap(nodes=new_nodes, rels=rewired)
+    return spark.createDataFrame([(target, len(gone))], "id long, merged long")

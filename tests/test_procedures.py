@@ -373,3 +373,31 @@ def test_dropped_vector_index_stops_probing(spark):
     assert s.run(
         "CALL db.index.vector.queryNodes('gone', 1, [1.0, 0.0]) YIELD node RETURN node"
     ).count() == 0
+
+
+def test_apoc_refactor_merge_nodes(spark):
+    """mergeNodes: survivor = first id; labels union in list order,
+    first-non-null properties, relationships rewired (self-rels kept)."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    store = GraphStore(spark)
+    a, b, c = store.create_nodes("P", [{"name": "a"}, {"name": None}, {"name": "c"}])
+    store.set_props_by_ids(
+        spark.createDataFrame([(b,)], "id long"), {"city": "berlin"}
+    )
+    store.create_rels("KNOWS", [(a, b), (b, c), (c, a)])
+    s = Session(spark, store=store)
+    out = s.run(
+        f"CALL apoc.refactor.mergeNodes([{a}, {b}]) YIELD id, merged RETURN id, merged"
+    ).collect()[0]
+    assert out.id == a and out.merged == 1
+    nodes = {r.id: r for r in store.graph.nodes.collect()}
+    assert b not in nodes
+    assert nodes[a].name == "a" and nodes[a].city == "berlin"  # first non-null
+    rels = {(r.src, r.dst) for r in store.graph.rels.collect()}
+    assert rels == {(a, a), (a, c), (c, a)}  # (a,b)→self kept, (b,c) rewired
+    with pytest.raises(ValueError, match="at least two"):
+        s.run(f"CALL apoc.refactor.mergeNodes([{a}]) YIELD id RETURN id")
+    with pytest.raises(ValueError, match="unknown node ids"):
+        s.run(f"CALL apoc.refactor.mergeNodes([{a}, 999999]) YIELD id RETURN id")
