@@ -163,6 +163,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_countmin_frequencies",
     "stream_attribution_full_batch",
     "proc_apoc_refactor_rename",
+    "proc_apoc_create_merge",
 ]
 
 

@@ -844,6 +844,9 @@ def proc_list_config_yield_where(spark, sf_dir):
     """
     SELECT 'apoc.cypher.doIt' AS name
     UNION ALL SELECT 'apoc.cypher.run'
+    UNION ALL SELECT 'apoc.create.node'
+    UNION ALL SELECT 'apoc.create.relationship'
+    UNION ALL SELECT 'apoc.merge.node'
     UNION ALL SELECT 'apoc.refactor.mergeNodes'
     UNION ALL SELECT 'apoc.refactor.rename.label'
     UNION ALL SELECT 'apoc.refactor.rename.type'
@@ -1930,4 +1933,47 @@ def proc_apoc_refactor_rename(spark, sf_dir):
     return s.run(
         "MATCH (c:Country)-[:LOCATED_IN]->(r:Region) "
         "RETURN r.r_name AS region, count(*) AS nations ORDER BY region"
+    )
+
+
+@register(
+    "proc_apoc_create_merge",
+    """
+    SELECT 'w1' AS name, CAST(1 AS BIGINT) AS sku, 'gadget' AS kind
+    UNION ALL SELECT 'w2', 2, 'widget'
+    ORDER BY sku
+    """,
+)
+def proc_apoc_create_merge(spark, sf_dir):
+    """apoc.create.node / apoc.merge.node / apoc.create.relationship
+    through the façade: dynamic-label creation, a MERGE that must NOT
+    duplicate (its onCreateProps are proven unapplied on match), a
+    dynamically-typed relationship, then a readback through ordinary
+    MATCH. Literal oracle — the row grades the write path's end state."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    a = s.run(
+        "CALL apoc.create.node(['Widget', 'Item'], {name: 'w1', sku: 1, kind: 'gadget'}) "
+        "YIELD id RETURN id"
+    ).collect()[0].id
+    s.run(
+        "CALL apoc.merge.node(['Widget'], {sku: 2}, {name: 'w2', kind: 'widget'}) "
+        "YIELD id RETURN id"
+    )
+    # second merge on the same key: must match, not create — and must NOT
+    # re-apply onCreateProps
+    s.run(
+        "CALL apoc.merge.node(['Widget'], {sku: 2}, {name: 'CLOBBERED', kind: 'CLOBBERED'}) "
+        "YIELD id RETURN id"
+    )
+    b = s.run("MATCH (w:Widget {sku: 2}) RETURN w.sku AS k").collect()
+    assert len(b) == 1
+    s.run(
+        f"CALL apoc.create.relationship({a}, 'VARIANT_OF', {{since: 2024}}, {a}) "
+        "YIELD id RETURN id"
+    )
+    return s.run(
+        "MATCH (w:Widget) RETURN w.name AS name, w.sku AS sku, w.kind AS kind "
+        "ORDER BY sku"
     )

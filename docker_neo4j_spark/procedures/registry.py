@@ -969,3 +969,73 @@ def _refactor_merge_nodes(spark: SparkSession, nodes=None, store=None):
     )
     store._swap(nodes=new_nodes, rels=rewired)
     return spark.createDataFrame([(target, len(gone))], "id long, merged long")
+
+
+@procedure(
+    "apoc.create.node",
+    signature="apoc.create.node(labels :: LIST OF STRING, props :: MAP) :: (id :: INTEGER)",
+    description="Create a node with dynamically supplied labels and properties",
+)
+def _apoc_create_node(spark: SparkSession, labels=None, props=None, store=None):
+    """apoc.create.node — the dynamic-label escape hatch (CREATE syntax
+    needs labels at parse time; this takes them as data). Multi-label:
+    created under the first label, then the labels array is extended in
+    one map pass."""
+    if store is None:
+        raise ValueError("apoc.create.node requires a store context")
+    labs = [str(x) for x in (labels or [])]
+    if not labs:
+        raise ValueError("apoc.create.node: at least one label is required")
+    nid = store.create_nodes(labs[0], [dict(props or {})])[0]
+    if len(labs) > 1:
+        nodes = store.graph.nodes
+        store._swap(
+            nodes=nodes.withColumn(
+                "labels",
+                F.when(
+                    F.col("id") == nid,
+                    F.array(*[F.lit(x) for x in labs]),
+                ).otherwise(F.col("labels")),
+            )
+        )
+    return spark.createDataFrame([(nid,)], "id long")
+
+
+@procedure(
+    "apoc.create.relationship",
+    signature="apoc.create.relationship(fromId :: INTEGER, relType :: STRING, props :: MAP, toId :: INTEGER) :: (id :: INTEGER)",
+    description="Create a relationship with a dynamically supplied type",
+)
+def _apoc_create_relationship(
+    spark: SparkSession, fromId=None, relType: str = "", props=None, toId=None, store=None
+):
+    """apoc.create.relationship — dynamic relationship type from data."""
+    if store is None:
+        raise ValueError("apoc.create.relationship requires a store context")
+    if not relType:
+        raise ValueError("apoc.create.relationship: relType is required")
+    rid = store.create_rels(
+        relType, [(int(fromId), int(toId))], [dict(props or {})]
+    )[0]
+    return spark.createDataFrame([(rid,)], "id long")
+
+
+@procedure(
+    "apoc.merge.node",
+    signature="apoc.merge.node(labels :: LIST OF STRING, identProps :: MAP, onCreateProps :: MAP) :: (id :: INTEGER)",
+    description="MERGE a node by identifying properties with dynamic labels",
+)
+def _apoc_merge_node(
+    spark: SparkSession, labels=None, identProps=None, onCreateProps=None, store=None
+):
+    """apoc.merge.node — MERGE with labels/keys as data; identProps match
+    or create, onCreateProps only applied on creation (APOC contract)."""
+    if store is None:
+        raise ValueError("apoc.merge.node requires a store context")
+    labs = [str(x) for x in (labels or [])]
+    if not labs:
+        raise ValueError("apoc.merge.node: at least one label is required")
+    if not identProps:
+        raise ValueError("apoc.merge.node: identProps are required")
+    nid = store.merge_node(labs[0], dict(identProps), dict(onCreateProps or {}))
+    return spark.createDataFrame([(nid,)], "id long")

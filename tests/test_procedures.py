@@ -401,3 +401,31 @@ def test_apoc_refactor_merge_nodes(spark):
         s.run(f"CALL apoc.refactor.mergeNodes([{a}]) YIELD id RETURN id")
     with pytest.raises(ValueError, match="unknown node ids"):
         s.run(f"CALL apoc.refactor.mergeNodes([{a}, 999999]) YIELD id RETURN id")
+
+
+def test_apoc_create_and_merge_node_contract(spark):
+    """apoc.create.node multi-label; apoc.merge.node matches without
+    re-applying onCreateProps; apoc.create.relationship dynamic type."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    a = s.run(
+        "CALL apoc.create.node(['A', 'B'], {k: 1}) YIELD id RETURN id"
+    ).collect()[0].id
+    labs = s.run(f"MATCH (n) WHERE id(n) = {a} RETURN labels(n) AS l").collect()[0].l
+    assert sorted(labs) == ["A", "B"]
+    m1 = s.run(
+        "CALL apoc.merge.node(['A'], {k: 2}, {tag: 'new'}) YIELD id RETURN id"
+    ).collect()[0].id
+    m2 = s.run(
+        "CALL apoc.merge.node(['A'], {k: 2}, {tag: 'IGNORED'}) YIELD id RETURN id"
+    ).collect()[0].id
+    assert m1 == m2
+    tag = s.run("MATCH (n:A {k: 2}) RETURN n.tag AS t").collect()
+    assert [r.t for r in tag] == ["new"]
+    s.run(f"CALL apoc.create.relationship({a}, 'REL_X', {{w: 1}}, {m1}) YIELD id RETURN id")
+    assert (
+        s.run("MATCH (:A)-[r:REL_X]->(:A) RETURN count(*) AS n").collect()[0].n == 1
+    )
+    with pytest.raises(ValueError, match="at least one label"):
+        s.run("CALL apoc.create.node([], {}) YIELD id RETURN id")
