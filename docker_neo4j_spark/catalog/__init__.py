@@ -164,6 +164,7 @@ _NEW_THIS_ROUND: list[str] = [
     "stream_attribution_full_batch",
     "proc_apoc_refactor_rename",
     "proc_apoc_create_merge",
+    "fn_apoc_util_number_suite",
 ]
 
 

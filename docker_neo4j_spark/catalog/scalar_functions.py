@@ -806,3 +806,45 @@ def fn_apoc_agg_items_suite(spark, sf_dir):
         )
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "fn_apoc_util_number_suite",
+    """
+    SELECT c_custkey,
+           md5(c_name || CAST(c_custkey AS VARCHAR)) AS h_md5,
+           sha256(c_name) AS h_sha256,
+           printf('%.2f', c_acctbal) AS bal_fmt,
+           TRY_CAST(c_name AS BIGINT) AS parsed_int,
+           TRY_CAST(substr(c_name, 10) AS DOUBLE) AS parsed_tail,
+           to_base64(encode(c_mktsegment)) AS seg_b64,
+           c_mktsegment AS seg_roundtrip
+    FROM customer ORDER BY c_custkey LIMIT 200
+    """,
+)
+def fn_apoc_util_number_suite(spark, sf_dir):
+    """apoc.util.md5/sha256, apoc.number.format/parseInt/parseFloat,
+    apoc.text.base64Encode/Decode over customer rows. parseInt on a
+    non-numeric name is NULL (try-cast semantics both engines);
+    parsed_tail try-parses the numeric suffix of Customer#... names."""
+    from ..functions import apoc
+
+    c = load_tables(spark, sf_dir)["customer"]
+    return (
+        c.select(
+            "c_custkey",
+            apoc.util_md5([F.col("c_name"), F.col("c_custkey")]).alias("h_md5"),
+            apoc.util_sha256([F.col("c_name")]).alias("h_sha256"),
+            apoc.number_format(F.col("c_acctbal"), 2).alias("bal_fmt"),
+            apoc.number_parse_int(F.col("c_name")).alias("parsed_int"),
+            apoc.number_parse_float(F.substring(F.col("c_name"), 10, 100)).alias(
+                "parsed_tail"
+            ),
+            apoc.text_base64_encode(F.col("c_mktsegment")).alias("seg_b64"),
+            apoc.text_base64_decode(
+                apoc.text_base64_encode(F.col("c_mktsegment"))
+            ).alias("seg_roundtrip"),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )

@@ -552,3 +552,45 @@ def agg_slice(item, order, frm: int, count: int) -> Column:
         F.collect_list(F.struct(_c(order).alias("o"), _c(item).alias("i")))
     )
     return F.transform(F.slice(lst, frm + 1, count), lambda s: s["i"])
+
+
+# ---- apoc.util.* / apoc.number.* ----------------------------------------
+
+
+def util_md5(parts: list) -> Column:
+    """apoc.util.md5 — md5 over the concatenated string forms of the
+    values (APOC concatenates with no separator)."""
+    return F.md5(F.concat(*[_c(p).cast("string") for p in parts]))
+
+
+def util_sha256(parts: list) -> Column:
+    """apoc.util.sha256 — sha-256 hex over the concatenated values."""
+    return F.sha2(F.concat(*[_c(p).cast("string") for p in parts]), 256)
+
+
+def number_format(x, decimals: int = 0) -> Column:
+    """apoc.number.format, fixed-decimals subset ('#.##'-family patterns
+    expressed as a decimals count). Grouping separators are deliberately
+    NOT offered — DuckDB's formatter cannot reproduce them for floats, so
+    the surface is restricted to what replays engine-exactly."""
+    return F.format_string(f"%.{int(decimals)}f", _c(x).cast("double"))
+
+
+def number_parse_int(s) -> Column:
+    """apoc.number.parseInt — NULL on unparseable input (try-cast)."""
+    return _c(s).try_cast("long")
+
+
+def number_parse_float(s) -> Column:
+    """apoc.number.parseFloat — NULL on unparseable input."""
+    return _c(s).try_cast("double")
+
+
+def text_base64_encode(s) -> Column:
+    """apoc.text.base64Encode."""
+    return F.base64(_c(s).cast("binary"))
+
+
+def text_base64_decode(s) -> Column:
+    """apoc.text.base64Decode."""
+    return F.unbase64(_c(s)).cast("string")

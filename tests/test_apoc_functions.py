@@ -217,3 +217,28 @@ def test_agg_family(spark):
     b = rows["b"]
     assert b.st["count"] == 1 and b.st["stdev"] == 0.0
     assert b.mx.items == [7] and b.sl == []
+
+
+def test_util_number_family(spark):
+    """md5/sha256 concatenation, fixed-decimals format, try-cast parses,
+    base64 roundtrip."""
+    import hashlib
+
+    row = (
+        spark.range(1)
+        .select(
+            apoc.util_md5([F.lit("ab"), F.lit(7)]).alias("m"),
+            apoc.util_sha256([F.lit("ab")]).alias("s"),
+            apoc.number_format(F.lit(3.14159), 2).alias("f"),
+            apoc.number_parse_int(F.lit("42")).alias("i"),
+            apoc.number_parse_int(F.lit("nope")).alias("bad"),
+            apoc.number_parse_float(F.lit("2.5")).alias("fl"),
+            apoc.text_base64_decode(apoc.text_base64_encode(F.lit("hej då"))).alias("rt"),
+        )
+        .collect()[0]
+    )
+    assert row.m == hashlib.md5(b"ab7").hexdigest()
+    assert row.s == hashlib.sha256(b"ab").hexdigest()
+    assert row.f == "3.14"
+    assert row.i == 42 and row.bad is None and row.fl == 2.5
+    assert row.rt == "hej då"
