@@ -165,6 +165,7 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_apoc_refactor_rename",
     "proc_apoc_create_merge",
     "fn_apoc_util_number_suite",
+    "gds_ktruss_copart",
 ]
 
 

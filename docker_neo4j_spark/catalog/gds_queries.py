@@ -2719,3 +2719,53 @@ def gds_rwr_sample(spark, sf_dir):
     return gds.rwr_sample(
         g.rels, seed, walks=8, steps=20, restart=0.15, salt="rwr"
     ).orderBy("id")
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel — twin of ``gds.ktruss`` on the sampled
+    part co-occurrence graph. The Spark side early-exits at the fixpoint;
+    extra unrolled rounds are no-ops once converged (same convention as
+    ``_kcore_sql``)."""
+    need = k - 2
+    parts = [
+        "WITH co AS MATERIALIZED (",
+        "  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b",
+        "  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey",
+        "  WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 100 = 0),",
+        "e0 AS MATERIALIZED (SELECT a, b FROM co),",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"e{r - 1}"
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT ab.a AS x, ab.b AS y, bc.b AS z "
+            f"FROM {p} ab JOIN {p} bc ON ab.b = bc.a "
+            f"JOIN {p} ac ON ac.a = ab.a AND ac.b = bc.b),"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT a, b FROM ("
+            f"SELECT x AS a, y AS b FROM t{r} "
+            f"UNION ALL SELECT y, z FROM t{r} "
+            f"UNION ALL SELECT x, z FROM t{r}) "
+            f"GROUP BY a, b HAVING COUNT(*) >= {need}),"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM {p} e "
+            f"JOIN s{r} s ON s.a = e.a AND s.b = e.b),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(f"SELECT a AS src, b AS dst FROM e{rounds} ORDER BY src, dst")
+    return "\n".join(parts)
+
+
+@register("gds_ktruss_copart", _ktruss_sql(4, 6))
+def gds_ktruss_copart(spark, sf_dir):
+    """4-truss of the sampled part co-occurrence graph: every surviving
+    edge sits in ≥ 2 triangles among surviving edges — the cohesive core
+    the plain triangle count can't isolate. Peel fixpoint ≤ 6 rounds
+    here (the oracle unrolls 6; converged rounds are no-ops)."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") % 100 == 0)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    co = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return gds.ktruss(co, k=4, max_rounds=12).orderBy("src", "dst")

@@ -3160,3 +3160,46 @@ def rwr_sample(
     for fr in out[1:]:
         acc = acc.unionByName(fr)
     return acc.groupBy("id").agg(F.count("*").cast("long").alias("visits"))
+
+
+def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
+    """k-truss: the maximal subgraph where every edge participates in at
+    least k−2 triangles (the edge-support cousin of k-core — a standard
+    cohesive-subgraph peel). Iteratively: count each surviving edge's
+    triangle support via the same degree-bounded wedge closure as
+    ``triangle_count`` (each triangle a<b<c charges all three edges),
+    drop edges under k−2, repeat to fixpoint. Peel depth is the cascade
+    length; each round is two equi-joins + one groupBy, never all-pairs.
+
+    Returns the surviving canonical edges (src < dst).
+    """
+    e = _ckpt(
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    need = k - 2
+    for _ in range(max_rounds):
+        ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = ab.join(bc, "y").join(ac, ["x", "z"])
+        support = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("_s"))
+            .where(F.col("_s") >= need)
+            .select("a", "b")
+        )
+        kept = _ckpt(e.join(support, ["a", "b"], "left_semi"))
+        if kept.count() == e.count():
+            e = kept
+            break
+        e = kept
+        if e.isEmpty():
+            break
+    return e.select(F.col("a").alias("src"), F.col("b").alias("dst"))

@@ -964,3 +964,24 @@ def test_rwr_sample_deterministic_and_bounded(spark):
     sink = spark.createDataFrame([(7, 8)], "src long, dst long")
     out = {r.id: r.visits for r in gds.rwr_sample(sink, 9, walks=2, steps=5, undirected=False).collect()}
     assert out == {9: 12}
+
+
+def test_ktruss_peels_to_cohesive_core(spark):
+    """4-truss: a K4 survives (every edge in 2 triangles), a lone
+    triangle and pendant edges peel away; cascade peeling handled."""
+    from docker_neo4j_spark.operators import gds
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    lone_triangle = [(10, 11), (11, 12), (10, 12)]
+    pendant = [(1, 99)]
+    edges = spark.createDataFrame(
+        k4 + lone_triangle + pendant, "src long, dst long"
+    )
+    got = {(r.src, r.dst) for r in gds.ktruss(edges, k=4).collect()}
+    assert got == set(k4)
+    # k=3: any triangle edge survives; pendant still peels
+    got3 = {(r.src, r.dst) for r in gds.ktruss(edges, k=3).collect()}
+    assert got3 == set(k4) | set(lone_triangle)
+    # a graph with no triangles fully peels at k>=3
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert gds.ktruss(path, k=3).count() == 0
