@@ -848,6 +848,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'apoc.create.relationship'
     UNION ALL SELECT 'apoc.merge.node'
     UNION ALL SELECT 'apoc.refactor.mergeNodes'
+    UNION ALL SELECT 'apoc.schema.assert'
     UNION ALL SELECT 'apoc.refactor.rename.label'
     UNION ALL SELECT 'apoc.refactor.rename.type'
     UNION ALL SELECT 'apoc.export.csv.all'

@@ -1210,10 +1210,25 @@ class Session:
                 & F.col(prop).isNotNull()
             ).select("id", prop)
             cnt = corpus.count()
-            if cnt:
+            if cnt == 1 or options["cells"] < 2:
+                # MLlib KMeans needs k ≥ 2; a single cell needs no codebook
+                assigned = corpus.select(
+                    "id", prop, F.lit(0).cast("long").alias("_cell")
+                )
+                centroids = corpus.limit(1).select(
+                    F.lit(0).cast("long").alias("_cell"),
+                    F.col(prop).cast("array<double>").alias("_centroid"),
+                )
+                self.store.vector_data[name] = {
+                    "assigned": assigned.localCheckpoint(eager=True),
+                    "centroids": centroids,
+                    "options": options,
+                    "vec_col": prop,
+                }
+            elif cnt:
                 assigned, centroids = ivf_build(
                     corpus,
-                    n_cells=max(1, min(options["cells"], cnt)),
+                    n_cells=min(options["cells"], cnt),
                     id_col="id",
                     vec_col=prop,
                 )

@@ -1039,3 +1039,54 @@ def _apoc_merge_node(
         raise ValueError("apoc.merge.node: identProps are required")
     nid = store.merge_node(labs[0], dict(identProps), dict(onCreateProps or {}))
     return spark.createDataFrame([(nid,)], "id long")
+
+
+@procedure(
+    "apoc.schema.assert",
+    signature="apoc.schema.assert(indexes :: MAP, constraints :: MAP) :: (label :: STRING, key :: STRING, unique :: BOOLEAN, action :: STRING)",
+    description="Declaratively assert the schema: create listed indexes/uniqueness constraints, drop unlisted ones",
+)
+def _apoc_schema_assert(spark: SparkSession, indexes=None, constraints=None, store=None):
+    """apoc.schema.assert — idempotent declarative schema: ``indexes`` /
+    ``constraints`` map label → property list (one single-property
+    index/uniqueness constraint per listed property, the APOC shape).
+    Managed entries not listed are DROPPED; VECTOR indexes are outside
+    the managed set (they carry trained state a blanket assert must not
+    silently destroy). Returns one row per action, KEPT entries included
+    — deterministic order (label, key, unique)."""
+    if store is None:
+        raise ValueError("apoc.schema.assert requires a store context")
+    want_idx = {
+        (str(lab), str(p)) for lab, props in (indexes or {}).items() for p in props
+    }
+    want_con = {
+        (str(lab), str(p)) for lab, props in (constraints or {}).items() for p in props
+    }
+    out = []
+    for name, idx in list(store.indexes.indexes.items()):
+        if idx.index_type == "VECTOR":
+            continue
+        pair = (idx.label, idx.properties[0])
+        if pair in want_idx and len(idx.properties) == 1:
+            want_idx.discard(pair)
+            out.append((pair[0], pair[1], False, "KEPT"))
+        else:
+            store.indexes.drop(name)
+            out.append((idx.label, idx.properties[0], False, "DROPPED"))
+    for name, con in list(store.constraints.constraints.items()):
+        pair = (con.label, con.properties[0])
+        if pair in want_con and len(con.properties) == 1:
+            want_con.discard(pair)
+            out.append((pair[0], pair[1], True, "KEPT"))
+        else:
+            store.constraints.drop(name)
+            out.append((con.label, con.properties[0], True, "DROPPED"))
+    for lab, p in want_idx:
+        store.indexes.create(f"index_{lab}_{p}", lab, [p])
+        out.append((lab, p, False, "CREATED"))
+    for lab, p in want_con:
+        store.constraints.create(f"constraint_{lab}_{p}", lab, [p])
+        out.append((lab, p, True, "CREATED"))
+    return spark.createDataFrame(
+        sorted(out), "label string, key string, unique boolean, action string"
+    )

@@ -429,3 +429,49 @@ def test_apoc_create_and_merge_node_contract(spark):
     )
     with pytest.raises(ValueError, match="at least one label"):
         s.run("CALL apoc.create.node([], {}) YIELD id RETURN id")
+
+
+def test_apoc_schema_assert_declarative(spark):
+    """schema.assert: creates what's listed, drops unlisted managed
+    entries, keeps matches, leaves VECTOR indexes alone."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.graph import PropertyGraph
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    nodes = spark.createDataFrame(
+        [(1, ["V"], [1.0, 0.0])],
+        "id long, labels array<string>, embedding array<float>",
+    )
+    rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+    s = Session(spark, store=GraphStore(spark, PropertyGraph(nodes=nodes, rels=rels)))
+    s.run("CREATE INDEX old_idx FOR (n:A) ON (n.gone)")
+    s.run(
+        "CREATE VECTOR INDEX v1 FOR (n:V) ON (n.embedding) "
+        "OPTIONS {dimensions: 2, cells: 1, nprobe: 1}"
+    )
+    out = {
+        (r.label, r.key, r.unique): r.action
+        for r in s.run(
+            "CALL apoc.schema.assert({B: ['p1', 'p2']}, {C: ['k']}) "
+            "YIELD label, key, unique, action RETURN label, key, unique, action"
+        ).collect()
+    }
+    assert out == {
+        ("A", "gone", False): "DROPPED",
+        ("B", "p1", False): "CREATED",
+        ("B", "p2", False): "CREATED",
+        ("C", "k", True): "CREATED",
+    }
+    shown = {r.name for r in s.run("SHOW INDEXES").collect()}
+    assert shown == {"index_B_p1", "index_B_p2", "v1"}  # vector untouched
+    cons = {r.name for r in s.run("SHOW CONSTRAINTS").collect()}
+    assert cons == {"constraint_C_k"}
+    # idempotent: second assert keeps everything
+    again = {
+        r.action
+        for r in s.run(
+            "CALL apoc.schema.assert({B: ['p1', 'p2']}, {C: ['k']}) "
+            "YIELD action RETURN action"
+        ).collect()
+    }
+    assert again == {"KEPT"}
