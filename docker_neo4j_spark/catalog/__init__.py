@@ -166,6 +166,7 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_apoc_create_merge",
     "fn_apoc_util_number_suite",
     "gds_ktruss_copart",
+    "llm_temperature_resample",
 ]
 
 

@@ -1983,3 +1983,63 @@ def llm_token_budget_selection(spark, sf_dir):
         scored, "n_tokens", [F.desc("ttr"), F.asc("doc_id")], 10_000
     )
     return out.select("doc_id", "n_tokens", "ttr", "cum_tokens").orderBy("cum_tokens")
+
+
+@register(
+    "llm_temperature_resample",
+    """
+    WITH doms AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 8 < 4 THEN 'web'
+                  WHEN doc_id % 8 < 6 THEN 'books'
+                  WHEN doc_id % 8 = 6 THEN 'code'
+                  ELSE 'wiki' END AS domain
+      FROM documents),
+    c AS (SELECT domain, COUNT(*) AS n FROM doms GROUP BY domain),
+    z AS (SELECT SUM(POW(n, 0.5)) AS z FROM c),
+    f AS (SELECT domain, n,
+                 LEAST(1.0, (POW(n, 0.5) / z.z) * 250 / n) AS frac
+          FROM c, z),
+    thr AS (SELECT domain, n,
+                   CASE WHEN round_even(frac * 65536, 0) >= 65536 THEN 'g'
+                        ELSE printf('%04x',
+                               CAST(round_even(frac * 65536, 0) AS BIGINT))
+                   END AS t
+            FROM f),
+    kept AS (
+      SELECT d.domain, COUNT(*) AS kept
+      FROM doms d JOIN thr ON thr.domain = d.domain
+      WHERE substr(md5('strat' || CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t
+      GROUP BY d.domain)
+    SELECT c.domain, CAST(c.n AS BIGINT) AS n_docs,
+           CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept
+    FROM c LEFT JOIN kept k USING (domain) ORDER BY c.domain
+    """,
+)
+def llm_temperature_resample(spark, sf_dir):
+    """Temperature-balanced corpus materialization: skewed synthetic
+    domains (web 4/8, books 2/8, code 1/8, wiki 1/8 of docs by id), T=0.5
+    mixture shares from mixing_weights, per-domain keep fraction
+    min(1, w·250/n) applied by the deterministic md5 sampler — small
+    domains keep a HIGHER fraction (the up-sampling the mixture exists
+    for). Oracle replays the share → hex-threshold → md5-bucket chain,
+    including hex_thr's banker's rounding (round_even)."""
+    from ..operators import curation
+
+    d = load_tables(spark, sf_dir)["documents"].withColumn(
+        "domain",
+        F.when(F.col("doc_id") % 8 < 4, "web")
+        .when(F.col("doc_id") % 8 < 6, "books")
+        .when(F.col("doc_id") % 8 == 6, "code")
+        .otherwise("wiki"),
+    )
+    kept = curation.temperature_resample(
+        d, domain_col="domain", key_col="doc_id", temperature=0.5, budget=250
+    )
+    totals = d.groupBy("domain").agg(F.count("*").cast("long").alias("n_docs"))
+    kc = kept.groupBy("domain").agg(F.count("*").cast("long").alias("kept"))
+    return (
+        totals.join(kc, "domain", "left")
+        .select("domain", "n_docs", F.coalesce("kept", F.lit(0)).cast("long").alias("kept"))
+        .orderBy("domain")
+    )

@@ -695,3 +695,38 @@ def select_by_budget(
         .where(F.col("cum_tokens") <= F.lit(int(budget)))
         .drop("_sb_pid", "_sb_run", "_sb_off")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    temperature: float = 0.5,
+    budget: int = 250,
+    salt: str = "strat",
+) -> DataFrame:
+    """Materialize a temperature-balanced corpus (the sampling step that
+    turns ``text.mixing_weights``' target shares into actual rows):
+    domain d keeps fraction min(1, w_d·budget/n_d) of its documents,
+    applied with the deterministic md5 stratified sampler — so small
+    domains are up-weighted toward the w_d ∝ n_d^T mixture and the whole
+    materialization is reproducible on any engine/partitioning.
+
+    The per-domain table is driver-collected (bounded by the domain
+    count) to build the fraction map — the same broadcastable-scalar
+    shape as mixing_weights itself.
+    """
+    from .text import mixing_weights
+
+    rows = mixing_weights(df, domain_col, temperature).collect()
+    fractions = {
+        r["domain"]: min(1.0, r["weight"] * budget / r["n_docs"]) for r in rows
+    }
+    return stratified_sample(
+        df,
+        strata_col=domain_col,
+        key_col=key_col,
+        fractions=fractions,
+        default_fraction=0.0,
+        salt=salt,
+    )

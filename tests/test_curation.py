@@ -358,3 +358,26 @@ def test_select_by_budget_matches_single_partition(spark):
             break
         exp.append((doc_id, run))
     assert got == sorted(exp)
+
+
+def test_temperature_resample_upsamples_small_domains(spark):
+    """T<1 mixing: the small domain keeps a strictly higher FRACTION of
+    its docs than the big one; T=1 keeps proportions (same fraction)."""
+    from docker_neo4j_spark.operators import curation
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = curation.temperature_resample(
+        df, domain_col="domain", key_col="doc_id", temperature=0.3, budget=400
+    )
+    counts = {r.domain: r.n for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    frac_big = counts.get("big", 0) / 800
+    frac_small = counts.get("small", 0) / 200
+    assert frac_small > frac_big > 0
+    # determinism: second run identical
+    kept2 = curation.temperature_resample(
+        df, domain_col="domain", key_col="doc_id", temperature=0.3, budget=400
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in kept2.collect()
+    )
