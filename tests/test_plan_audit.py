@@ -376,3 +376,46 @@ def test_remove_boilerplate_no_cartesian(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     assert_no_cartesian(remove_boilerplate(d))
+
+
+def test_triangle_listing_no_cartesian(spark, sf_dir):
+    """Wedge closure is keyed equi-joins — a cartesian would explode at
+    scale."""
+    from docker_neo4j_spark.operators import gds
+    from docker_neo4j_spark.plans.audit import assert_no_cartesian
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") % 100 == 0)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    co = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst")
+    assert_no_cartesian(gds.triangle_list(co))
+
+
+def test_select_by_budget_no_global_window(spark, sf_dir):
+    """The distributed prefix sum must never fall back to a
+    single-partition global window (the classic rank trap)."""
+    from docker_neo4j_spark.operators import curation
+    from docker_neo4j_spark.plans.audit import formatted_plan
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.length("text").cast("long").alias("toks")
+    )
+    out = curation.select_by_budget(d, "toks", [F.asc("doc_id")], 10_000)
+    plan = formatted_plan(out)
+    assert "SinglePartition" not in plan
+
+
+def test_countmin_probe_broadcasts_sketch(spark, sf_dir):
+    """The KB-sized sketch must reach the probe side as a broadcast, not
+    a shuffle of the key stream."""
+    from docker_neo4j_spark.operators import sketch
+    from docker_neo4j_spark.plans.audit import audit
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sk = sketch.countmin_build(ev, "user_id", depth=4, width=64)
+    keys = ev.select("user_id").distinct()
+    est = sketch.countmin_query(sk, keys, "user_id", depth=4, width=64)
+    assert audit(est).n_broadcast_joins >= 1
