@@ -106,6 +106,21 @@ HEAVY = [
     "proc_fulltext_query_nodes",
     "fn_apoc_text_fuzzy_suite",
     "llm_ann_topk",
+    # final-r8 additions: level-sweep biconnectivity, Voronoi+MST Steiner,
+    # A*, wedge listing / k-truss peel, RWR walks, sketch probe, prefix
+    # sums, full-outer interval join — the shapes new this round
+    "gds_articulation_points",
+    "gds_bridges",
+    "gds_steiner_tree",
+    "gds_astar_path",
+    "gds_triangle_listing",
+    "gds_ktruss_copart",
+    "gds_rwr_sample",
+    "events_countmin_frequencies",
+    "llm_token_budget_selection",
+    "llm_temperature_resample",
+    "stream_attribution_full_batch",
+    "fn_apoc_agg_items_suite",
 ]
 
 
