@@ -123,6 +123,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # both pre-existing rows on the shared path
     "stream_attribution_join_batch",
     "stream_attribution_left_batch",
+    # late r8: scrub_pii extended with IPv4 + international-phone patterns
+    # (same lookaround-free dialect) — re-grade the row
+    "llm_scrub_pii",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

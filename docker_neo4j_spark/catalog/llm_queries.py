@@ -859,15 +859,20 @@ def llm_quality_filter_langs(spark, sf_dir):
     r"""
     SELECT doc_id,
            regexp_replace(
-             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{1,3}([ -]?\d{2,5}){2,5}', '<PHONE>', 'g')
              AS text
     FROM documents
     """,
 )
 def llm_scrub_pii(spark, sf_dir):
-    """Email/URL scrub pass (curation.scrub_pii): map-only regexp_replace
-    chain in the common Java∩RE2∩DuckDB dialect — engine-reproducible."""
+    """URL/email/IPv4/phone scrub pass (curation.scrub_pii): map-only
+    regexp_replace chain in the lookaround-free common Java∩RE2∩DuckDB
+    dialect — engine-reproducible."""
     from ..operators import curation
 
     d = load_tables(spark, sf_dir)["documents"]

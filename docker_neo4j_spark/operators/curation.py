@@ -160,6 +160,8 @@ def dedup_clusters(
 # dialect differences beyond the common subset).
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 URL_RE = "https?://[^\\s]+"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PHONE_RE = "\\+\\d{1,3}([ -]?\\d{2,5}){2,5}"
 
 
 def scrub_pii(
@@ -167,15 +169,28 @@ def scrub_pii(
     text_col: str = "text",
     email_token: str = "<EMAIL>",
     url_token: str = "<URL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
 ) -> DataFrame:
-    """Replace emails and URLs in ``text_col`` with placeholder tokens —
-    the standard pre-training scrub pass. Map-only JVM regexes (one
-    ``regexp_replace`` chain, no UDF); patterns restricted to the
-    Java∩RE2∩DuckDB dialect so the pass is engine-reproducible."""
+    """Replace URLs, emails, IPv4 addresses, and international (+CC)
+    phone numbers in ``text_col`` with placeholder tokens — the standard
+    pre-training scrub pass. Map-only JVM regexes (one ``regexp_replace``
+    chain, no UDF); patterns restricted to the lookaround-free
+    Java∩RE2∩DuckDB dialect so the pass is engine-reproducible. Order
+    matters: URLs first (they may embed the other shapes), then emails,
+    IPs, phones."""
     scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col(text_col), URL_RE, url_token),
-        EMAIL_RE,
-        email_token,
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), URL_RE, url_token),
+                EMAIL_RE,
+                email_token,
+            ),
+            IPV4_RE,
+            ip_token,
+        ),
+        PHONE_RE,
+        phone_token,
     )
     return df.withColumn(text_col, scrubbed)
 

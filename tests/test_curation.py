@@ -381,3 +381,21 @@ def test_temperature_resample_upsamples_small_domains(spark):
     assert sorted(r.doc_id for r in kept.collect()) == sorted(
         r.doc_id for r in kept2.collect()
     )
+
+
+def test_scrub_pii_ip_and_phone(spark):
+    from docker_neo4j_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "ping 192.168.1.4 or call +46 70 123 45 67 now"),
+            (2, "visit https://x.io/10.0.0.1 mail a@b.co"),
+            (3, "version 1.2.3 stays, +1-555-0100 goes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in curation.scrub_pii(df).collect()}
+    assert out[1] == "ping <IP> or call <PHONE> now"
+    # the URL is scrubbed FIRST, swallowing its embedded IP
+    assert out[2] == "visit <URL> mail <EMAIL>"
+    assert out[3] == "version 1.2.3 stays, <PHONE> goes"
