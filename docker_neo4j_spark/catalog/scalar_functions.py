@@ -560,19 +560,27 @@ def fn_apoc_coll_suite(spark, sf_dir):
           i -> eb[i]::DOUBLE * eb[i]::DOUBLE)), (acc, x) -> acc + x) AS nb,
         list_reduce(list_prepend(0.0, list_transform(range(1, len(ea) + 1),
           i -> (ea[i]::DOUBLE - eb[i]::DOUBLE) * (ea[i]::DOUBLE - eb[i]::DOUBLE))),
-          (acc, x) -> acc + x) AS sqdiff
+          (acc, x) -> acc + x) AS sqdiff,
+        list_reduce(list_prepend(0.0, list_transform(range(1, len(ea) + 1),
+          i -> ea[i]::DOUBLE)), (acc, x) -> acc + x) AS sx,
+        list_reduce(list_prepend(0.0, list_transform(range(1, len(eb) + 1),
+          i -> eb[i]::DOUBLE)), (acc, x) -> acc + x) AS sy,
+        CAST(len(ea) AS DOUBLE) AS n
       FROM pair
     )
     SELECT vec_id,
            CAST(ROUND(dot / greatest(sqrt(na) * sqrt(nb), 1e-12) * 1e6) AS BIGINT) AS cos_micro,
            CAST(ROUND(sqrt(sqdiff) * 1e6) AS BIGINT) AS dist_micro,
-           CAST(ROUND(1e0 / (1e0 + sqrt(sqdiff)) * 1e6) AS BIGINT) AS euc_micro
+           CAST(ROUND(1e0 / (1e0 + sqrt(sqdiff)) * 1e6) AS BIGINT) AS euc_micro,
+           CAST(ROUND((n * dot - sx * sy)
+             / greatest(sqrt(n * na - sx * sx) * sqrt(n * nb - sy * sy), 1e-12)
+             * 1e6) AS BIGINT) AS pearson_micro
     FROM folds
     """,
 )
 def fn_gds_similarity_suite(spark, sf_dir):
     """gds.similarity.* scalar functions (functions/gds.py): cosine /
-    euclideanDistance / euclidean over consecutive embedding pairs —
+    euclideanDistance / euclidean / pearson over consecutive embedding pairs —
     sequential zip_with+aggregate folds, bit-matched against DuckDB
     list_reduce folds and surfaced as micro-rounded integers."""
     from ..functions import gds as G
@@ -586,6 +594,7 @@ def fn_gds_similarity_suite(spark, sf_dir):
         F.round(G.cosine("ea", "eb") * F.lit(1e6)).cast("long").alias("cos_micro"),
         F.round(G.euclidean_distance("ea", "eb") * F.lit(1e6)).cast("long").alias("dist_micro"),
         F.round(G.euclidean("ea", "eb") * F.lit(1e6)).cast("long").alias("euc_micro"),
+        F.round(G.pearson("ea", "eb") * F.lit(1e6)).cast("long").alias("pearson_micro"),
     )
 
 

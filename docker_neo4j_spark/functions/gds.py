@@ -65,3 +65,20 @@ def overlap(a, b) -> Column:
         F.size(F.array_distinct(ca)), F.size(F.array_distinct(cb))
     ).cast("double")
     return F.when(mn == 0, F.lit(1.0)).otherwise(inter / mn)
+
+
+def pearson(a, b) -> Column:
+    """gds.similarity.pearson — Pearson correlation of two equal-length
+    vectors via the single-pass sums formula, every fold sequential so
+    the fp result replays engine-exactly:
+    (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))."""
+    ca, cb = _c(a), _c(b)
+    n = F.size(ca).cast("double")
+    dot = _dot(ca, cb)
+    sx = _fold_sum(F.transform(ca, lambda x: x.cast("double")))
+    sy = _fold_sum(F.transform(cb, lambda x: x.cast("double")))
+    sxx = _dot(ca, ca)
+    syy = _dot(cb, cb)
+    num = n * dot - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return num / F.greatest(den, F.lit(1e-12))

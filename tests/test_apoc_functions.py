@@ -242,3 +242,16 @@ def test_util_number_family(spark):
     assert row.f == "3.14"
     assert row.i == 42 and row.bad is None and row.fl == 2.5
     assert row.rt == "hej då"
+
+
+def test_gds_pearson(spark):
+    from docker_neo4j_spark.functions import gds as G
+
+    up = F.array(*[F.lit(float(i)) for i in (1, 2, 3, 4)])
+    down = F.array(*[F.lit(float(i)) for i in (8, 6, 4, 2)])
+    same = F.array(*[F.lit(float(i)) for i in (2, 4, 6, 8)])
+    assert abs(_one(spark, G.pearson(up, same)) - 1.0) < 1e-12
+    assert abs(_one(spark, G.pearson(up, down)) + 1.0) < 1e-12
+    # a constant vector has zero variance: guarded denominator → ~0
+    const = F.array(*[F.lit(5.0) for _ in range(4)])
+    assert abs(_one(spark, G.pearson(up, const))) < 1e-6
