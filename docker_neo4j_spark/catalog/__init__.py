@@ -170,6 +170,7 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_apoc_util_number_suite",
     "gds_ktruss_copart",
     "llm_temperature_resample",
+    "events_countmin_windowed",
 ]
 
 

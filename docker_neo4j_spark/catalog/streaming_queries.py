@@ -547,3 +547,69 @@ def stream_attribution_full_batch(spark, sf_dir):
         horizon="1 hour",
         how="full_outer",
     )
+
+
+@register(
+    "events_countmin_windowed",
+    """
+    WITH ds AS (SELECT UNNEST(range(2)) AS d),
+    b AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, d,
+             CAST(('0x' || substr(md5('cms|' || CAST(d AS VARCHAR) || '|'
+               || event_type), 1, 8)) AS BIGINT) % 8 AS bucket
+      FROM events, ds),
+    cnt AS (SELECT day, d, bucket, COUNT(*) AS c FROM b GROUP BY day, d, bucket),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    days AS (SELECT DISTINCT day FROM cnt),
+    kb AS (
+      SELECT days.day, keys.event_type, ds.d,
+             CAST(('0x' || substr(md5('cms|' || CAST(ds.d AS VARCHAR) || '|'
+               || keys.event_type), 1, 8)) AS BIGINT) % 8 AS bucket
+      FROM days, keys, ds),
+    est AS (SELECT day, event_type, MIN(COALESCE(c, 0)) AS est
+            FROM kb LEFT JOIN cnt USING (day, d, bucket)
+            GROUP BY day, event_type),
+    ex AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                  CAST(COUNT(*) AS BIGINT) AS exact
+           FROM events GROUP BY 1, 2)
+    SELECT est.day, est.event_type, est.est,
+           COALESCE(ex.exact, 0) AS exact,
+           est.est - COALESCE(ex.exact, 0) AS overcount
+    FROM est LEFT JOIN ex USING (day, event_type)
+    ORDER BY day, event_type
+    """,
+)
+def events_countmin_windowed(spark, sf_dir):
+    """Per-day count-min sketches over the event stream (depth 2 × width
+    8 vs 5 event types — narrow enough that collisions really happen):
+    per window the sketch is 16 counters regardless of key cardinality,
+    the property that makes sketches the watermark-evictable state for
+    streaming heavy-hitters. Every (day, type) estimate sits beside its
+    exact count; est ≥ exact always."""
+    from ..operators import sketch
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sk = sketch.countmin_build_windowed(
+        ev, "event_type", ts_col="ts", window="1 day", depth=2, width=8
+    )
+    keys = ev.select("event_type").distinct()
+    est = sketch.countmin_query_windowed(sk, keys, "event_type", depth=2, width=8)
+    exact = (
+        ev.select(
+            F.window(F.col("ts"), "1 day").start.alias("win_start"), "event_type"
+        )
+        .groupBy("win_start", "event_type")
+        .agg(F.count("*").cast("long").alias("exact"))
+    )
+    return (
+        est.withColumnRenamed("key", "event_type")
+        .join(exact, ["win_start", "event_type"], "left")
+        .select(
+            F.date_format("win_start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "est",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            (F.col("est") - F.coalesce("exact", F.lit(0))).alias("overcount"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -81,3 +81,62 @@ def countmin_query(
         .groupBy("key")
         .agg(F.min(F.coalesce("count", F.lit(0))).alias("est"))
     )
+
+
+def countmin_build_windowed(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Per-event-time-window sketches: (win_start, row, bucket, count) —
+    the streaming shape: state per window is depth×width counters no
+    matter how many distinct keys the window saw, and closed windows'
+    sketches are immutable (watermark-evictable under a streaming
+    aggregation)."""
+    w = F.window(F.col(ts_col), window).start.alias("win_start")
+    parts = [
+        df.select(
+            w, F.lit(d).alias("row"), _bucket(F.col(key_col), d, width, salt)
+        )
+        for d in range(depth)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("win_start", "row", "bucket").agg(
+        F.count("*").cast("long").alias("count")
+    )
+
+
+def countmin_query_windowed(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query every key against every window present in the sketch:
+    (win_start, key, est). The probe set is |windows|×|keys|×depth rows —
+    both sides small; the sketch broadcasts."""
+    wins = sketch.select("win_start").distinct()
+    probes = None
+    for d in range(depth):
+        p = wins.crossJoin(
+            keys.select(F.col(key_col).alias("key"))
+        ).select(
+            "win_start",
+            "key",
+            F.lit(d).alias("row"),
+            _bucket(F.col("key"), d, width, salt),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(sketch), ["win_start", "row", "bucket"], "left")
+        .groupBy("win_start", "key")
+        .agg(F.min(F.coalesce("count", F.lit(0))).alias("est"))
+    )

@@ -45,3 +45,23 @@ def test_sketch_size_is_bounded(spark):
     assert sk.count() <= 4 * 64
     total = sk.groupBy("row").agg(F.sum("count").alias("s")).collect()
     assert all(r.s == 1000 for r in total)  # every row counts every item
+
+
+def test_windowed_sketch_isolates_windows(spark):
+    """Keys in different windows never pollute each other's counters;
+    per-window state is bounded at depth×width."""
+    import datetime as _dt
+
+    from docker_neo4j_spark.operators import sketch
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [(t0, "a")] * 5 + [(t0, "b")] * 2 + [(t0 + _dt.timedelta(days=1), "a")] * 3
+    df = spark.createDataFrame(rows, "ts timestamp, k string")
+    sk = sketch.countmin_build_windowed(df, "k", window="1 day", depth=4, width=1024)
+    assert sk.groupBy("win_start", "row").count().count() <= 2 * 4
+    keys = df.select("k").distinct()
+    est = sketch.countmin_query_windowed(sk, keys, "k", depth=4, width=1024)
+    got = {(r.win_start, r.key): r.est for r in est.collect()}
+    assert got[(t0, "a")] == 5 and got[(t0, "b")] == 2
+    assert got[(t0 + _dt.timedelta(days=1), "a")] == 3
+    assert got[(t0 + _dt.timedelta(days=1), "b")] == 0
