@@ -126,6 +126,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # late r8: scrub_pii extended with IPv4 + international-phone patterns
     # (same lookaround-free dialect) — re-grade the row
     "llm_scrub_pii",
+    # late r8: _value_of grew postfix subscription (expr[i], expr[a..b],
+    # map['k']) and literal-map compilation — re-grade rows that lean on
+    # the shared expression compiler
+    "cypher_expression_projection",
+    "cypher_map_projection",
+    "cypher_list_quantifiers",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

@@ -812,10 +812,62 @@ def _compile_map_projection(item: str, resolve) -> F.Column | None:
     return F.struct(*fields)
 
 
+def _compile_subscript(item: str, resolve) -> F.Column | None:
+    """Postfix subscription on a compiled expression: ``expr[i]`` (0-based,
+    negative = from the end), ``expr['key']`` (map access), and the
+    end-exclusive Cypher slice ``expr[a..b]`` / ``expr[a..]`` / ``expr[..b]``
+    (non-negative bounds; negative slice bounds raise rather than silently
+    differ from Cypher). Fires only when a top-level bracket group ENDS the
+    item and does not BEGIN it — list literals and comprehensions start at
+    position 0 and fall through untouched."""
+    item = item.strip()
+    if not item.endswith("]"):
+        return None
+    depth, start, in_q = 0, -1, None
+    for i, ch in enumerate(item):
+        if in_q:
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in "'\"":
+            in_q = ch
+        elif ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and i != len(item) - 1:
+                start = -1
+    if depth != 0 or start <= 0:
+        return None
+    base, inner = item[:start].strip(), item[start + 1 : -1].strip()
+    if not base or not inner:
+        return None
+    col = _value_of(base, resolve)
+    m = re.match(r"^(-?\d+)?\s*\.\.\s*(-?\d+)?$", inner)
+    if m:
+        a = int(m.group(1)) if m.group(1) is not None else 0
+        b = int(m.group(2)) if m.group(2) is not None else None
+        if a < 0 or (b is not None and b < 0):
+            raise ValueError(f"negative slice bounds unsupported: {item!r}")
+        if b is None:
+            return F.slice(col, a + 1, 1_000_000)
+        return F.slice(col, a + 1, max(b - a, 0))
+    if re.fullmatch(r"-?\d+", inner):
+        i = int(inner)
+        return F.element_at(col, i + 1 if i >= 0 else i)
+    if inner.startswith(("'", '"')):
+        return F.element_at(col, F.lit(_parse_value(inner)))
+    # dynamic numeric index: 0-based non-negative expressions
+    return F.element_at(col, _value_of(inner, resolve).cast("int") + 1)
+
+
 def _value_of(text: str, resolve) -> F.Column:
     """The shared value-expression compiler for RETURN/WITH items and
-    CASE/comprehension sub-expressions: CASE → comprehension → reduce →
-    function call → arithmetic/concat → literal → name resolution."""
+    CASE/comprehension sub-expressions: subscript → CASE → comprehension →
+    reduce → function call → arithmetic/concat → literal → name
+    resolution."""
     text = text.strip()
     if (
         text.startswith("(")
@@ -825,6 +877,7 @@ def _value_of(text: str, resolve) -> F.Column:
     ):
         return _value_of(_balanced_strip(text), resolve)
     for compiler in (
+        _compile_subscript,
         _compile_case,
         _compile_map_projection,
         _compile_list_comp,
@@ -837,6 +890,10 @@ def _value_of(text: str, resolve) -> F.Column:
             return col
     if re.search(r"[+\-*/%]", text):
         return _compile_value_expr(text, resolve)
+    if text.startswith("{") and text.endswith("}"):
+        v = _parse_value(text)
+        if isinstance(v, dict):
+            return _lit_map(v)
     if text.startswith(("'", '"', "[")) or re.fullmatch(r"-?\d+(\.\d+)?", text):
         return F.lit(_parse_value(text))
     if text.upper() in ("TRUE", "FALSE", "NULL"):

@@ -1114,3 +1114,32 @@ def test_relationship_property_maps(spark):
     )
     r = s.run("MATCH (a)-[r:TAGGED {label: 'x}y,z'}]->(b) RETURN b.name AS bn").collect()
     assert [x["bn"] for x in r] == ["Bosse"]
+
+
+def test_list_subscript_and_slice(spark):
+    """Postfix subscription: 0-based index, negative from-end, map key,
+    end-exclusive slices with open bounds, comprehension + postfix."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    cases = [
+        ("RETURN [1,2,3,4,5][1..3] AS v", [2, 3]),
+        ("RETURN [1,2,3,4,5][2..] AS v", [3, 4, 5]),
+        ("RETURN [1,2,3,4,5][..2] AS v", [1, 2]),
+        ("RETURN [1,2,3][0] AS v", 1),
+        ("RETURN [1,2,3][-1] AS v", 3),
+        ("RETURN {a: 7}['a'] AS v", 7),
+        ("RETURN [1,2,3] AS v", [1, 2, 3]),
+        ("RETURN [x IN [1,2,3] | x*2][1] AS v", 4),
+    ]
+    for q, exp in cases:
+        got = s.run(q).collect()[0][0]
+        got = list(got) if isinstance(got, (list, tuple)) else got
+        assert got == exp, (q, got)
+    s.run("CREATE (:SL {tags: ['x', 'y', 'z']})")
+    r = s.run("MATCH (n:SL) RETURN n.tags[1] AS t, n.tags[0..2] AS h").collect()[0]
+    assert r.t == "y" and list(r.h) == ["x", "y"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="negative slice"):
+        s.run("RETURN [1,2,3][-2..] AS v")
