@@ -132,6 +132,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     "cypher_expression_projection",
     "cypher_map_projection",
     "cypher_list_quantifiers",
+    # late r8: Index dataclass grew an options field (vector config) and
+    # cluster_columns skips VECTOR entries — re-grade the DDL row
+    "cypher_index_ddl",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
