@@ -180,6 +180,7 @@ _NEW_THIS_ROUND: list[str] = [
     "gds_ktruss_copart",
     "llm_temperature_resample",
     "events_countmin_windowed",
+    "fn_apoc_coll_suite2",
 ]
 
 

@@ -857,3 +857,62 @@ def fn_apoc_util_number_suite(spark, sf_dir):
         .orderBy("c_custkey")
         .limit(200)
     )
+
+
+@register(
+    "fn_apoc_coll_suite2",
+    """
+    WITH per_nation AS (
+      SELECT n_name,
+             list_sort(list(c_custkey ORDER BY c_custkey)) AS ks,
+             list_sort(list(c_mktsegment ORDER BY c_custkey)) AS segs
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           array_to_string(
+             list_transform(range(0, CAST(ceil(len(ks) / 3.0) AS BIGINT)),
+               i -> array_to_string(ks[(i*3+1):(i*3+3)], ',')), ';') AS parts,
+           array_to_string(
+             list_sort(list_distinct(
+               list_filter(segs, s -> len(list_filter(segs, t -> t = s)) > 1))),
+             ',') AS dup_segs,
+           CAST(len(list_filter(segs, s -> s = 'BUILDING')) AS BIGINT)
+             AS n_building,
+           array_to_string(list_reverse(ks)[1:4], ',') AS last4_desc
+    FROM per_nation ORDER BY n_name
+    """,
+)
+def fn_apoc_coll_suite2(spark, sf_dir):
+    """apoc.coll.partition / duplicates / occurrences / reverse over
+    per-nation lists (keys sorted, segments ordered by key so both
+    engines fold the identical list). Partition renders as ';'-joined
+    ','-sublists; duplicates over the segment list where repeats really
+    occur."""
+    from ..functions import apoc
+
+    t = load_tables(spark, sf_dir)
+    c, n = t["customer"], t["nation"]
+    per = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_list("c_custkey")).alias("ks"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("c_custkey", "c_mktsegment"))
+                ),
+                lambda s: s["c_mktsegment"],
+            ).alias("segs"),
+        )
+    )
+    csv = lambda col: F.concat_ws(",", F.transform(col, lambda i: i.cast("string")))
+    return per.select(
+        "n_name",
+        F.concat_ws(
+            ";", F.transform(apoc.coll_partition(F.col("ks"), 3), csv)
+        ).alias("parts"),
+        F.concat_ws(",", apoc.coll_duplicates(F.col("segs"))).alias("dup_segs"),
+        apoc.coll_occurrences(F.col("segs"), "BUILDING").alias("n_building"),
+        csv(F.slice(apoc.coll_reverse(F.col("ks")), 1, 4)).alias("last4_desc"),
+    ).orderBy("n_name")

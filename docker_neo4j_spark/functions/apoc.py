@@ -594,3 +594,41 @@ def text_base64_encode(s) -> Column:
 def text_base64_decode(s) -> Column:
     """apoc.text.base64Decode."""
     return F.unbase64(_c(s)).cast("string")
+
+
+def coll_partition(l, size: int) -> Column:
+    """apoc.coll.partition — split into consecutive sublists of ``size``
+    (trailing partial kept)."""
+    if size <= 0:
+        raise ValueError("apoc.coll.partition: size must be positive")
+    c = _c(l)
+    n_parts = F.ceil(F.size(c) / F.lit(float(size))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_parts - 1, F.lit(0))),
+        lambda i: F.slice(c, i * size + 1, size),
+    )
+
+
+def coll_duplicates(l) -> Column:
+    """apoc.coll.duplicates — distinct values occurring more than once,
+    ascending (APOC leaves order unspecified; sorted is deterministic)."""
+    c = _c(l)
+    return F.sort_array(
+        F.array_distinct(
+            F.filter(
+                c,
+                lambda x: F.size(F.filter(c, lambda y: y == x)) > 1,
+            )
+        )
+    )
+
+
+def coll_occurrences(l, value) -> Column:
+    """apoc.coll.occurrences — how many times ``value`` appears."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    return F.size(F.filter(_c(l), lambda x: x == v)).cast("long")
+
+
+def coll_reverse(l) -> Column:
+    """apoc.coll.reverse."""
+    return F.reverse(_c(l))

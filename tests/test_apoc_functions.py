@@ -255,3 +255,16 @@ def test_gds_pearson(spark):
     # a constant vector has zero variance: guarded denominator → ~0
     const = F.array(*[F.lit(5.0) for _ in range(4)])
     assert abs(_one(spark, G.pearson(up, const))) < 1e-6
+
+
+def test_coll_partition_duplicates_occurrences_reverse(spark):
+    l = F.array(*[F.lit(x) for x in (3, 1, 2, 3, 2, 5)])
+    assert _one(spark, apoc.coll_partition(l, 2)) == [[3, 1], [2, 3], [2, 5]]
+    assert _one(spark, apoc.coll_partition(l, 4)) == [[3, 1, 2, 3], [2, 5]]
+    assert _one(spark, apoc.coll_duplicates(l)) == [2, 3]
+    assert _one(spark, apoc.coll_occurrences(l, 2)) == 2
+    assert _one(spark, apoc.coll_occurrences(l, 9)) == 0
+    assert _one(spark, apoc.coll_reverse(l)) == [5, 2, 3, 2, 1, 3]
+    empty = F.array().cast("array<int>")
+    assert _one(spark, apoc.coll_partition(empty, 3)) == [[]]
+    assert _one(spark, apoc.coll_duplicates(empty)) == []
