@@ -873,10 +873,10 @@ def fn_apoc_util_number_suite(spark, sf_dir):
            array_to_string(
              list_transform(range(0, CAST(ceil(len(ks) / 3.0) AS BIGINT)),
                i -> array_to_string(ks[(i*3+1):(i*3+3)], ',')), ';') AS parts,
-           array_to_string(
+           COALESCE(array_to_string(
              list_sort(list_distinct(
                list_filter(segs, s -> len(list_filter(segs, t -> t = s)) > 1))),
-             ',') AS dup_segs,
+             ','), '') AS dup_segs,
            CAST(len(list_filter(segs, s -> s = 'BUILDING')) AS BIGINT)
              AS n_building,
            array_to_string(list_reverse(ks)[1:4], ',') AS last4_desc
