@@ -181,6 +181,7 @@ _NEW_THIS_ROUND: list[str] = [
     "llm_temperature_resample",
     "events_countmin_windowed",
     "fn_apoc_coll_suite2",
+    "gds_apsp_sampled",
 ]
 
 

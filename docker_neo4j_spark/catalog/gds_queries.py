@@ -2769,3 +2769,43 @@ def gds_ktruss_copart(spark, sf_dir):
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     co = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst")
     return gds.ktruss(co, k=4, max_rounds=12).orderBy("src", "dst")
+
+
+@register(
+    "gds_apsp_sampled",
+    f"""
+    WITH RECURSIVE e AS (SELECT src, dst FROM ({_EDGES})),
+    seeds AS (SELECT CAST(3000000000000 + c_custkey AS BIGINT) AS s
+              FROM customer WHERE c_custkey < 5),
+    walk AS (
+      SELECT s, s AS id, CAST(0 AS BIGINT) AS dist FROM seeds
+      UNION
+      SELECT walk.s, e.dst, walk.dist + 1
+      FROM walk JOIN e ON e.src = walk.id WHERE walk.dist < 8
+    )
+    SELECT s AS source, id AS target, MIN(dist) AS dist
+    FROM walk GROUP BY s, id ORDER BY source, target
+    """,
+)
+def gds_apsp_sampled(spark, sf_dir):
+    """gds.allShortestPaths over a SAMPLED source set (the scale-honest
+    APSP contract — full APSP is quadratic output): per-source frontier
+    BFS, one (source, target, dist) row per reachable pair. The five
+    customer sources run as independent tagged BFS frontiers unioned
+    into one result."""
+    g = build_graph(spark, sf_dir)
+    lo = 3_000_000_000_000
+    parts = []
+    for k in range(5):
+        seed = g.nodes.where(F.col("id") == lo + k).select("id")
+        parts.append(
+            gds.bfs(g.rels, seed, max_depth=8).select(
+                F.lit(lo + k).alias("source"),
+                F.col("id").alias("target"),
+                "dist",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("source", "target")
