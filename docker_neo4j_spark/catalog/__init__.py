@@ -58,83 +58,7 @@ _loaded = False
 # Registration order breaks ties, so the order is deterministic for a given
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
-    # r8 entries are appended as implementations change; reset at round start.
-    # r8: GraphQL engine reworked — recursive nesting, escaped to-many
-    # serialization (ADVICE r7), multi-root documents — re-grade the row
-    # that exercises the to-many path end-to-end
-    "graphql_region_rollup",
-    # r8: N-Triples validation made lazy (WHERE-clause raise_error guard,
-    # one scan per import) + blank-node subjects/objects under a flag
-    "rdf_import_triples",
-    # r8: rows-only → oracle-paired conversions (first driver grade with
-    # an oracle): serving-shape PageRank's early exit replicated in SQL;
-    # simhash token hash switched xxhash64 → md5-64 so the signature and
-    # the banded near-dup pairs replay exactly in DuckDB
-    "gds_pagerank_serving",
-    "llm_simhash",
-    "llm_simhash_neardup",
-    # r8: façade pattern parsing + clause splitting ported from the
-    # _NODE_RE/_REL_RE/_split_top regex scanners to the positional token
-    # lexer (cypher/lexer.py) — re-grade representative rows that push
-    # the ported path hardest (rel patterns + props, var-length bounds,
-    # type alternation, comprehension scan, CREATE/SET props)
-    "cypher_shortest_path",
-    "cypher_var_length",
-    "cypher_rel_alternation",
-    "cypher_pattern_comprehension",
-    "cypher_set_delete_readback",
-    # r8: apoc.load.csv/json registered — SHOW PROCEDURES surface (and
-    # its oracle's expected list) grew by two rows
-    "proc_show_procedures",
-    # r8: MinHash re-keyed to the md5-base + affine family (one md5 per
-    # shingle; band keys now verbatim signature slices) — the two rows
-    # built on it convert from rows-only to oracle-paired
-    "llm_minhash_neardup",
-    "llm_neardup_clusters",
-    # r8: ANN hyperplanes factored to shared literal values and the row
-    # converted rows-only → oracle-paired (_ann_topk_sql)
-    "llm_ann_topk",
-    # late r8: clause-keyword scanning ported to the lexer (find_keyword /
-    # split_keyword / _split_pipeline / _trailing_int_kw) — every façade
-    # query re-splits through it; re-grade one row per distinct ported
-    # path (WITH stages + mid-pipeline ORDER/LIMIT, trailing SKIP/LIMIT,
-    # OPTIONAL MATCH split, MERGE ON CREATE/MATCH, COUNT{} guard,
-    # standalone UNWIND, CREATE-tail RETURN, path binding, stage-tail
-    # MATCH). Also fixed: _create/_merge found RETURN by raw string
-    # containment — a literal containing ' RETURN ' truncated the pattern.
-    "cypher_with_pipeline",
-    "cypher_skip_limit",
-    "cypher_optional_chain",
-    "write_merge_unwind_batch",
-    "cypher_count_subquery",
-    "cypher_unwind",
-    "write_create_from_match_batch",
-    "cypher_path_binding",
-    "cypher_multi_match_pipeline",
-    # late r8: the Arrow-batched encoder row converted rows-only →
-    # oracle-paired (FNV-1a HUGEINT replay, _FNV_SQL)
-    "llm_embed_and_search",
-    # late r8: db.index.vector.queryNodes grew the created-index IVF probe
-    # branch (indexName resolves against CREATE VECTOR INDEX first) —
-    # re-grade the legacy label-path row that shares the procedure
-    "proc_vector_query_nodes",
-    # late r8: attribution_join user_id now coalesces across sides (the
-    # full-outer prerequisite; values identical for inner/left) — re-grade
-    # both pre-existing rows on the shared path
-    "stream_attribution_join_batch",
-    "stream_attribution_left_batch",
-    # late r8: scrub_pii extended with IPv4 + international-phone patterns
-    # (same lookaround-free dialect) — re-grade the row
-    "llm_scrub_pii",
-    # late r8: _value_of grew postfix subscription (expr[i], expr[a..b],
-    # map['k']) and literal-map compilation — re-grade rows that lean on
-    # the shared expression compiler
-    "cypher_expression_projection",
-    "cypher_map_projection",
-    "cypher_list_quantifiers",
-    # late r8: Index dataclass grew an options field (vector config) and
-    # cluster_columns skips VECTOR entries — re-grade the DDL row
-    "cypher_index_ddl",
+    # r9 entries are appended as implementations change; reset at round start.
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -143,45 +67,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 # enter the 50-row window once the backlog fits. Reset each round (entries
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
-    # r8 entries are appended as new rows register; reset at round start.
-    "graphql_nested_two_levels",
-    "rdf_export_roundtrip",
-    "graphql_mutation_readback",
-    "stream_static_enrich_batch",
-    "llm_bigram_lm",
-    "proc_apoc_load_csv_json",
-    "llm_gopher_rules",
-    "llm_ngram_jaccard_pairs",
-    "gds_bellman_ford_negative",
-    "gds_dag_longest_path",
-    "proc_fulltext_query_nodes",
-    "fn_apoc_text_fuzzy_suite",
-    "llm_deterministic_shuffle",
-    "proc_apoc_path_expand",
-    "fn_apoc_date_suite",
-    "llm_boilerplate_removal",
-    "gds_articulation_points",
-    "gds_bridges",
-    "fn_apoc_agg_stats_suite",
-    "fn_apoc_agg_items_suite",
-    "gds_steiner_tree",
-    "gds_astar_path",
-    "gds_triangle_listing",
-    "proc_apoc_cypher_run",
-    "llm_token_budget_selection",
-    "proc_export_graphml_lines",
-    "gds_rwr_sample",
-    "proc_vector_index_query",
-    "events_countmin_frequencies",
-    "stream_attribution_full_batch",
-    "proc_apoc_refactor_rename",
-    "proc_apoc_create_merge",
-    "fn_apoc_util_number_suite",
-    "gds_ktruss_copart",
-    "llm_temperature_resample",
-    "events_countmin_windowed",
-    "fn_apoc_coll_suite2",
-    "gds_apsp_sampled",
+    # r9 entries are appended as new rows register; reset at round start.
 ]
 
 
