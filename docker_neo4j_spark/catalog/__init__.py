@@ -59,6 +59,15 @@ _loaded = False
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
     # r9 entries are appended as implementations change; reset at round start.
+    # r9 ADVICE fixes: pearson zero-variance → NULL (oracle NULLIF to
+    # match); coll_partition empty list → no partitions; apoc.merge.node
+    # multi-label; apoc.cypher.run depth-0 write-verb guard; bellman_ford
+    # convergence-gated negative-cycle detection (V-1 default bound)
+    "fn_gds_similarity_suite",
+    "fn_apoc_coll_suite2",
+    "proc_apoc_create_merge",
+    "proc_apoc_cypher_run",
+    "gds_bellman_ford_negative",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

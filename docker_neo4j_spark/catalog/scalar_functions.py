@@ -573,7 +573,7 @@ def fn_apoc_coll_suite(spark, sf_dir):
            CAST(ROUND(sqrt(sqdiff) * 1e6) AS BIGINT) AS dist_micro,
            CAST(ROUND(1e0 / (1e0 + sqrt(sqdiff)) * 1e6) AS BIGINT) AS euc_micro,
            CAST(ROUND((n * dot - sx * sy)
-             / greatest(sqrt(n * na - sx * sx) * sqrt(n * nb - sy * sy), 1e-12)
+             / NULLIF(sqrt(n * na - sx * sx) * sqrt(n * nb - sy * sy), 0)
              * 1e6) AS BIGINT) AS pearson_micro
     FROM folds
     """,

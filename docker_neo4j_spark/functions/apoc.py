@@ -603,10 +603,14 @@ def coll_partition(l, size: int) -> Column:
         raise ValueError("apoc.coll.partition: size must be positive")
     c = _c(l)
     n_parts = F.ceil(F.size(c) / F.lit(float(size))).cast("int")
-    return F.transform(
+    parts = F.transform(
         F.sequence(F.lit(0), F.greatest(n_parts - 1, F.lit(0))),
         lambda i: F.slice(c, i * size + 1, size),
     )
+    # Empty input yields NO partitions (APOC), not one empty partition —
+    # sequence(0, greatest(-1,0)) above would still emit index 0; a
+    # zero-length slice keeps the array<array<T>> type without naming T.
+    return F.when(F.size(c) == 0, F.slice(parts, 1, 0)).otherwise(parts)
 
 
 def coll_duplicates(l) -> Column:

@@ -81,4 +81,6 @@ def pearson(a, b) -> Column:
     syy = _dot(cb, cb)
     num = n * dot - sx * sy
     den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    return num / F.greatest(den, F.lit(1e-12))
+    # Zero-variance (constant) vector ⇒ correlation undefined: NULL, not
+    # the enormous spurious value a clamped denominator would produce.
+    return F.when(den == 0, F.lit(None).cast("double")).otherwise(num / den)

@@ -84,11 +84,17 @@ def sssp(
     sources: DataFrame,
     weight_col: str = "weight",
     max_iter: int = 30,
+    return_converged: bool = False,
 ) -> DataFrame:
     """Weighted single-source shortest paths (Bellman-Ford BSP): (id, dist).
 
     ``edges``: (src, dst, <weight_col>); negative weights allowed, negative
     cycles bounded by ``max_iter``. Integer weights stay exact end-to-end.
+    With ``return_converged=True`` returns ``(dist, converged)`` where
+    ``converged`` is True iff the frontier emptied (fixpoint) rather than
+    ``max_iter`` stopping the loop — callers that run a negative-cycle
+    detection pass need the distinction (a bound-stopped run still has
+    improvable nodes on perfectly cycle-free graphs).
     """
     e = edges.select("src", "dst", F.col(weight_col).alias("_w")).repartition("src").cache()
     dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
@@ -98,6 +104,7 @@ def sssp(
     # needed a separate convergence-check job; here the improved frontier IS
     # the convergence check (empty → fixpoint).
     frontier = dist
+    converged = False
     for _ in range(max_iter):
         cand = (
             frontier.join(e, frontier["id"] == e["src"])
@@ -111,10 +118,13 @@ def sssp(
             .select("id", "dist")
         )
         if improved.isEmpty():
+            converged = True
             break
         dist = _ckpt(dist.join(improved, "id", "left_anti").unionByName(improved))
         frontier = improved
     e.unpersist()
+    if return_converged:
+        return dist, converged
     return dist
 
 
@@ -122,21 +132,49 @@ def bellman_ford(
     edges: DataFrame,
     sources: DataFrame,
     weight_col: str = "weight",
-    max_iter: int = 30,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """gds.bellmanFord parity: weighted SSSP with negative weights AND
     negative-cycle detection — (id, dist, on_negative_cycle).
 
     The relaxation loop is ``sssp`` (frontier Bellman-Ford). Detection is
-    the textbook extra pass: after the loop converges (or ``max_iter``
-    bounds it), one more relaxation round finds any node that can still
-    improve — possible only on/through a negative cycle. Those nodes'
-    REACHABLE set (an unweighted BFS taint — shortest distances are
-    undefined downstream of a negative cycle, gds.bellmanFord's
-    semantics) gets ``dist = NULL`` and the flag set. On a
-    negative-cycle-free graph the detection pass is one empty-join job.
+    the textbook extra pass: after the loop reaches fixpoint, one more
+    relaxation round finds any node that can still improve — possible
+    only on/through a negative cycle. Those nodes' REACHABLE set (an
+    unweighted BFS taint — shortest distances are undefined downstream
+    of a negative cycle, gds.bellmanFord's semantics) gets ``dist =
+    NULL`` and the flag set. On a negative-cycle-free graph the
+    detection pass is one empty-join job.
+
+    ``max_iter`` defaults to V-1 (V = distinct node count — one cheap
+    count job), the textbook bound after which any remaining improvement
+    proves a negative cycle. A caller-supplied bound that stops the loop
+    before fixpoint raises instead of misreporting still-improvable
+    nodes as cycle members: on a cycle-free graph whose shortest-path
+    hop count exceeds the bound, those nodes are NOT on a cycle, just
+    unsettled.
     """
-    dist = sssp(edges, sources, weight_col, max_iter)
+    v_bound = max(
+        1,
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+        - 1,
+    )
+    if max_iter is None:
+        max_iter = v_bound
+    dist, converged = sssp(edges, sources, weight_col, max_iter, return_converged=True)
+    if not converged and max_iter < v_bound:
+        # Stopped by a caller bound below V-1: still-improvable nodes prove
+        # nothing about cycles (a cycle-free path can simply be longer than
+        # the bound in hops) — refuse rather than misflag.
+        raise ValueError(
+            f"bellman_ford: relaxation did not reach fixpoint within "
+            f"max_iter={max_iter} < V-1={v_bound} rounds — a negative cycle "
+            f"is only provable after V-1 rounds; raise max_iter (or leave it "
+            f"None for the V-1 default)"
+        )
     e = edges.select("src", "dst", F.col(weight_col).alias("_w"))
     cand = (
         dist.join(e, dist["id"] == e["src"])

@@ -826,11 +826,33 @@ def _apoc_cypher_run(spark: SparkSession, statement: str = "", params=None, sess
     stmt = (statement or "").strip()
     if not stmt:
         raise ValueError("apoc.cypher.run: empty statement")
-    head = stmt.split(None, 1)[0].upper()
-    if head in ("CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE", "DROP"):
-        raise ValueError(
-            "apoc.cypher.run is read-only; use apoc.cypher.doIt for writes"
-        )
+    # Read-only guard: a write verb can appear anywhere at clause depth 0
+    # (WITH 1 AS x CREATE ..., UNWIND ... DELETE ...), not just as the
+    # leading token. Tokenizing keeps the scan quote-safe (a literal
+    # 'please DELETE me' is one string token) and depth-gated (bracketed
+    # subexpressions can't host a depth-0 clause); skipping idents
+    # preceded by `.` keeps property access like n.delete readable.
+    from ..cypher.lexer import tokenize as _lex_tokenize
+
+    _WRITE_VERBS = {"CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE", "DROP"}
+    toks = _lex_tokenize(stmt)
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.kind == "punct":
+            if t.text in "([{":
+                depth += 1
+            elif t.text in ")]}":
+                depth -= 1
+            continue
+        if (
+            depth == 0
+            and t.kind == "ident"
+            and t.text.upper() in _WRITE_VERBS
+            and not (i and toks[i - 1].kind == "punct" and toks[i - 1].text == ".")
+        ):
+            raise ValueError(
+                "apoc.cypher.run is read-only; use apoc.cypher.doIt for writes"
+            )
     return session.run(stmt, params or None)
 
 
@@ -1029,7 +1051,10 @@ def _apoc_merge_node(
     spark: SparkSession, labels=None, identProps=None, onCreateProps=None, store=None
 ):
     """apoc.merge.node — MERGE with labels/keys as data; identProps match
-    or create, onCreateProps only applied on creation (APOC contract)."""
+    or create, onCreateProps only applied on creation (APOC contract).
+    Multi-label: matched/created under the first label, then the labels
+    array is extended with the rest in one map pass (same shape as
+    apoc.create.node — trailing labels must not be silently dropped)."""
     if store is None:
         raise ValueError("apoc.merge.node requires a store context")
     labs = [str(x) for x in (labels or [])]
@@ -1038,6 +1063,18 @@ def _apoc_merge_node(
     if not identProps:
         raise ValueError("apoc.merge.node: identProps are required")
     nid = store.merge_node(labs[0], dict(identProps), dict(onCreateProps or {}))
+    extra = [x for x in labs[1:] if x != labs[0]]
+    if extra:
+        nodes = store.graph.nodes
+        store._swap(
+            nodes=nodes.withColumn(
+                "labels",
+                F.when(
+                    F.col("id") == nid,
+                    F.array_union(F.col("labels"), F.array(*[F.lit(x) for x in extra])),
+                ).otherwise(F.col("labels")),
+            )
+        )
     return spark.createDataFrame([(nid,)], "id long")
 
 

@@ -252,9 +252,10 @@ def test_gds_pearson(spark):
     same = F.array(*[F.lit(float(i)) for i in (2, 4, 6, 8)])
     assert abs(_one(spark, G.pearson(up, same)) - 1.0) < 1e-12
     assert abs(_one(spark, G.pearson(up, down)) + 1.0) < 1e-12
-    # a constant vector has zero variance: guarded denominator → ~0
+    # a constant vector has zero variance: correlation undefined → NULL
+    # (a clamped denominator would fabricate an enormous value)
     const = F.array(*[F.lit(5.0) for _ in range(4)])
-    assert abs(_one(spark, G.pearson(up, const))) < 1e-6
+    assert _one(spark, G.pearson(up, const)) is None
 
 
 def test_coll_partition_duplicates_occurrences_reverse(spark):
@@ -266,5 +267,6 @@ def test_coll_partition_duplicates_occurrences_reverse(spark):
     assert _one(spark, apoc.coll_occurrences(l, 9)) == 0
     assert _one(spark, apoc.coll_reverse(l)) == [5, 2, 3, 2, 1, 3]
     empty = F.array().cast("array<int>")
-    assert _one(spark, apoc.coll_partition(empty, 3)) == [[]]
+    # APOC yields NO partitions for an empty list, not one empty partition
+    assert _one(spark, apoc.coll_partition(empty, 3)) == []
     assert _one(spark, apoc.coll_duplicates(empty)) == []

@@ -933,6 +933,24 @@ def test_bellman_ford_negative_weights_no_cycle(spark):
     assert (out[2]["dist"], out[3]["dist"], out[4]["dist"]) == (-2, 2, -1)
 
 
+def test_bellman_ford_bound_below_fixpoint_raises(spark):
+    """A cycle-free 6-hop chain with max_iter=2: still-improvable nodes
+    prove nothing about cycles, so the caller-bound stop must raise
+    rather than flag them on_negative_cycle (ADVICE r8)."""
+    from docker_neo4j_spark.operators import gds
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(1, 7)], "src long, dst long, weight long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="fixpoint"):
+        gds.bellman_ford(edges, seeds, max_iter=2)
+    # default (V-1) bound settles the same chain with no flags
+    out = {r["id"]: r for r in gds.bellman_ford(edges, seeds).collect()}
+    assert not any(r["on_negative_cycle"] for r in out.values())
+    assert out[7]["dist"] == 6
+
+
 def test_dag_longest_path_exact(spark):
     """Diamond DAG: longest (not shortest) path distance per node."""
     from docker_neo4j_spark.operators import gds

@@ -289,6 +289,22 @@ def test_apoc_cypher_run_and_do_it(spark):
     assert [r.v for r in out.collect()] == ["a", "b"]
     with pytest.raises(ValueError, match="read-only"):
         s.run("CALL apoc.cypher.run('CREATE (:P {k: 3})', {})")
+    # write verbs are refused ANYWHERE at clause depth 0, not just as the
+    # leading token (ADVICE r8): WITH-prefixed and mid-pipeline writes
+    with pytest.raises(ValueError, match="read-only"):
+        s.run("CALL apoc.cypher.run('WITH 1 AS x CREATE (:P {k: x})', {})")
+    with pytest.raises(ValueError, match="read-only"):
+        s.run("CALL apoc.cypher.run('MATCH (p:P) DETACH DELETE p', {})")
+    with pytest.raises(ValueError, match="read-only"):
+        s.run(
+            "CALL apoc.cypher.run('UNWIND [9] AS k CREATE (:P {k: k})', {})"
+        )
+    # ...but a string literal or property access spelling a verb is fine
+    lit = s.run(
+        "CALL apoc.cypher.run('MATCH (p:P) WHERE p.v <> \"please DELETE\" "
+        "RETURN count(*) AS n', {}) YIELD n RETURN n"
+    )
+    assert lit.collect()[0].n == 2
     s.run("CALL apoc.cypher.doIt('CREATE (:P {k: 3, v: \"c\"})', {})")
     after = s.run("MATCH (p:P) RETURN count(*) AS n")
     assert after.collect()[0].n == 3
@@ -423,6 +439,20 @@ def test_apoc_create_and_merge_node_contract(spark):
     assert m1 == m2
     tag = s.run("MATCH (n:A {k: 2}) RETURN n.tag AS t").collect()
     assert [r.t for r in tag] == ["new"]
+    # multi-label merge applies EVERY label, like apoc.create.node
+    # (ADVICE r8: trailing labels were silently dropped)
+    m3 = s.run(
+        "CALL apoc.merge.node(['A', 'C'], {k: 7}, {}) YIELD id RETURN id"
+    ).collect()[0].id
+    ml = s.run(f"MATCH (n) WHERE id(n) = {m3} RETURN labels(n) AS l").collect()[0].l
+    assert sorted(ml) == ["A", "C"]
+    # re-merge on the ident props finds the same node, labels stable
+    m4 = s.run(
+        "CALL apoc.merge.node(['A', 'C'], {k: 7}, {}) YIELD id RETURN id"
+    ).collect()[0].id
+    assert m4 == m3
+    ml2 = s.run(f"MATCH (n) WHERE id(n) = {m3} RETURN labels(n) AS l").collect()[0].l
+    assert sorted(ml2) == ["A", "C"]
     s.run(f"CALL apoc.create.relationship({a}, 'REL_X', {{w: 1}}, {m1}) YIELD id RETURN id")
     assert (
         s.run("MATCH (:A)-[r:REL_X]->(:A) RETURN count(*) AS n").collect()[0].n == 1
