@@ -266,22 +266,32 @@ def _periodic_iterate(
     writes. Returns one row (batches, total, committedOperations,
     failedBatches).
     """
+    import itertools
+
     if session is None:
         raise ValueError("apoc.periodic.iterate requires a session context")
     batch_size = int((config or {}).get("batchSize", 1000))
     outer = session.run(cypherIterate)
-    rows = [r.asDict(recursive=True) for r in outer.toLocalIterator()]
-    batches = committed = failed = 0
-    for i in range(0, len(rows), batch_size):
-        chunk = rows[i : i + batch_size]
+    # Lazy slicing over toLocalIterator: only ONE batch of outer rows is
+    # resident on the driver at a time (plus one in-flight Arrow partition
+    # buffer), so a 10^8-row outer query costs O(batchSize) driver memory,
+    # not O(total). The outer DataFrame itself streams partition-by-
+    # partition from the executors.
+    it = (r.asDict(recursive=True) for r in outer.toLocalIterator())
+    batches = total = committed = failed = 0
+    while True:
+        chunk = list(itertools.islice(it, batch_size))
+        if not chunk:
+            break
         batches += 1
+        total += len(chunk)
         try:
             session.run(cypherAction, {"rows": chunk})
             committed += len(chunk)
         except Exception:
             failed += 1
     return spark.createDataFrame(
-        [(batches, len(rows), committed, failed)],
+        [(batches, total, committed, failed)],
         "batches long, total long, committedOperations long, failedBatches long",
     )
 

@@ -121,6 +121,8 @@ HEAVY = [
     "llm_temperature_resample",
     "stream_attribution_full_batch",
     "fn_apoc_agg_items_suite",
+    # r9: synthetic driver-memory gate for periodic.iterate (see _SYNTHETIC)
+    "periodic_iterate_bulk",
 ]
 
 
@@ -144,7 +146,34 @@ def _hub_star_betweenness(spark):
     assert hub and hub[0]["bc"] == float(s * (n - 1)), hub
 
 
-_SYNTHETIC = {"hub_star_betweenness": _hub_star_betweenness}
+def _periodic_iterate_bulk(spark):
+    """Driver-memory gate for apoc.periodic.iterate (r9: lazy islice over
+    toLocalIterator replaced a full list materialization): a 1.2M-row
+    outer query batched at 200k must hold only one batch of dicts on the
+    driver at a time. Verifies batch accounting and the MERGE-deduped
+    write effect; a regression back to list(outer) would show as an RSS
+    spike ~30× the batch footprint."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    out = s.run(
+        "CALL apoc.periodic.iterate("
+        "'UNWIND range(1, 1200000) AS x RETURN x AS k, x % 97 AS g', "
+        "'UNWIND $rows AS r MERGE (t:bulk {g: r.g})', "
+        "{batchSize: 200000})"
+    ).first()
+    assert out["batches"] == 6, out
+    assert out["total"] == 1200000, out
+    assert out["committedOperations"] == 1200000, out
+    assert out["failedBatches"] == 0, out
+    n = s.run("MATCH (t:bulk) RETURN count(*) AS n").first()["n"]
+    assert n == 97, n
+
+
+_SYNTHETIC = {
+    "hub_star_betweenness": _hub_star_betweenness,
+    "periodic_iterate_bulk": _periodic_iterate_bulk,
+}
 
 
 def main() -> int:
