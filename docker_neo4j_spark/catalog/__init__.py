@@ -68,6 +68,22 @@ _CHANGED_THIS_ROUND: list[str] = [
     "proc_apoc_create_merge",
     "proc_apoc_cypher_run",
     "gds_bellman_ford_negative",
+    # r9: the per-shape expression-compiler ladder (_value_of /
+    # _compile_where / _compile_value_expr + 9 helpers, two private
+    # tokenizers) replaced by the unified Pratt parser (cypher/exprs.py)
+    # — every façade row recompiles through it; re-grade the rows that
+    # lean hardest on each ported construct (CASE, reduce, comprehension,
+    # quantifiers, arithmetic projection, map projection, scalar calls,
+    # WHERE predicates, temporal arithmetic)
+    "cypher_case_expression",
+    "cypher_reduce",
+    "cypher_list_comprehension",
+    "cypher_list_quantifiers",
+    "cypher_expression_projection",
+    "cypher_map_projection",
+    "cypher_scalar_functions",
+    "cypher_where_filter",
+    "cypher_temporal",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

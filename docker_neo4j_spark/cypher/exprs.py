@@ -1,0 +1,755 @@
+"""Unified Cypher expression compiler — one Pratt/recursive-descent
+parser over the positional lexer (cypher/lexer.py), replacing the
+façade's per-shape compiler ladder (r8 verdict item: ``_value_of``'s
+special-case chain plus the two private tokenizers ``_WHERE_TOKEN_RE`` /
+``_ARITH_TOKEN_RE`` in ``session.py``).
+
+One grammar serves every expression position — WHERE predicates, RETURN/
+WITH items, CASE branches, comprehension bodies — so nesting works in
+any position (the ladder dispatched on the OUTERMOST shape only, which
+made e.g. a CASE inside a list comprehension inside RETURN dependent on
+compiler ordering).
+
+Precedence (low → high), per the openCypher operator table:
+
+    OR < XOR < AND < NOT < comparison / predicates
+       < + - (string + concatenates) < * / % < unary - + < ^
+       < postfix subscript/slice < primary
+
+Name resolution stays delegated to the caller's ``resolve`` callback
+(``var.prop`` → prefixed frame columns; ``id(v)/labels(v)/…`` entity
+introspection), so the parser is frame-agnostic; scoped resolvers give
+comprehension/reduce lambda variables their element columns.
+
+Everything compiles to built-in Column expressions — zero Python UDFs
+(higher-order ``F.filter/transform/aggregate/forall/exists`` for the
+comprehension family), so the whole expression layer stays inside
+whole-stage codegen.
+
+Reference surface: arbitrary Cypher text over Bolt
+(docker-image-src/common/src/test/java/com/neo4j/docker/utils/
+DatabaseIO.java:121-128).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .lexer import tokenize
+
+_MISSING = object()
+
+# entity accessors resolve against the binding frame's prefixed columns,
+# not the scalar function library
+ENTITY_FNS = frozenset({"id", "labels", "type", "properties", "keys"})
+
+# path accessors — frame columns when their argument is a bound path var
+_PATH_FNS = frozenset({"length", "nodes", "relationships"})
+
+_QUANTIFIERS = frozenset({"all", "any", "none", "single"})
+
+# Cypher's namespaced callables → library implementations. duration.between
+# and duration.inDays surface DAY granularity (a bigint of days) rather
+# than a full duration value — the accessor idiom `duration.inDays(a,b).days`
+# is the overwhelmingly common consumption and maps to exactly this.
+DOTTED_FNS = {
+    "duration.between": "duration_between_days",
+    "duration.inDays": "duration_between_days",
+    "datetime.truncate": "date_trunc",
+    "apoc.json.path": "json_extract",
+}
+
+
+class _V:
+    """A compiled sub-expression: the Column, plus the static facts the
+    ladder used to special-case — a pure-literal Python value (function
+    args keep the old pass-python-literals contract) and whether the
+    text is statically a string (``+`` concatenation dispatch)."""
+
+    __slots__ = ("col", "lit", "is_str")
+
+    def __init__(self, col: Column, lit=_MISSING, is_str: bool = False):
+        self.col = col
+        self.lit = lit
+        self.is_str = is_str
+
+    @property
+    def has_lit(self) -> bool:
+        return self.lit is not _MISSING
+
+
+def _scoped(resolve, **binds):
+    """Resolver extended with lambda-variable bindings (comprehension /
+    reduce element and accumulator columns); other names fall through."""
+
+    def sub(name: str) -> Column:
+        if name in binds:
+            return binds[name]
+        return resolve(name)
+
+    return sub
+
+
+class _Parser:
+    def __init__(self, src: str, resolve):
+        self.src = src
+        self.resolve = resolve
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # ---- token helpers ------------------------------------------------
+
+    def _peek(self, ahead: int = 0):
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def _take(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _at_punct(self, text: str, ahead: int = 0) -> bool:
+        t = self._peek(ahead)
+        return t is not None and t.kind == "punct" and t.text == text
+
+    def _at_kw(self, *words: str) -> bool:
+        """Consecutive ident tokens spelling the keyword sequence."""
+        for k, w in enumerate(words):
+            t = self._peek(k)
+            if t is None or t.kind != "ident" or t.text.upper() != w:
+                return False
+        return True
+
+    def _take_kw(self, *words: str) -> None:
+        for w in words:
+            t = self._take()
+            if t.kind != "ident" or t.text.upper() != w:
+                raise ValueError(f"expected {w} at: {self._here(t)!r}")
+
+    def _expect_punct(self, text: str):
+        t = self._peek()
+        if t is None or t.kind != "punct" or t.text != text:
+            raise ValueError(f"expected {text!r} at: {self._here(t)!r}")
+        return self._take()
+
+    def _here(self, t=None) -> str:
+        t = t or self._peek()
+        return self.src[t.pos : t.pos + 40] if t else "<end>"
+
+    def _two_char_op(self) -> str | None:
+        """Adjacent punct pair forming <=, >=, <>, =~ (the lexer emits
+        single-char punct tokens; adjacency keeps `a < -5` a comparison
+        with a negative literal, not a `<-` arrow)."""
+        a, b = self._peek(), self._peek(1)
+        if a is None or b is None or a.kind != "punct" or b.kind != "punct":
+            return None
+        if a.end != b.pos:
+            return None
+        pair = a.text + b.text
+        return pair if pair in ("<=", ">=", "<>", "=~") else None
+
+    def _span(self, parse_fn) -> tuple[_V, str]:
+        """Run ``parse_fn`` and return (value, exact source span) — the
+        span is re-compiled under scoped resolvers inside higher-order
+        lambdas, where the element column only exists per-invocation."""
+        start_tok = self._peek()
+        if start_tok is None:
+            raise ValueError("expected an expression, got end of input")
+        v = parse_fn()
+        end = self.toks[self.i - 1].end if self.i else start_tok.pos
+        return v, self.src[start_tok.pos : end]
+
+    def _span_until(self, stops_punct=(), stops_kw=()) -> str:
+        """Skim (don't compile) to the next depth-0 stop token and return
+        the skipped source span. Used for sub-expressions that reference
+        lambda variables (comprehension predicates/bodies, reduce merge):
+        those can only compile under the SCOPED resolver, so the parser
+        must not eagerly resolve their names — the span is compiled later
+        inside the higher-order lambda. Depth tracking makes nested
+        brackets transparent; string literals are atomic tokens."""
+        start = self._peek()
+        if start is None:
+            raise ValueError("expected an expression, got end of input")
+        depth = 0
+        j = self.i
+        while j < len(self.toks):
+            t = self.toks[j]
+            if t.kind == "punct":
+                if t.text in "([{":
+                    depth += 1
+                elif t.text in ")]}":
+                    if depth == 0 and t.text in stops_punct:
+                        break
+                    depth -= 1
+                elif depth == 0 and t.text in stops_punct:
+                    break
+            elif depth == 0 and t.kind == "ident" and t.text.upper() in stops_kw:
+                break
+            j += 1
+        else:
+            raise ValueError(
+                f"unterminated expression at: {self._here(start)!r}"
+            )
+        if j == self.i:
+            raise ValueError(f"empty expression at: {self._here(start)!r}")
+        text = self.src[start.pos : self.toks[j - 1].end]
+        self.i = j
+        return text
+
+    # ---- grammar, low → high precedence -------------------------------
+
+    def parse(self) -> _V:
+        v = self.or_expr()
+        if self.i != len(self.toks):
+            raise ValueError(f"trailing input in expression at: {self._here()!r}")
+        return v
+
+    def or_expr(self) -> _V:
+        out = self.xor_expr()
+        while self._at_kw("OR"):
+            self._take()
+            out = _V(out.col | self.xor_expr().col)
+        return out
+
+    def xor_expr(self) -> _V:
+        out = self.and_expr()
+        while self._at_kw("XOR"):
+            self._take()
+            out = _V(out.col != self.and_expr().col)
+        return out
+
+    def and_expr(self) -> _V:
+        out = self.not_expr()
+        while self._at_kw("AND"):
+            self._take()
+            out = _V(out.col & self.not_expr().col)
+        return out
+
+    def not_expr(self) -> _V:
+        if self._at_kw("NOT") and not self._at_kw("NOT", "IN"):
+            self._take()
+            return _V(~self.not_expr().col)
+        return self.comparison()
+
+    def comparison(self) -> _V:
+        left = self.additive()
+        two = self._two_char_op()
+        if two:
+            self._take()
+            self._take()
+            right = self.additive()
+            if two == "=~":
+                return _V(F.regexp_like(left.col, right.col.cast("string")))
+            return _V(
+                {
+                    "<=": left.col <= right.col,
+                    ">=": left.col >= right.col,
+                    "<>": left.col != right.col,
+                }[two]
+            )
+        if self._at_punct("=") or self._at_punct("<") or self._at_punct(">"):
+            op = self._take().text
+            right = self.additive()
+            return _V(
+                {
+                    "=": left.col == right.col,
+                    "<": left.col < right.col,
+                    ">": left.col > right.col,
+                }[op]
+            )
+        if self._at_kw("IS", "NOT", "NULL"):
+            self._take_kw("IS", "NOT", "NULL")
+            return _V(left.col.isNotNull())
+        if self._at_kw("IS", "NULL"):
+            self._take_kw("IS", "NULL")
+            return _V(left.col.isNull())
+        if self._at_kw("STARTS", "WITH"):
+            self._take_kw("STARTS", "WITH")
+            return _V(left.col.startswith(self.additive().col))
+        if self._at_kw("ENDS", "WITH"):
+            self._take_kw("ENDS", "WITH")
+            return _V(left.col.endswith(self.additive().col))
+        if self._at_kw("CONTAINS"):
+            self._take()
+            return _V(left.col.contains(self.additive().col))
+        if self._at_kw("NOT", "IN") or self._at_kw("IN"):
+            negate = self._at_kw("NOT", "IN")
+            if negate:
+                self._take()
+            self._take()
+            rhs = self.additive()
+            if rhs.has_lit and isinstance(rhs.lit, list):
+                out = left.col.isin(rhs.lit)
+            else:
+                out = F.array_contains(rhs.col, left.col)
+            return _V(~out if negate else out)
+        return left
+
+    def additive(self) -> _V:
+        out = self.multiplicative()
+        while self._at_punct("+") or self._at_punct("-"):
+            op = self._take().text
+            rhs = self.multiplicative()
+            if op == "-":
+                out = _V(out.col - rhs.col)
+            elif out.is_str or rhs.is_str:
+                # Cypher's string `+` — a statically-string operand makes
+                # the whole chain concatenation (the ladder's contract)
+                out = _V(
+                    F.concat(out.col.cast("string"), rhs.col.cast("string")),
+                    is_str=True,
+                )
+            else:
+                out = _V(out.col + rhs.col)
+        return out
+
+    def multiplicative(self) -> _V:
+        out = self.unary()
+        while self._at_punct("*") or self._at_punct("/") or self._at_punct("%"):
+            op = self._take().text
+            rhs = self.unary()
+            out = _V(
+                out.col * rhs.col
+                if op == "*"
+                else out.col / rhs.col
+                if op == "/"
+                else out.col % rhs.col
+            )
+        return out
+
+    def unary(self) -> _V:
+        if self._at_punct("-"):
+            self._take()
+            v = self.unary()
+            if v.has_lit and isinstance(v.lit, (int, float)):
+                return _V(F.lit(-v.lit), lit=-v.lit)
+            return _V(-v.col)
+        if self._at_punct("+"):
+            self._take()
+            return self.unary()
+        return self.power()
+
+    def power(self) -> _V:
+        out = self.postfix()
+        if self._at_punct("^"):
+            self._take()
+            # right-associative: 2^3^2 = 2^(3^2)
+            return _V(F.pow(out.col, self.unary().col))
+        return out
+
+    # ---- postfix: subscription and slices ------------------------------
+
+    def postfix(self) -> _V:
+        out = self.primary()
+        while self._at_punct("["):
+            self._take()
+            out = self._subscript(out)
+        return out
+
+    def _subscript(self, base: _V) -> _V:
+        """``expr[i]`` (0-based, negative = from the end), ``expr['key']``
+        (map access), and the end-exclusive Cypher slice ``expr[a..b]`` /
+        ``expr[a..]`` / ``expr[..b]``. Literal non-negative slice bounds
+        compile to a static F.slice; dynamic bounds go through Column
+        arithmetic; negative literal slice bounds raise rather than
+        silently diverge from Cypher."""
+        col = base.col
+        if self._peek() is not None and self._peek().kind == "dotdot":
+            self._take()
+            if self._at_punct("]"):
+                self._take()
+                return _V(col)  # expr[..] — the whole list
+            b = self.or_expr()
+            self._expect_punct("]")
+            return _V(self._slice(col, _V(F.lit(0), lit=0), b))
+        e1 = self.or_expr()
+        if self._peek() is not None and self._peek().kind == "dotdot":
+            self._take()
+            if self._at_punct("]"):
+                self._take()
+                return _V(self._slice(col, e1, None))
+            b = self.or_expr()
+            self._expect_punct("]")
+            return _V(self._slice(col, e1, b))
+        self._expect_punct("]")
+        if e1.has_lit and isinstance(e1.lit, int):
+            i = e1.lit
+            return _V(F.element_at(col, i + 1 if i >= 0 else i))
+        if e1.has_lit and isinstance(e1.lit, str):
+            return _V(F.element_at(col, F.lit(e1.lit)))
+        # dynamic numeric index: 0-based non-negative expressions
+        return _V(F.element_at(col, e1.col.cast("int") + 1))
+
+    @staticmethod
+    def _slice(col: Column, a: _V, b: _V | None) -> Column:
+        a_lit = a.lit if a.has_lit and isinstance(a.lit, int) else None
+        b_lit = b.lit if b is not None and b.has_lit and isinstance(b.lit, int) else None
+        if (a_lit is not None and a_lit < 0) or (b_lit is not None and b_lit < 0):
+            raise ValueError("negative slice bounds unsupported")
+        if b is None:
+            if a_lit is not None:
+                return F.slice(col, a_lit + 1, 1_000_000)
+            return F.slice(col, a.col.cast("int") + 1, F.lit(1_000_000))
+        if a_lit is not None and b_lit is not None:
+            return F.slice(col, a_lit + 1, max(b_lit - a_lit, 0))
+        start = a.col.cast("int") + 1
+        length = F.greatest(b.col.cast("int") - a.col.cast("int"), F.lit(0))
+        return F.slice(col, start, length)
+
+    # ---- primaries -----------------------------------------------------
+
+    def primary(self) -> _V:
+        t = self._peek()
+        if t is None:
+            raise ValueError("expected an expression, got end of input")
+        if t.kind == "str":
+            self._take()
+            s = t.text[1:-1] if len(t.text) >= 2 and t.text[-1] == t.text[0] else t.text[1:]
+            return _V(F.lit(s), lit=s, is_str=True)
+        if t.kind == "num":
+            self._take()
+            v = float(t.text) if "." in t.text else int(t.text)
+            return _V(F.lit(v), lit=v)
+        if t.kind == "param":
+            raise ValueError(
+                f"unbound parameter {t.text} (parameters are substituted "
+                f"before expression compilation)"
+            )
+        if t.kind == "punct":
+            if t.text == "(":
+                self._take()
+                v = self.or_expr()
+                self._expect_punct(")")
+                return v
+            if t.text == "[":
+                return self._list_or_comprehension()
+            if t.text == "{":
+                return self._map_literal()
+            raise ValueError(f"unexpected {t.text!r} at: {self._here(t)!r}")
+        # ident
+        up = t.text.upper()
+        if up == "TRUE":
+            self._take()
+            return _V(F.lit(True), lit=True)
+        if up == "FALSE":
+            self._take()
+            return _V(F.lit(False), lit=False)
+        if up == "NULL":
+            self._take()
+            return _V(F.lit(None), lit=None)
+        if up == "CASE":
+            return self._case()
+        low = t.text.lower()
+        if low in _QUANTIFIERS and self._at_punct("(", 1):
+            nxt, nxt2 = self._peek(2), self._peek(3)
+            if (
+                nxt is not None
+                and nxt.kind == "ident"
+                and nxt2 is not None
+                and nxt2.kind == "ident"
+                and nxt2.text.upper() == "IN"
+            ):
+                return self._quantifier()
+        if low == "reduce" and self._at_punct("(", 1):
+            return self._reduce()
+        # dotted name chain: a.b.c (function namespace or property path)
+        parts = [self._take().text]
+        while self._at_punct(".") and self._peek(1) is not None and self._peek(1).kind == "ident":
+            self._take()
+            parts.append(self._take().text)
+        name = ".".join(parts)
+        if self._at_punct("("):
+            return self._call(name)
+        if len(parts) == 1 and self._at_punct("{"):
+            return self._map_projection(parts[0])
+        return _V(self.resolve(name))
+
+    def _list_or_comprehension(self) -> _V:
+        """``[a, b]`` list literal vs ``[x IN list WHERE p | e]``
+        comprehension — disambiguated by the ``ident IN`` lookahead."""
+        self._expect_punct("[")
+        t1, t2 = self._peek(), self._peek(1)
+        if (
+            t1 is not None
+            and t1.kind == "ident"
+            and t2 is not None
+            and t2.kind == "ident"
+            and t2.text.upper() == "IN"
+        ):
+            var = self._take().text
+            self._take()  # IN
+            src_v, _ = self._span(self.or_expr)
+            pred_src = out_src = None
+            if self._at_kw("WHERE"):
+                self._take()
+                pred_src = self._span_until(stops_punct=("|", "]"))
+            if self._at_punct("|"):
+                self._take()
+                out_src = self._span_until(stops_punct=("]",))
+            self._expect_punct("]")
+            out = src_v.col
+            resolve = self.resolve
+            if pred_src is not None:
+                out = F.filter(
+                    out,
+                    lambda el: compile_expr(pred_src, _scoped(resolve, **{var: el})),
+                )
+            if out_src is not None:
+                out = F.transform(
+                    out,
+                    lambda el: compile_expr(out_src, _scoped(resolve, **{var: el})),
+                )
+            return _V(out)
+        items: list[_V] = []
+        while not self._at_punct("]"):
+            items.append(self.or_expr())
+            if self._at_punct(","):
+                self._take()
+        self._take()  # ]
+        if not items:
+            return _V(F.array().cast("array<string>"), lit=[])
+        if all(i.has_lit for i in items):
+            vals = [i.lit for i in items]
+            return _V(F.array(*[i.col for i in items]), lit=vals)
+        return _V(F.array(*[i.col for i in items]))
+
+    def _map_literal(self) -> _V:
+        """``{a: 1, b: expr}`` → a map column (string keys; Spark MapType
+        needs a common value type, the same constraint the ladder had)."""
+        self._expect_punct("{")
+        kv: list[Column] = []
+        lit: dict = {}
+        all_lit = True
+        while not self._at_punct("}"):
+            kt = self._take()
+            if kt.kind == "str":
+                key = kt.text[1:-1]
+            elif kt.kind in ("ident", "num"):
+                key = kt.text
+            else:
+                raise ValueError(f"bad map key at: {self._here(kt)!r}")
+            self._expect_punct(":")
+            v = self.or_expr()
+            kv += [F.lit(key), v.col]
+            if v.has_lit and all_lit:
+                lit[key] = v.lit
+            else:
+                all_lit = False
+            if self._at_punct(","):
+                self._take()
+        self._take()  # }
+        if not kv:
+            return _V(F.create_map().cast("map<string,string>"), lit={})
+        return _V(F.create_map(*kv), lit=lit if all_lit else _MISSING)
+
+    def _case(self) -> _V:
+        """Both CASE forms: simple (``CASE subj WHEN v THEN r …``) and
+        searched (``CASE WHEN pred THEN r …``), with optional ELSE."""
+        self._take()  # CASE
+        subject = None
+        if not self._at_kw("WHEN"):
+            subject = self.or_expr()
+        branches: list[tuple[Column, Column]] = []
+        while self._at_kw("WHEN"):
+            self._take()
+            cond = self.or_expr()
+            self._take_kw("THEN")
+            val = self.or_expr()
+            c = (subject.col == cond.col) if subject is not None else cond.col
+            branches.append((c, val.col))
+        if not branches:
+            raise ValueError("CASE without WHEN")
+        otherwise = None
+        if self._at_kw("ELSE"):
+            self._take()
+            otherwise = self.or_expr()
+        self._take_kw("END")
+        out = F.when(*branches[0])
+        for c, v in branches[1:]:
+            out = out.when(c, v)
+        return _V(out.otherwise(otherwise.col) if otherwise is not None else out)
+
+    def _quantifier(self) -> _V:
+        """``all/any/none/single(x IN list WHERE pred)`` → JVM
+        higher-order functions (forall / exists / negation / filtered
+        size) — Cypher requires the WHERE part."""
+        kind = self._take().text.lower()
+        self._expect_punct("(")
+        var = self._take().text
+        self._take_kw("IN")
+        src_v, _ = self._span(self.or_expr)
+        self._take_kw("WHERE")
+        pred_src = self._span_until(stops_punct=(")",))
+        self._expect_punct(")")
+        resolve = self.resolve
+        pred = lambda el: compile_expr(pred_src, _scoped(resolve, **{var: el}))  # noqa: E731
+        col = src_v.col
+        if kind == "all":
+            return _V(F.forall(col, pred))
+        if kind == "any":
+            return _V(F.exists(col, pred))
+        if kind == "none":
+            return _V(~F.exists(col, pred))
+        return _V(F.size(F.filter(col, pred)) == F.lit(1))  # single
+
+    def _reduce(self) -> _V:
+        """``reduce(acc = init, x IN list | expr)`` → ``F.aggregate``
+        (JVM fold); the merge expression sees both variables through a
+        two-binding scoped resolver."""
+        self._take()  # reduce
+        self._expect_punct("(")
+        acc_var = self._take().text
+        self._expect_punct("=")
+        init_v, init_src = self._span(self.or_expr)
+        self._expect_punct(",")
+        el_var = self._take().text
+        self._take_kw("IN")
+        list_v, _ = self._span(self.or_expr)
+        self._expect_punct("|")
+        merge_src = self._span_until(stops_punct=(")",))
+        self._expect_punct(")")
+        resolve = self.resolve
+        # Cypher's reduce keeps the init's numeric type loose; long init is
+        # the common case and sum-like folds stay long unless floats enter.
+        init = init_v.col
+        if re.fullmatch(r"-?\d+", init_src.strip()):
+            init = init.cast("long")
+        return _V(
+            F.aggregate(
+                list_v.col,
+                init,
+                lambda acc, el: compile_expr(
+                    merge_src, _scoped(resolve, **{acc_var: acc, el_var: el})
+                ),
+            )
+        )
+
+    def _map_projection(self, var: str) -> _V:
+        """``var {.prop, alias: expr, .*}`` → a STRUCT column (Cypher maps
+        are heterogeneous; a struct carries mixed field types losslessly
+        and serializes the same shape over Bolt/JSON). ``.*`` expands to
+        every property column of the variable, sorted."""
+        frame = getattr(self.resolve, "frame", None)
+        if frame is None or f"{var}_id" not in frame.columns:
+            raise ValueError(
+                f"map projection on {var!r}: not a bound entity variable"
+            )
+        self._expect_punct("{")
+        fields: list[Column] = []
+        while not self._at_punct("}"):
+            if self._at_punct(".") and self._at_punct("*", 1):
+                self._take()
+                self._take()
+                for c in sorted(frame.columns):
+                    if c.startswith(f"{var}_") and c not in (
+                        f"{var}_id",
+                        f"{var}_labels",
+                        f"{var}_type",
+                    ):
+                        fields.append(F.col(c).alias(c[len(var) + 1 :]))
+            elif self._at_punct("."):
+                self._take()
+                prop = self._take().text
+                fields.append(self.resolve(f"{var}.{prop}").alias(prop))
+            else:
+                alias = self._take().text
+                self._expect_punct(":")
+                fields.append(self.or_expr().col.alias(alias))
+            if self._at_punct(","):
+                self._take()
+        self._take()  # }
+        if not fields:
+            raise ValueError(f"empty map projection on {var!r}")
+        return _V(F.struct(*fields))
+
+    # ---- function calls ------------------------------------------------
+
+    def _call(self, name: str) -> _V:
+        self._expect_punct("(")
+        args: list[_V] = []
+        arg_srcs: list[str] = []
+        while not self._at_punct(")"):
+            v, src = self._span(self.or_expr)
+            args.append(v)
+            arg_srcs.append(src.strip())
+            if self._at_punct(","):
+                self._take()
+        self._take()  # )
+        return self._dispatch(name, args, arg_srcs)
+
+    def _dispatch(self, name: str, args: list[_V], arg_srcs: list[str]) -> _V:
+        from ..functions import cypher as cf
+
+        low = name.lower()
+        resolve = self.resolve
+        frame = getattr(resolve, "frame", None)
+        path_vars = getattr(resolve, "path_vars", None) or ()
+        one_ident = len(arg_srcs) == 1 and re.fullmatch(r"\w+", arg_srcs[0])
+
+        # entity introspection routes through the binding-frame resolver
+        # (prefixed columns), keeping the resolver text contract
+        if low in ENTITY_FNS:
+            if low in ("id", "labels", "type") and one_ident:
+                return _V(resolve(f"{low}({arg_srcs[0]})"))
+            if low == "keys" and one_ident:
+                if frame is not None and f"{arg_srcs[0]}_id" in frame.columns:
+                    return _V(resolve(f"keys({arg_srcs[0]})"))
+                return _V(cf.keys(args[0].col))  # map_keys over a map value
+            if low == "properties" and one_ident:
+                return _V(resolve(f"properties({arg_srcs[0]})"))
+            raise ValueError(f"{name}() needs a bound variable argument")
+        # path accessors: frame columns when the arg is a bound path var
+        if low in _PATH_FNS and one_ident and arg_srcs[0] in path_vars:
+            return _V(resolve(f"{low}({arg_srcs[0]})"))
+        if low == "length":
+            # length() off a path is Cypher legacy string length
+            return _V(cf.size(args[0].col))
+        if low in ("nodes", "relationships"):
+            raise ValueError(f"{name}() needs a bound path variable")
+        # size(): polymorphic — list cardinality when the argument is
+        # statically an array (frame column dtype or nodes(path))
+        if low == "size":
+            if one_ident and frame is not None and dict(frame.dtypes).get(
+                arg_srcs[0], ""
+            ).startswith("array"):
+                return _V(cf.size_list(args[0].col))
+            m = re.fullmatch(r"nodes\(\s*(\w+)\s*\)", arg_srcs[0])
+            if m and m.group(1) in path_vars:
+                return _V(F.size(resolve(arg_srcs[0])))
+            return _V(cf.size(args[0].col))
+
+        # the pass-python-literals contract: library functions take the
+        # literal value (regex/delimiter/scale params), columns otherwise
+        call_args = [a.lit if a.has_lit else a.col for a in args]
+
+        if "." in name:
+            mapped = DOTTED_FNS.get(name)
+            fn = getattr(cf, mapped, None) if mapped else None
+            if fn is None:
+                # registered plugin scalar functions (apoc.version, …) —
+                # their signature contract is literal arguments
+                if not all(a.has_lit for a in args):
+                    raise ValueError(
+                        f"{name}(): plugin scalar functions take literal arguments"
+                    )
+                from ..procedures.registry import fn as plugin_fn
+
+                try:
+                    return _V(plugin_fn(name, *[a.lit for a in args]))
+                except (KeyError, ValueError) as exc:
+                    raise ValueError(f"unknown function {name}()") from exc
+            return _V(fn(*call_args))
+        fn = getattr(cf, name, None) or getattr(cf, name + "_", None)
+        if fn is None or not callable(fn):
+            raise ValueError(f"unknown function {name}()")
+        return _V(fn(*call_args))
+
+
+def compile_expr(src: str, resolve) -> Column:
+    """Compile one Cypher expression (value or predicate — same grammar)
+    to a Spark Column via the name ``resolve``r. The single entry point
+    session.py's WHERE / RETURN / WITH / CASE paths share."""
+    return _Parser(src, resolve).parse().col

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..storage.store import GraphStore
+from .exprs import compile_expr as _compile_expr  # r9: unified Pratt compiler
 from .lexer import (  # r8: the positional-token lexer replaces the regex
     PROPS_BODY as _PROPS_BODY,  # scanners (_NODE_RE/_REL_RE) and the
     Node as _Node,   # char-scan splitter — see cypher/lexer.py
@@ -131,18 +132,6 @@ def _lit_map(d: dict) -> F.Column:
     return F.create_map(*kv)
 
 
-_WHERE_TOKEN_RE = re.compile(
-    r"\s*(?:"
-    r"(?P<str>'[^']*'|\"[^\"]*\")"
-    r"|(?P<num>-?\d+(?:\.\d+)?)"
-    r"|(?P<op><=|>=|<>|=|<|>)"
-    r"|(?P<aop>[+\-*/%])"
-    r"|(?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)|(?P<lbr>\[)|(?P<rbr>\])"
-    r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
-    r")"
-)
-
-
 def _default_resolver(name: str) -> F.Column:
     """Bound-pattern name resolution: ``var.prop`` → var_prop, bare var →
     its id column; ``id(v)/labels(v)/type(r)`` → the entity's fixed
@@ -218,291 +207,10 @@ def _frame_resolver(frame: DataFrame):
 
 
 def _compile_where(src: str, resolve=None) -> F.Column:
-    """Compile a Cypher WHERE expression to a Spark Column via the name
-    ``resolve``r (default: the bound pattern's ``var_prop`` columns).
-
-    Grammar (recursive descent): OR-terms of AND-factors; factors are
-    NOT/parenthesized/comparisons; comparisons support = <> < <= > >=,
-    STARTS WITH / ENDS WITH / CONTAINS, IS [NOT] NULL, IN [list], and
-    literals (string/number/bool/null) — the predicate subset the
-    engine's DataFrame layer grades oracle-side (SURVEY §2.B.2).
-    """
-    resolve = resolve or _default_resolver
-    tokens: list[tuple[str, str]] = []
-    pos = 0
-    while pos < len(src):
-        m = _WHERE_TOKEN_RE.match(src, pos)
-        if not m:
-            raise ValueError(f"WHERE: cannot tokenize at {src[pos:pos + 20]!r}")
-        pos = m.end()
-        for kind in ("str", "num", "op", "aop", "lpar", "rpar", "comma", "lbr", "rbr", "word"):
-            if m.group(kind) is not None:
-                tokens.append((kind, m.group(kind)))
-                break
-    i = 0
-
-    def peek(k=None, v=None):
-        if i >= len(tokens):
-            return False
-        kind, val = tokens[i]
-        if k is not None and kind != k:
-            return False
-        if v is not None and val.upper() != v:
-            return False
-        return True
-
-    def take():
-        nonlocal i
-        t = tokens[i]
-        i += 1
-        return t
-
-    def primary() -> F.Column:
-        kind, val = take()
-        if kind == "str":
-            return F.lit(val[1:-1])
-        if kind == "num":
-            return F.lit(float(val) if "." in val else int(val))
-        if kind == "word":
-            up = val.upper()
-            if up == "TRUE":
-                return F.lit(True)
-            if up == "FALSE":
-                return F.lit(False)
-            if up == "NULL":
-                return F.lit(None)
-            if peek("lpar"):
-                # scalar function call — reassemble the balanced call text
-                # (string tokens keep their quotes) and compile it
-                parts = [val, "("]
-                take()
-                depth = 1
-                prev_kind = "lpar"
-                while depth:
-                    k2, v2 = take()
-                    if k2 == "lpar":
-                        depth += 1
-                    elif k2 == "rpar":
-                        depth -= 1
-                    if k2 == "comma":
-                        parts.append(", ")
-                    else:
-                        # keep word/literal boundaries (`x IN list WHERE …`
-                        # must not reassemble as `xINlistWHERE…`)
-                        if prev_kind in ("word", "num", "str") and k2 in (
-                            "word",
-                            "num",
-                            "str",
-                        ):
-                            parts.append(" ")
-                        parts.append(v2)
-                    prev_kind = k2
-                text = "".join(parts)
-                col = _compile_quantifier(text, resolve)
-                if col is None:
-                    col = _compile_fn_call(text, resolve)
-                # entity fns (id/labels/type/…) resolve as names
-                return col if col is not None else resolve(text)
-            return resolve(val)
-        raise ValueError(f"WHERE: unexpected operand {val!r}")
-
-    def operand() -> F.Column:
-        # arithmetic over primaries — `x % 2 = 0`, `a.qty * a.price > 100`
-        def aterm() -> F.Column:
-            out = primary()
-            while peek("aop") and tokens[i][1] in "*/%":
-                op = take()[1]
-                rhs = primary()
-                out = out * rhs if op == "*" else out / rhs if op == "/" else out % rhs
-            return out
-
-        out = aterm()
-        while peek("aop") and tokens[i][1] in "+-":
-            op = take()[1]
-            rhs = aterm()
-            out = out + rhs if op == "+" else out - rhs
-        return out
-
-    def comparison() -> F.Column:
-        left = operand()
-        if peek("op"):
-            op = take()[1]
-            right = operand()
-            return {
-                "=": left == right,
-                "<>": left != right,
-                "<": left < right,
-                "<=": left <= right,
-                ">": left > right,
-                ">=": left >= right,
-            }[op]
-        if peek("word", "IS"):
-            take()
-            if peek("word", "NOT"):
-                take()
-                _null = take()  # NULL
-                return left.isNotNull()
-            _null = take()  # NULL
-            return left.isNull()
-        if peek("word", "STARTS"):
-            take(); take()  # WITH
-            return left.startswith(operand())
-        if peek("word", "ENDS"):
-            take(); take()  # WITH
-            return left.endswith(operand())
-        if peek("word", "CONTAINS"):
-            take()
-            return left.contains(operand())
-        if peek("word", "IN"):
-            take()
-            take()  # [
-            vals = []
-            while not peek("rbr"):
-                kind, val = take()
-                if kind == "comma":
-                    continue
-                vals.append(val[1:-1] if kind == "str" else (float(val) if "." in val else int(val)))
-            take()  # ]
-            return left.isin(vals)
-        return left  # bare boolean property
-
-    def factor() -> F.Column:
-        if peek("word", "NOT"):
-            take()
-            return ~factor()
-        if peek("lpar"):
-            take()
-            e = expr()
-            take()  # )
-            return e
-        return comparison()
-
-    def term() -> F.Column:
-        out = factor()
-        while peek("word", "AND"):
-            take()
-            out = out & factor()
-        return out
-
-    def xterm() -> F.Column:
-        # Cypher precedence: NOT > AND > XOR > OR
-        out = term()
-        while peek("word", "XOR"):
-            take()
-            out = out != term()
-        return out
-
-    def expr() -> F.Column:
-        out = xterm()
-        while peek("word", "OR"):
-            take()
-            out = out | xterm()
-        return out
-
-    result = expr()
-    if i != len(tokens):
-        raise ValueError(f"WHERE: trailing tokens {tokens[i:]!r}")
-    return result
-
-
-_ARITH_TOKEN_RE = re.compile(
-    r"\s*(?:"
-    r"(?P<str>'[^']*'|\"[^\"]*\")"
-    r"|(?P<num>\d+(?:\.\d+)?)"
-    r"|(?P<op>[+\-*/%])"
-    r"|(?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)"
-    r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*)"
-    r")"
-)
-
-
-def _compile_value_expr(src: str, resolve) -> F.Column:
-    """Arithmetic expression projection (SURVEY §2.B.2): ``+ - * / %`` with
-    precedence and parens over properties/literals. ``+`` with a string
-    literal operand concatenates (Cypher's string ``+``)."""
-    tokens: list[tuple[str, str]] = []
-    pos = 0
-    while pos < len(src):
-        m = _ARITH_TOKEN_RE.match(src, pos)
-        if not m or m.end() == pos:
-            raise ValueError(f"cannot tokenize expression at {src[pos:pos + 20]!r}")
-        pos = m.end()
-        for kind in ("str", "num", "op", "lpar", "rpar", "comma", "word"):
-            if m.group(kind) is not None:
-                tokens.append((kind, m.group(kind)))
-                break
-    i = 0
-
-    def peek_op(*ops):
-        return i < len(tokens) and tokens[i][0] == "op" and tokens[i][1] in ops
-
-    def factor():
-        nonlocal i
-        kind, val = tokens[i]
-        i += 1
-        if kind == "op" and val == "-":
-            return (-factor()[0], False)
-        if kind == "lpar":
-            e = expr()
-            i += 1  # )
-            return e
-        if kind == "str":
-            return (F.lit(val[1:-1]), True)
-        if kind == "num":
-            return (F.lit(float(val) if "." in val else int(val)), False)
-        if kind == "word" and i < len(tokens) and tokens[i][0] == "lpar":
-            # scalar function call inside arithmetic — reassemble the
-            # balanced call text and hand it to the call compiler
-            parts = [val, "("]
-            i += 1
-            depth = 1
-            while depth and i < len(tokens):
-                k2, v2 = tokens[i]
-                i += 1
-                if k2 == "lpar":
-                    depth += 1
-                elif k2 == "rpar":
-                    depth -= 1
-                    if not depth:
-                        parts.append(")")
-                        break
-                parts.append(", " if k2 == "comma" else v2)
-                if k2 == "word" and i < len(tokens) and tokens[i][0] == "word":
-                    parts.append(" ")
-            text = "".join(parts)
-            col = _compile_fn_call(text, resolve)
-            return (col if col is not None else resolve(text), False)
-        return (resolve(val), False)
-
-    def term():
-        nonlocal i
-        out, s = factor()
-        while peek_op("*", "/", "%"):
-            op = tokens[i][1]
-            i += 1
-            rhs, _ = factor()
-            out = out * rhs if op == "*" else out / rhs if op == "/" else out % rhs
-        return (out, s)
-
-    def expr():
-        nonlocal i
-        out, s = term()
-        while peek_op("+", "-"):
-            op = tokens[i][1]
-            i += 1
-            rhs, rs = term()
-            if op == "-":
-                out, s = out - rhs, False
-            elif s or rs:  # string + → concatenation
-                out, s = F.concat(out.cast("string"), rhs.cast("string")), True
-            else:
-                out = out + rhs
-        return (out, s)
-
-    result, _ = expr()
-    if i != len(tokens):
-        raise ValueError(f"trailing tokens in expression: {tokens[i:]!r}")
-    return result
+    """Compile a Cypher WHERE predicate to a boolean Column — one thin
+    wrapper over the unified expression compiler (cypher/exprs.py);
+    the default resolver is the bound pattern's ``var_prop`` columns."""
+    return _compile_expr(src, resolve or _default_resolver)
 
 
 _AGG_RE = re.compile(
@@ -511,394 +219,14 @@ _AGG_RE = re.compile(
     re.IGNORECASE,
 )
 
-# entity accessors stay with the frame resolvers (prefixed columns)
-_ENTITY_FNS = frozenset({"id", "labels", "type", "properties", "length"})
-
-# Cypher's namespaced callables → library implementations. duration.between
-# and duration.inDays surface DAY granularity (a bigint of days) rather
-# than a full duration value — the accessor idiom `duration.inDays(a,b).days`
-# is the overwhelmingly common consumption and maps to exactly this.
-_DOTTED_FNS = {
-    "duration.between": "duration_between_days",
-    "duration.inDays": "duration_between_days",
-    "datetime.truncate": "date_trunc",
-    "apoc.json.path": "json_extract",
-}
-
-
-def _compile_fn_call(item: str, resolve) -> F.Column | None:
-    """``toUpper(d.name)``-style scalar function calls in RETURN/WITH items,
-    resolved against the engine's Cypher function library
-    (functions/cypher.py — SURVEY §2.B.7). Arguments may be literals,
-    names, or nested calls. Returns None when the item is not a call to a
-    known function (caller falls back to plain name resolution)."""
-    m = re.match(r"([A-Za-z_][A-Za-z0-9_.]*)\s*\(\s*(.*)\s*\)$", item, re.DOTALL)
-    if not m or m.group(1).lower() in _ENTITY_FNS:
-        return None
-    # the greedy regex would also match `f(a) + g(b)` as one call to `f`
-    # with argument text "a) + g(b" — reject when that text is not
-    # paren-balanced (quote-aware), so arithmetic over calls falls through
-    # to the expression compiler
-    depth, quote = 0, None
-    for ch in m.group(2):
-        if quote:
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth < 0:
-                return None
-    if depth != 0:
-        return None
-    from ..functions import cypher as cf
-
-    name = m.group(1)
-    if "." in name:
-        mapped = _DOTTED_FNS.get(name)
-        fn = getattr(cf, mapped, None) if mapped else None
-    else:
-        fn = getattr(cf, name, None) or getattr(cf, name + "_", None)
-    if fn is None or not callable(fn):
-        return None
-    # Cypher's size() is polymorphic (string length / list cardinality);
-    # the library maps it to string length. When the one argument is a
-    # frame column of array type (e.g. a rewritten pattern-comprehension
-    # column), dispatch to the list form instead.
-    if name.lower() == "size":
-        frame = getattr(resolve, "frame", None)
-        argtext = m.group(2).strip()
-        if frame is not None and dict(frame.dtypes).get(argtext, "").startswith(
-            "array"
-        ):
-            fn = cf.size_list
-    # keys(node) is entity introspection, not map_keys over a map column —
-    # route through the resolver's node-variable branch.
-    if name.lower() == "keys":
-        frame = getattr(resolve, "frame", None)
-        argtext = m.group(2).strip()
-        if frame is not None and f"{argtext}_id" in frame.columns:
-            return resolve(f"keys({argtext})")
-    # path accessors: length(p)/nodes(p) on a bound path variable are the
-    # binding frame's hops/path columns, not string/collection functions;
-    # size(nodes(p)) is the array form.
-    pv = getattr(resolve, "path_vars", None)
-    if pv:
-        argtext = m.group(2).strip()
-        if name.lower() in ("length", "nodes", "relationships") and argtext in pv:
-            return resolve(f"{name.lower()}({argtext})")
-        if name.lower() == "size" and re.fullmatch(
-            r"nodes\(\s*(\w+)\s*\)", argtext
-        ) and re.fullmatch(r"nodes\(\s*(\w+)\s*\)", argtext).group(1) in pv:
-            return F.size(resolve(argtext))
-    args = []
-    raw = m.group(2).strip()
-    for part in (_split_top(raw, ",") if raw else []):
-        part = part.strip()
-        nested = _compile_fn_call(part, resolve)
-        if nested is not None:
-            args.append(nested)
-        elif part.startswith(("'", '"', "[")) or re.fullmatch(r"-?\d+(\.\d+)?", part):
-            args.append(_parse_value(part))
-        elif re.search(r"[+\-*/%]", part) or re.match(r"CASE\b", part, re.IGNORECASE):
-            args.append(_value_of(part, resolve))
-        else:
-            args.append(resolve(part))
-    return fn(*args)
-
-
-def _balanced_strip(text: str) -> str | None:
-    """If ``text`` is one parenthesized group (the opening ``(`` matches
-    the final ``)``), return the inner text, else None."""
-    depth = 0
-    for i, c in enumerate(text):
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0:
-                return text[1:-1].strip() if i == len(text) - 1 else None
-    return None
-
-
-def _compile_case(item: str, resolve) -> F.Column | None:
-    """``CASE … END`` expressions in RETURN/WITH items — both forms:
-    generic (``CASE WHEN pred THEN v … [ELSE v] END``) and simple
-    (``CASE subject WHEN v THEN v … END``). WHEN predicates reuse the
-    WHERE compiler; THEN/ELSE values reuse the shared value compiler, so
-    nesting (function calls, arithmetic) works. Returns None when the item
-    is not a CASE expression.
-
-    Reference anchor: arbitrary Cypher strings over Bolt
-    (src/test/java/com/neo4j/docker/utils/DatabaseIO.java:121-128).
-    """
-    m = re.match(r"CASE\b(.*)\bEND$", item.strip(), re.IGNORECASE | re.DOTALL)
-    if not m:
-        return None
-    when_parts = _split_top(m.group(1), "WHEN")
-    head = when_parts[0].strip()
-    if not when_parts[1:]:
-        raise ValueError(f"CASE without WHEN: {item!r}")
-    subject = _value_of(head, resolve) if head else None
-    branches: list[tuple[F.Column, F.Column]] = []
-    otherwise = None
-    for part in when_parts[1:]:
-        sub = _split_top(part, "ELSE")
-        if len(sub) > 1:
-            otherwise = _value_of(sub[1].strip(), resolve)
-        thens = _split_top(sub[0], "THEN")
-        if len(thens) != 2:
-            raise ValueError(f"CASE WHEN without THEN: {sub[0]!r}")
-        cond_src, then_src = thens[0].strip(), thens[1].strip()
-        cond = (
-            subject == _value_of(cond_src, resolve)
-            if subject is not None
-            else _compile_where(cond_src, resolve)
-        )
-        branches.append((cond, _value_of(then_src, resolve)))
-    out = F.when(*branches[0])
-    for cond, val in branches[1:]:
-        out = out.when(cond, val)
-    return out.otherwise(otherwise) if otherwise is not None else out
-
-
-def _compile_list_comp(item: str, resolve) -> F.Column | None:
-    """List comprehension ``[x IN list WHERE pred | expr]`` → JVM
-    higher-order functions (``F.filter`` + ``F.transform`` — no Python
-    UDF). Either the WHERE or the ``| expr`` part may be absent. Returns
-    None when the item is not a comprehension (e.g. a plain list literal).
-    """
-    if not (item.startswith("[") and item.endswith("]")):
-        return None
-    body = item[1:-1].strip()
-    m = re.match(r"([A-Za-z_]\w*)\s+IN\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
-    if not m:
-        return None
-    var, rest = m.group(1), m.group(2)
-    pipe = _split_top(rest, "|")
-    out_src = pipe[1].strip() if len(pipe) > 1 else None
-    wh = _split_top(pipe[0], "WHERE")
-    list_src, pred_src = wh[0].strip(), (wh[1].strip() if len(wh) > 1 else None)
-    src_col = _value_of(list_src, resolve)
-
-    def scoped(el):
-        # closure (NOT a default arg — pyspark treats 2-arg lambdas as
-        # (element, index)) mapping the iteration variable to the lambda
-        # element; everything else falls through to the outer resolver.
-        def sub(name: str) -> F.Column:
-            return el if name == var else resolve(name)
-
-        return sub
-
-    out = src_col
-    if pred_src is not None:
-        out = F.filter(out, lambda el: _compile_where(pred_src, scoped(el)))
-    if out_src is not None:
-        out = F.transform(out, lambda el: _value_of(out_src, scoped(el)))
-    return out
-
-
-def _compile_quantifier(item: str, resolve) -> F.Column | None:
-    """List predicate quantifiers ``all/any/none/single(x IN list WHERE
-    pred)`` → JVM higher-order functions (``F.forall`` / ``F.exists`` /
-    negation / filtered ``F.size`` — no Python UDF). Cypher requires the
-    WHERE part for these, so its absence means "not a quantifier"."""
-    m = re.match(
-        r"(all|any|none|single)\s*\(\s*([A-Za-z_]\w*)\s+IN\s+(.+)\)$",
-        item.strip(),
-        re.IGNORECASE | re.DOTALL,
-    )
-    if not m:
-        return None
-    kind, var, rest = m.group(1).lower(), m.group(2), m.group(3)
-    wh = _split_top(rest, "WHERE")
-    if len(wh) != 2:
-        return None
-    list_src, pred_src = wh[0].strip(), wh[1].strip()
-    src_col = _value_of(list_src, resolve)
-
-    def scoped(el):
-        def sub(name: str) -> F.Column:
-            return el if name == var else resolve(name)
-
-        return sub
-
-    pred = lambda el: _compile_where(pred_src, scoped(el))  # noqa: E731
-    if kind == "all":
-        return F.forall(src_col, pred)
-    if kind == "any":
-        return F.exists(src_col, pred)
-    if kind == "none":
-        return ~F.exists(src_col, pred)
-    return F.size(F.filter(src_col, pred)) == F.lit(1)  # single
-
-
-def _compile_reduce(item: str, resolve) -> F.Column | None:
-    """``reduce(acc = init, x IN list | expr)`` → ``F.aggregate`` (JVM
-    fold). The merge expression sees both the accumulator and the element
-    through a two-variable scoped resolver."""
-    m = re.match(
-        r"reduce\s*\(\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*,\s*([A-Za-z_]\w*)\s+IN\s+(.+)\)$",
-        item.strip(),
-        re.IGNORECASE | re.DOTALL,
-    )
-    if not m:
-        return None
-    acc_var, init_src, el_var, rest = m.groups()
-    pipe = _split_top(rest, "|")
-    if len(pipe) != 2:
-        raise ValueError(f"reduce without merge expression: {item!r}")
-    list_src, merge_src = pipe[0].strip(), pipe[1].strip()
-
-    def scoped(acc, el):
-        def sub(name: str) -> F.Column:
-            if name == acc_var:
-                return acc
-            if name == el_var:
-                return el
-            return resolve(name)
-
-        return sub
-
-    init = _value_of(init_src, resolve)
-    # Cypher's reduce keeps the init's numeric type loose; long init is the
-    # common case and sum-like folds stay long unless the list is floats.
-    return F.aggregate(
-        _value_of(list_src, resolve),
-        init.cast("long") if re.fullmatch(r"-?\d+", init_src) else init,
-        lambda acc, el: _value_of(merge_src, scoped(acc, el)),
-    )
-
-
-def _compile_map_projection(item: str, resolve) -> F.Column | None:
-    """Map projection ``var {.prop, alias: expr, .*}`` → a STRUCT column
-    (Cypher maps are heterogeneous; Spark's MapType is not — a struct
-    carries mixed field types losslessly and serializes the same shape
-    over Bolt/JSON). ``.*`` expands to every property column of the
-    variable, sorted."""
-    m = re.match(r"^([A-Za-z_]\w*)\s*\{(.*)\}$", item.strip(), re.DOTALL)
-    if not m:
-        return None
-    var, body = m.group(1), m.group(2).strip()
-    frame = getattr(resolve, "frame", None)
-    if frame is None or f"{var}_id" not in frame.columns:
-        return None
-    fields = []
-    for part in _split_top(body, ","):
-        part = part.strip()
-        if not part:
-            continue
-        if part == ".*":
-            for c in sorted(frame.columns):
-                if c.startswith(f"{var}_") and c not in (
-                    f"{var}_id",
-                    f"{var}_labels",
-                    f"{var}_type",
-                ):
-                    fields.append(F.col(c).alias(c[len(var) + 1 :]))
-        elif part.startswith("."):
-            prop = part[1:].strip()
-            fields.append(resolve(f"{var}.{prop}").alias(prop))
-        elif ":" in part:
-            alias, expr = part.split(":", 1)
-            fields.append(_value_of(expr.strip(), resolve).alias(alias.strip()))
-        else:
-            raise ValueError(f"unsupported map projection item: {part!r}")
-    if not fields:
-        return None
-    return F.struct(*fields)
-
-
-def _compile_subscript(item: str, resolve) -> F.Column | None:
-    """Postfix subscription on a compiled expression: ``expr[i]`` (0-based,
-    negative = from the end), ``expr['key']`` (map access), and the
-    end-exclusive Cypher slice ``expr[a..b]`` / ``expr[a..]`` / ``expr[..b]``
-    (non-negative bounds; negative slice bounds raise rather than silently
-    differ from Cypher). Fires only when a top-level bracket group ENDS the
-    item and does not BEGIN it — list literals and comprehensions start at
-    position 0 and fall through untouched."""
-    item = item.strip()
-    if not item.endswith("]"):
-        return None
-    depth, start, in_q = 0, -1, None
-    for i, ch in enumerate(item):
-        if in_q:
-            if ch == in_q:
-                in_q = None
-            continue
-        if ch in "'\"":
-            in_q = ch
-        elif ch == "[":
-            if depth == 0:
-                start = i
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-            if depth == 0 and i != len(item) - 1:
-                start = -1
-    if depth != 0 or start <= 0:
-        return None
-    base, inner = item[:start].strip(), item[start + 1 : -1].strip()
-    if not base or not inner:
-        return None
-    col = _value_of(base, resolve)
-    m = re.match(r"^(-?\d+)?\s*\.\.\s*(-?\d+)?$", inner)
-    if m:
-        a = int(m.group(1)) if m.group(1) is not None else 0
-        b = int(m.group(2)) if m.group(2) is not None else None
-        if a < 0 or (b is not None and b < 0):
-            raise ValueError(f"negative slice bounds unsupported: {item!r}")
-        if b is None:
-            return F.slice(col, a + 1, 1_000_000)
-        return F.slice(col, a + 1, max(b - a, 0))
-    if re.fullmatch(r"-?\d+", inner):
-        i = int(inner)
-        return F.element_at(col, i + 1 if i >= 0 else i)
-    if inner.startswith(("'", '"')):
-        return F.element_at(col, F.lit(_parse_value(inner)))
-    # dynamic numeric index: 0-based non-negative expressions
-    return F.element_at(col, _value_of(inner, resolve).cast("int") + 1)
-
-
 def _value_of(text: str, resolve) -> F.Column:
-    """The shared value-expression compiler for RETURN/WITH items and
-    CASE/comprehension sub-expressions: subscript → CASE → comprehension →
-    reduce → function call → arithmetic/concat → literal → name
-    resolution."""
-    text = text.strip()
-    if (
-        text.startswith("(")
-        and text.endswith(")")
-        and _balanced_strip(text) is not None
-        and not _looks_like_pattern(text)
-    ):
-        return _value_of(_balanced_strip(text), resolve)
-    for compiler in (
-        _compile_subscript,
-        _compile_case,
-        _compile_map_projection,
-        _compile_list_comp,
-        _compile_quantifier,
-        _compile_reduce,
-        _compile_fn_call,
-    ):
-        col = compiler(text, resolve)
-        if col is not None:
-            return col
-    if re.search(r"[+\-*/%]", text):
-        return _compile_value_expr(text, resolve)
-    if text.startswith("{") and text.endswith("}"):
-        v = _parse_value(text)
-        if isinstance(v, dict):
-            return _lit_map(v)
-    if text.startswith(("'", '"', "[")) or re.fullmatch(r"-?\d+(\.\d+)?", text):
-        return F.lit(_parse_value(text))
-    if text.upper() in ("TRUE", "FALSE", "NULL"):
-        return F.lit(_parse_value(text))
-    return resolve(text)
+    """Value-expression compilation for RETURN/WITH items and CASE /
+    comprehension sub-expressions — delegated to the unified Pratt
+    compiler (cypher/exprs.py), which handles every construct the old
+    per-shape ladder dispatched on (subscript, CASE, map projection,
+    comprehensions, quantifiers, reduce, calls, arithmetic, literals)
+    in ANY nesting position."""
+    return _compile_expr(text, resolve)
 
 
 def _parse_items(src: str, resolve) -> tuple[list, list]:

@@ -644,11 +644,12 @@ def test_temporal_over_bound_property(session):
     assert r[0]["anniv"] == "2025-04-29"
 
 
-def test_fn_call_regex_does_not_swallow_arithmetic():
-    # `f(a) + g(b)` must not parse as one call to f (paren balance check)
-    from docker_neo4j_spark.cypher.session import _compile_fn_call
-
-    assert _compile_fn_call("date(x) + duration('P1D')", lambda n: None) is None
+def test_fn_call_does_not_swallow_arithmetic(session):
+    # `f(a) + g(b)` must parse as an addition of two calls, not one call
+    # to f with argument text "a) + g(b" (the r8 regex compiler needed a
+    # paren-balance guard for this; the Pratt parser gets it structurally)
+    r = session.run("RETURN size('ab') + size('xyz') AS n").collect()
+    assert r[0]["n"] == 5
 
 
 def test_batch_unwind_merge_is_set_based(session):
