@@ -93,6 +93,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
     # r9 entries are appended as new rows register; reset at round start.
+    "cypher_hostile_expression",
 ]
 
 

@@ -1978,3 +1978,42 @@ def proc_apoc_create_merge(spark, sf_dir):
         "MATCH (w:Widget) RETURN w.name AS name, w.sku AS sku, w.kind AS kind "
         "ORDER BY sku"
     )
+
+
+@register(
+    "cypher_hostile_expression",
+    """
+    SELECT c_name AS name,
+           CAST(list_reduce(list_prepend(0, list_transform(
+               list_filter(range(1, len(c_mktsegment) + 1), x -> x % 2 = 0),
+               x -> CASE WHEN x > 4 THEN x * 2 ELSE -x END)),
+             (acc, s) -> acc + s) AS BIGINT) AS folded,
+           (list_transform(string_split(c_name, '#'),
+               w -> CASE len(w) WHEN 8 THEN upper(w) ELSE w || '!' END))[1]
+             AS first_tok
+    FROM customer ORDER BY name
+    """,
+)
+def cypher_hostile_expression(spark, sf_dir):
+    """Hostile nesting through the unified expression compiler
+    (cypher/exprs.py, the r8-verdict Pratt-parser milestone): a searched
+    CASE inside a filtered list comprehension inside a reduce fold, plus
+    a simple-form CASE with string concatenation inside a second
+    comprehension consumed through postfix subscription — every construct
+    in a position the old per-shape ladder could not dispatch. One
+    façade statement, compiled to pure built-in higher-order Column
+    expressions (no UDFs), replayed exactly in DuckDB lambdas."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (c:Customer) RETURN c.c_name AS name, "
+        "reduce(acc = 0, s IN [x IN range(1, size(c.c_mktsegment)) "
+        "WHERE x % 2 = 0 | CASE WHEN x > 4 THEN x * 2 ELSE -x END] "
+        "| acc + s) AS folded, "
+        "[w IN split(c.c_name, '#') | CASE size(w) WHEN 8 THEN toUpper(w) "
+        "ELSE w + '!' END][0] AS first_tok "
+        "ORDER BY name"
+    )

@@ -63,6 +63,37 @@ DOTTED_FNS = {
 }
 
 
+# argument positions (0-indexed) each library function needs as PYTHON
+# values, not Columns — regex/delimiter escaping happens Python-side,
+# F.round takes a plain int scale, temporal specs/units are strings
+_LITERAL_PARAMS = {
+    "replace": (1, 2),
+    "split": (1,),
+    "left": (1,),
+    "right": (1,),
+    "round": (1,),
+    "substring": (1, 2),
+    "range": (2,),
+    "map_get": (1,),
+    "duration": (0,),
+    "date_trunc": (0,),
+    "json_extract": (1,),
+    "from_json_map": (1,),
+    "approx_count_distinct": (1,),
+    # dotted façade names (looked up pre-mapping)
+    "datetime.truncate": (0,),
+    "apoc.json.path": (1,),
+}
+
+# library functions statically known to return strings — their results
+# participate in `+` concatenation like string literals do (reverse is
+# excluded: polymorphic over lists)
+_STR_RETURNING = frozenset(
+    {"toupper", "tolower", "trim", "ltrim", "rtrim", "tostring",
+     "substring", "replace", "left", "right"}
+)
+
+
 class _V:
     """A compiled sub-expression: the Column, plus the static facts the
     ladder used to special-case — a pure-literal Python value (function
@@ -552,14 +583,14 @@ class _Parser:
         subject = None
         if not self._at_kw("WHEN"):
             subject = self.or_expr()
-        branches: list[tuple[Column, Column]] = []
+        branches: list[tuple[Column, _V]] = []
         while self._at_kw("WHEN"):
             self._take()
             cond = self.or_expr()
             self._take_kw("THEN")
             val = self.or_expr()
             c = (subject.col == cond.col) if subject is not None else cond.col
-            branches.append((c, val.col))
+            branches.append((c, val))
         if not branches:
             raise ValueError("CASE without WHEN")
         otherwise = None
@@ -567,10 +598,18 @@ class _Parser:
             self._take()
             otherwise = self.or_expr()
         self._take_kw("END")
-        out = F.when(*branches[0])
+        out = F.when(branches[0][0], branches[0][1].col)
         for c, v in branches[1:]:
-            out = out.when(c, v)
-        return _V(out.otherwise(otherwise.col) if otherwise is not None else out)
+            out = out.when(c, v.col)
+        # a CASE whose every branch is statically a string is itself one
+        # (so `CASE … END + CASE … END` concatenates, like the branches would)
+        is_str = all(v.is_str for _, v in branches) and (
+            otherwise is None or otherwise.is_str
+        )
+        return _V(
+            out.otherwise(otherwise.col) if otherwise is not None else out,
+            is_str=is_str,
+        )
 
     def _quantifier(self) -> _V:
         """``all/any/none/single(x IN list WHERE pred)`` → JVM
@@ -721,9 +760,22 @@ class _Parser:
                 return _V(F.size(resolve(arg_srcs[0])))
             return _V(cf.size(args[0].col))
 
-        # the pass-python-literals contract: library functions take the
-        # literal value (regex/delimiter/scale params), columns otherwise
-        call_args = [a.lit if a.has_lit else a.col for a in args]
+        # Most arguments pass as Columns (string literals become F.lit,
+        # never column names). The exceptions are config parameters the
+        # library genuinely needs as Python values (regex/delimiter
+        # escaping, F.round's scale, duration specs) — position-listed
+        # per function in _LITERAL_PARAMS.
+        lit_positions = _LITERAL_PARAMS.get(low, ())
+        call_args = []
+        for pos, a in enumerate(args):
+            if pos in lit_positions:
+                if not a.has_lit:
+                    raise ValueError(
+                        f"{name}(): argument {pos + 1} must be a literal"
+                    )
+                call_args.append(a.lit)
+            else:
+                call_args.append(a.col)
 
         if "." in name:
             mapped = DOTTED_FNS.get(name)
@@ -745,7 +797,7 @@ class _Parser:
         fn = getattr(cf, name, None) or getattr(cf, name + "_", None)
         if fn is None or not callable(fn):
             raise ValueError(f"unknown function {name}()")
-        return _V(fn(*call_args))
+        return _V(fn(*call_args), is_str=low in _STR_RETURNING)
 
 
 def compile_expr(src: str, resolve) -> Column:
