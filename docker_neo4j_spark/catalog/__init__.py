@@ -84,6 +84,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     "cypher_scalar_functions",
     "cypher_where_filter",
     "cypher_temporal",
+    # r9: batch-UNWIND write clauses ported from the four _BATCH_*_RE
+    # regexes (last PROPS_BODY consumer) to the token-stream spec parser
+    # — re-grade both batch-write rows
+    "write_merge_unwind_batch",
+    "write_merge_rel_batch",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

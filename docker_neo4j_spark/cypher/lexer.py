@@ -14,7 +14,9 @@ Ported onto the stream so far (each removes its regex twin from
 - ``split_top``  — the clause splitter (UNION / AND / ',' at depth 0);
 - ``parse_pattern`` — MATCH/CREATE pattern parsing: ``(a:L {p: v})``
   nodes, ``-[r:T|U *1..3 {p: v}]->`` relationships (replaces
-  ``_NODE_RE``/``_REL_RE``/``_PROPS_BODY``);
+  ``_NODE_RE``/``_REL_RE``/``PROPS_BODY`` — the last PROPS_BODY
+  consumer, the batch-UNWIND clause regexes, was ported in r9 and the
+  regex deleted);
 - ``parse_value``/``parse_props`` — literal scalars/lists/maps;
 - ``find_keyword``/``split_keyword`` — depth-0, quote-safe clause-keyword
   scanning (replaces the ``re.search(r"\\bKEYWORD\\b")`` scanners and the
@@ -31,15 +33,6 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-
-# Quote-aware props-block BODY regex (r6 ADVICE), still consumed by the
-# not-yet-ported batch-UNWIND clause regexes in session.py; the ported
-# paths parse props off the token stream instead.
-PROPS_BODY = (
-    r"(?:'[^']*'|\"[^\"]*\""           # string literals, atomically
-    r"|\{(?:'[^']*'|\"[^\"]*\"|[^{}'\"])*\}"  # one nested map level
-    r"|[^{}'\"])*"                     # everything else, no stray braces
-)
 
 _TOKEN_RE = re.compile(
     r"""(?P<ws>\s+)

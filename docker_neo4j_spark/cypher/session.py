@@ -36,8 +36,7 @@ from pyspark.sql import functions as F
 from ..storage.store import GraphStore
 from .exprs import compile_expr as _compile_expr  # r9: unified Pratt compiler
 from .lexer import (  # r8: the positional-token lexer replaces the regex
-    PROPS_BODY as _PROPS_BODY,  # scanners (_NODE_RE/_REL_RE) and the
-    Node as _Node,   # char-scan splitter — see cypher/lexer.py
+    Node as _Node,   # scanners (_NODE_RE/_REL_RE) and the char-scan
     Rel as _Rel,
     find_keyword as _find_kw,
     parse_pattern as _parse_pattern,
@@ -302,15 +301,7 @@ class Session:
         ``session.run("MATCH (n {id: $id}) …", id=7)``); values render as
         literals with strings quoted, lists bracketed."""
         if parameters:
-            up = cypher.upper()
-            batch = None
-            if "MERGE" in up:
-                batch = self._try_batch_unwind_merge(cypher, parameters) \
-                    or self._try_batch_rel_merge(cypher, parameters)
-            elif "DELETE" in up:
-                batch = self._try_batch_unwind_delete(cypher, parameters)
-            elif "CREATE" in up:
-                batch = self._try_batch_unwind_create(cypher, parameters)
+            batch = self._run_batch_spec(cypher, parameters)
             if batch is not None:
                 return batch
 
@@ -708,191 +699,271 @@ class Session:
             frame, rest[m_ret.end():].strip(), [], _frame_resolver(frame)
         )
 
-    _BATCH_MERGE_RE = re.compile(
-        r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"
-        r"MERGE\s*\(\s*(?P<nvar>\w*)\s*:\s*(?P<label>\w+)\s*"
-        r"\{(?P<props>" + _PROPS_BODY + r")\}\s*\)\s*"
-        r"(?:RETURN\s+count\s*\(\s*(?:\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*)?$",
-        re.IGNORECASE | re.DOTALL,
-    )
+    # ---- batch-UNWIND write shapes (token-stream parsed, r9) -----------
+    # The four driver-guide bulk shapes intercepted before the literal
+    # renderer. One structured parser replaces the four _BATCH_*_RE
+    # regexes (and with them the last consumer of lexer.PROPS_BODY):
+    # quoted spans are atomic tokens, props nest arbitrarily, and a
+    # shape mismatch anywhere simply falls through to the renderer.
 
-    _BATCH_CREATE_RE = re.compile(
-        r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"
-        r"CREATE\s*\(\s*(?P<nvar>\w*)\s*:\s*(?P<label>\w+)\s*"
-        r"\{(?P<props>" + _PROPS_BODY + r")\}\s*\)\s*"
-        r"(?:RETURN\s+count\s*\(\s*(?:\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*)?$",
-        re.IGNORECASE | re.DOTALL,
-    )
+    @staticmethod
+    def _parse_batch_spec(cypher: str) -> dict | None:
+        """Parse ``UNWIND $param AS var <write clause>`` off the token
+        stream into a spec dict, or None when the statement is any other
+        shape. Shapes (the Bolt driver-guide batch idioms):
 
-    def _try_batch_unwind_create(self, cypher: str, parameters: dict) -> DataFrame | None:
-        """``UNWIND $rows AS r CREATE (n:Label {k: r.k, …})`` — bulk insert
-        from a list-of-maps parameter in ONE ``store.create_nodes`` append
-        (no dedup — CREATE always inserts, the Cypher contract)."""
-        m = self._BATCH_CREATE_RE.match(cypher.strip().rstrip(";"))
-        if not m:
+        - ``MERGE (n:L {k: r.k, …}) [RETURN count(*) AS a]``
+        - ``CREATE (n:L {k: r.k, …}) [RETURN count(*) AS a]``
+        - ``MATCH (n:L {k: r.k}) [DETACH] DELETE n``
+        - ``MATCH (a:L {k: r.x}), (b:M {k: r.y}) MERGE (a)-[:T]->(b)
+          [RETURN count(*) AS a]``
+        """
+        from .lexer import _Stream, _parse_value_stream, tokenize
+
+        src = cypher.strip().rstrip(";")
+        s = _Stream(tokenize(src), src)
+
+        def at_kw(word: str, ahead: int = 0) -> bool:
+            t = s.peek(ahead)
+            return t is not None and t.kind == "ident" and t.text.upper() == word
+
+        def take_ident() -> str:
+            return s.expect("ident").text
+
+        def props_with_refs(var: str) -> list:
+            """``{k: r.f, tag: 'x'}`` → [(key, ref_field | None, literal)]
+            — values are either ``var.field`` references into the batch
+            rows or literal scalars/lists/maps."""
+            s.expect("punct", "{")
+            out = []
+            while not s.at("punct", "}"):
+                key = take_ident()
+                s.expect("punct", ":")
+                if (
+                    s.at("ident")
+                    and s.peek().text == var
+                    and s.at("punct", ".", ahead=1)
+                ):
+                    s.take()
+                    s.take()
+                    out.append((key, take_ident(), None))
+                else:
+                    out.append((key, None, _parse_value_stream(s)))
+                if s.at("punct", ","):
+                    s.take()
+            s.take()  # }
+            return out
+
+        def node_pattern(var: str) -> tuple[str | None, str, list]:
+            """``(nvar? :Label {props})`` → (nvar, label, props)."""
+            s.expect("punct", "(")
+            nvar = s.take().text if s.at("ident") else None
+            s.expect("punct", ":")
+            label = take_ident()
+            props = props_with_refs(var) if s.at("punct", "{") else []
+            s.expect("punct", ")")
+            return nvar, label, props
+
+        def count_tail() -> str | None:
+            """Optional ``RETURN count(*|x) AS alias`` then end-of-input;
+            raises on any other tail (caller catches → not a batch)."""
+            alias = None
+            if at_kw("RETURN"):
+                s.take()
+                if not (s.at("ident") and s.peek().text.lower() == "count"):
+                    raise ValueError("batch tail is not count()")
+                s.take()
+                s.expect("punct", "(")
+                if s.at("punct", "*") or s.at("ident"):
+                    s.take()
+                s.expect("punct", ")")
+                if not at_kw("AS"):
+                    raise ValueError("batch count() without AS")
+                s.take()
+                alias = take_ident()
+            if s.peek() is not None:
+                raise ValueError("trailing input after batch statement")
+            return alias
+
+        try:
+            if not at_kw("UNWIND"):
+                return None
+            s.take()
+            if not s.at("param"):
+                return None
+            param = s.take().text[1:]
+            if not at_kw("AS"):
+                return None
+            s.take()
+            var = take_ident()
+            if at_kw("MERGE") or at_kw("CREATE"):
+                kind = "merge_node" if at_kw("MERGE") else "create_node"
+                s.take()
+                _, label, props = node_pattern(var)
+                if not props:
+                    return None
+                return {
+                    "kind": kind,
+                    "param": param,
+                    "var": var,
+                    "label": label,
+                    "props": props,
+                    "alias": count_tail(),
+                }
+            if not at_kw("MATCH"):
+                return None
+            s.take()
+            av, albl, aprops = node_pattern(var)
+            if s.at("punct", ","):
+                # two anchors → relationship MERGE
+                s.take()
+                bv, blbl, bprops = node_pattern(var)
+                if not at_kw("MERGE"):
+                    return None
+                s.take()
+                s.expect("punct", "(")
+                lv = take_ident()
+                s.expect("punct", ")")
+                s.expect("punct", "-")
+                s.expect("punct", "[")
+                s.expect("punct", ":")
+                rtype = take_ident()
+                s.expect("punct", "]")
+                s.expect("punct", "-")
+                s.expect("punct", ">")
+                s.expect("punct", "(")
+                rv = take_ident()
+                s.expect("punct", ")")
+                if lv != av or rv != bv:
+                    return None
+                if len(aprops) != 1 or len(bprops) != 1:
+                    return None
+                (ak, af, _), (bk, bf, _) = aprops[0], bprops[0]
+                if af is None or bf is None:
+                    return None
+                return {
+                    "kind": "merge_rel",
+                    "param": param,
+                    "var": var,
+                    "a": (albl, ak, af),
+                    "b": (blbl, bk, bf),
+                    "rtype": rtype,
+                    "alias": count_tail(),
+                }
+            # single anchor → batch DELETE
+            detach = at_kw("DETACH")
+            if detach:
+                s.take()
+            if not at_kw("DELETE"):
+                return None
+            s.take()
+            dvar = take_ident()
+            if s.peek() is not None or dvar != av:
+                return None
+            if len(aprops) != 1 or aprops[0][1] is None:
+                return None
+            return {
+                "kind": "delete",
+                "param": param,
+                "var": var,
+                "label": albl,
+                "key": aprops[0][0],
+                "field": aprops[0][1],
+                "detach": detach,
+            }
+        except ValueError:
             return None
-        rows = parameters.get(m.group("param"))
+
+    @staticmethod
+    def _batch_rows(spec: dict, parameters: dict):
+        rows = parameters.get(spec["param"])
         if not isinstance(rows, (list, tuple)) or not rows or not all(
             isinstance(r, dict) for r in rows
         ):
             return None
-        var = m.group("var")
-        mapped = []
-        for part in _split_top(m.group("props"), ","):
-            if not part.strip():
-                continue
-            k, v = part.split(":", 1)
-            k, v = k.strip(), v.strip()
-            if re.fullmatch(rf"{re.escape(var)}\.(\w+)", v):
-                mapped.append((k, v.split(".", 1)[1], None))
-            else:
-                mapped.append((k, None, _parse_value(v)))
-        if not mapped:
+        return rows
+
+    def _run_batch_spec(self, cypher: str, parameters: dict) -> DataFrame | None:
+        """Dispatch a parsed batch-UNWIND spec to its set-based store
+        path; None falls through to the literal renderer. Each shape is
+        O(1) Spark jobs regardless of batch size — one createDataFrame of
+        the rows plus one key-joined store write, never a per-row loop."""
+        spec = self._parse_batch_spec(cypher)
+        if spec is None:
             return None
-        self.store.create_nodes(
-            m.group("label"),
-            [{k: (r.get(f) if f is not None else lit) for k, f, lit in mapped} for r in rows],
-        )
-        alias = m.group("alias")
-        if alias is None:
+        rows = self._batch_rows(spec, parameters)
+        if rows is None:
+            return None
+        kind = spec["kind"]
+        if kind == "merge_node":
+            # ONE store.merge_nodes call (distinct + left-anti + append)
+            sel, key_cols = [], []
+            for k, f, lit in spec["props"]:
+                sel.append(F.col(f).alias(k) if f is not None else F.lit(lit).alias(k))
+                key_cols.append(k)
+            df = self.spark.createDataFrame(list(rows)).select(*sel)
+            self.store.merge_nodes(spec["label"], df, key_cols)
+            # Cypher cardinality: UNWIND emits one row per element and
+            # MERGE preserves it, so count(*) = len(rows)
+            return self._batch_count(spec["alias"], len(rows))
+        if kind == "create_node":
+            # bulk insert in ONE create_nodes append (no dedup — CREATE
+            # always inserts, the Cypher contract)
+            self.store.create_nodes(
+                spec["label"],
+                [
+                    {k: (r.get(f) if f is not None else lit) for k, f, lit in spec["props"]}
+                    for r in rows
+                ],
+            )
+            return self._batch_count(spec["alias"], len(rows))
+        if kind == "delete":
+            # one key-join resolves doomed ids, one set-based delete
+            field = spec["field"]
+            # key type from the first NON-None value; bail to the literal
+            # renderer on mixed-type batches (createDataFrame would raise)
+            vals = [r.get(field) for r in rows]
+            non_null = [v for v in vals if v is not None]
+            if non_null and not all(isinstance(v, type(non_null[0])) for v in non_null):
+                return None
+            ktype = "string" if non_null and isinstance(non_null[0], str) else "long"
+            keys = self.spark.createDataFrame([(v,) for v in vals], f"_key {ktype}")
+            nodes = self.store.match_nodes(spec["label"])
+            doomed = nodes.join(
+                keys, nodes[spec["key"]] == keys["_key"], "left_semi"
+            ).select("id")
+            self.store.delete_nodes_by_ids(doomed, detach=spec["detach"])
             return self.spark.createDataFrame([], "ok string")
-        return self.spark.createDataFrame([(len(rows),)], f"{alias} long")
-
-    _BATCH_DELETE_RE = re.compile(
-        r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"
-        r"MATCH\s*\(\s*(?P<nvar>\w+)\s*:\s*(?P<label>\w+)\s*"
-        r"\{\s*(?P<key>\w+)\s*:\s*(?P<ref>[\w.]+)\s*\}\s*\)\s+"
-        r"(?P<detach>DETACH\s+)?DELETE\s+(?P<dvar>\w+)\s*$",
-        re.IGNORECASE | re.DOTALL,
-    )
-
-    def _try_batch_unwind_delete(self, cypher: str, parameters: dict) -> DataFrame | None:
-        """``UNWIND $rows AS r MATCH (n:L {k: r.k}) [DETACH] DELETE n`` —
-        bulk delete by key batch: one key-join resolves doomed ids, one
-        set-based ``store.delete_nodes_by_ids`` removes them (plain DELETE
-        keeps the Cypher still-connected constraint)."""
-        m = self._BATCH_DELETE_RE.match(cypher.strip().rstrip(";"))
-        if not m or m.group("dvar") != m.group("nvar"):
-            return None
-        rows = parameters.get(m.group("param"))
-        if not isinstance(rows, (list, tuple)) or not rows or not all(
-            isinstance(r, dict) for r in rows
-        ):
-            return None
-        mm = re.fullmatch(rf"{re.escape(m.group('var'))}\.(\w+)", m.group("ref"))
-        if mm is None:
-            return None
-        field = mm.group(1)
-        # key type from the first NON-None value (rows[0] may be a None
-        # key); bail to the literal renderer on mixed-type batches, which
-        # would otherwise raise inside createDataFrame
-        vals = [r.get(field) for r in rows]
-        non_null = [v for v in vals if v is not None]
-        if non_null and not all(isinstance(v, type(non_null[0])) for v in non_null):
-            return None
-        ktype = "string" if non_null and isinstance(non_null[0], str) else "long"
-        keys = self.spark.createDataFrame([(v,) for v in vals], f"_key {ktype}")
-        nodes = self.store.match_nodes(m.group("label"))
-        doomed = nodes.join(keys, nodes[m.group("key")] == keys["_key"], "left_semi").select("id")
-        self.store.delete_nodes_by_ids(doomed, detach=m.group("detach") is not None)
-        return self.spark.createDataFrame([], "ok string")
-
-    _BATCH_MERGE_REL_RE = re.compile(
-        r"^\s*UNWIND\s+\$(?P<param>\w+)\s+AS\s+(?P<var>\w+)\s+"
-        r"MATCH\s*\(\s*(?P<av>\w+)\s*:\s*(?P<albl>\w+)\s*\{\s*(?P<ak>\w+)\s*:\s*(?P<aref>[\w.]+)\s*\}\s*\)\s*,\s*"
-        r"\(\s*(?P<bv>\w+)\s*:\s*(?P<blbl>\w+)\s*\{\s*(?P<bk>\w+)\s*:\s*(?P<bref>[\w.]+)\s*\}\s*\)\s+"
-        r"MERGE\s*\(\s*(?P<l>\w+)\s*\)\s*-\s*\[\s*:\s*(?P<rtype>\w+)\s*\]\s*->\s*\(\s*(?P<r>\w+)\s*\)\s*"
-        r"(?:RETURN\s+count\s*\(\s*(?:\*|\w+)\s*\)\s+AS\s+(?P<alias>\w+)\s*)?$",
-        re.IGNORECASE | re.DOTALL,
-    )
-
-    def _try_batch_rel_merge(self, cypher: str, parameters: dict) -> DataFrame | None:
-        """``UNWIND $rows AS r MATCH (a:L {k: r.x}), (b:M {k: r.y})
-        MERGE (a)-[:T]->(b)`` — the batch relationship-upsert twin of
-        ``_try_batch_unwind_merge``: two key-joins against the node frames
-        resolve endpoint ids, then ONE ``store.merge_rels`` (distinct +
-        left-anti + append) writes every missing edge."""
-        m = self._BATCH_MERGE_REL_RE.match(cypher.strip().rstrip(";"))
-        if not m:
-            return None
-        rows = parameters.get(m.group("param"))
-        if not isinstance(rows, (list, tuple)) or not rows or not all(
-            isinstance(r, dict) for r in rows
-        ):
-            return None
-        var = m.group("var")
-        if m.group("l") != m.group("av") or m.group("r") != m.group("bv"):
-            return None
-
-        def field(ref: str) -> str | None:
-            mm = re.fullmatch(rf"{re.escape(var)}\.(\w+)", ref)
-            return mm.group(1) if mm else None
-
-        fa, fb = field(m.group("aref")), field(m.group("bref"))
-        if fa is None or fb is None:
-            return None
+        # merge_rel: two key-joins resolve endpoint ids, ONE merge_rels
+        albl, ak, af = spec["a"]
+        blbl, bk, bf = spec["b"]
         df = self.spark.createDataFrame(list(rows))
-        na = self.store.match_nodes(m.group("albl")).select(
-            F.col("id").alias("_aid"), F.col(m.group("ak")).alias("_akey")
+        na = self.store.match_nodes(albl).select(
+            F.col("id").alias("_aid"), F.col(ak).alias("_akey")
         )
-        nb = self.store.match_nodes(m.group("blbl")).select(
-            F.col("id").alias("_bid"), F.col(m.group("bk")).alias("_bkey")
+        nb = self.store.match_nodes(blbl).select(
+            F.col("id").alias("_bid"), F.col(bk).alias("_bkey")
         )
         pairs = (
-            df.join(na, df[fa] == na["_akey"])
-            .join(nb, df[fb] == nb["_bkey"])
+            df.join(na, df[af] == na["_akey"])
+            .join(nb, df[bf] == nb["_bkey"])
             .select(F.col("_aid").alias("src"), F.col("_bid").alias("dst"))
         )
-        alias = m.group("alias")
+        alias = spec["alias"]
         # Cypher cardinality: the intermediate MATCH drops UNWIND rows
         # whose endpoints don't resolve (and multiplies on duplicate
         # keys), so count(*) is the PRE-distinct joined-pair count, not
         # len(rows). Counted before merge_rels distincts it.
         n_out = pairs.count() if alias is not None else None
-        self.store.merge_rels(m.group("rtype"), pairs)
+        self.store.merge_rels(spec["rtype"], pairs)
         if alias is None:
             return self.spark.createDataFrame([], "ok string")
         return self.spark.createDataFrame([(n_out,)], f"{alias} long")
 
-    def _try_batch_unwind_merge(self, cypher: str, parameters: dict) -> DataFrame | None:
-        """``UNWIND $rows AS r MERGE (n:Label {k: r.k, …})`` with a
-        list-of-maps parameter — the bulk-upsert shape every Bolt driver
-        guide documents for batch loading. Compiles to ONE
-        ``store.merge_nodes`` call (distinct + left-anti + append), never a
-        per-row driver round-trip; the single-statement ``_merge`` path and
-        its take(1) stay for the interactive corpus. Returns None when the
-        statement is any other shape (caller falls through to the literal
-        renderer)."""
-        m = self._BATCH_MERGE_RE.match(cypher.strip().rstrip(";"))
-        if not m:
-            return None
-        rows = parameters.get(m.group("param"))
-        if not isinstance(rows, (list, tuple)) or not rows or not all(
-            isinstance(r, dict) for r in rows
-        ):
-            return None
-        var = m.group("var")
-        sel, key_cols = [], []
-        for part in _split_top(m.group("props"), ","):
-            if not part.strip():
-                continue
-            k, v = part.split(":", 1)
-            k, v = k.strip(), v.strip()
-            if re.fullmatch(rf"{re.escape(var)}\.(\w+)", v):
-                sel.append(F.col(v.split(".", 1)[1]).alias(k))
-            else:
-                sel.append(F.lit(_parse_value(v)).alias(k))
-            key_cols.append(k)
-        if not key_cols:
-            return None
-        df = self.spark.createDataFrame(list(rows)).select(*sel)
-        self.store.merge_nodes(m.group("label"), df, key_cols)
-        alias = m.group("alias")
+    def _batch_count(self, alias: str | None, n: int) -> DataFrame:
         if alias is None:
             return self.spark.createDataFrame([], "ok string")
-        # Cypher cardinality: UNWIND emits one row per input element and
-        # MERGE preserves it, so count(*) over the statement = len(rows)
-        return self.spark.createDataFrame([(len(rows),)], f"{alias} long")
+        return self.spark.createDataFrame([(n,)], f"{alias} long")
 
     def _merge(self, pattern_src: str) -> DataFrame:
         """``MERGE (n:L {props})[-[:T]->(m:M {props})]`` — openCypher atomic
