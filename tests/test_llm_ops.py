@@ -188,6 +188,49 @@ def test_embed_text_deterministic_and_normalized(spark):
     assert len(out[1]) == 16
 
 
+def test_embed_pluggable_encoder_hook(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_ENCODER_MODULE names a module exposing encode_batch —
+    the real-model plug point (r8 verdict). A synthetic module proves the
+    executor-side resolution end-to-end; unset → FNV stub (prior test)."""
+    import sys
+
+    mod = tmp_path / "fake_encoder_mod.py"
+    mod.write_text(
+        "def encode_batch(texts, dim):\n"
+        "    return [[float(len(t or ''))] * dim for t in texts]\n"
+    )
+    # executors don't share the driver's post-start env/sys.path: the
+    # module NAME rides the closure (env read driver-side at construction)
+    # and the FILE ships via addPyFile — the documented deployment recipe
+    spark.sparkContext.addPyFile(str(mod))
+    sys.modules.pop("fake_encoder_mod", None)
+    monkeypatch.setenv("SPARK_GRAFT_ENCODER_MODULE", "fake_encoder_mod")
+    from docker_neo4j_spark.operators.embed import embed_documents
+
+    df = spark.createDataFrame([(1, "abc"), (2, "abcde")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["embedding"] for r in embed_documents(df, dim=4).collect()}
+    assert out[1] == [3.0, 3.0, 3.0, 3.0]
+    assert out[2] == [5.0, 5.0, 5.0, 5.0]
+
+
+def test_embed_bad_encoder_module_fails_loud(spark):
+    from docker_neo4j_spark.operators import embed as em
+
+    # misconfiguration must raise, never silently fall back to the stub
+    # (a silent fallback would fake real encodings)
+    with pytest.raises(RuntimeError, match="encode_batch"):
+        em._load_encoder("no_such_module_xyz")
+
+
+@pytest.mark.skipif(
+    True, reason="real model encoder not available in this container"
+)
+def test_embed_real_model_encoder():
+    """Placeholder for the real-model path: set SPARK_GRAFT_ENCODER_MODULE
+    to a model-client module in an environment that has one and drop the
+    skip — the plumbing is covered by the synthetic-module test above."""
+
+
 def test_kafka_wiring_gated(spark):
     from docker_neo4j_spark.streaming.kafka import kafka_available, read_kafka_events
 
