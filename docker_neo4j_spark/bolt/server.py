@@ -102,8 +102,14 @@ class _Conn(socketserver.BaseRequestHandler):
         session: Session = self.server.bolt_session
         state = "auth"          # auth -> ready -> streaming / failed
         fields: list[str] = []
-        buffered: list[list] = []
-        cursor = 0
+        # r9: results stream through toLocalIterator with a one-row
+        # lookahead (has_more needs it) — one Arrow partition buffered at
+        # a time, so a MATCH (n) RETURN n over a big store costs
+        # O(partition) driver memory, not O(result) (r8 verdict item;
+        # record-stream semantics per Bolt PULL {n}).
+        _DONE = object()
+        row_iter = iter(())
+        nextrow = _DONE
 
         while True:
             payload = _recv_message(sock)
@@ -117,7 +123,7 @@ class _Conn(socketserver.BaseRequestHandler):
             if tag == GOODBYE:
                 return
             if tag == RESET:
-                state, buffered, cursor = "ready", [], 0
+                state, row_iter, nextrow = "ready", iter(()), _DONE
                 _send(sock, SUCCESS, {})
                 continue
             if tag == TELEMETRY:
@@ -176,10 +182,8 @@ class _Conn(socketserver.BaseRequestHandler):
                 try:
                     df = session.run(text, params or None)
                     fields = list(df.columns)
-                    buffered = [
-                        [_bolt_value(v) for v in row] for row in df.collect()
-                    ]
-                    cursor = 0
+                    row_iter = iter(df.toLocalIterator())
+                    nextrow = next(row_iter, _DONE)
                     state = "streaming"
                     _send(sock, SUCCESS, {"fields": fields, "t_first": 0})
                 except Exception as ex:
@@ -187,18 +191,20 @@ class _Conn(socketserver.BaseRequestHandler):
                     _send(sock, FAILURE, _err("Statement.SyntaxError", str(ex)))
             elif tag == PULL:
                 n = int((msg.fields[0] or {}).get("n", -1)) if msg.fields else -1
-                end = len(buffered) if n < 0 else min(cursor + n, len(buffered))
-                for row in buffered[cursor:end]:
-                    _send(sock, RECORD, row)  # RECORD's single field IS the list
-                cursor = end
-                if cursor < len(buffered):
+                sent = 0
+                while nextrow is not _DONE and (n < 0 or sent < n):
+                    # RECORD's single field IS the value list
+                    _send(sock, RECORD, [_bolt_value(v) for v in nextrow])
+                    nextrow = next(row_iter, _DONE)
+                    sent += 1
+                if nextrow is not _DONE:
                     _send(sock, SUCCESS, {"has_more": True})
                 else:
                     state = "ready"
                     _send(sock, SUCCESS, {"type": "r", "t_last": 0})
             elif tag == DISCARD:
                 state = "ready"
-                buffered, cursor = [], 0
+                row_iter, nextrow = iter(()), _DONE
                 _send(sock, SUCCESS, {"type": "r"})
             else:
                 _send(sock, FAILURE, _err("Request.Invalid", f"unexpected 0x{tag:02X}"))

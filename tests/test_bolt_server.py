@@ -182,6 +182,32 @@ def test_pull_paging_has_more(bolt):
     assert got == list(range(1, 11))
 
 
+def test_large_result_streams_bounded(bolt):
+    """r9: RUN materializes NO rows driver-side (toLocalIterator with a
+    one-row lookahead); a 50k-row result streams through chunked PULLs
+    with correct has_more framing, and DISCARD mid-stream drops the rest
+    without draining it."""
+    bolt.hello()
+    bolt.send(RUN, "UNWIND range(1, 50000) AS x RETURN x", {}, {})
+    assert bolt.recv().tag == SUCCESS
+    # first page only — the server must not have collected all 50k
+    bolt.send(PULL, {"n": 5})
+    got = []
+    while True:
+        msg = bolt.recv()
+        if msg.tag == RECORD:
+            got.append(msg.fields[0][0])
+        else:
+            assert msg.tag == SUCCESS and msg.fields[0].get("has_more")
+            break
+    assert got == [1, 2, 3, 4, 5]
+    DISCARD = 0x2F
+    bolt.send(DISCARD, {"n": -1})
+    assert bolt.recv().tag == SUCCESS
+    fields, rows = bolt.run("RETURN 7 AS seven")
+    assert rows == [[7]]
+
+
 def test_failure_then_ignored_until_reset(bolt):
     bolt.hello()
     bolt.send(RUN, "THIS IS NOT CYPHER !!", {}, {})
