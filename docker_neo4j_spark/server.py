@@ -136,11 +136,35 @@ class HttpServer:
     Threaded so a test (or a driver process) can query while the main
     thread keeps working; one Session is shared — the façade's store swaps
     are atomic snapshot replacements, so concurrent reads are consistent.
+
+    TLS (the reference's 7473 HTTPS port): pass ``cert_path``/``key_path``
+    (PEM) and the listening socket is ssl-wrapped server-side — the
+    engine's twin of the entrypoint's ``/ssl`` mount contract
+    (docker-image-src docker-entrypoint.sh:479-537, policy directories
+    ``/ssl/https`` with ``private.key``+``public.crt``;
+    Dockerfile-trixie:54 exposes 7473). Plain HTTP stays the default.
     """
 
-    def __init__(self, session: Session, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        session: Session,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        cert_path: str | None = None,
+        key_path: str | None = None,
+    ):
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.session = session
+        self.scheme = "http"
+        if cert_path:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(certfile=cert_path, keyfile=key_path)
+            self._httpd.socket = ctx.wrap_socket(
+                self._httpd.socket, server_side=True
+            )
+            self.scheme = "https"
         self._thread: threading.Thread | None = None
 
     @property
@@ -159,6 +183,13 @@ class HttpServer:
             self._thread.join(timeout=5)
 
 
-def serve(session: Session, host: str = "127.0.0.1", port: int = 7474) -> HttpServer:
-    """Start serving the session over HTTP; returns the running server."""
-    return HttpServer(session, host, port).start()
+def serve(
+    session: Session,
+    host: str = "127.0.0.1",
+    port: int = 7474,
+    cert_path: str | None = None,
+    key_path: str | None = None,
+) -> HttpServer:
+    """Start serving the session over HTTP — or HTTPS when a PEM cert is
+    configured (the reference's 7473 port contract)."""
+    return HttpServer(session, host, port, cert_path, key_path).start()

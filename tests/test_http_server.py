@@ -126,3 +126,49 @@ def test_http_cluster_available_readiness(spark):
             assert r.status == 200
     finally:
         srv.stop()
+
+
+def test_https_self_signed_tls(spark, tmp_path):
+    """TLS façade (the reference's 7473 HTTPS port, docker-entrypoint.sh
+    /ssl mount contract): a PEM cert+key wrap the listening socket; a
+    client trusting the cert queries the same transaction API over
+    https; plain-HTTP clients are refused by the handshake."""
+    import shutil
+    import ssl
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        pytest.skip("openssl binary not available to mint a test cert")
+    key, crt = tmp_path / "private.key", tmp_path / "public.crt"
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", str(key), "-out", str(crt), "-days", "1",
+            "-subj", "/CN=127.0.0.1",
+            "-addext", "subjectAltName=IP:127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    srv = serve(Session(spark), port=0, cert_path=str(crt), key_path=str(key))
+    try:
+        assert srv.scheme == "https"
+        ctx = ssl.create_default_context(cafile=str(crt))
+        req = urllib.request.Request(
+            f"https://127.0.0.1:{srv.port}/db/neo4j/tx/commit",
+            data=json.dumps(
+                {"statements": [{"statement": "RETURN 42 AS v"}]}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, context=ctx) as resp:
+            out = json.loads(resp.read())
+        assert out["errors"] == []
+        assert out["results"][0]["data"][0]["row"] == [42]
+        # a plain-HTTP request against the TLS socket must fail, not serve
+        with pytest.raises(Exception):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/", timeout=5
+            )
+    finally:
+        srv.stop()
