@@ -49,6 +49,12 @@ HEADLINE = [
     "gds_betweenness_cosupply",   # sampled Brandes BSP
     "llm_bpe_train",              # corpus-collapse + merge loop
     "stream_attribution_join_batch",  # stream-stream interval join (batch twin)
+    # r9 breadth (VERDICT r8 item 8): one representative per r8-era
+    # family so bench coverage tracks the catalog — first-run anchors
+    # recorded in BASELINE.md
+    "gds_ktruss_copart",          # wedge-join truss peeling
+    "proc_export_graphml_lines",  # ordered single-document graph export
+    "llm_temperature_resample",   # softmax-weighted deterministic resample
 ]
 
 

@@ -216,6 +216,40 @@ class _Opts:
                 for t in existing
                 if pat.fullmatch(t) and os.path.isdir(os.path.join(self.root, t))
             ]
+        # consumer-group id (the real connector's kafka.group.id option):
+        # committed group offsets take precedence over startingOffsets on
+        # (re)start — the consumer-group handoff a rebalance relies on
+        self.group_id = (options.get("kafka.group.id") or "").strip() or None
+        # seek-by-timestamp (startingOffsetsByTimestamp, ms per partition)
+        # — mutually exclusive with startingOffsets, the real connector's
+        # rule; the no-match behavior follows
+        # startingOffsetsByTimestampStrategy (error | latest, default error)
+        raw_ts = options.get("startingOffsetsByTimestamp")
+        self.starting_ts = None
+        self.ts_strategy = (
+            options.get("startingOffsetsByTimestampStrategy") or "error"
+        ).strip().lower()
+        if self.ts_strategy not in ("error", "latest"):
+            raise ValueError(
+                f"file_kafka: bad startingOffsetsByTimestampStrategy "
+                f"{self.ts_strategy!r} (error | latest)"
+            )
+        if raw_ts:
+            if options.get("startingOffsets"):
+                raise ValueError(
+                    "file_kafka: set only one of startingOffsets and "
+                    "startingOffsetsByTimestamp — the real connector's rule"
+                )
+            try:
+                self.starting_ts = {
+                    t: {int(p): int(ms) for p, ms in parts.items()}
+                    for t, parts in json.loads(raw_ts).items()
+                }
+            except (ValueError, AttributeError):
+                raise ValueError(
+                    "file_kafka: startingOffsetsByTimestamp JSON must be "
+                    '{"topic": {"partition": epoch_millis}}'
+                ) from None
         raw_start = options.get("startingOffsets") or "earliest"
         self.starting_json = None
         if raw_start.strip().startswith("{"):
@@ -242,8 +276,26 @@ class _Opts:
                 "batch queries — the real connector's rule"
             )
 
-    def start_index(self, topic: str, log_len: int) -> int:
+    def start_index(self, topic: str, log_len: int, records: list | None = None) -> int:
         """Resolved start position for a topic's single partition 0."""
+        if self.starting_ts is not None:
+            ts_ms = self.starting_ts.get(topic, {}).get(0)
+            if ts_ms is None:
+                return 0  # partitions missing from the JSON start earliest
+            if records is None:
+                records = _log_records(self.root, topic)
+            # first offset whose record timestamp >= the sought millis —
+            # the broker's offsetsForTimes contract (ts is CreateTime)
+            for i, rec in enumerate(records):
+                if rec.get("ts", 0.0) * 1000.0 >= ts_ms:
+                    return i
+            if self.ts_strategy == "latest":
+                return log_len
+            raise ValueError(
+                f"file_kafka: no offset in {topic!r} with timestamp >= "
+                f"{ts_ms} and startingOffsetsByTimestampStrategy=error — "
+                f"the real connector's no-match rule"
+            )
         if self.starting_json is not None:
             off = self.starting_json.get(topic, {}).get(0, -2)
             if off == -2:
@@ -253,6 +305,33 @@ class _Opts:
             return min(max(off, 0), log_len)
         return log_len if self.starting == "latest" else 0
 
+    # -- consumer-group committed offsets (kafka.group.id) ---------------
+
+    def _group_file(self) -> str:
+        return os.path.join(self.root, "_groups", f"{self.group_id}.json")
+
+    def committed_offsets(self) -> dict | None:
+        """The group's committed {topic: offset} map, if any."""
+        if not self.group_id:
+            return None
+        try:
+            with open(self._group_file()) as f:
+                return {t: int(o) for t, o in json.load(f).items()}
+        except (OSError, ValueError):
+            return None
+
+    def commit_group_offsets(self, offsets: dict) -> None:
+        """Persist the group's progress (atomic rename — a dying consumer
+        never leaves a torn commit for the next group member)."""
+        if not self.group_id:
+            return
+        path = self._group_file()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(offsets, f)
+        os.replace(tmp, path)
+
 
 class FileKafkaBatchReader(DataSourceReader):
     def __init__(self, opts: _Opts):
@@ -261,7 +340,7 @@ class FileKafkaBatchReader(DataSourceReader):
     def read(self, partition) -> Iterator[tuple]:
         for topic in self.opts.topics:
             records = _log_records(self.opts.root, topic)
-            start = self.opts.start_index(topic, len(records))
+            start = self.opts.start_index(topic, len(records), records)
             for i, rec in enumerate(records[start:], start=start):
                 yield _to_output_row(rec, topic, i)
 
@@ -288,12 +367,19 @@ class FileKafkaStreamReader(SimpleDataSourceStreamReader):
         self.opts = opts
 
     def initialOffset(self) -> dict:
-        return {
-            "n": {
-                t: self.opts.start_index(t, len(_log_records(self.opts.root, t)))
-                for t in self.opts.topics
-            }
-        }
+        # consumer-group semantics: the group's committed offsets win over
+        # startingOffsets (the rebalance handoff — a member joining after
+        # another died resumes where the group left off, never from the
+        # auto-reset position)
+        committed = self.opts.committed_offsets()
+        out = {}
+        for t in self.opts.topics:
+            if committed is not None and t in committed:
+                out[t] = committed[t]
+            else:
+                records = _log_records(self.opts.root, t)
+                out[t] = self.opts.start_index(t, len(records), records)
+        return {"n": out}
 
     def read(self, start: dict):
         lo = _norm_offset(start, self.opts.topics)
@@ -306,6 +392,12 @@ class FileKafkaStreamReader(SimpleDataSourceStreamReader):
             ]
             end[topic] = len(records)
         return iter(rows), {"n": end}
+
+    def commit(self, end: dict) -> None:
+        """Micro-batch completion: commit the group's progress (no-op
+        without kafka.group.id — checkpoint-only tracking, the real
+        connector's default)."""
+        self.opts.commit_group_offsets(_norm_offset(end, self.opts.topics))
 
     def readBetweenOffsets(self, start: dict, end: dict):
         lo = _norm_offset(start, self.opts.topics)

@@ -395,3 +395,105 @@ def test_starting_offsets_json_streaming(spark, broker, tmp_path):
     )
     vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
     assert vals == ["v2", "v3"]
+
+
+def test_seek_by_timestamp_batch(spark, broker):
+    """startingOffsetsByTimestamp: start at the FIRST offset whose record
+    timestamp >= the sought epoch-millis (the broker's offsetsForTimes
+    contract); partitions absent from the JSON start earliest; no match +
+    strategy=error raises, strategy=latest yields the empty tail — all
+    real-connector rules (r9 conformance dimension)."""
+    import json as _json
+    import time
+
+    _produce(spark, broker, "t", [("k0", "v0")])
+    time.sleep(0.05)
+    cut_ms = int(time.time() * 1000)
+    time.sleep(0.05)
+    _produce(spark, broker, "t", [("k1", "v1"), ("k2", "v2")])
+
+    def read_from(ts_ms, strategy=None):
+        r = (
+            spark.read.format("file_kafka")
+            .option("kafka.bootstrap.servers", broker)
+            .option("subscribe", "t")
+            .option(
+                "startingOffsetsByTimestamp", _json.dumps({"t": {"0": ts_ms}})
+            )
+        )
+        if strategy:
+            r = r.option("startingOffsetsByTimestampStrategy", strategy)
+        return {row["value"].decode() for row in r.load().collect()}
+
+    assert read_from(0) == {"v0", "v1", "v2"}
+    assert read_from(cut_ms) == {"v1", "v2"}
+    far_future = cut_ms + 10**10
+    with pytest.raises(Exception, match="no offset"):
+        read_from(far_future)
+    assert read_from(far_future, strategy="latest") == set()
+    # mutual exclusion with startingOffsets — the real connector's rule
+    with pytest.raises(Exception, match="only one"):
+        (
+            spark.read.format("file_kafka")
+            .option("kafka.bootstrap.servers", broker)
+            .option("subscribe", "t")
+            .option("startingOffsets", "earliest")
+            .option(
+                "startingOffsetsByTimestamp", _json.dumps({"t": {"0": 0}})
+            )
+            .load()
+            .collect()
+        )
+
+
+def test_consumer_group_rebalance_handoff(spark, broker, tmp_path):
+    """kafka.group.id: a consumer joining the group AFTER a member's
+    progress was committed (fresh checkpoint — the rebalance/died-member
+    case) resumes from the group's COMMITTED offset, not from
+    startingOffsets=earliest; a different group — and a group-less
+    consumer — still replay everything. Group commits are LAZY (they
+    fire when the next batch starts, exactly the real consumer's async
+    offset-commit timing), so member 1 runs two availableNow drains: the
+    second's restart commits the first's offsets (r9 conformance
+    dimension)."""
+    _produce(spark, broker, "t", [("a", "v1"), ("b", "v2")])
+
+    def drain(name, group=None, starting="earliest"):
+        out, ckpt = str(tmp_path / name), str(tmp_path / f"{name}_ckpt")
+        r = (
+            spark.readStream.format("file_kafka")
+            .option("kafka.bootstrap.servers", broker)
+            .option("subscribe", "t")
+            .option("startingOffsets", starting)
+        )
+        if group:
+            r = r.option("kafka.group.id", group)
+        q = (
+            r.load()
+            .select(F.col("value").cast("string"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {row["value"] for row in spark.read.parquet(out).collect()}
+
+    # member 1 consumes the backlog; its progress commits on the restart
+    assert drain("m1", group="g1") == {"v1", "v2"}
+    _produce(spark, broker, "t", [("c", "v3")])
+    assert drain("m1", group="g1") == {"v1", "v2", "v3"}
+    # the restart committed offset 2 (v1+v2) — v3's batch is uncommitted
+    import json as _json
+
+    committed = _json.load(open(tmp_path / "broker" / "_groups" / "g1.json"))
+    assert committed == {"t": 2}
+    # member 2: NEW checkpoint, same group → resumes at the committed
+    # offset (the uncommitted tail replays — at-least-once, the real
+    # group-handoff contract), though startingOffsets says earliest
+    assert drain("m2", group="g1") == {"v3"}
+    # a different group sees the whole log again
+    assert drain("other", group="g2") == {"v1", "v2", "v3"}
+    # group-less consumer: checkpoint-only tracking, full replay
+    assert drain("nogroup") == {"v1", "v2", "v3"}
