@@ -99,6 +99,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 _NEW_THIS_ROUND: list[str] = [
     # r9 entries are appended as new rows register; reset at round start.
     "cypher_hostile_expression",
+    "cypher_collect_subquery",
 ]
 
 

@@ -2017,3 +2017,41 @@ def cypher_hostile_expression(spark, sf_dir):
         "ELSE w + '!' END][0] AS first_tok "
         "ORDER BY name"
     )
+
+
+@register(
+    "cypher_collect_subquery",
+    """
+    SELECT n_name AS nation,
+           COALESCE(array_to_string(
+             list_sort(list(c_name) FILTER (c_acctbal > 9900.0)), ','),
+             '') AS rich,
+           CAST(COUNT(*) FILTER (c_acctbal > 9900.0) AS BIGINT) AS n_rich
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY nation
+    """,
+)
+def cypher_collect_subquery(spark, sf_dir):
+    """Cypher 5 ``COLLECT { MATCH … WHERE … RETURN … }`` subquery in
+    RETURN position (r9): decorrelated to one pattern-match frame
+    aggregated on the anchor ids (collect_list, sorted) and left-joined
+    back — never a per-row subquery. The same COLLECT nested inside
+    size() exercises expression-position rewriting."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "MATCH (n:Nation) RETURN n.n_name AS nation, "
+        "COLLECT { MATCH (c:Customer)-[:IN_NATION]->(n) "
+        "WHERE c.c_acctbal > 9900.0 RETURN c.c_name } AS rich, "
+        "size(COLLECT { MATCH (c:Customer)-[:IN_NATION]->(n) "
+        "WHERE c.c_acctbal > 9900.0 RETURN c.c_name }) AS n_rich "
+        "ORDER BY nation"
+    )
+    # CSV-render the collected array (the driver's hash compare needs
+    # scalar cells — the catalog's sorted-CSV convention)
+    return out.select(
+        "nation", F.concat_ws(",", F.col("rich")).alias("rich"), "n_rich"
+    )

@@ -259,13 +259,22 @@ def _parse_items(src: str, resolve) -> tuple[list, list]:
 
 
 def _order_keys(order_by: str, resolve) -> list:
-    """ORDER BY key list → sorted Column list via ``resolve(name)``."""
+    """ORDER BY key list → sorted Column list. Simple names (aliases,
+    ``var.prop`` — possibly containing dots from literal item text) stay
+    resolver-routed so post-projection columns win; anything else
+    compiles as a full expression (``ORDER BY CASE … END``,
+    ``ORDER BY n.a + n.b`` — r9, on the unified compiler)."""
     keys = []
-    for k in order_by.split(","):
+    for k in _split_top(order_by, ","):
         k = k.strip()
         desc = k.upper().endswith(" DESC")
         k = re.sub(r"\s+(A|DE)SC$", "", k, flags=re.IGNORECASE)
-        col = resolve(k)
+        if re.fullmatch(r"[A-Za-z_][\w.]*", k) or re.fullmatch(
+            r"(id|labels|type|length|nodes|size)\(\s*[\w.()]*\s*\)", k
+        ):
+            col = resolve(k)
+        else:
+            col = _compile_expr(k, resolve)
         keys.append(col.desc() if desc else col.asc())
     return keys
 
@@ -1622,6 +1631,126 @@ class Session:
             )
             ret = ret[:start] + out_col + ret[end:]
 
+    @staticmethod
+    def _find_brace_subquery(src: str, word: str):
+        """Locate the next ``WORD { inner }`` span, token-scanned (quote-
+        safe, arbitrary brace nesting). Returns (start, end, inner) or
+        None."""
+        from .lexer import tokenize
+
+        toks = tokenize(src)
+        for i, t in enumerate(toks):
+            if (
+                t.kind != "ident"
+                or t.text.upper() != word
+                or i + 1 >= len(toks)
+                or toks[i + 1].kind != "punct"
+                or toks[i + 1].text != "{"
+            ):
+                continue
+            depth = 0
+            for j in range(i + 1, len(toks)):
+                tj = toks[j]
+                if tj.kind != "punct":
+                    continue
+                if tj.text == "{":
+                    depth += 1
+                elif tj.text == "}":
+                    depth -= 1
+                    if depth == 0:
+                        inner = src[toks[i + 1].end : tj.pos].strip()
+                        return (t.pos, tj.end, inner)
+            return None
+        return None
+
+    def _apply_collect_subqueries(self, bound: DataFrame, ret: str):
+        """Cypher 5 ``COLLECT { [MATCH] pattern [WHERE pred] RETURN expr }``
+        in RETURN position: each becomes a per-binding collected array
+        column (decorrelated: one pattern-match frame aggregated on the
+        anchor ids with collect_list, left-joined back, absent → []) and
+        the RETURN text is rewritten to reference it. The array is sorted
+        — Cypher 5 honors the subquery's ORDER BY, but a distributed
+        engine must pin SOME deterministic order and sorted is the
+        oracle-comparable one (documented deviation; pass ORDER BY to a
+        WITH pipeline for custom orders)."""
+        while True:
+            hit = self._find_brace_subquery(ret, "COLLECT")
+            if hit is None:
+                return bound, ret
+            start, end, inner = hit
+            kw_m = _find_kw(inner, "MATCH")
+            if kw_m is not None and kw_m[0] == 0:
+                inner = inner[kw_m[1]:].strip()
+            kw_r = _find_kw(inner, "RETURN")
+            if kw_r is None:
+                raise ValueError(
+                    "COLLECT { … } requires an inner RETURN (Cypher 5 "
+                    "collect-subquery contract)"
+                )
+            head, expr_src = inner[: kw_r[0]].strip(), inner[kw_r[1]:].strip()
+            wh = _split_kw(head, "WHERE")
+            pat_src = wh[0].strip()
+            where_src = wh[1].strip() if len(wh) > 1 else None
+            out_col = f"_clq{self._anon}"
+            self._anon += 1
+            bound = self._collect_pattern(
+                bound, pat_src, where_src, expr_src, out_col
+            )
+            ret = ret[:start] + out_col + ret[end:]
+
+    def _collect_pattern(
+        self,
+        bound: DataFrame,
+        pat_src: str,
+        where_src: str | None,
+        expr_src: str,
+        out_col: str,
+    ) -> DataFrame:
+        """Join a collected per-anchor array of ``expr`` over a pattern's
+        matches onto ``bound`` — the shared engine of COLLECT{} (and the
+        same decorrelated shape as pattern comprehensions)."""
+        from ..operators.patterns import NodeSpec, RelSpec, match_chain
+
+        elems, rest = _parse_pattern(pat_src)
+        if rest:
+            raise ValueError(f"trailing content in COLLECT pattern: {rest!r}")
+        pattern = []
+        for j, el in enumerate(elems):
+            if isinstance(el, _Node):
+                if not el.var:
+                    el.var = f"_cl{self._anon}"
+                    self._anon += 1
+                pattern.append(NodeSpec(el.var, el.label, el.props or None))
+            else:
+                pattern.append(
+                    RelSpec(el.var or f"_clr{j}", el.rel_type, _direction(el), props=el.props or None)
+                )
+        join_vars = [
+            el.var
+            for el in elems
+            if isinstance(el, _Node) and f"{el.var}_id" in bound.columns
+        ]
+        if not join_vars:
+            raise ValueError("COLLECT subquery must reference a bound variable")
+        sub = match_chain(self.store.graph, pattern)
+        if where_src:
+            sub = sub.where(_compile_where(where_src, _frame_resolver(sub)))
+        val = _value_of(expr_src, _frame_resolver(sub))
+        arrs = sub.groupBy(
+            [F.col(f"{v}_id").alias(f"_pp_{v}") for v in join_vars]
+        ).agg(F.array_sort(F.collect_list(val)).alias(out_col))
+        cond = None
+        for v in join_vars:
+            c = F.col(f"{v}_id") == F.col(f"_pp_{v}")
+            cond = c if cond is None else cond & c
+        joined = bound.join(arrs, cond, "left").drop(
+            *[f"_pp_{v}" for v in join_vars]
+        )
+        dtype = dict(joined.dtypes)[out_col]
+        return joined.withColumn(
+            out_col, F.coalesce(F.col(out_col), F.array().cast(dtype))
+        )
+
     def _count_pattern(self, bound: DataFrame, src: str, out_col: str) -> DataFrame:
         """Left-join the per-anchor match count of a pattern onto ``bound``
         as ``out_col`` (the COUNT{} compilation; twin of _pattern_filter)."""
@@ -2085,6 +2214,9 @@ class Session:
         if re.search(r"\[\s*\(", ret):
             bound, ret = self._apply_pattern_comprehensions(bound, ret)
             resolve = _frame_resolver(bound)
+        if self._find_brace_subquery(ret, "COLLECT") is not None:
+            bound, ret = self._apply_collect_subqueries(bound, ret)
+            resolve = _frame_resolver(bound)
         _resolve = resolve or _default_resolver
         # ORDER BY / SKIP / LIMIT suffixes, DISTINCT prefix
         order_by = None
@@ -2131,7 +2263,18 @@ class Session:
         ] if order_by else []
         by_alias = order_names and all(k in alias_names for k in order_names)
         if order_by and not by_alias:
-            bound = bound.orderBy(*_order_keys(order_by, _resolve))
+            # pre-projection sort may still MIX projected aliases with
+            # unprojected props / expressions (ORDER BY CASE…END, n) —
+            # aliases resolve to their key expressions, the rest to the
+            # binding frame (r9)
+            key_map = {a: c for a, c in keys}
+
+            def _order_resolve(name: str) -> F.Column:
+                if name in key_map:
+                    return key_map[name]
+                return _resolve(name)
+
+            bound = bound.orderBy(*_order_keys(order_by, _order_resolve))
         out = bound.select([c for _, c in keys])
         if distinct:
             out = out.distinct()

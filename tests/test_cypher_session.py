@@ -1144,3 +1144,47 @@ def test_list_subscript_and_slice(spark):
 
     with _pytest.raises(ValueError, match="negative slice"):
         s.run("RETURN [1,2,3][-2..] AS v")
+
+
+def test_collect_subquery(session):
+    """Cypher 5 COLLECT { … RETURN … } in RETURN position: sorted
+    per-anchor arrays, [] for anchors with no matches, WHERE + function
+    calls inside, and nesting inside size() (r9)."""
+    session.run("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    session.run("MATCH (a:dog {name:'Arne'}) CREATE (a)-[:SNIFFS]->(:dog {name:'Cleo'})")
+    r = session.run(
+        "MATCH (d:dog) RETURN d.name AS n, "
+        "COLLECT { MATCH (d)-[:SNIFFS]->(x:dog) RETURN toUpper(x.name) } AS s "
+        "ORDER BY n"
+    ).collect()
+    assert [(row.n, row.s) for row in r] == [
+        ("Arne", ["BOSSE", "CLEO"]),
+        ("Bosse", []),
+        ("Cleo", []),
+    ]
+    r2 = session.run(
+        "MATCH (d:dog) RETURN d.name AS n, "
+        "size(COLLECT { MATCH (d)-[:SNIFFS]->(x:dog) "
+        "WHERE x.name STARTS WITH 'B' RETURN x.name }) AS nb ORDER BY n"
+    ).collect()
+    assert [(row.n, row.nb) for row in r2] == [("Arne", 1), ("Bosse", 0), ("Cleo", 0)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner RETURN"):
+        session.run("MATCH (d:dog) RETURN COLLECT { MATCH (d)--(x) } AS s")
+
+
+def test_order_by_expressions(session):
+    """ORDER BY accepts full expressions (CASE, arithmetic) — r9, on the
+    unified compiler; names still route through the frame resolver."""
+    for nm, v in (("a", 3), ("b", 1), ("c", 2)):
+        session.run(f"CREATE (:thing {{name: '{nm}', v: {v}}})")
+    r = session.run(
+        "MATCH (t:thing) RETURN t.name AS n ORDER BY t.v * -1"
+    ).collect()
+    assert [row.n for row in r] == ["a", "c", "b"]
+    r2 = session.run(
+        "MATCH (t:thing) RETURN t.name AS n "
+        "ORDER BY CASE WHEN t.v = 2 THEN 0 ELSE t.v END DESC, n"
+    ).collect()
+    assert [row.n for row in r2] == ["a", "b", "c"]
