@@ -100,6 +100,8 @@ _NEW_THIS_ROUND: list[str] = [
     # r9 entries are appended as new rows register; reset at round start.
     "cypher_hostile_expression",
     "cypher_collect_subquery",
+    "source_orc_roundtrip",
+    "gds_dfs_preorder",
 ]
 
 

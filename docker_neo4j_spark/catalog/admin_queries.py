@@ -2055,3 +2055,40 @@ def cypher_collect_subquery(spark, sf_dir):
     return out.select(
         "nation", F.concat_ws(",", F.col("rich")).alias("rich"), "n_rich"
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem WHERE l_returnflag <> 'N'
+    GROUP BY l_returnflag ORDER BY flag
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC sink → source roundtrip (Spark's built-in columnar sibling of
+    parquet): lineitem written PARTITIONED BY l_returnflag, read back
+    with a partition filter — the filter prunes to the matching
+    directories at plan time (partition pruning, not a full scan), and
+    the aggregate must match the parquet original. Scale posture: at
+    100 TB the pruned read touches only the selected partitions."""
+    import tempfile
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    with tempfile.TemporaryDirectory() as tmp:
+        li.select("l_returnflag", "l_quantity").write.partitionBy(
+            "l_returnflag"
+        ).orc(f"{tmp}/li")
+        back = spark.read.orc(f"{tmp}/li").where(F.col("l_returnflag") != "N")
+        out = (
+            back.groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            )
+            .orderBy("flag")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    return out

@@ -2809,3 +2809,48 @@ def gds_apsp_sampled(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("source", "target")
+
+
+@register(
+    "gds_dfs_preorder",
+    """
+    WITH RECURSIVE e AS (
+      SELECT CAST(3000000000000 + o_custkey AS BIGINT) AS src,
+             CAST(6000000000000 + o_orderkey AS BIGINT) AS dst FROM orders
+      UNION ALL SELECT CAST(6000000000000 + l_orderkey AS BIGINT),
+             CAST(5000000000000 + l_partkey AS BIGINT) FROM lineitem
+    ),
+    seed AS (SELECT CAST(3000000000000 + MIN(c_custkey) AS BIGINT) AS id
+             FROM customer),
+    walk AS (
+      SELECT id, [id] AS path FROM seed
+      UNION ALL
+      SELECT e.dst, list_append(walk.path, e.dst)
+      FROM walk JOIN e ON e.src = walk.id
+      WHERE NOT list_contains(walk.path, e.dst) AND len(walk.path) < 4
+    ),
+    best AS (SELECT id, MIN(path) AS path FROM walk GROUP BY id)
+    SELECT id,
+           array_to_string(path, '->') AS path,
+           CAST(ROW_NUMBER() OVER (ORDER BY path) - 1 AS BIGINT) AS pre
+    FROM best ORDER BY pre
+    """,
+)
+def gds_dfs_preorder(spark, sf_dir):
+    """gds.dfs as a distributed lexicographic-min-path fixpoint
+    (operators/gds.py:dfs_preorder): DFS preorder over the
+    Customer→Order→Part projection from the lowest customer, ascending
+    neighbor order. The oracle enumerates bounded simple paths in a
+    recursive CTE and takes the same per-node MIN(path) + rank — path
+    multiplicity is real here (two orders sharing a part), so the min
+    actually selects."""
+    g = build_graph(spark, sf_dir)
+    edges = g.rels.where(F.col("type").isin("PLACED", "CONTAINS")).select(
+        "src", "dst"
+    )
+    out = gds.dfs_preorder(edges, _seed(g), max_iter=6)
+    return out.select(
+        "id",
+        F.concat_ws("->", F.transform(F.col("path"), lambda x: x.cast("string"))).alias("path"),
+        "pre",
+    ).orderBy("pre")

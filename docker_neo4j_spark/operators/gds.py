@@ -3241,3 +3241,67 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
         if e.isEmpty():
             break
     return e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+
+
+def dfs_preorder(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 30,
+) -> DataFrame:
+    """gds.dfs parity: depth-first preorder from a source set, neighbors
+    visited in ascending node-id order — (id, path, pre).
+
+    DFS is inherently sequential, but its OUTPUT is order-definable
+    without sequential execution: with ascending-id tie-breaking, the
+    DFS discovery path of each reachable node is the lexicographically
+    smallest simple path from the sources (prefix-first comparison: a
+    parent's path sorts before every descendant's), and preorder rank is
+    the rank of that path among all reachable nodes' paths. So the
+    engine computes a BSP min-path fixpoint — each superstep relaxes the
+    improved frontier's paths over their out-edges (cycle-blocked with
+    ``array_contains``), keeping the array-min per node; Spark compares
+    arrays lexicographically natively, so the whole superstep is one
+    edge-partitioned join + groupBy-min, no Python. Min-paths are
+    prefix-closed (a min path's every prefix is its endpoint's min
+    path), which is exactly why per-node relaxation converges to the
+    true DFS tree.
+
+    The final preorder rank is a global row_number over the path — a
+    single-partition sort, correct for the serving-sized DFS contract
+    (gds.dfs streams one node per row anyway); at scale the ``path``
+    column itself is the parallel-friendly output.
+
+    Reference: GDS dfs procedure (plugin namespace gds.*,
+    calver/coredb/neo4j-plugins.json).
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select("src", "dst").distinct().repartition("src").cache()
+    best = _ckpt(sources.select("id", F.array("id").alias("path")))
+    frontier = best
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .where(~F.array_contains(F.col("path"), F.col("dst")))
+            .select(
+                F.col("dst").alias("id"),
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+            )
+            .groupBy("id")
+            .agg(F.min("path").alias("path"))
+        )
+        improved = _ckpt(
+            cand.join(best.withColumnRenamed("path", "_old"), "id", "left")
+            .where(F.col("_old").isNull() | (F.col("path") < F.col("_old")))
+            .select("id", "path")
+        )
+        if improved.isEmpty():
+            break
+        best = _ckpt(best.join(improved, "id", "left_anti").unionByName(improved))
+        frontier = improved
+    e.unpersist()
+    return best.select(
+        "id",
+        "path",
+        (F.row_number().over(Window.orderBy("path")) - 1).cast("long").alias("pre"),
+    )

@@ -123,6 +123,10 @@ HEAVY = [
     "fn_apoc_agg_items_suite",
     # r9: synthetic driver-memory gate for periodic.iterate (see _SYNTHETIC)
     "periodic_iterate_bulk",
+    # r9 additions: path-array BSP + collect-subquery join shapes
+    "gds_dfs_preorder",
+    "cypher_collect_subquery",
+    "cypher_hostile_expression",
 ]
 
 

@@ -1003,3 +1003,26 @@ def test_ktruss_peels_to_cohesive_core(spark):
     # a graph with no triangles fully peels at k>=3
     path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     assert gds.ktruss(path, k=3).count() == 0
+
+
+def test_dfs_preorder_matches_sequential_dfs(spark):
+    """dfs_preorder (min-path BSP) == textbook sequential DFS with
+    ascending neighbor order, on a graph with converging paths where the
+    deep-first order differs from BFS: 1→{2,5}, 2→{5,7}, 7→{5,8}."""
+    from docker_neo4j_spark.operators import gds
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 5), (2, 5), (2, 7), (7, 5), (7, 8)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r for r in gds.dfs_preorder(edges, seeds).collect()}
+    # sequential DFS from 1 ascending: 1, 2, 5 (via 2!), 7, 8
+    assert out[1]["pre"] == 0 and out[1]["path"] == [1]
+    assert out[2]["pre"] == 1 and out[2]["path"] == [1, 2]
+    assert out[5]["pre"] == 2 and out[5]["path"] == [1, 2, 5]  # deep beats 1→5
+    assert out[7]["pre"] == 3 and out[7]["path"] == [1, 2, 7]
+    assert out[8]["pre"] == 4 and out[8]["path"] == [1, 2, 7, 8]
+    # parent's path is a prefix of every descendant's (tree property)
+    for r in out.values():
+        assert r["path"][-1] == r["id"]
