@@ -102,6 +102,7 @@ _NEW_THIS_ROUND: list[str] = [
     "cypher_collect_subquery",
     "source_orc_roundtrip",
     "gds_dfs_preorder",
+    "fn_apoc_text_phonetic",
 ]
 
 

@@ -916,3 +916,52 @@ def fn_apoc_coll_suite2(spark, sf_dir):
         apoc.coll_occurrences(F.col("segs"), "BUILDING").alias("n_building"),
         csv(F.slice(apoc.coll_reverse(F.col("ks")), 1, 4)).alias("last4_desc"),
     ).orderBy("n_name")
+
+
+@register(
+    "fn_apoc_text_phonetic",
+    r"""
+    WITH words AS (
+      SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part
+    ),
+    s1 AS (
+      SELECT w, upper(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS L FROM words
+    ),
+    s2 AS (
+      SELECT w, L,
+             CASE WHEN L = '' THEN '' ELSE
+               -- adjacent-run collapse as a linear fold (RE2 has no
+               -- backreferences, so (\d)\1+ is not expressible)
+               list_reduce(
+                 list_prepend('', string_split(
+                   translate(L[1] || regexp_replace(L[2:], '[HW]', '', 'g'),
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     '01230120022455012623010202'), '')),
+                 (acc, ch) -> CASE WHEN right(acc, 1) = ch THEN acc
+                              ELSE acc || ch END)
+             END AS coll
+      FROM s1
+    )
+    SELECT w,
+           CASE WHEN L = '' THEN ''
+                ELSE L[1] || substr(replace(coll[2:], '0', '') || '000', 1, 3)
+           END AS sx,
+           lower(regexp_replace(w || '-9 X', '[^A-Za-z0-9]', '', 'g')) AS cleaned
+    FROM s2 ORDER BY w
+    """,
+)
+def fn_apoc_text_phonetic(spark, sf_dir):
+    """apoc.text.phonetic (US Soundex incl. the H/W adjacency rule) +
+    apoc.text.clean over the distinct part-name words — the Spark side is
+    the JVM soundex expression; the DuckDB side re-derives the algorithm
+    from scratch (translate + run-collapse + vowel-drop), so a semantic
+    drift in either implementation breaks the hash."""
+    from ..functions import apoc
+
+    p = load_tables(spark, sf_dir)["part"]
+    words = p.select(F.explode(F.split("p_name", " ")).alias("w")).distinct()
+    return words.select(
+        "w",
+        apoc.text_phonetic(F.col("w")).alias("sx"),
+        apoc.text_clean(F.concat(F.col("w"), F.lit("-9 X"))).alias("cleaned"),
+    ).orderBy("w")

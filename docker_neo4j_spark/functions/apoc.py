@@ -636,3 +636,15 @@ def coll_occurrences(l, value) -> Column:
 def coll_reverse(l) -> Column:
     """apoc.coll.reverse."""
     return F.reverse(_c(l))
+
+
+def text_phonetic(s) -> Column:
+    """apoc.text.phonetic — US-English Soundex of the letters (non-letter
+    characters stripped first, so 'Mc Donald' codes as MCDONALD; empty /
+    letterless input → ''). Delegates to the JVM soundex expression;
+    the oracle replays the exact algorithm (first letter + H/W-deleted
+    code string, adjacent-run collapse, vowel separators dropped,
+    zero-padded to 4)."""
+    letters = F.regexp_replace(_c(s), "[^A-Za-z]", "")
+    return F.when(letters == F.lit(""), F.lit("")).otherwise(F.soundex(letters))
+

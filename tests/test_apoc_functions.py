@@ -270,3 +270,20 @@ def test_coll_partition_duplicates_occurrences_reverse(spark):
     # APOC yields NO partitions for an empty list, not one empty partition
     assert _one(spark, apoc.coll_partition(empty, 3)) == []
     assert _one(spark, apoc.coll_duplicates(empty)) == []
+
+
+def test_text_phonetic_soundex(spark):
+    cases = {
+        "Robert": "R163",
+        "Ashcraft": "A261",   # the H/W adjacency rule
+        "Tymczak": "T522",
+        "Pfister": "P236",
+        "Mc Donald": "M235",  # non-letters stripped before coding
+        "khaki": "K200",
+        "": "",
+        "123": "",            # letterless → empty, never echoed back
+    }
+    cols = [apoc.text_phonetic(F.lit(w)).alias(f"c{i}") for i, w in enumerate(cases)]
+    row = spark.range(1).select(cols).collect()[0]
+    for i, (w, want) in enumerate(cases.items()):
+        assert row[f"c{i}"] == want, w
