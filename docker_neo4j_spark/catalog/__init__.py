@@ -103,6 +103,7 @@ _NEW_THIS_ROUND: list[str] = [
     "source_orc_roundtrip",
     "gds_dfs_preorder",
     "fn_apoc_text_phonetic",
+    "graphql_where_filters",
 ]
 
 

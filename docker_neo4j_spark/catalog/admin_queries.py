@@ -2092,3 +2092,32 @@ def source_orc_roundtrip(spark, sf_dir):
             .localCheckpoint(eager=True)  # materialize before tmp vanishes
         )
     return out
+
+
+@register(
+    "graphql_where_filters",
+    """
+    SELECT n_name AS name,
+           COALESCE(STRING_AGG(c_name, ',' ORDER BY c_name)
+             FILTER (c_acctbal >= 9000.0 AND c_mktsegment = 'BUILDING'), '')
+             AS rich_name
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    WHERE n_name LIKE '%1%' AND n_name >= 'NATION_12'
+    GROUP BY n_name ORDER BY name
+    """,
+)
+def graphql_where_filters(spark, sf_dir):
+    """neo4j-graphql ``where:`` input objects + field aliases (r9):
+    operator-suffixed filter fields at the root (``name_contains``) and
+    on a nested to-many selection (``acctbal_gte`` + plain equality),
+    with the nested field renamed through a GraphQL alias — every where
+    term compiles to one Catalyst filter pushed below the join."""
+    from ..graphql import tpch_engine
+    from ..sources.tpch import build_graph
+
+    eng = tpch_engine(build_graph(spark, sf_dir))
+    return eng.execute(
+        '{ nation(where: {name_contains: "1", name_gte: "NATION_12"}) '
+        '{ name rich: customers(where: {acctbal_gte: 9000.0, '
+        'mktsegment: "BUILDING"}) { name } } }'
+    ).orderBy("name")

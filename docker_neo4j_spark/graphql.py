@@ -40,9 +40,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _TOKEN_RE = re.compile(
-    r"""\s*(?:(?P<punct>[{}():,])
+    r"""\s*(?:(?P<punct>[{}():,\[\]])
            |(?P<str>"(?:[^"\\]|\\.)*")
-           |(?P<num>-?\d+)
+           |(?P<num>-?\d+(?:\.\d+)?)
            |(?P<bool>(?:true|false)(?![A-Za-z0-9_]))
            |(?P<name>[A-Za-z_][A-Za-z0-9_]*))""",
     re.VERBOSE,
@@ -69,6 +69,11 @@ class _Field:
     name: str
     args: dict
     selections: list["_Field"] = field(default_factory=list)
+    alias: str | None = None  # `alias: field` — output name override
+
+    @property
+    def out_name(self) -> str:
+        return self.alias or self.name
 
 
 class _Parser:
@@ -106,22 +111,18 @@ class _Parser:
 
     def _field(self) -> _Field:
         name = self._eat("name")
+        alias = None
+        # GraphQL field alias: `alias: field(...)` — renames the output
+        if self._peek() == ("punct", ":"):
+            self._eat()
+            alias, name = name, self._eat("name")
         args: dict = {}
         if self._peek() == ("punct", "("):
             self._eat()
             while self._peek()[1] != ")":
                 k = self._eat("name")
                 self._eat("punct", ":")
-                kind, v = self._peek()
-                self._eat()
-                if kind == "str":
-                    args[k] = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
-                elif kind == "num":
-                    args[k] = int(v)
-                elif kind == "bool":
-                    args[k] = v == "true"
-                else:
-                    raise ValueError(f"GraphQL subset: unsupported argument {v!r}")
+                args[k] = self._value()
                 if self._peek() == ("punct", ","):
                     self._eat()
             self._eat("punct", ")")
@@ -130,7 +131,40 @@ class _Parser:
             self._eat()
             sels = self._fields()
             self._eat("punct", "}")
-        return _Field(name, args, sels)
+        return _Field(name, args, sels, alias)
+
+    def _value(self):
+        """Argument value: scalar, ``{…}`` input object (where filters),
+        or ``[…]`` list (the _in operator)."""
+        kind, v = self._peek()
+        if (kind, v) == ("punct", "{"):
+            self._eat()
+            obj: dict = {}
+            while self._peek()[1] != "}":
+                k = self._eat("name")
+                self._eat("punct", ":")
+                obj[k] = self._value()
+                if self._peek() == ("punct", ","):
+                    self._eat()
+            self._eat("punct", "}")
+            return obj
+        if (kind, v) == ("punct", "["):
+            self._eat()
+            lst: list = []
+            while self._peek()[1] != "]":
+                lst.append(self._value())
+                if self._peek() == ("punct", ","):
+                    self._eat()
+            self._eat("punct", "]")
+            return lst
+        self._eat()
+        if kind == "str":
+            return v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        if kind == "num":
+            return float(v) if "." in v else int(v)
+        if kind == "bool":
+            return v == "true"
+        raise ValueError(f"GraphQL subset: unsupported argument {v!r}")
 
 
 @dataclass
@@ -264,6 +298,41 @@ class GraphQLEngine:
             return {r.name: self._run_mutation(r) for r in roots}
         return {r.name: self._compile_root(r) for r in roots}
 
+    # where-filter operator suffixes, the neo4j-graphql library's input
+    # shape: { field: eq, field_gt: v, …, field_in: […] } — longest
+    # suffix matched first so `_starts_with` never parses as a field
+    # named `…_starts` with `_with`
+    _WHERE_OPS = (
+        ("_starts_with", lambda c, v: c.startswith(str(v))),
+        ("_ends_with", lambda c, v: c.endswith(str(v))),
+        ("_contains", lambda c, v: c.contains(str(v))),
+        ("_gte", lambda c, v: c >= F.lit(v)),
+        ("_lte", lambda c, v: c <= F.lit(v)),
+        ("_gt", lambda c, v: c > F.lit(v)),
+        ("_lt", lambda c, v: c < F.lit(v)),
+        ("_in", lambda c, v: c.isin(list(v))),
+        ("_not", lambda c, v: c != F.lit(v)),
+    )
+
+    def _where_filter(self, t: "GraphQLType", fname: str, where: dict) -> F.Column:
+        """Compile a ``where:`` input object to one boolean Column (terms
+        AND-ed, the library's semantics)."""
+        if not isinstance(where, dict) or not where:
+            raise ValueError(f"where on {fname!r} must be a non-empty input object")
+        cond = None
+        for k, v in where.items():
+            prop, op = k, None
+            for suffix, fn in self._WHERE_OPS:
+                if k.endswith(suffix) and k[: -len(suffix)] in t.props:
+                    prop, op = k[: -len(suffix)], fn
+                    break
+            if prop not in t.props:
+                raise ValueError(f"unknown where field {k!r} on {fname!r}")
+            c = F.col(t.props[prop])
+            term = (c == F.lit(v)) if op is None else op(c, v)
+            cond = term if cond is None else cond & term
+        return cond
+
     def _compile_root(self, root: _Field) -> DataFrame:
         t = self.types.get(root.name)
         if t is None:
@@ -273,6 +342,9 @@ class GraphQLEngine:
         for k, v in root.args.items():
             if k == "limit":
                 limit = int(v)
+                continue
+            if k == "where":
+                df = df.where(self._where_filter(t, root.name, v))
                 continue
             if k not in t.props:
                 raise ValueError(f"unknown argument {k!r} on {root.name!r}")
@@ -295,7 +367,7 @@ class GraphQLEngine:
             if sel.name in t.props:
                 if sel.selections:
                     raise ValueError(f"scalar field {sel.name!r} takes no selection set")
-                cols.append(F.col(t.props[sel.name]).alias(sel.name))
+                cols.append(F.col(t.props[sel.name]).alias(sel.out_name))
             elif sel.name in t.relations:
                 joins.append(sel)
             else:
@@ -323,6 +395,9 @@ class GraphQLEngine:
         # a per-parent limit needs an ordering contract the subset
         # doesn't define, so fail loud rather than pick one silently
         for k, v in sel.args.items():
+            if k == "where":
+                child = child.where(self._where_filter(child_t, sel.name, v))
+                continue
             if k not in child_t.props:
                 raise ValueError(f"unknown argument {k!r} on {sel.name!r}")
             child = child.where(F.col(child_t.props[k]) == F.lit(v))
@@ -356,7 +431,7 @@ class GraphQLEngine:
             agg = hop.groupBy("_pid").agg(
                 *[
                     F.concat_ws(",", F.transform(kids, _getter(c))).alias(
-                        f"{sel.name}_{c}"
+                        f"{sel.out_name}_{c}"
                     )
                     for c in child_cols
                 ]
@@ -366,13 +441,13 @@ class GraphQLEngine:
             )
             for c in child_cols:
                 joined = joined.withColumn(
-                    f"{sel.name}_{c}",
-                    F.coalesce(F.col(f"{sel.name}_{c}"), F.lit("")),
+                    f"{sel.out_name}_{c}",
+                    F.coalesce(F.col(f"{sel.out_name}_{c}"), F.lit("")),
                 )
             return joined
         flat = hop.select(
             F.col("_pid").alias("_gid"),
-            *[F.col(c).alias(f"{sel.name}_{c}") for c in child_cols],
+            *[F.col(c).alias(f"{sel.out_name}_{c}") for c in child_cols],
         )
         return parent.join(flat, "_gid", "left")
 

@@ -278,3 +278,44 @@ def test_nested_field_arguments_filter_children(engine):
     assert rows2[0]["nations_name"] == ""
     with pytest.raises(ValueError, match="unknown argument"):
         engine.execute('{ region { name nations(wing: 1) { name } } }')
+
+
+def test_where_filters_and_aliases(spark):
+    """r9: neo4j-graphql `where:` input objects — operator-suffixed
+    fields (gt/gte/contains/starts_with/in/not) AND-ed into one filter —
+    plus GraphQL field aliases renaming output columns."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.graphql import GraphQLType, store_engine
+
+    s = Session(spark)
+    for nm, bal, seg in (
+        ("a", 100, "RETAIL"), ("ab", 900, "RETAIL"),
+        ("abc", 900, "WHOLESALE"), ("zed", 50, "RETAIL"),
+    ):
+        s.run(f"CREATE (:Cust {{name: '{nm}', bal: {bal}, seg: '{seg}'}}) ")
+    eng = store_engine(
+        s.store,
+        {"cust": GraphQLType(label="Cust", props={
+            "name": "name", "bal": "bal", "seg": "seg"})},
+    )
+    rows = eng.execute(
+        '{ cust(where: {name_starts_with: "a", bal_gte: 900}) { name } }'
+    ).orderBy("name").collect()
+    assert [r["name"] for r in rows] == ["ab", "abc"]
+    rows = eng.execute(
+        '{ cust(where: {name_in: ["a", "zed"], bal_gt: 60}) { name } }'
+    ).collect()
+    assert [r["name"] for r in rows] == ["a"]
+    rows = eng.execute(
+        '{ cust(where: {seg_not: "RETAIL"}) { n: name b: bal } }'
+    ).collect()
+    assert [(r["n"], r["b"]) for r in rows] == [("abc", 900)]
+    rows = eng.execute(
+        '{ cust(where: {name_contains: "b", bal_lt: 901}) { name } }'
+    ).orderBy("name").collect()
+    assert [r["name"] for r in rows] == ["ab", "abc"]
+    # unknown where field fails loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown where field"):
+        eng.execute('{ cust(where: {nope_gt: 1}) { name } }').collect()
