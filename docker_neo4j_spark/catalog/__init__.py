@@ -89,6 +89,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # — re-grade both batch-write rows
     "write_merge_unwind_batch",
     "write_merge_rel_batch",
+    # r9: apoc.load.xml registered — SHOW PROCEDURES surface (and its
+    # oracle's expected list) grew by one row
+    "proc_show_procedures",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -104,6 +107,7 @@ _NEW_THIS_ROUND: list[str] = [
     "gds_dfs_preorder",
     "fn_apoc_text_phonetic",
     "graphql_where_filters",
+    "source_xml_roundtrip",
 ]
 
 

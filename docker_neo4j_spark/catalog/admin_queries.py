@@ -856,6 +856,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'apoc.export.graphml.all'
     UNION ALL SELECT 'apoc.load.csv'
     UNION ALL SELECT 'apoc.load.json'
+    UNION ALL SELECT 'apoc.load.xml'
     UNION ALL SELECT 'apoc.meta.stats'
     UNION ALL SELECT 'apoc.periodic.iterate'
     UNION ALL SELECT 'apoc.path.expand'
@@ -2121,3 +2122,49 @@ def graphql_where_filters(spark, sf_dir):
         '{ name rich: customers(where: {acctbal_gte: 9000.0, '
         'mktsegment: "BUILDING"}) { name } } }'
     ).orderBy("name")
+
+
+@register(
+    "source_xml_roundtrip",
+    """
+    SELECT n_name AS name,
+           CAST(n_nationkey AS BIGINT) AS key,
+           n_name || '&<>"x' AS decorated
+    FROM nation ORDER BY key
+    """,
+)
+def source_xml_roundtrip(spark, sf_dir):
+    """XML sink → apoc.load.xml source roundtrip (sources/xmldata.py):
+    nation rows serialized as one attribute-record element per line —
+    including a column holding every XML metacharacter, escaped on write
+    and entity-decoded by the JVM xpath engine on read — must come back
+    value-identical. Extraction is xpath_string/xpath_boolean columns
+    over a distributed text read; no Python XML parsing."""
+    import tempfile
+
+    from ..sources.xmldata import load_xml, write_xml_lines
+
+    n = load_tables(spark, sf_dir)["nation"]
+    dec = F.concat(F.col("n_name"), F.lit('&<>"x'))
+    with tempfile.TemporaryDirectory() as tmp:
+        write_xml_lines(
+            n.select(
+                F.col("n_name"),
+                F.col("n_nationkey").cast("string").alias("nk"),
+                dec.alias("dec"),
+            ),
+            f"{tmp}/nx",
+            element="nation",
+            attrs={"name": "n_name", "key": "nk", "decorated": "dec"},
+        )
+        back = load_xml(spark, f"{tmp}/nx", "nation", ["name", "key", "decorated"])
+        out = (
+            back.select(
+                F.col("name"),
+                F.col("key").cast("long").alias("key"),
+                F.col("decorated"),
+            )
+            .orderBy("key")
+            .localCheckpoint(eager=True)  # materialize before tmp vanishes
+        )
+    return out

@@ -818,6 +818,35 @@ def _apoc_load_csv(spark: SparkSession, file: str = "", graph=None) -> DataFrame
 
 
 @procedure(
+    "apoc.load.xml",
+    signature="apoc.load.xml(file :: STRING, element :: STRING, attrs :: LIST OF STRING) :: (value :: MAP)",
+    description="Load an element-per-line XML file; each element's attributes as a map",
+)
+def _apoc_load_xml(
+    spark: SparkSession, file: str = "", element: str = "", attrs=None, graph=None
+) -> DataFrame:
+    """``CALL apoc.load.xml('/path', 'row', ['a','b'])`` — the
+    attribute-record subset of APOC's XML loader: one map per element
+    with the requested attributes (absent → NULL). Extraction is the
+    JVM xpath engine over a distributed line read (sources/xmldata.py)
+    — no Python XML parsing in the data path."""
+    from ..sources.xmldata import load_xml
+
+    if not file or not element:
+        return spark.createDataFrame([], "value map<string,string>")
+    names = [str(a) for a in (attrs or [])]
+    if not names:
+        raise ValueError("apoc.load.xml: attrs list is required")
+    flat = load_xml(spark, file, element, names)
+    return flat.select(
+        F.map_from_arrays(
+            F.array(*[F.lit(a) for a in names]),
+            F.array(*[F.col(a).cast("string") for a in names]),
+        ).alias("value")
+    )
+
+
+@procedure(
     "apoc.cypher.run",
     signature="apoc.cypher.run(statement :: STRING, params :: MAP) :: (value :: ANY)",
     description="Run a dynamically constructed read statement with $-parameters",

@@ -505,3 +505,27 @@ def test_apoc_schema_assert_declarative(spark):
         ).collect()
     }
     assert again == {"KEPT"}
+
+
+def test_apoc_load_xml(spark, tmp_path):
+    """apoc.load.xml over an element-per-line file: attribute map per
+    element, entity decoding, absent attribute → NULL, wrong-element
+    lines skipped."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    f = tmp_path / "data.xml"
+    f.write_text(
+        '<row a="x&amp;y" b="1"/>\n'
+        '<other a="skipme"/>\n'
+        '<row a="plain"/>\n'
+    )
+    s = Session(spark)
+    rows = s.run(
+        f"CALL apoc.load.xml('{f}', 'row', ['a', 'b']) YIELD value RETURN value"
+    ).collect()
+    got = sorted((r["value"]["a"], r["value"]["b"]) for r in rows)
+    assert got == [("plain", None), ("x&y", "1")]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="attrs"):
+        s.run(f"CALL apoc.load.xml('{f}', 'row', []) YIELD value RETURN value")
