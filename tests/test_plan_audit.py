@@ -419,3 +419,72 @@ def test_countmin_probe_broadcasts_sketch(spark, sf_dir):
     keys = ev.select("user_id").distinct()
     est = sketch.countmin_query(sk, keys, "user_id", depth=4, width=64)
     assert audit(est).n_broadcast_joins >= 1
+
+
+def test_dfs_superstep_is_grouped_equijoin(spark, sf_dir):
+    """One dfs_preorder relaxation superstep = edge-partitioned equi-join
+    + groupBy-min over the path arrays — no cartesian, no Python, and the
+    array-min is a plain JVM aggregate (arrays are natively orderable)."""
+    from docker_neo4j_spark.operators.gds import _ckpt
+    from docker_neo4j_spark.sources.tpch import build_graph
+
+    g = build_graph(spark, sf_dir)
+    e = g.rels.where(F.col("type") == "PLACED").select("src", "dst")
+    frontier = _ckpt(
+        g.label_frames["Customer"].orderBy("id").limit(1)
+        .select("id", F.array("id").alias("path"))
+    )
+    cand = (
+        frontier.join(e, frontier["id"] == e["src"])
+        .where(~F.array_contains(F.col("path"), F.col("dst")))
+        .select(
+            F.col("dst").alias("id"),
+            F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+        )
+        .groupBy("id")
+        .agg(F.min("path").alias("path"))
+    )
+    facts = audit(cand)
+    assert facts.n_cartesian == 0
+    assert "Python" not in facts.text  # pure JVM array ops
+    assert facts.n_sort_merge_joins + facts.n_broadcast_joins >= 1
+
+
+def test_collect_subquery_is_decorrelated_aggregate(spark, sf_dir, queries):
+    """COLLECT{} compiles to ONE pattern-match aggregate left-joined back
+    (never a per-row subquery): no cartesian, and exactly one collect_list
+    aggregate feeds the join."""
+    df = queries["cypher_collect_subquery"](spark, sf_dir)
+    facts = audit(df)
+    assert facts.n_cartesian == 0
+    assert facts.text.count("collect_list") >= 1
+
+
+def test_graphql_where_filters_push_below_join(spark, sf_dir, queries):
+    """Every where: term lands as a Catalyst filter under the relation
+    join — visible as pushed parquet filters on the child scan."""
+    df = queries["graphql_where_filters"](spark, sf_dir)
+    facts = audit(df)
+    assert facts.n_cartesian == 0
+    assert any(
+        "GreaterThanOrEqual" in p or "EqualTo" in p for p in facts.pushed_filters
+    ), "where-filter terms did not reach the scans"
+
+
+def test_xml_roundtrip_xpath_stays_jvm(spark, sf_dir, tmp_path):
+    """load_xml extraction is xpath_* JVM expressions over a text scan —
+    no Python in the read path."""
+    from docker_neo4j_spark.sources.xmldata import load_xml, write_xml_lines
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    n = load_tables(spark, sf_dir)["nation"]
+    write_xml_lines(
+        n.select(F.col("n_name"), F.col("n_nationkey").cast("string").alias("nk")),
+        str(tmp_path / "nx"),
+        element="nation",
+        attrs={"name": "n_name", "key": "nk"},
+    )
+    back = load_xml(spark, str(tmp_path / "nx"), "nation", ["name", "key"])
+    facts = audit(back)
+    assert "Python" not in facts.text
+    assert facts.n_exchanges == 0  # map-only extraction
