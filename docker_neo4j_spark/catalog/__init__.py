@@ -92,6 +92,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r9: apoc.load.xml registered — SHOW PROCEDURES surface (and its
     # oracle's expected list) grew by one row
     "proc_show_procedures",
+    # r9: SET values now compile as full expressions through the unified
+    # compiler (store.set_props_from_frame joins per-node values) —
+    # re-grade the pre-existing SET row on the shared path
+    "cypher_set_delete_readback",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -108,6 +112,7 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_apoc_text_phonetic",
     "graphql_where_filters",
     "source_xml_roundtrip",
+    "cypher_set_expression_readback",
 ]
 
 

@@ -2168,3 +2168,34 @@ def source_xml_roundtrip(spark, sf_dir):
             .localCheckpoint(eager=True)  # materialize before tmp vanishes
         )
     return out
+
+
+@register(
+    "cypher_set_expression_readback",
+    """
+    SELECT CASE WHEN c_acctbal >= 5000.0 THEN 'hi' ELSE 'lo' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM customer GROUP BY tier ORDER BY tier
+    """,
+)
+def cypher_set_expression_readback(spark, sf_dir):
+    """Expression-valued SET (r9): per-node computed writes — arithmetic
+    over the node's own property and a CASE tier — flow through ONE
+    joined conditional column update (store.set_props_from_frame), then
+    read back through ordinary MATCH aggregation. The oracle recomputes
+    both expressions relationally; decimal-exact sum so the hash is
+    partition-order independent."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run(
+        "MATCH (c:Customer) SET c.cents = toInteger(round(c.c_acctbal * 100)), "
+        "c.tier = CASE WHEN c.c_acctbal >= 5000.0 THEN 'hi' ELSE 'lo' END"
+    )
+    return s.run(
+        "MATCH (c:Customer) RETURN c.tier AS tier, count(*) AS n, "
+        "sum(c.cents) AS cents_sum ORDER BY tier"
+    )

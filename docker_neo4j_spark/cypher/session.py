@@ -1791,19 +1791,22 @@ class Session:
     def _set_from_binding(
         self, tail: str, bound: DataFrame, elems: list, remove: bool
     ) -> DataFrame:
-        """Set-based ``MATCH … SET v.k = <literal>`` / ``REMOVE v.k`` — the
-        matched id set drives one conditional column update per variable
-        (store.set_props_by_ids); never a driver row loop."""
+        """Set-based ``MATCH … SET v.k = <expr>`` / ``REMOVE v.k`` — the
+        matched binding drives one conditional column update per variable
+        (store.set_props_from_frame); never a driver row loop. RHS is any
+        expression over the binding (r9, the unified compiler): literals,
+        arithmetic over other properties, CASE, function calls."""
         ret = None
         parts = _split_top(tail, "RETURN")
         if len(parts) > 1:
             tail, ret = parts[0].strip(), parts[1].strip()
+        resolve = _frame_resolver(bound)
         per_var: dict[str, dict] = {}
         for item in _split_top(tail, ","):
             item = item.strip()
             if remove:
                 var, prop = item.split(".", 1)
-                per_var.setdefault(var, {})[prop] = None
+                per_var.setdefault(var, {})[prop] = F.lit(None)
                 continue
             m_pe = re.match(r"(\w+)\s*\+=\s*(\{.*\})\s*$", item, re.DOTALL)
             if m_pe:
@@ -1812,20 +1815,24 @@ class Session:
                 var, mapping = m_pe.group(1), _parse_value(m_pe.group(2))
                 if not isinstance(mapping, dict):
                     raise ValueError(f"SET += expects a map literal: {item!r}")
-                per_var.setdefault(var, {}).update(mapping)
+                per_var.setdefault(var, {}).update(
+                    {k: F.lit(v) for k, v in mapping.items()}
+                )
                 continue
             lhs, rhs = item.split("=", 1)
             var, prop = lhs.strip().split(".", 1)
-            per_var.setdefault(var, {})[prop] = _parse_value(rhs.strip())
+            per_var.setdefault(var, {})[prop] = _compile_expr(rhs.strip(), resolve)
         for var, props in per_var.items():
             if f"{var}_id" not in bound.columns:
                 raise ValueError(f"SET/REMOVE variable {var!r} is not bound")
-            self.store.set_props_by_ids(
-                bound.select(F.col(f"{var}_id").alias("id")), props
+            vals = bound.select(
+                F.col(f"{var}_id").alias("id"),
+                *[col.alias(p) for p, col in props.items()],
             )
+            self.store.set_props_from_frame(vals, list(props))
             # read-your-writes inside this statement's RETURN
-            for prop, val in props.items():
-                bound = bound.withColumn(f"{var}_{prop}", F.lit(val))
+            for prop, col in props.items():
+                bound = bound.withColumn(f"{var}_{prop}", col)
         if ret is None:
             return self.spark.createDataFrame([], "ok string")
         return self._project_match(bound, ret, elems, _frame_resolver(bound))

@@ -353,6 +353,29 @@ class GraphStore:
         self._enforce_unique_post(nodes, set(new_props))
         self._swap(nodes=nodes)
 
+    def set_props_from_frame(self, vals: DataFrame, props: list[str]) -> None:
+        """Set-based ``SET`` with per-node COMPUTED values (r9): ``vals``
+        carries (id, <prop…>) where each prop column is an arbitrary
+        expression evaluated over the match binding — one left join +
+        conditional column update per property, the same shape as
+        :meth:`set_props_by_ids` but joining values instead of
+        broadcasting a constant. Duplicate-id rows collapse to one
+        (Cypher leaves multi-match write order unspecified; a
+        distributed engine must pin a deterministic winner)."""
+        sel = [F.col("id")] + [F.col(p).alias(f"_new_{p}") for p in props]
+        flagged = (
+            vals.select(*sel).dropDuplicates(["id"]).withColumn("_hit", F.lit(True))
+        )
+        nodes = self.graph.nodes.join(flagged, "id", "left")
+        for p in props:
+            old = F.col(p) if p in self.graph.nodes.columns else F.lit(None)
+            nodes = nodes.withColumn(
+                p, F.when(F.col("_hit"), F.col(f"_new_{p}")).otherwise(old)
+            )
+        nodes = nodes.drop("_hit", *[f"_new_{p}" for p in props])
+        self._enforce_unique_post(nodes, set(props))
+        self._swap(nodes=nodes)
+
     def delete_nodes_by_ids(self, ids: DataFrame, detach: bool = True) -> None:
         """Set-based ``[DETACH] DELETE`` driven by a matched id frame.
         Plain DELETE raises if any doomed node still has relationships

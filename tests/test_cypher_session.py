@@ -1188,3 +1188,28 @@ def test_order_by_expressions(session):
         "ORDER BY CASE WHEN t.v = 2 THEN 0 ELSE t.v END DESC, n"
     ).collect()
     assert [row.n for row in r2] == ["a", "b", "c"]
+
+
+def test_set_with_expressions(session):
+    """SET values are full expressions over the binding (r9): arithmetic
+    on the node's own properties, CASE, function calls — evaluated
+    per-matched-node (not a broadcast constant) through one joined
+    column update."""
+    for nm, v in (("a", 3), ("b", 10)):
+        session.run(f"CREATE (:acct {{name: '{nm}', bal: {v}}})")
+    session.run(
+        "MATCH (x:acct) SET x.dbl = x.bal * 2, "
+        "x.tier = CASE WHEN x.bal >= 10 THEN 'hi' ELSE 'lo' END, "
+        "x.tag = toUpper(x.name)"
+    )
+    r = session.run(
+        "MATCH (x:acct) RETURN x.name AS n, x.dbl AS d, x.tier AS t, x.tag AS g ORDER BY n"
+    ).collect()
+    assert [(row.n, row.d, row.t, row.g) for row in r] == [
+        ("a", 6, "lo", "A"),
+        ("b", 20, "hi", "B"),
+    ]
+    # literal SET still works through the same path; WHERE-scoped update
+    session.run("MATCH (x:acct) WHERE x.bal > 5 SET x.bal = x.bal + 1")
+    r2 = session.run("MATCH (x:acct) RETURN x.name AS n, x.bal AS b ORDER BY n").collect()
+    assert [(row.n, row.b) for row in r2] == [("a", 3), ("b", 11)]
