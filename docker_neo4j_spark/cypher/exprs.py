@@ -730,6 +730,18 @@ class _Parser:
 
         # entity introspection routes through the binding-frame resolver
         # (prefixed columns), keeping the resolver text contract
+        if low == "elementid" and one_ident:
+            # elementId(n): the engine's node id, string-typed (Neo4j 5's
+            # element-id contract — opaque string, stable within a store)
+            return _V(resolve(f"id({arg_srcs[0]})").cast("string"), is_str=True)
+        if low == "isempty":
+            # polymorphic like size(): array frame columns → size()==0,
+            # everything else string length==0
+            if one_ident and frame is not None and dict(frame.dtypes).get(
+                arg_srcs[0], ""
+            ).startswith("array"):
+                return _V(cf.size_list(args[0].col) == F.lit(0))
+            return _V(cf.size(args[0].col) == F.lit(0))
         if low in ENTITY_FNS:
             if low in ("id", "labels", "type") and one_ident:
                 return _V(resolve(f"{low}({arg_srcs[0]})"))

@@ -142,6 +142,80 @@ def pi() -> Column:
     return F.lit(3.141592653589793)
 
 
+def tan(x) -> Column:
+    return F.tan(_c(x))
+
+
+def asin(x) -> Column:
+    return F.asin(_c(x))
+
+
+def acos(x) -> Column:
+    return F.acos(_c(x))
+
+
+def atan(x) -> Column:
+    return F.atan(_c(x))
+
+
+def cot(x) -> Column:
+    """Cypher cot(x) = 1/tan(x) (Spark has no cot builtin)."""
+    return F.lit(1.0) / F.tan(_c(x))
+
+
+def degrees(x) -> Column:
+    return F.degrees(_c(x))
+
+
+def radians(x) -> Column:
+    return F.radians(_c(x))
+
+
+def e() -> Column:
+    return F.lit(2.718281828459045)
+
+
+def haversin(x) -> Column:
+    """Cypher haversin(x) = sin²(x/2)."""
+    h = F.sin(_c(x) / F.lit(2.0))
+    return h * h
+
+
+def rand() -> Column:
+    """Cypher rand() — uniform [0,1); non-deterministic by contract."""
+    return F.rand()
+
+
+def randomUUID() -> Column:
+    """Cypher randomUUID() — v4 UUID string per row."""
+    return F.uuid()
+
+
+def timestamp() -> Column:
+    """Cypher timestamp() — current epoch MILLIS (Neo4j's unit)."""
+    return (F.unix_timestamp(F.current_timestamp()) * 1000).cast("long")
+
+
+def toBoolean(x) -> Column:
+    """Cypher toBoolean: 'true'/'false' (case-insensitive), booleans pass
+    through, anything else NULL."""
+    c = _c(x)
+    low = F.lower(c.cast("string"))
+    return F.when(low == "true", F.lit(True)).when(low == "false", F.lit(False))
+
+
+def toBooleanOrNull(x) -> Column:
+    return toBoolean(x)
+
+
+def toIntegerOrNull(x) -> Column:
+    return _c(x).try_cast("long")
+
+
+def toFloatOrNull(x) -> Column:
+    return _c(x).try_cast("double")
+
+
 def toInteger(x) -> Column:
     return _c(x).cast("long")
 

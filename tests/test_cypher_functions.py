@@ -96,3 +96,59 @@ def test_point_and_haversine(spark):
     g = spark.createDataFrame([(48.8566, 2.3522, 52.52, 13.405)], "a double, b double, c double, d double")
     km = g.select((cy.haversine_m("a", "b", "c", "d") / 1000.0).alias("km")).first()["km"]
     assert abs(km - 878) < 10
+
+
+def test_math_trig_family(spark):
+    """r9 scalar-library fill: tan/asin/acos/atan/cot/degrees/radians/e/
+    haversin — pytest-graded (transcendentals are 1-ulp engine-dependent,
+    per the oracle policy)."""
+    import math
+
+    from docker_neo4j_spark.functions import cypher as cf
+
+    def one(col):
+        return spark.range(1).select(col.alias("v")).first()["v"]
+
+    x = F.lit(0.5)
+    assert abs(one(cf.tan(x)) - math.tan(0.5)) < 1e-12
+    assert abs(one(cf.asin(x)) - math.asin(0.5)) < 1e-12
+    assert abs(one(cf.acos(x)) - math.acos(0.5)) < 1e-12
+    assert abs(one(cf.atan(x)) - math.atan(0.5)) < 1e-12
+    assert abs(one(cf.cot(x)) - 1 / math.tan(0.5)) < 1e-12
+    assert abs(one(cf.degrees(cf.pi())) - 180.0) < 1e-9
+    assert abs(one(cf.radians(F.lit(180.0))) - math.pi) < 1e-12
+    assert abs(one(cf.e()) - math.e) < 1e-15
+    assert abs(one(cf.haversin(x)) - math.sin(0.25) ** 2) < 1e-12
+
+
+def test_conversion_or_null_and_misc(spark):
+    from docker_neo4j_spark.functions import cypher as cf
+
+    def one(col):
+        return spark.range(1).select(col.alias("v")).first()["v"]
+
+    assert one(cf.toBoolean(F.lit("TRUE"))) is True
+    assert one(cf.toBoolean(F.lit("false"))) is False
+    assert one(cf.toBoolean(F.lit("nope"))) is None
+    assert one(cf.toIntegerOrNull(F.lit("12"))) == 12
+    assert one(cf.toIntegerOrNull(F.lit("x"))) is None
+    assert one(cf.toFloatOrNull(F.lit("2.5"))) == 2.5
+    assert one(cf.toFloatOrNull(F.lit("x"))) is None
+    import re as _re
+
+    assert _re.fullmatch(r"[0-9a-f-]{36}", one(cf.randomUUID()))
+    assert one(cf.timestamp()) > 1_500_000_000_000  # epoch millis scale
+
+
+def test_facade_trig_element_id_isempty(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:T {name: 'x', tags: 'a,b'})")
+    r = s.run(
+        "MATCH (t:T) RETURN elementId(t) AS eid, isEmpty(t.name) AS e1, "
+        "isEmpty('') AS e2, round(degrees(pi()) / 6) AS thirty"
+    ).first()
+    assert isinstance(r["eid"], str) and r["eid"].isdigit()
+    assert r["e1"] is False and r["e2"] is True
+    assert r["thirty"] == 30.0
