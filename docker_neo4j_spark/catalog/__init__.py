@@ -113,6 +113,7 @@ _NEW_THIS_ROUND: list[str] = [
     "graphql_where_filters",
     "source_xml_roundtrip",
     "cypher_set_expression_readback",
+    "proc_show_functions",
 ]
 
 

@@ -2199,3 +2199,42 @@ def cypher_set_expression_readback(spark, sf_dir):
         "MATCH (c:Customer) RETURN c.tier AS tier, count(*) AS n, "
         "sum(c.cents) AS cents_sum ORDER BY tier"
     )
+
+
+@register(
+    "proc_show_functions",
+    """
+    SELECT 'apoc.text.capitalize' AS name, 'apoc' AS category
+    UNION ALL SELECT 'apoc.text.charAt', 'apoc'
+    UNION ALL SELECT 'apoc.text.clean', 'apoc'
+    UNION ALL SELECT 'apoc.text.hammingDistance', 'apoc'
+    UNION ALL SELECT 'apoc.text.indexOf', 'apoc'
+    UNION ALL SELECT 'apoc.text.join', 'apoc'
+    UNION ALL SELECT 'apoc.text.levenshteinDistance', 'apoc'
+    UNION ALL SELECT 'apoc.text.levenshteinSimilarity', 'apoc'
+    UNION ALL SELECT 'apoc.text.phonetic', 'apoc'
+    UNION ALL SELECT 'apoc.text.repeat', 'apoc'
+    UNION ALL SELECT 'apoc.text.swapCase', 'apoc'
+    UNION ALL SELECT 'gds.similarity.cosine', 'gds'
+    UNION ALL SELECT 'gds.similarity.euclidean', 'gds'
+    UNION ALL SELECT 'gds.similarity.euclideanDistance', 'gds'
+    UNION ALL SELECT 'gds.similarity.jaccard', 'gds'
+    UNION ALL SELECT 'gds.similarity.overlap', 'gds'
+    UNION ALL SELECT 'gds.similarity.pearson', 'gds'
+    ORDER BY name
+    """,
+)
+def proc_show_functions(spark, sf_dir):
+    """SHOW FUNCTIONS (r9) through the façade — the registered
+    RETURN-position scalar-function surface, pinned here for the
+    apoc.text.* and gds.similarity.* namespaces (the full registry also
+    carries apoc.coll/map/date/agg/util + genai; the oracle pins the two
+    namespaces whose membership the suites grade)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    out = s.run("SHOW FUNCTIONS")
+    return out.where(
+        F.col("name").startswith("apoc.text.")
+        | F.col("name").startswith("gds.similarity.")
+    ).orderBy("name")

@@ -356,6 +356,10 @@ class Session:
             from ..procedures.registry import show_procedures
 
             return show_procedures(self.spark)
+        if head == "SHOW" and q.upper().startswith("SHOW FUNCTIONS"):
+            from ..procedures.registry import show_functions
+
+            return show_functions(self.spark)
         if head == "SHOW" and q.upper().startswith("SHOW VECTOR INDEX"):
             from ..storage.indexes import SHOW_SCHEMA
 

@@ -155,6 +155,15 @@ def fn(name: str, *args):
     return _FUNCTIONS[name](*args)
 
 
+def show_functions(spark: SparkSession) -> DataFrame:
+    """SHOW FUNCTIONS — the registered RETURN-position scalar functions
+    as (name, category) rows, sorted by name; category is the leading
+    namespace (apoc/gds/genai), the shape Neo4j's SHOW FUNCTIONS yields
+    for user-defined functions."""
+    data = [(n, n.split(".", 1)[0]) for n in sorted(_FUNCTIONS)]
+    return spark.createDataFrame(data, "name string, category string")
+
+
 @scalar_function("apoc.version")
 def _apoc_version():
     from .. import __version__
@@ -187,6 +196,7 @@ def _register_apoc_functions() -> None:
         "apoc.text.indexOf": (A.text_index_of, 1),
         "apoc.text.charAt": (A.text_char_at, 1),
         "apoc.text.swapCase": (A.text_swap_case, 1),
+        "apoc.text.phonetic": (A.text_phonetic, 1),
         "apoc.coll.sum": (A.coll_sum, 1),
         "apoc.coll.avg": (A.coll_avg, 1),
         "apoc.coll.min": (A.coll_min, 1),
@@ -226,6 +236,7 @@ def _register_apoc_functions() -> None:
         "gds.similarity.euclideanDistance": (G.euclidean_distance, 2),
         "gds.similarity.jaccard": (G.jaccard, 2),
         "gds.similarity.overlap": (G.overlap, 2),
+        "gds.similarity.pearson": (G.pearson, 2),
     }
     for name, (impl, ncols) in gds_mapping.items():
         _FUNCTIONS[name] = make(impl, ncols)

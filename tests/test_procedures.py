@@ -529,3 +529,21 @@ def test_apoc_load_xml(spark, tmp_path):
 
     with _pytest.raises(Exception, match="attrs"):
         s.run(f"CALL apoc.load.xml('{f}', 'row', []) YIELD value RETURN value")
+
+
+def test_show_functions_and_new_registrations(spark):
+    """SHOW FUNCTIONS lists the scalar registry sorted; r9 registrations
+    (apoc.text.phonetic, gds.similarity.pearson) callable in RETURN."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    names = [r["name"] for r in s.run("SHOW FUNCTIONS").collect()]
+    assert names == sorted(names)
+    assert "apoc.text.phonetic" in names
+    assert "gds.similarity.pearson" in names
+    r = s.run("RETURN apoc.text.phonetic('Ashcraft') AS sx").first()
+    assert r["sx"] == "A261"
+    r = s.run(
+        "RETURN gds.similarity.pearson([1.0, 2.0, 3.0], [2.0, 4.0, 6.0]) AS p"
+    ).first()
+    assert abs(r["p"] - 1.0) < 1e-12
