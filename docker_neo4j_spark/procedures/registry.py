@@ -307,6 +307,47 @@ def _periodic_iterate(
     )
 
 
+@procedure(
+    "apoc.periodic.commit",
+    signature=(
+        "apoc.periodic.commit(statement :: STRING, params :: MAP) :: "
+        "(updates :: INTEGER, executions :: INTEGER, failedCommits :: INTEGER)"
+    ),
+    description="Repeat a limited write statement until it reports zero updates",
+    defaults={"params": None},
+)
+def _periodic_commit(
+    spark: SparkSession, statement: str = "", params=None, session=None
+) -> DataFrame:
+    """``CALL apoc.periodic.commit('MATCH … WITH n LIMIT $limit DETACH
+    DELETE n RETURN count(*)', {limit: k})`` — the APOC drain loop: run
+    the statement until its FIRST returned cell is 0. Each execution is
+    set-based (the statement's own LIMIT bounds the batch); the loop only
+    moves a single count per round to the driver."""
+    if session is None:
+        raise ValueError("apoc.periodic.commit requires a session context")
+    stmt = (statement or "").strip()
+    if not stmt:
+        raise ValueError("apoc.periodic.commit: empty statement")
+    updates = executions = 0
+    while True:
+        row = session.run(stmt, dict(params) if params else None).first()
+        n = int(row[0]) if row is not None and row[0] is not None else 0
+        executions += 1
+        updates += n
+        if n == 0:
+            break
+        if executions >= 100_000:
+            raise RuntimeError(
+                "apoc.periodic.commit: statement never reached zero updates "
+                "(is its LIMIT making progress?)"
+            )
+    return spark.createDataFrame(
+        [(updates, executions, 0)],
+        "updates long, executions long, failedCommits long",
+    )
+
+
 # ---- security allowlist (dbms.security.procedures.unrestricted) ---------
 
 

@@ -547,3 +547,23 @@ def test_show_functions_and_new_registrations(spark):
         "RETURN gds.similarity.pearson([1.0, 2.0, 3.0], [2.0, 4.0, 6.0]) AS p"
     ).first()
     assert abs(r["p"] - 1.0) < 1e-12
+
+
+def test_periodic_commit_drains_until_zero(spark):
+    """apoc.periodic.commit: the limited write statement repeats until it
+    reports 0 — 7 nodes at LIMIT 3 → 3+3+1 updates over 4 executions
+    (the final zero-round counts as an execution, APOC's contract)."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    for i in range(7):
+        s.run(f"CREATE (:drainme {{k: {i}}})")
+    out = s.run(
+        "CALL apoc.periodic.commit("
+        "'MATCH (n:drainme) WITH n ORDER BY n.k LIMIT $limit "
+        "DETACH DELETE n RETURN count(*) AS c', {limit: 3})"
+    ).first()
+    assert out["updates"] == 7
+    assert out["executions"] == 4
+    assert out["failedCommits"] == 0
+    assert s.run("MATCH (n:drainme) RETURN count(*) AS n").first()["n"] == 0
