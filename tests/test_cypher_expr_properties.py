@@ -51,7 +51,8 @@ def _gen(rng: random.Random, depth: int, want: str):
     d = depth - 1
     if want == "int":
         k = rng.choice(
-            ["int", "add", "sub", "mul", "mod", "neg", "case", "idx", "reduce", "size", "abs"]
+            ["int", "add", "sub", "mul", "mod", "neg", "case", "idx", "reduce",
+             "size", "abs", "mapidx"]
         )
         if k == "int":
             return ("int", rng.randint(-50, 50))
@@ -76,14 +77,28 @@ def _gen(rng: random.Random, depth: int, want: str):
             return ("reduce", _gen(rng, d, "list"))
         if k == "size":
             return ("size", _gen(rng, d, "str"))
+        if k == "mapidx":
+            keys = ["ka", "kb", "kc"][: rng.randint(1, 3)]
+            return (
+                "mapidx",
+                {kk: _gen(rng, d, "int") for kk in keys},
+                rng.choice(keys),
+            )
         return ("abs", _gen(rng, d, "int"))
     if want == "bool":
-        k = rng.choice(["bool", "cmp", "and", "or", "xor", "not", "quant"])
+        k = rng.choice(["bool", "cmp", "and", "or", "xor", "not", "quant", "strcmp", "inlist"])
         if k == "bool":
             return ("bool", rng.random() < 0.5)
         if k == "cmp":
             op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
             return ("cmp", op, _gen(rng, d, "int"), _gen(rng, d, "int"))
+        if k == "strcmp":
+            # ASCII-only alphabet: Spark's UTF8 binary compare == Python's
+            # code-point compare
+            op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+            return ("cmp", op, _gen(rng, d, "str"), _gen(rng, d, "str"))
+        if k == "inlist":
+            return ("inlist", _gen(rng, d, "int"), [rng.randint(-9, 9) for _ in range(rng.randint(1, 4))])
         if k in ("and", "or", "xor"):
             return (k, _gen(rng, d, "bool"), _gen(rng, d, "bool"))
         if k == "not":
@@ -145,6 +160,11 @@ def _render(e) -> str:
         return f"reduce(acc = 0, x IN {_render(e[1])} | acc + x)"
     if k == "quant":
         return f"{e[1]}(x IN {_render(e[2])} WHERE x > {e[3]})"
+    if k == "inlist":
+        return f"({_render(e[1])} IN [{', '.join(str(x) for x in e[2])}])"
+    if k == "mapidx":
+        body = ", ".join(f"{kk}: {_render(v)}" for kk, v in e[1].items())
+        return f"{{{body}}}['{e[2]}']"
     if k == "concat":
         return f"({_render(e[1])} + {_render(e[2])})"
     if k == "upper":
@@ -207,6 +227,10 @@ def _ev(e):
             "none": not hits,
             "single": len(hits) == 1,
         }[e[1]]
+    if k == "inlist":
+        return _ev(e[1]) in e[2]
+    if k == "mapidx":
+        return _ev(e[1][e[2]])
     if k == "concat":
         return _ev(e[1]) + _ev(e[2])
     if k == "upper":
