@@ -917,33 +917,38 @@ def _apoc_cypher_run(spark: SparkSession, statement: str = "", params=None, sess
     stmt = (statement or "").strip()
     if not stmt:
         raise ValueError("apoc.cypher.run: empty statement")
-    # Read-only guard: a write verb can appear anywhere at clause depth 0
-    # (WITH 1 AS x CREATE ..., UNWIND ... DELETE ...), not just as the
-    # leading token. Tokenizing keeps the scan quote-safe (a literal
-    # 'please DELETE me' is one string token) and depth-gated (bracketed
-    # subexpressions can't host a depth-0 clause); skipping idents
-    # preceded by `.` keeps property access like n.delete readable.
+    # Read-only guard: a write verb can appear anywhere a clause can —
+    # at depth 0 (WITH 1 AS x CREATE ..., UNWIND ... DELETE ...) AND
+    # inside `{}` braces, which host CALL { … } subqueries. Tokenizing
+    # keeps the scan quote-safe (a literal 'please DELETE me' is one
+    # string token). Paren/bracket nesting is expression context (no
+    # clauses live there) and is skipped; within braces a verb-shaped
+    # ident is exempt only as a map KEY (followed by ':'), a map VALUE
+    # (preceded by ':'), or property access (preceded by '.') — a real
+    # write clause can never be adjacent to ':' or '.'.
     from ..cypher.lexer import tokenize as _lex_tokenize
 
     _WRITE_VERBS = {"CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE", "DROP"}
     toks = _lex_tokenize(stmt)
-    depth = 0
+    pb_depth = 0  # ( and [ nesting — expression-only context
     for i, t in enumerate(toks):
         if t.kind == "punct":
-            if t.text in "([{":
-                depth += 1
-            elif t.text in ")]}":
-                depth -= 1
+            if t.text in "([":
+                pb_depth += 1
+            elif t.text in ")]":
+                pb_depth -= 1
             continue
-        if (
-            depth == 0
-            and t.kind == "ident"
-            and t.text.upper() in _WRITE_VERBS
-            and not (i and toks[i - 1].kind == "punct" and toks[i - 1].text == ".")
-        ):
-            raise ValueError(
-                "apoc.cypher.run is read-only; use apoc.cypher.doIt for writes"
-            )
+        if pb_depth or t.kind != "ident" or t.text.upper() not in _WRITE_VERBS:
+            continue
+        prev = toks[i - 1] if i else None
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if prev is not None and prev.kind == "punct" and prev.text in (".", ":"):
+            continue
+        if nxt is not None and nxt.kind == "punct" and nxt.text == ":":
+            continue
+        raise ValueError(
+            "apoc.cypher.run is read-only; use apoc.cypher.doIt for writes"
+        )
     return session.run(stmt, params or None)
 
 

@@ -299,12 +299,25 @@ def test_apoc_cypher_run_and_do_it(spark):
         s.run(
             "CALL apoc.cypher.run('UNWIND [9] AS k CREATE (:P {k: k})', {})"
         )
-    # ...but a string literal or property access spelling a verb is fine
+    # a write hidden inside a CALL {} subquery (brace depth > 0) is
+    # refused too — braces host clauses, unlike paren/bracket nesting
+    with pytest.raises(ValueError, match="read-only"):
+        s.run(
+            "CALL apoc.cypher.run('CALL { CREATE (:P {k: 9}) } "
+            "RETURN 1 AS one', {})"
+        )
+    # ...but a string literal, property access, or map key/value spelling
+    # a verb is fine
     lit = s.run(
         "CALL apoc.cypher.run('MATCH (p:P) WHERE p.v <> \"please DELETE\" "
         "RETURN count(*) AS n', {}) YIELD n RETURN n"
     )
     assert lit.collect()[0].n == 2
+    lit2 = s.run(
+        "CALL apoc.cypher.run('MATCH (p:P {k: 1}) RETURN p.delete AS d, "
+        "{merge: 1, x: 2} AS m', {}) YIELD d RETURN d"
+    )
+    assert lit2.collect()[0].d is None
     s.run("CALL apoc.cypher.doIt('CREATE (:P {k: 3, v: \"c\"})', {})")
     after = s.run("MATCH (p:P) RETURN count(*) AS n")
     assert after.collect()[0].n == 3
