@@ -352,6 +352,8 @@ class Session:
             return self._foreach(q)
         if head == "UNWIND":
             return self._standalone_unwind(q)
+        if head == "WITH":
+            return self._standalone_with(q)
         if head == "SHOW" and q.upper().startswith("SHOW PROCEDURES"):
             from ..procedures.registry import show_procedures
 
@@ -1090,7 +1092,7 @@ class Session:
             raise ValueError(f"Unsupported CALL syntax: {q!r}")
         raw, rest = self._scan_call_args(q[m0.end():].strip())
         m = re.match(
-            r"(?:\s*YIELD\s+(?P<yield>[\w\s,]+?))?"
+            r"(?:\s*YIELD\s+(?P<yield>\*|[\w\s,]+?))?"
             r"(?:\s+WHERE\s+(?P<wkey>[\w.]+)\s*=\s*(?P<wval>'[^']*'|\S+))?"
             r"(?:\s*RETURN\s+(?P<ret>.+))?\s*$",
             rest,
@@ -1111,7 +1113,8 @@ class Session:
             for i, part in enumerate(_split_top(raw_args, ",")):
                 args[f"arg{i}"] = _parse_value(part.strip())
         yield_cols = None
-        if m.group("yield"):
+        if m.group("yield") and m.group("yield").strip() != "*":
+            # YIELD * keeps every output column (Cypher's shorthand)
             yield_cols = [c.strip() for c in m.group("yield").split(",")]
         where = None
         if m.group("wkey"):
@@ -1135,6 +1138,15 @@ class Session:
     # ---- RETURN <expr> ------------------------------------------------
     def _bare_return(self, q: str) -> DataFrame:
         expr = q[len("RETURN"):].strip()
+        # trailing clauses: LIMIT / SKIP / ORDER BY (applied post-select,
+        # keys resolve against the projected aliases)
+        limit, expr = _trailing_int_kw(expr, "LIMIT")
+        skip, expr = _trailing_int_kw(expr, "SKIP")
+        order_by = None
+        h_ob = _find_kw(expr, "ORDER", "BY")
+        if h_ob:
+            order_by = expr[h_ob[1]:].strip()
+            expr = expr[: h_ob[0]].strip()
 
         def _unbound(name: str) -> F.Column:
             raise ValueError(f"unbound name in bare RETURN: {name!r}")
@@ -1165,7 +1177,82 @@ class Session:
             if col is None:
                 col = _value_of(body, _unbound)
             cols.append(col.alias(alias))
-        return self.spark.range(1).select(cols)
+        out = self.spark.range(1).select(cols)
+        if order_by:
+            out = out.orderBy(*_order_keys(order_by, lambda k: F.col(f"`{k}`")))
+        if skip is not None:
+            out = out.offset(skip)
+        return out if limit is None else out.limit(limit)
+
+    def _standalone_with(self, q: str) -> DataFrame:
+        """``WITH <items> [WHERE pred] [WITH …|UNWIND …]* RETURN …`` with
+        no pattern anchor (r9): stage one evaluates its items (closed
+        expressions) over a single unit row; later stages rebind frames
+        exactly like the MATCH-anchored pipeline, UNWIND explodes."""
+
+        def _closed(name: str) -> F.Column:
+            raise ValueError(f"unbound name in standalone WITH: {name!r}")
+
+        frame: DataFrame | None = None
+        src = q.strip()
+        while True:
+            up = src.upper()
+            kw = "WITH" if up.startswith("WITH") else (
+                "UNWIND" if up.startswith("UNWIND") else None
+            )
+            if kw is None:
+                break
+            src = src[len(kw):].strip()
+            ends = [
+                h for h in (
+                    _find_kw(src, "WITH"),
+                    _find_kw(src, "UNWIND"),
+                    _find_kw(src, "RETURN"),
+                ) if h
+            ]
+            cut = min(ends)[0] if ends else len(src)
+            stage, src = src[:cut].strip(), src[cut:].strip()
+            resolve = _frame_resolver(frame) if frame is not None else _closed
+            if kw == "UNWIND":
+                m = re.match(
+                    r"(?P<expr>.+?)\s+AS\s+(?P<var>[A-Za-z_]\w*)\s*$",
+                    stage,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not m:
+                    raise ValueError(f"UNWIND needs `expr AS var`: {stage!r}")
+                base = frame if frame is not None else self.spark.range(1)
+                frame = base.select(
+                    *[c for c in base.columns if c != "id" or frame is not None],
+                    F.explode(_compile_expr(m.group("expr"), resolve)).alias(
+                        m.group("var")
+                    ),
+                )
+                continue
+            wh = _split_kw(stage, "WHERE")
+            items = wh[0].strip()
+            keys, aggs = _parse_items(items, resolve)
+            base = frame if frame is not None else self.spark.range(1)
+            if aggs:
+                frame = (
+                    base.groupBy([c for _, c in keys]).agg(*aggs)
+                    if keys
+                    else base.agg(*aggs)
+                )
+            else:
+                frame = base.select([c for _, c in keys])
+            if len(wh) > 1:
+                frame = frame.where(
+                    _compile_expr(wh[1].strip(), _frame_resolver(frame))
+                )
+        h_ret = _find_kw(src, "RETURN")
+        if h_ret is None or h_ret[0] != 0:
+            raise ValueError(f"standalone WITH requires a terminal RETURN: {q!r}")
+        if frame is None:
+            raise ValueError(f"standalone WITH parsed no stage: {q!r}")
+        return self._project_match(
+            frame, src[h_ret[1]:].strip(), [], _frame_resolver(frame)
+        )
 
     # ---- ALTER CURRENT USER -------------------------------------------
     _current_password: str | None = None
@@ -1218,17 +1305,22 @@ class Session:
         return self._project_bound(ret, ids)
 
     def _project_bound(self, ret: str, ids: dict[str, int]) -> DataFrame:
-        """RETURN var.prop[, ...] over a set of bound node ids."""
-        items = [i.strip() for i in ret.split(",")]
+        """RETURN var.prop [AS alias][, ...] over a set of bound node ids."""
         nodes = self.store.graph.nodes
+        names: list[str] = []
         row: dict[str, object] = {}
-        for item in items:
-            var, prop = item.split(".", 1)
-            val = (
-                nodes.where(F.col("id") == ids[var]).select(prop).first()
-            )
-            row[item] = None if val is None else val[0]
-        return self.spark.createDataFrame([tuple(row[i] for i in items)], list(row))
+        for raw in _split_top(ret, ","):
+            raw = raw.strip()
+            m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", raw, re.IGNORECASE)
+            if m_as:
+                out, raw = m_as.group(1), raw[: m_as.start()].strip()
+            else:
+                out = raw
+            var, prop = raw.split(".", 1)
+            val = nodes.where(F.col("id") == ids[var]).select(prop).first()
+            names.append(out)
+            row[out] = None if val is None else val[0]
+        return self.spark.createDataFrame([tuple(row[n] for n in names)], names)
 
     # ---- MATCH --------------------------------------------------------
     def _match(self, q: str) -> DataFrame:
@@ -1806,8 +1898,17 @@ class Session:
             tail, ret = parts[0].strip(), parts[1].strip()
         resolve = _frame_resolver(bound)
         per_var: dict[str, dict] = {}
+        label_ops: dict[str, tuple[list, list]] = {}  # var -> (add, remove)
         for item in _split_top(tail, ","):
             item = item.strip()
+            # ``SET n:Label[:More]`` / ``REMOVE n:Label`` — label mutation,
+            # not a property assignment (r9)
+            m_lab = re.fullmatch(r"(\w+)((?::\w+)+)", item)
+            if m_lab and "=" not in item:
+                var, labs = m_lab.group(1), m_lab.group(2).lstrip(":").split(":")
+                adds, rems = label_ops.setdefault(var, ([], []))
+                (rems if remove else adds).extend(labs)
+                continue
             if remove:
                 var, prop = item.split(".", 1)
                 per_var.setdefault(var, {})[prop] = F.lit(None)
@@ -1826,6 +1927,14 @@ class Session:
             lhs, rhs = item.split("=", 1)
             var, prop = lhs.strip().split(".", 1)
             per_var.setdefault(var, {})[prop] = _compile_expr(rhs.strip(), resolve)
+        for var, (adds, rems) in label_ops.items():
+            if f"{var}_id" not in bound.columns:
+                raise ValueError(f"SET/REMOVE variable {var!r} is not bound")
+            self.store.set_labels_by_ids(
+                bound.select(F.col(f"{var}_id").alias("id")),
+                add=tuple(adds),
+                remove=tuple(rems),
+            )
         for var, props in per_var.items():
             if f"{var}_id" not in bound.columns:
                 raise ValueError(f"SET/REMOVE variable {var!r} is not bound")

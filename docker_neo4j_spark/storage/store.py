@@ -376,6 +376,27 @@ class GraphStore:
         self._enforce_unique_post(nodes, set(props))
         self._swap(nodes=nodes)
 
+    def set_labels_by_ids(
+        self, ids: DataFrame, add: tuple = (), remove: tuple = ()
+    ) -> None:
+        """Set-based ``SET n:Label`` / ``REMOVE n:Label`` (r9): matched
+        ids drive one conditional labels-array update — union for adds
+        (idempotent), except for removes."""
+        flagged = ids.select("id").distinct().withColumn("_hit", F.lit(True))
+        nodes = self.graph.nodes.join(flagged, "id", "left")
+        new_labels = F.col("labels")
+        if add:
+            new_labels = F.array_union(
+                new_labels, F.array(*[F.lit(x) for x in add])
+            )
+        for x in remove:
+            new_labels = F.array_remove(new_labels, x)
+        nodes = nodes.withColumn(
+            "labels",
+            F.when(F.col("_hit"), new_labels).otherwise(F.col("labels")),
+        ).drop("_hit")
+        self._swap(nodes=nodes)
+
     def delete_nodes_by_ids(self, ids: DataFrame, detach: bool = True) -> None:
         """Set-based ``[DETACH] DELETE`` driven by a matched id frame.
         Plain DELETE raises if any doomed node still has relationships

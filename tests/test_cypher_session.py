@@ -1213,3 +1213,55 @@ def test_set_with_expressions(session):
     session.run("MATCH (x:acct) WHERE x.bal > 5 SET x.bal = x.bal + 1")
     r2 = session.run("MATCH (x:acct) RETURN x.name AS n, x.bal AS b ORDER BY n").collect()
     assert [(row.n, row.b) for row in r2] == [("a", 3), ("b", 11)]
+
+
+def test_set_remove_labels(session):
+    """SET n:Label / REMOVE n:Label (r9): one conditional labels-array
+    update over the matched ids; multi-label SET; membership visible to
+    subsequent label scans."""
+    session.run("CREATE (:dog {name:'Arne'})")
+    session.run("CREATE (:dog {name:'Bosse'})")
+    session.run("MATCH (d:dog) SET d:pup:mammal")
+    assert session.run("MATCH (p:pup) RETURN count(*) AS n").first()["n"] == 2
+    assert session.run("MATCH (m:mammal) RETURN count(*) AS n").first()["n"] == 2
+    session.run("MATCH (d:dog {name:'Arne'}) REMOVE d:pup")
+    rest = session.run("MATCH (p:pup) RETURN p.name AS n").collect()
+    assert [r.n for r in rest] == ["Bosse"]
+    # idempotent re-add: labels array must not grow duplicates
+    session.run("MATCH (d:dog {name:'Bosse'}) SET d:pup")
+    labs = session.run(
+        "MATCH (d:dog {name:'Bosse'}) RETURN labels(d) AS l"
+    ).first()["l"]
+    assert sorted(labs) == ["dog", "mammal", "pup"]
+
+
+def test_standalone_with_pipeline(session):
+    r = session.run("WITH 3 AS x RETURN x * x AS sq").first()
+    assert r["sq"] == 9
+    r = session.run("WITH [1,2,3] AS l UNWIND l AS x RETURN sum(x) AS s").first()
+    assert r["s"] == 6
+    r = session.run("WITH 10 AS x WITH x * 2 AS y WHERE y > 5 RETURN y").first()
+    assert r["y"] == 20
+    r = session.run(
+        "WITH 'ab' AS s WITH s + 'c' AS t RETURN toUpper(t) AS u"
+    ).first()
+    assert r["u"] == "ABC"
+
+
+def test_bare_return_order_skip_limit(session):
+    rows = session.run(
+        "RETURN 5 AS a, 6 AS b ORDER BY a + b"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(5, 6)]
+    rows = session.run("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x SKIP 1 LIMIT 1").collect()
+    assert [r["x"] for r in rows] == [2]
+
+
+def test_merge_return_alias_and_yield_star(session):
+    r = session.run(
+        "MERGE (x:city {name: 'Oslo'}) ON CREATE SET x.new = true "
+        "RETURN x.name AS n"
+    ).first()
+    assert r["n"] == "Oslo"
+    out = session.run("CALL dbms.components() YIELD *")
+    assert set(out.columns) >= {"name", "versions", "edition"}
