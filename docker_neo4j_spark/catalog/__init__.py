@@ -114,6 +114,8 @@ _NEW_THIS_ROUND: list[str] = [
     "source_xml_roundtrip",
     "cypher_set_expression_readback",
     "proc_show_functions",
+    "cypher_label_set_readback",
+    "cypher_standalone_with",
 ]
 
 

@@ -2239,3 +2239,53 @@ def proc_show_functions(spark, sf_dir):
         F.col("name").startswith("apoc.text.")
         | F.col("name").startswith("gds.similarity.")
     ).orderBy("name")
+
+
+@register(
+    "cypher_label_set_readback",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_debtors,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_acctbal < 0.0
+    """,
+)
+def cypher_label_set_readback(spark, sf_dir):
+    """``SET n:Label`` (r9) read back through a label scan: the negative-
+    balance customers gain :Debtor via ONE conditional labels-array
+    update, then MATCH (:Debtor) must see exactly that set. The oracle
+    recomputes membership relationally."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("MATCH (c:Customer) WHERE c.c_acctbal < 0.0 SET c:Debtor")
+    return s.run(
+        "MATCH (d:Debtor) RETURN count(*) AS n_debtors, "
+        "sum(d.c_custkey) AS key_sum"
+    )
+
+
+@register(
+    "cypher_standalone_with",
+    """
+    WITH RECURSIVE seq(x) AS (
+      SELECT 1 UNION ALL SELECT x + 1 FROM seq WHERE x < 20
+    )
+    SELECT CAST(SUM(x * x) AS BIGINT) AS sq_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE x % 2 = 0
+    """,
+)
+def cypher_standalone_with(spark, sf_dir):
+    """Standalone WITH pipeline (r9): no pattern anchor — a literal list
+    through UNWIND, a WHERE-filtered rebinding stage, and a terminal
+    aggregate, all through the façade's stage machinery."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    return s.run(
+        "WITH range(1, 20) AS l UNWIND l AS x "
+        "WITH x WHERE x % 2 = 0 "
+        "RETURN sum(x * x) AS sq_sum, count(*) AS n"
+    )
