@@ -496,6 +496,22 @@ class _Parser:
             return self._call(name)
         if len(parts) == 1 and self._at_punct("{"):
             return self._map_projection(parts[0])
+        if (
+            len(parts) == 1
+            and self._at_punct(":")
+            and self._peek(1) is not None
+            and self._peek(1).kind == "ident"
+        ):
+            # label predicate `n:Label[:More]` — membership tests over the
+            # entity's labels array, AND-ed (Cypher's multi-label form)
+            labels = self.resolve(f"labels({name})")
+            out = None
+            while self._at_punct(":") and self._peek(1) is not None and self._peek(1).kind == "ident":
+                self._take()
+                lab = self._take().text
+                term = F.array_contains(labels, lab)
+                out = term if out is None else out & term
+            return _V(out)
         return _V(self.resolve(name))
 
     def _list_or_comprehension(self) -> _V:

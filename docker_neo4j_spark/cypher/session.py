@@ -425,6 +425,22 @@ class Session:
             return self._merge(q[len("MERGE"):].strip())
         if head == "MATCH":
             return self._match(q)
+        h_om = _find_kw(q, "OPTIONAL", "MATCH")
+        if head == "OPTIONAL" and h_om is not None and h_om[0] == 0:
+            # leading OPTIONAL MATCH (r9): run as MATCH; a fully-empty
+            # result degrades to one all-null row (Cypher's contract —
+            # the optional pattern preserves the single incoming row)
+            out = self._match("MATCH " + q[h_om[1]:].strip())
+            if out.isEmpty():
+                from pyspark.sql.types import StructField, StructType
+
+                schema = StructType(
+                    [StructField(f.name, f.dataType, True) for f in out.schema.fields]
+                )
+                return self.spark.createDataFrame(
+                    [tuple(None for _ in schema.fields)], schema
+                )
+            return out
         raise ValueError(f"Unsupported Cypher statement: {cypher!r}")
 
     def _foreach(self, q: str) -> DataFrame:
@@ -1517,6 +1533,13 @@ class Session:
             inner_where = None
             if m_ex:
                 inner = (m_ex.group("brace") or m_ex.group("paren")).strip()
+                # legacy property-exists predicate: exists(n.prop) is an
+                # IS NOT NULL check, not a pattern subquery (r9)
+                if re.fullmatch(r"\w+\.\w+", inner):
+                    col = (resolve or _default_resolver)(inner)
+                    pred = col.isNull() if m_not else col.isNotNull()
+                    bound = bound.where(pred)
+                    continue
                 # openCypher 9 existential subquery may carry its own WHERE:
                 # EXISTS { (a)-[:T]->(b) WHERE b.x > 1 }
                 wh = _split_top(inner, "WHERE")

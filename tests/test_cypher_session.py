@@ -1265,3 +1265,22 @@ def test_merge_return_alias_and_yield_star(session):
     assert r["n"] == "Oslo"
     out = session.run("CALL dbms.components() YIELD *")
     assert set(out.columns) >= {"name", "versions", "edition"}
+
+
+def test_exists_property_label_predicate_leading_optional(session):
+    """r9 predicate fills: legacy exists(n.prop), label predicates
+    n:Label in WHERE, and a leading OPTIONAL MATCH degrading to one
+    all-null row on a fully-empty result."""
+    session.run("CREATE (:dog {name:'Arne', age: 3})")
+    session.run("CREATE (:dog {name:'NoAge'})")
+    r = session.run("MATCH (a:dog) WHERE exists(a.age) RETURN a.name AS n").collect()
+    assert [x.n for x in r] == ["Arne"]
+    r = session.run("MATCH (a:dog) WHERE NOT exists(a.age) RETURN a.name AS n").collect()
+    assert [x.n for x in r] == ["NoAge"]
+    assert session.run("MATCH (n) WHERE n:dog RETURN count(*) AS c").first()["c"] == 2
+    r = session.run("MATCH (n) WHERE n:dog AND n.age > 1 RETURN n.name AS nm").collect()
+    assert [x.nm for x in r] == ["Arne"]
+    r = session.run("OPTIONAL MATCH (z:nothing) RETURN z.name AS zn").collect()
+    assert [x.zn for x in r] == [None]
+    r = session.run("OPTIONAL MATCH (d:dog {name:'Arne'}) RETURN d.age AS a").collect()
+    assert [x.a for x in r] == [3]
