@@ -859,6 +859,8 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'apoc.load.xml'
     UNION ALL SELECT 'apoc.meta.stats'
     UNION ALL SELECT 'apoc.periodic.commit'
+    UNION ALL SELECT 'apoc.util.sleep'
+    UNION ALL SELECT 'apoc.util.validate'
     UNION ALL SELECT 'apoc.periodic.iterate'
     UNION ALL SELECT 'apoc.path.expand'
     UNION ALL SELECT 'db.index.fulltext.queryNodes'

@@ -308,6 +308,42 @@ def _periodic_iterate(
 
 
 @procedure(
+    "apoc.util.validate",
+    signature="apoc.util.validate(predicate :: BOOLEAN, message :: STRING, params :: LIST) :: ()",
+    description="Raise an exception with the formatted message when the predicate holds",
+    defaults={"params": None},
+)
+def _apoc_util_validate(
+    spark: SparkSession, predicate=None, message: str = "", params=None
+) -> DataFrame:
+    """apoc.util.validate — guard procedure: predicate true → error with
+    the %-formatted message (APOC's exception contract); false → empty
+    success row stream."""
+    if bool(predicate):
+        try:
+            msg = (message or "") % tuple(params or ())
+        except (TypeError, ValueError):
+            msg = message or ""
+        raise ValueError(f"apoc.util.validate: {msg}")
+    return spark.createDataFrame([], "ok string")
+
+
+@procedure(
+    "apoc.util.sleep",
+    signature="apoc.util.sleep(duration :: INTEGER) :: ()",
+    description="Sleep for the given number of milliseconds (throttling/test hooks)",
+)
+def _apoc_util_sleep(spark: SparkSession, duration=0) -> DataFrame:
+    """apoc.util.sleep — driver-side millisecond sleep, capped at 60 s so
+    a bad argument can't wedge a serving thread."""
+    import time
+
+    ms = max(0, min(int(duration or 0), 60_000))
+    time.sleep(ms / 1000.0)
+    return spark.createDataFrame([], "ok string")
+
+
+@procedure(
     "apoc.periodic.commit",
     signature=(
         "apoc.periodic.commit(statement :: STRING, params :: MAP) :: "

@@ -580,3 +580,18 @@ def test_periodic_commit_drains_until_zero(spark):
     assert out["executions"] == 4
     assert out["failedCommits"] == 0
     assert s.run("MATCH (n:drainme) RETURN count(*) AS n").first()["n"] == 0
+
+
+def test_apoc_util_validate_and_sleep(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    # false predicate → no-op
+    s.run("CALL apoc.util.validate(false, 'never', [])")
+    with pytest.raises(ValueError, match="got 7"):
+        s.run("CALL apoc.util.validate(true, 'got %d', [7])")
+    import time
+
+    t0 = time.time()
+    s.run("CALL apoc.util.sleep(150)")
+    assert time.time() - t0 >= 0.14
