@@ -96,6 +96,15 @@ _CHANGED_THIS_ROUND: list[str] = [
     # compiler (store.set_props_from_frame joins per-node values) —
     # re-grade the pre-existing SET row on the shared path
     "cypher_set_delete_readback",
+    # r9: aggregate items now lift nested aggregates (span-geometry
+    # dispatch replaced the greedy _AGG_RE fast path) — re-grade the
+    # façade rows that flow through _parse_items' aggregate branch
+    "cypher_implicit_grouping",
+    "cypher_with_pipeline",
+    "cypher_multi_match_pipeline",
+    # r9: apoc.coll.sum accumulates as double (float elements truncated
+    # before) — re-grade the coll suite
+    "fn_apoc_coll_suite",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -116,6 +125,7 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_show_functions",
     "cypher_label_set_readback",
     "cypher_standalone_with",
+    "cypher_nested_aggregates",
 ]
 
 

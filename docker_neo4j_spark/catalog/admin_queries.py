@@ -2291,3 +2291,30 @@ def cypher_standalone_with(spark, sf_dir):
         "WITH x WHERE x % 2 = 0 "
         "RETURN sum(x * x) AS sq_sum, count(*) AS n"
     )
+
+
+@register(
+    "cypher_nested_aggregates",
+    """
+    SELECT c_mktsegment AS seg,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n1,
+           CAST(MAX(c_custkey) - MIN(c_custkey) AS BIGINT) AS key_spread,
+           MIN(c_name) AS first_name
+    FROM customer GROUP BY c_mktsegment ORDER BY seg
+    """,
+)
+def cypher_nested_aggregates(spark, sf_dir):
+    """Aggregates nested inside expressions (r9): count(*)+1, a
+    difference of two aggregates, and head(collect(sorted)) — each inner
+    aggregate lifts to a temp alias, the outer arithmetic compiles in
+    one post-aggregation select (no extra shuffle)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (c:Customer) RETURN c.c_mktsegment AS seg, "
+        "count(*) + 1 AS n1, max(c.c_custkey) - min(c.c_custkey) AS key_spread, "
+        "head(collect(c.c_name)) AS first_name ORDER BY seg"
+    )

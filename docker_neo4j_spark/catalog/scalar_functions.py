@@ -530,7 +530,7 @@ def fn_apoc_coll_suite(spark, sf_dir):
     small = F.array([F.lit(i) for i in range(1, 11)])
     return ks.select(
         "n_name",
-        apoc.coll_sum("ks").alias("k_sum"),
+        apoc.coll_sum("ks").cast("long").alias("k_sum"),
         apoc.coll_avg("ks").alias("k_avg"),
         apoc.coll_min("ks").cast("long").alias("k_min"),
         apoc.coll_max("ks").cast("long").alias("k_max"),

@@ -228,34 +228,126 @@ def _value_of(text: str, resolve) -> F.Column:
     return _compile_expr(text, resolve)
 
 
-def _parse_items(src: str, resolve) -> tuple[list, list]:
-    """Parse a RETURN/WITH item list into (keys, aggs) — Cypher implicit
-    grouping: non-aggregate items are the grouping keys of any aggregate
-    items (SURVEY §2.B.4). ``expr AS alias`` names the output column; the
-    default is the literal item text (what a Bolt record exposes)."""
+_AGG_FNS = frozenset({"count", "sum", "avg", "min", "max", "collect"})
+
+
+def _find_agg_spans(item: str) -> list[tuple[int, int]]:
+    """Character spans of aggregate calls anywhere in the item (token
+    scan: agg ident + balanced parens; `apoc.coll.min(` is NOT one — a
+    preceding '.' marks a namespaced scalar)."""
+    from .lexer import tokenize
+
+    toks = tokenize(item)
+    spans: list[tuple[int, int]] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.kind == "ident"
+            and t.text.lower() in _AGG_FNS
+            and not (i and toks[i - 1].kind == "punct" and toks[i - 1].text == ".")
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "punct"
+            and toks[i + 1].text == "("
+        ):
+            depth, j = 0, i + 1
+            while j < len(toks):
+                tj = toks[j]
+                if tj.kind == "punct":
+                    if tj.text in "([{":
+                        depth += 1
+                    elif tj.text in ")]}":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j += 1
+            spans.append((t.pos, toks[j].end))
+            i = j
+        i += 1
+    return spans
+
+
+def _compile_agg(item: str, resolve) -> F.Column | None:
+    """One aggregate call text → its Spark aggregate expression."""
+    m = _AGG_RE.match(item)
+    if not m:
+        return None
+    fn, agg_distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
+    col = F.lit(1) if arg == "*" else _value_of(arg, resolve)
+    if fn == "count":
+        e = F.countDistinct(col) if agg_distinct else F.count(col if arg != "*" else "*")
+        return e.cast("long")
+    if fn == "collect":
+        return F.sort_array(F.collect_set(col) if agg_distinct else F.collect_list(col))
+    return getattr(F, fn)(col)
+
+
+def _parse_items(src: str, resolve) -> tuple[list, list, list | None]:
+    """Parse a RETURN/WITH item list into (keys, aggs, post) — Cypher
+    implicit grouping: non-aggregate items are the grouping keys of any
+    aggregate items (SURVEY §2.B.4). ``expr AS alias`` names the output
+    column; the default is the literal item text (what a Bolt record
+    exposes).
+
+    Aggregates may nest INSIDE expressions (``head(collect(x))``,
+    ``count(*) + 1`` — r9): each inner aggregate is lifted to a
+    temp-aliased aggregate and the surrounding expression compiles in a
+    post-aggregation select; ``post`` (None when no item needed lifting)
+    is the ordered output spec (("col", alias) passthrough or
+    ("expr", alias, rewritten_text)) the caller applies via
+    :func:`_apply_post_items`."""
     keys: list[tuple[str, F.Column]] = []
     aggs: list[F.Column] = []
+    post: list[tuple] = []
+    mixed = False
     for item in [i.strip() for i in _split_top(src, ",")]:
         m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
         if m_as:
             alias, item = m_as.group(1), item[: m_as.start()].strip()
         else:
             alias = item
-        m = _AGG_RE.match(item)
-        if not m:
-            keys.append((alias, _value_of(item, resolve).alias(alias)))
+        spans = _find_agg_spans(item)
+        if len(spans) == 1 and spans[0] == (0, len(item)):
+            # the item IS one aggregate call (span geometry decides —
+            # the greedy _AGG_RE alone would swallow `max(x) - min(x)`
+            # as one call with garbage arg text)
+            agg = _compile_agg(item, resolve)
+            if agg is None:
+                raise ValueError(f"cannot parse aggregate: {item!r}")
+            aggs.append(agg.alias(alias))
+            post.append(("col", alias))
             continue
-        fn, agg_distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
-        col = F.lit(1) if arg == "*" else _value_of(arg, resolve)
-        if fn == "count":
-            e = F.countDistinct(col) if agg_distinct else F.count(col if arg != "*" else "*")
-            e = e.cast("long")
-        elif fn == "collect":
-            e = F.sort_array(F.collect_set(col) if agg_distinct else F.collect_list(col))
+        if spans:
+            mixed = True
+            out_text, last = "", 0
+            for a, b in spans:
+                inner = _compile_agg(item[a:b], resolve)
+                if inner is None:
+                    raise ValueError(f"cannot parse aggregate in: {item!r}")
+                tmp = f"_agg_{len(aggs)}"
+                aggs.append(inner.alias(tmp))
+                out_text += item[last:a] + tmp
+                last = b
+            out_text += item[last:]
+            post.append(("expr", alias, out_text))
+            continue
+        keys.append((alias, _value_of(item, resolve).alias(alias)))
+        post.append(("col", alias))
+    return keys, aggs, (post if mixed else None)
+
+
+def _apply_post_items(frame: DataFrame, post: list, extra_cols=()) -> DataFrame:
+    """Post-aggregation select for lifted-aggregate items: passthrough
+    columns by alias, rewritten expressions over the aggregated frame."""
+    fr = _frame_resolver(frame)
+    cols = [F.col(f"`{c}`") for c in extra_cols]
+    for entry in post:
+        if entry[0] == "col":
+            cols.append(F.col(f"`{entry[1]}`"))
         else:
-            e = getattr(F, fn)(col)
-        aggs.append(e.alias(alias))
-    return keys, aggs
+            _, alias, text = entry
+            cols.append(_compile_expr(text, fr).alias(alias))
+    return frame.select(cols)
 
 
 def _order_keys(order_by: str, resolve) -> list:
@@ -1247,7 +1339,7 @@ class Session:
                 continue
             wh = _split_kw(stage, "WHERE")
             items = wh[0].strip()
-            keys, aggs = _parse_items(items, resolve)
+            keys, aggs, post = _parse_items(items, resolve)
             base = frame if frame is not None else self.spark.range(1)
             if aggs:
                 frame = (
@@ -1255,6 +1347,8 @@ class Session:
                     if keys
                     else base.agg(*aggs)
                 )
+                if post is not None:
+                    frame = _apply_post_items(frame, post)
             else:
                 frame = base.select([c for _, c in keys])
             if len(wh) > 1:
@@ -1459,14 +1553,22 @@ class Session:
                 for c in bound.columns
                 if c == f"{v}_id" or c.startswith(f"{v}_")
             ]
-            keys, aggs = (
+            keys, aggs, post = (
                 _parse_items(", ".join(expr_items), _frame_resolver(bound))
                 if expr_items
-                else ([], [])
+                else ([], [], None)
             )
             if aggs:
+                kept = [
+                    c
+                    for v in var_items
+                    for c in bound.columns
+                    if c == f"{v}_id" or c.startswith(f"{v}_")
+                ]
                 group_cols = var_cols + [c for _, c in keys]
                 bound = bound.groupBy(group_cols).agg(*aggs) if group_cols else bound.agg(*aggs)
+                if post is not None:
+                    bound = _apply_post_items(bound, post, extra_cols=kept)
             else:
                 bound = bound.select(var_cols + [c for _, c in keys])
                 if st_distinct:
@@ -2383,7 +2485,7 @@ class Session:
                 out = out.offset(skip)
             return out if limit is None else out.limit(limit)
 
-        keys, aggs = _parse_items(ret, _resolve)
+        keys, aggs, post = _parse_items(ret, _resolve)
 
         if aggs:
             out = (
@@ -2391,6 +2493,8 @@ class Session:
                 if keys
                 else bound.agg(*aggs)
             )
+            if post is not None:
+                out = _apply_post_items(out, post)
             if order_by:
                 out = out.orderBy(*_order_keys(order_by, lambda k: F.col(f"`{k}`")))
             if skip is not None:

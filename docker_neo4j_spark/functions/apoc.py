@@ -176,14 +176,19 @@ def text_slug(x, sep: str = "-") -> Column:
 
 
 def coll_sum(l) -> Column:
-    """apoc.coll.sum — integer list sum via fold (no explode/shuffle)."""
-    return F.aggregate(_c(l), F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+    """apoc.coll.sum — list sum via fold (no explode/shuffle). Accumulates
+    as DOUBLE (APOC's sum returns float; the old long accumulator
+    silently truncated float elements — r9 fix). Integer callers cast
+    the whole-valued result back."""
+    return F.aggregate(
+        _c(l), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
 
 
 def coll_avg(l) -> Column:
     """apoc.coll.avg."""
     c = _c(l)
-    return F.when(F.size(c) > 0, coll_sum(c).cast("double") / F.size(c))
+    return F.when(F.size(c) > 0, coll_sum(c) / F.size(c))
 
 
 def coll_min(l) -> Column:

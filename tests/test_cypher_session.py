@@ -1284,3 +1284,35 @@ def test_exists_property_label_predicate_leading_optional(session):
     assert [x.zn for x in r] == [None]
     r = session.run("OPTIONAL MATCH (d:dog {name:'Arne'}) RETURN d.age AS a").collect()
     assert [x.a for x in r] == [3]
+
+
+def test_aggregates_nested_in_expressions(session):
+    """r9: aggregates lift out of surrounding expressions — each inner
+    agg becomes a temp-aliased aggregate, the outer expression compiles
+    post-aggregation. Also pins the span-geometry fix: `max(x) - min(x)`
+    is two calls, not one greedy-regex call."""
+    session.run("CREATE (:dog {name:'Arne', age: 3})")
+    session.run("CREATE (:dog {name:'Bosse', age: 5})")
+    r = session.run(
+        "MATCH (a:dog) RETURN head(collect(a.name)) AS f, "
+        "size(collect(a.name)) AS n, count(*) + 1 AS n1, "
+        "sum(a.age) * 2 AS d, max(a.age) - min(a.age) AS spread"
+    ).first()
+    assert (r["f"], r["n"], r["n1"], r["d"], r["spread"]) == ("Arne", 2, 3, 16, 2)
+    r = session.run("MATCH (a:dog) RETURN collect(a.name)[0] AS first").first()
+    assert r["first"] == "Arne"
+    # grouped: per-name collected neighbors sized inside the expression
+    session.run(
+        "MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) "
+        "CREATE (a)-[:SNIFFS]->(b)"
+    )
+    rows = session.run(
+        "MATCH (a:dog)-[:SNIFFS]->(b) RETURN a.name AS n, "
+        "size(collect(b.name)) AS k"
+    ).collect()
+    assert [(x.n, x.k) for x in rows] == [("Arne", 1)]
+    # WITH-stage lifting feeds later stages
+    r = session.run(
+        "MATCH (a:dog) WITH size(collect(a.name)) AS n RETURN n + 10 AS m"
+    ).first()
+    assert r["m"] == 12
