@@ -58,53 +58,7 @@ _loaded = False
 # Registration order breaks ties, so the order is deterministic for a given
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
-    # r9 entries are appended as implementations change; reset at round start.
-    # r9 ADVICE fixes: pearson zero-variance → NULL (oracle NULLIF to
-    # match); coll_partition empty list → no partitions; apoc.merge.node
-    # multi-label; apoc.cypher.run depth-0 write-verb guard; bellman_ford
-    # convergence-gated negative-cycle detection (V-1 default bound)
-    "fn_gds_similarity_suite",
-    "fn_apoc_coll_suite2",
-    "proc_apoc_create_merge",
-    "proc_apoc_cypher_run",
-    "gds_bellman_ford_negative",
-    # r9: the per-shape expression-compiler ladder (_value_of /
-    # _compile_where / _compile_value_expr + 9 helpers, two private
-    # tokenizers) replaced by the unified Pratt parser (cypher/exprs.py)
-    # — every façade row recompiles through it; re-grade the rows that
-    # lean hardest on each ported construct (CASE, reduce, comprehension,
-    # quantifiers, arithmetic projection, map projection, scalar calls,
-    # WHERE predicates, temporal arithmetic)
-    "cypher_case_expression",
-    "cypher_reduce",
-    "cypher_list_comprehension",
-    "cypher_list_quantifiers",
-    "cypher_expression_projection",
-    "cypher_map_projection",
-    "cypher_scalar_functions",
-    "cypher_where_filter",
-    "cypher_temporal",
-    # r9: batch-UNWIND write clauses ported from the four _BATCH_*_RE
-    # regexes (last PROPS_BODY consumer) to the token-stream spec parser
-    # — re-grade both batch-write rows
-    "write_merge_unwind_batch",
-    "write_merge_rel_batch",
-    # r9: apoc.load.xml registered — SHOW PROCEDURES surface (and its
-    # oracle's expected list) grew by one row
-    "proc_show_procedures",
-    # r9: SET values now compile as full expressions through the unified
-    # compiler (store.set_props_from_frame joins per-node values) —
-    # re-grade the pre-existing SET row on the shared path
-    "cypher_set_delete_readback",
-    # r9: aggregate items now lift nested aggregates (span-geometry
-    # dispatch replaced the greedy _AGG_RE fast path) — re-grade the
-    # façade rows that flow through _parse_items' aggregate branch
-    "cypher_implicit_grouping",
-    "cypher_with_pipeline",
-    "cypher_multi_match_pipeline",
-    # r9: apoc.coll.sum accumulates as double (float elements truncated
-    # before) — re-grade the coll suite
-    "fn_apoc_coll_suite",
+    # r10 entries are appended as implementations change; reset at round start.
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -113,19 +67,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 # enter the 50-row window once the backlog fits. Reset each round (entries
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
-    # r9 entries are appended as new rows register; reset at round start.
-    "cypher_hostile_expression",
-    "cypher_collect_subquery",
-    "source_orc_roundtrip",
-    "gds_dfs_preorder",
-    "fn_apoc_text_phonetic",
-    "graphql_where_filters",
-    "source_xml_roundtrip",
-    "cypher_set_expression_readback",
-    "proc_show_functions",
-    "cypher_label_set_readback",
-    "cypher_standalone_with",
-    "cypher_nested_aggregates",
+    # r10 entries are appended as new rows register; reset at round start.
 ]
 
 
