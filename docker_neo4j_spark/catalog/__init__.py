@@ -59,6 +59,12 @@ _loaded = False
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
     # r10 entries are appended as implementations change; reset at round start.
+    # r10 ADVICE fixes: apoc.cypher.run guard blocks FOREACH + fails
+    # closed on unbalanced closers; string `+` consults frame dtypes
+    # (n.first + n.last concatenates); timestamp() true millis;
+    # _find_agg_spans unbalanced-paren ValueError
+    "proc_apoc_cypher_run",
+    "cypher_expression_projection",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

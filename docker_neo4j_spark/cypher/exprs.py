@@ -512,7 +512,21 @@ class _Parser:
                 term = F.array_contains(labels, lab)
                 out = term if out is None else out & term
             return _V(out)
-        return _V(self.resolve(name))
+        # `var.prop` / frame-alias reference: consult frame dtypes (the
+        # same channel size()/isEmpty() use) so a string-typed property
+        # participates in `+` as Cypher concatenation — without this,
+        # n.first + n.last compiled to numeric Column addition and
+        # silently produced NULL.
+        is_str = False
+        frame = getattr(self.resolve, "frame", None)
+        if frame is not None:
+            dts = dict(frame.dtypes)
+            key = name if name in dts else (
+                name.replace(".", "_", 1) if "." in name else None
+            )
+            if key is not None and dts.get(key) == "string":
+                is_str = True
+        return _V(self.resolve(name), is_str=is_str)
 
     def _list_or_comprehension(self) -> _V:
         """``[a, b]`` list literal vs ``[x IN list WHERE p | e]``

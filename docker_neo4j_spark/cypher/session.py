@@ -261,6 +261,10 @@ def _find_agg_spans(item: str) -> list[tuple[int, int]]:
                         if depth == 0:
                             break
                 j += 1
+            if j >= len(toks):
+                raise ValueError(
+                    f"unbalanced parens in aggregate: {item!r}"
+                )
             spans.append((t.pos, toks[j].end))
             i = j
         i += 1

@@ -192,8 +192,10 @@ def randomUUID() -> Column:
 
 
 def timestamp() -> Column:
-    """Cypher timestamp() — current epoch MILLIS (Neo4j's unit)."""
-    return (F.unix_timestamp(F.current_timestamp()) * 1000).cast("long")
+    """Cypher timestamp() — current epoch MILLIS (Neo4j's unit).
+    unix_millis keeps sub-second precision (unix_timestamp truncates
+    to whole seconds)."""
+    return F.unix_millis(F.current_timestamp())
 
 
 def toBoolean(x) -> Column:

@@ -964,7 +964,12 @@ def _apoc_cypher_run(spark: SparkSession, statement: str = "", params=None, sess
     # write clause can never be adjacent to ':' or '.'.
     from ..cypher.lexer import tokenize as _lex_tokenize
 
-    _WRITE_VERBS = {"CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE", "DROP"}
+    # FOREACH is itself a write clause (its body may only hold write
+    # clauses, which sit inside the FOREACH parens and would otherwise
+    # be skipped as expression context) — block the keyword.
+    _WRITE_VERBS = {
+        "CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE", "DROP", "FOREACH",
+    }
     toks = _lex_tokenize(stmt)
     pb_depth = 0  # ( and [ nesting — expression-only context
     for i, t in enumerate(toks):
@@ -973,6 +978,14 @@ def _apoc_cypher_run(spark: SparkSession, statement: str = "", params=None, sess
                 pb_depth += 1
             elif t.text in ")]":
                 pb_depth -= 1
+                if pb_depth < 0:
+                    # Unbalanced closer: the depth bookkeeping is no
+                    # longer trustworthy, so fail closed instead of
+                    # letting the rest of the statement scan at a
+                    # negative (== truthy == exempt) depth.
+                    raise ValueError(
+                        "apoc.cypher.run: unbalanced ')' or ']' in statement"
+                    )
             continue
         if pb_depth or t.kind != "ident" or t.text.upper() not in _WRITE_VERBS:
             continue

@@ -445,6 +445,27 @@ def test_expression_projection(session):
     assert r[0]["s"] == 100
 
 
+def test_string_property_concat(session):
+    """`+` over two string-typed properties is Cypher concatenation, not
+    numeric addition (ADVICE r9: neither operand is a literal, so the
+    static is_str flag alone can't see it — frame dtypes must)."""
+    session.run("CREATE (:Person {first: 'Ada', last: 'Lovelace', age: 36})")
+    r = session.run(
+        "MATCH (n:Person) RETURN n.first + n.last AS full, "
+        "n.first + ' ' + n.last AS spaced, n.age + 1 AS a1"
+    ).collect()
+    assert (r[0]["full"], r[0]["spaced"], r[0]["a1"]) == (
+        "AdaLovelace", "Ada Lovelace", 37,
+    )
+
+
+def test_unbalanced_aggregate_is_parse_error(session):
+    """An unclosed aggregate call surfaces a ValueError, not a raw
+    IndexError from the span scanner (ADVICE r9)."""
+    with pytest.raises(ValueError, match="unbalanced"):
+        session.run("MATCH (n:dog) RETURN count(n.age AS c")
+
+
 def test_merge_on_create_on_match_set(session):
     session.run(
         "MERGE (a:dog {name:'Arne'}) ON CREATE SET a.created = true ON MATCH SET a.matched = true"

@@ -318,6 +318,18 @@ def test_apoc_cypher_run_and_do_it(spark):
         "{merge: 1, x: 2} AS m', {}) YIELD d RETURN d"
     )
     assert lit2.collect()[0].d is None
+    # FOREACH is itself a write clause (its parenthesized body holds the
+    # CREATE, which the paren-skip would otherwise exempt) — refused
+    # (ADVICE r9)
+    with pytest.raises(ValueError, match="read-only"):
+        s.run(
+            "CALL apoc.cypher.run('FOREACH (x IN [1] | CREATE (:P {k: x}))'"
+            ", {})"
+        )
+    # an unbalanced closer would drive the depth counter negative and
+    # disable the scan for the rest of the statement — fail closed
+    with pytest.raises(ValueError, match="unbalanced"):
+        s.run("CALL apoc.cypher.run('WITH 1) AS x DELETE x', {})")
     s.run("CALL apoc.cypher.doIt('CREATE (:P {k: 3, v: \"c\"})', {})")
     after = s.run("MATCH (p:P) RETURN count(*) AS n")
     assert after.collect()[0].n == 3
