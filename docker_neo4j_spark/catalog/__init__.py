@@ -65,6 +65,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     # _find_agg_spans unbalanced-paren ValueError
     "proc_apoc_cypher_run",
     "cypher_expression_projection",
+    # r10: entity serialization reworked _parse_items/_project_match
+    # (4-tuple items, entity-aware grouping/distinct/order) — re-grade
+    # the façade rows that lean hardest on those paths
+    "cypher_implicit_grouping",
+    "cypher_with_pipeline",
+    "cypher_multi_match_pipeline",
+    "cypher_optional_match",
+    "cypher_union",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -74,6 +82,9 @@ _CHANGED_THIS_ROUND: list[str] = [
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
     # r10 entries are appended as new rows register; reset at round start.
+    # r10: entity serialization (RETURN n / RETURN r → structs)
+    "cypher_return_entity",
+    "cypher_collect_entities",
 ]
 
 

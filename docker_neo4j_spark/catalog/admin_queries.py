@@ -2318,3 +2318,111 @@ def cypher_nested_aggregates(spark, sf_dir):
         "count(*) + 1 AS n1, max(c.c_custkey) - min(c.c_custkey) AS key_spread, "
         "head(collect(c.c_name)) AS first_name ORDER BY seg"
     )
+
+
+def _entity_props_csv(col):
+    """Entity struct's properties map → deterministic 'k=v;…' CSV, keys
+    sorted (the driver's hash gate can't take map cells)."""
+    m = col["properties"]
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(m)),
+            lambda k: F.concat(k, F.lit("="), F.element_at(m, k)),
+        ),
+        ";",
+    )
+
+
+@register(
+    "cypher_return_entity",
+    """
+    SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS n_id,
+           'Nation' AS n_labels,
+           'n_name=' || n_name || ';n_nationkey=' || CAST(n_nationkey AS VARCHAR)
+             AS n_props,
+           CAST(10000000000000 + n_nationkey AS BIGINT) AS r_id,
+           'IN_REGION' AS r_type,
+           CAST(2000000000000 + n_nationkey AS BIGINT) AS r_start,
+           CAST(1000000000000 + n_regionkey AS BIGINT) AS r_end,
+           '' AS r_props,
+           CAST(1000000000000 + n_regionkey AS BIGINT) AS m_id,
+           'Region' AS m_labels,
+           'r_name=' || r_name || ';r_regionkey=' || CAST(r_regionkey AS VARCHAR)
+             AS m_props
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    ORDER BY n_id
+    """,
+)
+def cypher_return_entity(spark, sf_dir):
+    """``RETURN n, r, m`` serializes full entities (r10 — SURVEY §1.2:
+    NODE = struct(id, labels, properties), RELATIONSHIP adds type/start/
+    end; DatabaseIO.java:127-128 materializes records, not bare ids).
+    Flattened to scalar columns for the hash gate; ORDER BY n is entity
+    id order."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "MATCH (n:Nation)-[r:IN_REGION]->(m:Region) RETURN n, r, m ORDER BY n"
+    )
+    n, r, m = F.col("n"), F.col("r"), F.col("m")
+    return out.select(
+        n["id"].alias("n_id"),
+        F.array_join(n["labels"], ",").alias("n_labels"),
+        _entity_props_csv(n).alias("n_props"),
+        r["id"].alias("r_id"),
+        r["type"].alias("r_type"),
+        r["start"].alias("r_start"),
+        r["end"].alias("r_end"),
+        _entity_props_csv(r).alias("r_props"),
+        m["id"].alias("m_id"),
+        F.array_join(m["labels"], ",").alias("m_labels"),
+        _entity_props_csv(m).alias("m_props"),
+    )
+
+
+@register(
+    "cypher_collect_entities",
+    """
+    SELECT CAST(1000000000000 + r_regionkey AS BIGINT) AS m_id,
+           'Region' AS m_labels,
+           CAST(COUNT(*) AS BIGINT) AS c,
+           string_agg(CAST(2000000000000 + n_nationkey AS VARCHAR) || ':' || n_name,
+                      ';' ORDER BY n_nationkey) AS ns
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey ORDER BY m_id
+    """,
+)
+def cypher_collect_entities(spark, sf_dir):
+    """Entity grouping key + entity-aware collect (r10): ``RETURN m,
+    collect(n)`` groups by the entity id (any_value-carried dependents,
+    never a map-typed groupBy key) and collects id-sorted entity
+    structs."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "MATCH (n:Nation)-[:IN_REGION]->(m:Region) "
+        "RETURN m, collect(n) AS ns, count(*) AS c ORDER BY m"
+    )
+    m = F.col("m")
+    return out.select(
+        m["id"].alias("m_id"),
+        F.array_join(m["labels"], ",").alias("m_labels"),
+        F.col("c"),
+        F.array_join(
+            F.transform(
+                F.col("ns"),
+                lambda x: F.concat(
+                    x["id"].cast("string"),
+                    F.lit(":"),
+                    F.element_at(x["properties"], F.lit("n_name")),
+                ),
+            ),
+            ";",
+        ).alias("ns"),
+    )

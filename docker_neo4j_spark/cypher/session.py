@@ -192,10 +192,30 @@ def _frame_resolver(frame: DataFrame):
             full = F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2]))
             # Cypher's properties() omits absent keys (null-padded columns)
             return F.map_filter(full, lambda _k, v: v.isNotNull())
+        m = re.match(r"(id|labels|type)\(\s*(\w+)\s*\)$", name)
+        if m and m.group(2) in cols and f"{m.group(2)}_id" not in cols:
+            # id(x)/labels(x)/type(x) over an entity STRUCT column (an
+            # unwound collect(n) element, a WITH-carried entity — r10)
+            var, want = m.group(2), m.group(1)
+            dt = frame.schema[var].dataType
+            if hasattr(dt, "fieldNames") and want in dt.fieldNames():
+                return F.col(f"`{var}`")[want]
         if "." in name:
             var, prop = name.split(".", 1)
             if f"{var}_{prop}" in cols:
                 return F.col(f"{var}_{prop}")
+            if var in cols and "." not in prop:
+                dt = frame.schema[var].dataType
+                if hasattr(dt, "fieldNames"):
+                    # struct column: direct field, else the entity
+                    # properties map (entity props are stringly-typed —
+                    # the documented entity-serialization deviation)
+                    if prop in dt.fieldNames():
+                        return F.col(f"`{var}`")[prop]
+                    if "properties" in dt.fieldNames():
+                        return F.element_at(
+                            F.col(f"`{var}`")["properties"], F.lit(prop)
+                        )
             if f"{var}_id" in cols:
                 # bound variable, property no write has introduced → null
                 # (Cypher: accessing a missing property yields null)
@@ -226,6 +246,51 @@ def _value_of(text: str, resolve) -> F.Column:
     comprehensions, quantifiers, reduce, calls, arithmetic, literals)
     in ANY nesting position."""
     return _compile_expr(text, resolve)
+
+
+def _entity_struct(frame: DataFrame, var: str) -> F.Column | None:
+    """Bare bound entity variable → its client-facing entity value
+    (SURVEY §1.2: NODE/RELATIONSHIP map to a struct carried through the
+    query): node → ``struct(id, labels, properties)``, relationship →
+    ``struct(id, type, start, end, properties)`` (start/end are the Bolt
+    Relationship contract — DatabaseIO.java:127-128 materializes full
+    records, not bare ids). ``properties`` is a map of the variable's
+    non-null property columns, values stringified (one map column keeps
+    heterogeneous properties; per-key typed access still goes through
+    ``var.prop``). Returns None when ``var`` is not a bound entity in
+    the frame — callers fall back to plain column resolution."""
+    cols = frame.columns
+    if f"{var}_id" not in cols:
+        return None
+    is_rel = f"{var}_type" in cols
+    is_node = f"{var}_labels" in cols
+    if not (is_rel or is_node):
+        return None
+    fixed = {f"{var}_id", f"{var}_labels", f"{var}_type"}
+    fields = [F.col(f"{var}_id").alias("id")]
+    if is_rel:
+        fixed |= {f"{var}_src", f"{var}_dst"}
+        fields.append(F.col(f"{var}_type").alias("type"))
+        if f"{var}_src" in cols:
+            fields.append(F.col(f"{var}_src").alias("start"))
+            fields.append(F.col(f"{var}_dst").alias("end"))
+    else:
+        # sorted for deterministic serialization (Cypher leaves label
+        # order unspecified; a distributed engine pins one)
+        fields.append(F.sort_array(F.col(f"{var}_labels")).alias("labels"))
+    pairs: list[F.Column] = []
+    for c in sorted(cols):
+        if c.startswith(f"{var}_") and c not in fixed:
+            pairs += [F.lit(c[len(var) + 1 :]), F.col(c).cast("string")]
+    if pairs:
+        props = F.map_filter(
+            F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
+            lambda _k, v: v.isNotNull(),
+        )
+    else:
+        props = F.create_map().cast("map<string,string>")
+    fields.append(props.alias("properties"))
+    return F.struct(*fields)
 
 
 _AGG_FNS = frozenset({"count", "sum", "avg", "min", "max", "collect"})
@@ -277,6 +342,30 @@ def _compile_agg(item: str, resolve) -> F.Column | None:
     if not m:
         return None
     fn, agg_distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
+    if fn == "collect" and re.fullmatch(r"[A-Za-z_]\w*", arg or ""):
+        # collect(n) over a bound entity variable collects entity
+        # structs, id-sorted for determinism (the comparator touches
+        # only the orderable id field — maps aren't orderable)
+        frame = getattr(resolve, "frame", None)
+        ent = _entity_struct(frame, arg) if frame is not None else None
+        if ent is not None:
+            arr = F.array_sort(
+                F.collect_list(ent),
+                lambda a, b: F.when(a["id"] < b["id"], F.lit(-1))
+                .when(a["id"] > b["id"], F.lit(1))
+                .otherwise(F.lit(0)),
+            )
+            if agg_distinct:
+                # id-sorted ⇒ duplicates are adjacent; keep the first of
+                # each run (collect_set/array_distinct reject map fields)
+                arr = F.filter(
+                    arr,
+                    lambda x, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+                        x["id"]
+                        != F.element_at(arr, F.greatest(i, F.lit(1)))["id"]
+                    ),
+                )
+            return arr
     col = F.lit(1) if arg == "*" else _value_of(arg, resolve)
     if fn == "count":
         e = F.countDistinct(col) if agg_distinct else F.count(col if arg != "*" else "*")
@@ -286,7 +375,9 @@ def _compile_agg(item: str, resolve) -> F.Column | None:
     return getattr(F, fn)(col)
 
 
-def _parse_items(src: str, resolve) -> tuple[list, list, list | None]:
+def _parse_items(
+    src: str, resolve
+) -> tuple[list, list, list | None, list[tuple[str, str]]]:
     """Parse a RETURN/WITH item list into (keys, aggs, post) — Cypher
     implicit grouping: non-aggregate items are the grouping keys of any
     aggregate items (SURVEY §2.B.4). ``expr AS alias`` names the output
@@ -299,10 +390,18 @@ def _parse_items(src: str, resolve) -> tuple[list, list, list | None]:
     post-aggregation select; ``post`` (None when no item needed lifting)
     is the ordered output spec (("col", alias) passthrough or
     ("expr", alias, rewritten_text)) the caller applies via
-    :func:`_apply_post_items`."""
+    :func:`_apply_post_items`.
+
+    A bare bound entity variable item (``RETURN n`` / ``RETURN r``)
+    projects the full entity struct, not the bare id (r10 — the shape
+    every Cypher client returns); the 4th return element lists such
+    items as ``(alias, var)`` so :meth:`Session._project_match` can
+    group/dedup/order by the id instead of the (map-bearing) struct."""
     keys: list[tuple[str, F.Column]] = []
     aggs: list[F.Column] = []
     post: list[tuple] = []
+    entities: list[tuple[str, str]] = []
+    frame = getattr(resolve, "frame", None)
     mixed = False
     for item in [i.strip() for i in _split_top(src, ",")]:
         m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
@@ -310,6 +409,13 @@ def _parse_items(src: str, resolve) -> tuple[list, list, list | None]:
             alias, item = m_as.group(1), item[: m_as.start()].strip()
         else:
             alias = item
+        if frame is not None and re.fullmatch(r"[A-Za-z_]\w*", item):
+            ent = _entity_struct(frame, item)
+            if ent is not None:
+                keys.append((alias, ent.alias(alias)))
+                post.append(("col", alias))
+                entities.append((alias, item))
+                continue
         spans = _find_agg_spans(item)
         if len(spans) == 1 and spans[0] == (0, len(item)):
             # the item IS one aggregate call (span geometry decides —
@@ -337,7 +443,7 @@ def _parse_items(src: str, resolve) -> tuple[list, list, list | None]:
             continue
         keys.append((alias, _value_of(item, resolve).alias(alias)))
         post.append(("col", alias))
-    return keys, aggs, (post if mixed else None)
+    return keys, aggs, (post if mixed or entities else None), entities
 
 
 def _apply_post_items(frame: DataFrame, post: list, extra_cols=()) -> DataFrame:
@@ -1343,7 +1449,7 @@ class Session:
                 continue
             wh = _split_kw(stage, "WHERE")
             items = wh[0].strip()
-            keys, aggs, post = _parse_items(items, resolve)
+            keys, aggs, post, _ents = _parse_items(items, resolve)
             base = frame if frame is not None else self.spark.range(1)
             if aggs:
                 frame = (
@@ -1497,6 +1603,25 @@ class Session:
                 isinstance(el, _Rel) and el.var in del_vars for el in elems
             ):
                 rel_ids_needed = True
+        if rel_ids_needed is None:
+            # a bare rel-var reference downstream (RETURN r / collect(r) /
+            # id(r) / ORDER BY r) needs the rel id column match_chain
+            # prunes by default (r10 — entity serialization)
+            probe = " ".join(
+                [(tail or "") if verb else ret, where_src or ""]
+                + [s for _, s in pipeline]
+            )
+            for el in elems:
+                if (
+                    isinstance(el, _Rel)
+                    and el.var
+                    and re.search(
+                        rf"(?<![\w.]){re.escape(el.var)}(?![\w])(?!\s*\.)",
+                        probe,
+                    )
+                ):
+                    rel_ids_needed = True
+                    break
         bound = None
         for gelems in groups:
             gbound = self._bind(gelems, with_rel_ids=rel_ids_needed)
@@ -1549,18 +1674,33 @@ class Session:
             for it in (i.strip() for i in _split_top(items_src, ",")):
                 if re.fullmatch(r"[A-Za-z_]\w*", it) and f"{it}_id" in bound.columns:
                     var_items.append(it)
-                else:
-                    expr_items.append(it)
+                    continue
+                m_ren = re.fullmatch(
+                    r"([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)", it, re.IGNORECASE
+                )
+                if m_ren and f"{m_ren.group(1)}_id" in bound.columns:
+                    # `WITH n AS m` over a bound entity is a variable
+                    # RENAME (the whole binding carries forward under the
+                    # new name), not a projection to one column (r10)
+                    src_v, dst_v = m_ren.group(1), m_ren.group(2)
+                    for c in list(bound.columns):
+                        if c == f"{src_v}_id" or c.startswith(f"{src_v}_"):
+                            bound = bound.withColumnRenamed(
+                                c, f"{dst_v}_{c[len(src_v) + 1 :]}"
+                            )
+                    var_items.append(dst_v)
+                    continue
+                expr_items.append(it)
             var_cols = [
                 F.col(c)
                 for v in var_items
                 for c in bound.columns
                 if c == f"{v}_id" or c.startswith(f"{v}_")
             ]
-            keys, aggs, post = (
+            keys, aggs, post, _ents = (
                 _parse_items(", ".join(expr_items), _frame_resolver(bound))
                 if expr_items
-                else ([], [], None)
+                else ([], [], None, [])
             )
             if aggs:
                 kept = [
@@ -2489,24 +2629,58 @@ class Session:
                 out = out.offset(skip)
             return out if limit is None else out.limit(limit)
 
-        keys, aggs, post = _parse_items(ret, _resolve)
+        keys, aggs, post, entities = _parse_items(ret, _resolve)
+        ent_map = dict(entities)  # alias -> bound var
 
         if aggs:
-            out = (
-                bound.groupBy([c for _, c in keys]).agg(*aggs)
-                if keys
-                else bound.agg(*aggs)
-            )
-            if post is not None:
+            if ent_map:
+                # entity grouping keys (RETURN n, count(*)): the struct
+                # carries a map, which groupBy rejects — group by the
+                # entity id (its other columns are functionally
+                # dependent, carried with any_value) and rebuild the
+                # struct post-aggregation
+                group_cols, carry, seen_vars = [], [], set()
+                for alias, col in keys:
+                    var = ent_map.get(alias)
+                    if var is None:
+                        group_cols.append(col)
+                    elif var not in seen_vars:
+                        seen_vars.add(var)
+                        group_cols.append(F.col(f"{var}_id"))
+                        carry += [
+                            F.any_value(F.col(c)).alias(c)
+                            for c in bound.columns
+                            if c.startswith(f"{var}_") and c != f"{var}_id"
+                        ]
+                out = bound.groupBy(group_cols).agg(*(carry + list(aggs)))
+                for alias, var in entities:
+                    out = out.withColumn(alias, _entity_struct(out, var))
                 out = _apply_post_items(out, post)
+            else:
+                out = (
+                    bound.groupBy([c for _, c in keys]).agg(*aggs)
+                    if keys
+                    else bound.agg(*aggs)
+                )
+                if post is not None:
+                    out = _apply_post_items(out, post)
             if order_by:
-                out = out.orderBy(*_order_keys(order_by, lambda k: F.col(f"`{k}`")))
+                out = out.orderBy(
+                    *_order_keys(
+                        order_by,
+                        lambda k: F.col(f"`{k}`")["id"]
+                        if k in ent_map
+                        else F.col(f"`{k}`"),
+                    )
+                )
             if skip is not None:
                 out = out.offset(skip)
             return out if limit is None else out.limit(limit)
 
         # ORDER BY may reference projected aliases (sort after projection)
-        # or unprojected pattern props (sort the full binding first)
+        # or unprojected pattern props (sort the full binding first).
+        # Entity aliases order by id (Neo4j's entity comparison order) —
+        # never by the struct itself, whose map field is unorderable.
         alias_names = {a for a, _ in keys}
         order_names = [
             re.sub(r"\s+(A|DE)SC$", "", k.strip(), flags=re.IGNORECASE)
@@ -2521,16 +2695,46 @@ class Session:
             key_map = {a: c for a, c in keys}
 
             def _order_resolve(name: str) -> F.Column:
+                if name in ent_map:
+                    return F.col(f"{ent_map[name]}_id")
+                if "." in name:
+                    head, rest = name.split(".", 1)
+                    if head in ent_map:
+                        # ORDER BY m.age where m aliases entity n —
+                        # resolve through the underlying binding
+                        return _resolve(f"{ent_map[head]}.{rest}")
                 if name in key_map:
                     return key_map[name]
                 return _resolve(name)
 
             bound = bound.orderBy(*_order_keys(order_by, _order_resolve))
-        out = bound.select([c for _, c in keys])
+        out = bound.select(
+            [c for _, c in keys]
+            + [
+                F.col(f"{var}_id").alias(f"_ent_{alias}")
+                for alias, var in entities
+                if distinct
+            ]
+        )
         if distinct:
-            out = out.distinct()
+            if entities:
+                # DISTINCT over entity items: dedup on the ids (set ops
+                # reject the struct's map field; id determines the rest)
+                helper = [f"_ent_{a}" for a, _ in entities]
+                out = out.dropDuplicates(
+                    [a for a, _ in keys if a not in ent_map] + helper
+                ).drop(*helper)
+            else:
+                out = out.distinct()
         if by_alias:
-            out = out.orderBy(*_order_keys(order_by, lambda k: F.col(f"`{k}`")))
+            out = out.orderBy(
+                *_order_keys(
+                    order_by,
+                    lambda k: F.col(f"`{k}`")["id"]
+                    if k in ent_map
+                    else F.col(f"`{k}`"),
+                )
+            )
         if skip is not None:
             out = out.offset(skip)
         if limit is not None:

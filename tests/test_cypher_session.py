@@ -459,6 +459,41 @@ def test_string_property_concat(session):
     )
 
 
+def test_return_entity_record_shape(session):
+    """``RETURN n`` / ``RETURN r`` serialize full entities — the record
+    shape every Bolt client exposes (DatabaseIO.java:127-128 materializes
+    records, not bare ids): node = struct(id, labels, properties), rel =
+    struct(id, type, start, end, properties). SURVEY §1.2 NODE row."""
+    session.run("CREATE (:dog {name:'Arne', age: 7})")
+    session.run("CREATE (:cat {name:'Misse'})")
+    session.run(
+        "MATCH (a:dog), (b:cat) CREATE (a)-[:CHASES {speed: 9}]->(b)"
+    )
+    n = session.run("MATCH (n:dog) RETURN n").collect()[0]["n"]
+    assert n["labels"] == ["dog"]
+    assert n["properties"] == {"name": "Arne", "age": "7"}
+    assert isinstance(n["id"], int)
+    r_row = session.run(
+        "MATCH (a:dog)-[r:CHASES]->(b:cat) RETURN r, id(a) AS aid, id(b) AS bid"
+    ).collect()[0]
+    r = r_row["r"]
+    assert r["type"] == "CHASES"
+    assert r["properties"] == {"speed": "9"}
+    assert (r["start"], r["end"]) == (r_row["aid"], r_row["bid"])
+    # ORDER BY n = entity id order (regression for the struct's map field,
+    # which Spark cannot order by); DISTINCT dedups by id
+    session.run("CREATE (:dog {name:'Bosse', age: 3})")
+    rows = session.run("MATCH (n:dog) RETURN DISTINCT n ORDER BY n").collect()
+    assert [x["n"]["properties"]["name"] for x in rows] == ["Arne", "Bosse"]
+    assert rows[0]["n"]["id"] < rows[1]["n"]["id"]
+    # collect(n) gathers id-sorted entity structs; entity grouping keys work
+    grouped = session.run(
+        "MATCH (n:dog) RETURN collect(n) AS ns, count(*) AS c"
+    ).collect()[0]
+    assert grouped["c"] == 2
+    assert [e["properties"]["name"] for e in grouped["ns"]] == ["Arne", "Bosse"]
+
+
 def test_unbalanced_aggregate_is_parse_error(session):
     """An unclosed aggregate call surfaces a ValueError, not a raw
     IndexError from the span scanner (ADVICE r9)."""
