@@ -2426,3 +2426,45 @@ def cypher_collect_entities(spark, sf_dir):
             ";",
         ).alias("ns"),
     )
+
+
+@register(
+    "cypher_stdev_percentile",
+    """
+    WITH s AS (
+      SELECT o_orderstatus AS status,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(19,6))
+                      * CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE) AS sx2,
+             COUNT(*) AS n,
+             list_sort(list(o_totalprice)) AS arr
+      FROM orders GROUP BY o_orderstatus)
+    SELECT status,
+           SQRT(GREATEST((sx2 - sx*sx/n)/(n-1), 0)) AS sd,
+           SQRT(GREATEST((sx2 - sx*sx/n)/n, 0)) AS sdp,
+           arr[CAST(FLOOR((n-1)*0.5) AS BIGINT)+1]
+             + (COALESCE(arr[CAST(FLOOR((n-1)*0.5) AS BIGINT)+2],
+                         arr[CAST(FLOOR((n-1)*0.5) AS BIGINT)+1])
+                - arr[CAST(FLOOR((n-1)*0.5) AS BIGINT)+1])
+               * ((n-1)*0.5 - FLOOR((n-1)*0.5)) AS pc,
+           arr[CAST(GREATEST(CEIL(0.5*n), 1) AS BIGINT)] AS pd
+    FROM s ORDER BY status
+    """,
+)
+def cypher_stdev_percentile(spark, sf_dir):
+    """stDev/stDevP/percentileCont/percentileDisc through Session.run
+    (r10 — the façade aggregate compiler, not the DataFrame catalog):
+    stDev* via exact DECIMAL sums (partition-order independent), the
+    percentiles via in-group sorted arrays with the identical explicit
+    interpolation formula on the DuckDB side."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (o:Order) RETURN o.o_orderstatus AS status, "
+        "stDev(o.o_totalprice) AS sd, stDevP(o.o_totalprice) AS sdp, "
+        "percentileCont(o.o_totalprice, 0.5) AS pc, "
+        "percentileDisc(o.o_totalprice, 0.5) AS pd ORDER BY status"
+    )

@@ -233,7 +233,8 @@ def _compile_where(src: str, resolve=None) -> F.Column:
 
 
 _AGG_RE = re.compile(
-    r"(count|sum|avg|min|max|collect)\(\s*(DISTINCT\s+)?"
+    r"(count|sum|avg|min|max|collect|stDev|stDevP|percentileCont"
+    r"|percentileDisc|apoc\.agg\.\w+)\(\s*(DISTINCT\s+)?"
     r"(\*|.+?)\s*\)$",
     re.IGNORECASE,
 )
@@ -293,7 +294,16 @@ def _entity_struct(frame: DataFrame, var: str) -> F.Column | None:
     return F.struct(*fields)
 
 
-_AGG_FNS = frozenset({"count", "sum", "avg", "min", "max", "collect"})
+_AGG_FNS = frozenset(
+    {
+        "count", "sum", "avg", "min", "max", "collect",
+        # r10: the full Cypher aggregate surface (SURVEY §2.B.4) — these
+        # were DataFrame-catalog-only before (agg_stddev,
+        # agg_percentile_disc/cont rows); now the Cypher string path
+        # dispatches them too
+        "stdev", "stdevp", "percentilecont", "percentiledisc",
+    }
+)
 
 
 def _find_agg_spans(item: str) -> list[tuple[int, int]]:
@@ -307,7 +317,21 @@ def _find_agg_spans(item: str) -> list[tuple[int, int]]:
     i = 0
     while i < len(toks):
         t = toks[i]
-        if (
+        # apoc.agg.<fn>( — the namespaced aggregate family (a preceding
+        # '.' normally marks a namespaced SCALAR; apoc.agg.* is the one
+        # aggregate namespace)
+        is_apoc_agg = (
+            t.kind == "ident"
+            and t.text == "apoc"
+            and not (i and toks[i - 1].kind == "punct" and toks[i - 1].text == ".")
+            and i + 5 < len(toks)
+            and toks[i + 1].kind == "punct" and toks[i + 1].text == "."
+            and toks[i + 2].kind == "ident" and toks[i + 2].text == "agg"
+            and toks[i + 3].kind == "punct" and toks[i + 3].text == "."
+            and toks[i + 4].kind == "ident"
+            and toks[i + 5].kind == "punct" and toks[i + 5].text == "("
+        )
+        if is_apoc_agg or (
             t.kind == "ident"
             and t.text.lower() in _AGG_FNS
             and not (i and toks[i - 1].kind == "punct" and toks[i - 1].text == ".")
@@ -315,6 +339,8 @@ def _find_agg_spans(item: str) -> list[tuple[int, int]]:
             and toks[i + 1].kind == "punct"
             and toks[i + 1].text == "("
         ):
+            if is_apoc_agg:
+                i += 4  # scan from the '(' after apoc.agg.<fn>
             depth, j = 0, i + 1
             while j < len(toks):
                 tj = toks[j]
@@ -336,12 +362,104 @@ def _find_agg_spans(item: str) -> list[tuple[int, int]]:
     return spans
 
 
+# apoc.agg.<name> (lowercased) → (functions/apoc.py callable name,
+# arg count, positions that must be Python literals)
+_APOC_AGG_SPECS = {
+    "median": ("agg_median", 1, ()),
+    "product": ("agg_product", 1, ()),
+    "statistics": ("agg_statistics", 1, ()),
+    "percentile": ("agg_percentile", 2, (1,)),
+    "first": ("agg_first", 2, ()),
+    "last": ("agg_last", 2, ()),
+    "maxitems": ("agg_max_items", 2, ()),
+    "minitems": ("agg_min_items", 2, ()),
+    "slice": ("agg_slice", 4, (2, 3)),
+}
+
+
+def _num_lit(text: str, ctx: str):
+    t = text.strip()
+    try:
+        return int(t)
+    except ValueError:
+        try:
+            return float(t)
+        except ValueError:
+            raise ValueError(f"{ctx}: expected a numeric literal, got {t!r}")
+
+
+def _compile_extended_agg(fn: str, arg: str, resolve) -> F.Column:
+    """The r10 aggregate surface beyond count/sum/avg/min/max/collect.
+
+    stDev/stDevP compile through exact DECIMAL sums (partition-order
+    independent — the catalog's oracle-exactness convention; Spark's
+    native stddev uses order-sensitive central moments). percentileCont/
+    percentileDisc sort the group's values in the aggregation buffer
+    (bounded by group size — the same contract as APOC's collecting
+    aggregates). apoc.agg.* dispatch to functions/apoc.py."""
+    parts = [p.strip() for p in _split_top(arg, ",")]
+    if fn in ("stdev", "stdevp"):
+        c = _value_of(parts[0], resolve)
+        d = c.cast("decimal(19,6)")
+        n = F.count(c)
+        s = F.sum(d).cast("double")
+        s2 = F.sum(d * d).cast("double")
+        if fn == "stdev":  # sample; a single value → 0.0 (Neo4j)
+            var = (s2 - s * s / n) / (n - F.lit(1))
+            return F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(
+                F.when(n == 1, F.lit(0.0))
+            )
+        var = (s2 - s * s / n) / n
+        return F.when(n >= 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+    if fn in ("percentilecont", "percentiledisc"):
+        if len(parts) != 2:
+            raise ValueError(f"{fn}() takes (value, percentile)")
+        p = _num_lit(parts[1], fn)
+        if fn == "percentiledisc":
+            arr = F.sort_array(F.collect_list(_value_of(parts[0], resolve)))
+            idx = F.greatest(
+                F.ceil(F.lit(p) * F.size(arr)).cast("int"), F.lit(1)
+            )
+            return F.get(arr, idx - F.lit(1))
+        arr = F.sort_array(
+            F.collect_list(_value_of(parts[0], resolve).cast("double"))
+        )
+        pos = (F.size(arr) - F.lit(1)).cast("double") * F.lit(p)
+        lo = F.floor(pos).cast("int")
+        frac = pos - F.floor(pos)
+        a = F.get(arr, lo)
+        b = F.coalesce(F.get(arr, lo + F.lit(1)), a)
+        return a + (b - a) * frac
+    # apoc.agg.*
+    from ..functions import apoc as apoc_fns
+
+    short = fn[len("apoc.agg."):]
+    spec = _APOC_AGG_SPECS.get(short)
+    if spec is None:
+        raise ValueError(f"unknown aggregate function apoc.agg.{short}")
+    impl_name, argc, lit_pos = spec
+    if len(parts) != argc:
+        raise ValueError(f"apoc.agg.{short}() takes {argc} arguments")
+    args = [
+        _num_lit(p, f"apoc.agg.{short}") if i in lit_pos
+        else _value_of(p, resolve)
+        for i, p in enumerate(parts)
+    ]
+    return getattr(apoc_fns, impl_name)(*args)
+
+
 def _compile_agg(item: str, resolve) -> F.Column | None:
     """One aggregate call text → its Spark aggregate expression."""
     m = _AGG_RE.match(item)
     if not m:
         return None
     fn, agg_distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
+    if fn in ("stdev", "stdevp", "percentilecont", "percentiledisc") or fn.startswith(
+        "apoc.agg."
+    ):
+        if agg_distinct:
+            raise ValueError(f"DISTINCT is not supported in {m.group(1)}()")
+        return _compile_extended_agg(fn, arg, resolve)
     if fn == "collect" and re.fullmatch(r"[A-Za-z_]\w*", arg or ""):
         # collect(n) over a bound entity variable collects entity
         # structs, id-sorted for determinism (the comparator touches

@@ -494,6 +494,36 @@ def test_return_entity_record_shape(session):
     assert [e["properties"]["name"] for e in grouped["ns"]] == ["Arne", "Bosse"]
 
 
+def test_facade_extended_aggregates(session):
+    """stDev/stDevP/percentileCont/percentileDisc/apoc.agg.* through
+    Session.run (r10 — SURVEY §2.B.4 aggregate surface; before, only the
+    DataFrame catalog had them). Nested forms go through the r9 lift."""
+    import statistics
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    for v in xs:
+        session.run(f"CREATE (:V {{x: {v}}})")
+    row = session.run(
+        "MATCH (n:V) RETURN stDev(n.x) AS sd, stDevP(n.x) AS sdp, "
+        "percentileCont(n.x, 0.5) AS pc, percentileDisc(n.x, 0.5) AS pd, "
+        "round(stDev(n.x), 2) AS rsd, apoc.agg.median(n.x) AS md, "
+        "apoc.agg.product(n.x) AS pr"
+    ).collect()[0]
+    assert row["sd"] == pytest.approx(statistics.stdev(xs))
+    assert row["sdp"] == pytest.approx(statistics.pstdev(xs))
+    assert row["pc"] == statistics.median(xs)
+    assert row["pd"] == 3  # ceil(0.5 * 8) = 4th smallest of 1,1,2,3,...
+    assert row["rsd"] == round(statistics.stdev(xs), 2)
+    assert row["md"] == statistics.median(xs)
+    assert row["pr"] == 3 * 1 * 4 * 1 * 5 * 9 * 2 * 6
+    st = session.run(
+        "MATCH (n:V) RETURN apoc.agg.statistics(n.x) AS st"
+    ).collect()[0]["st"]
+    assert st["count"] == 8 and st["min"] == 1 and st["max"] == 9
+    with pytest.raises(ValueError, match="DISTINCT"):
+        session.run("MATCH (n:V) RETURN stDev(DISTINCT n.x) AS s")
+
+
 def test_unbalanced_aggregate_is_parse_error(session):
     """An unclosed aggregate call surfaces a ValueError, not a raw
     IndexError from the span scanner (ADVICE r9)."""
