@@ -3266,16 +3266,14 @@ def dfs_preorder(
     path), which is exactly why per-node relaxation converges to the
     true DFS tree.
 
-    The final preorder rank is a global row_number over the path — a
-    single-partition sort, correct for the serving-sized DFS contract
-    (gds.dfs streams one node per row anyway); at scale the ``path``
-    column itself is the parallel-friendly output.
+    The final preorder rank ranks paths globally via
+    ``curation.global_rank`` (range repartition + broadcast offsets —
+    r10, replacing the r9 single-partition ``Window.orderBy``; paths
+    are unique per node, so the order is total).
 
     Reference: GDS dfs procedure (plugin namespace gds.*,
     calver/coredb/neo4j-plugins.json).
     """
-    from pyspark.sql.window import Window
-
     e = edges.select("src", "dst").distinct().repartition("src").cache()
     best = _ckpt(sources.select("id", F.array("id").alias("path")))
     frontier = best
@@ -3300,8 +3298,9 @@ def dfs_preorder(
         best = _ckpt(best.join(improved, "id", "left_anti").unionByName(improved))
         frontier = improved
     e.unpersist()
-    return best.select(
-        "id",
-        "path",
-        (F.row_number().over(Window.orderBy("path")) - 1).cast("long").alias("pre"),
+    from .curation import global_rank
+
+    ranked = global_rank(best.select("id", "path"), ["path"], rank_name="_pre1")
+    return ranked.select(
+        "id", "path", (F.col("_pre1") - 1).cast("long").alias("pre")
     )

@@ -450,6 +450,22 @@ def test_dfs_superstep_is_grouped_equijoin(spark, sf_dir):
     assert facts.n_sort_merge_joins + facts.n_broadcast_joins >= 1
 
 
+def test_dfs_preorder_rank_has_no_single_partition_window(spark, sf_dir):
+    """The final preorder rank goes through curation.global_rank (range
+    repartition + broadcast offsets — r10); the full dfs_preorder output
+    plan must never collapse to an Exchange SinglePartition."""
+    from docker_neo4j_spark.operators import gds
+    from docker_neo4j_spark.sources.tpch import build_graph
+
+    g = build_graph(spark, sf_dir)
+    edges = g.rels.where(F.col("type") == "IN_REGION").select("src", "dst")
+    seeds = g.label_frames["Nation"].orderBy("id").limit(2).select("id")
+    out = gds.dfs_preorder(edges, seeds, max_iter=3)
+    facts = audit(out)
+    assert "SinglePartition" not in facts.text
+    assert out.count() > 0
+
+
 def test_collect_subquery_is_decorrelated_aggregate(spark, sf_dir, queries):
     """COLLECT{} compiles to ONE pattern-match aggregate left-joined back
     (never a per-row subquery): no cartesian, and exactly one collect_list
