@@ -92,6 +92,7 @@ class Dbms:
     must_change: set[str] = field(default_factory=set)
     databases: dict[str, str] = field(default_factory=lambda: {"neo4j": "online", "system": "online"})
     snapshots: dict[str, object] = field(default_factory=dict)
+    stores: dict[str, object] = field(default_factory=dict)  # db → GraphStore
     _initialized: bool = False
 
     # ---- bootstrap (neo4j-admin dbms set-initial-password) -----------
@@ -136,6 +137,45 @@ class Dbms:
         self.alter_current_user_password(user, old, new)
 
     # ---- database lifecycle (TestBackupRestore.java:146,163) ----------
+    def create_database(self, name: str, if_not_exists: bool = False) -> None:
+        """``CREATE DATABASE name [IF NOT EXISTS]`` (r10 — the last admin
+        verb on the multi-database surface; the reference drives named
+        databases through SessionConfig.forDatabase,
+        DatabaseIO.java:137). New databases come up online with an empty
+        store (allocated lazily by :meth:`store_for`)."""
+        if name in self.databases:
+            if if_not_exists:
+                return
+            raise AdminError(f"Database '{name}' already exists.")
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z][A-Za-z0-9.-]*", name):
+            raise AdminError(f"Invalid database name '{name}'.")
+        self.databases[name] = "online"
+
+    def drop_database(self, name: str, if_exists: bool = False) -> None:
+        """``DROP DATABASE name [IF EXISTS]`` — removes the database, its
+        store, and any snapshot; the system database is undroppable."""
+        if name == "system":
+            raise AdminError("Not allowed to drop the system database.")
+        if name not in self.databases:
+            if if_exists:
+                return
+            raise AdminError(f"Database '{name}' does not exist.")
+        del self.databases[name]
+        self.snapshots.pop(name, None)
+        self.stores.pop(name, None)
+
+    def store_for(self, name: str, spark):
+        """The per-database graph store (lazy; shared by every session
+        bound to the same database — read-your-writes across sessions)."""
+        self._require_db(name)
+        if name not in self.stores:
+            from .storage.store import GraphStore
+
+            self.stores[name] = GraphStore(spark)
+        return self.stores[name]
+
     def stop_database(self, name: str) -> None:
         self._require_db(name)
         self.databases[name] = "offline"

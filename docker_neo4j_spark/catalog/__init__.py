@@ -73,6 +73,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     "cypher_multi_match_pipeline",
     "cypher_optional_match",
     "cypher_union",
+    # r10: dfs_preorder final rank via curation.global_rank
+    "gds_dfs_preorder",
+    # r10: SHOW DATABASES now flows through Session database DDL after a
+    # CREATE/STOP/CREATE/DROP sequence
+    "admin_show_databases",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

@@ -887,18 +887,26 @@ def proc_show_procedures(spark, sf_dir):
 @register(
     "admin_show_databases",
     """
-    SELECT 'neo4j' AS name, 'online' AS status
+    SELECT 'movies' AS name, 'offline' AS status
+    UNION ALL SELECT 'neo4j', 'online'
     UNION ALL SELECT 'system', 'online'
     """,
 )
 def admin_show_databases(spark, sf_dir):
-    """SHOW DATABASES through the admin façade: the reference boots with
-    neo4j + system online (docker-entrypoint.sh main flow; lifecycle
-    transitions are pytest-graded in test_admin)."""
+    """SHOW DATABASES through the Cypher surface, after a CREATE/STOP/
+    CREATE/DROP sequence (r10: database DDL): the reference boots with
+    neo4j + system online (docker-entrypoint.sh main flow); `movies` is
+    created and stopped, `scratch` created and dropped."""
     from ..admin import Dbms
+    from ..cypher.session import Session
 
     dbms = Dbms.bootstrap("none")
-    return spark.createDataFrame(dbms.show_databases(), "name string, status string")
+    s = Session(spark, dbms=dbms)
+    s.run("CREATE DATABASE movies")
+    s.run("STOP DATABASE movies")
+    s.run("CREATE DATABASE scratch")
+    s.run("DROP DATABASE scratch")
+    return s.run("SHOW DATABASES")
 
 
 @register(

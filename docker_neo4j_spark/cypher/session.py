@@ -614,11 +614,17 @@ class Session:
     dbms: object | None = None
     user: str | None = None
     password: str | None = None
+    database: str = "neo4j"  # SessionConfig.forDatabase (DatabaseIO.java:137)
     _anon: int = field(default=0)
 
     def __post_init__(self):
         if self.store is None:
-            self.store = GraphStore(self.spark)
+            if self.dbms is not None:
+                # per-database store, shared across sessions bound to the
+                # same database (read-your-writes across sessions — r10)
+                self.store = self.dbms.store_for(self.database, self.spark)
+            else:
+                self.store = GraphStore(self.spark)
         if self.dbms is not None:
             self.dbms.authenticate(self.user or "neo4j", self.password or "")
         self._current_password = self.password
@@ -649,8 +655,15 @@ class Session:
                 cypher = cypher.replace(f"${k}", render(parameters[k]))
         q = cypher.strip().rstrip(";").strip()
         head = q.split(None, 1)[0].upper() if q else ""
+        # database admin commands run against the system database, so
+        # they must work even while THIS session's database is stopped
+        # (START DATABASE is how it comes back)
+        if re.match(
+            r"(CREATE|DROP|STOP|START)\s+DATABASE\b", q, re.IGNORECASE
+        ) or q.upper().startswith("SHOW DATABASES"):
+            return self._database_ddl(q)
         if self.dbms is not None:
-            self.dbms.check_queryable()
+            self.dbms.check_queryable(self.database)
         union_parts = _split_top(q, "UNION")
         if len(union_parts) > 1:
             return self._union(union_parts)
@@ -1591,6 +1604,39 @@ class Session:
         return self._project_match(
             frame, src[h_ret[1]:].strip(), [], _frame_resolver(frame)
         )
+
+    # ---- database DDL (r10: CREATE/DROP + the lifecycle verbs) --------
+    def _database_ddl(self, q: str) -> DataFrame:
+        """``CREATE/DROP/STOP/START DATABASE name`` + ``SHOW DATABASES``
+        through the Cypher surface (TestBackupRestore.java:146,163 drives
+        stop/start; DatabaseIO.java:137 binds named sessions)."""
+        if self.dbms is None:
+            raise ValueError(
+                "database administration requires a DBMS context"
+            )
+        if q.upper().startswith("SHOW DATABASES"):
+            return self.spark.createDataFrame(
+                self.dbms.show_databases(), "name string, status string"
+            )
+        m = re.match(
+            r"(CREATE|DROP|STOP|START)\s+DATABASE\s+([\w.-]+)"
+            r"(\s+IF\s+NOT\s+EXISTS|\s+IF\s+EXISTS)?\s*$",
+            q,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"Unsupported database command: {q!r}")
+        verb = m.group(1).upper()
+        name, mod = m.group(2), (m.group(3) or "").upper()
+        if verb == "CREATE":
+            self.dbms.create_database(name, if_not_exists="NOT" in mod)
+        elif verb == "DROP":
+            self.dbms.drop_database(name, if_exists=bool(mod.strip()))
+        elif verb == "STOP":
+            self.dbms.stop_database(name)
+        else:
+            self.dbms.start_database(name)
+        return self.spark.createDataFrame([], "ok string")
 
     # ---- ALTER CURRENT USER -------------------------------------------
     _current_password: str | None = None

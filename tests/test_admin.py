@@ -74,6 +74,41 @@ def test_auth_none_accepts_anything():
     dbms.authenticate("whoever", "whatever")
 
 
+def test_create_write_stop_drop_lifecycle(spark):
+    """r10 database DDL end-to-end: CREATE DATABASE → bind a session to
+    it → write → read back → STOP refuses queries → START → DROP →
+    queries refused because the db no longer exists; store isolation
+    between databases; system db undroppable."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    dbms = Dbms.bootstrap("none")
+    admin = Session(spark, dbms=dbms)
+    admin.run("CREATE DATABASE movies")
+    with pytest.raises(AdminError, match="already exists"):
+        admin.run("CREATE DATABASE movies")
+    admin.run("CREATE DATABASE movies IF NOT EXISTS")  # no-op
+    movies = Session(spark, dbms=dbms, database="movies")
+    movies.run("CREATE (:Film {title: 'Arrival'})")
+    assert movies.run("MATCH (f:Film) RETURN count(*) AS n").collect()[0].n == 1
+    # isolation: the default db does not see movies' writes
+    assert admin.run("MATCH (f:Film) RETURN count(*) AS n").collect()[0].n == 0
+    admin.run("STOP DATABASE movies")
+    with pytest.raises(AdminError, match="unavailable"):
+        movies.run("MATCH (f:Film) RETURN f.title AS t")
+    admin.run("START DATABASE movies")
+    assert movies.run("MATCH (f:Film) RETURN count(*) AS n").collect()[0].n == 1
+    admin.run("DROP DATABASE movies")
+    with pytest.raises(AdminError, match="does not exist"):
+        movies.run("MATCH (f:Film) RETURN f.title AS t")
+    with pytest.raises(AdminError, match="does not exist"):
+        admin.run("DROP DATABASE movies")
+    admin.run("DROP DATABASE movies IF EXISTS")  # no-op
+    with pytest.raises(AdminError, match="system"):
+        admin.run("DROP DATABASE system")
+    names = [r.name for r in admin.run("SHOW DATABASES").collect()]
+    assert names == ["neo4j", "system"]
+
+
 def test_database_lifecycle_refuses_queries_when_stopped():
     dbms = Dbms.bootstrap("none")
     dbms.check_queryable("neo4j")
