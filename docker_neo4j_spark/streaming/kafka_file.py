@@ -174,6 +174,15 @@ class _Opts:
             self.topics: list[str] = [self.topic] if self.topic else []
             self.starting = "earliest"
             self.starting_json = None
+            # transactional producer (kafka.transactional.id): rows spool
+            # outside the log until the epoch's commit, vanish on abort —
+            # a read_committed consumer never sees in-flight data (r10).
+            # Deviation, documented: offsets are assigned at commit time
+            # (the twin keeps the log strictly append-only) where the real
+            # broker reserves them at produce time and skips via markers.
+            self.txn_id = (
+                options.get("kafka.transactional.id") or ""
+            ).strip() or None
             return
         modes = [
             k for k in ("assign", "subscribe", "subscribePattern") if options.get(k)
@@ -275,6 +284,20 @@ class _Opts:
                 "file_kafka: startingOffsets 'latest' is not allowed for "
                 "batch queries — the real connector's rule"
             )
+        # maxOffsetsPerTrigger: per-micro-batch record cap, allocated
+        # proportionally to per-topic lag (streaming only — the real
+        # connector ignores it for batch queries)
+        raw_max = options.get("maxOffsetsPerTrigger")
+        self.max_offsets = None
+        if raw_max is not None:
+            try:
+                self.max_offsets = int(raw_max)
+                assert self.max_offsets > 0
+            except (ValueError, AssertionError):
+                raise ValueError(
+                    "file_kafka: maxOffsetsPerTrigger must be a positive "
+                    "integer"
+                ) from None
 
     def start_index(self, topic: str, log_len: int, records: list | None = None) -> int:
         """Resolved start position for a topic's single partition 0."""
@@ -383,14 +406,33 @@ class FileKafkaStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         lo = _norm_offset(start, self.opts.topics)
+        logs, avail = {}, {}
+        for topic in self.opts.topics:
+            logs[topic] = _log_records(self.opts.root, topic)
+            avail[topic] = max(len(logs[topic]) - lo[topic], 0)
+        take = dict(avail)
+        cap, total = self.opts.max_offsets, sum(avail.values())
+        if cap is not None and total > cap:
+            # maxOffsetsPerTrigger: proportional-to-lag allocation (the
+            # real connector's rate limit); integer floors can underfill,
+            # so hand the remainder out in topic order — the batch always
+            # uses its full budget and never exceeds it
+            take = {t: (cap * a) // total for t, a in avail.items()}
+            rem = cap - sum(take.values())
+            for t in sorted(avail):
+                if rem <= 0:
+                    break
+                extra = min(rem, avail[t] - take[t])
+                take[t] += extra
+                rem -= extra
         rows, end = [], {}
         for topic in self.opts.topics:
-            records = _log_records(self.opts.root, topic)
+            hi = lo[topic] + take[topic]
             rows += [
                 _to_output_row(rec, topic, i)
-                for i, rec in enumerate(records[lo[topic]:], start=lo[topic])
+                for i, rec in enumerate(logs[topic][lo[topic]:hi], start=lo[topic])
             ]
-            end[topic] = len(records)
+            end[topic] = hi
         return iter(rows), {"n": end}
 
     def commit(self, end: dict) -> None:
@@ -411,7 +453,49 @@ class FileKafkaStreamReader(SimpleDataSourceStreamReader):
 
 
 class _Commit(WriterCommitMessage):
-    pass
+    def __init__(self, spool: list | None = None):
+        self.spool = spool or []
+
+
+def _spool_records(opts: _Opts, grouped: dict[str, list[dict]]) -> "_Commit":
+    """Transactional produce: park each topic's records in the txn spool
+    (outside the log — invisible to every reader) and hand the paths to
+    the driver through the commit message."""
+    spool_dir = os.path.join(opts.root, "_txn", opts.txn_id)
+    os.makedirs(spool_dir, exist_ok=True)
+    paths = []
+    for topic, recs in grouped.items():
+        p = os.path.join(spool_dir, f"{uuid.uuid4().hex}.json")
+        with open(p, "w") as f:
+            json.dump({"topic": topic, "records": recs}, f)
+        paths.append(p)
+    return _Commit(spool=paths)
+
+
+def _commit_spooled(opts: _Opts, messages) -> None:
+    """Driver-side transaction commit: spooled records enter the log
+    atomically (one immutable part per topic append); only now does a
+    consumer see them — the read_committed visibility contract."""
+    for msg in messages or ():
+        for p in getattr(msg, "spool", ()) or ():
+            try:
+                with open(p) as f:
+                    blob = json.load(f)
+            except OSError:
+                continue
+            _append_part(opts.root, blob["topic"], blob["records"])
+            os.remove(p)
+
+
+def _abort_spooled(opts: _Opts, messages) -> None:
+    """Driver-side abort: the spool is dropped — aborted transactional
+    records are never visible to any consumer."""
+    for msg in messages or ():
+        for p in getattr(msg, "spool", ()) or ():
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
 
 def _rows_to_records(iterator, default_topic: str | None) -> dict[str, list[dict]]:
@@ -453,15 +537,18 @@ class FileKafkaBatchWriter(DataSourceWriter):
         self.opts = opts
 
     def write(self, iterator) -> _Commit:
-        for topic, recs in _rows_to_records(iterator, self.opts.topic).items():
+        grouped = _rows_to_records(iterator, self.opts.topic)
+        if self.opts.txn_id:
+            return _spool_records(self.opts, grouped)
+        for topic, recs in grouped.items():
             _append_part(self.opts.root, topic, recs)
         return _Commit()
 
     def commit(self, messages):
-        return None
+        _commit_spooled(self.opts, messages)
 
     def abort(self, messages):
-        return None
+        _abort_spooled(self.opts, messages)
 
 
 class FileKafkaStreamWriter(DataSourceStreamWriter):
@@ -469,15 +556,18 @@ class FileKafkaStreamWriter(DataSourceStreamWriter):
         self.opts = opts
 
     def write(self, iterator) -> _Commit:
-        for topic, recs in _rows_to_records(iterator, self.opts.topic).items():
+        grouped = _rows_to_records(iterator, self.opts.topic)
+        if self.opts.txn_id:
+            return _spool_records(self.opts, grouped)
+        for topic, recs in grouped.items():
             _append_part(self.opts.root, topic, recs)
         return _Commit()
 
     def commit(self, messages, batchId):
-        return None
+        _commit_spooled(self.opts, messages)
 
     def abort(self, messages, batchId):
-        return None
+        _abort_spooled(self.opts, messages)
 
 
 class FileKafkaDataSource(DataSource):

@@ -497,3 +497,109 @@ def test_consumer_group_rebalance_handoff(spark, broker, tmp_path):
     assert drain("other", group="g2") == {"v1", "v2", "v3"}
     # group-less consumer: checkpoint-only tracking, full replay
     assert drain("nogroup") == {"v1", "v2", "v3"}
+
+
+def test_max_offsets_per_trigger_bounds_each_batch(spark, broker, tmp_path):
+    """maxOffsetsPerTrigger caps each micro-batch, allocated proportional
+    to per-topic lag (the real connector's rate limit), and every record
+    still arrives across successive batches — nothing skipped, nothing
+    duplicated."""
+    _produce(spark, broker, "ma", [(str(i), f"a{i}") for i in range(5)])
+    _produce(spark, broker, "mb", [(str(i), f"b{i}") for i in range(10)])
+    # unit-level allocation: budget 6 over lags (5, 10) → (2, 4)
+    opts = kafka_file._Opts(
+        {
+            "kafka.bootstrap.servers": broker,
+            "subscribe": "ma,mb",
+            "maxOffsetsPerTrigger": "6",
+        }
+    )
+    reader = kafka_file.FileKafkaStreamReader(opts)
+    rows, end = reader.read(reader.initialOffset())
+    got = list(rows)
+    assert len(got) == 6
+    assert end["n"] == {"ma": 2, "mb": 4}
+    rows2, end2 = reader.read(end)
+    assert len(list(rows2)) == 6 and end2["n"] == {"ma": 4, "mb": 8}
+    # unit-level drain: successive capped batches deliver everything
+    # exactly once
+    seen, cur, reader2 = [], None, kafka_file.FileKafkaStreamReader(opts)
+    cur = reader2.initialOffset()
+    for _ in range(10):
+        rows_i, nxt = reader2.read(cur)
+        batch = list(rows_i)
+        assert len(batch) <= 6
+        if not batch:
+            break
+        seen += [bytes(r[1]).decode() for r in batch]
+        cur = nxt
+    assert sorted(seen) == sorted(
+        [f"a{i}" for i in range(5)] + [f"b{i}" for i in range(10)]
+    )
+    # end-to-end: capped micro-batches through a checkpointed stream;
+    # repeated availableNow runs drain the log, each batch ≤ the cap
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    want = sorted([f"a{i}" for i in range(5)] + [f"b{i}" for i in range(10)])
+    for _ in range(6):
+        (
+            spark.readStream.format("file_kafka")
+            .option("kafka.bootstrap.servers", broker)
+            .option("subscribe", "ma,mb")
+            .option("maxOffsetsPerTrigger", "6")
+            .load()
+            .selectExpr("CAST(value AS STRING) AS value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
+        if vals == want:
+            break
+    assert vals == want
+    with pytest.raises(Exception, match="positive"):
+        kafka_file._Opts(
+            {
+                "kafka.bootstrap.servers": broker,
+                "subscribe": "ma",
+                "maxOffsetsPerTrigger": "0",
+            }
+        )
+
+
+def test_transactional_producer_visibility(spark, broker):
+    """kafka.transactional.id: spooled rows are INVISIBLE to a consumer
+    until the transaction commits, appear atomically at commit, and an
+    aborted transaction's rows are never visible (read_committed — the
+    real connector consumer's default isolation). Documented deviation:
+    the twin assigns offsets at commit time; the broker reserves them at
+    produce time and skips aborted ranges via markers."""
+    opts = kafka_file._Opts(
+        {
+            "kafka.bootstrap.servers": broker,
+            "topic": "tx",
+            "kafka.transactional.id": "producer-1",
+        },
+        for_write=True,
+    )
+    w = kafka_file.FileKafkaBatchWriter(opts)
+    msg = w.write(iter([{"key": "k1", "value": "committed"}]))
+    assert _consume(spark, broker, "tx").count() == 0  # in-flight: invisible
+    w.commit([msg])
+    vals = [
+        bytes(r["value"]).decode()
+        for r in _consume(spark, broker, "tx").collect()
+    ]
+    assert vals == ["committed"]
+    aborted = w.write(iter([{"key": "k2", "value": "aborted"}]))
+    w.abort([aborted])
+    vals = [
+        bytes(r["value"]).decode()
+        for r in _consume(spark, broker, "tx").collect()
+    ]
+    assert vals == ["committed"]  # aborted rows never surface
+    # non-transactional writes keep the immediate-append default
+    _produce(spark, broker, "tx", [("k3", "plain")])
+    assert _consume(spark, broker, "tx").count() == 2
