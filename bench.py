@@ -55,6 +55,10 @@ HEADLINE = [
     "gds_ktruss_copart",          # wedge-join truss peeling
     "proc_export_graphml_lines",  # ordered single-document graph export
     "llm_temperature_resample",   # softmax-weighted deterministic resample
+    # r10 breadth: the r9-era family representative (min-path BSP DFS;
+    # final rank now range-partitioned via curation.global_rank) —
+    # first-run anchor in BASELINE.md
+    "gds_dfs_preorder",
 ]
 
 
