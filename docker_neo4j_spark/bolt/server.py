@@ -58,6 +58,11 @@ def _bolt_value(v):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return float(v)
+    if hasattr(v, "asDict"):
+        # nested struct Row (entity serialization — r10): a Row is a
+        # tuple, so this must precede the sequence branch or the field
+        # names (id/labels/properties) would be lost on the wire
+        return {k: _bolt_value(x) for k, x in v.asDict().items()}
     if isinstance(v, (list, tuple)):
         return [_bolt_value(x) for x in v]
     if isinstance(v, dict):

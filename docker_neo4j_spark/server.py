@@ -32,6 +32,11 @@ def _jsonable(v):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return float(v)
+    if hasattr(v, "asDict"):
+        # nested struct Row (entity serialization — r10): a Row is a
+        # tuple, so this must precede the sequence branch or the field
+        # names (id/labels/properties) would be lost in the JSON body
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
     if isinstance(v, (list, tuple)):
         return [_jsonable(x) for x in v]
     if isinstance(v, dict):

@@ -43,6 +43,22 @@ def test_http_create_then_match(server):
     assert [d["row"] for d in out["results"][0]["data"]] == [["Arne"]]
 
 
+def test_http_return_entity_serializes_as_map(spark):
+    """``RETURN n`` over the HTTP API serializes the entity as a JSON
+    object {id, labels, properties} — a struct Row is a tuple, so without
+    the asDict branch the field names would be lost (r10)."""
+    from docker_neo4j_spark.server import run_statements
+
+    s = Session(spark)
+    s.run("CREATE (:dog {name:'Arne', age: 7})")
+    out = run_statements(s, [{"statement": "MATCH (n:dog) RETURN n"}])
+    assert out["errors"] == []
+    ent = out["results"][0]["data"][0]["row"][0]
+    assert ent["labels"] == ["dog"]
+    assert ent["properties"] == {"name": "Arne", "age": "7"}
+    assert isinstance(ent["id"], int)
+
+
 def test_http_result_cap_has_more(spark):
     """A huge RETURN never materializes fully driver-side: the server
     fetches limit(cap+1), truncates, and flags hasMore."""
