@@ -291,7 +291,9 @@ def _entity_struct(frame: DataFrame, var: str) -> F.Column | None:
     else:
         props = F.create_map().cast("map<string,string>")
     fields.append(props.alias("properties"))
-    return F.struct(*fields)
+    # an unmatched OPTIONAL MATCH variable is NULL, not an entity shell
+    # with a null id
+    return F.when(F.col(f"{var}_id").isNotNull(), F.struct(*fields))
 
 
 _AGG_FNS = frozenset(
@@ -997,7 +999,18 @@ class Session:
         for sub in queries:
             frame = self.run(sub)
             out = frame if out is None else out.unionByName(frame)
-        return out if alls[0] else out.distinct()
+        if alls[0]:
+            return out
+        if any("map<" in dt for _, dt in out.dtypes):
+            # set ops reject map-bearing columns (entity structs — r10):
+            # dedup on a canonical JSON key instead
+            out = (
+                out.withColumn("_u_key", F.to_json(F.struct(*out.columns)))
+                .dropDuplicates(["_u_key"])
+                .drop("_u_key")
+            )
+            return out
+        return out.distinct()
 
     def _unwind_stage(self, bound: DataFrame, src: str) -> DataFrame:
         """``UNWIND <list-expr> AS var`` — explode a literal list or a bound

@@ -492,6 +492,19 @@ def test_return_entity_record_shape(session):
     ).collect()[0]
     assert grouped["c"] == 2
     assert [e["properties"]["name"] for e in grouped["ns"]] == ["Arne", "Bosse"]
+    # an unmatched OPTIONAL MATCH variable is NULL, not an entity shell;
+    # collect() skips the nulls like Cypher
+    opt = session.run(
+        "MATCH (n:dog) OPTIONAL MATCH (n)-[:CHASES]->(c:cat) "
+        "RETURN n.name AS nn, c ORDER BY nn"
+    ).collect()
+    assert opt[0]["c"]["properties"]["name"] == "Misse" and opt[1]["c"] is None
+    # UNION (distinct) over entity columns dedups via a canonical JSON
+    # key — set ops reject map-bearing columns
+    u = session.run(
+        "MATCH (n:dog {name:'Arne'}) RETURN n UNION MATCH (n:dog) RETURN n"
+    )
+    assert u.count() == 2
 
 
 def test_facade_extended_aggregates(session):
