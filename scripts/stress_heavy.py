@@ -127,6 +127,11 @@ HEAVY = [
     "gds_dfs_preorder",
     "cypher_collect_subquery",
     "cypher_hostile_expression",
+    # r10 additions: entity-struct projection over a join (per-row map
+    # build) and entity grouping + id-sorted entity collect
+    "cypher_return_entity",
+    "cypher_collect_entities",
+    "cypher_stdev_percentile",
 ]
 
 
