@@ -93,6 +93,8 @@ _NEW_THIS_ROUND: list[str] = [
     # r10: façade aggregate compiler extension (stDev/stDevP/
     # percentileCont/percentileDisc/apoc.agg.* through Session.run)
     "cypher_stdev_percentile",
+    # r10: correlated CALL { WITH … } variable-importing subquery
+    "cypher_call_subquery_correlated",
 ]
 
 

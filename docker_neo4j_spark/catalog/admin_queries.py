@@ -2476,3 +2476,29 @@ def cypher_stdev_percentile(spark, sf_dir):
         "percentileCont(o.o_totalprice, 0.5) AS pc, "
         "percentileDisc(o.o_totalprice, 0.5) AS pd ORDER BY status"
     )
+
+
+@register(
+    "cypher_call_subquery_correlated",
+    """
+    SELECT n_name AS nation,
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE s.s_nationkey = n.n_nationkey) AS BIGINT) AS n_suppliers
+    FROM nation n ORDER BY nation
+    """,
+)
+def cypher_call_subquery_correlated(spark, sf_dir):
+    """Correlated CALL { WITH n … } subquery (r10 — openCypher 9
+    variable import): per-nation supplier count via an OPTIONAL inner
+    match, decorrelated to one pattern bind + equi-join + per-outer-row
+    aggregate (session.py:_apply_call_subquery_stage)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) CALL { WITH n OPTIONAL MATCH "
+        "(n)<-[:IN_NATION]-(s:Supplier) RETURN count(s) AS n_suppliers } "
+        "RETURN n.n_name AS nation, n_suppliers ORDER BY nation"
+    )

@@ -1754,6 +1754,31 @@ class Session:
         pipeline = [
             (stage_kws[i], parts[i + 1].strip()) for i in range(len(stage_kws))
         ]
+        # correlated CALL { [WITH imports] … RETURN … } after the pattern
+        # (r10): extract the braced subquery before the OPTIONAL-MATCH /
+        # WHERE splits — inner clauses are brace-guarded from them
+        call_sub = None
+        h_call = _find_kw(pattern_src, "CALL")
+        if h_call:
+            seg = pattern_src[h_call[1]:].lstrip()
+            if seg.startswith("{"):
+                start = len(pattern_src) - len(seg)
+                depth, i = 1, start + 1
+                while i < len(pattern_src) and depth:
+                    if pattern_src[i] == "{":
+                        depth += 1
+                    elif pattern_src[i] == "}":
+                        depth -= 1
+                    i += 1
+                if depth:
+                    raise ValueError("unbalanced braces in CALL subquery")
+                call_sub = pattern_src[start + 1 : i - 1].strip()
+                trailing = pattern_src[i:].strip()
+                if trailing:
+                    raise ValueError(
+                        f"unsupported clause after CALL subquery: {trailing!r}"
+                    )
+                pattern_src = pattern_src[: h_call[0]].strip()
         # OPTIONAL MATCH segments follow the main pattern (and its WHERE)
         segments = _split_kw(pattern_src, "OPTIONAL", "MATCH")
         pattern_src, optionals = segments[0].strip(), [s.strip() for s in segments[1:]]
@@ -1809,6 +1834,8 @@ class Session:
             # RETURN/ORDER BY resolve purely by column name, so the new
             # `{var}_{prop}` columns are visible without touching `elems`
             bound = self._bind_optional(bound, opt, k)
+        if call_sub is not None:
+            bound = self._apply_call_subquery_stage(bound, call_sub)
 
         # WITH pipelines: each WITH stage projects/aggregates, an optional
         # WHERE filters the stage output (Cypher's HAVING), and later stages
@@ -2620,6 +2647,83 @@ class Session:
             return self.spark.createDataFrame([], "ok string")
         return self._project_match(frame.drop("_idx"), ret, elems, _frame_resolver(frame))
 
+    def _apply_call_subquery_stage(self, bound: DataFrame, sub: str) -> DataFrame:
+        """Correlated ``CALL { [WITH v,…] [OPTIONAL] MATCH … [WHERE …]
+        RETURN [DISTINCT] items [ORDER BY …] [SKIP n] [LIMIT n] }``
+        (openCypher 9 variable-importing subquery — r10).
+
+        Decorrelated, never per-row: the inner pattern binds ONCE over
+        the store and joins back on the imported variables (the same
+        multi-MATCH machinery Catalyst sees as one equi-join); aggregate
+        items group per outer binding row; ORDER BY + SKIP/LIMIT become
+        a row_number window partitioned by the outer columns — the
+        per-outer-row top-k, not a global sort. Only RETURNed names
+        escape the subquery (inner pattern variables are dropped)."""
+        src = sub.strip()
+        m_w = re.match(r"WITH\s+", src, re.IGNORECASE)
+        if m_w:
+            h_m, h_om = _find_kw(src, "MATCH"), _find_kw(src, "OPTIONAL", "MATCH")
+            h = h_om if (h_om and (not h_m or h_om[0] <= h_m[0])) else h_m
+            if h is None:
+                raise ValueError("CALL subquery: WITH imports need a MATCH body")
+            imports = [v.strip() for v in _split_top(src[m_w.end(): h[0]], ",")]
+            for v in imports:
+                if not re.fullmatch(r"[A-Za-z_]\w*", v) or (
+                    f"{v}_id" not in bound.columns and v not in bound.columns
+                ):
+                    raise ValueError(
+                        f"CALL subquery import {v!r} is not a bound variable"
+                    )
+            src = src[h[0]:]
+        h_ret = _find_kw(src, "RETURN")
+        if h_ret is None:
+            raise ValueError("CALL subquery must end with RETURN")
+        body, items_src = src[: h_ret[0]].strip(), src[h_ret[1]:].strip()
+        opt = bool(re.match(r"OPTIONAL\s+MATCH\b", body, re.IGNORECASE))
+        body = re.sub(r"^(OPTIONAL\s+)?MATCH\s+", "", body, flags=re.IGNORECASE)
+        if not body:
+            raise ValueError("CALL subquery needs a MATCH body")
+        joined = (
+            self._bind_optional(bound, body, 500)
+            if opt
+            else self._bind_additional(bound, body, False, 500)
+        )
+        limit, items_src = _trailing_int_kw(items_src, "LIMIT")
+        skip, items_src = _trailing_int_kw(items_src, "SKIP")
+        order_by = None
+        h_ob = _find_kw(items_src, "ORDER", "BY")
+        if h_ob:
+            order_by = items_src[h_ob[1]:].strip()
+            items_src = items_src[: h_ob[0]].strip()
+        distinct = bool(re.match(r"DISTINCT\b", items_src, re.IGNORECASE))
+        if distinct:
+            items_src = items_src[len("DISTINCT"):].strip()
+        resolve = _frame_resolver(joined)
+        keys, aggs, post, _ents = _parse_items(items_src, resolve)
+        outer_cols = [F.col(f"`{c}`") for c in bound.columns]
+        if aggs:
+            out = joined.groupBy(outer_cols + [c for _, c in keys]).agg(*aggs)
+            if post is not None:
+                out = _apply_post_items(out, post, extra_cols=bound.columns)
+            return out
+        if order_by or limit is not None or skip is not None:
+            from pyspark.sql.window import Window
+
+            okeys = (
+                _order_keys(order_by, resolve)
+                if order_by
+                else [F.lit(1).asc()]  # LIMIT without ORDER BY: any order
+            )
+            w = Window.partitionBy(outer_cols).orderBy(*okeys)
+            joined = joined.withColumn("_cs_rn", F.row_number().over(w))
+            lo = skip or 0
+            cond = F.col("_cs_rn") > lo
+            if limit is not None:
+                cond = cond & (F.col("_cs_rn") <= lo + limit)
+            joined = joined.where(cond).drop("_cs_rn")
+        out = joined.select(outer_cols + [c for _, c in keys])
+        return out.distinct() if distinct else out
+
     def _bind_additional(
         self, bound: DataFrame, src: str, optional: bool, k: int
     ) -> DataFrame:
@@ -2880,6 +2984,12 @@ class Session:
                         # ORDER BY m.age where m aliases entity n —
                         # resolve through the underlying binding
                         return _resolve(f"{ent_map[head]}.{rest}")
+                if name in bound.columns:
+                    dt = bound.schema[name].dataType
+                    if hasattr(dt, "fieldNames") and "id" in dt.fieldNames():
+                        # entity struct column (subquery output): entity
+                        # order is id order; the map field is unorderable
+                        return F.col(f"`{name}`")["id"]
                 if name in key_map:
                     return key_map[name]
                 return _resolve(name)
@@ -2904,14 +3014,18 @@ class Session:
             else:
                 out = out.distinct()
         if by_alias:
-            out = out.orderBy(
-                *_order_keys(
-                    order_by,
-                    lambda k: F.col(f"`{k}`")["id"]
-                    if k in ent_map
-                    else F.col(f"`{k}`"),
-                )
-            )
+
+            def _alias_key(k: str) -> F.Column:
+                c = F.col(f"`{k}`")
+                if k in ent_map:
+                    return c["id"]
+                if k in out.columns:
+                    dt = out.schema[k].dataType
+                    if hasattr(dt, "fieldNames") and "id" in dt.fieldNames():
+                        return c["id"]  # entity struct: order by id
+                return c
+
+            out = out.orderBy(*_order_keys(order_by, _alias_key))
         if skip is not None:
             out = out.offset(skip)
         if limit is not None:

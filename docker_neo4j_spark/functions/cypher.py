@@ -313,8 +313,32 @@ def duration(spec: str) -> Column:
             r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
             r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
         )
+    if isinstance(spec, dict):
+        # Cypher's map form: duration({years, months, weeks, days,
+        # hours, minutes, seconds, milliseconds}) — r10
+        units = {
+            "years", "months", "weeks", "days", "hours", "minutes",
+            "seconds", "milliseconds",
+        }
+        bad = set(spec) - units
+        if bad:
+            raise ValueError(f"duration() map has unknown keys {sorted(bad)}")
+        secs = float(spec.get("seconds", 0)) + float(
+            spec.get("milliseconds", 0)
+        ) / 1000.0
+        return F.make_interval(
+            F.lit(int(spec.get("years", 0))),
+            F.lit(int(spec.get("months", 0))),
+            F.lit(int(spec.get("weeks", 0))),
+            F.lit(int(spec.get("days", 0))),
+            F.lit(int(spec.get("hours", 0))),
+            F.lit(int(spec.get("minutes", 0))),
+            F.lit(secs),
+        )
     if not isinstance(spec, str):
-        raise TypeError("duration() takes an ISO-8601 string literal")
+        raise TypeError(
+            "duration() takes an ISO-8601 string literal or a unit map"
+        )
     m = _ISO_DURATION_RE.match(spec.strip())
     if m is None or spec.strip() == "P":
         raise ValueError(f"invalid ISO-8601 duration: {spec!r}")

@@ -507,6 +507,44 @@ def test_return_entity_record_shape(session):
     assert u.count() == 2
 
 
+def test_correlated_call_subquery(session):
+    """openCypher 9 variable-importing CALL { WITH a … } (r10):
+    projection, per-outer-row aggregate (OPTIONAL inner keeps 0-rows),
+    per-outer-row ORDER BY + LIMIT top-k, entity collect, and a WHERE
+    before the CALL. All decorrelated — one pattern bind + equi-join."""
+    session.run("CREATE (:P {name:'x', v: 1})")
+    session.run("CREATE (:P {name:'y', v: 2})")
+    session.run("CREATE (:Q {name:'z', w: 10})")
+    session.run("CREATE (:Q {name:'q', w: 20})")
+    session.run("MATCH (a:P {name:'x'}), (b:Q) CREATE (a)-[:R]->(b)")
+    rows = session.run(
+        "MATCH (a:P) CALL { WITH a MATCH (a)-[:R]->(b:Q) "
+        "RETURN b.name AS bn } RETURN a.name AS an, bn ORDER BY an, bn"
+    ).collect()
+    assert [(r.an, r.bn) for r in rows] == [("x", "q"), ("x", "z")]
+    rows = session.run(
+        "MATCH (a:P) CALL { WITH a OPTIONAL MATCH (a)-[:R]->(b:Q) "
+        "RETURN count(b) AS c } RETURN a.name AS an, c ORDER BY an"
+    ).collect()
+    assert [(r.an, r.c) for r in rows] == [("x", 2), ("y", 0)]
+    top = session.run(
+        "MATCH (a:P) CALL { WITH a MATCH (a)-[:R]->(b:Q) "
+        "RETURN b.name AS top ORDER BY b.w DESC LIMIT 1 } "
+        "RETURN a.name AS an, top"
+    ).collect()
+    assert [(r.an, r.top) for r in top] == [("x", "q")]
+    ent = session.run(
+        "MATCH (a:P {name:'x'}) CALL { WITH a MATCH (a)-[:R]->(b:Q) "
+        "RETURN b } RETURN b ORDER BY b"
+    ).collect()
+    assert [e["b"]["properties"]["name"] for e in ent] == ["z", "q"]
+    filt = session.run(
+        "MATCH (a:P) WHERE a.v > 1 CALL { WITH a MATCH (x:Q) "
+        "RETURN count(x) AS nb } RETURN a.name AS an, nb"
+    ).collect()
+    assert [(r.an, r.nb) for r in filt] == [("y", 2)]
+
+
 def test_facade_extended_aggregates(session):
     """stDev/stDevP/percentileCont/percentileDisc/apoc.agg.* through
     Session.run (r10 — SURVEY §2.B.4 aggregate surface; before, only the
