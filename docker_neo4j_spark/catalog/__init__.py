@@ -95,6 +95,12 @@ _NEW_THIS_ROUND: list[str] = [
     "cypher_stdev_percentile",
     # r10: correlated CALL { WITH … } variable-importing subquery
     "cypher_call_subquery_correlated",
+    # r10: write-tail projection through the shared funnel + repeated-var
+    # match_chain cycle handling + UNWIND literal lists via the compiler
+    "write_create_match_return",
+    "cypher_session_smoke",
+    "expand_two_hop",
+    "unwind_words_topk",
 ]
 
 

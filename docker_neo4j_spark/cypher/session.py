@@ -216,6 +216,10 @@ def _frame_resolver(frame: DataFrame):
                         return F.element_at(
                             F.col(f"`{var}`")["properties"], F.lit(prop)
                         )
+                if dt.typeName() == "map":
+                    # map column (UNWIND over a literal map list — r10):
+                    # row.a is key access
+                    return F.element_at(F.col(f"`{var}`"), F.lit(prop))
             if f"{var}_id" in cols:
                 # bound variable, property no write has introduced → null
                 # (Cypher: accessing a missing property yields null)
@@ -599,6 +603,16 @@ def _order_keys(order_by: str, resolve) -> list:
             col = _compile_expr(k, resolve)
         keys.append(col.desc() if desc else col.asc())
     return keys
+
+
+def _static_rel_info(elems: list) -> dict:
+    """Named rel elements of a write pattern → {var: {type, props}} for
+    post-write projection (type(r)/r.prop are statically known)."""
+    return {
+        el.var: {"type": el.rel_type, "props": el.props or {}}
+        for el in elems
+        if isinstance(el, _Rel) and el.var
+    }
 
 
 def _looks_like_pattern(src: str) -> bool:
@@ -1020,8 +1034,41 @@ class Session:
             raise ValueError(f"UNWIND requires '<expr> AS <var>': {src!r}")
         expr, var = m.group("expr").strip(), m.group("var")
         if expr.startswith("["):
-            vals = [_parse_value(v.strip()) for v in expr[1:-1].split(",") if v.strip()]
-            col = F.explode(F.array(*[F.lit(v) for v in vals]))
+            col = None
+            if expr.endswith("]"):
+                inner = expr[1:-1].strip()
+                parts = [p.strip() for p in _split_top(inner, ",")] if inner else []
+                if parts and all(
+                    p.startswith("{") and p.endswith("}") for p in parts
+                ):
+                    # literal list of maps (the driver batch idiom):
+                    # STRUCT elements keep heterogeneous value types —
+                    # a MapType would coerce {a: 1, b: 'p'} to one type
+                    try:
+                        dicts = [_parse_props(p[1:-1]) for p in parts]
+                    except ValueError:
+                        dicts = None
+                    if dicts is not None:
+                        keys: list[str] = []
+                        for d in dicts:
+                            for k2 in d:
+                                if k2 not in keys:
+                                    keys.append(k2)
+                        col = F.explode(
+                            F.array(
+                                *[
+                                    F.struct(
+                                        *[F.lit(d.get(k2)).alias(k2) for k2 in keys]
+                                    )
+                                    for d in dicts
+                                ]
+                            )
+                        )
+            if col is None:
+                # the unified compiler handles nested lists and
+                # comprehensions; the old _parse_value comma-split broke
+                # on nested elements (r10)
+                col = F.explode(_compile_expr(expr, _frame_resolver(bound)))
         else:
             mr = re.match(r"range\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)$", expr, re.IGNORECASE)
             if mr:
@@ -1390,7 +1437,8 @@ class Session:
         if created:
             ids = {}
             for el in elems:
-                if isinstance(el, _Node):
+                if isinstance(el, _Node) and el.var not in ids:
+                    # a repeated variable ((a)-[:X]->(a)) is ONE node
                     (nid,) = self.store.create_nodes(el.label or "_", [el.props])
                     ids[el.var] = nid
             for i in range(1, len(elems), 2):
@@ -1407,7 +1455,7 @@ class Session:
             )
         if ret is None:
             return self.spark.createDataFrame([], "ok string")
-        return self._project_bound(ret, ids)
+        return self._project_bound(ret, ids, rels=_static_rel_info(elems))
 
     def _match_whole_pattern(self, elems: list) -> dict[str, int] | None:
         """Bind the full pattern against the store; first match's node ids,
@@ -1699,25 +1747,34 @@ class Session:
             self.store.create_rels(rel.rel_type or "_", [(s, d)], [rel.props or {}])
         if ret is None:
             return self.spark.createDataFrame([], "ok string")
-        return self._project_bound(ret, ids)
+        return self._project_bound(ret, ids, rels=_static_rel_info(elems))
 
-    def _project_bound(self, ret: str, ids: dict[str, int]) -> DataFrame:
-        """RETURN var.prop [AS alias][, ...] over a set of bound node ids."""
+    def _project_bound(
+        self, ret: str, ids: dict[str, int], rels: dict | None = None
+    ) -> DataFrame:
+        """RETURN over freshly written node ids (CREATE/MERGE tails):
+        build the one-row binding frame (``var_*`` prefixed node columns)
+        and reuse the shared projection funnel — bare ``RETURN p``
+        serializes the created entity, expressions/aliases all work
+        (r10, replacing the var.prop-only literal reader). ``rels`` maps
+        a pattern rel variable to its statically-known type/props so
+        ``type(r)`` / ``r.prop`` resolve after a write."""
+        from ..graph import prefix_columns
+
         nodes = self.store.graph.nodes
-        names: list[str] = []
-        row: dict[str, object] = {}
-        for raw in _split_top(ret, ","):
-            raw = raw.strip()
-            m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", raw, re.IGNORECASE)
-            if m_as:
-                out, raw = m_as.group(1), raw[: m_as.start()].strip()
-            else:
-                out = raw
-            var, prop = raw.split(".", 1)
-            val = nodes.where(F.col("id") == ids[var]).select(prop).first()
-            names.append(out)
-            row[out] = None if val is None else val[0]
-        return self.spark.createDataFrame([tuple(row[n] for n in names)], names)
+        bound = None
+        for var, nid in ids.items():
+            nf = prefix_columns(nodes.where(F.col("id") == nid), var)
+            bound = nf if bound is None else bound.crossJoin(nf)
+        for var, info in (rels or {}).items():
+            cols = [F.lit(info.get("type")).alias(f"{var}_type")]
+            for k, v in (info.get("props") or {}).items():
+                cols.append(F.lit(v).alias(f"{var}_{k}"))
+            rf = self.spark.range(1).select(*cols)
+            bound = rf if bound is None else bound.crossJoin(rf)
+        if bound is None:
+            raise ValueError(f"RETURN after CREATE with no bound variables: {ret!r}")
+        return self._project_match(bound, ret, [], _frame_resolver(bound))
 
     # ---- MATCH --------------------------------------------------------
     def _match(self, q: str) -> DataFrame:

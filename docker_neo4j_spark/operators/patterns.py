@@ -133,6 +133,7 @@ def match_chain(graph: PropertyGraph, pattern: list, with_rel_ids: bool | None =
     out = prefix_columns(_node_frame(graph, first), first.alias)
     prev_node = first
     rel_aliases: list[str] = []
+    seen_nodes = {first.alias}
     i = 1
     while i < len(pattern):
         rel, node = pattern[i], pattern[i + 1]
@@ -142,10 +143,30 @@ def match_chain(graph: PropertyGraph, pattern: list, with_rel_ids: bool | None =
         if not keep_ids:
             rf = rf.drop("id")
         r = prefix_columns(rf, rel.alias)
-        n = prefix_columns(_node_frame(graph, node), node.alias)
-        out = out.join(r, F.col(f"{prev_node.alias}_id") == F.col(f"{rel.alias}_src")).join(
-            n, F.col(f"{rel.alias}_dst") == F.col(f"{node.alias}_id")
-        )
+        if node.alias in seen_nodes:
+            # repeated variable closes a cycle — (a)-[:X]->(a): join the
+            # rel slice and require its dst to BE the existing binding
+            # instead of re-prefixing the alias (duplicate columns); any
+            # label/prop constraints on the re-occurrence semi-filter the
+            # bound ids
+            out = out.join(
+                r, F.col(f"{prev_node.alias}_id") == F.col(f"{rel.alias}_src")
+            ).where(F.col(f"{rel.alias}_dst") == F.col(f"{node.alias}_id"))
+            if node.label or node.props:
+                ok = _node_frame(graph, node).select(
+                    F.col("id").alias("_rep_id")
+                )
+                out = out.join(
+                    ok,
+                    F.col(f"{node.alias}_id") == F.col("_rep_id"),
+                    "left_semi",
+                )
+        else:
+            n = prefix_columns(_node_frame(graph, node), node.alias)
+            out = out.join(
+                r, F.col(f"{prev_node.alias}_id") == F.col(f"{rel.alias}_src")
+            ).join(n, F.col(f"{rel.alias}_dst") == F.col(f"{node.alias}_id"))
+            seen_nodes.add(node.alias)
         rel_aliases.append(rel.alias)
         prev_node = node
         i += 2

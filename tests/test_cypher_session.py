@@ -1453,3 +1453,39 @@ def test_aggregates_nested_in_expressions(session):
         "MATCH (a:dog) WITH size(collect(a.name)) AS n RETURN n + 10 AS m"
     ).first()
     assert r["m"] == 12
+
+
+def test_create_merge_return_entities_and_self_rels(session):
+    """r10 write-tail projection: CREATE/MERGE RETURN flows through the
+    shared projection funnel (bare vars serialize entities, statically-
+    known rel type/props resolve); repeated pattern variables bind ONE
+    node ((a)-[:X]->(a)), and the repeated-var match closes the cycle."""
+    p = session.run("CREATE (p:Person {name: 'Neo'}) RETURN p").collect()[0]["p"]
+    assert p["labels"] == ["Person"] and p["properties"]["name"] == "Neo"
+    row = session.run(
+        "CREATE (x:X {k:1})-[q:LINK {w: 3}]->(y:Y {k:2}) "
+        "RETURN x.k AS xk, type(q) AS t, q.w AS w, y"
+    ).collect()[0]
+    assert (row["xk"], row["t"], row["w"]) == (1, "LINK", 3)
+    assert row["y"]["properties"]["k"] == "2"
+    session.run("CREATE (:A {name:'x'})")
+    t = session.run(
+        "MERGE (a:A {name:'x'})-[r:SELF]->(a) RETURN type(r) AS t"
+    ).collect()[0]["t"]
+    assert t == "SELF"
+    # idempotent, and the self-loop is matchable with the repeated var
+    session.run("MERGE (a:A {name:'x'})-[r:SELF]->(a)")
+    loops = session.run("MATCH (a:A)-[r:SELF]->(a) RETURN count(*) AS c")
+    assert loops.collect()[0]["c"] == 1
+
+
+def test_unwind_literal_map_list(session):
+    """UNWIND over a literal list of maps (driver batch idiom) — the
+    compiler handles nested maps; row.a is key access (r10)."""
+    rows = session.run(
+        "UNWIND [{a: 1, b: 'p'}, {a: 2, b: 'q'}] AS row "
+        "RETURN row.a AS a, row.b AS b ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [("1", "p"), ("2", "q")] or [
+        (r.a, r.b) for r in rows
+    ] == [(1, "p"), (2, "q")]
