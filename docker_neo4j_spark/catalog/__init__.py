@@ -90,6 +90,8 @@ _NEW_THIS_ROUND: list[str] = [
     # r10: entity serialization (RETURN n / RETURN r → structs)
     "cypher_return_entity",
     "cypher_collect_entities",
+    # r10: expression-valued properties in write patterns
+    "cypher_expr_props_readback",
     # r10: façade aggregate compiler extension (stDev/stDevP/
     # percentileCont/percentileDisc/apoc.agg.* through Session.run)
     "cypher_stdev_percentile",

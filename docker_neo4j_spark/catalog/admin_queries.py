@@ -2502,3 +2502,22 @@ def cypher_call_subquery_correlated(spark, sf_dir):
         "(n)<-[:IN_NATION]-(s:Supplier) RETURN count(s) AS n_suppliers } "
         "RETURN n.n_name AS nation, n_suppliers ORDER BY nation"
     )
+
+
+@register(
+    "cypher_expr_props_readback",
+    """
+    SELECT 'LAUNCH' AS name, '2024-06-01' AS d, CAST(6 AS BIGINT) AS n
+    """,
+)
+def cypher_expr_props_readback(spark, sf_dir):
+    """Expression-valued properties in a write pattern (r10): the values
+    evaluate once through the unified compiler at write time and read
+    back typed."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:Evt {name: toUpper('launch'), d: date('2024-06-01'), n: 2 * 3})")
+    return s.run(
+        "MATCH (e:Evt) RETURN e.name AS name, toString(e.d) AS d, e.n AS n"
+    )

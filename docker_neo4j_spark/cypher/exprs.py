@@ -775,8 +775,12 @@ class _Parser:
         if low in ENTITY_FNS:
             if low in ("id", "labels", "type") and one_ident:
                 return _V(resolve(f"{low}({arg_srcs[0]})"))
-            if low == "keys" and one_ident:
-                if frame is not None and f"{arg_srcs[0]}_id" in frame.columns:
+            if low == "keys":
+                if (
+                    one_ident
+                    and frame is not None
+                    and f"{arg_srcs[0]}_id" in frame.columns
+                ):
                     return _V(resolve(f"keys({arg_srcs[0]})"))
                 return _V(cf.keys(args[0].col))  # map_keys over a map value
             if low == "properties" and one_ident:

@@ -160,6 +160,39 @@ def _parse_scalar(s: _Stream):
     raise ValueError(f"unsupported literal at: {s.src[t.pos:t.pos + 40]!r}")
 
 
+@dataclass(frozen=True)
+class ExprText:
+    """A value position that is not a literal — the balanced expression
+    TEXT (``{ts: datetime('2024-01-01')}``). Write/filter paths evaluate
+    it through the unified expression compiler (r10); literal-only
+    consumers treat its presence as 'not a literal'."""
+
+    src: str
+
+
+def _capture_expr(s: _Stream) -> ExprText:
+    """Consume one balanced value expression: tokens up to the first
+    depth-0 ``,``/``}``/``]`` (or end of input)."""
+    t0 = s.peek()
+    depth, end = 0, t0.end
+    while True:
+        t = s.peek()
+        if t is None:
+            break
+        if t.kind == "punct":
+            if t.text in "([{":
+                depth += 1
+            elif t.text in ")]}":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif t.text == "," and depth == 0:
+                break
+        end = t.end
+        s.take()
+    return ExprText(s.src[t0.pos:end])
+
+
 def _parse_value_stream(s: _Stream):
     if s.at("punct", "["):
         s.take()
@@ -172,7 +205,12 @@ def _parse_value_stream(s: _Stream):
         return out
     if s.at("punct", "{"):
         return _parse_map_body(s)
-    return _parse_scalar(s)
+    try:
+        return _parse_scalar(s)
+    except ValueError:
+        # not a literal: a function call / arithmetic value position —
+        # hand the balanced text to the expression compiler (r10)
+        return _capture_expr(s)
 
 
 def _parse_map_body(s: _Stream) -> dict:
@@ -187,7 +225,13 @@ def _parse_map_body(s: _Stream) -> dict:
         else:
             raise ValueError(f"bad map key at: {s.src[kt.pos:kt.pos + 40]!r}")
         s.expect("punct", ":")
+        mark = s.i
         out[key] = _parse_value_stream(s)
+        if not (s.at("punct", ",") or s.at("punct", "}")):
+            # a literal prefix of a larger expression ({n: 2 * 3}):
+            # rewind and capture the whole balanced value text (r10)
+            s.i = mark
+            out[key] = _capture_expr(s)
         if s.at("punct", ","):
             s.take()
     s.expect("punct", "}")

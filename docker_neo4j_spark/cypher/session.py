@@ -39,12 +39,24 @@ from .lexer import (  # r8: the positional-token lexer replaces the regex
     Node as _Node,   # scanners (_NODE_RE/_REL_RE) and the char-scan
     Rel as _Rel,
     find_keyword as _find_kw,
-    parse_pattern as _parse_pattern,
+    parse_pattern as _lex_parse_pattern,
     parse_props as _parse_props,
     parse_value as _parse_value,
     split_keyword as _split_kw,
     split_top as _split_top,
 )
+
+
+def _parse_pattern(src: str):
+    """Pattern parse + ExprText property evaluation (r10): non-literal
+    property values (``{ts: datetime('2024-01-01')}``) evaluate once
+    through the unified compiler before any consumer sees the props —
+    every write/filter path shares this choke point."""
+    elems, rest = _lex_parse_pattern(src)
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        _eval_elem_props(spark, elems)
+    return elems, rest
 
 
 def _split_pipeline(src: str) -> tuple[list[str], list[str]]:
@@ -605,6 +617,65 @@ def _order_keys(order_by: str, resolve) -> list:
     return keys
 
 
+def _no_var_resolver(name: str) -> F.Column:
+    raise ValueError(
+        f"unbound variable {name!r} in a property-expression position"
+    )
+
+
+def _eval_prop_map(spark: SparkSession, props: dict | None) -> dict | None:
+    """Evaluate ExprText markers (non-literal property values — r10:
+    ``{ts: datetime('2024-01-01')}``) through the unified compiler in
+    ONE driver-side job over a 1-row frame; literal values pass through
+    untouched."""
+    from .lexer import ExprText as _ET
+
+    if not props:
+        return props
+    texts: list[_ET] = []
+
+    def scan(v):
+        if isinstance(v, _ET):
+            texts.append(v)
+        elif isinstance(v, list):
+            for x in v:
+                scan(x)
+
+    for v in props.values():
+        scan(v)
+    if not texts:
+        return props
+    # variable-referencing expressions stay as markers — a frame-aware
+    # consumer (the bulk MATCH…CREATE path) compiles them per-row
+    compiled = {}
+    for i, t in enumerate(texts):
+        try:
+            compiled[i] = _compile_expr(t.src, _no_var_resolver).alias(f"_e{i}")
+        except ValueError:
+            pass
+    vals = {}
+    if compiled:
+        row = spark.range(1).select(*compiled.values()).first()
+        vals = {id(texts[i]): row[f"_e{i}"] for i in compiled}
+
+    def sub(v):
+        if isinstance(v, _ET):
+            return vals.get(id(v), v)  # unresolved markers pass through
+        if isinstance(v, list):
+            return [sub(x) for x in v]
+        return v
+
+    return {k: sub(v) for k, v in props.items()}
+
+
+def _eval_elem_props(spark: SparkSession, elems: list) -> list:
+    """Evaluate ExprText property values across a parsed pattern."""
+    for el in elems:
+        if getattr(el, "props", None):
+            el.props = _eval_prop_map(spark, el.props)
+    return elems
+
+
 def _static_rel_info(elems: list) -> dict:
     """Named rel elements of a write pattern → {var: {type, props}} for
     post-write projection (type(r)/r.prop are statically known)."""
@@ -809,7 +880,7 @@ class Session:
         )
         if not m:
             raise ValueError(f"Unsupported FOREACH syntax: {q!r}")
-        values = _parse_value(m.group("list"))
+        values = _eval_prop_map(self.spark, {"_l": _parse_value(m.group("list"))})["_l"]
         var, body = m.group("var"), m.group("body").strip()
         for v in values:
             if isinstance(v, str):
@@ -1044,10 +1115,16 @@ class Session:
                     # literal list of maps (the driver batch idiom):
                     # STRUCT elements keep heterogeneous value types —
                     # a MapType would coerce {a: 1, b: 'p'} to one type
+                    from .lexer import ExprText as _ET
+
                     try:
                         dicts = [_parse_props(p[1:-1]) for p in parts]
                     except ValueError:
                         dicts = None
+                    if dicts is not None and any(
+                        isinstance(v, _ET) for d in dicts for v in d.values()
+                    ):
+                        dicts = None  # expression values: compiler path
                     if dicts is not None:
                         keys: list[str] = []
                         for d in dicts:
@@ -1451,7 +1528,8 @@ class Session:
             if var not in ids:
                 raise ValueError(f"ON {'CREATE' if created else 'MATCH'} SET variable {var!r} is not in the pattern")
             self.store.set_props_by_ids(
-                self.spark.createDataFrame([(ids[var],)], "id long"), props
+                self.spark.createDataFrame([(ids[var],)], "id long"),
+                _eval_prop_map(self.spark, props),
             )
         if ret is None:
             return self.spark.createDataFrame([], "ok string")
@@ -1522,6 +1600,7 @@ class Session:
             # bracket-aware split so list literals ([0.1, 0.2]) stay whole
             for i, part in enumerate(_split_top(raw_args, ",")):
                 args[f"arg{i}"] = _parse_value(part.strip())
+            args = _eval_prop_map(self.spark, args)
         yield_cols = None
         if m.group("yield") and m.group("yield").strip() != "*":
             # YIELD * keeps every output column (Cypher's shorthand)
@@ -1577,10 +1656,14 @@ class Session:
                 from ..procedures.registry import fn
 
                 try:
+                    from .lexer import ExprText as _ET
+
                     raw = fn_m.group(2).strip()
                     args = [
                         _parse_value(p.strip()) for p in _split_top(raw, ",") if p.strip()
                     ] if raw else []
+                    if any(isinstance(a, _ET) for a in args):
+                        raise ValueError("expression args: compiler path")
                     col = fn(fn_m.group(1), *args)
                 except (KeyError, ValueError):
                     col = None
@@ -2450,6 +2533,7 @@ class Session:
                 var, mapping = m_pe.group(1), _parse_value(m_pe.group(2))
                 if not isinstance(mapping, dict):
                     raise ValueError(f"SET += expects a map literal: {item!r}")
+                mapping = _eval_prop_map(self.spark, mapping)
                 per_var.setdefault(var, {}).update(
                     {k: F.lit(v) for k, v in mapping.items()}
                 )
@@ -2648,6 +2732,8 @@ class Session:
         per binding row, id-assigned distributed (``stage_indexed``) and
         appended in ONE batch per pattern element — the binding frame is
         never collected to the driver, so a 10⁶-row MATCH binds fine."""
+        from .lexer import ExprText as _ET
+
         ret = None
         h_ret = _find_kw(tail, "RETURN")
         if h_ret:
@@ -2673,7 +2759,13 @@ class Session:
             frame = frame.withColumn(f"{el.var}_labels", F.array(F.lit(el.label or "_")))
             for k, v in el.props.items():
                 frame = frame.withColumn(
-                    f"{el.var}_{k}", _lit_map(v) if isinstance(v, dict) else F.lit(v)
+                    f"{el.var}_{k}",
+                    # per-row expression props over the binding (r10):
+                    # CREATE (c:Copy {name: a.name}) compiles against the
+                    # MATCH frame — set-based, never collected
+                    _compile_expr(v.src, _frame_resolver(frame))
+                    if isinstance(v, _ET)
+                    else _lit_map(v) if isinstance(v, dict) else F.lit(v),
                 )
             self.store.append_nodes(
                 frame.select(
@@ -2695,7 +2787,11 @@ class Session:
                     d.alias("dst"),
                     F.lit(rel.rel_type or "_").alias("type"),
                     *[
-                        (_lit_map(v) if isinstance(v, dict) else F.lit(v)).alias(k)
+                        (
+                            _compile_expr(v.src, _frame_resolver(frame))
+                            if isinstance(v, _ET)
+                            else _lit_map(v) if isinstance(v, dict) else F.lit(v)
+                        ).alias(k)
                         for k, v in rel.props.items()
                     ],
                 )

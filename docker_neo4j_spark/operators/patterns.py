@@ -66,6 +66,14 @@ def _prop_lit(k: str, v: object) -> F.Column:
             f"(property {k!r}): Spark defines no equality on map columns; "
             f"filter on individual keys instead"
         )
+    from ..cypher.lexer import ExprText
+
+    if isinstance(v, ExprText):
+        raise ValueError(
+            f"property filter {k!r} references unbound variables: "
+            f"{v.src!r} — only literals and variable-free expressions "
+            f"filter inside a pattern"
+        )
     return F.lit(v)
 
 

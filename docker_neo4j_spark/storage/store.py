@@ -199,6 +199,16 @@ class GraphStore:
     # ---- CREATE (SURVEY.md §2.B.13) -----------------------------------
     def create_nodes(self, label: str, rows: list[dict]) -> list[int]:
         """``CREATE (n:Label {props})`` for a batch; returns the new ids."""
+        from ..cypher.lexer import ExprText
+
+        for r in rows:
+            for k, v in (r or {}).items():
+                if isinstance(v, ExprText):
+                    raise ValueError(
+                        f"property {k!r} references unbound variables: "
+                        f"{v.src!r} — a standalone CREATE/MERGE can only "
+                        f"use literals and variable-free expressions"
+                    )
         ids = [next(self._node_ids) for _ in rows]
         prop_cols = sorted({k for r in rows for k in r})
         data = [

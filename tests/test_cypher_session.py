@@ -1489,3 +1489,25 @@ def test_unwind_literal_map_list(session):
     assert [(r.a, r.b) for r in rows] == [("1", "p"), ("2", "q")] or [
         (r.a, r.b) for r in rows
     ] == [(1, "p"), (2, "q")]
+
+
+def test_expression_valued_properties(session):
+    """Non-literal property values in write patterns (r10):
+    {ts: datetime(…)} / {name: toUpper(…)} evaluate once through the
+    unified compiler; ON CREATE SET and SET += accept them too."""
+    import datetime as _dt
+
+    session.run(
+        "CREATE (:E {name: toUpper('x'), d: date('2024-06-01'), n: 2 * 3})"
+    )
+    r = session.run("MATCH (e:E) RETURN e.name AS nm, e.d AS d, e.n AS n").collect()[0]
+    assert (r["nm"], r["d"], r["n"]) == ("X", _dt.date(2024, 6, 1), 6)
+    c = session.run(
+        "MERGE (k:K {key: 'a'}) ON CREATE SET k.created = timestamp() "
+        "RETURN k.created AS c"
+    ).collect()[0]["c"]
+    assert isinstance(c, int) and c > 1_500_000_000_000
+    s2 = session.run(
+        "MATCH (e:E) SET e += {seen: timestamp()} RETURN e.seen AS s"
+    ).collect()[0]["s"]
+    assert isinstance(s2, int) and s2 >= c - 10_000

@@ -439,3 +439,25 @@ def test_unique_constraint_blocks_set_collision(spark):
         s.store.set_props("dog", {"name": "Birgit"}, {"name": "Arne"})
     # setting to NULL never collides (null keys exempt under Cypher semantics)
     s.store.set_props("dog", {"name": "Birgit"}, {"name": None})
+
+
+def test_per_row_expression_props_in_bulk_create(spark):
+    """MATCH … CREATE with properties referencing the binding (r10):
+    {name: a.name, vv: a.v * 10} compiles per-row against the MATCH
+    frame — set-based, never collected."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:Src {name:'arne', v: 3})")
+    s.run("CREATE (:Src {name:'bo', v: 5})")
+    s.run("MATCH (a:Src) CREATE (c:Copy {name: a.name, vv: a.v * 10})")
+    rows = s.run(
+        "MATCH (c:Copy) RETURN c.name AS nm, c.vv AS vv ORDER BY nm"
+    ).collect()
+    assert [(r.nm, r.vv) for r in rows] == [("arne", 30), ("bo", 50)]
+    s.run(
+        "MATCH (a:Src {name:'arne'}), (b:Src {name:'bo'}) "
+        "CREATE (a)-[:OWES {amt: a.v + b.v}]->(b)"
+    )
+    amt = s.run("MATCH ()-[r:OWES]->() RETURN r.amt AS amt").collect()[0].amt
+    assert amt == 8
