@@ -765,11 +765,13 @@ class _Parser:
             # element-id contract — opaque string, stable within a store)
             return _V(resolve(f"id({arg_srcs[0]})").cast("string"), is_str=True)
         if low == "isempty":
-            # polymorphic like size(): array frame columns → size()==0,
-            # everything else string length==0
-            if one_ident and frame is not None and dict(frame.dtypes).get(
-                arg_srcs[0], ""
-            ).startswith("array"):
+            # polymorphic like size(): array frame columns / list
+            # literals → size()==0, everything else string length==0
+            if (
+                one_ident and frame is not None and dict(frame.dtypes).get(
+                    arg_srcs[0], ""
+                ).startswith("array")
+            ) or arg_srcs[0].lstrip().startswith("["):
                 return _V(cf.size_list(args[0].col) == F.lit(0))
             return _V(cf.size(args[0].col) == F.lit(0))
         if low in ENTITY_FNS:
@@ -797,9 +799,11 @@ class _Parser:
         # size(): polymorphic — list cardinality when the argument is
         # statically an array (frame column dtype or nodes(path))
         if low == "size":
-            if one_ident and frame is not None and dict(frame.dtypes).get(
-                arg_srcs[0], ""
-            ).startswith("array"):
+            if (
+                one_ident and frame is not None and dict(frame.dtypes).get(
+                    arg_srcs[0], ""
+                ).startswith("array")
+            ) or arg_srcs[0].lstrip().startswith("["):
                 return _V(cf.size_list(args[0].col))
             m = re.fullmatch(r"nodes\(\s*(\w+)\s*\)", arg_srcs[0])
             if m and m.group(1) in path_vars:
@@ -812,6 +816,15 @@ class _Parser:
         # escaping, F.round's scale, duration specs) — position-listed
         # per function in _LITERAL_PARAMS.
         lit_positions = _LITERAL_PARAMS.get(low, ())
+        if (
+            low in ("date", "datetime", "localdatetime", "time", "localtime")
+            and len(args) == 1
+            and args[0].has_lit
+            and isinstance(args[0].lit, dict)
+        ):
+            # temporal map constructors: date({year: …, month: …}) — the
+            # python dict routes to the unit-field builder (r10)
+            return _V(getattr(cf, low)(args[0].lit))
         call_args = []
         for pos, a in enumerate(args):
             if pos in lit_positions:

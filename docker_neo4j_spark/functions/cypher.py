@@ -286,18 +286,81 @@ def _temporal_arg(x) -> Column:
     return _c(x)
 
 
+def _temporal_map_fields(spec: dict, ctx: str, allowed: frozenset) -> dict:
+    bad = set(spec) - allowed
+    if bad:
+        raise ValueError(f"{ctx}() map has unknown keys {sorted(bad)}")
+    return spec
+
+
+_DATE_KEYS = frozenset({"year", "month", "day"})
+_TIME_KEYS = frozenset({"hour", "minute", "second", "millisecond", "nanosecond"})
+
+
+def _seconds_of(spec: dict) -> float:
+    return (
+        float(spec.get("second", 0))
+        + float(spec.get("millisecond", 0)) / 1e3
+        + float(spec.get("nanosecond", 0)) / 1e9
+    )
+
+
 def date(x=None) -> Column:
-    """Cypher ``date()`` / ``date(expr)`` construction → DATE column."""
+    """Cypher ``date()`` / ``date(expr)`` / ``date({year, month, day})``
+    construction → DATE column (map form — r10)."""
+    if isinstance(x, dict):
+        s = _temporal_map_fields(x, "date", _DATE_KEYS)
+        return F.make_date(
+            F.lit(int(s.get("year", 1970))),
+            F.lit(int(s.get("month", 1))),
+            F.lit(int(s.get("day", 1))),
+        )
     return F.current_date() if x is None else F.to_date(_temporal_arg(x))
 
 
 def datetime(x=None) -> Column:
-    """Cypher ``datetime()`` / ``datetime(expr)`` → TIMESTAMP column."""
+    """Cypher ``datetime()`` / ``datetime(expr)`` /
+    ``datetime({year, …, second})`` → TIMESTAMP column."""
+    if isinstance(x, dict):
+        s = _temporal_map_fields(x, "datetime", _DATE_KEYS | _TIME_KEYS)
+        return F.make_timestamp(
+            F.lit(int(s.get("year", 1970))),
+            F.lit(int(s.get("month", 1))),
+            F.lit(int(s.get("day", 1))),
+            F.lit(int(s.get("hour", 0))),
+            F.lit(int(s.get("minute", 0))),
+            F.lit(_seconds_of(s)),
+        )
     return F.current_timestamp() if x is None else F.to_timestamp(_temporal_arg(x))
 
 
 def localdatetime(x=None) -> Column:
     return datetime(x)
+
+
+def time(x=None) -> Column:
+    """Cypher ``time()`` / ``time('10:30:00')`` / ``time({hour, …})`` —
+    Spark has no TIME type, so times serialize as 'HH:mm:ss' strings
+    (documented deviation; ordering and equality still behave)."""
+    if isinstance(x, dict):
+        s = _temporal_map_fields(x, "time", _TIME_KEYS)
+        return F.lit(
+            "%02d:%02d:%02d"
+            % (int(s.get("hour", 0)), int(s.get("minute", 0)), int(_seconds_of(s)))
+        )
+    if x is None:
+        return F.date_format(F.current_timestamp(), "HH:mm:ss")
+    c = _temporal_arg(x)
+    ts = F.coalesce(
+        F.to_timestamp(c),
+        # bare clock strings ('10:30:00') need a date to parse
+        F.to_timestamp(F.concat(F.lit("1970-01-01T"), c.cast("string"))),
+    )
+    return F.date_format(ts, "HH:mm:ss")
+
+
+def localtime(x=None) -> Column:
+    return time(x)
 
 
 def duration(spec: str) -> Column:
@@ -477,3 +540,9 @@ def properties(*prop_cols: str) -> Column:
 
 def approx_count_distinct(x, rsd: float = 0.05) -> Column:
     return F.approx_count_distinct(_c(x), rsd)
+
+
+def toStringOrNull(x) -> Column:
+    """Cypher 5 toStringOrNull — cast-to-string never throws, so this is
+    an exact alias of toString (the other OrNull casts use try_cast)."""
+    return toString(x)

@@ -1511,3 +1511,28 @@ def test_expression_valued_properties(session):
         "MATCH (e:E) SET e += {seen: timestamp()} RETURN e.seen AS s"
     ).collect()[0]["s"]
     assert isinstance(s2, int) and s2 >= c - 10_000
+
+
+def test_temporal_map_constructors(session):
+    """date/datetime/localdatetime unit-map constructors and the
+    string-serialized time()/localtime() (r10); *OrNull casts."""
+    import datetime as _dt
+
+    r = session.run(
+        "RETURN date({year: 2024, month: 2, day: 29}) AS d, "
+        "datetime({year: 2024, month: 1, day: 2, hour: 3, minute: 4, "
+        "second: 5}) AS dt, time({hour: 10, minute: 30}) AS t, "
+        "time('10:30:45') AS t2, toStringOrNull(4) AS s, "
+        "toIntegerOrNull('x') AS bad, isEmpty([]) AS e"
+    ).collect()[0]
+    assert r["d"] == _dt.date(2024, 2, 29)
+    assert r["dt"] == _dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert (r["t"], r["t2"]) == ("10:30:00", "10:30:45")
+    assert (r["s"], r["bad"], r["e"]) == ("4", None, True)
+    at = session.run(
+        "CREATE (:Ev {at: datetime({year: 2024, month: 3, day: 1, hour: 12})}) "
+        "RETURN 1 AS one"
+    )
+    at.collect()
+    got = session.run("MATCH (e:Ev) RETURN e.at AS at").collect()[0]["at"]
+    assert got == _dt.datetime(2024, 3, 1, 12, 0)
