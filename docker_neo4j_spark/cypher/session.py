@@ -771,6 +771,11 @@ class Session:
         if head == "FOREACH":
             return self._foreach(q)
         if head == "UNWIND":
+            h_r = _find_kw(q, "RETURN")
+            if h_r and _find_kw(q[: h_r[0]], "WITH"):
+                # UNWIND … WITH … pipelines share the standalone-WITH
+                # stage machinery (r10)
+                return self._standalone_with(q)
             return self._standalone_unwind(q)
         if head == "WITH":
             return self._standalone_with(q)
@@ -2549,6 +2554,19 @@ class Session:
                 add=tuple(adds),
                 remove=tuple(rems),
             )
+            # read-your-writes inside this statement's RETURN (labels
+            # mirrored like property updates — r10)
+            if f"{var}_labels" in bound.columns:
+                lcol = F.col(f"{var}_labels")
+                if adds:
+                    lcol = F.array_distinct(
+                        F.concat(lcol, F.array(*[F.lit(a) for a in adds]))
+                    )
+                if rems:
+                    lcol = F.array_except(
+                        lcol, F.array(*[F.lit(rm) for rm in rems])
+                    )
+                bound = bound.withColumn(f"{var}_labels", lcol)
         for var, props in per_var.items():
             if f"{var}_id" not in bound.columns:
                 raise ValueError(f"SET/REMOVE variable {var!r} is not bound")

@@ -1536,3 +1536,28 @@ def test_temporal_map_constructors(session):
     at.collect()
     got = session.run("MATCH (e:Ev) RETURN e.at AS at").collect()[0]["at"]
     assert got == _dt.datetime(2024, 3, 1, 12, 0)
+
+
+def test_label_mutation_read_your_writes_and_unwind_with(session):
+    """RETURN after SET/REMOVE label mutations reflects the mutation in
+    the same statement (labels mirrored like property updates — r10);
+    UNWIND … WITH … pipelines route through the standalone stage
+    machinery."""
+    session.run("CREATE (:L1 {name:'x'})")
+    ls = session.run(
+        "MATCH (a:L1) REMOVE a:L1 RETURN labels(a) AS ls"
+    ).collect()[0]["ls"]
+    assert ls == []
+    ls2 = session.run(
+        "MATCH (a) WHERE a.name = 'x' SET a:L2 RETURN labels(a) AS ls"
+    ).collect()[0]["ls"]
+    assert ls2 == ["L2"]
+    srow = session.run(
+        "UNWIND range(1,3) AS x WITH x WHERE x > 1 RETURN sum(x) AS s"
+    ).collect()[0]
+    assert srow["s"] == 5
+    zs = session.run(
+        "UNWIND [1,2,3] AS x WITH x * 2 AS y UNWIND [y, y+1] AS z "
+        "RETURN collect(z) AS zs"
+    ).collect()[0]["zs"]
+    assert zs == [2, 3, 4, 5, 6, 7]
