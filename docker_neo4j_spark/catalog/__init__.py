@@ -103,6 +103,11 @@ _NEW_THIS_ROUND: list[str] = [
     "cypher_session_smoke",
     "expand_two_hop",
     "unwind_words_topk",
+    # r10: CALL … RETURN tail through the shared projection funnel;
+    # SHOW YIELD/WHERE/RETURN tails; apoc.help registered (SHOW
+    # PROCEDURES surface +1)
+    "proc_show_procedures",
+    "proc_list_config_yield_where",
 ]
 
 

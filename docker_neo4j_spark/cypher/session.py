@@ -782,11 +782,15 @@ class Session:
         if head == "SHOW" and q.upper().startswith("SHOW PROCEDURES"):
             from ..procedures.registry import show_procedures
 
-            return show_procedures(self.spark)
+            return self._show_tail(
+                show_procedures(self.spark), q[len("SHOW PROCEDURES"):]
+            )
         if head == "SHOW" and q.upper().startswith("SHOW FUNCTIONS"):
             from ..procedures.registry import show_functions
 
-            return show_functions(self.spark)
+            return self._show_tail(
+                show_functions(self.spark), q[len("SHOW FUNCTIONS"):]
+            )
         if head == "SHOW" and q.upper().startswith("SHOW VECTOR INDEX"):
             from ..storage.indexes import SHOW_SCHEMA
 
@@ -1626,7 +1630,12 @@ class Session:
             },
         )
         if m.group("ret"):
-            out = out.select([c.strip() for c in m.group("ret").split(",")])
+            # full projection surface over the procedure's columns —
+            # expressions, aggregates, ORDER BY/SKIP/LIMIT (r10; was a
+            # bare column-name select)
+            out = self._project_match(
+                out, m.group("ret").strip(), [], _frame_resolver(out)
+            )
         return out
 
     # ---- RETURN <expr> ------------------------------------------------
@@ -1753,6 +1762,32 @@ class Session:
         return self._project_match(
             frame, src[h_ret[1]:].strip(), [], _frame_resolver(frame)
         )
+
+    def _show_tail(self, out: DataFrame, tail: str) -> DataFrame:
+        """``SHOW … [YIELD cols [WHERE pred] [RETURN items]]`` — the
+        listing-command projection tail (r10)."""
+        tail = tail.strip()
+        if not tail:
+            return out
+        if not tail.upper().startswith("YIELD"):
+            raise ValueError(f"expected YIELD after SHOW: {tail!r}")
+        rest = tail[len("YIELD"):].strip()
+        ret = None
+        h_ret = _find_kw(rest, "RETURN")
+        if h_ret:
+            ret, rest = rest[h_ret[1]:].strip(), rest[: h_ret[0]].strip()
+        wh = None
+        h_wh = _find_kw(rest, "WHERE")
+        if h_wh:
+            wh, rest = rest[h_wh[1]:].strip(), rest[: h_wh[0]].strip()
+        cols = [c.strip() for c in rest.split(",") if c.strip()]
+        if cols and cols != ["*"]:
+            out = out.select(*cols)
+        if wh:
+            out = out.where(_compile_expr(wh, _frame_resolver(out)))
+        if ret:
+            out = self._project_match(out, ret, [], _frame_resolver(out))
+        return out
 
     # ---- database DDL (r10: CREATE/DROP + the lifecycle verbs) --------
     def _database_ddl(self, q: str) -> DataFrame:

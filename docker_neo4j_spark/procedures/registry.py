@@ -935,6 +935,30 @@ def _apoc_load_xml(
 
 
 @procedure(
+    "apoc.help",
+    signature="apoc.help(proc :: STRING) :: (type :: STRING, name :: STRING, text :: STRING)",
+    description="List procedures and functions whose name contains the search string",
+)
+def _apoc_help(spark: SparkSession, proc: str = ""):
+    """apoc.help — substring search over the registered procedure +
+    function catalogs (APOC core's discovery helper)."""
+    p = show_procedures(spark).select(
+        F.lit("procedure").alias("type"),
+        F.col("name"),
+        F.col("description").alias("text"),
+    )
+    fns = show_functions(spark).select(
+        F.lit("function").alias("type"),
+        F.col("name"),
+        F.col("category").alias("text"),
+    )
+    out = p.unionByName(fns)
+    if proc:
+        out = out.where(F.col("name").contains(proc))
+    return out.orderBy("name")
+
+
+@procedure(
     "apoc.cypher.run",
     signature="apoc.cypher.run(statement :: STRING, params :: MAP) :: (value :: ANY)",
     description="Run a dynamically constructed read statement with $-parameters",

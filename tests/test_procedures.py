@@ -607,3 +607,28 @@ def test_apoc_util_validate_and_sleep(spark):
     t0 = time.time()
     s.run("CALL apoc.util.sleep(150)")
     assert time.time() - t0 >= 0.14
+
+
+def test_call_return_tail_full_projection(spark):
+    """The RETURN tail after CALL … YIELD supports expressions,
+    aggregates, and ORDER BY (r10 — was a bare column-name select);
+    SHOW PROCEDURES/FUNCTIONS accept YIELD/WHERE/RETURN tails;
+    apoc.help searches the combined catalogs."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:City {name:'a'})")
+    out = s.run("CALL db.labels() YIELD label RETURN label ORDER BY label")
+    assert [r.label for r in out.collect()] == ["City"]
+    c = s.run(
+        "CALL db.propertyKeys() YIELD propertyKey RETURN count(*) AS c"
+    ).collect()[0].c
+    assert c == 1
+    two = s.run(
+        "SHOW PROCEDURES YIELD name WHERE name STARTS WITH 'apoc' "
+        "RETURN name ORDER BY name LIMIT 2"
+    ).collect()
+    assert [r.name for r in two] == ["apoc.create.node", "apoc.create.relationship"]
+    h = s.run("CALL apoc.help('cypher.run')").collect()
+    assert [r.name for r in h] == ["apoc.cypher.run"]
+    assert h[0].type == "procedure"
