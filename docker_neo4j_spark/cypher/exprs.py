@@ -800,6 +800,14 @@ class _Parser:
         # statically an array (frame column dtype or nodes(path))
         if low == "size":
             if (
+                one_ident
+                and frame is not None
+                and f"{arg_srcs[0]}_hops" in frame.columns
+            ):
+                # size(rs) over a named var-length rel = hop count (the
+                # engine's min-hop var-length semantics — r10)
+                return _V(F.col(f"{arg_srcs[0]}_hops"))
+            if (
                 one_ident and frame is not None and dict(frame.dtypes).get(
                     arg_srcs[0], ""
                 ).startswith("array")

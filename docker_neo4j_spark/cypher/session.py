@@ -3075,11 +3075,17 @@ class Session:
             _node_frame(g, NodeSpec(b_var, b.label, b.props or None)), b_var
         )
         a_pref = prefix_columns(a_frame, a_var)
-        return (
+        out = (
             a_pref.join(reach, F.col(f"{a_var}_id") == reach["start_id"])
             .join(b_frame, reach["node_id"] == F.col(f"{b_var}_id"))
             .drop("start_id", "node_id")
         )
+        if rel.var:
+            # a named var-length rel binds a relationship LIST in Cypher;
+            # the engine's min-hop semantics expose its size (r10 —
+            # size(rs) resolves to the hop count)
+            out = out.withColumn(f"{rel.var}_hops", F.col("hops"))
+        return out
 
     def _project_match(
         self, bound: DataFrame, ret: str, elems: list, resolve=None
@@ -3152,9 +3158,27 @@ class Session:
                 if post is not None:
                     out = _apply_post_items(out, post)
             if order_by:
+                # ORDER BY may repeat an aggregate item's TEXT
+                # (ORDER BY count(*) DESC) — map it to the item's output
+                # alias, since aggregates can't recompute post-agg (r10)
+                item_alias = {}
+                for it in _split_top(ret, ","):
+                    it = it.strip()
+                    m_as = re.search(
+                        r"\s+AS\s+([A-Za-z_]\w*)\s*$", it, re.IGNORECASE
+                    )
+                    if m_as:
+                        item_alias[it[: m_as.start()].strip()] = m_as.group(1)
+                remapped = []
+                for kpart in _split_top(order_by, ","):
+                    kq = kpart.strip()
+                    m_dir = re.search(r"\s+(ASC|DESC)$", kq, re.IGNORECASE)
+                    core = kq[: m_dir.start()].strip() if m_dir else kq
+                    core = item_alias.get(core, core)
+                    remapped.append(core + (" " + m_dir.group(1) if m_dir else ""))
                 out = out.orderBy(
                     *_order_keys(
-                        order_by,
+                        ", ".join(remapped),
                         lambda k: F.col(f"`{k}`")["id"]
                         if k in ent_map
                         else F.col(f"`{k}`"),

@@ -1561,3 +1561,23 @@ def test_label_mutation_read_your_writes_and_unwind_with(session):
         "RETURN collect(z) AS zs"
     ).collect()[0]["zs"]
     assert zs == [2, 3, 4, 5, 6, 7]
+
+
+def test_varlength_rel_var_size_and_order_by_aggregate(session):
+    """size(rs) over a named var-length rel resolves to the hop count;
+    ORDER BY count(*) maps the aggregate item text to its alias (r10)."""
+    session.run("CREATE (:VP {name:'a'})")
+    session.run("CREATE (:VP {name:'b'})")
+    session.run("CREATE (:VP {name:'c'})")
+    session.run("MATCH (x:VP {name:'a'}), (y:VP {name:'b'}) CREATE (x)-[:VK]->(y)")
+    session.run("MATCH (x:VP {name:'b'}), (y:VP {name:'c'}) CREATE (x)-[:VK]->(y)")
+    rows = session.run(
+        "MATCH (a:VP {name:'a'})-[rs:VK*1..2]->(b) "
+        "RETURN b.name AS bn, size(rs) AS n ORDER BY bn"
+    ).collect()
+    assert [(r.bn, r.n) for r in rows] == [("b", 1), ("c", 2)]
+    agg = session.run(
+        "MATCH (p:VP) RETURN p.name AS nm, count(*) AS c "
+        "ORDER BY count(*) DESC, nm LIMIT 2"
+    ).collect()
+    assert [r.nm for r in agg] == ["a", "b"]
