@@ -132,6 +132,7 @@ HEAVY = [
     "cypher_return_entity",
     "cypher_collect_entities",
     "cypher_stdev_percentile",
+    "cypher_call_subquery_correlated",
 ]
 
 

@@ -466,6 +466,21 @@ def test_dfs_preorder_rank_has_no_single_partition_window(spark, sf_dir):
     assert out.count() > 0
 
 
+def test_entity_and_call_subquery_plans_stay_distributed(spark, sf_dir, queries):
+    """r10 rows: entity projection, entity grouping + collect, the
+    correlated CALL subquery, and the façade percentiles never collapse
+    to a SinglePartition exchange or a cartesian product."""
+    for name in (
+        "cypher_return_entity",
+        "cypher_collect_entities",
+        "cypher_call_subquery_correlated",
+        "cypher_stdev_percentile",
+    ):
+        facts = audit(queries[name](spark, sf_dir))
+        assert facts.n_cartesian == 0, name
+        assert "Exchange SinglePartition" not in facts.text, name
+
+
 def test_collect_subquery_is_decorrelated_aggregate(spark, sf_dir, queries):
     """COLLECT{} compiles to ONE pattern-match aggregate left-joined back
     (never a per-row subquery): no cartesian, and exactly one collect_list
