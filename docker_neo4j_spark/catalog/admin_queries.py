@@ -845,6 +845,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     SELECT 'apoc.cypher.doIt' AS name
     UNION ALL SELECT 'apoc.cypher.run'
     UNION ALL SELECT 'apoc.help'
+    UNION ALL SELECT 'dbms.procedures'
     UNION ALL SELECT 'apoc.create.node'
     UNION ALL SELECT 'apoc.create.relationship'
     UNION ALL SELECT 'apoc.merge.node'

@@ -935,6 +935,18 @@ def _apoc_load_xml(
 
 
 @procedure(
+    "dbms.procedures",
+    signature="dbms.procedures() :: (name :: STRING, signature :: STRING, description :: STRING)",
+    description="List registered procedures (legacy alias of SHOW PROCEDURES)",
+)
+def _dbms_procedures(spark: SparkSession):
+    """dbms.procedures — the pre-4.3 listing the reference's own driver
+    path calls (DatabaseIO.java runs it when SHOW PROCEDURES is too new
+    for the server under test)."""
+    return show_procedures(spark)
+
+
+@procedure(
     "apoc.help",
     signature="apoc.help(proc :: STRING) :: (type :: STRING, name :: STRING, text :: STRING)",
     description="List procedures and functions whose name contains the search string",
