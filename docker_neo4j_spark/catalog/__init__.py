@@ -58,26 +58,7 @@ _loaded = False
 # Registration order breaks ties, so the order is deterministic for a given
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
-    # r10 entries are appended as implementations change; reset at round start.
-    # r10 ADVICE fixes: apoc.cypher.run guard blocks FOREACH + fails
-    # closed on unbalanced closers; string `+` consults frame dtypes
-    # (n.first + n.last concatenates); timestamp() true millis;
-    # _find_agg_spans unbalanced-paren ValueError
-    "proc_apoc_cypher_run",
-    "cypher_expression_projection",
-    # r10: entity serialization reworked _parse_items/_project_match
-    # (4-tuple items, entity-aware grouping/distinct/order) — re-grade
-    # the façade rows that lean hardest on those paths
-    "cypher_implicit_grouping",
-    "cypher_with_pipeline",
-    "cypher_multi_match_pipeline",
-    "cypher_optional_match",
-    "cypher_union",
-    # r10: dfs_preorder final rank via curation.global_rank
-    "gds_dfs_preorder",
-    # r10: SHOW DATABASES now flows through Session database DDL after a
-    # CREATE/STOP/CREATE/DROP sequence
-    "admin_show_databases",
+    # r11 entries are appended as implementations change; reset at round start.
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -86,28 +67,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 # enter the 50-row window once the backlog fits. Reset each round (entries
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
-    # r10 entries are appended as new rows register; reset at round start.
-    # r10: entity serialization (RETURN n / RETURN r → structs)
-    "cypher_return_entity",
-    "cypher_collect_entities",
-    # r10: expression-valued properties in write patterns
-    "cypher_expr_props_readback",
-    # r10: façade aggregate compiler extension (stDev/stDevP/
-    # percentileCont/percentileDisc/apoc.agg.* through Session.run)
-    "cypher_stdev_percentile",
-    # r10: correlated CALL { WITH … } variable-importing subquery
-    "cypher_call_subquery_correlated",
-    # r10: write-tail projection through the shared funnel + repeated-var
-    # match_chain cycle handling + UNWIND literal lists via the compiler
-    "write_create_match_return",
-    "cypher_session_smoke",
-    "expand_two_hop",
-    "unwind_words_topk",
-    # r10: CALL … RETURN tail through the shared projection funnel;
-    # SHOW YIELD/WHERE/RETURN tails; apoc.help registered (SHOW
-    # PROCEDURES surface +1)
-    "proc_show_procedures",
-    "proc_list_config_yield_where",
+    # r11 entries are appended as new rows register; reset at round start.
 ]
 
 
