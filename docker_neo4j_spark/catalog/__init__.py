@@ -59,6 +59,24 @@ _loaded = False
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
     # r11 entries are appended as implementations change; reset at round start.
+    # r11: localframe — every driver-side row list now plans as a JVM
+    # LocalRelation (103 createDataFrame sites rewritten); the write path
+    # additionally got broadcast bound-frames + coalesced write batches
+    # (_project_bound CartesianProduct fix) and store.merge_rels grew
+    # key_props. Re-grade the rows that lean hardest on those paths.
+    "write_create_match_return",
+    "cypher_session_smoke",
+    "write_merge_rel_batch",
+    "write_merge_unwind_batch",
+    "write_create_from_match_batch",
+    "write_dump_load_counts",
+    "cypher_set_delete_readback",
+    "cypher_set_expression_readback",
+    "cypher_label_set_readback",
+    "cypher_expr_props_readback",
+    "bolt_roundtrip",
+    "proc_apoc_create_merge",
+    "graphql_mutation_readback",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -68,6 +86,9 @@ _CHANGED_THIS_ROUND: list[str] = [
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
     # r11 entries are appended as new rows register; reset at round start.
+    # r11: MATCH … MERGE write tail (rel get-or-create, ON CREATE/ON
+    # MATCH branches, idempotence)
+    "cypher_match_merge_rel",
 ]
 
 

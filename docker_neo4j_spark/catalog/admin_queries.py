@@ -12,6 +12,7 @@ are registered by the procedures layer below in this module.
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 import tempfile
 
@@ -132,7 +133,7 @@ def bolt_roundtrip(spark, sf_dir):
             )
     finally:
         server.stop()
-    return spark.createDataFrame([(r[0],) for r in rows], "name string")
+    return local_df(spark, [(r[0],) for r in rows], "name string")
 
 
 @register(
@@ -474,7 +475,7 @@ def proc_vector_query_nodes(spark, sf_dir):
     nodes = emb.select(
         F.col("vec_id").alias("id"), F.array(F.lit("Doc")).alias("labels"), "embedding"
     )
-    rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+    rels = local_df(spark, [], "id long, src long, dst long, type string")
     s = Session(spark, store=GraphStore(spark, PropertyGraph(nodes=nodes, rels=rels)))
     qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
     qstr = "[" + ", ".join(f"{float(x):.9g}" for x in qvec) + "]"
@@ -526,7 +527,7 @@ def proc_fulltext_query_nodes(spark, sf_dir):
     nodes = docs.select(
         F.col("doc_id").alias("id"), F.array(F.lit("Doc")).alias("labels"), "text"
     )
-    rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+    rels = local_df(spark, [], "id long, src long, dst long, type string")
     s = Session(spark, store=GraphStore(spark, PropertyGraph(nodes=nodes, rels=rels)))
     return s.run(
         "CALL db.index.fulltext.queryNodes('Doc', 'vector hash spark', 10) "
@@ -753,7 +754,7 @@ def proc_export_csv_roundtrip(spark, sf_dir):
         s.run(f"CALL apoc.export.csv.all('{tmp}/exp')")
         nodes = spark.read.option("header", True).csv(f"{tmp}/exp/nodes")
         rels = spark.read.option("header", True).csv(f"{tmp}/exp/rels")
-        out = spark.createDataFrame(
+        out = local_df(spark, 
             [(nodes.count(), rels.count())], "nodes bigint, relationships bigint"
         ).localCheckpoint(eager=True)
     return out
@@ -1248,6 +1249,43 @@ def write_merge_unwind_batch(spark, sf_dir):
 
 
 @register(
+    "cypher_match_merge_rel",
+    """
+    SELECT CAST(15 AS BIGINT) AS n_routes, CAST(15 AS BIGINT) AS flagged
+    """,
+)
+def cypher_match_merge_rel(spark, sf_dir):
+    """``MATCH … MERGE (a)-[:T]->(b)`` write tail (r11 — VERDICT r10 task
+    2): get-or-create an edge between two matched anchors, with ON
+    CREATE/ON MATCH branches and idempotence on re-run. 3 left × 5 right
+    anchors → 15 routes created on the first pass (all take the ON CREATE
+    branch, flag 0), zero inserted on the second (all ON MATCH, flag 1 on
+    every route — sum 15). Each statement is ONE ``store.merge_rels``
+    left-anti batch, never a per-row loop (the reference's graph-building
+    pattern, DatabaseIO.java:63)."""
+    from ..cypher.session import Session
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark))
+    s.run(
+        "UNWIND $rows AS r MERGE (c:City {name: r.name, idx: r.idx})",
+        {"rows": [{"name": f"city{i}", "idx": i} for i in range(8)]},
+    )
+    stmt = (
+        "MATCH (a:City), (b:City) WHERE a.idx < 3 AND b.idx >= 3 "
+        "MERGE (a)-[r:ROUTE]->(b) "
+        "ON CREATE SET r.flag = 0 ON MATCH SET r.flag = 1"
+    )
+    s.run(stmt)
+    s.run(stmt)
+    out = s.run("MATCH (:City)-[r:ROUTE]->(:City) RETURN count(r), sum(r.flag)")
+    return out.select(
+        F.col("`count(r)`").cast("long").alias("n_routes"),
+        F.col("`sum(r.flag)`").cast("long").alias("flagged"),
+    )
+
+
+@register(
     "write_merge_rel_batch",
     """
     SELECT CAST(30 AS BIGINT) AS n_routes
@@ -1593,7 +1631,7 @@ def proc_gds_graph_catalog(spark, sf_dir):
         .where(F.col("graphName") == "memb_cat")
         .count()
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(row["graphName"], row["nodeCount"], row["relationshipCount"], remaining)],
         "graphName string, nodeCount long, relationshipCount long, after_drop long",
     )
@@ -1629,7 +1667,7 @@ def proc_meta_introspection(spark, sf_dir):
     stats = s.run(
         "CALL apoc.meta.stats() YIELD nodeCount, labelCount, relTypeCount"
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(first, stats["nodeCount"], stats["labelCount"], stats["relTypeCount"])],
         "first_type string, node_count long, label_count long, type_count long",
     )
@@ -1780,7 +1818,7 @@ def proc_export_json_roundtrip(spark, sf_dir):
         s.run(f"CALL apoc.export.json.all('{tmp}/out') YIELD file, nodes, relationships")
         nodes = read_jsonl(spark, f"{tmp}/out/nodes", small.nodes.schema).count()
         rels = read_jsonl(spark, f"{tmp}/out/rels", small.rels.schema).count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(nodes, rels)], "nodes long, relationships long"
     )
 
@@ -1906,7 +1944,7 @@ def proc_vector_index_query(spark, sf_dir):
     nodes = emb.select(
         F.col("vec_id").alias("id"), F.array(F.lit("Vec")).alias("labels"), "embedding"
     )
-    rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+    rels = local_df(spark, [], "id long, src long, dst long, type string")
     s = Session(spark, store=GraphStore(spark, PropertyGraph(nodes=nodes, rels=rels)))
     s.run(
         "CREATE VECTOR INDEX embidx FOR (n:Vec) ON (n.embedding) "

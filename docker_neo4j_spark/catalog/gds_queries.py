@@ -12,6 +12,7 @@ hop cap terminate and min-dist == BFS depth.
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 from pyspark.sql import functions as F
 
@@ -2405,7 +2406,7 @@ def gds_dyad_census(spark, sf_dir):
     )
     n_nodes = g.nodes.count()
     n_und = und.count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 mutual,

@@ -26,6 +26,7 @@ pattern element, never via a driver-side row loop.
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 import re
 from dataclasses import dataclass, field
@@ -764,7 +765,7 @@ class Session:
             from ..plans.audit import formatted_plan
 
             lines = formatted_plan(df).splitlines()
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(i, ln) for i, ln in enumerate(lines) if ln.strip()],
                 "step long, plan string",
             )
@@ -795,15 +796,15 @@ class Session:
             from ..storage.indexes import SHOW_SCHEMA
 
             rows = [r for r in self.store.indexes.rows() if r[3] == "VECTOR"]
-            return self.spark.createDataFrame(rows, SHOW_SCHEMA)
+            return local_df(self.spark, rows, SHOW_SCHEMA)
         if head == "SHOW" and q.upper().startswith("SHOW INDEX"):
             from ..storage.indexes import SHOW_SCHEMA
 
-            return self.spark.createDataFrame(self.store.indexes.rows(), SHOW_SCHEMA)
+            return local_df(self.spark, self.store.indexes.rows(), SHOW_SCHEMA)
         if head == "SHOW" and q.upper().startswith("SHOW CONSTRAINT"):
             from ..storage.constraints import SHOW_SCHEMA as C_SCHEMA
 
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 self.store.constraints.rows(), C_SCHEMA
             )
         if head == "CREATE" and re.match(r"CREATE\s+CONSTRAINT\b", q, re.IGNORECASE):
@@ -819,7 +820,7 @@ class Session:
             self.store.constraints.drop(
                 m.group("name"), if_exists=bool(m.group("ifx"))
             )
-            return self.spark.createDataFrame([], "ok string")
+            return local_df(self.spark, [], "ok string")
         if head == "CREATE" and re.match(
             r"CREATE\s+VECTOR\s+INDEX\b", q, re.IGNORECASE
         ):
@@ -839,7 +840,7 @@ class Session:
             self.store.indexes.drop(m.group("name"), if_exists=bool(m.group("ifx")))
             # a dropped VECTOR index must stop answering probes
             self.store.vector_data.pop(m.group("name"), None)
-            return self.spark.createDataFrame([], "ok string")
+            return local_df(self.spark, [], "ok string")
         if head == "ALTER":
             return self._alter_password(q)
         if head == "CALL":
@@ -866,7 +867,7 @@ class Session:
                 schema = StructType(
                     [StructField(f.name, f.dataType, True) for f in out.schema.fields]
                 )
-                return self.spark.createDataFrame(
+                return local_df(self.spark, 
                     [tuple(None for _ in schema.fields)], schema
                 )
             return out
@@ -902,7 +903,7 @@ class Session:
                 lit = repr(v)
             stmt = re.sub(rf"\b{re.escape(var)}\b", lit, body)
             self.run(stmt)
-        return self.spark.createDataFrame([], "ok string")
+        return local_df(self.spark, [], "ok string")
 
     _CREATE_CONSTRAINT_RE = re.compile(
         r"CREATE\s+CONSTRAINT"
@@ -947,7 +948,7 @@ class Session:
         self.store.constraints.create(
             name, label, [prop], if_not_exists=bool(m.group("ine"))
         )
-        return self.spark.createDataFrame([], "ok string")
+        return local_df(self.spark, [], "ok string")
 
     _CREATE_INDEX_RE = re.compile(
         r"CREATE\s+(?:(?P<type>RANGE|TEXT|POINT)\s+)?INDEX"
@@ -981,7 +982,7 @@ class Session:
             index_type=(m.group("type") or "RANGE").upper(),
             if_not_exists=bool(m.group("ine")),
         )
-        return self.spark.createDataFrame([], "ok string")
+        return local_df(self.spark, [], "ok string")
 
     _CREATE_VINDEX_RE = re.compile(
         r"CREATE\s+VECTOR\s+INDEX"
@@ -1074,7 +1075,7 @@ class Session:
                     "options": options,
                     "vec_col": prop,
                 }
-        return self.spark.createDataFrame([], "ok string")
+        return local_df(self.spark, [], "ok string")
 
     def _union(self, parts: list[str]) -> DataFrame:
         """``<q> UNION [ALL] <q> ...`` — distinct union of the parts'
@@ -1411,7 +1412,7 @@ class Session:
             for k, f, lit in spec["props"]:
                 sel.append(F.col(f).alias(k) if f is not None else F.lit(lit).alias(k))
                 key_cols.append(k)
-            df = self.spark.createDataFrame(list(rows)).select(*sel)
+            df = local_df(self.spark, list(rows)).select(*sel)
             self.store.merge_nodes(spec["label"], df, key_cols)
             # Cypher cardinality: UNWIND emits one row per element and
             # MERGE preserves it, so count(*) = len(rows)
@@ -1437,17 +1438,17 @@ class Session:
             if non_null and not all(isinstance(v, type(non_null[0])) for v in non_null):
                 return None
             ktype = "string" if non_null and isinstance(non_null[0], str) else "long"
-            keys = self.spark.createDataFrame([(v,) for v in vals], f"_key {ktype}")
+            keys = local_df(self.spark, [(v,) for v in vals], f"_key {ktype}")
             nodes = self.store.match_nodes(spec["label"])
             doomed = nodes.join(
                 keys, nodes[spec["key"]] == keys["_key"], "left_semi"
             ).select("id")
             self.store.delete_nodes_by_ids(doomed, detach=spec["detach"])
-            return self.spark.createDataFrame([], "ok string")
+            return local_df(self.spark, [], "ok string")
         # merge_rel: two key-joins resolve endpoint ids, ONE merge_rels
         albl, ak, af = spec["a"]
         blbl, bk, bf = spec["b"]
-        df = self.spark.createDataFrame(list(rows))
+        df = local_df(self.spark, list(rows))
         na = self.store.match_nodes(albl).select(
             F.col("id").alias("_aid"), F.col(ak).alias("_akey")
         )
@@ -1467,13 +1468,13 @@ class Session:
         n_out = pairs.count() if alias is not None else None
         self.store.merge_rels(spec["rtype"], pairs)
         if alias is None:
-            return self.spark.createDataFrame([], "ok string")
-        return self.spark.createDataFrame([(n_out,)], f"{alias} long")
+            return local_df(self.spark, [], "ok string")
+        return local_df(self.spark, [(n_out,)], f"{alias} long")
 
     def _batch_count(self, alias: str | None, n: int) -> DataFrame:
         if alias is None:
-            return self.spark.createDataFrame([], "ok string")
-        return self.spark.createDataFrame([(n,)], f"{alias} long")
+            return local_df(self.spark, [], "ok string")
+        return local_df(self.spark, [(n,)], f"{alias} long")
 
     def _merge(self, pattern_src: str) -> DataFrame:
         """``MERGE (n:L {props})[-[:T]->(m:M {props})]`` — openCypher atomic
@@ -1537,11 +1538,11 @@ class Session:
             if var not in ids:
                 raise ValueError(f"ON {'CREATE' if created else 'MATCH'} SET variable {var!r} is not in the pattern")
             self.store.set_props_by_ids(
-                self.spark.createDataFrame([(ids[var],)], "id long"),
+                local_df(self.spark, [(ids[var],)], "id long"),
                 _eval_prop_map(self.spark, props),
             )
         if ret is None:
-            return self.spark.createDataFrame([], "ok string")
+            return local_df(self.spark, [], "ok string")
         return self._project_bound(ret, ids, rels=_static_rel_info(elems))
 
     def _match_whole_pattern(self, elems: list) -> dict[str, int] | None:
@@ -1602,7 +1603,7 @@ class Session:
             new = _parse_value((raw or "").strip())
             self.dbms.change_password(self.user or "neo4j", self._current_password, new)
             self._current_password = new
-            return self.spark.createDataFrame([], "ok string")
+            return local_df(self.spark, [], "ok string")
         args = {}
         raw_args = (raw or "").strip()
         if raw_args:
@@ -1799,7 +1800,7 @@ class Session:
                 "database administration requires a DBMS context"
             )
         if q.upper().startswith("SHOW DATABASES"):
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 self.dbms.show_databases(), "name string, status string"
             )
         m = re.match(
@@ -1820,7 +1821,7 @@ class Session:
             self.dbms.stop_database(name)
         else:
             self.dbms.start_database(name)
-        return self.spark.createDataFrame([], "ok string")
+        return local_df(self.spark, [], "ok string")
 
     # ---- ALTER CURRENT USER -------------------------------------------
     _current_password: str | None = None
@@ -1835,7 +1836,7 @@ class Session:
             raise ValueError(f"Unsupported ALTER syntax: {q!r}")
         self.dbms.alter_current_user_password(self.user or "neo4j", m.group("old"), m.group("new"))
         self._current_password = m.group("new")
-        return self.spark.createDataFrame([], "ok string")
+        return local_df(self.spark, [], "ok string")
 
     # ---- CREATE -------------------------------------------------------
     def _create(self, pattern_src: str, anchors: dict[str, int]) -> DataFrame:
@@ -1869,7 +1870,7 @@ class Session:
                 s, d = d, s
             self.store.create_rels(rel.rel_type or "_", [(s, d)], [rel.props or {}])
         if ret is None:
-            return self.spark.createDataFrame([], "ok string")
+            return local_df(self.spark, [], "ok string")
         return self._project_bound(ret, ids, rels=_static_rel_info(elems))
 
     def _project_bound(
@@ -1887,14 +1888,21 @@ class Session:
         nodes = self.store.graph.nodes
         bound = None
         for var, nid in ids.items():
+            # Each binding frame is exactly one row, but it is filtered out
+            # of the store's nodes frame, which accumulates partitions with
+            # every write-batch union. Coalesce the first to one task and
+            # BROADCAST every subsequent side: a plain crossJoin here plans
+            # a CartesianProduct over all partition PAIRS (measured 9,216
+            # tasks / 133 s for a two-node CREATE…RETURN on a warmed store;
+            # broadcast → 2 s). Plan pinned by test_plan_audit.
             nf = prefix_columns(nodes.where(F.col("id") == nid), var)
-            bound = nf if bound is None else bound.crossJoin(nf)
+            bound = nf.coalesce(1) if bound is None else bound.crossJoin(F.broadcast(nf))
         for var, info in (rels or {}).items():
             cols = [F.lit(info.get("type")).alias(f"{var}_type")]
             for k, v in (info.get("props") or {}).items():
                 cols.append(F.lit(v).alias(f"{var}_{k}"))
-            rf = self.spark.range(1).select(*cols)
-            bound = rf if bound is None else bound.crossJoin(rf)
+            rf = self.spark.range(1).coalesce(1).select(*cols)
+            bound = rf if bound is None else bound.crossJoin(F.broadcast(rf))
         if bound is None:
             raise ValueError(f"RETURN after CREATE with no bound variables: {ret!r}")
         return self._project_match(bound, ret, [], _frame_resolver(bound))
@@ -1906,11 +1914,12 @@ class Session:
             return self._shortest_path(body)
         if re.match(r"\w+\s*=\s*\(", body):
             return self._path_binding(body)
-        # terminal write verb (CREATE/SET/REMOVE/DELETE) or RETURN
+        # terminal write verb (CREATE/MERGE/SET/REMOVE/DELETE) or RETURN
         w_hits = [
             (h[0], h[1], " ".join(words))
             for words in (
-                ("CREATE",), ("SET",), ("REMOVE",), ("DETACH", "DELETE"), ("DELETE",),
+                ("CREATE",), ("MERGE",), ("SET",), ("REMOVE",),
+                ("DETACH", "DELETE"), ("DELETE",),
             )
             if (h := _find_kw(body, *words))
         ]
@@ -2115,6 +2124,8 @@ class Session:
 
         if verb == "CREATE":
             return self._create_from_binding(tail, bound)
+        if verb == "MERGE":
+            return self._merge_from_binding(tail, bound)
         if verb == "SET":
             return self._set_from_binding(tail, bound, elems, remove=False)
         if verb == "REMOVE":
@@ -2614,7 +2625,7 @@ class Session:
             for prop, col in props.items():
                 bound = bound.withColumn(f"{var}_{prop}", col)
         if ret is None:
-            return self.spark.createDataFrame([], "ok string")
+            return local_df(self.spark, [], "ok string")
         return self._project_match(bound, ret, elems, _frame_resolver(bound))
 
     def _delete_from_binding(
@@ -2637,7 +2648,7 @@ class Session:
             else:
                 self.store.delete_nodes_by_ids(ids, detach=detach)
         if ret is None:
-            return self.spark.createDataFrame([], "ok string")
+            return local_df(self.spark, [], "ok string")
         return self._project_match(bound, ret, elems, _frame_resolver(bound))
 
     def _path_binding(self, body: str) -> DataFrame:
@@ -2850,8 +2861,314 @@ class Session:
                 )
             )
         if ret is None:
-            return self.spark.createDataFrame([], "ok string")
+            return local_df(self.spark, [], "ok string")
         return self._project_match(frame.drop("_idx"), ret, elems, _frame_resolver(frame))
+
+    @staticmethod
+    def _split_on_set(tail: str) -> tuple[str, dict, dict]:
+        """Strip ``ON CREATE SET`` / ``ON MATCH SET`` assignment tails off a
+        MERGE clause; returns (pattern_src, on_create, on_match) where each
+        branch maps var -> {prop: rhs_source_text} (compiled later against
+        the binding frame, so both literals and binding expressions work)."""
+        on_create: dict[str, dict] = {}
+        on_match: dict[str, dict] = {}
+        for kind, target in (("CREATE", on_create), ("MATCH", on_match)):
+            h_on = _find_kw(tail, "ON", kind, "SET")
+            if not h_on:
+                continue
+            tail_src = tail[h_on[1]:]
+            nxt = [
+                h for h in (
+                    _find_kw(tail_src, "ON", "CREATE", "SET"),
+                    _find_kw(tail_src, "ON", "MATCH", "SET"),
+                ) if h
+            ]
+            h_next = min(nxt) if nxt else None
+            assigns = tail_src[: h_next[0]] if h_next else tail_src
+            tail = (tail[: h_on[0]] + (tail_src[h_next[0]:] if h_next else "")).strip()
+            for item in _split_top(assigns, ","):
+                lhs, rhs = item.split("=", 1)
+                var, prop = lhs.strip().split(".", 1)
+                target.setdefault(var, {})[prop] = rhs.strip()
+        return tail, on_create, on_match
+
+    def _merge_from_binding(self, tail: str, bound: DataFrame) -> DataFrame:
+        """Set-based ``MATCH … MERGE …`` write tail (r11) — get-or-create an
+        edge between matched nodes, the most common idempotent write in real
+        Cypher (the reference's own graph-building pattern is MATCH-then-
+        write, DatabaseIO.java:63). Whole-statement set semantics, never a
+        per-row loop:
+
+        - relationship MERGE with both endpoints bound: distinct
+          (src, dst[, rel key props]) tuples left-anti-joined against the
+          pre-statement rels snapshot; missing tuples append in ONE batch
+          (``store.merge_rels`` — the machinery the UNWIND batch path uses).
+        - node MERGE (one node element, unbound var): per-row get-or-create
+          keyed on the computed property values (``store.merge_nodes``).
+        - ``ON CREATE SET`` / ``ON MATCH SET`` branch per distinct pattern
+          key: a key absent from the pre-statement snapshot takes the CREATE
+          branch for every binding row carrying it. (Neo4j's row-sequential
+          processing would give later duplicate rows the MATCH branch; a
+          set-based distributed write pins the branch per key instead —
+          deterministic, documented divergence.)
+        - RETURN tails re-join the post-write store so ``r`` / ``type(r)`` /
+          ``r.prop`` project through the shared entity funnel; immutable
+          frame snapshots make the pre/post comparison free.
+
+        Unbound relationship ENDPOINTS (atomic whole-pattern get-or-create)
+        are rejected loud."""
+        from .lexer import ExprText as _ET
+
+        ret = None
+        h_ret = _find_kw(tail, "RETURN")
+        if h_ret:
+            ret = tail[h_ret[1]:].strip()
+            tail = tail[: h_ret[0]].strip()
+        tail, on_create, on_match = self._split_on_set(tail)
+        elems, rest = _parse_pattern(tail)
+        if rest:
+            raise ValueError(f"trailing content after MERGE pattern: {rest!r}")
+        if any(isinstance(el, _Rel) and el.undirected for el in elems):
+            raise ValueError("MERGE requires a directed relationship pattern")
+        if len(elems) == 1:
+            return self._merge_node_tail(elems[0], bound, on_create, on_match, ret)
+        if len(elems) != 3:
+            raise ValueError(
+                "MATCH … MERGE supports one node or one relationship pattern"
+            )
+        left, rel, right = elems
+        for el in (left, right):
+            if not el.var or f"{el.var}_id" not in bound.columns:
+                raise ValueError(
+                    f"MERGE endpoint {el.var or '(anonymous)'!r} must be bound "
+                    "by the MATCH — whole-pattern get-or-create with unbound "
+                    "endpoints is not supported yet"
+                )
+            if el.label or el.props:
+                raise ValueError(
+                    "MERGE cannot re-specify label/properties on the bound "
+                    f"variable {el.var!r}"
+                )
+        if rel.var and f"{rel.var}_id" in bound.columns:
+            raise ValueError(f"relationship variable {rel.var!r} already bound")
+        rtype = rel.rel_type or "_"
+        rvar = rel.var or f"_anonr{self._anon}"
+        self._anon += 1
+        key_props = list((rel.props or {}).keys())
+        frame = bound
+        for k, v in (rel.props or {}).items():
+            frame = frame.withColumn(
+                f"_mrg_{k}",
+                _compile_expr(v.src, _frame_resolver(frame))
+                if isinstance(v, _ET)
+                else _lit_map(v) if isinstance(v, dict) else F.lit(v),
+            )
+        s_col, d_col = F.col(f"{left.var}_id"), F.col(f"{right.var}_id")
+        if rel.reversed:
+            s_col, d_col = d_col, s_col
+        pairs = frame.select(
+            s_col.alias("src"),
+            d_col.alias("dst"),
+            *[F.col(f"_mrg_{k}").alias(k) for k in key_props],
+        )
+        rels_before = self.store.graph.rels  # immutable snapshot
+        self.store.merge_rels(rtype, pairs, key_props=tuple(key_props))
+
+        if not (on_create or on_match) and ret is None:
+            return local_df(self.spark, [], "ok string")
+
+        def rel_join(rels_frame: DataFrame) -> DataFrame:
+            """Per-binding-row rel binding: equi-join the (src, dst, keys)
+            tuple back to the store's rels — fans out if multiple rels
+            match, exactly Cypher's MERGE-as-MATCH cardinality."""
+            post = rels_frame.where(F.col("type") == rtype)
+            prop_cols = [
+                c for c in post.columns if c not in ("id", "src", "dst", "type")
+            ]
+            post_sel = post.select(
+                F.col("src").alias("_mrg_jsrc"),
+                F.col("dst").alias("_mrg_jdst"),
+                F.col("id").alias(f"{rvar}_id"),
+                F.col("type").alias(f"{rvar}_type"),
+                *[F.col(c).alias(f"{rvar}_{c}") for c in prop_cols],
+            )
+            j = frame.withColumn("_mrg_src", s_col).withColumn("_mrg_dst", d_col)
+            cond = (F.col("_mrg_src") == F.col("_mrg_jsrc")) & (
+                F.col("_mrg_dst") == F.col("_mrg_jdst")
+            )
+            for k in key_props:
+                cond = cond & F.col(f"_mrg_{k}").eqNullSafe(F.col(f"{rvar}_{k}"))
+            return j.join(post_sel, cond, "inner").drop(
+                "_mrg_jsrc", "_mrg_jdst", "_mrg_src", "_mrg_dst",
+                *[f"_mrg_{k}" for k in key_props],
+            )
+
+        if on_create or on_match:
+            joined = rel_join(self.store.graph.rels)
+            keys = ["src", "dst", *key_props]
+            existing_b = rels_before.where(F.col("type") == rtype)
+            if all(k in existing_b.columns for k in keys):
+                pre = existing_b.select(
+                    F.col("src").alias("_pre_src"),
+                    F.col("dst").alias("_pre_dst"),
+                    *[F.col(k).alias(f"_pre_{k}") for k in key_props],
+                ).dropDuplicates().withColumn("_pre_hit", F.lit(True))
+                # rebuild the endpoint ids from the binding side (the join
+                # dropped the store's src/dst columns)
+                j2 = joined.withColumn("_f_src", s_col).withColumn("_f_dst", d_col)
+                cond = (F.col("_f_src") == F.col("_pre_src")) & (
+                    F.col("_f_dst") == F.col("_pre_dst")
+                )
+                for k in key_props:
+                    cond = cond & F.col(f"{rvar}_{k}").eqNullSafe(
+                        F.col(f"_pre_{k}")
+                    )
+                j2 = j2.join(pre, cond, "left")
+                flagged = j2.withColumn(
+                    "_mrg_created", F.coalesce(~F.col("_pre_hit"), F.lit(True))
+                ).drop(
+                    "_pre_hit", "_pre_src", "_pre_dst", "_f_src", "_f_dst",
+                    *[f"_pre_{k}" for k in key_props],
+                )
+            else:
+                flagged = joined.withColumn("_mrg_created", F.lit(True))
+            for created_branch, assigns in ((True, on_create), (False, on_match)):
+                if not assigns:
+                    continue
+                subset = flagged.where(F.col("_mrg_created") == created_branch)
+                for var, props in assigns.items():
+                    g = subset
+                    for p, rhs_src in props.items():
+                        g = g.withColumn(
+                            f"_set_{p}", _compile_expr(rhs_src, _frame_resolver(g))
+                        )
+                    vals = g.select(
+                        F.col(f"{var}_id").alias("id")
+                        if f"{var}_id" in g.columns
+                        else F.lit(None).alias("id"),
+                        *[F.col(f"_set_{p}").alias(p) for p in props],
+                    )
+                    if f"{var}_id" not in g.columns:
+                        raise ValueError(
+                            f"ON SET variable {var!r} is not in the pattern"
+                        )
+                    if var == rvar:
+                        self.store.set_rel_props_from_frame(vals, list(props))
+                    else:
+                        self.store.set_props_from_frame(vals, list(props))
+        if ret is None:
+            return local_df(self.spark, [], "ok string")
+        # rebind against the FINAL snapshot so RETURN sees ON-SET values
+        final = rel_join(self.store.graph.rels)
+        # node entity columns may also have been ON-SET: refresh them
+        for el in (left, right):
+            set_vars = set(on_create) | set(on_match)
+            if el.var in set_vars:
+                final = self._refresh_node_binding(final, el.var)
+        return self._project_match(final, ret, elems, _frame_resolver(final))
+
+    def _refresh_node_binding(self, frame: DataFrame, var: str) -> DataFrame:
+        """Re-join a node variable's ``{var}_*`` columns from the CURRENT
+        nodes snapshot by id — used after an ON CREATE/ON MATCH SET so the
+        RETURN tail reads the post-write property values."""
+        nodes = self.store.graph.nodes
+        stale = [c for c in frame.columns if c.startswith(f"{var}_") and c != f"{var}_id"]
+        fresh = nodes.select(
+            F.col("id").alias(f"{var}_id"),
+            *[F.col(c).alias(f"{var}_{c}") for c in nodes.columns if c != "id"],
+        )
+        return frame.drop(*stale).join(fresh, f"{var}_id", "left")
+
+    def _merge_node_tail(
+        self, el, bound: DataFrame, on_create: dict, on_match: dict, ret: str | None
+    ) -> DataFrame:
+        """``MATCH … MERGE (v:Label {key: expr})`` — per-binding-row node
+        get-or-create keyed on the computed property values; ONE
+        ``store.merge_nodes`` batch (distinct keys → left-anti → append)."""
+        from .lexer import ExprText as _ET
+
+        if el.var and f"{el.var}_id" in bound.columns:
+            raise ValueError(
+                f"MERGE on the already-bound variable {el.var!r} — "
+                "rebinding a matched node is a no-op; drop the MERGE"
+            )
+        if not el.props:
+            raise ValueError("node MERGE in a write tail needs key properties")
+        var = el.var or f"_anon{self._anon}"
+        self._anon += 1
+        label = el.label or "_"
+        keys = list(el.props)
+        frame = bound
+        for k, v in el.props.items():
+            frame = frame.withColumn(
+                f"_mrgk_{k}",
+                _compile_expr(v.src, _frame_resolver(frame))
+                if isinstance(v, _ET)
+                else _lit_map(v) if isinstance(v, dict) else F.lit(v),
+            )
+        nodes_before = self.store.graph.nodes
+        self.store.merge_nodes(
+            label, frame.select(*[F.col(f"_mrgk_{k}").alias(k) for k in keys]), keys
+        )
+        if not (on_create or on_match) and ret is None:
+            return local_df(self.spark, [], "ok string")
+
+        def node_join(nodes_frame: DataFrame) -> DataFrame:
+            post = nodes_frame.where(F.array_contains(F.col("labels"), label))
+            prop_cols = [c for c in post.columns if c not in ("id",)]
+            post_sel = post.select(
+                F.col("id").alias(f"{var}_id"),
+                *[F.col(c).alias(f"{var}_{c}") for c in prop_cols],
+            )
+            cond = None
+            for k in keys:
+                t = F.col(f"_mrgk_{k}").eqNullSafe(F.col(f"{var}_{k}"))
+                cond = t if cond is None else cond & t
+            return frame.join(post_sel, cond, "inner").drop(
+                *[f"_mrgk_{k}" for k in keys]
+            )
+
+        if on_create or on_match:
+            joined = node_join(self.store.graph.nodes)
+            before = nodes_before.where(F.array_contains(F.col("labels"), label))
+            if all(k in before.columns for k in keys):
+                pre = before.select(
+                    *[F.col(k).alias(f"_pre_{k}") for k in keys]
+                ).dropDuplicates().withColumn("_pre_hit", F.lit(True))
+                cond = None
+                for k in keys:
+                    t = F.col(f"{var}_{k}").eqNullSafe(F.col(f"_pre_{k}"))
+                    cond = t if cond is None else cond & t
+                flagged = joined.join(pre, cond, "left").withColumn(
+                    "_mrg_created", F.coalesce(~F.col("_pre_hit"), F.lit(True))
+                ).drop("_pre_hit", *[f"_pre_{k}" for k in keys])
+            else:
+                flagged = joined.withColumn("_mrg_created", F.lit(True))
+            for created_branch, assigns in ((True, on_create), (False, on_match)):
+                if not assigns:
+                    continue
+                subset = flagged.where(F.col("_mrg_created") == created_branch)
+                for v_, props in assigns.items():
+                    if f"{v_}_id" not in subset.columns:
+                        raise ValueError(
+                            f"ON SET variable {v_!r} is not in the pattern"
+                        )
+                    g = subset
+                    for p, rhs_src in props.items():
+                        g = g.withColumn(
+                            f"_set_{p}", _compile_expr(rhs_src, _frame_resolver(g))
+                        )
+                    self.store.set_props_from_frame(
+                        g.select(
+                            F.col(f"{v_}_id").alias("id"),
+                            *[F.col(f"_set_{p}").alias(p) for p in props],
+                        ),
+                        list(props),
+                    )
+        if ret is None:
+            return local_df(self.spark, [], "ok string")
+        final = node_join(self.store.graph.nodes)
+        return self._project_match(final, ret, [el], _frame_resolver(final))
 
     def _apply_call_subquery_stage(self, bound: DataFrame, sub: str) -> DataFrame:
         """Correlated ``CALL { [WITH v,…] [OPTIONAL] MATCH … [WHERE …]

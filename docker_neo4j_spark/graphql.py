@@ -32,6 +32,7 @@ non-string properties serialize instead of failing analysis.
 """
 
 from __future__ import annotations
+from .localframe import local_df
 
 import re
 from dataclasses import dataclass, field
@@ -249,7 +250,7 @@ class GraphQLEngine:
             match = {col(k): v for k, v in root.args.items()}
             n = self.store.match_nodes(t.label, **match).count()
             self.store.delete_nodes(t.label, **match)
-            return self.store.spark.createDataFrame([(n,)], "deleted bigint")
+            return local_df(self.store.spark, [(n,)], "deleted bigint")
         if not cols:
             raise ValueError(f"{root.name}: a selection set is required")
         if verb == "create":

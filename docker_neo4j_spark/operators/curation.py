@@ -30,6 +30,7 @@ Scale design notes (100 TB):
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -328,7 +329,7 @@ def global_rank(
     for pid, cnt in counts:
         offsets.append((pid, acc))
         acc += cnt
-    off = d.sparkSession.createDataFrame(offsets or [(0, 0)], "_gr_pid int, _gr_off long")
+    off = local_df(d.sparkSession, offsets or [(0, 0)], "_gr_pid int, _gr_off long")
     return (
         d.join(F.broadcast(off), "_gr_pid")
         .withColumn(rank_name, F.col("_gr_off") + F.col("_gr_lr"))
@@ -701,7 +702,7 @@ def select_by_budget(
     for pid, s in sums:
         offsets.append((pid, acc))
         acc += int(s or 0)
-    off = d.sparkSession.createDataFrame(
+    off = local_df(d.sparkSession, 
         offsets or [(0, 0)], "_sb_pid int, _sb_off long"
     )
     return (

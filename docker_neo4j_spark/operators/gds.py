@@ -22,6 +22,7 @@ neighbor-set Jaccard similarity) expressed as DataFrame ops.
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -2299,7 +2300,7 @@ def influence_maximization(
         return reached, top, cutoff
 
     def single_candidate_reach(cand: int):
-        seed = spark.createDataFrame([(cand,)], "cand long").crossJoin(sims).select(
+        seed = local_df(spark, [(cand,)], "cand long").crossJoin(sims).select(
             "cand", "sim", F.col("cand").alias("node")
         )
         return reach(seed)
@@ -2351,7 +2352,7 @@ def influence_maximization(
         )
     alive.unpersist()
     n.unpersist()
-    return spark.createDataFrame(
+    return local_df(spark, 
         out_rows, "rank long, id long, spread_gain_x_sims long"
     )
 
@@ -3027,7 +3028,7 @@ def astar(
     )
     hcol = coords.select("id", h.alias("_h"))
     state = _ckpt(
-        e.sparkSession.createDataFrame(
+        local_df(e.sparkSession, 
             [(source, 0.0, None)], "id long, dist double, parent long"
         )
     )
@@ -3069,13 +3070,13 @@ def astar(
     e.unpersist()
     goal = state.where(F.col("id") == target).select("dist").first()
     if goal is None:
-        return state.sparkSession.createDataFrame(
+        return local_df(state.sparkSession, 
             [], "total_cost double, path string"
         )
     # parent-pointer walk target→source (path-length-bounded supersteps)
     ps = state.select("id", "parent")
     cur = _ckpt(
-        state.sparkSession.createDataFrame([(target, 0)], "id long, k int")
+        local_df(state.sparkSession, [(target, 0)], "id long, k int")
     )
     hops = [cur]
     for _ in range(max_iter):

@@ -15,6 +15,7 @@ reference engine's planner assumes.
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,7 +55,7 @@ def enumerate_paths(
         step = frontier.withColumn("hops", F.lit(hop).cast("long"))
         out = step if out is None else out.unionByName(step)
     if out is None:
-        return sources.sparkSession.createDataFrame(
+        return local_df(sources.sparkSession, 
             [], "start_id long, end_id long, hops long, path array<bigint>"
         )
     if targets is not None:
@@ -157,7 +158,7 @@ def k_shortest_paths(
             break
         out = frontier if out is None else out.unionByName(frontier)
     if out is None:
-        return sources.sparkSession.createDataFrame(
+        return local_df(sources.sparkSession, 
             [], "start_id long, end_id long, rank long, cost long, path_str string"
         )
     if targets is not None:

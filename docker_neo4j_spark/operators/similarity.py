@@ -23,6 +23,7 @@ Arrow-batched ``pandas_udf`` embedding *encoder* stub lives in
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -202,7 +203,7 @@ def ivf_build(
         id_col, vec_col, F.col("_cell").cast("long").alias("_cell")
     )
     spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
+    centroids = local_df(spark, 
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "_cell long, _centroid array<double>",
     )

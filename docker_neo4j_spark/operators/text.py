@@ -15,6 +15,7 @@ size — SURVEY.md §2.B.7) plus the brief's training-data-pipeline ops.
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -599,7 +600,7 @@ def bpe_train(
             ),
         ).localCheckpoint()
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark, 
         merges, "rank long, pair_a string, pair_b string, merged string, pair_count long"
     )
 

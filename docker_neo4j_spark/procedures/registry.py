@@ -15,6 +15,7 @@ plan like any DataFrame.
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -89,7 +90,7 @@ def show_procedures(spark: SparkSession) -> DataFrame:
         (p.name, p.signature, p.description)
         for p in sorted(_REGISTRY.values(), key=lambda p: p.name)
     ]
-    return spark.createDataFrame(rows, "name string, signature string, description string")
+    return local_df(spark, rows, "name string, signature string, description string")
 
 
 # ---- built-ins ----------------------------------------------------------
@@ -109,7 +110,7 @@ def _dbms_list_config(spark: SparkSession) -> DataFrame:
     for k, v in spark.sparkContext.getConf().getAll():
         conf[k] = v
     rows = sorted((k, str(v)) for k, v in conf.items())
-    return spark.createDataFrame(rows, "name string, value string")
+    return local_df(spark, rows, "name string, value string")
 
 
 @procedure(
@@ -126,7 +127,7 @@ def _example_default_values(
     spark: SparkSession, string: str, integer: int, aFloat: float, aBoolean: bool
 ) -> DataFrame:
     """ExampleNeo4jPlugin.defaultValues (ExampleNeo4jPlugin.java:52-59)."""
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(string, integer, aFloat, aBoolean)],
         "string string, integer long, aFloat double, aBoolean boolean",
     )
@@ -161,7 +162,7 @@ def show_functions(spark: SparkSession) -> DataFrame:
     namespace (apoc/gds/genai), the shape Neo4j's SHOW FUNCTIONS yields
     for user-defined functions."""
     data = [(n, n.split(".", 1)[0]) for n in sorted(_FUNCTIONS)]
-    return spark.createDataFrame(data, "name string, category string")
+    return local_df(spark, data, "name string, category string")
 
 
 @scalar_function("apoc.version")
@@ -301,7 +302,7 @@ def _periodic_iterate(
             committed += len(chunk)
         except Exception:
             failed += 1
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(batches, total, committed, failed)],
         "batches long, total long, committedOperations long, failedBatches long",
     )
@@ -325,7 +326,7 @@ def _apoc_util_validate(
         except (TypeError, ValueError):
             msg = message or ""
         raise ValueError(f"apoc.util.validate: {msg}")
-    return spark.createDataFrame([], "ok string")
+    return local_df(spark, [], "ok string")
 
 
 @procedure(
@@ -340,7 +341,7 @@ def _apoc_util_sleep(spark: SparkSession, duration=0) -> DataFrame:
 
     ms = max(0, min(int(duration or 0), 60_000))
     time.sleep(ms / 1000.0)
-    return spark.createDataFrame([], "ok string")
+    return local_df(spark, [], "ok string")
 
 
 @procedure(
@@ -378,7 +379,7 @@ def _periodic_commit(
                 "apoc.periodic.commit: statement never reached zero updates "
                 "(is its LIMIT making progress?)"
             )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(updates, executions, 0)],
         "updates long, executions long, failedCommits long",
     )
@@ -431,13 +432,13 @@ def _vector_query_nodes(
 
     empty = "node bigint, score double"
     if graph is None or not query:
-        return spark.createDataFrame([], empty)
+        return local_df(spark, [], empty)
     vdata = getattr(store, "vector_data", {}) if store is not None else {}
     if indexName in vdata:
         from ..operators.similarity import ivf_search
 
         entry = vdata[indexName]
-        qdf = spark.createDataFrame(
+        qdf = local_df(spark, 
             [(-1, [float(x) for x in query])],
             f"id long, {entry['vec_col']} array<float>",
         )
@@ -459,7 +460,7 @@ def _vector_query_nodes(
         )
     nodes = graph.nodes
     if "embedding" not in nodes.columns:
-        return spark.createDataFrame([], empty)
+        return local_df(spark, [], empty)
     nodes = nodes.where(F.col("embedding").isNotNull())
     if indexName:
         nodes = nodes.where(F.array_contains(F.col("labels"), indexName))
@@ -503,10 +504,10 @@ def _fulltext_query_nodes(
     empty = "node bigint, n_hits bigint, score_milli bigint"
     terms = [t for t in (queryString or "").split() if t]
     if graph is None or not terms:
-        return spark.createDataFrame([], empty)
+        return local_df(spark, [], empty)
     nodes = graph.nodes
     if "text" not in nodes.columns:
-        return spark.createDataFrame([], empty)
+        return local_df(spark, [], empty)
     nodes = nodes.where(F.col("text").isNotNull())
     if indexName:
         nodes = nodes.where(F.array_contains(F.col("labels"), indexName))
@@ -545,7 +546,7 @@ def _apoc_path_expand(
 
     empty = "node bigint, level bigint"
     if graph is None or not start:
-        return spark.createDataFrame([], empty)
+        return local_df(spark, [], empty)
     types = []
     for part in (relationshipFilter or "").split("|"):
         part = part.strip()
@@ -596,11 +597,11 @@ def _apoc_export_csv_all(spark: SparkSession, file: str = "", graph=None) -> Dat
     funnel)."""
     schema = "file string, nodes bigint, relationships bigint"
     if graph is None or not file:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     from ..sources.textdata import export_graph_csv
 
     export_graph_csv(graph, file)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(file, graph.nodes.count(), graph.rels.count())], schema
     )
 
@@ -612,7 +613,7 @@ def _apoc_export_csv_all(spark: SparkSession, file: str = "", graph=None) -> Dat
 )
 def _db_labels(spark: SparkSession, graph=None) -> DataFrame:
     if graph is None:
-        return spark.createDataFrame([], "label string")
+        return local_df(spark, [], "label string")
     return (
         graph.nodes.select(F.explode("labels").alias("label")).distinct().orderBy("label")
     )
@@ -632,7 +633,7 @@ def _db_schema_visualization(spark: SparkSession, graph=None) -> DataFrame:
     pass. Multi-label nodes contribute one triple per label (the schema
     graph's meta-node fan-out)."""
     if graph is None:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "srcLabel string, relType string, dstLabel string, n long"
         )
     sl = graph.nodes.select(
@@ -699,7 +700,7 @@ def _gds_graph_project(
     nodes, rels = nodes.cache(), rels.cache()
     nc, rc = nodes.count(), rels.count()
     cat[graphName] = (nodes, rels, nc, rc)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(graphName, nc, rc)],
         "graphName string, nodeCount long, relationshipCount long",
     )
@@ -717,7 +718,7 @@ def _gds_graph_list(spark: SparkSession) -> DataFrame:
     rows = sorted(
         (name, nc, rc) for name, (_, _, nc, rc) in _graphs_for(spark).items()
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "graphName string, nodeCount long, relationshipCount long"
     )
 
@@ -734,7 +735,7 @@ def _gds_graph_drop(spark: SparkSession, graphName: str = "") -> DataFrame:
     nodes, rels, _, _ = cat.pop(graphName)
     nodes.unpersist()
     rels.unpersist()
-    return spark.createDataFrame([(graphName,)], "graphName string")
+    return local_df(spark, [(graphName,)], "graphName string")
 
 
 @procedure(
@@ -744,7 +745,7 @@ def _gds_graph_drop(spark: SparkSession, graphName: str = "") -> DataFrame:
 )
 def _db_relationship_types(spark: SparkSession, graph=None) -> DataFrame:
     if graph is None:
-        return spark.createDataFrame([], "relationshipType string")
+        return local_df(spark, [], "relationshipType string")
     return (
         graph.rels.select(F.col("type").alias("relationshipType"))
         .distinct()
@@ -759,13 +760,13 @@ def _db_relationship_types(spark: SparkSession, graph=None) -> DataFrame:
 )
 def _db_property_keys(spark: SparkSession, graph=None) -> DataFrame:
     if graph is None:
-        return spark.createDataFrame([], "propertyKey string")
+        return local_df(spark, [], "propertyKey string")
     fixed = {"id", "labels", "src", "dst", "type"}
     keys = sorted(
         {c for c in graph.nodes.columns if c not in fixed}
         | {c for c in graph.rels.columns if c not in fixed}
     )
-    return spark.createDataFrame([(k,) for k in keys], "propertyKey string")
+    return local_df(spark, [(k,) for k in keys], "propertyKey string")
 
 
 @procedure(
@@ -782,7 +783,7 @@ def _apoc_meta_stats(spark: SparkSession, graph=None) -> DataFrame:
         " propertyKeyCount long"
     )
     if graph is None:
-        return spark.createDataFrame([(0, 0, 0, 0, 0)], schema)
+        return local_df(spark, [(0, 0, 0, 0, 0)], schema)
     fixed = {"id", "labels", "src", "dst", "type"}
     n_keys = len(
         {c for c in graph.nodes.columns if c not in fixed}
@@ -793,7 +794,7 @@ def _apoc_meta_stats(spark: SparkSession, graph=None) -> DataFrame:
     rc = graph.rels.count()
     lc = graph.nodes.select(F.explode("labels").alias("l")).distinct().count()
     tc = graph.rels.select("type").distinct().count()
-    return spark.createDataFrame([(nc, rc, lc, tc, n_keys)], schema)
+    return local_df(spark, [(nc, rc, lc, tc, n_keys)], schema)
 
 
 @procedure(
@@ -806,7 +807,7 @@ def _apoc_meta_stats(spark: SparkSession, graph=None) -> DataFrame:
 def _dbms_components(spark: SparkSession) -> DataFrame:
     from .. import __version__
 
-    return spark.createDataFrame(
+    return local_df(spark, 
         [("Neo4j Kernel", [__version__], "community")],
         "name string, versions array<string>, edition string",
     )
@@ -823,12 +824,12 @@ def _dbms_components(spark: SparkSession) -> DataFrame:
 def _apoc_export_json_all(spark: SparkSession, file: str = "", graph=None) -> DataFrame:
     schema = "file string, nodes long, relationships long"
     if graph is None or not file:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     from ..sources.textdata import write_jsonl
 
     write_jsonl(graph.nodes, f"{file}/nodes")
     write_jsonl(graph.rels, f"{file}/rels")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(file, graph.nodes.count(), graph.rels.count())], schema
     )
 
@@ -847,7 +848,7 @@ def _apoc_load_json(spark: SparkSession, file: str = "", graph=None) -> DataFram
     LOAD CSV). Schema inference is one extra pass, exactly Spark's
     documented JSON-source behavior."""
     if not file:
-        return spark.createDataFrame([], "value map<string,string>")
+        return local_df(spark, [], "value map<string,string>")
     df = spark.read.json(file)
     return df.select(
         F.map_from_arrays(
@@ -873,7 +874,7 @@ def _apoc_load_csv(spark: SparkSession, file: str = "", graph=None) -> DataFrame
 
     schema = "lineNo bigint, list array<string>, map map<string,string>"
     if not file:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     df = spark.read.csv(file, header=True)
     cols = df.columns
     part = df.withColumn("_pid", F.spark_partition_id()).withColumn(
@@ -921,7 +922,7 @@ def _apoc_load_xml(
     from ..sources.xmldata import load_xml
 
     if not file or not element:
-        return spark.createDataFrame([], "value map<string,string>")
+        return local_df(spark, [], "value map<string,string>")
     names = [str(a) for a in (attrs or [])]
     if not names:
         raise ValueError("apoc.load.xml: attrs list is required")
@@ -1069,7 +1070,7 @@ def _apoc_export_graphml_all(spark: SparkSession, file: str = "", config=None, g
     if not file:
         raise ValueError("apoc.export.graphml.all: file is required")
     write_graphml(graph.nodes, graph.rels, file)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(file, graph.nodes.count(), graph.rels.count())],
         "file string, nodes long, relationships long",
     )
@@ -1098,7 +1099,7 @@ def _refactor_rename_label(spark: SparkSession, oldLabel: str = "", newLabel: st
         ),
     )
     store._swap(nodes=renamed)
-    return spark.createDataFrame([(total,)], "total long")
+    return local_df(spark, [(total,)], "total long")
 
 
 @procedure(
@@ -1119,7 +1120,7 @@ def _refactor_rename_type(spark: SparkSession, oldType: str = "", newType: str =
         F.when(F.col("type") == oldType, F.lit(newType)).otherwise(F.col("type")),
     )
     store._swap(rels=retyped)
-    return spark.createDataFrame([(total,)], "total long")
+    return local_df(spark, [(total,)], "total long")
 
 
 @procedure(
@@ -1161,7 +1162,7 @@ def _refactor_merge_nodes(spark: SparkSession, nodes=None, store=None):
     out_row = {"id": target, "labels": labels, **{
         c: merged.get(c) for c in frame.columns if c not in ("id", "labels")
     }}
-    survivor = spark.createDataFrame([tuple(out_row[c] for c in frame.columns)], frame.schema)
+    survivor = local_df(spark, [tuple(out_row[c] for c in frame.columns)], frame.schema)
     new_nodes = frame.where(~F.col("id").isin(ids)).unionByName(survivor)
     gone = [i for i in ids[1:]]
     rels = store.graph.rels
@@ -1171,7 +1172,7 @@ def _refactor_merge_nodes(spark: SparkSession, nodes=None, store=None):
         "dst", F.when(F.col("dst").isin(gone), F.lit(target)).otherwise(F.col("dst"))
     )
     store._swap(nodes=new_nodes, rels=rewired)
-    return spark.createDataFrame([(target, len(gone))], "id long, merged long")
+    return local_df(spark, [(target, len(gone))], "id long, merged long")
 
 
 @procedure(
@@ -1201,7 +1202,7 @@ def _apoc_create_node(spark: SparkSession, labels=None, props=None, store=None):
                 ).otherwise(F.col("labels")),
             )
         )
-    return spark.createDataFrame([(nid,)], "id long")
+    return local_df(spark, [(nid,)], "id long")
 
 
 @procedure(
@@ -1220,7 +1221,7 @@ def _apoc_create_relationship(
     rid = store.create_rels(
         relType, [(int(fromId), int(toId))], [dict(props or {})]
     )[0]
-    return spark.createDataFrame([(rid,)], "id long")
+    return local_df(spark, [(rid,)], "id long")
 
 
 @procedure(
@@ -1256,7 +1257,7 @@ def _apoc_merge_node(
                 ).otherwise(F.col("labels")),
             )
         )
-    return spark.createDataFrame([(nid,)], "id long")
+    return local_df(spark, [(nid,)], "id long")
 
 
 @procedure(
@@ -1305,6 +1306,6 @@ def _apoc_schema_assert(spark: SparkSession, indexes=None, constraints=None, sto
     for lab, p in want_con:
         store.constraints.create(f"constraint_{lab}_{p}", lab, [p])
         out.append((lab, p, True, "CREATED"))
-    return spark.createDataFrame(
+    return local_df(spark, 
         sorted(out), "label string, key string, unique boolean, action string"
     )

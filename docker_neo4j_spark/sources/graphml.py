@@ -15,6 +15,7 @@ generic contract (APOC's import also restores by declared key types).
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,7 +75,7 @@ def graph_to_graphml(nodes: DataFrame, rels: DataFrame) -> DataFrame:
             f'attr.type="{_xml_type(rdt[c])}"/>'
         )
     head.append('<graph id="G" edgedefault="directed">')
-    header = spark.createDataFrame(
+    header = local_df(spark, 
         [(0, i, 0, line) for i, line in enumerate(head)],
         "section int, k1 long, k2 long, line string",
     )
@@ -129,7 +130,7 @@ def graph_to_graphml(nodes: DataFrame, rels: DataFrame) -> DataFrame:
             F.lit("</edge>"),
         ).alias("line"),
     )
-    footer = spark.createDataFrame(
+    footer = local_df(spark, 
         [(3, 0, 0, "</graph>"), (3, 1, 0, "</graphml>")],
         "section int, k1 long, k2 long, line string",
     )

@@ -25,6 +25,7 @@ exactly how a snapshot should move at that size (no driver collect).
 """
 
 from __future__ import annotations
+from ..localframe import local_df
 
 import itertools
 
@@ -46,8 +47,8 @@ class GraphStore:
     def __init__(self, spark: SparkSession, graph: PropertyGraph | None = None):
         self.spark = spark
         if graph is None:
-            empty_nodes = spark.createDataFrame([], "id long, labels array<string>")
-            empty_rels = spark.createDataFrame([], "id long, src long, dst long, type string")
+            empty_nodes = local_df(spark, [], "id long, labels array<string>").coalesce(1)
+            empty_rels = local_df(spark, [], "id long, src long, dst long, type string").coalesce(1)
             graph = PropertyGraph(nodes=empty_nodes, rels=empty_rels)
         self.graph = graph
         self._node_ids = itertools.count(WRITE_NODE_BASE)
@@ -179,7 +180,7 @@ class GraphStore:
         for pid, cnt in counts:
             offsets.append((pid, n))
             n += cnt
-        off_df = self.spark.createDataFrame(offsets or [], "_pid long, _off long")
+        off_df = local_df(self.spark, offsets or [], "_pid long, _off long")
         indexed = (
             pinned.withColumn("_pid", F.shiftright("_mid", 33))
             .join(F.broadcast(off_df), "_pid")
@@ -215,7 +216,12 @@ class GraphStore:
             {"id": i, "labels": [label], **{c: r.get(c) for c in prop_cols}}
             for i, r in zip(ids, rows)
         ]
-        new = self.spark.createDataFrame(data)
+        # createDataFrame over a driver-side list parallelizes to
+        # defaultParallelism (32) partitions; interactive writes are a few
+        # rows, so every union generation would otherwise grow the nodes
+        # frame by 32 near-empty partitions (the raw material of the r10
+        # write-tail CartesianProduct). One small batch = one partition.
+        new = local_df(self.spark, data).coalesce(1)
         cols = ["id", "labels", *prop_cols]
         self._enforce_unique(new.select(cols))
         self._swap(nodes=self._union_missing(self.graph.nodes, new.select(cols)))
@@ -230,7 +236,7 @@ class GraphStore:
             {"id": i, "src": s, "dst": d, "type": rel_type, **{c: p.get(c) for c in prop_cols}}
             for i, (s, d), p in zip(ids, pairs, props)
         ]
-        new = self.spark.createDataFrame(data)
+        new = local_df(self.spark, data).coalesce(1)
         cols = ["id", "src", "dst", "type", *prop_cols]
         self._swap(rels=self._union_missing(self.graph.rels, new.select(cols)))
         return ids
@@ -328,14 +334,21 @@ class GraphStore:
         )
         return n
 
-    def merge_rels(self, rel_type: str, pairs: DataFrame) -> int:
-        """Bulk ``MERGE (a)-[:TYPE]->(b)`` over a (src, dst) frame — insert
-        each distinct pair not already connected by this type; one
-        left-anti join + one append. Returns the number inserted."""
-        existing = self.graph.rels.where(F.col("type") == rel_type).select("src", "dst")
-        fresh = pairs.select("src", "dst").dropDuplicates(["src", "dst"]).join(
-            existing, ["src", "dst"], "left_anti"
-        )
+    def merge_rels(
+        self, rel_type: str, pairs: DataFrame, key_props: tuple = ()
+    ) -> int:
+        """Bulk ``MERGE (a)-[:TYPE {keys}]->(b)`` over a (src, dst[, key…])
+        frame — insert each distinct key tuple not already present for this
+        type; one left-anti join + one append. ``key_props`` columns of
+        ``pairs`` participate in the match AND become properties of
+        inserted rels (openCypher: rel props in a MERGE pattern are match
+        keys). Returns the number inserted."""
+        keys = ["src", "dst", *key_props]
+        existing = self.graph.rels.where(F.col("type") == rel_type)
+        fresh = pairs.select(*keys).dropDuplicates(keys)
+        if all(k in existing.columns for k in keys):
+            # a key-prop column no rel carries yet ⇒ nothing can match
+            fresh = fresh.join(existing.select(*keys), keys, "left_anti")
         indexed, n = self.stage_indexed(fresh)
         if n == 0:
             return 0
@@ -346,9 +359,29 @@ class GraphStore:
                 F.col("src"),
                 F.col("dst"),
                 F.lit(rel_type).alias("type"),
+                *[F.col(k) for k in key_props],
             )
         )
         return n
+
+    def set_rel_props_from_frame(self, vals: DataFrame, props: list[str]) -> None:
+        """Set-based relationship-property update (r11 — ``MATCH … MERGE …
+        ON CREATE/ON MATCH SET r.k = …``): ``vals`` carries (id, <prop…>)
+        computed over the match binding; one left join + conditional
+        column update per property, mirroring :meth:`set_props_from_frame`
+        on the rels frame (no uniqueness constraints apply to rels)."""
+        sel = [F.col("id")] + [F.col(p).alias(f"_new_{p}") for p in props]
+        flagged = (
+            vals.select(*sel).dropDuplicates(["id"]).withColumn("_hit", F.lit(True))
+        )
+        rels = self.graph.rels.join(flagged, "id", "left")
+        for p in props:
+            old = F.col(p) if p in self.graph.rels.columns else F.lit(None)
+            rels = rels.withColumn(
+                p, F.when(F.col("_hit"), F.col(f"_new_{p}")).otherwise(old)
+            )
+        rels = rels.drop("_hit", *[f"_new_{p}" for p in props])
+        self._swap(rels=rels)
 
     def set_props_by_ids(self, ids: DataFrame, new_props: dict) -> None:
         """Set-based ``SET`` driven by a matched id frame: one left join +
@@ -498,7 +531,7 @@ class GraphStore:
         self.graph.rels.write.mode("overwrite").parquet(f"{path}/rels")
         import json as _json
 
-        meta = self.spark.createDataFrame(
+        meta = local_df(self.spark, 
             [
                 (
                     self.DUMP_FORMAT_VERSION,

@@ -519,3 +519,29 @@ def test_xml_roundtrip_xpath_stays_jvm(spark, sf_dir, tmp_path):
     facts = audit(back)
     assert "Python" not in facts.text
     assert facts.n_exchanges == 0  # map-only extraction
+
+
+def test_write_tail_projection_is_broadcast_and_local(spark):
+    """r10 defect regression (VERDICT r10 "What's wrong" #1): the
+    CREATE…RETURN write-tail projection planned a CartesianProduct over
+    all partition PAIRS of the store's union-grown nodes frame (9,216
+    tasks / 133 s for one row). Pinned shape: one-row bound sides are
+    BROADCAST (nested-loop over a broadcast is the correct plan for a
+    crossJoin with a single-row side), the store's small write batches
+    are JVM LocalRelations (LocalTableScan via localframe — no
+    Python-RDD scan anywhere in an interactive write), and the whole
+    job is a handful of tasks."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    df = s.run(
+        "CREATE (a:AuditPup {name:'A'})-[:LIKES]->(b:AuditPup {name:'B'}) "
+        "RETURN a.name AS an, b.name AS bn"
+    )
+    facts = audit(df)
+    assert "CartesianProduct" not in facts.text
+    assert "Scan ExistingRDD" not in facts.text, (
+        "write batch is a Python-RDD scan — localframe route lost"
+    )
+    assert df.rdd.getNumPartitions() <= 4
+    assert [tuple(r) for r in df.collect()] == [("A", "B")]

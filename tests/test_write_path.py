@@ -461,3 +461,86 @@ def test_per_row_expression_props_in_bulk_create(spark):
     )
     amt = s.run("MATCH ()-[r:OWES]->() RETURN r.amt AS amt").collect()[0].amt
     assert amt == 8
+
+
+def test_match_merge_rel_tail_idempotent(spark):
+    """r11: MATCH … MERGE (a)-[:T]->(b) — get-or-create an edge between
+    matched anchors (the reference's DatabaseIO graph-building shape),
+    idempotent on re-run, one merge_rels batch per statement."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:MDog {name:'Arne'})")
+    s.run("CREATE (:MDog {name:'Bosse'})")
+    for _ in range(2):
+        s.run(
+            "MATCH (a:MDog {name:'Arne'}), (b:MDog {name:'Bosse'}) "
+            "MERGE (a)-[:SNIFFS]->(b)"
+        )
+    n = s.run("MATCH (:MDog)-[r:SNIFFS]->(:MDog) RETURN count(r) AS n")
+    assert n.collect()[0].n == 1
+
+
+def test_match_merge_on_create_on_match_branches(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:BDog {name:'A'})")
+    s.run("CREATE (:BDog {name:'B'})")
+    stmt = (
+        "MATCH (a:BDog {name:'A'}), (b:BDog {name:'B'}) "
+        "MERGE (a)-[r:LIKES]->(b) "
+        "ON CREATE SET r.since = 2020 ON MATCH SET r.since = 9999 "
+        "RETURN type(r) AS t, r.since AS since"
+    )
+    first = s.run(stmt).collect()
+    assert [(r.t, r.since) for r in first] == [("LIKES", 2020)]
+    second = s.run(stmt).collect()
+    assert [(r.t, r.since) for r in second] == [("LIKES", 9999)]
+
+
+def test_match_merge_rel_key_props_distinct(spark):
+    """Rel props in a MERGE pattern are MATCH KEYS: distinct key values
+    create distinct rels; repeated keys are idempotent."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:KDog {name:'A'})")
+    s.run("CREATE (:KDog {name:'B'})")
+    for yr in (2021, 2022, 2021):
+        s.run(
+            "MATCH (a:KDog {name:'A'}), (b:KDog {name:'B'}) "
+            f"MERGE (a)-[:MET {{year: {yr}}}]->(b)"
+        )
+    rows = s.run(
+        "MATCH ()-[r:MET]->() RETURN r.year AS y ORDER BY y"
+    ).collect()
+    assert [r.y for r in rows] == [2021, 2022]
+
+
+def test_match_merge_node_tail(spark):
+    """MATCH … MERGE (k:Label {key: expr}) — per-row node get-or-create
+    keyed on computed values, one merge_nodes batch."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:NDog {name:'Arne'})")
+    s.run("CREATE (:NDog {name:'Bosse'})")
+    for _ in range(2):
+        s.run("MATCH (d:NDog) MERGE (k:Kennel {owner: d.name})")
+    n = s.run("MATCH (k:Kennel) RETURN count(k) AS n").collect()[0].n
+    assert n == 2
+    got = s.run(
+        "MATCH (d:NDog {name:'Arne'}) MERGE (k:Kennel {owner: d.name}) "
+        "RETURN k.owner AS o"
+    ).collect()
+    assert [r.o for r in got] == ["Arne"]
+
+
+def test_match_merge_unbound_endpoint_fails_loud(spark):
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:UDog {name:'A'})")
+    with pytest.raises(ValueError, match="must be bound"):
+        s.run("MATCH (a:UDog) MERGE (a)-[:T]->(b:Other {k: 1})")
