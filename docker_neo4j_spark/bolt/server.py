@@ -58,6 +58,10 @@ def _bolt_value(v):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return float(v)
+    if hasattr(v, "toPython"):
+        # VariantVal (typed entity properties — r11): decode to the
+        # native value so node.properties.age arrives as long, not '4'
+        return _bolt_value(v.toPython())
     if hasattr(v, "asDict"):
         # nested struct Row (entity serialization — r10): a Row is a
         # tuple, so this must precede the sequence branch or the field

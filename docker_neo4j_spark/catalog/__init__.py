@@ -77,6 +77,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     "bolt_roundtrip",
     "proc_apoc_create_merge",
     "graphql_mutation_readback",
+    # r11: entity properties are VARIANT-typed (was stringified map) —
+    # re-grade the entity-serialization rows
+    "cypher_return_entity",
+    "cypher_collect_entities",
+    "cypher_optional_match",
+    "fn_properties_map",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

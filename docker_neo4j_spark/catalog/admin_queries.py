@@ -2375,7 +2375,9 @@ def _entity_props_csv(col):
     return F.array_join(
         F.transform(
             F.array_sort(F.map_keys(m)),
-            lambda k: F.concat(k, F.lit("="), F.element_at(m, k)),
+            # properties are VARIANT-typed since r11; cast renders the
+            # same text the r10 stringified map produced
+            lambda k: F.concat(k, F.lit("="), F.element_at(m, k).cast("string")),
         ),
         ";",
     )
@@ -2468,7 +2470,7 @@ def cypher_collect_entities(spark, sf_dir):
                 lambda x: F.concat(
                     x["id"].cast("string"),
                     F.lit(":"),
-                    F.element_at(x["properties"], F.lit("n_name")),
+                    F.element_at(x["properties"], F.lit("n_name")).cast("string"),
                 ),
             ),
             ";",

@@ -199,7 +199,10 @@ def _frame_resolver(frame: DataFrame):
             pairs = []
             for c in frame.columns:
                 if c.startswith(f"{var}_") and c not in (f"{var}_id", f"{var}_labels", f"{var}_type"):
-                    pairs += [F.lit(c[len(var) + 1 :]), F.col(c).cast("string")]
+                    # typed via VARIANT (r11): the wire layers decode
+                    # VariantVal to native values, so properties(n) and
+                    # entity maps carry longs/doubles/dates, not strings
+                    pairs += [F.lit(c[len(var) + 1 :]), F.col(c).cast("variant")]
             if not pairs:
                 return F.lit(None)
             full = F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2]))
@@ -221,14 +224,16 @@ def _frame_resolver(frame: DataFrame):
                 dt = frame.schema[var].dataType
                 if hasattr(dt, "fieldNames"):
                     # struct column: direct field, else the entity
-                    # properties map (entity props are stringly-typed —
-                    # the documented entity-serialization deviation)
+                    # properties map (variant-valued since r11; cast to
+                    # string here so in-query comparisons/projections over
+                    # a CARRIED struct stay the r10 contract — typed access
+                    # on a bound variable goes through `{var}_{prop}`)
                     if prop in dt.fieldNames():
                         return F.col(f"`{var}`")[prop]
                     if "properties" in dt.fieldNames():
                         return F.element_at(
                             F.col(f"`{var}`")["properties"], F.lit(prop)
-                        )
+                        ).cast("string")
                 if dt.typeName() == "map":
                     # map column (UNWIND over a literal map list — r10):
                     # row.a is key access
@@ -299,14 +304,18 @@ def _entity_struct(frame: DataFrame, var: str) -> F.Column | None:
     pairs: list[F.Column] = []
     for c in sorted(cols):
         if c.startswith(f"{var}_") and c not in fixed:
-            pairs += [F.lit(c[len(var) + 1 :]), F.col(c).cast("string")]
+            # typed property fidelity (r11 — VERDICT r10 task 4): VARIANT
+            # keeps heterogeneous properties in ONE map column WITHOUT
+            # stringifying; the Bolt/HTTP layers decode VariantVal to
+            # native values, so node.properties.age arrives as long 4
+            pairs += [F.lit(c[len(var) + 1 :]), F.col(c).cast("variant")]
     if pairs:
         props = F.map_filter(
             F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
             lambda _k, v: v.isNotNull(),
         )
     else:
-        props = F.create_map().cast("map<string,string>")
+        props = F.create_map().cast("map<string,variant>")
     fields.append(props.alias("properties"))
     # an unmatched OPTIONAL MATCH variable is NULL, not an entity shell
     # with a null id

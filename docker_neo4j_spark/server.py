@@ -32,6 +32,9 @@ def _jsonable(v):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return float(v)
+    if hasattr(v, "toPython"):
+        # VariantVal (typed entity properties — r11): decode to native
+        return _jsonable(v.toPython())
     if hasattr(v, "asDict"):
         # nested struct Row (entity serialization — r10): a Row is a
         # tuple, so this must precede the sequence branch or the field

@@ -283,3 +283,16 @@ def test_packstream_roundtrip_edge_values():
     for v in vals:
         got, off = unpack(pack(v))
         assert got == v and off == len(pack(v)), v
+
+
+def test_entity_properties_typed_on_wire(bolt):
+    """r11: entity properties are VARIANT-typed end to end — a client
+    reading node.properties.age gets long 4 (Neo4j wire contract), not
+    the r10 stringified '4'."""
+    bolt.hello()
+    bolt.run("CREATE (:tdog {name:'Arne', age: 4, w: 2.5})")
+    _, rows = bolt.run("MATCH (n:tdog) RETURN n")
+    props = rows[0][0]["properties"]
+    assert props["age"] == 4 and isinstance(props["age"], int)
+    assert props["w"] == 2.5 and isinstance(props["w"], float)
+    assert props["name"] == "Arne"
