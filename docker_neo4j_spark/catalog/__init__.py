@@ -95,6 +95,9 @@ _NEW_THIS_ROUND: list[str] = [
     # r11: MATCH … MERGE write tail (rel get-or-create, ON CREATE/ON
     # MATCH branches, idempotence)
     "cypher_match_merge_rel",
+    # r11: entity paths (RETURN p alternating node/rel entities,
+    # nodes(p)/relationships(p) structs, comprehension access)
+    "cypher_path_entities",
 ]
 
 

@@ -1764,9 +1764,10 @@ def cypher_path_binding(spark, sf_dir):
         "start_id",
         "end_id",
         "len",
-        F.concat_ws("->", F.transform("ns", lambda x: x.cast("string"))).alias(
-            "path_str"
-        ),
+        # nodes(p) yields entity STRUCTS since r11 — render the id chain
+        F.concat_ws(
+            "->", F.transform("ns", lambda x: x["id"].cast("string"))
+        ).alias("path_str"),
     )
 
 
@@ -2476,6 +2477,58 @@ def cypher_collect_entities(spark, sf_dir):
             ";",
         ).alias("ns"),
     )
+
+
+@register(
+    "cypher_path_entities",
+    """
+    SELECT n_nationkey AS nk,
+           CAST(1 AS BIGINT) AS len,
+           CAST(2000000000000 + n_nationkey AS VARCHAR) || ';'
+             || CAST(10000000000000 + n_nationkey AS VARCHAR) || ';'
+             || CAST(1000000000000 + n_regionkey AS VARCHAR) AS path_ids,
+           'Nation;IN_REGION;Region' AS path_kinds,
+           n_name AS nation,
+           'IN_REGION' AS rel_types
+    FROM nation ORDER BY nk
+    """,
+)
+def cypher_path_entities(spark, sf_dir):
+    """Entity paths (r11 — VERDICT r10 task 3): ``RETURN p`` yields the
+    alternating node/rel entity list (SURVEY §1.2 PATH; Bolt Path
+    contract DatabaseIO.java:127-128), ``nodes(p)``/``relationships(p)``
+    yield entity structs, and ``[x IN nodes(p) | x.n_name]`` resolves
+    through the scoped entity accessor. Flattened to scalar columns for
+    the hash gate."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "MATCH p = (n:Nation)-[:IN_REGION*1..1]->(m:Region) "
+        "RETURN p, nodes(p) AS ns, relationships(p) AS rs, "
+        "[x IN nodes(p) | x.n_name] AS nnames, "
+        "length(p) AS len, n.n_nationkey AS nk"
+    )
+    return out.select(
+        F.col("nk"),
+        F.col("len").cast("long").alias("len"),
+        F.array_join(
+            F.transform("p", lambda e: e["id"].cast("string")), ";"
+        ).alias("path_ids"),
+        F.array_join(
+            F.transform(
+                "p",
+                lambda e: F.coalesce(e["type"], F.array_join(e["labels"], "+")),
+            ),
+            ";",
+        ).alias("path_kinds"),
+        F.concat_ws(";", "nnames").alias("nation"),
+        F.array_join(F.transform("rs", lambda r: r["type"]), ";").alias(
+            "rel_types"
+        ),
+    ).orderBy("nk")
 
 
 @register(

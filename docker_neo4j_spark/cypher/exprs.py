@@ -112,13 +112,28 @@ class _V:
         return self.lit is not _MISSING
 
 
-def _scoped(resolve, **binds):
+def _scoped(resolve, _entity_vars=(), **binds):
     """Resolver extended with lambda-variable bindings (comprehension /
-    reduce element and accumulator columns); other names fall through."""
+    reduce element and accumulator columns); other names fall through.
+
+    ``_entity_vars`` names binds whose elements are ENTITY structs
+    (``[n IN nodes(p) | n.name]`` — r11): dotted access on those reads
+    the element's ``properties`` map (string-cast, the in-query carried-
+    struct contract) instead of falling through to the frame resolver."""
 
     def sub(name: str) -> Column:
         if name in binds:
             return binds[name]
+        if "." in name:
+            head, rest = name.split(".", 1)
+            if head in binds and "." not in rest:
+                el = binds[head]
+                if head in _entity_vars:
+                    return F.element_at(
+                        el["properties"], F.lit(rest)
+                    ).cast("string")
+                # struct element (UNWIND'd map literals etc.): direct field
+                return el[rest]
         return resolve(name)
 
     return sub
@@ -542,7 +557,7 @@ class _Parser:
         ):
             var = self._take().text
             self._take()  # IN
-            src_v, _ = self._span(self.or_expr)
+            src_v, src_text = self._span(self.or_expr)
             pred_src = out_src = None
             if self._at_kw("WHERE"):
                 self._take()
@@ -553,15 +568,31 @@ class _Parser:
             self._expect_punct("]")
             out = src_v.col
             resolve = self.resolve
+            # nodes(p)/relationships(p) over a path variable yield ENTITY
+            # structs (r11): dotted access on the lambda var reads the
+            # element's properties map, so [n IN nodes(p) | n.name] works
+            m_ent = re.match(
+                r"(?:nodes|relationships)\(\s*(\w+)\s*\)\s*$", src_text.strip()
+            )
+            ent_vars = (
+                (var,)
+                if m_ent
+                and m_ent.group(1) in getattr(resolve, "path_vars", ())
+                else ()
+            )
             if pred_src is not None:
                 out = F.filter(
                     out,
-                    lambda el: compile_expr(pred_src, _scoped(resolve, **{var: el})),
+                    lambda el: compile_expr(
+                        pred_src, _scoped(resolve, ent_vars, **{var: el})
+                    ),
                 )
             if out_src is not None:
                 out = F.transform(
                     out,
-                    lambda el: compile_expr(out_src, _scoped(resolve, **{var: el})),
+                    lambda el: compile_expr(
+                        out_src, _scoped(resolve, ent_vars, **{var: el})
+                    ),
                 )
             return _V(out)
         items: list[_V] = []

@@ -2660,6 +2660,148 @@ class Session:
             return local_df(self.spark, [], "ok string")
         return self._project_match(bound, ret, elems, _frame_resolver(bound))
 
+    @staticmethod
+    def _unify_path_node(n: F.Column) -> F.Column:
+        return F.struct(
+            n["id"].alias("id"),
+            n["labels"].alias("labels"),
+            F.lit(None).cast("string").alias("type"),
+            F.lit(None).cast("long").alias("start"),
+            F.lit(None).cast("long").alias("end"),
+            n["properties"].alias("properties"),
+        )
+
+    @staticmethod
+    def _unify_path_rel(r: F.Column) -> F.Column:
+        return F.struct(
+            r["id"].alias("id"),
+            F.lit(None).cast("array<string>").alias("labels"),
+            r["type"].alias("type"),
+            r["start"].alias("start"),
+            r["end"].alias("end"),
+            r["properties"].alias("properties"),
+        )
+
+    def _materialize_path_entities(
+        self, joined: DataFrame, pvar: str, rel_el, texts: list[str]
+    ) -> tuple[DataFrame, bool]:
+        """Entity paths (r11 — SURVEY §1.2: PATH = ArrayType(StructType);
+        Bolt Path contract DatabaseIO.java:127-128): when the query
+        references the path variable beyond ``length(p)``, materialize
+
+        - ``_pent_nodes``  — path-ordered node entity structs,
+        - ``_pent_rels``   — path-ordered relationship entity structs,
+        - ``_pent_path``   — the alternating node/rel list (one unified
+          struct shape, inapplicable fields null),
+
+        onto the frame. Set-based: one posexplode over the DISTINCT
+        node-id arrays + one join to the nodes frame for nodes; one
+        consecutive-pair explode + one join to the typed rels frame for
+        rels — cost independent of how many result rows share a path.
+        Parallel rels between the same endpoints collapse to the min-id
+        one (the enumeration traverses distinct endpoints, so the pick
+        is deterministic and matches ``shortest_path``'s tie-break)."""
+        probe = " ".join(t for t in texts if t)
+        probe = re.sub(rf"length\(\s*{re.escape(pvar)}\s*\)", " ", probe)
+        if not re.search(rf"(?<![\w.]){re.escape(pvar)}(?![\w])", probe):
+            return joined, False
+        from ..graph import prefix_columns
+
+        g = self.store.graph
+        pn = prefix_columns(g.nodes, "_pn")
+        ent_nodes = pn.select(
+            F.col("_pn_id").alias("_nid"), _entity_struct(pn, "_pn").alias("_nent")
+        )
+        by_pos = lambda a, b: (  # noqa: E731 — order by the pos field only
+            F.when(a["_pos"] < b["_pos"], F.lit(-1))
+            .when(a["_pos"] > b["_pos"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        dpaths = joined.select("path").distinct()
+        nodes_arr = (
+            dpaths.select("path", F.posexplode("path").alias("_pos", "_nid"))
+            .join(ent_nodes, "_nid")
+            .groupBy("path")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_nent")), by_pos
+                    ),
+                    lambda x: x["_nent"],
+                ).alias("_pent_nodes")
+            )
+        )
+        rels = g.rels
+        if rel_el.rel_type:
+            rels = rels.where(F.col("type") == rel_el.rel_type)
+        pr = prefix_columns(rels, "_pr")
+        rent = _entity_struct(pr, "_pr")
+        fwd = pr.select(
+            F.col("_pr_src").alias("_from"),
+            F.col("_pr_dst").alias("_to"),
+            F.col("_pr_id").alias("_rid"),
+            rent.alias("_rent"),
+        )
+        bwd = pr.select(
+            F.col("_pr_dst").alias("_from"),
+            F.col("_pr_src").alias("_to"),
+            F.col("_pr_id").alias("_rid"),
+            rent.alias("_rent"),
+        )
+        direction = _direction(rel_el)
+        match = {"out": fwd, "in": bwd, "both": fwd.unionByName(bwd)}[direction]
+        match = match.groupBy("_from", "_to").agg(
+            F.min_by("_rent", "_rid").alias("_rent")
+        )
+        hops = dpaths.select(
+            "path",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("path") - 1),
+                    lambda i: F.struct(
+                        i.alias("_pos"),
+                        F.element_at(F.col("path"), i).alias("_from"),
+                        F.element_at(F.col("path"), i + 1).alias("_to"),
+                    ),
+                )
+            ).alias("_hop"),
+        ).select("path", "_hop.*")
+        rels_arr = (
+            hops.join(match, ["_from", "_to"])
+            .groupBy("path")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", F.col("_rent").alias("_nent"))),
+                        by_pos,
+                    ),
+                    lambda x: x["_nent"],
+                ).alias("_pent_rels")
+            )
+        )
+        merged = nodes_arr.join(rels_arr, "path").withColumn(
+            "_pent_path",
+            F.concat(
+                F.flatten(
+                    F.zip_with(
+                        F.expr("slice(_pent_nodes, 1, size(_pent_rels))"),
+                        F.col("_pent_rels"),
+                        lambda n, r: F.array(
+                            self._unify_path_node(n), self._unify_path_rel(r)
+                        ),
+                    )
+                ),
+                F.array(
+                    self._unify_path_node(
+                        F.element_at(
+                            F.col("_pent_nodes"), F.size(F.col("_pent_nodes"))
+                        )
+                    )
+                ),
+            ),
+        )
+        return joined.join(merged, "path"), True
+
     def _path_binding(self, body: str) -> DataFrame:
         """General path binding ``MATCH p = (a)-[:T*lo..hi]->(b) RETURN …``
         — every simple path (not just the shortest): wired to
@@ -2705,20 +2847,25 @@ class Session:
             .drop("start_id", "end_id")
         )
         pvar = m.group("pvar")
+        joined, have_ents = self._materialize_path_entities(
+            joined, pvar, rel, [ret, where_src or ""]
+        )
         base_resolve = _frame_resolver(joined)
 
         def resolve(name: str) -> F.Column:
             if name == pvar:
-                return F.col("path")
+                # entity path (r11): alternating node/rel entity structs
+                return F.col("_pent_path") if have_ents else F.col("path")
             mlen = re.match(r"(length|nodes|relationships)\(\s*(\w+)\s*\)$", name)
             if mlen and mlen.group(2) == pvar:
                 if mlen.group(1) == "length":
                     return F.col("hops")
                 if mlen.group(1) == "nodes":
-                    return F.col("path")
-                # relationships(p): the hop endpoints as "src->dst" strings
-                # (the facade serves entities by value; rel ids are pruned
-                # from path enumeration by design — patterns.py:88)
+                    return F.col("_pent_nodes") if have_ents else F.col("path")
+                if have_ents:
+                    return F.col("_pent_rels")
+                # unreachable in practice (a relationships(p) reference
+                # triggers entity materialization), kept as the id fallback
                 return F.transform(
                     F.sequence(F.lit(1), F.size("path") - 1),
                     lambda i: F.concat_ws(
@@ -2783,16 +2930,27 @@ class Session:
             .drop("start_id", "end_id")
         )
         pvar = m.group("pvar")
+        have_ents = False
+        if pvar:
+            joined, have_ents = self._materialize_path_entities(
+                joined, pvar, rel, [ret]
+            )
         base_resolve = _frame_resolver(joined)
 
         def resolve(name: str) -> F.Column:
             if pvar:
                 if name == pvar:
-                    return F.col("path")
-                mlen = re.match(r"(length|nodes)\(\s*(\w+)\s*\)$", name)
+                    return F.col("_pent_path") if have_ents else F.col("path")
+                mlen = re.match(
+                    r"(length|nodes|relationships)\(\s*(\w+)\s*\)$", name
+                )
                 if mlen and mlen.group(2) == pvar:
-                    # length(p) = hop count; nodes(p) = the node-id array
-                    return F.col("hops" if mlen.group(1) == "length" else "path")
+                    if mlen.group(1) == "length":
+                        return F.col("hops")
+                    if mlen.group(1) == "nodes":
+                        return F.col("_pent_nodes") if have_ents else F.col("path")
+                    if have_ents:
+                        return F.col("_pent_rels")
             return base_resolve(name)
 
         resolve.frame = joined
