@@ -52,8 +52,32 @@ SUCCESS, RECORD, IGNORED, FAILURE = 0x70, 0x71, 0x7E, 0x7F
 _SUPPORTED_MAJORS = {4: 4, 5: 8}  # major -> highest minor we accept
 
 
+def _iso_duration(td: datetime.timedelta) -> str:
+    """timedelta → ISO-8601 duration text ('P2DT3H4M5.5S') — the wire
+    rendering for collectable day-time durations (r11)."""
+    neg = td.total_seconds() < 0
+    if neg:
+        td = -td
+    h, rem = divmod(td.seconds, 3600)
+    m, s = divmod(rem, 60)
+    frac = f".{td.microseconds:06d}".rstrip("0") if td.microseconds else ""
+    out = f"P{td.days}D" if td.days else "P"
+    t = ""
+    if h:
+        t += f"{h}H"
+    if m:
+        t += f"{m}M"
+    if s or frac or (not td.days and not h and not m):
+        t += f"{s}{frac}S"
+    if t:
+        out += "T" + t
+    return ("-" if neg else "") + out
+
+
 def _bolt_value(v):
     """Row value → PackStream-packable (subset: temporals as ISO strings)."""
+    if isinstance(v, datetime.timedelta):
+        return _iso_duration(v)
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):

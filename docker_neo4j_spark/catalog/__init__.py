@@ -83,6 +83,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     "cypher_collect_entities",
     "cypher_optional_match",
     "fn_properties_map",
+    # r11: nodes(p)/relationships(p) yield entity structs; duration()
+    # interval types changed; point grew the map form + withinBBox
+    "cypher_path_binding",
+    "cypher_shortest_path",
+    "cypher_temporal",
+    "fn_point_suite",
+    "fn_temporal_arith",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -98,6 +105,8 @@ _NEW_THIS_ROUND: list[str] = [
     # r11: entity paths (RETURN p alternating node/rel entities,
     # nodes(p)/relationships(p) structs, comprehension access)
     "cypher_path_entities",
+    # r11: durations collect as client values (dt interval / ISO ym text)
+    "cypher_duration_values",
 ]
 
 

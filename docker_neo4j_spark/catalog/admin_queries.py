@@ -1319,6 +1319,48 @@ def write_merge_rel_batch(spark, sf_dir):
 
 
 @register(
+    "cypher_duration_values",
+    """
+    SELECT CAST(2 AS BIGINT) AS d2_days,
+           CAST(1 AS BIGINT) AS dt_days,
+           CAST(2 AS BIGINT) AS dt_hours,
+           'P1Y2M' AS ym,
+           '1995-04-14' AS plus30,
+           '1996-05-25' AS mixed_plus,
+           CAST(6 AS BIGINT) AS btw_hours
+    """,
+)
+def cypher_duration_values(spark, sf_dir):
+    """Durations as first-class CLIENT values (r11 — VERDICT r10 task 5):
+    ``RETURN duration({days: 2})`` collects (DayTimeIntervalType →
+    timedelta; day-only casts to INTERVAL DAY so date arithmetic stays
+    DATE-typed), month-only durations project as ISO-8601 text, mixed
+    month+day stays arithmetic-capable, and ``duration.between`` returns
+    the same collectable shape. Interval components extracted JVM-side
+    for the hash gate."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    out = s.run(
+        "RETURN duration({days: 2}) AS d2, duration('P1DT2H30M') AS dt, "
+        "duration('P1Y2M') AS ym, "
+        "toString(date('1995-03-15') + duration('P30D')) AS plus30, "
+        "toString(date('1995-03-15') + duration('P1Y2M10D')) AS mixed_plus, "
+        "duration.between(datetime('2024-01-01 00:00:00'), "
+        "datetime('2024-01-01 06:30:00')) AS btw"
+    )
+    return out.select(
+        F.expr("extract(DAY FROM `d2`)").cast("long").alias("d2_days"),
+        F.expr("extract(DAY FROM `dt`)").cast("long").alias("dt_days"),
+        F.expr("extract(HOUR FROM `dt`)").cast("long").alias("dt_hours"),
+        F.col("ym"),
+        F.col("plus30"),
+        F.col("mixed_plus"),
+        F.expr("extract(HOUR FROM `btw`)").cast("long").alias("btw_hours"),
+    )
+
+
+@register(
     "cypher_temporal",
     """
     SELECT o_orderkey AS ok,

@@ -371,21 +371,27 @@ def fn_approx_count_distinct(spark, sf_dir):
            CAST(c_acctbal AS DOUBLE) AS px,
            CAST(c_nationkey AS DOUBLE) AS py,
            sqrt((c_acctbal - 1000.0) * (c_acctbal - 1000.0)
-                + (c_nationkey - 12.0) * (c_nationkey - 12.0)) AS dist
+                + (c_nationkey - 12.0) * (c_nationkey - 12.0)) AS dist,
+           (c_acctbal >= 0.0 AND c_acctbal <= 5000.0
+            AND c_nationkey >= 0.0 AND c_nationkey <= 12.0) AS in_box
     FROM customer
     """,
 )
 def fn_point_suite(spark, sf_dir):
-    """POINT shim: point({x,y}) construction, accessors, cartesian
-    point.distance (IEEE-exact: *, −, +, sqrt only — oracle-safe)."""
+    """POINT shim: MAP-form construction point({x, y}) (the documented
+    Neo4j surface — r11), accessors, cartesian point.distance
+    (IEEE-exact: *, −, +, sqrt only — oracle-safe), point.withinBBox."""
     c = load_tables(spark, sf_dir)["customer"]
-    p = cy.point(F.col("c_acctbal"), F.col("c_nationkey"))
-    ref = cy.point(F.lit(1000.0), F.lit(12.0))
+    p = cy.point({"x": F.col("c_acctbal"), "y": F.col("c_nationkey")})
+    ref = cy.point({"x": 1000.0, "y": 12.0})
     return c.select(
         "c_custkey",
         cy.point_x(p).alias("px"),
         cy.point_y(p).alias("py"),
         cy.point_distance(p, ref).alias("dist"),
+        cy.point_within_bbox(
+            p, cy.point({"x": 0.0, "y": 0.0}), cy.point({"x": 5000.0, "y": 12.0})
+        ).alias("in_box"),
     )
 
 

@@ -271,6 +271,32 @@ def _value_of(text: str, resolve) -> F.Column:
     return _compile_expr(text, resolve)
 
 
+def _client_collectable(out: DataFrame) -> DataFrame:
+    """Interval outputs a client can actually materialize (r11 — VERDICT
+    r10 task 5): PySpark implements ``fromInternal`` for day-time
+    intervals (→ timedelta) but NOT for YearMonthIntervalType or
+    CalendarIntervalType, so a bare ``RETURN duration('P1Y2M')`` would
+    throw at collect. Year-month outputs render as ISO-8601 duration
+    text (JVM extract + concat); mixed calendar intervals render via the
+    JVM string cast ('1 years 2 months 10 days' — readable, collectable).
+    Day-time intervals stay native."""
+    for c, dt in out.dtypes:
+        if dt.startswith("interval year") or dt.startswith("interval month"):
+            out = out.withColumn(
+                c,
+                F.concat(
+                    F.lit("P"),
+                    F.expr(f"extract(YEAR FROM `{c}`)").cast("string"),
+                    F.lit("Y"),
+                    F.expr(f"extract(MONTH FROM `{c}`)").cast("string"),
+                    F.lit("M"),
+                ),
+            )
+        elif dt == "interval":
+            out = out.withColumn(c, F.col(f"`{c}`").cast("string"))
+    return out
+
+
 def _entity_struct(frame: DataFrame, var: str) -> F.Column | None:
     """Bare bound entity variable → its client-facing entity value
     (SURVEY §1.2: NODE/RELATIONSHIP map to a struct carried through the
@@ -1699,7 +1725,7 @@ class Session:
             out = out.orderBy(*_order_keys(order_by, lambda k: F.col(f"`{k}`")))
         if skip is not None:
             out = out.offset(skip)
-        return out if limit is None else out.limit(limit)
+        return _client_collectable(out if limit is None else out.limit(limit))
 
     def _standalone_with(self, q: str) -> DataFrame:
         """``WITH <items> [WHERE pred] [WITH …|UNWIND …]* RETURN …`` with
@@ -3604,7 +3630,7 @@ class Session:
                 out = out.orderBy(*_order_keys(order_by, _resolve))
             if skip is not None:
                 out = out.offset(skip)
-            return out if limit is None else out.limit(limit)
+            return _client_collectable(out if limit is None else out.limit(limit))
 
         keys, aggs, post, entities = _parse_items(ret, _resolve)
         ent_map = dict(entities)  # alias -> bound var
@@ -3670,7 +3696,7 @@ class Session:
                 )
             if skip is not None:
                 out = out.offset(skip)
-            return out if limit is None else out.limit(limit)
+            return _client_collectable(out if limit is None else out.limit(limit))
 
         # ORDER BY may reference projected aliases (sort after projection)
         # or unprojected pattern props (sort the full binding first).
@@ -3744,4 +3770,4 @@ class Session:
             out = out.offset(skip)
         if limit is not None:
             out = out.limit(limit)
-        return out
+        return _client_collectable(out)

@@ -363,11 +363,48 @@ def localtime(x=None) -> Column:
     return time(x)
 
 
+def _duration_from_parts(
+    years: int, months: int, weeks: int, days: int,
+    hours: int, minutes: int, seconds: float,
+) -> Column:
+    """Component-dependent interval type (r11 — SURVEY §1.2 DURATION) so
+    values COLLECT instead of hitting CalendarIntervalType's missing
+    ``fromInternal``:
+
+    - day/time-only → ``DayTimeIntervalType`` (client value: timedelta;
+      day-only additionally casts to ``INTERVAL DAY`` so ``date + d``
+      stays a DATE, not a timestamp),
+    - month-only → ``YearMonthIntervalType`` (date arithmetic JVM-side;
+      the façade projection renders it as ISO-8601 text for clients —
+      PySpark lacks its ``fromInternal`` too),
+    - mixed month+day → ``CalendarInterval``: the one Spark type that
+      adds both components; arithmetic-only, projected as text.
+    """
+    has_ym = bool(years or months)
+    has_d = bool(weeks or days)
+    has_t = bool(hours or minutes or seconds)
+    if has_ym and (has_d or has_t):
+        return F.make_interval(
+            F.lit(years), F.lit(months), F.lit(weeks), F.lit(days),
+            F.lit(hours), F.lit(minutes), F.lit(float(seconds)),
+        )
+    if has_ym:
+        return F.make_ym_interval(F.lit(years), F.lit(months))
+    if has_t:
+        return F.make_dt_interval(
+            F.lit(weeks * 7 + days), F.lit(hours), F.lit(minutes),
+            F.lit(float(seconds)),
+        )
+    return F.make_dt_interval(F.lit(weeks * 7 + days)).cast("interval day")
+
+
 def duration(spec: str) -> Column:
-    """Cypher ``duration('P1Y2M3DT4H5M6S')`` → interval column
-    (``make_interval``), so ``date()/datetime() + duration()`` arithmetic
-    runs JVM-side. Accepts the ISO-8601 subset Cypher uses: Y/M/W/D date
-    parts, H/M/S time parts (S may be fractional)."""
+    """Cypher ``duration('P1Y2M3DT4H5M6S')`` / unit-map form → interval
+    column, so ``date()/datetime() + duration()`` arithmetic runs
+    JVM-side; the interval TYPE depends on the components so the value
+    collects (see :func:`_duration_from_parts`). Accepts the ISO-8601
+    subset Cypher uses: Y/M/W/D date parts, H/M/S time parts (S may be
+    fractional)."""
     global _ISO_DURATION_RE
     import re as _re
 
@@ -389,14 +426,10 @@ def duration(spec: str) -> Column:
         secs = float(spec.get("seconds", 0)) + float(
             spec.get("milliseconds", 0)
         ) / 1000.0
-        return F.make_interval(
-            F.lit(int(spec.get("years", 0))),
-            F.lit(int(spec.get("months", 0))),
-            F.lit(int(spec.get("weeks", 0))),
-            F.lit(int(spec.get("days", 0))),
-            F.lit(int(spec.get("hours", 0))),
-            F.lit(int(spec.get("minutes", 0))),
-            F.lit(secs),
+        return _duration_from_parts(
+            int(spec.get("years", 0)), int(spec.get("months", 0)),
+            int(spec.get("weeks", 0)), int(spec.get("days", 0)),
+            int(spec.get("hours", 0)), int(spec.get("minutes", 0)), secs,
         )
     if not isinstance(spec, str):
         raise TypeError(
@@ -406,14 +439,9 @@ def duration(spec: str) -> Column:
     if m is None or spec.strip() == "P":
         raise ValueError(f"invalid ISO-8601 duration: {spec!r}")
     y, mo, w, d, h, mi, s = m.groups()
-    return F.make_interval(
-        F.lit(int(y or 0)),
-        F.lit(int(mo or 0)),
-        F.lit(int(w or 0)),
-        F.lit(int(d or 0)),
-        F.lit(int(h or 0)),
-        F.lit(int(mi or 0)),
-        F.lit(float(s or 0)),
+    return _duration_from_parts(
+        int(y or 0), int(mo or 0), int(w or 0), int(d or 0),
+        int(h or 0), int(mi or 0), float(s or 0),
     )
 
 
@@ -431,12 +459,42 @@ def duration_between_days(a, b) -> Column:
     return F.datediff(_c(b), _c(a)).cast("long")
 
 
+def duration_between(a, b) -> Column:
+    """``duration.between(a, b)`` → DayTimeIntervalType (r11): the same
+    collectable day/time shape :func:`duration` returns — timestamp
+    subtraction is a day-to-second interval JVM-side, clients get a
+    timedelta / ISO-8601 text on the wire."""
+    return F.to_timestamp(_c(b)) - F.to_timestamp(_c(a))
+
+
 # ---------------------------------------------------------------- spatial ----
 # POINT as a plain struct + function shims (SURVEY §7.2 "custom types").
 
-def point(x, y) -> Column:
-    """point({x: …, y: …}) → struct<x double, y double> (cartesian CRS)."""
-    return F.struct(_c(x).cast("double").alias("x"), _c(y).cast("double").alias("y"))
+def point(x, y=None) -> Column:
+    """``point({x: …, y: …})`` (the documented Neo4j surface — r11) or
+    positional ``point(x, y)`` → struct<x double, y double> (cartesian
+    CRS). The map form also accepts WGS-84 names ({longitude, latitude}
+    → x/y). Non-map single arguments fail as a semantic error, not a
+    Python TypeError."""
+    if isinstance(x, dict) and y is None:
+        keys = set(x)
+        if keys >= {"x", "y"}:
+            x, y = x["x"], x["y"]
+        elif keys >= {"longitude", "latitude"}:
+            x, y = x["longitude"], x["latitude"]
+        else:
+            raise ValueError(
+                "point() map needs x/y or longitude/latitude keys, "
+                f"got {sorted(keys)}"
+            )
+    if y is None:
+        raise ValueError("point() takes (x, y) or a {x, y} map")
+
+    def lift(v) -> Column:
+        c = _c(v)
+        return c if isinstance(c, Column) else F.lit(c)
+
+    return F.struct(lift(x).cast("double").alias("x"), lift(y).cast("double").alias("y"))
 
 
 def point_x(p) -> Column:
@@ -445,6 +503,16 @@ def point_x(p) -> Column:
 
 def point_y(p) -> Column:
     return _c(p)["y"]
+
+
+def point_within_bbox(p, lower_left, upper_right) -> Column:
+    """point.withinBBox(p, ll, ur) — inclusive cartesian bounding box."""
+    return (
+        (point_x(p) >= point_x(lower_left))
+        & (point_x(p) <= point_x(upper_right))
+        & (point_y(p) >= point_y(lower_left))
+        & (point_y(p) <= point_y(upper_right))
+    )
 
 
 def point_distance(a, b) -> Column:

@@ -28,6 +28,10 @@ from .cypher.session import Session
 
 def _jsonable(v):
     """Row value → JSON-serializable (dates/decimals/arrays)."""
+    if isinstance(v, datetime.timedelta):
+        from .bolt.server import _iso_duration
+
+        return _iso_duration(v)
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):

@@ -1585,3 +1585,46 @@ def test_varlength_rel_var_size_and_order_by_aggregate(session):
         "ORDER BY count(*) DESC, nm LIMIT 2"
     ).collect()
     assert [r.nm for r in agg] == ["a", "b"]
+
+
+def test_duration_values_collect(session):
+    """r11: durations are first-class client values — day/time durations
+    collect as timedelta, month-only as ISO-8601 text, mixed as readable
+    interval text; arithmetic stays JVM-typed."""
+    import datetime
+
+    r = session.run("RETURN duration({days: 2}) AS d").collect()[0]
+    assert r.d == datetime.timedelta(days=2)
+    r = session.run("RETURN duration('P1DT2H30M') AS d").collect()[0]
+    assert r.d == datetime.timedelta(days=1, hours=2, minutes=30)
+    r = session.run("RETURN duration('P1Y2M') AS d").collect()[0]
+    assert r.d == "P1Y2M"
+    r = session.run(
+        "RETURN duration.between(datetime('2024-01-01 00:00:00'), "
+        "datetime('2024-01-03 06:30:00')) AS d"
+    ).collect()[0]
+    assert r.d == datetime.timedelta(days=2, hours=6, minutes=30)
+    # date + day-only duration stays a DATE
+    r = session.run(
+        "RETURN toString(date('1995-03-15') + duration('P30D')) AS d"
+    ).collect()[0]
+    assert r.d == "1995-04-14"
+
+
+def test_point_map_form_and_safe_errors(session):
+    r = session.run("RETURN point({x: 3.0, y: 4.0}) AS p").collect()[0]
+    assert (r.p.x, r.p.y) == (3.0, 4.0)
+    r = session.run(
+        "RETURN point({longitude: 1.5, latitude: 2.5}) AS p"
+    ).collect()[0]
+    assert (r.p.x, r.p.y) == (1.5, 2.5)
+    r = session.run(
+        "RETURN point.withinBBox(point({x: 1, y: 1}), point({x: 0, y: 0}), "
+        "point({x: 2, y: 2})) AS i"
+    ).collect()[0]
+    assert r.i is True
+    # façade-safe errors: raw Python TypeError must not leak (r11)
+    with pytest.raises(ValueError):
+        session.run("RETURN point(1) AS p")
+    with pytest.raises(ValueError, match="longitude"):
+        session.run("RETURN point({a: 1}) AS p")
