@@ -107,6 +107,10 @@ _NEW_THIS_ROUND: list[str] = [
     "cypher_path_entities",
     # r11: durations collect as client values (dt interval / ISO ym text)
     "cypher_duration_values",
+    # r11: write-then-continue pipelines (SET … WITH … RETURN)
+    "cypher_set_with_continue",
+    # r11: FOREACH over expression lists (range(…) etc.)
+    "cypher_foreach_range_readback",
 ]
 
 

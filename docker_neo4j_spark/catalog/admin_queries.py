@@ -1319,6 +1319,53 @@ def write_merge_rel_batch(spark, sf_dir):
 
 
 @register(
+    "cypher_foreach_range_readback",
+    """
+    SELECT CAST(5 AS BIGINT) AS n, CAST(55 AS BIGINT) AS sq_sum
+    """,
+)
+def cypher_foreach_range_readback(spark, sf_dir):
+    """FOREACH over an EXPRESSION list (r11 — VERDICT r10 task 8):
+    ``FOREACH (i IN range(1, 5) | CREATE …)`` evaluates the list once
+    through the unified compiler (driver-side bounded by definition) and
+    iterates the write clause; readback aggregates the created nodes."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("FOREACH (i IN range(1, 5) | CREATE (:FSeq {n: i, sq: i * i}))")
+    out = s.run("MATCH (x:FSeq) RETURN count(*), sum(x.sq)")
+    return out.select(
+        F.col("`count(*)`").cast("long").alias("n"),
+        F.col("`sum(x.sq)`").cast("long").alias("sq_sum"),
+    )
+
+
+@register(
+    "cypher_set_with_continue",
+    """
+    SELECT n_name AS name, CAST(n_nationkey * 2 AS BIGINT) AS score
+    FROM nation WHERE n_nationkey * 2 >= 20 ORDER BY name
+    """,
+)
+def cypher_set_with_continue(spark, sf_dir):
+    """Write-then-continue pipeline (r11 — VERDICT r10 task 6): ``MATCH …
+    SET … WITH … RETURN`` — the SET's read-your-writes overlay feeds the
+    WITH stage (filter on the freshly-written value), one set-based
+    property update + shared stage machinery, never a per-row loop."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "MATCH (n:Nation) SET n.score = n.n_nationkey * 2 "
+        "WITH n WHERE n.score >= 20 "
+        "RETURN n.n_name AS name, n.score AS score ORDER BY name"
+    )
+    return out.select("name", F.col("score").cast("long").alias("score"))
+
+
+@register(
     "cypher_duration_values",
     """
     SELECT CAST(2 AS BIGINT) AS d2_days,

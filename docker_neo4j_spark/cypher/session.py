@@ -909,24 +909,61 @@ class Session:
         raise ValueError(f"Unsupported Cypher statement: {cypher!r}")
 
     def _foreach(self, q: str) -> DataFrame:
-        """Standalone ``FOREACH (x IN <list> | <update clause>)`` — the
-        openCypher write-iteration clause. The list must be a literal or
-        parameter-substituted literal (the façade substitutes ``$param``
-        before dispatch); each element executes the inner update clause
-        with ``x`` bound, via literal substitution into the existing
-        write paths (CREATE/MERGE/SET/DELETE). Iteration count is the
-        literal's length — a driver loop bounded by the statement text,
-        never by table data (data-driven bulk writes use the UNWIND
-        batch paths instead)."""
+        """Standalone ``FOREACH (x IN <list-expr> | <update clause>)`` —
+        the openCypher write-iteration clause. The list is ANY closed
+        expression (r11 — literal, ``range(1, 3)``, parameter-substituted
+        list, nested functions): it evaluates ONCE through the unified
+        compiler over a unit row, so the iteration count is bounded by
+        the statement text, never by table data (data-driven bulk writes
+        use the UNWIND batch paths instead). Each element executes the
+        inner update clause with the variable bound via literal
+        substitution into the existing write paths
+        (CREATE/MERGE/SET/DELETE)."""
         m = re.match(
-            r"FOREACH\s*\(\s*(?P<var>\w+)\s+IN\s+(?P<list>\[.*?\])\s*\|\s*(?P<body>.+)\)\s*$",
+            r"FOREACH\s*\(\s*(?P<var>\w+)\s+IN\s+(?P<rest>.+)\)\s*$",
             q,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"Unsupported FOREACH syntax: {q!r}")
-        values = _eval_prop_map(self.spark, {"_l": _parse_value(m.group("list"))})["_l"]
-        var, body = m.group("var"), m.group("body").strip()
+        rest = m.group("rest")
+        # split on the first depth-0 '|' (quote-safe: quoted spans are
+        # atomic lexer tokens)
+        from .lexer import tokenize as _tokenize
+
+        depth, split_at = 0, None
+        for t in _tokenize(rest):
+            if t.kind == "punct":
+                if t.text in "([{":
+                    depth += 1
+                elif t.text in ")]}":
+                    depth -= 1
+                elif t.text == "|" and depth == 0:
+                    split_at = t.pos
+                    break
+        if split_at is None:
+            raise ValueError(f"FOREACH needs '| <update clause>': {q!r}")
+        list_src = rest[:split_at].strip()
+        var, body = m.group("var"), rest[split_at + 1 :].strip()
+
+        def _closed(name: str) -> F.Column:
+            raise ValueError(f"unbound name in FOREACH list: {name!r}")
+
+        row = self.spark.range(1).select(
+            _compile_expr(list_src, _closed).alias("_l")
+        ).collect()
+        values = row[0]["_l"]
+        if values is None:
+            values = []
+        if not isinstance(values, (list, tuple)):
+            raise ValueError(
+                f"FOREACH list expression must yield a list: {list_src!r}"
+            )
+        for v in values:
+            if not (v is None or isinstance(v, (str, bool, int, float))):
+                raise ValueError(
+                    f"FOREACH only iterates scalar elements, got {type(v).__name__}"
+                )
         for v in values:
             if isinstance(v, str):
                 lit = "'" + v.replace("'", "\\'") + "'"
@@ -2061,10 +2098,29 @@ class Session:
         if call_sub is not None:
             bound = self._apply_call_subquery_stage(bound, call_sub)
 
-        # WITH pipelines: each WITH stage projects/aggregates, an optional
-        # WHERE filters the stage output (Cypher's HAVING), and later stages
-        # resolve against the stage's aliases; UNWIND stages explode a list
-        # into rows (SURVEY §2.B.6)
+        bound = self._run_with_stages(bound, pipeline)
+
+        if verb == "CREATE":
+            return self._create_from_binding(tail, bound)
+        if verb == "MERGE":
+            return self._merge_from_binding(tail, bound)
+        if verb == "SET":
+            return self._set_from_binding(tail, bound, elems, remove=False)
+        if verb == "REMOVE":
+            return self._set_from_binding(tail, bound, elems, remove=True)
+        if verb in ("DELETE", "DETACH DELETE"):
+            return self._delete_from_binding(tail, bound, elems, detach="DETACH" in verb)
+
+        if _has_count_subquery(ret):
+            bound, ret = self._apply_count_subqueries(bound, ret)
+        return self._project_match(bound, ret, elems, _frame_resolver(bound))
+
+    def _run_with_stages(self, bound: DataFrame, pipeline: list) -> DataFrame:
+        """WITH pipelines: each WITH stage projects/aggregates, an optional
+        WHERE filters the stage output (Cypher's HAVING), and later stages
+        resolve against the stage's aliases; UNWIND stages explode a list
+        into rows (SURVEY §2.B.6). Shared by the MATCH pipeline and (r11)
+        write-then-continue statements (``MATCH … SET … WITH … RETURN``)."""
         for k2, (kind, stage_src) in enumerate(pipeline):
             if kind == "UNWIND":
                 bound = self._unwind_stage(bound, stage_src)
@@ -2156,21 +2212,7 @@ class Session:
             if tail_match is not None:
                 optional, msrc = tail_match
                 bound = self._bind_additional(bound, msrc, optional, 100 + k2)
-
-        if verb == "CREATE":
-            return self._create_from_binding(tail, bound)
-        if verb == "MERGE":
-            return self._merge_from_binding(tail, bound)
-        if verb == "SET":
-            return self._set_from_binding(tail, bound, elems, remove=False)
-        if verb == "REMOVE":
-            return self._set_from_binding(tail, bound, elems, remove=True)
-        if verb in ("DELETE", "DETACH DELETE"):
-            return self._delete_from_binding(tail, bound, elems, detach="DETACH" in verb)
-
-        if _has_count_subquery(ret):
-            bound, ret = self._apply_count_subqueries(bound, ret)
-        return self._project_match(bound, ret, elems, _frame_resolver(bound))
+        return bound
 
     def _apply_where(self, bound: DataFrame, where_src: str, resolve=None) -> DataFrame:
         """Apply a WHERE clause whose top-level AND terms may mix column
@@ -2590,11 +2632,25 @@ class Session:
         matched binding drives one conditional column update per variable
         (store.set_props_from_frame); never a driver row loop. RHS is any
         expression over the binding (r9, the unified compiler): literals,
-        arithmetic over other properties, CASE, function calls."""
+        arithmetic over other properties, CASE, function calls.
+
+        Write-then-continue (r11 — VERDICT r10 missing #5): ``MATCH … SET
+        … WITH … [MATCH …] RETURN …`` — WITH/UNWIND stages after the SET
+        items run through the shared stage machinery over the overlaid
+        binding (read-your-writes), so a write mid-pipeline no longer has
+        to end the statement."""
         ret = None
         parts = _split_top(tail, "RETURN")
         if len(parts) > 1:
             tail, ret = parts[0].strip(), parts[1].strip()
+        stages, stage_kws = _split_pipeline(tail)
+        pipeline = []
+        if stage_kws:
+            tail = stages[0].strip()
+            pipeline = [
+                (stage_kws[i], stages[i + 1].strip())
+                for i in range(len(stage_kws))
+            ]
         resolve = _frame_resolver(bound)
         per_var: dict[str, dict] = {}
         label_ops: dict[str, tuple[list, list]] = {}  # var -> (add, remove)
@@ -2659,6 +2715,8 @@ class Session:
             # read-your-writes inside this statement's RETURN
             for prop, col in props.items():
                 bound = bound.withColumn(f"{var}_{prop}", col)
+        if pipeline:
+            bound = self._run_with_stages(bound, pipeline)
         if ret is None:
             return local_df(self.spark, [], "ok string")
         return self._project_match(bound, ret, elems, _frame_resolver(bound))

@@ -544,3 +544,37 @@ def test_match_merge_unbound_endpoint_fails_loud(spark):
     s.run("CREATE (:UDog {name:'A'})")
     with pytest.raises(ValueError, match="must be bound"):
         s.run("MATCH (a:UDog) MERGE (a)-[:T]->(b:Other {k: 1})")
+
+
+def test_foreach_expression_lists(spark):
+    """r11: FOREACH iterates ANY closed list expression, not just
+    bracket literals."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("FOREACH (i IN range(1, 3) | CREATE (:FSeqT {n: i}))")
+    got = s.run("MATCH (x:FSeqT) RETURN x.n AS n ORDER BY n").collect()
+    assert [r.n for r in got] == [1, 2, 3]
+    # idempotent MERGE body over a literal list still works
+    for _ in range(2):
+        s.run("FOREACH (w IN ['a', 'b'] | MERGE (:FWord {t: w}))")
+    assert s.run("MATCH (x:FWord) RETURN count(x) AS c").collect()[0].c == 2
+    with pytest.raises(ValueError):
+        s.run("FOREACH (i IN 42 | CREATE (:FBad {n: i}))")
+
+
+def test_set_with_continue_pipeline(spark):
+    """r11: MATCH … SET … WITH … RETURN — write mid-pipeline with
+    read-your-writes feeding the stage filter."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:WC {name:'a', v: 1})")
+    s.run("CREATE (:WC {name:'b', v: 2})")
+    got = s.run(
+        "MATCH (n:WC) SET n.v = n.v * 10 WITH n WHERE n.v >= 20 "
+        "RETURN n.name AS name, n.v AS v"
+    ).collect()
+    assert [(r.name, r.v) for r in got] == [("b", 20)]
+    back = s.run("MATCH (n:WC) RETURN n.name AS name, n.v AS v ORDER BY name").collect()
+    assert [(r.name, r.v) for r in back] == [("a", 10), ("b", 20)]
