@@ -90,6 +90,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     "cypher_temporal",
     "fn_point_suite",
     "fn_temporal_arith",
+    # r11: biconnected root-offset sweep moved onto global_prefix_sum
+    "gds_articulation_points",
+    "gds_bridges",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict

@@ -337,6 +337,50 @@ def global_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_name: str = "_psum",
+    num_partitions: int = 32,
+    exclusive: bool = True,
+) -> DataFrame:
+    """Exact prefix sum of ``value_col`` over a TOTAL order — the same
+    range-repartition + broadcast-offsets shape as :func:`global_rank`,
+    summing values instead of counting rows (r11: the Tarjan–Vishkin
+    root-offset sweep reuses this instead of a SinglePartition window —
+    the root count is |components|-shaped, i.e. |V| on a 100 TB graph of
+    many small components). ``exclusive=True`` gives the sum over
+    strictly-preceding rows (0 for the first)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_gp_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=True)  # pin partition placement
+    w = (
+        Window.partitionBy("_gp_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    d = d.withColumn(
+        "_gp_ls", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    )
+    totals = sorted(
+        (r["_gp_pid"], r["_t"] or 0)
+        for r in d.groupBy("_gp_pid").agg(F.sum(value_col).alias("_t")).collect()
+    )
+    acc, offsets = 0, []
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += t
+    off = local_df(d.sparkSession, offsets or [(0, 0)], "_gp_pid int, _gp_off long")
+    return (
+        d.join(F.broadcast(off), "_gp_pid")
+        .withColumn(out_name, (F.col("_gp_off") + F.col("_gp_ls")).cast("long"))
+        .drop("_gp_pid", "_gp_ls", "_gp_off")
+    )
+
+
 def ntile_exact(
     df: DataFrame,
     order_cols: list,

@@ -2644,12 +2644,17 @@ def biconnected_components(
             F.coalesce(F.sum("nd").over(w_sib), F.lit(0)).alias("off"),
         )
     )
-    w_root = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    # root offsets: exclusive prefix sum of subtree sizes over the roots
+    # (one per connected component — |V|-shaped on a graph of many small
+    # components, so NEVER a SinglePartition window; r11, the same
+    # range-repartition fix dfs_preorder got in r10)
+    from .curation import global_prefix_sum
+
     pre_levels = [
         _ckpt(
-            roots.join(nd_all, "id").select(
-                "id", F.coalesce(F.sum("nd").over(w_root), F.lit(0)).alias("pre")
-            )
+            global_prefix_sum(
+                roots.join(nd_all, "id"), ["id"], "nd", out_name="pre"
+            ).select("id", "pre")
         )
     ]
     cur = pre_levels[0]

@@ -545,3 +545,20 @@ def test_write_tail_projection_is_broadcast_and_local(spark):
     )
     assert df.rdd.getNumPartitions() <= 4
     assert [tuple(r) for r in df.collect()] == [("A", "B")]
+
+
+def test_global_prefix_sum_no_single_partition(spark, sf_dir):
+    """r11: the Tarjan–Vishkin root-offset sweep (and anything else
+    needing an exact global prefix sum) runs through range repartition +
+    broadcast offsets — never an Exchange SinglePartition window."""
+    from docker_neo4j_spark.operators.curation import global_prefix_sum
+    from docker_neo4j_spark.sources.tpch import load_tables
+
+    n = load_tables(spark, sf_dir)["nation"].select(
+        F.col("n_nationkey").alias("id"), F.lit(3).alias("nd")
+    )
+    out = global_prefix_sum(n, ["id"], "nd", out_name="pre")
+    facts = audit(out)
+    assert "Exchange SinglePartition" not in facts.text
+    rows = {r["id"]: r["pre"] for r in out.collect()}
+    assert rows[0] == 0 and rows[24] == 24 * 3  # exclusive, id-ordered
