@@ -114,6 +114,8 @@ _NEW_THIS_ROUND: list[str] = [
     "cypher_set_with_continue",
     # r11: FOREACH over expression lists (range(…) etc.)
     "cypher_foreach_range_readback",
+    # r11: unbound-endpoint relationship MERGE (whole-pattern grow)
+    "cypher_merge_grow_pattern",
 ]
 
 

@@ -1286,6 +1286,37 @@ def cypher_match_merge_rel(spark, sf_dir):
 
 
 @register(
+    "cypher_merge_grow_pattern",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rels,
+           CAST(count(DISTINCT n_name) AS BIGINT) AS n_hubs
+    FROM nation
+    """,
+)
+def cypher_merge_grow_pattern(spark, sf_dir):
+    """Unbound-endpoint relationship MERGE (r11): ``MATCH (n:Nation)
+    MERGE (n)-[:HAS_HUB]->(h:Hub {code: n.n_name})`` — atomic
+    whole-pattern get-or-create per anchor row (one distinct-keys
+    left-anti + one node append + one rel append per statement);
+    re-running creates nothing."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    for _ in range(2):
+        s.run("MATCH (n:Nation) MERGE (n)-[:HAS_HUB]->(h:Hub {code: n.n_name})")
+    out = s.run(
+        "MATCH (n:Nation)-[:HAS_HUB]->(h:Hub) "
+        "RETURN count(*), count(DISTINCT h.code)"
+    )
+    return out.select(
+        F.col("`count(*)`").cast("long").alias("n_rels"),
+        F.col("`count(DISTINCT h.code)`").cast("long").alias("n_hubs"),
+    )
+
+
+@register(
     "write_merge_rel_batch",
     """
     SELECT CAST(30 AS BIGINT) AS n_routes

@@ -3188,13 +3188,21 @@ class Session:
                 "MATCH … MERGE supports one node or one relationship pattern"
             )
         left, rel, right = elems
+        l_bound = bool(left.var and f"{left.var}_id" in bound.columns)
+        r_bound = bool(right.var and f"{right.var}_id" in bound.columns)
+        if l_bound != r_bound:
+            # one unbound endpoint: atomic whole-pattern get-or-create
+            # per anchor row (r11 — the openCypher MERGE contract: a miss
+            # creates the ENTIRE pattern including a fresh leaf node,
+            # even if a node with those properties exists elsewhere)
+            return self._merge_rel_grow(
+                bound, left, rel, right, l_bound, on_create, on_match, ret
+            )
+        if not (l_bound and r_bound):
+            raise ValueError(
+                "MATCH … MERGE needs at least one endpoint bound by the MATCH"
+            )
         for el in (left, right):
-            if not el.var or f"{el.var}_id" not in bound.columns:
-                raise ValueError(
-                    f"MERGE endpoint {el.var or '(anonymous)'!r} must be bound "
-                    "by the MATCH — whole-pattern get-or-create with unbound "
-                    "endpoints is not supported yet"
-                )
             if el.label or el.props:
                 raise ValueError(
                     "MERGE cannot re-specify label/properties on the bound "
@@ -3317,6 +3325,218 @@ class Session:
             if el.var in set_vars:
                 final = self._refresh_node_binding(final, el.var)
         return self._project_match(final, ret, elems, _frame_resolver(final))
+
+    def _merge_rel_grow(
+        self, bound, left, rel, right, l_bound, on_create, on_match, ret
+    ) -> DataFrame:
+        """``MATCH (a) MERGE (a)-[:T]->(b:L {k: expr})`` — relationship
+        MERGE with one UNBOUND endpoint (r11): openCypher atomic
+        whole-pattern semantics, per anchor row. A row whose ENTIRE
+        pattern (typed edge + leaf label + leaf/rel key properties) is
+        absent creates the whole pattern — a FRESH leaf node even when a
+        node with those properties exists elsewhere (the MERGE contract;
+        matching only the leaf would be ``MERGE (b:L …)`` then
+        ``MERGE (a)-[:T]->(b)``).
+
+        Set-based: distinct (anchor, leaf keys, rel keys) tuples
+        left-anti-joined against the pre-statement pattern matches; one
+        ``stage_indexed`` id block + one node append + one rel append for
+        every missing tuple. Branch flags / RETURN re-join the post-write
+        snapshot — immutable frames make pre/post comparison free.
+
+        Divergence (documented): null merge-key values never match
+        (name-list join), so a null-keyed row re-creates per statement —
+        Neo4j rejects null MERGE keys outright."""
+        from .lexer import ExprText as _ET
+        from ..graph import prefix_columns
+
+        anchor, leaf = (left, right) if l_bound else (right, left)
+        if anchor.label or anchor.props:
+            raise ValueError(
+                "MERGE cannot re-specify label/properties on the bound "
+                f"variable {anchor.var!r}"
+            )
+        lvar = leaf.var or f"_anon{self._anon}"
+        self._anon += 1
+        rtype = rel.rel_type or "_"
+        if rel.var and f"{rel.var}_id" in bound.columns:
+            raise ValueError(f"relationship variable {rel.var!r} already bound")
+        rvar = rel.var or f"_anonr{self._anon}"
+        self._anon += 1
+        label = leaf.label or "_"
+        leaf_keys = list((leaf.props or {}).keys())
+        rel_keys = list((rel.props or {}).keys())
+        anchor_is_src = bool(l_bound) != bool(rel.reversed)
+
+        def compiled(v, cur):
+            return (
+                _compile_expr(v.src, _frame_resolver(cur))
+                if isinstance(v, _ET)
+                else _lit_map(v) if isinstance(v, dict) else F.lit(v)
+            )
+
+        frame = bound
+        for k, v in (leaf.props or {}).items():
+            frame = frame.withColumn(f"_mlf_{k}", compiled(v, frame))
+        for k, v in (rel.props or {}).items():
+            frame = frame.withColumn(f"_mrl_{k}", compiled(v, frame))
+        aid = F.col(f"{anchor.var}_id")
+        key_cols = (
+            ["_aid"]
+            + [f"_exl_{k}" for k in leaf_keys]
+            + [f"_exr_{k}" for k in rel_keys]
+        )
+
+        def pattern_keys(g) -> DataFrame | None:
+            """Existing whole-pattern matches as distinct key tuples."""
+            rels_t = g.rels.where(F.col("type") == rtype)
+            leaf_n = (
+                g.nodes.where(F.array_contains(F.col("labels"), label))
+                if leaf.label
+                else g.nodes
+            )
+            if not all(k in leaf_n.columns for k in leaf_keys) or not all(
+                k in rels_t.columns for k in rel_keys
+            ):
+                return None  # a key column no write introduced → no match
+            leaf_sel = leaf_n.select(
+                F.col("id").alias("_lid"),
+                *[F.col(k).alias(f"_exl_{k}") for k in leaf_keys],
+            )
+            rel_sel = rels_t.select(
+                "src", "dst", *[F.col(k).alias(f"_exr_{k}") for k in rel_keys]
+            )
+            leaf_side, anchor_side = (
+                ("dst", "src") if anchor_is_src else ("src", "dst")
+            )
+            return (
+                rel_sel.join(leaf_sel, F.col(leaf_side) == F.col("_lid"))
+                .select(
+                    F.col(anchor_side).alias("_aid"),
+                    *[F.col(f"_exl_{k}") for k in leaf_keys],
+                    *[F.col(f"_exr_{k}") for k in rel_keys],
+                )
+                .dropDuplicates(key_cols)
+            )
+
+        pre_keys = pattern_keys(self.store.graph)
+        want = frame.select(
+            aid.alias("_aid"),
+            *[F.col(f"_mlf_{k}").alias(f"_exl_{k}") for k in leaf_keys],
+            *[F.col(f"_mrl_{k}").alias(f"_exr_{k}") for k in rel_keys],
+        ).dropDuplicates(key_cols)
+        missing = (
+            want if pre_keys is None else want.join(pre_keys, key_cols, "left_anti")
+        )
+        indexed, n = self.store.stage_indexed(missing)
+        if n:
+            nb = self.store.reserve_node_ids(n)
+            self.store.append_nodes(
+                indexed.select(
+                    (F.col("_idx") + F.lit(nb)).alias("id"),
+                    F.array(F.lit(label)).alias("labels"),
+                    *[F.col(f"_exl_{k}").alias(k) for k in leaf_keys],
+                )
+            )
+            rb = self.store.reserve_rel_ids(n)
+            new_id = F.col("_idx") + F.lit(nb)
+            s_col = F.col("_aid") if anchor_is_src else new_id
+            d_col = new_id if anchor_is_src else F.col("_aid")
+            self.store.append_rels(
+                indexed.select(
+                    (F.col("_idx") + F.lit(rb)).alias("id"),
+                    s_col.alias("src"),
+                    d_col.alias("dst"),
+                    F.lit(rtype).alias("type"),
+                    *[F.col(f"_exr_{k}").alias(k) for k in rel_keys],
+                )
+            )
+        if not (on_create or on_match) and ret is None:
+            return local_df(self.spark, [], "ok string")
+
+        def pattern_join(g) -> DataFrame:
+            """Per-row pattern binding against a store snapshot: anchor
+            id + key props equi-joined to (rel × leaf) — fans out on
+            multiple matches, Cypher's MERGE-as-MATCH cardinality."""
+            rels_t = g.rels.where(F.col("type") == rtype)
+            leaf_n = (
+                g.nodes.where(F.array_contains(F.col("labels"), label))
+                if leaf.label
+                else g.nodes
+            )
+            pl = prefix_columns(leaf_n, lvar)
+            pr = prefix_columns(rels_t, rvar)
+            leaf_side, anchor_side = (
+                (f"{rvar}_dst", f"{rvar}_src")
+                if anchor_is_src
+                else (f"{rvar}_src", f"{rvar}_dst")
+            )
+            pat = pr.join(pl, F.col(leaf_side) == F.col(f"{lvar}_id"))
+            cond = F.col(anchor_side) == aid
+            for k in leaf_keys:
+                cond = cond & F.col(f"_mlf_{k}").eqNullSafe(F.col(f"{lvar}_{k}"))
+            for k in rel_keys:
+                cond = cond & F.col(f"_mrl_{k}").eqNullSafe(F.col(f"{rvar}_{k}"))
+            return frame.join(pat, cond).drop(
+                *[f"_mlf_{k}" for k in leaf_keys],
+                *[f"_mrl_{k}" for k in rel_keys],
+            )
+
+        if on_create or on_match:
+            joined = pattern_join(self.store.graph)
+            if pre_keys is None:
+                flagged = joined.withColumn("_mrg_created", F.lit(True))
+            else:
+                pre_hit = pre_keys.select(
+                    F.col("_aid").alias("_ph_aid"),
+                    *[F.col(f"_exl_{k}").alias(f"_ph_l_{k}") for k in leaf_keys],
+                    *[F.col(f"_exr_{k}").alias(f"_ph_r_{k}") for k in rel_keys],
+                ).withColumn("_pre_hit", F.lit(True))
+                cond = aid == F.col("_ph_aid")
+                for k in leaf_keys:
+                    cond = cond & F.col(f"{lvar}_{k}").eqNullSafe(
+                        F.col(f"_ph_l_{k}")
+                    )
+                for k in rel_keys:
+                    cond = cond & F.col(f"{rvar}_{k}").eqNullSafe(
+                        F.col(f"_ph_r_{k}")
+                    )
+                flagged = joined.join(pre_hit, cond, "left").withColumn(
+                    "_mrg_created", F.coalesce(~F.col("_pre_hit"), F.lit(True))
+                ).drop(
+                    "_pre_hit", "_ph_aid",
+                    *[f"_ph_l_{k}" for k in leaf_keys],
+                    *[f"_ph_r_{k}" for k in rel_keys],
+                )
+            for created_branch, assigns in ((True, on_create), (False, on_match)):
+                if not assigns:
+                    continue
+                subset = flagged.where(F.col("_mrg_created") == created_branch)
+                for var, props in assigns.items():
+                    if f"{var}_id" not in subset.columns:
+                        raise ValueError(
+                            f"ON SET variable {var!r} is not in the pattern"
+                        )
+                    g2 = subset
+                    for p, rhs_src in props.items():
+                        g2 = g2.withColumn(
+                            f"_set_{p}", _compile_expr(rhs_src, _frame_resolver(g2))
+                        )
+                    vals = g2.select(
+                        F.col(f"{var}_id").alias("id"),
+                        *[F.col(f"_set_{p}").alias(p) for p in props],
+                    )
+                    if var == rvar:
+                        self.store.set_rel_props_from_frame(vals, list(props))
+                    else:
+                        self.store.set_props_from_frame(vals, list(props))
+        if ret is None:
+            return local_df(self.spark, [], "ok string")
+        final = pattern_join(self.store.graph)
+        leaf.var = lvar  # entity metadata for the shared funnel
+        return self._project_match(
+            final, ret, [left, rel, right], _frame_resolver(final)
+        )
 
     def _refresh_node_binding(self, frame: DataFrame, var: str) -> DataFrame:
         """Re-join a node variable's ``{var}_*`` columns from the CURRENT

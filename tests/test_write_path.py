@@ -578,3 +578,38 @@ def test_set_with_continue_pipeline(spark):
     assert [(r.name, r.v) for r in got] == [("b", 20)]
     back = s.run("MATCH (n:WC) RETURN n.name AS name, n.v AS v ORDER BY name").collect()
     assert [(r.name, r.v) for r in back] == [("a", 10), ("b", 20)]
+
+
+def test_merge_grow_unbound_endpoint(spark):
+    """r11: MATCH (a) MERGE (a)-[:T]->(b:L {k: expr}) — atomic
+    whole-pattern get-or-create per anchor row; a miss creates a FRESH
+    leaf even if a node with those props exists elsewhere."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    for name, city in (("ann", "oslo"), ("bob", "oslo"), ("cat", "rome")):
+        s.run(f"CREATE (:GPers {{name:'{name}', city:'{city}'}})")
+    # an unrelated City node with a matching prop must NOT be reused
+    s.run("CREATE (:GCity {name:'oslo'})")
+    for _ in range(2):
+        s.run("MATCH (p:GPers) MERGE (p)-[:LIVES_IN]->(c:GCity {name: p.city})")
+    # 1 pre-existing + 3 fresh (one per anchor; atomic pattern semantics)
+    assert s.run("MATCH (c:GCity) RETURN count(c) AS n").collect()[0].n == 4
+    assert (
+        s.run("MATCH (:GPers)-[r:LIVES_IN]->(:GCity) RETURN count(r) AS n")
+        .collect()[0].n == 3
+    )
+    # ON CREATE / ON MATCH branches + RETURN over the grown binding
+    stmt = (
+        "MATCH (p:GPers {name:'ann'}) MERGE (p)-[:OWNS]->(d:GDog {name:'rex'}) "
+        "ON CREATE SET d.new = 1 ON MATCH SET d.new = 0 "
+        "RETURN d.name AS dn, d.new AS new"
+    )
+    assert [tuple(r) for r in s.run(stmt).collect()] == [("rex", 1)]
+    assert [tuple(r) for r in s.run(stmt).collect()] == [("rex", 0)]
+    # reversed arrow grows on the correct side
+    s.run("MATCH (p:GPers {name:'bob'}) MERGE (p)<-[:MANAGES]-(m:GMgr {name:'zed'})")
+    got = s.run(
+        "MATCH (m:GMgr)-[:MANAGES]->(p:GPers) RETURN m.name AS mn, p.name AS pn"
+    ).collect()
+    assert [tuple(r) for r in got] == [("zed", "bob")]
