@@ -136,6 +136,11 @@ def _scoped(resolve, _entity_vars=(), **binds):
                     ).cast("string")
                 # struct element (UNWIND'd map literals etc.): direct field
                 return el[rest]
+        m = re.match(r"(id|labels|type)\(\s*(\w+)\s*\)$", name)
+        if m and m.group(2) in _entity_vars:
+            # id(n)/labels(n)/type(n) over an entity lambda element —
+            # direct struct fields (r11)
+            return binds[m.group(2)][m.group(1)]
         return resolve(name)
 
     return sub

@@ -2639,18 +2639,7 @@ class Session:
         items run through the shared stage machinery over the overlaid
         binding (read-your-writes), so a write mid-pipeline no longer has
         to end the statement."""
-        ret = None
-        parts = _split_top(tail, "RETURN")
-        if len(parts) > 1:
-            tail, ret = parts[0].strip(), parts[1].strip()
-        stages, stage_kws = _split_pipeline(tail)
-        pipeline = []
-        if stage_kws:
-            tail = stages[0].strip()
-            pipeline = [
-                (stage_kws[i], stages[i + 1].strip())
-                for i in range(len(stage_kws))
-            ]
+        tail, pipeline, ret = self._split_write_tail(tail)
         resolve = _frame_resolver(bound)
         per_var: dict[str, dict] = {}
         label_ops: dict[str, tuple[list, list]] = {}  # var -> (add, remove)
@@ -2727,10 +2716,7 @@ class Session:
         """Set-based ``MATCH … [DETACH] DELETE v[, w]`` — matched ids are
         anti-joined out of the store in one swap per variable. Plain DELETE
         of a node that still has relationships raises, matching Cypher."""
-        ret = None
-        parts = _split_top(tail, "RETURN")
-        if len(parts) > 1:
-            tail, ret = parts[0].strip(), parts[1].strip()
+        tail, pipeline, ret = self._split_write_tail(tail)
         rel_vars = {el.var for el in elems if isinstance(el, _Rel) and el.var}
         for var in (v.strip() for v in tail.split(",")):
             if f"{var}_id" not in bound.columns:
@@ -2740,6 +2726,8 @@ class Session:
                 self.store.delete_rels_by_ids(ids)
             else:
                 self.store.delete_nodes_by_ids(ids, detach=detach)
+        if pipeline:
+            bound = self._run_with_stages(bound, pipeline)
         if ret is None:
             return local_df(self.spark, [], "ok string")
         return self._project_match(bound, ret, elems, _frame_resolver(bound))
@@ -3046,14 +3034,13 @@ class Session:
         """Set-based ``MATCH … CREATE …`` (SURVEY §2.B.13): one new node/rel
         per binding row, id-assigned distributed (``stage_indexed``) and
         appended in ONE batch per pattern element — the binding frame is
-        never collected to the driver, so a 10⁶-row MATCH binds fine."""
+        never collected to the driver, so a 10⁶-row MATCH binds fine.
+
+        Write-then-continue (r11): ``MATCH … CREATE … WITH … RETURN``
+        runs the shared stage machinery over the post-write binding."""
         from .lexer import ExprText as _ET
 
-        ret = None
-        h_ret = _find_kw(tail, "RETURN")
-        if h_ret:
-            ret = tail[h_ret[1]:].strip()
-            tail = tail[: h_ret[0]].strip()
+        tail, pipeline, ret = self._split_write_tail(tail)
         elems, rest = _parse_pattern(tail)
         if rest:
             raise ValueError(f"trailing content after CREATE pattern: {rest!r}")
@@ -3111,9 +3098,30 @@ class Session:
                     ],
                 )
             )
+        if pipeline:
+            frame = self._run_with_stages(frame.drop("_idx"), pipeline)
         if ret is None:
             return local_df(self.spark, [], "ok string")
-        return self._project_match(frame.drop("_idx"), ret, elems, _frame_resolver(frame))
+        out = frame.drop("_idx") if "_idx" in frame.columns else frame
+        return self._project_match(out, ret, elems, _frame_resolver(out))
+
+    @staticmethod
+    def _split_write_tail(tail: str) -> tuple[str, list, str | None]:
+        """RETURN + WITH/UNWIND stage extraction shared by the write
+        tails (r11 write-then-continue): returns (clause_src, pipeline,
+        ret) where pipeline is [(kind, stage_src), …]."""
+        ret = None
+        parts = _split_top(tail, "RETURN")
+        if len(parts) > 1:
+            tail, ret = parts[0].strip(), parts[1].strip()
+        stages, kws = _split_pipeline(tail)
+        pipeline = []
+        if kws:
+            tail = stages[0].strip()
+            pipeline = [
+                (kws[i], stages[i + 1].strip()) for i in range(len(kws))
+            ]
+        return tail, pipeline, ret
 
     @staticmethod
     def _split_on_set(tail: str) -> tuple[str, dict, dict]:

@@ -613,3 +613,25 @@ def test_merge_grow_unbound_endpoint(spark):
         "MATCH (m:GMgr)-[:MANAGES]->(p:GPers) RETURN m.name AS mn, p.name AS pn"
     ).collect()
     assert [tuple(r) for r in got] == [("zed", "bob")]
+
+
+def test_create_delete_with_continue(spark):
+    """r11: write-then-continue extends to CREATE and DELETE tails."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:CSrc {name:'a', v: 1})")
+    s.run("CREATE (:CSrc {name:'b', v: 2})")
+    out = s.run(
+        "MATCH (n:CSrc) CREATE (c:CCopy {name: n.name, v: n.v * 100}) "
+        "WITH c WHERE c.v >= 200 RETURN c.name AS name, c.v AS v"
+    ).collect()
+    assert [tuple(r) for r in out] == [("b", 200)]
+    assert s.run("MATCH (c:CCopy) RETURN count(c) AS n").collect()[0].n == 2
+    out = s.run(
+        "MATCH (n:CSrc {name:'a'}) DELETE n WITH 1 AS one RETURN count(*) AS c"
+    ).collect()
+    assert out[0].c == 1
+    assert [
+        r.name for r in s.run("MATCH (n:CSrc) RETURN n.name AS name").collect()
+    ] == ["b"]
