@@ -238,6 +238,20 @@ def _frame_resolver(frame: DataFrame):
                     # map column (UNWIND over a literal map list — r10):
                     # row.a is key access
                     return F.element_at(F.col(f"`{var}`"), F.lit(prop))
+                if dt.typeName().startswith("daytimeinterval") or (
+                    dt.typeName() == "yearmonthinterval"
+                ):
+                    # duration component accessors (r11): d.days etc. via
+                    # JVM extract over the interval column
+                    unit = {
+                        "years": "YEAR", "months": "MONTH", "days": "DAY",
+                        "hours": "HOUR", "minutes": "MINUTE",
+                        "seconds": "SECOND",
+                    }.get(prop)
+                    if unit:
+                        return F.expr(
+                            f"extract({unit} FROM `{var}`)"
+                        ).cast("long")
             if f"{var}_id" in cols:
                 # bound variable, property no write has introduced → null
                 # (Cypher: accessing a missing property yields null)

@@ -133,6 +133,13 @@ HEAVY = [
     "cypher_collect_entities",
     "cypher_stdev_percentile",
     "cypher_call_subquery_correlated",
+    # r11 additions: path-entity materialization (posexplode + regroup +
+    # consecutive-pair rel join), MERGE write tails (left-anti batches),
+    # whole-pattern grow, write-then-continue stage over a write overlay
+    "cypher_path_entities",
+    "cypher_match_merge_rel",
+    "cypher_merge_grow_pattern",
+    "cypher_set_with_continue",
 ]
 
 

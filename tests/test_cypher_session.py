@@ -1628,3 +1628,17 @@ def test_point_map_form_and_safe_errors(session):
         session.run("RETURN point(1) AS p")
     with pytest.raises(ValueError, match="longitude"):
         session.run("RETURN point({a: 1}) AS p")
+
+
+def test_duration_component_accessors(session):
+    """r11: d.days / d.hours / d.minutes extract interval components."""
+    r = session.run(
+        "WITH duration('P2DT3H30M') AS d "
+        "RETURN d.days AS dd, d.hours AS hh, d.minutes AS mm"
+    ).collect()[0]
+    assert (r.dd, r.hh, r.mm) == (2, 3, 30)
+    r = session.run(
+        "WITH duration.between(datetime('2024-01-01 00:00:00'), "
+        "datetime('2024-01-04 05:00:00')) AS d RETURN d.days AS dd"
+    ).collect()[0]
+    assert r.dd == 3
