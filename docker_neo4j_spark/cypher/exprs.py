@@ -882,6 +882,30 @@ class _Parser:
             else:
                 call_args.append(a.col)
 
+        if low in ("tostring", "tostringornull") and len(args) == 1:
+            # toString over a DURATION renders ISO-8601 ('P2DT3H'), not
+            # Spark's INTERVAL literal (r11). Type resolved by a
+            # schema-only select (compile-time, no job).
+            tn = ""
+            try:
+                frame = getattr(self.resolve, "frame", None)
+                if frame is None:
+                    from pyspark.sql import SparkSession as _SS
+
+                    sp = _SS.getActiveSession()
+                    frame = sp.range(1) if sp else None
+                if frame is not None:
+                    tn = (
+                        frame.select(args[0].col.alias("_t"))
+                        .schema[0]
+                        .dataType.typeName()
+                    )
+            except Exception:
+                tn = ""
+            if tn.startswith("daytimeinterval"):
+                return _V(cf.iso_duration_text(args[0].col, "dt"), is_str=True)
+            if tn == "yearmonthinterval":
+                return _V(cf.iso_duration_text(args[0].col, "ym"), is_str=True)
         if "." in name:
             mapped = DOTTED_FNS.get(name)
             fn = getattr(cf, mapped, None) if mapped else None

@@ -294,18 +294,11 @@ def _client_collectable(out: DataFrame) -> DataFrame:
     text (JVM extract + concat); mixed calendar intervals render via the
     JVM string cast ('1 years 2 months 10 days' — readable, collectable).
     Day-time intervals stay native."""
+    from ..functions.cypher import iso_duration_text
+
     for c, dt in out.dtypes:
         if dt.startswith("interval year") or dt.startswith("interval month"):
-            out = out.withColumn(
-                c,
-                F.concat(
-                    F.lit("P"),
-                    F.expr(f"extract(YEAR FROM `{c}`)").cast("string"),
-                    F.lit("Y"),
-                    F.expr(f"extract(MONTH FROM `{c}`)").cast("string"),
-                    F.lit("M"),
-                ),
-            )
+            out = out.withColumn(c, iso_duration_text(F.col(f"`{c}`"), "ym"))
         elif dt == "interval":
             out = out.withColumn(c, F.col(f"`{c}`").cast("string"))
     return out

@@ -445,6 +445,36 @@ def duration(spec: str) -> Column:
     )
 
 
+def iso_duration_text(c, kind: str) -> Column:
+    """Interval column → ISO-8601 duration text (r11): 'P2DT3H30M',
+    zero components omitted, all-zero → 'PT0S'; ``kind`` is 'dt'
+    (day-time) or 'ym' (year-month). The Neo4j ``toString(duration)``
+    rendering, built from JVM date_part extracts — no Python row path."""
+    c = _c(c)
+    if kind == "ym":
+        y = F.date_part(F.lit("YEAR"), c).cast("long")
+        m = F.date_part(F.lit("MONTH"), c).cast("long")
+        return F.concat(
+            F.lit("P"), y.cast("string"), F.lit("Y"), m.cast("string"), F.lit("M")
+        )
+    c = c.cast("interval day to second")
+    d = F.date_part(F.lit("DAY"), c).cast("long")
+    h = F.date_part(F.lit("HOUR"), c).cast("long")
+    mi = F.date_part(F.lit("MINUTE"), c).cast("long")
+    s = F.date_part(F.lit("SECOND"), c).cast("decimal(18,6)")
+    s_txt = F.regexp_replace(s.cast("string"), r"\.?0+$", "")
+    date_p = F.when(d != 0, F.concat(d.cast("string"), F.lit("D"))).otherwise(F.lit(""))
+    th = F.when(h != 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(F.lit(""))
+    tm = F.when(mi != 0, F.concat(mi.cast("string"), F.lit("M"))).otherwise(F.lit(""))
+    ts = F.when(s != 0, F.concat(s_txt, F.lit("S"))).otherwise(F.lit(""))
+    tpart = F.concat(th, tm, ts)
+    body = F.concat(
+        date_p,
+        F.when(tpart != "", F.concat(F.lit("T"), tpart)).otherwise(F.lit("")),
+    )
+    return F.when(body == "", F.lit("PT0S")).otherwise(F.concat(F.lit("P"), body))
+
+
 def date_trunc(unit: str, x) -> Column:
     return F.date_trunc(unit, _c(x))
 

@@ -1642,3 +1642,15 @@ def test_duration_component_accessors(session):
         "datetime('2024-01-04 05:00:00')) AS d RETURN d.days AS dd"
     ).collect()[0]
     assert r.dd == 3
+
+
+def test_tostring_duration_iso(session):
+    """r11: toString over a duration renders ISO-8601, not Spark's
+    INTERVAL literal."""
+    rows = session.run(
+        "RETURN toString(duration('P2DT3H')) AS a, "
+        "toString(duration('P45M')) AS b, "
+        "toString(duration('PT0S')) AS c, "
+        "toString(duration({days: 1, seconds: 90})) AS d"
+    ).collect()[0]
+    assert (rows.a, rows.b, rows.c, rows.d) == ("P2DT3H", "P3Y9M", "PT0S", "P1DT1M30S")
