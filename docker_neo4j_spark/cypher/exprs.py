@@ -882,6 +882,10 @@ class _Parser:
             else:
                 call_args.append(a.col)
 
+        if low == "exists" and len(args) == 1:
+            # legacy exists(n.prop) in VALUE position (r11) — the WHERE
+            # path already handled it; RETURN exists(a.age) is IS NOT NULL
+            return _V(args[0].col.isNotNull())
         if low in ("tostring", "tostringornull") and len(args) == 1:
             # toString over a DURATION renders ISO-8601 ('P2DT3H'), not
             # Spark's INTERVAL literal (r11). Type resolved by a

@@ -1654,3 +1654,13 @@ def test_tostring_duration_iso(session):
         "toString(duration({days: 1, seconds: 90})) AS d"
     ).collect()[0]
     assert (rows.a, rows.b, rows.c, rows.d) == ("P2DT3H", "P3Y9M", "PT0S", "P1DT1M30S")
+
+
+def test_exists_property_in_value_position(session):
+    """r11: legacy exists(n.prop) evaluates in RETURN position, not just
+    WHERE (IS NOT NULL semantics)."""
+    session.run("CREATE (:ExDog {name:'A', age: 4})")
+    r = session.run(
+        "MATCH (a:ExDog) RETURN exists(a.age) AS e1, exists(a.zz) AS e2"
+    ).collect()[0]
+    assert (r.e1, r.e2) == (True, False)
