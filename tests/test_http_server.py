@@ -55,7 +55,8 @@ def test_http_return_entity_serializes_as_map(spark):
     assert out["errors"] == []
     ent = out["results"][0]["data"][0]["row"][0]
     assert ent["labels"] == ["dog"]
-    assert ent["properties"] == {"name": "Arne", "age": "7"}
+    # typed properties (r11): age arrives as long 7, not '7'
+    assert ent["properties"] == {"name": "Arne", "age": 7}
     assert isinstance(ent["id"], int)
 
 
