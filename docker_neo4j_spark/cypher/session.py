@@ -3674,7 +3674,39 @@ class Session:
             h_m, h_om = _find_kw(src, "MATCH"), _find_kw(src, "OPTIONAL", "MATCH")
             h = h_om if (h_om and (not h_m or h_om[0] <= h_m[0])) else h_m
             if h is None:
-                raise ValueError("CALL subquery: WITH imports need a MATCH body")
+                # expression-only body (r11): CALL { WITH n RETURN <exprs> }
+                # — a pure per-row projection over the imports; compile the
+                # items against the outer frame and attach them
+                h_r = _find_kw(src, "RETURN")
+                if h_r is None:
+                    raise ValueError("CALL subquery must end with RETURN")
+                imports = [
+                    v.strip()
+                    for v in _split_top(src[m_w.end(): h_r[0]], ",")
+                ]
+                for v in imports:
+                    if not re.fullmatch(r"[A-Za-z_]\w*", v) or (
+                        f"{v}_id" not in bound.columns and v not in bound.columns
+                    ):
+                        raise ValueError(
+                            f"CALL subquery import {v!r} is not a bound variable"
+                        )
+                out = bound
+                resolve = _frame_resolver(out)
+                for item in _split_top(src[h_r[1]:].strip(), ","):
+                    item = item.strip()
+                    m_as = re.search(
+                        r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE
+                    )
+                    alias, body_src = (
+                        (m_as.group(1), item[: m_as.start()].strip())
+                        if m_as
+                        else (item, item)
+                    )
+                    out = out.withColumn(
+                        alias, _compile_expr(body_src, resolve)
+                    )
+                return out
             imports = [v.strip() for v in _split_top(src[m_w.end(): h[0]], ",")]
             for v in imports:
                 if not re.fullmatch(r"[A-Za-z_]\w*", v) or (

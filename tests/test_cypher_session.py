@@ -1664,3 +1664,15 @@ def test_exists_property_in_value_position(session):
         "MATCH (a:ExDog) RETURN exists(a.age) AS e1, exists(a.zz) AS e2"
     ).collect()[0]
     assert (r.e1, r.e2) == (True, False)
+
+
+def test_expression_only_call_subquery(session):
+    """r11: CALL { WITH n RETURN <exprs> } with no inner MATCH is a pure
+    per-row projection over the imports."""
+    session.run("CREATE (:EQ {name:'a', v: 1})")
+    session.run("CREATE (:EQ {name:'b', v: 2})")
+    rows = session.run(
+        "MATCH (n:EQ) CALL { WITH n RETURN n.v * 2 AS dbl } "
+        "RETURN n.name AS name, dbl ORDER BY name"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", 2), ("b", 4)]
