@@ -1245,17 +1245,43 @@ class Session:
 
     def _standalone_unwind(self, q: str) -> DataFrame:
         """``UNWIND [..] AS x [UNWIND ..] RETURN ...`` with no MATCH — the
-        pipeline runs over a one-row seed frame."""
+        pipeline runs over a one-row seed frame. A terminal WRITE verb
+        (r11: ``UNWIND ['x','y'] AS w CREATE (:W {t: w})``) dispatches
+        the exploded frame through the shared set-based write tails."""
         h_ret = _find_kw(q, "RETURN")
-        if not h_ret:
-            raise ValueError("UNWIND without RETURN")
-        ret = q[h_ret[1]:].strip()
-        stages = _split_top(q[: h_ret[0]], "UNWIND")
+        w_hits = [
+            (h[0], h[1], " ".join(words))
+            for words in (
+                ("CREATE",), ("MERGE",), ("SET",), ("REMOVE",),
+                ("DETACH", "DELETE"), ("DELETE",),
+            )
+            if (h := _find_kw(q, *words))
+        ]
+        h_write = min(w_hits) if w_hits else None
+        if h_write and (not h_ret or h_write[0] < h_ret[0]):
+            body, verb = q[: h_write[0]], h_write[2]
+            tail = q[h_write[1]:].strip()
+        elif not h_ret:
+            raise ValueError("UNWIND without RETURN or a write clause")
+        else:
+            body, verb, tail = q[: h_ret[0]], None, None
+            ret = q[h_ret[1]:].strip()
+        stages = _split_top(body, "UNWIND")
         bound = self.spark.range(1).select(F.lit(1).alias("_seed"))
         for stage in stages:
             if stage.strip():
                 bound = self._unwind_stage(bound, stage.strip())
         bound = bound.drop("_seed")
+        if verb == "CREATE":
+            return self._create_from_binding(tail, bound)
+        if verb == "MERGE":
+            return self._merge_from_binding(tail, bound)
+        if verb == "SET":
+            return self._set_from_binding(tail, bound, [], remove=False)
+        if verb == "REMOVE":
+            return self._set_from_binding(tail, bound, [], remove=True)
+        if verb in ("DELETE", "DETACH DELETE"):
+            return self._delete_from_binding(tail, bound, [], detach="DETACH" in verb)
         return self._project_match(bound, ret, [], _frame_resolver(bound))
 
     def _call_subquery(self, q: str) -> DataFrame:
@@ -2050,6 +2076,13 @@ class Session:
         # OPTIONAL MATCH segments follow the main pattern (and its WHERE)
         segments = _split_kw(pattern_src, "OPTIONAL", "MATCH")
         pattern_src, optionals = segments[0].strip(), [s.strip() for s in segments[1:]]
+        # consecutive plain MATCH clauses with no WITH between (r11):
+        # ``MATCH p1 [WHERE …] MATCH p2 [WHERE …]`` — each later clause
+        # binds via the shared additional-match join (inner on shared
+        # variables, cartesian when disconnected — the Cypher rule)
+        plain_segs = _split_kw(pattern_src, "MATCH")
+        pattern_src = plain_segs[0].strip()
+        extra_matches = [s.strip() for s in plain_segs[1:]]
         where_src = None
         h_where = _find_kw(pattern_src, "WHERE")
         if h_where:
@@ -2098,6 +2131,8 @@ class Session:
             bound = gbound if bound is None else bound.crossJoin(gbound)
         if where_src:
             bound = self._apply_where(bound, where_src)
+        for j, seg in enumerate(extra_matches):
+            bound = self._bind_additional(bound, seg, False, 300 + j)
         for k, opt in enumerate(optionals):
             # RETURN/ORDER BY resolve purely by column name, so the new
             # `{var}_{prop}` columns are visible without touching `elems`

@@ -1676,3 +1676,33 @@ def test_expression_only_call_subquery(session):
         "RETURN n.name AS name, dbl ORDER BY name"
     ).collect()
     assert [tuple(r) for r in rows] == [("a", 2), ("b", 4)]
+
+
+def test_consecutive_match_clauses(session):
+    """r11: MATCH p1 MATCH p2 with no WITH between — later clauses join
+    on shared variables (cartesian when disconnected, the Cypher rule)."""
+    session.run("CREATE (:CM1 {name:'a'})")
+    session.run("CREATE (:CM2 {name:'b'})")
+    rows = session.run(
+        "MATCH (a:CM1) MATCH (b:CM2) RETURN a.name + b.name AS cat"
+    ).collect()
+    assert [r.cat for r in rows] == ["ab"]
+    rows = session.run(
+        "MATCH (a:CM1) MATCH (b:CM2) WHERE b.name = 'b' "
+        "RETURN a.name AS an, b.name AS bn"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", "b")]
+
+
+def test_unwind_literal_write_tails(session):
+    """r11: UNWIND over a literal list with a terminal write clause —
+    routed through the shared set-based write tails."""
+    session.run("UNWIND ['x', 'y'] AS w CREATE (:UW {t: w})")
+    got = session.run("MATCH (w:UW) RETURN w.t AS t ORDER BY t").collect()
+    assert [r.t for r in got] == ["x", "y"]
+    for _ in range(2):
+        session.run(
+            "UNWIND [{n: 'a', v: 1}, {n: 'b', v: 2}] AS r "
+            "MERGE (:UKV {k: r.n, v: r.v})"
+        )
+    assert session.run("MATCH (x:UKV) RETURN count(*) AS c").collect()[0].c == 2

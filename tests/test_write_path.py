@@ -537,13 +537,19 @@ def test_match_merge_node_tail(spark):
     assert [r.o for r in got] == ["Arne"]
 
 
-def test_match_merge_unbound_endpoint_fails_loud(spark):
+def test_match_merge_needs_an_anchor(spark):
+    """An unbound endpoint grows the pattern (r11) — but a MERGE tail
+    with NO bound endpoint at all still fails loud."""
     from docker_neo4j_spark.cypher.session import Session
 
     s = Session(spark)
     s.run("CREATE (:UDog {name:'A'})")
-    with pytest.raises(ValueError, match="must be bound"):
-        s.run("MATCH (a:UDog) MERGE (a)-[:T]->(b:Other {k: 1})")
+    # one unbound endpoint: whole-pattern get-or-create (idempotent)
+    for _ in range(2):
+        s.run("MATCH (a:UDog) MERGE (a)-[:T]->(b:UOther {k: 1})")
+    assert s.run("MATCH (:UDog)-[r:T]->(:UOther) RETURN count(r) AS n").collect()[0].n == 1
+    with pytest.raises(ValueError, match="at least one endpoint"):
+        s.run("MATCH (a:UDog) MERGE (x:UX)-[:T]->(y:UY)")
 
 
 def test_foreach_expression_lists(spark):
