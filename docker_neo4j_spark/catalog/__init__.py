@@ -93,6 +93,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r11: biconnected root-offset sweep moved onto global_prefix_sum
     "gds_articulation_points",
     "gds_bridges",
+    # r11 late: _match dispatch grew consecutive-MATCH splitting and the
+    # standalone-UNWIND write dispatch — re-grade the pipeline-heavy rows
+    "cypher_multi_match_pipeline",
+    "cypher_with_pipeline",
+    "cypher_unwind",
+    "cypher_call_subquery_correlated",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
