@@ -122,6 +122,10 @@ _NEW_THIS_ROUND: list[str] = [
     "cypher_foreach_range_readback",
     # r11: unbound-endpoint relationship MERGE (whole-pattern grow)
     "cypher_merge_grow_pattern",
+    # r11: GDS CALL execution surface (project → stream) + general
+    # YIELD-WHERE expressions
+    "proc_gds_wcc_stream",
+    "proc_gds_degree_stream",
 ]
 
 

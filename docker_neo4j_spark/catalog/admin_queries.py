@@ -876,6 +876,12 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'gds.graph.drop'
     UNION ALL SELECT 'gds.graph.list'
     UNION ALL SELECT 'gds.graph.project'
+    UNION ALL SELECT 'gds.pageRank.stream'
+    UNION ALL SELECT 'gds.wcc.stream'
+    UNION ALL SELECT 'gds.labelPropagation.stream'
+    UNION ALL SELECT 'gds.louvain.stream'
+    UNION ALL SELECT 'gds.degree.stream'
+    UNION ALL SELECT 'gds.nodeSimilarity.stream'
     UNION ALL SELECT 'dbms.listConfig'
     UNION ALL SELECT 'example.defaultValues'
     """,
@@ -885,6 +891,63 @@ def proc_show_procedures(spark, sf_dir):
     from ..procedures.registry import show_procedures
 
     return show_procedures(spark).select("name")
+
+
+@register(
+    "proc_gds_wcc_stream",
+    """
+    SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS nodeId,
+           CAST(1000000000000 + n_regionkey AS BIGINT) AS componentId
+    FROM nation
+    UNION ALL
+    SELECT CAST(1000000000000 + r_regionkey AS BIGINT),
+           CAST(1000000000000 + r_regionkey AS BIGINT)
+    FROM region
+    ORDER BY nodeId
+    """,
+)
+def proc_gds_wcc_stream(spark, sf_dir):
+    """The GDS CALL execution surface (r11): ``CALL gds.graph.project``
+    then ``CALL gds.wcc.stream('g')`` — the same BSP kernel the
+    DataFrame catalog uses, driven entirely through the Cypher façade.
+    Components of the Nation–Region star graph are each region with its
+    nations (componentId = min node id = the region's id — exact)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('wccg', ['Nation', 'Region'], ['IN_REGION'])")
+    return s.run(
+        "CALL gds.wcc.stream('wccg') YIELD nodeId, componentId "
+        "RETURN nodeId, componentId ORDER BY nodeId"
+    )
+
+
+@register(
+    "proc_gds_degree_stream",
+    """
+    SELECT CAST(1000000000000 + r_regionkey AS BIGINT) AS nodeId,
+           CAST((SELECT count(*) FROM nation n
+                 WHERE n.n_regionkey = r.r_regionkey) AS DOUBLE) AS score
+    FROM region r ORDER BY nodeId
+    """,
+)
+def proc_gds_degree_stream(spark, sf_dir):
+    """``CALL gds.degree.stream('g', 'REVERSE') YIELD … WHERE score > 0``
+    (r11): in-degree over the projected star graph — regions carry their
+    nation counts, zero-degree nations filtered by the general YIELD-WHERE
+    expression (itself new in r11; was key=value only)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('degg', ['Nation', 'Region'], ['IN_REGION'])")
+    return s.run(
+        "CALL gds.degree.stream('degg', 'REVERSE') YIELD nodeId, score "
+        "WHERE score > 0 RETURN nodeId, score ORDER BY nodeId"
+    )
 
 
 @register(

@@ -1694,14 +1694,23 @@ class Session:
         if not m0:
             raise ValueError(f"Unsupported CALL syntax: {q!r}")
         raw, rest = self._scan_call_args(q[m0.end():].strip())
-        m = re.match(
-            r"(?:\s*YIELD\s+(?P<yield>\*|[\w\s,]+?))?"
-            r"(?:\s+WHERE\s+(?P<wkey>[\w.]+)\s*=\s*(?P<wval>'[^']*'|\S+))?"
-            r"(?:\s*RETURN\s+(?P<ret>.+))?\s*$",
-            rest,
-            re.IGNORECASE | re.DOTALL,
-        )
-        if not m:
+        # keyword-split the tail (r11 — replacing the key=value-only WHERE
+        # regex): YIELD cols [WHERE <any expression>] [RETURN items]
+        rest = rest.strip()
+        ret_src = where_src = None
+        h_r = _find_kw(rest, "RETURN")
+        if h_r:
+            ret_src = rest[h_r[1]:].strip()
+            rest = rest[: h_r[0]].strip()
+        h_w = _find_kw(rest, "WHERE")
+        if h_w:
+            where_src = rest[h_w[1]:].strip()
+            rest = rest[: h_w[0]].strip()
+        yield_src = None
+        m_y = re.match(r"YIELD\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if m_y:
+            yield_src = m_y.group(1).strip()
+        elif rest:
             raise ValueError(f"Unsupported CALL syntax: {q!r}")
         name = m0.group("name")
         if name == "dbms.changePassword":
@@ -1717,12 +1726,10 @@ class Session:
                 args[f"arg{i}"] = _parse_value(part.strip())
             args = _eval_prop_map(self.spark, args)
         yield_cols = None
-        if m.group("yield") and m.group("yield").strip() != "*":
+        if yield_src and yield_src != "*":
             # YIELD * keeps every output column (Cypher's shorthand)
-            yield_cols = [c.strip() for c in m.group("yield").split(",")]
+            yield_cols = [c.strip() for c in yield_src.split(",")]
         where = None
-        if m.group("wkey"):
-            where = F.col(m.group("wkey")) == _parse_value(m.group("wval"))
         out = call(
             self.spark,
             name,
@@ -1735,13 +1742,16 @@ class Session:
                 "session": self,
             },
         )
-        if m.group("ret"):
+        if where_src:
+            # any boolean expression over the yielded columns (r11 —
+            # was restricted to one key = value equality), resolved
+            # against the procedure's actual output frame
+            out = out.where(_compile_where(where_src, _frame_resolver(out)))
+        if ret_src:
             # full projection surface over the procedure's columns —
             # expressions, aggregates, ORDER BY/SKIP/LIMIT (r10; was a
             # bare column-name select)
-            out = self._project_match(
-                out, m.group("ret").strip(), [], _frame_resolver(out)
-            )
+            out = self._project_match(out, ret_src, [], _frame_resolver(out))
         return out
 
     # ---- RETURN <expr> ------------------------------------------------

@@ -738,6 +738,141 @@ def _gds_graph_drop(spark: SparkSession, graphName: str = "") -> DataFrame:
     return local_df(spark, [(graphName,)], "graphName string")
 
 
+def _projected_graph(spark: SparkSession, graph_name: str):
+    """(nodes(id), edges(src,dst)) of a named catalog projection, or the
+    GDS error shape when it doesn't exist."""
+    cat = _graphs_for(spark)
+    if graph_name not in cat:
+        raise ValueError(
+            f"Graph with name '{graph_name}' does not exist in the catalog"
+        )
+    nodes, rels, _, _ = cat[graph_name]
+    return nodes.select("id"), rels.select("src", "dst")
+
+
+@procedure(
+    "gds.pageRank.stream",
+    signature=(
+        "gds.pageRank.stream(graphName :: STRING, maxIterations :: INTEGER, "
+        "dampingFactor :: FLOAT) :: (nodeId :: INTEGER, score :: FLOAT)"
+    ),
+    description="PageRank over a projected graph, streamed as (nodeId, score)",
+    defaults={"maxIterations": 15, "dampingFactor": 0.85},
+)
+def _gds_pagerank_stream(
+    spark: SparkSession, graphName: str = "",
+    maxIterations: int = 15, dampingFactor: float = 0.85,
+) -> DataFrame:
+    """r11 — the GDS CALL execution surface: ``CALL gds.pageRank.stream('g')``
+    runs the same BSP kernel the DataFrame catalog uses
+    (`operators/gds.py:pagerank`), over the `gds.graph.project`-ed frames."""
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.pagerank(
+        edges, nodes, iterations=int(maxIterations), damping=float(dampingFactor)
+    )
+    return out.select(
+        F.col("id").alias("nodeId"), F.col("pr").cast("double").alias("score")
+    )
+
+
+@procedure(
+    "gds.wcc.stream",
+    signature="gds.wcc.stream(graphName :: STRING) :: (nodeId :: INTEGER, componentId :: INTEGER)",
+    description="Weakly connected components over a projected graph",
+)
+def _gds_wcc_stream(spark: SparkSession, graphName: str = "") -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.wcc(edges, nodes)
+    return out.select(
+        F.col("id").alias("nodeId"), F.col("comp").alias("componentId")
+    )
+
+
+@procedure(
+    "gds.labelPropagation.stream",
+    signature="gds.labelPropagation.stream(graphName :: STRING, maxIterations :: INTEGER) :: (nodeId :: INTEGER, communityId :: INTEGER)",
+    description="Label propagation over a projected graph",
+    defaults={"maxIterations": 10},
+)
+def _gds_lpa_stream(
+    spark: SparkSession, graphName: str = "", maxIterations: int = 10
+) -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.label_propagation(edges, nodes, max_iter=int(maxIterations))
+    return out.select(
+        F.col("id").alias("nodeId"), F.col("community").alias("communityId")
+    )
+
+
+@procedure(
+    "gds.louvain.stream",
+    signature="gds.louvain.stream(graphName :: STRING) :: (nodeId :: INTEGER, communityId :: INTEGER)",
+    description="Louvain community detection over a projected graph",
+)
+def _gds_louvain_stream(spark: SparkSession, graphName: str = "") -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.louvain(edges, nodes)
+    return out.select(
+        F.col("id").alias("nodeId"), F.col("community").alias("communityId")
+    )
+
+
+@procedure(
+    "gds.degree.stream",
+    signature="gds.degree.stream(graphName :: STRING, orientation :: STRING) :: (nodeId :: INTEGER, score :: FLOAT)",
+    description="Degree centrality over a projected graph (NATURAL/REVERSE/UNDIRECTED)",
+    defaults={"orientation": "NATURAL"},
+)
+def _gds_degree_stream(
+    spark: SparkSession, graphName: str = "", orientation: str = "NATURAL"
+) -> DataFrame:
+    nodes, edges = _projected_graph(spark, graphName)
+    o = orientation.upper()
+    if o == "NATURAL":
+        ends = edges.select(F.col("src").alias("id"))
+    elif o == "REVERSE":
+        ends = edges.select(F.col("dst").alias("id"))
+    elif o == "UNDIRECTED":
+        ends = edges.select(F.col("src").alias("id")).unionAll(
+            edges.select(F.col("dst").alias("id"))
+        )
+    else:
+        raise ValueError(f"unknown orientation {orientation!r}")
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("_d"))
+    return nodes.join(deg, "id", "left").select(
+        F.col("id").alias("nodeId"),
+        F.coalesce(F.col("_d"), F.lit(0)).cast("double").alias("score"),
+    )
+
+
+@procedure(
+    "gds.nodeSimilarity.stream",
+    signature="gds.nodeSimilarity.stream(graphName :: STRING, similarityCutoff :: FLOAT) :: (node1 :: INTEGER, node2 :: INTEGER, similarity :: FLOAT)",
+    description="Jaccard node similarity over a projected graph (bucket-join, never all-pairs)",
+    defaults={"similarityCutoff": 0.0},
+)
+def _gds_node_similarity_stream(
+    spark: SparkSession, graphName: str = "", similarityCutoff: float = 0.0
+) -> DataFrame:
+    from ..operators import gds
+
+    _, edges = _projected_graph(spark, graphName)
+    out = gds.node_similarity(edges, min_jaccard=float(similarityCutoff))
+    return out.select(
+        F.col("node_a").alias("node1"),
+        F.col("node_b").alias("node2"),
+        F.col("jaccard").cast("double").alias("similarity"),
+    )
+
+
 @procedure(
     "db.relationshipTypes",
     signature="db.relationshipTypes() :: (relationshipType :: STRING)",

@@ -632,3 +632,45 @@ def test_call_return_tail_full_projection(spark):
     h = s.run("CALL apoc.help('cypher.run')").collect()
     assert [r.name for r in h] == ["apoc.cypher.run"]
     assert h[0].type == "procedure"
+
+
+def test_gds_stream_procedures_over_projection(spark, sf_dir):
+    """r11: the GDS CALL execution surface — project once, stream
+    pageRank/wcc/louvain/labelPropagation/degree/nodeSimilarity."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.sources.tpch import build_graph
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('sg', ['Nation', 'Region'], ['IN_REGION'])")
+    comps = s.run(
+        "CALL gds.wcc.stream('sg') YIELD nodeId, componentId "
+        "RETURN count(DISTINCT componentId) AS c"
+    ).collect()[0].c
+    assert comps == 5  # one component per region star
+    pr = s.run(
+        "CALL gds.pageRank.stream('sg') YIELD nodeId, score "
+        "RETURN count(*) AS n, round(sum(score)) AS mass"
+    ).collect()[0]
+    assert (pr.n, pr.mass) == (30, 30.0)  # mass conservation
+    deg = s.run(
+        "CALL gds.degree.stream('sg', 'REVERSE') YIELD nodeId, score "
+        "WHERE score > 0 RETURN count(*) AS c, sum(score) AS total"
+    ).collect()[0]
+    assert (deg.c, deg.total) == (5, 25.0)
+    sim = s.run(
+        "CALL gds.nodeSimilarity.stream('sg') YIELD node1, node2, similarity "
+        "RETURN count(*) AS pairs, min(similarity) AS lo"
+    ).collect()[0]
+    assert sim.pairs == 50 and sim.lo == 1.0  # same-region nations identical
+    lpa = s.run(
+        "CALL gds.labelPropagation.stream('sg') YIELD nodeId RETURN count(*) AS n"
+    ).collect()[0].n
+    assert lpa == 30
+    lou = s.run(
+        "CALL gds.louvain.stream('sg') YIELD nodeId, communityId "
+        "RETURN count(DISTINCT communityId) AS c"
+    ).collect()[0].c
+    assert 1 <= lou <= 30
+    with pytest.raises(ValueError, match="does not exist"):
+        s.run("CALL gds.wcc.stream('nope')")
