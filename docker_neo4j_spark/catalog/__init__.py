@@ -126,6 +126,7 @@ _NEW_THIS_ROUND: list[str] = [
     # YIELD-WHERE expressions
     "proc_gds_wcc_stream",
     "proc_gds_degree_stream",
+    "proc_gds_wcc_write",
 ]
 
 

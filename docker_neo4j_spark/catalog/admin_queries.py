@@ -882,6 +882,9 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'gds.louvain.stream'
     UNION ALL SELECT 'gds.degree.stream'
     UNION ALL SELECT 'gds.nodeSimilarity.stream'
+    UNION ALL SELECT 'gds.wcc.write'
+    UNION ALL SELECT 'gds.pageRank.write'
+    UNION ALL SELECT 'gds.bfs.stream'
     UNION ALL SELECT 'dbms.listConfig'
     UNION ALL SELECT 'example.defaultValues'
     """,
@@ -921,6 +924,30 @@ def proc_gds_wcc_stream(spark, sf_dir):
     return s.run(
         "CALL gds.wcc.stream('wccg') YIELD nodeId, componentId "
         "RETURN nodeId, componentId ORDER BY nodeId"
+    )
+
+
+@register(
+    "proc_gds_wcc_write",
+    """
+    SELECT n_name AS name,
+           CAST(1000000000000 + n_regionkey AS BIGINT) AS comp
+    FROM nation ORDER BY name
+    """,
+)
+def proc_gds_wcc_write(spark, sf_dir):
+    """GDS WRITE mode (r11): ``CALL gds.wcc.write('g', 'comp')`` lands the
+    component labels on the live store via one set-based conditional
+    update; the next MATCH reads them back typed."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('wwg', ['Nation', 'Region'], ['IN_REGION'])")
+    s.run("CALL gds.wcc.write('wwg', 'comp')")
+    return s.run(
+        "MATCH (n:Nation) RETURN n.n_name AS name, n.comp AS comp ORDER BY name"
     )
 
 

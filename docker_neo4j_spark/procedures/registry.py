@@ -854,6 +854,89 @@ def _gds_degree_stream(
 
 
 @procedure(
+    "gds.wcc.write",
+    signature=(
+        "gds.wcc.write(graphName :: STRING, writeProperty :: STRING) :: "
+        "(nodePropertiesWritten :: INTEGER, componentCount :: INTEGER)"
+    ),
+    description="WCC over a projected graph, written back as a node property",
+    defaults={"writeProperty": "componentId"},
+)
+def _gds_wcc_write(
+    spark: SparkSession, graphName: str = "",
+    writeProperty: str = "componentId", store=None,
+) -> DataFrame:
+    """r11 — GDS write mode: the component labels land on the live store
+    via one set-based conditional update (set_props_from_frame), readable
+    by the next MATCH."""
+    from ..operators import gds
+
+    if store is None:
+        raise ValueError("gds.wcc.write requires a store context")
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.wcc(edges, nodes)
+    store.set_props_from_frame(
+        out.select("id", F.col("comp").alias(writeProperty)), [writeProperty]
+    )
+    n = out.count()
+    comps = out.select("comp").distinct().count()
+    return local_df(
+        spark, [(n, comps)],
+        "nodePropertiesWritten long, componentCount long",
+    )
+
+
+@procedure(
+    "gds.pageRank.write",
+    signature=(
+        "gds.pageRank.write(graphName :: STRING, writeProperty :: STRING, "
+        "maxIterations :: INTEGER, dampingFactor :: FLOAT) :: "
+        "(nodePropertiesWritten :: INTEGER)"
+    ),
+    description="PageRank over a projected graph, written back as a node property",
+    defaults={"writeProperty": "pagerank", "maxIterations": 15, "dampingFactor": 0.85},
+)
+def _gds_pagerank_write(
+    spark: SparkSession, graphName: str = "", writeProperty: str = "pagerank",
+    maxIterations: int = 15, dampingFactor: float = 0.85, store=None,
+) -> DataFrame:
+    from ..operators import gds
+
+    if store is None:
+        raise ValueError("gds.pageRank.write requires a store context")
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.pagerank(
+        edges, nodes, iterations=int(maxIterations), damping=float(dampingFactor)
+    )
+    store.set_props_from_frame(
+        out.select("id", F.col("pr").cast("double").alias(writeProperty)),
+        [writeProperty],
+    )
+    return local_df(spark, [(out.count(),)], "nodePropertiesWritten long")
+
+
+@procedure(
+    "gds.bfs.stream",
+    signature=(
+        "gds.bfs.stream(graphName :: STRING, sourceNode :: INTEGER) :: "
+        "(nodeId :: INTEGER, distance :: INTEGER)"
+    ),
+    description="BFS hop distances from a source over a projected graph",
+)
+def _gds_bfs_stream(
+    spark: SparkSession, graphName: str = "", sourceNode: int = 0
+) -> DataFrame:
+    from ..operators import gds
+
+    _, edges = _projected_graph(spark, graphName)
+    src = local_df(spark, [(int(sourceNode),)], "id long")
+    out = gds.bfs(edges, src)
+    return out.select(
+        F.col("id").alias("nodeId"), F.col("dist").cast("long").alias("distance")
+    )
+
+
+@procedure(
     "gds.nodeSimilarity.stream",
     signature="gds.nodeSimilarity.stream(graphName :: STRING, similarityCutoff :: FLOAT) :: (node1 :: INTEGER, node2 :: INTEGER, similarity :: FLOAT)",
     description="Jaccard node similarity over a projected graph (bucket-join, never all-pairs)",

@@ -674,3 +674,25 @@ def test_gds_stream_procedures_over_projection(spark, sf_dir):
     assert 1 <= lou <= 30
     with pytest.raises(ValueError, match="does not exist"):
         s.run("CALL gds.wcc.stream('nope')")
+
+
+def test_gds_write_mode_lands_on_store(spark, sf_dir):
+    """r11: gds.wcc.write / gds.pageRank.write land node properties on
+    the live store, readable by the next MATCH."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.sources.tpch import build_graph
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('wg', ['Nation', 'Region'], ['IN_REGION'])")
+    out = s.run("CALL gds.wcc.write('wg', 'comp')").collect()[0]
+    assert (out.nodePropertiesWritten, out.componentCount) == (30, 5)
+    back = s.run(
+        "MATCH (n:Nation) RETURN count(DISTINCT n.comp) AS c"
+    ).collect()[0].c
+    assert back == 5
+    s.run("CALL gds.pageRank.write('wg', 'rank')")
+    ranked = s.run(
+        "MATCH (r:Region) WHERE r.rank > 1 RETURN count(*) AS c"
+    ).collect()[0].c
+    assert ranked == 5  # every region accumulates its nations' mass
