@@ -2721,7 +2721,28 @@ class Session:
                     {k: F.lit(v) for k, v in mapping.items()}
                 )
                 continue
+            m_rep = re.match(r"(\w+)\s*=\s*(\{.*\})\s*$", item, re.DOTALL)
+            if m_rep:
+                # ``SET v = {map}`` — REPLACE semantics (r11): map keys
+                # set, every other stored property of the matched nodes
+                # nulls out (the set-based form of Cypher's property-map
+                # overwrite; += above is the non-destructive merge)
+                var, mapping = m_rep.group(1), _parse_value(m_rep.group(2))
+                if not isinstance(mapping, dict):
+                    raise ValueError(f"SET = expects a map literal: {item!r}")
+                mapping = _eval_prop_map(self.spark, mapping)
+                props = {k: F.lit(v) for k, v in mapping.items()}
+                for c in self.store.graph.nodes.columns:
+                    if c not in ("id", "labels") and c not in mapping:
+                        props[c] = F.lit(None)
+                per_var.setdefault(var, {}).update(props)
+                continue
             lhs, rhs = item.split("=", 1)
+            if "." not in lhs:
+                raise ValueError(
+                    f"SET target must be <var>.<prop>, <var> += {{map}}, "
+                    f"<var> = {{map}}, or <var>:Label — got {item!r}"
+                )
             var, prop = lhs.strip().split(".", 1)
             per_var.setdefault(var, {})[prop] = _compile_expr(rhs.strip(), resolve)
         for var, (adds, rems) in label_ops.items():

@@ -641,3 +641,18 @@ def test_create_delete_with_continue(spark):
     assert [
         r.name for r in s.run("MATCH (n:CSrc) RETURN n.name AS name").collect()
     ] == ["b"]
+
+
+def test_set_replace_all_props(spark):
+    """r11: SET n = {map} replaces the whole property map — unlisted
+    properties null out; += stays the non-destructive merge."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:RP {name:'a', age: 1, extra: 'x'})")
+    got = s.run(
+        "MATCH (n:RP) SET n = {name: 'b', age: 2} "
+        "RETURN n.name AS nm, n.age AS ag, n.extra AS ex"
+    ).collect()[0]
+    assert (got.nm, got.ag, got.ex) == ("b", 2, None)
+    assert s.run("MATCH (n:RP) RETURN keys(n) AS k").collect()[0].k == ["age", "name"]
