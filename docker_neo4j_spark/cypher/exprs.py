@@ -854,6 +854,26 @@ class _Parser:
             m = re.fullmatch(r"nodes\(\s*(\w+)\s*\)", arg_srcs[0])
             if m and m.group(1) in path_vars:
                 return _V(F.size(resolve(arg_srcs[0])))
+            # general expression arg (r11): schema-probe the compiled
+            # column so size(split(…)) / size(collect-ish exprs) route to
+            # the array form — compile-time only, no job
+            try:
+                probe = frame
+                if probe is None:
+                    from pyspark.sql import SparkSession as _SS
+
+                    sp = _SS.getActiveSession()
+                    probe = sp.range(1) if sp else None
+                if probe is not None:
+                    tn = (
+                        probe.select(args[0].col.alias("_t"))
+                        .schema[0]
+                        .dataType.typeName()
+                    )
+                    if tn in ("array", "map"):
+                        return _V(cf.size_list(args[0].col))
+            except Exception:
+                pass
             return _V(cf.size(args[0].col))
 
         # Most arguments pass as Columns (string literals become F.lit,
