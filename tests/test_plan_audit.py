@@ -562,3 +562,22 @@ def test_global_prefix_sum_no_single_partition(spark, sf_dir):
     assert "Exchange SinglePartition" not in facts.text
     rows = {r["id"]: r["pre"] for r in out.collect()}
     assert rows[0] == 0 and rows[24] == 24 * 3  # exclusive, id-ordered
+
+
+def test_r11_rows_stay_distributed(spark, sf_dir, queries):
+    """r11 rows: entity-path materialization, MERGE write tails,
+    whole-pattern grow, write-then-continue, and the GDS stream surface
+    never plan a CartesianProduct or a SinglePartition exchange (the
+    explicit `MATCH (a),(b)` cross in match_merge_rel is a broadcast
+    nested-loop, which is the correct physical shape for it)."""
+    for name in (
+        "cypher_path_entities",
+        "cypher_match_merge_rel",
+        "cypher_merge_grow_pattern",
+        "cypher_set_with_continue",
+        "proc_gds_wcc_stream",
+        "proc_gds_degree_stream",
+    ):
+        facts = audit(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in facts.text, name
+        assert "Exchange SinglePartition" not in facts.text, name
