@@ -2973,8 +2973,27 @@ class Session:
                 pat_src[h_wh[1]:].strip(),
             )
         elems, extra = _parse_pattern(pat_src)
-        if extra or len(elems) != 3:
-            raise ValueError("path binding takes a single (a)-[…]->(b) pattern")
+        if extra:
+            raise ValueError(f"trailing content after path pattern: {extra!r}")
+        if len(elems) != 3:
+            if (
+                len(elems) >= 5
+                and len(elems) % 2 == 1
+                and all(
+                    not isinstance(el, _Rel)
+                    or (el.lo is None and el.hi is None)
+                    for el in elems
+                )
+            ):
+                # fixed-hop chain (r11): statically-known length — the
+                # standard equi-join chain binds it, no BSP enumeration
+                return self._fixed_path_binding(
+                    m.group("pvar"), elems, where_src, ret
+                )
+            raise ValueError(
+                "path binding takes a single (a)-[…]->(b) pattern or a "
+                "fixed-hop chain"
+            )
         a, rel, b = elems
         lo = rel.lo if rel.lo is not None else 1
         hi = rel.hi if rel.hi is not None else (10 if rel.lo is not None else lo)
@@ -3026,6 +3045,65 @@ class Session:
         if where_src:
             joined = joined.where(_compile_where(where_src, resolve))
         return self._project_match(joined, ret, elems, resolve)
+
+    def _fixed_path_binding(
+        self, pvar: str, elems: list, where_src: str | None, ret: str
+    ) -> DataFrame:
+        """``MATCH p = (a)-[:X]->(b)-[:Y]->(c) …`` — FIXED-length chains
+        (r11): the hop count is statically known, so the standard
+        equi-join chain binds the pattern (one broadcastable join per
+        hop, no BSP path enumeration), and the path/node/rel ENTITY
+        columns assemble directly from the bound prefix columns — zero
+        extra shuffles versus the plain MATCH of the same chain."""
+        for el in elems:
+            if not el.var:
+                el.var = (
+                    f"_pn{self._anon}" if isinstance(el, _Node) else f"_pr{self._anon}"
+                )
+                self._anon += 1
+        bound = self._bind(elems, with_rel_ids=True)
+        node_vars = [el.var for el in elems if isinstance(el, _Node)]
+        rel_elems = [el for el in elems if isinstance(el, _Rel)]
+        frame = bound
+        for el in rel_elems:
+            # statically-known type when the pruned rel frame lacks it
+            if f"{el.var}_type" not in frame.columns:
+                frame = frame.withColumn(
+                    f"{el.var}_type", F.lit(el.rel_type or "_")
+                )
+        hops = len(rel_elems)
+        node_ents = [_entity_struct(frame, v) for v in node_vars]
+        rel_ents = [_entity_struct(frame, el.var) for el in rel_elems]
+        if any(e is None for e in node_ents + rel_ents):
+            raise ValueError("path binding could not resolve an entity var")
+        frame = frame.withColumn("_pent_nodes", F.array(*node_ents))
+        frame = frame.withColumn("_pent_rels", F.array(*rel_ents))
+        parts: list[F.Column] = []
+        for i, el in enumerate(elems):
+            if isinstance(el, _Node):
+                parts.append(self._unify_path_node(node_ents[i // 2]))
+            else:
+                parts.append(self._unify_path_rel(rel_ents[i // 2]))
+        frame = frame.withColumn("_pent_path", F.array(*parts))
+        base_resolve = _frame_resolver(frame)
+
+        def resolve(name: str) -> F.Column:
+            if name == pvar:
+                return F.col("_pent_path")
+            mlen = re.match(r"(length|nodes|relationships)\(\s*(\w+)\s*\)$", name)
+            if mlen and mlen.group(2) == pvar:
+                if mlen.group(1) == "length":
+                    return F.lit(hops).cast("long")
+                return F.col(
+                    "_pent_nodes" if mlen.group(1) == "nodes" else "_pent_rels"
+                )
+            return base_resolve(name)
+
+        resolve.frame = frame
+        resolve.path_vars = {pvar}
+        if where_src:
+            frame = frame.where(_compile_where(where_src, resolve))
+        return self._project_match(frame, ret, elems, resolve)
 
     def _shortest_path(self, body: str) -> DataFrame:
         """``MATCH p = shortestPath((a)-[:T*..k]->(b)) RETURN …`` — wired to

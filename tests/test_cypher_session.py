@@ -1706,3 +1706,20 @@ def test_unwind_literal_write_tails(session):
             "MERGE (:UKV {k: r.n, v: r.v})"
         )
     assert session.run("MATCH (x:UKV) RETURN count(*) AS c").collect()[0].c == 2
+
+
+def test_fixed_multihop_path_binding(session):
+    """r11: MATCH p = (a)-[:X]->(b)-[:Y]->(c) — fixed-length chains bind
+    as plain equi-joins with entity path columns (no BSP enumeration)."""
+    session.run("CREATE (a:FHP {name:'a'})-[:X]->(b:FHP {name:'b'})")
+    session.run("MATCH (b:FHP {name:'b'}) CREATE (b)-[:Y]->(c:FHP {name:'c'})")
+    r = session.run(
+        "MATCH p = (a:FHP {name:'a'})-[:X]->(b:FHP)-[:Y]->(c:FHP) "
+        "RETURN [n IN nodes(p) | n.name] AS names, "
+        "[x IN relationships(p) | type(x)] AS ts, length(p) AS len"
+    ).collect()[0]
+    assert (r.names, r.ts, r.len) == (["a", "b", "c"], ["X", "Y"], 2)
+    p = session.run(
+        "MATCH p = (a:FHP {name:'a'})-[:X]->(b)-[:Y]->(c) RETURN p"
+    ).collect()[0].p
+    assert [e.type for e in p] == [None, "X", None, "Y", None]
