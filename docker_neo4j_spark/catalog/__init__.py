@@ -127,6 +127,11 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_gds_wcc_stream",
     "proc_gds_degree_stream",
     "proc_gds_wcc_write",
+    # r11 late: consecutive MATCH, standalone-UNWIND write tails,
+    # expression-only CALL subqueries
+    "cypher_consecutive_match",
+    "cypher_unwind_write_tail",
+    "cypher_expr_call_subquery",
 ]
 
 

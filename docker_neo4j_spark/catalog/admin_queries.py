@@ -1440,6 +1440,79 @@ def write_merge_rel_batch(spark, sf_dir):
 
 
 @register(
+    "cypher_consecutive_match",
+    """
+    SELECT n_name AS nation, r_name AS region,
+           CAST(s_cnt AS BIGINT) AS suppliers
+    FROM nation
+    JOIN region ON r_regionkey = n_regionkey
+    JOIN (SELECT s_nationkey, count(*) AS s_cnt
+          FROM supplier GROUP BY s_nationkey) s ON s.s_nationkey = n_nationkey
+    WHERE n_nationkey < 5
+    ORDER BY nation
+    """,
+)
+def cypher_consecutive_match(spark, sf_dir):
+    """Consecutive plain MATCH clauses with no WITH between (r11): each
+    later clause binds through the shared additional-match join — inner
+    on shared variables, exactly the multi-MATCH pipeline shape."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) WHERE n.n_nationkey < 5 "
+        "MATCH (n)-[:IN_REGION]->(r:Region) "
+        "MATCH (sup:Supplier)-[:IN_NATION]->(n) "
+        "RETURN n.n_name AS nation, r.r_name AS region, "
+        "count(sup) AS suppliers ORDER BY nation"
+    )
+
+
+@register(
+    "cypher_unwind_write_tail",
+    """
+    SELECT t, CAST(v AS BIGINT) AS v FROM (VALUES ('x', 1), ('y', 2)) AS q(t, v)
+    ORDER BY t
+    """,
+)
+def cypher_unwind_write_tail(spark, sf_dir):
+    """Standalone-UNWIND write tails (r11): ``UNWIND [maps] AS r MERGE …``
+    over a literal map list — struct-field access drives the set-based
+    merge; idempotent on re-run."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    for _ in range(2):
+        s.run("UNWIND [{t: 'x', v: 1}, {t: 'y', v: 2}] AS r MERGE (:UW {t: r.t, v: r.v})")
+    return s.run("MATCH (n:UW) RETURN n.t AS t, n.v AS v ORDER BY t")
+
+
+@register(
+    "cypher_expr_call_subquery",
+    """
+    SELECT n_name AS name, CAST(n_nationkey * 2 AS BIGINT) AS dbl
+    FROM nation ORDER BY name
+    """,
+)
+def cypher_expr_call_subquery(spark, sf_dir):
+    """Expression-only CALL subqueries (r11): ``CALL { WITH n RETURN
+    <exprs> }`` with no inner MATCH is a pure per-row projection over
+    the imports."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    out = s.run(
+        "MATCH (n:Nation) CALL { WITH n RETURN n.n_nationkey * 2 AS dbl } "
+        "RETURN n.n_name AS name, dbl ORDER BY name"
+    )
+    return out.select("name", F.col("dbl").cast("long").alias("dbl"))
+
+
+@register(
     "cypher_foreach_range_readback",
     """
     SELECT CAST(5 AS BIGINT) AS n, CAST(55 AS BIGINT) AS sq_sum
