@@ -284,6 +284,50 @@ class _Opts:
                 "file_kafka: startingOffsets 'latest' is not allowed for "
                 "batch queries — the real connector's rule"
             )
+        # endingOffsets (r11): batch-query upper bound — 'latest'
+        # (default) or per-partition JSON with -1 = latest; 'earliest'
+        # and -2 refused, and a STREAMING query with endingOffsets set
+        # throws — all real-connector rules
+        raw_end = options.get("endingOffsets")
+        self.ending = "latest"
+        self.ending_json = None
+        if raw_end is not None and not for_write:
+            if not for_batch:
+                raise ValueError(
+                    "file_kafka: endingOffsets is not allowed in streaming "
+                    "queries — the real connector's rule"
+                )
+            r = raw_end.strip()
+            if r.startswith("{"):
+                try:
+                    self.ending_json = {
+                        t: {int(p): int(o) for p, o in parts.items()}
+                        for t, parts in json.loads(r).items()
+                    }
+                except (ValueError, AttributeError):
+                    raise ValueError(
+                        "file_kafka: endingOffsets JSON must be "
+                        '{"topic": {"partition": offset}}'
+                    ) from None
+                if any(
+                    o == -2
+                    for parts in self.ending_json.values()
+                    for o in parts.values()
+                ):
+                    raise ValueError(
+                        "file_kafka: earliest (-2) is not allowed in "
+                        "endingOffsets — the real connector's rule"
+                    )
+                self.ending = "json"
+            elif r.lower() == "latest":
+                pass
+            elif r.lower() == "earliest":
+                raise ValueError(
+                    "file_kafka: endingOffsets 'earliest' is not allowed — "
+                    "the real connector's rule"
+                )
+            else:
+                raise ValueError(f"file_kafka: bad endingOffsets {raw_end!r}")
         # maxOffsetsPerTrigger: per-micro-batch record cap, allocated
         # proportionally to per-topic lag (streaming only — the real
         # connector ignores it for batch queries)
@@ -298,6 +342,15 @@ class _Opts:
                     "file_kafka: maxOffsetsPerTrigger must be a positive "
                     "integer"
                 ) from None
+
+    def end_index(self, topic: str, log_len: int) -> int:
+        """Resolved batch-read end position (exclusive) for partition 0:
+        'latest' = log length; JSON offsets clamp to it, -1 = latest.
+        Partitions missing from the JSON end latest (connector rule)."""
+        if self.ending == "json":
+            o = (self.ending_json or {}).get(topic, {}).get(0, -1)
+            return log_len if o == -1 else max(0, min(int(o), log_len))
+        return log_len
 
     def start_index(self, topic: str, log_len: int, records: list | None = None) -> int:
         """Resolved start position for a topic's single partition 0."""
@@ -364,7 +417,8 @@ class FileKafkaBatchReader(DataSourceReader):
         for topic in self.opts.topics:
             records = _log_records(self.opts.root, topic)
             start = self.opts.start_index(topic, len(records), records)
-            for i, rec in enumerate(records[start:], start=start):
+            end = self.opts.end_index(topic, len(records))
+            for i, rec in enumerate(records[start:end], start=start):
                 yield _to_output_row(rec, topic, i)
 
 

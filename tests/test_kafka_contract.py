@@ -603,3 +603,48 @@ def test_transactional_producer_visibility(spark, broker):
     # non-transactional writes keep the immediate-append default
     _produce(spark, broker, "tx", [("k3", "plain")])
     assert _consume(spark, broker, "tx").count() == 2
+
+
+def test_ending_offsets_batch_bounds(spark, broker):
+    """r11: endingOffsets bounds batch reads — JSON per-partition upper
+    bound (exclusive), -1 = latest; 'earliest'/-2 refused; setting it on
+    a STREAMING query throws — all real-connector rules."""
+    _produce(spark, broker, "eo", [(f"k{i}", f"v{i}") for i in range(6)])
+    base = (
+        spark.read.format("file_kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "eo")
+    )
+    got = base.option("endingOffsets", '{"eo": {"0": 4}}').load().collect()
+    assert sorted(r.offset for r in got) == [0, 1, 2, 3]
+    got = base.option("endingOffsets", '{"eo": {"0": -1}}').load().collect()
+    assert len(got) == 6
+    # window: startingOffsets JSON + endingOffsets JSON
+    got = (
+        base.option("startingOffsets", '{"eo": {"0": 2}}')
+        .option("endingOffsets", '{"eo": {"0": 5}}')
+        .load()
+        .collect()
+    )
+    assert sorted(r.offset for r in got) == [2, 3, 4]
+    with pytest.raises(Exception, match="earliest"):
+        base.option("endingOffsets", "earliest").load().collect()
+    with pytest.raises(Exception, match="not allowed in endingOffsets"):
+        base.option("endingOffsets", '{"eo": {"0": -2}}').load().collect()
+    # a STREAMING query with endingOffsets throws at stream start (the
+    # reader factory is lazy — load() only builds the plan)
+    sdf = (
+        spark.readStream.format("file_kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "eo")
+        .option("endingOffsets", "latest")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("noop")
+        .option("checkpointLocation", broker + "_eo_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="streaming"):
+        q.awaitTermination()
