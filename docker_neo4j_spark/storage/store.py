@@ -58,6 +58,7 @@ class GraphStore:
 
         self.indexes = IndexCatalog()
         self.constraints = ConstraintCatalog()
+        self._swap_gen = 0  # auto-compaction cadence counter (r11)
         # name -> {"assigned": DataFrame, "centroids": DataFrame, "options": dict}
         # for VECTOR indexes (the trained IVF inverted file; rebuilt on
         # load rather than serialized — the codebook is derived state)
@@ -191,11 +192,20 @@ class GraphStore:
         )
         return indexed, n
 
+    # every Nth frame swap checkpoints the union chain: without this a
+    # long interactive session's plan grows one Union generation per
+    # write, so the THOUSANDTH statement re-evaluates a 999-deep chain —
+    # the bounded-lineage discipline the BSP loops already follow (r11)
+    AUTO_COMPACT_EVERY = 64
+
     def _swap(self, nodes: DataFrame | None = None, rels: DataFrame | None = None) -> None:
         self.graph = PropertyGraph(
             nodes=self.graph.nodes if nodes is None else nodes,
             rels=self.graph.rels if rels is None else rels,
         )
+        self._swap_gen += 1
+        if self._swap_gen % self.AUTO_COMPACT_EVERY == 0:
+            self.compact()
 
     # ---- CREATE (SURVEY.md §2.B.13) -----------------------------------
     def create_nodes(self, label: str, rows: list[dict]) -> list[int]:

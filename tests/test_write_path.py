@@ -656,3 +656,16 @@ def test_set_replace_all_props(spark):
     ).collect()[0]
     assert (got.nm, got.ag, got.ex) == ("b", 2, None)
     assert s.run("MATCH (n:RP) RETURN keys(n) AS k").collect()[0].k == ["age", "name"]
+
+
+def test_auto_compaction_bounds_union_lineage(spark):
+    """r11: every AUTO_COMPACT_EVERY frame swaps the store checkpoints
+    its union chain, so a long interactive write session's plan depth
+    stays bounded instead of growing one Union per write."""
+    store = GraphStore(spark)
+    for i in range(GraphStore.AUTO_COMPACT_EVERY + 8):
+        store.create_nodes("CG", [{"n": i}])
+    plan = store.graph.nodes._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") < GraphStore.AUTO_COMPACT_EVERY
+    # correctness across the compaction boundary
+    assert store.match_nodes("CG").count() == GraphStore.AUTO_COMPACT_EVERY + 8
