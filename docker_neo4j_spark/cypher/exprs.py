@@ -355,9 +355,36 @@ class _Parser:
                     F.concat(out.col.cast("string"), rhs.col.cast("string")),
                     is_str=True,
                 )
+            elif self._is_array(out) or self._is_array(rhs):
+                # Cypher's list `+` — concatenation (r11); element
+                # appends lift the scalar side to a one-element array
+                lc = out.col if self._is_array(out) else F.array(out.col)
+                rc = rhs.col if self._is_array(rhs) else F.array(rhs.col)
+                out = _V(F.concat(lc, rc))
             else:
                 out = _V(out.col + rhs.col)
         return out
+
+    def _is_array(self, v: _V) -> bool:
+        """Compile-time array test: literal lists directly, columns via a
+        schema-only probe (no job)."""
+        if v.has_lit:
+            return isinstance(v.lit, list)
+        try:
+            frame = getattr(self.resolve, "frame", None)
+            if frame is None:
+                from pyspark.sql import SparkSession as _SS
+
+                sp = _SS.getActiveSession()
+                frame = sp.range(1) if sp else None
+            if frame is None:
+                return False
+            return (
+                frame.select(v.col.alias("_t")).schema[0].dataType.typeName()
+                == "array"
+            )
+        except Exception:
+            return False
 
     def multiplicative(self) -> _V:
         out = self.unary()

@@ -838,16 +838,33 @@ class Session:
             from ..storage.indexes import SHOW_SCHEMA
 
             rows = [r for r in self.store.indexes.rows() if r[3] == "VECTOR"]
-            return local_df(self.spark, rows, SHOW_SCHEMA)
+            kw_len = len("SHOW VECTOR INDEXES") if q.upper().startswith(
+                "SHOW VECTOR INDEXES"
+            ) else len("SHOW VECTOR INDEX")
+            return self._show_tail(
+                local_df(self.spark, rows, SHOW_SCHEMA), q[kw_len:]
+            )
         if head == "SHOW" and q.upper().startswith("SHOW INDEX"):
             from ..storage.indexes import SHOW_SCHEMA
 
-            return local_df(self.spark, self.store.indexes.rows(), SHOW_SCHEMA)
+            # YIELD/WHERE/RETURN tails flow through the shared SHOW
+            # machinery (r11 — they were silently ignored before)
+            kw_len = len("SHOW INDEXES") if q.upper().startswith(
+                "SHOW INDEXES"
+            ) else len("SHOW INDEX")
+            return self._show_tail(
+                local_df(self.spark, self.store.indexes.rows(), SHOW_SCHEMA),
+                q[kw_len:],
+            )
         if head == "SHOW" and q.upper().startswith("SHOW CONSTRAINT"):
             from ..storage.constraints import SHOW_SCHEMA as C_SCHEMA
 
-            return local_df(self.spark, 
-                self.store.constraints.rows(), C_SCHEMA
+            kw_len = len("SHOW CONSTRAINTS") if q.upper().startswith(
+                "SHOW CONSTRAINTS"
+            ) else len("SHOW CONSTRAINT")
+            return self._show_tail(
+                local_df(self.spark, self.store.constraints.rows(), C_SCHEMA),
+                q[kw_len:],
             )
         if head == "CREATE" and re.match(r"CREATE\s+CONSTRAINT\b", q, re.IGNORECASE):
             return self._create_constraint(q)

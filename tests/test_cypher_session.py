@@ -1723,3 +1723,28 @@ def test_fixed_multihop_path_binding(session):
         "MATCH p = (a:FHP {name:'a'})-[:X]->(b)-[:Y]->(c) RETURN p"
     ).collect()[0].p
     assert [e.type for e in p] == [None, "X", None, "Y", None]
+
+
+def test_show_indexes_constraints_yield_tails(session):
+    """r11: SHOW INDEXES / SHOW CONSTRAINTS accept YIELD/WHERE/RETURN
+    tails through the shared SHOW machinery (were silently ignored)."""
+    session.run("CREATE (:SIY {a: 1})")
+    session.run("CREATE INDEX siy_idx FOR (n:SIY) ON (n.a)")
+    try:
+        n = session.run(
+            "SHOW INDEXES YIELD name WHERE name = 'siy_idx' RETURN count(*) AS c"
+        ).collect()[0].c
+        assert n == 1
+    finally:
+        session.run("DROP INDEX siy_idx")
+
+
+def test_list_concatenation_plus(session):
+    """r11: Cypher list `+` — concatenation, with scalar sides lifted."""
+    r = session.run(
+        "RETURN [1,2] + [3] AS m, [1] + 2 AS ap, 0 + [9] AS pre, 1 + 2 AS n"
+    ).collect()[0]
+    assert (r.m, r.ap, r.pre, r.n) == ([1, 2, 3], [1, 2], [0, 9], 3)
+    session.run("CREATE (:LCP {xs: [1, 2]})")
+    got = session.run("MATCH (n:LCP) RETURN n.xs + 3 AS a").collect()[0].a
+    assert got == [1, 2, 3]
