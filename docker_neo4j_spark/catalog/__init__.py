@@ -58,47 +58,7 @@ _loaded = False
 # Registration order breaks ties, so the order is deterministic for a given
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
-    # r11 entries are appended as implementations change; reset at round start.
-    # r11: localframe — every driver-side row list now plans as a JVM
-    # LocalRelation (103 createDataFrame sites rewritten); the write path
-    # additionally got broadcast bound-frames + coalesced write batches
-    # (_project_bound CartesianProduct fix) and store.merge_rels grew
-    # key_props. Re-grade the rows that lean hardest on those paths.
-    "write_create_match_return",
-    "cypher_session_smoke",
-    "write_merge_rel_batch",
-    "write_merge_unwind_batch",
-    "write_create_from_match_batch",
-    "write_dump_load_counts",
-    "cypher_set_delete_readback",
-    "cypher_set_expression_readback",
-    "cypher_label_set_readback",
-    "cypher_expr_props_readback",
-    "bolt_roundtrip",
-    "proc_apoc_create_merge",
-    "graphql_mutation_readback",
-    # r11: entity properties are VARIANT-typed (was stringified map) —
-    # re-grade the entity-serialization rows
-    "cypher_return_entity",
-    "cypher_collect_entities",
-    "cypher_optional_match",
-    "fn_properties_map",
-    # r11: nodes(p)/relationships(p) yield entity structs; duration()
-    # interval types changed; point grew the map form + withinBBox
-    "cypher_path_binding",
-    "cypher_shortest_path",
-    "cypher_temporal",
-    "fn_point_suite",
-    "fn_temporal_arith",
-    # r11: biconnected root-offset sweep moved onto global_prefix_sum
-    "gds_articulation_points",
-    "gds_bridges",
-    # r11 late: _match dispatch grew consecutive-MATCH splitting and the
-    # standalone-UNWIND write dispatch — re-grade the pipeline-heavy rows
-    "cypher_multi_match_pipeline",
-    "cypher_with_pipeline",
-    "cypher_unwind",
-    "cypher_call_subquery_correlated",
+    # r12 entries are appended as implementations change; reset at round start.
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -107,31 +67,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 # enter the 50-row window once the backlog fits. Reset each round (entries
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
-    # r11 entries are appended as new rows register; reset at round start.
-    # r11: MATCH … MERGE write tail (rel get-or-create, ON CREATE/ON
-    # MATCH branches, idempotence)
-    "cypher_match_merge_rel",
-    # r11: entity paths (RETURN p alternating node/rel entities,
-    # nodes(p)/relationships(p) structs, comprehension access)
-    "cypher_path_entities",
-    # r11: durations collect as client values (dt interval / ISO ym text)
-    "cypher_duration_values",
-    # r11: write-then-continue pipelines (SET … WITH … RETURN)
-    "cypher_set_with_continue",
-    # r11: FOREACH over expression lists (range(…) etc.)
-    "cypher_foreach_range_readback",
-    # r11: unbound-endpoint relationship MERGE (whole-pattern grow)
-    "cypher_merge_grow_pattern",
-    # r11: GDS CALL execution surface (project → stream) + general
-    # YIELD-WHERE expressions
-    "proc_gds_wcc_stream",
-    "proc_gds_degree_stream",
-    "proc_gds_wcc_write",
-    # r11 late: consecutive MATCH, standalone-UNWIND write tails,
-    # expression-only CALL subqueries
-    "cypher_consecutive_match",
-    "cypher_unwind_write_tail",
-    "cypher_expr_call_subquery",
+    # r12 entries are appended as new rows register; reset at round start.
 ]
 
 
