@@ -59,6 +59,36 @@ _loaded = False
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
     # r12 entries are appended as implementations change; reset at round start.
+    # r12: _apply_where now defaults to the frame-aware resolver (missing-
+    # property → null, never AnalysisException) — re-grade WHERE-heavy rows
+    "property_lookup",
+    "with_pipeline_having",
+    "pattern_semi_join",
+    "pattern_anti_join",
+    "cypher_hostile_expression",
+    "theta_join_inequality",
+    "cypher_exists_where_subquery",
+    # r12: the CALL dispatcher grew config-map unpacking + the
+    # ProcedureError hygiene boundary — re-grade the CALL-routed rows
+    "proc_gds_wcc_stream",
+    "proc_gds_wcc_write",
+    "proc_gds_degree_stream",
+    "proc_gds_graph_catalog",
+    "proc_apoc_cypher_run",
+    "proc_apoc_create_merge",
+    "proc_vector_index_query",
+    "proc_call_default_values",
+    "proc_list_config_yield_where",
+    # r12: expression values carry a src_fn tag + the postfix accessor
+    # rule landed in the Pratt parser — re-grade expression-heavy rows
+    "cypher_expression_projection",
+    "cypher_temporal",
+    "cypher_duration_values",
+    "fn_temporal_accessors",
+    "fn_point_suite",
+    # r12: MATCH…MERGE dispatch grew the multi-relationship chain branch
+    "cypher_match_merge_rel",
+    "cypher_merge_grow_pattern",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -68,6 +98,17 @@ _CHANGED_THIS_ROUND: list[str] = [
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
     # r12 entries are appended as new rows register; reset at round start.
+    # r12: canonical GDS config-map call shapes (VERDICT r11 tasks 1-2)
+    "proc_gds_wcc_write_map",
+    "proc_gds_pagerank_stream_map",
+    # r12: string/'*' label handling in gds.graph.project (task 2)
+    "proc_gds_project_string",
+    # r12: missing-property null semantics in WHERE position (task 3)
+    "cypher_missing_prop_null",
+    # r12: postfix accessors on call expressions (task 4)
+    "cypher_postfix_accessors",
+    # r12: multi-relationship MERGE chains (task 6)
+    "cypher_merge_chain_pattern",
 ]
 
 

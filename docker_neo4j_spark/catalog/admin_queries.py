@@ -2899,3 +2899,201 @@ def cypher_expr_props_readback(spark, sf_dir):
     return s.run(
         "MATCH (e:Evt) RETURN e.name AS name, toString(e.d) AS d, e.n AS n"
     )
+
+
+@register(
+    "proc_gds_wcc_write_map",
+    """
+    SELECT n_name AS name,
+           CAST(1000000000000 + n_regionkey AS BIGINT) AS cc
+    FROM nation ORDER BY name
+    """,
+)
+def proc_gds_wcc_write_map(spark, sf_dir):
+    """The canonical GDS config-map call shape (r12 — VERDICT r11 task 1):
+    ``CALL gds.wcc.write('g', {writeProperty: 'cc'})`` — the convention
+    every public GDS example uses for exactly the plugin namespace the
+    reference declares (calver/coredb/neo4j-plugins.json:24-30). The CALL
+    dispatcher unpacks a trailing map argument landing in a scalar
+    parameter slot into the procedure's named parameters
+    (procedures/registry.py:call); unknown keys raise the GDS
+    "Unexpected configuration key" shape."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    from ..procedures.registry import _graphs_for
+
+    _graphs_for(spark).pop("wwmg", None)  # idempotent under re-runs
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('wwmg', ['Nation', 'Region'], ['IN_REGION'])")
+    s.run("CALL gds.wcc.write('wwmg', {writeProperty: 'cc'})")
+    return s.run(
+        "MATCH (n:Nation) RETURN n.n_name AS name, n.cc AS cc ORDER BY name"
+    )
+
+
+@register(
+    "proc_gds_pagerank_stream_map",
+    """
+    SELECT CAST(1000000000000 + r_regionkey AS BIGINT) AS nodeId
+    FROM region r
+    ORDER BY (SELECT count(*) FROM nation n
+              WHERE n.n_regionkey = r.r_regionkey) DESC, nodeId
+    LIMIT 5
+    """,
+)
+def proc_gds_pagerank_stream_map(spark, sf_dir):
+    """``CALL gds.pageRank.stream('g', {maxIterations: 5})`` (r12): the
+    config-map form drives the algorithm parameters. Scores are rank-
+    compared, not value-compared (iterative float sums aren't oracle-
+    hashable): in the Nation→Region star graph every region's score is
+    monotone in its nation in-degree and strictly above any nation's, so
+    the top-5 nodes by score are the regions ordered by in-degree."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    from ..procedures.registry import _graphs_for
+
+    _graphs_for(spark).pop("prmg", None)  # idempotent under re-runs
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('prmg', ['Nation', 'Region'], ['IN_REGION'])")
+    return s.run(
+        "CALL gds.pageRank.stream('prmg', {maxIterations: 5}) "
+        "YIELD nodeId, score "
+        "RETURN nodeId ORDER BY score DESC, nodeId LIMIT 5"
+    )
+
+
+@register(
+    "proc_gds_project_string",
+    """
+    SELECT 'strg1' AS graphName,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS nodeCount,
+           CAST(0 AS BIGINT) AS relationshipCount
+    UNION ALL
+    SELECT 'strg2',
+           CAST((SELECT count(*) FROM nation) AS BIGINT),
+           CAST(0 AS BIGINT)
+    ORDER BY graphName
+    """,
+)
+def proc_gds_project_string(spark, sf_dir):
+    """String label/type arguments to ``gds.graph.project`` (r12 — VERDICT
+    r11 task 2): ``'Nation'`` coerces to ``['Nation']`` (it used to
+    iterate PER-CHARACTER into a silent empty projection) and ``'*'`` is
+    the no-filter wildcard; the string form projects the identical graph
+    as the list form (both rows below agree)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    from ..procedures.registry import _graphs_for
+
+    for g in ("strg1", "strg2"):  # idempotent under re-runs
+        _graphs_for(spark).pop(g, None)
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('strg1', 'Nation', '*')")
+    s.run("CALL gds.graph.project('strg2', ['Nation'], '*')")
+    return s.run(
+        "CALL gds.graph.list() YIELD graphName, nodeCount, relationshipCount "
+        "WHERE graphName STARTS WITH 'strg' "
+        "RETURN graphName, nodeCount, relationshipCount ORDER BY graphName"
+    )
+
+
+@register(
+    "cypher_missing_prop_null",
+    """
+    SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_all,
+           CAST((SELECT count(*) FROM nation WHERE n_nationkey < 5) AS BIGINT)
+             AS n_graded
+    """,
+)
+def cypher_missing_prop_null(spark, sf_dir):
+    """A property no write has ever introduced is NULL in every position —
+    WHERE included (r12 — VERDICT r11 task 3; SURVEY §7.2 "n.missing →
+    null, never error"). ``n.bogus IS NULL`` keeps all rows instead of
+    raising AnalysisException; ``count(n.grade)`` counts the 5 nodes a
+    partial SET actually wrote."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("MATCH (n:Nation) WHERE n.n_nationkey < 5 SET n.grade = 1")
+    return s.run(
+        "MATCH (n:Nation) WHERE n.bogus IS NULL "
+        "RETURN count(*) AS n_all, count(n.grade) AS n_graded"
+    )
+
+
+@register(
+    "cypher_postfix_accessors",
+    """
+    SELECT CAST(3 AS BIGINT) AS h, 1.5e0 AS px, CAST(2024 AS BIGINT) AS y,
+           CAST(2 AS BIGINT) AS dow, CAST(7 AS BIGINT) AS ma
+    """,
+)
+def cypher_postfix_accessors(spark, sf_dir):
+    """Postfix property access on call expressions (r12 — VERDICT r11
+    task 4): ``duration({…}).hours``, ``point({…}).x``,
+    ``datetime(…).year``, ``date(…).dayOfWeek`` (ISO, Monday=1) and map-
+    literal key access, all without a bound-alias detour (one postfix
+    rule in the Pratt parser, cypher/exprs.py:postfix)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    out = s.run(
+        "RETURN duration({days: 2, hours: 3}).hours AS h, "
+        "point({x: 1.5, y: 2.5}).x AS px, "
+        "datetime('2024-03-05T10:20:30').year AS y, "
+        "date('2024-03-05').dayOfWeek AS dow, "
+        "{a: 7}.a AS ma"
+    )
+    return out.select(
+        F.col("h").cast("long"),
+        F.col("px").cast("double"),
+        F.col("y").cast("long"),
+        F.col("dow").cast("long"),
+        F.col("ma").cast("long"),
+    )
+
+
+@register(
+    "cypher_merge_chain_pattern",
+    """
+    SELECT CAST(3 AS BIGINT) AS n_rels, CAST(2 AS BIGINT) AS n_pairs
+    """,
+)
+def cypher_merge_chain_pattern(spark, sf_dir):
+    """Multi-relationship MERGE chain (r12 — VERDICT r11 task 6):
+    ``MATCH … MERGE (a)-[:ROAD]->(b)-[:ROAD]->(c)`` is whole-pattern
+    atomic — with a→b pre-existing but b→c missing, the first MERGE
+    creates BOTH a fresh a→b and b→c (3 rels over 2 distinct pairs, the
+    openCypher contract); the second MERGE matches the whole chain and
+    creates nothing (idempotence)."""
+    from ..cypher.session import Session
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark))
+    s.run(
+        "UNWIND $rows AS r MERGE (c:City {name: r.name, idx: r.idx})",
+        {"rows": [{"name": f"city{i}", "idx": i} for i in range(3)]},
+    )
+    s.run("MATCH (a:City {idx: 0}), (b:City {idx: 1}) CREATE (a)-[:ROAD]->(b)")
+    chain = (
+        "MATCH (a:City {idx: 0}), (b:City {idx: 1}), (c:City {idx: 2}) "
+        "MERGE (a)-[:ROAD]->(b)-[:ROAD]->(c)"
+    )
+    s.run(chain)
+    s.run(chain)
+    out = s.run(
+        "MATCH (x:City)-[r:ROAD]->(y:City) "
+        "RETURN count(r), count(DISTINCT x.idx * 10 + y.idx)"
+    )
+    return out.select(
+        F.col("`count(r)`").cast("long").alias("n_rels"),
+        F.col("`count(DISTINCT x.idx * 10 + y.idx)`").cast("long").alias("n_pairs"),
+    )

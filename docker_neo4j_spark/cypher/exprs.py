@@ -102,12 +102,16 @@ class _V:
     args keep the old pass-python-literals contract) and whether the
     text is statically a string (``+`` concatenation dispatch)."""
 
-    __slots__ = ("col", "lit", "is_str")
+    __slots__ = ("col", "lit", "is_str", "src_fn")
 
     def __init__(self, col: Column, lit=_MISSING, is_str: bool = False):
         self.col = col
         self.lit = lit
         self.is_str = is_str
+        # lower-cased name of the function call this value came from, if
+        # any — lets the postfix `.prop` rule pick typed accessors
+        # (duration(...).hours, datetime(...).year — r12)
+        self.src_fn = None
 
     @property
     def has_lit(self) -> bool:
@@ -424,10 +428,60 @@ class _Parser:
 
     def postfix(self) -> _V:
         out = self.primary()
-        while self._at_punct("["):
-            self._take()
-            out = self._subscript(out)
+        while True:
+            if self._at_punct("["):
+                self._take()
+                out = self._subscript(out)
+            elif (
+                self._at_punct(".")
+                and self._peek(1) is not None
+                and self._peek(1).kind == "ident"
+            ):
+                # postfix property access on ANY expression value (r12):
+                # duration({...}).hours, point({...}).x, datetime(...).year,
+                # {a: 1}.a — the dotted-IDENT chain (n.prop) is consumed
+                # inside primary(), so this rule only fires after calls,
+                # parens, subscripts and literals.
+                self._take()
+                out = self._postfix_prop(out, self._take().text)
+            else:
+                break
         return out
+
+    # duration component accessors (plural, Cypher durations) and temporal
+    # accessors (singular, Cypher date/datetime) → Spark EXTRACT fields
+    _DURATION_FIELDS = {
+        "years": "YEAR", "months": "MONTH", "days": "DAY",
+        "hours": "HOUR", "minutes": "MINUTE", "seconds": "SECOND",
+    }
+    _TEMPORAL_FIELDS = {
+        "year": "YEAR", "quarter": "QUARTER", "month": "MONTH",
+        "week": "WEEK", "day": "DAY", "hour": "HOUR",
+        "minute": "MINUTE", "second": "SECOND",
+        "ordinalDay": "DOY", "dayOfWeek": "DAYOFWEEK_ISO",
+    }
+    _TEMPORAL_FNS = frozenset(
+        {"date", "datetime", "localdatetime", "time", "localtime"}
+    )
+
+    def _postfix_prop(self, base: _V, prop: str) -> _V:
+        """``<expr>.prop`` — typed accessor when the base is a known
+        duration/temporal call, struct-field / map-key access otherwise
+        (covers point(...).x and map values)."""
+        if base.src_fn == "duration" and prop in self._DURATION_FIELDS:
+            return _V(
+                F.extract(F.lit(self._DURATION_FIELDS[prop]), base.col).cast("long")
+            )
+        if base.src_fn in self._TEMPORAL_FNS:
+            if prop in self._TEMPORAL_FIELDS:
+                return _V(
+                    F.extract(F.lit(self._TEMPORAL_FIELDS[prop]), base.col).cast("long")
+                )
+            if prop == "epochSeconds":
+                return _V(F.unix_timestamp(base.col).cast("long"))
+            if prop == "epochMillis":
+                return _V(F.unix_millis(base.col.cast("timestamp")))
+        return _V(base.col[prop])
 
     def _subscript(self, base: _V) -> _V:
         """``expr[i]`` (0-based, negative = from the end), ``expr['key']``
@@ -812,7 +866,9 @@ class _Parser:
             if self._at_punct(","):
                 self._take()
         self._take()  # )
-        return self._dispatch(name, args, arg_srcs)
+        out = self._dispatch(name, args, arg_srcs)
+        out.src_fn = name.lower()
+        return out
 
     def _dispatch(self, name: str, args: list[_V], arg_srcs: list[str]) -> _V:
         from ..functions import cypher as cf

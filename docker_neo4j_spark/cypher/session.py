@@ -2285,11 +2285,20 @@ class Session:
 
     def _apply_where(self, bound: DataFrame, where_src: str, resolve=None) -> DataFrame:
         """Apply a WHERE clause whose top-level AND terms may mix column
-        predicates with pattern predicates — ``(a)-[:T]->(b)`` /
-        ``exists((a)-[:T]->(b))`` / ``exists { (a)-[:T]->(b) }`` compile to
-        a left-semi join, ``NOT <pattern>`` to a left-anti join (Catalyst's
+        predicates with pattern predicates.
+
+        The resolver defaults to the bound frame's own (r12): a property
+        no write has ever introduced has no ``{var}_{prop}`` column, and
+        Cypher semantics pin ``n.missing`` to null — never an
+        AnalysisException (SURVEY §7.2; RETURN position already complied).
+
+        ``(a)-[:T]->(b)`` / ``exists((a)-[:T]->(b))`` /
+        ``exists { (a)-[:T]->(b) }`` compile to a left-semi join,
+        ``NOT <pattern>`` to a left-anti join (Catalyst's
         decorrelated-subquery form); the remaining terms compile to one
         Column filter (SURVEY §2.B.3 pattern predicates)."""
+        if resolve is None:
+            resolve = _frame_resolver(bound)
         plain: list[str] = []
         count_terms: list[str] = []
         count_cols: list[str] = []
@@ -3359,9 +3368,12 @@ class Session:
             raise ValueError("MERGE requires a directed relationship pattern")
         if len(elems) == 1:
             return self._merge_node_tail(elems[0], bound, on_create, on_match, ret)
+        if len(elems) >= 5 and len(elems) % 2 == 1:
+            # multi-relationship chain (r12): MERGE (a)-[:X]->(b)-[:Y]->(c)
+            return self._merge_chain(bound, elems, on_create, on_match, ret)
         if len(elems) != 3:
             raise ValueError(
-                "MATCH … MERGE supports one node or one relationship pattern"
+                "MATCH … MERGE supports a node, relationship, or chain pattern"
             )
         left, rel, right = elems
         l_bound = bool(left.var and f"{left.var}_id" in bound.columns)
@@ -3500,6 +3512,181 @@ class Session:
             set_vars = set(on_create) | set(on_match)
             if el.var in set_vars:
                 final = self._refresh_node_binding(final, el.var)
+        return self._project_match(final, ret, elems, _frame_resolver(final))
+
+    def _merge_chain(
+        self, bound, elems, on_create, on_match, ret
+    ) -> DataFrame:
+        """``MATCH … MERGE (a)-[:X]->(b)-[:Y]->(c)`` — whole-pattern MERGE
+        over a multi-relationship chain, all endpoints bound (r12).
+
+        openCypher atomicity: per binding row the ENTIRE chain either
+        matches or is created — a row whose pattern partially exists
+        (a-X->b present, b-Y->c missing) creates a fresh relationship for
+        EVERY element, including a duplicate X edge (the documented MERGE
+        contract; merging each hop independently would be two MERGE
+        clauses).
+
+        Set-based: per-row existence flags come from one left join per
+        relationship element against the pre-statement snapshot (distinct
+        (src,dst[,keys]) tuples, so no fan-out); missing distinct pattern
+        tuples take one ``stage_indexed`` id block and one append per
+        element. Same branch-per-distinct-key convention as the single-
+        relationship tail. ON SET on relationship variables of a chain is
+        rejected loud (node variables work); RETURN rebinds rel entities
+        against the post-write snapshot."""
+        from .lexer import ExprText as _ET
+
+        node_elems = elems[0::2]
+        rel_elems = elems[1::2]
+        for nd in node_elems:
+            if not (nd.var and f"{nd.var}_id" in bound.columns):
+                raise ValueError(
+                    "multi-relationship MERGE requires every node bound by "
+                    f"the MATCH (unbound: {nd.var or '(anonymous)'!r})"
+                )
+            if nd.label or nd.props:
+                raise ValueError(
+                    "MERGE cannot re-specify label/properties on the bound "
+                    f"variable {nd.var!r}"
+                )
+        rvars = []
+        for r in rel_elems:
+            if r.var and f"{r.var}_id" in bound.columns:
+                raise ValueError(
+                    f"relationship variable {r.var!r} already bound"
+                )
+            rvars.append(r.var or f"_anonr{self._anon}")
+            self._anon += 1
+        set_vars = set(on_create) | set(on_match)
+        if set_vars & set(rvars):
+            raise ValueError(
+                "ON CREATE/ON MATCH SET on a relationship variable is not "
+                "supported for multi-relationship MERGE patterns"
+            )
+
+        frame = bound
+        key_cols: list[str] = []
+        rel_meta = []  # (rvar, rtype, src_col, dst_col, key_props, idx)
+        for i, r in enumerate(rel_elems):
+            rtype = r.rel_type or "_"
+            s_name = f"{node_elems[i].var}_id"
+            d_name = f"{node_elems[i + 1].var}_id"
+            if r.reversed:
+                s_name, d_name = d_name, s_name
+            kp = list((r.props or {}).keys())
+            for k, v in (r.props or {}).items():
+                frame = frame.withColumn(
+                    f"_mrg{i}_{k}",
+                    _compile_expr(v.src, _frame_resolver(frame))
+                    if isinstance(v, _ET)
+                    else _lit_map(v) if isinstance(v, dict) else F.lit(v),
+                )
+            rel_meta.append((rvars[i], rtype, s_name, d_name, kp, i))
+            key_cols += [s_name, d_name, *[f"_mrg{i}_{k}" for k in kp]]
+        key_cols = list(dict.fromkeys(key_cols))
+
+        rels_before = self.store.graph.rels  # immutable snapshot
+
+        flagged = frame
+        for rvar, rtype, s, d, kp, i in rel_meta:
+            flag = f"_hit{i}"
+            ex = rels_before.where(F.col("type") == rtype)
+            if not all(k in ex.columns for k in kp):
+                # a key-prop column no rel carries yet ⇒ nothing matches
+                flagged = flagged.withColumn(flag, F.lit(False))
+                continue
+            sel = (
+                ex.select(
+                    F.col("src").alias("_h_src"),
+                    F.col("dst").alias("_h_dst"),
+                    *[F.col(k).alias(f"_h_{k}") for k in kp],
+                )
+                .dropDuplicates()
+                .withColumn(flag, F.lit(True))
+            )
+            cond = (F.col(s) == F.col("_h_src")) & (F.col(d) == F.col("_h_dst"))
+            for k in kp:
+                cond = cond & F.col(f"_mrg{i}_{k}").eqNullSafe(F.col(f"_h_{k}"))
+            flagged = (
+                flagged.join(sel, cond, "left")
+                .withColumn(flag, F.coalesce(F.col(flag), F.lit(False)))
+                .drop("_h_src", "_h_dst", *[f"_h_{k}" for k in kp])
+            )
+        whole = F.lit(True)
+        for _, _, _, _, _, i in rel_meta:
+            whole = whole & F.col(f"_hit{i}")
+        flagged = flagged.withColumn("_mrg_created", ~whole).drop(
+            *[f"_hit{m[5]}" for m in rel_meta]
+        )
+
+        miss = (
+            flagged.where(F.col("_mrg_created"))
+            .select(*key_cols)
+            .dropDuplicates(key_cols)
+        )
+        indexed, n = self.store.stage_indexed(miss)
+        if n:
+            base = self.store.reserve_rel_ids(n * len(rel_meta))
+            for j, (rvar, rtype, s, d, kp, i) in enumerate(rel_meta):
+                self.store.append_rels(
+                    indexed.select(
+                        (F.col("_idx") + F.lit(base + j * n)).alias("id"),
+                        F.col(s).alias("src"),
+                        F.col(d).alias("dst"),
+                        F.lit(rtype).alias("type"),
+                        *[F.col(f"_mrg{i}_{k}").alias(k) for k in kp],
+                    )
+                )
+
+        for created_branch, assigns in ((True, on_create), (False, on_match)):
+            if not assigns:
+                continue
+            subset = flagged.where(F.col("_mrg_created") == created_branch)
+            for var, props in assigns.items():
+                if f"{var}_id" not in subset.columns:
+                    raise ValueError(
+                        f"ON SET variable {var!r} is not in the pattern"
+                    )
+                g = subset
+                for p, rhs_src in props.items():
+                    g = g.withColumn(
+                        f"_set_{p}", _compile_expr(rhs_src, _frame_resolver(g))
+                    )
+                self.store.set_props_from_frame(
+                    g.select(
+                        F.col(f"{var}_id").alias("id"),
+                        *[F.col(f"_set_{p}").alias(p) for p in props],
+                    ),
+                    list(props),
+                )
+
+        if ret is None:
+            return local_df(self.spark, [], "ok string")
+        final = flagged
+        post = self.store.graph.rels
+        for rvar, rtype, s, d, kp, i in rel_meta:
+            pr = post.where(F.col("type") == rtype)
+            prop_cols = [
+                c for c in pr.columns if c not in ("id", "src", "dst", "type")
+            ]
+            sel = pr.select(
+                F.col("src").alias("_j_src"),
+                F.col("dst").alias("_j_dst"),
+                F.col("id").alias(f"{rvar}_id"),
+                F.col("type").alias(f"{rvar}_type"),
+                *[F.col(c).alias(f"{rvar}_{c}") for c in prop_cols],
+            )
+            cond = (F.col(s) == F.col("_j_src")) & (F.col(d) == F.col("_j_dst"))
+            for k in kp:
+                cond = cond & F.col(f"_mrg{i}_{k}").eqNullSafe(
+                    F.col(f"{rvar}_{k}")
+                )
+            final = final.join(sel, cond, "inner").drop("_j_src", "_j_dst")
+        final = final.drop(*[c for c in final.columns if c.startswith("_mrg")])
+        for nd in node_elems:
+            if nd.var in set_vars:
+                final = self._refresh_node_binding(final, nd.var)
         return self._project_match(final, ret, elems, _frame_resolver(final))
 
     def _merge_rel_grow(

@@ -36,6 +36,21 @@ class Procedure:
 _REGISTRY: dict[str, Procedure] = {}
 
 
+class ProcedureError(ValueError):
+    """The façade's procedure-call error shape: every failure inside a
+    CALL surfaces as this (with the procedure name and an argument
+    summary), never as a raw Py4J/TypeError/ZeroDivisionError traceback
+    (r12 — the r11 GDS surface leaked all three)."""
+
+
+# parameter names injected by the engine, never user-suppliable
+_CONTEXT_PARAMS = frozenset({"graph", "store", "session"})
+
+# annotations that mark a scalar parameter — a map argument arriving in
+# one of these slots is GDS's trailing configuration map, not a value
+_SCALAR_ANNOTATIONS = {"str", "int", "float", "bool", str, int, float, bool}
+
+
 def procedure(name: str, signature: str = "", description: str = "", defaults: dict | None = None):
     """Register a procedure under its Cypher-callable name."""
 
@@ -60,23 +75,71 @@ def call(
     parses a CALL) — they are remapped onto the procedure's declared
     parameter order. ``context`` carries engine objects (graph, store)
     injected only into procedures whose signature asks for them.
+
+    A trailing MAP argument landing in a scalar parameter slot (or past
+    the declared parameters) is the canonical GDS configuration map —
+    ``CALL gds.wcc.write('g', {writeProperty: 'cc'})`` — and unpacks into
+    the procedure's remaining named parameters; unknown keys raise the
+    GDS error shape (r12, verdict task 1).
     """
     import inspect
 
     if name not in _REGISTRY:
         raise KeyError(f"There is no procedure with the name `{name}` registered")
     proc = _REGISTRY[name]
-    params = [p for p in inspect.signature(proc.fn).parameters if p != "spark"]
+    sig = inspect.signature(proc.fn)
+    params = [p for p in sig.parameters if p != "spark"]
     args = dict(args or {})
     pos = sorted((k for k in args if k.startswith("arg") and k[3:].isdigit()), key=lambda k: int(k[3:]))
-    for i, key in enumerate(pos):
-        if i < len(params):
-            args[params[i]] = args.pop(key)
+    pos_vals = [args.pop(k) for k in pos]
+    config_map = None
+    if pos_vals and isinstance(pos_vals[-1], dict):
+        idx = len(pos_vals) - 1
+        target = params[idx] if idx < len(params) else None
+        ann = sig.parameters[target].annotation if target is not None else None
+        if target is None or target in _CONTEXT_PARAMS or ann in _SCALAR_ANNOTATIONS:
+            config_map = pos_vals.pop()
+    for i, val in enumerate(pos_vals):
+        if i >= len(params):
+            raise ProcedureError(
+                f"Procedure call provides too many arguments: `{name}` "
+                f"expects at most {len(params)} but got {len(pos_vals)}"
+            )
+        args[params[i]] = val
+    if config_map is not None:
+        valid = [
+            p for p in params
+            if p not in _CONTEXT_PARAMS and p not in args
+        ]
+        for k, v in config_map.items():
+            if k not in valid:
+                raise ProcedureError(
+                    f"Unexpected configuration key: {k} for `{name}` "
+                    f"(expected one of: {', '.join(sorted(valid)) or 'none'})"
+                )
+            args[k] = v
     merged = {**proc.defaults, **args}
     for ctx_key, ctx_val in (context or {}).items():
         if ctx_key in params and ctx_key not in merged:
             merged[ctx_key] = ctx_val
-    df = proc.fn(spark, **merged)
+    try:
+        df = proc.fn(spark, **merged)
+    except (ProcedureError, KeyError):
+        raise
+    except ValueError as e:
+        # procedures raise engine-shaped ValueErrors on purpose — keep the
+        # message, carry the procedure-call type
+        raise ProcedureError(str(e)) from e
+    except Exception as e:
+        # error-hygiene boundary (r12, verdict task 5): no raw
+        # Py4J/TypeError/ZeroDivisionError escapes a CALL
+        arg_summary = ", ".join(
+            f"{k}={v!r}" for k, v in merged.items() if k not in _CONTEXT_PARAMS
+        )
+        raise ProcedureError(
+            f"Failed to invoke procedure `{name}`({arg_summary}): "
+            f"{type(e).__name__}: {e}"
+        ) from e
     if yield_cols:
         df = df.select(*yield_cols)
     if where is not None:
@@ -660,6 +723,22 @@ def _db_schema_visualization(spark: SparkSession, graph=None) -> DataFrame:
 _GRAPH_CATALOG: dict[int, dict[str, tuple]] = {}
 
 
+def _as_filter_list(v, what: str) -> list | None:
+    """Normalize a GDS label/type filter: ``'Person'`` → ``['Person']``,
+    ``'*'`` (alone or in a list) → no filter, a list passes through.
+    Non-string elements are rejected loud."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return None if v == "*" else [v]
+    vals = list(v)
+    if any(not isinstance(x, str) for x in vals):
+        raise ValueError(
+            f"{what} must be a string or a list of strings, got {v!r}"
+        )
+    return None if "*" in vals else vals
+
+
 def _graphs_for(spark: SparkSession) -> dict[str, tuple]:
     return _GRAPH_CATALOG.setdefault(id(spark), {})
 
@@ -681,6 +760,11 @@ def _gds_graph_project(
     cat = _graphs_for(spark)
     if graphName in cat:
         raise ValueError(f"A graph with name '{graphName}' already exists")
+    # GDS accepts a single string label/type and the '*' wildcard
+    # (r12 — a bare string used to iterate PER-CHARACTER and silently
+    # project an empty graph)
+    nodeLabels = _as_filter_list(nodeLabels, "nodeLabels")
+    relTypes = _as_filter_list(relTypes, "relationshipTypes")
     nodes = graph.nodes
     if nodeLabels:
         cond = None
@@ -740,13 +824,18 @@ def _gds_graph_drop(spark: SparkSession, graphName: str = "") -> DataFrame:
 
 def _projected_graph(spark: SparkSession, graph_name: str):
     """(nodes(id), edges(src,dst)) of a named catalog projection, or the
-    GDS error shape when it doesn't exist."""
+    GDS error shape when it doesn't exist — or is empty (r12: algorithms
+    over a 0-node projection used to surface bare ZeroDivisionErrors)."""
     cat = _graphs_for(spark)
     if graph_name not in cat:
         raise ValueError(
             f"Graph with name '{graph_name}' does not exist in the catalog"
         )
-    nodes, rels, _, _ = cat[graph_name]
+    nodes, rels, nc, _ = cat[graph_name]
+    if nc == 0:
+        raise ValueError(
+            f"Graph '{graph_name}' is empty (0 nodes) — nothing to compute on"
+        )
     return nodes.select("id"), rels.select("src", "dst")
 
 

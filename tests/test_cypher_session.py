@@ -1748,3 +1748,67 @@ def test_list_concatenation_plus(session):
     session.run("CREATE (:LCP {xs: [1, 2]})")
     got = session.run("MATCH (n:LCP) RETURN n.xs + 3 AS a").collect()[0].a
     assert got == [1, 2, 3]
+
+
+def test_missing_property_is_null_everywhere(spark):
+    """r12 (VERDICT r11 task 3; SURVEY §7.2): a property no write has
+    introduced resolves to null in WHERE position — never an
+    AnalysisException — matching the RETURN-position behavior."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:Mp {name: 'a', v: 1})")
+    s.run("CREATE (:Mp {name: 'b'})")
+    rows = s.run(
+        "MATCH (n:Mp) WHERE n.never_written IS NULL "
+        "RETURN n.name AS name ORDER BY name"
+    ).collect()
+    assert [r.name for r in rows] == ["a", "b"]
+    assert s.run(
+        "MATCH (n:Mp) WHERE n.never_written IS NOT NULL RETURN n.name AS name"
+    ).count() == 0
+    # comparisons against the missing property are null → filtered
+    assert s.run(
+        "MATCH (n:Mp) WHERE n.never_written = 1 RETURN n.name AS name"
+    ).count() == 0
+    # a property only SOME nodes carry stays per-row null, not missing
+    rows = s.run(
+        "MATCH (n:Mp) WHERE n.v IS NULL RETURN n.name AS name"
+    ).collect()
+    assert [r.name for r in rows] == ["b"]
+    # RETURN position agrees
+    rows = s.run(
+        "MATCH (n:Mp) RETURN n.name AS name, n.never_written AS miss "
+        "ORDER BY name"
+    ).collect()
+    assert [(r.name, r.miss) for r in rows] == [("a", None), ("b", None)]
+
+
+def test_postfix_accessors_on_call_expressions(spark):
+    """r12 (VERDICT r11 task 4): property access directly on a call
+    expression — duration({...}).hours, point({...}).x, datetime(...).year
+    — no bound-alias detour required."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    r = s.run(
+        "RETURN duration({days: 2, hours: 3}).hours AS h, "
+        "duration({days: 2, hours: 3}).days AS d, "
+        "point({x: 1.5, y: 2.5}).x AS px, "
+        "point({x: 1.5, y: 2.5}).y AS py, "
+        "datetime('2024-03-05T10:20:30').year AS y, "
+        "datetime('2024-03-05T10:20:30').minute AS mi, "
+        "date('2024-03-05').dayOfWeek AS dow, "
+        "{a: 7, b: 8}.b AS mb"
+    ).collect()[0]
+    assert (r.h, r.d) == (3, 2)
+    assert (r.px, r.py) == (1.5, 2.5)
+    assert (r.y, r.mi) == (2024, 20)
+    assert r.dow == 2  # 2024-03-05 is a Tuesday; ISO Monday=1
+    assert r.mb == 8
+    # postfix chains compose with arithmetic and comparisons
+    r2 = s.run(
+        "RETURN duration({hours: 3}).hours * 2 AS hh, "
+        "point({x: 1.0, y: 2.0}).x < 2.0 AS lt"
+    ).collect()[0]
+    assert (r2.hh, r2.lt) == (6, True)

@@ -696,3 +696,86 @@ def test_gds_write_mode_lands_on_store(spark, sf_dir):
         "MATCH (r:Region) WHERE r.rank > 1 RETURN count(*) AS c"
     ).collect()[0].c
     assert ranked == 5  # every region accumulates its nations' mass
+
+
+def test_gds_config_map_call_shapes(spark, sf_dir):
+    """r12 (VERDICT r11 task 1): the canonical GDS config-map argument —
+    ``gds.wcc.write('g', {writeProperty:'cc'})`` and
+    ``gds.pageRank.stream('g', {maxIterations:5})`` — unpacks into the
+    procedure's named parameters; unknown keys raise the GDS error shape."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.procedures.registry import ProcedureError, _graphs_for
+    from docker_neo4j_spark.sources.tpch import build_graph
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    _graphs_for(spark).pop("cmg", None)
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('cmg', ['Nation', 'Region'], ['IN_REGION'])")
+    out = s.run("CALL gds.wcc.write('cmg', {writeProperty: 'cmcc'})").collect()[0]
+    assert (out.nodePropertiesWritten, out.componentCount) == (30, 5)
+    back = s.run(
+        "MATCH (n:Nation) RETURN count(DISTINCT n.cmcc) AS c"
+    ).collect()[0].c
+    assert back == 5
+    pr = s.run(
+        "CALL gds.pageRank.stream('cmg', {maxIterations: 5, dampingFactor: 0.85}) "
+        "YIELD nodeId, score RETURN count(*) AS n, round(sum(score)) AS mass"
+    ).collect()[0]
+    assert (pr.n, pr.mass) == (30, 30.0)
+    with pytest.raises(ProcedureError, match="Unexpected configuration key: bogus"):
+        s.run("CALL gds.wcc.write('cmg', {bogus: 'x'})")
+    # positional-string form keeps working alongside the map form
+    out2 = s.run("CALL gds.wcc.write('cmg', 'cmcc2')").collect()[0]
+    assert out2.componentCount == 5
+
+
+def test_gds_project_string_and_star_filters(spark, sf_dir):
+    """r12 (VERDICT r11 task 2): a bare string label/type coerces to a
+    one-element list (it used to iterate per-character into a SILENT
+    empty projection); '*' is the no-filter wildcard; an empty projection
+    fails loud at algorithm entry instead of ZeroDivisionError."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.procedures.registry import ProcedureError, _graphs_for
+    from docker_neo4j_spark.sources.tpch import build_graph
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    for g in ("pss1", "pss2", "pss_star", "pss_empty"):
+        _graphs_for(spark).pop(g, None)
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    str_form = s.run(
+        "CALL gds.graph.project('pss1', 'Nation', 'IN_REGION')"
+    ).collect()[0]
+    list_form = s.run(
+        "CALL gds.graph.project('pss2', ['Nation'], ['IN_REGION'])"
+    ).collect()[0]
+    assert (str_form.nodeCount, str_form.relationshipCount) == (
+        list_form.nodeCount,
+        list_form.relationshipCount,
+    )
+    assert str_form.nodeCount == 25
+    star = s.run("CALL gds.graph.project('pss_star', '*', '*')").collect()[0]
+    assert star.nodeCount > 25 and star.relationshipCount > 0
+    empty = s.run(
+        "CALL gds.graph.project('pss_empty', 'NoSuchLabel', '*')"
+    ).collect()[0]
+    assert (empty.nodeCount, empty.relationshipCount) == (0, 0)
+    with pytest.raises(ProcedureError, match="is empty"):
+        s.run("CALL gds.pageRank.stream('pss_empty')")
+    with pytest.raises(ProcedureError, match="is empty"):
+        s.run("CALL gds.wcc.write('pss_empty', {writeProperty: 'x'})")
+
+
+def test_procedure_error_hygiene_boundary(spark):
+    """r12 (VERDICT r11 task 5): no raw Python/Py4J exception escapes a
+    CALL — failures re-raise as ProcedureError (a ValueError) carrying
+    the procedure name and argument summary."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.procedures.registry import ProcedureError
+
+    s = Session(spark)
+    # engine-shaped ValueErrors keep their message, typed as ProcedureError
+    with pytest.raises(ProcedureError, match="does not exist"):
+        s.run("CALL gds.pageRank.stream('nope', {maxIterations: 5})")
+    # too many positional arguments → loud, typed
+    with pytest.raises(ProcedureError, match="too many arguments"):
+        s.run("CALL gds.graph.drop('a', 'b', 'c', 'd', 'e')")

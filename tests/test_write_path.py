@@ -669,3 +669,58 @@ def test_auto_compaction_bounds_union_lineage(spark):
     assert plan.count("Union") < GraphStore.AUTO_COMPACT_EVERY
     # correctness across the compaction boundary
     assert store.match_nodes("CG").count() == GraphStore.AUTO_COMPACT_EVERY + 8
+
+
+def test_merge_chain_whole_pattern_atomic(spark):
+    """r12 (VERDICT r11 task 6): MATCH … MERGE (a)-[:X]->(b)-[:Y]->(c) —
+    whole-pattern atomicity (a partial match creates EVERY relationship
+    anew, the openCypher contract) and idempotence on re-run."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark))
+    s.run(
+        "UNWIND $rows AS r CREATE (:Ct {name: r.name, idx: r.idx})",
+        {"rows": [{"name": f"t{i}", "idx": i} for i in range(4)]},
+    )
+    s.run("MATCH (a:Ct {idx: 0}), (b:Ct {idx: 1}) CREATE (a)-[:R1]->(b)")
+    chain = (
+        "MATCH (a:Ct {idx: 0}), (b:Ct {idx: 1}), (c:Ct {idx: 2}) "
+        "MERGE (a)-[:R1]->(b)-[:R2]->(c)"
+    )
+    # partial pattern exists (a-R1->b) → whole-pattern miss → BOTH created
+    s.run(chain)
+    n = s.run("MATCH ()-[r]->() RETURN count(r) AS n").collect()[0].n
+    assert n == 3  # pre-existing R1 + fresh R1 + fresh R2
+    # whole pattern now matches → idempotent
+    s.run(chain)
+    assert s.run("MATCH ()-[r]->() RETURN count(r) AS n").collect()[0].n == 3
+    # a fully-missing chain creates each hop exactly once
+    s.run(
+        "MATCH (b:Ct {idx: 1}), (c:Ct {idx: 2}), (d:Ct {idx: 3}) "
+        "MERGE (b)-[:R3]->(c)-[:R3]->(d)"
+    )
+    r3 = s.run("MATCH ()-[r:R3]->() RETURN count(r) AS n").collect()[0].n
+    assert r3 == 2
+    # ON CREATE/ON MATCH branch on node vars + RETURN rebinding
+    s.run(
+        "MATCH (a:Ct {idx: 0}), (b:Ct {idx: 1}), (c:Ct {idx: 2}) "
+        "MERGE (a)-[:R1]->(b)-[:R2]->(c) ON MATCH SET a.seen = 1"
+    )
+    assert s.run(
+        "MATCH (a:Ct {idx: 0}) RETURN a.seen AS s"
+    ).collect()[0].s == 1
+    rows = s.run(
+        "MATCH (a:Ct {idx: 0}), (b:Ct {idx: 1}), (c:Ct {idx: 2}) "
+        "MERGE (a)-[r1:R1]->(b)-[r2:R2]->(c) "
+        "RETURN type(r1) AS t1, type(r2) AS t2"
+    ).collect()
+    assert {(r.t1, r.t2) for r in rows} == {("R1", "R2")}
+    assert len(rows) == 2  # two R1 edges fan out, MERGE-as-MATCH cardinality
+    # unbound chain endpoints are rejected loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="every node bound"):
+        s.run(
+            "MATCH (a:Ct {idx: 0}), (b:Ct {idx: 1}) "
+            "MERGE (a)-[:R1]->(b)-[:R9]->(z:Ct {idx: 9})"
+        )
