@@ -65,6 +65,11 @@ HEADLINE = [
     # (solo, min-of-2) in BASELINE.md.
     "cypher_match_merge_rel",
     "cypher_path_entities",
+    # r12 breadth: the GDS CALL-surface write-back path (project → wcc →
+    # set_props_from_frame over the full store → MATCH readback) — the
+    # one GDS shape not previously benched. First-run anchor (solo,
+    # min-of-2) in BASELINE.md.
+    "proc_gds_wcc_write",
 ]
 
 

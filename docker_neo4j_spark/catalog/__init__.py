@@ -89,6 +89,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r12: MATCH…MERGE dispatch grew the multi-relationship chain branch
     "cypher_match_merge_rel",
     "cypher_merge_grow_pattern",
+    # r12 late: SHOW PROCEDURES grew the new GDS surface rows
+    "proc_show_procedures",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -109,6 +111,9 @@ _NEW_THIS_ROUND: list[str] = [
     "cypher_postfix_accessors",
     # r12: multi-relationship MERGE chains (task 6)
     "cypher_merge_chain_pattern",
+    # r12: orientation projection maps + dijkstra config-map source
+    "proc_gds_undirected_degree",
+    "proc_gds_dijkstra_stream",
 ]
 
 

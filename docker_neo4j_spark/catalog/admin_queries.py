@@ -874,13 +874,18 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'db.schema.visualization'
     UNION ALL SELECT 'dbms.components'
     UNION ALL SELECT 'gds.graph.drop'
+    UNION ALL SELECT 'gds.graph.exists'
     UNION ALL SELECT 'gds.graph.list'
     UNION ALL SELECT 'gds.graph.project'
     UNION ALL SELECT 'gds.pageRank.stream'
+    UNION ALL SELECT 'gds.shortestPath.dijkstra.stream'
     UNION ALL SELECT 'gds.wcc.stream'
     UNION ALL SELECT 'gds.labelPropagation.stream'
+    UNION ALL SELECT 'gds.labelPropagation.write'
     UNION ALL SELECT 'gds.louvain.stream'
+    UNION ALL SELECT 'gds.louvain.write'
     UNION ALL SELECT 'gds.degree.stream'
+    UNION ALL SELECT 'gds.degree.write'
     UNION ALL SELECT 'gds.nodeSimilarity.stream'
     UNION ALL SELECT 'gds.wcc.write'
     UNION ALL SELECT 'gds.pageRank.write'
@@ -919,6 +924,9 @@ def proc_gds_wcc_stream(spark, sf_dir):
     from ..sources.tpch import build_graph
     from ..storage.store import GraphStore
 
+    from ..procedures.registry import _graphs_for
+
+    _graphs_for(spark).pop("wccg", None)  # idempotent under re-runs
     s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
     s.run("CALL gds.graph.project('wccg', ['Nation', 'Region'], ['IN_REGION'])")
     return s.run(
@@ -943,6 +951,9 @@ def proc_gds_wcc_write(spark, sf_dir):
     from ..sources.tpch import build_graph
     from ..storage.store import GraphStore
 
+    from ..procedures.registry import _graphs_for
+
+    _graphs_for(spark).pop("wwg", None)  # idempotent under re-runs
     s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
     s.run("CALL gds.graph.project('wwg', ['Nation', 'Region'], ['IN_REGION'])")
     s.run("CALL gds.wcc.write('wwg', 'comp')")
@@ -969,6 +980,9 @@ def proc_gds_degree_stream(spark, sf_dir):
     from ..sources.tpch import build_graph
     from ..storage.store import GraphStore
 
+    from ..procedures.registry import _graphs_for
+
+    _graphs_for(spark).pop("degg", None)  # idempotent under re-runs
     s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
     s.run("CALL gds.graph.project('degg', ['Nation', 'Region'], ['IN_REGION'])")
     return s.run(
@@ -3096,4 +3110,84 @@ def cypher_merge_chain_pattern(spark, sf_dir):
     return out.select(
         F.col("`count(r)`").cast("long").alias("n_rels"),
         F.col("`count(DISTINCT x.idx * 10 + y.idx)`").cast("long").alias("n_pairs"),
+    )
+
+
+@register(
+    "proc_gds_undirected_degree",
+    """
+    SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS nodeId,
+           CAST(1 AS DOUBLE) AS score
+    FROM nation
+    UNION ALL
+    SELECT CAST(1000000000000 + r_regionkey AS BIGINT),
+           CAST((SELECT count(*) FROM nation n
+                 WHERE n.n_regionkey = r.r_regionkey) AS DOUBLE)
+    FROM region r
+    ORDER BY nodeId
+    """,
+)
+def proc_gds_undirected_degree(spark, sf_dir):
+    """Relationship-projection map with per-type orientation (r12): the
+    canonical ``{IN_REGION: {orientation: 'UNDIRECTED'}}`` form stores
+    both directions at projection time (map-only, no shuffle —
+    procedures/registry.py:_apply_orientation), so NATURAL degree over
+    the undirected projection reads total degree: 1 per nation, the
+    nation count per region."""
+    from ..cypher.session import Session
+    from ..procedures.registry import _graphs_for
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    _graphs_for(spark).pop("undg", None)  # idempotent under re-runs
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run(
+        "CALL gds.graph.project('undg', ['Nation', 'Region'], "
+        "{IN_REGION: {orientation: 'UNDIRECTED'}})"
+    )
+    return s.run(
+        "CALL gds.degree.stream('undg') YIELD nodeId, score "
+        "RETURN nodeId, score ORDER BY nodeId"
+    )
+
+
+@register(
+    "proc_gds_dijkstra_stream",
+    """
+    SELECT CAST(2000000000000 AS BIGINT) AS sourceNode,
+           CAST(2000000000000 AS BIGINT) AS targetNode, 0.0e0 AS totalCost
+    UNION ALL
+    SELECT CAST(2000000000000 AS BIGINT),
+           CAST(1000000000000 + (SELECT n_regionkey FROM nation
+                                 WHERE n_nationkey = 0) AS BIGINT), 1.0e0
+    UNION ALL
+    SELECT CAST(2000000000000 AS BIGINT),
+           CAST(2000000000000 + n_nationkey AS BIGINT), 2.0e0
+    FROM nation
+    WHERE n_regionkey = (SELECT n_regionkey FROM nation WHERE n_nationkey = 0)
+      AND n_nationkey <> 0
+    ORDER BY totalCost, targetNode
+    """,
+)
+def proc_gds_dijkstra_stream(spark, sf_dir):
+    """``CALL gds.shortestPath.dijkstra.stream('g', {sourceNode: …})``
+    (r12): config-map source, hop costs (no weight property — GDS's
+    defaultValue:1) over an UNDIRECTED projection; from nation 0 the
+    reachable set is itself (0), its region (1), and its sibling
+    nations (2)."""
+    from ..cypher.session import Session
+    from ..procedures.registry import _graphs_for
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    _graphs_for(spark).pop("djkg", None)  # idempotent under re-runs
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run(
+        "CALL gds.graph.project('djkg', ['Nation', 'Region'], "
+        "{IN_REGION: {orientation: 'UNDIRECTED'}})"
+    )
+    return s.run(
+        "CALL gds.shortestPath.dijkstra.stream('djkg', {sourceNode: 2000000000000}) "
+        "YIELD sourceNode, targetNode, totalCost "
+        "RETURN sourceNode, targetNode, totalCost ORDER BY totalCost, targetNode"
     )

@@ -141,7 +141,14 @@ def call(
             f"{type(e).__name__}: {e}"
         ) from e
     if yield_cols:
-        df = df.select(*yield_cols)
+        # ``YIELD col AS alias`` renames (Cypher's YIELD alias form — r12)
+        import re as _re
+
+        sel = []
+        for c in yield_cols:
+            m = _re.fullmatch(r"(\w+)\s+AS\s+(\w+)", c.strip(), _re.IGNORECASE)
+            sel.append(F.col(m.group(1)).alias(m.group(2)) if m else c)
+        df = df.select(*sel)
     if where is not None:
         df = df.where(where)
     return df
@@ -725,18 +732,85 @@ _GRAPH_CATALOG: dict[int, dict[str, tuple]] = {}
 
 def _as_filter_list(v, what: str) -> list | None:
     """Normalize a GDS label/type filter: ``'Person'`` → ``['Person']``,
-    ``'*'`` (alone or in a list) → no filter, a list passes through.
-    Non-string elements are rejected loud."""
+    ``'*'`` (alone or in a list) → no filter, a list passes through, a
+    map form (``{Person: {}}``) contributes its keys. Non-string
+    elements are rejected loud."""
     if v is None:
         return None
     if isinstance(v, str):
         return None if v == "*" else [v]
-    vals = list(v)
+    vals = list(v)  # dict → its keys (the GDS projection-map form)
     if any(not isinstance(x, str) for x in vals):
         raise ValueError(
             f"{what} must be a string or a list of strings, got {v!r}"
         )
     return None if "*" in vals else vals
+
+
+_ORIENTATIONS = ("NATURAL", "REVERSE", "UNDIRECTED")
+
+
+def _rel_projection_spec(relTypes) -> tuple[list | None, dict]:
+    """GDS relationship-projection forms → (type filter, {type: orientation}).
+
+    Accepts ``'KNOWS'`` / ``['KNOWS', …]`` / ``'*'`` and the canonical
+    map form ``{KNOWS: {orientation: 'UNDIRECTED'}}`` (r12); unknown
+    projection keys and orientations are rejected loud."""
+    if not isinstance(relTypes, dict):
+        return _as_filter_list(relTypes, "relationshipTypes"), {}
+    orient: dict[str, str] = {}
+    for t, cfg in relTypes.items():
+        o, t_actual = "NATURAL", t
+        if isinstance(cfg, dict):
+            unknown = set(cfg) - {"orientation", "type", "properties", "aggregation"}
+            if unknown:
+                raise ValueError(
+                    f"Unexpected relationship projection key(s): {sorted(unknown)}"
+                )
+            o = str(cfg.get("orientation", "NATURAL")).upper()
+            t_actual = cfg.get("type", t)
+        if o not in _ORIENTATIONS:
+            raise ValueError(
+                f"Orientation must be one of {_ORIENTATIONS}, got {o!r}"
+            )
+        orient[t_actual] = o
+    types = list(orient)
+    return (None if "*" in types else types), orient
+
+
+def _apply_orientation(rels: DataFrame, orient: dict) -> DataFrame:
+    """Bake per-type orientation into the projected rels frame: REVERSE
+    swaps endpoints, UNDIRECTED stores both directions (GDS counts the
+    doubled relationships). Map-only — no shuffle."""
+    if not orient or all(o == "NATURAL" for o in orient.values()):
+        return rels
+
+    def _swapped(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col("dst").alias("src") if c == "src"
+                else F.col("src").alias("dst") if c == "dst"
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    star = orient.get("*")
+    if star is not None:
+        if star == "REVERSE":
+            return _swapped(rels)
+        if star == "UNDIRECTED":
+            return rels.unionByName(_swapped(rels))
+        return rels
+    rev = [t for t, o in orient.items() if o == "REVERSE"]
+    und = [t for t, o in orient.items() if o == "UNDIRECTED"]
+    out = rels.where(~F.col("type").isin(*(rev + und))) if (rev + und) else rels
+    if rev:
+        out = out.unionByName(_swapped(rels.where(F.col("type").isin(*rev))))
+    if und:
+        both = rels.where(F.col("type").isin(*und))
+        out = out.unionByName(both).unionByName(_swapped(both))
+    return out
 
 
 def _graphs_for(spark: SparkSession) -> dict[str, tuple]:
@@ -760,11 +834,11 @@ def _gds_graph_project(
     cat = _graphs_for(spark)
     if graphName in cat:
         raise ValueError(f"A graph with name '{graphName}' already exists")
-    # GDS accepts a single string label/type and the '*' wildcard
-    # (r12 — a bare string used to iterate PER-CHARACTER and silently
-    # project an empty graph)
+    # GDS accepts a single string label/type, the '*' wildcard, and the
+    # map projection form with per-type orientation (r12 — a bare string
+    # used to iterate PER-CHARACTER and silently project an empty graph)
     nodeLabels = _as_filter_list(nodeLabels, "nodeLabels")
-    relTypes = _as_filter_list(relTypes, "relationshipTypes")
+    relTypes, orient = _rel_projection_spec(relTypes)
     nodes = graph.nodes
     if nodeLabels:
         cond = None
@@ -775,6 +849,7 @@ def _gds_graph_project(
     rels = graph.rels
     if relTypes:
         rels = rels.where(F.col("type").isin(*relTypes))
+    rels = _apply_orientation(rels, orient)
     # endpoints must survive the node filter (GDS projection semantics)
     ids = nodes.select(F.col("id").alias("_nid"))
     rels = (
@@ -1002,6 +1077,137 @@ def _gds_pagerank_write(
         [writeProperty],
     )
     return local_df(spark, [(out.count(),)], "nodePropertiesWritten long")
+
+
+@procedure(
+    "gds.graph.exists",
+    signature="gds.graph.exists(graphName :: STRING) :: (graphName :: STRING, exists :: BOOLEAN)",
+    description="Check whether a named graph is in the in-memory catalog",
+)
+def _gds_graph_exists(spark: SparkSession, graphName: str = "") -> DataFrame:
+    return local_df(
+        spark,
+        [(graphName, graphName in _graphs_for(spark))],
+        "graphName string, exists boolean",
+    )
+
+
+@procedure(
+    "gds.labelPropagation.write",
+    signature=(
+        "gds.labelPropagation.write(graphName :: STRING, writeProperty :: STRING, "
+        "maxIterations :: INTEGER) :: "
+        "(nodePropertiesWritten :: INTEGER, communityCount :: INTEGER)"
+    ),
+    description="Label propagation over a projected graph, written back as a node property",
+    defaults={"writeProperty": "communityId", "maxIterations": 10},
+)
+def _gds_lpa_write(
+    spark: SparkSession, graphName: str = "",
+    writeProperty: str = "communityId", maxIterations: int = 10, store=None,
+) -> DataFrame:
+    from ..operators import gds
+
+    if store is None:
+        raise ValueError("gds.labelPropagation.write requires a store context")
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.label_propagation(edges, nodes, max_iter=int(maxIterations))
+    store.set_props_from_frame(
+        out.select("id", F.col("community").alias(writeProperty)), [writeProperty]
+    )
+    n = out.count()
+    comms = out.select("community").distinct().count()
+    return local_df(
+        spark, [(n, comms)],
+        "nodePropertiesWritten long, communityCount long",
+    )
+
+
+@procedure(
+    "gds.louvain.write",
+    signature=(
+        "gds.louvain.write(graphName :: STRING, writeProperty :: STRING) :: "
+        "(nodePropertiesWritten :: INTEGER, communityCount :: INTEGER)"
+    ),
+    description="Louvain over a projected graph, written back as a node property",
+    defaults={"writeProperty": "communityId"},
+)
+def _gds_louvain_write(
+    spark: SparkSession, graphName: str = "",
+    writeProperty: str = "communityId", store=None,
+) -> DataFrame:
+    from ..operators import gds
+
+    if store is None:
+        raise ValueError("gds.louvain.write requires a store context")
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.louvain(edges, nodes)
+    store.set_props_from_frame(
+        out.select("id", F.col("community").alias(writeProperty)), [writeProperty]
+    )
+    n = out.count()
+    comms = out.select("community").distinct().count()
+    return local_df(
+        spark, [(n, comms)],
+        "nodePropertiesWritten long, communityCount long",
+    )
+
+
+@procedure(
+    "gds.degree.write",
+    signature=(
+        "gds.degree.write(graphName :: STRING, writeProperty :: STRING, "
+        "orientation :: STRING) :: (nodePropertiesWritten :: INTEGER)"
+    ),
+    description="Degree centrality over a projected graph, written back as a node property",
+    defaults={"writeProperty": "degree", "orientation": "NATURAL"},
+)
+def _gds_degree_write(
+    spark: SparkSession, graphName: str = "", writeProperty: str = "degree",
+    orientation: str = "NATURAL", store=None,
+) -> DataFrame:
+    if store is None:
+        raise ValueError("gds.degree.write requires a store context")
+    out = _gds_degree_stream(spark, graphName, orientation)
+    store.set_props_from_frame(
+        out.select(
+            F.col("nodeId").alias("id"), F.col("score").alias(writeProperty)
+        ),
+        [writeProperty],
+    )
+    return local_df(spark, [(out.count(),)], "nodePropertiesWritten long")
+
+
+@procedure(
+    "gds.shortestPath.dijkstra.stream",
+    signature=(
+        "gds.shortestPath.dijkstra.stream(graphName :: STRING, "
+        "sourceNode :: INTEGER, targetNode :: INTEGER) :: "
+        "(sourceNode :: INTEGER, targetNode :: INTEGER, totalCost :: FLOAT)"
+    ),
+    description="Shortest-path cost from a source over a projected graph (unit weights)",
+    defaults={"targetNode": None},
+)
+def _gds_dijkstra_stream(
+    spark: SparkSession, graphName: str = "",
+    sourceNode: int = 0, targetNode: int = None,
+) -> DataFrame:
+    """``CALL gds.shortestPath.dijkstra.stream('g', {sourceNode: …,
+    targetNode: …})`` (r12) — the projected graph carries no weight
+    column, so costs are hop counts (GDS's defaultValue:1 convention);
+    the same Bellman-Ford BSP kernel the sssp catalog rows audit."""
+    from ..operators import gds
+
+    _, edges = _projected_graph(spark, graphName)
+    src = local_df(spark, [(int(sourceNode),)], "id long")
+    out = gds.bfs(edges, src).select(
+        F.lit(int(sourceNode)).alias("sourceNode"),
+        F.col("id").alias("targetNode"),
+        F.col("dist").cast("double").alias("totalCost"),
+    )
+    if targetNode is not None:
+        out = out.where(F.col("targetNode") == int(targetNode))
+    return out
 
 
 @procedure(

@@ -779,3 +779,79 @@ def test_procedure_error_hygiene_boundary(spark):
     # too many positional arguments → loud, typed
     with pytest.raises(ProcedureError, match="too many arguments"):
         s.run("CALL gds.graph.drop('a', 'b', 'c', 'd', 'e')")
+
+
+def test_gds_orientation_projections_and_new_surface(spark, sf_dir):
+    """r12: relationship-projection maps with per-type orientation
+    ({T: {orientation: 'UNDIRECTED'|'REVERSE'}}), gds.graph.exists, the
+    extra write modes, dijkstra config-map source, and YIELD aliases."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.procedures.registry import ProcedureError, _graphs_for
+    from docker_neo4j_spark.sources.tpch import build_graph
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    for g in ("org_u", "org_r", "org_n"):
+        _graphs_for(spark).pop(g, None)
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    nat = s.run(
+        "CALL gds.graph.project('org_n', ['Nation', 'Region'], ['IN_REGION'])"
+    ).collect()[0]
+    und = s.run(
+        "CALL gds.graph.project('org_u', ['Nation', 'Region'], "
+        "{IN_REGION: {orientation: 'UNDIRECTED'}})"
+    ).collect()[0]
+    rev = s.run(
+        "CALL gds.graph.project('org_r', ['Nation', 'Region'], "
+        "{IN_REGION: {orientation: 'REVERSE'}})"
+    ).collect()[0]
+    assert und.relationshipCount == 2 * nat.relationshipCount
+    assert rev.relationshipCount == nat.relationshipCount
+    # REVERSE: natural out-degree now sits on regions
+    deg = s.run(
+        "CALL gds.degree.stream('org_r') YIELD nodeId, score "
+        "WHERE score > 0 RETURN count(*) AS c, sum(score) AS total"
+    ).collect()[0]
+    assert (deg.c, deg.total) == (5, 25.0)
+    # UNDIRECTED: every node has positive degree
+    deg_u = s.run(
+        "CALL gds.degree.stream('org_u') YIELD nodeId, score "
+        "WHERE score > 0 RETURN count(*) AS c"
+    ).collect()[0].c
+    assert deg_u == 30
+    # graph.exists
+    ex = s.run("CALL gds.graph.exists('org_u')").collect()[0]
+    assert (ex.graphName, ex.exists) == ("org_u", True)
+    assert s.run("CALL gds.graph.exists('nope')").collect()[0].exists is False
+    # unknown projection key / orientation rejected loud
+    with pytest.raises(ProcedureError, match="projection key"):
+        s.run(
+            "CALL gds.graph.project('bad1', '*', {IN_REGION: {bogus: 1}})"
+        )
+    with pytest.raises(ProcedureError, match="[Oo]rientation"):
+        s.run(
+            "CALL gds.graph.project('bad2', '*', "
+            "{IN_REGION: {orientation: 'SIDEWAYS'}})"
+        )
+    # write modes land on the store and read back
+    lpa = s.run(
+        "CALL gds.labelPropagation.write('org_u', {writeProperty: 'lpac'})"
+    ).collect()[0]
+    assert lpa.nodePropertiesWritten == 30
+    assert s.run(
+        "MATCH (n:Nation) RETURN count(DISTINCT n.lpac) AS c"
+    ).collect()[0].c >= 1
+    dw = s.run(
+        "CALL gds.degree.write('org_u', {writeProperty: 'degw'})"
+    ).collect()[0]
+    assert dw.nodePropertiesWritten == 30
+    assert s.run(
+        "MATCH (r:Region) WHERE r.degw >= 5 RETURN count(*) AS c"
+    ).collect()[0].c == 5
+    # dijkstra over the undirected projection: source + region + siblings
+    dj = s.run(
+        "CALL gds.shortestPath.dijkstra.stream('org_u', "
+        "{sourceNode: 2000000000000}) "
+        "YIELD targetNode AS t, totalCost AS cost "
+        "RETURN count(*) AS n, max(cost) AS far"
+    ).collect()[0]
+    assert (dj.n, dj.far) == (6, 2.0)  # self + region + 4 siblings
