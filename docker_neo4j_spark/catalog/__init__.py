@@ -91,6 +91,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     "cypher_merge_grow_pattern",
     # r12 late: SHOW PROCEDURES grew the new GDS surface rows
     "proc_show_procedures",
+    # r12 late: consecutive-MATCH dispatch grew the shortestPath branch
+    # and the FOREACH write verb; duration.between call path changed
+    "cypher_consecutive_match",
+    "cypher_foreach_range_readback",
+    "fn_temporal_arith",
+    "cypher_shortest_path",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -114,6 +120,11 @@ _NEW_THIS_ROUND: list[str] = [
     # r12: orientation projection maps + dijkstra config-map source
     "proc_gds_undirected_degree",
     "proc_gds_dijkstra_stream",
+    # r12: probe-corpus fixes — FOREACH write tails over bindings,
+    # duration.between component accessors, bound-endpoint shortestPath
+    "cypher_foreach_bound_set",
+    "cypher_duration_between",
+    "cypher_shortest_path_bound",
 ]
 
 

@@ -3191,3 +3191,84 @@ def proc_gds_dijkstra_stream(spark, sf_dir):
         "YIELD sourceNode, targetNode, totalCost "
         "RETURN sourceNode, targetNode, totalCost ORDER BY totalCost, targetNode"
     )
+
+
+@register(
+    "cypher_foreach_bound_set",
+    """
+    SELECT n_name AS name, n_nationkey > 12 AS flagged
+    FROM nation ORDER BY name
+    """,
+)
+def cypher_foreach_bound_set(spark, sf_dir):
+    """FOREACH as a MATCH write tail (r12): the conditional-write idiom
+    ``FOREACH (i IN CASE WHEN … THEN [1] ELSE [] END | SET …)`` — the
+    list compiles per binding row, one posexplode + one max_by-collapsed
+    conditional update (set-based, never a per-row loop)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run(
+        "MATCH (n:Nation) FOREACH "
+        "(i IN CASE WHEN n.n_nationkey > 12 THEN [1] ELSE [] END | SET n.flagged = i)"
+    )
+    return s.run(
+        "MATCH (n:Nation) RETURN n.n_name AS name, "
+        "n.flagged IS NOT NULL AS flagged ORDER BY name"
+    )
+
+
+@register(
+    "cypher_duration_between",
+    """
+    SELECT CAST(1 AS BIGINT) AS m, CAST(15 AS BIGINT) AS d,
+           CAST(2 AS BIGINT) AS y, CAST(330 AS BIGINT) AS mi
+    """,
+)
+def cypher_duration_between(spark, sf_dir):
+    """duration.between(a, b) component accessors (r12): months = whole
+    calendar months, days = the remainder after those months, minutes =
+    total sub-day remainder — compiled from the ORIGINAL endpoints
+    (months_between + timestamp_add), since calendar months aren't
+    recoverable from a day-time difference."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    out = s.run(
+        "RETURN duration.between(date('2024-01-15'), date('2024-03-01')).months AS m, "
+        "duration.between(date('2024-01-15'), date('2024-03-01')).days AS d, "
+        "duration.between(date('2022-01-01'), date('2024-07-01')).years AS y, "
+        "duration.between(datetime('2024-01-01T00:00:00'), "
+        "datetime('2024-01-01T05:30:00')).minutes AS mi"
+    )
+    return out.select(
+        F.col("m").cast("long"), F.col("d").cast("long"),
+        F.col("y").cast("long"), F.col("mi").cast("long"),
+    )
+
+
+@register(
+    "cypher_shortest_path_bound",
+    """
+    SELECT CAST(2 AS BIGINT) AS l, CAST(3 AS BIGINT) AS n
+    """,
+)
+def cypher_shortest_path_bound(spark, sf_dir):
+    """shortestPath over endpoints a PREVIOUS MATCH bound (r12):
+    ``MATCH (a:…), (b:…) MATCH sp = shortestPath((a)-[*..4]-(b))`` —
+    the BSP search runs once over the DISTINCT endpoint sets and joins
+    back per binding row. Nations 1 and 2 share region 1 (fixed TPC-H
+    nation table), so the undirected hop path is a→region→b: length 2,
+    3 nodes."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (a:Nation {n_nationkey: 1}), (b:Nation {n_nationkey: 6}) "
+        "MATCH sp = shortestPath((a)-[:IN_REGION*..4]-(b)) "
+        "RETURN length(sp) AS l, size(nodes(sp)) AS n"
+    )

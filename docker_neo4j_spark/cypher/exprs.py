@@ -866,9 +866,50 @@ class _Parser:
             if self._at_punct(","):
                 self._take()
         self._take()  # )
+        if (
+            name.lower() == "duration.between"
+            and len(args) == 2
+            and self._at_punct(".")
+            and self._peek(1) is not None
+            and self._peek(1).kind == "ident"
+            and self._peek(1).text in self._BETWEEN_FIELDS
+        ):
+            # duration.between(a, b).months — the component accessors need
+            # the ORIGINAL endpoints (calendar months aren't recoverable
+            # from the day-time difference), so compile from args (r12)
+            self._take()
+            return self._duration_between_component(
+                args[0].col, args[1].col, self._take().text
+            )
         out = self._dispatch(name, args, arg_srcs)
         out.src_fn = name.lower()
         return out
+
+    _BETWEEN_FIELDS = frozenset(
+        {"years", "months", "weeks", "days", "hours", "minutes", "seconds"}
+    )
+
+    @staticmethod
+    def _duration_between_component(a: Column, b: Column, prop: str) -> _V:
+        """Neo4j duration accessor semantics over ``duration.between``:
+        ``months`` is the whole-calendar-month count, ``years`` its /12,
+        ``days`` the day remainder after those months, ``hours/minutes/
+        seconds`` totals of the sub-day remainder."""
+        mtot = F.floor(F.months_between(b, a)).cast("long")
+        if prop == "months":
+            return _V(mtot)
+        if prop == "years":
+            return _V((mtot / F.lit(12)).cast("long"))
+        anchor = F.timestamp_add("MONTH", mtot.cast("int"), F.to_timestamp(a))
+        day_secs = F.unix_timestamp(F.to_timestamp(b)) - F.unix_timestamp(anchor)
+        days = F.floor(day_secs / F.lit(86400)).cast("long")
+        if prop == "days":
+            return _V(days)
+        if prop == "weeks":
+            return _V((days / F.lit(7)).cast("long"))
+        rem = day_secs - days * F.lit(86400)
+        div = {"hours": 3600, "minutes": 60, "seconds": 1}[prop]
+        return _V((rem / F.lit(div)).cast("long"))
 
     def _dispatch(self, name: str, args: list[_V], arg_srcs: list[str]) -> _V:
         from ..functions import cypher as cf

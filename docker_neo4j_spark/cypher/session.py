@@ -1001,6 +1001,90 @@ class Session:
             self.run(stmt)
         return local_df(self.spark, [], "ok string")
 
+    def _foreach_from_binding(self, tail: str, bound: DataFrame) -> DataFrame:
+        """``MATCH … FOREACH (x IN <list-expr> | SET …)`` (r12) — the
+        openCypher per-row write iteration, including the conditional-write
+        idiom ``FOREACH (_ IN CASE WHEN p THEN [1] ELSE [] END | SET …)``.
+
+        Set-based: the list expression compiles against the binding frame
+        (so it may reference bound variables), one ``posexplode`` yields a
+        (binding row × element) frame — an empty list contributes no rows,
+        which IS the conditional-write semantics — and each SET target
+        collapses to one conditional update, last element winning per
+        entity (``max_by`` over the element position, Cypher's sequential
+        iteration order). Only SET update clauses are supported here
+        (CREATE/MERGE/DELETE inside a bound FOREACH raise loud; the
+        bounded standalone form handles those)."""
+        m = re.match(
+            r"\(\s*(?P<var>\w+)\s+IN\s+(?P<rest>.+)\)\s*$",
+            tail.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"Unsupported FOREACH syntax: {tail!r}")
+        rest, var = m.group("rest"), m.group("var")
+        from .lexer import tokenize as _tokenize
+
+        depth, split_at = 0, None
+        for t in _tokenize(rest):
+            if t.kind == "punct":
+                if t.text in "([{":
+                    depth += 1
+                elif t.text in ")]}":
+                    depth -= 1
+                elif t.text == "|" and depth == 0:
+                    split_at = t.pos
+                    break
+        if split_at is None:
+            raise ValueError(f"FOREACH needs '| <update clause>': {tail!r}")
+        list_src, body = rest[:split_at].strip(), rest[split_at + 1 :].strip()
+        m_set = re.match(r"SET\s+", body, re.IGNORECASE)
+        if not m_set:
+            raise ValueError(
+                "FOREACH over a MATCH binding supports SET update clauses "
+                f"(got: {body.split(None, 1)[0] if body else body!r})"
+            )
+        lst = _compile_expr(list_src, _frame_resolver(bound))
+        el_col, pos_col = f"_fe_{var}", "_fe_pos"
+        ex = bound.select(
+            "*", F.posexplode(lst).alias(pos_col, el_col)
+        )
+        base_resolve = _frame_resolver(ex)
+
+        def resolve(name: str) -> F.Column:
+            if name == var:
+                return F.col(el_col)
+            if name.startswith(f"{var}."):
+                # map elements: x.key access
+                return F.element_at(
+                    F.col(el_col), F.lit(name.split(".", 1)[1])
+                )
+            return base_resolve(name)
+
+        resolve.frame = ex
+        by_target: dict[str, dict[str, str]] = {}
+        for item in _split_top(body[m_set.end():], ","):
+            lhs, rhs = item.split("=", 1)
+            tvar, prop = lhs.strip().split(".", 1)
+            if f"{tvar}_id" not in ex.columns:
+                raise ValueError(f"FOREACH SET variable {tvar!r} is not bound")
+            by_target.setdefault(tvar, {})[prop] = rhs.strip()
+        for tvar, assigns in by_target.items():
+            g = ex
+            for p, rhs_src in assigns.items():
+                g = g.withColumn(f"_set_{p}", _compile_expr(rhs_src, resolve))
+            vals = g.groupBy(F.col(f"{tvar}_id").alias("id")).agg(
+                *[
+                    F.max_by(F.col(f"_set_{p}"), F.col(pos_col)).alias(p)
+                    for p in assigns
+                ]
+            )
+            if f"{tvar}_type" in ex.columns:
+                self.store.set_rel_props_from_frame(vals, list(assigns))
+            else:
+                self.store.set_props_from_frame(vals, list(assigns))
+        return local_df(self.spark, [], "ok string")
+
     _CREATE_CONSTRAINT_RE = re.compile(
         r"CREATE\s+CONSTRAINT"
         r"(?:\s+(?P<name>\w+))?(?P<ine>\s+IF\s+NOT\s+EXISTS)?\s+"
@@ -1293,6 +1377,8 @@ class Session:
             return self._create_from_binding(tail, bound)
         if verb == "MERGE":
             return self._merge_from_binding(tail, bound)
+        if verb == "FOREACH":
+            return self._foreach_from_binding(tail, bound)
         if verb == "SET":
             return self._set_from_binding(tail, bound, [], remove=False)
         if verb == "REMOVE":
@@ -2051,7 +2137,7 @@ class Session:
             (h[0], h[1], " ".join(words))
             for words in (
                 ("CREATE",), ("MERGE",), ("SET",), ("REMOVE",),
-                ("DETACH", "DELETE"), ("DELETE",),
+                ("DETACH", "DELETE"), ("DELETE",), ("FOREACH",),
             )
             if (h := _find_kw(body, *words))
         ]
@@ -2158,7 +2244,18 @@ class Session:
             bound = gbound if bound is None else bound.crossJoin(gbound)
         if where_src:
             bound = self._apply_where(bound, where_src)
+        extra_pvars: set[str] = set()
         for j, seg in enumerate(extra_matches):
+            if re.match(
+                r"(?:\w+\s*=\s*)?(?:allShortestPaths|shortestPath)\s*\(",
+                seg,
+                re.IGNORECASE,
+            ):
+                # shortestPath over endpoints the previous MATCH bound (r12)
+                bound, pv = self._shortest_path_additional(bound, seg)
+                if pv:
+                    extra_pvars.add(pv)
+                continue
             bound = self._bind_additional(bound, seg, False, 300 + j)
         for k, opt in enumerate(optionals):
             # RETURN/ORDER BY resolve purely by column name, so the new
@@ -2173,6 +2270,8 @@ class Session:
             return self._create_from_binding(tail, bound)
         if verb == "MERGE":
             return self._merge_from_binding(tail, bound)
+        if verb == "FOREACH":
+            return self._foreach_from_binding(tail, bound)
         if verb == "SET":
             return self._set_from_binding(tail, bound, elems, remove=False)
         if verb == "REMOVE":
@@ -2182,7 +2281,12 @@ class Session:
 
         if _has_count_subquery(ret):
             bound, ret = self._apply_count_subqueries(bound, ret)
-        return self._project_match(bound, ret, elems, _frame_resolver(bound))
+        resolve = _frame_resolver(bound)
+        if extra_pvars:
+            # length(sp)/nodes(sp) land as literal columns; the path-fn
+            # dispatch needs to know sp names a path (r12)
+            resolve.path_vars = extra_pvars
+        return self._project_match(bound, ret, elems, resolve)
 
     def _run_with_stages(self, bound: DataFrame, pipeline: list) -> DataFrame:
         """WITH pipelines: each WITH stage projects/aggregates, an optional
@@ -3206,6 +3310,82 @@ class Session:
         if pvar:
             resolve.path_vars = {pvar}
         return self._project_match(joined, ret, elems, resolve)
+
+    def _shortest_path_additional(
+        self, bound: DataFrame, seg: str
+    ) -> tuple[DataFrame, str | None]:
+        """``MATCH (a:…), (b:…) MATCH sp = shortestPath((a)-[*..k]-(b))``
+        (r12) — shortestPath whose endpoints a PREVIOUS clause bound. The
+        BSP path search runs once over the DISTINCT endpoint id sets and
+        equi-joins back per binding row; ``length(sp)``/``nodes(sp)`` land
+        as literal columns the projection resolver reads."""
+        from ..operators.paths import all_shortest_paths, shortest_path
+        from ..operators.patterns import RelSpec, _rel_frame
+
+        m = re.match(
+            r"(?:(?P<pvar>\w+)\s*=\s*)?(?P<fn>allShortestPaths|shortestPath)\s*\(",
+            seg,
+            re.IGNORECASE,
+        )
+        depth, i = 1, m.end()
+        while i < len(seg) and depth:
+            if seg[i] == "(":
+                depth += 1
+            elif seg[i] == ")":
+                depth -= 1
+            i += 1
+        inner, rest = seg[m.end(): i - 1].strip(), seg[i:].strip()
+        if rest:
+            raise ValueError(
+                f"trailing content after shortestPath pattern: {rest!r}"
+            )
+        elems, extra = _parse_pattern(inner)
+        if extra or len(elems) != 3:
+            raise ValueError("shortestPath takes a single (a)-[*..]->(b) pattern")
+        a, rel, b = elems
+        for el in (a, b):
+            if not (el.var and f"{el.var}_id" in bound.columns):
+                raise ValueError(
+                    "shortestPath in a consecutive MATCH needs both "
+                    f"endpoints bound (unbound: {el.var or '(anonymous)'!r})"
+                )
+            if el.label or el.props:
+                raise ValueError(
+                    f"shortestPath endpoint {el.var!r} is already bound; "
+                    "drop the label/properties"
+                )
+        if rel.hi is None:
+            rel.lo, rel.hi = 1, 10  # engine cap, same default as var-length
+        g = self.store.graph
+        edges = _rel_frame(
+            g, RelSpec("_sp", rel.rel_type, _direction(rel), props=rel.props or None)
+        )
+        srcs = bound.select(F.col(f"{a.var}_id").alias("id")).distinct()
+        tgts = bound.select(F.col(f"{b.var}_id").alias("id")).distinct()
+        fn = (
+            shortest_path
+            if m.group("fn").lower() == "shortestpath"
+            else all_shortest_paths
+        )
+        paths = fn(edges, srcs, rel.hi, targets=tgts).where(
+            F.col("hops") >= rel.lo
+        )
+        pvar = m.group("pvar")
+        sel = [
+            F.col("start_id").alias("_spa"),
+            F.col("end_id").alias("_spb"),
+            F.col("hops").alias(f"length({pvar})" if pvar else "_sp_hops"),
+        ]
+        if pvar:
+            sel.append(F.col("path").alias(f"nodes({pvar})"))
+        pj = paths.select(*sel)
+        joined = bound.join(
+            pj,
+            (F.col(f"{a.var}_id") == F.col("_spa"))
+            & (F.col(f"{b.var}_id") == F.col("_spb")),
+            "inner",
+        ).drop("_spa", "_spb")
+        return joined, pvar
 
     def _create_from_binding(self, tail: str, bound: DataFrame) -> DataFrame:
         """Set-based ``MATCH … CREATE …`` (SURVEY §2.B.13): one new node/rel

@@ -1812,3 +1812,89 @@ def test_postfix_accessors_on_call_expressions(spark):
         "point({x: 1.0, y: 2.0}).x < 2.0 AS lt"
     ).collect()[0]
     assert (r2.hh, r2.lt) == (6, True)
+
+
+def test_foreach_over_match_binding(spark):
+    """r12: FOREACH as a MATCH write tail — per-row list evaluation
+    (posexplode, set-based), last element wins (sequential semantics),
+    and the conditional-write idiom (empty list → no update)."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark))
+    s.run("CREATE (:Fe {name: 'a', v: 1})")
+    s.run("CREATE (:Fe {name: 'b', v: 5})")
+    s.run("MATCH (n:Fe) FOREACH (x IN [10, 20] | SET n.mark = x)")
+    rows = s.run(
+        "MATCH (n:Fe) RETURN n.name AS name, n.mark AS mark ORDER BY name"
+    ).collect()
+    assert [(r.name, r.mark) for r in rows] == [("a", 20), ("b", 20)]
+    # conditional write: list depends on the row
+    s.run(
+        "MATCH (n:Fe) FOREACH "
+        "(i IN CASE WHEN n.v > 3 THEN [1] ELSE [] END | SET n.big = true)"
+    )
+    rows = s.run(
+        "MATCH (n:Fe) RETURN n.name AS name, n.big AS big ORDER BY name"
+    ).collect()
+    assert [(r.name, r.big) for r in rows] == [("a", None), ("b", True)]
+    # element referenced in the value expression
+    s.run("MATCH (n:Fe {name: 'a'}) FOREACH (x IN [n.v + 1] | SET n.w = x * 10)")
+    assert s.run("MATCH (n:Fe {name: 'a'}) RETURN n.w AS w").collect()[0].w == 20
+    # non-SET update clauses inside a bound FOREACH are rejected loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="supports SET"):
+        s.run("MATCH (n:Fe) FOREACH (x IN [1] | CREATE (:Zed))")
+
+
+def test_duration_between_component_accessors(spark):
+    """r12: duration.between(a, b).months/.days/… — Neo4j component
+    semantics (months = whole calendar months, days = the remainder
+    after those months, hours/minutes/seconds totals of the sub-day
+    remainder)."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    r = s.run(
+        "RETURN duration.between(date('2024-01-15'), date('2024-03-01')).months AS m, "
+        "duration.between(date('2024-01-15'), date('2024-03-01')).days AS d, "
+        "duration.between(date('2022-01-01'), date('2024-07-01')).years AS y, "
+        "duration.between(datetime('2024-01-01T00:00:00'), "
+        "datetime('2024-01-01T05:30:00')).minutes AS mi"
+    ).collect()[0]
+    assert (r.m, r.d, r.y, r.mi) == (1, 15, 2, 330)
+
+
+def test_shortest_path_over_bound_endpoints(spark):
+    """r12: MATCH (a:…), (b:…) MATCH sp = shortestPath((a)-[*..k]-(b)) —
+    the consecutive-MATCH form with endpoints bound by an earlier
+    clause; length(sp)/nodes(sp) resolve."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark))
+    for n in "abcd":
+        s.run(f"CREATE (:Sp {{name: '{n}'}})")
+    for x, y in (("a", "b"), ("b", "c"), ("c", "d")):
+        s.run(
+            f"MATCH (x:Sp {{name: '{x}'}}), (y:Sp {{name: '{y}'}}) "
+            "CREATE (x)-[:N]->(y)"
+        )
+    r = s.run(
+        "MATCH (a:Sp {name: 'a'}), (d:Sp {name: 'd'}) "
+        "MATCH sp = shortestPath((a)-[*..5]-(d)) "
+        "RETURN length(sp) AS l, size(nodes(sp)) AS n"
+    ).collect()[0]
+    assert (r.l, r.n) == (3, 4)
+    # directed form respects orientation
+    r2 = s.run(
+        "MATCH (d:Sp {name: 'd'}), (a:Sp {name: 'a'}) "
+        "MATCH sp = shortestPath((d)-[:N*..5]->(a)) RETURN length(sp) AS l"
+    ).collect()
+    assert r2 == []  # no d→a directed path
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="endpoints bound"):
+        s.run(
+            "MATCH (a:Sp {name: 'a'}) "
+            "MATCH sp = shortestPath((a)-[*..3]-(zz)) RETURN length(sp) AS l"
+        )
