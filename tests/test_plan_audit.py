@@ -581,3 +581,22 @@ def test_r11_rows_stay_distributed(spark, sf_dir, queries):
         facts = audit(queries[name](spark, sf_dir))
         assert "CartesianProduct" not in facts.text, name
         assert "Exchange SinglePartition" not in facts.text, name
+
+
+def test_r12_rows_stay_distributed(spark, sf_dir, queries):
+    """r12 rows: chain MERGE, FOREACH write tails, bound-endpoint
+    shortestPath, GDS config-map writes, and orientation projections
+    never plan a CartesianProduct, a Python-RDD scan, or a
+    SinglePartition exchange."""
+    for name in (
+        "cypher_merge_chain_pattern",
+        "cypher_foreach_bound_set",
+        "cypher_shortest_path_bound",
+        "proc_gds_wcc_write_map",
+        "proc_gds_undirected_degree",
+        "cypher_missing_prop_null",
+    ):
+        facts = audit(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in facts.text, name
+        assert "Exchange SinglePartition" not in facts.text, name
+        assert "Scan ExistingRDD" not in facts.text, name
