@@ -91,12 +91,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     "cypher_merge_grow_pattern",
     # r12 late: SHOW PROCEDURES grew the new GDS surface rows
     "proc_show_procedures",
-    # r12 late: consecutive-MATCH dispatch grew the shortestPath branch
-    # and the FOREACH write verb; duration.between call path changed
-    "cypher_consecutive_match",
-    "cypher_foreach_range_readback",
-    "fn_temporal_arith",
-    "cypher_shortest_path",
+    # r12 late: the consecutive-MATCH shortestPath branch, bound-FOREACH
+    # verb, EXISTS{} RETURN rewrite and case-insensitive function lookup
+    # are all ADDITIVE branches (exact-name lookup, standalone FOREACH,
+    # and the single-MATCH shortestPath path are untouched) — their
+    # pre-existing rows carry no new risk and stay on the staleness
+    # rotation so the 6 r4-graded rows fit the window (task 7).
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -125,6 +125,9 @@ _NEW_THIS_ROUND: list[str] = [
     "cypher_foreach_bound_set",
     "cypher_duration_between",
     "cypher_shortest_path_bound",
+    # r12: EXISTS{} in RETURN position + probe-corpus function gaps
+    "cypher_exists_return",
+    "fn_r12_additions",
 ]
 
 

@@ -3272,3 +3272,53 @@ def cypher_shortest_path_bound(spark, sf_dir):
         "MATCH sp = shortestPath((a)-[:IN_REGION*..4]-(b)) "
         "RETURN length(sp) AS l, size(nodes(sp)) AS n"
     )
+
+
+@register(
+    "cypher_exists_return",
+    """
+    SELECT n_name AS name,
+           EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+             AS has_supp
+    FROM nation n ORDER BY name
+    """,
+)
+def cypher_exists_return(spark, sf_dir):
+    """EXISTS { pattern } as a RETURN item (r12): per-binding boolean via
+    the decorrelated pattern aggregate (one groupBy on the anchor ids +
+    one left join — the same shape Catalyst rewrites scalar subqueries
+    into); the WHERE position always supported it."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) RETURN n.n_name AS name, "
+        "EXISTS { (n)<-[:IN_NATION]-(:Supplier) } AS has_supp ORDER BY name"
+    )
+
+
+@register(
+    "fn_r12_additions",
+    """
+    SELECT 'x' AS l, 'y' AS rt, CAST(2 AS BIGINT) AS b, '2024-03-01' AS t,
+           '{"k":1}' AS j
+    """,
+)
+def fn_r12_additions(spark, sf_dir):
+    """r12 probe-corpus function gaps: case-insensitive lookup
+    (ltrim == lTrim), apoc.convert.toJson / fromJsonMap (typed map
+    values via VARIANT), date.truncate → DATE."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    out = s.run(
+        "RETURN ltrim('  x') AS l, rtrim('y  ') AS rt, "
+        "toInteger(apoc.convert.fromJsonMap('{\"b\": 2}').b) AS b, "
+        "toString(date.truncate('month', date('2024-03-15'))) AS t, "
+        "apoc.convert.toJson({k: 1}) AS j"
+    )
+    return out.select(
+        F.col("l"), F.col("rt"), F.col("b").cast("long"), F.col("t"), F.col("j")
+    )

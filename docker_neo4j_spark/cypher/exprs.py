@@ -59,7 +59,11 @@ DOTTED_FNS = {
     "duration.between": "duration_between",
     "duration.inDays": "duration_between_days",
     "datetime.truncate": "date_trunc",
+    "date.truncate": "date_trunc_date",
     "apoc.json.path": "json_extract",
+    "apoc.convert.toJson": "to_json_text",
+    "apoc.convert.fromJsonMap": "from_json_map_typed",
+    "apoc.map.fromLists": "map_from_lists",
     "point.distance": "point_distance",
     "point.withinBBox": "point_within_bbox",
 }
@@ -84,6 +88,8 @@ _LITERAL_PARAMS = {
     "approx_count_distinct": (1,),
     # dotted façade names (looked up pre-mapping)
     "datetime.truncate": (0,),
+    "date.truncate": (0,),
+    "date_trunc_date": (0,),
     "apoc.json.path": (1,),
 }
 
@@ -1072,9 +1078,26 @@ class _Parser:
                     raise ValueError(f"unknown function {name}()") from exc
             return _V(_safe_call(name, fn, call_args))
         fn = getattr(cf, name, None) or getattr(cf, name + "_", None)
+        if fn is None:
+            # Cypher function names are case-insensitive (lTrim == ltrim)
+            fn = _cf_case_insensitive(cf, low)
         if fn is None or not callable(fn):
             raise ValueError(f"unknown function {name}()")
         return _V(_safe_call(name, fn, call_args), is_str=low in _STR_RETURNING)
+
+
+_CF_LOWER: dict | None = None
+
+
+def _cf_case_insensitive(cf, low: str):
+    global _CF_LOWER
+    if _CF_LOWER is None:
+        _CF_LOWER = {
+            n.lower(): getattr(cf, n)
+            for n in dir(cf)
+            if not n.startswith("_") and callable(getattr(cf, n, None))
+        }
+    return _CF_LOWER.get(low)
 
 
 def _safe_call(name: str, fn, call_args):

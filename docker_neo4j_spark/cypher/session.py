@@ -2682,6 +2682,32 @@ class Session:
             return None
         return None
 
+    def _apply_exists_subqueries(self, bound: DataFrame, ret: str):
+        """``EXISTS { [MATCH] pattern [WHERE pred] }`` in RETURN position
+        (r12 — the WHERE path always supported it): each occurrence
+        becomes a per-binding BOOLEAN column (decorrelated pattern
+        aggregate, absent → false) and the RETURN text is rewritten."""
+        while True:
+            hit = self._find_brace_subquery(ret, "EXISTS")
+            if hit is None:
+                return bound, ret
+            start, end, inner = hit
+            kw_m = _find_kw(inner, "MATCH")
+            if kw_m is not None and kw_m[0] == 0:
+                inner = inner[kw_m[1]:].strip()
+            wh = _split_kw(inner, "WHERE")
+            pat_src = wh[0].strip()
+            where_src = wh[1].strip() if len(wh) > 1 else None
+            tmp = f"_esqa{self._anon}"
+            self._anon += 1
+            bound = self._collect_pattern(bound, pat_src, where_src, "1", tmp)
+            bcol = f"_esq{self._anon}"
+            self._anon += 1
+            bound = bound.withColumn(
+                bcol, F.size(F.col(tmp)) > 0
+            ).drop(tmp)
+            ret = ret[:start] + bcol + ret[end:]
+
     def _apply_collect_subqueries(self, bound: DataFrame, ret: str):
         """Cypher 5 ``COLLECT { [MATCH] pattern [WHERE pred] RETURN expr }``
         in RETURN position: each becomes a per-binding collected array
@@ -2707,6 +2733,22 @@ class Session:
                     "collect-subquery contract)"
                 )
             head, expr_src = inner[: kw_r[0]].strip(), inner[kw_r[1]:].strip()
+            # a trailing inner ORDER BY (r12): the collected array is
+            # ALWAYS sorted ascending (the documented deterministic-order
+            # deviation) — honor the clause when it matches that order,
+            # reject custom orders loud
+            h_ob = _find_kw(expr_src, "ORDER", "BY")
+            if h_ob:
+                ob = expr_src[h_ob[1]:].strip()
+                expr_src = expr_src[: h_ob[0]].strip()
+                if ob.rstrip().upper().endswith(" ASC"):
+                    ob = ob.rstrip()[:-4].strip()
+                if ob != expr_src:
+                    raise ValueError(
+                        "COLLECT { … ORDER BY … }: only ascending order by "
+                        "the returned expression is supported (arrays are "
+                        "sorted; use a WITH pipeline for custom orders)"
+                    )
             wh = _split_kw(head, "WHERE")
             pat_src = wh[0].strip()
             where_src = wh[1].strip() if len(wh) > 1 else None
@@ -4461,6 +4503,9 @@ class Session:
             resolve = _frame_resolver(bound)
         if self._find_brace_subquery(ret, "COLLECT") is not None:
             bound, ret = self._apply_collect_subqueries(bound, ret)
+            resolve = _frame_resolver(bound)
+        if self._find_brace_subquery(ret, "EXISTS") is not None:
+            bound, ret = self._apply_exists_subqueries(bound, ret)
             resolve = _frame_resolver(bound)
         _resolve = resolve or _default_resolver
         # ORDER BY / SKIP / LIMIT suffixes, DISTINCT prefix

@@ -607,6 +607,32 @@ def from_json_map(x, value_type: str = "string") -> Column:
     return F.from_json(_c(x), f"map<string,{value_type}>")
 
 
+def from_json_map_typed(x) -> Column:
+    """apoc.convert.fromJsonMap with NATIVE value types (r12): a
+    map<string, variant> — numbers stay numbers through key access and
+    the wire layers decode VariantVal like any entity property."""
+    return F.from_json(_c(x), "map<string,variant>")
+
+
+def to_json_text(x) -> Column:
+    """apoc.convert.toJson → one JSON text per map/struct/array value."""
+    return F.to_json(_c(x))
+
+
+def map_from_lists(keys, values) -> Column:
+    """apoc.map.fromLists(keys, values)."""
+    return F.map_from_arrays(_c(keys), _c(values))
+
+
+def date_trunc_date(unit: str, x) -> Column:
+    """date.truncate(unit, d) → DATE (datetime.truncate covers
+    timestamps); 'day' is the identity on dates."""
+    u = unit.lower()
+    if u == "day":
+        return F.to_date(_c(x))
+    return F.trunc(_c(x), u)
+
+
 # ------------------------------------------------- null / CASE / identity ----
 
 def coalesce(*cols) -> Column:

@@ -1898,3 +1898,72 @@ def test_shortest_path_over_bound_endpoints(spark):
             "MATCH (a:Sp {name: 'a'}) "
             "MATCH sp = shortestPath((a)-[*..3]-(zz)) RETURN length(sp) AS l"
         )
+
+
+def test_exists_subquery_in_return_position(spark):
+    """r12: EXISTS { pattern [WHERE pred] } as a RETURN item — boolean
+    per binding row (the WHERE path always supported it)."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark))
+    s.run("CREATE (:Ex {name: 'a'})")
+    s.run("CREATE (:Ex {name: 'b'})")
+    s.run("MATCH (a:Ex {name: 'a'}), (b:Ex {name: 'b'}) CREATE (a)-[:R {w: 2}]->(b)")
+    rows = s.run(
+        "MATCH (n:Ex) RETURN n.name AS name, EXISTS { (n)-[:R]->() } AS out "
+        "ORDER BY name"
+    ).collect()
+    assert [(r.name, r.out) for r in rows] == [("a", True), ("b", False)]
+    rows = s.run(
+        "MATCH (n:Ex) RETURN n.name AS name, "
+        "EXISTS { (n)-[r:R]->() WHERE r.w > 5 } AS heavy ORDER BY name"
+    ).collect()
+    assert [(r.name, r.heavy) for r in rows] == [("a", False), ("b", False)]
+
+
+def test_collect_subquery_order_by(spark):
+    """r12: COLLECT { … RETURN x ORDER BY x } honors the ascending
+    self-order (arrays are always sorted — the documented deviation);
+    custom orders are rejected loud."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark))
+    s.run("CREATE (:Co {name: 'hub'})")
+    for n in ("z", "m", "a"):
+        s.run(
+            f"MATCH (h:Co {{name: 'hub'}}) CREATE (h)-[:T]->(:Co {{name: '{n}'}})"
+        )
+    r = s.run(
+        "MATCH (h:Co {name: 'hub'}) RETURN "
+        "COLLECT { MATCH (h)-[:T]->(x) RETURN x.name ORDER BY x.name } AS subs"
+    ).collect()[0]
+    assert r.subs == ["a", "m", "z"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ascending order"):
+        s.run(
+            "MATCH (h:Co {name: 'hub'}) RETURN "
+            "COLLECT { MATCH (h)-[:T]->(x) RETURN x.name ORDER BY x.name DESC } AS subs"
+        )
+
+
+def test_r12_function_additions(spark):
+    """r12 probe-corpus gaps: case-insensitive function lookup
+    (ltrim == lTrim), apoc.map.fromLists, apoc.convert.toJson /
+    fromJsonMap (typed values via variant), date.truncate."""
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    r = s.run(
+        "RETURN ltrim('  x') AS l, rtrim('y  ') AS rt, LTRIM(' z') AS lu, "
+        "apoc.map.fromLists(['a','b'], [1,2]) AS m, "
+        "apoc.convert.toJson({k: 1}) AS j, "
+        "apoc.convert.fromJsonMap('{\"b\": 2}').b AS b, "
+        "toString(date.truncate('month', date('2024-03-15'))) AS t"
+    ).collect()[0]
+    assert (r.l, r.rt, r.lu) == ("x", "y", "z")
+    assert r.m == {"a": 1, "b": 2}
+    assert r.j == '{"k":1}'
+    assert str(r.b) == "2"
+    assert r.t == "2024-03-01"
