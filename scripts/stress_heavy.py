@@ -140,6 +140,14 @@ HEAVY = [
     "cypher_match_merge_rel",
     "cypher_merge_grow_pattern",
     "cypher_set_with_continue",
+    # r12 additions: SF-scaled shapes from this round — bound-endpoint
+    # shortestPath (BSP over distinct endpoint sets), EXISTS{} RETURN
+    # rewrite (per-anchor aggregate + left join over supplier), GDS
+    # orientation projection + dijkstra over the undirected graph
+    "cypher_shortest_path_bound",
+    "cypher_exists_return",
+    "proc_gds_undirected_degree",
+    "proc_gds_dijkstra_stream",
 ]
 
 
