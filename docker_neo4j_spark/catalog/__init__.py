@@ -128,6 +128,8 @@ _NEW_THIS_ROUND: list[str] = [
     # r12: EXISTS{} in RETURN position + probe-corpus function gaps
     "cypher_exists_return",
     "fn_r12_additions",
+    # r12: WITH * passthrough
+    "cypher_with_star",
 ]
 
 

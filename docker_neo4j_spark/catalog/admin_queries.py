@@ -3322,3 +3322,26 @@ def fn_r12_additions(spark, sf_dir):
     return out.select(
         F.col("l"), F.col("rt"), F.col("b").cast("long"), F.col("t"), F.col("j")
     )
+
+
+@register(
+    "cypher_with_star",
+    """
+    SELECT n_name AS name, CAST(n_nationkey * 2 AS BIGINT) AS dk
+    FROM nation WHERE n_nationkey > 20 ORDER BY name
+    """,
+)
+def cypher_with_star(spark, sf_dir):
+    """``WITH *`` passthrough (r12): the whole binding carries forward,
+    composing with extra computed items and a post-WITH WHERE — no
+    projection loss mid-pipeline."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) WITH *, n.n_nationkey * 2 AS dk "
+        "WHERE n.n_nationkey > 20 "
+        "RETURN n.n_name AS name, dk ORDER BY name"
+    )

@@ -2328,7 +2328,13 @@ class Session:
             # passthrough, not a projection to one column
             var_items: list[str] = []
             expr_items: list[str] = []
+            star = False
             for it in (i.strip() for i in _split_top(items_src, ",")):
+                if it == "*":
+                    # WITH * — carry the entire binding forward (r12);
+                    # extra items (`WITH *, expr AS x`) compose
+                    star = True
+                    continue
                 if re.fullmatch(r"[A-Za-z_]\w*", it) and f"{it}_id" in bound.columns:
                     var_items.append(it)
                     continue
@@ -2348,24 +2354,32 @@ class Session:
                     var_items.append(dst_v)
                     continue
                 expr_items.append(it)
-            var_cols = [
-                F.col(c)
-                for v in var_items
-                for c in bound.columns
-                if c == f"{v}_id" or c.startswith(f"{v}_")
-            ]
+            var_cols = (
+                [F.col(c) for c in bound.columns]
+                if star
+                else [
+                    F.col(c)
+                    for v in var_items
+                    for c in bound.columns
+                    if c == f"{v}_id" or c.startswith(f"{v}_")
+                ]
+            )
             keys, aggs, post, _ents = (
                 _parse_items(", ".join(expr_items), _frame_resolver(bound))
                 if expr_items
                 else ([], [], None, [])
             )
             if aggs:
-                kept = [
-                    c
-                    for v in var_items
-                    for c in bound.columns
-                    if c == f"{v}_id" or c.startswith(f"{v}_")
-                ]
+                kept = (
+                    list(bound.columns)
+                    if star
+                    else [
+                        c
+                        for v in var_items
+                        for c in bound.columns
+                        if c == f"{v}_id" or c.startswith(f"{v}_")
+                    ]
+                )
                 group_cols = var_cols + [c for _, c in keys]
                 bound = bound.groupBy(group_cols).agg(*aggs) if group_cols else bound.agg(*aggs)
                 if post is not None:

@@ -1967,3 +1967,22 @@ def test_r12_function_additions(spark):
     assert r.j == '{"k":1}'
     assert str(r.b) == "2"
     assert r.t == "2024-03-01"
+
+
+def test_with_star_passthrough(spark):
+    """r12: WITH * carries the whole binding forward; composes with
+    extra items, WHERE (HAVING position), and aggregation."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark))
+    s.run("CREATE (:Ws {k: 1, v: 'a'})")
+    s.run("CREATE (:Ws {k: 2, v: 'b'})")
+    assert s.run("MATCH (n:Ws) WITH * RETURN count(n) AS c").collect()[0].c == 2
+    rows = s.run(
+        "MATCH (n:Ws) WITH *, n.k * 10 AS kk RETURN n.v AS v, kk ORDER BY kk"
+    ).collect()
+    assert [(r.v, r.kk) for r in rows] == [("a", 10), ("b", 20)]
+    assert s.run(
+        "MATCH (n:Ws) WITH * WHERE n.k > 1 RETURN n.v AS v"
+    ).collect()[0].v == "b"
