@@ -208,6 +208,23 @@ def main() -> int:
     # label expression
     run("MATCH (n:Emp) WHERE n:Emp RETURN count(*) AS c", "label-pred")
 
+    # ---------- corpus C: late-r12 shapes ----------
+    _S = Session(spark)
+    run("MERGE (a:K {k: 1})-[:R]->(b:K {k: 2})", "standalone-merge-rel")
+    run("MERGE (a:K {k: 1})-[:R]->(b:K {k: 2})", "standalone-merge-idem")
+    run("MERGE (a:K {k: 1})-[:R]->(b:K {k: 2})-[:R2]->(c:K {k: 3})", "standalone-merge-chain")
+    run("MATCH ()-[r]->() RETURN count(r) AS c", "merge-chain-count")
+    run("MATCH (n:K) WITH * RETURN count(n) AS c", "with-star")
+    run("MATCH (n:K) WITH *, n.k * 10 AS kk RETURN kk ORDER BY kk LIMIT 1", "with-star-extra")
+    run("MATCH (n:K) WITH * WHERE n.k > 1 RETURN count(*) AS c", "with-star-where")
+    run("MATCH (n:K) RETURN n.k AS k, EXISTS { (n)-[:R]->() } AS o ORDER BY k", "exists-return")
+    run("MATCH (a:K {k:1}) RETURN COLLECT { MATCH (a)-[:R]->(x) RETURN x.k ORDER BY x.k } AS ks", "collect-orderby")
+    run("MATCH (a:K {k:1}), (c:K {k:3}) MATCH sp = shortestPath((a)-[*..4]->(c)) RETURN length(sp) AS l", "sp-bound-directed")
+    run("MATCH (a:K {k:1}) FOREACH (x IN CASE WHEN a.k = 1 THEN [1] ELSE [] END | SET a.one = true)", "foreach-cond")
+    run("MATCH (a:K {k:1}) RETURN a.one AS o", "foreach-cond-readback")
+    run("RETURN duration.between(date('2024-01-15'), date('2024-03-01')).days AS d", "between-days")
+    run("UNWIND [{k:10},{k:11}] AS row MERGE (x:K {k: row.k}) RETURN x.k AS k ORDER BY k", "unwind-merge-return")
+
     print()
     print("=== FAILURES ===")
     for f, m in FAILS:
