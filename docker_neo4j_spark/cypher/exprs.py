@@ -1116,3 +1116,17 @@ def compile_expr(src: str, resolve) -> Column:
     to a Spark Column via the name ``resolve``r. The single entry point
     session.py's WHERE / RETURN / WITH / CASE paths share."""
     return _Parser(src, resolve).parse().col
+
+
+def temporal_accessor(col: Column, prop: str) -> Column | None:
+    """Cypher temporal component accessor over a BOUND date/timestamp
+    column (``WITH datetime(…) AS dt RETURN dt.year``) — the same field
+    table the Pratt parser's postfix rule uses for direct call access
+    (``datetime(…).year``). None when ``prop`` is not a temporal field."""
+    if prop in _Parser._TEMPORAL_FIELDS:
+        return F.extract(F.lit(_Parser._TEMPORAL_FIELDS[prop]), col).cast("long")
+    if prop == "epochSeconds":
+        return F.unix_timestamp(col).cast("long")
+    if prop == "epochMillis":
+        return F.unix_millis(col.cast("timestamp"))
+    return None

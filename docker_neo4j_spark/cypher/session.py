@@ -252,6 +252,16 @@ def _frame_resolver(frame: DataFrame):
                         return F.expr(
                             f"extract({unit} FROM `{var}`)"
                         ).cast("long")
+                if dt.typeName() in ("timestamp", "timestamp_ntz", "date"):
+                    # temporal component accessors on a BOUND variable
+                    # (r12): WITH datetime(…) AS dt RETURN dt.year — the
+                    # direct-call form datetime(…).year already resolves
+                    # via the parser's postfix rule
+                    from .exprs import temporal_accessor
+
+                    acc = temporal_accessor(F.col(f"`{var}`"), prop)
+                    if acc is not None:
+                        return acc
             if f"{var}_id" in cols:
                 # bound variable, property no write has introduced → null
                 # (Cypher: accessing a missing property yields null)

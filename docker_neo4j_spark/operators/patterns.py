@@ -81,7 +81,13 @@ def _node_frame(graph: PropertyGraph, spec: NodeSpec) -> DataFrame:
     df = graph.nodes_by_label(spec.label) if spec.label else graph.nodes
     if spec.props:
         for k, v in spec.props.items():
-            df = df.where(F.col(k) == _prop_lit(k, v))
+            # a filter on a property column no write has introduced matches
+            # nothing (Cypher: n.missing is null, null = x is never true) —
+            # same guard _rel_frame carries
+            if k in df.columns:
+                df = df.where(F.col(k) == _prop_lit(k, v))
+            else:
+                df = df.where(F.lit(False))
     return graph.maybe_broadcast(spec.label, df)
 
 
