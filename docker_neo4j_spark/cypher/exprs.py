@@ -38,7 +38,7 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .lexer import tokenize
+from .lexer import _unquote, parse_num, tokenize
 
 _MISSING = object()
 
@@ -297,32 +297,42 @@ class _Parser:
             return _V(~self.not_expr().col)
         return self.comparison()
 
+    _CMP_BUILDERS = {
+        "<=": lambda a, b: a <= b,
+        ">=": lambda a, b: a >= b,
+        "<>": lambda a, b: a != b,
+        "=": lambda a, b: a == b,
+        "<": lambda a, b: a < b,
+        ">": lambda a, b: a > b,
+    }
+
     def comparison(self) -> _V:
         left = self.additive()
         two = self._two_char_op()
-        if two:
+        if two == "=~":
             self._take()
             self._take()
             right = self.additive()
-            if two == "=~":
-                return _V(F.regexp_like(left.col, right.col.cast("string")))
-            return _V(
-                {
-                    "<=": left.col <= right.col,
-                    ">=": left.col >= right.col,
-                    "<>": left.col != right.col,
-                }[two]
-            )
-        if self._at_punct("=") or self._at_punct("<") or self._at_punct(">"):
-            op = self._take().text
+            return _V(F.regexp_like(left.col, right.col.cast("string")))
+        # comparison operators chain (openCypher: `1 < x < 10` is the
+        # conjunction of the pairwise comparisons — r12)
+        conj = None
+        while True:
+            two = self._two_char_op()
+            if two in ("<=", ">=", "<>"):
+                self._take()
+                self._take()
+                op = two
+            elif self._at_punct("=") or self._at_punct("<") or self._at_punct(">"):
+                op = self._take().text
+            else:
+                break
             right = self.additive()
-            return _V(
-                {
-                    "=": left.col == right.col,
-                    "<": left.col < right.col,
-                    ">": left.col > right.col,
-                }[op]
-            )
+            term = self._CMP_BUILDERS[op](left.col, right.col)
+            conj = term if conj is None else conj & term
+            left = right
+        if conj is not None:
+            return _V(conj)
         if self._at_kw("IS", "NOT", "NULL"):
             self._take_kw("IS", "NOT", "NULL")
             return _V(left.col.isNotNull())
@@ -338,6 +348,21 @@ class _Parser:
         if self._at_kw("CONTAINS"):
             self._take()
             return _V(left.col.contains(self.additive().col))
+        if (
+            self._at_kw("IS") and (
+                self._at_coloncolon(1)
+                or (self._at_kw("IS", "NOT") and self._at_coloncolon(2))
+            )
+        ):
+            # type predicate `expr IS :: TYPE` / `IS NOT :: TYPE` (Neo4j 5.9)
+            self._take()  # IS
+            negate = self._at_kw("NOT")
+            if negate:
+                self._take()
+            self._take()  # :
+            self._take()  # :
+            out = self._type_predicate(left)
+            return _V(~out if negate else out)
         if self._at_kw("NOT", "IN") or self._at_kw("IN"):
             negate = self._at_kw("NOT", "IN")
             if negate:
@@ -351,9 +376,34 @@ class _Parser:
             return _V(~out if negate else out)
         return left
 
+    def _at_concat_op(self) -> bool:
+        """Adjacent `||` pair — the Cypher concatenation operator."""
+        a, b = self._peek(), self._peek(1)
+        return (
+            a is not None and b is not None
+            and a.kind == "punct" and a.text == "|"
+            and b.kind == "punct" and b.text == "|"
+            and a.end == b.pos
+        )
+
     def additive(self) -> _V:
         out = self.multiplicative()
-        while self._at_punct("+") or self._at_punct("-"):
+        while self._at_punct("+") or self._at_punct("-") or self._at_concat_op():
+            if self._at_concat_op():
+                # `||` — string/list concatenation (Cypher 5 / Neo4j 5.20)
+                self._take()
+                self._take()
+                rhs = self.multiplicative()
+                if self._is_array(out) or self._is_array(rhs):
+                    lc = out.col if self._is_array(out) else F.array(out.col)
+                    rc = rhs.col if self._is_array(rhs) else F.array(rhs.col)
+                    out = _V(F.concat(lc, rc))
+                else:
+                    out = _V(
+                        F.concat(out.col.cast("string"), rhs.col.cast("string")),
+                        is_str=True,
+                    )
+                continue
             op = self._take().text
             rhs = self.multiplicative()
             if op == "-":
@@ -375,11 +425,15 @@ class _Parser:
                 out = _V(out.col + rhs.col)
         return out
 
-    def _is_array(self, v: _V) -> bool:
-        """Compile-time array test: literal lists directly, columns via a
-        schema-only probe (no job)."""
+    def _static_typename(self, v: _V) -> str:
+        """Compile-time Spark type name of a compiled value — literals by
+        Python type, columns via a schema-only probe (no job)."""
         if v.has_lit:
-            return isinstance(v.lit, list)
+            return {
+                bool: "boolean", int: "long", float: "double",
+                str: "string", list: "array", dict: "map",
+                type(None): "null",
+            }.get(type(v.lit), "")
         try:
             frame = getattr(self.resolve, "frame", None)
             if frame is None:
@@ -388,26 +442,103 @@ class _Parser:
                 sp = _SS.getActiveSession()
                 frame = sp.range(1) if sp else None
             if frame is None:
-                return False
-            return (
-                frame.select(v.col.alias("_t")).schema[0].dataType.typeName()
-                == "array"
-            )
+                return ""
+            return frame.select(v.col.alias("_t")).schema[0].dataType.typeName()
         except Exception:
-            return False
+            return ""
+
+    def _is_array(self, v: _V) -> bool:
+        """Compile-time array test: literal lists directly, columns via a
+        schema-only probe (no job)."""
+        if v.has_lit:
+            return isinstance(v.lit, list)
+        return self._static_typename(v) == "array"
+
+    _INT_TYPENAMES = frozenset({"long", "integer", "short", "byte"})
+
+    def _is_integral(self, v: _V) -> bool:
+        if v.has_lit:
+            return isinstance(v.lit, int) and not isinstance(v.lit, bool)
+        return self._static_typename(v) in self._INT_TYPENAMES
+
+    def _at_coloncolon(self, ahead: int = 0) -> bool:
+        a, b = self._peek(ahead), self._peek(ahead + 1)
+        return (
+            a is not None and b is not None
+            and a.kind == "punct" and a.text == ":"
+            and b.kind == "punct" and b.text == ":"
+            and a.end == b.pos
+        )
+
+    # Cypher type name → matching Spark typeName prefixes
+    _CYPHER_TYPES = {
+        "INTEGER": ("long", "integer", "short", "byte"),
+        "INT": ("long", "integer", "short", "byte"),
+        "FLOAT": ("double", "float", "decimal"),
+        "STRING": ("string",),
+        "BOOLEAN": ("boolean",),
+        "LIST": ("array",),
+        "MAP": ("map", "struct"),
+        "DATE": ("date",),
+        "DATETIME": ("timestamp",),
+        "DURATION": ("daytimeinterval", "yearmonthinterval", "calendarinterval"),
+        "POINT": ("struct",),
+        "NULL": ("null",),
+    }
+
+    def _type_predicate(self, left: _V) -> Column:
+        """``expr IS :: TYPE`` — static type test via schema probe; null
+        values satisfy every (nullable) Cypher type."""
+        words = []
+        while self._peek() is not None and self._peek().kind == "ident":
+            words.append(self._take().text.upper())
+            # ZONED DATETIME / LOCAL TIME — two-word names collapse
+            if words[-1] not in ("ZONED", "LOCAL"):
+                break
+        if self._at_punct("<"):  # LIST<INTEGER> — skip the element type
+            depth = 0
+            while self._peek() is not None:
+                t = self._take()
+                if t.kind == "punct" and t.text == "<":
+                    depth += 1
+                elif t.kind == "punct" and t.text == ">":
+                    depth -= 1
+                    if depth == 0:
+                        break
+        name = words[-1] if words else ""
+        if name == "NULL":
+            return left.col.isNull()
+        if name == "ANY":
+            return F.lit(True)
+        prefixes = self._CYPHER_TYPES.get(name)
+        if prefixes is None:
+            raise ValueError(f"unknown type name in IS :: predicate: {name}")
+        tn = self._static_typename(left)
+        matches = any(tn.startswith(p) for p in prefixes)
+        return F.when(left.col.isNull(), F.lit(True)).otherwise(F.lit(matches))
 
     def multiplicative(self) -> _V:
         out = self.unary()
         while self._at_punct("*") or self._at_punct("/") or self._at_punct("%"):
             op = self._take().text
             rhs = self.unary()
-            out = _V(
-                out.col * rhs.col
-                if op == "*"
-                else out.col / rhs.col
-                if op == "/"
-                else out.col % rhs.col
-            )
+            if op == "*":
+                out = _V(out.col * rhs.col)
+            elif op == "%":
+                out = _V(out.col % rhs.col)
+            elif self._is_integral(out) and self._is_integral(rhs):
+                # Cypher integer division truncates toward zero (5/2 = 2);
+                # Spark's `/` always returns double, so cast back — the
+                # double→long cast truncates toward zero, matching Cypher.
+                if out.has_lit and rhs.has_lit and rhs.lit != 0:
+                    import math
+
+                    q = math.trunc(out.lit / rhs.lit)
+                    out = _V(F.lit(q), lit=q)
+                else:
+                    out = _V((out.col / rhs.col).cast("long"))
+            else:
+                out = _V(out.col / rhs.col)
         return out
 
     def unary(self) -> _V:
@@ -547,11 +678,11 @@ class _Parser:
             raise ValueError("expected an expression, got end of input")
         if t.kind == "str":
             self._take()
-            s = t.text[1:-1] if len(t.text) >= 2 and t.text[-1] == t.text[0] else t.text[1:]
+            s = _unquote(t.text)
             return _V(F.lit(s), lit=s, is_str=True)
         if t.kind == "num":
             self._take()
-            v = float(t.text) if "." in t.text else int(t.text)
+            v = parse_num(t.text)
             return _V(F.lit(v), lit=v)
         if t.kind == "param":
             raise ValueError(
@@ -609,18 +740,24 @@ class _Parser:
             len(parts) == 1
             and self._at_punct(":")
             and self._peek(1) is not None
-            and self._peek(1).kind == "ident"
+            and (
+                self._peek(1).kind == "ident"
+                or (self._peek(1).kind == "punct" and self._peek(1).text in "!%(")
+            )
         ):
-            # label predicate `n:Label[:More]` — membership tests over the
-            # entity's labels array, AND-ed (Cypher's multi-label form)
+            # label predicate `n:Label[:More]` / label expression
+            # `n:A|B`, `n:A&!B`, `n:%` (r12) — boolean over the entity's
+            # labels array, sharing the pattern-position grammar
+            from ..operators.patterns import label_expr_col
+            from .lexer import _Stream, _label_or
+
+            self._take()  # ':'
+            s = _Stream(self.toks, self.src)
+            s.i = self.i
+            tree = _label_or(s)
+            self.i = s.i
             labels = self.resolve(f"labels({name})")
-            out = None
-            while self._at_punct(":") and self._peek(1) is not None and self._peek(1).kind == "ident":
-                self._take()
-                lab = self._take().text
-                term = F.array_contains(labels, lab)
-                out = term if out is None else out & term
-            return _V(out)
+            return _V(label_expr_col(tree, labels))
         # `var.prop` / frame-alias reference: consult frame dtypes (the
         # same channel size()/isEmpty() use) so a string-typed property
         # participates in `+` as Cypher concatenation — without this,

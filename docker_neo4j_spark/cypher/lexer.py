@@ -35,16 +35,57 @@ import re
 from dataclasses import dataclass, field
 
 _TOKEN_RE = re.compile(
-    r"""(?P<ws>\s+)
-      | (?P<str>'[^']*'|"[^"]*")
-      | (?P<num>\d+\.\d+|\d+)
-      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    r"""(?P<ws>\s+|//[^\n]*|/\*.*?\*/)
+      | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+      | (?P<num>0[xX][0-9a-fA-F]+|0[oO][0-7]+
+               |\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
       | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
       | (?P<dotdot>\.\.)
       | (?P<punct>.)
     """,
     re.VERBOSE | re.DOTALL,
 )
+
+# escape sequences inside Cypher string literals (openCypher: \\ \' \" \n \r \t \b \f)
+_ESCAPES = {
+    "\\": "\\", "'": "'", '"': '"', "n": "\n", "r": "\r",
+    "t": "\t", "b": "\b", "f": "\f", "0": "\0",
+}
+
+
+def decode_escapes(body: str) -> str:
+    """Decode backslash escapes in a string-literal BODY (quotes removed)."""
+    if "\\" not in body:
+        return body
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\" and i + 1 < n:
+            nxt = body[i + 1]
+            if nxt == "u" and i + 5 < n:
+                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def parse_num(text: str):
+    """Numeric-literal text → Python value (hex/octal/exponent forms)."""
+    low = text.lower()
+    if low.startswith("0x"):
+        return int(text, 16)
+    if low.startswith("0o"):
+        return int(text, 8)
+    if "." in text or "e" in low:
+        return float(text)
+    return int(text)
 
 _OPEN = {"(": ")", "[": "]", "{": "}"}
 _CLOSE = {")", "]", "}"}
@@ -56,6 +97,25 @@ class Tok:
     text: str
     pos: int  # char offset of the token's first character
     end: int  # char offset one past the token's last character
+
+
+_COMMENT_RE = re.compile(
+    r"""('(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*"|`[^`]+`)   # quoted spans pass through
+      | //[^\n]*
+      | /\*.*?\*/
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def strip_comments(src: str) -> str:
+    """Remove ``//`` line and ``/* */`` block comments outside quoted
+    spans — clause-level consumers slice raw statement text, so comments
+    are erased once at the statement boundary (replaced by a space to
+    preserve token separation)."""
+    if "//" not in src and "/*" not in src:
+        return src
+    return _COMMENT_RE.sub(lambda m: m.group(1) or " ", src)
 
 
 def tokenize(src: str) -> list[Tok]:
@@ -74,6 +134,8 @@ def tokenize(src: str) -> list[Tok]:
         if kind == "punct" and text in "'\"":
             out.append(Tok("str", src[i:], i, n))
             break
+        if kind == "ident" and text.startswith("`"):
+            text = text[1:-1]  # backtick-quoted identifier — keep inner name
         out.append(Tok(kind, text, i, m.end()))
         i = m.end()
     return out
@@ -82,8 +144,18 @@ def tokenize(src: str) -> list[Tok]:
 @dataclass
 class Node:
     var: str | None
-    label: str | None
+    label: str | None          # primary scan label (first positive label)
     props: dict
+    # AND-chain of plain labels (`:A:B` / `:A&B`) — full list incl. label;
+    # empty when no labels. CREATE writes all of them.
+    labels: list = field(default_factory=list)
+    # general label-expression tree for |/!/% forms: ("lab", name) /
+    # ("and", [..]) / ("or", [..]) / ("not", t) / ("any",). None when the
+    # pattern is a plain AND-chain fully described by `labels`.
+    label_expr: object = None
+    # inline pattern predicate `(n:L WHERE expr)` — balanced source text,
+    # conjoined into the clause WHERE by the session (r12)
+    where: str | None = None
 
 
 @dataclass
@@ -95,6 +167,8 @@ class Rel:
     hi: int | None = None
     undirected: bool = False  # `(a)-[:T]-(b)` — no arrow on either side
     props: dict = field(default_factory=dict)  # `[r:T {k: v}]` map
+    # inline pattern predicate `[r:T WHERE expr]` — balanced source text
+    where: str | None = None
 
 
 class _Stream:
@@ -131,8 +205,8 @@ class _Stream:
 
 def _unquote(text: str) -> str:
     if len(text) >= 2 and text[0] in "'\"" and text[-1] == text[0]:
-        return text[1:-1]
-    return text[1:]  # unterminated-quote recovery token
+        return decode_escapes(text[1:-1])
+    return decode_escapes(text[1:])  # unterminated-quote recovery token
 
 
 def _parse_scalar(s: _Stream):
@@ -144,11 +218,11 @@ def _parse_scalar(s: _Stream):
         return _unquote(t.text)
     if t.kind == "num":
         s.take()
-        return float(t.text) if "." in t.text else int(t.text)
+        return parse_num(t.text)
     if t.kind == "punct" and t.text == "-" and s.at("num", ahead=1):
         s.take()
         num = s.take()
-        return -(float(num.text) if "." in num.text else int(num.text))
+        return -parse_num(num.text)
     if t.kind == "ident":
         low = t.text.lower()
         if low in ("true", "false"):
@@ -258,16 +332,121 @@ def parse_props(src: str | None) -> dict:
     return _parse_map_body(s)
 
 
+def _label_term(s: _Stream):
+    """One label-expression term: IDENT | `%` | `!term` | `(expr)`."""
+    if s.at("punct", "!"):
+        s.take()
+        return ("not", _label_term(s))
+    if s.at("punct", "%"):
+        s.take()
+        return ("any",)
+    if s.at("punct", "("):
+        s.take()
+        out = _label_or(s)
+        s.expect("punct", ")")
+        return out
+    return ("lab", s.expect("ident").text)
+
+
+def _label_and(s: _Stream):
+    """`&`-joined terms; a bare `:` continues the classic AND-chain."""
+    terms = [_label_term(s)]
+    while True:
+        if s.at("punct", "&"):
+            s.take()
+        elif s.at("punct", ":") and (s.at("ident", ahead=1) or s.at("punct", "!", ahead=1) or s.at("punct", "%", ahead=1)):
+            s.take()
+        else:
+            break
+        terms.append(_label_term(s))
+    return terms[0] if len(terms) == 1 else ("and", tuple(terms))
+
+
+def _label_or(s: _Stream):
+    terms = [_label_and(s)]
+    while s.at("punct", "|"):
+        s.take()
+        terms.append(_label_and(s))
+    return terms[0] if len(terms) == 1 else ("or", tuple(terms))
+
+
+def _flatten_and_labels(tree) -> list | None:
+    """Plain AND-chain of positive labels → their list; None otherwise."""
+    if tree is None:
+        return []
+    if tree[0] == "lab":
+        return [tree[1]]
+    if tree[0] == "and":
+        out = []
+        for t in tree[1]:
+            sub = _flatten_and_labels(t)
+            if sub is None:
+                return None
+            out += sub
+        return out
+    return None
+
+
+def _first_positive_label(tree) -> str | None:
+    """A label every match must carry (scan-prunable): the first positive
+    label of an AND-chain; None for |/!/% shapes."""
+    if tree is None:
+        return None
+    if tree[0] == "lab":
+        return tree[1]
+    if tree[0] == "and":
+        for t in tree[1]:
+            got = _first_positive_label(t)
+            if got:
+                return got
+    return None
+
+
+def _capture_inline_where(s: _Stream, closer: str) -> str | None:
+    """`WHERE <expr>` inside a node/rel pattern — balanced text up to the
+    pattern's depth-0 closer (r12, Neo4j 5 inline pattern predicates)."""
+    if not (s.at("ident") and s.peek().text.upper() == "WHERE"):
+        return None
+    s.take()
+    t0 = s.peek()
+    if t0 is None:
+        raise ValueError("inline WHERE without a predicate")
+    depth, end = 0, t0.end
+    while True:
+        t = s.peek()
+        if t is None:
+            break
+        if t.kind == "punct":
+            if t.text in "([{":
+                depth += 1
+            elif t.text in ")]}":
+                if depth == 0 and t.text == closer:
+                    break
+                depth -= 1
+        end = t.end
+        s.take()
+    return s.src[t0.pos:end]
+
+
 def _parse_node(s: _Stream) -> Node:
     s.expect("punct", "(")
     var = s.take().text if s.at("ident") else None
-    label = None
+    tree = None
     if s.at("punct", ":"):
         s.take()
-        label = s.expect("ident").text
+        tree = _label_or(s)
     props = _parse_map_body(s) if s.at("punct", "{") else {}
+    where = _capture_inline_where(s, ")")
     s.expect("punct", ")")
-    return Node(var, label, props)
+    labels = _flatten_and_labels(tree)
+    return Node(
+        var,
+        _first_positive_label(tree),
+        props,
+        labels=labels or [],
+        label_expr=None if labels is not None else tree,
+        where=where,
+    )
 
 
 def _parse_rel(s: _Stream) -> Rel:
@@ -298,12 +477,31 @@ def _parse_rel(s: _Stream) -> Rel:
         else:
             hi = int(lo_txt) if lo_txt else 10
     props = _parse_map_body(s) if s.at("punct", "{") else {}
+    where = _capture_inline_where(s, "]")
     s.expect("punct", "]")
     s.expect("punct", "-")
     rarrow = False
     if s.at("punct", ">"):
         s.take()
         rarrow = True
+    # postfix quantifier — Neo4j 5 quantified relationships: `->{1,3}`,
+    # `->+` ({1,}), `->*` ({0,}); sugar onto the var-length bounds (r12)
+    if lo is None:
+        if s.at("punct", "+"):
+            s.take()
+            lo, hi = 1, 10
+        elif s.at("punct", "*") and s.at("punct", "(", ahead=1):
+            s.take()
+            lo, hi = 0, 10
+        elif s.at("punct", "{") and (s.at("num", ahead=1) or s.at("punct", ",", ahead=1)):
+            s.take()
+            lo = int(s.take().text) if s.at("num") else 0
+            if s.at("punct", ","):
+                s.take()
+                hi = int(s.take().text) if s.at("num") else 10
+            else:
+                hi = lo
+            s.expect("punct", "}")
     return Rel(
         var,
         rel_type,
@@ -312,6 +510,7 @@ def _parse_rel(s: _Stream) -> Rel:
         hi,
         undirected=not larrow and not rarrow,
         props=props,
+        where=where,
     )
 
 

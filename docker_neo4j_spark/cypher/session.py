@@ -45,6 +45,7 @@ from .lexer import (  # r8: the positional-token lexer replaces the regex
     parse_value as _parse_value,
     split_keyword as _split_kw,
     split_top as _split_top,
+    strip_comments,
 )
 
 
@@ -132,6 +133,19 @@ def _direction(rel: "_Rel") -> str:
     if rel.undirected:
         return "both"
     return "in" if rel.reversed else "out"
+
+
+def _node_spec(el: "_Node", var: str | None = None):
+    """Lexer Node → NodeSpec, carrying multi-label AND chains and general
+    label expressions (`:A:B`, `:A|B`, `:A&!B`, `:%` — r12) as a boolean
+    over the labels array on top of the primary-label-pruned scan."""
+    from ..operators.patterns import NodeSpec
+
+    extra = el.label_expr
+    if extra is None and len(el.labels) > 1:
+        rest = tuple(("lab", x) for x in el.labels[1:])
+        extra = rest[0] if len(rest) == 1 else ("and", rest)
+    return NodeSpec(var or el.var, el.label, el.props or None, label_expr=extra)
 
 
 def _lit_map(d: dict) -> F.Column:
@@ -775,6 +789,7 @@ class Session:
         placeholders (the Bolt parameter convention — drivers send
         ``session.run("MATCH (n {id: $id}) …", id=7)``); values render as
         literals with strings quoted, lists bracketed."""
+        cypher = strip_comments(cypher)
         if parameters:
             batch = self._run_batch_spec(cypher, parameters)
             if batch is not None:
@@ -1744,7 +1759,7 @@ class Session:
             for el in elems:
                 if isinstance(el, _Node) and el.var not in ids:
                     # a repeated variable ((a)-[:X]->(a)) is ONE node
-                    (nid,) = self.store.create_nodes(el.label or "_", [el.props])
+                    (nid,) = self.store.create_nodes(el.labels or [el.label or "_"], [el.props])
                     ids[el.var] = nid
             for i in range(1, len(elems), 2):
                 rel, left, right = elems[i], elems[i - 1], elems[i + 1]
@@ -2087,7 +2102,7 @@ class Session:
                 self._anon += 1
                 if var in ids:
                     continue
-                (nid,) = self.store.create_nodes(el.label or "_", [el.props])
+                (nid,) = self.store.create_nodes(el.labels or [el.label or "_"], [el.props])
                 ids[var] = nid
                 created[var] = (nid, el.props)
         for i in range(1, len(elems), 2):
@@ -2502,7 +2517,7 @@ class Session:
                 if not el.var:
                     el.var = f"_pp{self._anon}"
                     self._anon += 1
-                pattern.append(NodeSpec(el.var, el.label, el.props or None))
+                pattern.append(_node_spec(el))
             else:
                 pattern.append(RelSpec(el.var or f"_ppr{j}", el.rel_type, _direction(el), props=el.props or None))
         join_vars = [
@@ -2637,7 +2652,7 @@ class Session:
                     if not el.var:
                         el.var = f"_pc{self._anon}"
                         self._anon += 1
-                    pattern.append(NodeSpec(el.var, el.label, el.props or None))
+                    pattern.append(_node_spec(el))
                 else:
                     pattern.append(
                         RelSpec(el.var or f"_pcr{j}", el.rel_type, _direction(el), props=el.props or None)
@@ -2805,7 +2820,7 @@ class Session:
                 if not el.var:
                     el.var = f"_cl{self._anon}"
                     self._anon += 1
-                pattern.append(NodeSpec(el.var, el.label, el.props or None))
+                pattern.append(_node_spec(el))
             else:
                 pattern.append(
                     RelSpec(el.var or f"_clr{j}", el.rel_type, _direction(el), props=el.props or None)
@@ -2850,7 +2865,7 @@ class Session:
                 if not el.var:
                     el.var = f"_pp{self._anon}"
                     self._anon += 1
-                pattern.append(NodeSpec(el.var, el.label, el.props or None))
+                pattern.append(_node_spec(el))
             else:
                 pattern.append(RelSpec(el.var or f"_ppr{j}", el.rel_type, _direction(el), props=el.props or None))
         join_vars = [
@@ -3196,9 +3211,12 @@ class Session:
         a_var, b_var = a.var or "a", b.var or "b"
         g = self.store.graph
         edges = _rel_frame(g, RelSpec("_pb", rel.rel_type, _direction(rel), props=rel.props or None))
-        srcs = _node_frame(g, NodeSpec(a_var, a.label, a.props or None))
-        tgts = _node_frame(g, NodeSpec(b_var, b.label, b.props or None))
-        paths = enumerate_paths(edges, srcs.select("id"), hi, targets=tgts.select("id"))
+        srcs = _node_frame(g, _node_spec(a, a_var))
+        tgts = _node_frame(g, _node_spec(b, b_var))
+        paths = enumerate_paths(
+            edges, srcs.select("id"), hi, targets=tgts.select("id"),
+            min_hops=0 if lo == 0 else 1,
+        )
         paths = paths.where(F.col("hops") >= lo)
         joined = (
             prefix_columns(srcs, a_var)
@@ -3337,8 +3355,8 @@ class Session:
         a_var, b_var = a.var or "a", b.var or "b"
         g = self.store.graph
         edges = _rel_frame(g, RelSpec("_sp", rel.rel_type, _direction(rel), props=rel.props or None))
-        srcs = _node_frame(g, NodeSpec(a_var, a.label, a.props or None))
-        tgts = _node_frame(g, NodeSpec(b_var, b.label, b.props or None))
+        srcs = _node_frame(g, _node_spec(a, a_var))
+        tgts = _node_frame(g, _node_spec(b, b_var))
         fn = shortest_path if m.group("fn").lower() == "shortestpath" else all_shortest_paths
         paths = fn(edges, srcs.select("id"), rel.hi, targets=tgts.select("id"))
         paths = paths.where(F.col("hops") >= rel.lo)
@@ -3481,7 +3499,10 @@ class Session:
             created.add(el.var)
             base = self.store.reserve_node_ids(n)
             frame = frame.withColumn(f"{el.var}_id", F.col("_idx") + F.lit(base))
-            frame = frame.withColumn(f"{el.var}_labels", F.array(F.lit(el.label or "_")))
+            frame = frame.withColumn(
+                f"{el.var}_labels",
+                F.array(*[F.lit(x) for x in (el.labels or [el.label or "_"])]),
+            )
             for k, v in el.props.items():
                 frame = frame.withColumn(
                     f"{el.var}_{k}",
@@ -4383,7 +4404,7 @@ class Session:
             if isinstance(el, _Node):
                 if not el.var:
                     el.var = f"_m{k}_{j}"
-                pattern.append(NodeSpec(el.var, el.label, el.props or None))
+                pattern.append(_node_spec(el))
             else:
                 pattern.append(RelSpec(el.var or f"_mr{k}_{j}", el.rel_type, _direction(el), props=el.props or None))
         sub = match_chain(self.store.graph, pattern)
@@ -4435,7 +4456,7 @@ class Session:
                 bound,
                 f"{anchor.var}_id",
                 RelSpec(rel.var or f"_or{k}", rel.rel_type, _direction(rel), props=rel.props or None),
-                NodeSpec(tgt_var, tgt.label, tgt.props or None),
+                _node_spec(tgt, tgt_var),
             )
         # multi-hop (or WHERE-qualified): bind the whole optional chain,
         # filter it (a WHERE attached to OPTIONAL MATCH applies inside the
@@ -4447,7 +4468,7 @@ class Session:
             if isinstance(el, _Node):
                 if not el.var:
                     el.var = f"_opt{k}_{j}"
-                pattern.append(NodeSpec(el.var, el.label, el.props or None))
+                pattern.append(_node_spec(el))
             else:
                 pattern.append(RelSpec(el.var or f"_or{k}_{j}", el.rel_type, _direction(el), props=el.props or None))
         sub = match_chain(self.store.graph, pattern)
@@ -4463,16 +4484,32 @@ class Session:
         from ..operators.patterns import NodeSpec, RelSpec, match_chain
 
         if any(isinstance(el, _Rel) and el.lo is not None for el in elems):
-            return self._bind_varlength(elems)
+            return self._apply_inline_wheres(self._bind_varlength(elems), elems)
         pattern = []
         for j, el in enumerate(elems):
             if isinstance(el, _Node):
                 var = el.var or f"_anon{self._anon}"
                 self._anon += 1
-                pattern.append(NodeSpec(var, el.label, el.props or None))
+                pattern.append(_node_spec(el, var))
             else:
-                pattern.append(RelSpec(el.var or f"_r{j}", el.rel_type, _direction(el), props=el.props or None))
-        return match_chain(self.store.graph, pattern, with_rel_ids=with_rel_ids)
+                rv = el.var or f"_r{j}"
+                if el.where and not el.var:
+                    el.var = rv  # inline WHERE references need the alias
+                pattern.append(RelSpec(rv, el.rel_type, _direction(el), props=el.props or None))
+        bound = match_chain(self.store.graph, pattern, with_rel_ids=with_rel_ids)
+        return self._apply_inline_wheres(bound, elems)
+
+    def _apply_inline_wheres(self, bound: DataFrame, elems: list) -> DataFrame:
+        """Inline pattern predicates ``(n:L WHERE expr)`` / ``[r:T WHERE
+        expr]`` (Neo4j 5 — r12): conjoined onto the bound frame, same
+        resolver as the clause WHERE."""
+        for el in elems:
+            iw = getattr(el, "where", None)
+            if iw:
+                bound = bound.where(
+                    _compile_where(iw, _frame_resolver(bound))
+                )
+        return bound
 
     def _bind_varlength(self, elems: list) -> DataFrame:
         """``(a)-[:T*lo..hi]->(b)`` — BFS reachability expansion with a
@@ -4490,7 +4527,7 @@ class Session:
         a, rel, b = elems
         a_var, b_var = a.var or "a", b.var or "b"
         g = self.store.graph
-        a_frame = _node_frame(g, NodeSpec(a_var, a.label, a.props or None))
+        a_frame = _node_frame(g, _node_spec(a, a_var))
         reach = var_length_expand(
             g,
             a_frame.select("id"),
@@ -4501,7 +4538,7 @@ class Session:
             direction=_direction(rel),
         )
         b_frame = prefix_columns(
-            _node_frame(g, NodeSpec(b_var, b.label, b.props or None)), b_var
+            _node_frame(g, _node_spec(b, b_var)), b_var
         )
         a_pref = prefix_columns(a_frame, a_var)
         out = (

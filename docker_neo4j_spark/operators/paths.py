@@ -26,8 +26,11 @@ def enumerate_paths(
     sources: DataFrame,
     max_hops: int,
     targets: DataFrame | None = None,
+    min_hops: int = 1,
 ) -> DataFrame:
-    """All simple paths of length 1..max_hops from ``sources`` (id col).
+    """All simple paths of length min_hops..max_hops from ``sources``
+    (id col); ``min_hops=0`` adds the trivial start=end path (the QPP
+    ``*``/``{0,n}`` quantifier — r12).
 
     Returns (start_id, end_id, hops, path) with ``path`` the full node-id
     array. ``targets`` (id col) filters end nodes if given.
@@ -38,7 +41,11 @@ def enumerate_paths(
         F.col("id").alias("end_id"),
         F.array(F.col("id")).alias("path"),
     )
-    out = None
+    out = (
+        frontier.withColumn("hops", F.lit(0).cast("long"))
+        if min_hops == 0
+        else None
+    )
     for hop in range(1, max_hops + 1):
         frontier = (
             frontier.join(e, frontier["end_id"] == e["src"])

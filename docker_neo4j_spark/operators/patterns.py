@@ -41,6 +41,28 @@ class NodeSpec:
     alias: str
     label: str | None = None
     props: dict[str, object] | None = None
+    # general label-expression tree (("lab", n) / ("and", [...]) /
+    # ("or", [...]) / ("not", t) / ("any",)) for the |/&/!/% forms —
+    # compiled to a boolean over the labels array on top of the (label-
+    # pruned, when a required positive label exists) scan. None for plain
+    # single/AND label patterns. Hashable requirement: pass tuples.
+    label_expr: object = None
+
+
+def label_expr_col(tree, labels_col: F.Column) -> F.Column:
+    """Label-expression tree → boolean Column over a labels array."""
+    kind = tree[0]
+    if kind == "lab":
+        return F.array_contains(labels_col, tree[1])
+    if kind == "not":
+        return ~label_expr_col(tree[1], labels_col)
+    if kind == "any":
+        return F.size(labels_col) > 0
+    terms = [label_expr_col(t, labels_col) for t in tree[1]]
+    out = terms[0]
+    for t in terms[1:]:
+        out = (out & t) if kind == "and" else (out | t)
+    return out
 
 
 @dataclass(frozen=True)
@@ -79,15 +101,16 @@ def _prop_lit(k: str, v: object) -> F.Column:
 
 def _node_frame(graph: PropertyGraph, spec: NodeSpec) -> DataFrame:
     df = graph.nodes_by_label(spec.label) if spec.label else graph.nodes
+    if spec.label_expr is not None:
+        df = df.where(label_expr_col(spec.label_expr, F.col("labels")))
     if spec.props:
         for k, v in spec.props.items():
-            # a filter on a property column no write has introduced matches
-            # nothing (Cypher: n.missing is null, null = x is never true) —
-            # same guard _rel_frame carries
-            if k in df.columns:
-                df = df.where(F.col(k) == _prop_lit(k, v))
-            else:
-                df = df.where(F.lit(False))
+            # map-valued filters fail loud whether or not the column exists
+            # (consistent with _rel_frame); a scalar filter on a property
+            # column no write has introduced matches nothing (Cypher:
+            # n.missing is null, null = x is never true)
+            lit = _prop_lit(k, v)
+            df = df.where(F.col(k) == lit) if k in df.columns else df.where(F.lit(False))
     return graph.maybe_broadcast(spec.label, df)
 
 
@@ -281,7 +304,9 @@ def var_length_expand(
     edges = _orient(r, direction).select("src", "dst")
 
     frontier = start.select(F.col(start_id_col).alias("start_id"), F.col(start_id_col).alias("node_id")).distinct()
-    out = None
+    # min_hops=0 — the QPP `*` / `{0,n}` quantifier: the start node itself
+    # is a zero-hop match (r12)
+    out = frontier.withColumn("hops", F.lit(0)) if min_hops == 0 else None
     for hop in range(1, max_hops + 1):
         frontier = (
             frontier.join(edges, frontier["node_id"] == edges["src"])

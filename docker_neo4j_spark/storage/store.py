@@ -208,9 +208,12 @@ class GraphStore:
             self.compact()
 
     # ---- CREATE (SURVEY.md §2.B.13) -----------------------------------
-    def create_nodes(self, label: str, rows: list[dict]) -> list[int]:
-        """``CREATE (n:Label {props})`` for a batch; returns the new ids."""
+    def create_nodes(self, label: str | list[str], rows: list[dict]) -> list[int]:
+        """``CREATE (n:Label {props})`` for a batch; returns the new ids.
+        ``label`` may be a list for multi-label patterns (``:A:B`` — r12)."""
         from ..cypher.lexer import ExprText
+
+        labels = [label] if isinstance(label, str) else list(label)
 
         for r in rows:
             for k, v in (r or {}).items():
@@ -223,7 +226,7 @@ class GraphStore:
         ids = [next(self._node_ids) for _ in rows]
         prop_cols = sorted({k for r in rows for k in r})
         data = [
-            {"id": i, "labels": [label], **{c: r.get(c) for c in prop_cols}}
+            {"id": i, "labels": labels, **{c: r.get(c) for c in prop_cols}}
             for i, r in zip(ids, rows)
         ]
         # createDataFrame over a driver-side list parallelizes to
