@@ -58,6 +58,8 @@ _QUANTIFIERS = frozenset({"all", "any", "none", "single"})
 DOTTED_FNS = {
     "duration.between": "duration_between",
     "duration.inDays": "duration_between_days",
+    "duration.inMonths": "duration_between_months",
+    "duration.inSeconds": "duration_between_seconds",
     "datetime.truncate": "date_trunc",
     "date.truncate": "date_trunc_date",
     "apoc.json.path": "json_extract",
@@ -77,7 +79,7 @@ _LITERAL_PARAMS = {
     "split": (1,),
     "left": (1,),
     "right": (1,),
-    "round": (1,),
+    "round": (1, 2),
     "substring": (1, 2),
     "range": (2,),
     "map_get": (1,),
@@ -609,7 +611,13 @@ class _Parser:
             return _V(
                 F.extract(F.lit(self._DURATION_FIELDS[prop]), base.col).cast("long")
             )
-        if base.src_fn in self._TEMPORAL_FNS:
+        if base.src_fn == "point" and prop in ("latitude", "longitude", "x", "y"):
+            return _V(base.col["y" if prop == "latitude" else "x" if prop == "longitude" else prop])
+        if base.src_fn in self._TEMPORAL_FNS or base.src_fn in (
+            "datetime.truncate",
+            "date.truncate",
+            "localdatetime.truncate",
+        ):
             if prop in self._TEMPORAL_FIELDS:
                 return _V(
                     F.extract(F.lit(self._TEMPORAL_FIELDS[prop]), base.col).cast("long")
@@ -1009,8 +1017,14 @@ class _Parser:
             if self._at_punct(","):
                 self._take()
         self._take()  # )
+        _dur_kinds = {
+            "duration.between": "between",
+            "duration.indays": "days",
+            "duration.inmonths": "months",
+            "duration.inseconds": "seconds",
+        }
         if (
-            name.lower() == "duration.between"
+            name.lower() in _dur_kinds
             and len(args) == 2
             and self._at_punct(".")
             and self._peek(1) is not None
@@ -1019,10 +1033,13 @@ class _Parser:
         ):
             # duration.between(a, b).months — the component accessors need
             # the ORIGINAL endpoints (calendar months aren't recoverable
-            # from the day-time difference), so compile from args (r12)
+            # from the day-time difference), so compile from args (r12).
+            # The inDays/inMonths/inSeconds variants zero the components
+            # finer/coarser than their granularity (Neo4j's contract).
             self._take()
             return self._duration_between_component(
-                args[0].col, args[1].col, self._take().text
+                args[0].col, args[1].col, self._take().text,
+                kind=_dur_kinds[name.lower()],
             )
         out = self._dispatch(name, args, arg_srcs)
         out.src_fn = name.lower()
@@ -1033,11 +1050,39 @@ class _Parser:
     )
 
     @staticmethod
-    def _duration_between_component(a: Column, b: Column, prop: str) -> _V:
+    def _duration_between_component(
+        a: Column, b: Column, prop: str, kind: str = "between"
+    ) -> _V:
         """Neo4j duration accessor semantics over ``duration.between``:
         ``months`` is the whole-calendar-month count, ``years`` its /12,
         ``days`` the day remainder after those months, ``hours/minutes/
-        seconds`` totals of the sub-day remainder."""
+        seconds`` totals of the sub-day remainder. ``kind`` narrows the
+        granularity for duration.inDays/inMonths/inSeconds — components
+        outside the variant's single bucket are zero (Neo4j: the whole
+        difference is expressed in that unit alone)."""
+        zero = _V(F.lit(0).cast("long"))
+        total_secs = F.unix_timestamp(F.to_timestamp(b)) - F.unix_timestamp(
+            F.to_timestamp(a)
+        )
+        if kind == "months":
+            mtot = F.floor(F.months_between(b, a)).cast("long")
+            if prop == "months":
+                return _V(mtot)
+            if prop == "years":
+                return _V((mtot / F.lit(12)).cast("long"))
+            return zero
+        if kind == "days":
+            days = F.floor(total_secs / F.lit(86400)).cast("long")
+            if prop == "days":
+                return _V(days)
+            if prop == "weeks":
+                return _V((days / F.lit(7)).cast("long"))
+            return zero
+        if kind == "seconds":
+            if prop in ("hours", "minutes", "seconds"):
+                div = {"hours": 3600, "minutes": 60, "seconds": 1}[prop]
+                return _V((total_secs / F.lit(div)).cast("long"))
+            return zero
         mtot = F.floor(F.months_between(b, a)).cast("long")
         if prop == "months":
             return _V(mtot)
@@ -1070,15 +1115,35 @@ class _Parser:
             # element-id contract — opaque string, stable within a store)
             return _V(resolve(f"id({arg_srcs[0]})").cast("string"), is_str=True)
         if low == "isempty":
-            # polymorphic like size(): array frame columns / list
-            # literals → size()==0, everything else string length==0
+            # polymorphic like size(): arrays AND maps (schema probe /
+            # literals) → size()==0, everything else string length==0
             if (
-                one_ident and frame is not None and dict(frame.dtypes).get(
-                    arg_srcs[0], ""
-                ).startswith("array")
-            ) or arg_srcs[0].lstrip().startswith("["):
+                isinstance(args[0].lit, (list, dict))
+                if args[0].has_lit
+                else self._static_typename(args[0]) in ("array", "map")
+            ):
                 return _V(cf.size_list(args[0].col) == F.lit(0))
             return _V(cf.size(args[0].col) == F.lit(0))
+        if low == "valuetype" and len(args) == 1:
+            # Neo4j 5.13 valueType() — static Cypher type name from the
+            # schema probe; null rows render as 'NULL' (nullable types)
+            tn = self._static_typename(args[0])
+            cyname = {
+                "long": "INTEGER", "integer": "INTEGER", "short": "INTEGER",
+                "byte": "INTEGER", "double": "FLOAT", "float": "FLOAT",
+                "decimal": "FLOAT", "string": "STRING", "boolean": "BOOLEAN",
+                "array": "LIST<ANY>", "map": "MAP", "struct": "MAP",
+                "date": "DATE", "timestamp": "ZONED DATETIME",
+                "null": "NULL",
+            }.get(tn, "ANY")
+            if cyname == "NULL":
+                return _V(F.lit("NULL"), is_str=True)
+            return _V(
+                F.when(args[0].col.isNull(), F.lit("NULL")).otherwise(
+                    F.lit(f"{cyname} NOT NULL")
+                ),
+                is_str=True,
+            )
         if low in ENTITY_FNS:
             if low in ("id", "labels", "type") and one_ident:
                 return _V(resolve(f"{low}({arg_srcs[0]})"))

@@ -124,6 +124,15 @@ def _trailing_int_kw(src: str, *words: str) -> tuple[int | None, str]:
         m = re.fullmatch(r"\s*(\d+)\s*", src[e:])
         if m:
             return int(m.group(1)), src[:s].strip()
+        # constant arithmetic (`LIMIT 1 + 1`, `SKIP 2 * 3` — openCypher
+        # allows any statically-evaluable expression): digits + operators
+        # only, folded Python-side
+        tail = src[e:]
+        if tail.strip() and re.fullmatch(r"[\d\s+\-*/%()]+", tail):
+            try:
+                return int(eval(tail, {"__builtins__": {}}, {})), src[:s].strip()  # noqa: S307
+            except Exception:
+                pass
         base = e
 
 
@@ -244,6 +253,12 @@ def _frame_resolver(frame: DataFrame):
                     # on a bound variable goes through `{var}_{prop}`)
                     if prop in dt.fieldNames():
                         return F.col(f"`{var}`")[prop]
+                    if set(dt.fieldNames()) >= {"x", "y"} and prop in (
+                        "latitude",
+                        "longitude",
+                    ):
+                        # WGS-84 accessors on a point struct (r12)
+                        return F.col(f"`{var}`")["y" if prop == "latitude" else "x"]
                     if "properties" in dt.fieldNames():
                         return F.element_at(
                             F.col(f"`{var}`")["properties"], F.lit(prop)
@@ -1361,6 +1376,10 @@ class Session:
                 # comprehensions; the old _parse_value comma-split broke
                 # on nested elements (r10)
                 col = F.explode(_compile_expr(expr, _frame_resolver(bound)))
+        elif expr.lower() == "null":
+            # UNWIND null produces zero rows (openCypher; exploding a null
+            # array is exactly that)
+            col = F.explode(F.lit(None).cast("array<string>"))
         else:
             mr = re.match(r"range\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)$", expr, re.IGNORECASE)
             if mr:
@@ -4553,12 +4572,55 @@ class Session:
             out = out.withColumn(f"{rel.var}_hops", F.col("hops"))
         return out
 
+    @staticmethod
+    def _rewrite_exists_patterns(src: str) -> str:
+        """Legacy ``exists((n)-[:R]->())`` pattern-function form →
+        ``EXISTS { … }`` so the brace-subquery machinery serves both
+        spellings (r12; the classic docs shape)."""
+        from .lexer import tokenize as _tokenize
+
+        toks = _tokenize(src)
+        for idx, t in enumerate(toks):
+            if not (
+                t.kind == "ident"
+                and t.text.lower() == "exists"
+                and idx + 1 < len(toks)
+                and toks[idx + 1].kind == "punct"
+                and toks[idx + 1].text == "("
+            ):
+                continue
+            depth = 0
+            for j in range(idx + 1, len(toks)):
+                tj = toks[j]
+                if tj.kind == "punct":
+                    if tj.text == "(":
+                        depth += 1
+                    elif tj.text == ")":
+                        depth -= 1
+                        if depth == 0:
+                            inner = src[toks[idx + 1].end : tj.pos]
+                            if re.search(r"\)\s*(<-|-)", inner):
+                                new = (
+                                    src[: t.pos]
+                                    + "EXISTS { "
+                                    + inner.strip()
+                                    + " }"
+                                    + src[tj.end :]
+                                )
+                                return Session._rewrite_exists_patterns(new)
+                            break
+                if depth == 0 and j > idx + 1:
+                    break
+        return src
+
     def _project_match(
         self, bound: DataFrame, ret: str, elems: list, resolve=None
     ) -> DataFrame:
         # Pattern comprehensions rewrite BOTH the frame and the RETURN
         # text, so they hook here — the single funnel every RETURN
         # projection flows through — and refresh the resolver.
+        if re.search(r"\bexists\s*\(\s*\(", ret, re.IGNORECASE):
+            ret = self._rewrite_exists_patterns(ret)
         if re.search(r"\[\s*\(", ret):
             bound, ret = self._apply_pattern_comprehensions(bound, ret)
             resolve = _frame_resolver(bound)

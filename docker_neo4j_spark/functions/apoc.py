@@ -653,3 +653,14 @@ def text_phonetic(s) -> Column:
     letters = F.regexp_replace(_c(s), "[^A-Za-z]", "")
     return F.when(letters == F.lit(""), F.lit("")).otherwise(F.soundex(letters))
 
+
+
+def create_uuid() -> Column:
+    """apoc.create.uuid — v4 UUID text."""
+    return F.uuid()
+
+
+def text_format(fmt: str, args: list) -> Column:
+    """apoc.text.format — printf-style formatting (%s/%d/%f)."""
+    cooked = [a if isinstance(a, Column) else F.lit(a) for a in (args or [])]
+    return F.format_string(fmt, *cooked)

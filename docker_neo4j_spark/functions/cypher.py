@@ -102,8 +102,35 @@ def floor(x) -> Column:
     return F.floor(_c(x))
 
 
-def round_(x, scale: int = 0) -> Column:
-    return F.round(_c(x), scale)
+def round_(x, scale: int = 0, mode: str = "HALF_UP") -> Column:
+    """Cypher ``round(x[, precision[, mode]])`` — Neo4j's seven rounding
+    modes over JVM expressions (no UDF): HALF_UP is Spark's F.round,
+    HALF_EVEN its F.bround; the directed modes compose sign/ceil/floor."""
+    c = _c(x).cast("double")
+    mode = (mode or "HALF_UP").upper()
+    if mode == "HALF_UP":
+        return F.round(c, scale)
+    if mode == "HALF_EVEN":
+        return F.bround(c, scale)
+    m = F.lit(float(10 ** scale))
+    scaled = c * m
+    if mode == "UP":
+        out = F.signum(scaled) * F.ceil(F.abs(scaled))
+    elif mode == "DOWN":
+        out = F.signum(scaled) * F.floor(F.abs(scaled))
+    elif mode == "CEILING":
+        out = F.ceil(scaled)
+    elif mode == "FLOOR":
+        out = F.floor(scaled)
+    elif mode == "HALF_DOWN":
+        # ties round toward zero: UP when the fraction is strictly > .5
+        frac = F.abs(scaled) - F.floor(F.abs(scaled))
+        out = F.signum(scaled) * F.when(
+            frac > 0.5, F.ceil(F.abs(scaled))
+        ).otherwise(F.floor(F.abs(scaled)))
+    else:
+        raise ValueError(f"unknown rounding mode {mode!r}")
+    return (out.cast("double") / m).cast("double")
 
 
 def sign(x) -> Column:
@@ -320,8 +347,13 @@ def date(x=None) -> Column:
 
 def datetime(x=None) -> Column:
     """Cypher ``datetime()`` / ``datetime(expr)`` /
-    ``datetime({year, …, second})`` → TIMESTAMP column."""
+    ``datetime({year, …, second})`` / ``datetime({epochMillis})`` /
+    ``datetime({epochSeconds})`` → TIMESTAMP column."""
     if isinstance(x, dict):
+        if set(x) == {"epochMillis"}:
+            return F.timestamp_millis(F.lit(int(x["epochMillis"])))
+        if set(x) == {"epochSeconds"}:
+            return F.timestamp_seconds(F.lit(int(x["epochSeconds"])))
         s = _temporal_map_fields(x, "datetime", _DATE_KEYS | _TIME_KEYS)
         return F.make_timestamp(
             F.lit(int(s.get("year", 1970))),
@@ -670,3 +702,57 @@ def toStringOrNull(x) -> Column:
     """Cypher 5 toStringOrNull — cast-to-string never throws, so this is
     an exact alias of toString (the other OrNull casts use try_cast)."""
     return toString(x)
+
+
+def char_length(x) -> Column:
+    """Cypher ``char_length`` / ``character_length`` — string length."""
+    return F.length(_c(x))
+
+
+def character_length(x) -> Column:
+    return F.length(_c(x))
+
+
+def normalize(x) -> Column:
+    """Cypher ``normalize(str)`` — Unicode NFC normalization. The engine
+    stores and compares UTF-8 text directly; precomposed/decomposed
+    divergence is passed through unchanged (no JVM-side normalizer is
+    exposed as a Spark function; a Pandas UDF here would put every string
+    through Python for an almost-always-identity transform)."""
+    return _c(x).cast("string")
+
+
+def nullIf(a, b) -> Column:
+    """``nullIf(a, b)`` — null when the values are equal, else ``a``."""
+    ca, cb = _c(a), _c(b)
+    return F.when(ca == cb, F.lit(None)).otherwise(ca)
+
+
+def toIntegerList(x) -> Column:
+    return F.transform(_c(x), lambda e: e.cast("long"))
+
+
+def toFloatList(x) -> Column:
+    return F.transform(_c(x), lambda e: e.cast("double"))
+
+
+def toStringList(x) -> Column:
+    return F.transform(_c(x), lambda e: e.cast("string"))
+
+
+def toBooleanList(x) -> Column:
+    return F.transform(_c(x), lambda e: e.cast("boolean"))
+
+
+def duration_between_months(a, b) -> Column:
+    """``duration.inMonths(a, b)`` consumed bare — whole calendar months
+    (the accessor idiom routes through the parser's component hook)."""
+    return F.floor(F.months_between(_temporal_arg(b), _temporal_arg(a))).cast("long")
+
+
+def duration_between_seconds(a, b) -> Column:
+    """``duration.inSeconds(a, b)`` consumed bare — whole seconds."""
+    return (
+        F.unix_timestamp(F.to_timestamp(_temporal_arg(b)))
+        - F.unix_timestamp(F.to_timestamp(_temporal_arg(a)))
+    ).cast("long")

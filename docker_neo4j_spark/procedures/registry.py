@@ -280,6 +280,14 @@ def _register_apoc_functions() -> None:
         "apoc.coll.union": (A.coll_union, 2),
         "apoc.coll.intersection": (A.coll_intersection, 2),
         "apoc.coll.subtract": (A.coll_subtract, 2),
+        # r12 — date/number/uuid/map/format façade registrations (the
+        # impls predate this; column-lift counts follow their signatures)
+        "apoc.date.format": (A.date_format, 1),
+        "apoc.date.parse": (A.date_parse, 1),
+        "apoc.number.format": (A.number_format, 1),
+        "apoc.create.uuid": (A.create_uuid, 0),
+        "apoc.map.merge": (A.map_merge, 2),
+        "apoc.text.format": (A.text_format, 0),
     }
     for name, (impl, ncols) in mapping.items():
 
@@ -291,6 +299,11 @@ def _register_apoc_functions() -> None:
                         cooked.append(a)
                     elif isinstance(a, list):
                         cooked.append(F.array(*[_litify(x) for x in a]))
+                    elif isinstance(a, dict):
+                        kv = []
+                        for k, v in a.items():
+                            kv += [F.lit(k), _litify(v)]
+                        cooked.append(F.create_map(*kv))
                     else:
                         cooked.append(_litify(a))
                 return impl(*cooked)
