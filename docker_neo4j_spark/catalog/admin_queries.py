@@ -531,7 +531,8 @@ def proc_fulltext_query_nodes(spark, sf_dir):
     s = Session(spark, store=GraphStore(spark, PropertyGraph(nodes=nodes, rels=rels)))
     return s.run(
         "CALL db.index.fulltext.queryNodes('Doc', 'vector hash spark', 10) "
-        "YIELD node, n_hits, score_milli RETURN node, n_hits, score_milli"
+        "YIELD nodeId, n_hits, score_milli "
+        "RETURN nodeId AS node, n_hits, score_milli"
     )
 
 

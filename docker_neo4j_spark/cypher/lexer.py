@@ -522,20 +522,68 @@ def parse_pattern(src: str) -> tuple[list, str]:
         raise ValueError(f"expected node pattern at: {src[:40]!r}")
     elems: list = [_parse_node(s)]
     end_pos = s.toks[s.i - 1].end  # the ')' just consumed
-    while s.at("punct", "<") or s.at("punct", "-"):
-        # a '-' not followed by '[' (or '<' not followed by '-[') is not a
-        # relationship — e.g. the '-' of an arithmetic RETURN tail
-        j = 1 if s.at("punct", "-") else 2
-        if not (s.at("punct", "[", ahead=j)):
-            break
-        rel = _parse_rel(s)
-        if not s.at("punct", "("):
-            t = s.peek()
-            here = src[t.pos : t.pos + 40] if t else "<end>"
-            raise ValueError(f"expected node after relationship at: {here!r}")
-        elems.append(rel)
-        elems.append(_parse_node(s))
-        end_pos = s.toks[s.i - 1].end
+    while True:
+        if s.at("punct", "(") and s.at("punct", "(", ahead=1):
+            # parenthesized QPP group `((x)-[:R]->(y)){1,3}` (Neo4j 5) —
+            # a single-relationship group is var-length sugar between the
+            # outer nodes; the per-iteration inner variables are not
+            # exposed (the engine's reachability semantics don't
+            # materialize group lists)
+            s.take()  # outer '('
+            inner_first = _parse_node(s)
+            rel = _parse_rel(s)
+            inner_last = _parse_node(s)
+            s.expect("punct", ")")
+            lo, hi = 1, 10
+            if s.at("punct", "{"):
+                s.take()
+                lo = int(s.take().text) if s.at("num") else 0
+                if s.at("punct", ","):
+                    s.take()
+                    hi = int(s.take().text) if s.at("num") else 10
+                else:
+                    hi = lo
+                s.expect("punct", "}")
+            elif s.at("punct", "+"):
+                s.take()
+            elif s.at("punct", "*"):
+                s.take()
+                lo = 0
+            if (
+                inner_first.props or inner_last.props
+                or inner_first.label or inner_last.label
+            ):
+                raise ValueError(
+                    "quantified path groups support label/property filters "
+                    "on the outer nodes only"
+                )
+            rel.lo, rel.hi = lo, hi
+            elems.append(rel)
+            if not s.at("punct", "("):
+                t = s.peek()
+                here = src[t.pos : t.pos + 40] if t else "<end>"
+                raise ValueError(
+                    f"expected node after quantified group at: {here!r}"
+                )
+            elems.append(_parse_node(s))
+            end_pos = s.toks[s.i - 1].end
+            continue
+        if s.at("punct", "<") or s.at("punct", "-"):
+            # a '-' not followed by '[' (or '<' not followed by '-[') is
+            # not a relationship — e.g. the '-' of an arithmetic tail
+            j = 1 if s.at("punct", "-") else 2
+            if not s.at("punct", "[", ahead=j):
+                break
+            rel = _parse_rel(s)
+            if not s.at("punct", "("):
+                t = s.peek()
+                here = src[t.pos : t.pos + 40] if t else "<end>"
+                raise ValueError(f"expected node after relationship at: {here!r}")
+            elems.append(rel)
+            elems.append(_parse_node(s))
+            end_pos = s.toks[s.i - 1].end
+            continue
+        break
     return elems, src[end_pos:].strip()
 
 

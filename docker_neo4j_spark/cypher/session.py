@@ -144,6 +144,113 @@ def _direction(rel: "_Rel") -> str:
     return "in" if rel.reversed else "out"
 
 
+def _rewrite_call_shapes(src: str) -> str:
+    """Statement-level sugar for two Neo4j 5 CALL forms (r12):
+
+    - ``CALL (vars) { … }`` (5.23 variable-scope clause) →
+      ``CALL { WITH vars … }`` (``(*)``/``()`` → ``WITH *`` / no import);
+    - ``CALL { … } IN TRANSACTIONS [OF n ROWS] [ON ERROR …]`` → the
+      subquery body spliced inline (a leading pure-import WITH dropped) —
+      the engine is set-based, so transactional batching is the identity
+      on semantics; apoc.periodic.iterate covers the explicit-batching
+      surface.
+    """
+    from .lexer import tokenize as _tok
+
+    if "CALL" not in src.upper():
+        return src
+    toks = _tok(src)
+    for i, t in enumerate(toks):
+        if t.kind != "ident" or t.text.upper() != "CALL":
+            continue
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if nxt is None or nxt.kind != "punct":
+            continue
+        if nxt.text == "(":
+            # scope clause: CALL (a, b) { … } / CALL (*) { … } / CALL () { … }
+            j = i + 2
+            names: list[str] = []
+            ok = True
+            while j < len(toks) and not (
+                toks[j].kind == "punct" and toks[j].text == ")"
+            ):
+                tj = toks[j]
+                if tj.kind == "ident" or (tj.kind == "punct" and tj.text in ",*"):
+                    if tj.kind == "ident" or tj.text == "*":
+                        names.append(tj.text)
+                    j += 1
+                else:
+                    ok = False
+                    break
+            if (
+                not ok
+                or j + 1 >= len(toks)
+                or not (toks[j + 1].kind == "punct" and toks[j + 1].text == "{")
+            ):
+                continue
+            imports = f" WITH {', '.join(names)}" if names else ""
+            new = (
+                src[: t.pos]
+                + "CALL {"
+                + imports
+                + " "
+                + src[toks[j + 1].end :]
+            )
+            return _rewrite_call_shapes(new)
+        if nxt.text == "{":
+            # balance the braces, then look for IN TRANSACTIONS after
+            depth = 0
+            close = None
+            for j in range(i + 1, len(toks)):
+                tj = toks[j]
+                if tj.kind == "punct" and tj.text == "{":
+                    depth += 1
+                elif tj.kind == "punct" and tj.text == "}":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+            if close is None:
+                continue
+            k = close + 1
+            if not (
+                k + 1 < len(toks)
+                and toks[k].kind == "ident"
+                and toks[k].text.upper() == "IN"
+                and toks[k + 1].kind == "ident"
+                and toks[k + 1].text.upper() == "TRANSACTIONS"
+            ):
+                continue
+            # consume the optional OF n ROWS / ON ERROR … tail
+            m = re.match(
+                r"\s*(?:OF\s+\d+\s+ROWS?)?\s*(?:ON\s+ERROR\s+\w+)?",
+                src[toks[k + 1].end :],
+                re.IGNORECASE,
+            )
+            tail_end = toks[k + 1].end + (m.end() if m else 0)
+            inner = src[nxt.end : toks[close].pos].strip()
+            if _find_kw(inner, "RETURN") is not None:
+                # a returning subquery: keep the CALL {} (the subquery
+                # machinery executes it) — just erase the IN TRANSACTIONS
+                # batching suffix, which is semantics-neutral here
+                new = src[: toks[close].end] + " " + src[tail_end:]
+                return _rewrite_call_shapes(new)
+            # write-only body: splice it inline (the UNWIND/MATCH write
+            # tails execute it set-based).
+            # drop a leading pure-import WITH (vars only) — the spliced
+            # body sees the outer bindings directly
+            mw = re.match(
+                r"WITH\s+((?:\w+|\*)(?:\s*,\s*(?:\w+|\*))*)\s+(?=[A-Za-z])",
+                inner,
+                re.IGNORECASE,
+            )
+            if mw:
+                inner = inner[mw.end() :]
+            new = src[: t.pos] + inner + " " + src[tail_end:]
+            return _rewrite_call_shapes(new)
+    return src
+
+
 def _node_spec(el: "_Node", var: str | None = None):
     """Lexer Node → NodeSpec, carrying multi-label AND chains and general
     label expressions (`:A:B`, `:A|B`, `:A&!B`, `:%` — r12) as a boolean
@@ -805,6 +912,7 @@ class Session:
         ``session.run("MATCH (n {id: $id}) …", id=7)``); values render as
         literals with strings quoted, lists bracketed."""
         cypher = strip_comments(cypher)
+        cypher = _rewrite_call_shapes(cypher)
         if parameters:
             batch = self._run_batch_spec(cypher, parameters)
             if batch is not None:
@@ -924,6 +1032,10 @@ class Session:
             r"CREATE\s+VECTOR\s+INDEX\b", q, re.IGNORECASE
         ):
             return self._create_vector_index(q)
+        if head == "CREATE" and re.match(
+            r"CREATE\s+FULLTEXT\s+INDEX\b", q, re.IGNORECASE
+        ):
+            return self._create_fulltext_index(q)
         if head == "CREATE" and re.match(
             r"CREATE\s+(?:RANGE\s+|TEXT\s+|POINT\s+)?INDEX\b", q, re.IGNORECASE
         ):
@@ -1200,6 +1312,40 @@ class Session:
             m.group("label"),
             props,
             index_type=(m.group("type") or "RANGE").upper(),
+            if_not_exists=bool(m.group("ine")),
+        )
+        return local_df(self.spark, [], "ok string")
+
+    _CREATE_FTINDEX_RE = re.compile(
+        r"CREATE\s+FULLTEXT\s+INDEX"
+        r"(?:\s+(?P<name>\w+))?(?P<ine>\s+IF\s+NOT\s+EXISTS)?\s+"
+        r"FOR\s*\(\s*(?P<var>\w+)\s*:\s*(?P<labels>\w+(?:\s*\|\s*\w+)*)\s*\)\s+"
+        r"ON\s+EACH\s*\[\s*(?P<props>[^\]]+)\]\s*$",
+        re.IGNORECASE,
+    )
+
+    def _create_fulltext_index(self, q: str) -> DataFrame:
+        """``CREATE FULLTEXT INDEX name [IF NOT EXISTS] FOR (n:L1|L2)
+        ON EACH [n.p1, n.p2]`` — Neo4j 5 full-text DDL (r12). Registers
+        FULLTEXT catalog metadata that ``db.index.fulltext.queryNodes``
+        resolves by name (labels + scored properties)."""
+        m = self._CREATE_FTINDEX_RE.match(q)
+        if not m:
+            raise ValueError(f"Unsupported CREATE FULLTEXT INDEX syntax: {q!r}")
+        var = m.group("var")
+        props = []
+        for p in m.group("props").split(","):
+            pm = re.fullmatch(rf"\s*{re.escape(var)}\.(\w+)\s*", p)
+            if not pm:
+                raise ValueError(f"index property must be {var}.<prop>: {p!r}")
+            props.append(pm.group(1))
+        labels = "|".join(x.strip() for x in m.group("labels").split("|"))
+        name = m.group("name") or f"fulltext_{labels.replace('|', '_')}"
+        self.store.indexes.create(
+            name,
+            labels,
+            props,
+            index_type="FULLTEXT",
             if_not_exists=bool(m.group("ine")),
         )
         return local_df(self.spark, [], "ok string")
@@ -4555,6 +4701,7 @@ class Session:
             rel.lo,
             rel.hi,
             direction=_direction(rel),
+            rel_props=rel.props or None,
         )
         b_frame = prefix_columns(
             _node_frame(g, _node_spec(b, b_var)), b_var

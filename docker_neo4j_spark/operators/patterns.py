@@ -282,6 +282,7 @@ def var_length_expand(
     min_hops: int,
     max_hops: int,
     direction: str = "out",
+    rel_props: dict | None = None,
 ) -> DataFrame:
     """Variable-length ``-[:T1|T2*min..max]->`` expansion.
 
@@ -301,6 +302,12 @@ def var_length_expand(
             r = s if r is None else r.unionByName(s)
     else:
         r = graph.rels
+    if rel_props:
+        # `-[:T*1..2 {k: v}]->` — every traversed edge must carry the
+        # property filter (r12; pushed into the pruned rel scan)
+        for k, v in rel_props.items():
+            lit = _prop_lit(k, v)
+            r = r.where(F.col(k) == lit) if k in r.columns else r.where(F.lit(False))
     edges = _orient(r, direction).select("src", "dst")
 
     frontier = start.select(F.col(start_id_col).alias("start_id"), F.col(start_id_col).alias("node_id")).distinct()

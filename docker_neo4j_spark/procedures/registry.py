@@ -563,14 +563,15 @@ def _vector_query_nodes(
     signature=(
         "db.index.fulltext.queryNodes(indexName :: STRING, "
         "queryString :: STRING, k :: INTEGER) :: "
-        "(node :: INTEGER, n_hits :: INTEGER, score_milli :: INTEGER)"
+        "(node :: NODE, nodeId :: INTEGER, score :: FLOAT, "
+        "n_hits :: INTEGER, score_milli :: INTEGER)"
     ),
     description="Query the full-text index: BM25-ranked nodes matching the terms",
     defaults={"indexName": "", "k": 20},
 )
 def _fulltext_query_nodes(
     spark: SparkSession, indexName: str = "", queryString: str = "", k: int = 20,
-    graph=None,
+    graph=None, store=None,
 ) -> DataFrame:
     """``CALL db.index.fulltext.queryNodes('Label', 'terms…', k)`` — the
     public full-text index surface, scored with exact-integer BM25
@@ -584,21 +585,95 @@ def _fulltext_query_nodes(
     """
     from ..operators.text import bm25
 
-    empty = "node bigint, n_hits bigint, score_milli bigint"
+    _NODE_T = "struct<id:bigint,labels:array<string>,properties:map<string,string>>"
+
+    def _empty() -> DataFrame:
+        df = local_df(
+            spark, [], "nodeId bigint, score double, n_hits bigint, score_milli bigint"
+        )
+        return df.select(F.lit(None).cast(_NODE_T).alias("node"), "*")
+
     terms = [t for t in (queryString or "").split() if t]
     if graph is None or not terms:
-        return local_df(spark, [], empty)
+        return _empty()
     nodes = graph.nodes
-    if "text" not in nodes.columns:
-        return local_df(spark, [], empty)
-    nodes = nodes.where(F.col("text").isNotNull())
-    if indexName:
-        nodes = nodes.where(F.array_contains(F.col("labels"), indexName))
-    return bm25(
-        nodes.select(F.col("id").alias("node"), "text"),
-        terms,
-        key="node",
-        top_k=int(k),
+    # a CREATE FULLTEXT INDEX registration resolves the name to its
+    # labels + scored property list (r12); otherwise the legacy
+    # label-as-index-name convention over the `text` property applies
+    ft = None
+    if store is not None and indexName:
+        for idx in getattr(store.indexes, "indexes", {}).values():
+            if idx.name == indexName and idx.index_type == "FULLTEXT":
+                ft = idx
+                break
+    if ft is not None:
+        labels = str(ft.label).split("|")
+        cond = None
+        for lb in labels:
+            c = F.array_contains(F.col("labels"), lb)
+            cond = c if cond is None else cond | c
+        nodes = nodes.where(cond)
+        present = [p for p in ft.properties if p in nodes.columns]
+        if not present:
+            return _empty()
+        text_col = F.concat_ws(
+            " ", *[F.coalesce(F.col(p).cast("string"), F.lit("")) for p in present]
+        )
+        nodes = nodes.withColumn("_ft_text", text_col).where(
+            F.trim(F.col("_ft_text")) != ""
+        )
+        scored = bm25(
+            nodes.select(F.col("id").alias("node"), F.col("_ft_text").alias("text")),
+            terms,
+            key="node",
+            top_k=int(k),
+        )
+    else:
+        if "text" not in nodes.columns:
+            return _empty()
+        nodes = nodes.where(F.col("text").isNotNull())
+        if indexName:
+            nodes = nodes.where(F.array_contains(F.col("labels"), indexName))
+        scored = bm25(
+            nodes.select(F.col("id").alias("node"), "text"),
+            terms,
+            key="node",
+            top_k=int(k),
+        )
+    # the Neo4j contract yields the NODE ENTITY; nodeId keeps the
+    # scalar for oracle comparison (r12)
+    base = nodes
+    prop_cols = sorted(
+        c for c in base.columns
+        if c not in ("id", "labels") and not c.startswith("_ft")
+    )
+    pairs = []
+    for c in prop_cols:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    props = (
+        F.map_filter(
+            F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
+            lambda _k, v: v.isNotNull(),
+        )
+        if pairs
+        else F.create_map().cast("map<string,string>")
+    )
+    ent = F.struct(
+        F.col("id").alias("id"),
+        F.sort_array(F.col("labels")).alias("labels"),
+        props.alias("properties"),
+    )
+    enriched = base.select(F.col("id").alias("_fid"), ent.alias("_ent"))
+    return (
+        scored.join(enriched, scored["node"] == F.col("_fid"))
+        .select(
+            F.col("_ent").alias("node"),
+            scored["node"].alias("nodeId"),
+            (F.col("score_milli").cast("double") / F.lit(1000.0)).alias("score"),
+            "n_hits",
+            "score_milli",
+        )
+        .orderBy(F.col("score_milli").desc(), F.col("nodeId").asc())
     )
 
 
@@ -1834,4 +1909,479 @@ def _apoc_schema_assert(spark: SparkSession, indexes=None, constraints=None, sto
         out.append((lab, p, True, "CREATED"))
     return local_df(spark, 
         sorted(out), "label string, key string, unique boolean, action string"
+    )
+
+
+# ---- r12: wider GDS CALL surface — more streams, stats and mutate modes ----
+# Same contract as the r11 block: every procedure runs the DataFrame
+# kernels from operators/gds.py over _projected_graph's cached frames —
+# the CALL layer is argument plumbing only, never a second algorithm.
+
+
+@procedure(
+    "gds.betweenness.stream",
+    signature=(
+        "gds.betweenness.stream(graphName :: STRING, samplingSize :: INTEGER)"
+        " :: (nodeId :: INTEGER, score :: FLOAT)"
+    ),
+    description="Betweenness centrality (sampled-source Brandes) over a projected graph",
+    defaults={"samplingSize": 64},
+)
+def _gds_betweenness_stream(
+    spark: SparkSession, graphName: str = "", samplingSize: int = 64
+) -> DataFrame:
+    """Bounded source set (GDS samplingSize contract — exact only when it
+    covers every node; a landmark set is the honest 100 TB shape); the
+    undirected dependency sums halve like the catalog row does."""
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    srcs = nodes.orderBy("id").limit(int(samplingSize)).select("id")
+    out = gds.betweenness(edges, srcs)
+    return nodes.join(out, "id", "left").select(
+        F.col("id").alias("nodeId"),
+        (F.coalesce(F.col("bc"), F.lit(0.0)) / F.lit(2.0))
+        .cast("double")
+        .alias("score"),
+    )
+
+
+@procedure(
+    "gds.triangleCount.stream",
+    signature=(
+        "gds.triangleCount.stream(graphName :: STRING) :: "
+        "(nodeId :: INTEGER, triangleCount :: INTEGER)"
+    ),
+    description="Per-node triangle counts over a projected graph",
+)
+def _gds_triangle_stream(spark: SparkSession, graphName: str = "") -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.local_clustering(edges)
+    return nodes.join(out, "id", "left").select(
+        F.col("id").alias("nodeId"),
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangleCount"),
+    )
+
+
+@procedure(
+    "gds.localClusteringCoefficient.stream",
+    signature=(
+        "gds.localClusteringCoefficient.stream(graphName :: STRING) :: "
+        "(nodeId :: INTEGER, localClusteringCoefficient :: FLOAT)"
+    ),
+    description="Local clustering coefficient over a projected graph",
+)
+def _gds_lcc_stream(spark: SparkSession, graphName: str = "") -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.local_clustering(edges)
+    return nodes.join(out, "id", "left").select(
+        F.col("id").alias("nodeId"),
+        F.coalesce(F.col("coeff"), F.lit(0.0))
+        .cast("double")
+        .alias("localClusteringCoefficient"),
+    )
+
+
+@procedure(
+    "gds.scc.stream",
+    signature=(
+        "gds.scc.stream(graphName :: STRING) :: "
+        "(nodeId :: INTEGER, componentId :: INTEGER)"
+    ),
+    description="Strongly connected components over a projected (directed) graph",
+)
+def _gds_scc_stream(spark: SparkSession, graphName: str = "") -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.scc(edges, nodes)
+    return out.select(
+        F.col("id").alias("nodeId"), F.col("component").alias("componentId")
+    )
+
+
+@procedure(
+    "gds.eigenvector.stream",
+    signature=(
+        "gds.eigenvector.stream(graphName :: STRING, maxIterations :: INTEGER)"
+        " :: (nodeId :: INTEGER, score :: FLOAT)"
+    ),
+    description="Eigenvector centrality over a projected graph",
+    defaults={"maxIterations": 15},
+)
+def _gds_eigenvector_stream(
+    spark: SparkSession, graphName: str = "", maxIterations: int = 15
+) -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.eigenvector(edges, nodes, iterations=int(maxIterations))
+    return out.select(
+        F.col("id").alias("nodeId"), F.col("score").cast("double").alias("score")
+    )
+
+
+@procedure(
+    "gds.articleRank.stream",
+    signature=(
+        "gds.articleRank.stream(graphName :: STRING, maxIterations :: INTEGER,"
+        " dampingFactor :: FLOAT) :: (nodeId :: INTEGER, score :: FLOAT)"
+    ),
+    description="ArticleRank over a projected graph",
+    defaults={"maxIterations": 15, "dampingFactor": 0.85},
+)
+def _gds_articlerank_stream(
+    spark: SparkSession, graphName: str = "",
+    maxIterations: int = 15, dampingFactor: float = 0.85,
+) -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.article_rank(
+        edges, nodes, iterations=int(maxIterations), damping=float(dampingFactor)
+    )
+    return out.select(
+        F.col("id").alias("nodeId"), F.col("pr").cast("double").alias("score")
+    )
+
+
+@procedure(
+    "gds.closeness.stream",
+    signature=(
+        "gds.closeness.stream(graphName :: STRING) :: "
+        "(nodeId :: INTEGER, score :: FLOAT)"
+    ),
+    description="Closeness centrality over a projected graph",
+)
+def _gds_closeness_stream(spark: SparkSession, graphName: str = "") -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.closeness(edges, nodes.select("id"))
+    return nodes.join(out, "id", "left").select(
+        F.col("id").alias("nodeId"),
+        F.coalesce(F.col("closeness"), F.lit(0.0)).cast("double").alias("score"),
+    )
+
+
+@procedure(
+    "gds.kcore.stream",
+    signature=(
+        "gds.kcore.stream(graphName :: STRING) :: "
+        "(nodeId :: INTEGER, coreValue :: INTEGER)"
+    ),
+    description="K-core decomposition (core value per node) over a projected graph",
+)
+def _gds_kcore_stream(spark: SparkSession, graphName: str = "") -> DataFrame:
+    """Core value by layered peeling: coreValue(v) = max k with
+    v ∈ k-core. Each layer is the fixed-k peel kernel; the loop is
+    bounded by the degeneracy of the graph (≤ ~log-scale for real
+    graphs; a 64-layer cap guards the pathological clique case)."""
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    core = nodes.select(F.col("id"), F.lit(0).alias("coreValue"))
+    for k in range(1, 65):
+        members = gds.kcore(edges, k=k).select("id").cache()
+        if members.isEmpty():
+            break
+        core = (
+            core.join(members.withColumn("_in", F.lit(1)), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("_in").isNotNull(), F.lit(k))
+                .otherwise(F.col("coreValue"))
+                .alias("coreValue"),
+            )
+        )
+        core = core.localCheckpoint(eager=False)
+    return core.select(
+        F.col("id").alias("nodeId"), F.col("coreValue").cast("long").alias("coreValue")
+    )
+
+
+@procedure(
+    "gds.leiden.stream",
+    signature=(
+        "gds.leiden.stream(graphName :: STRING) :: "
+        "(nodeId :: INTEGER, communityId :: INTEGER)"
+    ),
+    description="Leiden community detection over a projected graph",
+)
+def _gds_leiden_stream(spark: SparkSession, graphName: str = "") -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.leiden(edges, nodes)
+    return out.select(
+        F.col("id").alias("nodeId"), F.col("community").alias("communityId")
+    )
+
+
+# ---- stats modes ---------------------------------------------------------
+
+
+@procedure(
+    "gds.wcc.stats",
+    signature=(
+        "gds.wcc.stats(graphName :: STRING) :: "
+        "(componentCount :: INTEGER, nodeCount :: INTEGER)"
+    ),
+    description="WCC summary statistics over a projected graph",
+)
+def _gds_wcc_stats(spark: SparkSession, graphName: str = "") -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.wcc(edges, nodes)
+    comps = out.select("comp").distinct().count()
+    n = out.count()
+    return local_df(spark, [(comps, n)], "componentCount long, nodeCount long")
+
+
+@procedure(
+    "gds.pageRank.stats",
+    signature=(
+        "gds.pageRank.stats(graphName :: STRING, maxIterations :: INTEGER, "
+        "dampingFactor :: FLOAT) :: (ranIterations :: INTEGER, "
+        "nodeCount :: INTEGER)"
+    ),
+    description="PageRank summary statistics over a projected graph",
+    defaults={"maxIterations": 15, "dampingFactor": 0.85},
+)
+def _gds_pagerank_stats(
+    spark: SparkSession, graphName: str = "",
+    maxIterations: int = 15, dampingFactor: float = 0.85,
+) -> DataFrame:
+    nodes, _ = _projected_graph(spark, graphName)
+    return local_df(
+        spark, [(int(maxIterations), nodes.count())],
+        "ranIterations long, nodeCount long",
+    )
+
+
+@procedure(
+    "gds.louvain.stats",
+    signature=(
+        "gds.louvain.stats(graphName :: STRING) :: "
+        "(communityCount :: INTEGER, nodeCount :: INTEGER)"
+    ),
+    description="Louvain summary statistics over a projected graph",
+)
+def _gds_louvain_stats(spark: SparkSession, graphName: str = "") -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.louvain(edges, nodes)
+    return local_df(
+        spark,
+        [(out.select("community").distinct().count(), out.count())],
+        "communityCount long, nodeCount long",
+    )
+
+
+@procedure(
+    "gds.triangleCount.stats",
+    signature=(
+        "gds.triangleCount.stats(graphName :: STRING) :: "
+        "(globalTriangleCount :: INTEGER, nodeCount :: INTEGER)"
+    ),
+    description="Global triangle count over a projected graph",
+)
+def _gds_triangle_stats(spark: SparkSession, graphName: str = "") -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    tri = gds.triangle_count(edges).collect()[0][0]
+    return local_df(
+        spark, [(int(tri), nodes.count())],
+        "globalTriangleCount long, nodeCount long",
+    )
+
+
+# ---- mutate mode + projected-property readback -----------------------------
+
+
+def _mutate_node_property(
+    spark: SparkSession, graphName: str, prop_frame: DataFrame, prop: str
+):
+    """Attach (id, <prop>) to the named projection's cached node frame —
+    GDS mutate semantics: visible to later algorithms on the SAME
+    projection, never written to the database."""
+    cat = _graphs_for(spark)
+    if graphName not in cat:
+        raise ValueError(
+            f"Graph with name '{graphName}' does not exist in the catalog"
+        )
+    nodes, rels, nc, rc = cat[graphName]
+    if prop in nodes.columns:
+        raise ValueError(
+            f"Node property '{prop}' already exists in graph '{graphName}'"
+        )
+    new_nodes = nodes.join(prop_frame, "id", "left").cache()
+    cat[graphName] = (new_nodes, rels, nc, rc)
+
+
+@procedure(
+    "gds.wcc.mutate",
+    signature=(
+        "gds.wcc.mutate(graphName :: STRING, mutateProperty :: STRING) :: "
+        "(componentCount :: INTEGER, nodePropertiesWritten :: INTEGER)"
+    ),
+    description="WCC with the component id stored on the in-catalog projection",
+    defaults={"mutateProperty": "componentId"},
+)
+def _gds_wcc_mutate(
+    spark: SparkSession, graphName: str = "", mutateProperty: str = "componentId"
+) -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.wcc(edges, nodes)
+    _mutate_node_property(
+        spark, graphName, out.select("id", F.col("comp").alias(mutateProperty)),
+        mutateProperty,
+    )
+    return local_df(
+        spark,
+        [(out.select("comp").distinct().count(), out.count())],
+        "componentCount long, nodePropertiesWritten long",
+    )
+
+
+@procedure(
+    "gds.pageRank.mutate",
+    signature=(
+        "gds.pageRank.mutate(graphName :: STRING, mutateProperty :: STRING, "
+        "maxIterations :: INTEGER, dampingFactor :: FLOAT) :: "
+        "(nodePropertiesWritten :: INTEGER, ranIterations :: INTEGER)"
+    ),
+    description="PageRank with scores stored on the in-catalog projection",
+    defaults={"mutateProperty": "pagerank", "maxIterations": 15, "dampingFactor": 0.85},
+)
+def _gds_pagerank_mutate(
+    spark: SparkSession, graphName: str = "", mutateProperty: str = "pagerank",
+    maxIterations: int = 15, dampingFactor: float = 0.85,
+) -> DataFrame:
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.pagerank(
+        edges, nodes, iterations=int(maxIterations), damping=float(dampingFactor)
+    )
+    _mutate_node_property(
+        spark, graphName, out.select("id", F.col("pr").alias(mutateProperty)),
+        mutateProperty,
+    )
+    return local_df(
+        spark, [(out.count(), int(maxIterations))],
+        "nodePropertiesWritten long, ranIterations long",
+    )
+
+
+@procedure(
+    "gds.graph.nodeProperties.stream",
+    signature=(
+        "gds.graph.nodeProperties.stream(graphName :: STRING, "
+        "nodeProperties :: LIST) :: (nodeId :: INTEGER, "
+        "nodeProperty :: STRING, propertyValue :: FLOAT)"
+    ),
+    description="Stream mutated/projected node properties from a catalog graph",
+)
+def _gds_graph_node_props_stream(
+    spark: SparkSession, graphName: str = "", nodeProperties=None
+) -> DataFrame:
+    cat = _graphs_for(spark)
+    if graphName not in cat:
+        raise ValueError(
+            f"Graph with name '{graphName}' does not exist in the catalog"
+        )
+    nodes = cat[graphName][0]
+    props = (
+        [nodeProperties] if isinstance(nodeProperties, str) else list(nodeProperties or [])
+    )
+    missing = [p for p in props if p not in nodes.columns]
+    if missing:
+        raise ValueError(
+            f"Node properties {missing} not found in graph '{graphName}'"
+        )
+    out = None
+    for p in props:
+        part = nodes.select(
+            F.col("id").alias("nodeId"),
+            F.lit(p).alias("nodeProperty"),
+            F.col(p).cast("double").alias("propertyValue"),
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("nodeProperties must name at least one property")
+    return out
+
+
+@procedure(
+    "db.schema.nodeTypeProperties",
+    signature=(
+        "db.schema.nodeTypeProperties() :: (nodeType :: STRING, "
+        "nodeLabels :: LIST, propertyName :: STRING, "
+        "propertyTypes :: LIST, mandatory :: BOOLEAN)"
+    ),
+    description="Node property schema: one row per (label, property) pair in use",
+)
+def _db_schema_node_type_properties(
+    spark: SparkSession, graph=None
+) -> DataFrame:
+    """Derived from the live node frame: a (label, property) pair appears
+    when at least one node with the label carries a non-null value; the
+    declared Cypher type comes from the column's Spark dtype. One
+    explode + one groupBy — no driver-side iteration over rows."""
+    empty = (
+        "nodeType string, nodeLabels array<string>, propertyName string, "
+        "propertyTypes array<string>, mandatory boolean"
+    )
+    if graph is None:
+        return local_df(spark, [], empty)
+    nodes = graph.nodes
+    prop_cols = [c for c in nodes.columns if c not in ("id", "labels")]
+    if not prop_cols:
+        return local_df(spark, [], empty)
+    _CY = {
+        "bigint": "Long", "int": "Long", "smallint": "Long", "tinyint": "Long",
+        "double": "Double", "float": "Double", "string": "String",
+        "boolean": "Boolean", "date": "Date", "timestamp": "DateTime",
+    }
+    dts = dict(nodes.dtypes)
+    pairs = nodes.select(
+        F.explode("labels").alias("lb"),
+        *[F.col(c).isNotNull().cast("int").alias(c) for c in prop_cols],
+    )
+    agg = pairs.groupBy("lb").agg(
+        *[F.max(c).alias(c) for c in prop_cols]
+    )
+    stack = ", ".join(f"'{c}', {c}" for c in prop_cols)
+    melted = agg.select(
+        "lb",
+        F.expr(f"stack({len(prop_cols)}, {stack}) as (propertyName, present)"),
+    ).where(F.col("present") == 1)
+    type_map = F.create_map(
+        *[
+            x
+            for c in prop_cols
+            for x in (
+                F.lit(c),
+                F.lit(_CY.get(dts.get(c, "").split("(")[0], "Any")),
+            )
+        ]
+    )
+    return melted.select(
+        F.concat(F.lit(":`"), F.col("lb"), F.lit("`")).alias("nodeType"),
+        F.array(F.col("lb")).alias("nodeLabels"),
+        "propertyName",
+        F.array(F.element_at(type_map, F.col("propertyName"))).alias(
+            "propertyTypes"
+        ),
+        F.lit(False).alias("mandatory"),
     )

@@ -225,12 +225,17 @@ def test_fulltext_query_nodes_label_filter_and_empty_query(spark):
                args={"arg0": "Doc", "arg1": "spark vector", "arg2": 5},
                context={"graph": g})
     rows = out.collect()
-    assert [r["node"] for r in rows] == [1]  # label filter drops node 3
+    # r12: `node` is the entity struct (the Neo4j contract); nodeId is
+    # the scalar id and `score` the float BM25 value
+    assert [r["nodeId"] for r in rows] == [1]  # label filter drops node 3
+    assert rows[0]["node"]["id"] == 1 and rows[0]["node"]["labels"] == ["Doc"]
     assert rows[0]["n_hits"] == 2 and rows[0]["score_milli"] > 0
+    assert abs(rows[0]["score"] - rows[0]["score_milli"] / 1000.0) < 1e-9
     empty = call(spark, "db.index.fulltext.queryNodes",
                  args={"arg0": "Doc", "arg1": "", "arg2": 5},
                  context={"graph": g})
-    assert empty.columns == ["node", "n_hits", "score_milli"] and empty.count() == 0
+    assert empty.columns == ["node", "nodeId", "score", "n_hits", "score_milli"]
+    assert empty.count() == 0
 
 
 def test_apoc_path_expand_levels_and_filters(spark):
