@@ -3346,3 +3346,215 @@ def cypher_with_star(spark, sf_dir):
         "WHERE n.n_nationkey > 20 "
         "RETURN n.n_name AS name, dk ORDER BY name"
     )
+
+
+@register(
+    "cypher_label_expressions",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region)
+                AS BIGINT) AS c_or,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS c_andnot,
+           CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS c_multi
+    """,
+)
+def cypher_label_expressions(spark, sf_dir):
+    """Label expressions in WHERE position (r12): ``n:Nation|Region`` /
+    ``n:Nation&!Region`` / AND-chain membership — boolean terms over the
+    labels array, counted in one scan (no per-label re-scan)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n) RETURN "
+        "sum(CASE WHEN n:Nation|Region THEN 1 ELSE 0 END) AS c_or, "
+        "sum(CASE WHEN n:Nation&!Region THEN 1 ELSE 0 END) AS c_andnot, "
+        "sum(CASE WHEN n:Region:Region THEN 1 ELSE 0 END) AS c_multi"
+    )
+
+
+@register(
+    "cypher_operator_semantics",
+    """
+    SELECT CAST(2 AS BIGINT) AS int_div,
+           CAST(-3 AS BIGINT) AS neg_div,
+           2.5 AS float_div,
+           TRUE AS chained,
+           'ab' AS cat,
+           CAST(31 AS BIGINT) AS hex,
+           TRUE AS tp,
+           2.0 AS br,
+           CAST(NULL AS BIGINT) AS ni,
+           'STRING NOT NULL' AS vt,
+           CAST(3 AS BIGINT) AS cl
+    """,
+)
+def cypher_operator_semantics(spark, sf_dir):
+    """r12 operator-semantics pack: Cypher integer division (truncating
+    toward zero), chained comparisons, `||` concatenation, hex literals,
+    `IS ::` type predicates, HALF_EVEN rounding mode, nullIf, valueType,
+    char_length."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    out = s.run(
+        "RETURN 5 / 2 AS int_div, -7 / 2 AS neg_div, 5.0 / 2 AS float_div, "
+        "1 < 2 < 3 AS chained, 'a' || 'b' AS cat, 0x1F AS hex, "
+        "1 IS :: INTEGER AS tp, round(2.5, 0, 'HALF_EVEN') AS br, "
+        "nullIf(1, 1) AS ni, valueType('x') AS vt, char_length('abc') AS cl"
+    )
+    return out.select(
+        F.col("int_div").cast("long"), F.col("neg_div").cast("long"),
+        "float_div", "chained", "cat", F.col("hex").cast("long"),
+        "tp", "br", F.col("ni").cast("long"), "vt", F.col("cl").cast("long"),
+    )
+
+
+@register(
+    "cypher_inline_where_qpp",
+    """
+    SELECT n.n_name AS name, CAST(COUNT(*) AS BIGINT) AS c
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 5000
+    GROUP BY n.n_name ORDER BY name
+    """,
+)
+def cypher_inline_where_qpp(spark, sf_dir):
+    """Inline pattern WHERE (Neo4j 5) + the quantified-relationship
+    ``->{1,1}`` sugar (r12): the predicate conjains onto the bound frame,
+    the quantifier resolves to the fixed single hop."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (c:Customer WHERE c.c_acctbal > 5000)-[:IN_NATION]->{1,1}(n:Nation) "
+        "RETURN n.n_name AS name, count(*) AS c ORDER BY name"
+    )
+
+
+@register(
+    "fn_r12b_additions",
+    """
+    SELECT CAST(60 AS BIGINT) AS dd,
+           CAST(6 AS BIGINT) AS dm,
+           CAST(3600 AS BIGINT) AS ds,
+           CAST(1970 AS BIGINT) AS ey,
+           1.5 AS px,
+           TRUE AS ie,
+           CAST(2 AS BIGINT) AS til,
+           '1970-01-01' AS adf,
+           CAST(2 AS BIGINT) AS amm
+    """,
+)
+def fn_r12b_additions(spark, sf_dir):
+    """r12 function batch two: duration.inDays/inMonths/inSeconds
+    component accessors, epoch datetime constructors, WGS-84 point
+    accessor mapping, isEmpty over maps, list casts, apoc.date.format,
+    apoc.map.merge postfix access."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    out = s.run(
+        "RETURN duration.inDays(date('2024-01-01'), date('2024-03-01')).days AS dd, "
+        "duration.inMonths(date('2024-01-01'), date('2024-07-15')).months AS dm, "
+        "duration.inSeconds(datetime('2024-01-01T00:00:00'), "
+        "datetime('2024-01-01T01:00:00')).seconds AS ds, "
+        "datetime({epochMillis: 86400000}).year AS ey, "
+        "point({longitude: 1.5, latitude: 2.5}).x AS px, "
+        "isEmpty({}) AS ie, "
+        "toIntegerList(['1','2'])[1] AS til, "
+        "apoc.date.format(0, 'ms', 'yyyy-MM-dd') AS adf, "
+        "toInteger(apoc.map.merge({a:1}, {b:2}).b) AS amm"
+    )
+    return out.select(
+        "dd", "dm", "ds", "ey", "px", "ie",
+        F.col("til").cast("long"), "adf", F.col("amm").cast("long"),
+    )
+
+
+@register(
+    "proc_gds_scc_stream",
+    """
+    SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS nodeId,
+           CAST(2000000000000 + n_nationkey AS BIGINT) AS componentId
+    FROM nation
+    UNION ALL
+    SELECT CAST(1000000000000 + r_regionkey AS BIGINT),
+           CAST(1000000000000 + r_regionkey AS BIGINT)
+    FROM region
+    ORDER BY nodeId
+    """,
+)
+def proc_gds_scc_stream(spark, sf_dir):
+    """``CALL gds.scc.stream`` (r12) over the Nation→Region DAG: a DAG
+    has only trivial SCCs, so every node is its own component — exact,
+    and a real exercise of the FW-BW-MIN peeling through the CALL
+    surface."""
+    from ..cypher.session import Session
+    from ..procedures.registry import _graphs_for
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    _graphs_for(spark).pop("sccg", None)  # idempotent under re-runs
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('sccg', ['Nation', 'Region'], ['IN_REGION'])")
+    return s.run(
+        "CALL gds.scc.stream('sccg') YIELD nodeId, componentId "
+        "RETURN nodeId, componentId ORDER BY nodeId"
+    )
+
+
+@register(
+    "proc_gds_closeness_stream",
+    """
+    WITH sizes AS (SELECT n_regionkey, COUNT(*) AS k FROM nation GROUP BY n_regionkey)
+    SELECT CAST(2000000000000 + n.n_nationkey AS BIGINT) AS nodeId,
+           CAST(s.k AS DOUBLE) / (1 + 2 * (s.k - 1)) AS score
+    FROM nation n JOIN sizes s ON n.n_regionkey = s.n_regionkey
+    UNION ALL
+    SELECT CAST(1000000000000 + r.r_regionkey AS BIGINT), 1.0
+    FROM region r
+    ORDER BY nodeId
+    """,
+)
+def proc_gds_closeness_stream(spark, sf_dir):
+    """``CALL gds.closeness.stream`` (r12) over the Nation–Region stars
+    (undirected closeness): a nation reaches its region at 1 and its
+    k−1 sibling nations at 2 → (k)/(1+2(k−1)); a region reaches its k
+    nations at 1 → 1.0. Closed form on both engines."""
+    from ..cypher.session import Session
+    from ..procedures.registry import _graphs_for
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    _graphs_for(spark).pop("clg", None)  # idempotent under re-runs
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('clg', ['Nation', 'Region'], ['IN_REGION'])")
+    return s.run(
+        "CALL gds.closeness.stream('clg') YIELD nodeId, score "
+        "RETURN nodeId, score ORDER BY nodeId"
+    )
+
+
+@register(
+    "cypher_call_in_transactions",
+    """
+    SELECT CAST(i AS BIGINT) AS i FROM (VALUES (1), (2), (3), (4)) t(i) ORDER BY i
+    """,
+)
+def cypher_call_in_transactions(spark, sf_dir):
+    """``CALL { … } IN TRANSACTIONS OF n ROWS`` (r12): the canonical
+    batched-write idiom. The engine is set-based, so the batching clause
+    is semantics-neutral — the body splices into the UNWIND write tail
+    and the readback sees all rows."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run(
+        "UNWIND range(1, 4) AS i "
+        "CALL { WITH i CREATE (:TxRow {i: i}) } IN TRANSACTIONS OF 2 ROWS"
+    )
+    return s.run("MATCH (t:TxRow) RETURN t.i AS i ORDER BY i")

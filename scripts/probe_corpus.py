@@ -25,9 +25,15 @@ FAILS: list[tuple[str, str]] = []
 _S = None
 
 
-def run(q, label="", params=None, expect_err=None):
+def run(q, label="", params=None, expect_err=None, expect=None):
     try:
         rows = (_S.run(q, params) if params else _S.run(q)).collect()
+        if expect is not None:
+            got = [tuple(r) for r in rows]
+            if got != expect:
+                FAILS.append((label or q, f"VALUE got={got} want={expect}"))
+                print(f"VAL   {label or q[:85]}: got={got} want={expect}")
+                return rows
         print(f"OK    {label or q[:85]} ({len(rows)} rows)")
         return rows
     except Exception as e:  # noqa: BLE001 — the corpus reports, not raises
@@ -224,6 +230,171 @@ def main() -> int:
     run("MATCH (a:K {k:1}) RETURN a.one AS o", "foreach-cond-readback")
     run("RETURN duration.between(date('2024-01-15'), date('2024-03-01')).days AS d", "between-days")
     run("UNWIND [{k:10},{k:11}] AS row MERGE (x:K {k: row.k}) RETURN x.k AS k ORDER BY k", "unwind-merge-return")
+
+    # ---------- corpus D: r12 public-docs sweep (operators, label exprs,
+    # QPP, functions, GDS stats/mutate, CALL shapes) ----------
+    _S = Session(spark)
+    run("CREATE (:P {name:'ann', age:40, score:1.5})")
+    run("CREATE (:P {name:'bob', age:30})")
+    run("CREATE (:P:Admin {name:'cat', age:50})")
+    run("CREATE (:Q {name:'dot'})")
+    run("MATCH (a:P {name:'ann'}), (b:P {name:'bob'}) CREATE (a)-[:KNOWS {since:2020}]->(b)")
+    run("MATCH (b:P {name:'bob'}), (c:P {name:'cat'}) CREATE (b)-[:KNOWS {since:2021}]->(c)")
+
+    # -- literals / arithmetic semantics --
+    run("RETURN 5 / 2 AS d", "int-division", expect=[(2,)])
+    run("RETURN 5.0 / 2 AS d", "float-division", expect=[(2.5,)])
+    run("RETURN 5 % 3 AS m, 2 ^ 3 AS p", "mod-pow", expect=[(2, 8.0)])
+    run("RETURN 0x1F AS h", "hex-literal", expect=[(31,)])
+    run("RETURN 1e3 AS e", "exp-literal", expect=[(1000.0,)])
+    run("RETURN -2 ^ 2 AS n", "pow-precedence", expect=[(-4.0,)])  # unary minus binds looser than ^ (openCypher Exp4/Exp5)
+    run("RETURN 1 < 2 < 3 AS c", "chained-compare", expect=[(True,)])
+    run("RETURN true XOR false AS x", "xor", expect=[(True,)])
+    run("RETURN 'a' + 'b' AS s", "string-plus", expect=[("ab",)])
+    run("RETURN 'a' || 'b' AS s", "string-concat-op", expect=[("ab",)])
+    run("RETURN [1] || [2] AS l", "list-concat-op")
+
+    # -- keywords case-insensitive, comments, backticks --
+    run("match (p:P) where p.age > 35 return count(*) as c", "lowercase-keywords", expect=[(2,)])
+    run("MATCH (p:P) // trailing comment\nRETURN count(*) AS c", "line-comment", expect=[(3,)])
+    run("MATCH (p:P) /* block */ RETURN count(*) AS c", "block-comment", expect=[(3,)])
+    run("MATCH (`my var`:P {name:'ann'}) RETURN `my var`.age AS a", "backtick-var", expect=[(40,)])
+    run("RETURN 'it\\'s' AS s, 'a\\nb' AS nl", "escapes")
+    run('RETURN "double quoted" AS s', "double-quotes", expect=[("double quoted",)])
+
+    # -- RETURN * / WITH DISTINCT / DISTINCT agg --
+    run("MATCH (p:P {name:'ann'}) RETURN *", "return-star")
+    run("MATCH (p:P) WITH DISTINCT p.age > 35 AS old RETURN count(*) AS c", "with-distinct", expect=[(2,)])
+    run("MATCH (p:P) RETURN count(DISTINCT p.age) AS c", "count-distinct", expect=[(3,)])
+    run("MATCH (p:P) RETURN collect(DISTINCT p.age >= 40) AS c", "collect-distinct")
+
+    # -- inline WHERE in patterns (Neo4j 5) --
+    run("MATCH (p:P WHERE p.age > 35) RETURN count(*) AS c", "inline-node-where", expect=[(2,)])
+    run("MATCH (a)-[r:KNOWS WHERE r.since > 2020]->(b) RETURN b.name AS n", "inline-rel-where", expect=[("cat",)])
+
+    # -- label expressions --
+    run("MATCH (n:P|Q) RETURN count(*) AS c", "label-or", expect=[(4,)])
+    run("MATCH (n:P&Admin) RETURN n.name AS n", "label-and", expect=[("cat",)])
+    run("MATCH (n:P&!Admin) RETURN count(*) AS c", "label-not", expect=[(2,)])
+    run("MATCH (n) WHERE n:P|Q RETURN count(*) AS c", "where-label-or", expect=[(4,)])
+    run("MATCH (n) WHERE n:P AND NOT n:Admin RETURN count(*) AS c", "where-label-not", expect=[(2,)])
+
+    # -- quantified path patterns (Neo4j 5) --
+    run("MATCH (a:P {name:'ann'})-[:KNOWS]->{1,2}(b) RETURN b.name AS n ORDER BY n", "qpp-arrow", expect=[("bob",), ("cat",)])
+    run("MATCH (a:P {name:'ann'})((x)-[:KNOWS]->(y)){1,2}(b) RETURN b.name AS n ORDER BY n", "qpp-group")
+    run("MATCH (a:P {name:'ann'})-[:KNOWS]->+(b) RETURN count(*) AS c", "qpp-plus", expect=[(2,)])
+    run("MATCH (a:P {name:'ann'})-[:KNOWS]->*(b) RETURN count(*) AS c", "qpp-star", expect=[(3,)])
+
+    # -- scalar fns --
+    run("RETURN isEmpty([]) AS a, isEmpty('x') AS b, isEmpty({}) AS c", "isEmpty")
+    run("RETURN char_length('abc') AS a, character_length('abc') AS b", "char-length", expect=[(3, 3)])
+    run("RETURN toIntegerOrNull('x') AS a, toFloatOrNull('1.5') AS b, toBooleanOrNull('true') AS c, toStringOrNull(4) AS d", "ornull-casts")
+    run("RETURN toBoolean('TRUE') AS t, toBoolean('no') AS n", "toBoolean")
+    run("RETURN toIntegerList(['1','2']) AS a, toStringList([1,2]) AS b, toFloatList(['1.5']) AS c, toBooleanList(['true']) AS d", "list-casts")
+    run("RETURN valueType(1) AS a, valueType('x') AS b, valueType([1]) AS c", "valueType")
+    run("RETURN 1 IS :: INTEGER AS a, 'x' IS :: STRING AS b, 1 IS NOT :: STRING AS c", "type-predicate")
+    run("RETURN normalize('abc') AS n", "normalize")
+    run("RETURN round(3.456, 2) AS r, round(2.5) AS r2", "round-precision", expect=[(3.46, 3.0)])
+    run("RETURN round(1.249, 1, 'UP') AS r", "round-mode")
+    run("RETURN abs(-3) AS a, sign(-2) AS s, ceil(1.1) AS c, floor(1.9) AS f, sqrt(4.0) AS q", "math-suite", expect=[(3, -1, 2.0, 1.0, 2.0)])
+    run("RETURN e() > 2.7 AS e, pi() > 3.1 AS p, exp(0) AS x, log(e()) AS l, log10(100) AS t", "math-consts")
+    run("RETURN sin(0) AS s, cos(0) AS c, tan(0) AS t, atan2(1, 1) > 0.78 AS a, degrees(pi()) AS d, radians(180) > 3.14 AS r", "trig")
+    run("RETURN rand() >= 0 AS r, randomUUID() IS NOT NULL AS u", "random")
+    run("RETURN nullIf(1, 1) AS a, nullIf(1, 2) AS b", "nullIf")
+
+    # -- point / distance --
+    run("RETURN point.distance(point({x:0, y:0}), point({x:3, y:4})) AS d", "point-distance", expect=[(5.0,)])
+    run("WITH point({longitude: 12.78, latitude: 56.7}) AS p RETURN p.latitude AS lat", "wgs84-accessor")
+
+    # -- temporal breadth --
+    run("RETURN date({year: 2024, month: 3, day: 15}) AS d", "date-map")
+    run("RETURN datetime({epochMillis: 0}).year AS y", "datetime-epoch", expect=[(1970,)])
+    run("RETURN localdatetime('2024-01-02T03:04:05').hour AS h", "localdatetime", expect=[(3,)])
+    run("RETURN localtime('12:31:14').minute AS m", "localtime", expect=[(31,)])
+    run("RETURN time('12:31:14Z').second AS s", "time", expect=[(14,)])
+    run("RETURN date('2024-03-15').quarter AS q, date('2024-03-15').week AS w, date('2024-03-15').dayOfWeek AS dw", "date-accessors")
+    run("RETURN datetime('2024-03-15T10:00:00Z').epochSeconds > 0 AS e", "epochSeconds")
+    run("RETURN duration('P1Y2M3DT4H5M6S') AS d", "duration-iso-parse")
+    run("RETURN duration.inDays(date('2024-01-01'), date('2024-03-01')).days AS d", "duration-inDays", expect=[(60,)])
+    run("RETURN duration.inMonths(date('2024-01-01'), date('2024-07-15')).months AS m", "duration-inMonths", expect=[(6,)])
+    run("RETURN duration.inSeconds(datetime('2024-01-01T00:00:00Z'), datetime('2024-01-01T01:00:00Z')).seconds AS s", "duration-inSeconds", expect=[(3600,)])
+    run("RETURN datetime.truncate('day', datetime('2024-03-15T10:30:00Z')).hour AS h", "datetime-truncate", expect=[(0,)])
+
+    # -- UNWIND edge semantics --
+    run("UNWIND [] AS x RETURN x", "unwind-empty", expect=[])
+    run("UNWIND null AS x RETURN x", "unwind-null", expect=[])
+    run("UNWIND [[1,2],[3]] AS x UNWIND x AS y RETURN sum(y) AS s", "unwind-nested", expect=[(6,)])
+
+    # -- SET / REMOVE multi-item --
+    run("MATCH (p:P {name:'bob'}) SET p.x = 1, p.y = 2 RETURN p.x AS x, p.y AS y", "set-multi", expect=[(1, 2)])
+    run("MATCH (p:P {name:'bob'}) SET p:L1:L2 RETURN labels(p) AS l", "set-multi-label")
+    run("MATCH (p:P {name:'bob'}) REMOVE p:L1, p.x RETURN labels(p) AS l, p.x AS x", "remove-multi")
+    run("MATCH (p:P {name:'bob'}) REMOVE p:L2")
+
+    # -- MERGE both branches --
+    run("MERGE (p:P {name:'zed'}) ON CREATE SET p.c = 1 ON MATCH SET p.m = 1 RETURN p.c AS c, p.m AS m", "merge-both-create", expect=[(1, None)])
+    run("MERGE (p:P {name:'zed'}) ON CREATE SET p.c = 2 ON MATCH SET p.m = 2 RETURN p.c AS c, p.m AS m", "merge-both-match", expect=[(1, 2)])
+
+    # -- var-length with props / type lists --
+    run("MATCH (a:P {name:'ann'})-[:KNOWS*1..2 {since: 2020}]->(b) RETURN b.name AS n", "varlen-props", expect=[("bob",)])
+    run("MATCH ()-[r]->() WHERE type(r) IN ['KNOWS'] RETURN count(*) AS c", "type-in-list", expect=[(2,)])
+
+    # -- standalone RETURN UNION; LIMIT expr --
+    run("RETURN 1 AS x UNION RETURN 2 AS x", "return-union", expect=[(1,), (2,)])
+    run("MATCH (p:P) RETURN p.name AS n ORDER BY n LIMIT 1 + 1", "limit-expr")
+    run("MATCH (p:P) RETURN p.name AS n ORDER BY n SKIP 1 * 1 LIMIT 2", "skip-expr")
+
+    # -- exists() function form over patterns (classic docs) --
+    run("MATCH (p:P) WHERE exists((p)-[:KNOWS]->()) RETURN count(*) AS c", "exists-pattern-fn", expect=[(2,)])
+    run("MATCH (p:P) RETURN p.name AS n, exists((p)-[:KNOWS]->()) AS k ORDER BY n", "exists-pattern-return")
+
+    # -- map projection .* --
+    run("MATCH (p:P {name:'ann'}) RETURN p {.*} AS m", "map-proj-star")
+    run("MATCH (p:P {name:'ann'}) RETURN p {.*, extra: 1} AS m", "map-proj-star-extra")
+
+    # -- CALL IN TRANSACTIONS --
+    run("UNWIND range(1, 4) AS i CALL { WITH i CREATE (:Tx {i: i}) } IN TRANSACTIONS OF 2 ROWS", "call-in-tx")
+    run("MATCH (t:Tx) RETURN count(*) AS c", "call-in-tx-count", expect=[(4,)])
+
+    # -- CALL (n) scope syntax (Neo4j 5.23) --
+    run("MATCH (p:P) CALL (p) { RETURN p.age * 2 AS a2 } RETURN sum(a2) AS s", "call-scope-clause", expect=[(240,)])
+
+    # -- db schema procedures --
+    run("CALL db.schema.nodeTypeProperties() YIELD nodeType RETURN count(*) > 0 AS has", "schema-node-props")
+    run("CALL db.schema.visualization()", "schema-visualization")
+
+    # -- fulltext / text index DDL --
+    run("CREATE TEXT INDEX p_name_text IF NOT EXISTS FOR (p:P) ON (p.name)", "text-index")
+    run("CREATE RANGE INDEX p_age_range IF NOT EXISTS FOR (p:P) ON (p.age)", "range-index")
+    run("CREATE POINT INDEX p_pt IF NOT EXISTS FOR (p:P) ON (p.pt)", "point-index")
+    run("CREATE FULLTEXT INDEX names_ft IF NOT EXISTS FOR (n:P) ON EACH [n.name]", "fulltext-index")
+    run("CALL db.index.fulltext.queryNodes('names_ft', 'ann') YIELD node, score RETURN node.name AS n", "fulltext-query")
+
+    # -- apoc breadth --
+    run("RETURN apoc.date.format(0, 'ms', 'yyyy-MM-dd') AS d", "apoc-date-format", expect=[("1970-01-01",)])
+    run("RETURN apoc.date.parse('1970-01-02', 'ms', 'yyyy-MM-dd') AS p", "apoc-date-parse", expect=[(86400000,)])
+    run("RETURN apoc.number.format(1234.567) AS f", "apoc-number-format")
+    run("RETURN apoc.create.uuid() IS NOT NULL AS u", "apoc-uuid")
+    run("RETURN apoc.coll.flatten([[1,2],[3]]) AS f, apoc.coll.toSet([1,1,2]) AS s", "apoc-coll-2")
+    run("RETURN apoc.map.merge({a:1}, {b:2}) AS m", "apoc-map-merge")
+    run("RETURN apoc.text.format('%s-%d', ['x', 4]) AS f", "apoc-text-format")
+    run("CALL apoc.meta.stats() YIELD nodeCount RETURN nodeCount > 0 AS has", "apoc-meta-stats")
+
+    # -- GDS surface breadth: more algorithms through CALL --
+    run("MATCH (s)-[r]->(t) RETURN count(*) AS c", "pre-gds-count")
+    run("CALL gds.graph.project('pg', '*', '*')", "gds-project-star")
+    run("CALL gds.betweenness.stream('pg') YIELD nodeId, score RETURN count(*) AS c", "gds-betweenness-stream")
+    run("CALL gds.triangleCount.stream('pg') YIELD nodeId, triangleCount RETURN count(*) AS c", "gds-triangle-stream")
+    run("CALL gds.scc.stream('pg') YIELD nodeId, componentId RETURN count(DISTINCT componentId) AS c", "gds-scc-stream")
+    run("CALL gds.eigenvector.stream('pg') YIELD nodeId, score RETURN count(*) AS c", "gds-eigenvector-stream")
+    run("CALL gds.articleRank.stream('pg') YIELD nodeId, score RETURN count(*) AS c", "gds-articlerank-stream")
+    run("CALL gds.closeness.stream('pg') YIELD nodeId, score RETURN count(*) AS c", "gds-closeness-stream")
+    run("CALL gds.kcore.stream('pg') YIELD nodeId, coreValue RETURN count(*) AS c", "gds-kcore-stream")
+    run("CALL gds.wcc.stats('pg') YIELD componentCount RETURN componentCount > 0 AS ok", "gds-wcc-stats")
+    run("CALL gds.pageRank.stats('pg') YIELD ranIterations RETURN ranIterations > 0 AS ok", "gds-pagerank-stats")
+    run("CALL gds.wcc.mutate('pg', {mutateProperty: 'cc'}) YIELD componentCount RETURN componentCount > 0 AS ok", "gds-wcc-mutate")
+    run("CALL gds.shortestPath.dijkstra.stream('pg', {sourceNode: 0}) YIELD targetNode, totalCost RETURN count(*) >= 0 AS ok", "gds-sp-dijkstra-config")
+    run("CALL gds.graph.drop('pg')", "gds-graph-drop")
 
     print()
     print("=== FAILURES ===")
