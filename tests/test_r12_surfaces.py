@@ -1,0 +1,186 @@
+"""r12 surface pins: lexer/grammar breadth, label expressions, inline
+pattern WHERE, quantified path patterns, operator semantics, the wider
+GDS CALL surface, fulltext DDL, and CALL IN TRANSACTIONS.
+
+These pin the probe-corpus discoveries as regression tests — every shape
+here is a public-docs form a reference user would paste verbatim.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_neo4j_spark.cypher.session import Session
+
+
+@pytest.fixture()
+def session(spark):
+    return Session(spark)
+
+
+def _vals(session, q):
+    return [tuple(r) for r in session.run(q).collect()]
+
+
+def _movie_graph(s: Session) -> None:
+    s.run("CREATE (:P {name:'ann', age:40})")
+    s.run("CREATE (:P {name:'bob', age:30})")
+    s.run("CREATE (:P:Admin {name:'cat', age:50})")
+    s.run("CREATE (:Q {name:'dot'})")
+    s.run("MATCH (a:P {name:'ann'}), (b:P {name:'bob'}) CREATE (a)-[:KNOWS {since:2020}]->(b)")
+    s.run("MATCH (b:P {name:'bob'}), (c:P {name:'cat'}) CREATE (b)-[:KNOWS {since:2021}]->(c)")
+
+
+def test_operator_semantics(session):
+    assert _vals(session, "RETURN 5 / 2 AS a, -7 / 2 AS b, 5.0 / 2 AS c") == [(2, -3, 2.5)]
+    assert _vals(session, "RETURN 1 < 2 < 3 AS a, 3 < 2 < 5 AS b") == [(True, False)]
+    assert _vals(session, "RETURN 'a' || 'b' AS s, [1] || [2] AS l") == [("ab", [1, 2])]
+    assert _vals(session, "RETURN 0x1F AS h, 1e3 AS e") == [(31, 1000.0)]
+    assert _vals(
+        session, "RETURN 1 IS :: INTEGER AS a, 'x' IS NOT :: INTEGER AS b, null IS :: STRING AS c"
+    ) == [(True, True, True)]
+
+
+def test_comments_escapes_backticks(session):
+    session.run("CREATE (:C {name:'it\\'s'})")
+    assert _vals(session, "MATCH (c:C) // tail comment\nRETURN count(*) AS n") == [(1,)]
+    assert _vals(session, "MATCH (c:C) /* block */ RETURN c.name AS n") == [("it's",)]
+    assert _vals(session, "MATCH (`the var`:C) RETURN `the var`.name AS n") == [("it's",)]
+
+
+def test_multilabel_and_label_expressions(session):
+    _movie_graph(session)
+    assert _vals(session, "MATCH (n:P:Admin) RETURN n.name AS n") == [("cat",)]
+    assert _vals(session, "MATCH (n:P|Q) RETURN count(*) AS c") == [(4,)]
+    assert _vals(session, "MATCH (n:P&!Admin) RETURN count(*) AS c") == [(2,)]
+    assert _vals(session, "MATCH (n) WHERE n:P|Q RETURN count(*) AS c") == [(4,)]
+    # multi-label CREATE round-trips through labels()
+    labs = session.run("MATCH (n:Admin) RETURN labels(n) AS l").collect()[0]["l"]
+    assert sorted(labs) == ["Admin", "P"]
+
+
+def test_inline_pattern_where(session):
+    _movie_graph(session)
+    assert _vals(session, "MATCH (p:P WHERE p.age > 35) RETURN count(*) AS c") == [(2,)]
+    assert _vals(
+        session, "MATCH ()-[r:KNOWS WHERE r.since > 2020]->(b) RETURN b.name AS n"
+    ) == [("cat",)]
+
+
+def test_quantified_path_patterns(session):
+    _movie_graph(session)
+    assert _vals(
+        session,
+        "MATCH (a:P {name:'ann'})-[:KNOWS]->{1,2}(b) RETURN b.name AS n ORDER BY n",
+    ) == [("bob",), ("cat",)]
+    assert _vals(
+        session, "MATCH (a:P {name:'ann'})-[:KNOWS]->+(b) RETURN count(*) AS c"
+    ) == [(2,)]
+    # `*` includes the zero-hop trivial path (start node itself)
+    assert _vals(
+        session, "MATCH (a:P {name:'ann'})-[:KNOWS]->*(b) RETURN count(*) AS c"
+    ) == [(3,)]
+    # parenthesized group form
+    assert _vals(
+        session,
+        "MATCH (a:P {name:'ann'})((x)-[:KNOWS]->(y)){1,2}(b) RETURN b.name AS n ORDER BY n",
+    ) == [("bob",), ("cat",)]
+
+
+def test_varlength_property_filter(session):
+    _movie_graph(session)
+    # only the since-2020 edge may be traversed: cat (via the 2021 edge)
+    # must NOT be reachable
+    assert _vals(
+        session,
+        "MATCH (a:P {name:'ann'})-[:KNOWS*1..2 {since: 2020}]->(b) RETURN b.name AS n",
+    ) == [("bob",)]
+
+
+def test_exists_pattern_function_in_return(session):
+    _movie_graph(session)
+    assert _vals(
+        session,
+        "MATCH (p:P) RETURN p.name AS n, exists((p)-[:KNOWS]->()) AS k ORDER BY n",
+    ) == [("ann", True), ("bob", True), ("cat", False)]
+
+
+def test_call_in_transactions_and_scope_clause(session):
+    session.run(
+        "UNWIND range(1, 4) AS i "
+        "CALL { WITH i CREATE (:Tx {i: i}) } IN TRANSACTIONS OF 2 ROWS"
+    )
+    assert _vals(session, "MATCH (t:Tx) RETURN count(*) AS c") == [(4,)]
+    assert _vals(
+        session, "MATCH (t:Tx) CALL (t) { RETURN t.i * 2 AS d } RETURN sum(d) AS s"
+    ) == [(20,)]
+
+
+def test_unwind_null_and_limit_expressions(session):
+    session.run("CREATE (:L {v: 1})")
+    session.run("CREATE (:L {v: 2})")
+    assert _vals(session, "UNWIND null AS x RETURN x") == []
+    assert _vals(session, "MATCH (l:L) RETURN l.v AS v ORDER BY v LIMIT 1 + 1") == [(1,), (2,)]
+    assert _vals(session, "MATCH (l:L) RETURN l.v AS v ORDER BY v SKIP 2 - 1") == [(2,)]
+
+
+def test_fulltext_index_ddl_and_query(session):
+    session.run("CREATE (:Doc {title:'spark hash vector spark'})")
+    session.run("CREATE (:Doc {title:'nothing relevant'})")
+    session.run(
+        "CREATE FULLTEXT INDEX doc_ft IF NOT EXISTS FOR (d:Doc) ON EACH [d.title]"
+    )
+    rows = session.run(
+        "CALL db.index.fulltext.queryNodes('doc_ft', 'vector spark') "
+        "YIELD node, score RETURN node.title AS t, score > 0 AS ok"
+    ).collect()
+    assert [(r["t"], r["ok"]) for r in rows] == [("spark hash vector spark", True)]
+    # SHOW INDEXES reports the FULLTEXT type
+    idx = [tuple(r) for r in session.run("SHOW INDEXES").collect()]
+    assert any("FULLTEXT" in r for r in idx)
+
+
+def test_gds_stats_mutate_and_readback(session):
+    _movie_graph(session)
+    session.run("CALL gds.graph.project('r12g', '*', '*')")
+    try:
+        stats = session.run(
+            "CALL gds.wcc.stats('r12g') YIELD componentCount, nodeCount "
+            "RETURN componentCount, nodeCount"
+        ).collect()[0]
+        assert stats["nodeCount"] == 4 and stats["componentCount"] == 2
+        session.run("CALL gds.wcc.mutate('r12g', {mutateProperty: 'cc'})")
+        back = session.run(
+            "CALL gds.graph.nodeProperties.stream('r12g', ['cc']) "
+            "YIELD nodeId, propertyValue RETURN count(*) AS c"
+        ).collect()
+        assert back[0]["c"] == 4
+        # duplicate mutate property fails loud
+        with pytest.raises(Exception, match="already exists"):
+            session.run("CALL gds.wcc.mutate('r12g', {mutateProperty: 'cc'})")
+    finally:
+        session.run("CALL gds.graph.drop('r12g')")
+
+
+def test_gds_kcore_and_triangle(session):
+    # a 3-cycle: every node core 2, one triangle
+    session.run("CREATE (:K {k:1})")
+    session.run("CREATE (:K {k:2})")
+    session.run("CREATE (:K {k:3})")
+    session.run("MATCH (a:K {k:1}), (b:K {k:2}) CREATE (a)-[:E]->(b)")
+    session.run("MATCH (b:K {k:2}), (c:K {k:3}) CREATE (b)-[:E]->(c)")
+    session.run("MATCH (c:K {k:3}), (a:K {k:1}) CREATE (c)-[:E]->(a)")
+    session.run("CALL gds.graph.project('kg', 'K', 'E')")
+    try:
+        k = session.run(
+            "CALL gds.kcore.stream('kg') YIELD coreValue RETURN max(coreValue) AS k"
+        ).collect()[0]["k"]
+        assert k == 2
+        t = session.run(
+            "CALL gds.triangleCount.stats('kg') YIELD globalTriangleCount "
+            "RETURN globalTriangleCount AS t"
+        ).collect()[0]["t"]
+        assert t == 1
+    finally:
+        session.run("CALL gds.graph.drop('kg')")
