@@ -626,6 +626,30 @@ class _Parser:
                 return _V(F.unix_timestamp(base.col).cast("long"))
             if prop == "epochMillis":
                 return _V(F.unix_millis(base.col.cast("timestamp")))
+        # entity STRUCT (a collect(n) element, an entity-valued lookup):
+        # dotted access reads the properties map unless the struct carries
+        # the field directly (r12 — collect(p)[0].name)
+        try:
+            frame = getattr(self.resolve, "frame", None)
+            if frame is None:
+                from pyspark.sql import SparkSession as _SS
+
+                sp = _SS.getActiveSession()
+                frame = sp.range(1) if sp else None
+            if frame is not None:
+                dt = frame.select(base.col.alias("_t")).schema[0].dataType
+                if (
+                    dt.typeName() == "struct"
+                    and prop not in dt.fieldNames()
+                    and "properties" in dt.fieldNames()
+                ):
+                    return _V(
+                        F.element_at(
+                            base.col["properties"], F.lit(prop)
+                        ).cast("string")
+                    )
+        except Exception:
+            pass
         return _V(base.col[prop])
 
     def _subscript(self, base: _V) -> _V:

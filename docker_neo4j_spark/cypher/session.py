@@ -908,9 +908,28 @@ class Session:
     # ---- public API ---------------------------------------------------
     def run(self, cypher: str, parameters: dict | None = None) -> DataFrame:
         """Execute a Cypher string. ``parameters`` fills ``$name``
-        placeholders (the Bolt parameter convention — drivers send
-        ``session.run("MATCH (n {id: $id}) …", id=7)``); values render as
-        literals with strings quoted, lists bracketed."""
+        placeholders (the Bolt parameter convention); values render as
+        literals with strings quoted, lists bracketed.
+
+        Compile-time Spark analysis errors over prefixed binding columns
+        re-raise as Cypher-shaped variable errors (r12 — `RETURN m` with
+        no `m` bound must not surface a raw ``UNRESOLVED_COLUMN m_id``)."""
+        try:
+            return self._run_impl(cypher, parameters)
+        except Exception as exc:
+            name = type(exc).__name__
+            if name == "AnalysisException" and "UNRESOLVED_COLUMN" in str(exc):
+                m = re.search(r"name `(\w+)` cannot be resolved", str(exc))
+                if m:
+                    var = m.group(1).split("_", 1)[0]
+                    raise ValueError(
+                        f"Variable `{var}` not defined (unresolved column "
+                        f"`{m.group(1)}`) in: {cypher.strip()[:120]!r}"
+                    ) from exc
+            raise
+
+    def _run_impl(self, cypher: str, parameters: dict | None = None) -> DataFrame:
+        """``run``'s dispatch body (see the public wrapper above)."""
         cypher = strip_comments(cypher)
         cypher = _rewrite_call_shapes(cypher)
         if parameters:
@@ -1241,7 +1260,8 @@ class Session:
         r"CREATE\s+CONSTRAINT"
         r"(?:\s+(?P<name>\w+))?(?P<ine>\s+IF\s+NOT\s+EXISTS)?\s+"
         r"FOR\s*\(\s*(?P<var>\w+)\s*:\s*(?P<label>\w+)\s*\)\s+"
-        r"REQUIRE\s+(?P<prop>[\w.]+)\s+IS\s+UNIQUE\s*$",
+        r"REQUIRE\s+(?P<prop>[\w.]+)\s+IS\s+"
+        r"(?P<kind>UNIQUE|NOT\s+NULL|NODE\s+KEY)\s*$",
         re.IGNORECASE,
     )
 
@@ -1259,8 +1279,32 @@ class Session:
         if not pm:
             raise ValueError(f"constraint property must be {var}.<prop>")
         prop, label = pm.group(1), m.group("label")
+        kind = re.sub(r"\s+", " ", m.group("kind").upper())
         name = m.group("name") or f"constraint_{label}_{prop}"
         existing = self.store.graph.nodes
+        if kind == "NOT NULL":
+            # existence constraint (Neo4j 5 `IS NOT NULL`): refuse when
+            # existing labeled data already violates, register, and the
+            # write path validates incoming batches
+            viol = existing.where(
+                F.array_contains(F.col("labels"), label)
+                & (
+                    F.col(prop).isNull()
+                    if prop in existing.columns
+                    else F.lit(True)
+                )
+            ).take(1)
+            if viol:
+                raise ValueError(
+                    f"Unable to create constraint {name}: existing :{label} "
+                    f"node is missing `{prop}`"
+                )
+            self.store.constraints.create(
+                name, label, [prop],
+                if_not_exists=bool(m.group("ine")),
+                constraint_type="NODE_PROPERTY_EXISTENCE",
+            )
+            return local_df(self.spark, [], "ok string")
         if prop in existing.columns:
             dup = (
                 existing.where(
@@ -1881,6 +1925,33 @@ class Session:
         would individually match). Single-node MERGE degenerates to the
         familiar match-or-create. ``ON CREATE SET`` / ``ON MATCH SET``
         apply their assignments to the branch actually taken."""
+        # standalone MERGE with a WITH continuation (r12):
+        # ``MERGE (z:Z {k:1}) WITH z MATCH … CREATE …`` — execute the
+        # MERGE, then re-anchor the (now guaranteed) pattern as a MATCH
+        # and run the rest of the pipeline over it
+        from .lexer import tokenize as _tokenize
+
+        toks = _tokenize(pattern_src)
+        depth = 0
+        for i, t in enumerate(toks):
+            if t.kind == "punct":
+                depth += t.text in "([{"
+                depth -= t.text in ")]}"
+                continue
+            if depth or t.kind != "ident" or t.text.upper() != "WITH":
+                continue
+            prev = toks[i - 1] if i else None
+            if prev is not None and prev.kind == "ident" and prev.text.upper() in (
+                "STARTS", "ENDS"
+            ):
+                continue
+            head, cont = pattern_src[: t.pos].strip(), pattern_src[t.pos:].strip()
+            self._merge(head).collect()
+            pat = head
+            h_on = _find_kw(pat, "ON")
+            if h_on:
+                pat = pat[: h_on[0]].strip()
+            return self.run("MATCH " + pat + " " + cont)
         ret = None
         h_ret = _find_kw(pattern_src, "RETURN")
         if h_ret:
@@ -2253,6 +2324,23 @@ class Session:
         if h_ret:
             ret = pattern_src[h_ret[1]:].strip()
             pattern_src = pattern_src[: h_ret[0]].strip()
+        # `CREATE p = (a)-[:R]->(b)` (r12): a created pattern has a
+        # statically-known shape, so the path accessors fold to literals
+        m_pv = re.match(r"(\w+)\s*=\s*(?=\()", pattern_src)
+        if m_pv:
+            pvar = m_pv.group(1)
+            pattern_src = pattern_src[m_pv.end():]
+            if ret is not None:
+                n_rels_txt = str(pattern_src.count("]-"))
+                ret = re.sub(
+                    rf"length\(\s*{re.escape(pvar)}\s*\)", n_rels_txt, ret
+                )
+                if re.search(rf"(?<![\w.]){re.escape(pvar)}(?![\w])", ret):
+                    raise ValueError(
+                        f"CREATE path variable {pvar!r} supports length() "
+                        "only (a just-created fixed pattern has no other "
+                        "path accessors)"
+                    )
         elems, rest = _parse_pattern(pattern_src)
         if rest:
             raise ValueError(f"trailing content after CREATE pattern: {rest!r}")
@@ -2264,6 +2352,7 @@ class Session:
         for el in elems:
             if isinstance(el, _Node):
                 var = el.var or f"_anon{self._anon}"
+                el.var = var  # anonymous nodes stay addressable for rel wiring
                 self._anon += 1
                 if var in ids:
                     continue
@@ -4760,12 +4849,79 @@ class Session:
                     break
         return src
 
+    _NODE_LOOKUP_RE = re.compile(
+        r"(?:gds\.util\.asNode\(\s*(?P<idexpr>[^()]+?)\s*\)"
+        r"|(?P<se>startNode|endNode)\(\s*(?P<relvar>\w+)\s*\))"
+        r"(?:\.(?P<prop>\w+))?"
+    )
+
+    def _apply_node_lookups(self, bound: DataFrame, ret: str):
+        """``gds.util.asNode(nodeId)[.prop]`` (THE GDS-docs result idiom)
+        and ``startNode(r)/endNode(r)[.prop]`` (r12) — each occurrence
+        becomes one broadcast-joined lookup against the store's node
+        frame: ``.prop`` forms join (id, prop) only; bare forms bind a
+        fresh entity variable the struct serializer picks up."""
+        from ..graph import prefix_columns
+
+        while True:
+            m = self._NODE_LOOKUP_RE.search(ret)
+            if m is None:
+                return bound, ret
+            if m.group("idexpr") is not None:
+                id_col = _compile_expr(
+                    m.group("idexpr"), _frame_resolver(bound)
+                ).cast("long")
+            else:
+                side_col = "src" if m.group("se") == "startNode" else "dst"
+                rv = m.group("relvar")
+                cand = f"{rv}_{side_col}"
+                if cand not in bound.columns:
+                    raise ValueError(
+                        f"{m.group('se')}({rv}): {rv!r} is not a bound "
+                        "relationship variable (endpoint ids unavailable)"
+                    )
+                id_col = F.col(cand)
+            nodes = self.store.graph.nodes
+            prop = m.group("prop")
+            var = f"_lk{self._anon}"
+            self._anon += 1
+            if prop:
+                val = (
+                    F.col(prop) if prop in nodes.columns else F.lit(None)
+                )
+                side = nodes.select(
+                    F.col("id").alias(f"{var}_nid"), val.alias(f"{var}_val")
+                )
+                # plain equi-join on node id — AQE picks broadcast vs
+                # shuffle by the actual node-frame size
+                bound = (
+                    bound.withColumn(f"{var}_key", id_col)
+                    .join(
+                        side,
+                        F.col(f"{var}_key") == F.col(f"{var}_nid"),
+                        "left",
+                    )
+                    .drop(f"{var}_key", f"{var}_nid")
+                )
+                ret = ret[: m.start()] + f"{var}_val" + ret[m.end() :]
+            else:
+                side = prefix_columns(nodes, var)
+                bound = bound.withColumn(f"{var}_key", id_col).join(
+                    side, F.col(f"{var}_key") == F.col(f"{var}_id"), "left"
+                ).drop(f"{var}_key")
+                ret = ret[: m.start()] + var + ret[m.end() :]
+
     def _project_match(
         self, bound: DataFrame, ret: str, elems: list, resolve=None
     ) -> DataFrame:
         # Pattern comprehensions rewrite BOTH the frame and the RETURN
         # text, so they hook here — the single funnel every RETURN
         # projection flows through — and refresh the resolver.
+        if re.search(
+            r"gds\.util\.asNode\s*\(|\b(?:startNode|endNode)\s*\(", ret
+        ):
+            bound, ret = self._apply_node_lookups(bound, ret)
+            resolve = _frame_resolver(bound)
         if re.search(r"\bexists\s*\(\s*\(", ret, re.IGNORECASE):
             ret = self._rewrite_exists_patterns(ret)
         if re.search(r"\[\s*\(", ret):

@@ -362,11 +362,38 @@ def _periodic_iterate(
     failedBatches).
     """
     import itertools
+    import re as _re
 
     if session is None:
         raise ValueError("apoc.periodic.iterate requires a session context")
     batch_size = int((config or {}).get("batchSize", 1000))
     outer = session.run(cypherIterate)
+    # Canonical APOC dialect support (r12): the action references the
+    # outer row's ENTITY variable directly (`SET p.seen = true`). The
+    # batch re-anchors it with one id-IN MATCH per slice — still one
+    # set-based write per batch. The `UNWIND $rows` dialect stays the
+    # documented general form (scalar columns, multi-variable actions).
+    entity_var = None
+    if not cypherAction.upper().lstrip().startswith("UNWIND"):
+        ent_cols = [
+            f.name
+            for f in outer.schema.fields
+            if f.dataType.typeName() == "struct"
+            and "id" in getattr(f.dataType, "fieldNames", lambda: [])()
+        ]
+        referenced = [
+            c
+            for c in ent_cols
+            if _re.search(rf"(?<![\w.]){_re.escape(c)}(?![\w])", cypherAction)
+        ]
+        if len(referenced) > 1:
+            raise ValueError(
+                "apoc.periodic.iterate: the direct-variable action dialect "
+                f"supports one outer entity variable, got {referenced}; use "
+                "the `UNWIND $rows AS r` form for multi-variable actions"
+            )
+        if referenced:
+            entity_var = referenced[0]
     # Lazy slicing over toLocalIterator: only ONE batch of outer rows is
     # resident on the driver at a time (plus one in-flight Arrow partition
     # buffer), so a 10^8-row outer query costs O(batchSize) driver memory,
@@ -381,7 +408,15 @@ def _periodic_iterate(
         batches += 1
         total += len(chunk)
         try:
-            session.run(cypherAction, {"rows": chunk})
+            if entity_var is not None:
+                ids = [r[entity_var]["id"] for r in chunk if r.get(entity_var)]
+                session.run(
+                    f"MATCH ({entity_var}) WHERE id({entity_var}) IN $__batch_ids "
+                    + cypherAction,
+                    {"__batch_ids": ids},
+                )
+            else:
+                session.run(cypherAction, {"rows": chunk})
             committed += len(chunk)
         except Exception:
             failed += 1
@@ -2384,4 +2419,31 @@ def _db_schema_node_type_properties(
             "propertyTypes"
         ),
         F.lit(False).alias("mandatory"),
+    )
+
+
+@procedure(
+    "db.info",
+    signature="db.info() :: (id :: STRING, name :: STRING, creationDate :: STRING)",
+    description="Information about the current database",
+)
+def _db_info(spark: SparkSession, session=None) -> DataFrame:
+    name = getattr(session, "database", None) or "neo4j"
+    return local_df(
+        spark, [(name, name, "1970-01-01T00:00:00Z")],
+        "id string, name string, creationDate string",
+    )
+
+
+@procedure(
+    "dbms.info",
+    signature="dbms.info() :: (id :: STRING, name :: STRING, creationDate :: STRING)",
+    description="Information about the DBMS",
+)
+def _dbms_info(spark: SparkSession) -> DataFrame:
+    from .. import __version__
+
+    return local_df(
+        spark, [("DBMS", f"docker-neo4j-spark/{__version__}", "1970-01-01T00:00:00Z")],
+        "id string, name string, creationDate string",
     )

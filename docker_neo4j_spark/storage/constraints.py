@@ -41,12 +41,13 @@ class ConstraintCatalog:
         label: str,
         properties: list[str],
         if_not_exists: bool = False,
+        constraint_type: str = "UNIQUENESS",
     ) -> Constraint:
         if name in self.constraints:
             if if_not_exists:
                 return self.constraints[name]
             raise ValueError(f"An equivalent constraint already exists: {name}")
-        c = Constraint(name, label, list(properties))
+        c = Constraint(name, label, list(properties), constraint_type)
         self.constraints[name] = c
         return c
 

@@ -92,6 +92,23 @@ class GraphStore:
         (Cypher semantics). No constraints → zero extra jobs."""
         for c in self.constraints.constraints.values():
             prop = c.properties[0]
+            if getattr(c, "constraint_type", "UNIQUENESS") == "NODE_PROPERTY_EXISTENCE":
+                # `IS NOT NULL` existence constraint (r12): every incoming
+                # node with the label must carry the property
+                bad = new_nodes.where(
+                    F.array_contains(F.col("labels"), c.label)
+                    & (
+                        F.col(prop).isNull()
+                        if prop in new_nodes.columns
+                        else F.lit(True)
+                    )
+                ).take(1)
+                if bad:
+                    raise ValueError(
+                        f"Node(:{c.label}) violates existence constraint "
+                        f"{c.name}: `{prop}` must not be null"
+                    )
+                continue
             if prop not in new_nodes.columns:
                 continue
             incoming = new_nodes.where(

@@ -396,6 +396,100 @@ def main() -> int:
     run("CALL gds.shortestPath.dijkstra.stream('pg', {sourceNode: 0}) YIELD targetNode, totalCost RETURN count(*) >= 0 AS ok", "gds-sp-dijkstra-config")
     run("CALL gds.graph.drop('pg')", "gds-graph-drop")
 
+    # ---------- corpus E: r12 deep sweep (asNode idiom, canonical
+    # periodic.iterate, constraints REQUIRE, params, write pipelines) ----------
+    _S = Session(spark)
+    run("CREATE (:P {name:'ann', age:40})")
+    run("CREATE (:P {name:'bob', age:30})")
+    run("CREATE (:P {name:'cat', age:50})")
+    run("MATCH (a:P {name:'ann'}), (b:P {name:'bob'}) CREATE (a)-[:KNOWS {since:2020}]->(b)")
+    run("MATCH (b:P {name:'bob'}), (c:P {name:'cat'}) CREATE (b)-[:KNOWS {since:2021}]->(c)")
+
+    # -- gds.util.asNode: THE canonical GDS result idiom --
+    run("CALL gds.graph.project('eg', 'P', 'KNOWS')", "gds-project")
+    run("CALL gds.pageRank.stream('eg') YIELD nodeId, score RETURN gds.util.asNode(nodeId).name AS name, score > 0 AS ok ORDER BY name", "gds-asnode-prop")
+    run("CALL gds.degree.stream('eg', {orientation: 'UNDIRECTED'}) YIELD nodeId, score RETURN count(*) AS c", "gds-degree-configmap", expect=[(3,)])
+    run("CALL gds.wcc.stream('eg') YIELD nodeId RETURN gds.util.asNode(nodeId) AS n ORDER BY nodeId LIMIT 1", "gds-asnode-entity")
+    run("CALL gds.graph.drop('eg')", "gds-drop")
+
+    # -- params: map and list forms --
+    run("CREATE (n:X $props)", "param-map-create", params={"props": {"k": 1, "s": "v"}})
+    run("MATCH (n:X) RETURN n.k AS k, n.s AS s", "param-map-readback", expect=[(1, "v")])
+    run("MATCH (n:X) SET n += $more RETURN n.extra AS e", "param-map-set", params={"more": {"extra": 7}}, expect=[(7,)])
+    run("MATCH (p:P) WHERE p.name IN $names RETURN count(*) AS c", "param-in-list", params={"names": ["ann", "bob"]}, expect=[(2,)])
+
+    # -- constraints: Neo4j 5 REQUIRE --
+    run("CREATE CONSTRAINT uniq_name IF NOT EXISTS FOR (p:P) REQUIRE p.name IS UNIQUE", "constraint-require")
+    run("SHOW CONSTRAINTS", "show-constraints")
+    run("CREATE CONSTRAINT nn_age IF NOT EXISTS FOR (p:P) REQUIRE p.age IS NOT NULL", "constraint-not-null")
+    run("DROP CONSTRAINT uniq_name IF EXISTS", "drop-constraint")
+
+    # -- regex flags, string null predicates --
+    run("MATCH (p:P) WHERE p.name =~ '(?i)ANN' RETURN p.name AS n", "regex-flags", expect=[("ann",)])
+    run("RETURN 'x' STARTS WITH null AS a, null CONTAINS 'x' AS b", "string-pred-null", expect=[(None, None)])
+
+    # -- write-after-WITH / MERGE-continue --
+    run("MATCH (p:P) WITH p ORDER BY p.age LIMIT 1 SET p.youngest = true RETURN p.name AS n", "with-limit-set", expect=[("bob",)])
+    run("MERGE (z:Z {k: 1}) WITH z MATCH (p:P {name:'ann'}) CREATE (z)-[:OWNS]->(p)", "merge-with-match-create")
+    run("MATCH (:Z)-[:OWNS]->(p) RETURN p.name AS n", "merge-continue-readback", expect=[("ann",)])
+
+    # -- collected entity postfix access --
+    run("MATCH (p:P) WITH collect(p) AS ps RETURN ps[0].name AS n, size(ps) AS s", "collect-subscript-prop")
+    run("MATCH (p:P) WITH collect(p.name) AS names RETURN names[0] AS f, names[-1] AS l", "collect-names-index")
+
+    # -- rel properties / entity fns on rels --
+    run("MATCH ()-[r:KNOWS]->() RETURN properties(r) AS p ORDER BY r.since LIMIT 1", "rel-properties")
+    run("MATCH ()-[r:KNOWS]->() RETURN startNode(r).name AS s, endNode(r).name AS e ORDER BY s", "start-end-node")
+
+    # -- delete rel only --
+    run("MATCH (:P {name:'bob'})-[r:KNOWS]->(:P {name:'cat'}) DELETE r", "delete-rel")
+    run("MATCH ()-[r:KNOWS]->() RETURN count(*) AS c", "post-rel-delete", expect=[(1,)])
+
+    # -- create full path pattern with fresh nodes + path var --
+    run("CREATE p = (:W {k:1})-[:L]->(:W {k:2}) RETURN length(p) AS l", "create-path-return")
+    run("MATCH (w:W) RETURN count(*) AS c", "create-path-count", expect=[(2,)])
+
+    # -- shortestPath unbounded * --
+    run("MATCH (a:P {name:'ann'}), (b:P {name:'bob'}) MATCH sp = shortestPath((a)-[:KNOWS*]-(b)) RETURN length(sp) AS l", "sp-unbounded", expect=[(1,)])
+
+    # -- WITH agg then MATCH --
+    run("MATCH (p:P) WITH count(p) AS n MATCH (q:Q) RETURN n, count(q) AS m", "with-agg-then-match")
+
+    # -- ORDER BY mixed directions --
+    run("MATCH (p:P) RETURN p.name AS n ORDER BY p.youngest DESC, p.age ASC LIMIT 2", "order-mixed")
+
+    # -- error shapes: loud, no raw python --
+    run("MATCH (n:P) RETURN m", "undefined-var", expect_err="not defined")
+    run("RETURN nosuchfn(1)", "unknown-fn", expect_err="unknown function")
+
+    # -- SHOW FUNCTIONS / PROCEDURES filtering --
+    run("SHOW FUNCTIONS YIELD name WHERE name STARTS WITH 'apoc.text' RETURN count(*) > 3 AS ok", "show-functions-where")
+    run("SHOW PROCEDURES YIELD name WHERE name STARTS WITH 'gds.' RETURN count(*) > 10 AS ok", "show-procedures-where")
+
+    # -- apoc.periodic.iterate through CALL --
+    run("CALL apoc.periodic.iterate('MATCH (p:P) RETURN p', 'SET p.seen = true', {batchSize: 2}) YIELD batches, total RETURN total", "apoc-periodic")
+    run("MATCH (p:P {seen: true}) RETURN count(*) AS c", "apoc-periodic-readback", expect=[(3,)])
+
+    # -- db info procs --
+    run("CALL db.info() YIELD name RETURN count(*) >= 1 AS ok", "db-info")
+    run("CALL dbms.info() YIELD name RETURN count(*) >= 1 AS ok", "dbms-info")
+
+    # -- COUNT with inner MATCH keyword --
+    run("MATCH (p:P) WHERE COUNT { MATCH (p)-[:KNOWS]->() } >= 1 RETURN count(*) AS c", "count-inner-match", expect=[(1,)])
+
+    # -- CALL with UNION ALL inside --
+    run("CALL { MATCH (p:P) RETURN p.name AS n UNION ALL MATCH (q:Q) RETURN q.name AS n } RETURN count(*) AS c", "call-union-all", expect=[(3,)])
+
+    # -- temporal arithmetic both directions --
+    run("RETURN date('2024-01-31') + duration('P1D') AS d", "date-plus-iso-duration")
+    run("RETURN datetime('2024-01-01T10:00:00') - duration({hours: 2}) AS d", "datetime-minus-duration")
+
+    # -- elementId round trip --
+    rows = run("MATCH (p:P {name:'ann'}) RETURN elementId(p) AS eid", "element-id")
+    if rows:
+        eid = rows[0]["eid"]
+        run(f"MATCH (p:P) WHERE elementId(p) = '{eid}' RETURN p.name AS n", "element-id-where", expect=[("ann",)])
+
     print()
     print("=== FAILURES ===")
     for f, m in FAILS:
