@@ -41,6 +41,24 @@ class PlanFacts:
     has_codegen: bool
 
 
+def python_rdd_scans(text: str) -> list[str]:
+    """The ``Scan ExistingRDD`` detail blocks that are NOT JVM-side
+    ``localCheckpoint`` pins. A checkpoint scan is memory-resident JVM
+    data (the stable-id machinery pins partitioning with it); a scan
+    whose RDD lineage mentions neither checkpoint form is the Python-RDD
+    fallback the audits exist to catch — it forks a Python worker per
+    evaluation (the r10 write-path defect class)."""
+    import re as _re
+
+    out = []
+    blocks = _re.split(r"\n(?=\(\d+\) )", text)
+    for b in blocks:
+        first = b.splitlines()[0] if b else ""
+        if "Scan ExistingRDD" in first and "localCheckpoint" not in b:
+            out.append(b)
+    return out
+
+
 def audit(df: DataFrame) -> PlanFacts:
     text = formatted_plan(df)
     reads, pushed = [], []

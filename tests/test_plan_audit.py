@@ -599,4 +599,8 @@ def test_r12_rows_stay_distributed(spark, sf_dir, queries):
         facts = audit(queries[name](spark, sf_dir))
         assert "CartesianProduct" not in facts.text, name
         assert "Exchange SinglePartition" not in facts.text, name
-        assert "Scan ExistingRDD" not in facts.text, name
+        # localCheckpoint pins (stable-id machinery) are JVM-resident and
+        # allowed; only Python-RDD fallback scans fail the audit (r12)
+        from docker_neo4j_spark.plans.audit import python_rdd_scans
+
+        assert not python_rdd_scans(facts.text), name
