@@ -3558,3 +3558,77 @@ def cypher_call_in_transactions(spark, sf_dir):
         "CALL { WITH i CREATE (:TxRow {i: i}) } IN TRANSACTIONS OF 2 ROWS"
     )
     return s.run("MATCH (t:TxRow) RETURN t.i AS i ORDER BY i")
+
+
+@register(
+    "proc_gds_asnode",
+    """
+    SELECT n_name AS name,
+           CAST(1000000000000 + n_regionkey AS BIGINT) AS comp
+    FROM nation ORDER BY name
+    """,
+)
+def proc_gds_asnode(spark, sf_dir):
+    """``gds.util.asNode(nodeId).prop`` (r12) — THE GDS-docs result
+    idiom: stream nodeIds, join the property back through one node-id
+    equi-join (never a collect)."""
+    from ..cypher.session import Session
+    from ..procedures.registry import _graphs_for
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    _graphs_for(spark).pop("ang", None)  # idempotent under re-runs
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run("CALL gds.graph.project('ang', ['Nation', 'Region'], ['IN_REGION'])")
+    return s.run(
+        "CALL gds.wcc.stream('ang') YIELD nodeId, componentId "
+        "WHERE nodeId >= 2000000000000 "
+        "RETURN gds.util.asNode(nodeId).n_name AS name, componentId AS comp "
+        "ORDER BY name"
+    )
+
+
+@register(
+    "cypher_start_end_node",
+    """
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS c
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+)
+def cypher_start_end_node(spark, sf_dir):
+    """``startNode(r)/endNode(r)`` (r12): endpoint entity lookups over a
+    bound relationship variable — property access joins the node frame
+    on the rel's endpoint id columns."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (:Customer)-[r:IN_NATION]->(:Nation) "
+        "RETURN endNode(r).n_name AS nation, count(*) AS c ORDER BY nation"
+    )
+
+
+@register(
+    "proc_periodic_iterate_canonical",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS marked FROM nation
+    """,
+)
+def proc_periodic_iterate_canonical(spark, sf_dir):
+    """The canonical APOC ``apoc.periodic.iterate`` dialect (r12): the
+    action references the outer entity variable directly
+    (``SET n.flag = true``); each batch re-anchors with one id-IN MATCH
+    — still one set-based write per batch."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    s.run(
+        "CALL apoc.periodic.iterate('MATCH (n:Nation) RETURN n', "
+        "'SET n.flagged = true', {batchSize: 10})"
+    ).collect()
+    return s.run("MATCH (n:Nation {flagged: true}) RETURN count(*) AS marked")

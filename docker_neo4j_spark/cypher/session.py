@@ -2061,11 +2061,40 @@ class Session:
         # keyword-split the tail (r11 — replacing the key=value-only WHERE
         # regex): YIELD cols [WHERE <any expression>] [RETURN items]
         rest = rest.strip()
+        # `CALL … YIELD cols [WHERE p] WITH … [UNWIND …] RETURN …` (r12):
+        # pipeline stages after the YIELD run through the shared WITH
+        # machinery over the yielded frame
+        pipeline = []
+        h_p = _find_kw(rest, "WITH")
+        h_pu = _find_kw(rest, "UNWIND")
+        if h_pu and (not h_p or h_pu[0] < h_p[0]):
+            h_p = h_pu
+        if h_p:
+            stage_src = rest[h_p[0]:].strip()
+            rest = rest[: h_p[0]].strip()
+            parts, stage_kws = _split_pipeline(" " + stage_src)
+            if parts[0].strip():
+                raise ValueError(
+                    f"unexpected text before CALL pipeline stage: {parts[0]!r}"
+                )
+            pipeline = [
+                (stage_kws[i], parts[i + 1].strip())
+                for i in range(len(stage_kws))
+            ]
         ret_src = where_src = None
-        h_r = _find_kw(rest, "RETURN")
-        if h_r:
-            ret_src = rest[h_r[1]:].strip()
-            rest = rest[: h_r[0]].strip()
+        if pipeline:
+            # a RETURN after pipeline stages belongs to the LAST stage's
+            # text — split it off there
+            last_kw, last_src = pipeline[-1]
+            h_lr = _find_kw(last_src, "RETURN")
+            if h_lr:
+                ret_src = last_src[h_lr[1]:].strip()
+                pipeline[-1] = (last_kw, last_src[: h_lr[0]].strip())
+        else:
+            h_r = _find_kw(rest, "RETURN")
+            if h_r:
+                ret_src = rest[h_r[1]:].strip()
+                rest = rest[: h_r[0]].strip()
         h_w = _find_kw(rest, "WHERE")
         if h_w:
             where_src = rest[h_w[1]:].strip()
@@ -2111,6 +2140,8 @@ class Session:
             # was restricted to one key = value equality), resolved
             # against the procedure's actual output frame
             out = out.where(_compile_where(where_src, _frame_resolver(out)))
+        if pipeline:
+            out = self._run_with_stages(out, pipeline)
         if ret_src:
             # full projection surface over the procedure's columns —
             # expressions, aggregates, ORDER BY/SKIP/LIMIT (r10; was a
