@@ -330,7 +330,22 @@ class _Parser:
             else:
                 break
             right = self.additive()
-            term = self._CMP_BUILDERS[op](left.col, right.col)
+            if op in ("=", "<>") and (
+                self._static_typename(left) == "map"
+                or self._static_typename(right) == "map"
+            ):
+                # Spark defines no equality on MapType; Cypher map equality
+                # is key-set + values — compare key-sorted JSON (r12)
+                def _mj(v: _V) -> Column:
+                    return F.to_json(
+                        F.map_from_entries(F.array_sort(F.map_entries(v.col)))
+                    )
+
+                term = _mj(left) == _mj(right)
+                if op == "<>":
+                    term = ~term
+            else:
+                term = self._CMP_BUILDERS[op](left.col, right.col)
             conj = term if conj is None else conj & term
             left = right
         if conj is not None:
@@ -678,13 +693,15 @@ class _Parser:
             self._expect_punct("]")
             return _V(self._slice(col, e1, b))
         self._expect_punct("]")
+        # out-of-bounds subscripts are NULL in Cypher, never an error —
+        # try_element_at throughout (r12)
         if e1.has_lit and isinstance(e1.lit, int):
             i = e1.lit
-            return _V(F.element_at(col, i + 1 if i >= 0 else i))
+            return _V(F.try_element_at(col, F.lit(i + 1 if i >= 0 else i)))
         if e1.has_lit and isinstance(e1.lit, str):
-            return _V(F.element_at(col, F.lit(e1.lit)))
+            return _V(F.try_element_at(col, F.lit(e1.lit)))
         # dynamic numeric index: 0-based non-negative expressions
-        return _V(F.element_at(col, e1.col.cast("int") + 1))
+        return _V(F.try_element_at(col, e1.col.cast("int") + 1))
 
     @staticmethod
     def _slice(col: Column, a: _V, b: _V | None) -> Column:

@@ -645,6 +645,12 @@ def _compile_extended_agg(fn: str, arg: str, resolve) -> F.Column:
     if spec is None:
         raise ValueError(f"unknown aggregate function apoc.agg.{short}")
     impl_name, argc, lit_pos = spec
+    if short in ("first", "last") and len(parts) == 1:
+        # APOC's one-argument first/last follow stream order; a
+        # distributed engine pins a deterministic total order instead —
+        # the value itself (documented divergence; pass an explicit
+        # order key for other orders)
+        parts = [parts[0], parts[0]]
     if len(parts) != argc:
         raise ValueError(f"apoc.agg.{short}() takes {argc} arguments")
     args = [
@@ -1101,7 +1107,125 @@ class Session:
                     [tuple(None for _ in schema.fields)], schema
                 )
             return out
+        if head == "LOAD":
+            return self._load_csv(q)
         raise ValueError(f"Unsupported Cypher statement: {cypher!r}")
+
+    _LOAD_CSV_RE = re.compile(
+        r"LOAD\s+CSV\s+(?P<hdr>WITH\s+HEADERS\s+)?FROM\s+"
+        r"(?P<url>'[^']+'|\"[^\"]+\")\s+AS\s+(?P<var>\w+)\s*"
+        r"(?:FIELDTERMINATOR\s+(?P<sep>'[^']*'|\"[^\"]*\"))?\s*"
+        r"(?P<tail>.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _load_csv(self, q: str) -> DataFrame:
+        """``LOAD CSV [WITH HEADERS] FROM '<url>' AS row [FIELDTERMINATOR
+        '<c>'] <tail>`` (r12) — THE Cypher import idiom, Spark-first: the
+        file reads through ``spark.read.csv`` (distributed, splittable —
+        never a driver parse), ``row`` binds as a struct (headers) or
+        string array (positional), and the tail is either a read pipeline
+        (RETURN/WITH) or a SET-BASED node write (one merge/append per
+        statement, the same one-join batch shape UNWIND $rows uses —
+        Neo4j itself needs PERIODIC COMMIT for what one Spark job does
+        here). All fields are strings (the openCypher LOAD CSV
+        contract); cast with toInteger()/toFloat()."""
+        m = self._LOAD_CSV_RE.match(q)
+        if not m:
+            raise ValueError(f"Unsupported LOAD CSV syntax: {q!r}")
+        url = m.group("url")[1:-1]
+        path = re.sub(r"^file://", "", url)
+        sep = m.group("sep")[1:-1] if m.group("sep") else ","
+        var = m.group("var")
+        tail = m.group("tail").strip()
+        headers = bool(m.group("hdr"))
+        raw = self.spark.read.csv(
+            path, header=headers, sep=sep, inferSchema=False
+        )
+        if headers:
+            frame = raw.select(F.struct(*raw.columns).alias(var))
+        else:
+            frame = raw.select(
+                F.array(*[F.col(c).cast("string") for c in raw.columns]).alias(var)
+            )
+        if not tail:
+            raise ValueError("LOAD CSV requires a RETURN or a write clause")
+        # read pipeline: [WITH …]* RETURN …
+        up = tail.upper()
+        if up.startswith("RETURN") or up.startswith("WITH") or up.startswith("UNWIND"):
+            parts, stage_kws = _split_pipeline(" " + tail)
+            pipeline = [
+                (stage_kws[i], parts[i + 1].strip())
+                for i in range(len(stage_kws))
+            ]
+            ret_src = None
+            if pipeline:
+                last_kw, last_src = pipeline[-1]
+                h_lr = _find_kw(last_src, "RETURN")
+                if h_lr:
+                    ret_src = last_src[h_lr[1]:].strip()
+                    pipeline[-1] = (last_kw, last_src[: h_lr[0]].strip())
+                frame = self._run_with_stages(frame, pipeline)
+            if ret_src is None:
+                h_r = _find_kw(tail, "RETURN")
+                if h_r is None:
+                    raise ValueError("LOAD CSV pipeline requires RETURN")
+                if not pipeline:
+                    ret_src = tail[h_r[1]:].strip()
+            return self._project_match(frame, ret_src, [], _frame_resolver(frame))
+        # write tail: MERGE/CREATE of one node pattern, props from row
+        mw = re.match(r"(MERGE|CREATE)\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
+        if not mw:
+            raise ValueError(
+                f"unsupported LOAD CSV tail (RETURN/WITH/MERGE/CREATE): {tail!r}"
+            )
+        verb = mw.group(1).upper()
+        body = mw.group(2).strip()
+        ret_src = None
+        h_r = _find_kw(body, "RETURN")
+        if h_r:
+            ret_src = body[h_r[1]:].strip()
+            body = body[: h_r[0]].strip()
+        elems, rest = _parse_pattern(body)
+        if rest:
+            raise ValueError(f"trailing content after LOAD CSV pattern: {rest!r}")
+        if len(elems) != 1 or not isinstance(elems[0], _Node):
+            raise ValueError(
+                "LOAD CSV write tails support a single node pattern "
+                "(build relationships with a follow-up MATCH … MERGE)"
+            )
+        el = elems[0]
+        if not el.props:
+            raise ValueError("LOAD CSV node writes need at least one property")
+        resolver = _frame_resolver(frame)
+        from .lexer import ExprText as _ET
+
+        sel = []
+        for k, v in el.props.items():
+            col = (
+                _compile_expr(v.src, resolver)
+                if isinstance(v, _ET)
+                else F.lit(v)
+            )
+            sel.append(col.alias(k))
+        props_df = frame.select(*sel)
+        labels = el.labels or [el.label or "_"]
+        if verb == "MERGE":
+            n = self.store.merge_nodes(labels[0], props_df, list(el.props))
+        else:
+            n = self.store.create_nodes_frame(labels, props_df)
+        if ret_src:
+            mcount = re.fullmatch(
+                r"count\(\s*\*\s*\)(?:\s+AS\s+(\w+))?", ret_src, re.IGNORECASE
+            )
+            if not mcount:
+                raise ValueError(
+                    "LOAD CSV write tails support RETURN count(*) only"
+                )
+            alias = mcount.group(1) or "count"
+            total = props_df.count()
+            return local_df(self.spark, [(total,)], f"{alias} long")
+        return local_df(self.spark, [], "ok string")
 
     def _foreach(self, q: str) -> DataFrame:
         """Standalone ``FOREACH (x IN <list-expr> | <update clause>)`` —
@@ -1503,6 +1627,12 @@ class Session:
         out = None
         for sub in queries:
             frame = self.run(sub)
+            if out is not None and set(out.columns) != set(frame.columns):
+                raise ValueError(
+                    "All sub queries in an UNION must have the same return "
+                    f"column names: {sorted(out.columns)} vs "
+                    f"{sorted(frame.columns)}"
+                )
             out = frame if out is None else out.unionByName(frame)
         if alls[0]:
             return out
@@ -2173,9 +2303,32 @@ class Session:
             )
             col = None
             if body.startswith("{") and body.endswith("}"):
-                col = _lit_map(_parse_value(body))
+                try:
+                    col = _lit_map(_parse_value(body))
+                except ValueError:
+                    col = None  # `{..} = {..}` etc. — the compiler's job
+            agg_m = re.match(
+                r"(min|max|sum|avg|collect|count)\((.+)\)$", body, re.IGNORECASE
+            )
+            if col is None and agg_m:
+                # aggregates over the bare-RETURN's single implicit row
+                # (`RETURN min('b')` → 'b'; count(x) → 1 when non-null)
+                kind = agg_m.group(1).lower()
+                inner_src = agg_m.group(2).strip()
+                if kind == "count" and inner_src == "*":
+                    col = F.lit(1).cast("long")
+                else:
+                    inner = _compile_expr(inner_src, _unbound)
+                    if kind == "collect":
+                        col = F.array(inner)
+                    elif kind == "count":
+                        col = F.when(inner.isNotNull(), F.lit(1)).otherwise(
+                            F.lit(0)
+                        ).cast("long")
+                    else:
+                        col = inner
             fn_m = re.match(r"([A-Za-z_][\w.]*)\((.*)\)$", body)
-            if fn_m:
+            if fn_m and col is None:
                 # registered plugin/scalar functions (apoc.version, …) win;
                 # the Cypher expression compiler is the fallback
                 from ..procedures.registry import fn
@@ -2538,14 +2691,18 @@ class Session:
                 + [s for _, s in pipeline]
             )
             for el in elems:
-                if (
-                    isinstance(el, _Rel)
-                    and el.var
-                    and re.search(
-                        rf"(?<![\w.]){re.escape(el.var)}(?![\w])(?!\s*\.)",
-                        probe,
-                    )
+                if not (isinstance(el, _Rel) and el.var):
+                    continue
+                if re.search(
+                    rf"(?<![\w.]){re.escape(el.var)}(?![\w])(?!\s*\.)", probe
                 ):
+                    rel_ids_needed = True
+                    break
+                if verb in ("SET", "REMOVE") and re.search(
+                    rf"(?<![\w.]){re.escape(el.var)}\s*\.", tail or ""
+                ):
+                    # `SET r.w = …` — rel-property writes resolve the rel
+                    # by id, so the id columns must survive (r12)
                     rel_ids_needed = True
                     break
         bound = None

@@ -991,14 +991,17 @@ def _gds_graph_project(
 @procedure(
     "gds.graph.list",
     signature=(
-        "gds.graph.list() :: (graphName :: STRING, nodeCount :: INTEGER, "
-        "relationshipCount :: INTEGER)"
+        "gds.graph.list(graphName :: STRING) :: (graphName :: STRING, "
+        "nodeCount :: INTEGER, relationshipCount :: INTEGER)"
     ),
-    description="List graphs in the in-memory catalog",
+    description="List graphs in the in-memory catalog (optionally one by name)",
+    defaults={"graphName": None},
 )
-def _gds_graph_list(spark: SparkSession) -> DataFrame:
+def _gds_graph_list(spark: SparkSession, graphName: str = None) -> DataFrame:
     rows = sorted(
-        (name, nc, rc) for name, (_, _, nc, rc) in _graphs_for(spark).items()
+        (name, nc, rc)
+        for name, (_, _, nc, rc) in _graphs_for(spark).items()
+        if graphName is None or name == graphName
     )
     return local_df(spark, 
         rows, "graphName string, nodeCount long, relationshipCount long"
@@ -2447,3 +2450,59 @@ def _dbms_info(spark: SparkSession) -> DataFrame:
         spark, [("DBMS", f"docker-neo4j-spark/{__version__}", "1970-01-01T00:00:00Z")],
         "id string, name string, creationDate string",
     )
+
+
+@procedure(
+    "apoc.do.when",
+    signature=(
+        "apoc.do.when(condition :: BOOLEAN, ifQuery :: STRING, "
+        "elseQuery :: STRING, params :: MAP) :: (value :: MAP)"
+    ),
+    description="Run ifQuery when the condition holds, elseQuery otherwise; yield its rows as `value` maps",
+    defaults={"elseQuery": "", "params": None},
+)
+def _apoc_do_when(
+    spark: SparkSession, condition=None, ifQuery: str = "",
+    elseQuery: str = "", params: dict | None = None, session=None,
+) -> DataFrame:
+    """apoc.do.when — conditional write/read execution. The chosen inner
+    statement runs once through the session; its rows yield as `value`
+    structs (the APOC wire shape `value.x`)."""
+    if session is None:
+        raise ValueError("apoc.do.when requires a session context")
+    q = ifQuery if condition else elseQuery
+    if not q:
+        return local_df(spark, [], "value struct<_empty: string>")
+    out = session.run(q, params or None)
+    return out.select(F.struct(*out.columns).alias("value"))
+
+
+@procedure(
+    "apoc.case",
+    signature=(
+        "apoc.case(conditionals :: LIST, elseQuery :: STRING, "
+        "params :: MAP) :: (value :: MAP)"
+    ),
+    description="Run the query of the first true condition in [cond1, query1, cond2, query2, ...]",
+    defaults={"elseQuery": "", "params": None},
+)
+def _apoc_case(
+    spark: SparkSession, conditionals=None, elseQuery: str = "",
+    params: dict | None = None, session=None,
+) -> DataFrame:
+    if session is None:
+        raise ValueError("apoc.case requires a session context")
+    pairs = list(conditionals or [])
+    if len(pairs) % 2:
+        raise ValueError(
+            "apoc.case: conditionals must alternate [condition, query, …]"
+        )
+    chosen = elseQuery
+    for i in range(0, len(pairs), 2):
+        if pairs[i]:
+            chosen = pairs[i + 1]
+            break
+    if not chosen:
+        return local_df(spark, [], "value struct<_empty: string>")
+    out = session.run(chosen, params or None)
+    return out.select(F.struct(*out.columns).alias("value"))

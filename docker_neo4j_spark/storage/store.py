@@ -364,6 +364,25 @@ class GraphStore:
         )
         return n
 
+    def create_nodes_frame(self, label: str | list[str], df: DataFrame) -> int:
+        """Set-based ``CREATE`` from a DataFrame of property columns
+        (the LOAD CSV ingest path — r12): one stable-index pass + one
+        reserved id block + one append; returns the row count. Unlike
+        ``merge_nodes`` there is no dedup — CREATE always inserts."""
+        labels = [label] if isinstance(label, str) else list(label)
+        indexed, n = self.stage_indexed(df)
+        if n == 0:
+            return 0
+        base = self.reserve_node_ids(n)
+        self.append_nodes(
+            indexed.select(
+                (F.col("_idx") + F.lit(base)).alias("id"),
+                F.array(*[F.lit(x) for x in labels]).alias("labels"),
+                *[F.col(c) for c in df.columns],
+            )
+        )
+        return n
+
     def merge_rels(
         self, rel_type: str, pairs: DataFrame, key_props: tuple = ()
     ) -> int:

@@ -17,7 +17,9 @@ Usage: python scripts/probe_corpus.py   (exit code = failure count)
 
 from __future__ import annotations
 
+import os
 import sys
+import tempfile
 
 sys.path.insert(0, "/root/repo")
 
@@ -489,6 +491,98 @@ def main() -> int:
     if rows:
         eid = rows[0]["eid"]
         run(f"MATCH (p:P) WHERE elementId(p) = '{eid}' RETURN p.name AS n", "element-id-where", expect=[("ann",)])
+
+    # ---------- corpus F: r12 semantics corners (empty aggregation,
+    # null propagation, LOAD CSV statements, apoc.do.when, rel writes) ----------
+    _S = Session(spark)
+    run("CREATE (:P {name:'ann', age:40})")
+    run("CREATE (:P {name:'bob', age:30})")
+    run("CREATE (:P {name:'cat'})")
+    run("MATCH (a:P {name:'ann'}), (b:P {name:'bob'}) CREATE (a)-[:K {w: 2}]->(b)")
+
+    # -- empty-input aggregation semantics (one row, not zero rows) --
+    run("MATCH (n:Nope) RETURN count(n) AS c", "count-empty", expect=[(0,)])
+    run("MATCH (n:Nope) RETURN count(*) AS c, sum(n.age) AS s, collect(n.age) AS l", "agg-empty")
+    run("MATCH (n:Nope) RETURN avg(n.age) AS a, min(n.age) AS mn", "avg-empty", expect=[(None, None)])
+
+    # -- null propagation / equality --
+    run("RETURN [1,2] = [1,2] AS le, {a:1} = {a:1} AS me", "coll-equality")
+    run("RETURN [1,2,3][5] AS oob", "index-out-of-bounds", expect=[(None,)])
+    run("RETURN null IN [1, null] AS a, 3 IN [1, null] AS b", "null-in-list")
+    run("RETURN null + 1 AS a, null * 2 AS b, 'x' + null AS c", "null-arith", expect=[(None, None, None)])
+    run("MATCH (p:P) WHERE p.age > 25 RETURN count(*) AS c", "null-filtered", expect=[(2,)])
+
+    # -- ORDER BY non-projected property / aggregate expression --
+    run("MATCH (p:P) RETURN p.name AS n ORDER BY p.age DESC LIMIT 1", "order-nonprojected", expect=[("ann",)])
+    run("MATCH (p:P) RETURN coalesce(p.age, 0) AS a, count(*) AS c ORDER BY count(*) DESC, a", "order-by-agg-expr")
+    run("MATCH (p:P) RETURN p.name AS n ORDER BY p.age ASC LIMIT 3", "nulls-ordering")
+
+    # -- string comparison --
+    run("MATCH (p:P) WHERE p.name > 'b' RETURN count(*) AS c", "string-gt", expect=[(2,)])
+    run("RETURN min('b') AS m", "min-string")
+
+    # -- SET / REMOVE rel props --
+    run("MATCH ()-[r:K]->() SET r.w = r.w * 10 RETURN r.w AS w", "set-rel-prop", expect=[(20,)])
+    run("MATCH ()-[r:K]->() SET r += {u: 1} RETURN r.u AS u", "set-rel-plusmap", expect=[(1,)])
+    run("MATCH ()-[r:K]->() REMOVE r.u RETURN r.u AS u", "remove-rel-prop", expect=[(None,)])
+
+    # -- path element access --
+    run("MATCH p = (a:P {name:'ann'})-[:K]->(b) RETURN nodes(p)[0].name AS f, relationships(p)[0].w AS w", "path-element-access")
+    run("MATCH p = (a:P {name:'ann'})-[:K]->(b) RETURN [r IN relationships(p) | r.w] AS ws", "path-rel-comprehension")
+
+    # -- apoc.agg --
+    run("MATCH (p:P) RETURN apoc.agg.first(p.name) IS NOT NULL AS f", "apoc-agg-first")
+    run("MATCH (p:P) WHERE p.age IS NOT NULL RETURN apoc.agg.median(p.age) AS m", "apoc-agg-median", expect=[(35.0,)])
+
+    # -- apoc.do.when / apoc.case --
+    run("CALL apoc.do.when(true, 'RETURN 1 AS x', 'RETURN 2 AS x') YIELD value RETURN value.x AS x", "apoc-do-when")
+
+    # -- pattern predicate with props --
+    run("MATCH (a:P) WHERE (a)-[:K]->({name:'bob'}) RETURN a.name AS n", "pattern-pred-props", expect=[("ann",)])
+
+    # -- nested FOREACH + FOREACH CREATE --
+    run("FOREACH (x IN [1,2] | CREATE (:F {v: x}))", "foreach-create")
+    run("MATCH (f:F) RETURN count(*) AS c", "foreach-create-count", expect=[(2,)])
+
+    # -- CALL two imports --
+    run("MATCH (a:P {name:'ann'}), (b:P {name:'bob'}) CALL { WITH a, b RETURN a.age + b.age AS s } RETURN s", "call-two-imports", expect=[(70,)])
+
+    # -- labels()[0] --
+    run("MATCH (p:P {name:'ann'}) RETURN labels(p)[0] AS l", "labels-index", expect=[("P",)])
+
+    # -- UNION error shape on mismatched columns --
+    run("MATCH (p:P) RETURN p.name AS a UNION MATCH (p:P) RETURN p.name AS b", "union-mismatch", expect_err="same return column")
+
+    # -- LOAD CSV --
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "people.csv")
+    with open(path, "w") as f:
+        f.write("name,age\nx,1\ny,2\n")
+    run(f"LOAD CSV WITH HEADERS FROM 'file://{path}' AS row RETURN row.name AS n, toInteger(row.age) AS a ORDER BY n", "load-csv-headers")
+    path2 = os.path.join(d, "semi.csv")
+    with open(path2, "w") as f:
+        f.write("a;b\n1;2\n")
+    run(f"LOAD CSV WITH HEADERS FROM 'file://{path2}' AS row FIELDTERMINATOR ';' RETURN row.a AS a", "load-csv-fieldterm")
+    run(f"LOAD CSV WITH HEADERS FROM 'file://{path}' AS row MERGE (c:CsvP {{name: row.name}}) RETURN count(*) AS c", "load-csv-merge")
+
+    # -- gds.graph.list(name) --
+    run("CALL gds.graph.project('fg', 'P', 'K')", "gds-project")
+    run("CALL gds.graph.list('fg') YIELD graphName, nodeCount RETURN graphName, nodeCount", "gds-list-named")
+    run("CALL gds.graph.exists('fg') YIELD exists RETURN exists", "gds-exists")
+    run("CALL gds.graph.drop('fg')", "gds-drop")
+
+    # -- CASE with null subject --
+    run("MATCH (p:P {name:'cat'}) RETURN CASE p.age WHEN 30 THEN 'x' ELSE 'y' END AS c", "case-null-subject", expect=[("y",)])
+    run("MATCH (p:P) RETURN sum(CASE WHEN p.age IS NULL THEN 1 ELSE 0 END) AS missing", "case-is-null", expect=[(1,)])
+
+    # -- percentileDisc --
+    run("MATCH (p:P) WHERE p.age IS NOT NULL RETURN percentileDisc(p.age, 0.5) AS m", "percentile-disc")
+
+    # -- distinct entities --
+    run("MATCH (a:P)-[:K]->() MATCH (a)-[:K]->() RETURN count(DISTINCT a) AS c", "distinct-entity", expect=[(1,)])
+
+    # -- type coercion in comparisons --
+    run("RETURN 1 = 1.0 AS a, '1' = 1 AS b", "cross-type-eq")
 
     print()
     print("=== FAILURES ===")
