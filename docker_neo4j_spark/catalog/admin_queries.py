@@ -3632,3 +3632,32 @@ def proc_periodic_iterate_canonical(spark, sf_dir):
         "'SET n.flagged = true', {batchSize: 10})"
     ).collect()
     return s.run("MATCH (n:Nation {flagged: true}) RETURN count(*) AS marked")
+
+
+@register(
+    "cypher_load_csv_statement",
+    """
+    SELECT n, CAST(a AS BIGINT) AS a
+    FROM (VALUES ('x', 1), ('y', 2), ('z', 3)) t(n, a) ORDER BY n
+    """,
+)
+def cypher_load_csv_statement(spark, sf_dir):
+    """The Cypher ``LOAD CSV WITH HEADERS FROM … AS row`` statement
+    (r12): the file reads through spark.read.csv (distributed,
+    splittable), row binds as a struct, fields are strings cast in the
+    projection — THE import idiom, Spark-first (no PERIODIC COMMIT
+    needed; one job ingests what Neo4j batches)."""
+    import os
+    import tempfile
+
+    from ..cypher.session import Session
+
+    d = tempfile.mkdtemp(prefix="graft_loadcsv_")
+    path = os.path.join(d, "rows.csv")
+    with open(path, "w") as f:
+        f.write("name,age\nx,1\ny,2\nz,3\n")
+    s = Session(spark)
+    return s.run(
+        f"LOAD CSV WITH HEADERS FROM 'file://{path}' AS row "
+        "RETURN row.name AS n, toInteger(row.age) AS a ORDER BY n"
+    )
