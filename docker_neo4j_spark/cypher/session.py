@@ -808,7 +808,10 @@ def _order_keys(order_by: str, resolve) -> list:
             col = resolve(k)
         else:
             col = _compile_expr(k, resolve)
-        keys.append(col.desc() if desc else col.asc())
+        # Cypher's null placement is the OPPOSITE of Spark's default:
+        # nulls sort LAST ascending and FIRST descending (r12 — a silent
+        # row-order divergence on any nullable sort key otherwise)
+        keys.append(col.desc_nulls_first() if desc else col.asc_nulls_last())
     return keys
 
 
