@@ -595,6 +595,13 @@ def test_r12_rows_stay_distributed(spark, sf_dir, queries):
         "proc_gds_wcc_write_map",
         "proc_gds_undirected_degree",
         "cypher_missing_prop_null",
+        # late-r12 surfaces: label expressions, inline WHERE + QPP,
+        # asNode/startNode lookups, LOAD CSV ingest
+        "cypher_label_expressions",
+        "cypher_inline_where_qpp",
+        "proc_gds_asnode",
+        "cypher_start_end_node",
+        "cypher_load_csv_statement",
     ):
         facts = audit(queries[name](spark, sf_dir))
         assert "CartesianProduct" not in facts.text, name
