@@ -1112,6 +1112,13 @@ class Session:
             return out
         if head == "LOAD":
             return self._load_csv(q)
+        m_up = re.match(
+            r"USING\s+PERIODIC\s+COMMIT(?:\s+\d+)?\s+(?=LOAD\b)", q, re.IGNORECASE
+        )
+        if m_up:
+            # legacy Neo4j 4 batching prefix — semantics-neutral here
+            # (one Spark job ingests the whole file set-based)
+            return self._load_csv(q[m_up.end():])
         raise ValueError(f"Unsupported Cypher statement: {cypher!r}")
 
     _LOAD_CSV_RE = re.compile(
@@ -2123,6 +2130,7 @@ class Session:
                 self._anon += 1
         ids = self._match_whole_pattern(elems)
         created = ids is None
+        rel_vars = {el.var for el in elems if isinstance(el, _Rel) and el.var}
         if created:
             ids = {}
             for el in elems:
@@ -2135,8 +2143,21 @@ class Session:
                 s, d = ids[left.var], ids[right.var]
                 if rel.reversed:
                     s, d = d, s
-                self.store.create_rels(rel.rel_type or "_", [(s, d)], [rel.props or {}])
+                props = dict(rel.props or {})
+                if rel.var and rel.var in on_create:
+                    # ON CREATE SET on the REL variable folds into the
+                    # create itself — one write, no post-hoc rel update
+                    props.update(on_create.pop(rel.var))
+                    rel.props = props  # projection sees the final props
+                self.store.create_rels(rel.rel_type or "_", [(s, d)], [props])
         for var, props in (on_create if created else on_match).items():
+            if var in rel_vars:
+                if created:
+                    continue  # folded into create_rels above
+                raise ValueError(
+                    f"ON MATCH SET on the relationship variable {var!r} is "
+                    "unsupported in standalone MERGE — use MATCH … SET"
+                )
             if var not in ids:
                 raise ValueError(f"ON {'CREATE' if created else 'MATCH'} SET variable {var!r} is not in the pattern")
             self.store.set_props_by_ids(

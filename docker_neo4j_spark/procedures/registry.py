@@ -85,7 +85,11 @@ def call(
     import inspect
 
     if name not in _REGISTRY:
-        raise KeyError(f"There is no procedure with the name `{name}` registered")
+        # Cypher error shape, not a raw Python KeyError (r12)
+        raise ValueError(
+            f"There is no procedure with the name `{name}` registered for "
+            "this database instance"
+        )
     proc = _REGISTRY[name]
     sig = inspect.signature(proc.fn)
     params = [p for p in sig.parameters if p != "spark"]
@@ -2506,3 +2510,25 @@ def _apoc_case(
         return local_df(spark, [], "value struct<_empty: string>")
     out = session.run(chosen, params or None)
     return out.select(F.struct(*out.columns).alias("value"))
+
+
+@procedure(
+    "db.indexes",
+    signature=(
+        "db.indexes() :: (name :: STRING, state :: STRING, type :: STRING, "
+        "labelsOrTypes :: LIST, properties :: LIST)"
+    ),
+    description="Legacy Neo4j 4 index listing (SHOW INDEXES is the 5.x surface)",
+)
+def _db_indexes(spark: SparkSession, store=None) -> DataFrame:
+    empty = (
+        "name string, state string, type string, "
+        "labelsOrTypes array<string>, properties array<string>"
+    )
+    if store is None:
+        return local_df(spark, [], empty)
+    rows = [
+        (i.name, i.state, i.index_type, [i.label], list(i.properties))
+        for i in store.indexes.indexes.values()
+    ]
+    return local_df(spark, sorted(rows), empty)

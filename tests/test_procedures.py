@@ -39,7 +39,7 @@ def test_show_procedures_lists_registered(spark):
 
 
 def test_unknown_procedure_raises(spark):
-    with pytest.raises(KeyError, match="no procedure with the name"):
+    with pytest.raises(ValueError, match="no procedure with the name"):
         call(spark, "does.not.exist")
 
 
