@@ -347,15 +347,25 @@ def date(x=None) -> Column:
 
 def datetime(x=None) -> Column:
     """Cypher ``datetime()`` / ``datetime(expr)`` /
-    ``datetime({year, …, second})`` / ``datetime({epochMillis})`` /
-    ``datetime({epochSeconds})`` → TIMESTAMP column."""
+    ``datetime({year, …, second[, timezone]})`` / ``datetime({epochMillis})``
+    / ``datetime({epochSeconds})`` → TIMESTAMP column.
+
+    Zones are INSTANT-faithful: an offset ('+02:00') or bracket zone
+    ('[Europe/Stockholm]') shifts the stored instant so epoch accessors
+    and comparisons match Neo4j; component accessors read UTC (the
+    engine's timestamps are zone-less — documented divergence; Neo4j
+    reads them in the original zone)."""
     if isinstance(x, dict):
         if set(x) == {"epochMillis"}:
             return F.timestamp_millis(F.lit(int(x["epochMillis"])))
         if set(x) == {"epochSeconds"}:
             return F.timestamp_seconds(F.lit(int(x["epochSeconds"])))
+        tz = None
+        if "timezone" in x:
+            x = dict(x)
+            tz = x.pop("timezone")
         s = _temporal_map_fields(x, "datetime", _DATE_KEYS | _TIME_KEYS)
-        return F.make_timestamp(
+        out = F.make_timestamp(
             F.lit(int(s.get("year", 1970))),
             F.lit(int(s.get("month", 1))),
             F.lit(int(s.get("day", 1))),
@@ -363,7 +373,21 @@ def datetime(x=None) -> Column:
             F.lit(int(s.get("minute", 0))),
             F.lit(_seconds_of(s)),
         )
-    return F.current_timestamp() if x is None else F.to_timestamp(_temporal_arg(x))
+        if tz:
+            out = F.to_utc_timestamp(out, str(tz))
+        return out
+    if x is None:
+        return F.current_timestamp()
+    c = _temporal_arg(x)
+    # bracket zone form '2024-03-15T10:00:00[Europe/Stockholm]' — local
+    # wall time in that zone → UTC instant; zone-less strings take the
+    # plain branch (one codegen'd conditional, no extra job)
+    txt = c.cast("string")
+    zone = F.regexp_extract(txt, r"\[([^\]]+)\]$", 1)
+    body = F.regexp_replace(txt, r"\[[^\]]+\]$", "")
+    return F.when(
+        zone != "", F.to_utc_timestamp(F.to_timestamp(body), zone)
+    ).otherwise(F.to_timestamp(c))
 
 
 def localdatetime(x=None) -> Column:
