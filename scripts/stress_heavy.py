@@ -148,6 +148,16 @@ HEAVY = [
     "cypher_exists_return",
     "proc_gds_undirected_degree",
     "proc_gds_dijkstra_stream",
+    # late-r12 additions: label-expression full scans, inline-WHERE QPP
+    # join, GDS scc/closeness/asNode CALL streams, startNode/endNode
+    # endpoint joins, the canonical periodic.iterate (id-IN batches)
+    "cypher_label_expressions",
+    "cypher_inline_where_qpp",
+    "proc_gds_scc_stream",
+    "proc_gds_closeness_stream",
+    "proc_gds_asnode",
+    "cypher_start_end_node",
+    "proc_periodic_iterate_canonical",
 ]
 
 
