@@ -2532,3 +2532,89 @@ def _db_indexes(spark: SparkSession, store=None) -> DataFrame:
         for i in store.indexes.indexes.values()
     ]
     return local_df(spark, sorted(rows), empty)
+
+
+@procedure(
+    "apoc.export.cypher.all",
+    signature=(
+        "apoc.export.cypher.all(file :: STRING, config :: MAP) :: "
+        "(file :: STRING, nodes :: INTEGER, relationships :: INTEGER, "
+        "properties :: INTEGER)"
+    ),
+    description="Export the whole graph as runnable Cypher CREATE statements",
+    defaults={"config": None},
+)
+def _apoc_export_cypher_all(
+    spark: SparkSession, file: str = "", config=None, graph=None
+) -> DataFrame:
+    """``CALL apoc.export.cypher.all('/path', {})`` — the apoc plugin's
+    statement export. Every line is built as ONE JVM string expression
+    over the node/rel frames and written through the distributed text
+    sink (part files; no driver funnel). Node statements use id-tagged
+    variables so the rel statements can anchor by property match on the
+    engine id — the same re-importable shape apoc emits."""
+    schema = "file string, nodes bigint, relationships bigint, properties bigint"
+    if graph is None or not file:
+        return local_df(spark, [], schema)
+    nodes, rels = graph.nodes, graph.rels
+
+    def _props_expr(df: DataFrame, fixed: tuple) -> F.Column:
+        parts = []
+        for c in df.columns:
+            if c in fixed:
+                continue
+            val = F.col(c)
+            dt = dict(df.dtypes)[c]
+            if dt == "string":
+                rendered = F.concat(
+                    F.lit("'"), F.regexp_replace(val, "'", "\\\\'"), F.lit("'")
+                )
+            elif dt.startswith("array"):
+                rendered = F.to_json(val)
+            else:
+                rendered = val.cast("string")
+            parts.append(
+                F.when(
+                    val.isNotNull(),
+                    F.concat(F.lit(f"`{c}`: "), rendered),
+                )
+            )
+        if not parts:
+            return F.lit("")
+        joined = F.array_join(
+            F.filter(F.array(*parts), lambda x: x.isNotNull()), ", "
+        )
+        return joined
+
+    node_props = _props_expr(nodes, ("id", "labels"))
+    node_lines = nodes.select(
+        F.concat(
+            F.lit("CREATE (:"),
+            F.array_join(F.col("labels"), ":"),
+            F.lit(" {`_id`: "),
+            F.col("id").cast("string"),
+            F.when(node_props != "", F.concat(F.lit(", "), node_props)).otherwise(
+                F.lit("")
+            ),
+            F.lit("});"),
+        ).alias("value")
+    )
+    rel_props = _props_expr(rels, ("id", "src", "dst", "type"))
+    rel_lines = rels.select(
+        F.concat(
+            F.lit("MATCH (a {`_id`: "),
+            F.col("src").cast("string"),
+            F.lit("}), (b {`_id`: "),
+            F.col("dst").cast("string"),
+            F.lit("}) CREATE (a)-[:"),
+            F.col("type"),
+            F.when(
+                rel_props != "", F.concat(F.lit(" {"), rel_props, F.lit("}"))
+            ).otherwise(F.lit("")),
+            F.lit("]->(b);"),
+        ).alias("value")
+    )
+    node_lines.unionByName(rel_lines).write.mode("overwrite").text(file)
+    n_nodes, n_rels = nodes.count(), rels.count()
+    n_props = len(nodes.columns) - 2 + len(rels.columns) - 4
+    return local_df(spark, [(file, n_nodes, n_rels, n_props)], schema)
