@@ -2908,6 +2908,9 @@ class Session:
         Column filter (SURVEY §2.B.3 pattern predicates)."""
         if resolve is None:
             resolve = _frame_resolver(bound)
+        if re.search(r"\bsize\s*\(\s*\(", where_src, re.IGNORECASE):
+            # legacy size((a)-[:R]->()) → COUNT { … } (r12)
+            where_src = self._rewrite_exists_patterns(where_src)
         plain: list[str] = []
         count_terms: list[str] = []
         count_cols: list[str] = []
@@ -5022,16 +5025,17 @@ class Session:
 
     @staticmethod
     def _rewrite_exists_patterns(src: str) -> str:
-        """Legacy ``exists((n)-[:R]->())`` pattern-function form →
-        ``EXISTS { … }`` so the brace-subquery machinery serves both
-        spellings (r12; the classic docs shape)."""
+        """Legacy pattern-function forms → brace subqueries (r12; the
+        classic docs shapes): ``exists((n)-[:R]->())`` → ``EXISTS { … }``
+        and ``size((n)-[:R]->())`` → ``COUNT { … }``."""
         from .lexer import tokenize as _tokenize
 
+        wraps = {"exists": "EXISTS", "size": "COUNT"}
         toks = _tokenize(src)
         for idx, t in enumerate(toks):
             if not (
                 t.kind == "ident"
-                and t.text.lower() == "exists"
+                and t.text.lower() in wraps
                 and idx + 1 < len(toks)
                 and toks[idx + 1].kind == "punct"
                 and toks[idx + 1].text == "("
@@ -5050,7 +5054,8 @@ class Session:
                             if re.search(r"\)\s*(<-|-)", inner):
                                 new = (
                                     src[: t.pos]
-                                    + "EXISTS { "
+                                    + wraps[t.text.lower()]
+                                    + " { "
                                     + inner.strip()
                                     + " }"
                                     + src[tj.end :]
@@ -5134,7 +5139,7 @@ class Session:
         ):
             bound, ret = self._apply_node_lookups(bound, ret)
             resolve = _frame_resolver(bound)
-        if re.search(r"\bexists\s*\(\s*\(", ret, re.IGNORECASE):
+        if re.search(r"\b(?:exists|size)\s*\(\s*\(", ret, re.IGNORECASE):
             ret = self._rewrite_exists_patterns(ret)
         if re.search(r"\[\s*\(", ret):
             bound, ret = self._apply_pattern_comprehensions(bound, ret)
@@ -5144,6 +5149,9 @@ class Session:
             resolve = _frame_resolver(bound)
         if self._find_brace_subquery(ret, "EXISTS") is not None:
             bound, ret = self._apply_exists_subqueries(bound, ret)
+            resolve = _frame_resolver(bound)
+        if self._find_brace_subquery(ret, "COUNT") is not None:
+            bound, ret = self._apply_count_subqueries(bound, ret)
             resolve = _frame_resolver(bound)
         _resolve = resolve or _default_resolver
         # ORDER BY / SKIP / LIMIT suffixes, DISTINCT prefix
