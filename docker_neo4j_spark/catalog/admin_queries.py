@@ -3661,3 +3661,45 @@ def cypher_load_csv_statement(spark, sf_dir):
         f"LOAD CSV WITH HEADERS FROM 'file://{path}' AS row "
         "RETURN row.name AS n, toInteger(row.age) AS a ORDER BY n"
     )
+
+
+@register(
+    "cypher_null_ordering",
+    """
+    SELECT x FROM (VALUES (3), (NULL), (1), (2)) t(x)
+    ORDER BY x LIMIT 3
+    """,
+)
+def cypher_null_ordering(spark, sf_dir):
+    """Cypher null placement (r12): nulls sort LAST ascending (and FIRST
+    descending) — the OPPOSITE of Spark's default. LIMIT makes the
+    divergence value-visible, so this row would catch a regression."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    out = s.run("UNWIND [3, null, 1, 2] AS x RETURN x ORDER BY x LIMIT 3")
+    return out.select(F.col("x").cast("long"))
+
+
+@register(
+    "cypher_size_pattern",
+    """
+    SELECT n.n_name AS name, CAST(COUNT(c.c_custkey) AS BIGINT) AS deg
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY name
+    """,
+)
+def cypher_size_pattern(spark, sf_dir):
+    """Legacy ``size((n)<-[:T]-(:Label))`` pattern-count form (r12):
+    rewritten to a COUNT subquery — one decorrelated per-anchor
+    aggregate + left join, never a per-row probe."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) "
+        "RETURN n.n_name AS name, size((n)<-[:IN_NATION]-(:Customer)) AS deg "
+        "ORDER BY name"
+    )
