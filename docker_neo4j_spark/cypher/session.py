@@ -2549,34 +2549,69 @@ class Session:
                         "only (a just-created fixed pattern has no other "
                         "path accessors)"
                     )
-        elems, rest = _parse_pattern(pattern_src)
-        if rest:
-            raise ValueError(f"trailing content after CREATE pattern: {rest!r}")
-        if any(isinstance(el, _Rel) and el.undirected for el in elems):
-            raise ValueError("CREATE requires a directed relationship pattern")
+        # the `:play movies` statement shapes (r12): consecutive CREATE
+        # clauses in ONE statement and comma-separated pattern groups,
+        # both with variable carry-over — split depth-0, share the ids
+        groups: list[list] = []
+        for seg in _split_kw(pattern_src, "CREATE"):
+            seg = seg.strip()
+            if not seg:
+                continue
+            for gsrc in _split_top(seg, ","):
+                gsrc = gsrc.strip()
+                if not gsrc:
+                    continue
+                elems, rest = _parse_pattern(gsrc)
+                if rest:
+                    raise ValueError(
+                        f"trailing content after CREATE pattern: {rest!r}"
+                    )
+                if any(isinstance(el, _Rel) and el.undirected for el in elems):
+                    raise ValueError(
+                        "CREATE requires a directed relationship pattern"
+                    )
+                groups.append(elems)
         created: dict[str, tuple[int, dict]] = {}
         ids: dict[str, int] = dict(anchors)
-        # create the new nodes (anchored vars are reused, not recreated)
-        for el in elems:
-            if isinstance(el, _Node):
-                var = el.var or f"_anon{self._anon}"
-                el.var = var  # anonymous nodes stay addressable for rel wiring
-                self._anon += 1
-                if var in ids:
-                    continue
-                (nid,) = self.store.create_nodes(el.labels or [el.label or "_"], [el.props])
-                ids[var] = nid
-                created[var] = (nid, el.props)
-        for i in range(1, len(elems), 2):
-            rel, left, right = elems[i], elems[i - 1], elems[i + 1]
-            s = ids[left.var or ""]
-            d = ids[right.var or ""]
-            if rel.reversed:
-                s, d = d, s
-            self.store.create_rels(rel.rel_type or "_", [(s, d)], [rel.props or {}])
+        # pass 1: nodes across every group (anchored/earlier vars reused)
+        for elems in groups:
+            for el in elems:
+                if isinstance(el, _Node):
+                    var = el.var or f"_anon{self._anon}"
+                    el.var = var  # anonymous nodes stay addressable
+                    self._anon += 1
+                    if var in ids:
+                        continue
+                    (nid,) = self.store.create_nodes(
+                        el.labels or [el.label or "_"], [el.props]
+                    )
+                    ids[var] = nid
+                    created[var] = (nid, el.props)
+        # pass 2: relationships (endpoints may come from ANY group)
+        rel_batches: dict[tuple, list] = {}
+        for elems in groups:
+            for i in range(1, len(elems), 2):
+                rel, left, right = elems[i], elems[i - 1], elems[i + 1]
+                if left.var not in ids or right.var not in ids:
+                    raise ValueError(
+                        f"CREATE relationship endpoint {left.var!r}/"
+                        f"{right.var!r} is not bound"
+                    )
+                s, d = ids[left.var], ids[right.var]
+                if rel.reversed:
+                    s, d = d, s
+                key = (rel.rel_type or "_", tuple(sorted((rel.props or {}).keys())))
+                rel_batches.setdefault(key, []).append((s, d, rel.props or {}))
+        # one create_rels batch per (type, prop-shape) — a 100-pattern
+        # movies script is a handful of appends, not 100
+        for (rtype, _shape), rows in rel_batches.items():
+            self.store.create_rels(
+                rtype, [(s, d) for s, d, _ in rows], [p for _, _, p in rows]
+            )
         if ret is None:
             return local_df(self.spark, [], "ok string")
-        return self._project_bound(ret, ids, rels=_static_rel_info(elems))
+        flat = [el for elems in groups for el in elems]
+        return self._project_bound(ret, ids, rels=_static_rel_info(flat))
 
     def _project_bound(
         self, ret: str, ids: dict[str, int], rels: dict | None = None
