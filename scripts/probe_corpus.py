@@ -513,7 +513,7 @@ def main() -> int:
     run("MATCH (p:P) WHERE p.age > 25 RETURN count(*) AS c", "null-filtered", expect=[(2,)])
 
     # -- ORDER BY non-projected property / aggregate expression --
-    run("MATCH (p:P) RETURN p.name AS n ORDER BY p.age DESC LIMIT 1", "order-nonprojected", expect=[("ann",)])
+    run("MATCH (p:P) RETURN p.name AS n ORDER BY p.age DESC LIMIT 1", "order-nonprojected", expect=[("cat",)])  # DESC → nulls first (Cypher)
     run("MATCH (p:P) RETURN coalesce(p.age, 0) AS a, count(*) AS c ORDER BY count(*) DESC, a", "order-by-agg-expr")
     run("MATCH (p:P) RETURN p.name AS n ORDER BY p.age ASC LIMIT 3", "nulls-ordering")
 
@@ -583,6 +583,37 @@ def main() -> int:
 
     # -- type coercion in comparisons --
     run("RETURN 1 = 1.0 AS a, '1' = 1 AS b", "cross-type-eq")
+
+    # ---------- corpus G: late-r12 sweep (movies multi-CREATE, driver
+    # params, zones, size(pattern), exports, delete semantics) ----------
+    _S = Session(spark)
+    run(
+        "CREATE (TheMatrix:Movie {title:'The Matrix', released:1999})\n"
+        "CREATE (Keanu:Person {name:'Keanu Reeves', born:1964})\n"
+        "CREATE (Carrie:Person {name:'Carrie-Anne Moss', born:1967})\n"
+        "CREATE (Keanu)-[:ACTED_IN {roles:['Neo']}]->(TheMatrix),\n"
+        "       (Carrie)-[:ACTED_IN {roles:['Trinity']}]->(TheMatrix)",
+        "movies-multi-create",
+    )
+    run("MATCH (p:Person)-[:ACTED_IN]->(m:Movie) RETURN count(*) AS c", "movies-readback", expect=[(2,)])
+    run("CREATE (a:X {i:1}), (b:X {i:2}), (a)-[:R]->(b)", "comma-group-create")
+    run("MATCH (:X)-[r:R]->(:X) RETURN count(*) AS c", "comma-group-readback", expect=[(1,)])
+    run("MATCH (p:Person) RETURN p.name AS n ORDER BY n SKIP $s LIMIT $l", "param-skip-limit", params={"s": 1, "l": 1})
+    run("RETURN $m.k AS k", "param-map-access", params={"m": {"k": 7}}, expect=[(7,)])
+    run("MATCH (p:Person) RETURN p.name AS n, size((p)-[:ACTED_IN]->()) AS deg ORDER BY n", "size-pattern")
+    run("MATCH (p:Person) WHERE size((p)-[:ACTED_IN]->()) >= 1 RETURN count(*) AS c", "size-pattern-where", expect=[(2,)])
+    run("RETURN datetime('2024-03-15T10:00:00[Europe/Berlin]').epochMillis AS em", "bracket-zone", expect=[(1710493200000,)])
+    run("RETURN datetime({year:2024, month:1, day:1, timezone:'+02:00'}) < datetime('2024-01-01T00:00:00Z') AS b", "tz-map-instant", expect=[(True,)])
+    run("UNWIND [3, null, 1] AS x RETURN x ORDER BY x", "null-order-asc")
+    run("MATCH (k:Person {name:'Keanu Reeves'}) DELETE k", "delete-with-rels", expect_err="DETACH DELETE")
+    run("MERGE (z:ZZ {k: 1}) WITH z MATCH (p:Person {name:'Keanu Reeves'}) CREATE (z)-[:OWNS]->(p)", "merge-with-continue")
+    run("MERGE (a:Person {name:'Hugo W'})-[r:KN]->(b:Person {name:'Andy W'}) ON CREATE SET r.since = 1999 RETURN r.since AS s", "merge-rel-oncreate", expect=[(1999,)])
+    run("CALL db.indexes() YIELD name RETURN count(*) >= 0 AS ok", "db-indexes-legacy")
+    import tempfile as _tf
+    _d = _tf.mkdtemp() + "/cyexp"
+    run(f"CALL apoc.export.cypher.all('{_d}', {{}}) YIELD nodes RETURN nodes > 0 AS ok", "export-cypher-all")
+    run("RETURN min('b') AS m, count(*) AS c", "bare-return-aggregates", expect=[("b", 1)])
+    run("RETURN [1,2,3][9] AS oob, {a:1} = {a:1} AS me", "oob-map-eq", expect=[(None, True)])
 
     print()
     print("=== FAILURES ===")
