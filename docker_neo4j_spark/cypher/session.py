@@ -251,6 +251,18 @@ def _rewrite_call_shapes(src: str) -> str:
     return src
 
 
+def _create_labels(el: "_Node") -> list[str]:
+    """Labels a CREATE/MERGE may write: plain AND-chains only — a
+    disjunctive/negated label expression cannot name what to create
+    (Neo4j rejects it the same way — r12)."""
+    if el.label_expr is not None:
+        raise ValueError(
+            "label expressions (|, !, %) are not allowed in a CREATE/MERGE "
+            "pattern — list the labels to write as :A:B"
+        )
+    return el.labels or [el.label or "_"]
+
+
 def _node_spec(el: "_Node", var: str | None = None):
     """Lexer Node → NodeSpec, carrying multi-label AND chains and general
     label expressions (`:A:B`, `:A|B`, `:A&!B`, `:%` — r12) as a boolean
@@ -1219,7 +1231,7 @@ class Session:
             )
             sel.append(col.alias(k))
         props_df = frame.select(*sel)
-        labels = el.labels or [el.label or "_"]
+        labels = _create_labels(el)
         if verb == "MERGE":
             n = self.store.merge_nodes(labels[0], props_df, list(el.props))
         else:
@@ -2136,7 +2148,7 @@ class Session:
             for el in elems:
                 if isinstance(el, _Node) and el.var not in ids:
                     # a repeated variable ((a)-[:X]->(a)) is ONE node
-                    (nid,) = self.store.create_nodes(el.labels or [el.label or "_"], [el.props])
+                    (nid,) = self.store.create_nodes(_create_labels(el), [el.props])
                     ids[el.var] = nid
             for i in range(1, len(elems), 2):
                 rel, left, right = elems[i], elems[i - 1], elems[i + 1]
@@ -2583,7 +2595,7 @@ class Session:
                     if var in ids:
                         continue
                     (nid,) = self.store.create_nodes(
-                        el.labels or [el.label or "_"], [el.props]
+                        _create_labels(el), [el.props]
                     )
                     ids[var] = nid
                     created[var] = (nid, el.props)
@@ -4005,7 +4017,7 @@ class Session:
             frame = frame.withColumn(f"{el.var}_id", F.col("_idx") + F.lit(base))
             frame = frame.withColumn(
                 f"{el.var}_labels",
-                F.array(*[F.lit(x) for x in (el.labels or [el.label or "_"])]),
+                F.array(*[F.lit(x) for x in _create_labels(el)]),
             )
             for k, v in el.props.items():
                 frame = frame.withColumn(
