@@ -615,6 +615,26 @@ def main() -> int:
     run("RETURN min('b') AS m, count(*) AS c", "bare-return-aggregates", expect=[("b", 1)])
     run("RETURN [1,2,3][9] AS oob, {a:1} = {a:1} AS me", "oob-map-eq", expect=[(None, True)])
 
+    # ---------- corpus H: r12 feature edge cases ----------
+    _S = Session(spark)
+    run("CREATE (:P {name:'ann', age:40})")
+    run("CREATE (:P {name:'bob', age:30})")
+    run("CREATE (:Q {name:'dot', age:5})")
+    run("MATCH (a:P {name:'ann'}), (b:P {name:'bob'}) CREATE (a)-[:K]->(b)")
+    run("MATCH (n:(P|Q)&!R) RETURN count(*) AS c", "label-expr-parens", expect=[(3,)])
+    run("MATCH (a:P {name:'ann'})-[:K]->{1,2}(b:P {name:'bob'}) RETURN b.name AS n", "qpp-target-filter", expect=[("bob",)])
+    run("MATCH (a:P)-[:K]->(b:P WHERE b.age < a.age) RETURN b.name AS n", "inline-where-crossvar", expect=[("bob",)])
+    run("MATCH (p:P) CALL { WITH p SET p.x = 1 } IN TRANSACTIONS", "call-in-tx-match-set")
+    run("MATCH (p:P {x: 1}) RETURN count(*) AS c", "call-in-tx-set-readback", expect=[(2,)])
+    run("MERGE (m:X1:Y1 {k:1}) RETURN labels(m) AS l", "merge-multilabel")
+    run("RETURN 'a' || 'b' || 'c' AS s", "concat-chain", expect=[("abc",)])
+    run("CREATE (:A|B {k:1})", "create-label-expr-rejected", expect_err="not allowed in a CREATE")
+    d2 = tempfile.mkdtemp()
+    p2 = os.path.join(d2, "nh.csv")
+    with open(p2, "w") as f:
+        f.write("x,1\ny,2\n")
+    run(f"LOAD CSV FROM 'file://{p2}' AS row RETURN row[0] AS a ORDER BY a", "load-csv-positional")
+
     print()
     print("=== FAILURES ===")
     for f, m in FAILS:
