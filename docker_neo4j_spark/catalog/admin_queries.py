@@ -893,6 +893,29 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'gds.bfs.stream'
     UNION ALL SELECT 'dbms.listConfig'
     UNION ALL SELECT 'example.defaultValues'
+    UNION ALL SELECT 'apoc.case'
+    UNION ALL SELECT 'apoc.do.when'
+    UNION ALL SELECT 'apoc.export.cypher.all'
+    UNION ALL SELECT 'db.indexes'
+    UNION ALL SELECT 'db.info'
+    UNION ALL SELECT 'db.schema.nodeTypeProperties'
+    UNION ALL SELECT 'dbms.info'
+    UNION ALL SELECT 'gds.articleRank.stream'
+    UNION ALL SELECT 'gds.betweenness.stream'
+    UNION ALL SELECT 'gds.closeness.stream'
+    UNION ALL SELECT 'gds.eigenvector.stream'
+    UNION ALL SELECT 'gds.graph.nodeProperties.stream'
+    UNION ALL SELECT 'gds.kcore.stream'
+    UNION ALL SELECT 'gds.leiden.stream'
+    UNION ALL SELECT 'gds.localClusteringCoefficient.stream'
+    UNION ALL SELECT 'gds.louvain.stats'
+    UNION ALL SELECT 'gds.pageRank.mutate'
+    UNION ALL SELECT 'gds.pageRank.stats'
+    UNION ALL SELECT 'gds.scc.stream'
+    UNION ALL SELECT 'gds.triangleCount.stats'
+    UNION ALL SELECT 'gds.triangleCount.stream'
+    UNION ALL SELECT 'gds.wcc.mutate'
+    UNION ALL SELECT 'gds.wcc.stats'
     """,
 )
 def proc_show_procedures(spark, sf_dir):

@@ -2231,10 +2231,30 @@ class Session:
         # pipeline stages after the YIELD run through the shared WITH
         # machinery over the yielded frame
         pipeline = []
-        h_p = _find_kw(rest, "WITH")
-        h_pu = _find_kw(rest, "UNWIND")
-        if h_pu and (not h_p or h_pu[0] < h_p[0]):
-            h_p = h_pu
+        h_p = None
+        from .lexer import tokenize as _tokenize2
+
+        _ptoks = _tokenize2(rest)
+        _depth = 0
+        for _i, _t in enumerate(_ptoks):
+            if _t.kind == "punct":
+                _depth += _t.text in "([{"
+                _depth -= _t.text in ")]}"
+                continue
+            if _depth or _t.kind != "ident":
+                continue
+            up_t = _t.text.upper()
+            if up_t == "UNWIND":
+                h_p = (_t.pos, _t.pos)
+                break
+            if up_t == "WITH":
+                prev = _ptoks[_i - 1] if _i else None
+                if prev is not None and prev.kind == "ident" and prev.text.upper() in (
+                    "STARTS", "ENDS"
+                ):
+                    continue  # STARTS WITH / ENDS WITH predicate, not a stage
+                h_p = (_t.pos, _t.pos)
+                break
         if h_p:
             stage_src = rest[h_p[0]:].strip()
             rest = rest[: h_p[0]].strip()
