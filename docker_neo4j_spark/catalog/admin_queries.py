@@ -2588,6 +2588,7 @@ def cypher_set_expression_readback(spark, sf_dir):
     UNION ALL SELECT 'apoc.text.phonetic', 'apoc'
     UNION ALL SELECT 'apoc.text.repeat', 'apoc'
     UNION ALL SELECT 'apoc.text.swapCase', 'apoc'
+    UNION ALL SELECT 'apoc.text.format', 'apoc'
     UNION ALL SELECT 'gds.similarity.cosine', 'gds'
     UNION ALL SELECT 'gds.similarity.euclidean', 'gds'
     UNION ALL SELECT 'gds.similarity.euclideanDistance', 'gds'
