@@ -893,6 +893,8 @@ class _Parser:
         needs a common value type, the same constraint the ladder had)."""
         self._expect_punct("{")
         kv: list[Column] = []
+        keys_seen: list[str] = []
+        vtypes: list[str] = []
         lit: dict = {}
         all_lit = True
         while not self._at_punct("}"):
@@ -906,6 +908,8 @@ class _Parser:
             self._expect_punct(":")
             v = self.or_expr()
             kv += [F.lit(key), v.col]
+            keys_seen.append(key)
+            vtypes.append(self._static_typename(v))
             if v.has_lit and all_lit:
                 lit[key] = v.lit
             else:
@@ -915,7 +919,18 @@ class _Parser:
         self._take()  # }
         if not kv:
             return _V(F.create_map().cast("map<string,string>"), lit={})
-        return _V(F.create_map(*kv), lit=lit if all_lit else _MISSING)
+        # Cypher maps are heterogeneous; Spark's MapType needs one value
+        # type. When the values don't share a static type, carry the
+        # literal as a STRUCT instead (r12): field access and
+        # serialization behave identically, mixed types survive.
+        distinct = {t for t in vtypes if t}
+        if len(distinct) > 1:
+            out = F.struct(
+                *[kv[i + 1].alias(keys_seen[i // 2]) for i in range(0, len(kv), 2)]
+            )
+        else:
+            out = F.create_map(*kv)
+        return _V(out, lit=lit if all_lit else _MISSING)
 
     def _case(self) -> _V:
         """Both CASE forms: simple (``CASE subj WHEN v THEN r …``) and
@@ -1195,6 +1210,23 @@ class _Parser:
                     and f"{arg_srcs[0]}_id" in frame.columns
                 ):
                     return _V(resolve(f"keys({arg_srcs[0]})"))
+                if self._static_typename(args[0]) == "struct" or (
+                    args[0].has_lit and isinstance(args[0].lit, dict)
+                ):
+                    # heterogeneous map literal carried as a struct —
+                    # its keys are statically known (r12)
+                    if args[0].has_lit:
+                        names = list(args[0].lit)
+                    else:
+                        names = (
+                            frame.select(args[0].col.alias("_t"))
+                            .schema[0]
+                            .dataType.fieldNames()
+                            if frame is not None
+                            else []
+                        )
+                    if names:
+                        return _V(F.array(*[F.lit(n) for n in names]))
                 return _V(cf.keys(args[0].col))  # map_keys over a map value
             if low == "properties" and one_ident:
                 return _V(resolve(f"properties({arg_srcs[0]})"))

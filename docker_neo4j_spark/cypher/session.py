@@ -213,21 +213,31 @@ def _rewrite_call_shapes(src: str) -> str:
             if close is None:
                 continue
             k = close + 1
+            if not (k < len(toks) and toks[k].kind == "ident" and toks[k].text.upper() == "IN"):
+                continue
+            # `IN [n CONCURRENT] TRANSACTIONS` (5.21 adds the concurrency
+            # degree — semantics-neutral here, Spark parallelizes anyway)
+            k2 = k + 1
+            if (
+                k2 + 1 < len(toks)
+                and toks[k2].kind == "num"
+                and toks[k2 + 1].kind == "ident"
+                and toks[k2 + 1].text.upper() == "CONCURRENT"
+            ):
+                k2 += 2
             if not (
-                k + 1 < len(toks)
-                and toks[k].kind == "ident"
-                and toks[k].text.upper() == "IN"
-                and toks[k + 1].kind == "ident"
-                and toks[k + 1].text.upper() == "TRANSACTIONS"
+                k2 < len(toks)
+                and toks[k2].kind == "ident"
+                and toks[k2].text.upper() == "TRANSACTIONS"
             ):
                 continue
             # consume the optional OF n ROWS / ON ERROR … tail
             m = re.match(
                 r"\s*(?:OF\s+\d+\s+ROWS?)?\s*(?:ON\s+ERROR\s+\w+)?",
-                src[toks[k + 1].end :],
+                src[toks[k2].end :],
                 re.IGNORECASE,
             )
-            tail_end = toks[k + 1].end + (m.end() if m else 0)
+            tail_end = toks[k2].end + (m.end() if m else 0)
             inner = src[nxt.end : toks[close].pos].strip()
             if _find_kw(inner, "RETURN") is not None:
                 # a returning subquery: keep the CALL {} (the subquery
@@ -278,7 +288,21 @@ def _node_spec(el: "_Node", var: str | None = None):
 
 def _lit_map(d: dict) -> F.Column:
     """Map literal → a map column (nested maps recurse; scalars/lists via
-    F.lit) — the ``RETURN {a: 1} AS m`` surface."""
+    F.lit) — the ``RETURN {a: 1} AS m`` surface. Mixed value types carry
+    as a STRUCT (Cypher maps are heterogeneous; Spark MapType is not —
+    r12)."""
+    kinds = {
+        (dict if isinstance(v, dict) else bool if isinstance(v, bool) else type(v))
+        for v in d.values()
+        if v is not None
+    }
+    if len(kinds) > 1:
+        return F.struct(
+            *[
+                (_lit_map(v) if isinstance(v, dict) else F.lit(v)).alias(str(k))
+                for k, v in d.items()
+            ]
+        )
     kv = []
     for k, v in d.items():
         kv.append(F.lit(k))
@@ -362,6 +386,15 @@ def _frame_resolver(frame: DataFrame):
             var, prop = name.split(".", 1)
             if f"{var}_{prop}" in cols:
                 return F.col(f"{var}_{prop}")
+            if var in cols and "." in prop:
+                # nested struct/map chain on a bound value (r12):
+                # `m.b.c` over a heterogeneous-map struct
+                dt = frame.schema[var].dataType
+                if hasattr(dt, "fieldNames") or dt.typeName() == "map":
+                    out = F.col(f"`{var}`")
+                    for part in prop.split("."):
+                        out = out[part]
+                    return out
             if var in cols and "." not in prop:
                 dt = frame.schema[var].dataType
                 if hasattr(dt, "fieldNames"):
