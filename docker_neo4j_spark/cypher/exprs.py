@@ -1339,18 +1339,25 @@ class _Parser:
             mapped = DOTTED_FNS.get(name)
             fn = getattr(cf, mapped, None) if mapped else None
             if fn is None:
-                # registered plugin scalar functions (apoc.version, …) —
-                # their signature contract is literal arguments
-                if not all(a.has_lit for a in args):
-                    raise ValueError(
-                        f"{name}(): plugin scalar functions take literal arguments"
-                    )
+                # registered plugin scalar functions (apoc.*, gds.*) —
+                # literal args pass as Python values (lists/maps lift to
+                # array/map literals in the registry wrapper); bound
+                # expressions pass as Columns (r12 — was literal-only)
                 from ..procedures.registry import fn as plugin_fn
 
                 try:
-                    return _V(plugin_fn(name, *[a.lit for a in args]))
-                except (KeyError, ValueError) as exc:
+                    return _V(
+                        plugin_fn(
+                            name,
+                            *[a.lit if a.has_lit else a.col for a in args],
+                        )
+                    )
+                except KeyError as exc:
                     raise ValueError(f"unknown function {name}()") from exc
+                except TypeError as exc:
+                    raise ValueError(
+                        f"invalid arguments to {name}(): {exc}"
+                    ) from exc
             return _V(_safe_call(name, fn, call_args))
         fn = getattr(cf, name, None) or getattr(cf, name + "_", None)
         if fn is None:

@@ -323,6 +323,48 @@ def parse_value(v: str):
     return out
 
 
+def parse_map_srcs(src: str) -> dict[str, str]:
+    """Map literal text → {key: value_source_text} — each value kept as
+    its raw balanced source span (for call sites that compile values
+    later against a binding frame, e.g. ``SET n += {…}`` branches)."""
+    s = _Stream(tokenize(src), src)
+    s.expect("punct", "{")
+    out: dict[str, str] = {}
+    while not s.at("punct", "}"):
+        kt = s.take()
+        if kt.kind == "str":
+            key = _unquote(kt.text)
+        elif kt.kind in ("ident", "num"):
+            key = kt.text
+        else:
+            raise ValueError(f"bad map key at: {src[kt.pos:kt.pos + 40]!r}")
+        s.expect("punct", ":")
+        t0 = s.peek()
+        if t0 is None:
+            raise ValueError(f"map value missing in: {src!r}")
+        depth, end = 0, t0.end
+        while True:
+            t = s.peek()
+            if t is None:
+                break
+            if t.kind == "punct":
+                if t.text in "([{":
+                    depth += 1
+                elif t.text in ")]}":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif t.text == "," and depth == 0:
+                    break
+            end = t.end
+            s.take()
+        out[key] = src[t0.pos:end]
+        if s.at("punct", ","):
+            s.take()
+    s.expect("punct", "}")
+    return out
+
+
 def parse_props(src: str | None) -> dict:
     """Property-block BODY text (no outer braces) → dict — signature kept
     from the old ``_parse_props`` so ported call sites drop in."""
@@ -455,30 +497,34 @@ def _parse_rel(s: _Stream) -> Rel:
         s.take()
         larrow = True
     s.expect("punct", "-")
-    s.expect("punct", "[")
-    var = s.take().text if s.at("ident") else None
-    rel_type = None
-    if s.at("punct", ":"):
-        s.take()
-        names = [s.expect("ident").text]
-        while s.at("punct", "|"):
-            s.take()
-            names.append(s.expect("ident").text)
-        rel_type = "|".join(names)
+    var = rel_type = None
     lo = hi = None
-    if s.at("punct", "*"):
+    props: dict = {}
+    where = None
+    if s.at("punct", "["):
         s.take()
-        # `*` → 1..10 (engine cap), `*n` → n..n, `*a..b` → a..b, `*..b` → 1..b
-        lo_txt = s.take().text if s.at("num") else None
-        lo = int(lo_txt) if lo_txt else 1
-        if s.at("dotdot"):
+        var = s.take().text if s.at("ident") else None
+        if s.at("punct", ":"):
             s.take()
-            hi = int(s.take().text) if s.at("num") else 10
-        else:
-            hi = int(lo_txt) if lo_txt else 10
-    props = _parse_map_body(s) if s.at("punct", "{") else {}
-    where = _capture_inline_where(s, "]")
-    s.expect("punct", "]")
+            names = [s.expect("ident").text]
+            while s.at("punct", "|"):
+                s.take()
+                names.append(s.expect("ident").text)
+            rel_type = "|".join(names)
+        if s.at("punct", "*"):
+            s.take()
+            # `*` → 1..10 (engine cap), `*n` → n..n, `*a..b` → a..b, `*..b` → 1..b
+            lo_txt = s.take().text if s.at("num") else None
+            lo = int(lo_txt) if lo_txt else 1
+            if s.at("dotdot"):
+                s.take()
+                hi = int(s.take().text) if s.at("num") else 10
+            else:
+                hi = int(lo_txt) if lo_txt else 10
+        props = _parse_map_body(s) if s.at("punct", "{") else {}
+        where = _capture_inline_where(s, "]")
+        s.expect("punct", "]")
+    # else: bracketless arrow `--` / `-->` / `<--` — anonymous untyped rel
     s.expect("punct", "-")
     rarrow = False
     if s.at("punct", ">"):
@@ -569,10 +615,12 @@ def parse_pattern(src: str) -> tuple[list, str]:
             end_pos = s.toks[s.i - 1].end
             continue
         if s.at("punct", "<") or s.at("punct", "-"):
-            # a '-' not followed by '[' (or '<' not followed by '-[') is
-            # not a relationship — e.g. the '-' of an arithmetic tail
+            # a '-' not followed by '[' or another '-' (or '<' not
+            # followed by '-[' / '--') is not a relationship — e.g. the
+            # '-' of an arithmetic tail. The bracketless forms `--`,
+            # `-->`, `<--` are anonymous untyped relationships.
             j = 1 if s.at("punct", "-") else 2
-            if not s.at("punct", "[", ahead=j):
+            if not (s.at("punct", "[", ahead=j) or s.at("punct", "-", ahead=j)):
                 break
             rel = _parse_rel(s)
             if not s.at("punct", "("):
@@ -596,6 +644,7 @@ def split_top(src: str, word: str) -> list[str]:
     upper = word.upper()
     parts: list[str] = []
     depth = start = 0
+    prev: str | None = None
     for t in tokenize(src):
         if t.kind == "punct" and t.text in _OPEN:
             depth += 1
@@ -603,13 +652,17 @@ def split_top(src: str, word: str) -> list[str]:
             depth -= 1
         elif (
             depth == 0
+            and prev != "."
             and (
                 (t.kind == "ident" and t.text.upper() == upper)
                 or (t.kind == "punct" and t.text == word)
             )
         ):
+            # prev != ".": a keyword-named segment of a dotted function
+            # name (apoc.coll.union) is not a clause keyword (r12)
             parts.append(src[start : t.pos])
             start = t.end
+        prev = t.text if t.kind == "punct" else None
     parts.append(src[start:])
     return parts
 
@@ -636,6 +689,9 @@ def find_keyword(src: str, *words: str) -> tuple[int, int] | None:
                 depth -= 1
             continue
         if depth or t.kind != "ident" or t.text.upper() != seq[0]:
+            continue
+        if i and toks[i - 1].kind == "punct" and toks[i - 1].text == ".":
+            # dotted-name segment (apoc.coll.union), not a clause keyword
             continue
         j = i
         ok = True

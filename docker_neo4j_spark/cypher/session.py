@@ -40,6 +40,7 @@ from .lexer import (  # r8: the positional-token lexer replaces the regex
     Node as _Node,   # scanners (_NODE_RE/_REL_RE) and the char-scan
     Rel as _Rel,
     find_keyword as _find_kw,
+    parse_map_srcs as _parse_map_srcs,
     parse_pattern as _lex_parse_pattern,
     parse_props as _parse_props,
     parse_value as _parse_value,
@@ -931,8 +932,11 @@ def _static_rel_info(elems: list) -> dict:
 
 def _looks_like_pattern(src: str) -> bool:
     """A WHERE term that is itself a relationship pattern, e.g.
-    ``(a)-[:T]->(b)`` — node paren followed by a rel bracket."""
-    return bool(re.match(r"\(", src)) and bool(re.search(r"\)\s*<?-\s*\[", src))
+    ``(a)-[:T]->(b)`` or the bracketless ``(a)-->(b)`` — node paren
+    followed by a rel bracket or a bare double-dash arrow."""
+    return bool(re.match(r"\(", src)) and bool(
+        re.search(r"\)\s*<?-\s*(\[|-)", src)
+    )
 
 
 @dataclass
@@ -1035,13 +1039,28 @@ class Session:
         if head == "FOREACH":
             return self._foreach(q)
         if head == "UNWIND":
+            h_m = _find_kw(q, "MATCH")
             h_r = _find_kw(q, "RETURN")
+            if h_m and (not h_r or h_m[0] < h_r[0]):
+                # UNWIND … MATCH … — the unit-row pipeline (r12)
+                return self._leading_pipeline(q)
             if h_r and _find_kw(q[: h_r[0]], "WITH"):
                 # UNWIND … WITH … pipelines share the standalone-WITH
                 # stage machinery (r10)
                 return self._standalone_with(q)
             return self._standalone_unwind(q)
         if head == "WITH":
+            h_r = _find_kw(q, "RETURN")
+            scope = q[: h_r[0]] if h_r else q
+            if any(
+                _find_kw(scope, *w)
+                for w in (
+                    ("MATCH",), ("CREATE",), ("MERGE",), ("FOREACH",),
+                    ("DELETE",),
+                )
+            ):
+                # WITH … MATCH / write clauses — unit-row pipeline (r12)
+                return self._leading_pipeline(q)
             return self._standalone_with(q)
         if head == "SHOW" and q.upper().startswith("SHOW PROCEDURES"):
             from ..procedures.registry import show_procedures
@@ -2160,8 +2179,19 @@ class Session:
             pattern_src = (
                 pattern_src[: h_on[0]] + (tail_src[h_next[0]:] if h_next else "")
             ).strip()
-            for item in assigns.split(","):
-                lhs, rhs = item.split("=", 1)
+            for item in _split_top(assigns, ","):
+                it = item.strip()
+                m_pe = re.match(
+                    r"([A-Za-z_]\w*)\s*\+=\s*(\{.*\})\s*$", it, re.DOTALL
+                )
+                if m_pe:
+                    # `ON … SET var += {map}` merges each key (r12)
+                    for p, vsrc in _parse_map_srcs(m_pe.group(2)).items():
+                        target.setdefault(m_pe.group(1), {})[p] = _parse_value(
+                            vsrc
+                        )
+                    continue
+                lhs, rhs = it.split("=", 1)
                 var, prop = lhs.strip().split(".", 1)
                 target.setdefault(var, {})[prop] = _parse_value(rhs.strip())
         elems, rest = _parse_pattern(pattern_src)
@@ -2516,6 +2546,58 @@ class Session:
             frame, src[h_ret[1]:].strip(), [], _frame_resolver(frame)
         )
 
+    def _leading_pipeline(self, q: str) -> DataFrame:
+        """A statement that OPENS with WITH/UNWIND but continues into
+        MATCH or write clauses — ``WITH 1 AS x MATCH (n) RETURN n.k + x``
+        (r12, a common parameter-binding idiom). The whole statement runs
+        as a stage pipeline over one unit row through the same
+        ``_run_with_stages`` machinery the MATCH-anchored pipeline uses;
+        the first stage's items evaluate as closed expressions."""
+        body = q.strip()
+        w_hits = [
+            (h[0], h[1], " ".join(words))
+            for words in (
+                ("CREATE",), ("MERGE",), ("SET",), ("REMOVE",),
+                ("DETACH", "DELETE"), ("DELETE",), ("FOREACH",),
+            )
+            if (h := _find_kw(body, *words))
+        ]
+        h_write = min(w_hits) if w_hits else None
+        h_return = _find_kw(body, "RETURN")
+        verb = tail = ret = None
+        if h_write and (not h_return or h_write[0] < h_return[0]):
+            head_src = body[: h_write[0]].strip()
+            verb, tail = h_write[2], body[h_write[1]:].strip()
+        elif h_return:
+            head_src = body[: h_return[0]].strip()
+            ret = body[h_return[1]:].strip()
+        else:
+            raise ValueError("pipeline requires RETURN or a write clause")
+        parts, stage_kws = _split_pipeline(head_src)
+        if parts[0].strip():
+            raise ValueError(
+                f"unexpected prefix before WITH/UNWIND: {parts[0]!r}"
+            )
+        pipeline = [
+            (stage_kws[i], parts[i + 1].strip()) for i in range(len(stage_kws))
+        ]
+        bound = self._run_with_stages(self.spark.range(1).select(), pipeline)
+        if verb == "CREATE":
+            return self._create_from_binding(tail, bound)
+        if verb == "MERGE":
+            return self._merge_from_binding(tail, bound)
+        if verb == "FOREACH":
+            return self._foreach_from_binding(tail, bound)
+        if verb in ("SET", "REMOVE"):
+            return self._set_from_binding(tail, bound, [], remove=verb == "REMOVE")
+        if verb in ("DELETE", "DETACH DELETE"):
+            return self._delete_from_binding(
+                tail, bound, [], detach="DETACH" in verb
+            )
+        if _has_count_subquery(ret):
+            bound, ret = self._apply_count_subqueries(bound, ret)
+        return self._project_match(bound, ret, [], _frame_resolver(bound))
+
     def _show_tail(self, out: DataFrame, tail: str) -> DataFrame:
         """``SHOW … [YIELD cols [WHERE pred] [RETURN items]]`` — the
         listing-command projection tail (r10)."""
@@ -2751,7 +2833,7 @@ class Session:
         # correlated CALL { [WITH imports] … RETURN … } after the pattern
         # (r10): extract the braced subquery before the OPTIONAL-MATCH /
         # WHERE splits — inner clauses are brace-guarded from them
-        call_sub = None
+        call_sub = call_proc = None
         h_call = _find_kw(pattern_src, "CALL")
         if h_call:
             seg = pattern_src[h_call[1]:].lstrip()
@@ -2772,6 +2854,12 @@ class Session:
                     raise ValueError(
                         f"unsupported clause after CALL subquery: {trailing!r}"
                     )
+                pattern_src = pattern_src[: h_call[0]].strip()
+            elif re.match(r"\(", seg) is None:
+                # non-braced procedure CALL after the pattern (r12) —
+                # the canonical GDS shape: ``MATCH (source:…)
+                # CALL gds.x.y('g', {sourceNode: source}) YIELD …``
+                call_proc = self._parse_call_proc_stage(seg)
                 pattern_src = pattern_src[: h_call[0]].strip()
         # OPTIONAL MATCH segments follow the main pattern (and its WHERE)
         segments = _split_kw(pattern_src, "OPTIONAL", "MATCH")
@@ -2854,6 +2942,8 @@ class Session:
             bound = self._bind_optional(bound, opt, k)
         if call_sub is not None:
             bound = self._apply_call_subquery_stage(bound, call_sub)
+        if call_proc is not None:
+            bound = self._apply_call_proc_stage(bound, call_proc)
 
         bound = self._run_with_stages(bound, pipeline)
 
@@ -2887,7 +2977,20 @@ class Session:
         write-then-continue statements (``MATCH … SET … WITH … RETURN``)."""
         for k2, (kind, stage_src) in enumerate(pipeline):
             if kind == "UNWIND":
+                # an UNWIND stage may also be followed by [OPTIONAL] MATCH
+                # (``UNWIND xs AS x MATCH (n {k: x}) …`` — r12)
+                h_om2 = _find_kw(stage_src, "OPTIONAL", "MATCH")
+                h_m2 = _find_kw(stage_src, "MATCH")
+                h2 = h_om2 if (h_om2 and (not h_m2 or h_om2[0] <= h_m2[0])) else h_m2
+                mtail = None
+                if h2:
+                    mtail = (h2 == h_om2, stage_src[h2[1]:].strip())
+                    stage_src = stage_src[: h2[0]].strip()
                 bound = self._unwind_stage(bound, stage_src)
+                if mtail is not None:
+                    bound = self._bind_additional(
+                        bound, mtail[1], mtail[0], 100 + k2
+                    )
                 continue
             # a WITH stage may be followed by another [OPTIONAL] MATCH —
             # the multi-MATCH pipeline (SURVEY §2.B.6); the new pattern
@@ -4159,7 +4262,16 @@ class Session:
             assigns = tail_src[: h_next[0]] if h_next else tail_src
             tail = (tail[: h_on[0]] + (tail_src[h_next[0]:] if h_next else "")).strip()
             for item in _split_top(assigns, ","):
-                lhs, rhs = item.split("=", 1)
+                it = item.strip()
+                m_pe = re.match(
+                    r"([A-Za-z_]\w*)\s*\+=\s*(\{.*\})\s*$", it, re.DOTALL
+                )
+                if m_pe:
+                    # `ON … SET var += {map}` merges each key (r12)
+                    for p, vsrc in _parse_map_srcs(m_pe.group(2)).items():
+                        target.setdefault(m_pe.group(1), {})[p] = vsrc
+                    continue
+                lhs, rhs = it.split("=", 1)
                 var, prop = lhs.strip().split(".", 1)
                 target.setdefault(var, {})[prop] = rhs.strip()
         return tail, on_create, on_match
@@ -4840,6 +4952,145 @@ class Session:
         final = node_join(self.store.graph.nodes)
         return self._project_match(final, ret, [el], _frame_resolver(final))
 
+    def _parse_call_proc_stage(self, seg: str):
+        """``CALL <proc>(args) [YIELD cols [WHERE pred]]`` text after a
+        MATCH pattern → (name, raw_args, yield_src, where_src) — the
+        canonical GDS invocation shape (r12)."""
+        m0 = re.match(r"([A-Za-z_][\w.]*)\s*", seg)
+        if not m0:
+            raise ValueError(f"Unsupported CALL after MATCH: {seg!r}")
+        name = m0.group(1)
+        raw, rest = self._scan_call_args(seg[m0.end():].strip())
+        rest = rest.strip()
+        yield_src = where_src = None
+        m_y = re.match(r"YIELD\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if m_y:
+            ytext = m_y.group(1).strip()
+            h_w = _find_kw(ytext, "WHERE")
+            if h_w:
+                where_src = ytext[h_w[1]:].strip()
+                ytext = ytext[: h_w[0]].strip()
+            yield_src = ytext
+        elif rest:
+            raise ValueError(
+                f"unsupported text after CALL {name}(…): {rest!r}"
+            )
+        return (name, raw, yield_src, where_src)
+
+    # per-row procedure fan-out is a driver loop by construction (Neo4j
+    # itself runs the procedure once per input row) — bounded loud so a
+    # big frame can't silently turn into thousands of GDS runs
+    _CALL_PROC_MAX_ROWS = 64
+
+    def _apply_call_proc_stage(self, bound: DataFrame, call_proc) -> DataFrame:
+        """Procedure CALL after MATCH: invoke once per distinct binding of
+        the referenced variables (the canonical case is ONE source row —
+        ``MATCH (source {name:…}) CALL gds….stream('g', {sourceNode:
+        source})``), union the tagged outputs, and join back onto the
+        binding frame. Bound node variables referenced in the argument
+        list resolve to their ids (GDS node parameters)."""
+        from ..procedures.registry import call as _registry_call
+        from .lexer import ExprText
+
+        name, raw, yield_src, where_src = call_proc
+        parts = [p.strip() for p in _split_top(raw or "", ",") if p.strip()]
+        parsed = [_parse_value(p) for p in parts]
+
+        def _entity_ref(v):
+            if isinstance(v, ExprText):
+                m = re.fullmatch(r"\s*([A-Za-z_]\w*)\s*", v.src)
+                if m and f"{m.group(1)}_id" in bound.columns:
+                    return m.group(1)
+                m_id = re.fullmatch(
+                    r"\s*id\(\s*([A-Za-z_]\w*)\s*\)\s*", v.src, re.IGNORECASE
+                )
+                if m_id and f"{m_id.group(1)}_id" in bound.columns:
+                    return m_id.group(1)
+                raise ValueError(
+                    f"CALL {name}(…): argument expression {v.src!r} must be "
+                    f"a literal or a bound node variable"
+                )
+            return None
+
+        refs: list[str] = []
+        for v in parsed:
+            r = _entity_ref(v)
+            if r:
+                refs.append(r)
+            elif isinstance(v, dict):
+                for mv in v.values():
+                    r = _entity_ref(mv)
+                    if r:
+                        refs.append(r)
+        refs = sorted(set(refs))
+        if not refs:
+            # constant args: one invocation, rows attach to every binding
+            out = self._invoke_proc(name, parsed, yield_src)
+            return bound.crossJoin(F.broadcast(out)) if bound.columns else out
+
+        key_cols = [f"{v}_id" for v in refs]
+        keys = [
+            tuple(r) for r in bound.select(*key_cols).distinct()
+            .limit(self._CALL_PROC_MAX_ROWS + 1).collect()
+        ]
+        if len(keys) > self._CALL_PROC_MAX_ROWS:
+            raise ValueError(
+                f"CALL {name}(…) would run once per binding row "
+                f"(>{self._CALL_PROC_MAX_ROWS} distinct bindings) — narrow "
+                f"the MATCH, or call the procedure standalone"
+            )
+        pieces = []
+        for key in keys:
+            env = dict(zip(refs, key))
+
+            def _cook(v):
+                r = _entity_ref(v)
+                if r:
+                    return int(env[r])
+                if isinstance(v, dict):
+                    return {k: _cook(mv) for k, mv in v.items()}
+                return v
+
+            out = self._invoke_proc(name, [_cook(v) for v in parsed], yield_src)
+            for var, vid in env.items():
+                out = out.withColumn(f"_ck_{var}", F.lit(int(vid)))
+            pieces.append(out)
+        allout = pieces[0]
+        for p in pieces[1:]:
+            allout = allout.unionByName(p)
+        cond = None
+        for v in refs:
+            c = F.col(f"{v}_id") == F.col(f"_ck_{v}")
+            cond = c if cond is None else cond & c
+        joined = bound.join(F.broadcast(allout), cond).drop(
+            *[f"_ck_{v}" for v in refs]
+        )
+        if where_src:
+            joined = joined.where(
+                _compile_where(where_src, _frame_resolver(joined))
+            )
+        return joined
+
+    def _invoke_proc(self, name: str, parsed_args: list, yield_src):
+        """One registry invocation with pre-cooked Python args."""
+        from ..procedures.registry import call as _registry_call
+
+        args = {f"arg{i}": v for i, v in enumerate(parsed_args)}
+        yield_cols = None
+        if yield_src and yield_src != "*":
+            yield_cols = [c.strip() for c in yield_src.split(",")]
+        return _registry_call(
+            self.spark,
+            name,
+            args=_eval_prop_map(self.spark, args) if args else None,
+            yield_cols=yield_cols,
+            context={
+                "graph": self.store.graph,
+                "store": self.store,
+                "session": self,
+            },
+        )
+
     def _apply_call_subquery_stage(self, bound: DataFrame, sub: str) -> DataFrame:
         """Correlated ``CALL { [WITH v,…] [OPTIONAL] MATCH … [WHERE …]
         RETURN [DISTINCT] items [ORDER BY …] [SKIP n] [LIMIT n] }``
@@ -4968,6 +5219,31 @@ class Session:
         elems, rest = _parse_pattern(src)
         if rest:
             raise ValueError(f"trailing content after MATCH pattern: {rest!r}")
+        # inline property maps that reference bound variables —
+        # ``MATCH (m:Loc {v: x})`` after WITH/UNWIND — hoist into the
+        # post-join WHERE (equivalent for the inner join; the pattern
+        # scan keeps only literal filters, r12)
+        from .lexer import ExprText
+
+        hoisted: list[str] = []
+        for j, el in enumerate(elems):
+            if not el.props:
+                continue
+            expr_props = {
+                pk: pv for pk, pv in el.props.items() if isinstance(pv, ExprText)
+            }
+            if not expr_props:
+                continue
+            if not el.var:
+                el.var = (
+                    f"_m{k}_{j}" if isinstance(el, _Node) else f"_mr{k}_{j}"
+                )
+            for pk, pv in expr_props.items():
+                hoisted.append(f"{el.var}.{pk} = ({pv.src})")
+                del el.props[pk]
+        if hoisted:
+            conj = " AND ".join(hoisted)
+            where_src = f"{conj} AND ({where_src})" if where_src else conj
         pattern = []
         for j, el in enumerate(elems):
             if isinstance(el, _Node):

@@ -351,6 +351,81 @@ def map_keys_sorted(m) -> Column:
     return F.array_sort(F.map_keys(_c(m)))
 
 
+def map_submap(m, keys) -> Column:
+    """apoc.map.submap — keep only the listed keys."""
+    ks = _c(keys)
+    return F.map_filter(_c(m), lambda k, _: F.array_contains(ks, k))
+
+
+def map_from_pair_list(pairs) -> Column:
+    """apoc.map.fromPairs — ``[[k, v], …]`` → map (keys stringified,
+    the APOC contract)."""
+    c = _c(pairs)
+    return F.map_from_arrays(
+        F.transform(c, lambda p: F.element_at(p, 1).cast("string")),
+        F.transform(c, lambda p: F.try_element_at(p, 2)),
+    )
+
+
+def temporal_format(value, fmt: str) -> Column:
+    """apoc.temporal.format — Java DateTimeFormatter pattern over a
+    date/datetime value."""
+    return F.date_format(_c(value), fmt)
+
+
+def text_split(s, regex: str) -> Column:
+    """apoc.text.split — regex split (unlike Cypher's literal split())."""
+    return F.split(_c(s), regex)
+
+
+def text_url_encode(s) -> Column:
+    """apoc.text.urlencode."""
+    return F.url_encode(_c(s))
+
+
+def text_url_decode(s) -> Column:
+    """apoc.text.urldecode."""
+    return F.url_decode(_c(s))
+
+
+def text_lpad(s, count: int, delim: str = " ") -> Column:
+    """apoc.text.lpad."""
+    return F.lpad(_c(s), int(count), delim)
+
+
+def text_rpad(s, count: int, delim: str = " ") -> Column:
+    """apoc.text.rpad."""
+    return F.rpad(_c(s), int(count), delim)
+
+
+def text_snake_case(s) -> Column:
+    """apoc.text.snakeCase — dash-separated lower (APOC's contract:
+    'testSnakeCase' → 'test-snake-case'; camel humps split first)."""
+    c = F.regexp_replace(_c(s), r"([a-z0-9])([A-Z])", r"$1 $2")
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_replace(F.trim(c), r"[^A-Za-z0-9]+", "-"), r"^-+|-+$", ""
+        )
+    )
+
+
+def text_regex_groups(s, pattern: str) -> Column:
+    """apoc.text.regexGroups — per match, [full, group1, …, groupN].
+    The group count is static (compiled from the pattern Python-side);
+    each match's groups re-extract from the matched span JVM-side."""
+    import re as _re
+
+    n = _re.compile(pattern).groups
+    c = _c(s)
+    full = F.regexp_extract_all(c, F.lit(pattern), 0)
+    return F.transform(
+        full,
+        lambda m: F.array(
+            m, *[F.regexp_extract(m, pattern, g) for g in range(1, n + 1)]
+        ),
+    )
+
+
 def map_sorted_join(m, pair_sep: str = "=", item_sep: str = ",") -> Column:
     """Render a map as the sorted 'k=v' joined string — the hash-stable
     serialization every map-valued oracle row goes through (map column
@@ -573,6 +648,11 @@ def util_sha256(parts: list) -> Column:
     return F.sha2(F.concat(*[_c(p).cast("string") for p in parts]), 256)
 
 
+def util_sha1(parts: list) -> Column:
+    """apoc.util.sha1 — sha-1 hex over the concatenated values."""
+    return F.sha1(F.concat(*[_c(p).cast("string") for p in parts]))
+
+
 def number_format(x, decimals: int = 0) -> Column:
     """apoc.number.format, fixed-decimals subset ('#.##'-family patterns
     expressed as a decimals count). Grouping separators are deliberately
@@ -641,6 +721,36 @@ def coll_occurrences(l, value) -> Column:
 def coll_reverse(l) -> Column:
     """apoc.coll.reverse."""
     return F.reverse(_c(l))
+
+
+def coll_zip(a, b) -> Column:
+    """apoc.coll.zip — pairwise [a[i], b[i]] (struct-typed pairs: Spark
+    arrays are homogeneous, a struct carries mixed element types)."""
+    return F.arrays_zip(_c(a), _c(b))
+
+
+def coll_pairs(l) -> Column:
+    """apoc.coll.pairs — adjacent pairs [x0,x1],[x1,x2],…,[xn,null]."""
+    c = _c(l)
+    return F.transform(
+        c,
+        lambda x, i: F.struct(
+            x.alias("first"), F.try_element_at(c, i + 2).alias("second")
+        ),
+    )
+
+
+def coll_frequencies(l) -> Column:
+    """apoc.coll.frequencies — {item, count} structs, item-ascending
+    (APOC leaves order unspecified; sorted is deterministic)."""
+    c = _c(l)
+    return F.transform(
+        F.array_sort(F.array_distinct(c)),
+        lambda u: F.struct(
+            u.alias("item"),
+            F.size(F.filter(c, lambda x: x == u)).cast("long").alias("count"),
+        ),
+    )
 
 
 def text_phonetic(s) -> Column:

@@ -246,6 +246,13 @@ def _apoc_version():
     return F.lit(__version__)
 
 
+@scalar_function("gds.version")
+def _gds_version():
+    from .. import __version__
+
+    return F.lit(__version__)
+
+
 def _litify(v):
     """Façade args arrive as parsed Python literals; Columns pass through."""
     return v if isinstance(v, F.Column) else F.lit(v)
@@ -292,6 +299,41 @@ def _register_apoc_functions() -> None:
         "apoc.create.uuid": (A.create_uuid, 0),
         "apoc.map.merge": (A.map_merge, 2),
         "apoc.text.format": (A.text_format, 0),
+        # r12 probe-found registrations — the impls are all builtin
+        # Column expressions (functions/apoc.py), zero Python UDFs
+        "apoc.coll.zip": (A.coll_zip, 2),
+        "apoc.coll.pairs": (A.coll_pairs, 1),
+        "apoc.coll.frequencies": (A.coll_frequencies, 1),
+        "apoc.coll.duplicates": (A.coll_duplicates, 1),
+        "apoc.coll.occurrences": (A.coll_occurrences, 2),
+        "apoc.coll.partition": (A.coll_partition, 1),
+        "apoc.coll.reverse": (A.coll_reverse, 1),
+        "apoc.text.split": (A.text_split, 1),
+        "apoc.text.regexGroups": (A.text_regex_groups, 1),
+        "apoc.text.urlencode": (A.text_url_encode, 1),
+        "apoc.text.urldecode": (A.text_url_decode, 1),
+        "apoc.text.base64Encode": (A.text_base64_encode, 1),
+        "apoc.text.base64Decode": (A.text_base64_decode, 1),
+        "apoc.text.lpad": (A.text_lpad, 1),
+        "apoc.text.rpad": (A.text_rpad, 1),
+        "apoc.text.snakeCase": (A.text_snake_case, 1),
+        "apoc.text.camelCase": (A.text_camel_case, 1),
+        "apoc.text.upperCamelCase": (A.text_upper_camel_case, 1),
+        "apoc.text.slug": (A.text_slug, 1),
+        "apoc.text.sorensenDiceSimilarity": (A.text_sorensen_dice_similarity, 2),
+        "apoc.text.fuzzyMatch": (A.text_fuzzy_match, 2),
+        "apoc.map.setKey": (A.map_set_key, 1),
+        "apoc.map.removeKey": (A.map_remove_key, 1),
+        "apoc.map.submap": (A.map_submap, 2),
+        "apoc.map.get": (A.map_get, 1),
+        "apoc.temporal.format": (A.temporal_format, 1),
+        "apoc.number.parseInt": (A.number_parse_int, 1),
+        "apoc.number.parseFloat": (A.number_parse_float, 1),
+        "apoc.date.add": (A.date_add, 1),
+        "apoc.date.convert": (A.date_convert, 1),
+        "apoc.date.field": (A.date_field, 1),
+        "apoc.date.toISO8601": (A.date_to_iso8601, 1),
+        "apoc.date.fromISO8601": (A.date_from_iso8601, 1),
     }
     for name, (impl, ncols) in mapping.items():
 
@@ -328,6 +370,32 @@ def _register_apoc_functions() -> None:
     }
     for name, (impl, ncols) in gds_mapping.items():
         _FUNCTIONS[name] = make(impl, ncols)
+
+    # hash fns take a Python LIST of parts (each lifted to a Column, not
+    # the list to one array — mixed part types hash fine); fromPairs
+    # builds the map from Python pair lists directly (r12)
+    def _hash_call(impl):
+        def call(parts):
+            if not isinstance(parts, list):
+                return impl([parts])
+            return impl([_litify(p) for p in parts])
+
+        return call
+
+    _FUNCTIONS["apoc.util.md5"] = _hash_call(A.util_md5)
+    _FUNCTIONS["apoc.util.sha256"] = _hash_call(A.util_sha256)
+    _FUNCTIONS["apoc.util.sha1"] = _hash_call(A.util_sha1)
+
+    def _from_pairs(pairs):
+        if isinstance(pairs, F.Column):
+            return A.map_from_pair_list(pairs)
+        kv = []
+        for p in pairs:
+            k, v = p[0], (p[1] if len(p) > 1 else None)
+            kv += [F.lit(str(k)), _litify(v)]
+        return F.create_map(*kv)
+
+    _FUNCTIONS["apoc.map.fromPairs"] = _from_pairs
 
 
 _register_apoc_functions()
@@ -993,6 +1061,62 @@ def _gds_graph_project(
 
 
 @procedure(
+    "gds.graph.project.cypher",
+    signature=(
+        "gds.graph.project.cypher(graphName :: STRING, nodeQuery :: STRING, "
+        "relationshipQuery :: STRING) :: (graphName :: STRING, "
+        "nodeCount :: INTEGER, relationshipCount :: INTEGER)"
+    ),
+    description=(
+        "Project a named graph from Cypher queries (legacy GDS cypher "
+        "projection: nodeQuery yields `id`, relationshipQuery yields "
+        "`source`/`target` plus optional property columns)"
+    ),
+)
+def _gds_graph_project_cypher(
+    spark: SparkSession, graphName: str = "", nodeQuery: str = "",
+    relationshipQuery: str = "", session=None,
+) -> DataFrame:
+    """The pre-GDS-2.x projection shape every older tutorial copies:
+    both queries run through the full Cypher façade (distributed — the
+    projection is two lazy DataFrames, never a driver materialization);
+    extra relationship columns (weight/cost) carry into the projection
+    as properties usable via ``relationshipWeightProperty``."""
+    if session is None:
+        raise ValueError("gds.graph.project.cypher requires a session context")
+    cat = _graphs_for(spark)
+    if graphName in cat:
+        raise ValueError(f"A graph with name '{graphName}' already exists")
+    nd = session.run(nodeQuery)
+    if "id" not in nd.columns:
+        raise ValueError(
+            f"nodeQuery must yield an `id` column, got {nd.columns}"
+        )
+    rd = session.run(relationshipQuery)
+    missing = [c for c in ("source", "target") if c not in rd.columns]
+    if missing:
+        raise ValueError(
+            f"relationshipQuery must yield `source` and `target` columns, "
+            f"got {rd.columns}"
+        )
+    nodes = nd.select(F.col("id").cast("long").alias("id"))
+    extras = [c for c in rd.columns if c not in ("source", "target")]
+    rels = rd.select(
+        F.col("source").cast("long").alias("src"),
+        F.col("target").cast("long").alias("dst"),
+        *[F.col(c) for c in extras],
+    )
+    nodes, rels = nodes.cache(), rels.cache()
+    nc, rc = nodes.count(), rels.count()
+    cat[graphName] = (nodes, rels, nc, rc)
+    return local_df(
+        spark,
+        [(graphName, nc, rc)],
+        "graphName string, nodeCount long, relationshipCount long",
+    )
+
+
+@procedure(
     "gds.graph.list",
     signature=(
         "gds.graph.list(graphName :: STRING) :: (graphName :: STRING, "
@@ -1027,10 +1151,32 @@ def _gds_graph_drop(spark: SparkSession, graphName: str = "") -> DataFrame:
     return local_df(spark, [(graphName,)], "graphName string")
 
 
-def _projected_graph(spark: SparkSession, graph_name: str):
-    """(nodes(id), edges(src,dst)) of a named catalog projection, or the
-    GDS error shape when it doesn't exist — or is empty (r12: algorithms
-    over a 0-node projection used to surface bare ZeroDivisionErrors)."""
+def _node_arg(v, what: str) -> int:
+    """A GDS node parameter: an int id, or anything id-shaped a façade
+    layer resolved a bound node variable to (a dict/Row carrying ``id``).
+    Everything else fails with the GDS error shape."""
+    if isinstance(v, bool):
+        raise ValueError(f"{what} must be a node or a node id, got {v!r}")
+    if isinstance(v, int):
+        return v
+    if isinstance(v, dict) and isinstance(v.get("id"), int):
+        return v["id"]
+    got = getattr(v, "id", None)
+    if isinstance(got, int):
+        return got
+    raise ValueError(f"{what} must be a node or a node id, got {v!r}")
+
+
+def _projected_graph(
+    spark: SparkSession, graph_name: str, weight_prop: str | None = None
+):
+    """(nodes(id), edges(src,dst[,weight])) of a named catalog projection,
+    or the GDS error shape when it doesn't exist — or is empty (r12:
+    algorithms over a 0-node projection used to surface bare
+    ZeroDivisionErrors). ``weight_prop`` (the canonical
+    ``relationshipWeightProperty`` config) adds a double ``weight``
+    column from the projected relationship property (missing values → 1.0,
+    GDS's defaultValue convention; an unknown property fails loud)."""
     cat = _graphs_for(spark)
     if graph_name not in cat:
         raise ValueError(
@@ -1041,7 +1187,21 @@ def _projected_graph(spark: SparkSession, graph_name: str):
         raise ValueError(
             f"Graph '{graph_name}' is empty (0 nodes) — nothing to compute on"
         )
-    return nodes.select("id"), rels.select("src", "dst")
+    if weight_prop is None:
+        return nodes.select("id"), rels.select("src", "dst")
+    if weight_prop not in rels.columns:
+        raise ValueError(
+            f"Relationship weight property '{weight_prop}' is not present "
+            f"in graph '{graph_name}' (project it with "
+            f"{{TYPE: {{properties: '{weight_prop}'}}}})"
+        )
+    return nodes.select("id"), rels.select(
+        "src",
+        "dst",
+        F.coalesce(F.col(weight_prop).cast("double"), F.lit(1.0)).alias(
+            "weight"
+        ),
+    )
 
 
 @procedure(
@@ -1051,17 +1211,36 @@ def _projected_graph(spark: SparkSession, graph_name: str):
         "dampingFactor :: FLOAT) :: (nodeId :: INTEGER, score :: FLOAT)"
     ),
     description="PageRank over a projected graph, streamed as (nodeId, score)",
-    defaults={"maxIterations": 15, "dampingFactor": 0.85},
+    defaults={
+        "maxIterations": 15,
+        "dampingFactor": 0.85,
+        "relationshipWeightProperty": None,
+    },
 )
 def _gds_pagerank_stream(
     spark: SparkSession, graphName: str = "",
     maxIterations: int = 15, dampingFactor: float = 0.85,
+    relationshipWeightProperty: str = None,
 ) -> DataFrame:
     """r11 — the GDS CALL execution surface: ``CALL gds.pageRank.stream('g')``
     runs the same BSP kernel the DataFrame catalog uses
-    (`operators/gds.py:pagerank`), over the `gds.graph.project`-ed frames."""
+    (`operators/gds.py:pagerank`), over the `gds.graph.project`-ed frames.
+    r12: ``relationshipWeightProperty`` drives the weighted variant (the
+    kernel's ``weight_col`` path — out-weights normalized per source)."""
     from ..operators import gds
 
+    if relationshipWeightProperty is not None:
+        nodes, edges = _projected_graph(
+            spark, graphName, str(relationshipWeightProperty)
+        )
+        out = gds.pagerank(
+            edges, nodes, iterations=int(maxIterations),
+            damping=float(dampingFactor), weight_col="weight",
+        )
+        return out.select(
+            F.col("id").alias("nodeId"),
+            F.col("pr").cast("double").alias("score"),
+        )
     nodes, edges = _projected_graph(spark, graphName)
     out = gds.pagerank(
         edges, nodes, iterations=int(maxIterations), damping=float(dampingFactor)
@@ -1321,22 +1500,35 @@ def _gds_degree_write(
 def _gds_dijkstra_stream(
     spark: SparkSession, graphName: str = "",
     sourceNode: int = 0, targetNode: int = None,
+    relationshipWeightProperty: str = None,
 ) -> DataFrame:
     """``CALL gds.shortestPath.dijkstra.stream('g', {sourceNode: …,
-    targetNode: …})`` (r12) — the projected graph carries no weight
-    column, so costs are hop counts (GDS's defaultValue:1 convention);
-    the same Bellman-Ford BSP kernel the sssp catalog rows audit."""
+    targetNode: …, relationshipWeightProperty: …})`` (r12) — with a
+    weight property the projected property column drives the same
+    Bellman-Ford BSP kernel the sssp catalog rows audit; without one
+    costs are hop counts (GDS's defaultValue:1 convention).
+    ``sourceNode``/``targetNode`` accept ints (the façade resolves bound
+    node variables to ids before dispatch — the canonical
+    ``MATCH (source) CALL …{sourceNode: source}`` shape)."""
     from ..operators import gds
 
-    _, edges = _projected_graph(spark, graphName)
-    src = local_df(spark, [(int(sourceNode),)], "id long")
-    out = gds.bfs(edges, src).select(
-        F.lit(int(sourceNode)).alias("sourceNode"),
+    src_id = _node_arg(sourceNode, "sourceNode")
+    src = local_df(spark, [(src_id,)], "id long")
+    if relationshipWeightProperty is not None:
+        _, edges = _projected_graph(
+            spark, graphName, str(relationshipWeightProperty)
+        )
+        out = gds.sssp(edges, src, weight_col="weight")
+    else:
+        _, edges = _projected_graph(spark, graphName)
+        out = gds.bfs(edges, src)
+    out = out.select(
+        F.lit(src_id).alias("sourceNode"),
         F.col("id").alias("targetNode"),
         F.col("dist").cast("double").alias("totalCost"),
     )
     if targetNode is not None:
-        out = out.where(F.col("targetNode") == int(targetNode))
+        out = out.where(F.col("targetNode") == _node_arg(targetNode, "targetNode"))
     return out
 
 
