@@ -97,6 +97,16 @@ _CHANGED_THIS_ROUND: list[str] = [
     # and the single-MATCH shortestPath path are untouched) — their
     # pre-existing rows carry no new risk and stay on the staleness
     # rotation so the 6 r4-graded rows fit the window (task 7).
+    # r12 late (session 3): the slice compiler grew negative-bound
+    # normalization, the trim family grew two-arg/ANSI forms, item
+    # aliases accept backticks, the UNION clause splitter skips dotted
+    # function names, and plugin scalar fns accept Column args —
+    # re-grade the rows running through those code paths
+    "fn_list_suite",
+    "fn_string_suite",
+    "union_distinct",
+    "fn_apoc_text_suite",
+    "fn_apoc_coll_suite",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -130,6 +140,19 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_r12_additions",
     # r12: WITH * passthrough
     "cypher_with_star",
+    # r12 late (session 3): probe-found canonical shapes — bracketless
+    # arrows, leading-WITH/UNWIND-MATCH pipelines, ON…SET += maps,
+    # trims/negative slices, the new APOC registrations, the canonical
+    # MATCH…CALL weighted-dijkstra invocation, mixed-item implicit
+    # grouping keys
+    "cypher_anon_arrows",
+    "cypher_leading_with",
+    "cypher_unwind_match_pipeline",
+    "cypher_merge_on_set_map",
+    "cypher_trim_slice_suite",
+    "fn_apoc_r12c_suite",
+    "proc_gds_dijkstra_weighted",
+    "cypher_count_expr_group",
 ]
 
 

@@ -3727,3 +3727,219 @@ def cypher_size_pattern(spark, sf_dir):
         "RETURN n.n_name AS name, size((n)<-[:IN_NATION]-(:Customer)) AS deg "
         "ORDER BY name"
     )
+
+
+@register(
+    "cypher_anon_arrows",
+    """
+    SELECT r_name AS region, CAST(COUNT(*) AS BIGINT) AS in_n,
+           CAST(COUNT(*) AS BIGINT) AS undirected_deg
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name ORDER BY region
+    """,
+)
+def cypher_anon_arrows(spark, sf_dir):
+    """Bracketless relationship arrows (r12): ``<--`` binds untyped
+    incoming rels, ``--`` undirected — the tutorial shapes
+    ``(a)-->(b)`` / ``(a)--(b)`` that previously failed to parse.
+    Region nodes only have incoming IN_REGION edges, so both counts
+    agree and the oracle is one grouped join."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (r:Region)<--(n) WITH r, count(n) AS in_n "
+        "MATCH (r)--(m) "
+        "RETURN r.r_name AS region, in_n, count(m) AS undirected_deg "
+        "ORDER BY region"
+    )
+
+
+@register(
+    "cypher_leading_with",
+    """
+    SELECT n_name AS name, CAST(4 AS BIGINT) AS cap
+    FROM nation WHERE n_nationkey < 4 ORDER BY name
+    """,
+)
+def cypher_leading_with(spark, sf_dir):
+    """A statement OPENING with WITH and continuing into MATCH (r12) —
+    the parameter-binding idiom ``WITH 4 AS cap MATCH … WHERE … < cap``;
+    runs as a unit-row pipeline through the shared stage machinery."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "WITH 4 AS cap MATCH (n:Nation) WHERE n.n_nationkey < cap "
+        "RETURN n.n_name AS name, cap ORDER BY name"
+    )
+
+
+@register(
+    "cypher_unwind_match_pipeline",
+    """
+    SELECT r_name AS name FROM region WHERE r_regionkey IN (0, 2)
+    ORDER BY name
+    """,
+)
+def cypher_unwind_match_pipeline(spark, sf_dir):
+    """``UNWIND … AS x MATCH (n {key: x})`` (r12): the UNWIND stage takes
+    a MATCH tail, and the inline property map referencing the unwound
+    variable hoists into the post-join WHERE (equivalent under the inner
+    join; the scan keeps literal filters only)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "UNWIND [0, 2] AS rk MATCH (r:Region {r_regionkey: rk}) "
+        "RETURN r.r_name AS name ORDER BY name"
+    )
+
+
+@register(
+    "cypher_merge_on_set_map",
+    """
+    SELECT CAST(1 AS BIGINT) AS k, TRUE AS made, CAST(10 AS BIGINT) AS n,
+           TRUE AS seen
+    """,
+)
+def cypher_merge_on_set_map(spark, sf_dir):
+    """``ON CREATE SET c += {map}`` / ``ON MATCH SET c += {map}`` (r12):
+    the map form merges each key (previously a parse crash). Run twice:
+    first run takes the CREATE branch, second the MATCH branch."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    for _ in range(2):
+        s.run(
+            "MERGE (c:Cfg {k: 1}) "
+            "ON CREATE SET c += {made: true, n: 10} "
+            "ON MATCH SET c += {seen: true}"
+        )
+    return s.run(
+        "MATCH (c:Cfg) RETURN c.k AS k, c.made AS made, c.n AS n, "
+        "c.seen AS seen"
+    )
+
+
+@register(
+    "cypher_trim_slice_suite",
+    """
+    SELECT 'a' AS bt, 'a' AS lt, 'a' AS rt, 'a' AS tb,
+           CAST(3 AS BIGINT) AS t2a, CAST(4 AS BIGINT) AS t2b,
+           CAST(3 AS BIGINT) AS bl_n, CAST(3 AS BIGINT) AS bl_last,
+           'llo' AS sub
+    """,
+)
+def cypher_trim_slice_suite(spark, sf_dir):
+    """Two-argument trims + the ANSI ``trim(BOTH … FROM …)`` specifier
+    (Neo4j 5.20) and NEGATIVE list-slice bounds (``xs[-2..]`` — from the
+    end, r12), plus one-argument from-index substring. List results
+    surface as subscripted scalars (the hash gate's convention for
+    array-valued outputs)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    return s.run(
+        "RETURN btrim('xxaxx','x') AS bt, ltrim('xxa','x') AS lt, "
+        "rtrim('axx','x') AS rt, trim(BOTH 'y' FROM 'yyayy') AS tb, "
+        "[1,2,3,4][-2..][0] AS t2a, [1,2,3,4][-2..][1] AS t2b, "
+        "size([1,2,3,4][..-1]) AS bl_n, [1,2,3,4][..-1][2] AS bl_last, "
+        "substring('hello', 2) AS sub"
+    )
+
+
+@register(
+    "fn_apoc_r12c_suite",
+    """
+    SELECT '005' AS lp, '500' AS rp, 'hello-world-x' AS sc,
+           'YWI=' AS b64, 'ab' AS b64d,
+           '0cc175b9c0f1b6a831c399e269772661' AS h5,
+           '86f7e437faa5a7fce15d1ddcb9eaeaea377667b8' AS h1,
+           'b' AS sp, CAST(2 AS BIGINT) AS occ, CAST(3 AS BIGINT) AS rev,
+           'a+b' AS ue, 'a b' AS ud
+    """,
+)
+def fn_apoc_r12c_suite(spark, sf_dir):
+    """The r12 probe-found APOC registrations: pads, snakeCase, base64,
+    md5/sha1 (list-of-parts contract), regex split, occurrences,
+    reverse, urlencode/urldecode — all builtin Column expressions."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    return s.run(
+        "RETURN apoc.text.lpad('5',3,'0') AS lp, "
+        "apoc.text.rpad('5',3,'0') AS rp, "
+        "apoc.text.snakeCase('helloWorldX') AS sc, "
+        "apoc.text.base64Encode('ab') AS b64, "
+        "apoc.text.base64Decode('YWI=') AS b64d, "
+        "apoc.util.md5(['a']) AS h5, apoc.util.sha1(['a']) AS h1, "
+        "apoc.text.split('a;b;c',';')[1] AS sp, "
+        "apoc.coll.occurrences([1,1,2],1) AS occ, "
+        "apoc.coll.reverse([1,2,3])[0] AS rev, "
+        "apoc.text.urlencode('a b') AS ue, apoc.text.urldecode('a%20b') AS ud"
+    )
+
+
+@register(
+    "proc_gds_dijkstra_weighted",
+    """
+    SELECT * FROM (VALUES ('A', 0.0), ('B', 50.0), ('C', 50.0), ('D', 90.0))
+    AS t(name, totalCost) ORDER BY name
+    """,
+)
+def proc_gds_dijkstra_weighted(spark, sf_dir):
+    """THE canonical GDS invocation from public docs (r12):
+    ``MATCH (source:…) CALL gds.shortestPath.dijkstra.stream('g',
+    {sourceNode: source, relationshipWeightProperty: 'cost'}) YIELD …`` —
+    node-valued sourceNode resolves to its id, the weight property rides
+    the projection, and the CALL runs as a bounded per-binding stage."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:RoadNode {name:'A'}), (:RoadNode {name:'B'}), "
+          "(:RoadNode {name:'C'}), (:RoadNode {name:'D'})")
+    for a, b, c in (("A", "B", 50), ("A", "C", 50), ("B", "D", 40), ("C", "D", 80)):
+        s.run(
+            f"MATCH (x:RoadNode {{name:'{a}'}}), (y:RoadNode {{name:'{b}'}}) "
+            f"CREATE (x)-[:ROAD {{cost: {c}}}]->(y)"
+        )
+    s.run("CALL gds.graph.project('wroad12', 'RoadNode', {ROAD: {properties: 'cost'}})")
+    out = s.run(
+        "MATCH (source:RoadNode {name:'A'}) "
+        "CALL gds.shortestPath.dijkstra.stream('wroad12', "
+        "{sourceNode: source, relationshipWeightProperty: 'cost'}) "
+        "YIELD targetNode, totalCost "
+        "RETURN gds.util.asNode(targetNode).name AS name, totalCost "
+        "ORDER BY name"
+    )
+    return out
+
+
+@register(
+    "cypher_count_expr_group",
+    """
+    SELECT CAST(COUNT(*) + c_nationkey AS BIGINT) AS v
+    FROM customer GROUP BY c_nationkey ORDER BY v
+    """,
+)
+def cypher_count_expr_group(spark, sf_dir):
+    """``RETURN count(*) + n.key`` (r12): bound names in the
+    non-aggregate part of a mixed item are implicit grouping keys
+    (Cypher's rule) — lifted to hidden keys, never an unresolved-column
+    error."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+        "RETURN count(*) + n.n_nationkey AS v ORDER BY v"
+    )

@@ -707,17 +707,29 @@ class _Parser:
     def _slice(col: Column, a: _V, b: _V | None) -> Column:
         a_lit = a.lit if a.has_lit and isinstance(a.lit, int) else None
         b_lit = b.lit if b is not None and b.has_lit and isinstance(b.lit, int) else None
-        if (a_lit is not None and a_lit < 0) or (b_lit is not None and b_lit < 0):
-            raise ValueError("negative slice bounds unsupported")
-        if b is None:
-            if a_lit is not None:
-                return F.slice(col, a_lit + 1, 1_000_000)
-            return F.slice(col, a.col.cast("int") + 1, F.lit(1_000_000))
-        if a_lit is not None and b_lit is not None:
+        # static fast path: non-negative literal bounds
+        if b is None and a_lit is not None and a_lit >= 0:
+            return F.slice(col, a_lit + 1, 1_000_000)
+        if a_lit is not None and a_lit >= 0 and b_lit is not None and b_lit >= 0:
             return F.slice(col, a_lit + 1, max(b_lit - a_lit, 0))
-        start = a.col.cast("int") + 1
-        length = F.greatest(b.col.cast("int") - a.col.cast("int"), F.lit(0))
-        return F.slice(col, start, length)
+        # general path — negative bounds count from the end (Cypher:
+        # xs[-2..] is the last two elements), dynamic bounds normalize
+        # the same way through Column arithmetic (r12)
+        size = F.size(col)
+
+        def norm(lit: int | None, v: _V) -> Column:
+            if lit is not None:
+                if lit >= 0:
+                    return F.lit(lit)
+                return F.greatest(size + F.lit(lit), F.lit(0))
+            c = v.col.cast("int")
+            return F.when(c >= 0, c).otherwise(
+                F.greatest(size + c, F.lit(0))
+            )
+
+        start0 = norm(a_lit, a)
+        end0 = size.cast("int") if b is None else norm(b_lit, b)
+        return F.slice(col, start0 + 1, F.greatest(end0 - start0, F.lit(0)))
 
     # ---- primaries -----------------------------------------------------
 
@@ -1066,6 +1078,29 @@ class _Parser:
         self._expect_punct("(")
         args: list[_V] = []
         arg_srcs: list[str] = []
+        # ANSI trim specifier: trim(BOTH|LEADING|TRAILING chars FROM s)
+        if name.lower() in ("trim", "ltrim", "rtrim", "btrim"):
+            t0 = self._peek()
+            if (
+                t0 is not None
+                and t0.kind == "ident"
+                and t0.text.upper() in ("BOTH", "LEADING", "TRAILING")
+            ):
+                side = self._take().text.upper()
+                chars = self.or_expr()
+                t_from = self._take()
+                if t_from is None or t_from.text.upper() != "FROM":
+                    raise ValueError("expected FROM in trim(... FROM ...)")
+                subject = self.or_expr()
+                self._expect_punct(")")
+                from ..functions import cypher as cf
+
+                fn = {
+                    "BOTH": cf.trim, "LEADING": cf.lTrim, "TRAILING": cf.rTrim
+                }[side]
+                out = _V(fn(subject.col, chars.col), is_str=True)
+                out.src_fn = name.lower()
+                return out
         while not self._at_punct(")"):
             v, src = self._span(self.or_expr)
             args.append(v)

@@ -752,6 +752,69 @@ def _compile_agg(item: str, resolve) -> F.Column | None:
     return getattr(F, fn)(col)
 
 
+def _lift_grouping_refs(out_text: str, resolve, keys: list) -> str:
+    """Rewrite bound-name references (``x`` / ``n.prop``) in a lifted
+    post-aggregation expression to hidden grouping-key aliases, appending
+    the keys — the Cypher implicit-grouping rule for items that mix an
+    aggregate with non-aggregated bound values. Function-call names,
+    ``_agg_N`` temps, and unresolvable idents (keywords, literals in
+    strings — the walk is on tokens, so quoted spans never match) pass
+    through untouched."""
+    from .lexer import tokenize as _tok
+
+    frame = getattr(resolve, "frame", None)
+    if frame is None:
+        return out_text
+    cols = set(frame.columns)
+    try:
+        toks = _tok(out_text)
+    except ValueError:
+        return out_text
+    hidden: dict[str, str] = {}
+    repl: list[tuple[int, int, str]] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind != "ident" or t.text.startswith("_agg_"):
+            i += 1
+            continue
+        # ident[.ident] chain; skip function calls (next token "(")
+        j, end = i, t.end
+        txt = t.text
+        liftable = t.text in cols  # a projected stage column
+        if (
+            i + 2 < len(toks)
+            and toks[i + 1].kind == "punct"
+            and toks[i + 1].text == "."
+            and toks[i + 2].kind == "ident"
+        ):
+            j, end = i + 2, toks[i + 2].end
+            txt = f"{t.text}.{toks[i + 2].text}"
+            # var.prop over a bound entity (missing prop → null is the
+            # resolver's contract, so var_id presence is the gate)
+            liftable = f"{t.text}_id" in cols
+        nxt = toks[j + 1] if j + 1 < len(toks) else None
+        if nxt is not None and nxt.kind == "punct" and nxt.text in "(.":
+            i = j + 1
+            continue
+        if not liftable:
+            i = j + 1
+            continue
+        try:
+            col = resolve(txt)
+        except Exception:
+            i = j + 1
+            continue
+        if txt not in hidden:
+            hidden[txt] = f"_gk_{len(keys)}"
+            keys.append((hidden[txt], col.alias(hidden[txt])))
+        repl.append((t.pos, end, hidden[txt]))
+        i = j + 1
+    for a, b, name in reversed(repl):
+        out_text = out_text[:a] + name + out_text[b:]
+    return out_text
+
+
 def _parse_items(
     src: str, resolve
 ) -> tuple[list, list, list | None, list[tuple[str, str]]]:
@@ -781,9 +844,10 @@ def _parse_items(
     frame = getattr(resolve, "frame", None)
     mixed = False
     for item in [i.strip() for i in _split_top(src, ",")]:
-        m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+        m_as = re.search(r"\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
         if m_as:
-            alias, item = m_as.group(1), item[: m_as.start()].strip()
+            # backticks quote any alias text (``AS `weird name```, r12)
+            alias, item = m_as.group(1).strip("`"), item[: m_as.start()].strip()
         else:
             alias = item
         if frame is not None and re.fullmatch(r"[A-Za-z_]\w*", item):
@@ -816,6 +880,11 @@ def _parse_items(
                 out_text += item[last:a] + tmp
                 last = b
             out_text += item[last:]
+            # bound names in the NON-aggregate remainder are implicit
+            # grouping keys (Cypher: ``RETURN count(*) + n.v`` groups by
+            # n.v) — lift each to a hidden key and rewrite the post-agg
+            # expression to its alias (r12; token-walk, quote-safe)
+            out_text = _lift_grouping_refs(out_text, resolve, keys)
             post.append(("expr", alias, out_text))
             continue
         keys.append((alias, _value_of(item, resolve).alias(alias)))
@@ -989,6 +1058,30 @@ class Session:
     def _run_impl(self, cypher: str, parameters: dict | None = None) -> DataFrame:
         """``run``'s dispatch body (see the public wrapper above)."""
         cypher = strip_comments(cypher)
+        m_use = re.match(r"USE\s+(`[^`]+`|[\w.]+)\s+(?=\S)", cypher, re.IGNORECASE)
+        if m_use:
+            # `USE db <statement>` — single-statement database selector.
+            # The session is already bound to a database; the same name
+            # strips to a no-op, a different one routes through the DBMS
+            # catalog (or fails with the Cypher error shape).
+            target = m_use.group(1).strip("`")
+            rest = cypher[m_use.end():]
+            if target == self.database:
+                cypher = rest
+            elif self.dbms is not None:
+                if target not in self.dbms.databases:
+                    raise ValueError(
+                        f"Database does not exist. Database name: '{target}'"
+                    )
+                sub = Session(
+                    self.spark, dbms=self.dbms, user=self.user,
+                    password=self.password, database=target,
+                )
+                return sub.run(rest, parameters)
+            else:
+                raise ValueError(
+                    f"Database does not exist. Database name: '{target}'"
+                )
         cypher = _rewrite_call_shapes(cypher)
         if parameters:
             batch = self._run_batch_spec(cypher, parameters)
@@ -2416,9 +2509,11 @@ class Session:
 
         cols = []
         for item in [i.strip() for i in _split_top(expr, ",")]:
-            m_as = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+            m_as = re.search(r"\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
             alias, body = (
-                (m_as.group(1), item[: m_as.start()].strip()) if m_as else (item, item)
+                (m_as.group(1).strip("`"), item[: m_as.start()].strip())
+                if m_as
+                else (item, item)
             )
             col = None
             if body.startswith("{") and body.endswith("}"):

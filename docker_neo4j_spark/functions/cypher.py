@@ -32,16 +32,28 @@ def toLower(x) -> Column:
     return F.lower(_c(x))
 
 
-def trim(x) -> Column:
-    return F.trim(_c(x))
+def trim(x, chars=None) -> Column:
+    # Neo4j 5.20+: trim(s, chars) strips the given characters both sides
+    if chars is None:
+        return F.trim(_c(x))
+    return F.trim(_c(x), _c(chars))
 
 
-def lTrim(x) -> Column:
-    return F.ltrim(_c(x))
+def lTrim(x, chars=None) -> Column:
+    if chars is None:
+        return F.ltrim(_c(x))
+    return F.ltrim(_c(x), _c(chars))
 
 
-def rTrim(x) -> Column:
-    return F.rtrim(_c(x))
+def rTrim(x, chars=None) -> Column:
+    if chars is None:
+        return F.rtrim(_c(x))
+    return F.rtrim(_c(x), _c(chars))
+
+
+def btrim(x, chars=None) -> Column:
+    # Neo4j 5.20 btrim(s[, chars])
+    return trim(x, chars)
 
 
 def substring(x, start, length=None) -> Column:

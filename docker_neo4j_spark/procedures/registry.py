@@ -2010,9 +2010,35 @@ def _refactor_merge_nodes(spark: SparkSession, nodes=None, store=None):
     return local_df(spark, [(target, len(gone))], "id long, merged long")
 
 
+def _node_entity_df(spark: SparkSession, store, nid: int) -> DataFrame:
+    """One (node, id) row for a stored node id — ``node`` is the engine's
+    entity struct (id, labels, stringified properties map), the shape
+    APOC's node-yielding procedures return (``YIELD node`` then
+    ``node.prop``). One filtered single-node read; control-plane only."""
+    nodes = store.graph.nodes.where(F.col("id") == int(nid))
+    prop_cols = [c for c in nodes.columns if c not in ("id", "labels")]
+    props_map = (
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in prop_cols]),
+                F.array(*[F.col(c).cast("string") for c in prop_cols]),
+            ),
+            lambda _, v: v.isNotNull(),
+        )
+        if prop_cols
+        else F.from_json(F.lit("{}"), "map<string,string>")
+    )
+    return nodes.select(
+        F.struct(
+            F.col("id"), F.col("labels"), props_map.alias("properties")
+        ).alias("node"),
+        F.col("id"),
+    )
+
+
 @procedure(
     "apoc.create.node",
-    signature="apoc.create.node(labels :: LIST OF STRING, props :: MAP) :: (id :: INTEGER)",
+    signature="apoc.create.node(labels :: LIST OF STRING, props :: MAP) :: (node :: NODE, id :: INTEGER)",
     description="Create a node with dynamically supplied labels and properties",
 )
 def _apoc_create_node(spark: SparkSession, labels=None, props=None, store=None):
@@ -2037,7 +2063,7 @@ def _apoc_create_node(spark: SparkSession, labels=None, props=None, store=None):
                 ).otherwise(F.col("labels")),
             )
         )
-    return local_df(spark, [(nid,)], "id long")
+    return _node_entity_df(spark, store, nid)
 
 
 @procedure(
@@ -2061,7 +2087,7 @@ def _apoc_create_relationship(
 
 @procedure(
     "apoc.merge.node",
-    signature="apoc.merge.node(labels :: LIST OF STRING, identProps :: MAP, onCreateProps :: MAP) :: (id :: INTEGER)",
+    signature="apoc.merge.node(labels :: LIST OF STRING, identProps :: MAP, onCreateProps :: MAP) :: (node :: NODE, id :: INTEGER)",
     description="MERGE a node by identifying properties with dynamic labels",
 )
 def _apoc_merge_node(
@@ -2092,7 +2118,7 @@ def _apoc_merge_node(
                 ).otherwise(F.col("labels")),
             )
         )
-    return local_df(spark, [(nid,)], "id long")
+    return _node_entity_df(spark, store, nid)
 
 
 @procedure(

@@ -67,6 +67,17 @@ class GraphStore:
     # ---- helpers -------------------------------------------------------
     def _union_missing(self, base: DataFrame, extra: DataFrame) -> DataFrame:
         """Schema-evolving union: new property columns null-pad old rows."""
+        dup = {c for c in extra.columns if extra.columns.count(c) > 1}
+        if dup:
+            # a user property named `id`/`labels`/`src`/`dst`/`type`
+            # collides with the store's fixed entity columns — fail with
+            # the engine's error shape, not Spark's COLUMN_ALREADY_EXISTS
+            # (r12; every write path unions through here)
+            raise ValueError(
+                f"property name(s) {sorted(dup)} are reserved by this "
+                f"engine (internal entity columns); rename the "
+                f"propert{'ies' if len(dup) > 1 else 'y'}"
+            )
         return base.unionByName(extra, allowMissingColumns=True)
 
     def reserve_node_ids(self, n: int) -> int:
@@ -82,16 +93,6 @@ class GraphStore:
 
     def append_nodes(self, df: DataFrame) -> None:
         """Append pre-built node rows (id, labels, props) in one union."""
-        dup = {c for c in df.columns if df.columns.count(c) > 1}
-        if dup:
-            # a user property named `id`/`labels` collides with the
-            # store's fixed entity columns — fail with the engine's error
-            # shape, not Spark's COLUMN_ALREADY_EXISTS (r12)
-            raise ValueError(
-                f"property name(s) {sorted(dup)} are reserved by this "
-                f"engine (internal entity columns); rename the "
-                f"propert{'ies' if len(dup) > 1 else 'y'}"
-            )
         self._enforce_unique(df)
         self._swap(nodes=self._union_missing(self.graph.nodes, df))
 
@@ -178,13 +179,6 @@ class GraphStore:
                 )
 
     def append_rels(self, df: DataFrame) -> None:
-        dup = {c for c in df.columns if df.columns.count(c) > 1}
-        if dup:
-            raise ValueError(
-                f"property name(s) {sorted(dup)} are reserved by this "
-                f"engine (internal entity columns); rename the "
-                f"propert{'ies' if len(dup) > 1 else 'y'}"
-            )
         self._swap(rels=self._union_missing(self.graph.rels, df))
 
     def stage_indexed(self, df: DataFrame) -> tuple[DataFrame, int]:

@@ -635,6 +635,72 @@ def main() -> int:
         f.write("x,1\ny,2\n")
     run(f"LOAD CSV FROM 'file://{p2}' AS row RETURN row[0] AS a ORDER BY a", "load-csv-positional")
 
+    # ---- corpus I (late r12): canonical-docs shapes probe-found broken,
+    # then fixed — arrows, leading WITH, MATCH…CALL gds, weighted algos,
+    # trims, slices, APOC breadth ----------------------------------------
+    run("CREATE (:Rd {name:'A'}), (:Rd {name:'B'}), (:Rd {name:'C'}), (:Rd {name:'D'})")
+    for a, b, c in (("A", "B", 50), ("A", "C", 50), ("B", "D", 40), ("C", "D", 80)):
+        run(f"MATCH (x:Rd {{name:'{a}'}}), (y:Rd {{name:'{b}'}}) CREATE (x)-[:RD {{cost: {c}}}]->(y)")
+    run("MATCH (a:Rd {name:'A'})-->(b) RETURN b.name AS n ORDER BY n", "anon-arrow-out",
+        expect=[("B",), ("C",)])
+    run("MATCH (a:Rd {name:'D'})<--(b) RETURN b.name AS n ORDER BY n", "anon-arrow-in",
+        expect=[("B",), ("C",)])
+    run("MATCH (a:Rd {name:'B'})--(b) RETURN count(*) AS c", "anon-arrow-undirected", expect=[(2,)])
+    run("MATCH (a:Rd) WHERE (a)-->() RETURN count(*) AS c", "anon-arrow-predicate", expect=[(3,)])
+    run("MATCH (a:Rd) RETURN a.name AS n, size((a)-->()) AS d ORDER BY n", "anon-arrow-size")
+    run("WITH 'A' AS nm MATCH (a:Rd {name: nm}) RETURN a.name AS n", "leading-with-match",
+        expect=[("A",)])
+    run("UNWIND ['A','B'] AS nm MATCH (a:Rd {name: nm}) RETURN a.name AS n ORDER BY n",
+        "unwind-match-propref", expect=[("A",), ("B",)])
+    run("WITH 2 AS x WITH x * 3 AS y MATCH (a:Rd {name:'A'}) RETURN y", "chained-with-match",
+        expect=[(6,)])
+    run("CALL gds.graph.project('rdw', 'Rd', {RD: {properties: 'cost'}})", "project-rel-props")
+    run("MATCH (source:Rd {name:'A'}) "
+        "CALL gds.shortestPath.dijkstra.stream('rdw', {sourceNode: source, relationshipWeightProperty: 'cost'}) "
+        "YIELD targetNode, totalCost RETURN gds.util.asNode(targetNode).name AS n, totalCost ORDER BY n",
+        "match-call-dijkstra-weighted",
+        expect=[("A", 0.0), ("B", 50.0), ("C", 50.0), ("D", 90.0)])
+    run("MATCH (source:Rd {name:'A'}), (target:Rd {name:'D'}) "
+        "CALL gds.shortestPath.dijkstra.stream('rdw', {sourceNode: source, targetNode: target, "
+        "relationshipWeightProperty: 'cost'}) YIELD totalCost RETURN totalCost",
+        "match-call-dijkstra-target", expect=[(90.0,)])
+    run("CALL gds.pageRank.stream('rdw', {relationshipWeightProperty: 'cost'}) YIELD nodeId, score "
+        "RETURN count(*) AS c", "weighted-pagerank", expect=[(4,)])
+    run("CALL gds.graph.project.cypher('rdc', 'MATCH (n:Rd) RETURN id(n) AS id', "
+        "'MATCH (a:Rd)-[r:RD]->(b:Rd) RETURN id(a) AS source, id(b) AS target')",
+        "legacy-cypher-projection")
+    run("CALL gds.degree.stream('rdc') YIELD nodeId, score RETURN count(*) AS c",
+        "degree-on-cypher-projection", expect=[(4,)])
+    run("CALL gds.graph.drop('rdc')")
+    run("CALL gds.graph.drop('rdw')")
+    run("RETURN gds.version() IS NOT NULL AS v", "gds-version", expect=[(True,)])
+    run("MERGE (cf:Cfi {k: 1}) ON CREATE SET cf += {made: true} ON MATCH SET cf += {seen: true} "
+        "RETURN cf.made AS m, cf.seen AS s", "merge-on-set-map-create", expect=[(True, None)])
+    run("MERGE (cf:Cfi {k: 1}) ON CREATE SET cf += {made: true} ON MATCH SET cf += {seen: true} "
+        "RETURN cf.made AS m, cf.seen AS s", "merge-on-set-map-match", expect=[(True, True)])
+    run("RETURN [1,2,3,4][-2..] AS a, [1,2,3,4][..-1] AS b, [1,2,3,4][-3..-1] AS c",
+        "negative-slices")
+    run("RETURN btrim('xxaxx','x') AS b, ltrim('xxa','x') AS l, rtrim('axx','x') AS r",
+        "two-arg-trims", expect=[("a", "a", "a")])
+    run("RETURN trim(BOTH 'x' FROM 'xxaxx') AS t", "ansi-trim-both", expect=[("a",)])
+    run("RETURN 1 AS `weird name`", "backtick-alias")
+    run("USE neo4j RETURN 1 AS x", "use-clause", expect=[(1,)])
+    run("MATCH (a:Rd) RETURN count(*) + 1 AS c LIMIT 1", "agg-plus-const", expect=[(5,)])
+    run("WITH 1 AS x MATCH (a:Rd) RETURN count(*) + x AS c", "agg-plus-boundvar", expect=[(5,)])
+    run("RETURN apoc.coll.zip([1,2],['a','b'])[0] IS NOT NULL AS z, "
+        "apoc.coll.frequencies([1,1,2])[0].count AS f", "apoc-coll-new")
+    run("RETURN apoc.text.lpad('5',3,'0') AS lp, apoc.text.snakeCase('helloWorld') AS sc, "
+        "apoc.util.md5(['a']) AS h", "apoc-text-new",
+        expect=[("005", "hello-world", "0cc175b9c0f1b6a831c399e269772661")])
+    run("RETURN apoc.map.submap({a:1,b:2}, ['a']) AS m, apoc.map.fromPairs([['a',1]]) AS fp",
+        "apoc-map-new")
+    run("RETURN apoc.temporal.format(date('2024-01-05'), 'yyyy-MM-dd') AS f",
+        "apoc-temporal-format", expect=[("2024-01-05",)])
+    run("RETURN apoc.coll.union([1,2],[2,3]) AS u", "apoc-union-keyword-name")
+    run("CALL apoc.create.node(['Tmpi'], {k: 1}) YIELD node RETURN node.k AS k",
+        "apoc-create-node-entity", expect=[("1",)])
+    run("MATCH (t:Tmpi) DETACH DELETE t")
+
     print()
     print("=== FAILURES ===")
     for f, m in FAILS:

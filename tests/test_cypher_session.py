@@ -1281,10 +1281,15 @@ def test_list_subscript_and_slice(spark):
     s.run("CREATE (:SL {tags: ['x', 'y', 'z']})")
     r = s.run("MATCH (n:SL) RETURN n.tags[1] AS t, n.tags[0..2] AS h").collect()[0]
     assert r.t == "y" and list(r.h) == ["x", "y"]
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="negative slice"):
-        s.run("RETURN [1,2,3][-2..] AS v")
+    # negative slice bounds count from the end (r12 — was a loud error)
+    neg = s.run(
+        "RETURN [1,2,3,4][-2..] AS a, [1,2,3,4][..-1] AS b, "
+        "[1,2,3,4][-3..-1] AS c, [1,2,3,4][-9..] AS clamped"
+    ).collect()[0]
+    assert list(neg.a) == [3, 4]
+    assert list(neg.b) == [1, 2, 3]
+    assert list(neg.c) == [2, 3]
+    assert list(neg.clamped) == [1, 2, 3, 4]
 
 
 def test_collect_subquery(session):

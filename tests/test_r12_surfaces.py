@@ -184,3 +184,133 @@ def test_gds_kcore_and_triangle(session):
         assert t == 1
     finally:
         session.run("CALL gds.graph.drop('kg')")
+
+
+def _road_graph(s: Session, label: str = "Rdt") -> None:
+    s.run(f"CREATE (:{label} {{name:'A'}}), (:{label} {{name:'B'}}), "
+          f"(:{label} {{name:'C'}}), (:{label} {{name:'D'}})")
+    for a, b, c in (("A", "B", 50), ("A", "C", 50), ("B", "D", 40), ("C", "D", 80)):
+        s.run(
+            f"MATCH (x:{label} {{name:'{a}'}}), (y:{label} {{name:'{b}'}}) "
+            f"CREATE (x)-[:RDT {{cost: {c}}}]->(y)"
+        )
+
+
+def test_anonymous_arrows(session):
+    """Bracketless `-->` / `--` / `<--` in patterns AND pattern
+    predicates (late r12 — every tutorial's first MATCH)."""
+    _road_graph(session)
+    assert _vals(session, "MATCH (a:Rdt {name:'A'})-->(b) RETURN b.name AS n ORDER BY n") == [
+        ("B",), ("C",)
+    ]
+    assert _vals(session, "MATCH (a:Rdt {name:'D'})<--(b) RETURN b.name AS n ORDER BY n") == [
+        ("B",), ("C",)
+    ]
+    assert _vals(session, "MATCH (a:Rdt {name:'B'})--(b) RETURN count(*) AS c") == [(2,)]
+    assert _vals(session, "MATCH (a:Rdt) WHERE (a)-->() RETURN count(*) AS c") == [(3,)]
+    assert _vals(session, "MATCH (a:Rdt) WHERE NOT (a)--() RETURN count(*) AS c") == [(0,)]
+    assert _vals(
+        session, "MATCH (a:Rdt {name:'A'}) RETURN size((a)-->()) AS d"
+    ) == [(2,)]
+
+
+def test_leading_with_and_unwind_match(session):
+    """Statements opening with WITH/UNWIND continuing into MATCH/writes
+    (late r12): unit-row pipelines; bound-variable property maps hoist."""
+    _road_graph(session, "Rdu")
+    assert _vals(
+        session, "WITH 'A' AS nm MATCH (a:Rdu {name: nm}) RETURN a.name AS n"
+    ) == [("A",)]
+    assert _vals(
+        session,
+        "UNWIND ['A','B'] AS nm MATCH (a:Rdu {name: nm}) RETURN a.name AS n ORDER BY n",
+    ) == [("A",), ("B",)]
+    assert _vals(
+        session, "WITH 2 AS x WITH x * 3 AS y MATCH (a:Rdu {name:'A'}) RETURN y"
+    ) == [(6,)]
+    session.run("WITH 5 AS v CREATE (:WCr {k: v})")
+    assert _vals(session, "MATCH (n:WCr) RETURN n.k AS k") == [(5,)]
+    # implicit grouping keys in mixed aggregate items
+    assert _vals(
+        session, "WITH 1 AS x MATCH (a:Rdu) RETURN count(*) + x AS c"
+    ) == [(5,)]
+
+
+def test_match_call_gds_canonical(session):
+    """THE public-docs GDS shape (late r12): MATCH a source node, CALL the
+    algorithm with {sourceNode: <node>, relationshipWeightProperty},
+    YIELD, project through gds.util.asNode."""
+    _road_graph(session, "Rdw")
+    session.run("CALL gds.graph.project('t_rdw', 'Rdw', {RDT: {properties: 'cost'}})")
+    rows = _vals(
+        session,
+        "MATCH (source:Rdw {name:'A'}) "
+        "CALL gds.shortestPath.dijkstra.stream('t_rdw', "
+        "{sourceNode: source, relationshipWeightProperty: 'cost'}) "
+        "YIELD targetNode, totalCost "
+        "RETURN gds.util.asNode(targetNode).name AS n, totalCost ORDER BY n",
+    )
+    assert rows == [("A", 0.0), ("B", 50.0), ("C", 50.0), ("D", 90.0)]
+    # weighted pageRank accepts the canonical config key
+    assert _vals(
+        session,
+        "CALL gds.pageRank.stream('t_rdw', {relationshipWeightProperty: 'cost'}) "
+        "YIELD nodeId, score RETURN count(*) AS c",
+    ) == [(4,)]
+    # legacy cypher projection
+    session.run(
+        "CALL gds.graph.project.cypher('t_rdc', 'MATCH (n:Rdw) RETURN id(n) AS id', "
+        "'MATCH (a:Rdw)-[r:RDT]->(b:Rdw) RETURN id(a) AS source, id(b) AS target')"
+    )
+    assert _vals(
+        session, "CALL gds.degree.stream('t_rdc') YIELD nodeId, score RETURN count(*) AS c"
+    ) == [(4,)]
+    session.run("CALL gds.graph.drop('t_rdc')")
+    session.run("CALL gds.graph.drop('t_rdw')")
+    # fan-out bound: >64 distinct bindings fail loud, not 1000 GDS runs
+    session.run("UNWIND range(1, 70) AS i CREATE (:Many {i: i})")
+    session.run("CALL gds.graph.project('t_many', 'Many', '*')")
+    with pytest.raises(ValueError, match="once per binding row"):
+        session.run(
+            "MATCH (m:Many) CALL gds.bfs.stream('t_many', {sourceNode: m}) "
+            "YIELD nodeId RETURN count(*) AS c"
+        )
+    session.run("CALL gds.graph.drop('t_many')")
+
+
+def test_trims_slices_use_backticks(session):
+    """Two-arg trims, ANSI trim specifiers, negative slice bounds,
+    backtick aliases, USE clause (late r12)."""
+    assert _vals(
+        session,
+        "RETURN btrim('xxaxx','x') AS b, ltrim('xxa','x') AS l, "
+        "rtrim('axx','x') AS r, trim(BOTH 'y' FROM 'yyayy') AS t",
+    ) == [("a", "a", "a", "a")]
+    neg = session.run(
+        "RETURN [1,2,3,4][-2..] AS a, [1,2,3,4][..-1] AS b"
+    ).collect()[0]
+    assert list(neg.a) == [3, 4] and list(neg.b) == [1, 2, 3]
+    out = session.run("RETURN 1 AS `weird name`")
+    assert out.columns == ["weird name"]
+    assert _vals(session, "USE neo4j RETURN 1 AS x") == [(1,)]
+    with pytest.raises(ValueError, match="Database does not exist"):
+        session.run("USE nosuchdb RETURN 1 AS x")
+
+
+def test_on_set_plus_equals_map(session):
+    """ON CREATE / ON MATCH SET `var += {map}` merges keys (late r12 —
+    was a parse crash)."""
+    for want in ([(True, None)], [(True, True)]):
+        assert _vals(
+            session,
+            "MERGE (c:Cfp {k: 1}) ON CREATE SET c += {made: true} "
+            "ON MATCH SET c += {seen: true} RETURN c.made AS m, c.seen AS s",
+        ) == want
+
+
+def test_reserved_property_names_fail_loud(session):
+    """A user property named `id` (colliding with the store's fixed
+    entity column) fails with the engine error shape, never Spark's
+    COLUMN_ALREADY_EXISTS (late r12)."""
+    with pytest.raises(ValueError, match="reserved"):
+        session.run("CREATE (:Clash {id: 7})")
