@@ -68,6 +68,20 @@ DOTTED_FNS = {
     "apoc.map.fromLists": "map_from_lists",
     "point.distance": "point_distance",
     "point.withinBBox": "point_within_bbox",
+    # clock-scope variants (Neo4j: statement/transaction/realtime clocks)
+    # — one logical clock here, so they alias the plain constructors (r12)
+    "datetime.transaction": "datetime",
+    "datetime.statement": "datetime",
+    "datetime.realtime": "datetime",
+    "date.transaction": "date",
+    "date.statement": "date",
+    "date.realtime": "date",
+    "localdatetime.transaction": "localdatetime",
+    "localdatetime.statement": "localdatetime",
+    "time.transaction": "time",
+    "time.statement": "time",
+    "localtime.transaction": "localtime",
+    "localtime.statement": "localtime",
 }
 
 
@@ -863,15 +877,7 @@ class _Parser:
             # nodes(p)/relationships(p) over a path variable yield ENTITY
             # structs (r11): dotted access on the lambda var reads the
             # element's properties map, so [n IN nodes(p) | n.name] works
-            m_ent = re.match(
-                r"(?:nodes|relationships)\(\s*(\w+)\s*\)\s*$", src_text.strip()
-            )
-            ent_vars = (
-                (var,)
-                if m_ent
-                and m_ent.group(1) in getattr(resolve, "path_vars", ())
-                else ()
-            )
+            ent_vars = self._lambda_entity_vars(var, src_text, src_v.col)
             if pred_src is not None:
                 out = F.filter(
                     out,
@@ -979,6 +985,53 @@ class _Parser:
             is_str=is_str,
         )
 
+    def _lambda_entity_vars(self, var: str, src_text: str, list_col) -> tuple:
+        """Whether a lambda variable's elements are ENTITY structs —
+        dotted access then reads the element's properties map. Detected
+        textually (``nodes(p)``/``relationships(p)`` over a path var) or
+        by probing the list's element schema against the binding frame
+        (r12 — covers reduce/all/any over path relationship lists)."""
+        m_ent = re.match(
+            r"(?:nodes|relationships)\(\s*(\w+)\s*\)\s*$", src_text.strip()
+        )
+        if m_ent and m_ent.group(1) in getattr(self.resolve, "path_vars", ()):
+            return (var,)
+        frame = getattr(self.resolve, "frame", None)
+        if frame is not None:
+            # textual gate before the schema probe: every bare identifier
+            # in the list text must be frame-bound, else the probe would
+            # LOG an analysis error for nested-lambda references even
+            # though the except swallows it (r12 — noisy stderr)
+            cols = set(frame.columns)
+            for k, t in enumerate(self_toks := tokenize(src_text)):
+                if t.kind != "ident":
+                    continue
+                nxt = self_toks[k + 1] if k + 1 < len(self_toks) else None
+                if nxt is not None and nxt.kind == "punct" and nxt.text == "(":
+                    continue  # function name
+                prev = self_toks[k - 1] if k else None
+                if prev is not None and prev.kind == "punct" and prev.text == ".":
+                    continue  # property segment of a dotted chain
+                if not (
+                    t.text in cols
+                    or f"{t.text}_id" in cols
+                    or any(c.startswith(t.text + "_") for c in cols)
+                ):
+                    return ()
+            try:
+                dt = (
+                    frame.select(F.element_at(list_col, 1).alias("_t"))
+                    .schema[0]
+                    .dataType
+                )
+                if dt.typeName() == "struct" and "properties" in set(
+                    dt.fieldNames()
+                ):
+                    return (var,)
+            except Exception:
+                pass
+        return ()
+
     def _quantifier(self) -> _V:
         """``all/any/none/single(x IN list WHERE pred)`` → JVM
         higher-order functions (forall / exists / negation / filtered
@@ -987,12 +1040,15 @@ class _Parser:
         self._expect_punct("(")
         var = self._take().text
         self._take_kw("IN")
-        src_v, _ = self._span(self.or_expr)
+        src_v, src_text = self._span(self.or_expr)
         self._take_kw("WHERE")
         pred_src = self._span_until(stops_punct=(")",))
         self._expect_punct(")")
         resolve = self.resolve
-        pred = lambda el: compile_expr(pred_src, _scoped(resolve, **{var: el}))  # noqa: E731
+        ent_vars = self._lambda_entity_vars(var, src_text, src_v.col)
+        pred = lambda el: compile_expr(  # noqa: E731
+            pred_src, _scoped(resolve, ent_vars, **{var: el})
+        )
         col = src_v.col
         if kind == "all":
             return _V(F.forall(col, pred))
@@ -1014,11 +1070,12 @@ class _Parser:
         self._expect_punct(",")
         el_var = self._take().text
         self._take_kw("IN")
-        list_v, _ = self._span(self.or_expr)
+        list_v, list_src = self._span(self.or_expr)
         self._expect_punct("|")
         merge_src = self._span_until(stops_punct=(")",))
         self._expect_punct(")")
         resolve = self.resolve
+        ent_vars = self._lambda_entity_vars(el_var, list_src, list_v.col)
         # Cypher's reduce keeps the init's numeric type loose; long init is
         # the common case and sum-like folds stay long unless floats enter.
         init = init_v.col
@@ -1029,7 +1086,8 @@ class _Parser:
                 list_v.col,
                 init,
                 lambda acc, el: compile_expr(
-                    merge_src, _scoped(resolve, **{acc_var: acc, el_var: el})
+                    merge_src,
+                    _scoped(resolve, ent_vars, **{acc_var: acc, el_var: el}),
                 ),
             )
         )
@@ -1331,6 +1389,40 @@ class _Parser:
             # map constructors: date({year: …}) (r10), point({x: …, y: …})
             # (r11) — the python dict routes to the unit-field builder
             return _V(getattr(cf, low)(args[0].lit))
+        if (
+            low in ("date", "datetime", "localdatetime", "time", "localtime")
+            and len(args) == 1
+            and not args[0].has_lit
+            and arg_srcs
+            and arg_srcs[0].lstrip().startswith("{")
+        ):
+            # map constructor with EXPRESSION values (r12):
+            # datetime({date: date('…'), time: localtime('…')}) — compile
+            # each value, literals stay Python, expressions become Columns
+            from .lexer import ExprText as _ET
+            from .lexer import parse_map_srcs as _pms
+            from .lexer import parse_value as _pvl
+
+            try:
+                spec_srcs = _pms(arg_srcs[0].strip())
+            except ValueError:
+                spec_srcs = None
+            if spec_srcs is not None:
+                spec = {}
+                for mk, vsrc in spec_srcs.items():
+                    try:
+                        v = _pvl(vsrc)
+                    except ValueError:
+                        v = _ET(vsrc)
+                    if isinstance(v, _ET):
+                        v = _Parser(v.src, self.resolve).parse().col
+                    spec[mk] = v
+                try:
+                    return _V(getattr(cf, low)(spec))
+                except TypeError as exc:
+                    raise ValueError(
+                        f"invalid arguments to {name}(): {exc}"
+                    ) from exc
         call_args = []
         for pos, a in enumerate(args):
             if pos in lit_positions:

@@ -918,8 +918,10 @@ def _order_keys(order_by: str, resolve) -> list:
         desc = k.upper().endswith(" DESC")
         k = re.sub(r"\s+(A|DE)SC$", "", k, flags=re.IGNORECASE)
         if re.fullmatch(r"[A-Za-z_][\w.]*", k) or re.fullmatch(
-            r"(id|labels|type|length|nodes|size)\(\s*[\w.()]*\s*\)", k
-        ):
+            r"(id|labels|type|length|nodes)\(\s*[\w.()]*\s*\)", k
+        ) or re.fullmatch(r"size\(\s*\w+\s*\)", k):
+            # size(x.y) compiles as an expression (the resolver's size()
+            # contract covers bare idents only — r12)
             col = resolve(k)
         else:
             col = _compile_expr(k, resolve)
@@ -1161,6 +1163,12 @@ class Session:
             return self._show_tail(
                 show_procedures(self.spark), q[len("SHOW PROCEDURES"):]
             )
+        if head == "SHOW" and q.upper().startswith("SHOW SETTINGS"):
+            # Neo4j 5's command form of dbms.listConfig (r12)
+            from ..procedures.registry import call as _registry_call
+
+            out = _registry_call(self.spark, "dbms.listConfig")
+            return self._show_tail(out, q[len("SHOW SETTINGS"):])
         if head == "SHOW" and q.upper().startswith("SHOW FUNCTIONS"):
             from ..procedures.registry import show_functions
 
@@ -2287,6 +2295,25 @@ class Session:
                 lhs, rhs = it.split("=", 1)
                 var, prop = lhs.strip().split(".", 1)
                 target.setdefault(var, {})[prop] = _parse_value(rhs.strip())
+        # plain `SET …` continuation → both branches (r12)
+        h_set = _find_kw(pattern_src, "SET")
+        if h_set:
+            assigns = pattern_src[h_set[1]:]
+            pattern_src = pattern_src[: h_set[0]].strip()
+            for item in _split_top(assigns, ","):
+                it = item.strip()
+                m_pe = re.match(
+                    r"([A-Za-z_]\w*)\s*\+=\s*(\{.*\})\s*$", it, re.DOTALL
+                )
+                if m_pe:
+                    for p, vsrc in _parse_map_srcs(m_pe.group(2)).items():
+                        on_create.setdefault(m_pe.group(1), {})[p] = _parse_value(vsrc)
+                        on_match.setdefault(m_pe.group(1), {})[p] = _parse_value(vsrc)
+                    continue
+                lhs, rhs = it.split("=", 1)
+                var, prop = lhs.strip().split(".", 1)
+                on_create.setdefault(var, {})[prop] = _parse_value(rhs.strip())
+                on_match.setdefault(var, {})[prop] = _parse_value(rhs.strip())
         elems, rest = _parse_pattern(pattern_src)
         if rest:
             raise ValueError(f"trailing content after MERGE pattern: {rest!r}")
@@ -3940,9 +3967,21 @@ class Session:
         m = re.match(r"(?P<pvar>\w+)\s*=\s*", body)
         rest_src = body[m.end():]
         h_ret = _find_kw(rest_src, "RETURN")
-        if not h_ret:
+        h_fe = _find_kw(rest_src, "FOREACH")
+        foreach_src = None
+        if h_ret is None and h_fe is not None:
+            # `MATCH p = … FOREACH (n IN nodes(p) | SET …)` write tail
+            # (r12) — the path's node-id array IS the target set
+            pat_src = rest_src[: h_fe[0]].strip()
+            foreach_src = rest_src[h_fe[1]:].strip()
+            ret = None
+        elif not h_ret:
             raise ValueError("path-binding MATCH requires RETURN")
-        pat_src, ret = rest_src[: h_ret[0]].strip(), rest_src[h_ret[1]:].strip()
+        else:
+            pat_src, ret = (
+                rest_src[: h_ret[0]].strip(),
+                rest_src[h_ret[1]:].strip(),
+            )
         where_src = None
         h_wh = _find_kw(pat_src, "WHERE")
         if h_wh:
@@ -4025,7 +4064,41 @@ class Session:
         resolve.path_vars = {pvar}
         if where_src:
             joined = joined.where(_compile_where(where_src, resolve))
+        if foreach_src is not None:
+            return self._path_foreach(joined, pvar, foreach_src)
         return self._project_match(joined, ret, elems, resolve)
+
+    def _path_foreach(
+        self, joined: DataFrame, pvar: str, foreach_src: str
+    ) -> DataFrame:
+        """``FOREACH (x IN nodes(p) | SET x.prop = value)`` over a bound
+        path (r12): the path column already carries the node-id array, so
+        the write is one explode → distinct ids → conditional update —
+        set-based, no per-path loop."""
+        m_fe = re.match(
+            r"\(\s*(\w+)\s+IN\s+nodes\(\s*(\w+)\s*\)\s*\|\s*SET\s+(.+)\)\s*$",
+            foreach_src,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m_fe or m_fe.group(2) != pvar:
+            raise ValueError(
+                f"path FOREACH supports `FOREACH (x IN nodes({pvar}) | "
+                f"SET x.prop = value)`, got: {foreach_src!r}"
+            )
+        var, assigns = m_fe.group(1), m_fe.group(3)
+        props: dict = {}
+        for item in _split_top(assigns, ","):
+            lhs, rhs = item.split("=", 1)
+            v, prop = lhs.strip().split(".", 1)
+            if v != var:
+                raise ValueError(
+                    f"path FOREACH assignments must target {var!r}"
+                )
+            props[prop] = _parse_value(rhs.strip())
+        props = _eval_prop_map(self.spark, props)
+        ids = joined.select(F.explode("path").alias("id")).distinct()
+        self.store.set_props_by_ids(ids, props)
+        return local_df(self.spark, [], "ok string")
 
     def _fixed_path_binding(
         self, pvar: str, elems: list, where_src: str | None, ret: str
@@ -4109,10 +4182,21 @@ class Session:
                 depth -= 1
             i += 1
         inner, rest = body[m.end(): i - 1].strip(), body[i:].strip()
-        m_ret = re.match(r"RETURN\b", rest, re.IGNORECASE)
-        if not m_ret:
+        h_r = _find_kw(rest, "RETURN")
+        if h_r is None:
             raise ValueError("shortestPath MATCH requires RETURN")
-        ret = rest[m_ret.end():].strip()
+        ret = rest[h_r[1]:].strip()
+        pre = rest[: h_r[0]].strip()
+        where_src = None
+        if pre:
+            m_w = re.match(r"WHERE\s+(.+)$", pre, re.IGNORECASE | re.DOTALL)
+            if not m_w:
+                raise ValueError(
+                    f"unsupported clause between shortestPath and RETURN: {pre!r}"
+                )
+            # WHERE over the path binding (``all(r IN relationships(p)
+            # WHERE …)`` — the canonical path-filter shape, r12)
+            where_src = m_w.group(1).strip()
         elems, extra = _parse_pattern(inner)
         if extra or len(elems) != 3:
             raise ValueError("shortestPath takes a single (a)-[*..]->(b) pattern")
@@ -4137,7 +4221,7 @@ class Session:
         have_ents = False
         if pvar:
             joined, have_ents = self._materialize_path_entities(
-                joined, pvar, rel, [ret]
+                joined, pvar, rel, [ret, where_src or ""]
             )
         base_resolve = _frame_resolver(joined)
 
@@ -4160,6 +4244,8 @@ class Session:
         resolve.frame = joined
         if pvar:
             resolve.path_vars = {pvar}
+        if where_src:
+            joined = joined.where(_compile_where(where_src, resolve))
         return self._project_match(joined, ret, elems, resolve)
 
     def _shortest_path_additional(
@@ -4404,6 +4490,26 @@ class Session:
             ret = tail[h_ret[1]:].strip()
             tail = tail[: h_ret[0]].strip()
         tail, on_create, on_match = self._split_on_set(tail)
+        # a plain `SET …` continuation applies on BOTH branches (Cypher:
+        # MERGE (…) SET r.w = 9 sets matched-or-created — r12)
+        h_set = _find_kw(tail, "SET")
+        if h_set:
+            assigns = tail[h_set[1]:]
+            tail = tail[: h_set[0]].strip()
+            for item in _split_top(assigns, ","):
+                it = item.strip()
+                m_pe = re.match(
+                    r"([A-Za-z_]\w*)\s*\+=\s*(\{.*\})\s*$", it, re.DOTALL
+                )
+                if m_pe:
+                    for p, vsrc in _parse_map_srcs(m_pe.group(2)).items():
+                        on_create.setdefault(m_pe.group(1), {})[p] = vsrc
+                        on_match.setdefault(m_pe.group(1), {})[p] = vsrc
+                    continue
+                lhs, rhs = it.split("=", 1)
+                var, prop = lhs.strip().split(".", 1)
+                on_create.setdefault(var, {})[prop] = rhs.strip()
+                on_match.setdefault(var, {})[prop] = rhs.strip()
         elems, rest = _parse_pattern(tail)
         if rest:
             raise ValueError(f"trailing content after MERGE pattern: {rest!r}")
@@ -5387,7 +5493,9 @@ class Session:
             raise ValueError(f"trailing content in OPTIONAL MATCH: {rest!r}")
         anchor = oelems[0]
         if not isinstance(anchor, _Node) or not anchor.var or f"{anchor.var}_id" not in bound.columns:
-            raise ValueError("OPTIONAL MATCH must anchor on a bound variable")
+            return self._bind_optional_value_correlated(
+                bound, oelems, where_src, k
+            )
         if len(oelems) == 3 and where_src is None:
             rel, tgt = oelems[1], oelems[2]
             tgt_var = tgt.var or f"_opt{k}"
@@ -5419,6 +5527,51 @@ class Session:
         return bound.join(
             sub, F.col(f"{anchor.var}_id") == F.col("_opt_anchor"), "left"
         ).drop("_opt_anchor")
+
+    def _bind_optional_value_correlated(
+        self, bound: DataFrame, oelems: list, where_src: str | None, k: int
+    ) -> DataFrame:
+        """``OPTIONAL MATCH (l:Loc {v: x})`` — no shared entity variable;
+        the correlation is a bound-VALUE property (or the WHERE). The
+        hoisted predicates become the LEFT-join condition (Cypher:
+        pattern+WHERE decide the match, unmatched rows null-pad), and an
+        equality-shaped predicate keeps the join an equi-join (r12)."""
+        from ..operators.patterns import RelSpec, match_chain
+        from .lexer import ExprText
+
+        preds: list[str] = []
+        for j, el in enumerate(oelems):
+            if not el.var:
+                el.var = (
+                    f"_opt{k}_{j}" if isinstance(el, _Node) else f"_or{k}_{j}"
+                )
+            if el.props:
+                expr_props = {
+                    p: v for p, v in el.props.items() if isinstance(v, ExprText)
+                }
+                for p, v in expr_props.items():
+                    preds.append(f"{el.var}.{p} = ({v.src})")
+                    del el.props[p]
+        if where_src:
+            preds.append(f"({where_src})")
+        pattern = []
+        for j, el in enumerate(oelems):
+            if isinstance(el, _Node):
+                pattern.append(_node_spec(el))
+            else:
+                pattern.append(
+                    RelSpec(el.var, el.rel_type, _direction(el), props=el.props or None)
+                )
+        sub = match_chain(self.store.graph, pattern)
+        dup = [c for c in sub.columns if c in bound.columns]
+        sub = sub.drop(*dup)
+        if not preds:
+            # fully disconnected optional pattern — Cypher's cartesian
+            # left: every row pairs with every match, none → null pad
+            return bound.join(sub, F.lit(True), "left")
+        combo_resolver = _frame_resolver(bound.crossJoin(sub).limit(0))
+        cond = _compile_where(" AND ".join(preds), combo_resolver)
+        return bound.join(sub, cond, "left")
 
     def _bind(self, elems: list, with_rel_ids: bool | None = None) -> DataFrame:
         from ..operators.patterns import NodeSpec, RelSpec, match_chain

@@ -346,8 +346,42 @@ def _seconds_of(spec: dict) -> float:
 
 def date(x=None) -> Column:
     """Cypher ``date()`` / ``date(expr)`` / ``date({year, month, day})``
-    construction → DATE column (map form — r10)."""
+    construction → DATE column (map form — r10). r12: the ISO week-date
+    (``{year, week, dayOfWeek}``), ordinal (``{year, ordinalDay}``) and
+    quarter (``{year, quarter, dayOfQuarter}``) forms — literal
+    arithmetic Python-side, one DATE literal out."""
     if isinstance(x, dict):
+        import datetime as _dt
+
+        if {"week", "dayOfWeek"} & set(x):
+            s = _temporal_map_fields(
+                x, "date", frozenset({"year", "week", "dayOfWeek"})
+            )
+            return F.lit(
+                _dt.date.fromisocalendar(
+                    int(s.get("year", 1970)),
+                    int(s.get("week", 1)),
+                    int(s.get("dayOfWeek", 1)),
+                )
+            )
+        if "ordinalDay" in x:
+            s = _temporal_map_fields(
+                x, "date", frozenset({"year", "ordinalDay"})
+            )
+            return F.lit(
+                _dt.date(int(s.get("year", 1970)), 1, 1)
+                + _dt.timedelta(days=int(s.get("ordinalDay", 1)) - 1)
+            )
+        if {"quarter", "dayOfQuarter"} & set(x):
+            s = _temporal_map_fields(
+                x, "date", frozenset({"year", "quarter", "dayOfQuarter"})
+            )
+            q0 = _dt.date(
+                int(s.get("year", 1970)),
+                3 * (int(s.get("quarter", 1)) - 1) + 1,
+                1,
+            )
+            return F.lit(q0 + _dt.timedelta(days=int(s.get("dayOfQuarter", 1)) - 1))
         s = _temporal_map_fields(x, "date", _DATE_KEYS)
         return F.make_date(
             F.lit(int(s.get("year", 1970))),
@@ -372,6 +406,33 @@ def datetime(x=None) -> Column:
             return F.timestamp_millis(F.lit(int(x["epochMillis"])))
         if set(x) == {"epochSeconds"}:
             return F.timestamp_seconds(F.lit(int(x["epochSeconds"])))
+        if "date" in x or "time" in x:
+            # composite form: datetime({date: d, time: t}) /
+            # datetime({date: d, hour: …}) (r12) — date and time values
+            # concatenate textually (times serialize as 'HH:mm:ss')
+            x2 = dict(x)
+            tz2 = x2.pop("timezone", None)
+            d = x2.pop("date", None)
+            t = x2.pop("time", None)
+            s2 = _temporal_map_fields(x2, "datetime", _TIME_KEYS)
+            if d is None:
+                raise ValueError("datetime({time: …}) requires a date key")
+            dcol = (d if isinstance(d, Column) else F.lit(d)).cast("string")
+            if t is not None:
+                tcol = (t if isinstance(t, Column) else F.lit(t)).cast("string")
+            else:
+                tcol = F.lit(
+                    "%02d:%02d:%06.3f"
+                    % (
+                        int(s2.get("hour", 0)),
+                        int(s2.get("minute", 0)),
+                        _seconds_of(s2),
+                    )
+                )
+            out = F.to_timestamp(F.concat(dcol, F.lit(" "), tcol))
+            if tz2:
+                out = F.to_utc_timestamp(out, str(tz2))
+            return out
         tz = None
         if "timezone" in x:
             x = dict(x)

@@ -826,7 +826,14 @@ def _apoc_path_expand(
     edges = graph.rels
     if types:
         edges = edges.where(F.col("type").isin(types))
-    sources = graph.nodes.where(F.array_contains(F.col("labels"), start)).select("id")
+    # `start` is a label string OR a node / node id (the canonical
+    # ``MATCH (a) CALL apoc.path.expand(a, …)`` shape — r12)
+    if not isinstance(start, str):
+        sources = local_df(spark, [(_node_arg(start, "start"),)], "id long")
+    else:
+        sources = graph.nodes.where(
+            F.array_contains(F.col("labels"), start)
+        ).select("id")
     reached = bfs(edges.select("src", "dst"), sources, max_depth=int(maxLevel))
     out = reached.where(F.col("dist") >= int(minLevel)).select(
         F.col("id").alias("node"), F.col("dist").cast("long").alias("level")
@@ -1554,6 +1561,94 @@ def _gds_bfs_stream(
 
 
 @procedure(
+    "gds.knn.stream",
+    signature=(
+        "gds.knn.stream(graphName :: STRING, nodeProperties :: LIST, "
+        "topK :: INTEGER) :: (node1 :: INTEGER, node2 :: INTEGER, "
+        "similarity :: FLOAT)"
+    ),
+    description=(
+        "K-nearest neighbours by cosine over projected node properties "
+        "(exact; ties break on neighbour id)"
+    ),
+    defaults={"topK": 10, "nodeProperties": None},
+)
+def _gds_knn_stream(
+    spark: SparkSession, graphName: str = "",
+    # annotated str so a trailing config map unpacks into kwargs (the
+    # canonical call is always `('g', {nodeProperties: …, topK: …})`);
+    # a direct list/str value works the same at runtime
+    nodeProperties: str = None, topK: int = 10,
+) -> DataFrame:
+    """``CALL gds.knn.stream('g', {nodeProperties: ['emb'], topK: k})`` —
+    the projected nodes frame keeps its property columns, so the vector
+    assembles per node (array-valued property passes through, scalars
+    stack into one vector). Query side broadcast, exact cosine, per-node
+    top-k window — the same shape the llm_ann rows audit. (GDS's
+    per-type metric zoo reduces to cosine here — documented.)"""
+    from pyspark.sql import Window
+    from ..operators.similarity import dot, l2_norm
+
+    cat = _graphs_for(spark)
+    if graphName not in cat:
+        raise ValueError(
+            f"Graph with name '{graphName}' does not exist in the catalog"
+        )
+    nodes = cat[graphName][0]
+    props = (
+        [nodeProperties]
+        if isinstance(nodeProperties, str)
+        else list(nodeProperties or [])
+    )
+    if not props:
+        raise ValueError("gds.knn.stream requires nodeProperties")
+    missing = [p for p in props if p not in nodes.columns]
+    if missing:
+        raise ValueError(
+            f"Node propert{'ies' if len(missing) > 1 else 'y'} {missing} "
+            f"not present in graph '{graphName}'"
+        )
+    if len(props) == 1:
+        dt = dict(nodes.dtypes)[props[0]]
+        vec = (
+            F.col(props[0]).cast("array<double>")
+            if dt.startswith("array")
+            else F.array(F.col(props[0]).cast("double"))
+        )
+    else:
+        vec = F.array(*[F.col(p).cast("double") for p in props])
+    frame = nodes.select(F.col("id"), vec.alias("_v"), l2_norm(vec).alias("_n"))
+    q = F.broadcast(
+        frame.select(
+            F.col("id").alias("node1"),
+            F.col("_v").alias("_qv"),
+            F.col("_n").alias("_qn"),
+        )
+    )
+    c = frame.select(
+        F.col("id").alias("node2"),
+        F.col("_v").alias("_cv"),
+        F.col("_n").alias("_cn"),
+    )
+    scored = q.join(c, F.col("node1") != F.col("node2")).select(
+        "node1",
+        "node2",
+        (
+            dot(F.col("_qv"), F.col("_cv"))
+            / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
+        ).alias("similarity"),
+    )
+    w = Window.partitionBy("node1").orderBy(
+        F.desc("similarity"), F.asc("node2")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(topK))
+        .drop("_rk")
+    )
+
+
+@procedure(
     "gds.nodeSimilarity.stream",
     signature="gds.nodeSimilarity.stream(graphName :: STRING, similarityCutoff :: FLOAT) :: (node1 :: INTEGER, node2 :: INTEGER, similarity :: FLOAT)",
     description="Jaccard node similarity over a projected graph (bucket-join, never all-pairs)",
@@ -1630,6 +1725,46 @@ def _apoc_meta_stats(spark: SparkSession, graph=None) -> DataFrame:
     lc = graph.nodes.select(F.explode("labels").alias("l")).distinct().count()
     tc = graph.rels.select("type").distinct().count()
     return local_df(spark, [(nc, rc, lc, tc, n_keys)], schema)
+
+
+@procedure(
+    "apoc.meta.schema",
+    signature="apoc.meta.schema() :: (value :: MAP)",
+    description="Schema summary: per-label property/count map",
+)
+def _apoc_meta_schema(spark: SparkSession, graph=None) -> DataFrame:
+    """apoc.meta.schema — one row whose ``value`` maps each label to a
+    JSON summary (type/count/properties). Sorted keys, so the output is
+    deterministic; property lists come from the label-filtered frame's
+    non-null columns (one tiny aggregate per label)."""
+    import json as _json
+
+    if graph is None:
+        return local_df(spark, [({},)], "value map<string,string>")
+    fixed = {"id", "labels"}
+    labels = [
+        r[0]
+        for r in graph.nodes.select(F.explode("labels").alias("l"))
+        .distinct()
+        .orderBy("l")
+        .collect()
+    ]
+    value: dict[str, str] = {}
+    for lb in labels:
+        sub = graph.nodes.where(F.array_contains(F.col("labels"), lb))
+        prop_cols = [c for c in sub.columns if c not in fixed]
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.count(F.col(c)).alias(c) for c in prop_cols
+        ]
+        row = sub.agg(*aggs).first()
+        props = sorted(c for c in prop_cols if row[c] > 0)
+        value[lb] = _json.dumps(
+            {"type": "node", "count": row["_n"], "properties": props},
+            sort_keys=True,
+        )
+    return local_df(
+        spark, [(value,)], "value map<string,string>"
+    )
 
 
 @procedure(

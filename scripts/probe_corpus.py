@@ -58,6 +58,10 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # ~300 statements in one session accumulate cached frames and
+        # checkpoint lineage; the 1g driver default OOMs late in the
+        # corpus (r12)
+        .config("spark.driver.memory", "8g")
         .appName("probe-corpus")
         .getOrCreate()
     )
@@ -700,6 +704,94 @@ def main() -> int:
     run("CALL apoc.create.node(['Tmpi'], {k: 1}) YIELD node RETURN node.k AS k",
         "apoc-create-node-entity", expect=[("1",)])
     run("MATCH (t:Tmpi) DETACH DELETE t")
+
+    # ---- corpus J (late r12): path functions over bound paths,
+    # MERGE-SET tails, composite temporals, schema surfaces, GDS knn
+    # over projected node properties --------------------------------
+    run("CREATE (:St {name:'A', v:1}), (:St {name:'B', v:2}), (:St {name:'C', v:3})")
+    run("MATCH (a:St {name:'A'}), (b:St {name:'B'}) CREATE (a)-[:RS {cost: 5}]->(b)")
+    run("MATCH (b:St {name:'B'}), (c:St {name:'C'}) CREATE (b)-[:RS {cost: 7}]->(c)")
+
+    # path functions over bound paths
+    run("MATCH p = (a:St {name:'A'})-[:RS*1..2]->(c) RETURN reduce(cost = 0, r IN relationships(p) | cost + r.cost) AS total ORDER BY total",
+        "reduce-over-path-rels", expect=[(5,), (12,)])
+    run("MATCH p = (a:St {name:'A'})-[:RS*2]->(c:St {name:'C'}) FOREACH (n IN nodes(p) | SET n.marked = true)",
+        "foreach-over-path-nodes")
+    run("MATCH (n:St {marked: true}) RETURN count(*) AS c", "path-foreach-readback", expect=[(3,)])
+    run("MATCH p = shortestPath((a:St {name:'A'})-[:RS*]->(c:St {name:'C'})) WHERE all(r IN relationships(p) WHERE r.cost < 100) RETURN length(p) AS l",
+        "shortestpath-where-all", expect=[(2,)])
+    run("MATCH (a:St {name:'A'}) RETURN EXISTS { MATCH (a)-->() } AS e", "exists-explicit-match",
+        expect=[(True,)])
+    run("MATCH (a:St {name:'A'}) WHERE EXISTS { MATCH (a)-[:RS]->(b) WHERE b.v > 1 } RETURN a.name AS n",
+        "exists-match-where", expect=[("A",)])
+    run("MATCH (a:St {name:'A'}) RETURN COUNT { MATCH (a)-->() } AS c", "count-explicit-match",
+        expect=[(1,)])
+    # merge-then-set continuation
+    run("MATCH (a:St {name:'A'}), (c:St {name:'C'}) MERGE (a)-[r:LINK]->(c) SET r.w = 9 RETURN r.w AS w",
+        "merge-rel-set-tail", expect=[(9,)])
+    run("MATCH (:St {name:'A'})-[r:LINK]->() RETURN r.w AS w", "merge-set-readback", expect=[(9,)])
+    # pattern predicate with two bound vars
+    run("MATCH (a:St), (b:St) WHERE (a)-[:RS]->(b) RETURN a.name AS x, b.name AS y ORDER BY x",
+        "two-bound-pattern-pred", expect=[("A", "B"), ("B", "C")])
+    run("MATCH (a:St {name:'A'}), (b:St {name:'C'}) WHERE NOT (a)-[:RS]->(b) RETURN count(*) AS c",
+        "two-bound-anti-pred", expect=[(1,)])
+    # collect of map projections
+    run("MATCH (s:St) WITH collect({name: s.name, v: s.v}) AS rows RETURN size(rows) AS n, rows[0].name AS f",
+        "collect-map-projection")
+    run("MATCH (s:St) WITH collect(s.v) AS vs UNWIND vs AS v RETURN sum(v) AS t",
+        "collect-unwind-regroup", expect=[(6,)])
+    # rel-var pattern comprehension
+    run("MATCH (a:St {name:'A'}) RETURN [(a)-[r:RS]->(b) | r.cost] AS costs", "rel-var-comprehension")
+    # composite temporal constructors
+    run("RETURN datetime({date: date('2024-01-02'), time: localtime('10:30:00')}).hour AS h",
+        "datetime-from-date-time", expect=[(10,)])
+    run("RETURN localdatetime({year: 2024, month: 1, day: 2}).day AS d", "localdatetime-map",
+        expect=[(2,)])
+    run("RETURN date({year: 2024, week: 10, dayOfWeek: 1}) IS NOT NULL AS d", "date-week-form")
+    run("RETURN datetime.transaction() >= datetime('2020-01-01T00:00:00Z') AS ok", "datetime-transaction")
+    run("RETURN date.statement() >= date('2020-01-01') AS ok", "date-statement")
+    # escaped label
+    run("CREATE (:`Weird Label` {k: 1})", "backtick-label-create")
+    run("MATCH (n:`Weird Label`) RETURN n.k AS k", "backtick-label-match", expect=[(1,)])
+    # labels equality
+    run("MATCH (n:St {name:'A'}) WHERE labels(n) = ['St'] RETURN count(*) AS c", "labels-list-eq",
+        expect=[(1,)])
+    # elementId round trip
+    run("MATCH (n:St {name:'A'}) WITH elementId(n) AS eid MATCH (m:St) WHERE elementId(m) = eid RETURN m.name AS n2",
+        "elementid-roundtrip", expect=[("A",)])
+    # SET n = {} clears properties
+    run("CREATE (:Clr {a: 1, b: 2})")
+    run("MATCH (n:Clr) SET n = {} RETURN n.a AS a", "set-empty-map-clear", expect=[(None,)])
+    # SHOW SETTINGS
+    run("SHOW SETTINGS YIELD name WHERE name CONTAINS 'memory' RETURN count(*) >= 0 AS ok", "show-settings")
+    # apoc.path expand surfaces
+    run("MATCH (a:St {name:'A'}) CALL apoc.path.expand(a, 'RS>', '', 1, 2) YIELD node, level RETURN count(*) AS c",
+        "apoc-path-expand")
+    run("CALL apoc.meta.schema() YIELD value RETURN value IS NOT NULL AS ok", "apoc-meta-schema")
+    # GDS: node properties in projections + knn
+    run("CALL gds.graph.project('stp', {St: {properties: 'v'}}, '*')", "project-node-props")
+    run("CALL gds.graph.nodeProperties.stream('stp', 'v') YIELD nodeId, propertyValue RETURN count(*) AS c",
+        "node-properties-stream", expect=[(3,)])
+    run("CALL gds.knn.stream('stp', {nodeProperties: ['v'], topK: 1}) YIELD node1, node2, similarity RETURN count(*) AS c",
+        "knn-node-properties")
+    run("CALL gds.graph.drop('stp')")
+    # gds write-back readback via canonical map
+    run("CALL gds.graph.project('stw', 'St', '*')")
+    run("CALL gds.wcc.write('stw', {writeProperty: 'comp'}) YIELD componentCount RETURN componentCount > 0 AS ok",
+        "wcc-write-map", expect=[(True,)])
+    run("MATCH (n:St) RETURN count(DISTINCT n.comp) AS c", "wcc-write-readback")
+    run("CALL gds.graph.drop('stw')")
+    # louvain / labelPropagation stream still fine on tiny graph
+    run("CALL gds.graph.project('stl', 'St', 'RS')")
+    run("CALL gds.louvain.stream('stl') YIELD nodeId, communityId RETURN count(*) AS c", "louvain-stream",
+        expect=[(3,)])
+    run("CALL gds.labelPropagation.stream('stl') YIELD nodeId, communityId RETURN count(*) AS c",
+        "lpa-stream", expect=[(3,)])
+    run("CALL gds.graph.drop('stl')")
+    # ORDER BY size()
+    run("MATCH (s:St) RETURN s.name AS n ORDER BY size(s.name), n LIMIT 1", "order-by-size")
+    # date arithmetic month add
+    run("RETURN date('2024-01-31') + duration({months: 1}) AS d", "date-plus-month")
 
     print()
     print("=== FAILURES ===")
