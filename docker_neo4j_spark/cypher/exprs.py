@@ -124,7 +124,7 @@ class _V:
     args keep the old pass-python-literals contract) and whether the
     text is statically a string (``+`` concatenation dispatch)."""
 
-    __slots__ = ("col", "lit", "is_str", "src_fn")
+    __slots__ = ("col", "lit", "is_str", "src_fn", "src_name")
 
     def __init__(self, col: Column, lit=_MISSING, is_str: bool = False):
         self.col = col
@@ -134,6 +134,10 @@ class _V:
         # any — lets the postfix `.prop` rule pick typed accessors
         # (duration(...).hours, datetime(...).year — r12)
         self.src_fn = None
+        # the bare identifier this value resolved from, if any — lets the
+        # subscript rule route `n['prop']` on an entity variable through
+        # the property resolver (r12)
+        self.src_name = None
 
     @property
     def has_lit(self) -> bool:
@@ -707,6 +711,12 @@ class _Parser:
             self._expect_punct("]")
             return _V(self._slice(col, e1, b))
         self._expect_punct("]")
+        # `n['prop']` on a bound ENTITY variable is dynamic property
+        # access — route through the property resolver (r12)
+        if e1.has_lit and isinstance(e1.lit, str) and base.src_name:
+            frame = getattr(self.resolve, "frame", None)
+            if frame is not None and f"{base.src_name}_id" in frame.columns:
+                return _V(self.resolve(f"{base.src_name}.{e1.lit}"))
         # out-of-bounds subscripts are NULL in Cypher, never an error —
         # try_element_at throughout (r12)
         if e1.has_lit and isinstance(e1.lit, int):
@@ -847,7 +857,9 @@ class _Parser:
             )
             if key is not None and dts.get(key) == "string":
                 is_str = True
-        return _V(self.resolve(name), is_str=is_str)
+        out = _V(self.resolve(name), is_str=is_str)
+        out.src_name = name
+        return out
 
     def _list_or_comprehension(self) -> _V:
         """``[a, b]`` list literal vs ``[x IN list WHERE p | e]``

@@ -1558,9 +1558,11 @@ class Session:
     _CREATE_CONSTRAINT_RE = re.compile(
         r"CREATE\s+CONSTRAINT"
         r"(?:\s+(?P<name>\w+))?(?P<ine>\s+IF\s+NOT\s+EXISTS)?\s+"
-        r"FOR\s*\(\s*(?P<var>\w+)\s*:\s*(?P<label>\w+)\s*\)\s+"
+        r"FOR\s*(?:\(\s*(?P<var>\w+)\s*:\s*(?P<label>\w+)\s*\)"
+        r"|\(\s*\)\s*<?-\s*\[\s*(?P<rvar>\w+)\s*:\s*(?P<rtype>\w+)\s*\]"
+        r"\s*-\s*>?\s*\(\s*\))\s+"
         r"REQUIRE\s+(?P<prop>[\w.]+)\s+IS\s+"
-        r"(?P<kind>UNIQUE|NOT\s+NULL|NODE\s+KEY)\s*$",
+        r"(?P<kind>UNIQUE|NOT\s+NULL|NODE\s+KEY|REL\s+KEY|RELATIONSHIP\s+KEY)\s*$",
         re.IGNORECASE,
     )
 
@@ -1573,10 +1575,17 @@ class Session:
         m = self._CREATE_CONSTRAINT_RE.match(q)
         if not m:
             raise ValueError(f"Unsupported CREATE CONSTRAINT syntax: {q!r}")
-        var = m.group("var")
+        var = m.group("var") or m.group("rvar")
         pm = re.fullmatch(rf"{re.escape(var)}\.(\w+)", m.group("prop"))
         if not pm:
             raise ValueError(f"constraint property must be {var}.<prop>")
+        if m.group("rvar"):
+            # relationship constraint ``FOR ()-[r:T]-() REQUIRE r.p IS …``
+            # (Neo4j 5.7 — r12): registered per TYPE; the rel write path
+            # validates incoming batches
+            return self._create_rel_constraint(
+                m, pm.group(1), m.group("rtype")
+            )
         prop, label = pm.group(1), m.group("label")
         kind = re.sub(r"\s+", " ", m.group("kind").upper())
         name = m.group("name") or f"constraint_{label}_{prop}"
@@ -1625,10 +1634,54 @@ class Session:
         )
         return local_df(self.spark, [], "ok string")
 
+    def _create_rel_constraint(self, m, prop: str, rtype: str) -> DataFrame:
+        kind = re.sub(r"\s+", " ", m.group("kind").upper())
+        name = m.group("name") or f"constraint_{rtype}_{prop}"
+        rels = self.store.graph.rels
+        if kind == "NOT NULL":
+            viol = rels.where(
+                (F.col("type") == rtype)
+                & (F.col(prop).isNull() if prop in rels.columns else F.lit(True))
+            ).take(1)
+            if viol:
+                raise ValueError(
+                    f"Unable to create constraint {name}: existing :{rtype} "
+                    f"relationship is missing `{prop}`"
+                )
+            self.store.constraints.create(
+                name, rtype, [prop], if_not_exists=bool(m.group("ine")),
+                constraint_type="REL_PROPERTY_EXISTENCE",
+                entity="RELATIONSHIP",
+            )
+            return local_df(self.spark, [], "ok string")
+        if prop in rels.columns:
+            dup = (
+                rels.where((F.col("type") == rtype) & F.col(prop).isNotNull())
+                .groupBy(prop)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .take(1)
+            )
+            if dup:
+                raise ValueError(
+                    f"Unable to create constraint {name}: existing data has "
+                    f"duplicate `{prop}` = {dup[0][prop]!r} on :{rtype}"
+                )
+        self.store.constraints.create(
+            name, rtype, [prop], if_not_exists=bool(m.group("ine")),
+            constraint_type=(
+                "RELATIONSHIP_KEY" if "KEY" in kind else "RELATIONSHIP_UNIQUENESS"
+            ),
+            entity="RELATIONSHIP",
+        )
+        return local_df(self.spark, [], "ok string")
+
     _CREATE_INDEX_RE = re.compile(
         r"CREATE\s+(?:(?P<type>RANGE|TEXT|POINT)\s+)?INDEX"
         r"(?:\s+(?P<name>\w+))?(?P<ine>\s+IF\s+NOT\s+EXISTS)?\s+"
-        r"FOR\s*\(\s*(?P<var>\w+)\s*:\s*(?P<label>\w+)\s*\)\s+"
+        r"FOR\s*(?:\(\s*(?P<var>\w+)\s*:\s*(?P<label>\w+)\s*\)"
+        r"|\(\s*\)\s*<?-\s*\[\s*(?P<rvar>\w+)\s*:\s*(?P<rtype>\w+)\s*\]"
+        r"\s*-\s*>?\s*\(\s*\))\s+"
         r"ON\s*\(\s*(?P<props>[^)]+)\)\s*$",
         re.IGNORECASE,
     )
@@ -1642,20 +1695,22 @@ class Session:
         m = self._CREATE_INDEX_RE.match(q)
         if not m:
             raise ValueError(f"Unsupported CREATE INDEX syntax: {q!r}")
-        var = m.group("var")
+        var = m.group("var") or m.group("rvar")
         props = []
         for p in m.group("props").split(","):
             pm = re.fullmatch(rf"\s*{re.escape(var)}\.(\w+)\s*", p)
             if not pm:
                 raise ValueError(f"index property must be {var}.<prop>: {p!r}")
             props.append(pm.group(1))
-        name = m.group("name") or f"index_{m.group('label')}_{'_'.join(props)}"
+        target = m.group("label") or m.group("rtype")
+        name = m.group("name") or f"index_{target}_{'_'.join(props)}"
         self.store.indexes.create(
             name,
-            m.group("label"),
+            target,
             props,
             index_type=(m.group("type") or "RANGE").upper(),
             if_not_exists=bool(m.group("ine")),
+            entity="RELATIONSHIP" if m.group("rvar") else "NODE",
         )
         return local_df(self.spark, [], "ok string")
 
@@ -2726,6 +2781,11 @@ class Session:
         tail = tail.strip()
         if not tail:
             return out
+        if tail.upper().startswith("WHERE"):
+            # `SHOW … WHERE pred` — the YIELD-less filter form (r12)
+            return out.where(
+                _compile_where(tail[len("WHERE"):].strip(), _frame_resolver(out))
+            )
         if not tail.upper().startswith("YIELD"):
             raise ValueError(f"expected YIELD after SHOW: {tail!r}")
         rest = tail[len("YIELD"):].strip()

@@ -26,6 +26,7 @@ class Constraint:
     properties: list[str]
     constraint_type: str = "UNIQUENESS"
     state: str = "ONLINE"
+    entity: str = "NODE"
 
 
 @dataclass
@@ -42,12 +43,13 @@ class ConstraintCatalog:
         properties: list[str],
         if_not_exists: bool = False,
         constraint_type: str = "UNIQUENESS",
+        entity: str = "NODE",
     ) -> Constraint:
         if name in self.constraints:
             if if_not_exists:
                 return self.constraints[name]
             raise ValueError(f"An equivalent constraint already exists: {name}")
-        c = Constraint(name, label, list(properties), constraint_type)
+        c = Constraint(name, label, list(properties), constraint_type, entity=entity)
         self.constraints[name] = c
         return c
 
@@ -70,7 +72,7 @@ class ConstraintCatalog:
                 x.name,
                 x.state,
                 x.constraint_type,
-                "NODE",
+                x.entity,
                 [x.label],
                 list(x.properties),
             )
@@ -78,8 +80,17 @@ class ConstraintCatalog:
         ]
 
     def to_json(self) -> list[dict]:
+        # constraint_type/entity MUST round-trip — an existence
+        # constraint reloading as UNIQUENESS would enforce the wrong rule
+        # after dump/load (r12 fix; was silently dropped)
         return [
-            {"name": x.name, "label": x.label, "properties": x.properties}
+            {
+                "name": x.name,
+                "label": x.label,
+                "properties": x.properties,
+                "constraint_type": x.constraint_type,
+                "entity": x.entity,
+            }
             for x in self.constraints.values()
         ]
 
@@ -87,7 +98,11 @@ class ConstraintCatalog:
     def from_json(cls, rows: list[dict]) -> "ConstraintCatalog":
         cat = cls()
         for r in rows:
-            cat.create(r["name"], r["label"], r["properties"])
+            cat.create(
+                r["name"], r["label"], r["properties"],
+                constraint_type=r.get("constraint_type", "UNIQUENESS"),
+                entity=r.get("entity", "NODE"),
+            )
         return cat
 
 

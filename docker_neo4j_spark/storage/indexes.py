@@ -34,6 +34,8 @@ class Index:
     properties: list[str]
     index_type: str = "RANGE"  # RANGE | TEXT | POINT | VECTOR (openCypher 5 DDL)
     state: str = "ONLINE"
+    # NODE (label) or RELATIONSHIP (the `FOR ()-[r:T]-()` DDL form — r12)
+    entity: str = "NODE"
     # VECTOR indexes carry their config here (dimensions, similarity,
     # cells, nprobe); empty for the clustering index types.
     options: dict = field(default_factory=dict)
@@ -54,12 +56,16 @@ class IndexCatalog:
         index_type: str = "RANGE",
         if_not_exists: bool = False,
         options: dict | None = None,
+        entity: str = "NODE",
     ) -> Index:
         if name in self.indexes:
             if if_not_exists:
                 return self.indexes[name]
             raise ValueError(f"An equivalent index already exists: {name}")
-        idx = Index(name, label, list(properties), index_type.upper(), options=dict(options or {}))
+        idx = Index(
+            name, label, list(properties), index_type.upper(),
+            options=dict(options or {}), entity=entity,
+        )
         self.indexes[name] = idx
         return idx
 
@@ -75,8 +81,9 @@ class IndexCatalog:
         creation order) — the physical clustering side of CREATE INDEX."""
         cols: list[str] = []
         for idx in self.indexes.values():
-            if idx.index_type == "VECTOR":
-                continue  # embedding arrays are IVF-indexed, not sort keys
+            if idx.index_type == "VECTOR" or idx.entity != "NODE":
+                continue  # embedding arrays are IVF-indexed, not sort keys;
+                # relationship indexes don't cluster the NODE dump
             p = idx.properties[0]
             if p not in cols:
                 cols.append(p)
@@ -92,7 +99,7 @@ class IndexCatalog:
                 x.name,
                 x.state,
                 x.index_type,
-                "NODE",
+                x.entity,
                 [x.label],
                 list(x.properties),
             )
@@ -107,6 +114,7 @@ class IndexCatalog:
                 "properties": x.properties,
                 "index_type": x.index_type,
                 "options": x.options,
+                "entity": x.entity,
             }
             for x in self.indexes.values()
         ]
@@ -118,6 +126,7 @@ class IndexCatalog:
             cat.create(
                 r["name"], r["label"], r["properties"],
                 r.get("index_type", "RANGE"), options=r.get("options"),
+                entity=r.get("entity", "NODE"),
             )
         return cat
 

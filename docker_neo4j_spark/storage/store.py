@@ -65,8 +65,17 @@ class GraphStore:
         self.vector_data: dict[str, dict] = {}
 
     # ---- helpers -------------------------------------------------------
+    _NUMERIC_T = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
     def _union_missing(self, base: DataFrame, extra: DataFrame) -> DataFrame:
-        """Schema-evolving union: new property columns null-pad old rows."""
+        """Schema-evolving union: new property columns null-pad old rows.
+
+        Type conflicts on a shared property column are resolved EAGERLY
+        (r12): numeric×numeric widens both sides to double; anything else
+        fails with the engine error shape. Without this, Spark's union
+        coercion embeds an ANSI cast in the lineage that detonates at an
+        ARBITRARY later read ("value 'x' cannot be cast to BIGINT" —
+        a poisoned store, the worst failure mode)."""
         dup = {c for c in extra.columns if extra.columns.count(c) > 1}
         if dup:
             # a user property named `id`/`labels`/`src`/`dst`/`type`
@@ -77,6 +86,22 @@ class GraphStore:
                 f"property name(s) {sorted(dup)} are reserved by this "
                 f"engine (internal entity columns); rename the "
                 f"propert{'ies' if len(dup) > 1 else 'y'}"
+            )
+        base_t, extra_t = dict(base.dtypes), dict(extra.dtypes)
+        for c in set(base.columns) & set(extra.columns):
+            bt, et = base_t[c], extra_t[c]
+            if bt == et or "void" in (bt, et):
+                continue
+            b_num, e_num = bt in self._NUMERIC_T, et in self._NUMERIC_T
+            if b_num and e_num:
+                base = base.withColumn(c, F.col(c).cast("double"))
+                extra = extra.withColumn(c, F.col(c).cast("double"))
+                continue
+            raise ValueError(
+                f"property `{c}` type conflict: the store holds {bt} but "
+                f"the incoming write carries {et} — this engine stores one "
+                f"type per property column; rename the property or cast "
+                f"the value"
             )
         return base.unionByName(extra, allowMissingColumns=True)
 
@@ -102,6 +127,8 @@ class GraphStore:
         constraint whose label the batch touches. Null keys are exempt
         (Cypher semantics). No constraints → zero extra jobs."""
         for c in self.constraints.constraints.values():
+            if getattr(c, "entity", "NODE") != "NODE":
+                continue  # relationship constraints validate in append_rels
             prop = c.properties[0]
             if getattr(c, "constraint_type", "UNIQUENESS") == "NODE_PROPERTY_EXISTENCE":
                 # `IS NOT NULL` existence constraint (r12): every incoming
@@ -179,7 +206,61 @@ class GraphStore:
                 )
 
     def append_rels(self, df: DataFrame) -> None:
+        self._enforce_rel_constraints(df)
         self._swap(rels=self._union_missing(self.graph.rels, df))
+
+    def _enforce_rel_constraints(self, new_rels: DataFrame) -> None:
+        """Relationship-constraint validation (r12 — ``FOR ()-[r:T]-()
+        REQUIRE r.p IS …``): existence per incoming batch, uniqueness as
+        one groupBy-count over (incoming ∪ existing) per-type keys.
+        Mirrors the node path; zero extra jobs with no rel constraints."""
+        for c in self.constraints.constraints.values():
+            if getattr(c, "entity", "NODE") != "RELATIONSHIP":
+                continue
+            prop = c.properties[0]
+            ctype = getattr(c, "constraint_type", "RELATIONSHIP_UNIQUENESS")
+            if ctype == "REL_PROPERTY_EXISTENCE":
+                bad = new_rels.where(
+                    (F.col("type") == c.label)
+                    & (
+                        F.col(prop).isNull()
+                        if prop in new_rels.columns
+                        else F.lit(True)
+                    )
+                ).take(1)
+                if bad:
+                    raise ValueError(
+                        f"Relationship(:{c.label}) violates existence "
+                        f"constraint {c.name}: `{prop}` must not be null"
+                    )
+                continue
+            if prop not in new_rels.columns:
+                continue
+            incoming = new_rels.where(
+                (F.col("type") == c.label) & F.col(prop).isNotNull()
+            ).select(prop)
+            if incoming.isEmpty():
+                continue
+            base = self.graph.rels
+            existing = (
+                base.where(
+                    (F.col("type") == c.label) & F.col(prop).isNotNull()
+                ).select(prop)
+                if prop in base.columns
+                else None
+            )
+            pool = incoming if existing is None else incoming.unionByName(existing)
+            dup = (
+                pool.groupBy(prop)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .take(1)
+            )
+            if dup:
+                raise ValueError(
+                    f"Relationship already exists with type `{c.label}` and "
+                    f"property `{prop}` = {dup[0][prop]!r} (constraint {c.name})"
+                )
 
     def stage_indexed(self, df: DataFrame) -> tuple[DataFrame, int]:
         """Pin ``df`` and attach a dense 0..n-1 ``_idx`` column; returns

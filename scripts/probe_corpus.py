@@ -17,6 +17,7 @@ Usage: python scripts/probe_corpus.py   (exit code = failure count)
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import tempfile
@@ -792,6 +793,85 @@ def main() -> int:
     run("MATCH (s:St) RETURN s.name AS n ORDER BY size(s.name), n LIMIT 1", "order-by-size")
     # date arithmetic month add
     run("RETURN date('2024-01-31') + duration({months: 1}) AS d", "date-plus-month")
+
+    # ---- corpus K (late r12): write idioms, rel index/constraint
+    # DDL, duration arithmetic, params, dynamic property reads ------
+    # batch-generation idiom: UNWIND range CREATE chain
+    run("UNWIND range(1, 5) AS i CREATE (:Kn {i: i})", "unwind-range-create")
+    run("MATCH (n:Kn) RETURN count(*) AS c", "unwind-range-readback", expect=[(5,)])
+    run("UNWIND range(1, 3) AS i CREATE (:Ka {i: i})-[:KR]->(:Kb {i: i})", "unwind-create-chain")
+    run("MATCH (:Ka)-[:KR]->(:Kb) RETURN count(*) AS c", "chain-readback", expect=[(3,)])
+    # counter idiom: read-modify-write SET
+    run("MERGE (c:Ctr {ck: 'hits'}) ON CREATE SET c.count = 0", "counter-init")
+    run("MATCH (c:Ctr {ck: 'hits'}) SET c.count = coalesce(c.count, 0) + 1 RETURN c.count AS n",
+        "counter-increment", expect=[(1,)])
+    run("MATCH (c:Ctr {ck: 'hits'}) SET c.count = coalesce(c.count, 0) + 1 RETURN c.count AS n",
+        "counter-increment-2", expect=[(2,)])
+    # property copy
+    run("CREATE (:Cp {a: 7})")
+    run("MATCH (n:Cp) SET n.b = n.a RETURN n.b AS b", "property-copy", expect=[(7,)])
+    # relationship index / constraint DDL
+    run("CREATE INDEX rel_idx IF NOT EXISTS FOR ()-[r:KR]-() ON (r.since)", "rel-index-ddl")
+    run("CREATE CONSTRAINT rel_uniq IF NOT EXISTS FOR ()-[r:KR]-() REQUIRE r.rid IS UNIQUE",
+        "rel-constraint-ddl")
+    run("DROP CONSTRAINT rel_uniq IF EXISTS", "rel-constraint-drop")
+    run("DROP INDEX rel_idx IF EXISTS", "rel-index-drop")
+    # SHOW ... WHERE without YIELD
+    run("SHOW INDEXES WHERE type = 'RANGE'", "show-where-no-yield")
+    # duration arithmetic
+    run("RETURN duration('P1D') + duration('PT12H') AS d", "duration-add")
+    run("RETURN duration({minutes: 90}).hours AS h", "duration-map-accessor", expect=[(1,)])
+    run("RETURN datetime('2024-01-01T00:00:00Z') + duration('PT1H') > datetime('2024-01-01T00:00:00Z') AS b",
+        "datetime-plus-duration-cmp", expect=[(True,)])
+    run("MATCH (n:Cp) WHERE date('2024-01-01') = date('2024-01-01') RETURN count(*) AS c",
+        "date-eq-where", expect=[(1,)])
+    # params in various positions
+    run("CREATE (:Pp {name: $name, tags: $tags})", "param-props",
+        params={"name": "x", "tags": ["a", "b"]})
+    run("MATCH (p:Pp {name: $name}) RETURN p.tags[0] AS t", "param-merge-key",
+        params={"name": "x"}, expect=[("a",)])
+    run("MATCH (p:Pp) WHERE p.name STARTS WITH $pre RETURN count(*) AS c", "param-predicate",
+        params={"pre": "x"}, expect=[(1,)])
+    run("MERGE (q:Qq {qid: $id}) ON CREATE SET q.made = true RETURN q.made AS m", "param-in-merge",
+        params={"id": 9}, expect=[(True,)])
+    run("MATCH (a:Pp), (q:Qq) CREATE (a)-[:PR {w: $w}]->(q)", "param-rel-prop", params={"w": 2})
+    run("MATCH ()-[r:PR]->() RETURN r.w AS w", "param-rel-readback", expect=[(2,)])
+    # var-length with type alternation
+    run("MATCH (a:Ka {i:1})-[:KR|PR*1..2]->(b) RETURN count(*) AS c", "varlen-alternation")
+    # clear-all
+    run("MATCH (n:Kn) DETACH DELETE n", "detach-delete-label")
+    run("MATCH (n:Kn) RETURN count(*) AS c", "detach-readback", expect=[(0,)])
+    # semicolon-terminated statement
+    run("RETURN 1 AS x;", "trailing-semicolon", expect=[(1,)])
+    # EXPLAIN a write
+    run("EXPLAIN CREATE (:Ex {v: 1})", "explain-create")
+    # dynamic property read via subscript
+    run("MATCH (p:Pp) RETURN p['name'] AS n", "subscript-property-read", expect=[("x",)])
+    # apoc.load.json file
+    d = tempfile.mkdtemp()
+    jp = os.path.join(d, "rows.json")
+    with open(jp, "w") as f:
+        f.write(json.dumps({"name": "doc1", "score": 5}) + "\n")
+    run(f"CALL apoc.load.json('file://{jp}') YIELD value RETURN value.name AS n",
+        "apoc-load-json")
+    # comments in odd spots
+    run("RETURN /* inline */ 1 AS x", "block-comment-mid", expect=[(1,)])
+    run("MATCH (p:Pp)\nRETURN p.name AS n // done", "line-comment-end", expect=[("x",)])
+    # toString on temporal types
+    run("RETURN toString(datetime('2024-01-02T03:04:05Z')) AS s", "tostring-datetime")
+    run("RETURN toString(3.14) AS s, toString(true) AS b", "tostring-scalars",
+        expect=[("3.14", "true")])
+    # nested CASE + aggregate
+    run("MATCH (p:Pp) RETURN sum(CASE WHEN p.name = 'x' THEN 1 ELSE 0 END) AS s",
+        "sum-case", expect=[(1,)])
+    # WITH ... ORDER BY aggregate alias
+    run("MATCH (n:Ka) WITH n.i AS i, count(*) AS c ORDER BY c DESC, i RETURN i LIMIT 1",
+        "with-orderby-agg-alias", expect=[(1,)])
+    # DISTINCT entities
+    run("MATCH (a:Ka)-[:KR]->() RETURN DISTINCT a.i AS i ORDER BY i", "distinct-after-expand")
+    # id()-based lookup
+    run("MATCH (p:Pp) WITH id(p) AS pid MATCH (q) WHERE id(q) = pid RETURN q.name AS n",
+        "id-roundtrip", expect=[("x",)])
 
     print()
     print("=== FAILURES ===")

@@ -314,3 +314,55 @@ def test_reserved_property_names_fail_loud(session):
     COLUMN_ALREADY_EXISTS (late r12)."""
     with pytest.raises(ValueError, match="reserved"):
         session.run("CREATE (:Clash {id: 7})")
+
+
+def test_relationship_index_and_constraint_ddl(session):
+    """Relationship index/constraint DDL ``FOR ()-[r:T]-()`` (late r12):
+    catalog rows carry entityType RELATIONSHIP; uniqueness and existence
+    constraints enforce on the rel write path."""
+    session.run("CREATE INDEX ri1 FOR ()-[r:RT]-() ON (r.since)")
+    rows = [tuple(r) for r in session.run("SHOW INDEXES WHERE name = 'ri1'").collect()]
+    assert rows and rows[0][4] == "RELATIONSHIP" and rows[0][5] == ["RT"]
+    session.run("CREATE CONSTRAINT rc1 FOR ()-[r:RT]-() REQUIRE r.rid IS UNIQUE")
+    crows = [
+        tuple(r)
+        for r in session.run("SHOW CONSTRAINTS YIELD name, entityType WHERE name = 'rc1'").collect()
+    ]
+    assert crows == [("rc1", "RELATIONSHIP")]
+    session.run("CREATE (:Ra {k:1}), (:Rb {k:2})")
+    session.run("MATCH (a:Ra), (b:Rb) CREATE (a)-[:RT {rid: 1}]->(b)")
+    with pytest.raises(ValueError, match="already exists"):
+        session.run("MATCH (a:Ra), (b:Rb) CREATE (a)-[:RT {rid: 1}]->(b)")
+    session.run("CREATE CONSTRAINT rc2 FOR ()-[r:RT2]-() REQUIRE r.w IS NOT NULL")
+    with pytest.raises(ValueError, match="must not be null"):
+        session.run("MATCH (a:Ra), (b:Rb) CREATE (a)-[:RT2]->(b)")
+
+
+def test_constraint_type_survives_dump_load(spark, tmp_path):
+    """constraint_type/entity round-trip through dump/load (late r12 fix:
+    a NOT NULL constraint used to reload as UNIQUENESS — the wrong rule
+    would then enforce)."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark)
+    s.run("CREATE CONSTRAINT nn9 FOR (p:DL) REQUIRE p.x IS NOT NULL")
+    s.run("CREATE CONSTRAINT ru9 FOR ()-[r:DLR]-() REQUIRE r.k IS UNIQUE")
+    s.run("CREATE (:DL {x: 1})")
+    d = str(tmp_path / "dump9")
+    s.store.dump(d)
+    re_store = GraphStore.load(spark, d)
+    by_name = {c.name: c for c in re_store.constraints.constraints.values()}
+    assert by_name["nn9"].constraint_type == "NODE_PROPERTY_EXISTENCE"
+    assert by_name["ru9"].constraint_type == "RELATIONSHIP_UNIQUENESS"
+    assert by_name["ru9"].entity == "RELATIONSHIP"
+
+
+def test_entity_subscript_and_show_where(session):
+    """`n['prop']` dynamic property reads on entity variables; SHOW ...
+    WHERE without YIELD (late r12)."""
+    session.run("CREATE (:Sb {name: 'x', v: 3})")
+    assert _vals(session, "MATCH (p:Sb) RETURN p['name'] AS n, p['v'] AS v") == [("x", 3)]
+    assert _vals(session, "MATCH (p:Sb) RETURN p['nope'] AS n") == [(None,)]
+    out = session.run("SHOW SETTINGS WHERE name STARTS WITH 'spark.sql'")
+    assert out.count() > 0

@@ -724,3 +724,23 @@ def test_merge_chain_whole_pattern_atomic(spark):
             "MATCH (a:Ct {idx: 0}), (b:Ct {idx: 1}) "
             "MERGE (a)-[:R1]->(b)-[:R9]->(z:Ct {idx: 9})"
         )
+
+
+def test_property_type_conflict_fails_loud(spark):
+    """A write whose property type conflicts with the stored column's
+    type fails AT WRITE TIME with the engine error shape (late r12 —
+    Spark's union coercion used to embed an ANSI cast that detonated at
+    an arbitrary later read); numeric×numeric widens to double instead."""
+    import pytest
+    from docker_neo4j_spark.cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:Tc {v: 1})")
+    with pytest.raises(ValueError, match="type conflict"):
+        s.run("CREATE (:Tc2 {v: 'text'})")
+    # numeric widening is silent and exact enough
+    s.run("CREATE (:Tc3 {v: 2.5})")
+    got = {tuple(r) for r in s.run(
+        "MATCH (n) WHERE n.v IS NOT NULL RETURN n.v AS v"
+    ).collect()}
+    assert got == {(1.0,), (2.5,)}
