@@ -153,6 +153,13 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_apoc_r12c_suite",
     "proc_gds_dijkstra_weighted",
     "cypher_count_expr_group",
+    # r12 late (session 3, batch 4): rel DDL, counter SET, duration
+    # arithmetic, entity subscripts, knn over projected properties
+    "cypher_rel_ddl",
+    "cypher_counter_set",
+    "fn_duration_arith",
+    "cypher_entity_subscript",
+    "proc_gds_knn_stream",
 ]
 
 

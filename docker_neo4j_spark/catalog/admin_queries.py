@@ -3943,3 +3943,111 @@ def cypher_count_expr_group(spark, sf_dir):
         "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
         "RETURN count(*) + n.n_nationkey AS v ORDER BY v"
     )
+
+
+@register(
+    "cypher_rel_ddl",
+    """
+    SELECT 'rc_cat' AS name, 'RELATIONSHIP_UNIQUENESS' AS type,
+           'RELATIONSHIP' AS entityType
+    """,
+)
+def cypher_rel_ddl(spark, sf_dir):
+    """Relationship constraint DDL ``FOR ()-[r:T]-()`` (r12) — catalog
+    registration readback through SHOW CONSTRAINTS with a YIELD-less
+    WHERE (also r12)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE CONSTRAINT rc_cat FOR ()-[r:RC]-() REQUIRE r.rid IS UNIQUE")
+    return s.run(
+        "SHOW CONSTRAINTS YIELD name, type, entityType WHERE name = 'rc_cat' "
+        "RETURN name, type, entityType"
+    )
+
+
+@register(
+    "cypher_counter_set",
+    """
+    SELECT CAST(3 AS BIGINT) AS n
+    """,
+)
+def cypher_counter_set(spark, sf_dir):
+    """The read-modify-write counter idiom (r12):
+    ``SET c.count = coalesce(c.count, 0) + 1`` three times — each SET
+    reads the CURRENT value through the conditional-update path."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("MERGE (c:Ctr {ck: 'hits'}) ON CREATE SET c.count = 0")
+    for _ in range(3):
+        s.run("MATCH (c:Ctr {ck: 'hits'}) SET c.count = coalesce(c.count, 0) + 1")
+    return s.run("MATCH (c:Ctr {ck: 'hits'}) RETURN c.count AS n")
+
+
+@register(
+    "fn_duration_arith",
+    """
+    SELECT 'P1DT12H' AS added, CAST(1 AS BIGINT) AS hrs, TRUE AS cmp
+    """,
+)
+def fn_duration_arith(spark, sf_dir):
+    """Duration value arithmetic (r12): duration + duration renders
+    ISO-8601, map-constructed durations carry component accessors, and
+    datetime + duration compares as an instant."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    return s.run(
+        "RETURN toString(duration('P1D') + duration('PT12H')) AS added, "
+        "duration({minutes: 90}).hours AS hrs, "
+        "datetime('2024-01-01T00:00:00Z') + duration('PT1H') > "
+        "datetime('2024-01-01T00:00:00Z') AS cmp"
+    )
+
+
+@register(
+    "cypher_entity_subscript",
+    """
+    SELECT n_name AS name FROM nation WHERE n_nationkey = 7
+    """,
+)
+def cypher_entity_subscript(spark, sf_dir):
+    """``n['prop']`` dynamic property access on a bound entity (r12) —
+    routes through the property resolver, missing keys → null."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation {n_nationkey: 7}) RETURN n['n_name'] AS name"
+    )
+
+
+@register(
+    "proc_gds_knn_stream",
+    """
+    SELECT * FROM (VALUES ('a', 'b'), ('b', 'a'), ('c', 'b'))
+    AS t(n1, n2) ORDER BY n1
+    """,
+)
+def proc_gds_knn_stream(spark, sf_dir):
+    """``CALL gds.knn.stream('g', {nodeProperties: ['e'], topK: 1})``
+    (r12) — cosine KNN over ARRAY-valued projected node properties.
+    Vectors chosen so top-1 neighbours are unambiguous: a=(1,0),
+    b=(0.9,0.1), c=(0,1) → cos(a,b)=.994, cos(a,c)=0, cos(b,c)=.110,
+    so a→b, b→a, c→b."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:KnnN {nm:'a', e: [1.0, 0.0]}), "
+          "(:KnnN {nm:'b', e: [0.9, 0.1]}), (:KnnN {nm:'c', e: [0.0, 1.0]})")
+    s.run("CALL gds.graph.project('knn12', {KnnN: {properties: 'e'}}, '*')")
+    out = s.run(
+        "CALL gds.knn.stream('knn12', {nodeProperties: ['e'], topK: 1}) "
+        "YIELD node1, node2 "
+        "RETURN gds.util.asNode(node1).nm AS n1, gds.util.asNode(node2).nm AS n2 "
+        "ORDER BY n1"
+    )
+    return out

@@ -1060,6 +1060,17 @@ class Session:
     def _run_impl(self, cypher: str, parameters: dict | None = None) -> DataFrame:
         """``run``'s dispatch body (see the public wrapper above)."""
         cypher = strip_comments(cypher)
+        # multi-statement scripts: depth-0 `;` separates statements (the
+        # browser/cypher-shell paste shape — r12); each runs in order,
+        # the LAST result returns. A trailing `;` is just a terminator.
+        parts = [p.strip() for p in _split_top(cypher, ";")]
+        parts = [p for p in parts if p]
+        if len(parts) > 1:
+            out = None
+            for p in parts:
+                out = self._run_impl(p, parameters)
+            return out
+        cypher = parts[0] if parts else cypher
         m_use = re.match(r"USE\s+(`[^`]+`|[\w.]+)\s+(?=\S)", cypher, re.IGNORECASE)
         if m_use:
             # `USE db <statement>` — single-statement database selector.

@@ -843,6 +843,9 @@ def main() -> int:
     run("MATCH (n:Kn) RETURN count(*) AS c", "detach-readback", expect=[(0,)])
     # semicolon-terminated statement
     run("RETURN 1 AS x;", "trailing-semicolon", expect=[(1,)])
+    run("CREATE (:Msc {k:1}); CREATE (:Msc {k:2}); MATCH (m:Msc) RETURN count(*) AS c",
+        "multi-statement-script", expect=[(2,)])
+    run("RETURN 'a;b' AS s", "semicolon-in-string", expect=[("a;b",)])
     # EXPLAIN a write
     run("EXPLAIN CREATE (:Ex {v: 1})", "explain-create")
     # dynamic property read via subscript

@@ -366,3 +366,15 @@ def test_entity_subscript_and_show_where(session):
     assert _vals(session, "MATCH (p:Sb) RETURN p['nope'] AS n") == [(None,)]
     out = session.run("SHOW SETTINGS WHERE name STARTS WITH 'spark.sql'")
     assert out.count() > 0
+
+
+def test_multi_statement_scripts(session):
+    """Depth-0 `;` separates statements (browser/cypher-shell paste shape,
+    late r12): all run in order, the last result returns; semicolons in
+    strings survive."""
+    out = session.run(
+        "CREATE (:Ms9 {k:1}); CREATE (:Ms9 {k:2}); "
+        "MATCH (m:Ms9) RETURN count(*) AS c"
+    )
+    assert [tuple(r) for r in out.collect()] == [(2,)]
+    assert _vals(session, "RETURN 'a;b' AS s") == [("a;b",)]
