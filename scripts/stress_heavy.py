@@ -158,6 +158,16 @@ HEAVY = [
     "proc_gds_asnode",
     "cypher_start_end_node",
     "proc_periodic_iterate_canonical",
+    # late-r12 session 3: arrows/pipelines/grouping scale with the graph;
+    # the fixed-size write/GDS rows stress the per-statement machinery
+    "cypher_anon_arrows",
+    "cypher_leading_with",
+    "cypher_unwind_match_pipeline",
+    "cypher_count_expr_group",
+    "cypher_entity_subscript",
+    "proc_gds_dijkstra_weighted",
+    "proc_gds_knn_stream",
+    "cypher_counter_set",
 ]
 
 

@@ -611,3 +611,28 @@ def test_r12_rows_stay_distributed(spark, sf_dir, queries):
         from docker_neo4j_spark.plans.audit import python_rdd_scans
 
         assert not python_rdd_scans(facts.text), name
+
+
+def test_r12c_rows_stay_distributed(spark, sf_dir, queries):
+    """Late-r12 session-3 rows: bracketless arrows (plain match_chain),
+    leading-WITH/UNWIND unit-row pipelines, the per-binding GDS CALL
+    stage (broadcast join back), mixed-item implicit grouping, entity
+    subscripts, and knn over projected properties never plan a
+    CartesianProduct, a Python-RDD scan, or a SinglePartition exchange
+    (the 1-row unit frame joins as broadcast nested-loop — the correct
+    physical shape)."""
+    from docker_neo4j_spark.plans.audit import python_rdd_scans
+
+    for name in (
+        "cypher_anon_arrows",
+        "cypher_leading_with",
+        "cypher_unwind_match_pipeline",
+        "cypher_count_expr_group",
+        "cypher_entity_subscript",
+        "proc_gds_dijkstra_weighted",
+        "proc_gds_knn_stream",
+    ):
+        facts = audit(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in facts.text, name
+        assert "Exchange SinglePartition" not in facts.text, name
+        assert not python_rdd_scans(facts.text), name
