@@ -160,6 +160,8 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_duration_arith",
     "cypher_entity_subscript",
     "proc_gds_knn_stream",
+    # r12 late (session 3, batch 5): union-wide trailing ORDER BY
+    "cypher_union_orderby",
 ]
 
 

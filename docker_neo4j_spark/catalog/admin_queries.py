@@ -4051,3 +4051,28 @@ def proc_gds_knn_stream(spark, sf_dir):
         "ORDER BY n1"
     )
     return out
+
+
+@register(
+    "cypher_union_orderby",
+    """
+    SELECT name FROM (
+      SELECT n_name AS name FROM nation WHERE n_nationkey < 3
+      UNION SELECT r_name AS name FROM region
+    ) ORDER BY name DESC LIMIT 4
+    """,
+)
+def cypher_union_orderby(spark, sf_dir):
+    """A trailing ORDER BY / LIMIT after the last UNION branch orders the
+    WHOLE union (r12 — was silently sorting one branch; Cypher branches
+    cannot be ordered individually)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) WHERE n.n_nationkey < 3 RETURN n.n_name AS name "
+        "UNION MATCH (r:Region) RETURN r.r_name AS name "
+        "ORDER BY name DESC LIMIT 4"
+    )

@@ -975,7 +975,14 @@ class _Parser:
             cond = self.or_expr()
             self._take_kw("THEN")
             val = self.or_expr()
-            c = (subject.col == cond.col) if subject is not None else cond.col
+            if subject is not None:
+                c = subject.col == cond.col
+            elif cond.has_lit and cond.lit is None:
+                # CASE WHEN null — a null condition is falsy (Cypher);
+                # Spark needs the explicit boolean type (r12)
+                c = F.lit(None).cast("boolean")
+            else:
+                c = cond.col
             branches.append((c, val))
         if not branches:
             raise ValueError("CASE without WHEN")

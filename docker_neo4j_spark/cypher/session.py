@@ -1865,6 +1865,22 @@ class Session:
             queries.append(p[m.end():] if m else p)
         if len(set(alls)) > 1:
             raise ValueError("cannot mix UNION and UNION ALL in one statement")
+        # a trailing ORDER BY / SKIP / LIMIT after the LAST branch's
+        # RETURN orders the WHOLE union (Cypher: branches cannot be
+        # ordered individually — r12; was silently sorting one branch)
+        tail_order = tail_skip = tail_limit = None
+        last = queries[-1]
+        h_lr = _find_kw(last, "RETURN")
+        if h_lr:
+            ret_part = last[h_lr[1]:]
+            tail_limit, ret_part = _trailing_int_kw(ret_part, "LIMIT")
+            tail_skip, ret_part = _trailing_int_kw(ret_part, "SKIP")
+            h_ob = _find_kw(ret_part, "ORDER", "BY")
+            if h_ob:
+                tail_order = ret_part[h_ob[1]:].strip()
+                ret_part = ret_part[: h_ob[0]].rstrip()
+            if tail_order or tail_skip is not None or tail_limit is not None:
+                queries[-1] = last[: h_lr[1]] + " " + ret_part.strip()
         out = None
         for sub in queries:
             frame = self.run(sub)
@@ -1875,18 +1891,26 @@ class Session:
                     f"{sorted(frame.columns)}"
                 )
             out = frame if out is None else out.unionByName(frame)
-        if alls[0]:
-            return out
-        if any("map<" in dt for _, dt in out.dtypes):
-            # set ops reject map-bearing columns (entity structs — r10):
-            # dedup on a canonical JSON key instead
-            out = (
-                out.withColumn("_u_key", F.to_json(F.struct(*out.columns)))
-                .dropDuplicates(["_u_key"])
-                .drop("_u_key")
-            )
-            return out
-        return out.distinct()
+        if not alls[0]:
+            if any("map<" in dt for _, dt in out.dtypes):
+                # set ops reject map-bearing columns (entity structs —
+                # r10): dedup on a canonical JSON key instead
+                out = (
+                    out.withColumn(
+                        "_u_key", F.to_json(F.struct(*out.columns))
+                    )
+                    .dropDuplicates(["_u_key"])
+                    .drop("_u_key")
+                )
+            else:
+                out = out.distinct()
+        if tail_order:
+            out = out.orderBy(*_order_keys(tail_order, _frame_resolver(out)))
+        if tail_skip is not None:
+            out = out.offset(tail_skip)
+        if tail_limit is not None:
+            out = out.limit(tail_limit)
+        return out
 
     def _unwind_stage(self, bound: DataFrame, src: str) -> DataFrame:
         """``UNWIND <list-expr> AS var`` — explode a literal list or a bound

@@ -846,6 +846,10 @@ def main() -> int:
     run("CREATE (:Msc {k:1}); CREATE (:Msc {k:2}); MATCH (m:Msc) RETURN count(*) AS c",
         "multi-statement-script", expect=[(2,)])
     run("RETURN 'a;b' AS s", "semicolon-in-string", expect=[("a;b",)])
+    run("CREATE (:Uoq {nm:'b'}), (:Uoq {nm:'a'}), (:Uoq2 {nm:'c'})")
+    run("MATCH (n:Uoq) RETURN n.nm AS nm UNION MATCH (m:Uoq2) RETURN m.nm AS nm ORDER BY nm",
+        "union-trailing-orderby", expect=[("a",), ("b",), ("c",)])
+    run("RETURN CASE WHEN null THEN 'y' ELSE 'n' END AS c", "case-when-null", expect=[("n",)])
     # EXPLAIN a write
     run("EXPLAIN CREATE (:Ex {v: 1})", "explain-create")
     # dynamic property read via subscript

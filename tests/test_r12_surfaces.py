@@ -378,3 +378,21 @@ def test_multi_statement_scripts(session):
     )
     assert [tuple(r) for r in out.collect()] == [(2,)]
     assert _vals(session, "RETURN 'a;b' AS s") == [("a;b",)]
+
+
+def test_union_trailing_orderby_and_case_null(session):
+    """Trailing ORDER BY/LIMIT after a UNION orders the whole union
+    (late r12 — was one-branch-only, a silent row-order divergence);
+    CASE WHEN null takes the ELSE branch."""
+    session.run("CREATE (:Ux {nm:'b'}), (:Ux {nm:'a'}), (:Uy {nm:'c'})")
+    assert _vals(
+        session,
+        "MATCH (n:Ux) RETURN n.nm AS nm UNION MATCH (m:Uy) RETURN m.nm AS nm "
+        "ORDER BY nm",
+    ) == [("a",), ("b",), ("c",)]
+    assert _vals(
+        session,
+        "MATCH (n:Ux) RETURN n.nm AS nm UNION ALL MATCH (m:Uy) "
+        "RETURN m.nm AS nm ORDER BY nm DESC LIMIT 2",
+    ) == [("c",), ("b",)]
+    assert _vals(session, "RETURN CASE WHEN null THEN 'y' ELSE 'n' END AS c") == [("n",)]
