@@ -916,6 +916,9 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'gds.triangleCount.stream'
     UNION ALL SELECT 'gds.wcc.mutate'
     UNION ALL SELECT 'gds.wcc.stats'
+    UNION ALL SELECT 'gds.graph.project.cypher'
+    UNION ALL SELECT 'gds.knn.stream'
+    UNION ALL SELECT 'apoc.meta.schema'
     """,
 )
 def proc_show_procedures(spark, sf_dir):
@@ -2589,6 +2592,20 @@ def cypher_set_expression_readback(spark, sf_dir):
     UNION ALL SELECT 'apoc.text.repeat', 'apoc'
     UNION ALL SELECT 'apoc.text.swapCase', 'apoc'
     UNION ALL SELECT 'apoc.text.format', 'apoc'
+    UNION ALL SELECT 'apoc.text.split', 'apoc'
+    UNION ALL SELECT 'apoc.text.regexGroups', 'apoc'
+    UNION ALL SELECT 'apoc.text.urlencode', 'apoc'
+    UNION ALL SELECT 'apoc.text.urldecode', 'apoc'
+    UNION ALL SELECT 'apoc.text.base64Encode', 'apoc'
+    UNION ALL SELECT 'apoc.text.base64Decode', 'apoc'
+    UNION ALL SELECT 'apoc.text.lpad', 'apoc'
+    UNION ALL SELECT 'apoc.text.rpad', 'apoc'
+    UNION ALL SELECT 'apoc.text.snakeCase', 'apoc'
+    UNION ALL SELECT 'apoc.text.camelCase', 'apoc'
+    UNION ALL SELECT 'apoc.text.upperCamelCase', 'apoc'
+    UNION ALL SELECT 'apoc.text.slug', 'apoc'
+    UNION ALL SELECT 'apoc.text.sorensenDiceSimilarity', 'apoc'
+    UNION ALL SELECT 'apoc.text.fuzzyMatch', 'apoc'
     UNION ALL SELECT 'gds.similarity.cosine', 'gds'
     UNION ALL SELECT 'gds.similarity.euclidean', 'gds'
     UNION ALL SELECT 'gds.similarity.euclideanDistance', 'gds'
