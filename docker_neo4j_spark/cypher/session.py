@@ -1095,6 +1095,8 @@ class Session:
                 raise ValueError(
                     f"Database does not exist. Database name: '{target}'"
                 )
+        if ":$(" in cypher.replace(" ", ""):
+            cypher = self._resolve_dynamic_labels(cypher)
         cypher = _rewrite_call_shapes(cypher)
         if parameters:
             batch = self._run_batch_spec(cypher, parameters)
@@ -2757,6 +2759,77 @@ class Session:
         return self._project_match(
             frame, src[h_ret[1]:].strip(), [], _frame_resolver(frame)
         )
+
+    def _resolve_dynamic_labels(self, cypher: str) -> str:
+        """Neo4j 5.24 dynamic labels/types ``:$(expr)`` (r12): the
+        expression must be computable at statement compile time (a
+        literal, parameter-substituted value, or closed function call) —
+        it evaluates once on a unit row and splices back as a plain
+        label. A string list splices as a multi-label chain. Per-row
+        dynamic labels fail loud (set-based writes need static schemas)."""
+        out, i, n = [], 0, len(cypher)
+
+        def _next_marker(start: int) -> int:
+            # quote-aware scan: a `:$` inside a string literal is text
+            q = None
+            p = start
+            while p < n - 1:
+                ch = cypher[p]
+                if q:
+                    if ch == "\\":
+                        p += 2
+                        continue
+                    if ch == q:
+                        q = None
+                elif ch in "'\"":
+                    q = ch
+                elif ch == ":" and cypher[p + 1] == "$":
+                    return p
+                p += 1
+            return -1
+
+        while i < n:
+            j = _next_marker(i)
+            if j < 0:
+                out.append(cypher[i:])
+                break
+            k = j + 2
+            while k < n and cypher[k].isspace():
+                k += 1
+            if k >= n or cypher[k] != "(":
+                out.append(cypher[i : j + 2])
+                i = j + 2
+                continue
+            depth, m = 1, k + 1
+            while m < n and depth:
+                if cypher[m] == "(":
+                    depth += 1
+                elif cypher[m] == ")":
+                    depth -= 1
+                m += 1
+            if depth:
+                raise ValueError("unbalanced parens in dynamic label :$(…)")
+            expr = cypher[k + 1 : m - 1].strip()
+            try:
+                col = _compile_expr(expr, _no_var_resolver)
+                val = self.spark.range(1).select(col.alias("_l")).first()["_l"]
+            except ValueError as exc:
+                raise ValueError(
+                    f"dynamic label :$({expr}) must be computable at "
+                    f"statement compile time (no row variables)"
+                ) from exc
+            labels = list(val) if isinstance(val, (list, tuple)) else [val]
+            for lb in labels:
+                if not isinstance(lb, str) or not re.fullmatch(
+                    r"[A-Za-z_]\w*", lb
+                ):
+                    raise ValueError(
+                        f"dynamic label :$({expr}) must yield identifier "
+                        f"string(s), got {val!r}"
+                    )
+            out.append(cypher[i:j] + "".join(f":{lb}" for lb in labels))
+            i = m
+        return "".join(out)
 
     def _leading_pipeline(self, q: str) -> DataFrame:
         """A statement that OPENS with WITH/UNWIND but continues into

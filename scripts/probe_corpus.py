@@ -850,6 +850,9 @@ def main() -> int:
     run("MATCH (n:Uoq) RETURN n.nm AS nm UNION MATCH (m:Uoq2) RETURN m.nm AS nm ORDER BY nm",
         "union-trailing-orderby", expect=[("a",), ("b",), ("c",)])
     run("RETURN CASE WHEN null THEN 'y' ELSE 'n' END AS c", "case-when-null", expect=[("n",)])
+    run("CREATE (n:$('Dyp') {k: 1})", "dynamic-label-create")
+    run("MATCH (d:Dyp) RETURN count(*) AS c", "dynamic-label-readback", expect=[(1,)])
+    run("MATCH (d:Dyp) SET d:$('Dyq') RETURN labels(d) AS l", "dynamic-label-set")
     # EXPLAIN a write
     run("EXPLAIN CREATE (:Ex {v: 1})", "explain-create")
     # dynamic property read via subscript

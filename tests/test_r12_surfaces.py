@@ -396,3 +396,21 @@ def test_union_trailing_orderby_and_case_null(session):
         "RETURN m.nm AS nm ORDER BY nm DESC LIMIT 2",
     ) == [("c",), ("b",)]
     assert _vals(session, "RETURN CASE WHEN null THEN 'y' ELSE 'n' END AS c") == [("n",)]
+
+
+def test_dynamic_labels(session):
+    """Neo4j 5.24 `:$(expr)` dynamic labels (late r12): statement-
+    computable expressions splice as plain labels in CREATE/MATCH/SET;
+    string lists become multi-label chains; row-dependent expressions
+    fail loud; `:$(` inside string literals is untouched text."""
+    session.run("CREATE (n:$('Dy1') {k: 1})")
+    assert _vals(session, "MATCH (d:Dy1) RETURN count(*) AS c") == [(1,)]
+    session.run("CREATE (n:$(['Dy2','Dy3']) {k: 2})")
+    assert _vals(session, "MATCH (d:Dy2:Dy3) RETURN count(*) AS c") == [(1,)]
+    assert _vals(session, "MATCH (d:Dy1) SET d:$('Dy4') RETURN labels(d) AS l") == [
+        (["Dy1", "Dy4"],)
+    ]
+    assert _vals(session, "MATCH (d:$('Dy1')) RETURN count(*) AS c") == [(1,)]
+    with pytest.raises(ValueError, match="compile time"):
+        session.run("CREATE (n:$(x.bad) {k: 4})")
+    assert _vals(session, "RETURN ':$(kept)' AS s") == [(":$(kept)",)]
