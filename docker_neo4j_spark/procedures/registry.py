@@ -149,9 +149,18 @@ def call(
         import re as _re
 
         sel = []
+        wanted = []
         for c in yield_cols:
             m = _re.fullmatch(r"(\w+)\s+AS\s+(\w+)", c.strip(), _re.IGNORECASE)
+            wanted.append(m.group(1) if m else c.strip())
             sel.append(F.col(m.group(1)).alias(m.group(2)) if m else c)
+        missing = [w for w in wanted if w not in df.columns]
+        if missing:
+            # engine error shape, not a raw UNRESOLVED_COLUMN (r12)
+            raise ProcedureError(
+                f"Unknown YIELD column(s) {missing} for `{name}` "
+                f"(procedure yields: {', '.join(df.columns)})"
+            )
         df = df.select(*sel)
     if where is not None:
         df = df.where(where)
