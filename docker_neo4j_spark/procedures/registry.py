@@ -1592,9 +1592,12 @@ def _gds_knn_stream(
     """``CALL gds.knn.stream('g', {nodeProperties: ['emb'], topK: k})`` —
     the projected nodes frame keeps its property columns, so the vector
     assembles per node (array-valued property passes through, scalars
-    stack into one vector). Query side broadcast, exact cosine, per-node
-    top-k window — the same shape the llm_ann rows audit. (GDS's
-    per-type metric zoo reduces to cosine here — documented.)"""
+    stack into one vector). Up to 100k nodes: exact cosine with the
+    small side broadcast (the llm_ann audited shape). Beyond that the
+    broadcast would not fit an executor, so candidates form inside
+    LSH hyperplane buckets instead (GDS's own KNN is approximate too) —
+    never an all-pairs product at scale. (GDS's per-type metric zoo
+    reduces to cosine here — documented.)"""
     from pyspark.sql import Window
     from ..operators.similarity import dot, l2_norm
 
@@ -1603,7 +1606,7 @@ def _gds_knn_stream(
         raise ValueError(
             f"Graph with name '{graphName}' does not exist in the catalog"
         )
-    nodes = cat[graphName][0]
+    nodes, _, node_count, _ = cat[graphName]
     props = (
         [nodeProperties]
         if isinstance(nodeProperties, str)
@@ -1627,26 +1630,66 @@ def _gds_knn_stream(
     else:
         vec = F.array(*[F.col(p).cast("double") for p in props])
     frame = nodes.select(F.col("id"), vec.alias("_v"), l2_norm(vec).alias("_n"))
-    q = F.broadcast(
-        frame.select(
-            F.col("id").alias("node1"),
-            F.col("_v").alias("_qv"),
-            F.col("_n").alias("_qn"),
+    if node_count > 100_000:
+        # scale path: bucket by LSH hyperplane signs — candidates only
+        # form inside a bucket (equi-join), so no side is broadcast and
+        # no all-pairs product exists. Approximate, like GDS's own KNN.
+        from ..operators.similarity import lsh_bucket
+
+        dim_row = frame.select(F.size("_v").alias("_d")).first()
+        dim = int(dim_row["_d"]) if dim_row and dim_row["_d"] else 1
+        frame = frame.withColumn("_bkt", lsh_bucket(F.col("_v"), dim, 16))
+        # pathological-bucket guard (the dedup.py convention): a bucket
+        # whose membership explodes past the cap would quadratically
+        # dominate the join — drop it (its nodes get fewer/no candidate
+        # neighbours; GDS's KNN is approximate by contract)
+        sizes = frame.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+        frame = frame.join(
+            F.broadcast(sizes.where(F.col("_bn") <= 4096).select("_bkt")),
+            "_bkt",
+            "left_semi",
         )
-    )
-    c = frame.select(
-        F.col("id").alias("node2"),
-        F.col("_v").alias("_cv"),
-        F.col("_n").alias("_cn"),
-    )
-    scored = q.join(c, F.col("node1") != F.col("node2")).select(
-        "node1",
-        "node2",
-        (
-            dot(F.col("_qv"), F.col("_cv"))
-            / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
-        ).alias("similarity"),
-    )
+        q = frame.select(
+            "_bkt", F.col("id").alias("node1"),
+            F.col("_v").alias("_qv"), F.col("_n").alias("_qn"),
+        )
+        c = frame.select(
+            "_bkt", F.col("id").alias("node2"),
+            F.col("_v").alias("_cv"), F.col("_n").alias("_cn"),
+        )
+        scored = (
+            q.join(c, "_bkt")
+            .where(F.col("node1") != F.col("node2"))
+            .select(
+                "node1",
+                "node2",
+                (
+                    dot(F.col("_qv"), F.col("_cv"))
+                    / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
+                ).alias("similarity"),
+            )
+        )
+    else:
+        q = F.broadcast(
+            frame.select(
+                F.col("id").alias("node1"),
+                F.col("_v").alias("_qv"),
+                F.col("_n").alias("_qn"),
+            )
+        )
+        c = frame.select(
+            F.col("id").alias("node2"),
+            F.col("_v").alias("_cv"),
+            F.col("_n").alias("_cn"),
+        )
+        scored = q.join(c, F.col("node1") != F.col("node2")).select(
+            "node1",
+            "node2",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
+            ).alias("similarity"),
+        )
     w = Window.partitionBy("node1").orderBy(
         F.desc("similarity"), F.asc("node2")
     )
