@@ -919,6 +919,8 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'gds.graph.project.cypher'
     UNION ALL SELECT 'gds.knn.stream'
     UNION ALL SELECT 'apoc.meta.schema'
+    UNION ALL SELECT 'apoc.path.subgraphNodes'
+    UNION ALL SELECT 'apoc.path.spanningTree'
     """,
 )
 def proc_show_procedures(spark, sf_dir):

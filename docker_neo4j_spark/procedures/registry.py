@@ -855,6 +855,79 @@ def _apoc_path_expand(
     return out
 
 
+@procedure(
+    "apoc.path.subgraphNodes",
+    signature=(
+        "apoc.path.subgraphNodes(start :: STRING, config :: MAP) :: "
+        "(node :: INTEGER)"
+    ),
+    description=(
+        "All nodes reachable from the start within maxLevel hops along "
+        "filtered relationship types (NODE_GLOBAL uniqueness)"
+    ),
+    defaults={"config": None},
+)
+def _apoc_path_subgraph_nodes(
+    spark: SparkSession, start=None, config: dict = None, graph=None
+) -> DataFrame:
+    """apoc.path.subgraphNodes — the reachability subset of the
+    path-expander config surface (r12): ``{relationshipFilter,
+    labelFilter, maxLevel}`` keys honored, same outgoing-'T>' dialect as
+    apoc.path.expand; the start node itself is included (level 0, the
+    APOC contract). One BFS over the typed-pruned edge frame."""
+    cfg = dict(config or {})
+    unknown = set(cfg) - {"relationshipFilter", "labelFilter", "maxLevel", "minLevel"}
+    if unknown:
+        raise ValueError(
+            f"apoc.path.subgraphNodes: unsupported config key(s) {sorted(unknown)}"
+        )
+    out = _apoc_path_expand(
+        spark,
+        start=start,
+        relationshipFilter=str(cfg.get("relationshipFilter", "") or ""),
+        labelFilter=str(cfg.get("labelFilter", "") or ""),
+        minLevel=int(cfg.get("minLevel", 0)),
+        maxLevel=int(cfg.get("maxLevel", 5)),
+        graph=graph,
+    )
+    return out.select("node")
+
+
+@procedure(
+    "apoc.path.spanningTree",
+    signature=(
+        "apoc.path.spanningTree(start :: STRING, config :: MAP) :: "
+        "(node :: INTEGER, level :: INTEGER)"
+    ),
+    description=(
+        "BFS spanning reach from the start: each reachable node once, at "
+        "its minimum level"
+    ),
+    defaults={"config": None},
+)
+def _apoc_path_spanning_tree(
+    spark: SparkSession, start=None, config: dict = None, graph=None
+) -> DataFrame:
+    """apoc.path.spanningTree — identical reach set to subgraphNodes with
+    the per-node minimum level kept (our BFS already yields exactly one
+    row per node at its shortest depth — NODE_GLOBAL semantics)."""
+    cfg = dict(config or {})
+    unknown = set(cfg) - {"relationshipFilter", "labelFilter", "maxLevel", "minLevel"}
+    if unknown:
+        raise ValueError(
+            f"apoc.path.spanningTree: unsupported config key(s) {sorted(unknown)}"
+        )
+    return _apoc_path_expand(
+        spark,
+        start=start,
+        relationshipFilter=str(cfg.get("relationshipFilter", "") or ""),
+        labelFilter=str(cfg.get("labelFilter", "") or ""),
+        minLevel=int(cfg.get("minLevel", 0)),
+        maxLevel=int(cfg.get("maxLevel", 5)),
+        graph=graph,
+    )
+
+
 @scalar_function("genai.vector.encode")
 def _genai_vector_encode(text=None, dim: int = 32):
     """``genai.vector.encode(text)`` → array<float> (the genai plugin's
