@@ -853,6 +853,12 @@ def main() -> int:
     run("CREATE (n:$('Dyp') {k: 1})", "dynamic-label-create")
     run("MATCH (d:Dyp) RETURN count(*) AS c", "dynamic-label-readback", expect=[(1,)])
     run("MATCH (d:Dyp) SET d:$('Dyq') RETURN labels(d) AS l", "dynamic-label-set")
+    run("MATCH (d:Dyp) CALL apoc.path.subgraphNodes(d, {maxLevel: 2}) YIELD node RETURN count(*) >= 1 AS ok",
+        "apoc-subgraph-nodes", expect=[(True,)])
+    run("MATCH (d:Dyp) CALL apoc.path.spanningTree(d, {}) YIELD node, level RETURN count(*) >= 1 AS ok",
+        "apoc-spanning-tree", expect=[(True,)])
+    run("CALL db.labels() YIELD nope RETURN nope", "yield-unknown-col-loud",
+        expect_err="Unknown YIELD column")
     # EXPLAIN a write
     run("EXPLAIN CREATE (:Ex {v: 1})", "explain-create")
     # dynamic property read via subscript
