@@ -162,6 +162,8 @@ _NEW_THIS_ROUND: list[str] = [
     "proc_gds_knn_stream",
     # r12 late (session 3, batch 5): union-wide trailing ORDER BY
     "cypher_union_orderby",
+    # r12 late (session 3, batch 6): the shortest-path CALL family
+    "proc_gds_yens_stream",
 ]
 
 

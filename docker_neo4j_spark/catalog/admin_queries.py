@@ -921,6 +921,12 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'apoc.meta.schema'
     UNION ALL SELECT 'apoc.path.subgraphNodes'
     UNION ALL SELECT 'apoc.path.spanningTree'
+    UNION ALL SELECT 'gds.allShortestPaths.dijkstra.stream'
+    UNION ALL SELECT 'gds.bellmanFord.stream'
+    UNION ALL SELECT 'gds.shortestPath.yens.stream'
+    UNION ALL SELECT 'gds.shortestPath.astar.stream'
+    UNION ALL SELECT 'gds.fastRP.stream'
+    UNION ALL SELECT 'gds.closeness.harmonic.stream'
     """,
 )
 def proc_show_procedures(spark, sf_dir):
@@ -4094,4 +4100,37 @@ def cypher_union_orderby(spark, sf_dir):
         "MATCH (n:Nation) WHERE n.n_nationkey < 3 RETURN n.n_name AS name "
         "UNION MATCH (r:Region) RETURN r.r_name AS name "
         "ORDER BY name DESC LIMIT 4"
+    )
+
+
+@register(
+    "proc_gds_yens_stream",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 2.0, 'A'), (CAST(1 AS BIGINT), 4.0, 'A'))
+    AS t(idx, totalCost, src) ORDER BY idx
+    """,
+)
+def proc_gds_yens_stream(spark, sf_dir):
+    """``gds.shortestPath.yens.stream`` (r12): K-shortest loopless paths
+    through the canonical MATCH…CALL config-map shape. Diamond graph:
+    A→B→C (1+1) and A→D→C (3+1) → costs 2.0 then 4.0."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:Yn {name:'A'}), (:Yn {name:'B'}), (:Yn {name:'C'}), "
+          "(:Yn {name:'D'})")
+    for a, b, c in (("A", "B", 1), ("B", "C", 1), ("A", "D", 3), ("D", "C", 1)):
+        s.run(
+            f"MATCH (x:Yn {{name:'{a}'}}), (y:Yn {{name:'{b}'}}) "
+            f"CREATE (x)-[:YR {{w: {c}}}]->(y)"
+        )
+    s.run("CALL gds.graph.project('yen12', 'Yn', {YR: {properties: 'w'}})")
+    return s.run(
+        "MATCH (a:Yn {name:'A'}), (c:Yn {name:'C'}) "
+        "CALL gds.shortestPath.yens.stream('yen12', {sourceNode: a, "
+        "targetNode: c, k: 3, relationshipWeightProperty: 'w'}) "
+        "YIELD index, totalCost "
+        "RETURN index AS idx, totalCost, a.name AS src "
+        "ORDER BY idx"
     )

@@ -1622,6 +1622,236 @@ def _gds_dijkstra_stream(
 
 
 @procedure(
+    "gds.allShortestPaths.dijkstra.stream",
+    signature=(
+        "gds.allShortestPaths.dijkstra.stream(graphName :: STRING, "
+        "sourceNode :: INTEGER) :: (sourceNode :: INTEGER, "
+        "targetNode :: INTEGER, totalCost :: FLOAT)"
+    ),
+    description="Single-source shortest-path costs to every reachable node",
+    defaults={"relationshipWeightProperty": None},
+)
+def _gds_all_shortest_paths_dijkstra_stream(
+    spark: SparkSession, graphName: str = "", sourceNode: int = 0,
+    relationshipWeightProperty: str = None,
+) -> DataFrame:
+    """``gds.allShortestPaths.dijkstra.stream`` — GDS's name for the
+    no-target single-source variant; same weighted Bellman-Ford BSP."""
+    return _gds_dijkstra_stream(
+        spark, graphName, sourceNode, None, relationshipWeightProperty
+    )
+
+
+@procedure(
+    "gds.bellmanFord.stream",
+    signature=(
+        "gds.bellmanFord.stream(graphName :: STRING, sourceNode :: INTEGER) "
+        ":: (sourceNode :: INTEGER, targetNode :: INTEGER, "
+        "totalCost :: FLOAT, isNegativeCycle :: BOOLEAN)"
+    ),
+    description="Bellman-Ford shortest paths (negative weights allowed) with cycle detection",
+    defaults={"relationshipWeightProperty": None},
+)
+def _gds_bellman_ford_stream(
+    spark: SparkSession, graphName: str = "", sourceNode: int = 0,
+    relationshipWeightProperty: str = None,
+) -> DataFrame:
+    """``gds.bellmanFord.stream`` (r12) — negative weights allowed; the
+    kernel's converged flag drives per-node negative-cycle marking (a
+    non-converged improvable node sits on or behind a negative cycle)."""
+    from ..operators import gds
+
+    src_id = _node_arg(sourceNode, "sourceNode")
+    src = local_df(spark, [(src_id,)], "id long")
+    if relationshipWeightProperty is not None:
+        _, edges = _projected_graph(
+            spark, graphName, str(relationshipWeightProperty)
+        )
+    else:
+        _, edges = _projected_graph(spark, graphName)
+        edges = edges.withColumn("weight", F.lit(1).cast("long"))
+    out = gds.bellman_ford(edges, src, weight_col="weight")
+    neg = "on_negative_cycle" if "on_negative_cycle" in out.columns else None
+    return out.select(
+        F.lit(src_id).alias("sourceNode"),
+        F.col("id").alias("targetNode"),
+        F.col("dist").cast("double").alias("totalCost"),
+        (F.col(neg) if neg else F.lit(False)).alias("isNegativeCycle"),
+    )
+
+
+@procedure(
+    "gds.shortestPath.yens.stream",
+    signature=(
+        "gds.shortestPath.yens.stream(graphName :: STRING, "
+        "sourceNode :: INTEGER, targetNode :: INTEGER, k :: INTEGER) :: "
+        "(index :: INTEGER, sourceNode :: INTEGER, targetNode :: INTEGER, "
+        "totalCost :: FLOAT, path :: STRING)"
+    ),
+    description="K-shortest loopless paths between a source and a target",
+    defaults={"k": 3, "relationshipWeightProperty": None, "maxHops": 8},
+)
+def _gds_yens_stream(
+    spark: SparkSession, graphName: str = "", sourceNode: int = 0,
+    targetNode: int = 0, k: int = 3,
+    relationshipWeightProperty: str = None, maxHops: int = 8,
+) -> DataFrame:
+    """``gds.shortestPath.yens.stream`` (r12) — the set-wise K-shortest
+    kernel (one bounded traversal + per-pair top-k window, never
+    |pairs|·K sequential re-runs; ``operators/paths.k_shortest_paths``).
+    ``path`` streams as the '->'-joined node-id text (GDS's PATH objects
+    don't exist on the wire here — documented)."""
+    from ..operators.paths import k_shortest_paths
+
+    src_id = _node_arg(sourceNode, "sourceNode")
+    tgt_id = _node_arg(targetNode, "targetNode")
+    if relationshipWeightProperty is not None:
+        _, edges = _projected_graph(
+            spark, graphName, str(relationshipWeightProperty)
+        )
+        wcol = "weight"
+    else:
+        _, edges = _projected_graph(spark, graphName)
+        wcol = None
+    srcs = local_df(spark, [(src_id,)], "id long")
+    tgts = local_df(spark, [(tgt_id,)], "id long")
+    out = k_shortest_paths(
+        edges, srcs, k=int(k), max_hops=int(maxHops),
+        weight_col=wcol, targets=tgts,
+    )
+    return out.select(
+        (F.col("rank") - 1).cast("long").alias("index"),
+        F.col("start_id").alias("sourceNode"),
+        F.col("end_id").alias("targetNode"),
+        F.col("cost").cast("double").alias("totalCost"),
+        F.col("path_str").alias("path"),
+    )
+
+
+@procedure(
+    "gds.shortestPath.astar.stream",
+    signature=(
+        "gds.shortestPath.astar.stream(graphName :: STRING, "
+        "sourceNode :: INTEGER, targetNode :: INTEGER) :: "
+        "(sourceNode :: INTEGER, targetNode :: INTEGER, totalCost :: FLOAT)"
+    ),
+    description="A* single-pair shortest path over x/y node coordinates",
+    defaults={
+        "relationshipWeightProperty": None,
+        "xProperty": "x", "yProperty": "y",
+        "longitudeProperty": None, "latitudeProperty": None,
+    },
+)
+def _gds_astar_stream(
+    spark: SparkSession, graphName: str = "", sourceNode: int = 0,
+    targetNode: int = 0, relationshipWeightProperty: str = None,
+    xProperty: str = "x", yProperty: str = "y",
+    longitudeProperty: str = None, latitudeProperty: str = None,
+) -> DataFrame:
+    """``gds.shortestPath.astar.stream`` (r12) — the A*-pruned BSP kernel
+    over projected coordinate properties. GDS's haversine lat/long config
+    maps onto the planar x/y heuristic (admissibility stays the caller's
+    contract, as in GDS)."""
+    from ..operators import gds
+
+    src_id = _node_arg(sourceNode, "sourceNode")
+    tgt_id = _node_arg(targetNode, "targetNode")
+    xp = longitudeProperty or xProperty
+    yp = latitudeProperty or yProperty
+    cat = _graphs_for(spark)
+    if graphName not in cat:
+        raise ValueError(
+            f"Graph with name '{graphName}' does not exist in the catalog"
+        )
+    nodes = cat[graphName][0]
+    missing = [p for p in (xp, yp) if p not in nodes.columns]
+    if missing:
+        raise ValueError(
+            f"Coordinate propert{'ies' if len(missing) > 1 else 'y'} "
+            f"{missing} not present in graph '{graphName}'"
+        )
+    coords = nodes.select(
+        "id",
+        F.col(xp).cast("double").alias("x"),
+        F.col(yp).cast("double").alias("y"),
+    )
+    if relationshipWeightProperty is not None:
+        _, edges = _projected_graph(
+            spark, graphName, str(relationshipWeightProperty)
+        )
+    else:
+        _, edges = _projected_graph(spark, graphName)
+        edges = edges.withColumn("weight", F.lit(1.0))
+    out = gds.astar(edges, coords, src_id, tgt_id, weight_col="weight")
+    return out.select(
+        F.lit(src_id).alias("sourceNode"),
+        F.lit(tgt_id).alias("targetNode"),
+        F.col("total_cost").cast("double").alias("totalCost"),
+    )
+
+
+@procedure(
+    "gds.fastRP.stream",
+    signature=(
+        "gds.fastRP.stream(graphName :: STRING, embeddingDimension :: "
+        "INTEGER) :: (nodeId :: INTEGER, embedding :: LIST)"
+    ),
+    description="FastRP node embeddings (deterministic sparse random projection)",
+    defaults={"embeddingDimension": 8},
+)
+def _gds_fastrp_stream(
+    spark: SparkSession, graphName: str = "", embeddingDimension: int = 8
+) -> DataFrame:
+    """``gds.fastRP.stream`` (r12) — the long-form (id, j, v) kernel
+    pivots to one array per node with a single groupBy (dimension order
+    by j; the long form is the scale design, the pivot is the wire
+    shape)."""
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.fastrp(edges, nodes, dim=int(embeddingDimension))
+    return (
+        out.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "v"))),
+                lambda s: s["v"],
+            ).alias("embedding")
+        )
+        .select(F.col("id").alias("nodeId"), "embedding")
+    )
+
+
+@procedure(
+    "gds.closeness.harmonic.stream",
+    signature=(
+        "gds.closeness.harmonic.stream(graphName :: STRING) :: "
+        "(nodeId :: INTEGER, centrality :: FLOAT)"
+    ),
+    description="Harmonic centrality (sum of inverse distances) over a projected graph",
+)
+def _gds_harmonic_stream(spark: SparkSession, graphName: str = "") -> DataFrame:
+    """``gds.closeness.harmonic.stream`` (r12) — Σ 1/d over the shared
+    multi-source BFS walk; unreachable pairs contribute 0 (harmonic's
+    disconnected-graph grace)."""
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    walk = gds.closeness_walk(edges, nodes.select("id"), max_depth=20)
+    out = walk.where(F.col("dist") > 0).groupBy(
+        F.col("source").alias("nodeId")
+    ).agg(F.sum(F.lit(1.0) / F.col("dist")).alias("centrality"))
+    return nodes.select(F.col("id").alias("nodeId")).join(
+        out, "nodeId", "left"
+    ).select(
+        "nodeId",
+        F.coalesce(F.col("centrality"), F.lit(0.0)).cast("double").alias(
+            "centrality"
+        ),
+    )
+
+
+@procedure(
     "gds.bfs.stream",
     signature=(
         "gds.bfs.stream(graphName :: STRING, sourceNode :: INTEGER) :: "

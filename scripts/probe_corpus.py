@@ -859,6 +859,31 @@ def main() -> int:
         "apoc-spanning-tree", expect=[(True,)])
     run("CALL db.labels() YIELD nope RETURN nope", "yield-unknown-col-loud",
         expect_err="Unknown YIELD column")
+    # shortest-path CALL family (late r12)
+    run("CREATE (:Spf {name:'A', fx: 0.0, fy: 0.0}), (:Spf {name:'B', fx: 1.0, fy: 0.0}), "
+        "(:Spf {name:'C', fx: 2.0, fy: 0.0}), (:Spf {name:'D', fx: 1.0, fy: 1.0})")
+    for a, b, c in (("A", "B", 1), ("B", "C", 1), ("A", "D", 3), ("D", "C", 1)):
+        run(f"MATCH (x:Spf {{name:'{a}'}}), (y:Spf {{name:'{b}'}}) CREATE (x)-[:SPR {{w: {c}}}]->(y)")
+    run("CALL gds.graph.project('spf1', {Spf: {properties: ['fx','fy']}}, {SPR: {properties: 'w'}})")
+    run("MATCH (a:Spf {name:'A'}) CALL gds.allShortestPaths.dijkstra.stream('spf1', "
+        "{sourceNode: a, relationshipWeightProperty: 'w'}) YIELD totalCost RETURN max(totalCost) AS m",
+        "all-shortest-dijkstra", expect=[(3.0,)])
+    run("MATCH (a:Spf {name:'A'}) CALL gds.bellmanFord.stream('spf1', {sourceNode: a, "
+        "relationshipWeightProperty: 'w'}) YIELD isNegativeCycle RETURN count(*) AS c",
+        "bellman-ford-stream", expect=[(4,)])
+    run("MATCH (a:Spf {name:'A'}), (c:Spf {name:'C'}) CALL gds.shortestPath.yens.stream('spf1', "
+        "{sourceNode: a, targetNode: c, k: 2, relationshipWeightProperty: 'w'}) "
+        "YIELD index, totalCost RETURN index, totalCost ORDER BY index",
+        "yens-stream", expect=[(0, 2.0), (1, 4.0)])
+    run("MATCH (a:Spf {name:'A'}), (c:Spf {name:'C'}) CALL gds.shortestPath.astar.stream('spf1', "
+        "{sourceNode: a, targetNode: c, xProperty: 'fx', yProperty: 'fy', "
+        "relationshipWeightProperty: 'w'}) YIELD totalCost RETURN totalCost",
+        "astar-stream", expect=[(2.0,)])
+    run("CALL gds.fastRP.stream('spf1', {embeddingDimension: 4}) YIELD embedding "
+        "RETURN size(embedding) AS d LIMIT 1", "fastrp-stream", expect=[(4,)])
+    run("CALL gds.closeness.harmonic.stream('spf1') YIELD centrality RETURN count(*) AS c",
+        "harmonic-stream", expect=[(4,)])
+    run("CALL gds.graph.drop('spf1')")
     # EXPLAIN a write
     run("EXPLAIN CREATE (:Ex {v: 1})", "explain-create")
     # dynamic property read via subscript
