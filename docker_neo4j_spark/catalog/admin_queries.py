@@ -927,6 +927,9 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'gds.shortestPath.astar.stream'
     UNION ALL SELECT 'gds.fastRP.stream'
     UNION ALL SELECT 'gds.closeness.harmonic.stream'
+    UNION ALL SELECT 'gds.randomWalk.stream'
+    UNION ALL SELECT 'gds.sllpa.stream'
+    UNION ALL SELECT 'gds.dag.topologicalSort.stream'
     """,
 )
 def proc_show_procedures(spark, sf_dir):

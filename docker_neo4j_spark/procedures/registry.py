@@ -1852,6 +1852,91 @@ def _gds_harmonic_stream(spark: SparkSession, graphName: str = "") -> DataFrame:
 
 
 @procedure(
+    "gds.randomWalk.stream",
+    signature=(
+        "gds.randomWalk.stream(graphName :: STRING, sourceNode :: INTEGER, "
+        "walkLength :: INTEGER) :: (sourceNode :: INTEGER, "
+        "nodeIds :: LIST)"
+    ),
+    description="Deterministic hash-seeded random walks from the source nodes",
+    defaults={"walkLength": 5, "sourceNode": None},
+)
+def _gds_random_walk_stream(
+    spark: SparkSession, graphName: str = "",
+    # int-annotated so a trailing config map unpacks into kwargs
+    sourceNode: int = None, walkLength: int = 5,
+) -> DataFrame:
+    """``gds.randomWalk.stream`` (r12) — the deterministic hash-chooser
+    walk kernel (reproducible across runs/engines, replica-minhash
+    convention); one walk per source (every node when sourceNode is
+    omitted), streamed as the ordered node-id list."""
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    if sourceNode is not None:
+        srcs = local_df(
+            spark, [(_node_arg(sourceNode, "sourceNode"),)], "id long"
+        )
+    else:
+        srcs = nodes.select("id")
+    out = gds.random_walk(edges, srcs, steps=int(walkLength))
+    return out.groupBy(F.col("walk_id").alias("sourceNode")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("step", "id"))),
+            lambda s: s["id"],
+        ).alias("nodeIds")
+    )
+
+
+@procedure(
+    "gds.sllpa.stream",
+    signature=(
+        "gds.sllpa.stream(graphName :: STRING, maxIterations :: INTEGER) :: "
+        "(nodeId :: INTEGER, communityIds :: LIST)"
+    ),
+    description="Speaker-Listener LPA (overlapping communities) over a projected graph",
+    defaults={"maxIterations": 5},
+)
+def _gds_sllpa_stream(
+    spark: SparkSession, graphName: str = "", maxIterations: int = 5
+) -> DataFrame:
+    """``gds.sllpa.stream`` (r12) — overlapping community memberships
+    from the deterministic speaker-listener kernel; each node streams
+    its sorted community-id list (GDS's pending-communities shape)."""
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.sllpa(edges, nodes.select("id"), rounds=int(maxIterations))
+    return out.groupBy(F.col("id").alias("nodeId")).agg(
+        F.array_sort(F.collect_list(F.col("label"))).alias("communityIds")
+    )
+
+
+@procedure(
+    "gds.dag.topologicalSort.stream",
+    signature=(
+        "gds.dag.topologicalSort.stream(graphName :: STRING) :: "
+        "(nodeId :: INTEGER, maxDistanceFromSource :: INTEGER)"
+    ),
+    description="Topological layering of a DAG (longest distance from any source)",
+)
+def _gds_topological_sort_stream(
+    spark: SparkSession, graphName: str = ""
+) -> DataFrame:
+    """``gds.dag.topologicalSort.stream`` (r12) — the level-scheduling
+    layering: layer(v) = longest path from a source, the order GDS's
+    maxDistanceFromSource yields."""
+    from ..operators import gds
+
+    nodes, edges = _projected_graph(spark, graphName)
+    out = gds.topological_layers(edges, nodes.select("id"))
+    return out.select(
+        F.col("id").alias("nodeId"),
+        F.col("layer").cast("long").alias("maxDistanceFromSource"),
+    )
+
+
+@procedure(
     "gds.bfs.stream",
     signature=(
         "gds.bfs.stream(graphName :: STRING, sourceNode :: INTEGER) :: "

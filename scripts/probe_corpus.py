@@ -883,6 +883,12 @@ def main() -> int:
         "RETURN size(embedding) AS d LIMIT 1", "fastrp-stream", expect=[(4,)])
     run("CALL gds.closeness.harmonic.stream('spf1') YIELD centrality RETURN count(*) AS c",
         "harmonic-stream", expect=[(4,)])
+    run("CALL gds.randomWalk.stream('spf1', {walkLength: 2}) YIELD nodeIds RETURN count(*) AS c",
+        "random-walk-stream", expect=[(4,)])
+    run("CALL gds.sllpa.stream('spf1', {maxIterations: 3}) YIELD communityIds RETURN count(*) AS c",
+        "sllpa-stream", expect=[(4,)])
+    run("CALL gds.dag.topologicalSort.stream('spf1') YIELD maxDistanceFromSource RETURN max(maxDistanceFromSource) AS m",
+        "topo-sort-stream")
     run("CALL gds.graph.drop('spf1')")
     # EXPLAIN a write
     run("EXPLAIN CREATE (:Ex {v: 1})", "explain-create")
