@@ -930,6 +930,10 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'gds.randomWalk.stream'
     UNION ALL SELECT 'gds.sllpa.stream'
     UNION ALL SELECT 'gds.dag.topologicalSort.stream'
+    UNION ALL SELECT 'db.ping'
+    UNION ALL SELECT 'db.awaitIndexes'
+    UNION ALL SELECT 'db.resampleOutdatedIndexes'
+    UNION ALL SELECT 'dbms.listTransactions'
     """,
 )
 def proc_show_procedures(spark, sf_dir):

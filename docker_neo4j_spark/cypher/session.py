@@ -1182,6 +1182,15 @@ class Session:
 
             out = _registry_call(self.spark, "dbms.listConfig")
             return self._show_tail(out, q[len("SHOW SETTINGS"):])
+        if head == "SHOW" and q.upper().startswith("SHOW TRANSACTIONS"):
+            # command form of dbms.listTransactions (r12)
+            from ..procedures.registry import call as _registry_call
+
+            out = _registry_call(
+                self.spark, "dbms.listTransactions",
+                context={"session": self},
+            )
+            return self._show_tail(out, q[len("SHOW TRANSACTIONS"):])
         if head == "SHOW" and q.upper().startswith("SHOW FUNCTIONS"):
             from ..procedures.registry import show_functions
 

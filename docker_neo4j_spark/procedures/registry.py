@@ -3236,6 +3236,57 @@ def _db_info(spark: SparkSession, session=None) -> DataFrame:
 
 
 @procedure(
+    "db.ping",
+    signature="db.ping() :: (success :: BOOLEAN)",
+    description="Liveness check",
+)
+def _db_ping(spark: SparkSession) -> DataFrame:
+    return local_df(spark, [(True,)], "success boolean")
+
+
+@procedure(
+    "db.awaitIndexes",
+    signature="db.awaitIndexes(timeoutSeconds :: INTEGER) :: ()",
+    description="Wait for indexes to come online (indexes here are metadata + dump-time clustering, so this returns immediately)",
+    defaults={"timeoutSeconds": 300},
+)
+def _db_await_indexes(spark: SparkSession, timeoutSeconds: int = 300) -> DataFrame:
+    return local_df(spark, [], "ok string")
+
+
+@procedure(
+    "db.resampleOutdatedIndexes",
+    signature="db.resampleOutdatedIndexes() :: ()",
+    description="Resample index statistics (statistics come from parquet row-group metadata here, so this returns immediately)",
+)
+def _db_resample_indexes(spark: SparkSession) -> DataFrame:
+    return local_df(spark, [], "ok string")
+
+
+@procedure(
+    "dbms.listTransactions",
+    signature=(
+        "dbms.listTransactions() :: (transactionId :: STRING, "
+        "username :: STRING, currentQuery :: STRING, status :: STRING, "
+        "database :: STRING)"
+    ),
+    description="Currently executing transactions (one row: this statement — snapshot-isolated reads never block)",
+)
+def _dbms_list_transactions(spark: SparkSession, session=None) -> DataFrame:
+    """One row for the executing statement itself — the engine's frames
+    are immutable snapshots, so there is never a blocked/waiting
+    transaction to report (the semantics SHOW TRANSACTIONS surfaces)."""
+    user = getattr(session, "user", None) or "neo4j"
+    db = getattr(session, "database", None) or "neo4j"
+    return local_df(
+        spark,
+        [("transaction-0", user, "SHOW TRANSACTIONS", "Running", db)],
+        "transactionId string, username string, currentQuery string, "
+        "status string, database string",
+    )
+
+
+@procedure(
     "dbms.info",
     signature="dbms.info() :: (id :: STRING, name :: STRING, creationDate :: STRING)",
     description="Information about the DBMS",

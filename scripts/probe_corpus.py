@@ -890,6 +890,9 @@ def main() -> int:
     run("CALL gds.dag.topologicalSort.stream('spf1') YIELD maxDistanceFromSource RETURN max(maxDistanceFromSource) AS m",
         "topo-sort-stream")
     run("CALL gds.graph.drop('spf1')")
+    run("CALL db.ping()", "db-ping", expect=[(True,)])
+    run("SHOW TRANSACTIONS YIELD status RETURN count(*) >= 1 AS ok", "show-transactions",
+        expect=[(True,)])
     # EXPLAIN a write
     run("EXPLAIN CREATE (:Ex {v: 1})", "explain-create")
     # dynamic property read via subscript
