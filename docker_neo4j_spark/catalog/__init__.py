@@ -107,6 +107,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     "union_distinct",
     "fn_apoc_text_suite",
     "fn_apoc_coll_suite",
+    # r12 late (session 3): the union executor grew union-wide trailing
+    # ORDER BY/SKIP/LIMIT extraction — re-grade the set-op family
+    "union_all_counts",
+    "intersect_names",
+    "except_nations",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
