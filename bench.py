@@ -70,6 +70,11 @@ HEADLINE = [
     # one GDS shape not previously benched. First-run anchor (solo,
     # min-of-2) in BASELINE.md.
     "proc_gds_wcc_write",
+    # r13 breadth (VERDICT r12 task 7): the r12-era SOURCE family —
+    # LOAD CSV statement (distributed spark.read.csv + set-based write
+    # tail + MATCH readback). First-run anchor (solo, min-of-2) in
+    # BASELINE.md.
+    "cypher_load_csv_statement",
 ]
 
 

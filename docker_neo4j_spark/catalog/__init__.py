@@ -58,60 +58,16 @@ _loaded = False
 # Registration order breaks ties, so the order is deterministic for a given
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
-    # r12 entries are appended as implementations change; reset at round start.
-    # r12: _apply_where now defaults to the frame-aware resolver (missing-
-    # property → null, never AnalysisException) — re-grade WHERE-heavy rows
-    "property_lookup",
-    "with_pipeline_having",
-    "pattern_semi_join",
-    "pattern_anti_join",
+    # r13 entries are appended as implementations change; reset at round start.
+    # r13: the expression compiler's multiplicative operator grew Cypher
+    # division/modulo-by-zero semantics (float→Infinity/NaN, integral→
+    # "/ by zero", try_divide/try_mod) — re-grade the expression-heavy rows
     "cypher_hostile_expression",
-    "theta_join_inequality",
-    "cypher_exists_where_subquery",
-    # r12: the CALL dispatcher grew config-map unpacking + the
-    # ProcedureError hygiene boundary — re-grade the CALL-routed rows
-    "proc_gds_wcc_stream",
-    "proc_gds_wcc_write",
-    "proc_gds_degree_stream",
-    "proc_gds_graph_catalog",
-    "proc_apoc_cypher_run",
-    "proc_apoc_create_merge",
-    "proc_vector_index_query",
-    "proc_call_default_values",
-    "proc_list_config_yield_where",
-    # r12: expression values carry a src_fn tag + the postfix accessor
-    # rule landed in the Pratt parser — re-grade expression-heavy rows
+    "cypher_operator_semantics",
     "cypher_expression_projection",
-    "cypher_temporal",
-    "cypher_duration_values",
-    "fn_temporal_accessors",
-    "fn_point_suite",
-    # r12: MATCH…MERGE dispatch grew the multi-relationship chain branch
-    "cypher_match_merge_rel",
-    "cypher_merge_grow_pattern",
-    # r12 late: SHOW PROCEDURES grew the new GDS surface rows
-    "proc_show_procedures",
-    # r12 late: the consecutive-MATCH shortestPath branch, bound-FOREACH
-    # verb, EXISTS{} RETURN rewrite and case-insensitive function lookup
-    # are all ADDITIVE branches (exact-name lookup, standalone FOREACH,
-    # and the single-MATCH shortestPath path are untouched) — their
-    # pre-existing rows carry no new risk and stay on the staleness
-    # rotation so the 6 r4-graded rows fit the window (task 7).
-    # r12 late (session 3): the slice compiler grew negative-bound
-    # normalization, the trim family grew two-arg/ANSI forms, item
-    # aliases accept backticks, the UNION clause splitter skips dotted
-    # function names, and plugin scalar fns accept Column args —
-    # re-grade the rows running through those code paths
-    "fn_list_suite",
-    "fn_string_suite",
-    "union_distinct",
-    "fn_apoc_text_suite",
-    "fn_apoc_coll_suite",
-    # r12 late (session 3): the union executor grew union-wide trailing
-    # ORDER BY/SKIP/LIMIT extraction — re-grade the set-op family
-    "union_all_counts",
-    "intersect_names",
-    "except_nations",
+    # r13: SHOW FUNCTIONS gained the doc-name alias registrations (its
+    # oracle enumerates apoc.text.* membership)
+    "proc_show_functions",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -120,55 +76,15 @@ _CHANGED_THIS_ROUND: list[str] = [
 # enter the 50-row window once the backlog fits. Reset each round (entries
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
-    # r12 entries are appended as new rows register; reset at round start.
-    # r12: canonical GDS config-map call shapes (VERDICT r11 tasks 1-2)
-    "proc_gds_wcc_write_map",
-    "proc_gds_pagerank_stream_map",
-    # r12: string/'*' label handling in gds.graph.project (task 2)
-    "proc_gds_project_string",
-    # r12: missing-property null semantics in WHERE position (task 3)
-    "cypher_missing_prop_null",
-    # r12: postfix accessors on call expressions (task 4)
-    "cypher_postfix_accessors",
-    # r12: multi-relationship MERGE chains (task 6)
-    "cypher_merge_chain_pattern",
-    # r12: orientation projection maps + dijkstra config-map source
-    "proc_gds_undirected_degree",
-    "proc_gds_dijkstra_stream",
-    # r12: probe-corpus fixes — FOREACH write tails over bindings,
-    # duration.between component accessors, bound-endpoint shortestPath
-    "cypher_foreach_bound_set",
-    "cypher_duration_between",
-    "cypher_shortest_path_bound",
-    # r12: EXISTS{} in RETURN position + probe-corpus function gaps
-    "cypher_exists_return",
-    "fn_r12_additions",
-    # r12: WITH * passthrough
-    "cypher_with_star",
-    # r12 late (session 3): probe-found canonical shapes — bracketless
-    # arrows, leading-WITH/UNWIND-MATCH pipelines, ON…SET += maps,
-    # trims/negative slices, the new APOC registrations, the canonical
-    # MATCH…CALL weighted-dijkstra invocation, mixed-item implicit
-    # grouping keys
-    "cypher_anon_arrows",
-    "cypher_leading_with",
-    "cypher_unwind_match_pipeline",
-    "cypher_merge_on_set_map",
-    "cypher_trim_slice_suite",
-    "fn_apoc_r12c_suite",
-    "proc_gds_dijkstra_weighted",
-    "cypher_count_expr_group",
-    # r12 late (session 3, batch 4): rel DDL, counter SET, duration
-    # arithmetic, entity subscripts, knn over projected properties
-    "cypher_rel_ddl",
-    "cypher_counter_set",
-    "fn_duration_arith",
-    "cypher_entity_subscript",
-    "proc_gds_knn_stream",
-    # r12 late (session 3, batch 5): union-wide trailing ORDER BY
-    "cypher_union_orderby",
-    # r12 late (session 3, batch 6): the shortest-path CALL family
-    "proc_gds_yens_stream",
+    # r13 entries are appended as new rows register; reset at round start.
+    # r13: correlated UNWIND over computed expressions (VERDICT r12 task 1)
+    "cypher_correlated_unwind",
+    # r13: Cypher division/modulo-by-zero semantics (task 2)
+    "cypher_divzero_semantics",
+    # r13: statement-opening WITH DISTINCT (task 3)
+    "cypher_with_distinct_standalone",
+    # r13: APOC doc-name alias sweep (task 6)
+    "fn_apoc_r13_suite",
 ]
 
 

@@ -66,6 +66,7 @@ class GraphStore:
 
     # ---- helpers -------------------------------------------------------
     _NUMERIC_T = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    _INTEGRAL_T = ("tinyint", "smallint", "int", "bigint")
 
     def _union_missing(self, base: DataFrame, extra: DataFrame) -> DataFrame:
         """Schema-evolving union: new property columns null-pad old rows.
@@ -94,8 +95,18 @@ class GraphStore:
                 continue
             b_num, e_num = bt in self._NUMERIC_T, et in self._NUMERIC_T
             if b_num and e_num:
-                base = base.withColumn(c, F.col(c).cast("double"))
-                extra = extra.withColumn(c, F.col(c).cast("double"))
+                # integer×integer widens WITHIN the family to bigint —
+                # a double cast would silently float every stored integer
+                # (precision loss above 2^53, Cypher ints become floats);
+                # the double cast is reserved for genuine int×float
+                # conflicts (r13 — ADVICE r12)
+                target = (
+                    "bigint"
+                    if bt in self._INTEGRAL_T and et in self._INTEGRAL_T
+                    else "double"
+                )
+                base = base.withColumn(c, F.col(c).cast(target))
+                extra = extra.withColumn(c, F.col(c).cast(target))
                 continue
             raise ValueError(
                 f"property `{c}` type conflict: the store holds {bt} but "

@@ -923,6 +923,25 @@ def main() -> int:
     run("MATCH (p:Pp) WITH id(p) AS pid MATCH (q) WHERE id(q) = pid RETURN q.name AS n",
         "id-roundtrip", expect=[("x",)])
 
+    # ---- r13: the VERDICT r12 findings, pinned -------------------------
+    run("UNWIND [1,2,3] AS x UNWIND range(1, x) AS y RETURN x, y ORDER BY x, y",
+        "correlated-unwind-binding",
+        expect=[(1, 1), (2, 1), (2, 2), (3, 1), (3, 2), (3, 3)])
+    run("MATCH (p:Pp) UNWIND range(1, 2) AS i RETURN p.name AS n, i ORDER BY n, i",
+        "unwind-range-after-match")
+    run("RETURN toString(1.0/0) AS a, toString(-1.0/0) AS b, toString(0.0/0) AS c",
+        "float-div-zero", expect=[("Infinity", "-Infinity", "NaN")])
+    run("RETURN 1/0 AS x", "int-div-zero", expect_err="/ by zero")
+    run("RETURN 5 % 0 AS x", "int-mod-zero", expect_err="/ by zero")
+    run("WITH DISTINCT 1 AS one RETURN one", "standalone-with-distinct",
+        expect=[(1,)])
+    run("UNWIND [1,1,2] AS x WITH DISTINCT x AS y RETURN y ORDER BY y",
+        "with-distinct-pipeline", expect=[(1,), (2,)])
+    run("RETURN apoc.text.distance('kitten', 'sitting') AS d",
+        "apoc-text-distance", expect=[(3,)])
+    run("RETURN apoc.text.regreplace('a.b', '\\\\.', '-') AS r",
+        "apoc-regreplace", expect=[("a-b",)])
+
     print()
     print("=== FAILURES ===")
     for f, m in FAILS:

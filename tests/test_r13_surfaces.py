@@ -1,0 +1,177 @@
+"""r13 surface pins — the VERDICT r12 findings as regression tests:
+
+1. correlated UNWIND over computed expressions (range over a prior
+   binding or a property arithmetic expression);
+2. Cypher division/modulo-by-zero semantics (float never errors —
+   Infinity/-Infinity/NaN; integral errors with the Cypher shape);
+3. statement-opening ``WITH DISTINCT``;
+4. the result-boundary error translation (runtime / lazy-analysis
+   exceptions re-raise engine-shaped at collect time);
+5. the APOC doc-name alias sweep (apoc.text.distance & co).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from docker_neo4j_spark.cypher.session import Session
+
+
+@pytest.fixture()
+def session(spark):
+    return Session(spark)
+
+
+def _vals(session, q):
+    return [tuple(r) for r in session.run(q).collect()]
+
+
+# ---- 1. correlated UNWIND ------------------------------------------------
+
+
+def test_correlated_unwind_over_prior_binding(session):
+    rows = _vals(
+        session,
+        "UNWIND [1,2,3] AS x UNWIND range(1, x) AS y "
+        "RETURN x, y ORDER BY x, y",
+    )
+    assert rows == [(1, 1), (2, 1), (2, 2), (3, 1), (3, 2), (3, 3)]
+
+
+def test_correlated_unwind_over_property_expression(session):
+    session.run("CREATE (:R13P {born: 1964}), (:R13P {born: 1966})")
+    rows = _vals(
+        session,
+        "MATCH (p:R13P) UNWIND range(1, p.born - 1962) AS i "
+        "RETURN p.born AS b, count(*) AS n ORDER BY b",
+    )
+    assert rows == [(1964, 2), (1966, 4)]
+
+
+def test_literal_range_and_bare_list_unwind_still_work(session):
+    assert _vals(session, "UNWIND range(1, 3) AS x RETURN x ORDER BY x") == [
+        (1,),
+        (2,),
+        (3,),
+    ]
+    assert _vals(
+        session, "WITH [4, 5] AS l UNWIND l AS e RETURN e ORDER BY e"
+    ) == [(4,), (5,)]
+
+
+# ---- 2. division / modulo by zero ----------------------------------------
+
+
+def test_float_division_by_zero_is_infinity(session):
+    (row,) = session.run(
+        "RETURN 1.0/0 AS pos, -1.0/0 AS neg, 0.0/0 AS nan, 5.0 % 0 AS m"
+    ).collect()
+    assert row.pos == math.inf and row.neg == -math.inf
+    assert math.isnan(row.nan) and math.isnan(row.m)
+
+
+def test_integer_division_by_zero_literal_raises_cypher_shape(session):
+    with pytest.raises(ValueError, match="/ by zero"):
+        session.run("RETURN 1/0 AS x")
+    with pytest.raises(ValueError, match="/ by zero"):
+        session.run("RETURN 5 % 0 AS x")
+
+
+def test_integer_division_by_zero_runtime_raises_cypher_shape(session):
+    session.run("CREATE (:R13Z {v: 0})")
+    with pytest.raises(ValueError, match="/ by zero"):
+        session.run("MATCH (z:R13Z) RETURN 10 / z.v AS q").collect()
+
+
+def test_division_preserves_types_and_null(session):
+    (row,) = session.run(
+        "RETURN 5/2 AS intdiv, -7 % 3 AS m, null / 2.0 AS nd, 2.0 / null AS dn"
+    ).collect()
+    assert row.intdiv == 2 and row.m == -1
+    assert row.nd is None and row.dn is None
+
+
+# ---- 3. standalone WITH DISTINCT ------------------------------------------
+
+
+def test_standalone_with_distinct(session):
+    assert _vals(session, "WITH DISTINCT 1 AS one RETURN one") == [(1,)]
+    assert _vals(
+        session,
+        "UNWIND [1, 1, 2] AS x WITH DISTINCT x AS y RETURN y ORDER BY y",
+    ) == [(1,), (2,)]
+
+
+# ---- 4. result-boundary error translation ----------------------------------
+
+
+def test_runtime_overflow_shaped_at_collect(session):
+    with pytest.raises(ValueError, match="integer overflow"):
+        session.run(
+            "UNWIND [9223372036854775807] AS x RETURN x + 1 AS y"
+        ).collect()
+
+
+def test_shaped_frame_transformations_unwrapped(session):
+    df = session.run("UNWIND [1, 2, 3] AS x RETURN x")
+    assert df.count() == 3
+    assert df.where("x > 1").count() == 2
+
+
+# ---- 5. APOC doc-name aliases ----------------------------------------------
+
+
+def test_apoc_text_distance_alias(session):
+    assert _vals(
+        session, "RETURN apoc.text.distance('kitten', 'sitting') AS d"
+    ) == [(3,)]
+
+
+def test_apoc_r13_alias_sweep(session):
+    (row,) = session.run(
+        "RETURN apoc.text.compareCleaned('Hello, World!', 'hello world') AS c, "
+        "apoc.text.byteCount('héllo') AS b, "
+        "apoc.coll.sumLongs([1, 2, 3.5]) AS s, "
+        "apoc.coll.containsAll([1, 2, 3], [1, 3]) AS ca, "
+        "apoc.coll.different([1, 2, 1]) AS df, "
+        "apoc.coll.removeAll([1, 2, 3, 2], [1]) AS ra, "
+        "apoc.coll.dropDuplicateNeighbors([1, 1, 2, 2, 1]) AS dd"
+    ).collect()
+    assert row.c is True and row.b == 6 and row.s == 6
+    assert row.ca is True and row.df is False
+    assert row.ra == [2, 3, 2] and row.dd == [1, 2, 1]
+
+
+# ---- 6. knn LSH oversized-bucket split (no silent drops) --------------------
+
+
+def test_knn_lsh_oversized_bucket_split_keeps_all_nodes(spark, monkeypatch):
+    """Dense regions used to lose ALL neighbours when their LSH bucket
+    blew past the cap (r13 — ADVICE r12: silent left-semi drop).
+    Oversized buckets now hash-split into bounded chunks, so every node
+    keeps candidates. Thresholds patched down to exercise the scale path
+    on a small graph."""
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.procedures import registry
+
+    monkeypatch.setattr(registry, "_KNN_EXACT_MAX", 10)
+    monkeypatch.setattr(registry, "_KNN_BUCKET_CAP", 8)
+
+    s = Session(spark)
+    # 40 near-identical vectors: one dense LSH bucket, far over the cap
+    s.run(
+        "UNWIND range(1, 40) AS i "
+        "CREATE (:KnnD {k: i, e: [1.0, 1.0 + i * 0.0001]})"
+    )
+    s.run("CALL gds.graph.project('knn13', 'KnnD', '*')")
+    out = s.run(
+        "CALL gds.knn.stream('knn13', {nodeProperties: ['e'], topK: 2}) "
+        "YIELD node1, node2, similarity RETURN node1, node2, similarity"
+    )
+    rows = out.collect()
+    nodes_with_neighbours = {r.node1 for r in rows}
+    assert len(nodes_with_neighbours) == 40  # nobody silently dropped
+    assert all(r.similarity > 0.99 for r in rows)
+    s.run("CALL gds.graph.drop('knn13')")

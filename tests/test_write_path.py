@@ -744,3 +744,28 @@ def test_property_type_conflict_fails_loud(spark):
         "MATCH (n) WHERE n.v IS NOT NULL RETURN n.v AS v"
     ).collect()}
     assert got == {(1.0,), (2.5,)}
+
+
+def test_integer_family_conflict_widens_to_bigint_not_double(spark):
+    """int×bigint property conflicts widen WITHIN the integer family
+    (r13 — ADVICE r12): a write carrying an IntegerType column must not
+    float the stored longs (precision loss above 2^53). Only a genuine
+    int×float conflict reaches the double cast."""
+    from pyspark.sql import functions as F
+
+    from docker_neo4j_spark.cypher.session import Session
+    from docker_neo4j_spark.storage.store import GraphStore
+
+    s = Session(spark)
+    s.run("CREATE (:Wd {big: 9007199254740993})")  # 2^53 + 1
+    store: GraphStore = s.store
+    # an INT-typed frame for the same property (e.g. computed via size())
+    extra = spark.range(1).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.array(F.lit("Wd")).alias("labels"),
+        F.lit(7).cast("int").alias("big"),
+    )
+    merged = store._union_missing(store.graph.nodes, extra)
+    assert dict(merged.dtypes)["big"] == "bigint"
+    vals = {r.big for r in merged.select("big").collect()}
+    assert 9007199254740993 in vals and 7 in vals  # exact, not floated
