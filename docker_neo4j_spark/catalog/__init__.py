@@ -85,6 +85,12 @@ _NEW_THIS_ROUND: list[str] = [
     "cypher_with_distinct_standalone",
     # r13: APOC doc-name alias sweep (task 6)
     "fn_apoc_r13_suite",
+    # r13 novel-probe finds: MERGE counter idiom, toInteger coercion,
+    # COUNT{} WHERE, UNWIND…CALL{}
+    "cypher_merge_counter",
+    "fn_to_integer_forms",
+    "cypher_count_where_subquery",
+    "cypher_unwind_call_subquery",
 ]
 
 

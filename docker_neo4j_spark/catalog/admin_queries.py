@@ -4260,3 +4260,96 @@ def fn_apoc_r13_suite(spark, sf_dir):
         "apoc.text.join(keys(apoc.map.clean({a: 1, b: 2, c: 3}, ['b'], ['3'])), "
         "',') AS mclean"
     )
+
+
+@register(
+    "cypher_merge_counter",
+    """
+    SELECT CAST(3 AS BIGINT) AS n
+    """,
+)
+def cypher_merge_counter(spark, sf_dir):
+    """The MERGE counter idiom (r13 novel-probe find): ``ON MATCH SET
+    x.n = x.n + 1`` — a self-referencing assignment compiled against the
+    matched node's stored columns through the set-based conditional
+    update (was: ExprText reached py4j raw)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    q = ("MERGE (x:Ctr13 {k: 1}) ON CREATE SET x.n = 1 "
+         "ON MATCH SET x.n = x.n + 1 RETURN x.n AS n")
+    s.run(q)
+    s.run(q)
+    return s.run(q)
+
+
+@register(
+    "fn_to_integer_forms",
+    """
+    SELECT CAST(3 AS BIGINT) AS a, CAST(-2 AS BIGINT) AS b,
+           CAST(NULL AS BIGINT) AS c, CAST(NULL AS DOUBLE) AS d,
+           CAST(3 AS BIGINT) AS e, 2.5 AS f
+    """,
+)
+def fn_to_integer_forms(spark, sf_dir):
+    """Cypher toInteger/toFloat coercion forms (r13): float STRINGS parse
+    then truncate toward zero; unparseable strings are null, never
+    Spark's ANSI CAST_INVALID_INPUT."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    return s.run(
+        "RETURN toInteger('3.7') AS a, toInteger('-2.9') AS b, "
+        "toInteger('abc') AS c, toFloat('zz') AS d, "
+        "toInteger(3.7) AS e, toFloat('2.5') AS f"
+    )
+
+
+@register(
+    "cypher_count_where_subquery",
+    """
+    SELECT n_name AS name, CAST(cnt AS BIGINT) AS big
+    FROM nation JOIN (
+      SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+      WHERE c_acctbal > 9000.0 GROUP BY c_nationkey
+    ) ON c_nationkey = n_nationkey
+    ORDER BY name
+    """,
+)
+def cypher_count_where_subquery(spark, sf_dir):
+    """``COUNT { MATCH … WHERE pred }`` in WITH-item position (r13): the
+    predicate filters the decorrelated subquery matches before the
+    per-anchor count — one grouped count + one equi-join back, never
+    per-row; the WITH stage rewrites the subquery exactly like RETURN
+    position does."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (n:Nation) "
+        "WITH n, COUNT { MATCH (c:Customer)-[:IN_NATION]->(n) "
+        "WHERE c.c_acctbal > 9000.0 } AS big "
+        "WHERE big > 0 RETURN n.n_name AS name, big ORDER BY name"
+    )
+
+
+@register(
+    "cypher_unwind_call_subquery",
+    """
+    SELECT CAST(x AS BIGINT) AS x, CAST(x * 10 AS BIGINT) AS y
+    FROM (SELECT UNNEST([1, 2, 3]) AS x) ORDER BY x
+    """,
+)
+def cypher_unwind_call_subquery(spark, sf_dir):
+    """``UNWIND … CALL { WITH x … RETURN … } RETURN …`` (r13): the
+    exploded frame flows through the shared correlated-subquery stage
+    (per-row projection, no per-row execution)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    return s.run(
+        "UNWIND [1, 2, 3] AS x CALL { WITH x RETURN x * 10 AS y } "
+        "RETURN x, y ORDER BY x"
+    )

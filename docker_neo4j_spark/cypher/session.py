@@ -2088,6 +2088,43 @@ class Session:
         (r11: ``UNWIND ['x','y'] AS w CREATE (:W {t: w})``) dispatches
         the exploded frame through the shared set-based write tails."""
         h_ret = _find_kw(q, "RETURN")
+        h_call = _find_kw(q, "CALL")
+        if h_call and (not h_ret or h_call[0] < h_ret[0]):
+            rest = q[h_call[1]:].strip()
+            if rest.startswith("{"):
+                # ``UNWIND … CALL { WITH x … RETURN … } RETURN …`` (r13):
+                # explode first, then the shared correlated-subquery stage
+                depth, i = 1, 1
+                while i < len(rest) and depth:
+                    if rest[i] == "{":
+                        depth += 1
+                    elif rest[i] == "}":
+                        depth -= 1
+                    i += 1
+                if depth:
+                    raise ValueError("unbalanced braces in CALL subquery")
+                inner, tail2 = rest[1:i - 1].strip(), rest[i:].strip()
+                m_tx = re.match(
+                    r"IN\s+TRANSACTIONS(?:\s+OF\s+\d+\s+ROWS?)?\s*",
+                    tail2, re.IGNORECASE,
+                )
+                if m_tx:
+                    tail2 = tail2[m_tx.end():].strip()
+                bound = self.spark.range(1).select(F.lit(1).alias("_seed"))
+                for stage in _split_top(q[: h_call[0]], "UNWIND"):
+                    if stage.strip():
+                        bound = self._unwind_stage(bound, stage.strip())
+                bound = bound.drop("_seed")
+                bound = self._apply_call_subquery_stage(bound, inner)
+                m_r = re.match(r"RETURN\b", tail2, re.IGNORECASE)
+                if not m_r:
+                    raise ValueError(
+                        "UNWIND … CALL {} must end with RETURN"
+                    )
+                return self._project_match(
+                    bound, tail2[m_r.end():].strip(), [],
+                    _frame_resolver(bound),
+                )
         w_hits = [
             (h[0], h[1], " ".join(words))
             for words in (
@@ -2554,10 +2591,47 @@ class Session:
                 )
             if var not in ids:
                 raise ValueError(f"ON {'CREATE' if created else 'MATCH'} SET variable {var!r} is not in the pattern")
-            self.store.set_props_by_ids(
-                local_df(self.spark, [(ids[var],)], "id long"),
-                _eval_prop_map(self.spark, props),
-            )
+            props = _eval_prop_map(self.spark, props)
+            from .lexer import ExprText as _ET
+
+            if any(isinstance(v, _ET) for v in props.values()):
+                # self-referencing assignment — the counter idiom
+                # ``ON MATCH SET x.n = x.n + 1`` (r13): compile the RHS
+                # against the matched node's stored property columns and
+                # update through the set-based conditional-column path
+                node_frame = self.store.graph.nodes.where(
+                    F.col("id") == ids[var]
+                )
+                cols = set(node_frame.columns)
+
+                def _self_resolve(name: str) -> F.Column:
+                    if name.startswith(f"{var}."):
+                        p = name[len(var) + 1:]
+                        return F.col(f"`{p}`") if p in cols else F.lit(None)
+                    if name == var:
+                        return F.col("id")
+                    raise ValueError(
+                        f"unbound name in ON SET expression: {name!r}"
+                    )
+
+                _self_resolve.frame = node_frame
+                vals = node_frame.select(
+                    F.col("id"),
+                    *[
+                        (
+                            _compile_expr(v.src, _self_resolve)
+                            if isinstance(v, _ET)
+                            else _prop_col(v, _self_resolve)
+                        ).alias(k)
+                        for k, v in props.items()
+                    ],
+                )
+                self.store.set_props_from_frame(vals, list(props))
+            else:
+                self.store.set_props_by_ids(
+                    local_df(self.spark, [(ids[var],)], "id long"),
+                    props,
+                )
         if ret is None:
             return local_df(self.spark, [], "ok string")
         return self._project_bound(ret, ids, rels=_static_rel_info(elems))
@@ -3432,6 +3506,17 @@ class Session:
             if h_ob:
                 st_order = items_src[h_ob[1]:].strip()
                 items_src = items_src[: h_ob[0]].strip()
+            # COUNT{} / EXISTS{} subqueries in WITH-item position (r13):
+            # same decorrelated rewrite as RETURN position — each becomes
+            # a per-binding column, the item text references it
+            if re.search(r"COUNT\s*\{", items_src, re.IGNORECASE):
+                bound, items_src = self._apply_count_subqueries(
+                    bound, items_src
+                )
+            if re.search(r"EXISTS\s*\{", items_src, re.IGNORECASE):
+                bound, items_src = self._apply_exists_subqueries(
+                    bound, items_src
+                )
             # `WITH a` for a bound pattern variable carries the WHOLE
             # binding forward (all a_* columns), so later MATCH / RETURN
             # clauses can keep expanding from it — Cypher's variable
@@ -3945,8 +4030,15 @@ class Session:
         from ..operators.patterns import NodeSpec, RelSpec, match_chain
 
         elems, rest = _parse_pattern(src)
+        where_src = None
         if rest:
-            raise ValueError(f"trailing content in COUNT subquery: {rest!r}")
+            # ``COUNT { MATCH … WHERE pred }`` (r13): the predicate
+            # filters the subquery matches before counting, same shape
+            # as the COLLECT{} twin below
+            m_w = re.match(r"WHERE\s+(.*)$", rest.strip(), re.IGNORECASE | re.DOTALL)
+            if not m_w:
+                raise ValueError(f"trailing content in COUNT subquery: {rest!r}")
+            where_src = m_w.group(1).strip()
         pattern = []
         for j, el in enumerate(elems):
             if isinstance(el, _Node):
@@ -3964,6 +4056,8 @@ class Session:
         if not join_vars:
             raise ValueError("COUNT subquery must reference a bound variable")
         sub = match_chain(self.store.graph, pattern)
+        if where_src:
+            sub = sub.where(_compile_where(where_src, _frame_resolver(sub)))
         counts = sub.groupBy(
             [F.col(f"{v}_id").alias(f"_pp_{v}") for v in join_vars]
         ).agg(F.count("*").cast("long").alias(out_col))

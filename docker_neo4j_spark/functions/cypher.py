@@ -250,19 +250,26 @@ def toBooleanOrNull(x) -> Column:
 
 
 def toIntegerOrNull(x) -> Column:
-    return _c(x).try_cast("long")
+    return toInteger(x)
 
 
 def toFloatOrNull(x) -> Column:
-    return _c(x).try_cast("double")
+    return toFloat(x)
 
 
 def toInteger(x) -> Column:
-    return _c(x).cast("long")
+    """Cypher toInteger: float STRINGS parse then truncate toward zero
+    ('3.7' → 3, like toInteger(3.7) → 3); unparseable strings → null
+    (never Spark's ANSI CAST_INVALID_INPUT — r13)."""
+    c = _c(x)
+    return F.coalesce(
+        c.try_cast("long"), c.try_cast("double").try_cast("long")
+    )
 
 
 def toFloat(x) -> Column:
-    return _c(x).cast("double")
+    """Cypher toFloat: unparseable strings → null, never an ANSI error."""
+    return _c(x).try_cast("double")
 
 
 # ------------------------------------------------------------------ list ----

@@ -942,6 +942,18 @@ def main() -> int:
     run("RETURN apoc.text.regreplace('a.b', '\\\\.', '-') AS r",
         "apoc-regreplace", expect=[("a-b",)])
 
+    # ---- r13 novel-probe finds, pinned ---------------------------------
+    run("MERGE (cx:Cnt13 {k:1}) ON CREATE SET cx.n = 1 ON MATCH SET cx.n = cx.n + 1 RETURN cx.n AS n",
+        "merge-counter-create", expect=[(1,)])
+    run("MERGE (cx:Cnt13 {k:1}) ON CREATE SET cx.n = 1 ON MATCH SET cx.n = cx.n + 1 RETURN cx.n AS n",
+        "merge-counter-match", expect=[(2,)])
+    run("RETURN toInteger('3.7') AS a, toInteger('abc') AS b, toFloat('zz') AS c",
+        "toint-float-string", expect=[(3, None, None)])
+    run("MATCH (p:Pp) WHERE COUNT { MATCH (p)-[:Kx]->(q) WHERE q.name IS NOT NULL } >= 0 RETURN count(*) AS n",
+        "count-subquery-where")
+    run("UNWIND [1,2] AS x CALL { WITH x RETURN x * 10 AS y } RETURN x, y ORDER BY x",
+        "unwind-call-subquery", expect=[(1, 10), (2, 20)])
+
     print()
     print("=== FAILURES ===")
     for f, m in FAILS:

@@ -175,3 +175,65 @@ def test_knn_lsh_oversized_bucket_split_keeps_all_nodes(spark, monkeypatch):
     assert len(nodes_with_neighbours) == 40  # nobody silently dropped
     assert all(r.similarity > 0.99 for r in rows)
     s.run("CALL gds.graph.drop('knn13')")
+
+
+# ---- 7. novel-probe finds (r13 sweep) ----------------------------------------
+
+
+def test_merge_on_match_self_referencing_counter(session):
+    q = ("MERGE (x:R13Cnt {k: 1}) ON CREATE SET x.n = 1 "
+         "ON MATCH SET x.n = x.n + 1 RETURN x.n AS n")
+    assert _vals(session, q) == [(1,)]
+    assert _vals(session, q) == [(2,)]
+    assert _vals(session, q) == [(3,)]
+
+
+def test_to_integer_float_string_truncates(session):
+    assert _vals(
+        session,
+        "RETURN toInteger('3.7') AS a, toInteger('-2.9') AS b, "
+        "toInteger('abc') AS c, toFloat('zz') AS d, toInteger(3.7) AS e",
+    ) == [(3, -2, None, None, 3)]
+
+
+def test_count_subquery_with_where(session):
+    session.run("CREATE (:R13C {name:'a', age:30}), (:R13C {name:'b', age:40})")
+    session.run(
+        "MATCH (a:R13C {name:'a'}), (b:R13C {name:'b'}) CREATE (a)-[:R13F]->(b)"
+    )
+    assert _vals(
+        session,
+        "MATCH (a:R13C) WHERE COUNT { MATCH (a)-[:R13F]->(x) "
+        "WHERE x.age > 35 } > 0 RETURN a.name AS n",
+    ) == [("a",)]
+    assert _vals(
+        session,
+        "MATCH (a:R13C) RETURN a.name AS n, "
+        "COUNT { (a)-[:R13F]->(x) WHERE x.age > 100 } AS c ORDER BY n",
+    ) == [("a", 0), ("b", 0)]
+
+
+def test_unwind_then_call_subquery(session):
+    assert _vals(
+        session,
+        "UNWIND [1, 2] AS x CALL { WITH x RETURN x * 10 AS y } "
+        "RETURN x, y ORDER BY x",
+    ) == [(1, 10), (2, 20)]
+
+
+def test_count_exists_subquery_in_with_position(session):
+    session.run("CREATE (:R13W {name:'a', age:30}), (:R13W {name:'b', age:40})")
+    session.run(
+        "MATCH (a:R13W {name:'a'}), (b:R13W {name:'b'}) CREATE (a)-[:R13WF]->(b)"
+    )
+    assert _vals(
+        session,
+        "MATCH (n:R13W) WITH n, COUNT { MATCH (n)-[:R13WF]->(x) "
+        "WHERE x.age > 35 } AS big WHERE big > 0 "
+        "RETURN n.name AS name, big",
+    ) == [("a", 1)]
+    assert _vals(
+        session,
+        "MATCH (n:R13W) WITH n, EXISTS { (n)-[:R13WF]->() } AS has "
+        "RETURN n.name AS name, has ORDER BY name",
+    ) == [("a", True), ("b", False)]
