@@ -68,6 +68,18 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r13: SHOW FUNCTIONS gained the doc-name alias registrations (its
     # oracle enumerates apoc.text.* membership)
     "proc_show_functions",
+    # r13 wave 3: the reserved-property escape touches EVERY write path
+    # (store entry points, session write tails, pattern prop filters,
+    # resolvers, keys()/properties()/entity structs) — re-grade the
+    # write-heavy and scan rows
+    "property_lookup",
+    "cypher_set_expression_readback",
+    "cypher_label_set_readback",
+    "write_dump_load_counts",
+    "cypher_match_merge_rel",
+    "cypher_merge_grow_pattern",
+    "cypher_load_csv_statement",
+    "proc_apoc_create_merge",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -91,6 +103,16 @@ _NEW_THIS_ROUND: list[str] = [
     "fn_to_integer_forms",
     "cypher_count_where_subquery",
     "cypher_unwind_call_subquery",
+    # r13 novel-probe wave 2: stored temporal accessors, var-length rel
+    # list predicates, null propagation
+    "cypher_stored_temporal_accessor",
+    "cypher_varlen_rel_predicate",
+    "fn_null_propagation",
+    # r13 wave 3: reserved property names (the {id: row.id} bulk-import
+    # idiom), CREATE…SET tails, FOREACH over collected entities
+    "cypher_bulk_import_id_prop",
+    "cypher_create_set_tail",
+    "cypher_foreach_collected_set",
 ]
 
 

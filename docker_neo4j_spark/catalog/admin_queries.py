@@ -4353,3 +4353,162 @@ def cypher_unwind_call_subquery(spark, sf_dir):
         "UNWIND [1, 2, 3] AS x CALL { WITH x RETURN x * 10 AS y } "
         "RETURN x, y ORDER BY x"
     )
+
+
+@register(
+    "cypher_stored_temporal_accessor",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY y ORDER BY y
+    """,
+)
+def cypher_stored_temporal_accessor(spark, sf_dir):
+    """Temporal component accessors on a STORED property column (r13
+    novel-probe find): ``o.o_orderdate.year`` — the accessor chain
+    resolves against the typed store column (was: missing-property
+    null)."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (o:Order) RETURN o.o_orderdate.year AS y, count(*) AS n "
+        "ORDER BY y"
+    )
+
+
+@register(
+    "cypher_varlen_rel_predicate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum
+    FROM (
+      SELECT l_quantity,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_partkey
+               ORDER BY l_linenumber, l_suppkey, l_quantity, l_extendedprice
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn = 1 AND l_quantity >= 45
+    """,
+)
+def cypher_varlen_rel_predicate(spark, sf_dir):
+    """Named var-length rel variable used as a LIST (r13 novel-probe
+    find): ``-[rs:CONTAINS*1..1]->`` with ``all(r IN rs WHERE …)``
+    rewrites onto the path-enumeration kernel, which carries per-path
+    relationship structs; string-carried numerics recover through the
+    try_cast ordering compare. The kernel enumerates DISTINCT endpoint
+    pairs and collapses parallel rels to the min-id one (documented
+    _materialize_path_entities contract) — the oracle replays that
+    collapse with the rel-id ROW_NUMBER."""
+    from ..cypher.session import Session
+    from ..sources.tpch import build_graph
+    from ..storage.store import GraphStore
+
+    s = Session(spark, store=GraphStore(spark, build_graph(spark, sf_dir)))
+    return s.run(
+        "MATCH (o:Order)-[rs:CONTAINS*1..1]->(p:Part) "
+        "WHERE all(r IN rs WHERE r.l_quantity >= 45) "
+        "RETURN count(*) AS n, "
+        "sum(reduce(acc = 0, r IN rs | acc + toInteger(r.l_quantity))) AS qsum"
+    )
+
+
+@register(
+    "fn_null_propagation",
+    """
+    SELECT CAST(NULL AS BIGINT) AS s, CAST(NULL AS BIGINT) AS h,
+           CAST(NULL AS VARCHAR) AS u, CAST(2147483648 AS BIGINT) AS a
+    """,
+)
+def fn_null_propagation(spark, sf_dir):
+    """Function null-propagation + 64-bit literal folds (r13):
+    size(null)/head(null)/toUpper(null) → null (was a raw
+    DATATYPE_MISMATCH analysis error); abs(-2147483648) folds in 64-bit
+    (was an int32 overflow)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    return s.run(
+        "RETURN size(null) AS s, head(null) AS h, toUpper(null) AS u, "
+        "abs(-2147483648) AS a"
+    )
+
+
+@register(
+    "cypher_bulk_import_id_prop",
+    """
+    SELECT CAST(1 AS BIGINT) AS id, 'A' AS v
+    UNION ALL SELECT CAST(2 AS BIGINT), 'b'
+    UNION ALL SELECT CAST(3 AS BIGINT), CAST(NULL AS VARCHAR)
+    ORDER BY id
+    """,
+)
+def cypher_bulk_import_id_prop(spark, sf_dir):
+    """THE docs bulk-import idiom (r13): ``UNWIND $batch AS row CREATE
+    (:N {id: row.id, …})`` then MERGE-by-id upserts — a user property
+    named ``id`` stores under an escaped column; pattern filters,
+    property reads, keys() and SET all map back while ``id(n)`` keeps
+    the internal entity id."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run(
+        "UNWIND $batch AS row CREATE (:Blk13 {id: row.id, v: row.v})",
+        {"batch": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]},
+    )
+    s.run(
+        "UNWIND $batch AS row MERGE (x:Blk13 {id: row.id}) "
+        "ON MATCH SET x.v = row.v",
+        {"batch": [{"id": 1, "v": "A"}, {"id": 3, "v": "c"}]},
+    )
+    return s.run(
+        "MATCH (b:Blk13) RETURN b.id AS id, b.v AS v ORDER BY id"
+    )
+
+
+@register(
+    "cypher_create_set_tail",
+    """
+    SELECT CAST(2 AS BIGINT) AS b, CAST(30 AS BIGINT) AS s
+    """,
+)
+def cypher_create_set_tail(spark, sf_dir):
+    """``CREATE (n:L {a: 1}) SET n.b = n.a + 1 RETURN …`` (r13): the SET
+    tail applies to the just-created ids through the shared single-id
+    setter, self-referencing RHS included; multi-variable SET items
+    compose."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    r1 = s.run("CREATE (n:Cst13 {a: 1}) SET n.b = n.a + 1 RETURN n.b AS b")
+    s.run("CREATE (p:Cst13b {x: 1}), (q:Cst13b {x: 2}) "
+          "SET p.y = 10, q.y = 20")
+    return s.run(
+        "MATCH (n:Cst13) MATCH (m:Cst13b) "
+        "RETURN n.b AS b, sum(m.y) AS s"
+    )
+
+
+@register(
+    "cypher_foreach_collected_set",
+    """
+    SELECT CAST(3 AS BIGINT) AS n
+    """,
+)
+def cypher_foreach_collected_set(spark, sf_dir):
+    """``WITH collect(f) AS fs FOREACH (n IN fs | SET …)`` (r13): the
+    loop element is an entity struct — its id field keys one set-based
+    conditional update (no per-element loop); the token-aware FOREACH
+    substitution keeps same-named map keys/properties intact."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("FOREACH (x IN [1, 2, 3] | CREATE (:Fcs13 {x: x}))")
+    s.run(
+        "MATCH (f:Fcs13) WITH collect(f) AS fs "
+        "FOREACH (n IN fs | SET n.seen = true)"
+    )
+    return s.run("MATCH (f:Fcs13 {seen: true}) RETURN count(*) AS n")

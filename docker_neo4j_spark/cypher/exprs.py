@@ -363,7 +363,27 @@ class _Parser:
                 if op == "<>":
                     term = ~term
             else:
-                term = self._CMP_BUILDERS[op](left.col, right.col)
+                lc, rc = left.col, right.col
+                if op in ("<", "<=", ">", ">="):
+                    # ordering between a STRING-CARRIED value (entity-map
+                    # property access — the carried-struct contract) and a
+                    # number: recover the numeric via try_cast so
+                    # '9.0' < 5 is a real float compare, and genuinely
+                    # non-numeric strings yield null (Cypher: values of
+                    # different types are incomparable — r13). ANSI's raw
+                    # string→int cast would error on '9.0'.
+                    l_num = self._is_integral(left) or self._is_float(left)
+                    r_num = self._is_integral(right) or self._is_float(right)
+                    # "" = statically unknown (lambda elements) — cast
+                    # through double there too: numeric columns order the
+                    # same, string-carried numerics recover their value
+                    if l_num and self._static_typename(right) in ("string", ""):
+                        rc = rc.try_cast("double")
+                        lc = lc.cast("double")
+                    elif r_num and self._static_typename(left) in ("string", ""):
+                        lc = lc.try_cast("double")
+                        rc = rc.cast("double")
+                term = self._CMP_BUILDERS[op](lc, rc)
             conj = term if conj is None else conj & term
             left = right
         if conj is not None:
@@ -1011,7 +1031,14 @@ class _Parser:
         # type. When the values don't share a static type, carry the
         # literal as a STRUCT instead (r12): field access and
         # serialization behave identically, mixed types survive.
-        distinct = {t for t in vtypes if t}
+        # Same-family widths are NOT heterogeneous (r13 — a literal int
+        # reports "long" while an int-typed column expression reports
+        # "integer"; Spark's map coercion widens them fine).
+        _fam = {
+            "byte": "long", "short": "long", "integer": "long",
+            "float": "double",
+        }
+        distinct = {_fam.get(t, t) for t in vtypes if t}
         if len(distinct) > 1:
             out = F.struct(
                 *[kv[i + 1].alias(keys_seen[i // 2]) for i in range(0, len(kv), 2)]
@@ -1333,6 +1360,27 @@ class _Parser:
         frame = getattr(resolve, "frame", None)
         path_vars = getattr(resolve, "path_vars", None) or ()
         one_ident = len(arg_srcs) == 1 and re.fullmatch(r"\w+", arg_srcs[0])
+
+        if (
+            args
+            and all(a.has_lit and a.lit is None for a in args)
+            and low not in ("coalesce", "exists", "isempty")
+        ):
+            # Cypher functions are null-propagating: size(null), head(null),
+            # toUpper(null) … → null (r13 — element_at(NULL, 1) used to
+            # raise a raw DATATYPE_MISMATCH analysis error)
+            return _V(F.lit(None))
+        if (
+            low == "abs"
+            and len(args) == 1
+            and args[0].has_lit
+            and isinstance(args[0].lit, int)
+            and not isinstance(args[0].lit, bool)
+        ):
+            # literal fold — abs(-2147483648) over Spark's int32 literal
+            # would overflow; Cypher integers are 64-bit (r13)
+            v = abs(args[0].lit)
+            return _V(F.lit(v), lit=v)
 
         # entity introspection routes through the binding-frame resolver
         # (prefixed columns), keeping the resolver text contract

@@ -311,6 +311,60 @@ def _lit_map(d: dict) -> F.Column:
     return F.create_map(*kv)
 
 
+def _subst_ident(body: str, var: str, lit: str) -> str:
+    """Replace VALUE-position occurrences of identifier ``var`` with the
+    literal text ``lit`` (the standalone-FOREACH expansion). Token-aware
+    (r13): a blind ``\\bvar\\b`` regex also rewrote map KEYS
+    (``{v: v}`` → ``{6: 6}``), property names (``n.v``) and labels —
+    silent wrong writes. Skips idents that are: preceded by ``.``
+    (property access), followed by ``:`` inside a map literal (keys),
+    or preceded by ``:`` inside a pattern/bracket context (labels and
+    rel types); a ``:``-preceded ident inside ``{}`` IS a map value and
+    substitutes."""
+    from .lexer import tokenize as _tok
+
+    toks = _tok(body)
+    stack: list[str] = []
+    out, last = [], 0
+    for i, t in enumerate(toks):
+        if t.kind == "punct":
+            if t.text in "([{":
+                stack.append(t.text)
+            elif t.text in ")]}" and stack:
+                stack.pop()
+            continue
+        if t.kind != "ident" or t.text != var:
+            continue
+        prev = toks[i - 1] if i else None
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        inner = stack[-1] if stack else ""
+        if prev is not None and prev.kind == "punct" and prev.text == ".":
+            continue  # property name
+        if (
+            nxt is not None and nxt.kind == "punct" and nxt.text == ":"
+            and inner == "{"
+        ):
+            continue  # map key
+        if (
+            prev is not None and prev.kind == "punct" and prev.text == ":"
+            and inner != "{"
+        ):
+            continue  # label / rel type in a pattern
+        out.append(body[last:t.pos])
+        out.append(lit)
+        last = t.end
+    out.append(body[last:])
+    return "".join(out)
+
+
+def _esc(k: str) -> str:
+    """Session-side alias of storage.store.esc_prop (reserved property
+    names store under escaped columns — r13)."""
+    from ..storage.store import esc_prop
+
+    return esc_prop(k)
+
+
 def _prop_col(v, resolve) -> F.Column:
     """Parsed property value → Column for the set-based write tails:
     ExprText compiles per-row against the binding frame; a LIST may carry
@@ -363,6 +417,8 @@ def _frame_resolver(frame: DataFrame):
             # engine pins one)
             var = m.group(1)
             ks = []
+            from ..storage.store import unesc_prop as _unesc
+
             for c in sorted(frame.columns):
                 if c.startswith(f"{var}_") and c not in (
                     f"{var}_id",
@@ -370,7 +426,10 @@ def _frame_resolver(frame: DataFrame):
                     f"{var}_type",
                 ):
                     ks.append(
-                        F.when(F.col(c).isNotNull(), F.lit(c[len(var) + 1 :]))
+                        F.when(
+                            F.col(c).isNotNull(),
+                            F.lit(_unesc(c[len(var) + 1 :])),
+                        )
                     )
             if not ks:
                 return F.array().cast("array<string>")
@@ -380,12 +439,17 @@ def _frame_resolver(frame: DataFrame):
             # map of the variable's property columns (fixed cols excluded)
             var = m.group(1)
             pairs = []
+            from ..storage.store import unesc_prop as _unesc
+
             for c in frame.columns:
                 if c.startswith(f"{var}_") and c not in (f"{var}_id", f"{var}_labels", f"{var}_type"):
                     # typed via VARIANT (r11): the wire layers decode
                     # VariantVal to native values, so properties(n) and
                     # entity maps carry longs/doubles/dates, not strings
-                    pairs += [F.lit(c[len(var) + 1 :]), F.col(c).cast("variant")]
+                    pairs += [
+                        F.lit(_unesc(c[len(var) + 1 :])),
+                        F.col(c).cast("variant"),
+                    ]
             if not pairs:
                 return F.lit(None)
             full = F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2]))
@@ -401,8 +465,41 @@ def _frame_resolver(frame: DataFrame):
                 return F.col(f"`{var}`")[want]
         if "." in name:
             var, prop = name.split(".", 1)
+            if f"{var}_{prop}__p" in cols and prop in (
+                "id", "labels", "src", "dst", "type"
+            ):
+                # a USER property named like a fixed entity column stores
+                # escaped (r13 — {id: row.id} bulk-import idiom); it wins
+                # over the internal column for property access
+                return F.col(f"{var}_{prop}__p")
             if f"{var}_{prop}" in cols:
                 return F.col(f"{var}_{prop}")
+            if "." in prop:
+                # accessor chain on a STORED property column (r13):
+                # ``t.d.year`` where t_d is a date/timestamp/duration
+                # column — apply the temporal/duration accessor to it
+                head, rest = prop.split(".", 1)
+                pc = f"{var}_{head}"
+                if pc in cols and "." not in rest:
+                    ptn = frame.schema[pc].dataType.typeName()
+                    if ptn in ("timestamp", "timestamp_ntz", "date"):
+                        from .exprs import temporal_accessor
+
+                        acc = temporal_accessor(F.col(f"`{pc}`"), rest)
+                        if acc is not None:
+                            return acc
+                    if ptn.startswith("daytimeinterval") or (
+                        ptn == "yearmonthinterval"
+                    ):
+                        unit = {
+                            "years": "YEAR", "months": "MONTH",
+                            "days": "DAY", "hours": "HOUR",
+                            "minutes": "MINUTE", "seconds": "SECOND",
+                        }.get(rest)
+                        if unit:
+                            return F.expr(
+                                f"extract({unit} FROM `{pc}`)"
+                            ).cast("long")
             if var in cols and "." in prop:
                 # nested struct/map chain on a bound value (r12):
                 # `m.b.c` over a heterogeneous-map struct
@@ -611,6 +708,8 @@ def _entity_struct(frame: DataFrame, var: str) -> F.Column | None:
         # sorted for deterministic serialization (Cypher leaves label
         # order unspecified; a distributed engine pins one)
         fields.append(F.sort_array(F.col(f"{var}_labels")).alias("labels"))
+    from ..storage.store import unesc_prop as _unesc
+
     pairs: list[F.Column] = []
     for c in sorted(cols):
         if c.startswith(f"{var}_") and c not in fixed:
@@ -618,7 +717,7 @@ def _entity_struct(frame: DataFrame, var: str) -> F.Column | None:
             # keeps heterogeneous properties in ONE map column WITHOUT
             # stringifying; the Bolt/HTTP layers decode VariantVal to
             # native values, so node.properties.age arrives as long 4
-            pairs += [F.lit(c[len(var) + 1 :]), F.col(c).cast("variant")]
+            pairs += [F.lit(_unesc(c[len(var) + 1 :])), F.col(c).cast("variant")]
     if pairs:
         props = F.map_filter(
             F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
@@ -1580,8 +1679,7 @@ class Session:
                 lit = "null"
             else:
                 lit = repr(v)
-            stmt = re.sub(rf"\b{re.escape(var)}\b", lit, body)
-            self.run(stmt)
+            self.run(_subst_ident(body, var, lit))
         return local_df(self.spark, [], "ok string")
 
     def _foreach_from_binding(self, tail: str, bound: DataFrame) -> DataFrame:
@@ -1645,24 +1743,41 @@ class Session:
             return base_resolve(name)
 
         resolve.frame = ex
+        el_is_entity = False
+        try:
+            el_dt = ex.schema[el_col].dataType
+            el_is_entity = hasattr(el_dt, "fieldNames") and "id" in el_dt.fieldNames()
+        except Exception:
+            pass
         by_target: dict[str, dict[str, str]] = {}
         for item in _split_top(body[m_set.end():], ","):
             lhs, rhs = item.split("=", 1)
             tvar, prop = lhs.strip().split(".", 1)
-            if f"{tvar}_id" not in ex.columns:
+            if f"{tvar}_id" not in ex.columns and not (
+                tvar == var and el_is_entity
+            ):
                 raise ValueError(f"FOREACH SET variable {tvar!r} is not bound")
             by_target.setdefault(tvar, {})[prop] = rhs.strip()
         for tvar, assigns in by_target.items():
             g = ex
             for p, rhs_src in assigns.items():
                 g = g.withColumn(f"_set_{p}", _compile_expr(rhs_src, resolve))
-            vals = g.groupBy(F.col(f"{tvar}_id").alias("id")).agg(
+            if tvar == var and f"{tvar}_id" not in ex.columns:
+                # the SET target IS the loop element — an entity struct
+                # (``WITH collect(f) AS fs FOREACH (n IN fs | SET …)``,
+                # r13): its id field keys the conditional update
+                key = F.col(el_col)["id"]
+                is_rel = "type" in el_dt.fieldNames()
+            else:
+                key = F.col(f"{tvar}_id")
+                is_rel = f"{tvar}_type" in ex.columns
+            vals = g.groupBy(key.alias("id")).agg(
                 *[
-                    F.max_by(F.col(f"_set_{p}"), F.col(pos_col)).alias(p)
+                    F.max_by(F.col(f"_set_{p}"), F.col(pos_col)).alias(_esc(p))
                     for p in assigns
                 ]
             )
-            if f"{tvar}_type" in ex.columns:
+            if is_rel:
                 self.store.set_rel_props_from_frame(vals, list(assigns))
             else:
                 self.store.set_props_from_frame(vals, list(assigns))
@@ -2591,50 +2706,50 @@ class Session:
                 )
             if var not in ids:
                 raise ValueError(f"ON {'CREATE' if created else 'MATCH'} SET variable {var!r} is not in the pattern")
-            props = _eval_prop_map(self.spark, props)
-            from .lexer import ExprText as _ET
-
-            if any(isinstance(v, _ET) for v in props.values()):
-                # self-referencing assignment — the counter idiom
-                # ``ON MATCH SET x.n = x.n + 1`` (r13): compile the RHS
-                # against the matched node's stored property columns and
-                # update through the set-based conditional-column path
-                node_frame = self.store.graph.nodes.where(
-                    F.col("id") == ids[var]
-                )
-                cols = set(node_frame.columns)
-
-                def _self_resolve(name: str) -> F.Column:
-                    if name.startswith(f"{var}."):
-                        p = name[len(var) + 1:]
-                        return F.col(f"`{p}`") if p in cols else F.lit(None)
-                    if name == var:
-                        return F.col("id")
-                    raise ValueError(
-                        f"unbound name in ON SET expression: {name!r}"
-                    )
-
-                _self_resolve.frame = node_frame
-                vals = node_frame.select(
-                    F.col("id"),
-                    *[
-                        (
-                            _compile_expr(v.src, _self_resolve)
-                            if isinstance(v, _ET)
-                            else _prop_col(v, _self_resolve)
-                        ).alias(k)
-                        for k, v in props.items()
-                    ],
-                )
-                self.store.set_props_from_frame(vals, list(props))
-            else:
-                self.store.set_props_by_ids(
-                    local_df(self.spark, [(ids[var],)], "id long"),
-                    props,
-                )
+            self._set_props_on_id(var, ids[var], props)
         if ret is None:
             return local_df(self.spark, [], "ok string")
         return self._project_bound(ret, ids, rels=_static_rel_info(elems))
+
+    def _set_props_on_id(self, var: str, nid: int, props: dict) -> None:
+        """Apply a parsed SET property map to ONE node id (MERGE ON-SET /
+        post-CREATE SET tails). Literal values go through the broadcast
+        id update; self-referencing expression values (the counter idiom
+        ``x.n = x.n + 1`` — r13) compile against the node's stored
+        property columns and flow through the set-based
+        conditional-column update."""
+        props = _eval_prop_map(self.spark, props)
+        from .lexer import ExprText as _ET
+
+        if not any(isinstance(v, _ET) for v in props.values()):
+            self.store.set_props_by_ids(
+                local_df(self.spark, [(nid,)], "id long"), props
+            )
+            return
+        node_frame = self.store.graph.nodes.where(F.col("id") == nid)
+        cols = set(node_frame.columns)
+
+        def _self_resolve(name: str) -> F.Column:
+            if name.startswith(f"{var}."):
+                prop = name[len(var) + 1:]
+                return F.col(f"`{prop}`") if prop in cols else F.lit(None)
+            if name == var:
+                return F.col("id")
+            raise ValueError(f"unbound name in SET expression: {name!r}")
+
+        _self_resolve.frame = node_frame
+        vals = node_frame.select(
+            F.col("id"),
+            *[
+                (
+                    _compile_expr(v.src, _self_resolve)
+                    if isinstance(v, _ET)
+                    else _prop_col(v, _self_resolve)
+                ).alias(_esc(k))
+                for k, v in props.items()
+            ],
+        )
+        self.store.set_props_from_frame(vals, list(props))
 
     def _match_whole_pattern(self, elems: list) -> dict[str, int] | None:
         """Bind the full pattern against the store; first match's node ids,
@@ -3169,6 +3284,18 @@ class Session:
         if h_ret:
             ret = pattern_src[h_ret[1]:].strip()
             pattern_src = pattern_src[: h_ret[0]].strip()
+        # ``CREATE (n:L) SET n.k = <expr> [RETURN …]`` (r13): the SET
+        # tail applies to the just-created ids through the shared
+        # single-id setter (self-referencing RHS supported)
+        set_items: list[tuple[str, str, str]] = []
+        h_set = _find_kw(pattern_src, "SET")
+        if h_set:
+            set_src = pattern_src[h_set[1]:].strip()
+            pattern_src = pattern_src[: h_set[0]].strip()
+            for item in _split_top(set_src, ","):
+                lhs, rhs = item.split("=", 1)
+                tvar, prop = lhs.strip().split(".", 1)
+                set_items.append((tvar, prop, rhs.strip()))
         # `CREATE p = (a)-[:R]->(b)` (r12): a created pattern has a
         # statically-known shape, so the path accessors fold to literals
         m_pv = re.match(r"(\w+)\s*=\s*(?=\()", pattern_src)
@@ -3245,6 +3372,21 @@ class Session:
             self.store.create_rels(
                 rtype, [(s, d) for s, d, _ in rows], [p for _, _, p in rows]
             )
+        if set_items:
+            from .lexer import ExprText as _ET
+
+            per_var: dict[str, dict] = {}
+            for tvar, prop, rhs in set_items:
+                if tvar not in ids:
+                    raise ValueError(
+                        f"SET variable {tvar!r} is not in the CREATE pattern"
+                    )
+                try:
+                    per_var.setdefault(tvar, {})[prop] = _parse_value(rhs)
+                except ValueError:
+                    per_var.setdefault(tvar, {})[prop] = _ET(rhs)
+            for tvar, props in per_var.items():
+                self._set_props_on_id(tvar, ids[tvar], props)
         if ret is None:
             return local_df(self.spark, [], "ok string")
         flat = [el for elems in groups for el in elems]
@@ -3285,10 +3427,55 @@ class Session:
         return self._project_match(bound, ret, [], _frame_resolver(bound))
 
     # ---- MATCH --------------------------------------------------------
+    @staticmethod
+    def _rewrite_varlen_rel_list(body: str) -> str:
+        """``MATCH (a)-[rs:T*1..2]->(b) WHERE all(r IN rs WHERE …)`` —
+        a named var-length rel variable USED AS A LIST (lambda source,
+        subscript, bare projection) needs per-path relationship structs,
+        which the path-enumeration kernel carries and the min-hop
+        reachability kernel deliberately doesn't. Rewrite to the path
+        form: bind a synthetic path variable and substitute
+        ``relationships(_vlp)`` for the rel variable (r13). size(rs)
+        alone stays on the min-hop kernel (its documented hop-count
+        contract)."""
+        m = re.search(
+            r"\)\s*-\s*\[\s*(\w+)\s*(:[^\]]*\*[^\]]*|\*[^\]]*)\]\s*->?\s*\(",
+            body,
+        )
+        if not m or re.match(r"\w+\s*=", body):
+            return body
+        rv = m.group(1)
+        tail = body[m.end():]
+        used_as_list = (
+            re.search(rf"\bIN\s+{rv}\b", tail, re.IGNORECASE)
+            or re.search(rf"\b{rv}\s*\[", tail)
+            or re.search(rf"relationships\(\s*{rv}\s*\)", tail)
+        )
+        if not used_as_list:
+            return body
+        pvar = "_vlp13"
+        # drop the rel variable from the bracket, bind the path instead
+        bracket_start = body.index("[", m.start())
+        inner = re.sub(
+            rf"^\s*{rv}\s*", "", body[bracket_start + 1:], count=1
+        )
+        rewritten = re.sub(
+            rf"\b{rv}\b",
+            f"relationships({pvar})",
+            body[: bracket_start + 1] + inner,
+        )
+        return f"{pvar} = {rewritten}"
+
     def _match(self, q: str) -> DataFrame:
         body = q[len("MATCH"):].strip()
         if re.match(r"(?:\w+\s*=\s*)?(?:allShortestPaths|shortestPath)\s*\(", body, re.IGNORECASE):
             return self._shortest_path(body)
+        if (
+            "*" in body
+            and not re.match(r"\w+\s*=", body)
+            and re.search(r"\[\s*\w+\s*(?::[^\]]*)?\*", body)
+        ):
+            body = self._rewrite_varlen_rel_list(body)
         if re.match(r"\w+\s*=\s*\(", body):
             return self._path_binding(body)
         # terminal write verb (CREATE/MERGE/SET/REMOVE/DELETE) or RETURN
@@ -4164,12 +4351,12 @@ class Session:
                 raise ValueError(f"SET/REMOVE variable {var!r} is not bound")
             vals = bound.select(
                 F.col(f"{var}_id").alias("id"),
-                *[col.alias(p) for p, col in props.items()],
+                *[col.alias(_esc(p)) for p, col in props.items()],
             )
             self.store.set_props_from_frame(vals, list(props))
             # read-your-writes inside this statement's RETURN
             for prop, col in props.items():
-                bound = bound.withColumn(f"{var}_{prop}", col)
+                bound = bound.withColumn(f"{var}_{_esc(prop)}", col)
         if pipeline:
             bound = self._run_with_stages(bound, pipeline)
         if ret is None:
@@ -4746,17 +4933,21 @@ class Session:
             )
             for k, v in el.props.items():
                 frame = frame.withColumn(
-                    f"{el.var}_{k}",
+                    f"{el.var}_{_esc(k)}",
                     # per-row expression props over the binding (r10):
                     # CREATE (c:Copy {name: a.name}) compiles against the
-                    # MATCH frame — set-based, never collected
+                    # MATCH frame — set-based, never collected; reserved
+                    # prop names ({id: row.id}) store escaped (r13)
                     _prop_col(v, _frame_resolver(frame)),
                 )
             self.store.append_nodes(
                 frame.select(
                     F.col(f"{el.var}_id").alias("id"),
                     F.col(f"{el.var}_labels").alias("labels"),
-                    *[F.col(f"{el.var}_{k}").alias(k) for k in el.props],
+                    *[
+                        F.col(f"{el.var}_{_esc(k)}").alias(_esc(k))
+                        for k in el.props
+                    ],
                 )
             )
         for i in range(1, len(elems), 2):
@@ -4772,7 +4963,7 @@ class Session:
                     d.alias("dst"),
                     F.lit(rel.rel_type or "_").alias("type"),
                     *[
-                        _prop_col(v, _frame_resolver(frame)).alias(k)
+                        _prop_col(v, _frame_resolver(frame)).alias(_esc(k))
                         for k, v in rel.props.items()
                     ],
                 )
@@ -4973,7 +5164,9 @@ class Session:
                 F.col("_mrg_dst") == F.col("_mrg_jdst")
             )
             for k in key_props:
-                cond = cond & F.col(f"_mrg_{k}").eqNullSafe(F.col(f"{rvar}_{k}"))
+                cond = cond & F.col(f"_mrg_{k}").eqNullSafe(
+                    F.col(f"{rvar}_{_esc(k)}")
+                )
             return j.join(post_sel, cond, "inner").drop(
                 "_mrg_jsrc", "_mrg_jdst", "_mrg_src", "_mrg_dst",
                 *[f"_mrg_{k}" for k in key_props],
@@ -4981,13 +5174,13 @@ class Session:
 
         if on_create or on_match:
             joined = rel_join(self.store.graph.rels)
-            keys = ["src", "dst", *key_props]
+            keys = ["src", "dst", *[_esc(k) for k in key_props]]
             existing_b = rels_before.where(F.col("type") == rtype)
             if all(k in existing_b.columns for k in keys):
                 pre = existing_b.select(
                     F.col("src").alias("_pre_src"),
                     F.col("dst").alias("_pre_dst"),
-                    *[F.col(k).alias(f"_pre_{k}") for k in key_props],
+                    *[F.col(_esc(k)).alias(f"_pre_{k}") for k in key_props],
                 ).dropDuplicates().withColumn("_pre_hit", F.lit(True))
                 # rebuild the endpoint ids from the binding side (the join
                 # dropped the store's src/dst columns)
@@ -4996,7 +5189,7 @@ class Session:
                     F.col("_f_dst") == F.col("_pre_dst")
                 )
                 for k in key_props:
-                    cond = cond & F.col(f"{rvar}_{k}").eqNullSafe(
+                    cond = cond & F.col(f"{rvar}_{_esc(k)}").eqNullSafe(
                         F.col(f"_pre_{k}")
                     )
                 j2 = j2.join(pre, cond, "left")
@@ -5022,7 +5215,7 @@ class Session:
                         F.col(f"{var}_id").alias("id")
                         if f"{var}_id" in g.columns
                         else F.lit(None).alias("id"),
-                        *[F.col(f"_set_{p}").alias(p) for p in props],
+                        *[F.col(f"_set_{p}").alias(_esc(p)) for p in props],
                     )
                     if f"{var}_id" not in g.columns:
                         raise ValueError(
@@ -5119,7 +5312,7 @@ class Session:
         for rvar, rtype, s, d, kp, i in rel_meta:
             flag = f"_hit{i}"
             ex = rels_before.where(F.col("type") == rtype)
-            if not all(k in ex.columns for k in kp):
+            if not all(_esc(k) in ex.columns for k in kp):
                 # a key-prop column no rel carries yet ⇒ nothing matches
                 flagged = flagged.withColumn(flag, F.lit(False))
                 continue
@@ -5127,7 +5320,7 @@ class Session:
                 ex.select(
                     F.col("src").alias("_h_src"),
                     F.col("dst").alias("_h_dst"),
-                    *[F.col(k).alias(f"_h_{k}") for k in kp],
+                    *[F.col(_esc(k)).alias(f"_h_{k}") for k in kp],
                 )
                 .dropDuplicates()
                 .withColumn(flag, F.lit(True))
@@ -5162,7 +5355,7 @@ class Session:
                         F.col(s).alias("src"),
                         F.col(d).alias("dst"),
                         F.lit(rtype).alias("type"),
-                        *[F.col(f"_mrg{i}_{k}").alias(k) for k in kp],
+                        *[F.col(f"_mrg{i}_{k}").alias(_esc(k)) for k in kp],
                     )
                 )
 
@@ -5183,7 +5376,7 @@ class Session:
                 self.store.set_props_from_frame(
                     g.select(
                         F.col(f"{var}_id").alias("id"),
-                        *[F.col(f"_set_{p}").alias(p) for p in props],
+                        *[F.col(f"_set_{p}").alias(_esc(p)) for p in props],
                     ),
                     list(props),
                 )
@@ -5207,7 +5400,7 @@ class Session:
             cond = (F.col(s) == F.col("_j_src")) & (F.col(d) == F.col("_j_dst"))
             for k in kp:
                 cond = cond & F.col(f"_mrg{i}_{k}").eqNullSafe(
-                    F.col(f"{rvar}_{k}")
+                    F.col(f"{rvar}_{_esc(k)}")
                 )
             final = final.join(sel, cond, "inner").drop("_j_src", "_j_dst")
         final = final.drop(*[c for c in final.columns if c.startswith("_mrg")])
@@ -5281,16 +5474,17 @@ class Session:
                 if leaf.label
                 else g.nodes
             )
-            if not all(k in leaf_n.columns for k in leaf_keys) or not all(
-                k in rels_t.columns for k in rel_keys
-            ):
+            if not all(
+                _esc(k) in leaf_n.columns for k in leaf_keys
+            ) or not all(_esc(k) in rels_t.columns for k in rel_keys):
                 return None  # a key column no write introduced → no match
             leaf_sel = leaf_n.select(
                 F.col("id").alias("_lid"),
-                *[F.col(k).alias(f"_exl_{k}") for k in leaf_keys],
+                *[F.col(_esc(k)).alias(f"_exl_{k}") for k in leaf_keys],
             )
             rel_sel = rels_t.select(
-                "src", "dst", *[F.col(k).alias(f"_exr_{k}") for k in rel_keys]
+                "src", "dst",
+                *[F.col(_esc(k)).alias(f"_exr_{k}") for k in rel_keys],
             )
             leaf_side, anchor_side = (
                 ("dst", "src") if anchor_is_src else ("src", "dst")
@@ -5321,7 +5515,7 @@ class Session:
                 indexed.select(
                     (F.col("_idx") + F.lit(nb)).alias("id"),
                     F.array(F.lit(label)).alias("labels"),
-                    *[F.col(f"_exl_{k}").alias(k) for k in leaf_keys],
+                    *[F.col(f"_exl_{k}").alias(_esc(k)) for k in leaf_keys],
                 )
             )
             rb = self.store.reserve_rel_ids(n)
@@ -5334,7 +5528,7 @@ class Session:
                     s_col.alias("src"),
                     d_col.alias("dst"),
                     F.lit(rtype).alias("type"),
-                    *[F.col(f"_exr_{k}").alias(k) for k in rel_keys],
+                    *[F.col(f"_exr_{k}").alias(_esc(k)) for k in rel_keys],
                 )
             )
         if not (on_create or on_match) and ret is None:
@@ -5360,9 +5554,13 @@ class Session:
             pat = pr.join(pl, F.col(leaf_side) == F.col(f"{lvar}_id"))
             cond = F.col(anchor_side) == aid
             for k in leaf_keys:
-                cond = cond & F.col(f"_mlf_{k}").eqNullSafe(F.col(f"{lvar}_{k}"))
+                cond = cond & F.col(f"_mlf_{k}").eqNullSafe(
+                    F.col(f"{lvar}_{_esc(k)}")
+                )
             for k in rel_keys:
-                cond = cond & F.col(f"_mrl_{k}").eqNullSafe(F.col(f"{rvar}_{k}"))
+                cond = cond & F.col(f"_mrl_{k}").eqNullSafe(
+                    F.col(f"{rvar}_{_esc(k)}")
+                )
             return frame.join(pat, cond).drop(
                 *[f"_mlf_{k}" for k in leaf_keys],
                 *[f"_mrl_{k}" for k in rel_keys],
@@ -5380,11 +5578,11 @@ class Session:
                 ).withColumn("_pre_hit", F.lit(True))
                 cond = aid == F.col("_ph_aid")
                 for k in leaf_keys:
-                    cond = cond & F.col(f"{lvar}_{k}").eqNullSafe(
+                    cond = cond & F.col(f"{lvar}_{_esc(k)}").eqNullSafe(
                         F.col(f"_ph_l_{k}")
                     )
                 for k in rel_keys:
-                    cond = cond & F.col(f"{rvar}_{k}").eqNullSafe(
+                    cond = cond & F.col(f"{rvar}_{_esc(k)}").eqNullSafe(
                         F.col(f"_ph_r_{k}")
                     )
                 flagged = joined.join(pre_hit, cond, "left").withColumn(
@@ -5410,7 +5608,7 @@ class Session:
                         )
                     vals = g2.select(
                         F.col(f"{var}_id").alias("id"),
-                        *[F.col(f"_set_{p}").alias(p) for p in props],
+                        *[F.col(f"_set_{p}").alias(_esc(p)) for p in props],
                     )
                     if var == rvar:
                         self.store.set_rel_props_from_frame(vals, list(props))
@@ -5477,7 +5675,9 @@ class Session:
             )
             cond = None
             for k in keys:
-                t = F.col(f"_mrgk_{k}").eqNullSafe(F.col(f"{var}_{k}"))
+                # reserved key names compare their ESCAPED store column
+                # (`{id: row.id}` — r13), never the internal entity id
+                t = F.col(f"_mrgk_{k}").eqNullSafe(F.col(f"{var}_{_esc(k)}"))
                 cond = t if cond is None else cond & t
             return frame.join(post_sel, cond, "inner").drop(
                 *[f"_mrgk_{k}" for k in keys]
@@ -5486,13 +5686,13 @@ class Session:
         if on_create or on_match:
             joined = node_join(self.store.graph.nodes)
             before = nodes_before.where(F.array_contains(F.col("labels"), label))
-            if all(k in before.columns for k in keys):
+            if all(_esc(k) in before.columns for k in keys):
                 pre = before.select(
-                    *[F.col(k).alias(f"_pre_{k}") for k in keys]
+                    *[F.col(_esc(k)).alias(f"_pre_{k}") for k in keys]
                 ).dropDuplicates().withColumn("_pre_hit", F.lit(True))
                 cond = None
                 for k in keys:
-                    t = F.col(f"{var}_{k}").eqNullSafe(F.col(f"_pre_{k}"))
+                    t = F.col(f"{var}_{_esc(k)}").eqNullSafe(F.col(f"_pre_{k}"))
                     cond = t if cond is None else cond & t
                 flagged = joined.join(pre, cond, "left").withColumn(
                     "_mrg_created", F.coalesce(~F.col("_pre_hit"), F.lit(True))
@@ -5516,7 +5716,7 @@ class Session:
                     self.store.set_props_from_frame(
                         g.select(
                             F.col(f"{v_}_id").alias("id"),
-                            *[F.col(f"_set_{p}").alias(p) for p in props],
+                            *[F.col(f"_set_{p}").alias(_esc(p)) for p in props],
                         ),
                         list(props),
                     )

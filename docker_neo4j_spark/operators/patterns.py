@@ -104,11 +104,15 @@ def _node_frame(graph: PropertyGraph, spec: NodeSpec) -> DataFrame:
     if spec.label_expr is not None:
         df = df.where(label_expr_col(spec.label_expr, F.col("labels")))
     if spec.props:
+        from ..storage.store import esc_prop
+
         for k, v in spec.props.items():
             # map-valued filters fail loud whether or not the column exists
             # (consistent with _rel_frame); a scalar filter on a property
             # column no write has introduced matches nothing (Cypher:
-            # n.missing is null, null = x is never true)
+            # n.missing is null, null = x is never true). Reserved prop
+            # names (id/labels/…) filter their ESCAPED store column (r13).
+            k = esc_prop(k)
             lit = _prop_lit(k, v)
             df = df.where(F.col(k) == lit) if k in df.columns else df.where(F.lit(False))
     return graph.maybe_broadcast(spec.label, df)
@@ -120,10 +124,13 @@ def _rel_frame(graph: PropertyGraph, spec: RelSpec) -> DataFrame:
     orientations (rel id preserved, so uniqueness filters still work)."""
     r = graph.rels_by_type(spec.rel_type) if spec.rel_type else graph.rels
     if spec.props:
+        from ..storage.store import esc_prop
+
         for k, v in spec.props.items():
             # map-valued filters are unsupported whether or not the column
             # exists (consistent fail-loud surface); a scalar filter on a
             # property column no write has introduced matches nothing
+            k = esc_prop(k)
             lit = _prop_lit(k, v)
             r = r.where(F.col(k) == lit) if k in r.columns else r.where(F.lit(False))
     fwd = r

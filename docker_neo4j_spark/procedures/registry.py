@@ -2393,6 +2393,33 @@ def _dbms_procedures(spark: SparkSession):
 
 
 @procedure(
+    "apoc.coll.zipToRows",
+    signature="apoc.coll.zipToRows(list1 :: LIST OF ANY, list2 :: LIST OF ANY) :: (value :: LIST OF ANY)",
+    description="Zip two lists into one row per pair (APOC virtual-row procedure)",
+)
+def _apoc_coll_zip_to_rows(spark: SparkSession, list1=None, list2=None) -> DataFrame:
+    """apoc.coll.zipToRows — one row per zipped [a, b] pair, truncated to
+    the shorter list (APOC's zip contract). Literal-argument procedure:
+    the row count is bounded by the statement text."""
+    from ..localframe import local_df
+
+    pairs = list(zip(list(list1 or []), list(list2 or [])))
+    vals = [v for p in pairs for v in p]
+    if vals and all(
+        isinstance(v, int) and not isinstance(v, bool) for v in vals
+    ):
+        return local_df(
+            spark, [([x, y],) for x, y in pairs], "value array<bigint>"
+        )
+    # mixed / string pairs carry as text (one array type per column)
+    return local_df(
+        spark,
+        [([str(x), str(y)],) for x, y in pairs],
+        "value array<string>",
+    )
+
+
+@procedure(
     "apoc.help",
     signature="apoc.help(proc :: STRING) :: (type :: STRING, name :: STRING, text :: STRING)",
     description="List procedures and functions whose name contains the search string",

@@ -39,6 +39,25 @@ from ..graph import NODE_FIXED_COLS, REL_FIXED_COLS, PropertyGraph
 WRITE_NODE_BASE = 900_000_000_000_000
 WRITE_REL_BASE = 910_000_000_000_000
 
+# A user PROPERTY may legally be named like one of the store's fixed
+# entity columns (``{id: row.id}`` is THE docs bulk-import idiom — r13).
+# Such properties store under an escaped column name; the read side
+# (resolvers, keys()/properties(), entity structs) maps back.
+_RESERVED_PROPS = ("id", "labels", "src", "dst", "type")
+_ESC = "__p"
+
+
+def esc_prop(name: str) -> str:
+    """Property name → store column name (escapes the fixed-column set)."""
+    return f"{name}{_ESC}" if name in _RESERVED_PROPS else name
+
+
+def unesc_prop(col: str) -> str:
+    """Store column name → user-facing property name."""
+    if col.endswith(_ESC) and col[: -len(_ESC)] in _RESERVED_PROPS:
+        return col[: -len(_ESC)]
+    return col
+
 
 class GraphStore:
     """A mutable property graph with CREATE / MERGE / SET / DELETE /
@@ -334,6 +353,9 @@ class GraphStore:
         from ..cypher.lexer import ExprText
 
         labels = [label] if isinstance(label, str) else list(label)
+        rows = [
+            {esc_prop(k): v for k, v in (r or {}).items()} for r in rows
+        ]
 
         for r in rows:
             for k, v in (r or {}).items():
@@ -362,7 +384,10 @@ class GraphStore:
 
     def create_rels(self, rel_type: str, pairs: list[tuple[int, int]], props: list[dict] | None = None) -> list[int]:
         """``CREATE (a)-[:TYPE {props}]->(b)`` for known endpoint ids."""
-        props = props or [{} for _ in pairs]
+        props = [
+            {esc_prop(k): v for k, v in (p or {}).items()}
+            for p in (props or [{} for _ in pairs])
+        ]
         ids = [next(self._rel_ids) for _ in pairs]
         prop_cols = sorted({k for p in props for k in p})
         data = [
@@ -380,6 +405,7 @@ class GraphStore:
         if label is not None:
             df = df.where(F.array_contains(F.col("labels"), label))
         for k, v in props.items():
+            k = esc_prop(k)
             # a property column that no write has introduced matches nothing
             df = df.where(F.col(k) == v) if k in df.columns else df.where(F.lit(False))
         return df
@@ -450,6 +476,8 @@ class GraphStore:
         existing node with this label and key values; returns the number
         inserted. Extra columns of ``df`` become properties of new nodes.
         """
+        df = df.toDF(*[esc_prop(c) for c in df.columns])
+        key_cols = [esc_prop(k) for k in key_cols]
         existing = self.match_nodes(label)
         fresh = df.dropDuplicates(key_cols)
         if all(k in existing.columns for k in key_cols):
@@ -473,6 +501,7 @@ class GraphStore:
         reserved id block + one append; returns the row count. Unlike
         ``merge_nodes`` there is no dedup — CREATE always inserts."""
         labels = [label] if isinstance(label, str) else list(label)
+        df = df.toDF(*[esc_prop(c) for c in df.columns])
         indexed, n = self.stage_indexed(df)
         if n == 0:
             return 0
@@ -495,6 +524,13 @@ class GraphStore:
         ``pairs`` participate in the match AND become properties of
         inserted rels (openCypher: rel props in a MERGE pattern are match
         keys). Returns the number inserted."""
+        # reserved key-prop NAMES (id/type/…) live under escaped store
+        # columns (r13); src/dst in `pairs` are the endpoint ids, never
+        # renamed
+        ren = {k: esc_prop(k) for k in key_props if esc_prop(k) != k}
+        for old_c, new_c in ren.items():
+            pairs = pairs.withColumnRenamed(old_c, new_c)
+        key_props = tuple(esc_prop(k) for k in key_props)
         keys = ["src", "dst", *key_props]
         existing = self.graph.rels.where(F.col("type") == rel_type)
         fresh = pairs.select(*keys).dropDuplicates(keys)
@@ -522,6 +558,7 @@ class GraphStore:
         computed over the match binding; one left join + conditional
         column update per property, mirroring :meth:`set_props_from_frame`
         on the rels frame (no uniqueness constraints apply to rels)."""
+        props = [esc_prop(p) for p in props]
         sel = [F.col("id")] + [F.col(p).alias(f"_new_{p}") for p in props]
         flagged = (
             vals.select(*sel).dropDuplicates(["id"]).withColumn("_hit", F.lit(True))
@@ -539,6 +576,7 @@ class GraphStore:
         """Set-based ``SET`` driven by a matched id frame: one left join +
         conditional column update per property — the façade's
         ``MATCH … SET`` path (no driver materialization of the match)."""
+        new_props = {esc_prop(k): v for k, v in new_props.items()}
         flagged = ids.select("id").distinct().withColumn("_hit", F.lit(True))
         nodes = self.graph.nodes.join(flagged, "id", "left")
         for k, v in new_props.items():
@@ -557,6 +595,7 @@ class GraphStore:
         broadcasting a constant. Duplicate-id rows collapse to one
         (Cypher leaves multi-match write order unspecified; a
         distributed engine must pin a deterministic winner)."""
+        props = [esc_prop(p) for p in props]
         sel = [F.col("id")] + [F.col(p).alias(f"_new_{p}") for p in props]
         flagged = (
             vals.select(*sel).dropDuplicates(["id"]).withColumn("_hit", F.lit(True))

@@ -954,6 +954,33 @@ def main() -> int:
     run("UNWIND [1,2] AS x CALL { WITH x RETURN x * 10 AS y } RETURN x, y ORDER BY x",
         "unwind-call-subquery", expect=[(1, 10), (2, 20)])
 
+    # ---- r13 wave-2 finds, pinned ---------------------------------------
+    run("CREATE (:Vt13 {d: date('2024-03-15')})", "create-date-prop")
+    run("MATCH (t:Vt13) RETURN t.d.year AS y", "stored-date-accessor", expect=[(2024,)])
+    run("RETURN size(null) AS s, head(null) AS h, toUpper(null) AS u",
+        "null-propagating-fns", expect=[(None, None, None)])
+    run("RETURN abs(-2147483648) AS a", "abs-int32-min", expect=[(2147483648,)])
+    run("RETURN '9.0' < 5 AS a", "string-number-ordering", expect=[(False,)])
+    run("CREATE (:Vl13 {k:1})-[:VE {w: 9.0}]->(:Vl13 {k:2})", "varlen-setup")
+    run("MATCH (a:Vl13 {k:1})-[rs:VE*1..1]->(x) WHERE all(r IN rs WHERE r.w < 5) RETURN count(*) AS n",
+        "varlen-rel-list-pred", expect=[(0,)])
+
+    # ---- r13 wave-3 finds, pinned ---------------------------------------
+    run("UNWIND $batch AS row CREATE (:Bw13 {id: row.id, btxt: row.btxt})",
+        "bulk-import-id-prop", params={"batch": [{"id": 1, "btxt": "a"}, {"id": 2, "btxt": "b"}]})
+    run("MATCH (b:Bw13 {id: 2}) RETURN b.btxt AS t", "id-prop-filter", expect=[("b",)])
+    run("UNWIND $batch AS row MERGE (x:Bw13 {id: row.id}) ON MATCH SET x.btxt = row.btxt",
+        "bulk-merge-id-prop", params={"batch": [{"id": 1, "btxt": "A"}, {"id": 3, "btxt": "c"}]})
+    run("MATCH (b:Bw13) RETURN count(*) AS n", "bulk-merge-count", expect=[(3,)])
+    run("CREATE (n:Cs13) SET n.k = 1 RETURN n.k AS k", "create-set-tail", expect=[(1,)])
+    run("FOREACH (x IN [1,2] | CREATE (:Fp13 {x: x}))", "foreach-samename")
+    run("MATCH (f:Fp13) RETURN f.x AS x ORDER BY x", "foreach-samename-read", expect=[(1,), (2,)])
+    run("MATCH (f:Fp13) WITH collect(f) AS fs FOREACH (n IN fs | SET n.s = 1)",
+        "foreach-collected-entities")
+    run("MATCH (f:Fp13 {s: 1}) RETURN count(*) AS n", "foreach-collected-read", expect=[(2,)])
+    run("CALL apoc.coll.zipToRows([1,2],[3,4]) YIELD value RETURN count(*) AS n",
+        "apoc-ziptorows", expect=[(2,)])
+
     print()
     print("=== FAILURES ===")
     for f, m in FAILS:

@@ -633,7 +633,7 @@ def test_call_return_tail_full_projection(spark):
         "SHOW PROCEDURES YIELD name WHERE name STARTS WITH 'apoc' "
         "RETURN name ORDER BY name LIMIT 2"
     ).collect()
-    assert [r.name for r in two] == ["apoc.case", "apoc.create.node"]  # r12 added apoc.case
+    assert [r.name for r in two] == ["apoc.case", "apoc.coll.zipToRows"]  # r13 added zipToRows
     h = s.run("CALL apoc.help('cypher.run')").collect()
     assert [r.name for r in h] == ["apoc.cypher.run"]
     assert h[0].type == "procedure"

@@ -308,12 +308,15 @@ def test_on_set_plus_equals_map(session):
         ) == want
 
 
-def test_reserved_property_names_fail_loud(session):
+def test_reserved_property_names_supported(session):
     """A user property named `id` (colliding with the store's fixed
-    entity column) fails with the engine error shape, never Spark's
-    COLUMN_ALREADY_EXISTS (late r12)."""
-    with pytest.raises(ValueError, match="reserved"):
-        session.run("CREATE (:Clash {id: 7})")
+    entity column) stores under an escaped column and reads back —
+    r13 replaced the late-r12 loud failure with full support (the
+    {id: row.id} bulk-import idiom)."""
+    session.run("CREATE (:Clash {id: 7})")
+    assert [tuple(r) for r in session.run(
+        "MATCH (c:Clash) RETURN c.id AS i"
+    ).collect()] == [(7,)]
 
 
 def test_relationship_index_and_constraint_ddl(session):

@@ -237,3 +237,131 @@ def test_count_exists_subquery_in_with_position(session):
         "MATCH (n:R13W) WITH n, EXISTS { (n)-[:R13WF]->() } AS has "
         "RETURN n.name AS name, has ORDER BY name",
     ) == [("a", True), ("b", False)]
+
+
+# ---- 8. novel-probe wave 2 ---------------------------------------------------
+
+
+def test_stored_temporal_property_accessor(session):
+    session.run("CREATE (:R13T {d: date('2024-03-15')})")
+    assert _vals(
+        session, "MATCH (t:R13T) RETURN t.d.year AS y, t.d.month AS m"
+    ) == [(2024, 3)]
+
+
+def test_varlen_rel_list_predicate(session):
+    session.run("CREATE (:R13V {k:1}), (:R13V {k:2}), (:R13V {k:3})")
+    for a, b, w in ((1, 2, 1.0), (2, 3, 2.0), (1, 3, 9.0)):
+        session.run(
+            f"MATCH (a:R13V {{k:{a}}}), (b:R13V {{k:{b}}}) "
+            f"CREATE (a)-[:R13E {{w: {w}}}]->(b)"
+        )
+    assert _vals(
+        session,
+        "MATCH (a:R13V {k:1})-[rs:R13E*1..2]->(x) "
+        "WHERE all(r IN rs WHERE r.w < 5) RETURN count(*) AS n",
+    ) == [(2,)]
+    # reduce over the rel list
+    assert _vals(
+        session,
+        "MATCH (a:R13V {k:1})-[rs:R13E*2]->(x) "
+        "RETURN reduce(acc = 0.0, r IN rs | acc + r.w) AS tw",
+    ) == [(3.0,)]
+    # size(rs) keeps the min-hop kernel (hop-count contract)
+    assert _vals(
+        session,
+        "MATCH (a:R13V {k:1})-[rs:R13E*1..2]->(x) "
+        "RETURN size(rs) AS h ORDER BY h",
+    ) == [(1,), (1,)]
+
+
+def test_function_null_propagation(session):
+    assert _vals(
+        session,
+        "RETURN size(null) AS s, head(null) AS h, toUpper(null) AS u, "
+        "abs(-2147483648) AS a",
+    ) == [(None, None, None, 2147483648)]
+
+
+def test_string_number_ordering_comparison(session):
+    # string-carried numerics recover; non-numeric strings are
+    # incomparable (null → filtered), never a raw ANSI cast error
+    assert _vals(session, "RETURN '9.0' < 5 AS a, '3' < 5 AS b") == [
+        (False, True)
+    ]
+    assert _vals(
+        session, "WITH 'abc' AS s RETURN (s < 5) IS NULL AS incomparable"
+    ) == [(True,)]
+
+
+# ---- 9. reserved property names (the bulk-import idiom) ----------------------
+
+
+def test_property_named_id_bulk_import_idiom(session):
+    """``UNWIND $batch AS row CREATE (:N {id: row.id})`` — THE docs
+    bulk-import idiom (r13): user properties named like fixed entity
+    columns (id/labels/src/dst/type) store under escaped columns; reads,
+    pattern filters, keys()/properties(), SET and WHERE all map back."""
+    session.run(
+        "UNWIND $batch AS row CREATE (:R13Id {id: row.id, v: row.v})",
+        {"batch": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]},
+    )
+    assert _vals(
+        session, "MATCH (b:R13Id) RETURN b.id AS i, b.v AS v ORDER BY i"
+    ) == [(1, "a"), (2, "b")]
+    assert _vals(session, "MATCH (b:R13Id {id: 2}) RETURN b.v AS v") == [("b",)]
+    assert _vals(
+        session, "MATCH (b:R13Id {id: 1}) RETURN keys(b) AS k"
+    ) == [(["id", "v"],)]
+    session.run(
+        "UNWIND $batch AS row MERGE (x:R13Id {id: row.id}) "
+        "ON MATCH SET x.v = row.v",
+        {"batch": [{"id": 1, "v": "A"}, {"id": 3, "v": "c"}]},
+    )
+    assert _vals(session, "MATCH (b:R13Id) RETURN count(*) AS n") == [(3,)]
+    session.run("MATCH (b:R13Id {id: 3}) SET b.id = 30")
+    assert _vals(
+        session, "MATCH (b:R13Id) WHERE b.id > 2 RETURN b.id AS i"
+    ) == [(30,)]
+    # the internal entity id stays reachable through id(n)
+    assert _vals(
+        session,
+        "MATCH (b:R13Id {id: 30}) RETURN id(b) IS NOT NULL AS ok",
+    ) == [(True,)]
+
+
+def test_rel_property_named_type(session):
+    session.run("CREATE (:R13Ra {k:1}), (:R13Rb {k:2})")
+    session.run(
+        "MATCH (a:R13Ra), (b:R13Rb) CREATE (a)-[:R13RE {type: 'x', w: 1}]->(b)"
+    )
+    assert _vals(
+        session,
+        "MATCH ()-[r:R13RE]->() RETURN r.type AS t, type(r) AS tt, r.w AS w",
+    ) == [("x", "R13RE", 1)]
+
+
+def test_foreach_loop_var_shadowing_prop_names(session):
+    """Token-aware FOREACH substitution (r13): a loop variable named like
+    a map key / property / label must not rewrite those positions."""
+    session.run("FOREACH (v IN [6, 7] | CREATE (:R13Fv {v: v}))")
+    assert _vals(
+        session, "MATCH (f:R13Fv) RETURN f.v AS v ORDER BY v"
+    ) == [(6,), (7,)]
+
+
+def test_create_set_tail(session):
+    assert _vals(
+        session, "CREATE (n:R13CS {a: 1}) SET n.b = n.a + 1 RETURN n.b AS b"
+    ) == [(2,)]
+
+
+def test_foreach_over_collected_entities(session):
+    session.run("FOREACH (x IN [1, 2, 3] | CREATE (:R13Fc {x: x}))")
+    session.run(
+        "MATCH (f:R13Fc) WITH collect(f) AS fs "
+        "FOREACH (n IN fs | SET n.seen = true)"
+    )
+    assert _vals(
+        session, "MATCH (f:R13Fc {seen: true}) RETURN count(*) AS n"
+    ) == [(3,)]
