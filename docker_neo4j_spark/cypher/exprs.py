@@ -355,9 +355,38 @@ class _Parser:
                 # Spark defines no equality on MapType; Cypher map equality
                 # is key-set + values — compare key-sorted JSON (r12)
                 def _mj(v: _V) -> Column:
-                    return F.to_json(
-                        F.map_from_entries(F.array_sort(F.map_entries(v.col)))
+                    # heterogeneous map literals carry as STRUCTs (even
+                    # when literal-valued, so probe the COLUMN schema,
+                    # not the python-literal type) — key-sort their
+                    # fields statically (r13)
+                    dt = None
+                    try:
+                        frame = getattr(self.resolve, "frame", None)
+                        if frame is None:
+                            from pyspark.sql import SparkSession as _SS
+
+                            sp = _SS.getActiveSession()
+                            frame = sp.range(1) if sp else None
+                        dt = (
+                            frame.select(v.col.alias("_t")).schema[0].dataType
+                        )
+                    except Exception:
+                        dt = None
+                    if dt is not None and hasattr(dt, "fieldNames"):
+                        fields = sorted(dt.fieldNames())
+                        return F.to_json(
+                            F.struct(*[v.col[f].alias(f) for f in fields])
+                        )
+                    # sort entries by KEY only (r13): default array_sort
+                    # compares whole entry structs, which fails on
+                    # VARIANT-valued maps (properties(n))
+                    ents = F.array_sort(
+                        F.map_entries(v.col),
+                        lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+                        .when(a["key"] > b["key"], F.lit(1))
+                        .otherwise(F.lit(0)),
                     )
+                    return F.to_json(F.map_from_entries(ents))
 
                 term = _mj(left) == _mj(right)
                 if op == "<>":

@@ -3487,10 +3487,12 @@ def _apoc_export_cypher_all(
                 rendered = F.to_json(val)
             else:
                 rendered = val.cast("string")
+            from ..storage.store import unesc_prop as _unesc_p
+
             parts.append(
                 F.when(
                     val.isNotNull(),
-                    F.concat(F.lit(f"`{c}`: "), rendered),
+                    F.concat(F.lit(f"`{_unesc_p(c)}`: "), rendered),
                 )
             )
         if not parts:

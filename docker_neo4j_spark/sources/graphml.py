@@ -51,6 +51,8 @@ def graph_to_graphml(nodes: DataFrame, rels: DataFrame) -> DataFrame:
     ``labels`` key, the relationship type under the edge ``label`` key.
     """
     spark = nodes.sparkSession
+    from ..storage.store import unesc_prop
+
     node_props = sorted(c for c in nodes.columns if c not in ("id", "labels"))
     rel_props = sorted(
         c for c in rels.columns if c not in ("id", "src", "dst", "type")
@@ -66,12 +68,14 @@ def graph_to_graphml(nodes: DataFrame, rels: DataFrame) -> DataFrame:
     ]
     for c in node_props:
         head.append(
-            f'<key id="{c}" for="node" attr.name="{c}" '
+            f'<key id="{unesc_prop(c)}" for="node" '
+            f'attr.name="{unesc_prop(c)}" '
             f'attr.type="{_xml_type(ndt[c])}"/>'
         )
     for c in rel_props:
         head.append(
-            f'<key id="{c}" for="edge" attr.name="{c}" '
+            f'<key id="{unesc_prop(c)}" for="edge" '
+            f'attr.name="{unesc_prop(c)}" '
             f'attr.type="{_xml_type(rdt[c])}"/>'
         )
     head.append('<graph id="G" edgedefault="directed">')
@@ -87,7 +91,7 @@ def graph_to_graphml(nodes: DataFrame, rels: DataFrame) -> DataFrame:
                 F.when(
                     F.col(c).isNotNull(),
                     F.concat(
-                        F.lit(f'<data key="{c}">'),
+                        F.lit(f'<data key="{unesc_prop(c)}">'),
                         _esc(F.col(c).cast("string")),
                         F.lit("</data>"),
                     ),

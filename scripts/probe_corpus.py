@@ -981,6 +981,10 @@ def main() -> int:
     run("CALL apoc.coll.zipToRows([1,2],[3,4]) YIELD value RETURN count(*) AS n",
         "apoc-ziptorows", expect=[(2,)])
 
+    run("CREATE (:Mq13 {title: 'A', year: 1999})", "props-eq-setup")
+    run("MATCH (m:Mq13) RETURN properties(m) = {title: 'A', year: 1999} AS eq",
+        "properties-map-equality", expect=[(True,)])
+
     print()
     print("=== FAILURES ===")
     for f, m in FAILS:

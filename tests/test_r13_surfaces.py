@@ -365,3 +365,39 @@ def test_foreach_over_collected_entities(session):
     assert _vals(
         session, "MATCH (f:R13Fc {seen: true}) RETURN count(*) AS n"
     ) == [(3,)]
+
+
+def test_properties_map_equality_against_literal(session):
+    """``properties(n) = {literal map}`` (r13): JSON compare handles the
+    VARIANT-valued properties map AND the struct-carried heterogeneous
+    literal (key-sorted on both sides)."""
+    session.run("CREATE (:R13Mq {title: 'A', year: 1999})")
+    assert _vals(
+        session,
+        "MATCH (m:R13Mq) RETURN "
+        "properties(m) = {title: 'A', year: 1999} AS eq, "
+        "properties(m) = {title: 'A'} AS ne",
+    ) == [(True, False)]
+
+
+def test_graphml_export_unescapes_reserved_props(session):
+    """GraphML export presents escaped reserved-prop columns under their
+    USER name (r13): a node with an `id` property exports `<data
+    key="id">`, not the internal escape."""
+    from pyspark.sql import functions as F
+
+    from docker_neo4j_spark.sources.graphml import graph_to_graphml
+
+    session.run("CREATE (:R13Gx {id: 42, name: 'x'})")
+    nodes = session.store.graph.nodes.where(
+        F.array_contains(F.col("labels"), "R13Gx")
+    )
+    lines = [
+        r.line
+        for r in graph_to_graphml(nodes, session.store.graph.rels.limit(0))
+        .orderBy("section", "k1", "k2")
+        .collect()
+    ]
+    text = "\n".join(lines)
+    assert '<data key="id">42</data>' in text
+    assert "id__p" not in text
