@@ -3446,12 +3446,13 @@ class Session:
             return body
         rv = m.group(1)
         tail = body[m.end():]
-        used_as_list = (
-            re.search(rf"\bIN\s+{rv}\b", tail, re.IGNORECASE)
-            or re.search(rf"\b{rv}\s*\[", tail)
-            or re.search(rf"relationships\(\s*{rv}\s*\)", tail)
+        # ANY use of the rel variable beyond size(rv) needs the
+        # relationship list (bare RETURN rv, lambda source, subscript);
+        # size(rv) alone keeps the min-hop kernel's hop-count contract
+        without_size = re.sub(
+            rf"size\(\s*{rv}\s*\)", " ", tail, flags=re.IGNORECASE
         )
-        if not used_as_list:
+        if not re.search(rf"\b{rv}\b", without_size):
             return body
         pvar = "_vlp13"
         # drop the rel variable from the bracket, bind the path instead
@@ -3459,11 +3460,13 @@ class Session:
         inner = re.sub(
             rf"^\s*{rv}\s*", "", body[bracket_start + 1:], count=1
         )
-        rewritten = re.sub(
-            rf"\b{rv}\b",
-            f"relationships({pvar})",
-            body[: bracket_start + 1] + inner,
+        text = body[: bracket_start + 1] + inner
+        # `relationships(rs)` must not double-wrap: collapse it to the
+        # bare variable first, then substitute every remaining use
+        text = re.sub(
+            rf"relationships\(\s*{rv}\s*\)", rv, text, flags=re.IGNORECASE
         )
+        rewritten = re.sub(rf"\b{rv}\b", f"relationships({pvar})", text)
         return f"{pvar} = {rewritten}"
 
     def _match(self, q: str) -> DataFrame:
