@@ -66,8 +66,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     "cypher_operator_semantics",
     "cypher_expression_projection",
     # r13: SHOW FUNCTIONS gained the doc-name alias registrations (its
-    # oracle enumerates apoc.text.* membership)
+    # oracle enumerates apoc.text.* membership); SHOW PROCEDURES gained
+    # apoc.coll.zipToRows
     "proc_show_functions",
+    "proc_show_procedures",
     # r13 wave 3: the reserved-property escape touches EVERY write path
     # (store entry points, session write tails, pattern prop filters,
     # resolvers, keys()/properties()/entity structs) — re-grade the

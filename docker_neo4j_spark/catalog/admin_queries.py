@@ -894,6 +894,7 @@ def proc_list_config_yield_where(spark, sf_dir):
     UNION ALL SELECT 'dbms.listConfig'
     UNION ALL SELECT 'example.defaultValues'
     UNION ALL SELECT 'apoc.case'
+    UNION ALL SELECT 'apoc.coll.zipToRows'
     UNION ALL SELECT 'apoc.do.when'
     UNION ALL SELECT 'apoc.export.cypher.all'
     UNION ALL SELECT 'db.indexes'
