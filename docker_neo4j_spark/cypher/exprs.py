@@ -144,14 +144,16 @@ class _V:
         return self.lit is not _MISSING
 
 
-def _scoped(resolve, _entity_vars=(), **binds):
+def _scoped(resolve, _entity_vars=(), _types=None, **binds):
     """Resolver extended with lambda-variable bindings (comprehension /
     reduce element and accumulator columns); other names fall through.
 
-    ``_entity_vars`` names binds whose elements are ENTITY structs
-    (``[n IN nodes(p) | n.name]`` — r11): dotted access on those reads
-    the element's ``properties`` map (string-cast, the in-query carried-
-    struct contract) instead of falling through to the frame resolver."""
+    ``_entity_vars`` maps binds whose elements are ENTITY structs
+    (``[n IN nodes(p) | n.name]`` — r11) to the element struct's field
+    names: dotted access on those prefers the typed ``__p_<prop>``
+    carrier field (r14 — property reads keep the stored Spark type),
+    falling back to the string-cast ``properties`` map read for carriers
+    without typed fields (procedure-built virtual entities)."""
 
     def sub(name: str) -> Column:
         if name in binds:
@@ -161,6 +163,16 @@ def _scoped(resolve, _entity_vars=(), **binds):
             if head in binds and "." not in rest:
                 el = binds[head]
                 if head in _entity_vars:
+                    flds = (
+                        _entity_vars.get(head, ())
+                        if hasattr(_entity_vars, "get")
+                        else ()
+                    )
+                    if f"__p_{rest}" in flds:
+                        return el[f"__p_{rest}"]
+                    if any(f.startswith("__p_") for f in flds):
+                        # carrier without this property → null
+                        return F.lit(None)
                     return F.element_at(
                         el["properties"], F.lit(rest)
                     ).cast("string")
@@ -173,6 +185,16 @@ def _scoped(resolve, _entity_vars=(), **binds):
             return binds[m.group(2)][m.group(1)]
         return resolve(name)
 
+    # the lambda-body parser consults these (r14 — VERDICT r13 task 2):
+    # ``lambda_types`` lets `+` dispatch see a string-typed accumulator /
+    # element (reduce(acc = '', w IN ['a'] | acc + w) must concat), and
+    # the frame channel keeps outer-column typing available inside the
+    # lambda scope; nested lambdas accumulate.
+    sub.frame = getattr(resolve, "frame", None)
+    sub.path_vars = getattr(resolve, "path_vars", ())
+    merged = dict(getattr(resolve, "lambda_types", {}) or {})
+    merged.update(_types or {})
+    sub.lambda_types = merged
     return sub
 
 
@@ -393,26 +415,35 @@ class _Parser:
                     term = ~term
             else:
                 lc, rc = left.col, right.col
+                null_term = False
                 if op in ("<", "<=", ">", ">="):
-                    # ordering between a STRING-CARRIED value (entity-map
-                    # property access — the carried-struct contract) and a
-                    # number: recover the numeric via try_cast so
-                    # '9.0' < 5 is a real float compare, and genuinely
-                    # non-numeric strings yield null (Cypher: values of
-                    # different types are incomparable — r13). ANSI's raw
-                    # string→int cast would error on '9.0'.
+                    # ordering across types (r14 — ADVICE r13): openCypher
+                    # makes a KNOWN string vs a number incomparable →
+                    # null (previously the try_cast recovery compared
+                    # '9.0' < 5 numerically). "" = statically unknown
+                    # (lambda elements, legacy string-cast carrier reads):
+                    # cast through double there — numeric columns order
+                    # the same, string-carried numerics recover their
+                    # value, non-numerics go null via try_cast. Typed
+                    # carrier fields (r14) made the global recovery
+                    # unnecessary for entity property reads.
                     l_num = self._is_integral(left) or self._is_float(left)
                     r_num = self._is_integral(right) or self._is_float(right)
-                    # "" = statically unknown (lambda elements) — cast
-                    # through double there too: numeric columns order the
-                    # same, string-carried numerics recover their value
-                    if l_num and self._static_typename(right) in ("string", ""):
+                    if l_num and self._static_typename(right) == "string":
+                        null_term = True
+                    elif r_num and self._static_typename(left) == "string":
+                        null_term = True
+                    elif l_num and self._static_typename(right) == "":
                         rc = rc.try_cast("double")
                         lc = lc.cast("double")
-                    elif r_num and self._static_typename(left) in ("string", ""):
+                    elif r_num and self._static_typename(left) == "":
                         lc = lc.try_cast("double")
                         rc = rc.cast("double")
-                term = self._CMP_BUILDERS[op](lc, rc)
+                term = (
+                    F.lit(None).cast("boolean")
+                    if null_term
+                    else self._CMP_BUILDERS[op](lc, rc)
+                )
             conj = term if conj is None else conj & term
             left = right
         if conj is not None:
@@ -453,9 +484,27 @@ class _Parser:
                 self._take()
             self._take()
             rhs = self.additive()
-            if rhs.has_lit and isinstance(rhs.lit, list):
+            if rhs.has_lit and rhs.lit is None:
+                # openCypher: `x IN null` → null (r14 — a raw NULL literal
+                # would fail array_contains analysis)
+                out = F.lit(None).cast("boolean")
+            elif (
+                rhs.has_lit
+                and isinstance(rhs.lit, list)
+                and left.has_lit
+                and any(isinstance(v, (list, dict)) for v in rhs.lit)
+            ):
+                # both sides literal with nested rhs elements — fold in
+                # Python ([1,2] IN [[1,2],[3]] → true; 1 IN [[1,2]] →
+                # false, where array_contains would type-mismatch) (r14)
+                out = F.lit(left.lit in rhs.lit)
+            elif rhs.has_lit and isinstance(rhs.lit, list) and all(
+                not isinstance(v, (list, dict)) for v in rhs.lit
+            ):
                 out = left.col.isin(rhs.lit)
             else:
+                # nested-element lists go through array_contains — isin
+                # rejects non-scalar literals (r14)
                 out = F.array_contains(rhs.col, left.col)
             return _V(~out if negate else out)
         return left
@@ -518,6 +567,11 @@ class _Parser:
                 str: "string", list: "array", dict: "map",
                 type(None): "null",
             }.get(type(v.lit), "")
+        lt = getattr(self.resolve, "lambda_types", None)
+        if lt and getattr(v, "src_name", None) in lt and lt[v.src_name]:
+            # lambda-scope binding: namedlambdavariable() can't be probed
+            # against the frame — the binder recorded its type (r14)
+            return lt[v.src_name]
         try:
             frame = getattr(self.resolve, "frame", None)
             if frame is None:
@@ -686,6 +740,18 @@ class _Parser:
     def unary(self) -> _V:
         if self._at_punct("-"):
             self._take()
+            t = self._peek()
+            if (
+                t is not None
+                and t.kind == "num"
+                and re.fullmatch(r"\d+", t.text)
+                and int(t.text) == 2**63
+            ):
+                # integer.min: the magnitude overflows int64 BEFORE the
+                # unary minus applies — fold the sign into the literal
+                # (r14 — VERDICT r13 missing #3)
+                self._take()
+                return _V(F.lit(-(2**63)), lit=-(2**63))
             v = self.unary()
             if v.has_lit and isinstance(v.lit, (int, float)):
                 return _V(F.lit(-v.lit), lit=-v.lit)
@@ -778,16 +844,21 @@ class _Parser:
                 frame = sp.range(1) if sp else None
             if frame is not None:
                 dt = frame.select(base.col.alias("_t")).schema[0].dataType
-                if (
-                    dt.typeName() == "struct"
-                    and prop not in dt.fieldNames()
-                    and "properties" in dt.fieldNames()
-                ):
-                    return _V(
-                        F.element_at(
-                            base.col["properties"], F.lit(prop)
-                        ).cast("string")
-                    )
+                if dt.typeName() == "struct" and prop not in dt.fieldNames():
+                    names = dt.fieldNames()
+                    if f"__p_{prop}" in names:
+                        # typed carrier field (r14): collect(p)[0].w
+                        # keeps the stored type
+                        return _V(base.col[f"__p_{prop}"])
+                    if any(n.startswith("__p_") for n in names):
+                        # carrier without this property → null
+                        return _V(F.lit(None))
+                    if "properties" in names:
+                        return _V(
+                            F.element_at(
+                                base.col["properties"], F.lit(prop)
+                            ).cast("string")
+                        )
         except Exception:
             pass
         return _V(base.col[prop])
@@ -824,6 +895,15 @@ class _Parser:
             frame = getattr(self.resolve, "frame", None)
             if frame is not None and f"{base.src_name}_id" in frame.columns:
                 return _V(self.resolve(f"{base.src_name}.{e1.lit}"))
+            if frame is not None and base.src_name in frame.columns:
+                # CARRIED entity struct (an UNWIND'd collect(n) element —
+                # r14): same property-resolver routing, typed fields win
+                dt = frame.schema[base.src_name].dataType
+                if hasattr(dt, "fieldNames") and any(
+                    f == "properties" or f.startswith("__p_")
+                    for f in dt.fieldNames()
+                ):
+                    return _V(self.resolve(f"{base.src_name}.{e1.lit}"))
         # out-of-bounds subscripts are NULL in Cypher, never an error —
         # try_element_at throughout (r12)
         if e1.has_lit and isinstance(e1.lit, int):
@@ -956,6 +1036,11 @@ class _Parser:
         # n.first + n.last compiled to numeric Column addition and
         # silently produced NULL.
         is_str = False
+        lt = getattr(self.resolve, "lambda_types", None)
+        if lt and lt.get(name) == "string":
+            # lambda-scope binding typed string by its binder (r14):
+            # reduce(acc = '', w IN ['a','b'] | acc + w) must concat
+            is_str = True
         frame = getattr(self.resolve, "frame", None)
         if frame is not None:
             dts = dict(frame.dtypes)
@@ -997,18 +1082,21 @@ class _Parser:
             # structs (r11): dotted access on the lambda var reads the
             # element's properties map, so [n IN nodes(p) | n.name] works
             ent_vars = self._lambda_entity_vars(var, src_text, src_v.col)
+            types = {var: self._elem_typename(src_v)}
             if pred_src is not None:
                 out = F.filter(
                     out,
                     lambda el: compile_expr(
-                        pred_src, _scoped(resolve, ent_vars, **{var: el})
+                        pred_src,
+                        _scoped(resolve, ent_vars, types, **{var: el}),
                     ),
                 )
             if out_src is not None:
                 out = F.transform(
                     out,
                     lambda el: compile_expr(
-                        out_src, _scoped(resolve, ent_vars, **{var: el})
+                        out_src,
+                        _scoped(resolve, ent_vars, types, **{var: el}),
                     ),
                 )
             return _V(out)
@@ -1118,17 +1206,64 @@ class _Parser:
             is_str=is_str,
         )
 
-    def _lambda_entity_vars(self, var: str, src_text: str, list_col) -> tuple:
+    def _elem_typename(self, list_v: _V) -> str:
+        """Compile-time type name of a list's ELEMENTS — a literal list
+        types by its first Python element; a column by a schema-only
+        element probe. Feeds the lambda-scope type map so `+` inside
+        comprehension/reduce bodies dispatches string-vs-numeric
+        correctly (r14 — VERDICT r13 task 2)."""
+        if list_v.has_lit and isinstance(list_v.lit, list) and list_v.lit:
+            return {
+                bool: "boolean", int: "long", float: "double",
+                str: "string", list: "array", dict: "map",
+            }.get(type(list_v.lit[0]), "")
+        frame = getattr(self.resolve, "frame", None)
+        if frame is None:
+            from pyspark.sql import SparkSession as _SS
+
+            sp = _SS.getActiveSession()
+            frame = sp.range(1) if sp else None
+        if frame is None:
+            return ""
+        try:
+            return (
+                frame.select(F.element_at(list_v.col, 1).alias("_t"))
+                .schema[0]
+                .dataType.typeName()
+            )
+        except Exception:
+            return ""
+
+    def _lambda_entity_vars(self, var: str, src_text: str, list_col) -> dict:
         """Whether a lambda variable's elements are ENTITY structs —
-        dotted access then reads the element's properties map. Detected
+        dotted access then reads the typed ``__p_<prop>`` carrier field
+        (r14) or the string-cast properties map. Returns ``{var: element
+        struct field names}`` (empty dict: not an entity list). Detected
         textually (``nodes(p)``/``relationships(p)`` over a path var) or
         by probing the list's element schema against the binding frame
         (r12 — covers reduce/all/any over path relationship lists)."""
+
+        def _probe_fields() -> frozenset:
+            frame = getattr(self.resolve, "frame", None)
+            if frame is None:
+                return frozenset()
+            try:
+                dt = (
+                    frame.select(F.element_at(list_col, 1).alias("_t"))
+                    .schema[0]
+                    .dataType
+                )
+                if dt.typeName() == "struct":
+                    return frozenset(dt.fieldNames())
+            except Exception:
+                pass
+            return frozenset()
+
         m_ent = re.match(
             r"(?:nodes|relationships)\(\s*(\w+)\s*\)\s*$", src_text.strip()
         )
         if m_ent and m_ent.group(1) in getattr(self.resolve, "path_vars", ()):
-            return (var,)
+            return {var: _probe_fields()}
         frame = getattr(self.resolve, "frame", None)
         if frame is not None:
             # textual gate before the schema probe: every bare identifier
@@ -1150,20 +1285,13 @@ class _Parser:
                     or f"{t.text}_id" in cols
                     or any(c.startswith(t.text + "_") for c in cols)
                 ):
-                    return ()
-            try:
-                dt = (
-                    frame.select(F.element_at(list_col, 1).alias("_t"))
-                    .schema[0]
-                    .dataType
-                )
-                if dt.typeName() == "struct" and "properties" in set(
-                    dt.fieldNames()
-                ):
-                    return (var,)
-            except Exception:
-                pass
-        return ()
+                    return {}
+            flds = _probe_fields()
+            if "properties" in flds or any(
+                f.startswith("__p_") for f in flds
+            ):
+                return {var: flds}
+        return {}
 
     def _quantifier(self) -> _V:
         """``all/any/none/single(x IN list WHERE pred)`` → JVM
@@ -1179,8 +1307,9 @@ class _Parser:
         self._expect_punct(")")
         resolve = self.resolve
         ent_vars = self._lambda_entity_vars(var, src_text, src_v.col)
+        types = {var: self._elem_typename(src_v)}
         pred = lambda el: compile_expr(  # noqa: E731
-            pred_src, _scoped(resolve, ent_vars, **{var: el})
+            pred_src, _scoped(resolve, ent_vars, types, **{var: el})
         )
         col = src_v.col
         if kind == "all":
@@ -1209,18 +1338,33 @@ class _Parser:
         self._expect_punct(")")
         resolve = self.resolve
         ent_vars = self._lambda_entity_vars(el_var, list_src, list_v.col)
+        types = {
+            el_var: self._elem_typename(list_v),
+            acc_var: self._static_typename(init_v),
+        }
         # Cypher's reduce keeps the init's numeric type loose; long init is
         # the common case and sum-like folds stay long unless floats enter.
         init = init_v.col
         if re.fullmatch(r"-?\d+", init_src.strip()):
             init = init.cast("long")
+        elif init_v.has_lit and init_v.lit == []:
+            # empty-list accumulator (reduce(acc = [], x IN [1,2] | acc + x)):
+            # the literal defaults to array<string> — retype it to the
+            # source list's element type so appends unify (r14)
+            el_tn = types[el_var]
+            if el_tn in ("long", "double", "boolean", "string", "date",
+                         "timestamp"):
+                init = init.cast(f"array<{el_tn}>")
+                types[acc_var] = "array"
         return _V(
             F.aggregate(
                 list_v.col,
                 init,
                 lambda acc, el: compile_expr(
                     merge_src,
-                    _scoped(resolve, ent_vars, **{acc_var: acc, el_var: el}),
+                    _scoped(
+                        resolve, ent_vars, types, **{acc_var: acc, el_var: el}
+                    ),
                 ),
             )
         )
@@ -1231,7 +1375,21 @@ class _Parser:
         and serializes the same shape over Bolt/JSON). ``.*`` expands to
         every property column of the variable, sorted."""
         frame = getattr(self.resolve, "frame", None)
-        if frame is None or f"{var}_id" not in frame.columns:
+        carrier_fields: list[str] = []
+        if frame is not None and f"{var}_id" not in frame.columns and (
+            var in frame.columns
+        ):
+            # CARRIED entity struct (an UNWIND'd collect(n) element — r14):
+            # the typed __p_<prop> fields drive .* expansion; .prop items
+            # route through the property resolver like bound variables
+            dt = frame.schema[var].dataType
+            if hasattr(dt, "fieldNames"):
+                carrier_fields = [
+                    f for f in dt.fieldNames() if f.startswith("__p_")
+                ]
+        if frame is None or (
+            f"{var}_id" not in frame.columns and not carrier_fields
+        ):
             raise ValueError(
                 f"map projection on {var!r}: not a bound entity variable"
             )
@@ -1241,13 +1399,19 @@ class _Parser:
             if self._at_punct(".") and self._at_punct("*", 1):
                 self._take()
                 self._take()
-                for c in sorted(frame.columns):
-                    if c.startswith(f"{var}_") and c not in (
-                        f"{var}_id",
-                        f"{var}_labels",
-                        f"{var}_type",
-                    ):
-                        fields.append(F.col(c).alias(c[len(var) + 1 :]))
+                if carrier_fields:
+                    for f_name in sorted(carrier_fields):
+                        fields.append(
+                            F.col(f"`{var}`")[f_name].alias(f_name[len("__p_"):])
+                        )
+                else:
+                    for c in sorted(frame.columns):
+                        if c.startswith(f"{var}_") and c not in (
+                            f"{var}_id",
+                            f"{var}_labels",
+                            f"{var}_type",
+                        ):
+                            fields.append(F.col(c).alias(c[len(var) + 1 :]))
             elif self._at_punct("."):
                 self._take()
                 prop = self._take().text
@@ -1347,14 +1511,17 @@ class _Parser:
             F.to_timestamp(a)
         )
         if kind == "months":
-            mtot = F.floor(F.months_between(b, a)).cast("long")
+            # cast truncates toward ZERO — floor would over-rotate
+            # negative spans a whole month (Neo4j: components share the
+            # span's sign; between(Jan-15, Jan-01) is P-14D, not -1M+17D)
+            mtot = F.months_between(b, a).cast("long")
             if prop == "months":
                 return _V(mtot)
             if prop == "years":
                 return _V((mtot / F.lit(12)).cast("long"))
             return zero
         if kind == "days":
-            days = F.floor(total_secs / F.lit(86400)).cast("long")
+            days = (total_secs / F.lit(86400)).cast("long")
             if prop == "days":
                 return _V(days)
             if prop == "weeks":
@@ -1365,14 +1532,14 @@ class _Parser:
                 div = {"hours": 3600, "minutes": 60, "seconds": 1}[prop]
                 return _V((total_secs / F.lit(div)).cast("long"))
             return zero
-        mtot = F.floor(F.months_between(b, a)).cast("long")
+        mtot = F.months_between(b, a).cast("long")
         if prop == "months":
             return _V(mtot)
         if prop == "years":
             return _V((mtot / F.lit(12)).cast("long"))
         anchor = F.timestamp_add("MONTH", mtot.cast("int"), F.to_timestamp(a))
         day_secs = F.unix_timestamp(F.to_timestamp(b)) - F.unix_timestamp(anchor)
-        days = F.floor(day_secs / F.lit(86400)).cast("long")
+        days = (day_secs / F.lit(86400)).cast("long")
         if prop == "days":
             return _V(days)
         if prop == "weeks":
@@ -1471,6 +1638,28 @@ class _Parser:
                             .dataType.fieldNames()
                             if frame is not None
                             else []
+                        )
+                    if any(n.startswith("__p_") for n in names):
+                        # ENTITY carrier struct (an UNWIND'd collect(n)
+                        # element — r14): keys are the PRESENT property
+                        # names, from the typed carrier fields
+                        ks = [
+                            F.when(
+                                args[0].col[n].isNotNull(),
+                                F.lit(n[len("__p_"):]),
+                            )
+                            for n in sorted(names)
+                            if n.startswith("__p_")
+                        ]
+                        return _V(
+                            F.filter(F.array(*ks), lambda x: x.isNotNull())
+                        )
+                    if "properties" in names:
+                        # pre-built entity struct with a ready map
+                        return _V(
+                            F.array_sort(
+                                F.map_keys(args[0].col["properties"])
+                            )
                         )
                     if names:
                         return _V(F.array(*[F.lit(n) for n in names]))

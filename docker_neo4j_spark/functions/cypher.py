@@ -272,13 +272,28 @@ def toFloat(x) -> Column:
     return _c(x).try_cast("double")
 
 
+def isNaN(x) -> Column:
+    """Neo4j 5 isNaN(): true iff the value is the floating-point NaN;
+    null in → null out (Spark's isnan(null) is false — guard it)."""
+    c = _c(x)
+    return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.isnan(c.cast("double"))
+    )
+
+
 # ------------------------------------------------------------------ list ----
 
 def range_(start, stop, step: int = 1) -> Column:
-    """Cypher range(a, b[, step]) — inclusive both ends."""
-    return F.sequence(F.lit(start) if isinstance(start, int) else _c(start),
-                      F.lit(stop) if isinstance(stop, int) else _c(stop),
-                      F.lit(step))
+    """Cypher range(a, b[, step]) — inclusive both ends. An empty span
+    (start past stop in the step's direction) is the EMPTY LIST, where
+    Spark's sequence would raise on sign-mismatched bounds (r14)."""
+    a = F.lit(start) if isinstance(start, int) else _c(start)
+    b = F.lit(stop) if isinstance(stop, int) else _c(stop)
+    st = F.lit(step) if isinstance(step, int) else _c(step)
+    empty = F.when(st > 0, a > b).when(st < 0, a < b).otherwise(F.lit(False))
+    return F.when(empty, F.array().cast("array<bigint>")).otherwise(
+        F.sequence(a, b, st)
+    )
 
 
 def head(x) -> Column:

@@ -47,6 +47,13 @@ class PropertyGraph:
     label_frames: dict[str, DataFrame] = field(default_factory=dict)
     type_frames: dict[str, DataFrame] = field(default_factory=dict)
     small_labels: frozenset[str] = frozenset()
+    # True for INTERACTIVE stores known to be small (GraphStore tracks its
+    # reserved-id count): node scans broadcast statically, so pattern
+    # joins plan BroadcastHashJoin up front instead of shuffle joins that
+    # AQE later converts — checkpoint-backed frames report no size stats,
+    # so without this every tiny interactive readback pays the full
+    # shuffle-stage job cascade (r14 — match_merge_rel watch item).
+    broadcast_all: bool = False
 
     # ---- scans (SURVEY.md §2.B.1) -------------------------------------
     def nodes_by_label(self, label: str) -> DataFrame:
@@ -76,6 +83,8 @@ class PropertyGraph:
 
     def maybe_broadcast(self, label: str | None, df: DataFrame) -> DataFrame:
         """Explicitly broadcast dimension-sized labels in joins."""
+        if self.broadcast_all:
+            return F.broadcast(df)
         if label is not None and label in self.small_labels:
             return F.broadcast(df)
         return df

@@ -2411,6 +2411,21 @@ def _apoc_coll_zip_to_rows(spark: SparkSession, list1=None, list2=None) -> DataF
         return local_df(
             spark, [([x, y],) for x, y in pairs], "value array<bigint>"
         )
+    if vals and all(
+        isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+    ):
+        # all-numeric with at least one float → typed doubles (r14 —
+        # ADVICE r13: APOC preserves value types; [1.5, 2.5] must not
+        # come back as ['1.5', '2.5'])
+        return local_df(
+            spark,
+            [([float(x), float(y)],) for x, y in pairs],
+            "value array<double>",
+        )
+    if vals and all(isinstance(v, bool) for v in vals):
+        return local_df(
+            spark, [([x, y],) for x, y in pairs], "value array<boolean>"
+        )
     # mixed / string pairs carry as text (one array type per column)
     return local_df(
         spark,

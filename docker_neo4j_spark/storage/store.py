@@ -65,10 +65,18 @@ class GraphStore:
 
     def __init__(self, spark: SparkSession, graph: PropertyGraph | None = None):
         self.spark = spark
+        # an INTERACTIVE store (born empty, all content session-written)
+        # knows its own size from the reserved-id counters — while small,
+        # its snapshots broadcast node scans statically (checkpoint-backed
+        # frames carry no size stats, so AQE otherwise plans shuffle joins
+        # first and converts mid-flight, a whole job cascade per readback)
+        self._born_empty = graph is None
+        self._next_node_id = WRITE_NODE_BASE
+        self._next_rel_id = WRITE_REL_BASE
         if graph is None:
             empty_nodes = local_df(spark, [], "id long, labels array<string>").coalesce(1)
             empty_rels = local_df(spark, [], "id long, src long, dst long, type string").coalesce(1)
-            graph = PropertyGraph(nodes=empty_nodes, rels=empty_rels)
+            graph = PropertyGraph(nodes=empty_nodes, rels=empty_rels, broadcast_all=True)
         self.graph = graph
         self._node_ids = itertools.count(WRITE_NODE_BASE)
         self._rel_ids = itertools.count(WRITE_REL_BASE)
@@ -139,12 +147,26 @@ class GraphStore:
         """Reserve a contiguous block of n node ids; returns the base."""
         base = next(self._node_ids)
         self._node_ids = itertools.count(base + n)
+        self._next_node_id = max(self._next_node_id, base + n)
         return base
 
     def reserve_rel_ids(self, n: int) -> int:
         base = next(self._rel_ids)
         self._rel_ids = itertools.count(base + n)
+        self._next_rel_id = max(self._next_rel_id, base + n)
         return base
+
+    # interactive stores stay broadcast-joinable while the total written
+    # entity count is dimension-sized; one threshold for nodes + rels
+    BROADCAST_ALL_MAX_ENTITIES = 200_000
+
+    def _is_small_interactive(self) -> bool:
+        if not self._born_empty:
+            return False
+        written = (self._next_node_id - WRITE_NODE_BASE) + (
+            self._next_rel_id - WRITE_REL_BASE
+        )
+        return written < self.BROADCAST_ALL_MAX_ENTITIES
 
     def append_nodes(self, df: DataFrame) -> None:
         """Append pre-built node rows (id, labels, props) in one union."""
@@ -307,9 +329,14 @@ class GraphStore:
         offsets broadcast back; ``_idx = offset[pid] + row``. No global
         sort, no full-data shuffle, no Python hop."""
         mask = (1 << 33) - 1
+        # LAZY localCheckpoint: the offsets collect below materializes the
+        # checkpoint and computes the per-partition counts in ONE job
+        # (eager=True spent a separate job per write statement — r14,
+        # match_merge_rel watch item); ids pin at that materialization and
+        # every later read hits the checkpointed blocks
         pinned = df.withColumn(
             "_mid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         counts = sorted(
             (r["_pid"], r["_cnt"])
             for r in pinned.groupBy(
@@ -341,6 +368,7 @@ class GraphStore:
         self.graph = PropertyGraph(
             nodes=self.graph.nodes if nodes is None else nodes,
             rels=self.graph.rels if rels is None else rels,
+            broadcast_all=self._is_small_interactive(),
         )
         self._swap_gen += 1
         if self._swap_gen % self.AUTO_COMPACT_EVERY == 0:
@@ -431,6 +459,15 @@ class GraphStore:
         Cypher façade already routes ``UNWIND $rows … MERGE`` there
         (``cypher/session.py:_try_batch_unwind_merge``), so this path is
         for genuinely one-off upserts, not ingest loops."""
+        for k, v in key_props.items():
+            if v is None:
+                # Neo4j refuses null MERGE keys — a null never equals
+                # anything, so the pattern could neither match nor create
+                # a findable node; merging silently would be a wrong write
+                raise ValueError(
+                    f"Cannot merge the following node because of null "
+                    f"property value for {k!r}"
+                )
         existing = self.match_nodes(label, **key_props).select("id").take(1)
         if existing:
             return existing[0]["id"]
@@ -440,12 +477,25 @@ class GraphStore:
         """``MATCH (n:Label {match}) SET n.k = v`` — conditional columnwise
         update; untouched rows pass through unchanged."""
         nodes = self.graph.nodes
+        base_t = dict(nodes.dtypes)
         cond = F.array_contains(F.col("labels"), label)
         for k, v in match_props.items():
             cond = cond & (F.col(k) == v if k in nodes.columns else F.lit(False))
         for k, v in new_props.items():
-            old = F.col(k) if k in nodes.columns else F.lit(None)
-            nodes = nodes.withColumn(k, F.when(cond, F.lit(v)).otherwise(old))
+            newc = F.lit(v)
+            if k in nodes.columns:
+                in_tn = self._PY_DTYPES.get(type(v))
+                tgt = (
+                    self._reconcile_set_type(base_t[k], in_tn, k)
+                    if in_tn is not None and v is not None
+                    else None
+                )
+                old = F.col(k)
+                if tgt:
+                    old, newc = old.cast(tgt), newc.cast(tgt)
+            else:
+                old = F.lit(None)
+            nodes = nodes.withColumn(k, F.when(cond, newc).otherwise(old))
         self._enforce_unique_post(nodes, set(new_props))
         self._swap(nodes=nodes)
 
@@ -479,6 +529,23 @@ class GraphStore:
         df = df.toDF(*[esc_prop(c) for c in df.columns])
         key_cols = [esc_prop(k) for k in key_cols]
         existing = self.match_nodes(label)
+        for k in key_cols:
+            # Neo4j refuses null MERGE keys (a null matches nothing and
+            # creates an unfindable node). Zero extra jobs: the guard
+            # raises inside stage_indexed's existing materialization, and
+            # the session error boundary translates USER_RAISED_EXCEPTION
+            kt = dict(df.dtypes)[k]
+            err = F.raise_error(
+                F.lit(
+                    f"Cannot merge the following node because of "
+                    f"null property value for {unesc_prop(k)!r}"
+                )
+            )
+            if kt != "void":
+                err = err.cast(kt)
+            df = df.withColumn(
+                k, F.when(F.col(k).isNull(), err).otherwise(F.col(k))
+            )
         fresh = df.dropDuplicates(key_cols)
         if all(k in existing.columns for k in key_cols):
             fresh = fresh.join(existing.select(key_cols), key_cols, "left_anti")
@@ -552,6 +619,42 @@ class GraphStore:
         )
         return n
 
+
+    _PY_DTYPES = {bool: "boolean", int: "bigint", float: "double", str: "string"}
+
+    def _reconcile_set_type(self, existing_tn: str, incoming_tn: str, prop: str):
+        """Target dtype BOTH sides of a conditional property update must
+        cast to (numeric widening), None to keep as-is — or the engine
+        type-conflict error for irreconcilable types. Without this, a
+        ``SET n.b = 'x'`` onto a bigint store column embeds an ANSI
+        poison cast that detonates at an ARBITRARY later read (the same
+        contract _union_missing enforces on the append path — r14)."""
+        if existing_tn == incoming_tn or "void" in (existing_tn, incoming_tn):
+            return None
+        e_num = existing_tn in self._NUMERIC_T
+        i_num = incoming_tn in self._NUMERIC_T
+        if e_num and i_num:
+            return (
+                "bigint"
+                if existing_tn in self._INTEGRAL_T
+                and incoming_tn in self._INTEGRAL_T
+                else "double"
+            )
+        raise ValueError(
+            f"property `{unesc_prop(prop)}` type conflict: the store holds "
+            f"{existing_tn} but the incoming write carries {incoming_tn} — "
+            f"this engine stores one type per property column; rename the "
+            f"property or cast the value"
+        )
+
+    def _bc_small(self, df: DataFrame) -> DataFrame:
+        """Broadcast-hint the driver-known-small side of a store update
+        join while the store is interactive-small (r14 — match_merge_rel
+        watch item): checkpoint-backed frames carry no size stats, so
+        Catalyst otherwise plans sort-merge joins whose whole chain
+        replays on every later readback."""
+        return F.broadcast(df) if self._is_small_interactive() else df
+
     def set_rel_props_from_frame(self, vals: DataFrame, props: list[str]) -> None:
         """Set-based relationship-property update (r11 — ``MATCH … MERGE …
         ON CREATE/ON MATCH SET r.k = …``): ``vals`` carries (id, <prop…>)
@@ -563,11 +666,19 @@ class GraphStore:
         flagged = (
             vals.select(*sel).dropDuplicates(["id"]).withColumn("_hit", F.lit(True))
         )
-        rels = self.graph.rels.join(flagged, "id", "left")
+        rels = self.graph.rels.join(self._bc_small(flagged), "id", "left")
+        base_t, new_t = dict(self.graph.rels.dtypes), dict(flagged.dtypes)
         for p in props:
-            old = F.col(p) if p in self.graph.rels.columns else F.lit(None)
+            newc = F.col(f"_new_{p}")
+            if p in self.graph.rels.columns:
+                tgt = self._reconcile_set_type(base_t[p], new_t[f"_new_{p}"], p)
+                old = F.col(p)
+                if tgt:
+                    old, newc = old.cast(tgt), newc.cast(tgt)
+            else:
+                old = F.lit(None)
             rels = rels.withColumn(
-                p, F.when(F.col("_hit"), F.col(f"_new_{p}")).otherwise(old)
+                p, F.when(F.col("_hit"), newc).otherwise(old)
             )
         rels = rels.drop("_hit", *[f"_new_{p}" for p in props])
         self._swap(rels=rels)
@@ -578,10 +689,23 @@ class GraphStore:
         ``MATCH … SET`` path (no driver materialization of the match)."""
         new_props = {esc_prop(k): v for k, v in new_props.items()}
         flagged = ids.select("id").distinct().withColumn("_hit", F.lit(True))
-        nodes = self.graph.nodes.join(flagged, "id", "left")
+        nodes = self.graph.nodes.join(self._bc_small(flagged), "id", "left")
+        base_t = dict(self.graph.nodes.dtypes)
         for k, v in new_props.items():
-            old = F.col(k) if k in self.graph.nodes.columns else F.lit(None)
-            nodes = nodes.withColumn(k, F.when(F.col("_hit"), F.lit(v)).otherwise(old))
+            newc = F.lit(v)
+            if k in self.graph.nodes.columns:
+                in_tn = self._PY_DTYPES.get(type(v))
+                tgt = (
+                    self._reconcile_set_type(base_t[k], in_tn, k)
+                    if in_tn is not None and v is not None
+                    else None
+                )
+                old = F.col(k)
+                if tgt:
+                    old, newc = old.cast(tgt), newc.cast(tgt)
+            else:
+                old = F.lit(None)
+            nodes = nodes.withColumn(k, F.when(F.col("_hit"), newc).otherwise(old))
         nodes = nodes.drop("_hit")
         self._enforce_unique_post(nodes, set(new_props))
         self._swap(nodes=nodes)
@@ -600,11 +724,19 @@ class GraphStore:
         flagged = (
             vals.select(*sel).dropDuplicates(["id"]).withColumn("_hit", F.lit(True))
         )
-        nodes = self.graph.nodes.join(flagged, "id", "left")
+        nodes = self.graph.nodes.join(self._bc_small(flagged), "id", "left")
+        base_t, new_t = dict(self.graph.nodes.dtypes), dict(flagged.dtypes)
         for p in props:
-            old = F.col(p) if p in self.graph.nodes.columns else F.lit(None)
+            newc = F.col(f"_new_{p}")
+            if p in self.graph.nodes.columns:
+                tgt = self._reconcile_set_type(base_t[p], new_t[f"_new_{p}"], p)
+                old = F.col(p)
+                if tgt:
+                    old, newc = old.cast(tgt), newc.cast(tgt)
+            else:
+                old = F.lit(None)
             nodes = nodes.withColumn(
-                p, F.when(F.col("_hit"), F.col(f"_new_{p}")).otherwise(old)
+                p, F.when(F.col("_hit"), newc).otherwise(old)
             )
         nodes = nodes.drop("_hit", *[f"_new_{p}" for p in props])
         self._enforce_unique_post(nodes, set(props))
@@ -617,7 +749,7 @@ class GraphStore:
         ids drive one conditional labels-array update — union for adds
         (idempotent), except for removes."""
         flagged = ids.select("id").distinct().withColumn("_hit", F.lit(True))
-        nodes = self.graph.nodes.join(flagged, "id", "left")
+        nodes = self.graph.nodes.join(self._bc_small(flagged), "id", "left")
         new_labels = F.col("labels")
         if add:
             new_labels = F.array_union(

@@ -471,34 +471,36 @@ def test_return_entity_record_shape(session):
     )
     n = session.run("MATCH (n:dog) RETURN n").collect()[0]["n"]
     assert n["labels"] == ["dog"]
-    assert {k: v.toPython() for k, v in n["properties"].items()} == {"name": "Arne", "age": 7}  # typed (r11)
+    # typed AND decoded at the result boundary (r14 — clients see plain
+    # Python values, never VariantVal wrappers)
+    assert dict(n["properties"]) == {"name": "Arne", "age": 7}
     assert isinstance(n["id"], int)
     r_row = session.run(
         "MATCH (a:dog)-[r:CHASES]->(b:cat) RETURN r, id(a) AS aid, id(b) AS bid"
     ).collect()[0]
     r = r_row["r"]
     assert r["type"] == "CHASES"
-    assert {k: v.toPython() for k, v in r["properties"].items()} == {"speed": 9}  # typed (r11)
+    assert dict(r["properties"]) == {"speed": 9}  # typed + decoded (r14)
     assert (r["start"], r["end"]) == (r_row["aid"], r_row["bid"])
     # ORDER BY n = entity id order (regression for the struct's map field,
     # which Spark cannot order by); DISTINCT dedups by id
     session.run("CREATE (:dog {name:'Bosse', age: 3})")
     rows = session.run("MATCH (n:dog) RETURN DISTINCT n ORDER BY n").collect()
-    assert [x["n"]["properties"]["name"].toPython() for x in rows] == ["Arne", "Bosse"]
+    assert [x["n"]["properties"]["name"] for x in rows] == ["Arne", "Bosse"]
     assert rows[0]["n"]["id"] < rows[1]["n"]["id"]
     # collect(n) gathers id-sorted entity structs; entity grouping keys work
     grouped = session.run(
         "MATCH (n:dog) RETURN collect(n) AS ns, count(*) AS c"
     ).collect()[0]
     assert grouped["c"] == 2
-    assert [e["properties"]["name"].toPython() for e in grouped["ns"]] == ["Arne", "Bosse"]
+    assert [e["properties"]["name"] for e in grouped["ns"]] == ["Arne", "Bosse"]
     # an unmatched OPTIONAL MATCH variable is NULL, not an entity shell;
     # collect() skips the nulls like Cypher
     opt = session.run(
         "MATCH (n:dog) OPTIONAL MATCH (n)-[:CHASES]->(c:cat) "
         "RETURN n.name AS nn, c ORDER BY nn"
     ).collect()
-    assert opt[0]["c"]["properties"]["name"].toPython() == "Misse" and opt[1]["c"] is None
+    assert opt[0]["c"]["properties"]["name"] == "Misse" and opt[1]["c"] is None
     # UNION (distinct) over entity columns dedups via a canonical JSON
     # key — set ops reject map-bearing columns
     u = session.run(
@@ -537,7 +539,7 @@ def test_correlated_call_subquery(session):
         "MATCH (a:P {name:'x'}) CALL { WITH a MATCH (a)-[:R]->(b:Q) "
         "RETURN b } RETURN b ORDER BY b"
     ).collect()
-    assert [e["b"]["properties"]["name"].toPython() for e in ent] == ["z", "q"]
+    assert [e["b"]["properties"]["name"] for e in ent] == ["z", "q"]
     filt = session.run(
         "MATCH (a:P) WHERE a.v > 1 CALL { WITH a MATCH (x:Q) "
         "RETURN count(x) AS nb } RETURN a.name AS an, nb"
@@ -603,7 +605,7 @@ def test_entity_function_resolvers(session):
     ).collect()
     assert r[0]["lb"] == ["dog"] and r[0]["t"] == "SNIFFS"
     r = session.run("MATCH (b:dog {name:'Bosse'}) RETURN properties(b) AS p").collect()
-    got = {k: v.toPython() for k, v in r[0]["p"].items()}
+    got = dict(r[0]["p"])
     assert got == {"name": "Bosse", "age": 3}  # typed (r11); null-padded keys omitted
     r = session.run("MATCH (d:dog) RETURN sum(d.age * 2) AS s").collect()
     assert r[0]["s"] == 20
@@ -694,7 +696,10 @@ def test_return_star_and_with_distinct(session):
     session.run("CREATE (a:dog {name:'Arne', owner:'kim'})")
     session.run("CREATE (b:dog {name:'Bosse', owner:'kim'})")
     r = session.run("MATCH (d:dog) RETURN * ORDER BY d.name").collect()
-    assert len(r) == 2 and "d_name" in r[0].asDict()
+    # RETURN * yields one ENTITY item per variable (r14 — Neo4j record
+    # shape), not raw prefixed binding columns
+    assert len(r) == 2 and list(r[0].asDict()) == ["d"]
+    assert r[0]["d"]["properties"]["name"] == "Arne"
     r = session.run(
         "MATCH (d:dog) WITH DISTINCT d.owner AS o RETURN o"
     ).collect()
@@ -1470,13 +1475,13 @@ def test_create_merge_return_entities_and_self_rels(session):
     known rel type/props resolve); repeated pattern variables bind ONE
     node ((a)-[:X]->(a)), and the repeated-var match closes the cycle."""
     p = session.run("CREATE (p:Person {name: 'Neo'}) RETURN p").collect()[0]["p"]
-    assert p["labels"] == ["Person"] and p["properties"]["name"].toPython() == "Neo"
+    assert p["labels"] == ["Person"] and p["properties"]["name"] == "Neo"
     row = session.run(
         "CREATE (x:X {k:1})-[q:LINK {w: 3}]->(y:Y {k:2}) "
         "RETURN x.k AS xk, type(q) AS t, q.w AS w, y"
     ).collect()[0]
     assert (row["xk"], row["t"], row["w"]) == (1, "LINK", 3)
-    assert row["y"]["properties"]["k"].toPython() == 2  # typed (r11)
+    assert row["y"]["properties"]["k"] == 2  # typed + decoded (r14)
     session.run("CREATE (:A {name:'x'})")
     t = session.run(
         "MERGE (a:A {name:'x'})-[r:SELF]->(a) RETURN type(r) AS t"

@@ -284,11 +284,13 @@ def test_function_null_propagation(session):
 
 
 def test_string_number_ordering_comparison(session):
-    # string-carried numerics recover; non-numeric strings are
-    # incomparable (null → filtered), never a raw ANSI cast error
-    assert _vals(session, "RETURN '9.0' < 5 AS a, '3' < 5 AS b") == [
-        (False, True)
-    ]
+    # openCypher: a KNOWN string vs a number is incomparable → null
+    # (r14 — ADVICE r13 scoped the carried-struct try_cast recovery out
+    # of plain string-vs-number comparisons); never a raw ANSI cast error
+    assert _vals(
+        session,
+        "RETURN ('9.0' < 5) IS NULL AS a, ('3' < 5) IS NULL AS b",
+    ) == [(True, True)]
     assert _vals(
         session, "WITH 'abc' AS s RETURN (s < 5) IS NULL AS incomparable"
     ) == [(True,)]
