@@ -75,6 +75,11 @@ HEADLINE = [
     # tail + MATCH readback). First-run anchor (solo, min-of-2) in
     # BASELINE.md.
     "cypher_load_csv_statement",
+    # r14 breadth (VERDICT r13 task 7): the r13-era reserved-prop WRITE
+    # family — bulk-import with a user property named `id` (escaped
+    # store column), MERGE-by-id upsert, readback through the escape
+    # mapping. First-run anchor (solo, min-of-2) in BASELINE.md.
+    "cypher_bulk_import_id_prop",
 ]
 
 

@@ -58,30 +58,47 @@ _loaded = False
 # Registration order breaks ties, so the order is deterministic for a given
 # set of CORRECTNESS_r*.json files.
 _CHANGED_THIS_ROUND: list[str] = [
-    # r13 entries are appended as implementations change; reset at round start.
-    # r13: the expression compiler's multiplicative operator grew Cypher
-    # division/modulo-by-zero semantics (float→Infinity/NaN, integral→
-    # "/ by zero", try_divide/try_mod) — re-grade the expression-heavy rows
+    # r14 entries are appended as implementations change; reset at round start.
+    # r14: typed __p_<prop> carrier fields on entity structs + the result
+    # boundary strip/variant decode touch every carried-entity read and
+    # the path kernel — re-grade the struct-carrying rows
+    "cypher_path_binding",
+    "cypher_varlen_rel_predicate",
+    "cypher_shortest_path_bound",
+    # r14: the comparison compiler's string-vs-number ordering now yields
+    # null (openCypher incomparable types), IN gained the null-rhs guard,
+    # unary minus folds the int64-min literal, lambda scopes carry static
+    # types — re-grade the expression-heavy rows
     "cypher_hostile_expression",
     "cypher_operator_semantics",
     "cypher_expression_projection",
-    # r13: SHOW FUNCTIONS gained the doc-name alias registrations (its
-    # oracle enumerates apoc.text.* membership); SHOW PROCEDURES gained
-    # apoc.coll.zipToRows
-    "proc_show_functions",
-    "proc_show_procedures",
-    # r13 wave 3: the reserved-property escape touches EVERY write path
-    # (store entry points, session write tails, pattern prop filters,
-    # resolvers, keys()/properties()/entity structs) — re-grade the
-    # write-heavy and scan rows
-    "property_lookup",
-    "cypher_set_expression_readback",
-    "cypher_label_set_readback",
-    "write_dump_load_counts",
+    # r14: sum() dispatch gained the zero-rows coalesce + sum/avg DISTINCT
+    "cypher_nested_aggregates",
+    "cypher_count_expr_group",
+    # r14: CREATE…SET tail gained +=/label forms; standalone WITH stages
+    # gained ORDER BY/SKIP/LIMIT
+    "cypher_create_set_tail",
+    "cypher_with_distinct_standalone",
+    # r14: range() empty-span guard sits on the range/reduce row
+    "fn_range_reduce",
+    # r14: duration.between component decomposition truncates toward zero
+    # (negative spans were floor-rotated a whole month)
+    "cypher_duration_between",
+    "fn_duration_arith",
+    # r14: all-aggregate CALL{} subqueries rebind LEFT (zero-match outer
+    # rows kept with count 0); EXISTS{} gained WHERE-only correlation
+    "cypher_unwind_call_subquery",
+    "pattern_semi_join",
+    "pattern_anti_join",
+    # r14: stage_indexed went lazy-checkpoint and interactive-small
+    # stores broadcast scan/update joins — every write path is touched;
+    # re-grade the write-heavy rows
     "cypher_match_merge_rel",
     "cypher_merge_grow_pattern",
+    "cypher_merge_chain_pattern",
+    "cypher_bulk_import_id_prop",
+    "write_dump_load_counts",
     "cypher_load_csv_statement",
-    "proc_apoc_create_merge",
 ]
 
 # Rows REGISTERED this round: real never-graded rows, but the r6 verdict
@@ -90,31 +107,20 @@ _CHANGED_THIS_ROUND: list[str] = [
 # enter the 50-row window once the backlog fits. Reset each round (entries
 # migrate out once they receive a first verdict).
 _NEW_THIS_ROUND: list[str] = [
-    # r13 entries are appended as new rows register; reset at round start.
-    # r13: correlated UNWIND over computed expressions (VERDICT r12 task 1)
-    "cypher_correlated_unwind",
-    # r13: Cypher division/modulo-by-zero semantics (task 2)
-    "cypher_divzero_semantics",
-    # r13: statement-opening WITH DISTINCT (task 3)
-    "cypher_with_distinct_standalone",
-    # r13: APOC doc-name alias sweep (task 6)
-    "fn_apoc_r13_suite",
-    # r13 novel-probe finds: MERGE counter idiom, toInteger coercion,
-    # COUNT{} WHERE, UNWIND…CALL{}
-    "cypher_merge_counter",
-    "fn_to_integer_forms",
-    "cypher_count_where_subquery",
-    "cypher_unwind_call_subquery",
-    # r13 novel-probe wave 2: stored temporal accessors, var-length rel
-    # list predicates, null propagation
-    "cypher_stored_temporal_accessor",
-    "cypher_varlen_rel_predicate",
-    "fn_null_propagation",
-    # r13 wave 3: reserved property names (the {id: row.id} bulk-import
-    # idiom), CREATE…SET tails, FOREACH over collected entities
-    "cypher_bulk_import_id_prop",
-    "cypher_create_set_tail",
-    "cypher_foreach_collected_set",
+    # r14 entries are appended as new rows register; reset at round start.
+    # NOTE: cypher_foreach_collected_set (registered r13, never graded) is
+    # deliberately NOT listed — it sorts in the older never-graded
+    # sub-bucket, FIRST in the r14 grade order (VERDICT r13 task 5).
+    # r14: typed carried-entity property reads (VERDICT r13 task 1)
+    "cypher_typed_rel_list_props",
+    "cypher_typed_collect_props",
+    # r14: HOF lambda `+` type dispatch (task 2)
+    "cypher_reduce_hof_types",
+    # r14: null/empty collection semantics sweep (task 3)
+    "cypher_sum_empty",
+    "fn_null_edge_suite",
+    # r14: CREATE…SET += / label forms (ADVICE r13)
+    "cypher_create_set_forms",
 ]
 
 

@@ -4513,3 +4513,155 @@ def cypher_foreach_collected_set(spark, sf_dir):
         "FOREACH (n IN fs | SET n.seen = true)"
     )
     return s.run("MATCH (f:Fcs13 {seen: true}) RETURN count(*) AS n")
+
+
+@register(
+    "cypher_typed_rel_list_props",
+    """
+    SELECT CAST(1.5 AS DOUBLE) AS w1, CAST(2.5 AS DOUBLE) AS w2,
+           CAST(3 AS BIGINT) AS x3, CAST(6 AS BIGINT) AS xsum
+    """,
+)
+def cypher_typed_rel_list_props(spark, sf_dir):
+    """Typed property reads out of path entity lists (r14 — VERDICT r13
+    wrong #1): ``[r IN relationships(p) | r.w]`` keeps the stored DOUBLE
+    type (the string-cast carried-struct contract returned '1.5'), and
+    ``[x IN nodes(p) | x.x]`` keeps BIGINT — the ``__p_<prop>`` typed
+    carrier fields resolve these; schema_match pins the types."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run(
+        "CREATE (:Tcr14 {x: 1})-[:TW {w: 1.5}]->"
+        "(:Tcr14 {x: 2})-[:TW {w: 2.5}]->(:Tcr14 {x: 3})"
+    )
+    return s.run(
+        "MATCH p=(a:Tcr14 {x:1})-[:TW*2]->(c) "
+        "RETURN [r IN relationships(p) | r.w][0] AS w1, "
+        "[r IN relationships(p) | r.w][1] AS w2, "
+        "[x IN nodes(p) | x.x][2] AS x3, "
+        "reduce(acc = 0, v IN [x IN nodes(p) | x.x] | acc + v) AS xsum"
+    )
+
+
+@register(
+    "cypher_typed_collect_props",
+    """
+    SELECT CAST(1 AS BIGINT) AS nx, CAST(10 AS BIGINT) AS c1,
+           CAST(60 AS BIGINT) AS csum, CAST(0.5 AS DOUBLE) AS f1
+    """,
+)
+def cypher_typed_collect_props(spark, sf_dir):
+    """Typed property reads out of ``collect(n)`` element structs (r14 —
+    VERDICT r13 wrong #1, second carrier): ``[x IN ns | x.y]`` over a
+    collected entity list keeps BIGINT/DOUBLE property types instead of
+    stringifying through the properties map."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run(
+        "CREATE (:Tcc14 {x: 1, y: 10, f: 0.5}), (:Tcc14 {x: 2, y: 20, f: 1.5}), "
+        "(:Tcc14 {x: 3, y: 30, f: 2.5})"
+    )
+    return s.run(
+        "MATCH (n:Tcc14 {x: 1}) MATCH (m:Tcc14) "
+        "WITH n, collect(m) AS ns "
+        "RETURN n.x AS nx, [x IN ns | x.y][0] AS c1, "
+        "reduce(acc = 0, v IN [x IN ns | x.y] | acc + v) AS csum, "
+        "[x IN ns | x.f][0] AS f1"
+    )
+
+
+@register(
+    "cypher_reduce_hof_types",
+    """
+    SELECT 'abc' AS j, CAST(6 AS BIGINT) AS t, CAST(3.0 AS DOUBLE) AS d,
+           CAST(2 AS BIGINT) AS ln, 'b!' AS ex
+    """,
+)
+def cypher_reduce_hof_types(spark, sf_dir):
+    """Type-correct ``+`` inside HOF lambdas (r14 — VERDICT r13 wrong #2):
+    a string accumulator concatenates (was a raw BINARY_OP_WRONG_TYPE),
+    numeric accumulators stay numeric, an empty-list accumulator retypes
+    to the source element type and appends, and comprehension bodies
+    concat string elements."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    return s.run(
+        "RETURN reduce(acc = '', w IN ['a','b','c'] | acc + w) AS j, "
+        "reduce(acc = 0, x IN [1,2,3] | acc + x) AS t, "
+        "reduce(acc = 0.0, x IN [1,2] | acc + x) AS d, "
+        "size(reduce(acc = [], x IN [1,2] | acc + x)) AS ln, "
+        "[w IN ['a','b'] | w + '!'][1] AS ex"
+    )
+
+
+@register(
+    "cypher_sum_empty",
+    """
+    SELECT CAST(0 AS BIGINT) AS zsum, CAST(0 AS BIGINT) AS c
+    """,
+)
+def cypher_sum_empty(spark, sf_dir):
+    """``sum()`` over zero matched rows returns 0, not null (r14 —
+    VERDICT r13 wrong #5; count was already 0). The coalesce applies at
+    the aggregate dispatch, typed to the summed column."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (:Sme14 {x: 1})")
+    return s.run(
+        "MATCH (z:Sme14) WHERE z.x > 99 "
+        "RETURN sum(z.x) AS zsum, count(z.x) AS c"
+    )
+
+
+@register(
+    "fn_null_edge_suite",
+    """
+    SELECT CAST(NULL AS BOOLEAN) AS in_null, CAST(0 AS BIGINT) AS empty_len,
+           TRUE AS nan_yes, FALSE AS nan_no,
+           CAST(-9223372036854775808 AS BIGINT) AS imin,
+           CAST(6 AS BIGINT) AS topk_sum
+    """,
+)
+def fn_null_edge_suite(spark, sf_dir):
+    """Null/empty edge semantics (r14 — VERDICT r13 wrong #3/#4, missing
+    #1-#3): ``1 IN null`` → null, ``range(1, 0)`` → the empty list,
+    ``isNaN()`` registered (0.0/0.0 → NaN → true), the int64 min literal
+    parses, and LIMIT accepts statically-evaluable function expressions
+    (``LIMIT toInteger(ceil(2.2))`` keeps 3 rows)."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    return s.run(
+        "UNWIND range(1, 10) AS x WITH x ORDER BY x "
+        "LIMIT toInteger(ceil(2.2)) "
+        "RETURN 1 IN null AS in_null, size(range(1, 0)) AS empty_len, "
+        "isNaN(0.0/0.0) AS nan_yes, isNaN(2.5) AS nan_no, "
+        "-9223372036854775808 AS imin, sum(x) AS topk_sum"
+    )
+
+
+@register(
+    "cypher_create_set_forms",
+    """
+    SELECT CAST(1 AS BIGINT) AS a, 'x' AS b, 'Csf14:Extra14' AS ls
+    """,
+)
+def cypher_create_set_forms(spark, sf_dir):
+    """``CREATE … SET`` map-merge and label forms (r14 — ADVICE r13):
+    ``SET n += {map}`` merges each key onto the just-created node (the
+    r13 tail split on '=' and silently created a property named 'a +');
+    ``SET n:Label`` adds the label through the set-based labels update."""
+    from ..cypher.session import Session
+
+    s = Session(spark)
+    s.run("CREATE (n:Csf14 {a: 0}) SET n += {a: 1, b: 'x'}, n:Extra14")
+    return s.run(
+        "MATCH (n:Csf14) "
+        "RETURN n.a AS a, n.b AS b, "
+        "reduce(acc = '', l IN labels(n) | "
+        "CASE WHEN acc = '' THEN l ELSE acc + ':' + l END) AS ls"
+    )
