@@ -3546,6 +3546,38 @@ class Session:
         # single-id setter (self-referencing RHS supported)
         set_items: list[tuple[str, str, str]] = []
         set_labels: list[tuple[str, list[str]]] = []
+        rem_props: list[tuple[str, str]] = []
+        rem_labels: list[tuple[str, list[str]]] = []
+        h_rem = _find_kw(pattern_src, "REMOVE")
+        if h_rem:
+            # ``CREATE … [SET …] REMOVE n.prop / n:Label [RETURN …]``
+            # (r14): property removes write null (the engine's remove
+            # semantics), label removes go through the set-based update
+            rem_src = pattern_src[h_rem[1]:].strip()
+            pattern_src = pattern_src[: h_rem[0]].strip()
+            for item in _split_top(rem_src, ","):
+                it = item.strip()
+                m_lbl = re.fullmatch(
+                    r"([A-Za-z_]\w*)((?:\s*:\s*`?[A-Za-z_]\w*`?)+)", it
+                )
+                if m_lbl:
+                    rem_labels.append(
+                        (
+                            m_lbl.group(1),
+                            [
+                                seg.strip().strip("`")
+                                for seg in m_lbl.group(2).split(":")
+                                if seg.strip()
+                            ],
+                        )
+                    )
+                    continue
+                m_p = re.fullmatch(r"([A-Za-z_]\w*)\.([\w`]+)", it)
+                if not m_p:
+                    raise ValueError(
+                        f"unsupported REMOVE item after CREATE: {it!r}"
+                    )
+                rem_props.append((m_p.group(1), m_p.group(2).strip("`")))
         h_set = _find_kw(pattern_src, "SET")
         if h_set:
             set_src = pattern_src[h_set[1]:].strip()
@@ -3703,6 +3735,21 @@ class Session:
             self.store.set_labels_by_ids(
                 local_df(self.spark, [(ids[tvar],)], "id long"),
                 add=tuple(labels),
+            )
+        for tvar, prop in rem_props:
+            if tvar not in ids:
+                raise ValueError(
+                    f"REMOVE variable {tvar!r} is not in the CREATE pattern"
+                )
+            self._set_props_on_id(tvar, ids[tvar], {prop: None})
+        for tvar, labels in rem_labels:
+            if tvar not in ids:
+                raise ValueError(
+                    f"REMOVE variable {tvar!r} is not in the CREATE pattern"
+                )
+            self.store.set_labels_by_ids(
+                local_df(self.spark, [(ids[tvar],)], "id long"),
+                remove=tuple(labels),
             )
         if ret is None:
             return local_df(self.spark, [], "ok string")
@@ -4505,6 +4552,48 @@ class Session:
             )
             ret = ret[:start] + out_col + ret[end:]
 
+    def _theta_corr_agg(
+        self,
+        bound: DataFrame,
+        sub: DataFrame,
+        where_src: str | None,
+        out_col: str,
+        agg_of,
+        empty_is_array: bool = False,
+    ) -> DataFrame:
+        """COUNT{}/COLLECT{} whose only correlation is the WHERE
+        expression (r14): left theta-join the pattern frame against every
+        outer row (Catalyst lifts equi-terms from the predicate into the
+        join), aggregate per synthetic outer row key. The key comes from
+        monotonically_increasing_id over a LAZY localCheckpoint, so both
+        plan branches read the same pinned ids."""
+        rowid = f"_tc_row{self._anon}"
+        self._anon += 1
+        clash = [c for c in sub.columns if c in bound.columns]
+        if clash:
+            sub = sub.drop(*clash)
+        keyed = bound.withColumn(
+            rowid, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        cond = (
+            _compile_where(
+                where_src, _frame_resolver(keyed.join(sub, F.lit(True)))
+            )
+            if where_src
+            else F.lit(True)
+        )
+        joined = keyed.join(sub, cond, "left")
+        per_row = joined.groupBy(rowid).agg(agg_of(joined).alias(out_col))
+        out = keyed.join(per_row, rowid, "left").drop(rowid)
+        if empty_is_array:
+            dtype = dict(out.dtypes)[out_col]
+            return out.withColumn(
+                out_col, F.coalesce(F.col(out_col), F.array().cast(dtype))
+            )
+        return out.withColumn(
+            out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
+        )
+
     def _collect_pattern(
         self,
         bound: DataFrame,
@@ -4538,7 +4627,20 @@ class Session:
             if isinstance(el, _Node) and f"{el.var}_id" in bound.columns
         ]
         if not join_vars:
-            raise ValueError("COLLECT subquery must reference a bound variable")
+            # no shared PATTERN variable — WHERE-only correlation (r14):
+            # theta-left-join per outer row (a lazy localCheckpoint pins
+            # the synthetic row key), collect per key. Same shape as the
+            # COUNT{} twin below.
+            sub = match_chain(self.store.graph, pattern)
+            return self._theta_corr_agg(
+                bound, sub, where_src, out_col,
+                lambda joined: F.array_sort(
+                    F.collect_list(
+                        _value_of(expr_src, _frame_resolver(joined))
+                    )
+                ),
+                empty_is_array=True,
+            )
         sub = match_chain(self.store.graph, pattern)
         if where_src:
             sub = sub.where(_compile_where(where_src, _frame_resolver(sub)))
@@ -4588,7 +4690,26 @@ class Session:
             if isinstance(el, _Node) and f"{el.var}_id" in bound.columns
         ]
         if not join_vars:
-            raise ValueError("COUNT subquery must reference a bound variable")
+            # WHERE-only correlation (r14): theta-left-join per outer
+            # row, count the matched inner witness per key
+            sub = match_chain(self.store.graph, pattern)
+            # clash-drop BEFORE picking the witness — a bound-side column
+            # of the same name would count unmatched rows as matches
+            clash = [c for c in sub.columns if c in bound.columns]
+            if clash:
+                sub = sub.drop(*clash)
+            wit = next(
+                (c for c in sub.columns if c.endswith("_id")),
+                sub.columns[0] if sub.columns else None,
+            )
+            if wit is None:
+                raise ValueError(
+                    "COUNT subquery pattern binds no columns"
+                )
+            return self._theta_corr_agg(
+                bound, sub, where_src, out_col,
+                lambda _joined: F.count(F.col(wit)).cast("long"),
+            )
         sub = match_chain(self.store.graph, pattern)
         if where_src:
             sub = sub.where(_compile_where(where_src, _frame_resolver(sub)))

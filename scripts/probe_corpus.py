@@ -1058,6 +1058,12 @@ def main() -> int:
         expect=[(1,), (2,)])
     run("MATCH (n:Csq14) WHERE NOT EXISTS { MATCH (m:Csq14) WHERE m.k = n.k + 1 } "
         "RETURN n.k AS k", "not-exists-where-only-corr", expect=[(3,)])
+    run("MATCH (n:Csq14) RETURN n.k AS k, "
+        "COUNT { MATCH (m:Csq14) WHERE m.k = n.k } AS eq ORDER BY k",
+        "count-where-only-corr", expect=[(1, 1), (2, 1), (3, 1)])
+    run("MATCH (n:Csq14 {k: 1}) RETURN "
+        "COLLECT { MATCH (m:Csq14) WHERE m.k > n.k RETURN m.k } AS ks",
+        "collect-where-only-corr", expect=[([2, 3],)])
     rows = run("MATCH (n:Csq14 {k: 1}) RETURN *", "return-star-entity-shape")
     if rows is not None and (
         list(rows[0].asDict()) != ["n"] or rows[0]["n"]["properties"] != {"k": 1}

@@ -270,3 +270,20 @@ def test_negative_duration_between_truncates_toward_zero(session):
         ".months AS m, "
         "duration.inDays(date('2024-02-01'), date('2024-01-01')).days AS t",
     ) == [(-14, 0, -31)]
+
+
+def test_count_collect_where_only_correlation(session):
+    session.run(
+        "CREATE (:Wq14 {k: 1, t: 'x'}), (:Wq14 {k: 2, t: 'y'}), "
+        "(:Wq14 {k: 3, t: 'x'})"
+    )
+    assert _vals(
+        session,
+        "MATCH (n:Wq14) RETURN n.k AS k, "
+        "COUNT { MATCH (m:Wq14) WHERE m.t = n.t } AS same_t ORDER BY k",
+    ) == [(1, 2), (2, 1), (3, 2)]
+    assert _vals(
+        session,
+        "MATCH (n:Wq14 {k: 1}) RETURN "
+        "COLLECT { MATCH (m:Wq14) WHERE m.k > n.k RETURN m.k } AS ks",
+    ) == [([2, 3],)]
