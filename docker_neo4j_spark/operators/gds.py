@@ -61,6 +61,10 @@ def bfs(
     levels = [frontier.select("id", F.lit(0).cast("long").alias("dist"))]
     visited = frontier
     for depth in range(1, max_depth + 1):
+        # (r14 note: a lazy-checkpoint + count() fusion was A/B-measured
+        # SLOWER here — the count adds a partial/final aggregate exchange
+        # per level, while the eager checkpoint materializes through a
+        # plain RDD job and isEmpty is an exchange-free take(1).)
         nxt = (
             frontier.join(e, frontier["id"] == e["src"])
             .select(F.col("dst").alias("id"))
@@ -106,23 +110,40 @@ def sssp(
     # the convergence check (empty → fixpoint).
     frontier = dist
     converged = False
+    # One merge per superstep (r14, guide §2.4): improvement check and
+    # dist merge are a single full-outer join + eager checkpoint; the
+    # emptiness probe is an exchange-free take(1) over the improved filter
+    # (the former separate improvement-check checkpoint job is gone).
+    prev = None
     for _ in range(max_iter):
         cand = (
             frontier.join(e, frontier["id"] == e["src"])
-            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("dist"))
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("_new"))
             .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("_new").alias("_new"))
         )
-        improved = _ckpt(
-            cand.join(dist.withColumnRenamed("dist", "_old"), "id", "left")
-            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .select("id", "dist")
+        imp = F.col("_new").isNotNull() & (
+            F.col("dist").isNull() | (F.col("_new") < F.col("dist"))
         )
-        if improved.isEmpty():
+        new_dist = _ckpt(
+            dist.join(cand, "id", "full")
+            .select(
+                "id",
+                F.when(imp, F.col("_new")).otherwise(F.col("dist")).alias("dist"),
+                imp.alias("_imp"),
+            )
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = dist
+        dist = new_dist
+        if new_dist.where("_imp").isEmpty():
             converged = True
             break
-        dist = _ckpt(dist.join(improved, "id", "left_anti").unionByName(improved))
-        frontier = improved
+        frontier = new_dist.where("_imp").select("id", "dist")
+    if prev is not None:
+        prev.unpersist()
+    dist = dist.select("id", "dist")
     e.unpersist()
     if return_converged:
         return dist, converged
@@ -222,24 +243,38 @@ def dag_longest_path(
     e = edges.select("src", "dst", F.col(weight_col).alias("_w")).repartition("src").cache()
     dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
     frontier = dist
+    # Same fused superstep as ``sssp`` (r14): single full-outer merge
+    # checkpoint + exchange-free emptiness probe, max-relaxation.
+    prev = None
     for _ in range(max_iter):
         cand = (
             frontier.join(e, frontier["id"] == e["src"])
-            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("dist"))
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("_new"))
             .groupBy("id")
-            .agg(F.max("dist").alias("dist"))
+            .agg(F.max("_new").alias("_new"))
         )
-        improved = _ckpt(
-            cand.join(dist.withColumnRenamed("dist", "_old"), "id", "left")
-            .where(F.col("_old").isNull() | (F.col("dist") > F.col("_old")))
-            .select("id", "dist")
+        imp = F.col("_new").isNotNull() & (
+            F.col("dist").isNull() | (F.col("_new") > F.col("dist"))
         )
-        if improved.isEmpty():
+        new_dist = _ckpt(
+            dist.join(cand, "id", "full")
+            .select(
+                "id",
+                F.when(imp, F.col("_new")).otherwise(F.col("dist")).alias("dist"),
+                imp.alias("_imp"),
+            )
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = dist
+        dist = new_dist
+        if new_dist.where("_imp").isEmpty():
             break
-        dist = _ckpt(dist.join(improved, "id", "left_anti").unionByName(improved))
-        frontier = improved
+        frontier = new_dist.where("_imp").select("id", "dist")
+    if prev is not None:
+        prev.unpersist()
     e.unpersist()
-    return dist
+    return dist.select("id", "dist")
 
 
 def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
@@ -251,22 +286,44 @@ def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
     """
     e = undirect(edges).distinct().repartition("src").cache()
     comp = _ckpt(nodes.select("id", F.col("id").alias("comp")))
+    # One merged superstep (r14, guide §2.4): the union rows carry an
+    # `_own` tag so the SAME groupBy-min that computes the new label also
+    # recovers the old one (min over the own-tagged row) — the former
+    # separate change-detection join is an exchange-free filtered take(1)
+    # over the checkpointed output.
+    prev = None
     for _ in range(max_iter):
         prop = (
             comp.join(e, comp["id"] == e["src"])
-            .select(F.col("dst").alias("id"), "comp")
+            .select(F.col("dst").alias("id"), "comp", F.lit(False).alias("_own"))
         )
         new_comp = (
-            comp.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+            comp.select("id", "comp", F.lit(True).alias("_own"))
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("_own"), F.col("comp"))).alias("_old"),
+            )
+            .select(
+                "id", "comp", (F.col("comp") != F.col("_old")).alias("_chg")
+            )
         )
+        # Eager checkpoint (plain RDD materialization job) + exchange-free
+        # take(1) emptiness probe — A/B-measured faster than a lazy
+        # checkpoint whose count() adds an aggregate exchange per round.
         new_comp = _ckpt(new_comp)
-        changed = new_comp.join(
-            comp.withColumnRenamed("comp", "_old"), "id"
-        ).where(F.col("comp") != F.col("_old"))
-        if changed.isEmpty():
-            return new_comp
+        no_change = new_comp.where("_chg").isEmpty()
+        if prev is not None:
+            prev.unpersist()
+        prev = comp
         comp = new_comp
-    return comp
+        if no_change:
+            break
+    if prev is not None:
+        prev.unpersist()
+    e.unpersist()
+    return comp.select("id", "comp")
 
 
 def personalized_pagerank(
@@ -460,6 +517,11 @@ def pagerank(
     # localCheckpoint, so the next round's join on pr.id needs NO N-row
     # exchange — the old unionByName erased the partitioning and forced a
     # full pr shuffle every iteration.
+    #
+    # r14 (guide §2.4/§1): the dst side additionally carries a static
+    # `_dang` flag (dst ∈ dangling set), so the NEXT round's dangling mass
+    # is a flag-filtered scalar over the freshly built pr frame — no
+    # per-round broadcast build of dangling_ids, no per-round join.
     e_run = (
         e_deg.unionByName(
             no_in_ids.select(
@@ -468,48 +530,78 @@ def pagerank(
                 F.lit(0.0).alias("_invdeg"),
             )
         )
+        .join(
+            dangling_ids.select(F.col("id").alias("_dgid"), F.lit(True).alias("_dg")),
+            F.col("dst") == F.col("_dgid"),
+            "left",
+        )
+        .select(
+            "src", "dst", "_invdeg", F.coalesce(F.col("_dg"), F.lit(False)).alias("_dang")
+        )
         .repartition("src")
         .cache()
     )
     pr = _ckpt(n.select("id", F.lit(1.0).alias("pr")))
+    # Round 0 dangling mass is closed-form (every pr is 1.0): |dangling|.
+    # Subsequent rounds read it from the just-materialized pr frame via the
+    # carried flag. One fused job per round (r14, guide §2.4/§1.2): the
+    # update is built on a LAZY localCheckpoint and the flag-filtered
+    # dangling aggregate is the action that materializes it — replacing the
+    # former eager-checkpoint job + broadcast-build + scalar-join job per
+    # round. (The earlier measured-slower variant folded the dangling mass
+    # into the update join as a broadcast subquery, which blocked AQE's
+    # re-planning of the big join; this form keeps the scalar read OUT of
+    # the join — it is a plain filtered aggregate over the checkpointed
+    # output.)
+    dangling = float(dangling_ids.count())
+    prev = None
     for _ in range(iterations):
-        # Separate small scalar job for the dangling mass: folding it into
-        # the update join as a broadcast 1-row frame was measured SLOWER
-        # (37.7s vs 25.0s at sf0.1) — it blocks AQE's runtime re-planning
-        # of the big join.
-        dangling = pr.join(F.broadcast(dangling_ids), "id").agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0))
-        ).first()[0]
+        base = (1.0 - damping) + damping * dangling / n_total
         contribs = (
             pr.join(e_run, pr["id"] == e_run["src"])
-            .select(F.col("dst").alias("id"), (F.col("pr") * F.col("_invdeg")).alias("c"))
-            .groupBy("id")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") * F.col("_invdeg")).alias("c"),
+                e_run["_dang"],
+            )
+            .groupBy("id", "_dang")
             .agg(F.sum("c").alias("c"))
         )
-        base = (1.0 - damping) + damping * dangling / n_total
-        new_pr = _ckpt(
-            contribs.select(
-                "id", (F.lit(base) + F.lit(damping) * F.col("c")).alias("pr")
-            )
-        )
+        # `_dang` is re-aliased to `_prdang` (fresh exprId): the lazy
+        # checkpoint keeps the original attribute ids, so carrying e_run's
+        # `_dang` id into next round's pr⋈e_run join would self-collide.
+        new_pr = contribs.select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.col("c")).alias("pr"),
+            F.col("_dang").alias("_prdang"),
+        ).localCheckpoint(eager=False)
+        # Full-scan action: materializes every partition of the lazy
+        # checkpoint in this same job AND yields next round's dangling mass.
+        dangling = new_pr.where("_prdang").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0))
+        ).first()[0]
         if tolerance is not None:
             delta = (
                 new_pr.join(pr.withColumnRenamed("pr", "_old"), "id")
                 .agg(F.sum(F.abs(F.col("pr") - F.col("_old"))))
                 .first()[0]
             )
-            pr.unpersist()  # new_pr is eagerly checkpointed; old rounds
-            pr = new_pr     # must not pin O(iterations) node-frames
-            if delta is not None and delta < tolerance * n_total:
-                break
-        else:
-            pr.unpersist()
-            pr = new_pr
+        # The PREVIOUS round's frame feeds new_pr's (now materialized)
+        # checkpoint; with lazy checkpoints it must only be released after
+        # the materializing action above — one round behind.
+        if prev is not None:
+            prev.unpersist()
+        prev = pr
+        pr = new_pr
+        if tolerance is not None and delta is not None and delta < tolerance * n_total:
+            break
+    if prev is not None:
+        prev.unpersist()
     e_run.unpersist()
     n.unpersist()
     dangling_ids.unpersist()
     no_in_ids.unpersist()
-    return pr
+    return pr.select("id", "pr")
 
 
 def article_rank(
@@ -1382,7 +1474,12 @@ def betweenness(
             ).alias(col)
         )
 
-    lvl = _ckpt(
+    # Forward sweep state is ONE frame per level: (v, seen[bool S], new[long S])
+    # — the former separate `visited` frame is folded in, so each level is a
+    # single full-outer merge + eager checkpoint instead of two checkpoint
+    # jobs (r14, guide §2.4: one superstep = one job). The per-level σ views
+    # the backward sweep needs are lazy filters over the checkpointed states.
+    state = _ckpt(
         idx.select(
             F.col("id").alias("v"),
             F.transform(
@@ -1390,59 +1487,63 @@ def betweenness(
                 lambda i: F.when(i == F.col("_j"), F.lit(1).cast("long")).otherwise(
                     F.lit(0).cast("long")
                 ),
-            ).alias("sig"),
+            ).alias("new"),
+        ).select(
+            "v", F.transform("new", lambda x: x > 0).alias("seen"), "new"
         )
     )
-    levels = [lvl]
-    visited = _ckpt(
-        lvl.select("v", F.transform("sig", lambda x: x > 0).alias("seen"))
-    )
+    states = [state]
+
+    def _lvl_view(st: DataFrame) -> DataFrame:
+        return st.where(F.exists("new", lambda x: x > 0)).select(
+            "v", F.col("new").alias("sig")
+        )
+
+    levels = [_lvl_view(state)]
     for _ in range(max_depth):
+        frontier = _lvl_view(state)
         summed = arr_sum(
-            lvl.join(e, lvl["v"] == e["src"]).select(
+            frontier.join(e, frontier["v"] == e["src"]).select(
                 e["dst"].alias("v"), "sig"
             ),
             "sig",
             zeros_l,
         )
-        nxt = _ckpt(
-            summed.join(visited, "v", "left")
-            .select(
-                "v",
-                F.zip_with(
-                    "sig",
-                    F.coalesce("seen", falses),
-                    lambda x, sn: F.when(sn, F.lit(0).cast("long")).otherwise(x),
-                ).alias("sig"),
-            )
-            .where(F.exists("sig", lambda x: x > 0))
+        merged = state.join(
+            summed.withColumnRenamed("sig", "_sg"), "v", "full"
         )
-        if nxt.isEmpty():
-            break
-        levels.append(nxt)
-        old_visited = visited
-        visited = _ckpt(
-            visited.join(nxt.select("v", F.col("sig").alias("_ns")), "v", "full")
-            .select(
+        masked = F.zip_with(
+            F.coalesce("_sg", zeros_l),
+            F.coalesce("seen", falses),
+            lambda x, sn: F.when(sn, F.lit(0).cast("long")).otherwise(x),
+        )
+        new_state = _ckpt(
+            merged.select(
                 "v",
                 F.zip_with(
                     F.coalesce("seen", falses),
-                    F.coalesce("_ns", zeros_l),
+                    masked,
                     lambda sn, x: sn | (x > 0),
                 ).alias("seen"),
+                masked.alias("new"),
             )
         )
-        old_visited.unpersist()
-        lvl = nxt
-    # Backward dependency sweep, memory-frugal: δ of level d+1 folds into
-    # a running ≤|reached|-row score frame the moment level d's δ is
-    # checkpointed, and the consumed level/δ frames are unpersisted — at
-    # any instant only TWO array-level frames are pinned, not all
-    # O(depth) of them. δ at depth 0 (the sources, endpoint-excluded by
-    # Brandes) is never computed at all.
-    visited.unpersist()
+        if _lvl_view(new_state).isEmpty():
+            new_state.unpersist()
+            break
+        states.append(new_state)
+        levels.append(_lvl_view(new_state))
+        state = new_state
+    # Backward dependency sweep: each level's δ frame is a LAZY local
+    # checkpoint materialized by the NEXT level's score-fold job (one eager
+    # job per level instead of two), with the scalar score fold keeping the
+    # pinned array-state bounded: the sweep holds at most two array-level δ
+    # frames plus the states (which the forward sweep already pinned). δ at
+    # depth 0 (the sources, endpoint-excluded by Brandes) is never computed.
     if len(levels) == 1:
         e.unpersist()
+        for st in states:
+            st.unpersist()
         return src_ids.select("id", F.lit(0.0).alias("bc"))
     # backward joins key on dst — cache that partitioning once for all
     # levels instead of re-exchanging the edge set per round
@@ -1457,6 +1558,7 @@ def betweenness(
 
     score: DataFrame | None = None
     delta_next = levels[-1].select("v", "sig", zeros_d.alias("delta"))
+    pending: list[DataFrame] = []
     for d in range(len(levels) - 2, 0, -1):
         cur = levels[d]
         # per-(source) successor message m = (1+δ_w)/σ_w where σ_w>0
@@ -1481,7 +1583,7 @@ def betweenness(
             "_m",
             zeros_d,
         )
-        delta_cur = _ckpt(
+        delta_cur = (
             cur.join(acc, "v", "left")
             .select(
                 "v",
@@ -1494,15 +1596,22 @@ def betweenness(
                     ),
                 ).alias("delta"),
             )
+            .localCheckpoint(eager=False)
         )
+        # The fold's groupBy scans every row of delta_next, materializing
+        # its lazy checkpoint in the same job. delta_next's own inputs
+        # (the previous δ) can only be released AFTER that — one round late.
         score = _fold(score, delta_next)  # depth d+1 ≥ 1: interior, counts
-        delta_next.unpersist()
-        levels[d + 1].unpersist()
+        for fr in pending:
+            fr.unpersist()
+        pending = [delta_next]
         delta_next = delta_cur
-    score = _fold(score, delta_next)  # depth 1
+    score = _fold(score, delta_next)  # depth 1 (materializes the last δ)
+    for fr in pending:
+        fr.unpersist()
     delta_next.unpersist()
-    for lv in levels[:2]:
-        lv.unpersist()
+    for st in states:
+        st.unpersist()
     e.unpersist()
     e_by_dst.unpersist()
     return score.select(F.col("v").alias("id"), F.col("delta").alias("bc"))
@@ -3225,12 +3334,20 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
         .distinct()
     )
     need = k - 2
+    # r14 (guide §2.4): `support`'s (a,b) pairs are all drawn from e's rows
+    # (each triangle side IS an e-edge), so the former e ⋉ support semi-join
+    # was an identity — dropped, along with its per-round exchange. The
+    # surviving-edge count doubles as the lazy checkpoint's materializing
+    # action, and the previous round's count is a remembered int instead of
+    # a second count job.
+    n_e = e.count()
+    prev = None
     for _ in range(max_rounds):
         ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
         bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
         ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
         tri = ab.join(bc, "y").join(ac, ["x", "z"])
-        support = (
+        kept = (
             tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
             .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
             .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
@@ -3238,14 +3355,18 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
             .agg(F.count("*").alias("_s"))
             .where(F.col("_s") >= need)
             .select("a", "b")
+            .localCheckpoint(eager=False)
         )
-        kept = _ckpt(e.join(support, ["a", "b"], "left_semi"))
-        if kept.count() == e.count():
-            e = kept
-            break
+        n_kept = kept.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = e
         e = kept
-        if e.isEmpty():
+        if n_kept == n_e or n_kept == 0:
             break
+        n_e = n_kept
+    if prev is not None:
+        prev.unpersist()
     return e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
 
 
@@ -3283,6 +3404,11 @@ def dfs_preorder(
     e = edges.select("src", "dst").distinct().repartition("src").cache()
     best = _ckpt(sources.select("id", F.array("id").alias("path")))
     frontier = best
+    # One merge per superstep (r14, guide §2.4): the former
+    # improvement-check checkpoint + anti-join/union merge checkpoint
+    # collapse into a single full-outer merge checkpoint; the emptiness
+    # probe is an exchange-free take(1) over the improved filter.
+    prev = None
     for _ in range(max_iter):
         cand = (
             frontier.join(e, frontier["id"] == e["src"])
@@ -3292,17 +3418,29 @@ def dfs_preorder(
                 F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
             )
             .groupBy("id")
-            .agg(F.min("path").alias("path"))
+            .agg(F.min("path").alias("_new"))
         )
-        improved = _ckpt(
-            cand.join(best.withColumnRenamed("path", "_old"), "id", "left")
-            .where(F.col("_old").isNull() | (F.col("path") < F.col("_old")))
-            .select("id", "path")
+        imp = F.col("_new").isNotNull() & (
+            F.col("path").isNull() | (F.col("_new") < F.col("path"))
         )
-        if improved.isEmpty():
+        new_best = _ckpt(
+            best.join(cand, "id", "full")
+            .select(
+                "id",
+                F.when(imp, F.col("_new")).otherwise(F.col("path")).alias("path"),
+                imp.alias("_imp"),
+            )
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = best
+        best = new_best
+        if new_best.where("_imp").isEmpty():
             break
-        best = _ckpt(best.join(improved, "id", "left_anti").unionByName(improved))
-        frontier = improved
+        frontier = new_best.where("_imp").select("id", "path")
+    if prev is not None:
+        prev.unpersist()
+    best = best.select("id", "path")
     e.unpersist()
     from .curation import global_rank
 

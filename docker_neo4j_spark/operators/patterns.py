@@ -186,6 +186,20 @@ def match_chain(graph: PropertyGraph, pattern: list, with_rel_ids: bool | None =
         rf = _rel_frame(graph, rel)
         if not keep_ids:
             rf = rf.drop("id")
+        if i == 1 and len(rel_specs) >= 3:
+            # Deep chains fan out multiplicatively with every many-to-many
+            # hop, so downstream join work dwarfs the input bytes Catalyst
+            # sizes stages by — a single-task scan spine serializes the
+            # whole expansion (r14, guide §8/§2.5: measured 6.6 s → 2.6 s
+            # on the 3-hop headline, whose probe spine ran as ONE task over
+            # an ~18 M-row fan-out). Spread the first rel frame (the spine
+            # every later join streams through) across the cores when its
+            # scan is narrower than the session's parallelism; the hash
+            # exchange on src is narrow, deterministic under retries, and a
+            # no-op on cluster-sized inputs that already scan wide.
+            par = rf.sparkSession.sparkContext.defaultParallelism
+            if rf.rdd.getNumPartitions() < par:
+                rf = rf.repartition(par, F.col("src"))
         r = prefix_columns(rf, rel.alias)
         if node.alias in seen_nodes:
             # repeated variable closes a cycle — (a)-[:X]->(a): join the

@@ -286,8 +286,16 @@ def hyperplane_values(dim: int, plane: int, seed: int = 42) -> list[float]:
 
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> Column:
     """Hyperplane as a flat literal-double array expression (no
-    per-component hash chain inside the plan)."""
-    return F.array(*[F.lit(v) for v in hyperplane_values(dim, plane, seed)])
+    per-component hash chain inside the plan).
+
+    Built as ONE parsed SQL string instead of ``F.array(*[F.lit(v) …])``:
+    the per-component form cost 65 py4j round-trips per plane — ~1.5 k
+    driver calls per ann_topk side before Spark saw the query (r14, guide
+    §7.3 driver-side cost). ``repr(float)`` round-trips exactly and the
+    ``D`` suffix makes each component a SQL double, so the parsed literal
+    array is bit-identical to the old one."""
+    vals = ", ".join(f"{v!r}D" for v in hyperplane_values(dim, plane, seed))
+    return F.expr(f"array({vals})")
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
@@ -358,8 +366,12 @@ def ann_topk(
     # multi-table hits on the (query, neighbor, sim) scalar triple — a
     # dropDuplicates on the raw candidate rows would shuffle both full
     # embedding vectors (~40× more bytes) per candidate instead.
+    # The PROBE side is broadcast explicitly (r14, guide §3.1): the query
+    # set is the bounded side by contract, while stats-blind planning was
+    # observed broadcasting the exploded CORPUS (vectors × n_tables) —
+    # a driver collect of the whole corpus, and a scale-killer at 100 TB.
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
