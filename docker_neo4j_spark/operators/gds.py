@@ -564,8 +564,15 @@ def pagerank(
                 (F.col("pr") * F.col("_invdeg")).alias("c"),
                 e_run["_dang"],
             )
-            .groupBy("id", "_dang")
-            .agg(F.sum("c").alias("c"))
+            # Group on id ALONE: the groupBy's hash(id) output partitioning
+            # is what makes next round's pr⋈e_run join exchange-free (the
+            # r13 contract above). `_dang` is functionally determined by id
+            # (dst ∈ dangling set), so max() recovers it without widening
+            # the grouping key — grouping by (id,_dang) was A/B-measured
+            # SLOWER because hash(id,_dang) ≠ hash(id) re-exchanged the
+            # whole pr frame every iteration.
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"), F.max("_dang").alias("_dang"))
         )
         # `_dang` is re-aliased to `_prdang` (fresh exprId): the lazy
         # checkpoint keeps the original attribute ids, so carrying e_run's

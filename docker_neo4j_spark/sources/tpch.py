@@ -93,30 +93,16 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     # lazy plans created here, so it is intentionally not restored.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
-    # Unsplittable-input remedy (r14, guide §2.5/§6): the test fixtures are
-    # single-file, single-row-group parquet, so every scan is ONE task and
-    # whole join/aggregate pipelines serialize on one core (measured: the
-    # expand_three_hop probe ran as 1 task for 5+ s on local[32]). When a
-    # table's scan parallelism is below the session's core count AND the
-    # file is big enough for parallel work to pay (≥ 4 MiB), hash-repartition
-    # over ALL columns right after the read — one narrow exchange of the
-    # base table. Hash (not keyless round-robin) partitioning: measured
-    # ~free (0.8 s vs the raw 0.75 s scan) because round-robin pays the
-    # sortBeforeRepartition local sort (+1.5 s single-threaded here), and
-    # a whole-row hash is deterministic under task retries at any scale.
-    # The condition is scale-adaptive by construction: real
-    # multi-file/multi-row-group inputs already scan wider than the core
-    # count, so this never fires on a cluster-sized table (and getsize on a
-    # directory-style parquet is tiny, skipping it too).
-    par = spark.sparkContext.defaultParallelism
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        try:
-            sz = os.path.getsize(p)
-        except OSError:
-            sz = 0
-        if sz >= (4 << 20) and out[t].rdd.getNumPartitions() < par:
-            out[t] = out[t].repartition(par, *[F.col(c) for c in out[t].columns])
+    # (r14 note: a blanket "hash-repartition every ≥4 MiB single-split table
+    # after the read" remedy for the single-file fixtures was interleaved
+    # A/B-measured a large NET LOSS here — it roughly doubled
+    # gds_betweenness (72 s vs 36 s), +35% gds_pagerank, +30% gds_bfs,
+    # +100% expand_two_hop — because every cache rebuild of every derived
+    # edge frame re-paid a whole-row hash exchange of the base table, while
+    # the only query it helped (expand_three_hop) is already fixed by the
+    # targeted ≥3-hop spine spread in operators/patterns.py. Deep-chain
+    # fan-out is the one place the extra exchange provably pays; scans that
+    # feed a single join or aggregate do not.)
     ev = out["events"]
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
