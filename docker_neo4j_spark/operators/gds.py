@@ -1502,7 +1502,7 @@ def betweenness(
     states = [state]
 
     def _lvl_view(st: DataFrame) -> DataFrame:
-        return st.where(F.exists("new", lambda x: x > 0)).select(
+        return st.where(F.col("new").isNotNull()).select(
             "v", F.col("new").alias("sig")
         )
 
@@ -1524,6 +1524,12 @@ def betweenness(
             F.coalesce("seen", falses),
             lambda x, sn: F.when(sn, F.lit(0).cast("long")).otherwise(x),
         )
+        # Settled nodes (no new σ this level) store `new` as NULL instead
+        # of an all-zero array[S] — at later levels |reached| ≈ |V| while
+        # the frontier is tiny, so checkpointing zero arrays for every
+        # settled node was 8·S bytes/node/level of dead weight (the bulk
+        # of the full-outer merge's write). The level view filters on
+        # IS NOT NULL; values in non-null arrays are unchanged.
         new_state = _ckpt(
             merged.select(
                 "v",
@@ -1532,7 +1538,7 @@ def betweenness(
                     masked,
                     lambda sn, x: sn | (x > 0),
                 ).alias("seen"),
-                masked.alias("new"),
+                F.when(F.exists(masked, lambda x: x > 0), masked).alias("new"),
             )
         )
         if _lvl_view(new_state).isEmpty():
@@ -1612,6 +1618,11 @@ def betweenness(
         for fr in pending:
             fr.unpersist()
         pending = [delta_next]
+        # delta_next (δ of level d+1) is materialized by the fold above;
+        # its lineage over states[d+1] is now closed, so that state frame
+        # can be released here instead of staying pinned to the end —
+        # the backward sweep's pinned set shrinks level by level.
+        states[d + 1].unpersist()
         delta_next = delta_cur
     score = _fold(score, delta_next)  # depth 1 (materializes the last δ)
     for fr in pending:
