@@ -561,8 +561,18 @@ def bpe_train(
         ).alias("w")
     )
     words = tok.groupBy("w").agg(F.count("*").cast("long").alias("wc"))
-    seg = words.select("w", "wc", F.split("w", "").alias("seg")).localCheckpoint()
+    # Lazy checkpoints, one job per merge round (r14, guide §2.4): each
+    # round's argmax scan is the action that materializes the previous
+    # round's re-segmentation, so the former separate eager-checkpoint job
+    # per round is gone — and the LAST re-segmentation (which nothing
+    # consumes: the merge table is built from the collected argmax rows)
+    # is never computed at all. The superseded seg frame is released one
+    # round behind, after the frame derived from it has materialized.
+    seg = words.select("w", "wc", F.split("w", "").alias("seg")).localCheckpoint(
+        eager=False
+    )
     merges = []
+    prev = None
     for k in range(num_merges):
         pairs = (
             seg.where(F.size("seg") > 1)
@@ -583,6 +593,11 @@ def bpe_train(
             .orderBy(F.desc("cnt"), F.asc("pa"), F.asc("pb"))
             .first()
         )
+        # the argmax job above materialized `seg`'s lazy checkpoint; the
+        # frame it was derived from can be released now
+        if prev is not None:
+            prev.unpersist()
+        prev = seg
         if best is None:
             break
         pa, pb, cnt = best["pa"], best["pb"], int(best["cnt"])
@@ -598,7 +613,9 @@ def bpe_train(
                   THEN concat(slice(acc, 1, size(acc)-1), array('{merged}'))
                   ELSE concat(acc, array(x)) END)"""
             ),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+    if prev is not None:
+        prev.unpersist()
     spark = df.sparkSession
     return local_df(spark, 
         merges, "rank long, pair_a string, pair_b string, merged string, pair_count long"
