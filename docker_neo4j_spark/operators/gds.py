@@ -345,44 +345,91 @@ def personalized_pagerank(
     """
     e = edges.select("src", "dst")
     deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did")
+    src_set_raw = e.select("src").distinct()
+    s = sources.select("id").distinct().cache()
+    n_sources = s.count()
+    dangling_ids = nodes.select("id").join(
+        src_set_raw, nodes["id"] == src_set_raw["src"], "left_anti"
+    ).cache()
+    # Carried dangling flag (r14, guide §2.4 — same fusion as ``pagerank``):
+    # every update row is tagged with "its node is dangling", so the next
+    # round's dangling mass is a flag-filtered aggregate over the freshly
+    # built pr frame — the per-round broadcast-join scalar job is gone.
     e_deg = (
         e.join(deg, e["src"] == deg["_did"])
         .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_invdeg"))
+        .join(
+            dangling_ids.select(F.col("id").alias("_dgid"), F.lit(True).alias("_dg")),
+            F.col("dst") == F.col("_dgid"),
+            "left",
+        )
+        .select(
+            "src", "dst", "_invdeg", F.coalesce(F.col("_dg"), F.lit(False)).alias("_dang")
+        )
         .repartition("src")
         .cache()
     )
-    src_set = e_deg.select("src").distinct()
-    s = sources.select("id").distinct().cache()
-    n_sources = s.count()
-    teleport = s.select("id", F.lit(1.0 / n_sources).alias("_t")).cache()
-    dangling_ids = nodes.select("id").join(
-        src_set, nodes["id"] == src_set["src"], "left_anti"
-    ).cache()
-    dangling_ids.count()
-    pr = _ckpt(teleport.select("id", F.col("_t").alias("pr")))
+    teleport = (
+        s.join(
+            dangling_ids.select(F.col("id").alias("_dgid"), F.lit(True).alias("_dg")),
+            s["id"] == F.col("_dgid"),
+            "left",
+        )
+        .select(
+            "id",
+            F.lit(1.0 / n_sources).alias("_t"),
+            F.coalesce(F.col("_dg"), F.lit(False)).alias("_dang"),
+        )
+        .cache()
+    )
+    pr = _ckpt(teleport.select("id", F.col("_t").alias("pr"), "_dang"))
+    # round-0 dangling mass: the start vector IS the teleport distribution
+    dangling = (
+        pr.where("_dang").agg(F.coalesce(F.sum("pr"), F.lit(0.0))).first()[0]
+    )
+    prev = None
     for _ in range(iterations):
-        dangling = pr.join(F.broadcast(dangling_ids), "id").agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0))
-        ).first()[0]
         contribs = (
             pr.join(e_deg, pr["id"] == e_deg["src"])
-            .select(F.col("dst").alias("id"), (F.col("pr") * F.col("_invdeg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("c"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") * F.col("_invdeg")).alias("c"),
+                e_deg["_dang"].alias("_cdang"),
+            )
         )
         # teleport share: (1-d) plus the dangling mass re-teleported
         scale = (1.0 - damping) + damping * dangling
-        pr = _ckpt(
-            contribs.select("id", (F.lit(damping) * F.col("c")).alias("pr"))
-            .unionByName(teleport.select("id", (F.lit(scale) * F.col("_t")).alias("pr")))
+        # lazy checkpoint materialized by the flag-filtered dangling
+        # aggregate below — one fused job per round
+        new_pr = (
+            contribs.select(
+                "id", (F.lit(damping) * F.col("c")).alias("pr"), F.col("_cdang")
+            )
+            .unionByName(
+                teleport.select(
+                    "id",
+                    (F.lit(scale) * F.col("_t")).alias("pr"),
+                    F.col("_dang").alias("_cdang"),
+                )
+            )
             .groupBy("id")
-            .agg(F.sum("pr").alias("pr"))
+            .agg(F.sum("pr").alias("pr"), F.max("_cdang").alias("_dang"))
+            .localCheckpoint(eager=False)
         )
+        dangling = new_pr.where("_dang").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0))
+        ).first()[0]
+        if prev is not None:
+            prev.unpersist()
+        prev = pr
+        pr = new_pr
+    if prev is not None:
+        prev.unpersist()
     e_deg.unpersist()
     s.unpersist()
     teleport.unpersist()
     dangling_ids.unpersist()
-    return pr
+    return pr.select("id", "pr")
 
 
 def wcc_star(edges: DataFrame, nodes: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -701,11 +748,15 @@ def eigenvector(
     x = _ckpt(nodes.select("id", F.lit(1.0).alias("score")))
     prev: DataFrame | None = None
     for _ in range(iterations):
-        y = _ckpt(
+        # One job per round (r14, guide §2.4): the checkpoint is lazy and
+        # the norm aggregate is the action that materializes it (the norm
+        # scans every row, so every partition persists in that same job).
+        y = (
             x.join(e, x["id"] == e["src"])
             .select(F.col("dst").alias("id"), (F.col("score") * F.col("_w")).alias("m"))
             .groupBy("id")
             .agg(F.sum("m").alias("score"))
+            .localCheckpoint(eager=False)
         )
         norm = y.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).first()[0]
         if prev is not None:
@@ -752,11 +803,14 @@ def hits(
     prev_h, prev_a = None, None
     for _ in range(iterations):
         # authority: a(v) = Σ_{u→v} h(u), then L2-normalize
-        a_raw = _ckpt(
+        # lazy checkpoint materialized by the norm job — one job per
+        # half-step instead of two (r14, guide §2.4)
+        a_raw = (
             h.join(e_src, h["id"] == e_src["src"])
             .select(F.col("dst").alias("id"), F.col("hub").alias("m"))
             .groupBy("id")
             .agg(F.sum("m").alias("auth"))
+            .localCheckpoint(eager=False)
         )
         norm_a = a_raw.agg(F.sqrt(F.sum(F.col("auth") * F.col("auth")))).first()[0]
         if prev_a is not None:
@@ -768,11 +822,12 @@ def hits(
             break
         a = a_raw.select("id", (F.col("auth") / F.lit(norm_a)).alias("auth"))
         # hub: h(u) = Σ_{u→v} a(v), then L2-normalize
-        h_raw = _ckpt(
+        h_raw = (
             a.join(e_dst, a["id"] == e_dst["dst"])
             .select(F.col("src").alias("id"), F.col("auth").alias("m"))
             .groupBy("id")
             .agg(F.sum("m").alias("hub"))
+            .localCheckpoint(eager=False)
         )
         norm_h = h_raw.agg(F.sqrt(F.sum(F.col("hub") * F.col("hub")))).first()[0]
         if prev_h is not None:
