@@ -881,6 +881,12 @@ def label_propagation(
         )
     vote = F.count("*") if weight_col is None else F.sum("_w")
     lab = _ckpt(nodes.select("id", F.col("id").alias("community")))
+    # Change detection rides the merge itself (r14, guide §2.4, as in
+    # ``wcc``): the merge select computes a `_chg` flag, so the former
+    # per-round change-detection join is an exchange-free take(1) probe
+    # over the checkpointed output. Superseded label frames are released
+    # once the eager checkpoint derived from them has materialized.
+    prev = None
     for _ in range(max_iter):
         votes = (
             lab.join(e, lab["id"] == e["src"])
@@ -894,17 +900,27 @@ def label_propagation(
                 F.struct(F.col("_n").alias("n"), (-F.col("community")).alias("t")),
             ).alias("_cand")
         )
-        new_lab = lab.join(best, "id", "left").select(
-            "id", F.coalesce(F.col("_cand"), F.col("community")).alias("community")
+        new_lab = _ckpt(
+            lab.join(best, "id", "left").select(
+                "id",
+                F.coalesce(F.col("_cand"), F.col("community")).alias("community"),
+                (
+                    F.col("_cand").isNotNull()
+                    & (F.col("_cand") != F.col("community"))
+                ).alias("_chg"),
+            )
         )
-        new_lab = _ckpt(new_lab)
-        changed = new_lab.join(
-            lab.withColumnRenamed("community", "_old"), "id"
-        ).where(F.col("community") != F.col("_old"))
-        if changed.isEmpty():
-            return new_lab
+        no_change = new_lab.where("_chg").isEmpty()
+        if prev is not None:
+            prev.unpersist()
+        prev = lab
         lab = new_lab
-    return lab
+        if no_change:
+            break
+    if prev is not None:
+        prev.unpersist()
+    e.unpersist()
+    return lab.select("id", "community")
 
 
 def louvain(
@@ -1107,6 +1123,10 @@ def topological_layers(
     instead of min). State stays (id, layer)."""
     e = edges.select("src", "dst").repartition("src").cache()
     lay = _ckpt(nodes.select("id", F.lit(0).cast("long").alias("layer")))
+    # `_chg` rides the merge (r14, guide §2.4): change detection is an
+    # exchange-free take(1) probe instead of a join job; superseded layer
+    # frames release once the checkpoint built from them materializes.
+    prev = None
     for _ in range(max_iter):
         cand = (
             lay.join(e, lay["id"] == e["src"])
@@ -1117,17 +1137,20 @@ def topological_layers(
             lay.join(cand, "id", "left").select(
                 "id",
                 F.greatest(F.col("layer"), F.coalesce("_cand", F.lit(0))).alias("layer"),
+                (F.coalesce("_cand", F.lit(0)) > F.col("layer")).alias("_chg"),
             )
         )
-        changed = new_lay.join(
-            lay.withColumnRenamed("layer", "_old"), "id"
-        ).where(F.col("layer") != F.col("_old"))
-        if changed.isEmpty():
-            lay = new_lay
-            break
+        no_change = new_lay.where("_chg").isEmpty()
+        if prev is not None:
+            prev.unpersist()
+        prev = lay
         lay = new_lay
+        if no_change:
+            break
+    if prev is not None:
+        prev.unpersist()
     e.unpersist()
-    return lay
+    return lay.select("id", "layer")
 
 
 def _min_label_fixpoint(
@@ -1138,6 +1161,9 @@ def _min_label_fixpoint(
     when given forward edges, "smallest id v can reach" when given the
     reversed edge set. One join + groupBy-min shuffle per round."""
     lab = _ckpt(nodes.select("id", F.col("id").alias(out)))
+    # `_chg` rides the merge; change probe is an exchange-free take(1)
+    # (r14, guide §2.4 — same fold as ``wcc``/``label_propagation``).
+    prev = None
     for _ in range(max_iter):
         cand = (
             lab.join(edges, lab["id"] == edges["src"])
@@ -1146,16 +1172,23 @@ def _min_label_fixpoint(
         )
         new_lab = _ckpt(
             lab.join(cand, "id", "left").select(
-                "id", F.least(F.col(out), F.coalesce("_cand", F.col(out))).alias(out)
+                "id",
+                F.least(F.col(out), F.coalesce("_cand", F.col(out))).alias(out),
+                (
+                    F.col("_cand").isNotNull() & (F.col("_cand") < F.col(out))
+                ).alias("_chg"),
             )
         )
-        changed = new_lab.join(
-            lab.withColumnRenamed(out, "_old"), "id"
-        ).where(F.col(out) != F.col("_old"))
-        if changed.isEmpty():
-            return new_lab
+        no_change = new_lab.where("_chg").isEmpty()
+        if prev is not None:
+            prev.unpersist()
+        prev = lab
         lab = new_lab
-    return lab
+        if no_change:
+            break
+    if prev is not None:
+        prev.unpersist()
+    return lab.select("id", out)
 
 
 def scc(
