@@ -957,6 +957,7 @@ def louvain(
     deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did").cache()
     comm = _ckpt(nodes.select("id", F.col("id").alias("community")))
     stable = 0
+    prev = None
     for it in range(max_iter):
         # community degree mass Σtot(C)
         sigma = (
@@ -1004,28 +1005,38 @@ def louvain(
             ).alias("_best"),
         )
         movable = F.pmod(F.col("id"), F.lit(2)) == F.lit(it % 2)
-        # left join keeps isolated nodes (absent from deg/k_in) in place
+        # left join keeps isolated nodes (absent from deg/k_in) in place.
+        # `_chg` rides the merge (r14, guide §2.4): the move-detection
+        # probe is an exchange-free take(1) instead of a join job, and
+        # superseded community frames release one round behind.
+        moved = movable & F.col("_best").isNotNull() & (
+            F.col("_best") != F.col("community")
+        )
         new_comm = _ckpt(
             comm.join(best, "id", "left").select(
                 "id",
                 F.when(movable & F.col("_best").isNotNull(), F.col("_best"))
                 .otherwise(F.col("community"))
                 .alias("community"),
+                moved.alias("_chg"),
             )
         )
-        changed = new_comm.join(
-            comm.withColumnRenamed("community", "_old"), "id"
-        ).where(F.col("community") != F.col("_old"))
-        if changed.isEmpty():
+        no_change = new_comm.where("_chg").isEmpty()
+        if prev is not None:
+            prev.unpersist()
+        prev = comm
+        comm = new_comm
+        if no_change:
             stable += 1
             if stable >= 2:  # a full even+odd pair with no moves
                 break
         else:
             stable = 0
-        comm = new_comm
+    if prev is not None:
+        prev.unpersist()
     e.unpersist()
     deg.unpersist()
-    return comm
+    return comm.select("id", "community")
 
 
 def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
@@ -1750,6 +1761,10 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
         )
     )
     n_edges = sym.count()
+    # One job per peel round (r14, guide §2.4, as in ``ktruss``): the
+    # surviving-edge count is the action that materializes the lazy
+    # checkpoint, and superseded edge frames release one round behind.
+    prev = None
     for _ in range(max_rounds):
         if n_edges == 0:
             break
@@ -1759,15 +1774,22 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
             .where(F.col("_d") >= k)
             .select("src")
         )
-        nxt = _ckpt(
-            sym.join(keep, "src", "left_semi").join(
-                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
-            )
+        nxt = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
         )
         n_nxt = nxt.count()
-        if n_nxt == n_edges:
+        if prev is not None:
+            prev.unpersist()
+        prev = sym
+        sym = nxt
+        if n_nxt == n_edges or n_nxt == 0:
+            n_edges = n_nxt
             break
-        sym, n_edges = nxt, n_nxt
+        n_edges = n_nxt
+    if prev is not None:
+        prev.unpersist()
     return sym.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("long").alias("deg")
     )
