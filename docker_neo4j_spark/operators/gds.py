@@ -27,6 +27,8 @@ from ..localframe import local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._mem import release as _release
+
 
 def _ckpt(df: DataFrame) -> DataFrame:
     """Materialize + truncate lineage (the BSP superstep barrier)."""
@@ -77,7 +79,7 @@ def bfs(
         levels.append(nxt.select("id", F.lit(depth).cast("long").alias("dist")))
         visited = visited.unionByName(nxt)
         frontier = nxt
-    e.unpersist()
+    _release(e)
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
@@ -134,7 +136,7 @@ def sssp(
             )
         )
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = dist
         dist = new_dist
         if new_dist.where("_imp").isEmpty():
@@ -142,9 +144,9 @@ def sssp(
             break
         frontier = new_dist.where("_imp").select("id", "dist")
     if prev is not None:
-        prev.unpersist()
+        _release(prev)
     dist = dist.select("id", "dist")
-    e.unpersist()
+    _release(e)
     if return_converged:
         return dist, converged
     return dist
@@ -265,15 +267,15 @@ def dag_longest_path(
             )
         )
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = dist
         dist = new_dist
         if new_dist.where("_imp").isEmpty():
             break
         frontier = new_dist.where("_imp").select("id", "dist")
     if prev is not None:
-        prev.unpersist()
-    e.unpersist()
+        _release(prev)
+    _release(e)
     return dist.select("id", "dist")
 
 
@@ -315,14 +317,14 @@ def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
         new_comp = _ckpt(new_comp)
         no_change = new_comp.where("_chg").isEmpty()
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = comp
         comp = new_comp
         if no_change:
             break
     if prev is not None:
-        prev.unpersist()
-    e.unpersist()
+        _release(prev)
+    _release(e)
     return comp.select("id", "comp")
 
 
@@ -420,15 +422,15 @@ def personalized_pagerank(
             F.coalesce(F.sum("pr"), F.lit(0.0))
         ).first()[0]
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = pr
         pr = new_pr
     if prev is not None:
-        prev.unpersist()
-    e_deg.unpersist()
-    s.unpersist()
-    teleport.unpersist()
-    dangling_ids.unpersist()
+        _release(prev)
+    _release(e_deg)
+    _release(s)
+    _release(teleport)
+    _release(dangling_ids)
     return pr.select("id", "pr")
 
 
@@ -644,17 +646,17 @@ def pagerank(
         # checkpoint; with lazy checkpoints it must only be released after
         # the materializing action above — one round behind.
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = pr
         pr = new_pr
         if tolerance is not None and delta is not None and delta < tolerance * n_total:
             break
     if prev is not None:
-        prev.unpersist()
-    e_run.unpersist()
-    n.unpersist()
-    dangling_ids.unpersist()
-    no_in_ids.unpersist()
+        _release(prev)
+    _release(e_run)
+    _release(n)
+    _release(dangling_ids)
+    _release(no_in_ids)
     return pr.select("id", "pr")
 
 
@@ -710,10 +712,10 @@ def article_rank(
             .agg(F.sum("c").alias("c"))
             .select("id", (F.lit(base) + F.lit(damping) * F.col("c")).alias("pr"))
         )
-        pr.unpersist()
+        _release(pr)
         pr = new_pr
-    e_run.unpersist()
-    n.unpersist()
+    _release(e_run)
+    _release(n)
     return pr
 
 
@@ -760,13 +762,13 @@ def eigenvector(
         )
         norm = y.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).first()[0]
         if prev is not None:
-            prev.unpersist()  # y is checkpointed; don't pin every round
+            _release(prev)  # y is checkpointed; don't pin every round
         prev = y
         if norm is None or norm == 0.0:
             x = y.limit(0)  # vector died (DAG ran out of paths): all zeros
             break
         x = y.select("id", (F.col("score") / F.lit(norm)).alias("score"))
-    e.unpersist()
+    _release(e)
     return (
         nodes.select("id")
         .join(x, "id", "left")
@@ -814,7 +816,7 @@ def hits(
         )
         norm_a = a_raw.agg(F.sqrt(F.sum(F.col("auth") * F.col("auth")))).first()[0]
         if prev_a is not None:
-            prev_a.unpersist()
+            _release(prev_a)
         prev_a = a_raw
         if norm_a is None or norm_a == 0.0:
             a = a_raw.limit(0)
@@ -831,14 +833,14 @@ def hits(
         )
         norm_h = h_raw.agg(F.sqrt(F.sum(F.col("hub") * F.col("hub")))).first()[0]
         if prev_h is not None:
-            prev_h.unpersist()
+            _release(prev_h)
         prev_h = h_raw
         if norm_h is None or norm_h == 0.0:
             h = h_raw.limit(0)
             break
         h = h_raw.select("id", (F.col("hub") / F.lit(norm_h)).alias("hub"))
-    e_src.unpersist()
-    e_dst.unpersist()
+    _release(e_src)
+    _release(e_dst)
     out = (
         nodes.select("id")
         .join(h.withColumnRenamed("hub", "_h"), "id", "left")
@@ -912,14 +914,14 @@ def label_propagation(
         )
         no_change = new_lab.where("_chg").isEmpty()
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = lab
         lab = new_lab
         if no_change:
             break
     if prev is not None:
-        prev.unpersist()
-    e.unpersist()
+        _release(prev)
+    _release(e)
     return lab.select("id", "community")
 
 
@@ -1023,7 +1025,7 @@ def louvain(
         )
         no_change = new_comm.where("_chg").isEmpty()
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = comm
         comm = new_comm
         if no_change:
@@ -1033,9 +1035,9 @@ def louvain(
         else:
             stable = 0
     if prev is not None:
-        prev.unpersist()
-    e.unpersist()
-    deg.unpersist()
+        _release(prev)
+    _release(e)
+    _release(deg)
     return comm.select("id", "community")
 
 
@@ -1153,14 +1155,14 @@ def topological_layers(
         )
         no_change = new_lay.where("_chg").isEmpty()
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = lay
         lay = new_lay
         if no_change:
             break
     if prev is not None:
-        prev.unpersist()
-    e.unpersist()
+        _release(prev)
+    _release(e)
     return lay.select("id", "layer")
 
 
@@ -1192,13 +1194,13 @@ def _min_label_fixpoint(
         )
         no_change = new_lab.where("_chg").isEmpty()
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = lab
         lab = new_lab
         if no_change:
             break
     if prev is not None:
-        prev.unpersist()
+        _release(prev)
     return lab.select("id", out)
 
 
@@ -1249,7 +1251,7 @@ def scc(
         done = _ckpt(done)
         result = done if result is None else result.unionByName(done)
         remaining = _ckpt(remaining.join(done, "id", "left_anti"))
-        er.unpersist()
+        _release(er)
     if result is None:
         return nodes.select("id", F.col("id").alias("component")).limit(0)
     # safety cap fallback: anything past max_peels keeps its own id
@@ -1331,7 +1333,7 @@ def spanning_forest(
                 "id", F.coalesce("_newc", F.col("comp")).alias("comp")
             )
         )
-    e.unpersist()
+    _release(e)
     if chosen is None:
         return edges.select(
             "src", "dst", F.col(weight_col).cast("double").alias("weight")
@@ -1503,9 +1505,11 @@ def random_walk(
         if nxt.isEmpty():
             break
         out.append(nxt.select("walk_id", F.lit(k).cast("long").alias("step"), "id"))
-        cur.unpersist()
+        # NOTE: cur is NOT released here — every per-step checkpoint is
+        # referenced by the final union (it IS the result); releasing it
+        # would drop blocks the lineage-truncated union cannot recompute.
         cur = nxt
-    e.unpersist()
+    _release(e)
     acc = out[0]
     for fr in out[1:]:
         acc = acc.unionByName(fr)
@@ -1558,7 +1562,7 @@ def betweenness(
     src_ids = sources.select(F.col("id")).distinct()
     n_src = src_ids.count()
     if n_src == 0:
-        e.unpersist()
+        _release(e)
         return src_ids.select("id", F.lit(0.0).alias("bc"))
     # source → array slot. The single-partition window is over the
     # (bounded, gds samplingSize-style) source set only — never |V|.
@@ -1641,7 +1645,7 @@ def betweenness(
             )
         )
         if _lvl_view(new_state).isEmpty():
-            new_state.unpersist()
+            _release(new_state)
             break
         states.append(new_state)
         levels.append(_lvl_view(new_state))
@@ -1653,9 +1657,9 @@ def betweenness(
     # frames plus the states (which the forward sweep already pinned). δ at
     # depth 0 (the sources, endpoint-excluded by Brandes) is never computed.
     if len(levels) == 1:
-        e.unpersist()
+        _release(e)
         for st in states:
-            st.unpersist()
+            _release(st)
         return src_ids.select("id", F.lit(0.0).alias("bc"))
     # backward joins key on dst — cache that partitioning once for all
     # levels instead of re-exchanging the edge set per round
@@ -1666,7 +1670,11 @@ def betweenness(
             "v", F.aggregate("delta", F.lit(0.0), lambda a, x: a + x).alias("delta")
         )
         merged = contrib if score is None else score.unionByName(contrib)
-        return _ckpt(merged.groupBy("v").agg(F.sum("delta").alias("delta")))
+        out = _ckpt(merged.groupBy("v").agg(F.sum("delta").alias("delta")))
+        # the eager checkpoint above has materialized; the superseded
+        # running-score frame it folded in is dead — release it (r14)
+        _release(score)
+        return out
 
     score: DataFrame | None = None
     delta_next = levels[-1].select("v", "sig", zeros_d.alias("delta"))
@@ -1715,22 +1723,22 @@ def betweenness(
         # (the previous δ) can only be released AFTER that — one round late.
         score = _fold(score, delta_next)  # depth d+1 ≥ 1: interior, counts
         for fr in pending:
-            fr.unpersist()
+            _release(fr)
         pending = [delta_next]
         # delta_next (δ of level d+1) is materialized by the fold above;
         # its lineage over states[d+1] is now closed, so that state frame
         # can be released here instead of staying pinned to the end —
         # the backward sweep's pinned set shrinks level by level.
-        states[d + 1].unpersist()
+        _release(states[d + 1])
         delta_next = delta_cur
     score = _fold(score, delta_next)  # depth 1 (materializes the last δ)
     for fr in pending:
-        fr.unpersist()
-    delta_next.unpersist()
+        _release(fr)
+    _release(delta_next)
     for st in states:
-        st.unpersist()
-    e.unpersist()
-    e_by_dst.unpersist()
+        _release(st)
+    _release(e)
+    _release(e_by_dst)
     return score.select(F.col("v").alias("id"), F.col("delta").alias("bc"))
 
 
@@ -1781,7 +1789,7 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
         )
         n_nxt = nxt.count()
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = sym
         sym = nxt
         if n_nxt == n_edges or n_nxt == 0:
@@ -1789,7 +1797,7 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
             break
         n_edges = n_nxt
     if prev is not None:
-        prev.unpersist()
+        _release(prev)
     return sym.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("long").alias("deg")
     )
@@ -1939,7 +1947,7 @@ def closeness_walk(
         levels.append(nxt.select("source", "id", F.lit(depth).cast("long").alias("dist")))
         visited = visited.unionByName(nxt)
         frontier = nxt
-    e.unpersist()
+    _release(e)
     walk = levels[0]
     for lv in levels[1:]:
         walk = walk.unionByName(lv)
@@ -2055,7 +2063,7 @@ def kmeans(
                 "c", "j", F.coalesce("_nq", "q").alias("q")
             )
         )
-    pts.unpersist()
+    _release(pts)
     return assign
 
 
@@ -2144,9 +2152,11 @@ def node2vec_walk(
         if nxt.isEmpty():
             break
         out.append(nxt.select("walk_id", F.lit(k).cast("long").alias("step"), "id"))
-        cur.unpersist()
+        # NOTE: cur is NOT released here — every per-step checkpoint is
+        # referenced by the final union (it IS the result); releasing it
+        # would drop blocks the lineage-truncated union cannot recompute.
         cur = nxt
-    e.unpersist()
+    _release(e)
     acc = out[0]
     for fr in out[1:]:
         acc = acc.unionByName(fr)
@@ -2345,7 +2355,7 @@ def sllpa(
         )
         .select(F.col("node").alias("id"), "label", "cnt")
     )
-    e.unpersist()
+    _release(e)
     return out
 
 
@@ -2587,8 +2597,8 @@ def influence_maximization(
             if base_reached is None
             else base_reached.unionByName(add).distinct()
         )
-    alive.unpersist()
-    n.unpersist()
+    _release(alive)
+    _release(n)
     return local_df(spark, 
         out_rows, "rank long, id long, spread_gain_x_sims long"
     )
@@ -2635,7 +2645,7 @@ def k1coloring(
         if conflicts.isEmpty():
             break
         if rnd == max_rounds:
-            e.unpersist()
+            _release(e)
             raise RuntimeError(
                 f"k1coloring did not converge within max_rounds={max_rounds}: "
                 "conflicts remain — raise max_rounds"
@@ -2662,7 +2672,7 @@ def k1coloring(
             color.join(recolored.withColumnRenamed("color", "_new"), "id", "left")
             .select("id", F.coalesce("_new", "color").alias("color"))
         )
-    e.unpersist()
+    _release(e)
     return color
 
 
@@ -2777,7 +2787,7 @@ def bfs_tree(
         )
         visited = visited.unionByName(nxt.select("id"))
         frontier = nxt.select("id")
-    e.unpersist()
+    _release(e)
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
@@ -3019,7 +3029,7 @@ def biconnected_components(
         .select(F.col("u").alias("src"), F.col("v").alias("dst"), "bcc")
     )
     out = tree_lab.unionByName(nt_lab)
-    e0.unpersist()
+    _release(e0)
     return out
 
 
@@ -3226,7 +3236,7 @@ def steiner_tree(
             tree.join(leaf, tree["src"] == F.col("_leaf"), "left_anti")
             .join(leaf, tree["dst"] == F.col("_leaf"), "left_anti")
         )
-    und.unpersist()
+    _release(und)
     return tree.select("src", "dst", "weight")
 
 
@@ -3309,7 +3319,7 @@ def astar(
         goal = state.where(F.col("id") == target).select("dist").first()
         if goal is not None:
             best = float(goal[0])
-    e.unpersist()
+    _release(e)
     goal = state.where(F.col("id") == target).select("dist").first()
     if goal is None:
         return local_df(state.sparkSession, 
@@ -3436,7 +3446,7 @@ def rwr_sample(
             )
         )
         out.append(cur)
-    e.unpersist()
+    _release(e)
     acc = out[0]
     for fr in out[1:]:
         acc = acc.unionByName(fr)
@@ -3487,14 +3497,14 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
         )
         n_kept = kept.count()
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = e
         e = kept
         if n_kept == n_e or n_kept == 0:
             break
         n_e = n_kept
     if prev is not None:
-        prev.unpersist()
+        _release(prev)
     return e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
 
 
@@ -3560,16 +3570,16 @@ def dfs_preorder(
             )
         )
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = best
         best = new_best
         if new_best.where("_imp").isEmpty():
             break
         frontier = new_best.where("_imp").select("id", "path")
     if prev is not None:
-        prev.unpersist()
+        _release(prev)
     best = best.select("id", "path")
-    e.unpersist()
+    _release(e)
     from .curation import global_rank
 
     ranked = global_rank(best.select("id", "path"), ["path"], rank_name="_pre1")

@@ -20,6 +20,8 @@ from ..localframe import local_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._mem import release as _release
+
 # Word tokens: runs of letters/digits (ASCII-lowered upstream). Mirrors a
 # BPE-ish pre-tokenizer split; punctuation surfaces separately.
 TOKEN_RE = "[a-z0-9]+"
@@ -596,7 +598,7 @@ def bpe_train(
         # the argmax job above materialized `seg`'s lazy checkpoint; the
         # frame it was derived from can be released now
         if prev is not None:
-            prev.unpersist()
+            _release(prev)
         prev = seg
         if best is None:
             break
@@ -615,7 +617,7 @@ def bpe_train(
             ),
         ).localCheckpoint(eager=False)
     if prev is not None:
-        prev.unpersist()
+        _release(prev)
     spark = df.sparkSession
     return local_df(spark, 
         merges, "rank long, pair_a string, pair_b string, merged string, pair_count long"

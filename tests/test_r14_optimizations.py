@@ -1,0 +1,121 @@
+"""r14 optimization-round internals: the fused BSP supersteps release
+superseded state frames (r14 rewrote the release logic to "one round
+behind" around lazy checkpoints — a leak here regresses the O(1)-frames
+memory contract that matters at the 100 TB target).
+
+Each kernel may leave its RETURNED frame (and nothing else) pinned: the
+result is a localCheckpoint whose blocks the caller still reads. The
+pre-r14 code pinned O(rounds) frames in several kernels (LPA, topological
+layers, min-label, k-core, Louvain kept every round's state alive)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_neo4j_spark.operators import gds
+from docker_neo4j_spark.operators.text import bpe_train
+
+
+def _pinned(spark) -> int:
+    return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+
+def _clear(spark) -> None:
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
+def _edges(spark, pairs, weights=None):
+    if weights is None:
+        return spark.createDataFrame(pairs, ["src", "dst"])
+    return spark.createDataFrame(
+        [(s, d, w) for (s, d), w in zip(pairs, weights)], ["src", "dst", "weight"]
+    )
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], ["id"])
+
+
+# a graph with enough rounds to expose per-round leaks: two 4-cliques
+# joined by a path tail (BFS/label depth > 3)
+_PAIRS = (
+    [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    + [(4, 6), (6, 7), (7, 8), (8, 10)]
+)
+_IDS = list(range(1, 5)) + [6, 7, 8] + list(range(10, 14))
+
+
+@pytest.mark.parametrize(
+    "run",
+    [
+        pytest.param(
+            lambda s, e, n: gds.pagerank(e, n, iterations=4), id="pagerank"
+        ),
+        pytest.param(
+            lambda s, e, n: gds.personalized_pagerank(
+                e, _nodes(s, [1]), n, iterations=4
+            ),
+            id="personalized",
+        ),
+        pytest.param(lambda s, e, n: gds.wcc(e, n), id="wcc"),
+        pytest.param(
+            lambda s, e, n: gds.sssp(
+                _edges(s, _PAIRS, weights=[1.0] * len(_PAIRS)), _nodes(s, [1])
+            ),
+            id="sssp",
+        ),
+        pytest.param(
+            lambda s, e, n: gds.label_propagation(e, n, max_iter=4), id="lpa"
+        ),
+        pytest.param(
+            lambda s, e, n: gds.topological_layers(
+                _edges(s, [(1, 2), (2, 3), (3, 4), (1, 4)]), _nodes(s, [1, 2, 3, 4])
+            ),
+            id="topological",
+        ),
+        pytest.param(lambda s, e, n: gds.kcore(e, k=3), id="kcore"),
+        pytest.param(lambda s, e, n: gds.louvain(e, n, max_iter=4), id="louvain"),
+        pytest.param(
+            lambda s, e, n: gds.eigenvector(gds.undirect(e), n, iterations=4),
+            id="eigenvector",
+        ),
+        pytest.param(lambda s, e, n: gds.hits(e, n, iterations=3), id="hits"),
+        pytest.param(
+            lambda s, e, n: gds.betweenness(e, _nodes(s, [1, 6, 10]), max_depth=8),
+            id="betweenness",
+        ),
+        pytest.param(
+            lambda s, e, n: gds.dfs_preorder(e, _nodes(s, [1]), max_iter=8),
+            id="dfs",
+        ),
+        pytest.param(lambda s, e, n: gds.ktruss(e, k=3), id="ktruss"),
+    ],
+)
+def test_fused_kernels_release_superseded_state(spark, run):
+    _clear(spark)
+    e = _edges(spark, _PAIRS)
+    n = _nodes(spark, _IDS)
+    out = run(spark, e, n)
+    out.collect()  # materialize fully (lazy-checkpoint results included)
+    # only the returned frame's checkpoint (≤2 RDDs: result + an internal
+    # rank/union stage some kernels checkpoint into the result) may stay
+    assert _pinned(spark) <= 2, "fused kernel leaked superseded state frames"
+    _clear(spark)
+
+
+def test_bpe_train_single_job_rounds_release_vocab(spark):
+    _clear(spark)
+    df = spark.createDataFrame(
+        [("low lower lowest newest newer new",), ("wide wider widest low low",)],
+        ["text"],
+    )
+    merges = bpe_train(df, num_merges=4).collect()
+    assert len(merges) == 4 and merges[0]["rank"] == 0
+    # every intermediate re-segmentation frame must be released; the merge
+    # table itself is a local driver frame, not a checkpoint
+    assert _pinned(spark) <= 1, "bpe_train leaked re-segmentation frames"
+    _clear(spark)
