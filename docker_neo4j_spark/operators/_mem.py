@@ -38,3 +38,27 @@ def release(df: DataFrame | None) -> None:
         df.unpersist()
     except Exception:  # noqa: BLE001
         pass
+
+
+def release_deep(df: DataFrame | None) -> None:
+    """Free EVERY checkpointed (``LogicalRDD``) leaf under ``df``'s plan.
+
+    For a frame that is a pure derivation over checkpoints — e.g. the
+    projection a kernel returns over its final BSP state, abandoned by the
+    caller after use — ``release`` no-ops (the root is a ``Project``, not
+    the ``LogicalRDD``). This walks the analyzed plan's leaves instead.
+
+    CAUTION: stronger contract than ``release`` — the caller asserts that
+    NOTHING else references any checkpoint under this plan. Only use on
+    frames whose whole derivation chain is private and fully consumed."""
+    if df is None:
+        return
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        it = leaves.iterator()
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - releasing is best-effort
+        pass

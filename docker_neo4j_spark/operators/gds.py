@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ._mem import release as _release
+from ._mem import release_deep as _release_deep
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
@@ -748,6 +749,7 @@ def eigenvector(
     )
     e = edges.select("src", "dst", w.alias("_w")).repartition("src").cache()
     x = _ckpt(nodes.select("id", F.lit(1.0).alias("score")))
+    seed: DataFrame | None = x  # released once folded into round 1's y
     prev: DataFrame | None = None
     for _ in range(iterations):
         # One job per round (r14, guide §2.4): the checkpoint is lazy and
@@ -768,6 +770,9 @@ def eigenvector(
             x = y.limit(0)  # vector died (DAG ran out of paths): all zeros
             break
         x = y.select("id", (F.col("score") / F.lit(norm)).alias("score"))
+        if seed is not None:
+            _release(seed)  # the x₀ seed checkpoint is folded into y now
+            seed = None
     _release(e)
     return (
         nodes.select("id")
@@ -802,6 +807,7 @@ def hits(
     e_dst = edges.select("src", "dst").repartition("dst").cache()
     h = _ckpt(nodes.select("id", F.lit(1.0).alias("hub")))
     a = nodes.select("id", F.lit(0.0).alias("auth")).limit(0)
+    seed: DataFrame | None = h  # released once folded into round 1's a_raw
     prev_h, prev_a = None, None
     for _ in range(iterations):
         # authority: a(v) = Σ_{u→v} h(u), then L2-normalize
@@ -820,9 +826,12 @@ def hits(
         prev_a = a_raw
         if norm_a is None or norm_a == 0.0:
             a = a_raw.limit(0)
-            h = h.limit(0)
+            h = h.limit(0)  # round 1: still the seed — keep it pinned then
             break
         a = a_raw.select("id", (F.col("auth") / F.lit(norm_a)).alias("auth"))
+        if seed is not None:
+            _release(seed)  # the h₀ seed checkpoint is folded into a_raw now
+            seed = None
         # hub: h(u) = Σ_{u→v} a(v), then L2-normalize
         h_raw = (
             a.join(e_dst, a["id"] == e_dst["dst"])
@@ -1284,6 +1293,13 @@ def spanning_forest(
     ).cache()
     comp = _ckpt(nodes.select("id", F.col("id").alias("comp")))
     chosen: DataFrame | None = None
+    # r14 (guide §2.4, §5): the former per-round ``lab.isEmpty()`` probe
+    # job is gone — ``pick`` is empty exactly when no cross-component
+    # edge remains (lab empty ⟹ cand empty ⟹ pick empty), so the
+    # checkpointed pick doubles as the termination probe and the
+    # relabel joins run ONCE per round instead of twice. Superseded
+    # comp/chosen frames and each round's abandoned wcc relabel state
+    # release as soon as the frames derived from them have materialized.
     for _ in range(max_rounds):
         lab = (
             e.join(
@@ -1296,8 +1312,6 @@ def spanning_forest(
             )
             .where(F.col("cu") != F.col("cv"))
         )
-        if lab.isEmpty():
-            break
         cand = lab.select(F.col("cu").alias("c"), "src", "dst", "w").unionByName(
             lab.select(F.col("cv").alias("c"), "src", "dst", "w")
         )
@@ -1311,7 +1325,15 @@ def spanning_forest(
             .select("e.src", "e.dst", "e.w")
             .distinct()
         )
-        chosen = pick if chosen is None else _ckpt(chosen.unionByName(pick))
+        if pick.isEmpty():
+            _release(pick)
+            break
+        if chosen is None:
+            chosen = pick
+        else:
+            new_chosen = _ckpt(chosen.unionByName(pick))
+            _release(chosen)
+            chosen = new_chosen
         pe = (
             pick.join(
                 comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "cu"),
@@ -1328,11 +1350,17 @@ def spanning_forest(
         mapping = wcc(pe, comp.select(F.col("comp").alias("id")).distinct()).select(
             F.col("id").alias("_oldc"), F.col("comp").alias("_newc")
         )
-        comp = _ckpt(
+        new_comp = _ckpt(
             comp.join(mapping, F.col("comp") == F.col("_oldc"), "left").select(
                 "id", F.coalesce("_newc", F.col("comp")).alias("comp")
             )
         )
+        _release_deep(mapping)  # the round's wcc relabel state, now folded in
+        _release(comp)
+        if pick is not chosen:
+            _release(pick)
+        comp = new_comp
+    _release(comp)
     _release(e)
     if chosen is None:
         return edges.select(
@@ -2301,6 +2329,9 @@ def sllpa(
             F.lit(1).cast("long").alias("cnt"),
         )
     )
+    # superseded memory frames are released one round behind (r14,
+    # guide §5): each round's eager checkpoint fully replaces the last
+    prev = None
     for k in range(1, rounds + 1):
         cand = e.join(mem, e["src"] == mem["node"]).select(
             "src", "dst", "label", "cnt"
@@ -2337,7 +2368,7 @@ def sllpa(
             )
             .select("node", "label", F.lit(1).cast("long").alias("_inc"))
         )
-        mem = _ckpt(
+        new_mem = _ckpt(
             mem.join(heard, ["node", "label"], "full")
             .select(
                 "node",
@@ -2347,6 +2378,12 @@ def sllpa(
                 ),
             )
         )
+        if prev is not None:
+            _release(prev)
+        prev = mem
+        mem = new_mem
+    if prev is not None:
+        _release(prev)
     totals = mem.groupBy("node").agg(F.sum("cnt").alias("_tot"))
     out = (
         mem.join(totals, "node")
@@ -2631,6 +2668,15 @@ def k1coloring(
     """
     e = undirect(edges).distinct().repartition("src").cache()
     color = _ckpt(nodes.select("id", F.lit(0).cast("long").alias("color")))
+    # r14 fusion (guide §2.4): conflict detection, recolor and merge are
+    # ONE lineage per round ending in a single eager checkpoint that
+    # carries a `_chg` flag; the probe is an exchange-free take(1) over
+    # the checkpointed output (the former separate conflict-frame
+    # checkpoint job is gone). Equivalence: a conflicted node ALWAYS
+    # changes color — its old color is present in its neighborhood, so
+    # the smallest absent color differs — hence "no conflicts" ⟺
+    # "no _chg rows". Superseded color frames release one round behind.
+    prev = None
     for rnd in range(max_rounds + 1):
         ca = color.select(F.col("id").alias("_ia"), F.col("color").alias("_ca"))
         cb = color.select(F.col("id").alias("_ib"), F.col("color").alias("_cb"))
@@ -2641,15 +2687,6 @@ def k1coloring(
             .select(F.col("_ib").alias("id"))
             .distinct()
         )
-        conflicts = _ckpt(conflicts)
-        if conflicts.isEmpty():
-            break
-        if rnd == max_rounds:
-            _release(e)
-            raise RuntimeError(
-                f"k1coloring did not converge within max_rounds={max_rounds}: "
-                "conflicts remain — raise max_rounds"
-            )
         nb = (
             e.join(conflicts, e["src"] == conflicts["id"])
             .join(
@@ -2668,12 +2705,33 @@ def k1coloring(
             )
         )
         recolored = nb.select("id", free.cast("long").alias("color"))
-        color = _ckpt(
+        new_color = _ckpt(
             color.join(recolored.withColumnRenamed("color", "_new"), "id", "left")
-            .select("id", F.coalesce("_new", "color").alias("color"))
+            .select(
+                "id",
+                F.coalesce("_new", "color").alias("color"),
+                F.col("_new").isNotNull().alias("_chg"),
+            )
         )
+        changed = not new_color.where("_chg").isEmpty()
+        if prev is not None:
+            _release(prev)
+        prev = color
+        color = new_color
+        if not changed:
+            break
+        if rnd == max_rounds:
+            _release(prev)
+            _release(color)
+            _release(e)
+            raise RuntimeError(
+                f"k1coloring did not converge within max_rounds={max_rounds}: "
+                "conflicts remain — raise max_rounds"
+            )
+    if prev is not None:
+        _release(prev)
     _release(e)
-    return color
+    return color.select("id", "color")
 
 
 def hashgnn(
@@ -3113,41 +3171,65 @@ def steiner_tree(
             F.lit(0.0).alias("pw"),
         )
     )
-    better = F.struct("dist", "term", "parent")
+    # One merge per superstep (r14, guide §2.4, the ``sssp`` template):
+    # improvement check and state merge are a single full-outer join +
+    # eager checkpoint carrying an ``_imp`` flag; the emptiness probe is
+    # an exchange-free take(1) over the improved filter and the frontier
+    # is a lazy filter over the merged state (the former separate
+    # improved-frame checkpoint job is gone). Superseded state frames
+    # release one round behind.
     frontier = state
+    prev = None
     for _ in range(max_iter):
         cand = (
             frontier.join(und, frontier["id"] == und["src"])
             .select(
                 F.col("dst").alias("id"),
-                (F.col("dist") + F.col("w")).alias("dist"),
-                "term",
-                F.col("src").alias("parent"),
-                F.col("w").alias("pw"),
+                (F.col("dist") + F.col("w")).alias("_nd"),
+                F.col("term").alias("_nt"),
+                F.col("src").alias("_np"),
+                F.col("w").alias("_npw"),
             )
             .groupBy("id")
             .agg(
                 F.min_by(
-                    F.struct("dist", "term", "parent", "pw"),
-                    F.struct("dist", "term", "parent"),
+                    F.struct("_nd", "_nt", "_np", "_npw"),
+                    F.struct("_nd", "_nt", "_np"),
                 ).alias("s")
             )
-            .select("id", "s.dist", "s.term", "s.parent", "s.pw")
+            .select("id", "s._nd", "s._nt", "s._np", "s._npw")
         )
-        improved = _ckpt(
-            cand.join(
-                state.select("id", better.alias("_old")), "id", "left"
+        imp = F.col("_nd").isNotNull() & (
+            F.col("dist").isNull()
+            | (
+                F.struct(
+                    F.col("_nd").alias("dist"),
+                    F.col("_nt").alias("term"),
+                    F.col("_np").alias("parent"),
+                )
+                < F.struct("dist", "term", "parent")
             )
-            .where(
-                F.col("_old").isNull()
-                | (F.struct("dist", "term", "parent") < F.col("_old"))
-            )
-            .select("id", "dist", "term", "parent", "pw")
         )
-        if improved.isEmpty():
+        new_state = _ckpt(
+            state.join(cand, "id", "full")
+            .select(
+                "id",
+                F.when(imp, F.col("_nd")).otherwise(F.col("dist")).alias("dist"),
+                F.when(imp, F.col("_nt")).otherwise(F.col("term")).alias("term"),
+                F.when(imp, F.col("_np")).otherwise(F.col("parent")).alias("parent"),
+                F.when(imp, F.col("_npw")).otherwise(F.col("pw")).alias("pw"),
+                imp.alias("_imp"),
+            )
+        )
+        if prev is not None:
+            _release(prev)
+        prev = state
+        state = new_state
+        if new_state.where("_imp").isEmpty():
             break
-        state = _ckpt(state.join(improved, "id", "left_anti").unionByName(improved))
-        frontier = improved
+        frontier = new_state.where("_imp").select("id", "dist", "term")
+    if prev is not None:
+        _release(prev)
 
     # -- 2. terminal-graph proposals (keep the bridging edge for unfold)
     su = state.select(
@@ -3200,16 +3282,23 @@ def steiner_tree(
         chosen.select(F.col("dst").alias("id"))
     ).distinct()
     parts = [bridge]
-    cur = _ckpt(walk_seed)
+    seed = _ckpt(walk_seed)
+    cur = seed
+    steps: list[DataFrame] = []
     ps = state.select("id", "parent", "pw")
     for _ in range(max_iter):
         step = _ckpt(cur.join(ps, "id").where(F.col("parent").isNotNull()))
         if step.isEmpty():
+            _release(step)
             break
+        steps.append(step)
         parts.append(
             step.select(F.col("id").alias("src"), F.col("parent").alias("dst"), F.col("pw").alias("w"))
         )
-        cur = _ckpt(step.select(F.col("parent").alias("id")).distinct())
+        # the next frontier is a lazy distinct over the checkpointed step —
+        # the next round's step checkpoint materializes it (r14, guide §2.4:
+        # the former per-level frontier checkpoint job is gone)
+        cur = step.select(F.col("parent").alias("id")).distinct()
     tree = parts[0]
     for p in parts[1:]:
         tree = tree.unionByName(p)
@@ -3219,8 +3308,18 @@ def steiner_tree(
         ).groupBy("src", "dst")
         .agg(F.min("w").alias("weight"))
     )
+    # everything the tree checkpoint was derived from is now consumed
+    # (r14, guide §5): the Dijkstra state, the walk seed + step levels,
+    # the terminal-graph best frame and the MST's internal state
+    _release(state)
+    _release(seed)
+    for s in steps:
+        _release(s)
+    _release(best)
+    _release_deep(mst)
 
-    # -- 5. peel non-terminal leaves
+    # -- 5. peel non-terminal leaves; superseded tree frames release one
+    # round behind (the new checkpoint fully replaces them)
     for _ in range(max_iter):
         deg = (
             tree.select(F.col("src").alias("id"))
@@ -3232,10 +3331,12 @@ def steiner_tree(
         if drop.isEmpty():
             break
         leaf = drop.select(F.col("id").alias("_leaf"))
-        tree = _ckpt(
+        new_tree = _ckpt(
             tree.join(leaf, tree["src"] == F.col("_leaf"), "left_anti")
             .join(leaf, tree["dst"] == F.col("_leaf"), "left_anti")
         )
+        _release(tree)
+        tree = new_tree
     _release(und)
     return tree.select("src", "dst", "weight")
 
@@ -3284,41 +3385,64 @@ def astar(
             [(source, 0.0, None)], "id long, dist double, parent long"
         )
     )
+    # One merge per superstep (r14, guide §2.4, the ``sssp`` template):
+    # improvement check, A*-prune and state merge are a single join
+    # lineage ending in ONE eager checkpoint carrying an ``_imp`` flag
+    # (the former separate improved-frame checkpoint job is gone); the
+    # emptiness probe and the goal-cost read are exchange-free reads over
+    # the checkpoint. Superseded state frames release one round behind.
     frontier = state
     best = float("inf")
+    prev = None
     for _ in range(max_iter):
         cand = (
             frontier.join(e, frontier["id"] == e["src"])
             .select(
                 F.col("dst").alias("id"),
-                (F.col("dist") + F.col("w")).alias("dist"),
-                F.col("src").alias("parent"),
+                (F.col("dist") + F.col("w")).alias("_nd"),
+                F.col("src").alias("_np"),
             )
             .groupBy("id")
             .agg(
-                F.min_by(F.struct("dist", "parent"), F.struct("dist", "parent")).alias(
-                    "s"
-                )
+                F.min_by(F.struct("_nd", "_np"), F.struct("_nd", "_np")).alias("s")
             )
-            .select("id", "s.dist", "s.parent")
+            .select("id", "s._nd", "s._np")
         )
-        improved = cand.join(
-            state.select("id", F.struct("dist", "parent").alias("_old")), "id", "left"
-        ).where(
-            F.col("_old").isNull() | (F.struct("dist", "parent") < F.col("_old"))
-        ).select("id", "dist", "parent")
+        imp = F.col("_nd").isNotNull() & (
+            F.col("dist").isNull()
+            | (
+                F.struct(F.col("_nd").alias("dist"), F.col("_np").alias("parent"))
+                < F.struct("dist", "parent")
+            )
+        )
+        merged = state.join(cand, "id", "full")
         if best != float("inf"):
-            improved = improved.join(hcol, "id", "left").where(
-                F.col("_h").isNull() | (F.col("dist") + F.col("_h") <= F.lit(best))
-            ).select("id", "dist", "parent")
-        improved = _ckpt(improved)
-        if improved.isEmpty():
+            # admissible-heuristic prune: an improvement whose optimistic
+            # total exceeds the best goal cost so far is NOT entered
+            merged = merged.join(hcol, "id", "left")
+            imp = imp & (
+                F.col("_h").isNull() | (F.col("_nd") + F.col("_h") <= F.lit(best))
+            )
+        new_state = _ckpt(
+            merged.select(
+                "id",
+                F.when(imp, F.col("_nd")).otherwise(F.col("dist")).alias("dist"),
+                F.when(imp, F.col("_np")).otherwise(F.col("parent")).alias("parent"),
+                imp.alias("_imp"),
+            )
+        )
+        if prev is not None:
+            _release(prev)
+        prev = state
+        state = new_state
+        if new_state.where("_imp").isEmpty():
             break
-        state = _ckpt(state.join(improved, "id", "left_anti").unionByName(improved))
-        frontier = improved
+        frontier = new_state.where("_imp").select("id", "dist")
         goal = state.where(F.col("id") == target).select("dist").first()
         if goal is not None:
             best = float(goal[0])
+    if prev is not None:
+        _release(prev)
     _release(e)
     goal = state.where(F.col("id") == target).select("dist").first()
     if goal is None:

@@ -107,6 +107,28 @@ _IDS = list(range(1, 5)) + [6, 7, 8] + list(range(10, 14))
             id="dfs",
         ),
         pytest.param(lambda s, e, n: gds.ktruss(e, k=3), id="ktruss"),
+        # the r14 second-wave fusions: probe-free Borůvka rounds (plus
+        # deep-release of each round's folded-in wcc relabel state),
+        # single-checkpoint k1coloring rounds, sllpa memory frames, and
+        # steiner's fused Dijkstra + walk/peel releases
+        pytest.param(
+            lambda s, e, n: gds.spanning_forest(
+                _edges(s, _PAIRS, weights=[float(i % 5 + 1) for i in range(len(_PAIRS))]),
+                n,
+            ),
+            id="spanning_forest",
+        ),
+        pytest.param(
+            lambda s, e, n: gds.k1coloring(e, n, max_rounds=20), id="k1coloring"
+        ),
+        pytest.param(lambda s, e, n: gds.sllpa(e, n, rounds=4), id="sllpa"),
+        pytest.param(
+            lambda s, e, n: gds.steiner_tree(
+                _edges(s, _PAIRS, weights=[float(i % 5 + 1) for i in range(len(_PAIRS))]),
+                _nodes(s, [1, 10, 13]),
+            ),
+            id="steiner",
+        ),
     ],
 )
 def test_fused_kernels_release_superseded_state(spark, run):
@@ -120,6 +142,25 @@ def test_fused_kernels_release_superseded_state(spark, run):
     assert _pinned_settled(spark, 2) <= 2, (
         "fused kernel leaked superseded state frames"
     )
+    _clear(spark)
+
+
+def test_astar_releases_superseded_state(spark):
+    """astar's fused loop releases superseded state one round behind.
+
+    The per-hop walk checkpoints ARE the result (as in random_walk) and
+    the final Dijkstra state feeds the walk, so those stay pinned: on a
+    3-edge path the budget is 4 hop frames + the final state + slack.
+    Pre-fusion the same run pinned every round's improved+state pair
+    (~11 frames)."""
+    _clear(spark)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)], weights=[1.0, 1.0, 1.0])
+    coords = spark.createDataFrame(
+        [(i, float(i), 0.0) for i in range(1, 5)], ["id", "x", "y"]
+    )
+    rows = gds.astar(e, coords, 1, 4).collect()
+    assert len(rows) == 1 and rows[0]["path"] == "1,2,3,4"
+    assert _pinned_settled(spark, 6) <= 6, "astar leaked superseded state frames"
     _clear(spark)
 
 
