@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ._mem import release as _release
+
 
 def hash_split(
     df: DataFrame,
@@ -575,6 +577,12 @@ def leakage_free_split(
     )
     lab = df.select(F.col(key_col).alias("id")).withColumn("comp", F.col("id"))
     lab = lab.localCheckpoint(eager=True)
+    # r14 (guide §2.4/§5, the wcc template): change detection rides the
+    # merge itself as a `_chg` flag — the former per-round join job
+    # against the old labels is an exchange-free take(1) over the
+    # checkpointed output — and superseded label frames release one
+    # round behind instead of pinning O(wcc_rounds) checkpoints.
+    prev = None
     for _ in range(wcc_rounds):
         cand = (
             lab.join(sym, lab["id"] == sym["id_a"])
@@ -582,15 +590,19 @@ def leakage_free_split(
             .agg(F.min("comp").alias("_c"))
         )
         new_lab = lab.join(cand, "id", "left").select(
-            "id", F.least(F.col("comp"), F.coalesce("_c", F.col("comp"))).alias("comp")
+            "id",
+            F.least(F.col("comp"), F.coalesce("_c", F.col("comp"))).alias("comp"),
+            (F.col("_c").isNotNull() & (F.col("_c") < F.col("comp"))).alias("_chg"),
         ).localCheckpoint(eager=True)
-        changed = new_lab.join(
-            lab.withColumnRenamed("comp", "_old"), "id"
-        ).where(F.col("comp") != F.col("_old"))
-        if changed.isEmpty():
-            lab = new_lab
-            break
+        no_change = new_lab.where("_chg").isEmpty()
+        if prev is not None:
+            _release(prev)
+        prev = lab
         lab = new_lab
+        if no_change:
+            break
+    if prev is not None:
+        _release(prev)
     side = F.when(
         F.substring(
             F.md5(F.concat_ws("|", F.lit(salt), F.col("comp").cast("string"))), 1, 4

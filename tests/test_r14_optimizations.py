@@ -164,6 +164,36 @@ def test_astar_releases_superseded_state(spark):
     _clear(spark)
 
 
+def test_leakage_free_split_releases_superseded_labels(spark):
+    """curation.leakage_free_split's min-label fixpoint releases
+    superseded label checkpoints one round behind (pre-r14 it pinned one
+    frame per wcc round) and folds change detection into the merge; only
+    the returned label checkpoint may stay pinned."""
+    from docker_neo4j_spark.operators.curation import leakage_free_split
+
+    _clear(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa xx"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa yy"),
+            (3, "one two three four five six seven eight nine ten eleven"),
+            (4, "one two three four five six seven eight nine ten twelve"),
+            (5, "completely unrelated words that share no ten gram at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = leakage_free_split(docs, wcc_rounds=6).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # duplicate components land on the same side atomically
+    assert by_id[1]["split"] == by_id[2]["split"]
+    assert by_id[3]["split"] == by_id[4]["split"]
+    assert len(rows) == 5
+    assert _pinned_settled(spark, 2) <= 2, (
+        "leakage_free_split leaked superseded label frames"
+    )
+    _clear(spark)
+
+
 def test_bpe_train_single_job_rounds_release_vocab(spark):
     _clear(spark)
     df = spark.createDataFrame(
