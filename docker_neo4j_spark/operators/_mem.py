@@ -21,7 +21,45 @@ discipline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def static_loop_plan(spark: SparkSession):
+    """Plan a BSP kernel body with the static planner (AQE off, restored).
+
+    The iterative kernels engineer their per-round physical shape by hand:
+    the edge frame is ``repartition(key).cache()``-ed once, and each round's
+    state checkpoint comes out of a ``groupBy(key)`` whose hash partitioning
+    ``localCheckpoint`` preserves — so the round's state⋈edges join needs no
+    exchange on either side. AQE silently defeats both halves (measured r14,
+    gds_pagerank at sf0.1):
+
+    - a join against a checkpointed state sees ``LogicalRDD``'s unknown
+      (huge) size stats, so Catalyst broadcasts the OTHER side — rebuilding
+      a fresh BroadcastExchange of the whole cached EDGE frame every round
+      (52.7 MiB × 15 rounds on the headline row; at the 100 TB target that
+      side does not fit in driver memory at all), and
+    - AQE's partition coalescing rewrites the state aggregate's output
+      partitioning, so the next round's join re-exchanges BOTH sides.
+
+    With the static planner the checkpoint's hash partitioning survives and
+    a ``shuffle_hash`` hint on the (small) state side plans the round as a
+    zero-exchange ShuffledHashJoin: edges never move, only the ≤|N|-row
+    aggregate output shuffles — the textbook Pregel cost model. Measured
+    (interleaved A/B, sf0.1 pagerank): 82 → 25 jobs, every paired run
+    faster, bit-identical output. Skew note: per-round aggregates group by
+    node id over the co-partitioned layout the kernel chose; AQE's
+    skew-join splitting only rewrites sort-merge joins, which these loops
+    deliberately do not contain, so nothing is lost at cluster scale."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def release(df: DataFrame | None) -> None:

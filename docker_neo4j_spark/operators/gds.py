@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ._mem import release as _release
 from ._mem import release_deep as _release_deep
+from ._mem import static_loop_plan as _static_plan
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
@@ -104,6 +105,17 @@ def sssp(
     detection pass need the distinction (a bound-stopped run still has
     improvable nodes on perfectly cycle-free graphs).
     """
+    with _static_plan(edges.sparkSession):
+        return _sssp_body(edges, sources, weight_col, max_iter, return_converged)
+
+
+def _sssp_body(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str,
+    max_iter: int,
+    return_converged: bool,
+):
     e = edges.select("src", "dst", F.col(weight_col).alias("_w")).repartition("src").cache()
     dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
     # Delta/frontier Bellman-Ford: only nodes whose distance improved last
@@ -119,8 +131,11 @@ def sssp(
     # (the former separate improvement-check checkpoint job is gone).
     prev = None
     for _ in range(max_iter):
+        # shuffle_hash on the frontier side (r14, _mem.static_loop_plan):
+        # the checkpoint-derived frontier has no size stats, so the planner
+        # would otherwise re-broadcast the cached edge frame every round.
         cand = (
-            frontier.join(e, frontier["id"] == e["src"])
+            frontier.hint("shuffle_hash").join(e, frontier["id"] == e["src"])
             .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("_new"))
             .groupBy("id")
             .agg(F.min("_new").alias("_new"))
@@ -243,6 +258,16 @@ def dag_longest_path(
     that is ≤ longest-hop-count supersteps, each one edge-partitioned
     join + groupBy-max shuffle.
     """
+    with _static_plan(edges.sparkSession):
+        return _dag_longest_path_body(edges, sources, weight_col, max_iter)
+
+
+def _dag_longest_path_body(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str,
+    max_iter: int,
+) -> DataFrame:
     e = edges.select("src", "dst", F.col(weight_col).alias("_w")).repartition("src").cache()
     dist = _ckpt(sources.select("id", F.lit(0).cast("long").alias("dist")))
     frontier = dist
@@ -250,8 +275,10 @@ def dag_longest_path(
     # checkpoint + exchange-free emptiness probe, max-relaxation.
     prev = None
     for _ in range(max_iter):
+        # shuffle_hash on the frontier side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per round.
         cand = (
-            frontier.join(e, frontier["id"] == e["src"])
+            frontier.hint("shuffle_hash").join(e, frontier["id"] == e["src"])
             .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("_new"))
             .groupBy("id")
             .agg(F.max("_new").alias("_new"))
@@ -287,6 +314,11 @@ def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
     Min-label propagation over the undirected edge set; each superstep is
     one groupBy-min shuffle. Converges in O(diameter) rounds.
     """
+    with _static_plan(edges.sparkSession):
+        return _wcc_body(edges, nodes, max_iter)
+
+
+def _wcc_body(edges: DataFrame, nodes: DataFrame, max_iter: int) -> DataFrame:
     e = undirect(edges).distinct().repartition("src").cache()
     comp = _ckpt(nodes.select("id", F.col("id").alias("comp")))
     # One merged superstep (r14, guide §2.4): the union rows carry an
@@ -296,8 +328,12 @@ def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
     # over the checkpointed output.
     prev = None
     for _ in range(max_iter):
+        # shuffle_hash on the label side (r14, _mem.static_loop_plan): the
+        # checkpointed comp frame is hash(id)-partitioned from last round's
+        # groupBy and e is the hash(src) cache → zero-exchange SHJ instead
+        # of a fresh edge-frame broadcast per round.
         prop = (
-            comp.join(e, comp["id"] == e["src"])
+            comp.hint("shuffle_hash").join(e, comp["id"] == e["src"])
             .select(F.col("dst").alias("id"), "comp", F.lit(False).alias("_own"))
         )
         new_comp = (
@@ -346,6 +382,17 @@ def personalized_pagerank(
     + a scalar dangling aggregate); the teleport set rides as a small
     cached frame unioned into each update.
     """
+    with _static_plan(edges.sparkSession):
+        return _personalized_pagerank_body(edges, sources, nodes, iterations, damping)
+
+
+def _personalized_pagerank_body(
+    edges: DataFrame,
+    sources: DataFrame,
+    nodes: DataFrame,
+    iterations: int,
+    damping: float,
+) -> DataFrame:
     e = edges.select("src", "dst")
     deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did")
     src_set_raw = e.select("src").distinct()
@@ -392,8 +439,10 @@ def personalized_pagerank(
     )
     prev = None
     for _ in range(iterations):
+        # shuffle_hash on the state side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per round.
         contribs = (
-            pr.join(e_deg, pr["id"] == e_deg["src"])
+            pr.hint("shuffle_hash").join(e_deg, pr["id"] == e_deg["src"])
             .select(
                 F.col("dst").alias("id"),
                 (F.col("pr") * F.col("_invdeg")).alias("c"),
@@ -525,6 +574,18 @@ def pagerank(
     out-edge carries weight/Σweight(src) of the node's rank instead of
     1/deg (identical when all weights are equal).
     """
+    with _static_plan(edges.sparkSession):
+        return _pagerank_body(edges, nodes, iterations, damping, weight_col, tolerance)
+
+
+def _pagerank_body(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int,
+    damping: float,
+    weight_col: str | None,
+    tolerance: float | None,
+) -> DataFrame:
     if weight_col is None:
         e = edges.select("src", "dst", F.lit(1.0).alias("_w"))
     else:
@@ -607,8 +668,15 @@ def pagerank(
     prev = None
     for _ in range(iterations):
         base = (1.0 - damping) + damping * dangling / n_total
+        # shuffle_hash on the STATE side (r14, _mem.static_loop_plan): the
+        # checkpointed pr frame's LogicalRDD has no size stats, so the
+        # planner would otherwise broadcast the cached EDGE frame — a fresh
+        # |E|-row BroadcastExchange per round. Pinning a ShuffledHashJoin
+        # that builds over pr makes the round exchange-free on both sides
+        # (pr: hash(id) from last round's groupBy, preserved by the
+        # checkpoint; e_run: the hash(src) cache) — edges stream in place.
         contribs = (
-            pr.join(e_run, pr["id"] == e_run["src"])
+            pr.hint("shuffle_hash").join(e_run, pr["id"] == e_run["src"])
             .select(
                 F.col("dst").alias("id"),
                 (F.col("pr") * F.col("_invdeg")).alias("c"),
@@ -680,6 +748,16 @@ def article_rank(
     ``localCheckpoint`` (zero-share self-rows keep sink-only nodes inside
     the aggregate, so no N-row union/exchange per round).
     """
+    with _static_plan(edges.sparkSession):
+        return _article_rank_body(edges, nodes, iterations, damping)
+
+
+def _article_rank_body(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int,
+    damping: float,
+) -> DataFrame:
     e = edges.select("src", "dst")
     deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did")
     n = nodes.select("id").cache()
@@ -706,8 +784,10 @@ def article_rank(
     base = 1.0 - damping
     pr = _ckpt(n.select("id", F.lit(1.0).alias("pr")))
     for _ in range(iterations):
+        # shuffle_hash on the state side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per round.
         new_pr = _ckpt(
-            pr.join(e_run, pr["id"] == e_run["src"])
+            pr.hint("shuffle_hash").join(e_run, pr["id"] == e_run["src"])
             .select(F.col("dst").alias("id"), (F.col("pr") * F.col("_share")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
@@ -742,6 +822,16 @@ def eigenvector(
     undirected edge set (``gds.undirect``) for the classical symmetric
     formulation, which is the GDS default orientation use-case.
     """
+    with _static_plan(edges.sparkSession):
+        return _eigenvector_body(edges, nodes, iterations, weight_col)
+
+
+def _eigenvector_body(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int,
+    weight_col: str | None,
+) -> DataFrame:
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -755,8 +845,10 @@ def eigenvector(
         # One job per round (r14, guide §2.4): the checkpoint is lazy and
         # the norm aggregate is the action that materializes it (the norm
         # scans every row, so every partition persists in that same job).
+        # shuffle_hash on the state side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per round.
         y = (
-            x.join(e, x["id"] == e["src"])
+            x.hint("shuffle_hash").join(e, x["id"] == e["src"])
             .select(F.col("dst").alias("id"), (F.col("score") * F.col("_w")).alias("m"))
             .groupBy("id")
             .agg(F.sum("m").alias("score"))
@@ -803,6 +895,15 @@ def hits(
     the OTHER vector, so no norm-death guard is needed beyond the zero
     check.
     """
+    with _static_plan(edges.sparkSession):
+        return _hits_body(edges, nodes, iterations)
+
+
+def _hits_body(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int,
+) -> DataFrame:
     e_src = edges.select("src", "dst").repartition("src").cache()
     e_dst = edges.select("src", "dst").repartition("dst").cache()
     h = _ckpt(nodes.select("id", F.lit(1.0).alias("hub")))
@@ -813,8 +914,11 @@ def hits(
         # authority: a(v) = Σ_{u→v} h(u), then L2-normalize
         # lazy checkpoint materialized by the norm job — one job per
         # half-step instead of two (r14, guide §2.4)
+        # shuffle_hash on the vector sides (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge copies per
+        # half-step; each copy is read in place in its own partitioning.
         a_raw = (
-            h.join(e_src, h["id"] == e_src["src"])
+            h.hint("shuffle_hash").join(e_src, h["id"] == e_src["src"])
             .select(F.col("dst").alias("id"), F.col("hub").alias("m"))
             .groupBy("id")
             .agg(F.sum("m").alias("auth"))
@@ -834,7 +938,7 @@ def hits(
             seed = None
         # hub: h(u) = Σ_{u→v} a(v), then L2-normalize
         h_raw = (
-            a.join(e_dst, a["id"] == e_dst["dst"])
+            a.hint("shuffle_hash").join(e_dst, a["id"] == e_dst["dst"])
             .select(F.col("src").alias("id"), F.col("auth").alias("m"))
             .groupBy("id")
             .agg(F.sum("m").alias("hub"))
@@ -877,6 +981,16 @@ def label_propagation(
     incident edge weights instead of counting edges. Integer weights keep
     the argmax exact (the catalog row casts l_quantity to BIGINT).
     """
+    with _static_plan(edges.sparkSession):
+        return _label_propagation_body(edges, nodes, max_iter, weight_col)
+
+
+def _label_propagation_body(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int,
+    weight_col: str | None,
+) -> DataFrame:
     if weight_col is None:
         e = undirect(edges).repartition("src").cache()
     else:
@@ -899,8 +1013,10 @@ def label_propagation(
     # once the eager checkpoint derived from them has materialized.
     prev = None
     for _ in range(max_iter):
+        # shuffle_hash on the label side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per round.
         votes = (
-            lab.join(e, lab["id"] == e["src"])
+            lab.hint("shuffle_hash").join(e, lab["id"] == e["src"])
             .groupBy(F.col("dst").alias("id"), "community")
             .agg(vote.alias("_n"))
         )
@@ -1143,6 +1259,13 @@ def topological_layers(
     BSP: one join + groupBy-max per round, rounds = longest-path length
     (the frontier relaxes one level per superstep, like BFS with max/+1
     instead of min). State stays (id, layer)."""
+    with _static_plan(edges.sparkSession):
+        return _topological_layers_body(edges, nodes, max_iter)
+
+
+def _topological_layers_body(
+    edges: DataFrame, nodes: DataFrame, max_iter: int
+) -> DataFrame:
     e = edges.select("src", "dst").repartition("src").cache()
     lay = _ckpt(nodes.select("id", F.lit(0).cast("long").alias("layer")))
     # `_chg` rides the merge (r14, guide §2.4): change detection is an
@@ -1150,8 +1273,10 @@ def topological_layers(
     # frames release once the checkpoint built from them materializes.
     prev = None
     for _ in range(max_iter):
+        # shuffle_hash on the layer side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per round.
         cand = (
-            lay.join(e, lay["id"] == e["src"])
+            lay.hint("shuffle_hash").join(e, lay["id"] == e["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg((F.max("layer") + F.lit(1)).alias("_cand"))
         )
@@ -1182,13 +1307,24 @@ def _min_label_fixpoint(
     lab(v) = min({v} ∪ {lab(u) : u→v}) — "smallest id that can reach v"
     when given forward edges, "smallest id v can reach" when given the
     reversed edge set. One join + groupBy-min shuffle per round."""
+    with _static_plan(edges.sparkSession):
+        return _min_label_fixpoint_body(edges, nodes, max_iter, out)
+
+
+def _min_label_fixpoint_body(
+    edges: DataFrame, nodes: DataFrame, max_iter: int, out: str
+) -> DataFrame:
+    # Callers (scc peels, leiden refine) hand in ad-hoc edge frames; own
+    # the loop partitioning here so every round's label⋈edges join is a
+    # zero-exchange SHJ instead of a per-round edge exchange/broadcast.
+    e = edges.select("src", "dst").repartition("src").cache()
     lab = _ckpt(nodes.select("id", F.col("id").alias(out)))
     # `_chg` rides the merge; change probe is an exchange-free take(1)
     # (r14, guide §2.4 — same fold as ``wcc``/``label_propagation``).
     prev = None
     for _ in range(max_iter):
         cand = (
-            lab.join(edges, lab["id"] == edges["src"])
+            lab.hint("shuffle_hash").join(e, lab["id"] == e["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min(out).alias("_cand"))
         )
@@ -1210,6 +1346,7 @@ def _min_label_fixpoint(
             break
     if prev is not None:
         _release(prev)
+    _release(e)
     return lab.select("id", out)
 
 
@@ -1579,6 +1716,16 @@ def betweenness(
     truncates identically, so the pairing stays exact even if the true
     diameter exceeds the cap.
     """
+    with _static_plan(edges.sparkSession):
+        return _betweenness_body(edges, sources, max_depth, undirected)
+
+
+def _betweenness_body(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    undirected: bool,
+) -> DataFrame:
     from pyspark.sql import Window
 
     e = (
@@ -1640,8 +1787,13 @@ def betweenness(
     levels = [_lvl_view(state)]
     for _ in range(max_depth):
         frontier = _lvl_view(state)
+        # shuffle_hash on the frontier side (r14, _mem.static_loop_plan):
+        # the view over the checkpointed state has no size stats, so the
+        # planner would otherwise re-broadcast the cached edge frame every
+        # level; both sides are already hash-partitioned (state: hash(v)
+        # from the merge, e: the hash(src) cache) → zero-exchange SHJ.
         summed = arr_sum(
-            frontier.join(e, frontier["v"] == e["src"]).select(
+            frontier.hint("shuffle_hash").join(e, frontier["v"] == e["src"]).select(
                 e["dst"].alias("v"), "sig"
             ),
             "sig",
@@ -1707,6 +1859,7 @@ def betweenness(
     score: DataFrame | None = None
     delta_next = levels[-1].select("v", "sig", zeros_d.alias("delta"))
     pending: list[DataFrame] = []
+    pending_state: DataFrame | None = None
     for d in range(len(levels) - 2, 0, -1):
         cur = levels[d]
         # per-(source) successor message m = (1+δ_w)/σ_w where σ_w>0
@@ -1724,8 +1877,11 @@ def betweenness(
         # reaches v iff the forward edge v→w exists, so join on e.dst==w
         # and emit e.src — joining on e.src would walk w's out-edges,
         # which is only equivalent when e is the symmetric undirected set
+        # same zero-exchange SHJ shape as the forward sweep: build over the
+        # (checkpoint-derived, stat-less) message side, stream the hash(dst)
+        # edge cache in place instead of re-broadcasting it per level.
         acc = arr_sum(
-            msgs.join(e_by_dst, msgs["v"] == e_by_dst["dst"]).select(
+            msgs.hint("shuffle_hash").join(e_by_dst, msgs["v"] == e_by_dst["dst"]).select(
                 e_by_dst["src"].alias("v"), "_m"
             ),
             "_m",
@@ -1753,11 +1909,18 @@ def betweenness(
         for fr in pending:
             _release(fr)
         pending = [delta_next]
-        # delta_next (δ of level d+1) is materialized by the fold above;
-        # its lineage over states[d+1] is now closed, so that state frame
-        # can be released here instead of staying pinned to the end —
-        # the backward sweep's pinned set shrinks level by level.
-        _release(states[d + 1])
+        # States release ONE ROUND BEHIND, like the δ frames: the backward
+        # start's delta_next is a lazy VIEW over states[-1] (not a
+        # checkpoint), consumed only when the NEXT round's δ materializes —
+        # and with the zero-exchange loop plans (r14 static_loop_plan) there
+        # is no shuffle file between a δ frame and the state checkpoints
+        # under it to mask an early release (releasing states[d+1] here
+        # crashed the next fold with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND once
+        # the exchanges were gone). The pinned set still shrinks level by
+        # level — just one level later.
+        if pending_state is not None:
+            _release(pending_state)
+        pending_state = states[d + 1]
         delta_next = delta_cur
     score = _fold(score, delta_next)  # depth 1 (materializes the last δ)
     for fr in pending:
@@ -3663,6 +3826,15 @@ def dfs_preorder(
     Reference: GDS dfs procedure (plugin namespace gds.*,
     calver/coredb/neo4j-plugins.json).
     """
+    with _static_plan(edges.sparkSession):
+        return _dfs_preorder_body(edges, sources, max_iter)
+
+
+def _dfs_preorder_body(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int,
+) -> DataFrame:
     e = edges.select("src", "dst").distinct().repartition("src").cache()
     best = _ckpt(sources.select("id", F.array("id").alias("path")))
     frontier = best
@@ -3672,8 +3844,10 @@ def dfs_preorder(
     # probe is an exchange-free take(1) over the improved filter.
     prev = None
     for _ in range(max_iter):
+        # shuffle_hash on the frontier side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per round.
         cand = (
-            frontier.join(e, frontier["id"] == e["src"])
+            frontier.hint("shuffle_hash").join(e, frontier["id"] == e["src"])
             .where(~F.array_contains(F.col("path"), F.col("dst")))
             .select(
                 F.col("dst").alias("id"),
