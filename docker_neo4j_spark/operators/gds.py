@@ -57,6 +57,16 @@ def bfs(
 
     ``sources``: DataFrame with an ``id`` column (dist 0 seeds).
     """
+    with _static_plan(edges.sparkSession):
+        return _bfs_body(edges, sources, max_depth, undirected)
+
+
+def _bfs_body(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    undirected: bool,
+) -> DataFrame:
     e = (undirect(edges) if undirected else edges.select("src", "dst")).repartition("src").cache()
     frontier = _ckpt(sources.select("id").distinct())
     # One checkpoint per level (the frontier); `visited` and the result stay
@@ -69,8 +79,10 @@ def bfs(
         # SLOWER here — the count adds a partial/final aggregate exchange
         # per level, while the eager checkpoint materializes through a
         # plain RDD job and isEmpty is an exchange-free take(1).)
+        # shuffle_hash on the frontier side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per level.
         nxt = (
-            frontier.join(e, frontier["id"] == e["src"])
+            frontier.hint("shuffle_hash").join(e, frontier["id"] == e["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
@@ -1079,16 +1091,30 @@ def louvain(
 
     Stops at a fixpoint (a full even+odd pair with no moves) or ``max_iter``.
     """
+    with _static_plan(edges.sparkSession):
+        return _louvain_body(edges, nodes, max_iter)
+
+
+def _louvain_body(
+    edges: DataFrame, nodes: DataFrame, max_iter: int
+) -> DataFrame:
     e = undirect(edges).distinct().repartition("src").cache()
     two_m = e.count()  # each undirected edge counted twice = 2m
+    # k_in keys the edge set on dst every round — cache that partitioning
+    # once (as in ``hits``) instead of re-exchanging the edges per round
+    # (r14, _mem.static_loop_plan).
+    e_dst = e.repartition("dst").cache()
     deg = e.groupBy("src").agg(F.count("*").alias("_deg")).withColumnRenamed("src", "_did").cache()
     comm = _ckpt(nodes.select("id", F.col("id").alias("community")))
     stable = 0
     prev = None
     for it in range(max_iter):
         # community degree mass Σtot(C)
+        # shuffle_hash on the community/state sides (r14,
+        # _mem.static_loop_plan): zero-exchange SHJs against the cached
+        # edge/degree partitionings instead of per-round re-planning.
         sigma = (
-            comm.join(deg, comm["id"] == deg["_did"])
+            comm.hint("shuffle_hash").join(deg, comm["id"] == deg["_did"])
             .groupBy("community")
             .agg(F.sum("_deg").alias("_sigma"))
             .withColumnRenamed("community", "cand")
@@ -1097,7 +1123,7 @@ def louvain(
         # zero row for v's own community so "stay" is always a candidate
         nbr_comm = comm.select(F.col("id").alias("_nid"), F.col("community").alias("_c"))
         k_in = (
-            e.join(nbr_comm, e["dst"] == nbr_comm["_nid"])
+            e_dst.join(nbr_comm.hint("shuffle_hash"), e_dst["dst"] == nbr_comm["_nid"])
             .groupBy(F.col("src").alias("id"), F.col("_c").alias("cand"))
             .agg(F.count("*").alias("_kin"))
             .unionByName(
@@ -1162,6 +1188,7 @@ def louvain(
     if prev is not None:
         _release(prev)
     _release(e)
+    _release(e_dst)
     _release(deg)
     return comm.select("id", "community")
 
@@ -2117,6 +2144,16 @@ def closeness_walk(
     the harmonic-centrality catalog row. Frontier BSP with the source
     dimension riding in the key; state is |sources| × |reached|, which is
     why callers pass a bounded source set (landmark sampling at scale)."""
+    with _static_plan(edges.sparkSession):
+        return _closeness_walk_body(edges, sources, max_depth, undirected)
+
+
+def _closeness_walk_body(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    undirected: bool,
+) -> DataFrame:
     e = (undirect(edges) if undirected else edges.select("src", "dst")).repartition("src").cache()
     frontier = _ckpt(
         sources.select(F.col("id").alias("source")).distinct().select(
@@ -2126,8 +2163,10 @@ def closeness_walk(
     levels = [frontier.select("source", "id", F.lit(0).cast("long").alias("dist"))]
     visited = frontier
     for depth in range(1, max_depth + 1):
+        # shuffle_hash on the frontier side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per level.
         nxt = (
-            frontier.join(e, frontier["id"] == e["src"])
+            frontier.hint("shuffle_hash").join(e, frontier["id"] == e["src"])
             .select("source", F.col("dst").alias("id"))
             .distinct()
             .join(visited, ["source", "id"], "left_anti")
@@ -2484,6 +2523,18 @@ def sllpa(
     replica explode + two groupBys — the LPA shuffle shape with a
     bounded constant factor.
     """
+    with _static_plan(edges.sparkSession):
+        return _sllpa_body(edges, nodes, rounds, threshold_num, threshold_den, salt)
+
+
+def _sllpa_body(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int,
+    threshold_num: int,
+    threshold_den: int,
+    salt: str,
+) -> DataFrame:
     e = undirect(edges).distinct().repartition("src").cache()
     mem = _ckpt(
         nodes.select(
@@ -2496,7 +2547,9 @@ def sllpa(
     # guide §5): each round's eager checkpoint fully replaces the last
     prev = None
     for k in range(1, rounds + 1):
-        cand = e.join(mem, e["src"] == mem["node"]).select(
+        # shuffle_hash on the memory side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per round.
+        cand = e.join(mem.hint("shuffle_hash"), e["src"] == mem["node"]).select(
             "src", "dst", "label", "cnt"
         )
         reps = cand.select(
@@ -2829,6 +2882,15 @@ def k1coloring(
     monochrome edges (r6 ADVICE — long id-ordered conflict chains can
     outlast any fixed round count).
     """
+    with _static_plan(edges.sparkSession):
+        return _k1coloring_body(edges, nodes, max_rounds)
+
+
+def _k1coloring_body(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int,
+) -> DataFrame:
     e = undirect(edges).distinct().repartition("src").cache()
     color = _ckpt(nodes.select("id", F.lit(0).cast("long").alias("color")))
     # r14 fusion (guide §2.4): conflict detection, recolor and merge are
@@ -2843,17 +2905,22 @@ def k1coloring(
     for rnd in range(max_rounds + 1):
         ca = color.select(F.col("id").alias("_ia"), F.col("color").alias("_ca"))
         cb = color.select(F.col("id").alias("_ib"), F.col("color").alias("_cb"))
+        # shuffle_hash on the color/conflict (state) sides (r14,
+        # _mem.static_loop_plan): e is read in its cached hash(src)
+        # partitioning instead of being re-broadcast per round.
         conflicts = (
-            e.join(ca, e["src"] == ca["_ia"])
-            .join(cb, e["dst"] == cb["_ib"])
+            e.join(ca.hint("shuffle_hash"), e["src"] == ca["_ia"])
+            .join(cb.hint("shuffle_hash"), e["dst"] == cb["_ib"])
             .where((F.col("_ca") == F.col("_cb")) & (F.col("_ia") < F.col("_ib")))
             .select(F.col("_ib").alias("id"))
             .distinct()
         )
         nb = (
-            e.join(conflicts, e["src"] == conflicts["id"])
+            e.join(conflicts.hint("shuffle_hash"), e["src"] == conflicts["id"])
             .join(
-                color.select(F.col("id").alias("_n"), F.col("color").alias("_nc")),
+                color.select(F.col("id").alias("_n"), F.col("color").alias("_nc")).hint(
+                    "shuffle_hash"
+                ),
                 F.col("dst") == F.col("_n"),
             )
             .groupBy(e["src"].alias("id"))
@@ -3309,6 +3376,16 @@ def steiner_tree(
     are exact and deterministic, but an MST inside a recursive CTE is not
     SQL-expressible — pytest replays an exact Python twin instead.
     """
+    with _static_plan(edges.sparkSession):
+        return _steiner_tree_body(edges, terminals, weight_col, max_iter)
+
+
+def _steiner_tree_body(
+    edges: DataFrame,
+    terminals: DataFrame,
+    weight_col: str,
+    max_iter: int,
+) -> DataFrame:
     und = (
         edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
         .unionByName(
@@ -3344,8 +3421,10 @@ def steiner_tree(
     frontier = state
     prev = None
     for _ in range(max_iter):
+        # shuffle_hash on the frontier side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per round.
         cand = (
-            frontier.join(und, frontier["id"] == und["src"])
+            frontier.hint("shuffle_hash").join(und, frontier["id"] == und["src"])
             .select(
                 F.col("dst").alias("id"),
                 (F.col("dist") + F.col("w")).alias("_nd"),
@@ -3529,6 +3608,18 @@ def astar(
     Returns one row: (total_cost, path) with path = csv of node ids
     source→target. Empty frame if the target is unreachable.
     """
+    with _static_plan(edges.sparkSession):
+        return _astar_body(edges, coords, source, target, weight_col, max_iter)
+
+
+def _astar_body(
+    edges: DataFrame,
+    coords: DataFrame,
+    source: int,
+    target: int,
+    weight_col: str,
+    max_iter: int,
+) -> DataFrame:
     e = (
         edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
         .repartition("src")
@@ -3558,8 +3649,10 @@ def astar(
     best = float("inf")
     prev = None
     for _ in range(max_iter):
+        # shuffle_hash on the frontier side (r14, _mem.static_loop_plan):
+        # stops the planner re-broadcasting the cached edge frame per round.
         cand = (
-            frontier.join(e, frontier["id"] == e["src"])
+            frontier.hint("shuffle_hash").join(e, frontier["id"] == e["src"])
             .select(
                 F.col("dst").alias("id"),
                 (F.col("dist") + F.col("w")).alias("_nd"),
