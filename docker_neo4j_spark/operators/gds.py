@@ -57,7 +57,7 @@ def bfs(
 
     ``sources``: DataFrame with an ``id`` column (dist 0 seeds).
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _bfs_body(edges, sources, max_depth, undirected)
 
 
@@ -117,7 +117,7 @@ def sssp(
     detection pass need the distinction (a bound-stopped run still has
     improvable nodes on perfectly cycle-free graphs).
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _sssp_body(edges, sources, weight_col, max_iter, return_converged)
 
 
@@ -270,7 +270,7 @@ def dag_longest_path(
     that is ≤ longest-hop-count supersteps, each one edge-partitioned
     join + groupBy-max shuffle.
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _dag_longest_path_body(edges, sources, weight_col, max_iter)
 
 
@@ -326,7 +326,7 @@ def wcc(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
     Min-label propagation over the undirected edge set; each superstep is
     one groupBy-min shuffle. Converges in O(diameter) rounds.
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _wcc_body(edges, nodes, max_iter)
 
 
@@ -394,7 +394,7 @@ def personalized_pagerank(
     + a scalar dangling aggregate); the teleport set rides as a small
     cached frame unioned into each update.
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _personalized_pagerank_body(edges, sources, nodes, iterations, damping)
 
 
@@ -586,7 +586,7 @@ def pagerank(
     out-edge carries weight/Σweight(src) of the node's rank instead of
     1/deg (identical when all weights are equal).
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _pagerank_body(edges, nodes, iterations, damping, weight_col, tolerance)
 
 
@@ -760,7 +760,7 @@ def article_rank(
     ``localCheckpoint`` (zero-share self-rows keep sink-only nodes inside
     the aggregate, so no N-row union/exchange per round).
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _article_rank_body(edges, nodes, iterations, damping)
 
 
@@ -834,7 +834,7 @@ def eigenvector(
     undirected edge set (``gds.undirect``) for the classical symmetric
     formulation, which is the GDS default orientation use-case.
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _eigenvector_body(edges, nodes, iterations, weight_col)
 
 
@@ -907,7 +907,7 @@ def hits(
     the OTHER vector, so no norm-death guard is needed beyond the zero
     check.
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _hits_body(edges, nodes, iterations)
 
 
@@ -993,7 +993,7 @@ def label_propagation(
     incident edge weights instead of counting edges. Integer weights keep
     the argmax exact (the catalog row casts l_quantity to BIGINT).
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _label_propagation_body(edges, nodes, max_iter, weight_col)
 
 
@@ -1091,7 +1091,7 @@ def louvain(
 
     Stops at a fixpoint (a full even+odd pair with no moves) or ``max_iter``.
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _louvain_body(edges, nodes, max_iter)
 
 
@@ -1286,7 +1286,7 @@ def topological_layers(
     BSP: one join + groupBy-max per round, rounds = longest-path length
     (the frontier relaxes one level per superstep, like BFS with max/+1
     instead of min). State stays (id, layer)."""
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _topological_layers_body(edges, nodes, max_iter)
 
 
@@ -1334,7 +1334,7 @@ def _min_label_fixpoint(
     lab(v) = min({v} ∪ {lab(u) : u→v}) — "smallest id that can reach v"
     when given forward edges, "smallest id v can reach" when given the
     reversed edge set. One join + groupBy-min shuffle per round."""
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _min_label_fixpoint_body(edges, nodes, max_iter, out)
 
 
@@ -1743,6 +1743,8 @@ def betweenness(
     truncates identically, so the pairing stays exact even if the true
     diameter exceeds the cap.
     """
+    # sized_by deliberately omitted: per-round state is multiplicative
+    # (source × node rows), so the edge frame undersizes the loop width.
     with _static_plan(edges.sparkSession):
         return _betweenness_body(edges, sources, max_depth, undirected)
 
@@ -2144,6 +2146,8 @@ def closeness_walk(
     the harmonic-centrality catalog row. Frontier BSP with the source
     dimension riding in the key; state is |sources| × |reached|, which is
     why callers pass a bounded source set (landmark sampling at scale)."""
+    # sized_by deliberately omitted: per-round state is multiplicative
+    # (source × node rows), so the edge frame undersizes the loop width.
     with _static_plan(edges.sparkSession):
         return _closeness_walk_body(edges, sources, max_depth, undirected)
 
@@ -2523,7 +2527,7 @@ def sllpa(
     replica explode + two groupBys — the LPA shuffle shape with a
     bounded constant factor.
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _sllpa_body(edges, nodes, rounds, threshold_num, threshold_den, salt)
 
 
@@ -2882,6 +2886,8 @@ def k1coloring(
     monochrome edges (r6 ADVICE — long id-ordered conflict chains can
     outlast any fixed round count).
     """
+    # sized_by deliberately omitted: per-round state is multiplicative
+    # (source × node rows), so the edge frame undersizes the loop width.
     with _static_plan(edges.sparkSession):
         return _k1coloring_body(edges, nodes, max_rounds)
 
@@ -3376,7 +3382,7 @@ def steiner_tree(
     are exact and deterministic, but an MST inside a recursive CTE is not
     SQL-expressible — pytest replays an exact Python twin instead.
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _steiner_tree_body(edges, terminals, weight_col, max_iter)
 
 
@@ -3608,7 +3614,7 @@ def astar(
     Returns one row: (total_cost, path) with path = csv of node ids
     source→target. Empty frame if the target is unreachable.
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _astar_body(edges, coords, source, target, weight_col, max_iter)
 
 
@@ -3919,7 +3925,7 @@ def dfs_preorder(
     Reference: GDS dfs procedure (plugin namespace gds.*,
     calver/coredb/neo4j-plugins.json).
     """
-    with _static_plan(edges.sparkSession):
+    with _static_plan(edges.sparkSession, sized_by=edges):
         return _dfs_preorder_body(edges, sources, max_iter)
 
 

@@ -206,3 +206,50 @@ def test_bpe_train_single_job_rounds_release_vocab(spark):
     # table itself is a local driver frame, not a checkpoint
     assert _pinned_settled(spark, 1) <= 1, "bpe_train leaked re-segmentation frames"
     _clear(spark)
+
+
+class TestLoopWidth:
+    """r14 size-derived loop width: with AQE off inside static_loop_plan
+    there is no partition coalescing, so the BSP body runs under a
+    shuffle width derived from the kernel's edge-frame size instead of
+    the session constant (guide §2.2). Co-partitioning holds at any
+    width, so this must be invisible to results and restored on exit."""
+
+    def test_width_derived_from_size_and_capped(self, spark):
+        from docker_neo4j_spark.operators._mem import _loop_width
+
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        tiny = spark.range(10).selectExpr("id as src", "id+1 as dst")
+        assert _loop_width(spark, tiny) == 1
+        assert _loop_width(spark, None) == cap
+        # ~16 bytes/row: 10M-row range sizes ≈ 160 MB >> 8 MiB * cap
+        huge = spark.range(10_000_000).selectExpr("id as src", "id+1 as dst")
+        assert _loop_width(spark, huge) == cap
+
+    def test_forced_override_and_restore(self, spark, monkeypatch):
+        from docker_neo4j_spark.operators._mem import (
+            _loop_width,
+            static_loop_plan,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_LOOP_PARTS", "3")
+        assert _loop_width(spark, None) == 3
+        monkeypatch.delenv("SPARK_GRAFT_LOOP_PARTS")
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        tiny = spark.range(10).selectExpr("id as src", "id+1 as dst")
+        with static_loop_plan(spark, sized_by=tiny):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    def test_loop_output_partitioning_matches_width(self, spark):
+        """The kernel's returned checkpoint inherits the derived width —
+        the in-loop groupBy/repartition really resolve from it. (Uses a
+        range-backed frame: RDD-backed frames have unknown stats and
+        deliberately fall back to the session cap.)"""
+        edges = spark.range(1, 5).selectExpr("id as src", "id+1 as dst")
+        out = gds.wcc(edges, edges.selectExpr("src as id").union(
+            edges.selectExpr("dst as id")).distinct())
+        assert out.rdd.getNumPartitions() == 1
+        assert [r["comp"] for r in out.orderBy("id").collect()] == [1] * 5
