@@ -298,6 +298,36 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> Column:
     return F.expr(f"array({vals})")
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text form of ``dot`` — same casts, same sequential fold order,
+    so the computed values are bit-identical. Exists because each
+    ``zip_with``/``aggregate`` lambda costs ~30 ms of py4j round-trips to
+    construct (guide §7.3 driver cost); one parsed string is ~free."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_sql(vec: str, dim: int, n_planes: int, seed: int, table: int) -> str:
+    """SQL-text form of ``ann_topk``'s per-table bucket id (lsh_bucket +
+    table offset): the same CASE/shiftleft/| /+ chain the Column DSL
+    built, parsed in ONE ``F.expr`` instead of ~6 HOF lambdas per table
+    per side (measured r14: the DSL form cost ~2.5 s of driver build per
+    bench pass at n_tables=4)."""
+    tseed = seed + 7919 * table
+    code = None
+    for p in range(n_planes):
+        vals = ", ".join(f"{v!r}D" for v in hyperplane_values(dim, p, tseed))
+        d = _dot_sql(vec, f"array({vals})")
+        bit = (
+            f"(CASE WHEN {d} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+        code = bit if code is None else f"({code} | {bit})"
+    return f"({code} + CAST({table << n_planes} AS BIGINT))"
+
+
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id: n_planes sign bits packed to a long."""
     bits = [
@@ -332,11 +362,13 @@ def ann_topk(
     all-pairs path anywhere.
     """
 
-    def bucket(vec: Column, table: int) -> Column:
-        # Global bucket id = table << n_planes | sign-bit code.
-        b = lsh_bucket(vec, dim, n_planes, seed + 7919 * table)
-        return b + F.lit(table << n_planes).cast("long")
+    def bucket(vec_sql: str, table: int) -> Column:
+        # Global bucket id = table << n_planes | sign-bit code — built as
+        # ONE parsed SQL string (see _bucket_sql; the Column-DSL form via
+        # lsh_bucket cost ~2.5 s/pass of py4j lambda construction).
+        return F.expr(_bucket_sql(vec_sql, dim, n_planes, seed, table))
 
+    vec_sql = f"`{vec_col}`"
     # Materialize per-table bucket ids ONCE (a probe fan-out referencing the
     # bucket expression directly would recompute every hyperplane dot
     # product n_planes+1 times — no CSE across the explode).
@@ -344,16 +376,16 @@ def ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
-        *[bucket(F.col(vec_col), t).alias(bc) for t, bc in enumerate(bcols)],
+        F.expr(f"sqrt({_dot_sql(vec_sql, vec_sql)})").alias("_cn"),
+        *[bucket(vec_sql, t).alias(bc) for t, bc in enumerate(bcols)],
     ).select(
         "neighbor_id", "_cv", "_cn", F.explode(F.array(*bcols)).alias("bucket")
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
-        *[bucket(F.col(vec_col), t).alias(bc) for t, bc in enumerate(bcols)],
+        F.expr(f"sqrt({_dot_sql(vec_sql, vec_sql)})").alias("_qn"),
+        *[bucket(vec_sql, t).alias(bc) for t, bc in enumerate(bcols)],
     )
     probes = []
     for bc in bcols:
@@ -377,7 +409,7 @@ def ann_topk(
             "query_id",
             "neighbor_id",
             (
-                dot(F.col("_qv"), F.col("_cv"))
+                F.expr(_dot_sql("_qv", "_cv"))
                 / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
             ).alias("sim"),
         )
