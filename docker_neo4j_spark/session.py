@@ -38,6 +38,14 @@ ENGINE_DEFAULT_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
+    # PySpark 4 wraps every DataFrame/Column API call with user-call-site
+    # capture for error context: a Python stack walk plus two extra py4j
+    # round-trips (PySparkCurrentOrigin.set/clear) per call. That is pure
+    # driver overhead in a server context — measured r14 at ~3 ms per
+    # wrapped call, ~40% of construction time on the plan-heavy Cypher
+    # queries. Costs only the call-site line in error messages; results
+    # and plans are identical.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # local-mode: the single JVM is driver AND all 32 executor threads.
     # 8g measured BEST here: 32g was tried and its first heavy query paid
     # ~70 s of first-touch page faulting inside the VM (107.8 s vs 33 s
