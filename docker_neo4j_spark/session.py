@@ -46,6 +46,16 @@ ENGINE_DEFAULT_CONF: dict[str, str] = {
     # queries. Costs only the call-site line in error messages; results
     # and plans are identical.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
+    # Generated-class cache (static conf, default 100 entries). A server
+    # session re-plans structurally identical statements all day; the BSP
+    # kernels alone emit ~100+ codegen units per run, so at the default
+    # size every multi-statement session evicts and re-compiles (Janino +
+    # fresh C2 JIT) the same classes each statement — measured r14 as
+    # betweenness reading ~33 s inside a 30-query bench vs 17.7 s solo
+    # with pass-2 cache hits. 5000 entries holds a whole session's
+    # working set (~tens of MB of bytecode+source); same win on any
+    # long-running driver, local or cluster.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     # local-mode: the single JVM is driver AND all 32 executor threads.
     # 8g measured BEST here: 32g was tried and its first heavy query paid
     # ~70 s of first-touch page faulting inside the VM (107.8 s vs 33 s
