@@ -1778,14 +1778,32 @@ def _betweenness_body(
     falses = F.array_repeat(F.lit(False), n_src)
 
     def arr_sum(df, col, zero):
-        """groupBy(v) element-wise array sum — collect_list is bounded by
-        deg(v) arrays of S elements, summed JVM-side via HOFs."""
+        """groupBy(v) element-wise array sum.
+
+        r15 (guide §1.2 "per-task work"): S independent ``sum(col[i])``
+        aggregates reassembled into the array, instead of the former
+        ``aggregate(collect_list, zip_with)`` fold. Higher-order functions
+        are CodegenFallback — the fold evaluated interpreted lambdas with
+        per-step array allocation over every element of every input row
+        (the measured bulk of each level's checkpoint job) — while
+        ``sum(getItem(i))`` updates a primitive hash-aggregate buffer slot
+        through generated code, with map-side partial aggregation intact.
+        Values are identical: long sums are exact and commutative, and the
+        double sums differ only in fold ORDER from the collect_list fold,
+        which was already arrival-order-nondeterministic. Very large
+        source sets fall back to the HOF fold rather than building an
+        S-wide expression tree (plan/analyzer cost grows with S; the gds
+        samplingSize contract keeps S in the hundreds)."""
+        if n_src > 512:
+            return df.groupBy("v").agg(
+                F.aggregate(
+                    F.collect_list(col),
+                    zero,
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias(col)
+            )
         return df.groupBy("v").agg(
-            F.aggregate(
-                F.collect_list(col),
-                zero,
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias(col)
+            F.array(*[F.sum(F.col(col)[i]) for i in range(n_src)]).alias(col)
         )
 
     # Forward sweep state is ONE frame per level: (v, seen[bool S], new[long S])
@@ -1832,7 +1850,7 @@ def _betweenness_body(
             summed.withColumnRenamed("sig", "_sg"), "v", "full"
         )
         masked = F.zip_with(
-            F.coalesce("_sg", zeros_l),
+            F.col("_sg"),
             F.coalesce("seen", falses),
             lambda x, sn: F.when(sn, F.lit(0).cast("long")).otherwise(x),
         )
@@ -1842,15 +1860,33 @@ def _betweenness_body(
         # settled node was 8·S bytes/node/level of dead weight (the bulk
         # of the full-outer merge's write). The level view filters on
         # IS NOT NULL; values in non-null arrays are unchanged.
+        #
+        # r15 (guide §1.2 "per-task work"): rows with NO contribution this
+        # level (`_sg` null — the settled majority at later levels) pass
+        # `seen` through and store a null `new` WITHOUT evaluating any
+        # array lambda: higher-order functions are CodegenFallback
+        # (interpreted per element), and CaseWhen evaluates only the taken
+        # branch, so the per-level HOF work shrinks from O(|V|·S) to
+        # O(|touched|·S). `seen` folds the unmasked `_sg` directly
+        # (sn | (x>0 ∧ ¬sn) ≡ sn | x>0), dropping the former
+        # masked-intermediate re-evaluation; values are unchanged.
         new_state = _ckpt(
             merged.select(
                 "v",
-                F.zip_with(
-                    F.coalesce("seen", falses),
+                F.when(F.col("_sg").isNull(), F.col("seen"))
+                .otherwise(
+                    F.zip_with(
+                        F.coalesce("seen", falses),
+                        F.col("_sg"),
+                        lambda sn, x: sn | (x > 0),
+                    )
+                )
+                .alias("seen"),
+                F.when(
+                    F.col("_sg").isNotNull()
+                    & F.exists(masked, lambda x: x > 0),
                     masked,
-                    lambda sn, x: sn | (x > 0),
-                ).alias("seen"),
-                F.when(F.exists(masked, lambda x: x > 0), masked).alias("new"),
+                ).alias("new"),
             )
         )
         if _lvl_view(new_state).isEmpty():
